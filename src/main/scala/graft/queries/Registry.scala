@@ -1,0 +1,36 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine query exposed through the driver contract.
+  *
+  * @param name   stable key, used for SparkEntry.queries + BENCH ids
+  * @param run    (session, sfDir) => result DataFrame. Column names MUST
+  *               match the oracle's output names exactly (driver compares
+  *               by sorted column name).
+  * @param oracle equivalent ANSI SQL for DuckDB over the same parquet
+  *               tables; None for non-SQL-expressible operators (driver
+  *               then records a rows-only check).
+  * @param bench  include in the headline Bench set.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+/** Central registry: every operator SURVEY.md §2 declares done has an
+  * entry here (and, when SQL-expressible, an oracle).
+  */
+object Registry {
+  lazy val all: Seq[Q] =
+    Relational.queries ++ Cleaning.queries ++ Ext.queries
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}
+
+/** Parquet table loader for the driver test data (TESTDATA.md). */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

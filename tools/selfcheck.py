@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage:
+    python3 tools/selfcheck.py <sfDir> <verifyOutDir> [query ...]
+
+Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
+the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+same parquet tables, and compares:
+  - schema: sorted column-name lists equal
+  - rows:   row counts equal
+  - hash:   cell-by-cell equality after sorting columns by name and rows
+            by all columns (exact for non-floats; floats exact + a
+            tolerance fallback reported separately so we know when we
+            are relying on luck).
+
+This tool is dev-harness only (driver-side python), never imported by
+the engine.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    """Canonical comparable form of a cell."""
+    if v is None:
+        return ("null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("nan",)
+        return ("f", v)
+    # Decimal, int, str, datetime, date, bool, lists
+    if isinstance(v, list):
+        return ("l", tuple(canon(x) for x in v))
+    return ("v", str(v))
+
+
+def cells_equal(a, b):
+    if a == b:
+        return True, True
+    # tolerance fallback for floats (exact=False)
+    if a[0] == "f" and b[0] == "f":
+        x, y = a[1], b[1]
+        if math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+            return True, False
+    if a[0] == "f" and b[0] == "v" or a[0] == "v" and b[0] == "f":
+        try:
+            x = float(a[1]) if a[0] == "f" else float(str(a[1]))
+            y = float(b[1]) if b[0] == "f" else float(str(b[1]))
+            if math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
+                return True, False
+        except (ValueError, TypeError):
+            pass
+    return False, False
+
+
+def fetch_sorted(con, sql):
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    cols_sorted = [cols[i] for i in order]
+    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return cols_sorted, out
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    results = {}
+    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    for name in names:
+        if only and name not in only:
+            continue
+        got_path = Path(out_dir) / name
+        try:
+            gcols, grows = fetch_sorted(
+                con, f"SELECT * FROM read_parquet('{got_path}/*.parquet')")
+        except Exception as e:
+            results[name] = f"SPARK-READ-FAIL {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only rows={len(grows)} " + \
+                ("OK" if len(grows) >= 0 else "")
+            continue
+        try:
+            ocols, orows = fetch_sorted(con, oracle[name])
+        except Exception as e:
+            results[name] = f"ORACLE-SQL-FAIL {e}"
+            continue
+        if gcols != ocols:
+            results[name] = f"SCHEMA-MISMATCH spark={gcols} oracle={ocols}"
+            continue
+        if len(grows) != len(orows):
+            results[name] = f"ROWCOUNT-MISMATCH spark={len(grows)} oracle={len(orows)}"
+            continue
+        exact = True
+        bad = None
+        for ri, (gr, orr) in enumerate(zip(grows, orows)):
+            for ci, (gc, oc) in enumerate(zip(gr, orr)):
+                eq, ex = cells_equal(gc, oc)
+                if not eq:
+                    bad = (ri, gcols[ci], gc, oc)
+                    break
+                exact = exact and ex
+            if bad:
+                break
+        if bad:
+            results[name] = f"VALUE-MISMATCH row={bad[0]} col={bad[1]} spark={bad[2]} oracle={bad[3]}"
+        elif exact:
+            results[name] = f"OK exact rows={len(grows)}"
+        else:
+            results[name] = f"OK tolerance-only rows={len(grows)} (float fuzz — tighten!)"
+
+    width = max(len(n) for n in results) if results else 0
+    fails = 0
+    for n in sorted(results):
+        r = results[n]
+        if not r.startswith("OK") and not r.startswith("rows-only"):
+            fails += 1
+        print(f"{n:<{width}}  {r}")
+    print(f"\n{len(results)} checked, {fails} failing")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
