@@ -29,6 +29,14 @@ object Relational {
   private def dec2(c: Column): Column = c.cast("decimal(10,2)")
   private val one2 = lit(1).cast("decimal(10,2)")
 
+  /** The driver's hash is TYPE-sensitive (ADVICE.md r01): Spark's
+    * SUM(DECIMAL(p,s)) widens precision to p+10 while DuckDB widens to 38,
+    * so every final aggregate must be cast to the exact type DuckDB
+    * produces — SUM(DECIMAL(_,s)) → DECIMAL(38,s), COUNT → BIGINT.
+    */
+  private def sum38(c: Column, scale: Int, name: String): Column =
+    sum(c).cast(s"decimal(38,$scale)").as(name)
+
   /** TPC-H Q1 shape: scan → filter → hash agg (partial+final) → sort. */
   val q1PricingSummary = Q(
     "q1_pricing_summary",
@@ -37,12 +45,12 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))))
-            .as("sum_disc_price"),
-          sum(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
-            * (one2 + dec2(col("l_tax")))).as("sum_charge"),
+          sum38(dec2(col("l_quantity")), 2, "sum_qty"),
+          sum38(dec2(col("l_extendedprice")), 2, "sum_base_price"),
+          sum38(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))),
+            4, "sum_disc_price"),
+          sum38(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
+            * (one2 + dec2(col("l_tax"))), 6, "sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },

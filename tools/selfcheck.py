@@ -7,12 +7,21 @@ Usage:
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs
 the matching SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 same parquet tables, and compares:
-  - schema: sorted column-name lists equal
+  - schema: sorted column-name lists equal AND the DuckDB-normalized
+    column TYPES equal (the driver hash is type-sensitive — a Spark
+    DECIMAL(20,2) vs DuckDB DECIMAL(38,2) fails even when values match)
   - rows:   row counts equal
   - hash:   cell-by-cell equality after sorting columns by name and rows
-            by all columns (exact for non-floats; floats exact + a
-            tolerance fallback reported separately so we know when we
-            are relying on luck).
+            by all columns (non-float cells first in the sort key so
+            tolerance-equal floats can't shuffle row order; exact for
+            non-floats; floats exact + a tolerance fallback reported
+            separately so we know when we are relying on luck).
+
+Coverage rules (driver parity):
+  - every oracle_sql.json key must have an output dir (MISSING-OUTPUT
+    fails) — a query that crashed in graft.Verify is a failure;
+  - rows-only (no-oracle) queries fail on 0 rows;
+  - a CLI query filter that matches nothing is an error.
 
 This tool is dev-harness only (driver-side python), never imported by
 the engine.
@@ -42,6 +51,14 @@ def canon(v):
     return ("v", str(v))
 
 
+def sort_key(row):
+    """Row sort key: non-float cells verbatim, floats rounded so that
+    tolerance-equal values land in the same position on both sides."""
+    non_float = tuple(c for c in row if c[0] != "f")
+    floats = tuple(("f", round(c[1], 6)) for c in row if c[0] == "f")
+    return (non_float, floats)
+
+
 def cells_equal(a, b):
     if a == b:
         return True, True
@@ -62,13 +79,16 @@ def cells_equal(a, b):
 
 
 def fetch_sorted(con, sql):
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    rel = con.sql(sql)
+    cols = list(rel.columns)
+    types = [str(t) for t in rel.types]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols_sorted = [cols[i] for i in order]
-    out = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return cols_sorted, out
+    types_sorted = [types[i] for i in order]
+    out = sorted((tuple(canon(r[i]) for i in order) for r in rows),
+                 key=sort_key)
+    return cols_sorted, types_sorted, out
 
 
 def main():
@@ -84,28 +104,41 @@ def main():
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     results = {}
-    names = sorted(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    out_names = set(d.name for d in Path(out_dir).iterdir() if d.is_dir())
+    names = sorted(out_names | set(oracle))
+    if only:
+        unknown = only - set(names)
+        if unknown:
+            print(f"ERROR: query filter matched nothing: {sorted(unknown)}")
+            sys.exit(2)
+        names = [n for n in names if n in only]
     for name in names:
-        if only and name not in only:
+        if name not in out_names:
+            results[name] = "MISSING-OUTPUT (query crashed in graft.Verify?)"
             continue
         got_path = Path(out_dir) / name
         try:
-            gcols, grows = fetch_sorted(
+            gcols, gtypes, grows = fetch_sorted(
                 con, f"SELECT * FROM read_parquet('{got_path}/*.parquet')")
         except Exception as e:
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         if name not in oracle:
-            results[name] = f"rows-only rows={len(grows)} " + \
-                ("OK" if len(grows) >= 0 else "")
+            results[name] = (f"rows-only rows={len(grows)} OK"
+                             if len(grows) > 0 else "ROWS-ONLY-EMPTY (0 rows)")
             continue
         try:
-            ocols, orows = fetch_sorted(con, oracle[name])
+            ocols, otypes, orows = fetch_sorted(con, oracle[name])
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {e}"
             continue
         if gcols != ocols:
             results[name] = f"SCHEMA-MISMATCH spark={gcols} oracle={ocols}"
+            continue
+        if gtypes != otypes:
+            diff = [f"{c}: spark={g} oracle={o}"
+                    for c, g, o in zip(gcols, gtypes, otypes) if g != o]
+            results[name] = f"TYPE-MISMATCH {'; '.join(diff)}"
             continue
         if len(grows) != len(orows):
             results[name] = f"ROWCOUNT-MISMATCH spark={len(grows)} oracle={len(orows)}"
