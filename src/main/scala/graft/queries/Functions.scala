@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.queries.H._
+
+/** Relational query surface, part 3: scalar function coverage — string,
+  * date/time, JSON, conditional (SURVEY.md §2.7 "scalar functions").
+  * All per-row (narrow, codegen'd, no shuffle); the oracle verifies that
+  * our function semantics match ANSI/DuckDB behavior exactly.
+  */
+object Functions {
+
+  /** String function battery over part. */
+  val q15StringFuncs = Q(
+    "q15_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        length(col("p_name")).as("name_len"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        reverse(col("p_type")).as("rtype"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        trim(lit("  x  ")).as("trimmed"),
+        replace(col("p_name"), lit(" "), lit("_")).as("snake"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      upper(p_name) AS uname,
+      CAST(length(p_name) AS INTEGER) AS name_len,
+      substring(p_name, 1, 5) AS name5,
+      concat_ws('-', p_brand, p_type) AS brand_type,
+      regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+      lpad(p_brand, 12, '*') AS padded,
+      reverse(p_type) AS rtype,
+      split_part(p_type, ' ', 1) AS type_head,
+      trim('  x  ') AS trimmed,
+      replace(p_name, ' ', '_') AS snake
+      FROM part ORDER BY p_partkey"""))
+
+  /** Date/time function battery over orders. Spark `weekday` (Mon=0) is
+    * aligned to DuckDB `isodow` (Mon=1) by +1; DuckDB date_trunc yields
+    * DATE where Spark's yields TIMESTAMP, so Spark uses trunc()/casts.
+    */
+  val q16DateFuncs = Q(
+    "q16_date_funcs",
+    (s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        col("o_orderdate").cast("date").as("d"),
+        trunc(col("o_orderdate"), "month").as("month_start"),
+        last_day(col("o_orderdate")).as("month_end"),
+        add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date")).as("days_since"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(year(o_orderdate) AS INTEGER) AS y,
+      CAST(month(o_orderdate) AS INTEGER) AS m,
+      CAST(quarter(o_orderdate) AS INTEGER) AS q,
+      CAST(isodow(o_orderdate) AS INTEGER) AS isodow,
+      CAST(o_orderdate AS DATE) AS d,
+      date_trunc('month', o_orderdate) AS month_start,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+      CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** JSON extraction from the events.props string column, then a grouped
+    * aggregate over the extracted value.
+    */
+  val q17Json = Q(
+    "q17_json",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("bigint").as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k
+      FROM (SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** Conditional expressions: CASE WHEN / coalesce / nullif driving a
+    * conditional aggregation.
+    */
+  val q23Conditional = Q(
+    "q23_conditional",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          when(col("o_totalprice") >= 300000, "big")
+            .when(col("o_totalprice") >= 150000, "mid")
+            .otherwise("small").as("size_class"),
+          nullif(col("o_orderstatus"), lit("O")).as("closed_status"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_or_open"))
+        .groupBy(col("size_class"), col("status_or_open"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("size_class"), col("status_or_open")),
+    Some("""SELECT size_class, status_or_open, COUNT(*) AS n FROM (
+      SELECT o_orderkey,
+        CASE WHEN o_totalprice >= 300000 THEN 'big'
+             WHEN o_totalprice >= 150000 THEN 'mid'
+             ELSE 'small' END AS size_class,
+        coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+      FROM orders)
+      GROUP BY size_class, status_or_open ORDER BY size_class, status_or_open"""))
+
+  val queries: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q17Json, q23Conditional)
+}

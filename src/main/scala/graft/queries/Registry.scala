@@ -24,7 +24,8 @@ final case class Q(
   */
 object Registry {
   lazy val all: Seq[Q] =
-    Relational.queries ++ Cleaning.queries ++ Ext.queries
+    Relational.queries ++ Analytic.queries ++ Functions.queries ++
+      Cleaning.queries ++ Ext.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
@@ -32,5 +33,5 @@ object Registry {
 /** Parquet table loader for the driver test data (TESTDATA.md). */
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    H.t(spark, dir, name)
 }

@@ -1,43 +1,26 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.queries.Tables.t
+import graft.queries.H._
 
-/** Relational query surface (SURVEY.md §2.7).
+/** Relational query surface, part 1: scans, filters, joins (broadcast /
+  * shuffled / semi / anti / range), aggregations, top-k, set ops
+  * (SURVEY.md §2.7).
   *
   * The reference (etl.py) delegates all relational execution to BigQuery
   * after load (`load_to_bq`, etl.py:1156); our engine internalizes that
-  * layer as Spark SQL / DataFrame plans. Each query here exercises one
-  * operator category over the TESTDATA.md tables and carries a DuckDB
-  * oracle.
+  * layer as Catalyst plans. Each query exercises one operator category
+  * over the TESTDATA.md tables and carries a DuckDB oracle.
   *
-  * Determinism rule: every aggregation over a floating-point column is
-  * computed over DECIMAL casts — decimal sums are exact and
-  * order-independent, so Spark (partial aggregation, any partitioning)
-  * and DuckDB produce bit-identical results. Per-row double arithmetic
-  * (no reduction) is IEEE-deterministic and safe to keep as double.
+  * Scale notes are attached per query: what shuffles, what broadcasts,
+  * and why the plan survives 1000 executors.
   */
 object Relational {
 
-  /** Cast a clean double column to decimal(10,2) BEFORE any arithmetic.
-    * Spark's double→decimal cast rounds the double's shortest string form
-    * (java BigDecimal.valueOf) while DuckDB rounds the exact binary value;
-    * on source columns (2-decimal generated data) both agree, and all
-    * subsequent decimal arithmetic is exact and order-independent.
+  /** TPC-H Q1 shape: scan → filter (pushed to parquet) → partial+final
+    * hash agg (6 groups → negligible shuffle) → sort. At 100 TB: the agg
+    * is map-side combined into 6 rows per partition; no skew possible.
     */
-  private def dec2(c: Column): Column = c.cast("decimal(10,2)")
-  private val one2 = lit(1).cast("decimal(10,2)")
-
-  /** The driver's hash is TYPE-sensitive (ADVICE.md r01): Spark's
-    * SUM(DECIMAL(p,s)) widens precision to p+10 while DuckDB widens to 38,
-    * so every final aggregate must be cast to the exact type DuckDB
-    * produces — SUM(DECIMAL(_,s)) → DECIMAL(38,s), COUNT → BIGINT.
-    */
-  private def sum38(c: Column, scale: Int, name: String): Column =
-    sum(c).cast(s"decimal(38,$scale)").as(name)
-
-  /** TPC-H Q1 shape: scan → filter → hash agg (partial+final) → sort. */
   val q1PricingSummary = Q(
     "q1_pricing_summary",
     (s, dir) => {
@@ -47,10 +30,10 @@ object Relational {
         .agg(
           sum38(dec2(col("l_quantity")), 2, "sum_qty"),
           sum38(dec2(col("l_extendedprice")), 2, "sum_base_price"),
-          sum38(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount"))),
-            4, "sum_disc_price"),
-          sum38(dec2(col("l_extendedprice")) * (one2 - dec2(col("l_discount")))
+          sum38(revenue(col("l_extendedprice"), col("l_discount")), 4, "sum_disc_price"),
+          sum38(revenue(col("l_extendedprice"), col("l_discount"))
             * (one2 + dec2(col("l_tax"))), 6, "sum_charge"),
+          avgViaDec(col("l_quantity"), "avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -59,6 +42,7 @@ object Relational {
       SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS sum_base_price,
       SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS sum_disc_price,
       SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -66,5 +50,254 @@ object Relational {
       ORDER BY l_returnflag, l_linestatus"""),
     bench = true)
 
-  val queries: Seq[Q] = Seq(q1PricingSummary)
+  /** Global top-k: Spark's TakeOrderedAndProject — each partition keeps
+    * only its local top 10, the driver merges k·numPartitions rows. No
+    * full sort, no shuffle of data-sized input. Tie-broken on the key.
+    */
+  val q2TopkOrders = Q(
+    "q2_topk_orders",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** TPC-H Q3 shape: dim-filtered customer broadcast into orders, then
+    * shuffle join to lineitem on orderkey, agg, top-k. At scale: customer
+    * post-filter is ~1/5 of customers — still broadcastable at sf where
+    * customers ≪ lineitem; the lineitem join shuffles on l_orderkey which
+    * is near-uniform (no skew).
+    */
+  val q3ShippingPriority = Q(
+    "q3_shipping_priority",
+    (s, dir) => {
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < cutoff)
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum38(revenue(col("l_extendedprice"), col("l_discount")), 4, "revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey LIMIT 10"""),
+    bench = true)
+
+  /** Left-semi join (EXISTS): orders with at least one heavy lineitem.
+    * Semi-join output carries only the left side, so the shuffle payload
+    * is the filtered orders, and duplicate matches are never materialized.
+    */
+  val q4SemiJoin = Q(
+    "q4_semi_join",
+    (s, dir) => {
+      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(heavy, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+      FROM orders WHERE EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q5 shape: two broadcast dims (region→nation) + three-way fact
+    * join; the customer/supplier nation equality is applied post-join.
+    * nation/region are O(10²) rows forever — always broadcast.
+    */
+  val q5LocalSupplierVolume = Q(
+    "q5_local_supplier_volume",
+    (s, dir) => {
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val asiaNations = broadcast(
+        nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum38(revenue(col("l_extendedprice"), col("l_discount")), 4, "revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""),
+    bench = true)
+
+  /** TPC-H Q6 shape: pure scan+filter+agg — the predicate and the two
+    * needed columns are pushed into the parquet scan (PushedFilters /
+    * ReadSchema); the whole query is one WholeStageCodegen span plus a
+    * single-row exchange.
+    */
+  val q6RevenueForecast = Q(
+    "q6_revenue_forecast",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum38(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 4, "revenue")),
+    Some("""SELECT SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2))) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
+    bench = true)
+
+  /** Left-anti join (NOT EXISTS): orders with no lineitems. */
+  val q7AntiJoin = Q(
+    "q7_anti_join",
+    (s, dir) => {
+      val liKeys = t(s, dir, "lineitem").select(col("l_orderkey"))
+      t(s, dir, "orders")
+        .join(liKeys, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_empty"),
+          sum38(dec2(col("o_totalprice")), 2, "total_value"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n_empty,
+      SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS total_value
+      FROM orders WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Distinct aggregates: Catalyst expands these into a two-phase
+    * partial-distinct plan (Expand + two aggregates) — no driver work.
+    */
+  val q13DistinctAgg = Q(
+    "q13_distinct_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          sum_distinct(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_dist_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+      SUM(DISTINCT CAST(l_quantity AS DECIMAL(10,2))) AS sum_dist_qty,
+      COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Set operations: INTERSECT / EXCEPT have SQL bag-to-set semantics in
+    * both engines; results are tagged and unioned for one comparison.
+    */
+  val q14SetOps = Q(
+    "q14_setops",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val both = cn.intersect(sn).withColumn("op", lit("both"))
+      val custOnly = cn.except(sn).withColumn("op", lit("cust_only"))
+      val all = cn.union(sn).distinct().withColumn("op", lit("any"))
+      both.unionByName(custOnly).unionByName(all)
+        .select(col("op"), col("nationkey"))
+        .orderBy(col("op"), col("nationkey"))
+    },
+    Some("""SELECT op, nationkey FROM (
+      SELECT 'both' AS op, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'cust_only' AS op, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'any' AS op, nationkey FROM
+        (SELECT c_nationkey AS nationkey FROM customer UNION SELECT s_nationkey FROM supplier)
+      ) ORDER BY op, nationkey"""))
+
+  /** Theta/range join against a tiny inline band table — broadcast
+    * nested-loop with a range predicate. The band table is O(1); at scale
+    * this is the bucketize-by-broadcast pattern (never a shuffle).
+    */
+  val q20RangeJoin = Q(
+    "q20_range_join",
+    (s, dir) => {
+      val bands = Seq(
+        ("budget", 900.0, 935.0),
+        ("mid", 935.0, 970.0),
+        ("premium", 970.0, 1000.0))
+      val bandDf = s.createDataFrame(bands).toDF("band", "lo", "hi")
+      t(s, dir, "part")
+        .join(broadcast(bandDf),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum38(dec2(col("p_retailprice")), 2, "total_price"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, COUNT(*) AS n_parts,
+      SUM(CAST(p_retailprice AS DECIMAL(10,2))) AS total_price
+      FROM part JOIN (VALUES
+        ('budget', CAST(900.0 AS DOUBLE), CAST(935.0 AS DOUBLE)),
+        ('mid', CAST(935.0 AS DOUBLE), CAST(970.0 AS DOUBLE)),
+        ('premium', CAST(970.0 AS DOUBLE), CAST(1000.0 AS DOUBLE))) bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+      GROUP BY band ORDER BY band"""))
+
+  /** Scalar subquery: global average via exact decimal sum, broadcast
+    * back as a 1-row cross join (no second scan of the fact in Spark's
+    * plan — the agg is a separate tiny stage).
+    */
+  val q21ScalarSubquery = Q(
+    "q21_scalar_subquery",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val avgBal = cust.agg(
+        (sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .select(col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) FROM customer)
+      ORDER BY c_custkey"""))
+
+  /** Group-filter (HAVING): aggregate then filter on the aggregate. */
+  val q19Having = Q(
+    "q19_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum38(dec2(col("o_totalprice")), 2, "total_spent"))
+        .filter(col("n_orders") >= 20)
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, COUNT(*) AS n_orders,
+      SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS total_spent
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
+      ORDER BY o_custkey"""))
+
+  val queries: Seq[Q] = Seq(
+    q1PricingSummary, q2TopkOrders, q3ShippingPriority, q4SemiJoin,
+    q5LocalSupplierVolume, q6RevenueForecast, q7AntiJoin, q13DistinctAgg,
+    q14SetOps, q19Having, q20RangeJoin, q21ScalarSubquery)
 }
