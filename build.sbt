@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Engine-wide coerce-cast semantics (reference uses pandas
+  // errors='coerce' everywhere): bad cast -> NULL, never an exception.
+  "-Dspark.sql.ansi.enabled=false",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
