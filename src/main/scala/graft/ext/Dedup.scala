@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY.md
+  * §2.8): exact, n-gram Jaccard (inverted-index), MinHash+LSH banding,
+  * SimHash with pigeonhole banding, embedding-cosine near-dup.
+  *
+  * Scale design notes (100 TB):
+  *  - Nothing here is O(n²) over documents: candidate generation always
+  *    goes through an equi-join key (shingle, band hash, simhash chunk,
+  *    or bucket id), so Spark shuffles on that key and only co-bucketed
+  *    docs ever meet.
+  *  - Ultra-frequent shingles create join skew; production would drop
+  *    shingles with document-frequency above a cutoff (they carry no
+  *    discriminative signal). Kept explicit in [[shingleIndex]].
+  */
+object Dedup {
+
+  /** Exact dedup: canonical survivor per text (deterministic min-id —
+    * dropDuplicates picks an arbitrary row, so we don't use it here).
+    */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word k-shingles of a text column. */
+  def shingles(text: Column, k: Int): Column = {
+    val t = split(text, " ")
+    when(size(t) >= k,
+      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
+        concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
+      .otherwise(array(text))
+  }
+
+  /** Exploded (id, shingle) inverted index; optional df-cutoff drops
+    * shingles appearing in more than maxDocFreq docs (skew guard).
+    */
+  def shingleIndex(docs: DataFrame, textCol: String, idCol: String, k: Int,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val idx = docs.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), k)).as("s"))
+    maxDocFreq match {
+      case Some(cut) =>
+        val hot = idx.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") > cut)
+        idx.join(hot, Seq("s"), "left_anti")
+      case None => idx
+    }
+  }
+
+  /** Exact n-gram Jaccard pairs via inverted-index join: explode
+    * shingles → self-join on shingle (id_a < id_b) → intersection
+    * counts → Jaccard = |∩| / (|A|+|B|−|∩|). One shuffle on shingle,
+    * one on the pair.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double): DataFrame = {
+    val idx = shingleIndex(docs, textCol, idCol, k)
+    val counts = idx.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = idx.as("a")
+      .join(idx.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("ix"))
+    inter
+      .join(counts.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(counts.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs: per-doc signature of `numHashes`
+    * universal-hash minima over shingle hashes; signatures split into
+    * `bands`; docs sharing any band bucket become candidates; candidates
+    * are verified with exact Jaccard ≥ threshold (no false positives;
+    * false-negative probability at j=0.8 with 128/32 is ~5e-8).
+    *
+    * Universal hashes: h_i(x) = (a_i·x + b_i) mod p over p = 2^31−1 with
+    * x = xxhash64(shingle) folded into [0,p); constants from a fixed
+    * seed so results are deterministic.
+    */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val p = 2147483647L
+    val rnd = new scala.util.Random(42)
+    val ab = Array.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
+
+    val idx = shingleIndex(docs, textCol, idCol, k)
+      .withColumn("x", pmod(xxhash64(col("s")), lit(p)))
+
+    // one aggregation: 128 min-hash columns per doc
+    val minCols = ab.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"mh$i")
+    }
+    val sigs = idx.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+
+    // band buckets: hash the band's slice of the signature
+    val bandEntries = (0 until bands).map { bIdx =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
+      sigs.select(col("id"), lit(bIdx).as("band"), xxhash64(slice: _*).as("bucket"))
+    }.reduce(_ unionByName _)
+
+    val candidates = bandEntries.as("a")
+      .join(bandEntries.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+
+    // exact verification of candidates only
+    val exactPairs = ngramJaccardPairs(docs, textCol, idCol, k, threshold)
+    candidates.join(exactPairs, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature from token-hash bit votes;
+    * pairs within `hammingMax` found exactly via the pigeonhole split
+    * into hammingMax+1 chunks (a pair within distance d must agree on at
+    * least one of d+1 chunks) — candidate join on (chunkIdx, chunkValue).
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      hammingMax: Int = 3): DataFrame = {
+    val nChunks = hammingMax + 1
+    require(64 % nChunks == 0, "chunk count must divide 64")
+    val chunkBits = 64 / nChunks
+
+    val tok = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("t"))
+      .withColumn("h", xxhash64(col("t")))
+
+    val voteCols = (0 until 64).map(k =>
+      sum(when(shiftright(col("h"), k).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$k"))
+    val votes = tok.groupBy(col("id")).agg(voteCols.head, voteCols.tail: _*)
+
+    val sim = (0 until 64).map(k =>
+      shiftleft(when(col(s"v$k") > 0, 1L).otherwise(0L), k))
+      .reduce(_.bitwiseOR(_))
+    val sigs = votes.select(col("id"), sim.as("sim"))
+
+    val chunks = (0 until nChunks).map(j =>
+      sigs.select(col("id"), col("sim"), lit(j).as("chunk"),
+        shiftright(col("sim"), j * chunkBits).bitwiseAND((1L << chunkBits) - 1).as("cv")))
+      .reduce(_ unionByName _)
+
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= hammingMax)
+  }
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs — the baseline;
+    * [[Similarity.ivfTopK]] is the bucketed scale path). Floats are
+    * promoted to double BEFORE multiplication so both engines compute
+    * identical products; only summation order can differ (1 ulp).
+    */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("id"),
+      Similarity.toDoubleVec(col(vecCol)).as("v"),
+      Similarity.norm(Similarity.toDoubleVec(col(vecCol))).as("nrm"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine",
+        Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+  }
+}

@@ -1,8 +1,211 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Multimodal, Similarity, Text}
+import graft.queries.H.t
+
 /** LLM-data-pipeline extension operators (SURVEY.md §2.8): dedup,
-  * similarity search, text analysis, multimodal columns.
+  * similarity search, text analysis, multimodal columns — each a
+  * driver-contract query over the documents/embeddings tables, with a
+  * DuckDB oracle wherever the computation is SQL-expressible (shared
+  * hash functions like xxhash64 are not — those are rows-only plus
+  * scalatest cross-checks).
   */
 object Ext {
-  val queries: Seq[Q] = Seq()
+
+  private val jaccardOracle = """WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+      unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+      FROM toks),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db)
+    SELECT da AS doc_a, db AS doc_b,
+      CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) AS jaccard
+    FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+    WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5
+    ORDER BY doc_a, doc_b"""
+
+  /** Exact dedup with deterministic survivor choice. */
+  val xDedupExact = Q(
+    "x_dedup_exact",
+    (s, dir) => Dedup.exact(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("survivor_id")),
+    Some("""SELECT text, min(doc_id) AS survivor_id, COUNT(*) AS n_copies
+      FROM documents GROUP BY text ORDER BY survivor_id"""))
+
+  /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
+  val xDedupNgram = Q(
+    "x_dedup_ngram_jaccard",
+    (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 3, threshold = 0.5).orderBy(col("doc_a"), col("doc_b")),
+    Some(jaccardOracle),
+    bench = true)
+
+  /** MinHash+LSH banding with exact-Jaccard verification: the oracle is
+    * the exhaustive exact computation — LSH must find every true pair
+    * (detection probability at j≥0.98 with 128 hashes / 32 bands is
+    * 1 − 5e-8; the verify join removes all false positives).
+    */
+  val xDedupMinhash = Q(
+    "x_dedup_minhash_lsh",
+    (s, dir) => Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+      k = 3, threshold = 0.5).orderBy(col("doc_a"), col("doc_b")),
+    Some(jaccardOracle),
+    bench = true)
+
+  /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
+    * xxhash64 isn't reproducible in DuckDB SQL → rows-only here;
+    * cross-checked against the Jaccard pairs in ExtSpec.
+    */
+  val xDedupSimhash = Q(
+    "x_dedup_simhash",
+    (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
+      hammingMax = 3).orderBy(col("doc_a"), col("doc_b")),
+    None)
+
+  /** Embedding-cosine near-dup pairs, exact all-pairs baseline. */
+  val xDedupEmbedding = Q(
+    "x_dedup_embedding",
+    (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b")),
+    Some("""WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    ORDER BY id_a, id_b"""))
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  val xAnnTopk = Q(
+    "x_ann_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH n AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+        list_dot_product(q.v, n.v) /
+        (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))) AS c
+      FROM n q JOIN n ON n.vec_id != q.vec_id WHERE q.vec_id < 10),
+    r AS (SELECT qid, nid,
+        CAST(row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rank
+      FROM s)
+    SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
+    bench = true)
+
+  /** IVF-bucketed ANN — approximate by construction → rows-only; recall
+    * vs brute force asserted in ExtSpec.
+    */
+  val xAnnIvf = Q(
+    "x_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
+  /** Per-document quality metrics. */
+  val xTextQuality = Q(
+    "x_text_quality",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_m"),
+      Text.wordCount(col("text")).as("n_words"),
+      Text.punctCount(col("text")).as("n_punct"),
+      (Text.stopwordCount(col("text")).cast("double") / Text.wordCount(col("text")))
+        .as("stopword_ratio"),
+      Text.meanWordLen(col("text")).as("mean_word_len"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(length(text) AS INTEGER) AS n_chars_m,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+      CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INTEGER) AS n_punct,
+      CAST(len(list_filter(string_split(text, ' '),
+        t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS stopword_ratio,
+      CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS DOUBLE)
+        / len(string_split(text, ' ')) AS mean_word_len
+      FROM documents ORDER BY doc_id"""),
+    bench = true)
+
+  /** Marker-word language-ID heuristic (deterministic tie-break). */
+  val xTextLangid = Q(
+    "x_text_langid",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), Text.langId(col("text")).as("pred_lang"))
+      .orderBy(col("doc_id")),
+    Some("""WITH sc AS (SELECT doc_id,
+      len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+      len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+      len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+      len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+      len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+      FROM documents)
+    SELECT doc_id, CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+      WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+      ELSE 'es' END AS pred_lang
+    FROM sc ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + BPE-ish lexer tokens. */
+  val xTextTokens = Q(
+    "x_text_tokens",
+    (s, dir) => t(s, dir, "documents").select(
+      col("doc_id"),
+      Text.wordCount(col("text")).as("n_ws_tokens"),
+      Text.lexTokenCount(col("text")).as("n_lex_tokens"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_lex_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** Rolling-hash document fingerprint (order-sensitive). */
+  val xTextFingerprint = Q(
+    "x_text_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+        (a, x) -> (a*1000003 + x) % 2147483647) AS fp
+      FROM documents ORDER BY doc_id"""))
+
+  /** Multimodal metadata: binary payload length + content hash. */
+  val xMultimodalMeta = Q(
+    "x_multimodal_meta",
+    (s, dir) => Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bytes"), col("sha256"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, CAST(strlen(text) AS INTEGER) AS n_bytes,
+      sha256(text) AS sha256
+      FROM documents ORDER BY doc_id"""))
+
+  /** Stubbed media decode over binary payloads — rows-only (the decode
+    * is a deterministic fake; the Spark plumbing is the product).
+    */
+  val xMultimodalDecode = Q(
+    "x_multimodal_decode",
+    (s, dir) => Multimodal.decode(
+      Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+      .orderBy(col("id")),
+    None)
+
+  val queries: Seq[Q] = Seq(
+    xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
+    xAnnTopk, xAnnIvf, xTextQuality, xTextLangid, xTextTokens,
+    xTextFingerprint, xMultimodalMeta, xMultimodalDecode)
 }
