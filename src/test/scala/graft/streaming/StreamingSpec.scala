@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** SURVEY.md §2.9: streaming == batch for the shared window transform;
+  * inbox ingest with dead-lettering (FIXTURES.md B8).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def eventsDf = {
+    // rebuild a micros-ts copy of events (source table is ns-typed
+    // parquet, which the streaming parquet source can't read either)
+    graft.queries.H.t(spark, "/root/testdata/sf0.001", "events")
+  }
+
+  test("streaming tumbling windows equal the batch result") {
+    val dir = Files.createTempDirectory("evstream")
+    val src = dir.resolve("src").toString
+    eventsDf.write.parquet(src)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val agg = EventStream.tumblingCountsStream(stream, "1 hour", "10 minutes")
+
+    val q = agg.writeStream
+      .format("memory").queryName("tumbling_test")
+      .outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM tumbling_test")
+    val batch = EventStream.tumblingCounts(eventsDf, "1 hour")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("inbox drain: valid items ingested, invalid dead-lettered") {
+    val dir = Files.createTempDirectory("inbox")
+    val inbox = dir.resolve("inbox"); Files.createDirectories(inbox)
+    val objects = dir.resolve("objects"); Files.createDirectories(objects)
+    val datasets = dir.resolve("datasets").toString
+    val dead = dir.resolve("dead").toString
+
+    Files.writeString(objects.resolve("sales.csv"),
+      "id,amount\n1,10\n2,20\n3,30\n")
+    Files.writeString(inbox.resolve("batch1.json"),
+      """{"object_name": "sales.csv", "target_dataset_id": "ds1"}
+        |{"object_name": "missing.csv", "target_dataset_id": "ds1"}
+        |{"object_name": "sales.csv"}
+        |this is not json
+        |""".stripMargin)
+
+    val q = IngestStream.start(spark, inbox.toString, objects.toString,
+      datasets, dead, dir.resolve("ckpt").toString, drainOnce = true)
+    q.awaitTermination(120000)
+
+    val out = spark.read.parquet(s"$datasets/ds1/sales")
+    assert(out.count() == 3)
+    assert(out.columns.toSeq == Seq("id", "amount"))
+
+    val dl = spark.read.json(dead)
+    assert(dl.count() == 2) // missing-field + malformed; FileNotFound acked
+    val reasons = dl.select("reason").collect().map(_.getString(0)).toSet
+    assert(reasons == Set("malformed json", "missing field"))
+  }
+
+  test("checkpoint prevents reprocessing on restart") {
+    val dir = Files.createTempDirectory("inbox2")
+    val inbox = dir.resolve("inbox"); Files.createDirectories(inbox)
+    val objects = dir.resolve("objects"); Files.createDirectories(objects)
+    val datasets = dir.resolve("datasets").toString
+    val dead = dir.resolve("dead").toString
+    val ckpt = dir.resolve("ckpt").toString
+
+    Files.writeString(objects.resolve("t.csv"), "k,v\n1,a\n2,b\n3,c\n")
+    Files.writeString(inbox.resolve("b1.json"),
+      """{"object_name": "t.csv", "target_dataset_id": "ds1"}""" + "\n")
+
+    val q1 = IngestStream.start(spark, inbox.toString, objects.toString,
+      datasets, dead, ckpt, drainOnce = true)
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(s"$datasets/ds1/t").count() == 3)
+
+    // restart with same checkpoint: the processed file must NOT re-run
+    // (WRITE_APPEND would double the rows if it did)
+    val q2 = IngestStream.start(spark, inbox.toString, objects.toString,
+      datasets, dead, ckpt, drainOnce = true)
+    q2.awaitTermination(120000)
+    assert(spark.read.parquet(s"$datasets/ds1/t").count() == 3)
+  }
+}
