@@ -93,17 +93,25 @@ object Dedup {
     val idx = shingleIndex(docs, textCol, idCol, k)
       .withColumn("x", pmod(xxhash64(col("s")), lit(p)))
 
-    // one aggregation: 128 min-hash columns per doc
+    // ONE aggregation computes the 128 min-hash columns AND the per-doc
+    // distinct-shingle set (needed for candidate verification) — the
+    // exploded index is scanned once, not once per band.
     val minCols = ab.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"mh$i")
-    }
+    } :+ collect_set(col("s")).as("ss")
     val sigs = idx.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+      .cache() // consumed by band explode AND by both sides of verify
 
-    // band buckets: hash the band's slice of the signature
-    val bandEntries = (0 until bands).map { bIdx =>
+    // band buckets in one projection: explode an array of
+    // (band, bucket) structs — NOT one union branch per band, which
+    // would recompute the signature aggregation `bands` times.
+    val bandStructs = (0 until bands).map { bIdx =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
-      sigs.select(col("id"), lit(bIdx).as("band"), xxhash64(slice: _*).as("bucket"))
-    }.reduce(_ unionByName _)
+      struct(lit(bIdx).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val bandEntries = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
     val candidates = bandEntries.as("a")
       .join(bandEntries.as("b"),
@@ -112,9 +120,16 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // exact verification of candidates only
-    val exactPairs = ngramJaccardPairs(docs, textCol, idCol, k, threshold)
-    candidates.join(exactPairs, Seq("doc_a", "doc_b"))
+    // exact Jaccard on CANDIDATES ONLY (the whole point of LSH): two
+    // joins against the cached shingle sets, array intersection per pair
+    val sets = sigs.select(col("id"), col("ss"), size(col("ss")).as("n"))
+    candidates
+      .join(sets.select(col("id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), "doc_a")
+      .join(sets.select(col("id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), "doc_b")
+      .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
+      .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 

@@ -296,8 +296,24 @@ object Relational {
       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
       ORDER BY o_custkey"""))
 
+  /** HyperLogLog++ sketch aggregation: approx_count_distinct is the
+    * 100 TB path for cardinality (fixed-size sketch, map-side mergeable)
+    * where COUNT(DISTINCT) forces an Expand+double-aggregate. Sketch
+    * values are engine-specific → rows-only (exact counterpart is
+    * oracle-checked in q13).
+    */
+  val q29ApproxDistinct = Q(
+    "q29_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_suppkey")).as("approx_supp"),
+          approx_count_distinct(col("l_partkey")).as("approx_part"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   val queries: Seq[Q] = Seq(
     q1PricingSummary, q2TopkOrders, q3ShippingPriority, q4SemiJoin,
     q5LocalSupplierVolume, q6RevenueForecast, q7AntiJoin, q13DistinctAgg,
-    q14SetOps, q19Having, q20RangeJoin, q21ScalarSubquery)
+    q14SetOps, q19Having, q20RangeJoin, q21ScalarSubquery, q29ApproxDistinct)
 }

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Physical-plan quality gates: these assert the plans we WANT, not
+  * just plans that produce correct rows — pushdown, pruning, broadcast
+  * selection, partial aggregation (the 100 TB checklist).
+  */
+class PlanSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q6 pushes filters and prunes columns at the parquet scan") {
+    val p = plan("q6_revenue_forecast")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      s"no pushed filters in:\n$p")
+    // only the needed columns are read
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q3 broadcasts the filtered dimension") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q5 broadcasts nation/region") {
+    val p = plan("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("q1 uses partial (map-side) aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("q4 semi join stays a semi join (no row explosion)") {
+    val p = plan("q4_semi_join")
+    assert(p.contains("LeftSemi"), s"semi join lost:\n$p")
+  }
+
+  test("q7 anti join stays an anti join") {
+    val p = plan("q7_anti_join")
+    assert(p.contains("LeftAnti"), s"anti join lost:\n$p")
+  }
+
+  test("q2 top-k is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q2_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for top-k:\n$p")
+  }
+
+  test("q20 range join broadcasts the band table") {
+    val p = plan("q20_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"band table not broadcast:\n$p")
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    // AQE prints codegen spans only in the FINAL plan — execute THIS
+    // DataFrame's own queryExecution (a write would plan separately)
+    val df = Registry.byName("q1_pricing_summary").run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    // toString renders codegen spans as "*(n) Operator"
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"no codegen spans:\n$p")
+  }
+}
