@@ -35,7 +35,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators may cache intermediates (e.g. LSH signatures); drop
+      // them so each query is measured cold and GC pressure doesn't
+      // bleed into the next measurement
+      spark.catalog.clearCache()
+      dt
     }
 
     exec(headline.head.name) // warmup, not recorded

@@ -118,5 +118,47 @@ object Functions {
       FROM orders)
       GROUP BY size_class, status_or_open ORDER BY size_class, status_or_open"""))
 
-  val queries: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q17Json, q23Conditional)
+  /** Generator/UDTF surface: explode a split array to rows — Spark's
+    * Generate operator (the lateral-view path), word frequencies over
+    * documents.
+    */
+  val q30Explode = Q(
+    "q30_explode",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("word")),
+    Some("""SELECT word, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      GROUP BY word ORDER BY word"""))
+
+  /** Bag semantics set ops: UNION ALL / INTERSECT ALL / EXCEPT ALL. */
+  val q31SetopsAll = Q(
+    "q31_setops_all",
+    (s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val unionAll = cn.unionAll(sn).withColumn("op", lit("union_all"))
+      val interAll = cn.intersectAll(sn).withColumn("op", lit("intersect_all"))
+      val exceptAll = cn.exceptAll(sn).withColumn("op", lit("except_all"))
+      unionAll.unionByName(interAll).unionByName(exceptAll)
+        .groupBy(col("op"), col("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("op"), col("nationkey"))
+    },
+    Some("""SELECT op, nationkey, COUNT(*) AS n FROM (
+      SELECT 'union_all' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'intersect_all' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier)
+      UNION ALL
+      SELECT 'except_all' AS op, nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
+      ) GROUP BY op, nationkey ORDER BY op, nationkey"""))
+
+  val queries: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q17Json, q23Conditional,
+    q30Explode, q31SetopsAll)
 }
