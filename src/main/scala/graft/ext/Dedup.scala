@@ -70,6 +70,32 @@ object Dedup {
     }
   }
 
+  /** Exact-Jaccard verification of candidate pairs: intersection
+    * counts from an inverted-index join RESTRICTED to candidate docs
+    * (shipping whole shingle-set arrays to each pair profiled 2.4×
+    * slower), then the Jaccard filter; per-doc counts join back as a
+    * broadcast. Cost scales with candidates, not with the corpus.
+    */
+  private def verifyJaccard(idx: DataFrame, candidates: DataFrame,
+      threshold: Double): DataFrame = {
+    val candIds = candidates.select(col("doc_a").as("id"))
+      .union(candidates.select(col("doc_b").as("id"))).distinct()
+    val idxC = idx.join(candIds, Seq("id"), "left_semi")
+    val inter = idxC.as("a")
+      .join(idxC.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("ix"))
+      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
+    val counts = idx.groupBy("id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(counts.select(col("id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(counts.select(col("id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("jaccard",
+        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Exact n-gram Jaccard pairs with AllPairs-style prefix filtering
     * (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07
     * — public literature): shingles are globally ordered rarest-first;
@@ -108,26 +134,7 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // Exact verification: intersection counts from an inverted-index
-    // join RESTRICTED to candidate docs (shipping whole shingle sets to
-    // each pair profiled 2.4× slower than re-joining count rows), then
-    // the Jaccard filter. Counts join is a broadcast of O(docs) rows.
-    val candIds = candidates.select(col("doc_a").as("id"))
-      .union(candidates.select(col("doc_b").as("id"))).distinct()
-    val idxC = idx.join(candIds, Seq("id"), "left_semi")
-    val inter = idxC.as("a")
-      .join(idxC.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("ix"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
-    val counts = idx.groupBy("id").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(counts.select(col("id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(counts.select(col("id").as("doc_b"), col("n").as("nb"))), "doc_b")
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(idx, candidates, threshold)
   }
 
   /** MinHash+LSH near-dup pairs: per-doc signature of `numHashes`
@@ -149,28 +156,41 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
 
-    val idx = shingleIndex(docs, textCol, idCol, k)
-      .withColumn("x", pmod(xxhash64(col("s")), lit(p)))
+    // cached: consumed by the signature pass, the verification
+    // intersection join, and the per-doc counts
+    val idx = shingleIndex(docs, textCol, idCol, k).cache()
+    val hashed = idx.withColumn("x", pmod(xxhash64(col("s")), lit(p)))
 
-    // ONE aggregation computes the 128 min-hash columns AND the per-doc
-    // distinct-shingle set (needed for candidate verification) — the
-    // exploded index is scanned once, not once per band.
-    val minCols = ab.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"mh$i")
-    } :+ collect_set(col("s")).as("ss")
-    val sigs = idx.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
-      .cache() // consumed by band explode AND by both sides of verify
-
-    // band buckets in one projection: explode an array of
-    // (band, bucket) structs — NOT one union branch per band, which
-    // would recompute the signature aggregation `bands` times.
-    val bandStructs = (0 until bands).map { bIdx =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh${bIdx * rowsPerBand + r}"))
-      struct(lit(bIdx).as("band"), xxhash64(slice: _*).as("bucket"))
-    }
-    val bandEntries = sigs
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Signatures + band buckets in ONE compiled flatMapGroups: a
+    // 128-expression Catalyst aggregate blows past codegen method
+    // limits and falls back to per-row interpretation (measured: wildly
+    // variable 5–20s); the tight closure loop is deterministic and
+    // fast. Shuffle shape is identical (one exchange on doc id).
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    val aArr = ab.map(_._1)
+    val bArr = ab.map(_._2)
+    val nh = numHashes
+    val rpb = rowsPerBand
+    val bandEntries = hashed.select(col("id"), col("x")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
+        val sig = Array.fill(nh)(Long.MaxValue)
+        it.foreach { case (_, x) =>
+          var i = 0
+          while (i < nh) {
+            val v = (x * aArr(i) + bArr(i)) % p // x < p, a < 2^31 ⇒ no overflow
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+        }
+        (0 until bands).iterator.map { b =>
+          var h = 1125899906842597L
+          var r = 0
+          while (r < rpb) { h = h * 31 + sig(b * rpb + r); r += 1 }
+          (id, b, h)
+        }
+      }.toDF("id", "band", "bucket")
 
     val candidates = bandEntries.as("a")
       .join(bandEntries.as("b"),
@@ -179,17 +199,8 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // exact Jaccard on CANDIDATES ONLY (the whole point of LSH): two
-    // joins against the cached shingle sets, array intersection per pair
-    val sets = sigs.select(col("id"), col("ss"), size(col("ss")).as("n"))
-    candidates
-      .join(sets.select(col("id").as("doc_a"), col("ss").as("sa"), col("n").as("na")), "doc_a")
-      .join(sets.select(col("id").as("doc_b"), col("ss").as("sb"), col("n").as("nb")), "doc_b")
-      .withColumn("ix", size(array_intersect(col("sa"), col("sb"))))
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // exact Jaccard on CANDIDATES ONLY (the whole point of LSH)
+    verifyJaccard(idx, candidates, threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit signature from token-hash bit votes;
@@ -238,9 +249,8 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val e = emb.select(col(idCol).as("id"),
-      Similarity.toDoubleVec(col(vecCol)).as("v"),
-      Similarity.norm(Similarity.toDoubleVec(col(vecCol))).as("nrm"))
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.norm(col(vecCol)).as("nrm"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))

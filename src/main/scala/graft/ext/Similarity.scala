@@ -13,11 +13,21 @@ object Similarity {
   /** Promote float vector to double so products are engine-identical. */
   def toDoubleVec(v: Column): Column = transform(v, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Native codegen'd dot product (graft.plans.VecDot, registered by
+    * GraftExtensions): elements widened to double before multiply,
+    * accumulated in array order — bit-identical to [[dotHof]], without
+    * the per-element interpreted lambda or the intermediate array.
+    */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  /** Built-in HOF formulation, kept as the reference semantics for
+    * equivalence tests (and for sessions without GraftExtensions).
+    */
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(toDoubleVec(a), toDoubleVec(b), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Brute-force cosine top-k: queries broadcast against the full
     * collection, grouped top-k via row_number (one shuffle on query id,
@@ -25,11 +35,9 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val base = emb.select(col(idCol).as("nid"),
-      toDoubleVec(col(vecCol)).as("nv"))
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
-    val q = queries.select(col(idCol).as("qid"),
-      toDoubleVec(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val scored = base.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
@@ -50,7 +58,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val base = emb.select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("nv"))
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
     val centroids = base.orderBy(col("nid")).limit(nlist)
       .select(col("nid").as("cid"), col("nv").as("cv"), col("nn").as("cn"))
@@ -64,7 +72,7 @@ object Similarity {
       .select(col("nid"), col("nv"), col("nn"), col("cid").as("bucket"))
 
     // queries probe their nprobe nearest centroids
-    val q = queries.select(col(idCol).as("qid"), toDoubleVec(col(vecCol)).as("qv"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
     val probes = q.crossJoin(broadcast(centroids))
