@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Salting must never change results — only the shuffle layout. */
+class SkewSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("salted aggregation equals plain aggregation") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag").as("_key"))
+      .agg(sum(col("l_quantity").cast("decimal(10,2)")).cast("decimal(38,2)").as("s"),
+        count(lit(1)).as("n"))
+    val salted = Skew.saltedAgg(
+      li,
+      key = col("l_returnflag"),
+      saltSource = Seq(col("l_orderkey"), col("l_linenumber")),
+      buckets = 16,
+      partials = Seq(
+        sum(col("l_quantity").cast("decimal(10,2)")).as("ps"),
+        count(lit(1)).as("pn")),
+      combine = Seq(
+        sum(col("ps")).cast("decimal(38,2)").as("s"),
+        sum(col("pn")).cast("bigint").as("n")))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join equals plain join") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    val ord = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", "o_orderkey",
+      saltSource = Seq(col("l_linenumber")), buckets = 8)
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt is deterministic and bounded") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val s1 = li.select(Skew.salt(16, col("l_orderkey")).as("s"))
+    assert(s1.agg(min("s"), max("s")).head().toSeq.asInstanceOf[Seq[Int]]
+      .forall(v => v >= 0 && v < 16))
+    val s2 = li.select(Skew.salt(16, col("l_orderkey")).as("s"))
+    assert(s1.exceptAll(s2).isEmpty)
+  }
+}
