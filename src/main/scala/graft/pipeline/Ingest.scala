@@ -70,12 +70,14 @@ object Ingest {
             .unionByName(asStr.toDF(df.columns.indices.map(_.toString): _*)),
           df.columns.length)
         Map("_default_" -> g)
-      case "xls" | "xlsx" =>
-        // No POI in this environment; the production adapter would read
-        // sheets driver-side into grids (SURVEY.md §2.1). Explicit error
-        // beats silent misbehavior.
+      case "xlsx" =>
+        // driver-side workbook read into the grid IR (etl.py:242–271)
+        graft.io.XlsxReader.readWorkbook(spark, objectPath)
+      case "xls" =>
+        // binary BIFF needs a dedicated parser (the reference needs xlrd
+        // for it too, etl.py:564); explicit error beats misbehavior
         throw new UnsupportedOperationException(
-          "Excel ingestion requires a workbook adapter not available offline")
+          ".xls (BIFF) is not supported; convert to .xlsx")
       case other =>
         throw new IllegalArgumentException(s"Unsupported extension: .$other") // etl.py:526–529
     }

@@ -159,6 +159,52 @@ object Functions {
         SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey FROM supplier)
       ) GROUP BY op, nationkey ORDER BY op, nationkey"""))
 
+  /** Math + null-semantics battery: per-row IEEE arithmetic is
+    * deterministic across engines; null-safe equality maps to DuckDB's
+    * IS NOT DISTINCT FROM.
+    */
+  val q32MathNulls = Q(
+    "q32_math_nulls",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") <= 2)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          abs(col("l_quantity") - 25).as("abs_dev"),
+          // round to INTEGER only: Spark rounds the double's shortest
+          // string (HALF_UP) while DuckDB rounds the exact binary value
+          // — they diverge at fractional half-boundaries, but .50 is
+          // exactly representable so integer rounding agrees
+          round(col("l_extendedprice")).as("price_r"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          pow(col("l_discount"), 2).as("disc_sq"),
+          exp(col("l_tax")).as("exp_tax"),
+          log1p(col("l_quantity")).as("ln1p_qty"),
+          signum(col("l_quantity") - 25).as("sign_dev"),
+          greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
+          least(col("l_quantity"), col("l_tax") * 100).as("l"),
+          floor(col("l_extendedprice")).cast("bigint").as("floor_price"),
+          ceil(col("l_extendedprice")).cast("bigint").as("ceil_price"),
+          (col("l_linenumber") % 2 === 0).as("is_even"),
+          nullif(col("l_returnflag"), lit("N")).eqNullSafe(lit("A")).as("nsafe_a"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      abs(l_quantity - 25) AS abs_dev,
+      round(l_extendedprice) AS price_r,
+      sqrt(l_quantity) AS sqrt_qty,
+      pow(l_discount, 2) AS disc_sq,
+      exp(l_tax) AS exp_tax,
+      ln(1 + l_quantity) AS ln1p_qty,
+      CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_dev,
+      greatest(l_quantity, l_discount * 100) AS g,
+      least(l_quantity, l_tax * 100) AS l,
+      CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+      (l_linenumber % 2 = 0) AS is_even,
+      nullif(l_returnflag, 'N') IS NOT DISTINCT FROM 'A' AS nsafe_a
+      FROM lineitem WHERE l_linenumber <= 2
+      ORDER BY l_orderkey, l_linenumber"""))
+
   val queries: Seq[Q] = Seq(q15StringFuncs, q16DateFuncs, q17Json, q23Conditional,
-    q30Explode, q31SetopsAll)
+    q30Explode, q31SetopsAll, q32MathNulls)
 }
