@@ -47,4 +47,38 @@ object EventStream {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("ws"),
         col("session_window.end").as("we"), col("user_id"), col("n"))
+
+  /** Custom state-store logic (flatMapGroupsWithState): per-user
+    * running stats that built-in aggregations can't express — the
+    * event count, the exact total value, and the longest gap ever seen
+    * between that user's consecutive events (requires remembering the
+    * previous event time across micro-batches). Update mode emits one
+    * refreshed row per user per batch.
+    */
+  final case class UserState(n: Long, totalCents: Long, lastTsMicros: Long, maxGapMicros: Long)
+  final case class UserStats(user_id: Long, n: Long, total_value: Double, max_gap_seconds: Double)
+
+  def userRunningStats(events: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : org.apache.spark.sql.Dataset[UserStats] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        round(col("value") * 100).cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[UserState]) =>
+          var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, 0L))
+          // micro-batch rows are not time-ordered: sort this batch's
+          // slice (bounded by batch size) before folding into state
+          it.toSeq.sortBy(_._2).foreach { case (_, ts, cents) =>
+            val gap = if (s.lastTsMicros == Long.MinValue) 0L else ts - s.lastTsMicros
+            s = UserState(s.n + 1, s.totalCents + cents, ts, math.max(s.maxGapMicros, gap))
+          }
+          state.update(s)
+          Iterator.single(UserStats(user, s.n, s.totalCents / 100.0, s.maxGapMicros / 1e6))
+      }
+  }
 }

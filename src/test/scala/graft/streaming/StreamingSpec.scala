@@ -40,6 +40,39 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("flatMapGroupsWithState accumulates per-user state across batches") {
+    val dir = Files.createTempDirectory("state")
+    val src = dir.resolve("src").toString
+    // two batches: split events by parity of event_id into two files
+    val ev = eventsDf
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$src/b0")
+    ev.filter(col("event_id") % 2 === 1).write.parquet(s"$src/b1")
+
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/*")
+    val q = EventStream.userRunningStats(stream.toDF())
+      .writeStream.format("memory").queryName("user_state_test")
+      .outputMode("update")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // last update per user must equal the batch-computed totals
+    val got = spark.sql(
+      """SELECT user_id, max_by(n, n) AS n, max_by(total_value, n) AS total
+        |FROM user_state_test GROUP BY user_id""".stripMargin)
+    val expected = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100).cast("long")) / 100.0).as("total"))
+    assert(got.count() == expected.count())
+    val mism = got.as("g").join(expected.as("e"), "user_id")
+      .filter(col("g.n") =!= col("e.n") || col("g.total") =!= col("e.total"))
+    assert(mism.isEmpty, s"state totals mismatch: ${mism.head(3).mkString}")
+  }
+
   test("inbox drain: valid items ingested, invalid dead-lettered") {
     val dir = Files.createTempDirectory("inbox")
     val inbox = dir.resolve("inbox"); Files.createDirectories(inbox)
