@@ -217,11 +217,13 @@ object TableDetect {
         .groupBy($"x").agg(min($"label").as("nlabel"))
       val stepped = labels.join(viaNeighbors, $"run" === $"x", "left")
         .select($"run", least(coalesce($"nlabel", $"label"), $"label").as("label"))
-      // pointer jump: label ← label's label
+      // pointer jump: label ← label's label; localCheckpoint truncates
+      // the lineage so each iteration replans a constant-size DAG
+      // instead of an ever-growing one
       val jumped = stepped.as("s")
         .join(stepped.select($"run".as("pr"), $"label".as("plabel")), $"s.label" === $"pr", "left")
         .select($"run", least(coalesce($"plabel", $"s.label"), $"s.label").as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = jumped.as("n").join(labels.as("o"), "run")
         .where($"n.label" =!= $"o.label").count()
       labels = jumped
@@ -232,5 +234,103 @@ object TableDetect {
       .select($"r", $"c1", $"c2", $"label")
       .withColumn("c", explode(sequence($"c1", $"c2")))
       .select($"r".as("row"), $"c".as("col"), $"label".as("component"))
+  }
+
+  /** Candidate bounding box + the per-block statistics the scorer needs,
+    * as produced by the fully-distributed tier.
+    */
+  final case class Candidate(
+      r1: Int, c1: Int, r2: Int, c2: Int,
+      points: Long,
+      firstRowNonNull: Long, firstRowDistinct: Long, firstRowNumeric: Long,
+      firstRowLen: Long)
+
+  /** Fully-distributed detection: CC labels → per-component bounding
+    * boxes and content counts → size/density filters → per-block
+    * first-row statistics — every step a DataFrame aggregation; only the
+    * O(candidates) score/greedy-select step runs on the driver (same
+    * arithmetic as the driver tier, so both tiers select identical
+    * tables). Returns coords + scores; callers slice the grid lazily.
+    */
+  def findTablesDistributedCoords(
+      grid: Grid,
+      minRows: Int = MinTableRows,
+      minCols: Int = MinTableCols,
+      densityThreshold: Double = DensityThreshold,
+      headerConfidence: Double = HeaderConfidence): Seq[(String, Int, Int, Int, Int, Double)] = {
+    val spark = grid.df.sparkSession
+    import spark.implicits._
+
+    val cc = connectedComponentsDistributed(grid).cache()
+
+    // bounding boxes + content counts, then size + density filters
+    val boxes = cc.groupBy($"component")
+      .agg(min($"row").as("r1"), min($"col").as("c1"),
+        max($"row").as("r2"), max($"col").as("c2"),
+        count(lit(1)).as("points"))
+      .filter($"r2" - $"r1" + 1 >= minRows && $"c2" - $"c1" + 1 >= minCols)
+      .filter($"points".cast("double") /
+        (($"r2" - $"r1" + 1) * ($"c2" - $"c1" + 1)) >= densityThreshold)
+
+    // first-row stats per surviving block: join the block's top row back
+    // to the raw cells (needs raw values, incl. null-token cells, which
+    // the reference counts as distinct strings)
+    val cellCols = grid.dataCols
+    val rawCells = grid.df
+      .select(col("_row").as("row"),
+        posexplode(array(cellCols.map(col): _*)).as(Seq("col", "v")))
+      .select($"row", $"col".cast("long").as("col"), $"v")
+    val firstRows = boxes.join(rawCells,
+        $"row" === $"r1" && $"col".between($"c1", $"c2"))
+      .groupBy($"component", $"r1", $"c1", $"r2", $"c2", $"points")
+      .agg(
+        count(when(Nulls.isContent($"v"), 1)).as("frNonNull"),
+        countDistinct(coalesce($"v", lit("nan"))).as("frDistinct"),
+        count(when($"v".cast("double").isNotNull, 1)).as("frNumeric"),
+        count(lit(1)).as("frLen"))
+
+    val candidates = firstRows.orderBy($"component").collect().map { r =>
+      Candidate(r.getAs[Long]("r1").toInt, r.getAs[Long]("c1").toInt,
+        r.getAs[Long]("r2").toInt, r.getAs[Long]("c2").toInt,
+        r.getAs[Long]("points"),
+        r.getAs[Long]("frNonNull"), r.getAs[Long]("frDistinct"),
+        r.getAs[Long]("frNumeric"), r.getAs[Long]("frLen"))
+    }
+    cc.unpersist()
+
+    // driver-side: exact reference scoring + greedy non-overlap (same
+    // arithmetic as scoreCandidate, from aggregated stats)
+    val minDataRows = if (minRows > 1) math.max(1, minRows - 1) else 1
+    val scored = candidates.toSeq.flatMap { cd =>
+      val rows = cd.r2 - cd.r1 + 1
+      val cols = cd.c2 - cd.c1 + 1
+      val density = cd.points.toDouble / (rows.toLong * cols)
+      if (density < densityThreshold / 2) None
+      else {
+        var headerScore = 0.0
+        var plausible = false
+        if (cd.firstRowNonNull > 0 &&
+          cd.firstRowDistinct.toDouble / cd.firstRowNonNull >= headerConfidence * 0.8 &&
+          cd.firstRowDistinct > 0) {
+          if (cd.firstRowNumeric.toDouble / cd.firstRowNonNull < 0.4) { headerScore = 0.4; plausible = true }
+          else if (cd.firstRowDistinct == cd.firstRowLen) { headerScore = 0.3; plausible = true }
+          else headerScore = 0.1
+        }
+        val dataRows = if (plausible) rows - 1 else rows
+        if (dataRows < minDataRows) None
+        else Some((cd, density * 0.5 + headerScore * 0.3 + math.log1p(cd.points.toDouble) * 0.01))
+      }
+    }.sortBy(-_._2)
+
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[(Candidate, Double)]
+    for ((cd, score) <- scored) {
+      val overlaps = accepted.exists { case (o, _) =>
+        cd.r1 <= o.r2 && cd.r2 >= o.r1 && cd.c1 <= o.c2 && cd.c2 >= o.c1
+      }
+      if (!overlaps) accepted += cd -> score
+    }
+    accepted.toSeq.zipWithIndex.map { case ((cd, score), i) =>
+      (s"table_${i + 1}", cd.r1, cd.c1, cd.r2, cd.c2, score)
+    }
   }
 }

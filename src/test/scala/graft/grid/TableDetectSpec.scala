@@ -68,6 +68,18 @@ class TableDetectSpec extends SparkSuite {
     assert(found.isEmpty)
   }
 
+  test("fully-distributed detection selects the same tables as the driver tier") {
+    val g = Grid.fromRows(spark, fixture)
+    val dist = TableDetect.findTablesDistributedCoords(g)
+    val drv = TableDetect.findTables(grid(fixture, 12))
+    assert(dist.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+      drv.map(d => (d.id, d.r1, d.c1, d.r2, d.c2)))
+    // scores agree to double precision
+    dist.zip(drv).foreach { case (t, d) =>
+      assert(math.abs(t._6 - d.score) < 1e-12, s"score drift for ${t._1}")
+    }
+  }
+
   test("distributed CC labels match driver-tier components") {
     val g = Grid.fromRows(spark, fixture)
     val dist = TableDetect.connectedComponentsDistributed(g)
