@@ -15,6 +15,7 @@ object Profile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -37,13 +38,18 @@ object Profile {
     val dfRank = time("dfRank") {
       val d = idx.groupBy("s").agg(count(lit(1)).as("df")).cache(); d.count(); d
     }
-    val prefix = time("position+prefix") {
-      val wDoc = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = time("position+prefix (flatMapGroups)") {
+      import spark.implicits._
       val p = idx.join(dfRank, "s")
-        .withColumn("pos", row_number().over(wDoc))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
-        .filter(col("pos") <= col("n") - ceil(lit(0.5) * col("n")) + 1)
-        .select(col("id"), col("s"), col("n")).cache()
+        .select(col("id").cast("long"), col("s"), col("df").cast("long"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroups { (id: Long, it: Iterator[(Long, String, Long)]) =>
+          val arr = it.toArray.sortBy(x => (x._3, x._2))
+          val n = arr.length
+          val keep = n - math.ceil(0.5 * n).toInt + 1
+          arr.iterator.take(keep).map(x => (id, x._2, n))
+        }.toDF("id", "s", "n").cache()
       p.count(); p
     }
     val cand = time("candidate join") {

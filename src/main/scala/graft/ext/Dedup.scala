@@ -70,30 +70,18 @@ object Dedup {
     }
   }
 
-  /** Exact-Jaccard verification of candidate pairs: intersection
-    * counts from an inverted-index join RESTRICTED to candidate docs
-    * (shipping whole shingle-set arrays to each pair profiled 2.4×
-    * slower), then the Jaccard filter; per-doc counts join back as a
-    * broadcast. Cost scales with candidates, not with the corpus.
+  /** Sorted-array intersection count (merge walk — both arrays are
+    * lexicographically sorted by construction).
     */
-  private def verifyJaccard(idx: DataFrame, candidates: DataFrame,
-      threshold: Double): DataFrame = {
-    val candIds = candidates.select(col("doc_a").as("id"))
-      .union(candidates.select(col("doc_b").as("id"))).distinct()
-    val idxC = idx.join(candIds, Seq("id"), "left_semi")
-    val inter = idxC.as("a")
-      .join(idxC.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("ix"))
-      .join(candidates, Seq("doc_a", "doc_b"), "left_semi")
-    val counts = idx.groupBy("id").agg(count(lit(1)).as("n"))
-    inter
-      .join(broadcast(counts.select(col("id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(counts.select(col("id").as("doc_b"), col("n").as("nb"))), "doc_b")
-      .withColumn("jaccard",
-        col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  private def intersectSorted(a: Array[String], b: Array[String]): Int = {
+    var i = 0; var j = 0; var n = 0
+    while (i < a.length && j < b.length) {
+      val c = a(i).compareTo(b(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** Exact n-gram Jaccard pairs with AllPairs-style prefix filtering
@@ -109,32 +97,65 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // cached: consumed by the df-rank aggregate, the positioned join,
-    // and the verification sets — without it the shingle explode (string
-    // building over every k-gram) runs three times
-    val idx = shingleIndex(docs, textCol, idCol, k).cache()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idx = shingleIndex(docs, textCol, idCol, k)
 
-    // global rarity order: (document frequency, shingle) ascending
+    // Per-doc profile in ONE compiled pass over the exchange on doc id:
+    // shingles sorted rarest-first (document frequency, then shingle) to
+    // cut the AllPairs prefix, plus the full set re-sorted
+    // lexicographically for merge-intersection. A doc's shingle set is
+    // O(doc length) — in-memory per group at any corpus size. (The
+    // earlier shape — two Window ops + a prefix×prefix join + an
+    // inverted-index verify — was 10+ shuffle stages; per-stage overhead
+    // dominated the whole pipeline at bench scale.)
     val dfRank = idx.groupBy("s").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("df"), col("s"))
-    val positioned = idx.join(dfRank, "s")
-      .withColumn("pos", row_number().over(wDoc))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("id"))))
+    val profiles = idx.join(dfRank, "s")
+      .select(col("id").cast("long"), col("s"), col("df").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (id: Long, it: Iterator[(Long, String, Long)]) =>
+        val arr = it.toArray.sortBy(x => (x._3, x._2))
+        val n = arr.length
+        val keep = n - math.ceil(threshold * n).toInt + 1
+        val prefix = arr.iterator.take(keep).map(_._2).toArray
+        val full = arr.map(_._2)
+        java.util.Arrays.sort(full, Ordering.String)
+        (id, n, full, prefix)
+      }
 
-    val prefix = positioned
-      .filter(col("pos") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
-      .select(col("id"), col("s"), col("n"))
-
-    val candidates = prefix.as("a")
-      .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("b.n") >= lit(threshold) * col("a.n") &&
-          col("a.n") >= lit(threshold) * col("b.n"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
-
-    verifyJaccard(idx, candidates, threshold)
+    // Candidate generation AND exact verification in one grouped pass:
+    // docs sharing a prefix token meet in that token's group (Jaccard ≥ t
+    // plus the size filter forces a shared prefix token — Bayardo et al.
+    // WWW'07); each qualifying pair is verified inline by merge-
+    // intersection. Group width is bounded: prefix tokens are globally
+    // the RAREST tokens of each doc, so hot shingles never form groups.
+    profiles
+      .flatMap { case (id, n, full, prefix) =>
+        prefix.iterator.map(s => (s, id, n, full))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it: Iterator[(String, Long, Int, Array[String])]) =>
+        val ds = it.toArray.sortBy(_._2)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        var i = 0
+        while (i < ds.length) {
+          var j = i + 1
+          while (j < ds.length) {
+            val na = ds(i)._3; val nb = ds(j)._3
+            if (nb >= threshold * na && na >= threshold * nb) {
+              val ix = intersectSorted(ds(i)._4, ds(j)._4)
+              val jac = ix.toDouble / (na + nb - ix)
+              if (jac >= threshold) out += ((ds(i)._2, ds(j)._2, jac))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.result().iterator
+      }
+      .toDF("doc_a", "doc_b", "jaccard")
+      .distinct() // a pair may share several prefix tokens
   }
 
   /** MinHash+LSH near-dup pairs: per-doc signature of `numHashes`
@@ -156,27 +177,33 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
 
-    // cached: consumed by the signature pass, the verification
-    // intersection join, and the per-doc counts
-    val idx = shingleIndex(docs, textCol, idCol, k).cache()
-    val hashed = idx.withColumn("x", pmod(xxhash64(col("s")), lit(p)))
+    val idx = shingleIndex(docs, textCol, idCol, k)
 
-    // Signatures + band buckets in ONE compiled flatMapGroups: a
+    // Signatures, band buckets AND the sorted shingle array per doc in
+    // ONE compiled flatMapGroups over the exchange on doc id. (A
     // 128-expression Catalyst aggregate blows past codegen method
-    // limits and falls back to per-row interpretation (measured: wildly
-    // variable 5–20s); the tight closure loop is deterministic and
-    // fast. Shuffle shape is identical (one exchange on doc id).
+    // limits and falls back to per-row interpretation — measured wildly
+    // variable 5–20s; and keeping the arrays here lets verification be
+    // two candidate-sized joins instead of an inverted-index pipeline.)
+    // Shingle → [0,p) via the same xxhash64(seed 42) Catalyst uses.
     val spark2 = docs.sparkSession
     import spark2.implicits._
     val aArr = ab.map(_._1)
     val bArr = ab.map(_._2)
     val nh = numHashes
     val rpb = rowsPerBand
-    val bandEntries = hashed.select(col("id"), col("x")).as[(Long, Long)]
+    val nBands = bands
+    val profiles = idx.select(col("id").cast("long"), col("s"))
+      .as[(Long, String)]
       .groupByKey(_._1)
-      .flatMapGroups { (id: Long, it: Iterator[(Long, Long)]) =>
+      .mapGroups { (id: Long, it: Iterator[(Long, String)]) =>
+        val ss = it.map(_._2).toArray
         val sig = Array.fill(nh)(Long.MaxValue)
-        it.foreach { case (_, x) =>
+        ss.foreach { s =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          val h64 = org.apache.spark.sql.catalyst.expressions.XXH64
+            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          val x = java.lang.Math.floorMod(h64, p) // = pmod(xxhash64(s), p)
           var i = 0
           while (i < nh) {
             val v = (x * aArr(i) + bArr(i)) % p // x < p, a < 2^31 ⇒ no overflow
@@ -184,13 +211,20 @@ object Dedup {
             i += 1
           }
         }
-        (0 until bands).iterator.map { b =>
+        val buckets = Array.tabulate(nBands) { b =>
           var h = 1125899906842597L
           var r = 0
           while (r < rpb) { h = h * 31 + sig(b * rpb + r); r += 1 }
-          (id, b, h)
+          h
         }
-      }.toDF("id", "band", "bucket")
+        java.util.Arrays.sort(ss, Ordering.String)
+        (id, ss.length, ss, buckets)
+      }
+      .toDF("id", "n", "ss", "buckets")
+      .cache() // consumed by both band-join sides + both verify joins
+
+    val bandEntries = profiles
+      .select(col("id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
 
     val candidates = bandEntries.as("a")
       .join(bandEntries.as("b"),
@@ -199,8 +233,19 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // exact Jaccard on CANDIDATES ONLY (the whole point of LSH)
-    verifyJaccard(idx, candidates, threshold)
+    // exact Jaccard on CANDIDATES ONLY (the whole point of LSH): two
+    // joins ship each candidate doc's array once; the UDF runs per
+    // candidate pair, not per corpus row
+    val jac = udf { (sa: Seq[String], sb: Seq[String]) =>
+      val ix = intersectSorted(sa.toArray, sb.toArray)
+      ix.toDouble / (sa.length + sb.length - ix)
+    }
+    candidates
+      .join(profiles.select(col("id").as("doc_a"), col("ss").as("sa")), "doc_a")
+      .join(profiles.select(col("id").as("doc_b"), col("ss").as("sb")), "doc_b")
+      .withColumn("jaccard", jac(col("sa"), col("sb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature from token-hash bit votes;
