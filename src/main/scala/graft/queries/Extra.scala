@@ -1,0 +1,211 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.H._
+
+/** Relational query surface, part 4: ordered string aggregation, window
+  * distribution functions, correlated subqueries, unpivot/melt, array
+  * functions, regex extraction, interval arithmetic, arg-min/max
+  * aggregates, sampling (SURVEY.md §2.7 long tail).
+  *
+  * All shapes remain scale-clean: per-group aggregates shuffle once on
+  * their key; per-row function batteries are narrow + codegen'd.
+  */
+object Extra {
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG): collect_list has
+    * nondeterministic arrival order under parallelism, so the list is
+    * array_sort'ed before joining — same result on any partitioning.
+    */
+  val q33Listagg = Q(
+    "q33_listagg",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      COUNT(*) AS n
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
+  /** Window distribution functions: ntile, percent_rank, cume_dist,
+    * first_value, nth_value over a deterministic (unique-key) order.
+    */
+  val q34WindowDist = Q(
+    "q34_window_dist",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") <= 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first_value(col("o_orderkey")).over(w).as("top_order"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_order"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      ntile(4) OVER w AS quartile,
+      percent_rank() OVER w AS pr,
+      cume_dist() OVER w AS cd,
+      first_value(o_orderkey) OVER w AS top_order,
+      nth_value(o_orderkey, 2) OVER w AS second_order
+      FROM orders WHERE o_custkey <= 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Correlated scalar subquery (decorrelated by hand into a grouped
+    * aggregate + equi-join — exactly what Catalyst's decorrelation does;
+    * the per-nation average is tiny and broadcasts).
+    */
+  val q35Correlated = Q(
+    "q35_correlated",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val natAvg = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("nat_avg"))
+      cust.join(broadcast(natAvg), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("nat_avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+      WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      ORDER BY c_custkey"""))
+
+  /** Unpivot/melt: wide numeric columns to (key, metric, value) rows —
+    * Spark's native unpivot operator (no Generate, no shuffle).
+    */
+  val q36Unpivot = Q(
+    "q36_unpivot",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "metric", "value")
+        .orderBy(col("p_partkey"), col("metric")),
+    Some("""SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+      UNION ALL
+      SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
+      ORDER BY p_partkey, metric"""))
+
+  /** Array function battery over the embeddings table (floats are
+    * bit-compared — no arithmetic, only selection/reordering).
+    */
+  val q37ArrayFuncs = Q(
+    "q37_array_funcs",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast("bigint").as("dim"),
+          element_at(col("embedding"), 1).as("first_c"),
+          element_at(col("embedding"), -1).as("last_c"),
+          array_max(col("embedding")).as("max_c"),
+          array_min(col("embedding")).as("min_c"),
+          slice(col("embedding"), 1, 3).as("head3"),
+          sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+          array_position(col("embedding"), array_max(col("embedding")))
+            .cast("bigint").as("argmax1"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id,
+      len(embedding) AS dim,
+      embedding[1] AS first_c,
+      embedding[-1] AS last_c,
+      list_aggregate(embedding, 'max') AS max_c,
+      list_aggregate(embedding, 'min') AS min_c,
+      embedding[1:3] AS head3,
+      list_sort(embedding[1:4]) AS sorted4,
+      CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax1
+      FROM embeddings ORDER BY vec_id"""))
+
+  /** Regex extraction battery over documents. */
+  val q38Regex = Q(
+    "q38_regex",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+          size(expr("regexp_extract_all(text, '[A-Za-z]+', 0)")).cast("bigint").as("n_words_re"),
+          col("text").rlike("data").as("mentions_data"),
+          regexp_count(col("text"), lit("[aeiou]")).cast("bigint").as("n_vowels"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      coalesce(regexp_extract(text, '([A-Za-z]+)', 1), '') AS first_word,
+      len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words_re,
+      regexp_matches(text, 'data') AS mentions_data,
+      len(regexp_extract_all(text, '[aeiou]')) AS n_vowels
+      FROM documents ORDER BY doc_id"""))
+
+  /** Interval / date arithmetic battery. */
+  val q39Intervals = Q(
+    "q39_intervals",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due30"),
+          add_months(col("o_orderdate").cast("date"), -1).as("prev_month"),
+          ((lit(1998) - year(col("o_orderdate"))) * 12
+            + (lit(1) - month(col("o_orderdate")))).cast("bigint").as("months_to_98"),
+          (unix_timestamp(col("o_orderdate")) + 86400L).as("next_day_epoch"),
+          make_date(year(col("o_orderdate")), lit(12), lit(31)).as("year_end"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+      CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due30,
+      CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS prev_month,
+      (1998 - year(o_orderdate)) * 12 + (1 - month(o_orderdate)) AS months_to_98,
+      CAST(epoch(o_orderdate) + 86400 AS BIGINT) AS next_day_epoch,
+      make_date(CAST(year(o_orderdate) AS INTEGER), 12, 31) AS year_end
+      FROM orders ORDER BY o_orderkey"""))
+
+  /** arg-min/arg-max aggregates (min_by/max_by), tie-free by using the
+    * unique order key as the ordering value.
+    */
+  val q40ArgMinMax = Q(
+    "q40_argminmax",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          min_by(col("o_orderdate"), col("o_orderkey")).as("first_key_date"),
+          max_by(col("o_orderdate"), col("o_orderkey")).as("last_key_date"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey,
+      arg_min(o_orderdate, o_orderkey) AS first_key_date,
+      arg_max(o_orderdate, o_orderkey) AS last_key_date,
+      min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  /** Bernoulli sampling with a fixed seed: per-row hash decision →
+    * narrow, deterministic within Spark, but engine-specific RNG →
+    * rows-only (the spec asserts determinism + fraction bounds).
+    */
+  val q41Sample = Q(
+    "q41_sample",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  val queries: Seq[Q] = Seq(
+    q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
+    q38Regex, q39Intervals, q40ArgMinMax, q41Sample)
+}
