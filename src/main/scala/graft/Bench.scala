@@ -21,6 +21,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // test tables are single small parquet files; the default 128 MB
+      // split would scan each on ONE core — split to keep all cores fed
+      // (at production scale the default is correct; this is the local
+      // equivalent of sizing maxPartitionBytes to the cluster)
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.files.openCostInBytes", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")

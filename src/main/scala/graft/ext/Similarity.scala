@@ -89,4 +89,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"))
   }
+
+  /** Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
+    * embedding-cosine dedup (Charikar, STOC'02 — public literature):
+    * sign(v·r_i) bits from `nBits` fixed-seed Gaussian hyperplanes,
+    * split into `bands`; vectors sharing any band bucket become
+    * candidates (equi-join, never O(n²)); candidates are verified with
+    * the exact cosine, so false positives are impossible and only
+    * band-recall is approximate.
+    */
+  def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 16, bands: Int = 8,
+      seed: Long = 7L): DataFrame = {
+    require(nBits % bands == 0, "nBits must divide into bands")
+    val bitsPerBand = nBits / bands
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"))
+
+    // fixed-seed hyperplanes sized to the embedding dim (driver reads
+    // ONE row for the dim — O(1), not O(rows))
+    val dim = e.select(size(col("v"))).head().getInt(0)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val pArr = array(p.map(x => lit(x.toFloat)): _*)
+      when(dot(col("v"), pArr) >= 0, lit(1L << (i % bitsPerBand))).otherwise(lit(0L))
+        .as(s"bit$i")
+    }
+    val withBits = e.select(
+      (Seq(col("id"), col("v"), col("nrm")) ++ bitCols): _*)
+    val exploded = (0 until bands).map { b =>
+      val bandVal = (0 until bitsPerBand)
+        .map(j => col(s"bit${b * bitsPerBand + j}"))
+        .reduce(_.bitwiseOR(_))
+      withBits.select(col("id"), col("v"), col("nrm"),
+        lit(b).as("band"), bandVal.as("bucket"))
+    }.reduce(_ unionByName _)
+
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("a.nrm").as("na"),
+        col("b.v").as("vb"), col("b.nrm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
 }

@@ -204,8 +204,42 @@ object Ext {
       .orderBy(col("id")),
     None)
 
+  /** Stubbed feature extraction: payload → fixed-dim embedding via
+    * batch-iterated mapPartitions — rows-only (fake model).
+    */
+  val xMultimodalFeatures = Q(
+    "x_multimodal_features",
+    (s, dir) => Multimodal.featureExtract(
+      Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+      .orderBy(col("id")),
+    None)
+
+  /** Stubbed frame sampling: one row per sampled frame (the distributed
+    * video-explode shape) — rows-only.
+    */
+  val xMultimodalFrames = Q(
+    "x_multimodal_frames",
+    (s, dir) => Multimodal.frameSample(
+      Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_frames_sampled"))
+      .orderBy(col("id")),
+    None)
+
+  /** Hyperplane-LSH cosine near-dup — the bucketed scale path for
+    * x_dedup_embedding; approximate recall by construction → rows-only
+    * (exact-cosine verification means zero false positives; ExtSpec
+    * asserts recall vs the exact all-pairs result).
+    */
+  val xDedupEmbeddingLsh = Q(
+    "x_dedup_embedding_lsh",
+    (s, dir) => Similarity.cosineLshPairs(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.45)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
-    xAnnTopk, xAnnIvf, xTextQuality, xTextLangid, xTextTokens,
-    xTextFingerprint, xMultimodalMeta, xMultimodalDecode)
+    xDedupEmbeddingLsh, xAnnTopk, xAnnIvf, xTextQuality, xTextLangid,
+    xTextTokens, xTextFingerprint, xMultimodalMeta, xMultimodalDecode,
+    xMultimodalFeatures, xMultimodalFrames)
 }

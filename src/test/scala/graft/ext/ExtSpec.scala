@@ -52,6 +52,50 @@ class ExtSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("cosine LSH finds the exact all-pairs near-dups with no false positives") {
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH produced a false positive despite exact verification")
+    if (exact.nonEmpty) {
+      val recall = lsh.size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall $recall vs exact all-pairs")
+    }
+  }
+
+  test("feature extraction emits fixed-dim float vectors, deterministically") {
+    val wb = Multimodal.withBinary(docs, "text", "doc_id")
+    val f1 = Multimodal.featureExtract(wb, "doc_id")
+    assert(f1.schema("feature").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val rows = f1.collect()
+    assert(rows.length == docs.count())
+    assert(rows.forall(_.getSeq[Float](1).length == 16))
+    val f2 = Multimodal.featureExtract(wb, "doc_id")
+    assert(f1.exceptAll(f2).isEmpty)
+  }
+
+  test("resize clamps pseudo-dimensions and keeps payloads non-empty") {
+    val wb = Multimodal.withBinary(docs, "text", "doc_id")
+    val rs = Multimodal.resize(wb, "doc_id", maxW = 256, maxH = 256).collect()
+    assert(rs.length == docs.count())
+    assert(rs.forall(r => r.getInt(2) <= 256 && r.getInt(3) <= 256))
+    assert(rs.forall(r => r.getAs[Array[Byte]](1).nonEmpty))
+  }
+
+  test("frame sampling explodes to ceil(n_frames/stride) rows per doc") {
+    val wb = Multimodal.withBinary(docs, "text", "doc_id")
+    val meta = Multimodal.decode(wb, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val frames = Multimodal.frameSample(wb, "doc_id", stride = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(frames.keySet == meta.keySet)
+    meta.foreach { case (id, n) =>
+      assert(frames(id) == (n + 3) / 4, s"doc $id: $n frames -> ${frames(id)} sampled")
+    }
+  }
+
   test("langId returns only known codes") {
     val langs = docs.select(Text.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
