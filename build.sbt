@@ -10,7 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
+// run (Verify/Bench) executes IN-PROCESS: the sbt JVM already carries the
+// JDK-17 add-opens via .jvmopts, and an unforked run prints Bench's JSON
+// line to stdout WITHOUT sbt's "[info] " logger prefix — the driver
+// parses that line from raw stdout.
+run / fork := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
