@@ -48,6 +48,36 @@ object EventStream {
       .select(col("session_window.start").as("ws"),
         col("session_window.end").as("we"), col("user_id"), col("n"))
 
+  /** Streaming dedup — the streaming face of the §2.8 dedup family:
+    * exact-key dedup with watermark-bounded state
+    * (dropDuplicatesWithinWatermark evicts seen-keys older than the
+    * watermark, so state is O(window), not O(stream)). Works on batch
+    * frames too (plain dropDuplicates semantics there).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Stream-stream interval join: each event joined to the same user's
+    * events of another type within [0, maxDelay] AFTER it. Both sides
+    * watermarked; the time-bound predicate lets Spark evict join state —
+    * the canonical bounded-state stream-stream join shape.
+    */
+  def clickThroughJoin(views: DataFrame, acts: DataFrame,
+      watermark: String, maxDelay: String): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", watermark)
+    val a = acts.select(col("user_id").as("a_user_id"),
+      col("event_id").as("act_id"), col("ts").as("act_ts"))
+      .withWatermark("act_ts", watermark)
+    v.join(a,
+      col("user_id") === col("a_user_id") &&
+        col("act_ts") >= col("view_ts") &&
+        col("act_ts") <= col("view_ts") + expr(s"INTERVAL $maxDelay"))
+      .select(col("user_id"), col("view_id"), col("act_id"),
+        col("view_ts"), col("act_ts"))
+  }
+
   /** Custom state-store logic (flatMapGroupsWithState): per-user
     * running stats that built-in aggregations can't express — the
     * event count, the exact total value, and the longest gap ever seen

@@ -73,6 +73,54 @@ class StreamingSpec extends SparkSuite {
     assert(mism.isEmpty, s"state totals mismatch: ${mism.head(3).mkString}")
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    val dir = Files.createTempDirectory("dedupstream")
+    val src = dir.resolve("src").toString
+    val ev = eventsDf.limit(2000)
+    // duplicate every event once (same event_id, same ts)
+    ev.union(ev).write.parquet(src)
+
+    val stream = spark.readStream.schema(ev.schema).parquet(src)
+    val q = EventStream.dedupStream(stream.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val got = spark.sql("SELECT event_id FROM dedup_test")
+    assert(got.count() == got.distinct().count(), "duplicates survived")
+    assert(got.distinct().count() == ev.select("event_id").distinct().count())
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val dir = Files.createTempDirectory("ssjoin")
+    val ev = eventsDf.limit(5000).cache()
+    val views = ev.filter(col("event_type") === "view")
+    val acts = ev.filter(col("event_type") === "purchase")
+    val vSrc = dir.resolve("v").toString; views.write.parquet(vSrc)
+    val aSrc = dir.resolve("a").toString; acts.write.parquet(aSrc)
+
+    val vStream = spark.readStream.schema(views.schema).parquet(vSrc)
+    val aStream = spark.readStream.schema(acts.schema).parquet(aSrc)
+    val q = EventStream.clickThroughJoin(vStream.toDF(), aStream.toDF(),
+        "2 hours", "30 minutes")
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM ssjoin_test")
+    val batch = EventStream.clickThroughJoin(views, acts, "2 hours", "30 minutes")
+    assert(batch.count() > 0, "interval join matched nothing — test is vacuous")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    ev.unpersist()
+  }
+
   test("inbox drain: valid items ingested, invalid dead-lettered") {
     val dir = Files.createTempDirectory("inbox")
     val inbox = dir.resolve("inbox"); Files.createDirectories(inbox)
