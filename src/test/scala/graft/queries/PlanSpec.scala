@@ -61,6 +61,27 @@ class PlanSpec extends SparkSuite {
       s"band table not broadcast:\n$p")
   }
 
+  test("q35 correlated-subquery rewrite broadcasts the per-nation averages") {
+    val p = plan("q35_correlated")
+    assert(p.contains("BroadcastHashJoin"), s"nation averages not broadcast:\n$p")
+  }
+
+  test("q36 unpivot stays narrow (Expand, no pre-sort shuffle)") {
+    val p = plan("q36_unpivot")
+    assert(p.contains("Expand"), s"unpivot not an Expand:\n$p")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"unpivot shuffles more than the final sort:\n$p")
+  }
+
+  test("near-dup candidate generation never degrades to a cartesian product") {
+    for (name <- Seq("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
+        "x_dedup_simhash", "x_dedup_embedding_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a cartesian product:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
