@@ -205,7 +205,79 @@ object Extra {
         .orderBy(col("l_returnflag")),
     None)
 
+  /** Correlated LATERAL subquery (top-2 orders per customer) through the
+    * SQL front end — Catalyst decorrelates the per-row subquery into a
+    * ranked window join; DuckDB executes the same LATERAL directly.
+    */
+  val q42Lateral = Q(
+    "q42_lateral",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c_custkey <= 300
+        ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    },
+    Some("""SELECT c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c_custkey <= 300
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
+
+  /** Sketch-aggregate family, approximate by construction → rows-only
+    * (the exact counterparts are oracle-checked in q25/q13): t-digest
+    * percentiles + HLL distinct per group — both fixed-size, map-side
+    * mergeable sketches, the 100 TB path where exact percentile needs a
+    * full sort.
+    */
+  val q43ApproxSketches = Q(
+    "q43_approx_sketches",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag")),
+    None)
+
+  /** Map-type functions (the reference has no nested types — engine
+    * extension): build a map from scalar columns, then keys/values/
+    * lookup/size round-trip.
+    */
+  val q44MapFuncs = Q(
+    "q44_map_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          map(lit("size"), col("p_size").cast("double"),
+            lit("price"), col("p_retailprice")).as("m"))
+        .select(
+          col("p_partkey"),
+          map_keys(col("m")).as("ks"),
+          map_values(col("m")).as("vs"),
+          element_at(col("m"), "price").as("price_v"),
+          size(col("m")).cast("bigint").as("m_size"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+      map_keys(m) AS ks, map_values(m) AS vs,
+      m['price'][1] AS price_v,
+      CAST(cardinality(m) AS BIGINT) AS m_size
+      FROM (SELECT p_partkey,
+        MAP {'size': CAST(p_size AS DOUBLE), 'price': p_retailprice} AS m
+        FROM part)
+      ORDER BY p_partkey"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
-    q38Regex, q39Intervals, q40ArgMinMax, q41Sample)
+    q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
+    q43ApproxSketches, q44MapFuncs)
 }
