@@ -112,5 +112,70 @@ object Traps {
         HAVING SUM(CAST(l_quantity AS DECIMAL(10,2))) > 150)
       ORDER BY o_orderkey"""))
 
-  val queries: Seq[Q] = Seq(q45NotInNulls, q46Disjunctive, q47MinPerGroup, q48InHaving)
+  /** Outer joins with null extension: left join keeps unmatched left
+    * rows (counted via the null-extended side), full outer keeps both.
+    * Grouped so the result is stable under any join order/partitioning.
+    */
+  val q49OuterJoins = Q(
+    "q49_outer_joins",
+    (s, dir) => {
+      val cn = t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val sn = t(s, dir, "supplier")
+        .filter(col("s_suppkey") <= 10)
+        .groupBy(col("s_nationkey").as("snk")).agg(count(lit(1)).as("n_supp"))
+      val left = cn.join(sn, col("nk") === col("snk"), "left")
+        .select(lit("left").as("op"), col("nk"),
+          col("n_cust"), col("n_supp"))
+      val full = cn.join(sn, col("nk") === col("snk"), "full")
+        .select(lit("full").as("op"),
+          coalesce(col("nk"), col("snk")).as("nk"),
+          col("n_cust"), col("n_supp"))
+      left.unionByName(full).orderBy(col("op"), col("nk"))
+    },
+    Some("""WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        FROM customer GROUP BY 1),
+      sn AS (SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+        FROM supplier WHERE s_suppkey <= 10 GROUP BY 1)
+      SELECT op, nk, n_cust, n_supp FROM (
+        SELECT 'left' AS op, nk, n_cust, n_supp
+        FROM cn LEFT JOIN sn ON nk = snk
+        UNION ALL
+        SELECT 'full' AS op, coalesce(nk, snk) AS nk, n_cust, n_supp
+        FROM cn FULL OUTER JOIN sn ON nk = snk)
+      ORDER BY op, nk"""))
+
+  /** Explicit NULLS FIRST / NULLS LAST ordering: Spark's default for
+    * ascending is NULLS FIRST while DuckDB's is NULLS LAST — both sides
+    * spell the placement out, and row_number makes the placement
+    * hash-visible (a sort-order bug flips the assigned ranks).
+    */
+  val q50NullOrdering = Q(
+    "q50_null_ordering",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val e = t(s, dir, "events")
+        // k ≡ 0 (mod 5) nulled so both null placements are exercised
+        .select(col("event_id"),
+          when(k % 5 === 0, lit(null)).otherwise(k).as("k"))
+        .filter(col("event_id") <= 500)
+      e.select(col("event_id"), col("k"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("k").asc_nulls_first, col("event_id"))).as("rn_nf"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("k").asc_nulls_last, col("event_id"))).as("rn_nl"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, k,
+      CAST(row_number() OVER (ORDER BY k ASC NULLS FIRST, event_id) AS INTEGER) AS rn_nf,
+      CAST(row_number() OVER (ORDER BY k ASC NULLS LAST, event_id) AS INTEGER) AS rn_nl
+      FROM (SELECT event_id,
+        CASE WHEN k % 5 = 0 THEN NULL ELSE k END AS k
+        FROM (SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events) WHERE event_id <= 500)
+      ORDER BY event_id"""))
+
+  val queries: Seq[Q] = Seq(q45NotInNulls, q46Disjunctive, q47MinPerGroup,
+    q48InHaving, q49OuterJoins, q50NullOrdering)
 }
