@@ -12,9 +12,24 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("vec_dot"),
-      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (children: Seq[Expression]) => VecDot(children(0), children(1))))
+    ext.injectFunction(GraftExtensions.vecDotEntry)
+  }
+}
+
+object GraftExtensions {
+  private[plans] val vecDotEntry = (
+    new FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+
+  /** Idempotent per-session registration fallback: lets vec_dot resolve
+    * even in a session built WITHOUT spark.sql.extensions (e.g. a
+    * harness calling SparkEntry.queries with its own SparkSession).
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(vecDotEntry._1)) {
+      reg.registerFunction(vecDotEntry._1, vecDotEntry._2, vecDotEntry._3)
+    }
   }
 }

@@ -42,10 +42,14 @@ object H {
     * division — exactly DuckDB's ns→us truncation, keeping the oracle
     * comparison bit-identical.
     */
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // harness-proof: vec_dot resolves even in sessions built without
+    // spark.sql.extensions=graft.plans.GraftExtensions
+    graft.plans.GraftExtensions.ensure(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 }
