@@ -168,37 +168,19 @@ object Analytic {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** As-of join: each event matched to the latest order (by orderdate,
-    * then orderkey) of the same customer at-or-before the event time.
-    *
-    * Scalable implementation — the union+window idiom: tag both inputs,
-    * union, ONE shuffle on the key, then a running `last(ignoreNulls)`
-    * carries the most recent order id forward onto each event row. No
-    * O(events × orders) join, no per-key collect; skew only if one user
-    * dominates (then: salt by time-bucket).
+    * then orderkey) of the same customer at-or-before the event time —
+    * the reusable [[graft.ext.AsOf]] operator (union + one shuffle +
+    * running last; see its scale notes).
     */
   val q22AsofJoin = Q(
     "q22_asof_join",
     (s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
       val ord = t(s, dir, "orders").select(
-        col("o_custkey").as("user_id"),
-        col("o_orderdate").as("at"),
-        col("o_orderkey").as("okey"),
-        lit(0).as("tag"),
-        lit(null).cast("long").as("event_id"))
-      val ev = t(s, dir, "events").select(
-        col("user_id"),
-        col("ts").as("at"),
-        lit(null).cast("long").as("okey"),
-        lit(1).as("tag"),
-        col("event_id"))
-      // Orders sort before events at the same instant (tag 0 < 1), and
-      // among simultaneous orders the largest okey wins via last().
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("at"), col("tag"), col("okey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ord.unionByName(ev)
-        .withColumn("o_orderkey", last(col("okey"), ignoreNulls = true).over(w))
-        .filter(col("tag") === 1)
+        col("o_custkey").as("user_id"), col("o_orderdate"), col("o_orderkey"))
+      graft.ext.AsOf.join(ev, ord, keyCol = "user_id",
+          leftTime = "ts", rightTime = "o_orderdate",
+          rightVal = "o_orderkey", out = "o_orderkey")
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
         .orderBy(col("event_id"))
     },
