@@ -15,6 +15,13 @@ Test / fork := true
 // line to stdout WITHOUT sbt's "[info] " logger prefix — the driver
 // parses that line from raw stdout.
 run / fork := false
+// ...and don't copy the classpath to target/bg-jobs for that in-process
+// run: Hadoop's JVM shutdown hook reads core-default.xml from its jar
+// AFTER sbt deletes the copy, crashing the hook thread with
+// NoSuchFileException noise. The originals in /opt/spark/jars outlive
+// the JVM, so point the run classloader straight at them.
+bgCopyClasspath := false
+run / bgCopyClasspath := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -33,6 +33,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unforked sbt run: Hadoop's shutdown hook fires after sbt unloads
+    // the classloader and logs a spurious core-default.xml parse ERROR;
+    // results are long since written by then — silence that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
 
     val headline = Registry.all.filter(_.bench)
 
@@ -59,5 +64,8 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    // all outputs are flushed/written; drop Hadoop's shutdown hooks so
+    // they don't race sbt's (unforked) classloader/temp-jar cleanup
+    org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
 }

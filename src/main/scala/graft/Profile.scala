@@ -22,6 +22,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unforked sbt run: Hadoop's shutdown hook fires after sbt unloads
+    // the classloader and logs a spurious core-default.xml parse ERROR;
+    // results are long since written by then — silence that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -93,5 +98,8 @@ object Profile {
         .filter(col("ix").cast("double") / (col("na") + col("nb") - col("ix")) >= 0.5).count()
     }
     spark.stop()
+    // all outputs are flushed/written; drop Hadoop's shutdown hooks so
+    // they don't race sbt's (unforked) classloader/temp-jar cleanup
+    org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
 }

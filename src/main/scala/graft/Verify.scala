@@ -17,6 +17,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unforked sbt run: Hadoop's shutdown hook fires after sbt unloads
+    // the classloader and logs a spurious core-default.xml parse ERROR;
+    // results are long since written by then — silence that logger
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -41,5 +46,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // all outputs are flushed/written; drop Hadoop's shutdown hooks so
+    // they don't race sbt's (unforked) classloader/temp-jar cleanup
+    org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
 }
