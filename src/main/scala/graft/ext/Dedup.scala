@@ -109,6 +109,9 @@ object Dedup {
     // earlier shape — two Window ops + a prefix×prefix join + an
     // inverted-index verify — was 10+ shuffle stages; per-stage overhead
     // dominated the whole pipeline at bench scale.)
+    // df aggregate + join back (NOT collect_list postings in one pass:
+    // that builds an O(document-frequency) row per shingle — a skew
+    // hazard on hot shingles at corpus scale, and measured no faster)
     val dfRank = idx.groupBy("s").agg(count(lit(1)).as("df"))
     val profiles = idx.join(dfRank, "s")
       .select(col("id").cast("long"), col("s"), col("df").cast("long"))
