@@ -53,4 +53,21 @@ class LayoutSpec extends SparkSuite {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("event_type")),
       s"partition predicate evaluated per-row instead of pruned:\n$p")
   }
+
+  test("compaction collapses many small files into few, preserving rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("compact").resolve("t").toString
+    val df = spark.range(0, 10000).withColumn("v", col("id") * 2)
+    // simulate append-heavy ingest: 40 tiny files
+    df.repartition(40).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before >= 40)
+
+    val nOut = graft.io.Sink.compact(spark, dir, targetBytes = 1L << 20)
+    val after = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == nOut && after < before, s"expected <$before files, got $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 10000)
+    assert(back.agg(sum(col("v"))).head().getLong(0) == (0L until 10000L).map(_ * 2).sum)
+  }
 }
