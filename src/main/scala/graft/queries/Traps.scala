@@ -176,6 +176,29 @@ object Traps {
           FROM events) WHERE event_id <= 500)
       ORDER BY event_id"""))
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): generate the full month
+    * series of the orders date range and LEFT JOIN per-month counts —
+    * the gap-filling idiom (months with zero orders still appear).
+    */
+  val q51RecursiveCte = Q(
+    "q51_recursive_cte",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL SELECT add_months(m, 1) FROM months WHERE m < DATE '1998-12-01')
+        SELECT m, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON trunc(o_orderdate, 'month') = m
+        GROUP BY m ORDER BY m""")
+    },
+    Some("""WITH RECURSIVE months(m) AS (
+        SELECT DATE '1995-01-01'
+        UNION ALL SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < DATE '1998-12-01')
+      SELECT m, COUNT(o_orderkey) AS n_orders
+      FROM months LEFT JOIN orders ON CAST(date_trunc('month', o_orderdate) AS DATE) = m
+      GROUP BY m ORDER BY m"""))
+
   val queries: Seq[Q] = Seq(q45NotInNulls, q46Disjunctive, q47MinPerGroup,
-    q48InHaving, q49OuterJoins, q50NullOrdering)
+    q48InHaving, q49OuterJoins, q50NullOrdering, q51RecursiveCte)
 }
