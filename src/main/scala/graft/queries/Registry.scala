@@ -25,8 +25,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Analytic.queries ++ Functions.queries ++
-      Extra.queries ++ Traps.queries ++ Events.queries ++ Cleaning.queries ++
-      Ext.queries
+      Extra.queries ++ Traps.queries ++ TpcH.queries ++ Events.queries ++
+      Cleaning.queries ++ Ext.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
