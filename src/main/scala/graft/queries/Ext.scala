@@ -237,9 +237,39 @@ object Ext {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** Salted two-phase aggregation: splits each hot group key across 8
+    * salt buckets before combining — result is IDENTICAL to the plain
+    * GROUP BY (the oracle), which is the whole point: skew mitigation
+    * must be semantically invisible.
+    */
+  val xSkewSaltedAgg = Q(
+    "x_skew_salted_agg",
+    (s, dir) => {
+      import graft.ext.Skew
+      val li = t(s, dir, "lineitem")
+      Skew.saltedAgg(li,
+        key = col("l_returnflag"),
+        saltSource = Seq(col("l_orderkey"), col("l_linenumber")),
+        buckets = 8,
+        partials = Seq(
+          sum(H.dec2(col("l_quantity"))).as("p_sum"),
+          count(lit(1)).as("p_n"),
+          max(col("l_extendedprice")).as("p_max")),
+        combine = Seq(
+          sum(col("p_sum")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("p_n")).cast("bigint").as("n"),
+          max(col("p_max")).as("max_price")))
+        .withColumnRenamed("_key", "l_returnflag")
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty,
+      COUNT(*) AS n, max(l_extendedprice) AS max_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
     xDedupEmbeddingLsh, xAnnTopk, xAnnIvf, xTextQuality, xTextLangid,
     xTextTokens, xTextFingerprint, xMultimodalMeta, xMultimodalDecode,
-    xMultimodalFeatures, xMultimodalFrames)
+    xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }
