@@ -138,13 +138,28 @@ object TableDetect {
     val rows = block.length
     if (rows < 1 || block(0).length < 1) return -1.0
     val cols = block(0).length
-    val points = block.iterator.map(_.count(isContentCell)).sum
-    val density = points.toDouble / (rows * cols)
+    val points = block.iterator.map(_.count(isContentCell)).sum.toLong
+    scoreFromStats(rows, cols, points, block(0), headerConfidence,
+      minDataRows, densityThreshold)
+  }
+
+  /** The score formula from rectangle-level stats — the ONE scorer both
+    * tiers call, so they rank identically by construction. `points` and
+    * `firstRow` are over the bounding-box RECTANGLE (including cells of
+    * other components inside it), exactly like the reference's slice
+    * (etl.py:386).
+    */
+  def scoreFromStats(
+      rows: Int, cols: Int, points: Long, firstRow: Array[String],
+      headerConfidence: Double, minDataRows: Int,
+      densityThreshold: Double): Double = {
+    if (rows < 1 || cols < 1) return -1.0
+    val density = points.toDouble / (rows.toLong * cols)
     if (density < densityThreshold / 2) return -1.0
 
     // first row: nonNull excludes detection tokens AND '' (etl.py:287);
     // distinct counts RAW strings (pandas .astype(str).nunique()).
-    val first = block(0).map(v => if (v == null) "nan" else v) // pandas str(NaN)
+    val first = firstRow.map(v => if (v == null) "nan" else v) // pandas str(NaN)
     val firstNonNull = first.count(v => v.nonEmpty && !Nulls.detectionTokens.contains(v) && !v.matches("^\\s*$"))
     val firstDistinct = first.distinct.length
     var headerScore = 0.0
@@ -236,14 +251,12 @@ object TableDetect {
       .select($"r".as("row"), $"c".as("col"), $"label".as("component"))
   }
 
-  /** Candidate bounding box + the per-block statistics the scorer needs,
+  /** Candidate bounding box + the rectangle statistics the scorer needs,
     * as produced by the fully-distributed tier.
     */
   final case class Candidate(
       r1: Int, c1: Int, r2: Int, c2: Int,
-      points: Long,
-      firstRowNonNull: Long, firstRowDistinct: Long, firstRowNumeric: Long,
-      firstRowLen: Long)
+      points: Long, firstRow: Array[String])
 
   /** Fully-distributed detection: CC labels → per-component bounding
     * boxes and content counts → size/density filters → per-block
@@ -263,62 +276,49 @@ object TableDetect {
 
     val cc = connectedComponentsDistributed(grid).cache()
 
-    // bounding boxes + content counts, then size + density filters
+    // bounding boxes, size-filtered (density is a RECTANGLE property —
+    // computed below from raw cells, like the reference's slice)
     val boxes = cc.groupBy($"component")
       .agg(min($"row").as("r1"), min($"col").as("c1"),
-        max($"row").as("r2"), max($"col").as("c2"),
-        count(lit(1)).as("points"))
+        max($"row").as("r2"), max($"col").as("c2"))
       .filter($"r2" - $"r1" + 1 >= minRows && $"c2" - $"c1" + 1 >= minCols)
-      .filter($"points".cast("double") /
-        (($"r2" - $"r1" + 1) * ($"c2" - $"c1" + 1)) >= densityThreshold)
 
-    // first-row stats per surviving block: join the block's top row back
-    // to the raw cells (needs raw values, incl. null-token cells, which
-    // the reference counts as distinct strings)
+    // rectangle stats per surviving box from the RAW grid: content count
+    // over the whole rectangle (cells of OTHER components inside the box
+    // count too — exactly the reference's bbox slice, etl.py:386) plus
+    // the first row's raw values for the header heuristic
     val cellCols = grid.dataCols
     val rawCells = grid.df
       .select(col("_row").as("row"),
         posexplode(array(cellCols.map(col): _*)).as(Seq("col", "v")))
       .select($"row", $"col".cast("long").as("col"), $"v")
-    val firstRows = boxes.join(rawCells,
-        $"row" === $"r1" && $"col".between($"c1", $"c2"))
-      .groupBy($"component", $"r1", $"c1", $"r2", $"c2", $"points")
+    val stats = boxes.join(rawCells,
+        $"row".between($"r1", $"r2") && $"col".between($"c1", $"c2"))
+      .groupBy($"component", $"r1", $"c1", $"r2", $"c2")
       .agg(
-        count(when(Nulls.isContent($"v"), 1)).as("frNonNull"),
-        countDistinct(coalesce($"v", lit("nan"))).as("frDistinct"),
-        count(when($"v".cast("double").isNotNull, 1)).as("frNumeric"),
-        count(lit(1)).as("frLen"))
+        count(when(Nulls.isContent($"v"), 1)).as("rectPoints"),
+        collect_list(when($"row" === $"r1", struct($"col", $"v"))).as("fr"))
 
-    val candidates = firstRows.orderBy($"component").collect().map { r =>
+    val candidates = stats.orderBy($"component").collect().map { r =>
+      val firstRow = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("fr"))
+        .sortBy(_.getLong(0)).map(x => x.getString(1)).toArray
       Candidate(r.getAs[Long]("r1").toInt, r.getAs[Long]("c1").toInt,
         r.getAs[Long]("r2").toInt, r.getAs[Long]("c2").toInt,
-        r.getAs[Long]("points"),
-        r.getAs[Long]("frNonNull"), r.getAs[Long]("frDistinct"),
-        r.getAs[Long]("frNumeric"), r.getAs[Long]("frLen"))
+        r.getAs[Long]("rectPoints"), firstRow)
     }
     cc.unpersist()
 
-    // driver-side: exact reference scoring + greedy non-overlap (same
-    // arithmetic as scoreCandidate, from aggregated stats)
+    // driver-side: the SAME scorer as the driver tier + greedy select
     val minDataRows = if (minRows > 1) math.max(1, minRows - 1) else 1
     val scored = candidates.toSeq.flatMap { cd =>
       val rows = cd.r2 - cd.r1 + 1
       val cols = cd.c2 - cd.c1 + 1
       val density = cd.points.toDouble / (rows.toLong * cols)
-      if (density < densityThreshold / 2) None
+      if (density < densityThreshold) None // pre-filter (etl.py:388–394)
       else {
-        var headerScore = 0.0
-        var plausible = false
-        if (cd.firstRowNonNull > 0 &&
-          cd.firstRowDistinct.toDouble / cd.firstRowNonNull >= headerConfidence * 0.8 &&
-          cd.firstRowDistinct > 0) {
-          if (cd.firstRowNumeric.toDouble / cd.firstRowNonNull < 0.4) { headerScore = 0.4; plausible = true }
-          else if (cd.firstRowDistinct == cd.firstRowLen) { headerScore = 0.3; plausible = true }
-          else headerScore = 0.1
-        }
-        val dataRows = if (plausible) rows - 1 else rows
-        if (dataRows < minDataRows) None
-        else Some((cd, density * 0.5 + headerScore * 0.3 + math.log1p(cd.points.toDouble) * 0.01))
+        val score = scoreFromStats(rows, cols, cd.points, cd.firstRow,
+          headerConfidence, minDataRows, densityThreshold)
+        if (score > -0.5) Some((cd, score)) else None
       }
     }.sortBy(-_._2)
 

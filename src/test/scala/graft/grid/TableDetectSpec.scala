@@ -106,4 +106,28 @@ class TableDetectSpec extends SparkSuite {
     assert(distComponents.exists(_.size == 2))
     assert(distComponents.exists(_.size == 5))
   }
+
+  test("distributed tier matches driver tier on randomized multi-block grids") {
+    val rnd = new scala.util.Random(1234)
+    for (caseNo <- 1 to 3) {
+      val nr = 15 + rnd.nextInt(10)
+      val nc = 10 + rnd.nextInt(6)
+      val cells = Array.fill(nr, nc)(null: String)
+      // scatter 2-3 random dense blocks (may overlap -- CC merges them)
+      for (_ <- 0 until 2 + rnd.nextInt(2)) {
+        val h = 3 + rnd.nextInt(5); val w = 2 + rnd.nextInt(4)
+        val r0 = rnd.nextInt(math.max(1, nr - h)); val c0 = rnd.nextInt(math.max(1, nc - w))
+        for (r <- r0 until math.min(nr, r0 + h); c <- c0 until math.min(nc, c0 + w))
+          cells(r)(c) = if (r == r0) s"h${c}_$caseNo" else s"v${r}_${c}_$caseNo"
+      }
+      // plus noise cells
+      for (_ <- 0 until 5) cells(rnd.nextInt(nr))(rnd.nextInt(nc)) = "noise"
+
+      val drv = TableDetect.findTables(cells)
+      val g = Grid.fromRows(spark, cells.toIndexedSeq.map(_.toIndexedSeq))
+      val dist = TableDetect.findTablesDistributedCoords(g)
+      assert(dist.map(t => (t._1, t._2, t._3, t._4, t._5)) ==
+        drv.map(d => (d.id, d.r1, d.c1, d.r2, d.c2)), s"case $caseNo diverged")
+    }
+  }
 }
