@@ -237,16 +237,14 @@ object Dedup {
       .distinct()
 
     // exact Jaccard on CANDIDATES ONLY (the whole point of LSH): two
-    // joins ship each candidate doc's array once; the UDF runs per
-    // candidate pair, not per corpus row
-    val jac = udf { (sa: Seq[String], sb: Seq[String]) =>
-      val ix = intersectSorted(sa.toArray, sb.toArray)
-      ix.toDouble / (sa.length + sb.length - ix)
-    }
+    // joins ship each candidate doc's array once; arr_jaccard is the
+    // native codegen'd merge-walk (graft.plans.ArrJaccard) — beats a
+    // Scala UDF (boxed Seqs, opaque to codegen) per the custom-operator
+    // preference order
     candidates
       .join(profiles.select(col("id").as("doc_a"), col("ss").as("sa")), "doc_a")
       .join(profiles.select(col("id").as("doc_b"), col("ss").as("sb")), "doc_b")
-      .withColumn("jaccard", jac(col("sa"), col("sb")))
+      .withColumn("jaccard", call_function("arr_jaccard", col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }

@@ -11,25 +11,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.vecDotEntry)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[plans] val vecDotEntry = (
-    new FunctionIdentifier("vec_dot"),
-    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-    (children: Seq[Expression]) => VecDot(children(0), children(1)))
+  private[plans] val entries = Seq(
+    (new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1)): Expression),
+    (new FunctionIdentifier("arr_jaccard"),
+      new ExpressionInfo(classOf[ArrJaccard].getName, "arr_jaccard"),
+      (children: Seq[Expression]) => ArrJaccard(children(0), children(1)): Expression))
 
-  /** Idempotent per-session registration fallback: lets vec_dot resolve
-    * even in a session built WITHOUT spark.sql.extensions (e.g. a
-    * harness calling SparkEntry.queries with its own SparkSession).
+  /** Idempotent per-session registration fallback: lets the functions
+    * resolve even in a session built WITHOUT spark.sql.extensions (e.g.
+    * a harness calling SparkEntry.queries with its own SparkSession).
     */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(vecDotEntry._1)) {
-      reg.registerFunction(vecDotEntry._1, vecDotEntry._2, vecDotEntry._3)
+    entries.foreach { e =>
+      if (!reg.functionExists(e._1)) reg.registerFunction(e._1, e._2, e._3)
     }
   }
 }
