@@ -70,6 +70,15 @@ object Dedup {
     }
   }
 
+  /** UTF-8 byte order — the order UTF8String.compareTo (and therefore
+    * the native arr_jaccard merge walk) uses. Differs from Java's
+    * UTF-16 String order for supplementary-plane characters, so arrays
+    * destined for arr_jaccard MUST be sorted with THIS ordering.
+    */
+  val utf8Order: Ordering[String] = (a: String, b: String) =>
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   /** Sorted-array intersection count (merge walk — both arrays are
     * lexicographically sorted by construction).
     */
@@ -180,6 +189,9 @@ object Dedup {
     val rnd = new scala.util.Random(42)
     val ab = Array.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
 
+    // self-contained: the verification step resolves arr_jaccard even
+    // when the caller's session was built without spark.sql.extensions
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
     val idx = shingleIndex(docs, textCol, idCol, k)
 
     // Signatures, band buckets AND the sorted shingle array per doc in
@@ -220,7 +232,9 @@ object Dedup {
           while (r < rpb) { h = h * 31 + sig(b * rpb + r); r += 1 }
           h
         }
-        java.util.Arrays.sort(ss, Ordering.String)
+        // MUST match arr_jaccard's UTF-8 byte order (not Ordering.String
+        // — Java UTF-16 order diverges on supplementary-plane chars)
+        java.util.Arrays.sort(ss, utf8Order)
         (id, ss.length, ss, buckets)
       }
       .toDF("id", "n", "ss", "buckets")

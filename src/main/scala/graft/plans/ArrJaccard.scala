@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * into a Seq) or array_intersect (builds a hash set per row). The
   * merge walk is allocation-free and codegen'd inline.
   *
-  * PRECONDITION: both arrays sorted ascending with no null elements —
-  * exactly what Dedup's profile builders emit. Unsorted input yields an
-  * undercount, never an error.
+  * PRECONDITION: both arrays sorted ascending in UTF-8 BYTE order
+  * (UTF8String.compareTo — Dedup sorts with the matching
+  * [[graft.ext.Dedup.utf8Order]]; Java's String order differs for
+  * supplementary-plane characters). Unsorted input yields an
+  * undercount, never an error. Null elements never match but count
+  * toward the union size.
   */
 case class ArrJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,10 +45,16 @@ case class ArrJaccard(left: Expression, right: Expression)
     val ny = y.numElements()
     var i = 0; var j = 0; var ix = 0
     while (i < nx && j < ny) {
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { ix += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      val xv = x.getUTF8String(i)
+      val yv = y.getUTF8String(j)
+      if (xv == null) i += 1
+      else if (yv == null) j += 1
+      else {
+        val c = xv.compareTo(yv)
+        if (c == 0) { ix += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     val union = nx + ny - ix
     if (union == 0) 0.0 else ix.toDouble / union
@@ -60,14 +69,22 @@ case class ArrJaccard(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val c = ctx.freshName("c")
       val union = ctx.freshName("union")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
          |int $nx = $a.numElements();
          |int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $ix = 0;
          |while ($i < $nx && $j < $ny) {
-         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $ix++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  UTF8String $xv = $a.getUTF8String($i);
+         |  UTF8String $yv = $b.getUTF8String($j);
+         |  if ($xv == null) { $i++; }
+         |  else if ($yv == null) { $j++; }
+         |  else {
+         |    int $c = $xv.compareTo($yv);
+         |    if ($c == 0) { $ix++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |int $union = $nx + $ny - $ix;
          |${ev.value} = $union == 0 ? 0.0 : ((double) $ix) / $union;

@@ -35,6 +35,26 @@ class ArrJaccardSpec extends SparkSuite {
     }
   }
 
+  test("supplementary-plane strings: correct when sorted in UTF-8 byte order") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair) sorts BEFORE U+FFFA in Java String order
+    // but AFTER in UTF-8 byte order — the expression requires the latter
+    val emoji = new String(Character.toChars(0x1F600))
+    val bmp = "￺"
+    val a = Seq(emoji, bmp).sorted(graft.ext.Dedup.utf8Order)
+    val b = Seq(bmp)
+    val g = Seq((a, b)).toDF("a", "b")
+      .select(call_function("arr_jaccard", col("a"), col("b")))
+      .head().getDouble(0)
+    assert(g == 0.5, s"expected 0.5, got $g (sort-order mismatch?)")
+  }
+
+  test("null elements never match and never crash") {
+    val r = spark.sql(
+      "SELECT arr_jaccard(array('a', CAST(NULL AS STRING)), array('a'))").head()
+    assert(r.getDouble(0) == 1.0 / 2.0) // ix=1, union=2+1-1
+  }
+
   test("empty arrays: union 0 yields 0.0; null array yields null") {
     val r = spark.sql(
       """SELECT arr_jaccard(CAST(array() AS ARRAY<STRING>), CAST(array() AS ARRAY<STRING>)),
