@@ -22,15 +22,34 @@ object Names {
 
   /** Duplicate-name dedup after sanitization (etl.py:662–669): first
     * occurrence keeps the bare name; the Nth repeat gets suffix _N
-    * (starting at _1), re-truncated to 300.
+    * (starting at _1).
+    *
+    * Two documented improvements over the reference's naive counter
+    * (which can itself emit duplicates — BigQuery would reject them):
+    * the suffix bumps until the candidate is globally unused (the
+    * reference turns ["a","a_1","a"] into ["a","a_1","a_1"]), and
+    * truncation to 300 shortens the BASE, never the suffix (the
+    * reference truncates the suffix away on 300-char duplicates).
     */
   def dedup(names: Seq[String]): Seq[String] = {
+    val used = scala.collection.mutable.Set.empty[String]
     val counts = scala.collection.mutable.Map.empty[String, Int]
     names.map { n =>
-      val c = counts.getOrElse(n, 0)
+      var c = counts.getOrElse(n, 0)
+      var candidate = if (c > 0) withSuffix(n, c) else n.take(MaxNameLen)
+      while (used.contains(candidate)) {
+        c += 1
+        candidate = withSuffix(n, c)
+      }
       counts(n) = c + 1
-      (if (c > 0) s"${n}_$c" else n).take(MaxNameLen)
+      used += candidate
+      candidate
     }
+  }
+
+  private def withSuffix(base: String, c: Int): String = {
+    val suffix = s"_$c"
+    base.take(MaxNameLen - suffix.length) + suffix
   }
 
   /** sanitize + dedup, the order clean_dataframe applies (etl.py:656–669). */

@@ -25,15 +25,6 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word k-shingles of a text column. */
-  def shingles(text: Column, k: Int): Column = {
-    val t = split(text, " ")
-    when(size(t) >= k,
-      array_distinct(transform(sequence(lit(0), size(t) - k), i =>
-        concat_ws(" ", (0 until k).map(j => element_at(t, i + j + 1)): _*))))
-      .otherwise(array(text))
-  }
-
   /** Exploded (id, shingle) inverted index; optional df-cutoff drops
     * shingles appearing in more than maxDocFreq docs (skew guard).
     *
@@ -326,6 +317,7 @@ object Dedup {
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))

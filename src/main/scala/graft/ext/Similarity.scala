@@ -35,6 +35,7 @@ object Similarity {
     */
   def bruteForceTopK(emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -58,6 +59,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
     val centroids = base.orderBy(col("nid")).limit(nlist)
@@ -102,6 +104,7 @@ object Similarity {
       threshold: Double, nBits: Int = 256, bands: Int = 32,
       seed: Long = 7L): DataFrame = {
     require(nBits % bands == 0, "nBits must divide into bands")
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val bitsPerBand = nBits / bands
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))

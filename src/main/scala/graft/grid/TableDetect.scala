@@ -244,6 +244,13 @@ object TableDetect {
       labels = jumped
     }
 
+    // the iteration is done (labels is a materialized localCheckpoint);
+    // release the loop-only caches so repeated invocations in a
+    // long-lived session don't accumulate executor blocks — the final
+    // expansion below recomputes `runs` once, narrowly
+    sym.unpersist()
+    runs.unpersist()
+
     // expand runs back to cells with their component label
     runs.join(labels, "run")
       .select($"r", $"c1", $"c2", $"label")

@@ -132,18 +132,21 @@ object XlsxReader {
           case "row" =>
             curRow = Option(r.getAttributeValue(null, "r")).map(_.toInt - 1).getOrElse(curRow + 1)
             cells = Map.empty
+            cellCol = -1 // ref-less cells restart at column 0 each row
           case "c" =>
             cellCol = Option(r.getAttributeValue(null, "r")).map(colIndex).getOrElse(cellCol + 1)
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-          case "v" | "t" => inV = true; v.clear()
+            v.clear() // value accumulates across inline rich-text runs
+          case "v" | "t" => inV = true
           case _ =>
         }
         case XMLStreamConstants.CHARACTERS if inV => v.append(r.getText)
         case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-          case "v" | "t" =>
-            inV = false
+          case "v" | "t" => inV = false
+          case "c" =>
+            // write at cell end so multi-run inline strings concatenate
             val text = if (cellType == "s")
-              shared.lift(v.toString.trim.toInt).getOrElse(v.toString)
+              v.toString.trim.toIntOption.flatMap(shared.lift).getOrElse(v.toString)
             else v.toString
             if (text.nonEmpty) cells += cellCol -> text
           case "row" => if (cells.nonEmpty) rows += curRow -> cells

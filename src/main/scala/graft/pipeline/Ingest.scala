@@ -98,7 +98,16 @@ object Ingest {
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
 
     for ((sheetName, grid) <- sheets) {
-      val tables = TableDetect.findTables(grid.collectCells())
+      // detection failures (oversized grid, pathological input) are
+      // per-SHEET errors — they must not abort sibling sheets
+      // (etl.py:1329–1344 isolation applies to the whole table loop)
+      val tables =
+        try TableDetect.findTables(grid.collectCells())
+        catch {
+          case e: Exception =>
+            errors += s"$baseName/$sheetName: detection failed: ${e.getMessage}"
+            Seq.empty
+        }
       for (table <- tables) {
         val name = tableName(baseName, sheetName, sheets.size, tables.size, table.id)
         try {

@@ -21,10 +21,15 @@ object Align {
   /** Conversion table of SURVEY.md §1.2 / etl.py:1057–1147. */
   def castTo(c: Column, bqType: String): Column = bqType.toUpperCase match {
     case "INTEGER" | "INT64" =>
-      // pandas to_numeric+Int64: numeric and integral ⇒ value, else NULL
+      // pandas to_numeric+Int64: numeric and integral ⇒ value, else NULL.
+      // Integer-SHAPED strings parse exactly (a double round-trip would
+      // corrupt 19-digit ids above 2^53); everything else goes through
+      // the double-integral test (so "10.5" ⇒ NULL, never truncated 10).
+      val exact = when(trim(c).rlike("^[+-]?\\d+$"), trim(c).cast("long"))
       val d = c.cast("double")
-      when(d === floor(d) && d.between(-9.2e18, 9.2e18), d.cast("long"))
-        .otherwise(lit(null).cast("long"))
+      coalesce(exact,
+        when(d === floor(d) && d.between(-9.2e18, 9.2e18), d.cast("long"))
+          .otherwise(lit(null).cast("long")))
     case "FLOAT" | "FLOAT64" => c.cast("double")
     case "NUMERIC" | "BIGNUMERIC" =>
       // reference degrades NUMERIC to float (etl.py:1076–1078, lossy);

@@ -102,10 +102,20 @@ object EventStream {
         (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[UserState]) =>
           var s = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue, 0L))
           // micro-batch rows are not time-ordered: sort this batch's
-          // slice (bounded by batch size) before folding into state
+          // slice (bounded by batch size) before folding into state.
+          // Events older than lastTs (late arrivals from an earlier
+          // batch) count toward n/total but are EXCLUDED from the gap
+          // statistic — folding them in would regress lastTs and
+          // corrupt every subsequent gap; an exact max-gap under
+          // arbitrary lateness needs watermarked buffering (documented
+          // limitation of this running variant).
           it.toSeq.sortBy(_._2).foreach { case (_, ts, cents) =>
-            val gap = if (s.lastTsMicros == Long.MinValue) 0L else ts - s.lastTsMicros
-            s = UserState(s.n + 1, s.totalCents + cents, ts, math.max(s.maxGapMicros, gap))
+            if (ts >= s.lastTsMicros) {
+              val gap = if (s.lastTsMicros == Long.MinValue) 0L else ts - s.lastTsMicros
+              s = UserState(s.n + 1, s.totalCents + cents, ts, math.max(s.maxGapMicros, gap))
+            } else {
+              s = UserState(s.n + 1, s.totalCents + cents, s.lastTsMicros, s.maxGapMicros)
+            }
           }
           state.update(s)
           Iterator.single(UserStats(user, s.n, s.totalCents / 100.0, s.maxGapMicros / 1e6))

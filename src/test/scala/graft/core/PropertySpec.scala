@@ -50,13 +50,25 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
-  test("dedup keeps first occurrence bare and suffixes repeats in order") {
-    check("dedup-order", Prop.forAll(Gen.listOf(Gen.identifier)) { names =>
+  test("dedup: first occurrence bare, repeats suffixed, output globally unique") {
+    val tricky = Gen.oneOf("a", "a_1", "a_2", "b", "x" * 300, "x" * 299)
+    val lists = Gen.oneOf(Gen.listOf(Gen.identifier), Gen.listOf(tricky))
+    check("dedup-laws", Prop.forAll(lists) { names =>
       val out = Names.dedup(names)
-      names.zip(out).zipWithIndex.forall { case ((orig, got), i) =>
-        val priors = names.take(i).count(_ == orig)
-        got == (if (priors == 0) orig else s"${orig}_$priors").take(Names.MaxNameLen)
+      val unique = out.distinct.length == out.length
+      // first occurrence keeps the bare name — unless an earlier
+      // OUTPUT already took it (e.g. ["a","a","a_1"]: the second "a"
+      // became "a_1", so the literal "a_1" must be bumped)
+      val firstBare = names.zip(out).zipWithIndex.forall { case ((orig, got), i) =>
+        names.take(i).contains(orig) ||
+          out.take(i).contains(orig.take(Names.MaxNameLen)) ||
+          got == orig.take(Names.MaxNameLen)
       }
+      val suffixShape = names.zip(out).forall { case (orig, got) =>
+        got == orig.take(Names.MaxNameLen) ||
+          (got.matches(".*_\\d+$") && orig.startsWith(got.substring(0, got.lastIndexOf('_'))))
+      }
+      unique && firstBare && suffixShape && out.forall(_.length <= Names.MaxNameLen)
     })
   }
 

@@ -74,6 +74,35 @@ class XlsxReaderSpec extends SparkSuite {
     assert(wb("Empty").collectCells().isEmpty)
   }
 
+  test("ref-less cells restart at column 0 per row; inline rich text concatenates") {
+    val dir = Files.createTempDirectory("xlsx3")
+    val f = dir.resolve("book.xlsx")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    def put(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name)); z.write(content.getBytes("UTF-8")); z.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    put("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships>
+        |<Relationship Id="rId1" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin)
+    // no cell refs at all (streaming-writer style) + an inline rich-text
+    // cell split into two runs
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row><c><v>1</v></c><c t="inlineStr"><is><r><t>be</t></r><r><t>ta</t></r></is></c><c><v>3</v></c></row>
+        |<row><c><v>4</v></c><c><v>5</v></c><c><v>6</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+
+    val wb = XlsxReader.readWorkbook(spark, f.toString)
+    val cells = wb("S").collectCells()
+    assert(cells.length == 2)
+    assert(cells(0).toSeq == Seq("1", "beta", "3"), "row 1 misparsed")
+    assert(cells(1).toSeq == Seq("4", "5", "6"), "ref-less row 2 must restart at column 0")
+  }
+
   test("xlsx flows through the full ingest pipeline") {
     val dir = Files.createTempDirectory("xlsx2")
     val f = dir.resolve("book.xlsx"); buildXlsx(f)
