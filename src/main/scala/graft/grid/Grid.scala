@@ -24,7 +24,7 @@ final case class Grid(df: DataFrame, nCols: Int) {
   def collectCells(maxCells: Long = Grid.MaxDriverCells): Array[Array[String]] = {
     val total = df.count() * nCols
     require(total <= maxCells,
-      s"Grid has $total cells > $maxCells driver bound; use TableDetect.findTablesDistributed")
+      s"Grid has $total cells > $maxCells driver bound; use TableDetect.findTablesDistributedCoords")
     df.orderBy("_row")
       .select(dataCols.map(col): _*)
       .collect()

@@ -103,7 +103,7 @@ object TableDetect {
     }
 
     // score (etl.py:279–324); min_data_rows = max(1, minRows-1) (etl.py:410)
-    val minDataRows = if (minRows > 1) math.max(1, minRows - 1) else 1
+    val minDataRows = minDataRowsFor(minRows)
     val scored = candidates
       .map { case (b, block) => (b, block, scoreCandidate(block, headerConfidence, minDataRows, densityThreshold)) }
       .filter(_._3 > -0.5)
@@ -123,6 +123,11 @@ object TableDetect {
     }
     out.toSeq
   }
+
+  /** min_data_rows = max(1, minRows-1) (etl.py:410) — shared by both
+    * tiers so their accept/reject decisions cannot drift apart.
+    */
+  private def minDataRowsFor(minRows: Int): Int = math.max(1, minRows - 1)
 
   /** _score_table_candidate (etl.py:279–324), formula-exact:
     * reject density < threshold/2; header score from the first row
@@ -193,6 +198,11 @@ object TableDetect {
     val spark = grid.df.sparkSession
     import spark.implicits._
 
+    // run ids pack (row, startCol) into one long with a 1e9 column base;
+    // silent id collisions above that would merge unrelated components
+    require(grid.nCols < 1000000000,
+      s"grid has ${grid.nCols} columns; run-id encoding supports < 1e9")
+
     val cellCols = grid.dataCols
     // long-form content cells: (row, col)
     val cells = grid.df
@@ -232,13 +242,19 @@ object TableDetect {
         .groupBy($"x").agg(min($"label").as("nlabel"))
       val stepped = labels.join(viaNeighbors, $"run" === $"x", "left")
         .select($"run", least(coalesce($"nlabel", $"label"), $"label").as("label"))
-      // pointer jump: label ← label's label; localCheckpoint truncates
+      // pointer jump: label ← label's label; checkpointing truncates
       // the lineage so each iteration replans a constant-size DAG
-      // instead of an ever-growing one
-      val jumped = stepped.as("s")
+      // instead of an ever-growing one. Reliable checkpoint when a
+      // checkpoint dir is configured (executor loss mid-loop would
+      // otherwise lose localCheckpoint blocks with no lineage to
+      // recompute — the failure mode that matters on preemptible
+      // clusters); executor-local otherwise (single-node/test).
+      val jumpedPlan = stepped.as("s")
         .join(stepped.select($"run".as("pr"), $"label".as("plabel")), $"s.label" === $"pr", "left")
         .select($"run", least(coalesce($"plabel", $"s.label"), $"s.label").as("label"))
-        .localCheckpoint(true)
+      val jumped =
+        if (spark.sparkContext.getCheckpointDir.isDefined) jumpedPlan.checkpoint(true)
+        else jumpedPlan.localCheckpoint(true)
       changed = jumped.as("n").join(labels.as("o"), "run")
         .where($"n.label" =!= $"o.label").count()
       labels = jumped
@@ -305,6 +321,11 @@ object TableDetect {
       .agg(
         count(when(Nulls.isContent($"v"), 1)).as("rectPoints"),
         collect_list(when($"row" === $"r1", struct($"col", $"v"))).as("fr"))
+      // density pre-filter (etl.py:388–394) BEFORE the collect: a huge
+      // sparse grid can have millions of size-passing noise components,
+      // and only the density survivors are O(candidates) driver data
+      .filter($"rectPoints".cast("double") /
+        (($"r2" - $"r1" + 1) * ($"c2" - $"c1" + 1)) >= densityThreshold)
 
     val candidates = stats.orderBy($"component").collect().map { r =>
       val firstRow = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("fr"))
@@ -316,7 +337,7 @@ object TableDetect {
     cc.unpersist()
 
     // driver-side: the SAME scorer as the driver tier + greedy select
-    val minDataRows = if (minRows > 1) math.max(1, minRows - 1) else 1
+    val minDataRows = minDataRowsFor(minRows)
     val scored = candidates.toSeq.flatMap { cd =>
       val rows = cd.r2 - cd.r1 + 1
       val cols = cd.c2 - cd.c1 + 1

@@ -51,12 +51,15 @@ object EventStream {
   /** Streaming dedup — the streaming face of the §2.8 dedup family:
     * exact-key dedup with watermark-bounded state
     * (dropDuplicatesWithinWatermark evicts seen-keys older than the
-    * watermark, so state is O(window), not O(stream)). Works on batch
-    * frames too (plain dropDuplicates semantics there).
+    * watermark, so state is O(window), not O(stream)). On a batch frame
+    * it degrades to plain dropDuplicates (Spark REJECTS the watermarked
+    * variant outside streaming).
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String], watermark: String): DataFrame =
-    events.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keyCols)
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else events.dropDuplicates(keyCols)
 
   /** Stream-stream interval join: each event joined to the same user's
     * events of another type within [0, maxDelay] AFTER it. Both sides
@@ -94,8 +97,12 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")),
-        round(col("value") * 100).cast("long"))
+      .select(col("user_id").cast("long").as("u"),
+        unix_micros(col("ts")).as("t"),
+        round(col("value") * 100).cast("long").as("c"))
+      // a single NULL would kill the query at the non-nullable encoder
+      // — and the poison row replays from the checkpoint forever
+      .filter(col("u").isNotNull && col("t").isNotNull && col("c").isNotNull)
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {

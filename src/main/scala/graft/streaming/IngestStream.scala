@@ -15,10 +15,14 @@ import graft.pipeline.Ingest
   *  - nack on malformed / missing-field messages (etl.py:1390–1393) →
   *    dead-letter directory (a poison message must not loop forever);
   *  - deliberate ack of FileNotFound (etl.py:1346–1348) → skip+log;
-  *  - the reference's at-least-once + WRITE_APPEND duplicates on
-  *    redelivery (a real reference bug, SURVEY.md §2.9) — foreachBatch
-  *    is exactly-once per sink commit within a batch, an intentional
-  *    improvement.
+  *  - the reference's at-least-once + WRITE_APPEND duplicates on EVERY
+  *    redelivery (a real reference bug, SURVEY.md §2.9): here a
+  *    per-(batch, object) marker under `_ingest_log` makes batch REPLAY
+  *    skip already-ingested objects, so duplicates are only possible if
+  *    a crash lands between one object's sink write and its marker —
+  *    a narrow window instead of the reference's every-redelivery bug.
+  *    (Full exactly-once for multi-table appends needs an atomic
+  *    staging swap per object; documented trade-off.)
   */
 object IngestStream {
 
@@ -65,6 +69,9 @@ object IngestStream {
     val items = batch.collect()
     val dead = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
 
+    def jstr(s: Option[String]): String =
+      s.map(v => "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+
     items.foreach { row =>
       val corrupt = Option(row.getAs[String]("_corrupt"))
       val obj = Option(row.getAs[String]("object_name"))
@@ -72,13 +79,24 @@ object IngestStream {
       (corrupt, obj, ds) match {
         case (Some(bad), _, _) => dead += bad -> "malformed json"
         case (_, None, _) | (_, _, None) =>
-          dead += s"""{"object_name": ${obj.orNull}, "target_dataset_id": ${ds.orNull}}""" -> "missing field"
+          dead += s"""{"object_name": ${jstr(obj)}, "target_dataset_id": ${jstr(ds)}}""" -> "missing field"
         case (_, Some(o), Some(d)) =>
-          try Ingest.processObject(spark, s"$objectsDir/$o", s"$datasetRoot/$d", d)
-          catch {
-            case _: java.io.FileNotFoundException => () // deliberate ack (etl.py:1346)
-            case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") => ()
-            case e: Exception => dead += s"$o -> $d" -> e.getMessage
+          // replay-idempotence marker: a crashed batch re-runs from the
+          // checkpoint; objects that already completed must not append
+          // their rows a second time
+          val marker = java.nio.file.Paths.get(datasetRoot, "_ingest_log",
+            s"batch_${batchId}_${java.lang.Integer.toHexString(s"$o->$d".hashCode)}")
+          if (!java.nio.file.Files.exists(marker)) {
+            try {
+              Ingest.processObject(spark, s"$objectsDir/$o", s"$datasetRoot/$d", d)
+              java.nio.file.Files.createDirectories(marker.getParent)
+              java.nio.file.Files.writeString(marker, s"$o -> $d")
+            } catch {
+              case _: java.io.FileNotFoundException => () // deliberate ack (etl.py:1346)
+              case _: java.nio.file.NoSuchFileException => () // xlsx path throws this flavor
+              case e: org.apache.spark.sql.AnalysisException if e.getMessage.contains("PATH_NOT_FOUND") => ()
+              case e: Exception => dead += s"$o -> $d" -> e.getMessage
+            }
           }
       }
     }
