@@ -120,8 +120,12 @@ class TableDetectSpec extends SparkSuite {
         for (r <- r0 until math.min(nr, r0 + h); c <- c0 until math.min(nc, c0 + w))
           cells(r)(c) = if (r == r0) s"h${c}_$caseNo" else s"v${r}_${c}_$caseNo"
       }
-      // plus noise cells
-      for (_ <- 0 until 5) cells(rnd.nextInt(nr))(rnd.nextInt(nc)) = "noise"
+      // plus noise cells, including detection null-tokens and blanks —
+      // the two tiers must agree on what counts as CONTENT (driver
+      // isContentCell vs distributed Nulls.isContent)
+      val noise = Seq("noise", "N/A", "null", "  ", "NaN", "<NA>", "x")
+      for (_ <- 0 until 8)
+        cells(rnd.nextInt(nr))(rnd.nextInt(nc)) = noise(rnd.nextInt(noise.length))
 
       val drv = TableDetect.findTables(cells)
       val g = Grid.fromRows(spark, cells.toIndexedSeq.map(_.toIndexedSeq))
