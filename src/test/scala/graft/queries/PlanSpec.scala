@@ -82,6 +82,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("near-dup pipelines stay within their shuffle budgets") {
+    // the stage-collapse work (single-pass profiles, slim band joins)
+    // is perf-critical: these budgets catch an accidental return to the
+    // many-exchange shapes (ngram was 10+ exchanges before the rework)
+    val budgets = Seq(
+      "x_dedup_ngram_jaccard" -> 7,
+      "x_dedup_minhash_lsh" -> 10,
+      "x_dedup_embedding_lsh" -> 6,
+      "q22_asof_join" -> 3)
+    for ((name, budget) <- budgets) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= budget,
+        s"$name plans $exchanges exchanges (budget $budget):\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
