@@ -157,6 +157,31 @@ object Ext {
       ELSE 'es' END AS pred_lang
     FROM sc ORDER BY doc_id"""))
 
+  /** Language-ID quality evaluation against the ground-truth lang
+    * column: per (actual, predicted) confusion counts — the measurement
+    * loop a data pipeline runs after any heuristic classifier.
+    */
+  val xTextLangidEval = Q(
+    "x_text_langid_eval",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), Text.langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang")),
+    Some("""WITH sc AS (SELECT lang,
+      len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+      len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+      len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+      len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+      len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+      FROM documents)
+    SELECT lang, pred_lang, COUNT(*) AS n FROM (
+      SELECT lang, CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+        WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+        ELSE 'es' END AS pred_lang
+      FROM sc)
+    GROUP BY lang, pred_lang ORDER BY lang, pred_lang"""))
+
   /** Token counting: whitespace tokens + BPE-ish lexer tokens. */
   val xTextTokens = Q(
     "x_text_tokens",
@@ -269,7 +294,7 @@ object Ext {
 
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
-    xDedupEmbeddingLsh, xAnnTopk, xAnnIvf, xTextQuality, xTextLangid,
+    xDedupEmbeddingLsh, xAnnTopk, xAnnIvf, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextFingerprint, xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }
