@@ -48,28 +48,28 @@ object Ingest {
       disposition: String = "WRITE_APPEND"): Report = {
     require(datasetIdRe.matches(datasetId), s"Invalid target dataset ID format: $datasetId") // etl.py:1242–1244
 
+    // extension dispatch (etl.py:526–529); a trailing .gz is transparent
+    // for the formats Spark decompresses natively (csv, json)
+    val nameNoGz = {
+      val low = objectPath.toLowerCase
+      if (low.endsWith(".gz")) objectPath.dropRight(3) else objectPath
+    }
     val baseName = {
-      val f = new java.io.File(objectPath).getName
+      val f = new java.io.File(nameNoGz).getName
       f.lastIndexOf('.') match { case -1 => f; case i => f.substring(0, i) }
     }
-    val ext = objectPath.toLowerCase.reverse.takeWhile(_ != '.').reverse
+    val ext = nameNoGz.toLowerCase.reverse.takeWhile(_ != '.').reverse
 
     val sheets: Map[String, Grid] = ext match {
       case "csv" => Map("_default_" -> Grid.readCsv(spark, objectPath))
+      case "json" | "jsonl" =>
+        // beyond the reference's formats: JSON-lines, typed by Spark's
+        // reader, stringified into the grid IR like the parquet path
+        val df = spark.read.json(objectPath)
+        Map("_default_" -> typedToGrid(spark, df))
       case "parquet" =>
         // typed passthrough: stringify into grid IR for a uniform path
-        val df = spark.read.parquet(objectPath)
-        val asStr = df.select(df.columns.map(c =>
-          org.apache.spark.sql.functions.col(c).cast("string")): _*)
-        val hdr = spark.createDataFrame(
-          spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(df.columns.toSeq)), 1),
-          org.apache.spark.sql.types.StructType(df.columns.map(c =>
-            org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
-        val g = Grid.withRowIds(
-          hdr.toDF(df.columns.indices.map(_.toString): _*)
-            .unionByName(asStr.toDF(df.columns.indices.map(_.toString): _*)),
-          df.columns.length)
-        Map("_default_" -> g)
+        Map("_default_" -> typedToGrid(spark, spark.read.parquet(objectPath)))
       case "xlsx" =>
         // driver-side workbook read into the grid IR (etl.py:242–271)
         graft.io.XlsxReader.readWorkbook(spark, objectPath)
@@ -83,6 +83,25 @@ object Ingest {
     }
 
     processSheets(spark, sheets, baseName, datasetDir, datasetId, strategy, disposition)
+  }
+
+  /** Typed DataFrame → grid IR: a synthetic header row of the column
+    * names, then every value stringified — the uniform path that lets
+    * typed sources flow through the same detect→clean→infer→align
+    * pipeline as untyped grids.
+    */
+  private def typedToGrid(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Grid = {
+    val asStr = df.select(df.columns.map(c =>
+      org.apache.spark.sql.functions.col(c).cast("string")): _*)
+    val hdr = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row.fromSeq(df.columns.toSeq)), 1),
+      org.apache.spark.sql.types.StructType(df.columns.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+    Grid.withRowIds(
+      hdr.toDF(df.columns.indices.map(_.toString): _*)
+        .unionByName(asStr.toDF(df.columns.indices.map(_.toString): _*)),
+      df.columns.length)
   }
 
   /** Sheet-map entry point (the workbook path, etl.py:1272–1344). */

@@ -82,4 +82,33 @@ class IngestSpec extends SparkSuite {
       "book", dir.resolve("ds").toString, "ds1")
     assert(report.loaded.map(_.name).toSet == Set("book_Summary", "book_Q1_Data"))
   }
+
+  test("json-lines object (plain and gzipped) ingests with typed round-trip") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("jsonin")
+    val plain = dir.resolve("ev.jsonl")
+    Files.writeString(plain,
+      """{"id": 1, "amount": 10.5, "tag": "a"}
+        |{"id": 2, "amount": 20.0, "tag": "b"}
+        |{"id": 3, "amount": 30.25, "tag": "c"}
+        |{"id": 4, "amount": 40.0, "tag": "d"}
+        |""".stripMargin)
+    // gzip a copy
+    val gz = dir.resolve("ev2.jsonl.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(gz))
+    out.write(Files.readAllBytes(plain)); out.close()
+
+    val ds = dir.resolve("ds").toString
+    val r1 = Ingest.processObject(spark, plain.toString, ds, "ds1")
+    assert(r1.errors.isEmpty && r1.loaded.map(_.name) == Seq("ev"))
+    val t1 = spark.read.parquet(s"$ds/ev")
+    assert(t1.count() == 4)
+    assert(t1.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(t1.schema("amount").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(t1.schema("tag").dataType == org.apache.spark.sql.types.StringType)
+
+    val r2 = Ingest.processObject(spark, gz.toString, ds, "ds1")
+    assert(r2.errors.isEmpty && r2.loaded.map(_.name) == Seq("ev2"))
+    assert(spark.read.parquet(s"$ds/ev2").count() == 4)
+  }
 }
