@@ -44,14 +44,14 @@ object Analytic {
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           sum(dec2(col("o_totalprice")))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(38,2)").as("running_total"),
+            .cast("decimal(38,2)").cast("double").as("running_total"),
           lag(col("o_totalprice"), 1).over(w).as("prev_price"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey, o_orderdate,
-      SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
       lag(o_totalprice, 1) OVER (
         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
       FROM orders ORDER BY o_custkey, o_orderkey"""))
@@ -67,13 +67,13 @@ object Analytic {
         .select(
           col("o_custkey"), col("o_orderkey"),
           sum(dec2(col("o_totalprice"))).over(w)
-            .cast("decimal(38,2)").as("mov_sum"),
+            .cast("decimal(38,2)").cast("double").as("mov_sum"),
           min(col("o_totalprice")).over(w).as("mov_min"),
           max(col("o_totalprice")).over(w).as("mov_max"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     Some("""SELECT o_custkey, o_orderkey,
-      SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS mov_sum,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DOUBLE) AS mov_sum,
       min(o_totalprice) OVER w AS mov_min,
       max(o_totalprice) OVER w AS mov_max
       FROM orders
@@ -93,7 +93,7 @@ object Analytic {
           count(lit(1)).as("n"),
           grouping_id().cast("bigint").as("gid")),
     Some("""SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n,
       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
 
@@ -107,7 +107,7 @@ object Analytic {
           sum38(dec2(col("o_totalprice")), 2, "total"),
           grouping_id().cast("bigint").as("gid")),
     Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS total,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total,
       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
       FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""))
 
@@ -119,14 +119,14 @@ object Analytic {
     (s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql("""SELECT l_returnflag, l_linestatus,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
         COUNT(*) AS n,
         CAST(grouping_id() AS BIGINT) AS gid
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty, COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n,
       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
       FROM lineitem
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"""))
@@ -141,12 +141,12 @@ object Analytic {
       t(s, dir, "lineitem")
         .groupBy(col("l_linestatus"))
         .pivot("l_returnflag", Seq("A", "N", "R"))
-        .agg(sum(dec2(col("l_quantity"))).cast("decimal(38,2)"))
+        .agg(sum(dec2(col("l_quantity"))).cast("decimal(38,2)").cast("double"))
         .orderBy(col("l_linestatus")),
     Some("""SELECT l_linestatus,
-      SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS "A",
-      SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS "N",
-      SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS "R"
+      CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "A",
+      CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "N",
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(10,2)) END) AS DOUBLE) AS "R"
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
 
   /** Exact percentiles (interpolating, like SQL percentile_cont). */

@@ -19,7 +19,7 @@ object Events {
     Some("""SELECT date_trunc('hour', ts) AS ws,
       date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
       event_type, COUNT(*) AS n,
-      SUM(CAST(value AS DECIMAL(10,2))) AS total_value
+      CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2, 3 ORDER BY ws, event_type"""))
 
   /** Sliding 1-hour windows, 30-minute slide: each event lands in two

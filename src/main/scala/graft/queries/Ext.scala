@@ -230,12 +230,16 @@ object Ext {
     None)
 
   /** Stubbed feature extraction: payload → fixed-dim embedding via
-    * batch-iterated mapPartitions — rows-only (fake model).
+    * batch-iterated mapPartitions — rows-only (fake model). The raw
+    * ArrayType(Float) column is serialized via H.arrStr for transport
+    * (list cells are unhashable in the driver's pandas compare); the
+    * operator itself still emits the typed array (asserted in ExtSpec).
     */
   val xMultimodalFeatures = Q(
     "x_multimodal_features",
     (s, dir) => Multimodal.featureExtract(
       Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
+      .select(col("id"), graft.queries.H.arrStr(col("feature")).as("feature"))
       .orderBy(col("id")),
     None)
 
@@ -281,14 +285,14 @@ object Ext {
           count(lit(1)).as("p_n"),
           max(col("l_extendedprice")).as("p_max")),
         combine = Seq(
-          sum(col("p_sum")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("p_sum")).cast("decimal(38,2)").cast("double").as("sum_qty"),
           sum(col("p_n")).cast("bigint").as("n"),
           max(col("p_max")).as("max_price")))
         .withColumnRenamed("_key", "l_returnflag")
         .orderBy(col("l_returnflag"))
     },
     Some("""SELECT l_returnflag,
-      SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
       COUNT(*) AS n, max(l_extendedprice) AS max_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 

@@ -100,8 +100,10 @@ object Extra {
       SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part)
       ORDER BY p_partkey, metric"""))
 
-  /** Array function battery over the embeddings table (floats are
-    * bit-compared — no arithmetic, only selection/reordering).
+  /** Array function battery over the embeddings table (scalar floats
+    * are bit-compared — no arithmetic, only selection/reordering; the
+    * array-valued outputs go through H.arrStr because raw list columns
+    * are unhashable in the driver's pandas compare).
     */
   val q37ArrayFuncs = Q(
     "q37_array_funcs",
@@ -114,8 +116,8 @@ object Extra {
           element_at(col("embedding"), -1).as("last_c"),
           array_max(col("embedding")).as("max_c"),
           array_min(col("embedding")).as("min_c"),
-          slice(col("embedding"), 1, 3).as("head3"),
-          sort_array(slice(col("embedding"), 1, 4)).as("sorted4"),
+          arrStr(slice(col("embedding"), 1, 3)).as("head3"),
+          arrStr(sort_array(slice(col("embedding"), 1, 4))).as("sorted4"),
           array_position(col("embedding"), array_max(col("embedding")))
             .cast("bigint").as("argmax1"))
         .orderBy(col("vec_id")),
@@ -125,8 +127,10 @@ object Extra {
       embedding[-1] AS last_c,
       list_aggregate(embedding, 'max') AS max_c,
       list_aggregate(embedding, 'min') AS min_c,
-      embedding[1:3] AS head3,
-      list_sort(embedding[1:4]) AS sorted4,
+      array_to_string(list_transform(embedding[1:3],
+        x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS head3,
+      array_to_string(list_transform(list_sort(embedding[1:4]),
+        x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS sorted4,
       CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax1
       FROM embeddings ORDER BY vec_id"""))
 
@@ -262,13 +266,15 @@ object Extra {
             lit("price"), col("p_retailprice")).as("m"))
         .select(
           col("p_partkey"),
-          map_keys(col("m")).as("ks"),
-          map_values(col("m")).as("vs"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
+          arrStr(map_values(col("m"))).as("vs"),
           element_at(col("m"), "price").as("price_v"),
           size(col("m")).cast("bigint").as("m_size"))
         .orderBy(col("p_partkey")),
     Some("""SELECT p_partkey,
-      map_keys(m) AS ks, map_values(m) AS vs,
+      array_to_string(map_keys(m), ',') AS ks,
+      array_to_string(list_transform(map_values(m),
+        x -> printf('%.6f', CAST(x AS DOUBLE))), ',') AS vs,
       m['price'][1] AS price_v,
       CAST(cardinality(m) AS BIGINT) AS m_size
       FROM (SELECT p_partkey,

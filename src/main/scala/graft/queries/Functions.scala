@@ -181,8 +181,11 @@ object Functions {
           exp(col("l_tax")).as("exp_tax"),
           // ln: JVM Math.log and DuckDB std::log differ by 1 ulp on some
           // inputs (libm is not correctly-rounded); both sides round to
-          // 12 decimals, which absorbs the ulp away from grid boundaries
-          log(col("l_quantity") + 1).cast("decimal(20,12)").as("ln1p_qty"),
+          // 12 decimals, which absorbs the ulp away from grid boundaries,
+          // then surface the rounded value as DOUBLE (decimal repr is
+          // engine-specific downstream)
+          log(col("l_quantity") + 1).cast("decimal(20,12)")
+            .cast("double").as("ln1p_qty"),
           signum(col("l_quantity") - 25).as("sign_dev"),
           greatest(col("l_quantity"), col("l_discount") * 100).as("g"),
           least(col("l_quantity"), col("l_tax") * 100).as("l"),
@@ -197,7 +200,7 @@ object Functions {
       sqrt(l_quantity) AS sqrt_qty,
       pow(l_discount, 2) AS disc_sq,
       exp(l_tax) AS exp_tax,
-      CAST(ln(1 + l_quantity) AS DECIMAL(20,12)) AS ln1p_qty,
+      CAST(CAST(ln(1 + l_quantity) AS DECIMAL(20,12)) AS DOUBLE) AS ln1p_qty,
       CAST(sign(l_quantity - 25) AS DOUBLE) AS sign_dev,
       greatest(l_quantity, l_discount * 100) AS g,
       least(l_quantity, l_tax * 100) AS l,

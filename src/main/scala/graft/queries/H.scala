@@ -10,7 +10,13 @@ import org.apache.spark.sql.functions._
   *     decimal addition is exact and order-independent, so any Spark
   *     partitioning produces bit-identical sums to DuckDB.
   *   - Spark widens SUM(DECIMAL(p,s)) to p+10 while DuckDB widens to 38;
-  *     every final decimal aggregate is cast to DECIMAL(38,s).
+  *     AND the two engines surface decimals differently downstream
+  *     (pandas Decimal('138014.00') vs DuckDB float64 138014.0), which
+  *     defeats a representation-sensitive comparator even on identical
+  *     values. So every final decimal aggregate is normalized to
+  *     DECIMAL(38,s) and then cast to DOUBLE on BOTH sides — one
+  *     deterministic, correctly-rounded conversion of the same exact
+  *     decimal, hence bit-identical doubles.
   *   - Averages = CAST(exact decimal SUM AS DOUBLE) / COUNT in BOTH
   *     engines: double division of identical operands is IEEE-identical.
   *   - COUNT → BIGINT on both sides; DuckDB SUM(BIGINT) is HUGEINT, so
@@ -24,9 +30,25 @@ object H {
   def dec2(c: Column): Column = c.cast("decimal(10,2)")
   val one2: Column = lit(1).cast("decimal(10,2)")
 
-  /** Exact decimal sum, widened to DuckDB's SUM output type. */
+  /** Exact decimal sum, widened to DuckDB's SUM output type, surfaced
+    * as DOUBLE (mirror the oracle with CAST(SUM(...) AS DOUBLE)).
+    */
   def sum38(c: Column, scale: Int, name: String): Column =
-    sum(c).cast(s"decimal(38,$scale)").as(name)
+    sum(c).cast(s"decimal(38,$scale)").cast("double").as(name)
+
+  /** Canonical cross-engine string form of a float/double array. Raw
+    * array columns are unhashable in the driver's pandas compare, and
+    * raw float-to-string differs between the JVM and DuckDB (scientific
+    * notation thresholds, shortest-repr algorithms) — so serialize each
+    * element as fixed-point %.6f. A tie at the 6th decimal would need
+    * value*10^6 = k+0.5 exactly, impossible for binary floats (the
+    * denominator carries a factor 5^6), so Java's HALF_UP and C's
+    * round-to-nearest produce identical digits for every input.
+    * Oracle mirror:
+    *   array_to_string(list_transform(a, x -> printf('%.6f', CAST(x AS DOUBLE))), ',')
+    */
+  def arrStr(c: Column): Column =
+    concat_ws(",", transform(c, x => format_string("%.6f", x.cast("double"))))
 
   /** Order-independent average: exact decimal sum → double → divide. */
   def avgViaDec(c: Column, name: String): Column =

@@ -38,10 +38,10 @@ object Relational {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      SUM(CAST(l_quantity AS DECIMAL(10,2))) AS sum_qty,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS sum_base_price,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS sum_disc_price,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2))) * (CAST(1 AS DECIMAL(10,2)) + CAST(l_tax AS DECIMAL(10,2)))) AS DOUBLE) AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
       COUNT(*) AS count_order
       FROM lineitem
@@ -85,7 +85,7 @@ object Relational {
         .limit(10)
     },
     Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS revenue
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -139,7 +139,7 @@ object Relational {
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS revenue
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -164,7 +164,7 @@ object Relational {
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
         .agg(sum38(dec2(col("l_extendedprice")) * dec2(col("l_discount")), 4, "revenue")),
-    Some("""SELECT SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2))) AS revenue
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""),
@@ -183,7 +183,7 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
     Some("""SELECT o_orderstatus, COUNT(*) AS n_empty,
-      SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS total_value
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total_value
       FROM orders WHERE NOT EXISTS (
         SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
       GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
@@ -198,11 +198,12 @@ object Relational {
         .groupBy(col("l_returnflag"))
         .agg(
           countDistinct(col("l_suppkey")).as("n_supp"),
-          sum_distinct(dec2(col("l_quantity"))).cast("decimal(38,2)").as("sum_dist_qty"),
+          sum_distinct(dec2(col("l_quantity"))).cast("decimal(38,2)")
+            .cast("double").as("sum_dist_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
-      SUM(DISTINCT CAST(l_quantity AS DECIMAL(10,2))) AS sum_dist_qty,
+      CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(10,2))) AS DOUBLE) AS sum_dist_qty,
       COUNT(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
@@ -253,7 +254,7 @@ object Relational {
         .orderBy(col("band"))
     },
     Some("""SELECT band, COUNT(*) AS n_parts,
-      SUM(CAST(p_retailprice AS DECIMAL(10,2))) AS total_price
+      CAST(SUM(CAST(p_retailprice AS DECIMAL(10,2))) AS DOUBLE) AS total_price
       FROM part JOIN (VALUES
         ('budget', CAST(900.0 AS DOUBLE), CAST(935.0 AS DOUBLE)),
         ('mid', CAST(935.0 AS DOUBLE), CAST(970.0 AS DOUBLE)),
@@ -292,7 +293,7 @@ object Relational {
         .filter(col("n_orders") >= 20)
         .orderBy(col("o_custkey")),
     Some("""SELECT o_custkey, COUNT(*) AS n_orders,
-      SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS total_spent
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total_spent
       FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 20
       ORDER BY o_custkey"""))
 

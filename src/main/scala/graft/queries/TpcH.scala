@@ -38,7 +38,7 @@ object TpcH {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     Some("""SELECT supp_nation, cust_nation, l_year,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS volume
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS volume
       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
           CAST(year(l_shipdate) AS INTEGER) AS l_year,
           l_extendedprice, l_discount
@@ -84,8 +84,8 @@ object TpcH {
         .orderBy(col("o_year"))
     },
     Some("""SELECT o_year,
-      CAST(nation_volume AS DECIMAL(38,4)) AS nation_volume,
-      CAST(total_volume AS DECIMAL(38,4)) AS total_volume,
+      CAST(CAST(nation_volume AS DECIMAL(38,4)) AS DOUBLE) AS nation_volume,
+      CAST(CAST(total_volume AS DECIMAL(38,4)) AS DOUBLE) AS total_volume,
       CAST(nation_volume AS DOUBLE) / CAST(total_volume AS DOUBLE) AS mkt_share
       FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
         SUM(CASE WHEN n1.n_name = 'NATION_3'
@@ -120,7 +120,7 @@ object TpcH {
         .limit(20)
     },
     Some("""SELECT c_custkey, c_name, c_acctbal,
-      SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS revenue
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (CAST(1 AS DECIMAL(10,2)) - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -147,8 +147,8 @@ object TpcH {
           sum38(revenue(col("l_extendedprice"), col("l_discount")), 4, "total_rev"))
         .withColumn("promo_pct",
           lit(100.0) * col("promo_rev").cast("double") / col("total_rev").cast("double")),
-    Some("""SELECT CAST(promo_rev AS DECIMAL(38,4)) AS promo_rev,
-      CAST(total_rev AS DECIMAL(38,4)) AS total_rev,
+    Some("""SELECT CAST(CAST(promo_rev AS DECIMAL(38,4)) AS DOUBLE) AS promo_rev,
+      CAST(CAST(total_rev AS DECIMAL(38,4)) AS DOUBLE) AS total_rev,
       100.0 * CAST(promo_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) AS promo_pct
       FROM (SELECT
         SUM(CASE WHEN p_type = 'PROMO'
