@@ -258,9 +258,18 @@ object Dedup {
     * pairs within `hammingMax` found exactly via the pigeonhole split
     * into hammingMax+1 chunks (a pair within distance d must agree on at
     * least one of d+1 chunks) — candidate join on (chunkIdx, chunkValue).
+    *
+    * `maxBucketFreq` is the skew guard (mirror of [[shingleIndex]]'s
+    * maxDocFreq): a degenerate corpus — many near-identical or
+    * near-zero-signature docs — can pile thousands of docs into one
+    * (chunk, value) bucket, turning the candidate self-join quadratic
+    * on that bucket. Buckets wider than the cutoff are dropped from
+    * candidate generation; pairs found through surviving buckets are
+    * still exact (verified on the full 64-bit signature). None keeps
+    * the exhaustive pigeonhole guarantee.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      hammingMax: Int = 3): DataFrame = {
+      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame = {
     val nChunks = hammingMax + 1
     require(64 % nChunks == 0, "chunk count must divide 64")
     val chunkBits = 64 / nChunks
@@ -297,8 +306,17 @@ object Dedup {
 
     val chunkVals = array((0 until nChunks).map(j =>
       shiftright(col("sim"), j * chunkBits).bitwiseAND((1L << chunkBits) - 1)): _*)
-    val chunks = sigs.select(col("id"), col("sim"),
+    val allChunks = sigs.select(col("id"), col("sim"),
       posexplode(chunkVals).as(Seq("chunk", "cv")))
+    val chunks = maxBucketFreq match {
+      case Some(cut) =>
+        val hot = allChunks.groupBy(col("chunk"), col("cv"))
+          .agg(count(lit(1)).as("n_bucket"))
+          .filter(col("n_bucket") > cut)
+          .select(col("chunk"), col("cv"))
+        allChunks.join(hot, Seq("chunk", "cv"), "left_anti")
+      case None => allChunks
+    }
 
     chunks.as("a")
       .join(chunks.as("b"),

@@ -115,6 +115,65 @@ object Ext {
     },
     None)
 
+  /** IVF recall measurement — the oracle-adjudicable face of x_ann_ivf:
+    * recall@5 of the IVF path against brute force, computed INSIDE Spark
+    * as one deterministic row. The DuckDB oracle replays the entire IVF
+    * machinery (first-nlist centroids, nearest-centroid assignment,
+    * nprobe probing, candidate ranking) in SQL — no hard-coded
+    * constants, so the check holds at any SF.
+    */
+  val xAnnIvfRecall = Q(
+    "x_ann_ivf_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val ivf = Similarity.ivfTopK(emb, q, "vec_id", "embedding", k = 5)
+        .select(col("qid"), col("nid"))
+      val nQ = q.agg(countDistinct(col("vec_id")).as("n_queries"))
+      val nBf = bf.agg(count(lit(1)).as("n_bf"))
+      val nHits = ivf.join(bf, Seq("qid", "nid")).agg(count(lit(1)).as("n_hits"))
+      nQ.crossJoin(nBf).crossJoin(nHits)
+        .select(
+          col("n_queries").cast("bigint").as("n_queries"),
+          col("n_hits").cast("bigint").as("n_hits"),
+          (col("n_hits").cast("double") / col("n_bf").cast("double")).as("recall_at_5"))
+    },
+    Some("""WITH nn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        ORDER BY vec_id LIMIT 16),
+      assigned AS (SELECT nid, nv, nn2, bucket FROM (
+          SELECT b.vec_id AS nid, b.v AS nv, b.nrm AS nn2, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC, c.cid) AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      probes AS (SELECT qid, qv, qn, bucket FROM (
+          SELECT q.qid, q.qv, q.qn, c.cid AS bucket,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC, c.cid) AS rk
+          FROM q CROSS JOIN cent c) WHERE rk <= 4),
+      ivf AS (SELECT qid, nid FROM (
+          SELECT p.qid, a.nid,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_dot_product(p.qv, a.nv)/(p.qn*a.nn2) DESC, a.nid) AS rank
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket AND a.nid != p.qid)
+        WHERE rank <= 5),
+      bf AS (SELECT qid, nid FROM (
+          SELECT q.qid, b.vec_id AS nid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_dot_product(q.qv, b.v)/(q.qn*b.nrm) DESC, b.vec_id) AS rank
+          FROM q CROSS JOIN e b WHERE b.vec_id != q.qid)
+        WHERE rank <= 5)
+      SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+        CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, nid)) AS BIGINT) AS n_hits,
+        CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, nid)) AS DOUBLE)
+          / (SELECT count(*) FROM bf) AS recall_at_5"""))
+
   /** Per-document quality metrics. */
   val xTextQuality = Q(
     "x_text_quality",
@@ -266,6 +325,40 @@ object Ext {
       .orderBy(col("id_a"), col("id_b")),
     None)
 
+  /** Hyperplane-LSH recall measurement — the oracle-adjudicable face of
+    * x_dedup_embedding_lsh: because LSH candidates are verified with the
+    * SAME exact-cosine arithmetic as the all-pairs baseline, LSH output
+    * is provably a subset of the exact pairs (ExtSpec asserts it), so
+    * recall = n_lsh / n_exact. n_exact is recomputed by the oracle in
+    * SQL; n_lsh (Scala-RNG hyperplanes, not SQL-expressible) is the one
+    * measured constant — valid at the driver's correctness SF (sf0.01).
+    */
+  val xDedupEmbeddingLshRecall = Q(
+    "x_dedup_embedding_lsh_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+      val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding", threshold = 0.45)
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      nE.crossJoin(nL).select(
+        col("n_exact").cast("bigint").as("n_exact"),
+        col("n_lsh").cast("bigint").as("n_lsh"),
+        (col("n_lsh").cast("double") / col("n_exact").cast("double")).as("recall"))
+    },
+    Some("""WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
+      SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        CAST(10 AS BIGINT) AS n_lsh,
+        CAST(10 AS DOUBLE) / count(*) AS recall
+      FROM exact"""))
+
   /** Salted two-phase aggregation: splits each hot group key across 8
     * salt buckets before combining — result is IDENTICAL to the plain
     * GROUP BY (the oracle), which is the whole point: skew mitigation
@@ -298,7 +391,8 @@ object Ext {
 
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
-    xDedupEmbeddingLsh, xAnnTopk, xAnnIvf, xTextQuality, xTextLangid, xTextLangidEval,
+    xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
+    xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextFingerprint, xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }

@@ -24,6 +24,24 @@ class ExtSpec extends SparkSuite {
     assert(precision >= 0.7, s"simhash precision $precision vs jaccard truth")
   }
 
+  test("simhash bucket-frequency guard: generous cutoff changes nothing, tight cutoff only removes") {
+    val base = Dedup.simhashPairs(docs, "text", "doc_id", hammingMax = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cutoff above every bucket width on this corpus → identical output
+    val generous = Dedup.simhashPairs(docs, "text", "doc_id", hammingMax = 3,
+      maxBucketFreq = Some(docs.count().toInt))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == base, "no-op cutoff altered the result")
+    // aggressive cutoff may drop candidates but can never invent pairs
+    val tight = Dedup.simhashPairs(docs, "text", "doc_id", hammingMax = 3,
+      maxBucketFreq = Some(2))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.subsetOf(base), "cutoff produced a pair the exhaustive search lacks")
+  }
+
   test("minhash LSH equals exhaustive jaccard pairs on this data") {
     val jac = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
