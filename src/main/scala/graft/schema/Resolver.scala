@@ -39,6 +39,51 @@ object Resolver {
   /** Optional LLM transport; None in this environment (no network). */
   type LlmFetch = DataFrame => Option[Seq[(String, String)]]
 
+  /** Raw-text transport (what a real HTTP client returns); adapt with
+    * [[llmFromRaw]]. Lets the full cascade be exercised end-to-end with
+    * canned responses even though the sandbox has zero egress.
+    */
+  type LlmTransport = DataFrame => Option[String]
+
+  /** LLM response-text parsing (etl.py:777–816): parse as JSON; on
+    * failure strip a ```json ... ``` markdown fence and retry; the
+    * result must be a non-empty list of objects each carrying non-empty
+    * string `name`/`type`. A malformed ITEM rejects the whole response
+    * (etl.py:805–816 raises), unlike an unknown column name, which
+    * merely skips that item later in [[validateLlmSchema]].
+    */
+  def parseLlmResponse(raw: String): Option[Seq[(String, String)]] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def tryParse(s: String): Option[JValue] = Try(JsonMethods.parse(s)).toOption
+    val fence = "(?is)```json\\s*([\\s\\S]*?)\\s*```".r
+    val parsed = tryParse(raw).orElse {
+      val cleaned = fence
+        .replaceAllIn(raw, m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
+        .trim
+      tryParse(cleaned)
+    }
+    parsed.flatMap {
+      case JArray(items) if items.nonEmpty =>
+        val pairs: Seq[Option[(String, String)]] = items.map {
+          case JObject(fields) =>
+            val m = fields.toMap
+            (m.get("name"), m.get("type")) match {
+              case (Some(JString(n)), Some(JString(t))) if n.nonEmpty && t.nonEmpty =>
+                Some(n -> t)
+              case _ => None
+            }
+          case _ => None
+        }
+        if (pairs.contains(None)) None else Some(pairs.flatten)
+      case _ => None // not a list, or empty list (etl.py:790–793)
+    }
+  }
+
+  /** Wire a raw-text transport into the cascade's [[LlmFetch]] slot. */
+  def llmFromRaw(transport: LlmTransport): LlmFetch =
+    df => transport(df).flatMap(parseLlmResponse)
+
   /** Existing-schema lookup: read the sink's parquet schema if the
     * target already exists (get_existing_schema, etl.py:927–931).
     */
