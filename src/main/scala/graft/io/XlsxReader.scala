@@ -18,8 +18,8 @@ import graft.grid.Grid
   * STRING (the grid IR), header suppressed, columns renumbered 0..n-1.
   *
   * Scope: cell types s (shared string), inlineStr, n/b/str (raw value
-  * text) — formulas yield their cached value; .xls (binary BIFF) is out
-  * of scope, exactly as pandas would need xlrd for it.
+  * text) — formulas yield their cached value; legacy binary .xls is
+  * handled by the sibling [[XlsReader]] (BIFF8).
   *
   * Driver-side by design: workbooks are spreadsheet-scale artifacts
   * (the reference loads them whole into pandas); the output is a Grid

@@ -74,10 +74,9 @@ object Ingest {
         // driver-side workbook read into the grid IR (etl.py:242–271)
         graft.io.XlsxReader.readWorkbook(spark, objectPath)
       case "xls" =>
-        // binary BIFF needs a dedicated parser (the reference needs xlrd
-        // for it too, etl.py:564); explicit error beats misbehavior
-        throw new UnsupportedOperationException(
-          ".xls (BIFF) is not supported; convert to .xlsx")
+        // binary BIFF8 workbook (the reference reads it via pandas+xlrd,
+        // etl.py:527,544,564)
+        graft.io.XlsReader.readWorkbook(spark, objectPath)
       case other =>
         throw new IllegalArgumentException(s"Unsupported extension: .$other") // etl.py:526–529
     }
