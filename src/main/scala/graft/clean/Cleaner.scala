@@ -43,11 +43,14 @@ object Cleaner {
     val dataCols = grid.dataCols
     if (dataCols.isEmpty) return Cleaned(grid.df, promotedHeader = false, Seq.empty)
 
+    // one job fetches the first row AND its _row id (= min(_row), since
+    // the limit-1 is ordered by it)
     val firstRowOpt = grid.df.orderBy("_row").limit(1)
-      .select(dataCols.map(col): _*).collect().headOption
+      .select(col("_row") +: dataCols.map(col): _*).collect().headOption
     if (firstRowOpt.isEmpty) return Cleaned(grid.df, promotedHeader = false, dataCols)
     val firstRow = dataCols.indices.map(i =>
-      if (firstRowOpt.get.isNullAt(i)) null else firstRowOpt.get.getString(i))
+      if (firstRowOpt.get.isNullAt(i + 1)) null else firstRowOpt.get.getString(i + 1))
+    val minRow = firstRowOpt.get.getLong(0)
 
     val promote = isLikelyHeader(firstRow, dataCols)
     val rawNames =
@@ -55,7 +58,6 @@ object Cleaner {
       else dataCols
     val names = Names.sanitizeAll(rawNames)
 
-    val minRow = grid.df.agg(min("_row")).head().getLong(0)
     var df = grid.df
     if (promote) df = df.filter(col("_row") > minRow) // drop promoted row (etl.py:648)
 

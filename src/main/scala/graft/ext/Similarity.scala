@@ -99,6 +99,17 @@ object Similarity {
     * candidates (equi-join, never O(n²)); candidates are verified with
     * the exact cosine, so false positives are impossible and only
     * band-recall is approximate.
+    *
+    * Sizing at scale: random collisions per band scale with
+    * n² / 2^bitsPerBand, so bitsPerBand should grow with log2(n)
+    * (defaults suit ~10^4–10^5 vectors; at 10^8 use ≥24-bit bands and
+    * more of them). The recall/cost balance is threshold-dependent:
+    * dedup-grade thresholds (cosine ≥ 0.85, angle ≤ 32°) give high
+    * per-band match probability and cheap wide bands; the 0.45 used by
+    * the test corpus is nearly orthogonal (63° vs random's 90°), the
+    * hard regime for any hyperplane scheme — kept because the synthetic
+    * near-dup pairs sit there, and quantified by
+    * x_dedup_embedding_lsh_recall.
     */
   def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 256, bands: Int = 32,

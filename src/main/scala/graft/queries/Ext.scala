@@ -63,7 +63,8 @@ object Ext {
     "x_dedup_simhash",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
       hammingMax = 3).orderBy(col("doc_a"), col("doc_b")),
-    None)
+    None,
+    bench = true)
 
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline. */
   val xDedupEmbedding = Q(
@@ -323,7 +324,8 @@ object Ext {
     (s, dir) => Similarity.cosineLshPairs(t(s, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.45)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    None,
+    bench = true)
 
   /** Hyperplane-LSH recall measurement — the oracle-adjudicable face of
     * x_dedup_embedding_lsh: because LSH candidates are verified with the

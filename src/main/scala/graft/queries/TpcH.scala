@@ -101,7 +101,8 @@ object TpcH {
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         WHERE r_name = 'ASIA'
         GROUP BY 1)
-      ORDER BY o_year"""))
+      ORDER BY o_year"""),
+    bench = true)
 
   /** Q10 shape: returned-item revenue, top 20 customers. */
   val h10ReturnedItems = Q(
