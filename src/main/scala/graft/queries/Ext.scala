@@ -116,6 +116,21 @@ object Ext {
     },
     None)
 
+  /** IVF with k-means centroids (MLlib Lloyd's, fixed seed) — the
+    * production centroid path; MLlib's iteration isn't SQL-replayable →
+    * rows-only; recall vs brute force asserted in ExtSpec.
+    */
+  val xAnnIvfKmeans = Q(
+    "x_ann_ivf_kmeans",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, "embedding", nlist = 16)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, centroids = Some(cents))
+        .orderBy(col("qid"), col("rank"))
+    },
+    None)
+
   /** IVF recall measurement — the oracle-adjudicable face of x_ann_ivf:
     * recall@5 of the IVF path against brute force, computed INSIDE Spark
     * as one deterministic row. The DuckDB oracle replays the entire IVF
@@ -254,6 +269,79 @@ object Ext {
       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_lex_tokens
       FROM documents ORDER BY doc_id"""))
+
+  /** TF-IDF (smooth idf, scikit formulation): corpus-wide document
+    * frequencies, top-3 terms per document. idf goes through the
+    * 12-decimal rounding so the libm ln ulp can't split the engines;
+    * tf·idf is then a product of identical doubles.
+    */
+  val xTextTfidf = Q(
+    "x_text_tfidf",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+      Text.tfIdf(t(s, dir, "documents"), "text", "doc_id")
+        .filter(col("doc_id") < 50)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT doc_id, term, tf,
+        CAST(tf AS DOUBLE) *
+          (CAST(CAST(ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+            AS DECIMAL(20,12)) AS DOUBLE) + 1.0) AS tfidf
+        FROM tf JOIN dfreq USING (term), n),
+      r AS (SELECT doc_id, term, tf, tfidf,
+        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+        FROM sc WHERE doc_id < 50)
+      SELECT doc_id, term, tf, tfidf, rank FROM r
+      WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
+  /** BM25 ranking of the corpus against a fixed query (k1=1.2, b=0.75).
+    * Per-term contributions are decimal-rounded and summed exactly, so
+    * the score is partitioning-independent; constants in the oracle are
+    * written as the same IEEE folds the Scala side computes.
+    */
+  val xTextBm25 = Q(
+    "x_text_bm25",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      Text.bm25(t(s, dir, "documents"), "text", "doc_id",
+          terms = Seq("dup", "vector", "stream"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .orderBy(col("rank"))
+    },
+    Some("""WITH b2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+          string_split(text, ' ') AS toks FROM documents),
+      stats AS (SELECT count(*) AS n_docs,
+        CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM b2),
+      tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+          SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+        WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      contrib AS (SELECT doc_id,
+        CAST((CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(20,12)) AS DOUBLE)
+          * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+          / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+              * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+          AS DECIMAL(20,12)) AS c
+        FROM tf JOIN dfreq USING (term), stats),
+      sc AS (SELECT doc_id,
+        CAST(CAST(SUM(c) AS DECIMAL(38,12)) AS DOUBLE) AS score
+        FROM contrib GROUP BY 1)
+      SELECT doc_id, score,
+        CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      FROM sc QUALIFY rank <= 20 ORDER BY rank"""),
+    bench = true)
 
   /** Rolling-hash document fingerprint (order-sensitive). */
   val xTextFingerprint = Q(
@@ -394,7 +482,8 @@ object Ext {
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
-    xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
-    xTextTokens, xTextFingerprint, xMultimodalMeta, xMultimodalDecode,
+    xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
+    xTextTokens, xTextTfidf, xTextBm25, xTextFingerprint,
+    xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }

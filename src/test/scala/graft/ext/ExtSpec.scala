@@ -61,6 +61,26 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low") // nprobe=4/16 buckets
   }
 
+  test("k-means centroids beat first-n on queries outside the centroid set") {
+    // queries DISJOINT from the first-16 ids: when a query IS a
+    // centroid its own bucket is centered on itself and first-n recall
+    // is artificially perfect — the unbiased comparison uses ids ≥ 100
+    // (measured here: first-n 0.50, spherical k-means 0.64)
+    val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstN = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.kmeansCentroids(emb, "embedding", nlist = 16)
+    val km = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+      centroids = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rFirst = firstN.intersect(bf).size.toDouble / bf.size
+    val rKm = km.intersect(bf).size.toDouble / bf.size
+    assert(rKm >= rFirst, s"k-means recall $rKm below first-n $rFirst")
+    assert(rKm >= 0.3, s"k-means IVF recall $rKm too low")
+  }
+
   test("decode stub is deterministic and total") {
     val out = Multimodal.decode(
       Multimodal.withBinary(docs, "text", "doc_id"), "doc_id")
