@@ -357,6 +357,79 @@ object Ext {
         (a, x) -> (a*1000003 + x) % 2147483647) AS fp
       FROM documents ORDER BY doc_id"""))
 
+  /** End-to-end pretraining-data pipeline composition: quality-score →
+    * filter → exact-dedup survivors → per-language corpus stats. This
+    * is the shape a real training-data job runs nightly; every stage is
+    * one of the §2.8 operators and the whole thing is two shuffles
+    * (dedup on text, stats on lang).
+    */
+  val xPipelineQualityFilter = Q(
+    "x_pipeline_quality_filter",
+    (s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"),
+        (Text.stopwordCount(col("text")).cast("double") /
+          Text.wordCount(col("text"))).as("stop_ratio"))
+      val kept = scored.filter(col("n_words") >= 20 && col("stop_ratio") <= 0.5)
+      // survivor metrics via max() — constant within a text group, so
+      // deterministic (first() would not be)
+      val surv = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("lang")).as("lang"),
+          max(col("n_words")).as("n_words"))
+      surv.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("total_tokens"),
+          (sum(col("n_words")).cast("double") / count(lit(1))).as("mean_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id, text,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio
+        FROM sc),
+      kept AS (SELECT * FROM m WHERE n_words >= 20 AND stop_ratio <= 0.5),
+      surv AS (SELECT text, min(doc_id) AS doc_id, max(lang) AS lang,
+        max(n_words) AS n_words FROM kept GROUP BY text)
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_tokens
+      FROM surv GROUP BY lang ORDER BY lang"""),
+    bench = true)
+
+  /** Content-hash deterministic sampling: reproducible subsetting keyed
+    * on document CONTENT (not position or RNG) — rerun the pipeline on
+    * re-shuffled input and the same documents are sampled. Built on the
+    * SQL-replayable rolling-hash fingerprint, so it's oracle-checked.
+    */
+  val xSampleContentHash = Q(
+    "x_sample_content_hash",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      .filter(pmod(col("fp"), lit(10)) === 0)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, fp FROM (SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+        (a, x) -> (a*1000003 + x) % 2147483647) AS fp
+      FROM documents)
+      WHERE fp % 10 = 0 ORDER BY doc_id"""))
+
   /** Multimodal metadata: binary payload length + content hash. */
   val xMultimodalMeta = Q(
     "x_multimodal_meta",
@@ -484,6 +557,7 @@ object Ext {
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextFingerprint,
+    xPipelineQualityFilter, xSampleContentHash,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }

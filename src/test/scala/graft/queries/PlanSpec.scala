@@ -99,6 +99,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("corpus rankers broadcast the vocabulary-sized sides") {
+    for (name <- Seq("x_text_tfidf", "x_text_bm25")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$name does not broadcast df/stats:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("pipeline composition stays at two data shuffles + sort") {
+    val p = plan("x_pipeline_quality_filter")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"composition shuffles too much ($exchanges):\n$p")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
