@@ -273,6 +273,18 @@ object XlsReader {
   private def parseWorkbookStream(wb: Array[Byte]): Seq[(String, Seq[Seq[String]])] = {
     val recs = records(wb)
 
+    // BIFF version guard: BIFF5/BIFF7 (Excel 5.0/95) store strings and
+    // the SST differently — parsing them with BIFF8 rules would yield
+    // garbage, so fail loudly instead (the reference's xlrd handles
+    // those; conversion to .xlsx is the documented path)
+    recs.headOption.filter(_.id == RT_BOF).foreach { r =>
+      val vers = (wb(r.off) & 0xFF) | ((wb(r.off + 1) & 0xFF) << 8)
+      if (vers != 0x0600)
+        throw new UnsupportedOperationException(
+          f"BIFF version 0x$vers%04x is not BIFF8 (Excel 97+); " +
+            "convert older .xls files to .xlsx")
+    }
+
     // globals: SST (+ CONTINUEs) and BOUNDSHEET sheet directory
     var sst = IndexedSeq.empty[String]
     val sheets = Seq.newBuilder[(String, Int)] // (name, stream offset of sheet BOF)

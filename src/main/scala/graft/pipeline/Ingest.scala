@@ -70,6 +70,10 @@ object Ingest {
       case "parquet" =>
         // typed passthrough: stringify into grid IR for a uniform path
         Map("_default_" -> typedToGrid(spark, spark.read.parquet(objectPath)))
+      case "orc" =>
+        // beyond the reference's formats: ORC is Spark-native and flows
+        // through the same typed passthrough as parquet
+        Map("_default_" -> typedToGrid(spark, spark.read.orc(objectPath)))
       case "xlsx" =>
         // driver-side workbook read into the grid IR (etl.py:242–271)
         graft.io.XlsxReader.readWorkbook(spark, objectPath)

@@ -282,8 +282,53 @@ object Extra {
         FROM part)
       ORDER BY p_partkey"""))
 
+  /** Value-based (RANGE) window frames: sum/count over all orders of
+    * the same customer within ±30 days of each row's date — RANGE
+    * frames bound by VALUE distance, where ROWS frames (q24) bound by
+    * position. Spark needs a numeric sort key for rangeBetween, so both
+    * engines frame over epoch days.
+    */
+  val q52RangeFrames = Q(
+    "q52_range_frames",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("od").cast("long"))
+        .rangeBetween(-30, 30)
+      t(s, dir, "orders")
+        .withColumn("od", datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_near"),
+          sum(dec2(col("o_totalprice"))).over(w)
+            .cast("decimal(38,2)").cast("double").as("near_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      COUNT(*) OVER w AS n_near,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) OVER w AS DOUBLE) AS near_total
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS od
+        FROM orders)
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY od
+        RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+      ORDER BY o_custkey, o_orderkey"""))
+
+  /** Keyset-free pagination: ORDER BY + LIMIT/OFFSET (Spark's offset
+    * operator, not a filtered row_number).
+    */
+  val q53LimitOffset = Q(
+    "q53_limit_offset",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .offset(40)
+        .limit(20),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
     q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
-    q43ApproxSketches, q44MapFuncs)
+    q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset)
 }

@@ -75,6 +75,17 @@ class XlsReaderSpec extends SparkSuite {
     assert(g(1499) == Seq("1499", "749.5"))
   }
 
+  test("pre-BIFF8 workbooks fail loudly instead of parsing garbage") {
+    // same layout but the BOF declares BIFF5 (vers 0x0500)
+    val wb = workbook(Seq("x"), Seq("S" -> Seq(labelSst(0, 0, 0))))
+    val biff5 = wb.clone()
+    biff5(4) = 0x00; biff5(5) = 0x05 // vers field of the first BOF
+    val e = intercept[UnsupportedOperationException] {
+      XlsReader.parseBytes(cfb(biff5))
+    }
+    assert(e.getMessage.contains("BIFF8"))
+  }
+
   test(".xls flows through the full ingest pipeline") {
     val sst = Seq("id", "name", "n1", "n2")
     val sheet = Seq(

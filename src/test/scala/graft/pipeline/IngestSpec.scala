@@ -111,4 +111,20 @@ class IngestSpec extends SparkSuite {
     assert(r2.errors.isEmpty && r2.loaded.map(_.name) == Seq("ev2"))
     assert(spark.read.parquet(s"$ds/ev2").count() == 4)
   }
+
+  test("orc object ingests through the typed passthrough") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("orcin")
+    val orc = dir.resolve("metrics.orc").toString
+    Seq((1L, 1.5, "x"), (2L, 2.5, "y"), (3L, 3.5, "z"))
+      .toDF("id", "v", "tag").coalesce(1).write.orc(orc)
+    val ds = dir.resolve("ds").toString
+    val r = Ingest.processObject(spark, orc, ds, "ds1")
+    assert(r.errors.isEmpty && r.loaded.map(_.name) == Seq("metrics"))
+    val t = spark.read.parquet(s"$ds/metrics")
+    assert(t.count() == 3)
+    assert(t.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(t.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+  }
 }
