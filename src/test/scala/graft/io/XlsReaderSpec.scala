@@ -75,6 +75,59 @@ class XlsReaderSpec extends SparkSuite {
     assert(g(1499) == Seq("1499", "749.5"))
   }
 
+  test("randomized round-trip: arbitrary grids survive writer -> reader") {
+    val rnd = new scala.util.Random(12345L)
+    val alphabets = Seq(
+      "abcdefgh",            // compressed
+      "äöüßéñ",              // still single-byte range
+      "日本語中文한국",        // wide BMP
+      "a𝓫c😀d")              // supplementary (surrogate pairs)
+    def randomString(): String = {
+      val alpha = alphabets(rnd.nextInt(alphabets.length))
+      val cps = alpha.codePoints().toArray
+      val n = 1 + rnd.nextInt(8)
+      val sb = new java.lang.StringBuilder
+      (0 until n).foreach(_ => sb.appendCodePoint(cps(rnd.nextInt(cps.length))))
+      sb.toString
+    }
+    for (trial <- 0 until 10) {
+      val nRows = 1 + rnd.nextInt(12)
+      val nCols = 1 + rnd.nextInt(6)
+      val expected = Array.fill[String](nRows, nCols)(null)
+      val sstStrings = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      for (r <- 0 until nRows; c <- 0 until nCols) rnd.nextInt(4) match {
+        case 0 => // blank
+        case 1 =>
+          val s = randomString()
+          expected(r)(c) = s
+          sstStrings += s
+          cells += labelSst(r, c, sstStrings.length - 1)
+        case 2 =>
+          val s = randomString()
+          expected(r)(c) = s
+          cells += label(r, c, s)
+        case 3 =>
+          val d = if (rnd.nextBoolean()) rnd.nextInt(100000).toDouble
+                  else rnd.nextDouble() * 1000
+          expected(r)(c) = if (d == math.rint(d)) d.toLong.toString else d.toString
+          cells += number(r, c, d)
+      }
+      val parsed = XlsReader.parseBytes(
+        cfb(workbook(sstStrings.toSeq, Seq("S" -> cells.toSeq)))).head._2
+      // reader clips to the bounding box of non-empty cells
+      val liveRows = (0 until nRows).filter(r => expected(r).exists(_ != null))
+      if (liveRows.isEmpty) assert(parsed.isEmpty, s"trial $trial")
+      else {
+        val maxR = liveRows.max
+        val maxC = (0 to maxR).flatMap(r =>
+          (0 until nCols).filter(c => expected(r)(c) != null)).max
+        val exp = (0 to maxR).map(r => (0 to maxC).map(c => expected(r)(c)))
+        assert(parsed == exp, s"trial $trial: $parsed vs $exp")
+      }
+    }
+  }
+
   test("pre-BIFF8 workbooks fail loudly instead of parsing garbage") {
     // same layout but the BOF declares BIFF5 (vers 0x0500)
     val wb = workbook(Seq("x"), Seq("S" -> Seq(labelSst(0, 0, 0))))
@@ -118,6 +171,14 @@ object XlsFixture {
 
   def rec(id: Int, data: Array[Byte]): Array[Byte] = u16(id) ++ u16(data.length) ++ data
 
+  /** XLUnicodeString body (cch already written by caller as u8/u16):
+    * compressed single-byte form when all chars fit, else wide UTF-16LE
+    * with flags bit 0 set.
+    */
+  def xlChars(s: String): Array[Byte] =
+    if (s.forall(_ <= 0xFF)) Array(0.toByte) ++ s.map(_.toByte).toArray
+    else Array(1.toByte) ++ s.getBytes("UTF-16LE")
+
   private def cellHead(row: Int, col: Int): Array[Byte] = u16(row) ++ u16(col) ++ u16(0)
 
   def labelSst(row: Int, col: Int, isst: Int): Array[Byte] =
@@ -139,8 +200,7 @@ object XlsFixture {
     rec(0x00BD, body)
   }
   def label(row: Int, col: Int, s: String): Array[Byte] =
-    rec(0x0204, cellHead(row, col) ++ u16(s.length) ++ Array(0.toByte) ++
-      s.getBytes("ISO-8859-1"))
+    rec(0x0204, cellHead(row, col) ++ u16(s.length) ++ xlChars(s))
   def boolErr(row: Int, col: Int, v: Boolean): Array[Byte] =
     rec(0x0205, cellHead(row, col) ++ Array[Byte](if (v) 1 else 0, 0))
   def formulaNum(row: Int, col: Int, v: Double): Array[Byte] =
@@ -159,8 +219,7 @@ object XlsFixture {
     val b = new ByteArrayOutputStream()
     b.writeBytes(u32(strings.length)); b.writeBytes(u32(strings.length))
     strings.foreach { s =>
-      b.writeBytes(u16(s.length)); b.write(0)
-      b.writeBytes(s.getBytes("ISO-8859-1"))
+      b.writeBytes(u16(s.length)); b.writeBytes(xlChars(s))
     }
     rec(0x00FC, b.toByteArray)
   }
