@@ -175,27 +175,24 @@ object Dedup {
     * x = xxhash64(shingle) folded into [0,p); constants from a fixed
     * seed so results are deterministic.
     */
-  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+  /** Per-doc MinHash profile: signature minima, LSH band buckets, and
+    * the UTF-8-sorted shingle array — computed in ONE compiled
+    * flatMapGroups over the exchange on doc id. (A 128-expression
+    * Catalyst aggregate blows past codegen method limits and falls back
+    * to per-row interpretation — measured wildly variable 5–20s; and
+    * keeping the arrays here lets verification be candidate-sized
+    * joins instead of an inverted-index pipeline.)
+    * Shingle → [0,p) via the same xxhash64(seed 42) Catalyst uses.
+    */
+  private[ext] def minhashProfiles(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
-    val ab = Array.fill(numHashes)((1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
-
-    // self-contained: the verification step resolves arr_jaccard even
-    // when the caller's session was built without spark.sql.extensions
-    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val ab = Array.fill(numHashes)(
+      (1 + rnd.nextInt(Int.MaxValue - 1)).toLong -> rnd.nextInt(Int.MaxValue).toLong)
     val idx = shingleIndex(docs, textCol, idCol, k)
-
-    // Signatures, band buckets AND the sorted shingle array per doc in
-    // ONE compiled flatMapGroups over the exchange on doc id. (A
-    // 128-expression Catalyst aggregate blows past codegen method
-    // limits and falls back to per-row interpretation — measured wildly
-    // variable 5–20s; and keeping the arrays here lets verification be
-    // two candidate-sized joins instead of an inverted-index pipeline.)
-    // Shingle → [0,p) via the same xxhash64(seed 42) Catalyst uses.
     val spark2 = docs.sparkSession
     import spark2.implicits._
     val aArr = ab.map(_._1)
@@ -203,7 +200,7 @@ object Dedup {
     val nh = numHashes
     val rpb = rowsPerBand
     val nBands = bands
-    val profiles = idx.select(col("id").cast("long"), col("s"))
+    idx.select(col("id").cast("long"), col("s"))
       .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroups { (id: Long, it: Iterator[(Long, String)]) =>
@@ -230,9 +227,19 @@ object Dedup {
         // MUST match arr_jaccard's UTF-8 byte order (not Ordering.String
         // — Java UTF-16 order diverges on supplementary-plane chars)
         java.util.Arrays.sort(ss, utf8Order)
-        (id, ss.length, ss, buckets)
+        (id, ss.length, ss, buckets, sig.toSeq)
       }
-      .toDF("id", "n", "ss", "buckets")
+      .toDF("id", "n", "ss", "buckets", "sig")
+  }
+
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // self-contained: the verification step resolves arr_jaccard even
+    // when the caller's session was built without spark.sql.extensions
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val profiles = minhashProfiles(docs, textCol, idCol, k, numHashes, bands)
+      .drop("sig")
       .cache() // consumed by both band-join sides + both verify joins
 
     val bandEntries = profiles
@@ -256,6 +263,81 @@ object Dedup {
       .withColumn("jaccard", call_function("arr_jaccard", col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Incremental near-dup dedup for continuous ingestion — the batch
+    * face of "dedup the firehose": each incoming batch is (1) deduped
+    * in-batch exactly (band join + arr_jaccard verify, min-id
+    * survivor), (2) checked against the ACCUMULATED signature state at
+    * `statePath` via band-bucket candidates and the unbiased MinHash
+    * estimate (matching-component fraction; σ ≈ √(t(1−t)/numHashes) ≈
+    * 0.044 at t=0.5, 128 hashes), then (3) survivors' signatures are
+    * appended to the state.
+    *
+    * The state stores O(numHashes) longs per surviving doc — never
+    * shingle sets — so at fleet scale it stays signature-sized and the
+    * cross-batch check is a bucketed equi-join against it. Replaying
+    * the SAME batch yields zero survivors (its signatures are already
+    * in state): redelivery-safe by construction.
+    *
+    * Returns the surviving rows of `newDocs` (original columns).
+    */
+  def minhashDedupIncremental(newDocs: DataFrame, textCol: String,
+      idCol: String, statePath: String, k: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    graft.plans.GraftExtensions.ensure(newDocs.sparkSession)
+    val spark = newDocs.sparkSession
+
+    // (1) in-batch exact dedup: greedy min-id survivor over the verified
+    // pair set (any doc that is the GREATER side of a pair is dropped)
+    val inBatchDrops = minhashLshPairs(newDocs, textCol, idCol, k,
+      threshold, numHashes, bands)
+      .select(col("doc_b").as("id")).distinct()
+
+    val prof = minhashProfiles(newDocs, textCol, idCol, k, numHashes, bands)
+      .select(col("id"), col("buckets"), col("sig"))
+      .join(inBatchDrops, Seq("id"), "left_anti")
+      .cache()
+
+    // (2) cross-batch: band candidates against state, similarity via
+    // the matching-signature fraction (integer count / numHashes — a
+    // deterministic rational, identical on any partitioning)
+    val state = scala.util.Try(spark.read.parquet(statePath)).toOption
+    val crossDups = state match {
+      case Some(st) =>
+        val newBands = prof.select(col("id"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
+        val stBands = st.select(col("id").as("sid"),
+          posexplode(col("buckets")).as(Seq("band", "bucket")))
+        val cands = newBands.join(stBands, Seq("band", "bucket"))
+          .select(col("id"), col("sid")).distinct()
+        val matchFrac = aggregate(
+          zip_with(col("sig"), col("ssig"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / numHashes
+        cands
+          .join(prof.select(col("id"), col("sig")), "id")
+          .join(st.select(col("id").as("sid"), col("sig").as("ssig")), "sid")
+          .filter(matchFrac >= threshold)
+          .select(col("id")).distinct()
+      case None => spark.emptyDataFrame.withColumn("id", lit(0L)).limit(0)
+    }
+
+    // survivors are pinned EAGERLY (localCheckpoint severs lineage)
+    // before the state append below — a lazy plan re-evaluated by the
+    // caller after the append would read this batch's own signatures
+    // back out of the state and declare every row its own duplicate
+    val survivors = prof.select(col("id"))
+      .join(crossDups, Seq("id"), "left_anti")
+      .localCheckpoint(true)
+
+    // (3) persist survivors' signatures (append — state only grows by
+    // accepted docs, so a replayed batch can't re-add itself)
+    prof.join(survivors, Seq("id"))
+      .select(col("id"), col("buckets"), col("sig"))
+      .write.mode("append").parquet(statePath)
+
+    newDocs.join(survivors.withColumnRenamed("id", "__sid"),
+        col(idCol).cast("long") === col("__sid"), "left_semi")
   }
 
   /** SimHash near-dup pairs: 64-bit signature from token-hash bit votes;

@@ -81,6 +81,32 @@ class ExtSpec extends SparkSuite {
     assert(rKm >= 0.3, s"k-means IVF recall $rKm too low")
   }
 
+  test("incremental minhash dedup: in-batch, cross-batch, and replay") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("dedupstate")
+      .resolve("state").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+    val b1 = Seq(1L -> base, 2L -> base.replace(" mu", " nu"), 3L -> other)
+      .toDF("doc_id", "text")
+    val s1 = Dedup.minhashDedupIncremental(b1, "text", "doc_id", state, 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(1L, 3L), s"in-batch near-dup should drop doc 2: $s1")
+
+    // batch 2: a near-dup of batch 1's survivor (drop) + something new (keep)
+    val fresh = "red orange yellow green blue indigo violet black white gray pink teal"
+    val b2 = Seq(10L -> base.replace("alpha ", "alpha2 "), 11L -> fresh)
+      .toDF("doc_id", "text")
+    val s2 = Dedup.minhashDedupIncremental(b2, "text", "doc_id", state, 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(11L), s"cross-batch near-dup should drop doc 10: $s2")
+
+    // redelivery: replaying batch 2 finds its own signatures in state
+    val s3 = Dedup.minhashDedupIncremental(b2, "text", "doc_id", state, 3, 0.5)
+      .count()
+    assert(s3 == 0, s"replayed batch must yield zero survivors, got $s3")
+  }
+
   test("decode stub is deterministic and total") {
     val out = Multimodal.decode(
       Multimodal.withBinary(docs, "text", "doc_id"), "doc_id")
