@@ -327,8 +327,61 @@ object Extra {
     Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       ORDER BY o_totalprice DESC, o_orderkey LIMIT 20 OFFSET 40"""))
 
+  /** FILTER-clause aggregates (ANSI): conditional aggregation without
+    * CASE scaffolding — Catalyst compiles these to the same partial/
+    * final hash aggregate as q1.
+    */
+  val q54AggFilter = Q(
+    "q54_agg_filter",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderstatus,
+        COUNT(*) AS n,
+        COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2)))
+          FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus,
+      COUNT(*) AS n,
+      COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2)))
+        FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** IGNORE NULLS navigation functions: gap-filling lag and running
+    * last-observation-carried-forward over a sparse column — the
+    * time-series imputation idiom.
+    */
+  val q55IgnoreNulls = Q(
+    "q55_ignore_nulls",
+    (s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val w = Window.orderBy(col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"),
+          when(k % 5 === 0, lit(null)).otherwise(k).as("k"))
+        .filter(col("event_id") <= 500)
+        .select(col("event_id"), col("k"),
+          lag(col("k"), 1, null, ignoreNulls = true).over(w).as("prev_k"),
+          last(col("k"), ignoreNulls = true).over(wRun).as("locf_k"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, k,
+      lag(k, 1 IGNORE NULLS) OVER (ORDER BY event_id) AS prev_k,
+      last_value(k IGNORE NULLS) OVER (ORDER BY event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_k
+      FROM (SELECT event_id,
+        CASE WHEN k % 5 = 0 THEN NULL ELSE k END AS k
+        FROM (SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+          FROM events) WHERE event_id <= 500)
+      ORDER BY event_id"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
     q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
-    q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset)
+    q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset,
+    q54AggFilter, q55IgnoreNulls)
 }
