@@ -276,9 +276,14 @@ object Dedup {
     *
     * The state stores O(numHashes) longs per surviving doc — never
     * shingle sets — so at fleet scale it stays signature-sized and the
-    * cross-batch check is a bucketed equi-join against it. Replaying
-    * the SAME batch yields zero survivors (its signatures are already
-    * in state): redelivery-safe by construction.
+    * cross-batch check is a bucketed equi-join against it. At cluster
+    * scale the state directory would additionally be written bucketed
+    * on the band-bucket key (Spark bucketBy over an exploded
+    * (band, bucket, id, sig) layout) so each batch's candidate join
+    * co-locates without reshuffling the whole state; the flat layout
+    * here keeps the operator metastore-free. Replaying the SAME batch
+    * yields zero survivors (its signatures are already in state):
+    * redelivery-safe by construction.
     *
     * Returns the surviving rows of `newDocs` (original columns).
     */

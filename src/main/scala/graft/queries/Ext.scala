@@ -311,12 +311,17 @@ object Ext {
   val xTextBm25 = Q(
     "x_text_bm25",
     (s, dir) => {
+      // top-20 FIRST via TakeOrderedAndProject (distributed partial
+      // top-k, no global single-partition sort), then rank the 20
+      // survivors — a global row_number window over the full corpus
+      // would funnel everything through one partition at scale
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))
       Text.bm25(t(s, dir, "documents"), "text", "doc_id",
           terms = Seq("dup", "vector", "stream"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
         .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 20)
         .orderBy(col("rank"))
     },
     Some("""WITH b2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
