@@ -281,15 +281,27 @@ object Dedup {
     * on the band-bucket key (Spark bucketBy over an exploded
     * (band, bucket, id, sig) layout) so each batch's candidate join
     * co-locates without reshuffling the whole state; the flat layout
-    * here keeps the operator metastore-free. Replaying the SAME batch
-    * yields zero survivors (its signatures are already in state):
-    * redelivery-safe by construction.
+    * here keeps the operator metastore-free.
+    *
+    * Redelivery semantics, chosen via `batchTag`:
+    *  - None (ad-hoc use): replaying the SAME batch yields zero
+    *    survivors — its signatures are already in state, so re-runs
+    *    can't re-admit documents.
+    *  - Some(id) (streaming foreachBatch): state rows are stamped with
+    *    the batch id and SAME-tag rows are ignored during the
+    *    cross-batch check, so a replayed micro-batch recomputes the
+    *    IDENTICAL survivor set — paired with an overwrite-per-batch
+    *    sink this gives exactly-once output even when the failure
+    *    lands between the state append and the sink write (the
+    *    replayed append costs duplicate signature rows, which only
+    *    waste space — they can never change a dedup verdict).
     *
     * Returns the surviving rows of `newDocs` (original columns).
     */
   def minhashDedupIncremental(newDocs: DataFrame, textCol: String,
       idCol: String, statePath: String, k: Int, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      batchTag: Option[Long] = None): DataFrame = {
     graft.plans.GraftExtensions.ensure(newDocs.sparkSession)
     val spark = newDocs.sparkSession
 
@@ -308,6 +320,7 @@ object Dedup {
     // the matching-signature fraction (integer count / numHashes — a
     // deterministic rational, identical on any partitioning)
     val state = scala.util.Try(spark.read.parquet(statePath)).toOption
+      .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
     val crossDups = state match {
       case Some(st) =>
         val newBands = prof.select(col("id"),
@@ -336,9 +349,10 @@ object Dedup {
       .localCheckpoint(true)
 
     // (3) persist survivors' signatures (append — state only grows by
-    // accepted docs, so a replayed batch can't re-add itself)
+    // accepted docs)
     prof.join(survivors, Seq("id"))
-      .select(col("id"), col("buckets"), col("sig"))
+      .select(col("id"), col("buckets"), col("sig"),
+        lit(batchTag.getOrElse(-1L)).as("batch"))
       .write.mode("append").parquet(statePath)
 
     newDocs.join(survivors.withColumnRenamed("id", "__sid"),

@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming near-dup dedup (SURVEY.md §2.8 × §2.9): a document stream
+  * is deduplicated per micro-batch against the accumulated cross-batch
+  * MinHash signature state ([[graft.ext.Dedup.minhashDedupIncremental]])
+  * and survivors land in a per-batch output partition.
+  *
+  * Exactly-once story: foreachBatch re-runs a micro-batch after a
+  * crash; the batch-tagged state check makes the replay recompute the
+  * IDENTICAL survivor set (same-batch signatures are ignored), and the
+  * overwrite-into-`batch=<id>` sink makes the re-write idempotent — so
+  * neither duplicates (the reference's redelivery behavior, SURVEY
+  * §2.9) nor losses (the naive replay-yields-zero-survivors shape)
+  * reach the output.
+  *
+  * This is `dropDuplicatesWithinWatermark`'s big sibling: that one is
+  * exact-key with watermark-bounded state; this one is NEAR-dup with
+  * signature-sized state that intentionally never expires (dedup
+  * against the full corpus history is the point).
+  */
+object DedupStream {
+
+  def nearDupDedupStream(docs: DataFrame, textCol: String, idCol: String,
+      statePath: String, outPath: String, checkpoint: String,
+      k: Int = 3, threshold: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = graft.ext.Dedup.minhashDedupIncremental(
+          batch, textCol, idCol, statePath, k, threshold,
+          batchTag = Some(batchId))
+        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+}

@@ -107,6 +107,30 @@ class ExtSpec extends SparkSuite {
     assert(s3 == 0, s"replayed batch must yield zero survivors, got $s3")
   }
 
+  test("batch-tagged incremental dedup replays to the identical survivor set") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("dedupreplay")
+      .resolve("state").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = Seq(1L -> base, 2L -> base.replace(" mu", " nu"),
+      3L -> "one two three four five six seven eight nine ten eleven twelve")
+      .toDF("doc_id", "text")
+    val first = Dedup.minhashDedupIncremental(b, "text", "doc_id", state, 3, 0.5,
+      batchTag = Some(7L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    // simulate foreachBatch redelivery: same batch, same tag — the
+    // same-tag state rows must be ignored and the survivors identical
+    val replay = Dedup.minhashDedupIncremental(b, "text", "doc_id", state, 3, 0.5,
+      batchTag = Some(7L)).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 3L) && replay == first,
+      s"replay diverged: first=$first replay=$replay")
+    // a LATER batch still sees batch 7's signatures
+    val later = Dedup.minhashDedupIncremental(
+      Seq(20L -> base.replace("alpha ", "alphaX ")).toDF("doc_id", "text"),
+      "text", "doc_id", state, 3, 0.5, batchTag = Some(8L))
+      .count()
+    assert(later == 0, "later batch missed cross-batch state")
+  }
+
   test("decode stub is deterministic and total") {
     val out = Multimodal.decode(
       Multimodal.withBinary(docs, "text", "doc_id"), "doc_id")

@@ -73,6 +73,50 @@ class StreamingSpec extends SparkSuite {
     assert(mism.isEmpty, s"state totals mismatch: ${mism.head(3).mkString}")
   }
 
+  test("streaming near-dup dedup: micro-batches against accumulated state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("neardupstream")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val other = "one two three four five six seven eight nine ten eleven twelve"
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(src.toString)
+      val q = DedupStream.nearDupDedupStream(stream, "text", "doc_id",
+        state, out, ckpt)
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+
+    // micro-batch 1: one in-batch near-dup pair + one unique
+    Seq(1L -> base, 2L -> base.replace(" mu", " nu"), 3L -> other)
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val after1 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(1L, 3L), s"batch 1 survivors wrong: $after1")
+
+    // micro-batch 2 (new files, SAME checkpoint → next batch id):
+    // a near-dup of batch 1's survivor + something fresh
+    Seq(10L -> base.replace("alpha ", "alpha2 "),
+        11L -> "red orange yellow green blue indigo violet black white gray")
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val after2 = spark.read.parquet(out).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1L, 3L, 11L), s"batch 2 survivors wrong: $after2")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("dedupstream")
     val src = dir.resolve("src").toString
