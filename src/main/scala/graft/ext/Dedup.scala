@@ -433,6 +433,46 @@ object Dedup {
       .filter(col("hamming") <= hammingMax)
   }
 
+  /** Duplicate CLUSTERS from a near-dup pair set: connected components
+    * of the pair graph via iterative min-label propagation (the same
+    * shape as [[graft.grid.TableDetect]]'s distributed CC tier), then
+    * one row per cluster with the min-id member as the canonical
+    * survivor. This is the production step AFTER pair generation —
+    * greedy pair-wise dropping under-deletes when dups chain
+    * (a~b, b~c, but a!~c must still collapse to one survivor).
+    *
+    * Rounds are bounded by cluster diameter (near-dup clusters are
+    * shallow); each round is one equi-join + one aggregate, and labels
+    * are eagerly localCheckpoint'ed so lineage doesn't snowball.
+    */
+  def nearDupClusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b"))
+      .union(pairs.select(col("doc_b").cast("long"), col("doc_a").cast("long")))
+      .distinct().cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neigh = edges.join(labels.withColumnRenamed("id", "nid"),
+          col("b") === col("nid"))
+        .select(col("a").as("id"), col("lbl"))
+      val next = labels.union(neigh)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"))
+      .select(col("lbl").as("cluster_id"), col("n_members"))
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs — the baseline;
     * [[Similarity.ivfTopK]] is the bucketed scale path). Floats are
     * promoted to double BEFORE multiplication so both engines compute

@@ -55,6 +55,36 @@ object Ext {
     Some(jaccardOracle),
     bench = true)
 
+  /** Near-dup clusters: transitive closure over the exact-Jaccard pair
+    * graph (min-label propagation CC) with the min-id canonical
+    * survivor; the oracle rebuilds the closure with a recursive CTE.
+    */
+  val xDedupClusters = Q(
+    "x_dedup_clusters",
+    (s, dir) => Dedup.nearDupClusters(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+        k = 3, threshold = 0.5))
+      .orderBy(col("cluster_id")),
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db),
+      pairs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+        UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a)
+      SELECT cluster_id, COUNT(*) AS n_members
+      FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
+
   /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
     * xxhash64 isn't reproducible in DuckDB SQL → rows-only here;
     * cross-checked against the Jaccard pairs in ExtSpec.
@@ -558,7 +588,8 @@ object Ext {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val queries: Seq[Q] = Seq(
-    xDedupExact, xDedupNgram, xDedupMinhash, xDedupSimhash, xDedupEmbedding,
+    xDedupExact, xDedupNgram, xDedupMinhash, xDedupClusters,
+    xDedupSimhash, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextFingerprint,
