@@ -465,6 +465,25 @@ object Ext {
       FROM documents)
       WHERE fp % 10 = 0 ORDER BY doc_id"""))
 
+  /** Stratified sampling: per-language quotas via sampleBy (seeded
+    * per-stratum Bernoulli) — rebalancing a skewed corpus is a standard
+    * training-data step. Engine-specific RNG → rows-only; per-stratum
+    * bounds and seed-determinism asserted in ExtSpec.
+    */
+  val xSampleStratified = Q(
+    "x_sample_stratified",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("lang_pred", graft.ext.Text.langId(col("text")))
+      d.stat.sampleBy("lang_pred",
+          Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 1.0),
+          seed = 42L)
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("lang_pred"))
+    },
+    None)
+
   /** Multimodal metadata: binary payload length + content hash. */
   val xMultimodalMeta = Q(
     "x_multimodal_meta",
@@ -593,7 +612,7 @@ object Ext {
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextFingerprint,
-    xPipelineQualityFilter, xSampleContentHash,
+    xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }

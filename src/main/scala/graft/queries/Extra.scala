@@ -379,9 +379,35 @@ object Extra {
           FROM events) WHERE event_id <= 500)
       ORDER BY event_id"""))
 
+  /** Schema-evolution union: two relations with overlapping but
+    * unequal schemas combined by NAME with null-padding — the
+    * heterogeneous-batch append every long-lived dataset eventually
+    * needs (Spark: unionByName(allowMissingColumns); DuckDB: UNION ALL
+    * BY NAME).
+    */
+  val q56UnionEvolution = Q(
+    "q56_union_evolution",
+    (s, dir) => {
+      val v1 = t(s, dir, "orders").filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val v2 = t(s, dir, "orders")
+        .filter(col("o_orderkey") > 1000 && col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus")) // evolved: +status, -custkey
+      v1.unionByName(v2, allowMissingColumns = true)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT * FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderkey <= 1000
+      UNION ALL BY NAME
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey > 1000 AND o_orderkey <= 2000)
+      ORDER BY o_orderkey"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
     q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
     q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset,
-    q54AggFilter, q55IgnoreNulls)
+    q54AggFilter, q55IgnoreNulls, q56UnionEvolution)
 }

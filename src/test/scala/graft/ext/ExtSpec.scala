@@ -184,6 +184,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("stratified sampling: deterministic under a seed, fractions in bounds") {
+    val d = docs.withColumn("lang_pred", Text.langId(col("text")))
+    val fracs = Map("en" -> 0.2, "de" -> 0.8, "fr" -> 0.8, "es" -> 0.8, "zh" -> 1.0)
+    val s1 = d.stat.sampleBy("lang_pred", fracs, 42L).collect().map(_.getLong(0)).toSet
+    val s2 = d.stat.sampleBy("lang_pred", fracs, 42L).collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "same seed must select the same rows")
+    val perLang = d.stat.sampleBy("lang_pred", fracs, 42L)
+      .groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = d.groupBy("lang_pred").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((lang, n) <- perLang) {
+      val frac = n.toDouble / totals(lang)
+      assert(frac <= math.min(1.0, fracs(lang) * 2) + 0.2 &&
+        (totals(lang) < 10 || frac >= fracs(lang) / 3),
+        s"$lang sampled fraction $frac far from ${fracs(lang)}")
+    }
+  }
+
   test("langId returns only known codes") {
     val langs = docs.select(Text.langId(col("text"))).distinct()
       .collect().map(_.getString(0)).toSet
