@@ -142,6 +142,30 @@ object Text {
       .agg(sum(col("contrib")).cast("decimal(38,12)").cast("double").as("score"))
   }
 
+  /** Corpus-unigram log-probability per document: mean token
+    * log P(token) under the corpus unigram distribution — the
+    * simplified language-model fluency score corpus filtering uses
+    * (documents full of rare tokens score low). Same determinism
+    * discipline as [[bm25]]: ln through 12-decimal rounding, per-term
+    * contributions decimal-rounded and summed exactly. The unigram
+    * table is O(vocabulary) and broadcasts at any corpus size.
+    */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = termFreqs(docs, textCol, idCol)
+    val totals = tf.agg(sum(col("tf")).cast("double").as("n_tokens_corpus"))
+    val cnt = tf.groupBy(col("term")).agg(sum(col("tf")).cast("double").as("cnt"))
+    tf.join(broadcast(cnt), "term")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        (col("tf").cast("double") * lnStable(col("cnt") / col("n_tokens_corpus")))
+          .cast("decimal(20,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(col("contrib")).cast("decimal(38,12)").cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_logprob") / col("n_tokens").cast("double"))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence
     * (order-sensitive): fp = fold((acc*1000003 + h(w)) mod (2^31-1));
     * h(w) = len*961 + 31*code(first) + code(last). Word hash is kept

@@ -378,6 +378,30 @@ object Ext {
       FROM sc QUALIFY rank <= 20 ORDER BY rank"""),
     bench = true)
 
+  /** Unigram-LM fluency score per document (see Text.unigramLogProb). */
+  val xTextUnigramLogprob = Q(
+    "x_text_unigram_logprob",
+    (s, dir) => Text.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_tokens"), col("mean_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      totals AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_tokens_corpus FROM tf),
+      cnt AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+      contrib AS (SELECT doc_id, tf,
+        CAST(CAST(tf AS DOUBLE) *
+          CAST(CAST(ln(cnt / n_tokens_corpus) AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS c
+        FROM tf JOIN cnt USING (term), totals),
+      agg AS (SELECT doc_id,
+        CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        CAST(CAST(SUM(c) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob
+        FROM contrib GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        sum_logprob / CAST(n_tokens AS DOUBLE) AS mean_logprob
+      FROM agg ORDER BY doc_id"""))
+
   /** Rolling-hash document fingerprint (order-sensitive). */
   val xTextFingerprint = Q(
     "x_text_fingerprint",
@@ -611,7 +635,7 @@ object Ext {
     xDedupSimhash, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
-    xTextTokens, xTextTfidf, xTextBm25, xTextFingerprint,
+    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextFingerprint,
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
