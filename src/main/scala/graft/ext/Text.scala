@@ -142,6 +142,31 @@ object Text {
       .agg(sum(col("contrib")).cast("decimal(38,12)").cast("double").as("score"))
   }
 
+  /** Token-window chunking: each document becomes ⌈(len−overlap)/stride⌉
+    * chunks of up to `chunkTokens` whitespace tokens overlapping by
+    * `overlap` — the pretraining/RAG preprocessing step. Pure per-row
+    * explode (narrow, codegen'd, no shuffle); chunk indices are
+    * deterministic so downstream joins on (doc_id, chunk_idx) are
+    * stable across runs.
+    */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens, "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("toks")) - overlap - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "start")),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("toks"), col("start") + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("toks")) - col("start"), lit(chunkTokens))
+          .as("n_chunk_tokens"))
+  }
+
   /** Corpus-unigram log-probability per document: mean token
     * log P(token) under the corpus unigram distribution — the
     * simplified language-model fluency score corpus filtering uses

@@ -378,6 +378,26 @@ object Ext {
       FROM sc QUALIFY rank <= 20 ORDER BY rank"""),
     bench = true)
 
+  /** Token-window chunking with overlap (see Text.chunk) — verified on
+    * the first 50 docs (10-token chunks, 2 overlap).
+    */
+  val xTextChunk = Q(
+    "x_text_chunk",
+    (s, dir) => Text.chunk(
+      t(s, dir, "documents").filter(col("doc_id") < 50),
+      "text", "doc_id", chunkTokens = 10, overlap = 2)
+      .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 50),
+      st AS (SELECT doc_id, toks,
+        unnest(range(0, greatest(len(toks) - 2, 1), 8)) AS start,
+        generate_subscripts(range(0, greatest(len(toks) - 2, 1), 8), 1) - 1 AS chunk_idx
+        FROM d)
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        array_to_string(toks[start + 1 : start + 10], ' ') AS chunk_text,
+        CAST(least(len(toks) - start, 10) AS INTEGER) AS n_chunk_tokens
+      FROM st ORDER BY doc_id, chunk_idx"""))
+
   /** Unigram-LM fluency score per document (see Text.unigramLogProb). */
   val xTextUnigramLogprob = Q(
     "x_text_unigram_logprob",
@@ -635,7 +655,8 @@ object Ext {
     xDedupSimhash, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
-    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextFingerprint,
+    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextChunk,
+    xTextFingerprint,
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
