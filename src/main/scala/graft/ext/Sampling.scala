@@ -1,0 +1,42 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus resampling for training-data mixtures
+  * (SURVEY.md §2.8 extension family).
+  *
+  * Domain/language reweighting ("mix 20% of the English crawl with all
+  * of the low-resource languages") is a standard pretraining step. RNG
+  * sampling is not reproducible across runs or engines, so selection
+  * here is keyed on document CONTENT: a doc survives iff
+  * `fp mod 1000 < ratePerMille(group)` where `fp` is the SQL-replayable
+  * rolling fingerprint ([[Text.fingerprint]]). Re-run the pipeline on
+  * re-partitioned, re-ordered, or incrementally-grown input and the
+  * same documents are chosen — which also makes the sample stable under
+  * retries and exactly-once sinks.
+  *
+  * Scale: pure per-row predicate over a broadcast-sized rate table
+  * (O(#groups)) — narrow, codegen'd, no shuffle.
+  */
+object Sampling {
+
+  /** Per-mille keep rate for a group column, from a static mixture map.
+    * Groups absent from the map get `defaultPerMille`.
+    */
+  def mixtureRate(group: Column, ratesPerMille: Map[String, Int],
+      defaultPerMille: Int = 1000): Column =
+    ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, r)) => when(group === k, lit(r)).otherwise(acc)
+    }
+
+  /** Content-keyed Bernoulli-like selection at the group's rate. */
+  def mixtureKeep(fp: Column, group: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): Column =
+    pmod(fp, lit(1000)) < mixtureRate(group, ratesPerMille, defaultPerMille)
+
+  /** Filter to the sampled subset. */
+  def mixtureResample(docs: DataFrame, fp: Column, group: Column,
+      ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
+    docs.filter(mixtureKeep(fp, group, ratesPerMille, defaultPerMille))
+}

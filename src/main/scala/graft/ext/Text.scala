@@ -191,6 +191,99 @@ object Text {
         col("sum_logprob") / col("n_tokens").cast("double"))
   }
 
+  /** Word n-grams of a token array as a (possibly empty) string array:
+    * ["a b", "b c", ...]. Guarded so short documents yield [] rather
+    * than a descending `sequence` blowup. Narrow, codegen'd.
+    */
+  def ngramArray(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Gopher-style repetition signals (Rae et al. 2021 — public
+    * literature): per document, the fraction of n-gram occurrences
+    * taken by the single most frequent n-gram (`top_gram_frac`) and
+    * the fraction that are repeats of an earlier occurrence
+    * (`dup_gram_frac` = 1 − distinct/total). Heavily repetitive docs
+    * (boilerplate, keyword stuffing, degenerate generations) score
+    * high on both and get filtered before training.
+    *
+    * Shape: explode → one shuffle on (doc, gram) → per-doc rollup —
+    * identical to [[termFreqs]], so it scales the same way (no
+    * per-doc state ever exceeds the doc's own vocabulary). All
+    * fractions are single IEEE divisions of exact integer counts,
+    * hence bit-identical across engines.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
+    grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("bigint").as("n_grams"),
+        count(lit(1)).cast("bigint").as("distinct_grams"),
+        max(col("c")).cast("bigint").as("top_count"))
+      .withColumn("top_gram_frac",
+        col("top_count").cast("double") / col("n_grams").cast("double"))
+      .withColumn("dup_gram_frac",
+        lit(1.0) - col("distinct_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** PII patterns, written to the common subset of Java regex (Spark)
+    * and RE2 (DuckDB oracle): explicit character classes, no
+    * backreferences or lookaround.
+    */
+  val piiEmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val piiPhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val piiIpv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(piiEmailRe))
+  def piiPhoneCount(text: Column): Column = regexp_count(text, lit(piiPhoneRe))
+  def piiIpv4Count(text: Column): Column = regexp_count(text, lit(piiIpv4Re))
+
+  /** Redact PII in place with typed placeholders. Email first (its
+    * local part may contain digit runs a later pass would mangle),
+    * then IPv4 (dots) before phone (dashes) — the two are disjoint,
+    * but a fixed order keeps the output deterministic by construction.
+    * Pure per-row regexp_replace chain: narrow, no shuffle.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, piiEmailRe, "<EMAIL>"),
+        piiIpv4Re, "<IP>"),
+      piiPhoneRe, "<PHONE>")
+
+  /** Benchmark decontamination (n-gram overlap, as used for public
+    * eval-suite filtering): for each corpus document, how many of its
+    * DISTINCT word n-grams also appear anywhere in the eval set.
+    * Returns (doc_id, n_grams, n_hit, hit_frac, contaminated).
+    *
+    * Scale shape: the eval side is a benchmark suite — tiny relative
+    * to a 100 TB corpus — so its distinct-gram set is broadcast and
+    * the probe is a broadcast-hash left join on the gram string; the
+    * corpus side never shuffles for the join (only the per-doc
+    * distinct + rollup shuffle on doc_id). In production the gram
+    * strings would be xxhash64'd to shrink the broadcast; kept as
+    * strings here so the DuckDB oracle can replay the join exactly.
+    */
+  def contamination(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 5): DataFrame = {
+    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+        explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+    val evalGrams = grams(evalSet).select(col("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    grams(corpus).join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_grams"),
+        sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_hit"))
+      .withColumn("hit_frac",
+        col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   /** Rolling polynomial fingerprint over the word sequence
     * (order-sensitive): fp = fold((acc*1000003 + h(w)) mod (2^31-1));
     * h(w) = len*961 + 31*code(first) + code(last). Word hash is kept

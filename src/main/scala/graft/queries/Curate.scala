@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Sampling, Text}
+import graft.queries.H.t
+
+/** Training-data curation operators (SURVEY.md §2.8, second wave):
+  * repetition-based quality signals, PII redaction, benchmark
+  * decontamination, and deterministic mixture resampling — the
+  * corpus-hygiene steps a pretraining pipeline runs between ingest and
+  * tokenization. Every query is oracle-adjudicable: the signals are
+  * exact integer counts and single IEEE divisions, and selection is
+  * keyed on the SQL-replayable rolling fingerprint rather than RNG.
+  */
+object Curate {
+
+  /** Gopher-style repetition signals over word bigrams. */
+  val xTextRepetition = Q(
+    "x_text_repetition",
+    (s, dir) => Text.repetitionSignals(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM d),
+      c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+        CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+        CAST(MAX(c) AS BIGINT) AS top_count
+        FROM c GROUP BY 1)
+      SELECT doc_id, n_grams, distinct_grams, top_count,
+        CAST(top_count AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_frac,
+        1.0 - CAST(distinct_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac
+      FROM a ORDER BY doc_id"""))
+
+  /** PII detection + redaction. The corpus table carries no PII, so the
+    * input is a contact string synthesized DETERMINISTICALLY from the
+    * customer table with identical expressions on both sides — the
+    * operator under test is the regex detect/redact chain, which runs
+    * on the Spark side only and must survive the oracle's independent
+    * RE2 replay. Phone present iff custkey % 3 != 0 and email iff
+    * custkey % 2 == 0, so zero/one/many-match cases are all exercised.
+    */
+  val xPiiRedact = Q(
+    "x_pii_redact",
+    (s, dir) => {
+      val phone = concat(lit("call 555-"),
+        lpad((col("c_custkey") * 7 % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("c_custkey") * 13 % 10000).cast("string"), 4, "0"), lit(" "))
+      val email = concat(lit("mail "),
+        lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com "))
+      val ip = concat(lit("host 10."), (col("c_nationkey") % 256).cast("string"),
+        lit("."), (col("c_custkey") % 256).cast("string"), lit(".7 "))
+      val contact = concat(col("c_name"), lit(" "),
+        when(col("c_custkey") % 3 =!= 0, phone).otherwise(lit("")),
+        when(col("c_custkey") % 2 === 0, email).otherwise(lit("")),
+        ip, col("c_mktsegment"))
+      t(s, dir, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), contact.as("contact"))
+        .select(col("c_custkey"),
+          Text.piiEmailCount(col("contact")).cast("int").as("n_emails"),
+          Text.piiPhoneCount(col("contact")).cast("int").as("n_phones"),
+          Text.piiIpv4Count(col("contact")).cast("int").as("n_ips"),
+          Text.redactPii(col("contact")).as("redacted"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""WITH b AS (SELECT c_custkey, c_name || ' ' ||
+        CASE WHEN c_custkey % 3 <> 0 THEN 'call 555-' ||
+          lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+          lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') || ' '
+          ELSE '' END ||
+        CASE WHEN c_custkey % 2 = 0 THEN 'mail ' ||
+          lower(regexp_replace(c_name, '#', '.')) || '@example.com '
+          ELSE '' END ||
+        'host 10.' || CAST(c_nationkey % 256 AS VARCHAR) || '.' ||
+        CAST(c_custkey % 256 AS VARCHAR) || '.7 ' || c_mktsegment AS contact
+        FROM customer WHERE c_custkey < 500)
+      SELECT c_custkey,
+        CAST(len(regexp_extract_all(contact,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(contact,
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        CAST(len(regexp_extract_all(contact,
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(contact,
+          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+      FROM b ORDER BY c_custkey"""))
+
+  /** Benchmark decontamination: eval set = docs 0–19, corpus = the
+    * rest; 5-gram overlap. The corpus contains near-duplicates of the
+    * eval docs by construction of the test data, so nonzero hits are
+    * exercised alongside clean docs.
+    */
+  val xDecontaminate = Q(
+    "x_decontaminate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.contamination(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 5)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w) - 3),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM d),
+      eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+      a AS (SELECT g.doc_id, count(*) AS n_grams, count(eg.gram) AS n_hit
+        FROM g LEFT JOIN eg ON g.gram = eg.gram
+        WHERE g.doc_id >= 20 GROUP BY 1)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS hit_frac,
+        n_hit > 0 AS contaminated
+      FROM a ORDER BY doc_id"""))
+
+  private val mixtureRates =
+    Map("en" -> 200, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 1000)
+
+  /** Deterministic mixture resampling: downweight the dominant language
+    * to 20%, keep low-resource languages at 80–100%, selection keyed on
+    * the content fingerprint (see [[graft.ext.Sampling]]). Summary is
+    * per-language totals; ExtSpec asserts the filtered variant agrees.
+    */
+  val xSampleMixture = Q(
+    "x_sample_mixture",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.langId(col("text")).as("lang"),
+        Text.fingerprint(col("text")).as("fp"))
+      d.withColumn("kept",
+          Sampling.mixtureKeep(col("fp"), col("lang"), mixtureRates))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("bigint").as("n_kept"))
+        .withColumn("rate_per_mille",
+          Sampling.mixtureRate(col("lang"), mixtureRates).cast("int"))
+        .select(col("lang"), col("rate_per_mille"), col("n_docs"), col("n_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+          (a, x) -> (a*1000003 + x) % 2147483647) AS fp
+        FROM sc),
+      r AS (SELECT doc_id, lang, fp,
+        CASE lang WHEN 'en' THEN 200 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+          WHEN 'es' THEN 800 WHEN 'zh' THEN 1000 ELSE 1000 END AS rate
+        FROM m)
+      SELECT lang, CAST(max(rate) AS INTEGER) AS rate_per_mille,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN fp % 1000 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM r GROUP BY lang ORDER BY lang"""))
+
+  val queries: Seq[Q] = Seq(
+    xTextRepetition, xPiiRedact, xDecontaminate, xSampleMixture)
+}

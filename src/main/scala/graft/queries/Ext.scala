@@ -344,8 +344,12 @@ object Ext {
       // top-20 FIRST via TakeOrderedAndProject (distributed partial
       // top-k, no global single-partition sort), then rank the 20
       // survivors — a global row_number window over the full corpus
-      // would funnel everything through one partition at scale
+      // would funnel everything through one partition at scale.
+      // partitionBy(constant) because the input is already bounded to
+      // 20 rows: same single-partition plan, but explicit, so WindowExec
+      // doesn't flag it as an accidental global window.
       val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(0))
         .orderBy(col("score").desc, col("doc_id"))
       Text.bm25(t(s, dir, "documents"), "text", "doc_id",
           terms = Seq("dup", "vector", "stream"))

@@ -1,0 +1,90 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-computed checks for the curation operators (repetition signals,
+  * PII redaction, decontamination, mixture resampling); the oracle
+  * differential runs via the x_* Curate queries.
+  */
+class CurateSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngramArray: bigrams in order, short docs yield empty") {
+    val out = df(1L -> "a b c d", 2L -> "solo")
+      .select(col("doc_id"), Text.ngramArray(split(col("text"), " "), 2).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("a b", "b c", "c d"))
+    assert(out(2L).isEmpty)
+  }
+
+  test("repetitionSignals: hand-computed fractions") {
+    // "x x x y": bigrams [x x, x x, x y] -> n=3 distinct=2 top=2
+    val out = Text.repetitionSignals(df(1L -> "x x x y", 2L -> "p q r"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_grams") == 3 && r1.getAs[Long]("distinct_grams") == 2
+      && r1.getAs[Long]("top_count") == 2)
+    assert(math.abs(r1.getAs[Double]("top_gram_frac") - 2.0 / 3.0) < 1e-15)
+    assert(math.abs(r1.getAs[Double]("dup_gram_frac") - 1.0 / 3.0) < 1e-15)
+    val r2 = out(2L) // no repeats
+    assert(r2.getAs[Long]("n_grams") == 2 && r2.getAs[Double]("dup_gram_frac") == 0.0)
+  }
+
+  test("redactPii: counts and typed placeholders") {
+    val d = df(1L -> "mail bob.smith@ex.com call 555-123-4567 host 10.1.2.3 end",
+      2L -> "nothing sensitive here")
+    val out = d.select(col("doc_id"),
+      Text.piiEmailCount(col("text")).as("e"),
+      Text.piiPhoneCount(col("text")).as("p"),
+      Text.piiIpv4Count(col("text")).as("i"),
+      Text.redactPii(col("text")).as("red"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("e") == 1 && r1.getAs[Int]("p") == 1 && r1.getAs[Int]("i") == 1)
+    assert(r1.getAs[String]("red") == "mail <EMAIL> call <PHONE> host <IP> end")
+    assert(out(2L).getAs[String]("red") == "nothing sensitive here")
+  }
+
+  test("contamination: full overlap, zero overlap, short docs dropped") {
+    val eval = df(0L -> "a b c d e f")
+    val corpus = df(10L -> "a b c d e f", 11L -> "p q r s t u v", 12L -> "x y")
+    val out = Text.contamination(corpus, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val dup = out(10L) // both 5-grams shared with eval
+    assert(dup.getAs[Long]("n_grams") == 2 && dup.getAs[Long]("n_hit") == 2
+      && dup.getAs[Boolean]("contaminated"))
+    val clean = out(11L)
+    assert(clean.getAs[Long]("n_hit") == 0 && !clean.getAs[Boolean]("contaminated"))
+    assert(!out.contains(12L), "doc shorter than n should produce no grams")
+  }
+
+  test("mixture resampling: rate bounds and content-keyed determinism") {
+    val d = docs.select(col("doc_id"),
+      Text.langId(col("text")).as("lang"),
+      Text.fingerprint(col("text")).as("fp"))
+    val n = d.count()
+    val all = Sampling.mixtureResample(d, col("fp"), col("lang"),
+      Map.empty, defaultPerMille = 1000).count()
+    assert(all == n, "rate 1000 must keep everything")
+    val none = Sampling.mixtureResample(d, col("fp"), col("lang"),
+      Map.empty, defaultPerMille = 0).count()
+    assert(none == 0, "rate 0 must keep nothing")
+    val rates = Map("en" -> 200)
+    val k1 = Sampling.mixtureResample(d, col("fp"), col("lang"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // re-shuffled input, same selection: the whole point of content keying
+    val k2 = Sampling.mixtureResample(d.repartition(7, col("fp")),
+      col("fp"), col("lang"), rates)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2, "selection must not depend on partitioning")
+    assert(k1.size < n, "downweighted language must actually shrink")
+  }
+}
