@@ -168,6 +168,105 @@ object Curate {
         CAST(SUM(CASE WHEN fp % 1000 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       FROM r GROUP BY lang ORDER BY lang"""))
 
+  /** The full curation pipeline end-to-end, the shape a pretraining
+    * corpus job runs nightly: per-doc quality signals (narrow) →
+    * repetition signals (one gram shuffle) → decontamination (broadcast
+    * probe) → deterministic mixture resampling (narrow) → exact-dedup
+    * survivors → per-language corpus stats. Docs too short for grams
+    * re-enter via left joins (absent ≠ repetitive/contaminated).
+    * Everything is either narrow or keyed on doc_id/text/lang — no
+    * stage holds more than O(one doc) of state, so the composition
+    * scales exactly as far as its worst stage (the gram shuffle).
+    */
+  val xPipelineCurate = Q(
+    "x_pipeline_curate",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") < 20)
+      val corpus = docs.filter(col("doc_id") >= 20)
+      val scored = corpus.select(col("doc_id"), col("text"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"),
+        (Text.stopwordCount(col("text")).cast("double") /
+          Text.wordCount(col("text"))).as("stop_ratio"),
+        Text.fingerprint(col("text")).as("fp"))
+      val rep = Text.repetitionSignals(corpus, "text", "doc_id")
+        .select(col("doc_id"), col("top_gram_frac"))
+      val cont = Text.contamination(corpus, evalSet, "text", "doc_id", n = 5)
+        .select(col("doc_id"), col("contaminated"))
+      val kept = scored
+        .join(rep, Seq("doc_id"), "left")
+        .join(cont, Seq("doc_id"), "left")
+        .filter(col("n_words") >= 20 &&
+          col("stop_ratio") <= 0.5 &&
+          coalesce(col("top_gram_frac"), lit(0.0)) <= 0.2 &&
+          !coalesce(col("contaminated"), lit(false)) &&
+          Sampling.mixtureKeep(col("fp"), col("lang"), mixtureRates))
+      val surv = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("lang")).as("lang"),
+          max(col("n_words")).as("n_words"))
+      surv.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("total_tokens"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+      sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM corpus),
+      m AS (SELECT doc_id, text,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+          (a, x) -> (a*1000003 + x) % 2147483647) AS fp
+        FROM sc),
+      big AS (SELECT doc_id,
+        unnest(list_transform(range(1, len(string_split(text, ' '))),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS gram
+        FROM corpus),
+      bc AS (SELECT doc_id, gram, count(*) AS c FROM big GROUP BY 1, 2),
+      rep AS (SELECT doc_id,
+        CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac
+        FROM bc GROUP BY 1),
+      g5 AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(string_split(text, ' ')) - 3),
+          i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' ||
+            string_split(text, ' ')[i+2] || ' ' || string_split(text, ' ')[i+3] || ' ' ||
+            string_split(text, ' ')[i+4])) AS gram
+        FROM documents),
+      eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 20),
+      cont AS (SELECT g5.doc_id, count(eg.gram) > 0 AS contaminated
+        FROM g5 LEFT JOIN eg ON g5.gram = eg.gram
+        WHERE g5.doc_id >= 20 GROUP BY 1),
+      kept AS (SELECT m.doc_id, m.text, m.lang, m.n_words FROM m
+        LEFT JOIN rep ON rep.doc_id = m.doc_id
+        LEFT JOIN cont ON cont.doc_id = m.doc_id
+        WHERE m.n_words >= 20 AND m.stop_ratio <= 0.5
+          AND coalesce(rep.top_gram_frac, 0.0) <= 0.2
+          AND NOT coalesce(cont.contaminated, false)
+          AND m.fp % 1000 < CASE m.lang WHEN 'en' THEN 200 WHEN 'de' THEN 800
+            WHEN 'fr' THEN 800 WHEN 'es' THEN 800 WHEN 'zh' THEN 1000 ELSE 1000 END),
+      surv AS (SELECT text, min(doc_id) AS doc_id, max(lang) AS lang,
+        max(n_words) AS n_words FROM kept GROUP BY text)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS total_tokens
+      FROM surv GROUP BY lang ORDER BY lang"""),
+    bench = true)
+
   val queries: Seq[Q] = Seq(
-    xTextRepetition, xPiiRedact, xDecontaminate, xSampleMixture)
+    xTextRepetition, xPiiRedact, xDecontaminate, xSampleMixture,
+    xPipelineCurate)
 }

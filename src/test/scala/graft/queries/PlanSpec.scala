@@ -114,6 +114,31 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 3, s"composition shuffles too much ($exchanges):\n$p")
   }
 
+  test("decontamination probes the eval grams via broadcast, never a shuffle join") {
+    val p = plan("x_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"eval gram set not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"corpus side shuffled for the probe:\n$p")
+  }
+
+  test("PII redaction is a narrow per-row pass (no shuffle except the output sort)") {
+    val p = plan("x_pii_redact")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"redaction plans $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), s"single-table redaction grew a join:\n$p")
+  }
+
+  test("repetition signals and mixture resampling stay within shuffle budgets") {
+    // repetition: (doc,gram) agg + doc rollup + sort = 3;
+    // mixture: per-row predicate + one lang agg + sort = 2
+    for ((name, budget) <- Seq("x_text_repetition" -> 3, "x_sample_mixture" -> 2)) {
+      val p = plan(name)
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= budget,
+        s"$name plans $exchanges exchanges (budget $budget):\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
