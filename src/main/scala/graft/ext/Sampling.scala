@@ -39,4 +39,28 @@ object Sampling {
   def mixtureResample(docs: DataFrame, fp: Column, group: Column,
       ratesPerMille: Map[String, Int], defaultPerMille: Int = 1000): DataFrame =
     docs.filter(mixtureKeep(fp, group, ratesPerMille, defaultPerMille))
+
+  /** Greedy per-group token budgeting ("take N tokens per domain"):
+    * keep each group's prefix, in `order`, while the running token sum
+    * stays within `budget`. Prefix semantics (not best-fit) so the
+    * selection is a deterministic function of the order column — use a
+    * content hash as the order for reproducible corpus draws, or a
+    * recency column for freshest-first.
+    *
+    * One shuffle: the running sum is a per-group ordered window, so each
+    * group sorts within its partition. Group cardinality is domains/
+    * languages (small); a single giant group is bounded by the budget
+    * itself — rows past the first overflow are discarded by the filter,
+    * and at 100 TB you'd pre-prune with a cheap per-partition partial
+    * cumsum bound before the exact window.
+    */
+  import org.apache.spark.sql.expressions.Window
+  def tokenBudget(docs: DataFrame, group: Column, weight: Column,
+      order: Column, budget: Long): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("_cum", sum(weight).over(w))
+      .filter(col("_cum") <= budget)
+      .drop("_cum")
+  }
 }

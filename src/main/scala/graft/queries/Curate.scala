@@ -266,7 +266,45 @@ object Curate {
       FROM surv GROUP BY lang ORDER BY lang"""),
     bench = true)
 
+  /** Per-language token budgeting: greedy doc_id-ordered prefix per
+    * language until 3000 tokens — "take N tokens per domain" corpus
+    * draws. Running sum is SQL-replayable, so fully oracle-checked.
+    */
+  val xSampleTokenBudget = Q(
+    "x_sample_token_budget",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"))
+      Sampling.tokenBudget(d, col("lang"), col("n_words"), col("doc_id"),
+          budget = 3000L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("tokens_kept"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words
+        FROM sc),
+      c AS (SELECT doc_id, lang, n_words,
+        SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+        FROM m)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS tokens_kept
+      FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang"""))
+
   val queries: Seq[Q] = Seq(
     xTextRepetition, xPiiRedact, xDecontaminate, xSampleMixture,
-    xPipelineCurate)
+    xPipelineCurate, xSampleTokenBudget)
 }

@@ -66,6 +66,19 @@ class CurateSpec extends SparkSuite {
     assert(!out.contains(12L), "doc shorter than n should produce no grams")
   }
 
+  test("tokenBudget: greedy ordered prefix per group") {
+    import spark.implicits._
+    // en: 10+15 fit in 30, third doc (weight 10, cum 35) overflows;
+    // de: single doc over budget kept out entirely
+    val d = Seq((1L, "en", 10), (2L, "en", 15), (3L, "en", 10),
+      (4L, "de", 40), (5L, "fr", 30))
+      .toDF("doc_id", "lang", "n_words")
+    val kept = Sampling.tokenBudget(d, col("lang"), col("n_words"),
+      col("doc_id"), budget = 30L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L))
+  }
+
   test("mixture resampling: rate bounds and content-keyed determinism") {
     val d = docs.select(col("doc_id"),
       Text.langId(col("text")).as("lang"),

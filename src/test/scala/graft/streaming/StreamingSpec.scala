@@ -251,4 +251,39 @@ class StreamingSpec extends SparkSuite {
     q2.awaitTermination(120000)
     assert(spark.read.parquet(s"$datasets/ds1/t").count() == 3)
   }
+
+  test("streaming curation: the stateless filter chain matches batch exactly") {
+    // redact + lang-ID + quality + mixture selection are all narrow
+    // per-row expressions, so the SAME function curates a stream with
+    // zero state - the shape a continuous-ingestion corpus filter runs
+    import org.apache.spark.sql.DataFrame
+    import graft.ext.{Sampling, Text}
+    val dir = Files.createTempDirectory("curstream")
+    val src = dir.resolve("src").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+
+    def curate(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        Text.redactPii(col("text")).as("clean_text"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"),
+        Text.fingerprint(col("text")).as("fp"))
+      .filter(col("n_words") >= 20 &&
+        Sampling.mixtureKeep(col("fp"), col("lang"), Map("en" -> 500)))
+
+    val stream = spark.readStream.schema(docs.schema).parquet(src)
+    val q = curate(stream).writeStream
+      .format("memory").queryName("curate_stream")
+      .outputMode("append")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM curate_stream")
+    val batch = curate(docs)
+    assert(streamed.count() > 0, "curation stream produced nothing")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
