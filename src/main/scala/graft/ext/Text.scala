@@ -208,13 +208,37 @@ object Text {
     * (boilerplate, keyword stuffing, degenerate generations) score
     * high on both and get filtered before training.
     *
-    * Shape: explode → one shuffle on (doc, gram) → per-doc rollup —
-    * identical to [[termFreqs]], so it scales the same way (no
-    * per-doc state ever exceeds the doc's own vocabulary). All
-    * fractions are single IEEE divisions of exact integer counts,
-    * hence bit-identical across engines.
+    * Shape: the signals are a pure function of one document, so this
+    * is a NARROW per-row pass over the codegen'd `gram_stats`
+    * expression ([[graft.plans.GramStats]]) — zero shuffles, O(doc)
+    * work and O(doc vocabulary) transient memory per row. The
+    * relational formulation ([[repetitionSignalsShuffled]]) would
+    * shuffle every n-gram occurrence of the corpus. All fractions are
+    * single IEEE divisions of exact integer counts, hence bit-identical
+    * across engines.
     */
   def repetitionSignals(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): DataFrame = {
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("gram_stats", tokens(col(textCol)), lit(n)).as("gs"))
+      .select(col("doc_id"), col("gs.n_grams").as("n_grams"),
+        col("gs.distinct_grams").as("distinct_grams"),
+        col("gs.top_count").as("top_count"))
+      .filter(col("n_grams") > 0)
+      .withColumn("top_gram_frac",
+        col("top_count").cast("double") / col("n_grams").cast("double"))
+      .withColumn("dup_gram_frac",
+        lit(1.0) - col("distinct_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Relational formulation of [[repetitionSignals]] — explode → one
+    * shuffle on (doc, gram) → per-doc rollup, [[termFreqs]]-shaped.
+    * Kept as the reference semantics the parity spec checks the native
+    * expression against (same role [[graft.ext.Similarity.dotHof]]
+    * plays for vec_dot).
+    */
+  def repetitionSignalsShuffled(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 2): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
       explode(ngramArray(tokens(col(textCol)), n)).as("gram"))

@@ -22,7 +22,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => VecDot(children(0), children(1)): Expression),
     (new FunctionIdentifier("arr_jaccard"),
       new ExpressionInfo(classOf[ArrJaccard].getName, "arr_jaccard"),
-      (children: Seq[Expression]) => ArrJaccard(children(0), children(1)): Expression))
+      (children: Seq[Expression]) => ArrJaccard(children(0), children(1)): Expression),
+    (new FunctionIdentifier("gram_stats"),
+      new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
+      (children: Seq[Expression]) => GramStats(children(0), children(1)): Expression))
 
   /** Idempotent per-session registration fallback: lets the functions
     * resolve even in a session built WITHOUT spark.sql.extensions (e.g.

@@ -66,6 +66,17 @@ class CurateSpec extends SparkSuite {
     assert(!out.contains(12L), "doc shorter than n should produce no grams")
   }
 
+  test("native gram_stats matches the relational formulation on real docs") {
+    // includes n=3 to exercise a non-default gram size through both paths
+    for (n <- Seq(2, 3)) {
+      val fast = Text.repetitionSignals(docs, "text", "doc_id", n)
+        .orderBy(col("doc_id")).collect().toSeq
+      val ref = Text.repetitionSignalsShuffled(docs, "text", "doc_id", n)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(fast == ref, s"gram_stats diverges from relational formulation at n=$n")
+    }
+  }
+
   test("tokenBudget: greedy ordered prefix per group") {
     import spark.implicits._
     // en: 10+15 fit in 30, third doc (weight 10, cum 35) overflows;

@@ -129,9 +129,9 @@ class PlanSpec extends SparkSuite {
   }
 
   test("repetition signals and mixture resampling stay within shuffle budgets") {
-    // repetition: (doc,gram) agg + doc rollup + sort = 3;
+    // repetition: narrow gram_stats pass + output sort = 1;
     // mixture: per-row predicate + one lang agg + sort = 2
-    for ((name, budget) <- Seq("x_text_repetition" -> 3, "x_sample_mixture" -> 2)) {
+    for ((name, budget) <- Seq("x_text_repetition" -> 1, "x_sample_mixture" -> 2)) {
       val p = plan(name)
       val exchanges = p.linesIterator.count(_.contains("Exchange"))
       assert(exchanges <= budget,
