@@ -288,15 +288,22 @@ object Text {
     * to a 100 TB corpus — so its distinct-gram set is broadcast and
     * the probe is a broadcast-hash left join on the gram string; the
     * corpus side never shuffles for the join (only the per-doc
-    * distinct + rollup shuffle on doc_id). In production the gram
-    * strings would be xxhash64'd to shrink the broadcast; kept as
-    * strings here so the DuckDB oracle can replay the join exactly.
+    * distinct + rollup shuffle on doc_id). `hashedGrams` is the scale
+    * path: each gram is reduced to the rolling polynomial fingerprint
+    * (~4× smaller broadcast and probe keys than 5-word strings) — the
+    * hash is SQL-replayable so the variant stays oracle-adjudicable,
+    * and a hash collision can only add a (vanishingly rare) false
+    * contamination flag, the conservative direction for filtering.
     */
   def contamination(corpus: DataFrame, evalSet: DataFrame,
-      textCol: String, idCol: String, n: Int = 5): DataFrame = {
-    def grams(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      textCol: String, idCol: String, n: Int = 5,
+      hashedGrams: Boolean = false): DataFrame = {
+    def grams(d: DataFrame) = {
+      val g = d.select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
-      .distinct()
+      (if (hashedGrams) g.select(col("doc_id"), fingerprint(col("gram")).as("gram"))
+       else g).distinct()
+    }
     val evalGrams = grams(evalSet).select(col("gram")).distinct()
       .withColumn("_hit", lit(1))
     grams(corpus).join(broadcast(evalGrams), Seq("gram"), "left")

@@ -118,6 +118,40 @@ object Curate {
         n_hit > 0 AS contaminated
       FROM a ORDER BY doc_id"""))
 
+  /** Hashed-gram decontamination — the broadcast-shrinking scale path,
+    * oracle-adjudicable because the gram hash is the SQL-replayable
+    * rolling fingerprint. On this corpus it is collision-free, so the
+    * result equals x_decontaminate row for row (also asserted in
+    * CurateSpec).
+    */
+  val xDecontaminateHashed = Q(
+    "x_decontaminate_hashed",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.contamination(
+        docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20),
+        "text", "doc_id", n = 5, hashedGrams = true)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT DISTINCT doc_id,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(w[i : i + 4],
+              t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+          (a, x) -> (a*1000003 + x) % 2147483647) AS gram
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i FROM d)),
+      eg AS (SELECT DISTINCT gram FROM g WHERE doc_id < 20),
+      a AS (SELECT g.doc_id, count(*) AS n_grams, count(eg.gram) AS n_hit
+        FROM g LEFT JOIN eg ON g.gram = eg.gram
+        WHERE g.doc_id >= 20 GROUP BY 1)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_hit AS BIGINT) AS n_hit,
+        CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS hit_frac,
+        n_hit > 0 AS contaminated
+      FROM a ORDER BY doc_id"""))
+
   private val mixtureRates =
     Map("en" -> 200, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 1000)
 
@@ -305,6 +339,6 @@ object Curate {
       FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang"""))
 
   val queries: Seq[Q] = Seq(
-    xTextRepetition, xPiiRedact, xDecontaminate, xSampleMixture,
-    xPipelineCurate, xSampleTokenBudget)
+    xTextRepetition, xPiiRedact, xDecontaminate, xDecontaminateHashed,
+    xSampleMixture, xPipelineCurate, xSampleTokenBudget)
 }

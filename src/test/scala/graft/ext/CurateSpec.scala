@@ -66,6 +66,17 @@ class CurateSpec extends SparkSuite {
     assert(!out.contains(12L), "doc shorter than n should produce no grams")
   }
 
+  test("hashed-gram contamination equals the string-gram result on real docs") {
+    val eval = docs.filter(col("doc_id") < 10)
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val plain = Text.contamination(corpus, eval, "text", "doc_id", n = 5)
+      .orderBy(col("doc_id")).collect().toSeq
+    val hashed = Text.contamination(corpus, eval, "text", "doc_id", n = 5,
+      hashedGrams = true)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(hashed == plain, "hashing the gram keys changed the verdicts")
+  }
+
   test("native gram_stats matches the relational formulation on real docs") {
     // includes n=3 to exercise a non-default gram size through both paths
     for (n <- Seq(2, 3)) {
