@@ -45,7 +45,10 @@ object Sampling {
     * stays within `budget`. Prefix semantics (not best-fit) so the
     * selection is a deterministic function of the order column — use a
     * content hash as the order for reproducible corpus draws, or a
-    * recency column for freshest-first.
+    * recency column for freshest-first. The order column must be UNIQUE
+    * within each group: with ties, rows inside a tie land in
+    * partition-dependent positions and the cut point stops being
+    * reproducible (the query surface orders by doc_id).
     *
     * One shuffle: the running sum is a per-group ordered window, so each
     * group sorts within its partition. Group cardinality is domains/
