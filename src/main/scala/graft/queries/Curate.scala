@@ -152,6 +152,45 @@ object Curate {
         n_hit > 0 AS contaminated
       FROM a ORDER BY doc_id"""))
 
+  /** Fuzzy decontamination: flag corpus docs that are NEAR-duplicates
+    * of any eval doc (3-gram Jaccard ≥ 0.5) — catches the paraphrased
+    * benchmark leakage exact n-gram overlap misses. Composed from the
+    * verified MinHash+LSH pair machinery on the full table: a pair
+    * (a < b) with a in the eval range and b in the corpus range is an
+    * eval→corpus hit. LSH banding (128/32) detects every pair at this
+    * threshold (x_dedup_minhash_lsh matches the exhaustive oracle
+    * pair-for-pair) and verification is exact, so the oracle can be the
+    * exhaustive eval×corpus Jaccard join.
+    */
+  val xDecontaminateFuzzy = Q(
+    "x_decontaminate_fuzzy",
+    (s, dir) => {
+      import graft.ext.Dedup
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "text", "doc_id",
+          k = 3, threshold = 0.5)
+        .filter(col("doc_a") < 20 && col("doc_b") >= 20)
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(count(lit(1)).cast("bigint").as("n_eval_matches"),
+          max(col("jaccard")).as("max_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 20 AND b.doc_id >= 20 GROUP BY da, db),
+      hits AS (SELECT da, db,
+        CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) AS jaccard
+        FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5)
+      SELECT db AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+        MAX(jaccard) AS max_jaccard
+      FROM hits GROUP BY db ORDER BY doc_id"""))
+
   private val mixtureRates =
     Map("en" -> 200, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 1000)
 
@@ -340,5 +379,5 @@ object Curate {
 
   val queries: Seq[Q] = Seq(
     xTextRepetition, xPiiRedact, xDecontaminate, xDecontaminateHashed,
-    xSampleMixture, xPipelineCurate, xSampleTokenBudget)
+    xDecontaminateFuzzy, xSampleMixture, xPipelineCurate, xSampleTokenBudget)
 }
