@@ -375,36 +375,90 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
       hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame = {
-    val nChunks = hammingMax + 1
-    require(64 % nChunks == 0, "chunk count must divide 64")
-    val chunkBits = 64 / nChunks
-
     // 64 bit-votes per doc in ONE compiled mapGroups (a 64-expression
     // Catalyst aggregate falls out of codegen and runs interpreted —
     // profiled 5.7s vs ~2s at sf0.1); token hash = the same
     // xxhash64(seed 42) the Catalyst expression computes
+    simhashCore(docs, textCol, idCol, bits = 64, hammingMax, maxBucketFreq) {
+      t =>
+        val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+    }
+  }
+
+  /** SimHash over a SQL-replayable token hash — same operator shape as
+    * [[simhashPairs]] (bit votes → pigeonhole chunk banding → exact
+    * Hamming verify), but every arithmetic step can be replayed by a
+    * plain-SQL oracle, so pair output is adjudicated pair-for-pair
+    * instead of rows-only:
+    *  - token hash = polynomial over the token's code points,
+    *    h ← (31·h + cp) mod 1000003 — full-content (unlike the
+    *    len/first/last fingerprint word hash, which is too coarse to
+    *    seed 32 independent bits);
+    *  - bit j's coin flip = parity of (h · 40503·(j+7)) mod 1000003.
+    *    The multiplier must be LARGE relative to the modulus: with a
+    *    small one (e.g. 2j+3) the product often stays below p, the mod
+    *    never wraps, and every bit degenerates to parity(h) — measured
+    *    90 811/124 750 doc pairs landing within Hamming 3. With the
+    *    wrapping multiplier the flips decorrelate and the pair set
+    *    shrinks to the near-dup structure the xxhash64 variant sees;
+    *  - 32 signature bits so the signature and all shifts stay inside
+    *    a non-negative BIGINT on the SQL side.
+    * xxhash64 ([[simhashPairs]]) remains the production default — this
+    * variant exists to prove the operator against an independent engine
+    * and for environments that need cross-system reproducibility.
+    */
+  def simhashPairsReplayable(docs: DataFrame, textCol: String, idCol: String,
+      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame =
+    simhashCore(docs, textCol, idCol, bits = 32, hammingMax, maxBucketFreq) {
+      t =>
+        var h = 7L
+        val it = t.codePoints().iterator()
+        while (it.hasNext) h = (h * 31L + it.next()) % 1000003L
+        h
+    }
+
+  /** Shared SimHash kernel: per-doc bit votes from `tokHash` in one
+    * compiled mapGroups, then pigeonhole banding + exact Hamming verify
+    * (see [[simhashPairs]] for the candidate-join and skew-guard
+    * semantics). For `bits < 64`, bit j's vote comes from the parity of
+    * (h · 40503·(j+7)) mod 1000003 rather than bit j of h, so hashes
+    * narrower than the signature still spread across it; for 64 the
+    * raw hash bits are used directly.
+    */
+  private def simhashCore(docs: DataFrame, textCol: String, idCol: String,
+      bits: Int, hammingMax: Int, maxBucketFreq: Option[Int])
+      (tokHash: String => Long): DataFrame = {
+    val nChunks = hammingMax + 1
+    require(bits % nChunks == 0, s"chunk count must divide $bits")
+    val chunkBits = bits / nChunks
+    val useRawBits = bits == 64
+
     val spark = docs.sparkSession
     import spark.implicits._
+    val nb = bits
     val sigs = docs
       .select(col(idCol).cast("long").as("id"),
         explode(split(col(textCol), " ")).as("t"))
       .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroups { (id: Long, it: Iterator[(Long, String)]) =>
-        val votes = new Array[Int](64)
+        val votes = new Array[Int](nb)
         it.foreach { case (_, t) =>
-          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
-          val h = org.apache.spark.sql.catalyst.expressions.XXH64
-            .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+          val h = tokHash(t)
           var k = 0
-          while (k < 64) {
-            if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          while (k < nb) {
+            val bit =
+              if (useRawBits) ((h >>> k) & 1L) == 1L
+              else (h * (40503L * (k + 7L))) % 1000003L % 2L == 1L
+            if (bit) votes(k) += 1 else votes(k) -= 1
             k += 1
           }
         }
         var sim = 0L
         var k = 0
-        while (k < 64) { if (votes(k) > 0) sim |= 1L << k; k += 1 }
+        while (k < nb) { if (votes(k) > 0) sim |= 1L << k; k += 1 }
         (id, sim)
       }
       .toDF("id", "sim")

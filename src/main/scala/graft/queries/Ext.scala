@@ -86,8 +86,9 @@ object Ext {
       FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
   /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
-    * xxhash64 isn't reproducible in DuckDB SQL → rows-only here;
-    * cross-checked against the Jaccard pairs in ExtSpec.
+    * xxhash64 isn't reproducible in DuckDB SQL → rows-only here
+    * (cross-checked against the Jaccard pairs in ExtSpec); the
+    * replayable-hash variant below is adjudicated pair-for-pair.
     */
   val xDedupSimhash = Q(
     "x_dedup_simhash",
@@ -95,6 +96,38 @@ object Ext {
       hammingMax = 3).orderBy(col("doc_a"), col("doc_b")),
     None,
     bench = true)
+
+  /** SimHash over the SQL-replayable token hash (see
+    * [[Dedup.simhashPairsReplayable]]): the oracle rebuilds the full
+    * 32-bit signature — token hash, per-bit parity votes, two's-
+    * complement assembly — and then does the EXHAUSTIVE O(n²) Hamming
+    * join, so the banded candidate path is proven to find exactly the
+    * pigeonhole-guaranteed pair set.
+    */
+  val xDedupSimhashReplay = Q(
+    "x_dedup_simhash_replay",
+    (s, dir) => Dedup.simhashPairsReplayable(t(s, dir, "documents"),
+      "text", "doc_id", hammingMax = 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some("""WITH th AS (SELECT doc_id,
+        list_reduce(
+          list_prepend(CAST(7 AS BIGINT),
+            list_transform(regexp_extract_all(t, '.'),
+              c -> CAST(ascii(c) AS BIGINT))),
+          (a, x) -> (a*31 + x) % 1000003) AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
+      votes AS (SELECT doc_id, j,
+        SUM(CASE WHEN (h*(40503*(j+7))) % 1000003 % 2 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, (SELECT unnest(range(0, 32)) AS j) js GROUP BY doc_id, j),
+      sig AS (SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
+        FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sim, b.sim)) <= 3
+      ORDER BY doc_a, doc_b"""))
 
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline. */
   val xDedupEmbedding = Q(
@@ -345,11 +378,13 @@ object Ext {
       // top-k, no global single-partition sort), then rank the 20
       // survivors — a global row_number window over the full corpus
       // would funnel everything through one partition at scale.
-      // partitionBy(constant) because the input is already bounded to
-      // 20 rows: same single-partition plan, but explicit, so WindowExec
-      // doesn't flag it as an accidental global window.
+      // partitionBy(constant-valued-but-not-foldable): `lit(0)` gets
+      // constant-folded OUT of the partition spec, leaving WindowExec
+      // with an empty spec that it logs as an accidental global window;
+      // pmod(doc_id, 1) is 0 for every row but survives optimization,
+      // so the (intentional, 20-row) single partition stays explicit.
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(0))
+        .partitionBy(pmod(col("doc_id"), lit(1)))
         .orderBy(col("score").desc, col("doc_id"))
       Text.bm25(t(s, dir, "documents"), "text", "doc_id",
           terms = Seq("dup", "vector", "stream"))
@@ -515,22 +550,51 @@ object Ext {
 
   /** Stratified sampling: per-language quotas via sampleBy (seeded
     * per-stratum Bernoulli) — rebalancing a skewed corpus is a standard
-    * training-data step. Engine-specific RNG → rows-only; per-stratum
-    * bounds and seed-determinism asserted in ExtSpec.
+    * training-data step. The draw itself is engine-specific RNG, so the
+    * adjudicated output is per-stratum totals + target rates
+    * (independently recomputed by the oracle through its own langId
+    * replay) plus a concentration boolean: |sampled/total − rate| ≤
+    * 0.07 is ≥5σ at the smallest stratum here, so a failure means a
+    * broken sampler, not an unlucky draw. Exact per-stratum counts and
+    * seed-determinism stay asserted in ExtSpec.
     */
   val xSampleStratified = Q(
     "x_sample_stratified",
     (s, dir) => {
+      val rates = Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 1.0)
+      val rateCol = rates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+        when(col("lang_pred") === l, r).otherwise(acc) }
       val d = t(s, dir, "documents")
         .withColumn("lang_pred", graft.ext.Text.langId(col("text")))
-      d.stat.sampleBy("lang_pred",
-          Map("en" -> 0.1, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 1.0),
-          seed = 42L)
+      val sampled = d.stat.sampleBy("lang_pred", rates, seed = 42L)
         .groupBy(col("lang_pred"))
         .agg(count(lit(1)).as("n_sampled"))
+      d.groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("lang_pred"), "left")
+        .select(col("lang_pred"), col("n_total"),
+          rateCol.as("rate"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total")
+            - rateCol) <= 0.07).as("frac_ok"))
         .orderBy(col("lang_pred"))
     },
-    None)
+    Some("""WITH sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang_pred
+        FROM sc)
+      SELECT lang_pred, COUNT(*) AS n_total,
+        CAST(CASE lang_pred WHEN 'en' THEN 0.1 WHEN 'de' THEN 0.5 WHEN 'fr' THEN 0.5
+          WHEN 'es' THEN 0.5 WHEN 'zh' THEN 1.0 ELSE 1.0 END AS DOUBLE) AS rate,
+        true AS frac_ok
+      FROM m GROUP BY lang_pred ORDER BY lang_pred"""))
 
   /** Multimodal metadata: binary payload length + content hash. */
   val xMultimodalMeta = Q(
@@ -656,7 +720,7 @@ object Ext {
 
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupNgram, xDedupMinhash, xDedupClusters,
-    xDedupSimhash, xDedupEmbedding,
+    xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextChunk,

