@@ -25,6 +25,53 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Chunk-level exact-duplicate removal — the practical form of
+    * exact-substring dedup (Lee et al., ACL 2022: duplicated training
+    * spans hurt LMs; production pipelines approximate the suffix-array
+    * formulation by deduping fixed-size token segments). Documents are
+    * cut into non-overlapping `chunkTokens`-token segments
+    * ([[Text.chunk]] with overlap 0); each distinct segment text keeps
+    * only its FIRST occurrence corpus-wide (min (doc_id, chunk_idx) —
+    * deterministic under any partitioning); every later occurrence is
+    * cut from its document. Per doc: segment counts, duplicated
+    * fraction, and the re-assembled deduped text.
+    *
+    * Scale shape: two key shuffles, nothing quadratic —
+    *  - first-occurrence is a groupBy on the segment text whose only
+    *    aggregate is a min, so map-side partial aggregation absorbs
+    *    even a boilerplate segment repeated across millions of docs
+    *    (no skew guard needed: the hot key reduces to one row per map
+    *    task before the exchange);
+    *  - at 100 TB the group key would be the segment's 64-bit
+    *    fingerprint rather than its text (same hashed-key move as
+    *    [[Text.contamination]]'s `hashedGrams`), shrinking the shuffle
+    *    by the mean segment length; kept as the text itself here so the
+    *    oracle adjudicates the exact semantics;
+    *  - re-assembly is a per-doc groupBy: collect surviving (idx, text)
+    *    pairs, array_sort (order-stable regardless of arrival order),
+    *    concat — state is O(one document), the same bound every other
+    *    per-doc operator here lives with.
+    */
+  def chunkDedup(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int): DataFrame = {
+    val ch = Text.chunk(docs, textCol, idCol, chunkTokens, overlap = 0)
+    val first = ch.groupBy(col("chunk_text"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("first"))
+    ch.join(first, "chunk_text")
+      .withColumn("is_first",
+        col("doc_id") === col("first.doc_id") &&
+          col("chunk_idx") === col("first.chunk_idx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(when(col("is_first"), 1).otherwise(0)).cast("bigint").as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("is_first"), struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text"))).as("deduped_text"))
+      .withColumn("dup_frac",
+        lit(1.0) - col("n_kept").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Exploded (id, shingle) inverted index; optional df-cutoff drops
     * shingles appearing in more than maxDocFreq docs (skew guard).
     *

@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe global order statistics.
+  *
+  * `row_number() OVER (ORDER BY ...)` with no PARTITION BY is the
+  * canonical 100 TB trap: Spark (and every MPP engine) must funnel the
+  * entire input through ONE partition to number it — WindowExec even
+  * logs a warning when it sees an empty partition spec. But a global
+  * rank doesn't need a global funnel: after a RANGE partitioning on the
+  * order key, every row's global rank = (rows in earlier partitions) +
+  * (its rank within its own partition). Both terms are cheap: the
+  * per-partition counts are P numbers collected to the driver, and the
+  * within-partition rank is a narrow per-partition scan of data that
+  * the range exchange already sorted.
+  *
+  * This is the distributed zipWithIndex pattern (Spark's own
+  * `RDD.zipWithIndex` works exactly this way): one range shuffle + one
+  * tiny count job + one narrow map job. The count and numbering jobs
+  * run over the SAME shuffled RDD, so the exchange is executed once and
+  * its map output reused — confirmed by the two jobs sharing a shuffle
+  * id in the Spark UI/event log.
+  *
+  * The RDD hop is deliberate: per-partition sequential numbering is
+  * genuine imperative per-partition logic (SURVEY.md §7.3's narrow
+  * exception). A pure-DataFrame alternative — window over
+  * `spark_partition_id()` — adds a second full shuffle (hash on pid)
+  * for nothing.
+  *
+  * Output rank is deterministic iff `order` is a total order (callers
+  * must include a tiebreaker, same as any rank-stability contract);
+  * range-boundary sampling randomness only moves partition BOUNDARIES,
+  * never the global order, so the assigned numbers are identical for
+  * any boundary outcome.
+  */
+object Rank {
+
+  /** Append a 1-based global row number `out` ordered by `order`
+    * (which must be a total order for deterministic output).
+    *
+    * `numParts` defaults to the session's shuffle parallelism; at
+    * cluster scale set it so each range partition fits in executor
+    * memory (the per-partition state here is O(1) — only the running
+    * counter — so the real bound is the sort's spill behavior).
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+      out: String = "rn", numParts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+
+    // one RDD instance for both jobs → the range exchange's map output
+    // is computed once and reused by the second job
+    val rows = parted.rdd
+
+    // job 1: per-partition counts — P longs to the driver, nothing else
+    val counts = rows.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator((i, n))
+    }.collect().sortBy(_._1)
+
+    // exclusive prefix sum: offset(i) = rows in partitions < i
+    val offsets = new Array[Long](counts.length + 1)
+    counts.foreach { case (i, n) => offsets(i + 1) = n }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // job 2: narrow numbering pass (shuffle output reused)
+    val schema = df.schema.add(out, LongType, nullable = false)
+    val numbered = rows.mapPartitionsWithIndex { (pi, it) =>
+      var rn = bc.value(pi)
+      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    spark.createDataFrame(numbered, schema)
+  }
+}

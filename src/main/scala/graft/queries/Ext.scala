@@ -35,6 +35,36 @@ object Ext {
     Some("""SELECT text, min(doc_id) AS survivor_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY survivor_id"""))
 
+  /** Chunk-level exact-substring dedup (see [[Dedup.chunkDedup]]):
+    * 20-token segments, corpus-wide first-occurrence-wins, documents
+    * re-assembled from their surviving segments. The oracle replays
+    * the whole thing — segmentation, first-occurrence ranking, ordered
+    * re-assembly — so the deduped TEXT is adjudicated byte-for-byte,
+    * not just the counts.
+    */
+  val xDedupChunks = Q(
+    "x_dedup_chunks",
+    (s, dir) => Dedup.chunkDedup(t(s, dir, "documents"), "text", "doc_id",
+      chunkTokens = 20).orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      ch AS (SELECT doc_id,
+          generate_subscripts(range(0, greatest(len(toks), 1), 20), 1) - 1 AS chunk_idx,
+          unnest(range(0, greatest(len(toks), 1), 20)) AS start,
+          toks FROM d),
+      cx AS (SELECT doc_id, chunk_idx,
+          array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text
+        FROM ch),
+      f AS (SELECT doc_id, chunk_idx, chunk_text,
+          row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+        FROM cx)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        COALESCE(string_agg(CASE WHEN rn = 1 THEN chunk_text END, ' '
+          ORDER BY chunk_idx), '') AS deduped_text,
+        CAST(1.0 AS DOUBLE) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
   val xDedupNgram = Q(
     "x_dedup_ngram_jaccard",
@@ -718,14 +748,32 @@ object Ext {
       COUNT(*) AS n, max(l_extendedprice) AS max_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Global row numbering WITHOUT the single-partition window trap:
+    * range partition + per-partition counts + offset fix-up (see
+    * [[graft.ext.Rank.globalRowNumber]]). The oracle is the very
+    * `ROW_NUMBER() OVER (ORDER BY ...)` the operator refuses to
+    * execute naively, so distributed numbering is adjudicated
+    * row-for-row against the single-threaded semantics.
+    */
+  val xRankGlobal = Q(
+    "x_rank_global",
+    (s, dir) => graft.ext.Rank.globalRowNumber(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), out = "rn")
+      .orderBy(col("rn")),
+    Some("""SELECT o_orderkey, o_totalprice,
+      ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders ORDER BY rn"""))
+
   val queries: Seq[Q] = Seq(
-    xDedupExact, xDedupNgram, xDedupMinhash, xDedupClusters,
+    xDedupExact, xDedupChunks, xDedupNgram, xDedupMinhash, xDedupClusters,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextChunk,
     xTextFingerprint,
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
+    xRankGlobal,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
 }
