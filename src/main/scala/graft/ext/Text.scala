@@ -315,6 +315,46 @@ object Text {
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
+  /** Distinct n-grams of a (small) eval set, collected to the driver.
+    * The eval suite is bounded by definition — it's the benchmark
+    * collection, not the corpus — so O(eval grams) on the driver is the
+    * same budget [[contamination]] already spends broadcasting it.
+    */
+  def evalGramSet(evalSet: DataFrame, textCol: String, n: Int): Array[String] =
+    evalSet.select(explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
+      .distinct().collect().map(_.getString(0))
+
+  /** Narrow decontamination flag: does `text` share any n-gram with the
+    * (plan-embedded) eval-gram set? Unlike [[contamination]] — which
+    * explodes corpus grams, distincts them (a corpus-gram shuffle), and
+    * joins — this is a zero-shuffle per-row membership probe via the
+    * native short-circuiting [[graft.plans.GramOverlap]] expression
+    * (hash-set probe per gram; the composable
+    * `arrays_overlap(ngramArray(...), lit(...))` form scans the eval
+    * array pairwise — measured 1.7s vs ~0.2s at sf0.1). The corpus
+    * never moves; each row does O(doc grams) expected work. Use when
+    * only the boolean verdict is needed (e.g. pipeline filters); use
+    * [[contamination]] when the per-doc hit counts/fractions are the
+    * product.
+    */
+  def contaminatedNarrow(text: Column, evalGrams: Array[String],
+      n: Int): Column =
+    call_function("gram_overlap", tokens(text), lit(n),
+      typedLit(evalGrams.toSeq))
+
+  /** Narrow top-gram-frac column (same signal as [[repetitionSignals]]'
+    * `top_gram_frac`, as a single expression): 0.0 for docs too short
+    * to have any n-gram — matching the left-join + coalesce(0.0) idiom
+    * pipelines used with the DataFrame form.
+    */
+  def topGramFrac(text: Column, n: Int = 2): Column = {
+    val gs = call_function("gram_stats", tokens(text), lit(n))
+    when(gs.getField("n_grams") > 0,
+      gs.getField("top_count").cast("double") /
+        gs.getField("n_grams").cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   /** Rolling polynomial fingerprint over the word sequence
     * (order-sensitive): fp = fold((acc*1000003 + h(w)) mod (2^31-1));
     * h(w) = len*961 + 31*code(first) + code(last). Word hash is kept

@@ -25,7 +25,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => ArrJaccard(children(0), children(1)): Expression),
     (new FunctionIdentifier("gram_stats"),
       new ExpressionInfo(classOf[GramStats].getName, "gram_stats"),
-      (children: Seq[Expression]) => GramStats(children(0), children(1)): Expression))
+      (children: Seq[Expression]) => GramStats(children(0), children(1)): Expression),
+    (new FunctionIdentifier("gram_overlap"),
+      new ExpressionInfo(classOf[GramOverlap].getName, "gram_overlap"),
+      (children: Seq[Expression]) =>
+        GramOverlap(children(0), children(1), children(2)): Expression))
 
   /** Idempotent per-session registration fallback: lets the functions
     * resolve even in a session built WITHOUT spark.sql.extensions (e.g.

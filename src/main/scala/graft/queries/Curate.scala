@@ -242,14 +242,20 @@ object Curate {
       FROM r GROUP BY lang ORDER BY lang"""))
 
   /** The full curation pipeline end-to-end, the shape a pretraining
-    * corpus job runs nightly: per-doc quality signals (narrow) →
-    * repetition signals (one gram shuffle) → decontamination (broadcast
-    * probe) → deterministic mixture resampling (narrow) → exact-dedup
-    * survivors → per-language corpus stats. Docs too short for grams
-    * re-enter via left joins (absent ≠ repetitive/contaminated).
-    * Everything is either narrow or keyed on doc_id/text/lang — no
-    * stage holds more than O(one doc) of state, so the composition
-    * scales exactly as far as its worst stage (the gram shuffle).
+    * corpus job runs nightly: per-doc quality signals → repetition
+    * signal → decontamination verdict → deterministic mixture
+    * resampling — ALL narrow, computed in one per-row pass — then
+    * exact-dedup survivors → per-language corpus stats. The whole
+    * composition runs in TWO shuffles (text-keyed dedup, lang-keyed
+    * stats; PlanSpec enforces the budget): repetition is the codegen'd
+    * gram_stats expression and the decontamination probe tests each
+    * row against the plan-embedded eval-gram set
+    * ([[Text.contaminatedNarrow]]), so the corpus is never exploded,
+    * shuffled, or joined for either signal. An earlier shape computed
+    * repetition and contamination as separate DataFrames joined back
+    * on doc_id — three more exchanges for identical output (~4.4s →
+    * ~1.6s at sf0.1). Docs too short for grams score 0.0/clean,
+    * matching the left-join + coalesce semantics of that shape.
     */
   val xPipelineCurate = Q(
     "x_pipeline_curate",
@@ -257,23 +263,20 @@ object Curate {
       val docs = t(s, dir, "documents")
       val evalSet = docs.filter(col("doc_id") < 20)
       val corpus = docs.filter(col("doc_id") >= 20)
-      val scored = corpus.select(col("doc_id"), col("text"),
-        Text.langId(col("text")).as("lang"),
-        Text.wordCount(col("text")).as("n_words"),
-        (Text.stopwordCount(col("text")).cast("double") /
-          Text.wordCount(col("text"))).as("stop_ratio"),
-        Text.fingerprint(col("text")).as("fp"))
-      val rep = Text.repetitionSignals(corpus, "text", "doc_id")
-        .select(col("doc_id"), col("top_gram_frac"))
-      val cont = Text.contamination(corpus, evalSet, "text", "doc_id", n = 5)
-        .select(col("doc_id"), col("contaminated"))
-      val kept = scored
-        .join(rep, Seq("doc_id"), "left")
-        .join(cont, Seq("doc_id"), "left")
+      val evalGrams = Text.evalGramSet(evalSet, "text", n = 5)
+      val kept = corpus.select(col("doc_id"), col("text"),
+          Text.langId(col("text")).as("lang"),
+          Text.wordCount(col("text")).as("n_words"),
+          (Text.stopwordCount(col("text")).cast("double") /
+            Text.wordCount(col("text"))).as("stop_ratio"),
+          Text.fingerprint(col("text")).as("fp"),
+          Text.topGramFrac(col("text")).as("top_gram_frac"),
+          Text.contaminatedNarrow(col("text"), evalGrams, n = 5)
+            .as("contaminated"))
         .filter(col("n_words") >= 20 &&
           col("stop_ratio") <= 0.5 &&
-          coalesce(col("top_gram_frac"), lit(0.0)) <= 0.2 &&
-          !coalesce(col("contaminated"), lit(false)) &&
+          col("top_gram_frac") <= 0.2 &&
+          !col("contaminated") &&
           Sampling.mixtureKeep(col("fp"), col("lang"), mixtureRates))
       val surv = kept.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"),

@@ -114,6 +114,17 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 3, s"composition shuffles too much ($exchanges):\n$p")
   }
 
+  test("curation pipeline: all signals narrow, two data shuffles + sort, no joins") {
+    // quality + repetition (gram_stats) + decontamination (gram_overlap)
+    // + mixture keep are ONE per-row projection; only exact-dedup
+    // (text) and per-lang stats shuffle. A join appearing here means a
+    // signal regressed to the join-back-by-doc_id shape.
+    val p = plan("x_pipeline_curate")
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"curation shuffles too much ($exchanges):\n$p")
+    assert(!p.contains("Join"), s"curation grew a join:\n$p")
+  }
+
   test("decontamination probes the eval grams via broadcast, never a shuffle join") {
     val p = plan("x_decontaminate")
     assert(p.contains("BroadcastHashJoin"), s"eval gram set not broadcast:\n$p")
