@@ -66,4 +66,58 @@ object Sampling {
       .filter(col("_cum") <= budget)
       .drop("_cum")
   }
+
+  /** Temperature-scaled mixture weights (the multilingual-pretraining
+    * resampling formula, e.g. mBERT/XLM-R exponent smoothing): group g
+    * gets sampling weight n_g^α / Σ n_h^α — α < 1 upweights small
+    * domains relative to proportional sampling. α is fixed at 1/2
+    * (sqrt) so every per-group term is a SINGLE correctly-rounded IEEE
+    * operation (a general pow() is libm-dependent and would diverge
+    * across engines); the Σ goes through 12-decimal rounding + exact
+    * decimal addition so the total is order-independent (same
+    * discipline as [[Text.bm25]] — a plain double sum over groups would
+    * vary with aggregation order).
+    *
+    * Scale: one count aggregate (O(#groups) output), one broadcast of
+    * the scalar total; weights attach to groups, not rows.
+    */
+  def temperatureWeights(docs: DataFrame, group: Column): DataFrame = {
+    val cnt = docs.groupBy(group.as("group")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("term",
+        sqrt(col("n_docs").cast("double")).cast("decimal(20,12)"))
+    val tot = cnt.agg(
+      sum(col("term")).cast("decimal(38,12)").cast("double").as("z"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("group"), col("n_docs"),
+        (col("term").cast("double") / col("z")).as("weight"))
+  }
+
+  /** Sequence packing — the standard pretraining layout step: per
+    * group (language/domain/shard), documents are concatenated in
+    * `order` and the token stream is cut into fixed `seqLen` training
+    * sequences. A document's tokens occupy stream positions
+    * [cum − tokens, cum), so its first/last sequence ids are pure
+    * arithmetic on the running sum — no iterative packer, no driver
+    * loop, and (unlike first-fit bin packing, whose state cannot be
+    * expressed as a window) the assignment is a closed-form function of
+    * the ordered prefix sums, reproducible on any partitioning and
+    * replayable by a plain-SQL oracle.
+    *
+    * Adds: `seq_first`, `seq_last` (0-based sequence ids the doc
+    * touches), `n_splits` (= seq_last − seq_first: how many sequence
+    * boundaries cut through the doc). One per-group ordered window
+    * shuffle — same scale shape and unique-`order` requirement as
+    * [[tokenBudget]].
+    */
+  def packSequences(docs: DataFrame, group: Column, tokens: Column,
+      order: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("_cum", sum(tokens).over(w))
+      .withColumn("seq_first", floor((col("_cum") - tokens) / seqLen))
+      .withColumn("seq_last", floor((col("_cum") - 1) / seqLen))
+      .withColumn("n_splits", col("seq_last") - col("seq_first"))
+      .drop("_cum")
+  }
 }

@@ -380,7 +380,79 @@ object Curate {
         CAST(SUM(n_words) AS BIGINT) AS tokens_kept
       FROM c WHERE cum <= 3000 GROUP BY lang ORDER BY lang"""))
 
+  /** Sequence packing summary per language: concat-and-chunk docs into
+    * 512-token training sequences (see [[Sampling.packSequences]]),
+    * report sequence counts, boundary-split docs, and packing
+    * efficiency. Fully oracle-checked — the assignment is closed-form
+    * arithmetic on the SQL-replayable running sum.
+    */
+  val xPackSequences = Q(
+    "x_pack_sequences",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"))
+      Sampling.packSequences(d, col("lang"), col("n_words"), col("doc_id"),
+          seqLen = 512L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("total_tokens"),
+          (max(col("seq_last")) + 1).cast("bigint").as("n_seqs"),
+          sum(when(col("n_splits") > 0, 1).otherwise(0)).cast("bigint")
+            .as("n_split_docs"))
+        .withColumn("pack_efficiency",
+          col("total_tokens").cast("double") /
+            (col("n_seqs") * 512L).cast("double"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM sc),
+      c AS (SELECT doc_id, lang, n_words,
+        SUM(n_words) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS UNBOUNDED PRECEDING) AS cum
+        FROM m)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        CAST(MAX((cum - 1) // 512) + 1 AS BIGINT) AS n_seqs,
+        CAST(SUM(CASE WHEN (cum - 1) // 512 > (cum - n_words) // 512
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+        CAST(SUM(n_words) AS DOUBLE) /
+          CAST((MAX((cum - 1) // 512) + 1) * 512 AS DOUBLE) AS pack_efficiency
+      FROM c GROUP BY lang ORDER BY lang"""))
+
+  /** Temperature-scaled (α = 1/2) mixture weights per source domain
+    * (see [[Sampling.temperatureWeights]]). The oracle recomputes
+    * counts, sqrt terms, the decimal-rounded total, and the final
+    * divisions — every weight is adjudicated bit-for-bit.
+    */
+  val xSampleTemperature = Q(
+    "x_sample_temperature",
+    (s, dir) => Sampling.temperatureWeights(
+        t(s, dir, "documents"), col("source"))
+      .select(col("group").as("source"),
+        col("n_docs").cast("bigint").as("n_docs"), col("weight"))
+      .orderBy(col("source")),
+    Some("""WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      t AS (SELECT source, n_docs,
+        CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS term FROM c),
+      z AS (SELECT CAST(CAST(SUM(term) AS DECIMAL(38,12)) AS DOUBLE) AS z FROM t)
+      SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        CAST(term AS DOUBLE) / z AS weight
+      FROM t, z ORDER BY source"""))
+
   val queries: Seq[Q] = Seq(
     xTextRepetition, xPiiRedact, xDecontaminate, xDecontaminateHashed,
-    xDecontaminateFuzzy, xSampleMixture, xPipelineCurate, xSampleTokenBudget)
+    xDecontaminateFuzzy, xSampleMixture, xPipelineCurate, xSampleTokenBudget,
+    xPackSequences, xSampleTemperature)
 }

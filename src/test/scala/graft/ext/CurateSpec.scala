@@ -122,4 +122,33 @@ class CurateSpec extends SparkSuite {
     assert(k1 == k2, "selection must not depend on partitioning")
     assert(k1.size < n, "downweighted language must actually shrink")
   }
+
+  test("sequence packing: boundary arithmetic and split detection") {
+    import spark.implicits._
+    // seqLen 10, one group, 0-based stream positions: docs of 4+4+4
+    // tokens — the third (positions 8..11) straddles the sequence-0/1
+    // boundary; the 7-token doc (12..18) and the 1-token doc (19) both
+    // stay inside sequence 1, which ends exactly at position 19
+    val d = Seq((1L, 4), (2L, 4), (3L, 4), (4L, 7), (5L, 1))
+      .map { case (id, n) => (id, "g", n) }.toDF("doc_id", "lang", "n_words")
+    val got = Sampling.packSequences(d, col("lang"), col("n_words"),
+        col("doc_id"), seqLen = 10L)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getAs[Long]("seq_first"),
+        r.getAs[Long]("seq_last"), r.getAs[Long]("n_splits")))
+    assert(got === Array((0L, 0L, 0L), (0L, 0L, 0L), (0L, 1L, 1L),
+      (1L, 1L, 0L), (1L, 1L, 0L)))
+  }
+
+  test("sequence packing: assignment survives repartitioning") {
+    val d = docs.select(col("doc_id"),
+      Text.langId(col("text")).as("lang"),
+      Text.wordCount(col("text")).as("n_words"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.packSequences(df, col("lang"), col("n_words"),
+          col("doc_id"), seqLen = 512L)
+        .select("doc_id", "seq_first", "seq_last")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(d) === run(d.repartition(7, col("n_words"))))
+  }
 }
