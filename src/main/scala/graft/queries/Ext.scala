@@ -636,21 +636,73 @@ object Ext {
       sha256(text) AS sha256
       FROM documents ORDER BY doc_id"""))
 
-  /** Stubbed media decode over binary payloads — rows-only (the decode
-    * is a deterministic fake; the Spark plumbing is the product).
+  /** UTF-8 byte expansion + the unsigned-64-bit wrap/sign-split idioms
+    * shared by the multimodal oracles: the stub decode/feature hashes
+    * run on SIGNED 64-bit Java arithmetic, which plain-SQL replays via
+    * HUGEINT mod 2^64 plus an explicit two's-complement split wherever
+    * the Scala side uses a sign-sensitive op (arithmetic shift,
+    * floorMod by a non-power-of-two).
+    */
+  private val mmBytesCte =
+    """chars AS (SELECT doc_id, regexp_extract_all(text, '.') AS cs FROM documents),
+      bytes AS (SELECT doc_id,
+          flatten(list_transform(cs, c ->
+            CASE WHEN ascii(c) < 128 THEN [ascii(c)]
+              WHEN ascii(c) < 2048 THEN [192 + ascii(c) // 64, 128 + ascii(c) % 64]
+              ELSE [224 + ascii(c) // 4096, 128 + (ascii(c) // 64) % 64, 128 + ascii(c) % 64]
+            END)) AS bs
+        FROM chars)"""
+
+  /** h = fold(17, h*31 + byte) mod 2^64, then the stub's field
+    * extractions; the format index replays Java's SIGNED >> 25 via the
+    * two's-complement value and floor division.
+    */
+  private val mmDecodeCte = mmBytesCte +
+    """,
+      hh AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(17 AS HUGEINT), list_transform(bs, x -> CAST(x AS HUGEINT))),
+            (a, x) -> (a * 31 + x) % 18446744073709551616) AS h
+        FROM bytes),
+      dec AS (SELECT doc_id, h,
+          CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS s
+        FROM hh),
+      meta AS (SELECT doc_id,
+          CAST(64 + (h % 1024) AS INTEGER) AS width,
+          CAST(64 + ((h // 1024) % 1024) AS INTEGER) AS height,
+          CAST(1 + ((h // 1048576) % 32) AS INTEGER) AS n_frames,
+          ['png','jpeg','webp'][
+            CAST((((((s - ((s % 33554432 + 33554432) % 33554432)) // 33554432) % 3) + 3) % 3) AS INTEGER) + 1
+          ] AS format
+        FROM dec)"""
+
+  /** Stubbed media decode over binary payloads. The stub is a
+    * deterministic byte-level hash, so the oracle replays it exactly —
+    * UTF-8 byte expansion, 64-bit wrapping fold, signed-shift format
+    * pick — and the decode is adjudicated value-for-value like any
+    * exact query (the Spark plumbing, mapPartitions with one decoder
+    * handle per partition, is unchanged; a real codec would return
+    * this to rows-only).
     */
   val xMultimodalDecode = Q(
     "x_multimodal_decode",
     (s, dir) => Multimodal.decode(
       Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
       .orderBy(col("id")),
-    None)
+    Some(s"""WITH $mmDecodeCte
+      SELECT doc_id AS id, width, height, n_frames, format
+      FROM meta ORDER BY id"""))
 
   /** Stubbed feature extraction: payload → fixed-dim embedding via
-    * batch-iterated mapPartitions — rows-only (fake model). The raw
-    * ArrayType(Float) column is serialized via H.arrStr for transport
-    * (list cells are unhashable in the driver's pandas compare); the
-    * operator itself still emits the typed array (asserted in ExtSpec).
+    * batch-iterated mapPartitions. The stub is an FNV-style fold + per-
+    * dimension multiplicative spread, all replayed by the oracle in
+    * exact integer arithmetic (xor on the signed 64-bit pattern, wrap
+    * via HUGEINT, signed floorMod for the ±1.0 quantization, single-
+    * precision division) — every one of the 16 float dimensions is
+    * adjudicated through the canonical %.6f serialization. The raw
+    * ArrayType(Float) column goes through H.arrStr for transport (list
+    * cells are unhashable in the driver's pandas compare); the operator
+    * itself still emits the typed array (asserted in ExtSpec).
     */
   val xMultimodalFeatures = Q(
     "x_multimodal_features",
@@ -658,10 +710,47 @@ object Ext {
       Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
       .select(col("id"), graft.queries.H.arrStr(col("feature")).as("feature"))
       .orderBy(col("id")),
-    None)
+    Some(s"""WITH $mmBytesCte,
+      h0 AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(CAST(-7046029254386353131 AS BIGINT),
+              list_transform(bs, x -> CAST(x AS BIGINT))),
+            (a, x) -> CAST(
+              CASE WHEN ((CASE WHEN CAST(xor(a, x) AS HUGEINT) < 0
+                          THEN CAST(xor(a, x) AS HUGEINT) + 18446744073709551616
+                          ELSE CAST(xor(a, x) AS HUGEINT) END * 1099511628211)
+                         % 18446744073709551616) >= 9223372036854775808
+              THEN ((CASE WHEN CAST(xor(a, x) AS HUGEINT) < 0
+                     THEN CAST(xor(a, x) AS HUGEINT) + 18446744073709551616
+                     ELSE CAST(xor(a, x) AS HUGEINT) END * 1099511628211)
+                    % 18446744073709551616) - 18446744073709551616
+              ELSE ((CASE WHEN CAST(xor(a, x) AS HUGEINT) < 0
+                     THEN CAST(xor(a, x) AS HUGEINT) + 18446744073709551616
+                     ELSE CAST(xor(a, x) AS HUGEINT) END * 1099511628211)
+                    % 18446744073709551616) END AS BIGINT)) AS h
+        FROM bytes),
+      hu AS (SELECT doc_id,
+          CASE WHEN CAST(h AS HUGEINT) < 0 THEN CAST(h AS HUGEINT) + 18446744073709551616
+               ELSE CAST(h AS HUGEINT) END AS uh
+        FROM h0),
+      feat AS (SELECT doc_id,
+          list_transform(range(0, 16), i ->
+            printf('%.6f', CAST(
+              CAST(
+                ((CASE WHEN ((uh * (2*i + 1)) % 18446744073709551616) >= 9223372036854775808
+                   THEN ((uh * (2*i + 1)) % 18446744073709551616) - 18446744073709551616
+                   ELSE ((uh * (2*i + 1)) % 18446744073709551616) END
+                  % 2000 + 2000) % 2000) - 1000
+              AS FLOAT) / CAST(1000 AS FLOAT)
+            AS DOUBLE))) AS fs
+        FROM hu)
+      SELECT doc_id AS id, array_to_string(fs, ',') AS feature
+      FROM feat ORDER BY id"""))
 
   /** Stubbed frame sampling: one row per sampled frame (the distributed
-    * video-explode shape) — rows-only.
+    * video-explode shape); the per-doc sampled-frame count is
+    * ceil(n_frames / stride) off the replayed decode, so the explode
+    * cardinality is oracle-adjudicated.
     */
   val xMultimodalFrames = Q(
     "x_multimodal_frames",
@@ -669,7 +758,10 @@ object Ext {
       Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id")
       .groupBy(col("id")).agg(count(lit(1)).as("n_frames_sampled"))
       .orderBy(col("id")),
-    None)
+    Some(s"""WITH $mmDecodeCte
+      SELECT doc_id AS id,
+        CAST((n_frames + 3) // 4 AS BIGINT) AS n_frames_sampled
+      FROM meta ORDER BY id"""))
 
   /** Hyperplane-LSH cosine near-dup — the bucketed scale path for
     * x_dedup_embedding; approximate recall by construction → rows-only
