@@ -747,6 +747,29 @@ object Ext {
       SELECT doc_id AS id, array_to_string(fs, ',') AS feature
       FROM feat ORDER BY id"""))
 
+  /** Stubbed resize: payload in → clamped-dimension payload out. The
+    * clamped dimensions and the re-encoded payload's byte budget
+    * (min(len, w'·h'/64), floor 1) are pure arithmetic over the
+    * replayed decode, so the binary-in/binary-out contract is
+    * adjudicated on dims + output size (the payload bytes themselves
+    * are a prefix slice — length is the checkable invariant).
+    */
+  val xMultimodalResize = Q(
+    "x_multimodal_resize",
+    (s, dir) => Multimodal.resize(
+      Multimodal.withBinary(t(s, dir, "documents"), "text", "doc_id"), "doc_id",
+      maxW = 256, maxH = 256)
+      .select(col("id"), col("width"), col("height"),
+        octet_length(col("payload")).as("out_bytes"))
+      .orderBy(col("id")),
+    Some(s"""WITH $mmDecodeCte,
+      sz AS (SELECT b.doc_id, CAST(least(m.width, 256) AS INTEGER) AS width,
+          CAST(least(m.height, 256) AS INTEGER) AS height, len(b.bs) AS n_in
+        FROM meta m JOIN bytes b ON b.doc_id = m.doc_id)
+      SELECT doc_id AS id, width, height,
+        CAST(greatest(1, least(n_in, width * height // 64)) AS INTEGER) AS out_bytes
+      FROM sz ORDER BY id"""))
+
   /** Stubbed frame sampling: one row per sampled frame (the distributed
     * video-explode shape); the per-doc sampled-frame count is
     * ceil(n_frames / stride) off the replayed decode, so the explode
@@ -867,5 +890,6 @@ object Ext {
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
     xRankGlobal,
     xMultimodalMeta, xMultimodalDecode,
-    xMultimodalFeatures, xMultimodalFrames, xSkewSaltedAgg)
+    xMultimodalFeatures, xMultimodalFrames, xMultimodalResize,
+    xSkewSaltedAgg)
 }
