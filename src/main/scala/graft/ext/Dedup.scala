@@ -25,6 +25,20 @@ object Dedup {
     docs.groupBy(col(textCol))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Exact dedup keyed on the content digest instead of the content:
+    * at corpus scale, grouping by the raw text ships every document's
+    * full body through the exchange AS THE KEY; grouping by sha256
+    * ships 64 hex chars per row regardless of document size — the
+    * standard production shape (collision probability over any real
+    * corpus is cryptographically negligible, and unlike a 64-bit
+    * fingerprint there is no birthday-bound caveat at 10^12 docs).
+    * Same survivor semantics as [[exact]]; the digest doubles as the
+    * stable content key downstream stages join on.
+    */
+  def exactByDigest(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_sha256"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
+
   /** Chunk-level exact-duplicate removal — the practical form of
     * exact-substring dedup (Lee et al., ACL 2022: duplicated training
     * spans hurt LMs; production pipelines approximate the suffix-array

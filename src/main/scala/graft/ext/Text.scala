@@ -361,10 +361,51 @@ object Text {
     * simple so the oracle can recompute it in SQL; all intermediates
     * stay < 2^62 (no Long overflow).
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
+    aggregate(transform(tokens(text), wordHash(_)), lit(0L),
+      (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L))
+
+  /** The SQL-replayable word hash shared by [[fingerprint]] and the
+    * winnowing scheme: len·961 + 31·code(first) + code(last).
+    */
+  private def wordHash(w: Column): Column =
+    (length(w) * lit(961) + ascii(w) * lit(31) +
+      ascii(w.substr(lit(-1), lit(1)))).cast("long")
+
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS scheme, standard for code/document dedup in
+    * training corpora): hash every k-token gram, slide a w-gram window,
+    * keep each window's MINIMUM hash; the distinct minima are the
+    * document's fingerprint set. Guarantees: any shared run of
+    * k + w − 1 tokens between two documents yields at least one shared
+    * print, while storing only ~2/(w+1) of the gram hashes.
+    *
+    * Selection is at value level (distinct window minima) — tie
+    * position rules (MOSS keeps the rightmost) affect which POSITION
+    * is recorded, not which values, so the value set is rule-free and
+    * engine-independent. Narrow per-row evaluation; the gram hash is
+    * the rolling fingerprint restricted to the gram, so every step
+    * replays in SQL. Fewer grams than w → one window over all grams
+    * (the guarantee's boundary case); fewer tokens than k → empty.
+    */
+  def winnowPrints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
     val t = tokens(text)
-    val hashes = transform(t, w =>
-      (length(w) * lit(961) + ascii(w) * lit(31) + ascii(w.substr(lit(-1), lit(1)))).cast("long"))
-    aggregate(hashes, lit(0L), (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L))
+    val hs = transform(t, wordHash(_))
+    // sequence bounds clamped to ≥1 so the expressions stay valid even
+    // when a branch's result is discarded by the guards below (CSE may
+    // evaluate subtrees eagerly; sequence(1, n<1) would count DOWN and
+    // slice would reject its positions)
+    val gramHashes = transform(
+      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      i => aggregate(slice(hs, i, lit(k)), lit(0L),
+        (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L)))
+    val windows = transform(
+      sequence(lit(1), greatest(size(gramHashes) - (w - 1), lit(1))),
+      i => array_min(slice(gramHashes, i, lit(w))))
+    val mins = when(size(t) < k, array().cast("array<bigint>"))
+      .otherwise(when(size(gramHashes) < w, array(array_min(gramHashes)))
+        .otherwise(windows))
+    array_sort(array_distinct(mins))
   }
 }

@@ -246,7 +246,7 @@ object Curate {
     * signal → decontamination verdict → deterministic mixture
     * resampling — ALL narrow, computed in one per-row pass — then
     * exact-dedup survivors → per-language corpus stats. The whole
-    * composition runs in TWO shuffles (text-keyed dedup, lang-keyed
+    * composition runs in TWO shuffles (digest-keyed dedup, lang-keyed
     * stats; PlanSpec enforces the budget): repetition is the codegen'd
     * gram_stats expression and the decontamination probe tests each
     * row against the plan-embedded eval-gram set
@@ -278,7 +278,12 @@ object Curate {
           col("top_gram_frac") <= 0.2 &&
           !col("contaminated") &&
           Sampling.mixtureKeep(col("fp"), col("lang"), mixtureRates))
-      val surv = kept.groupBy(col("text"))
+      // digest-keyed exact dedup (Dedup.exactByDigest's shape): the
+      // exchange ships 64 hex chars + three small values per row, never
+      // the document body; groups are identical to text-keyed (the
+      // oracle groups by text)
+      val surv = kept
+        .groupBy(sha2(col("text").cast("binary"), 256))
         .agg(min(col("doc_id")).as("doc_id"),
           max(col("lang")).as("lang"),
           max(col("n_words")).as("n_words"))

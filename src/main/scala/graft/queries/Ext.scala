@@ -35,6 +35,18 @@ object Ext {
     Some("""SELECT text, min(doc_id) AS survivor_id, COUNT(*) AS n_copies
       FROM documents GROUP BY text ORDER BY survivor_id"""))
 
+  /** Digest-keyed exact dedup (see [[Dedup.exactByDigest]]) — identical
+    * survivors to x_dedup_exact, but the shuffle key is 64 hex chars
+    * instead of the document body; oracle recomputes sha256 itself.
+    */
+  val xDedupExactHashed = Q(
+    "x_dedup_exact_hashed",
+    (s, dir) => Dedup.exactByDigest(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("survivor_id")),
+    Some("""SELECT sha256(text) AS content_sha256, min(doc_id) AS survivor_id,
+      COUNT(*) AS n_copies
+      FROM documents GROUP BY sha256(text) ORDER BY survivor_id"""))
+
   /** Chunk-level exact-substring dedup (see [[Dedup.chunkDedup]]):
     * 20-token segments, corpus-wide first-occurrence-wins, documents
     * re-assembled from their surviving segments. The oracle replays
@@ -64,6 +76,84 @@ object Ext {
         CAST(1.0 AS DOUBLE) - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS dup_frac
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
+  private val winnowPrintsCte =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      hs AS (SELECT doc_id, tk,
+          list_transform(tk, t ->
+            CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT)) AS h
+        FROM d),
+      g AS (SELECT doc_id, tk,
+          CASE WHEN len(tk) < 3 THEN CAST([] AS BIGINT[])
+          ELSE list_transform(range(1, len(tk) - 1),
+            i -> list_reduce(list_prepend(CAST(0 AS BIGINT), h[i : i + 2]),
+              (a, x) -> (a*1000003 + x) % 2147483647)) END AS gh
+        FROM hs),
+      wnd AS (SELECT doc_id, tk, gh,
+          CASE WHEN len(gh) = 0 THEN CAST([] AS BIGINT[])
+               WHEN len(gh) < 4 THEN [list_min(gh)]
+               ELSE list_transform(range(1, len(gh) - 2),
+                 i -> list_min(gh[i : i + 3])) END AS mins
+        FROM g),
+      prints AS (SELECT DISTINCT doc_id, unnest(mins) AS p FROM wnd)"""
+
+  /** Winnowing fingerprint stats (Schleimer et al. SIGMOD'03, see
+    * [[Text.winnowPrints]]): 3-token grams, window 4. The oracle
+    * replays hash, gram fold, window minima, and distinct selection.
+    */
+  val xTextWinnow = Q(
+    "x_text_winnow",
+    (s, dir) => {
+      val nw = Text.wordCount(col("text"))
+      val nGrams = when(nw < 3, lit(0L)).otherwise((nw - 2).cast("long"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), nGrams.as("n_grams"),
+          size(Text.winnowPrints(col("text"), k = 3, w = 4)).cast("bigint")
+            .as("n_prints"))
+        .withColumn("print_density",
+          when(col("n_grams") > 0,
+            col("n_prints").cast("double") / col("n_grams").cast("double"))
+            .otherwise(lit(0.0)))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $winnowPrintsCte,
+      st AS (SELECT w.doc_id,
+          CASE WHEN len(w.tk) < 3 THEN 0 ELSE len(w.tk) - 2 END AS n_grams,
+          (SELECT COUNT(*) FROM prints p WHERE p.doc_id = w.doc_id) AS n_prints
+        FROM wnd w)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(n_prints AS BIGINT) AS n_prints,
+        CASE WHEN n_grams > 0
+          THEN CAST(n_prints AS DOUBLE) / CAST(n_grams AS DOUBLE)
+          ELSE CAST(0.0 AS DOUBLE) END AS print_density
+      FROM st ORDER BY doc_id"""))
+
+  /** Winnowing-based near-dup candidates: docs sharing ≥ 3 winnowed
+    * prints. Candidate generation is an equi-join on print values —
+    * the same bucketed-join scale shape as every other near-dup family
+    * here (a df-cutoff on hot prints would mirror shingleIndex's skew
+    * guard at corpus scale). The guarantee: any shared 6-token run
+    * (k + w − 1) produces at least one shared print.
+    */
+  val xDedupWinnow = Q(
+    "x_dedup_winnow",
+    (s, dir) => {
+      val prints = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(Text.winnowPrints(col("text"), k = 3, w = 4)).as("p"))
+      prints.as("a").join(prints.as("b"),
+          col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some(s"""WITH $winnowPrintsCte
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM prints a JOIN prints b ON a.p = b.p AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b HAVING COUNT(*) >= 3
+      ORDER BY doc_a, doc_b"""))
 
   /** Exact word-3-gram Jaccard near-dup pairs (inverted-index join). */
   val xDedupNgram = Q(
@@ -881,7 +971,8 @@ object Ext {
       FROM orders ORDER BY rn"""))
 
   val queries: Seq[Q] = Seq(
-    xDedupExact, xDedupChunks, xDedupNgram, xDedupMinhash, xDedupClusters,
+    xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
+    xDedupMinhash, xDedupClusters, xTextWinnow, xDedupWinnow,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
