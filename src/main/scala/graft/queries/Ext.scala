@@ -537,6 +537,42 @@ object Ext {
       FROM sc QUALIFY rank <= 20 ORDER BY rank"""),
     bench = true)
 
+  /** Interpolated bigram LM fluency (see [[Text.bigramLogProb]]).
+    * λ = 0.7; the oracle's (1−λ) constant is written as the IEEE value
+    * Scala computes for 1.0 − 0.7 (0.30000000000000004), per the
+    * cross-engine constant discipline.
+    */
+  val xTextBigramLogprob = Q(
+    "x_text_bigram_logprob",
+    (s, dir) => Text.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+        col("mean_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
+        GROUP BY 1, 2),
+      tf AS (SELECT doc_id, term, count(*) AS tfc FROM (
+          SELECT doc_id, unnest(w) AS term FROM tk) GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(tfc) AS DOUBLE) AS n_tokens_corpus FROM tf),
+      uni AS (SELECT term, CAST(SUM(tfc) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+      bic AS (SELECT gram, CAST(SUM(bf) AS DOUBLE) AS bcnt FROM bi GROUP BY 1),
+      j AS (SELECT bi.doc_id, bi.bf,
+          CAST(CAST(bi.bf AS DOUBLE) *
+            CAST(CAST(ln(CAST(0.7 AS DOUBLE) * (bic.bcnt / u1.cnt)
+              + CAST(0.30000000000000004 AS DOUBLE) * (u2.cnt / tot.n_tokens_corpus))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM bi JOIN bic USING (gram)
+        JOIN uni u1 ON u1.term = string_split(bi.gram, ' ')[1]
+        JOIN uni u2 ON u2.term = string_split(bi.gram, ' ')[-1], tot)
+      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+          / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Token-window chunking with overlap (see Text.chunk) — verified on
     * the first 50 docs (10-token chunks, 2 overlap).
     */
@@ -976,7 +1012,7 @@ object Ext {
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
-    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextChunk,
+    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
     xTextFingerprint,
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
     xRankGlobal,
