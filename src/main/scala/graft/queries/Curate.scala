@@ -456,8 +456,119 @@ object Curate {
         CAST(term AS DOUBLE) / z AS weight
       FROM t, z ORDER BY source"""))
 
+  /** Curriculum bucketing: rank docs per language by a quality score
+    * (unigram fluency), split into deciles with ntile, and keep
+    * per-decile quotas — "train on the best 30%, sample the middle,
+    * drop the tail". ntile over (score, doc_id) is deterministic
+    * because the order is total, so the bucket assignment — and
+    * therefore the whole selection — replays in SQL. One per-lang
+    * window shuffle plus the fluency table's own aggregations.
+    */
+  val xSampleCurriculum = Q(
+    "x_sample_curriculum",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val scored = Text.unigramLogProb(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_logprob"))
+        .join(docs.select(col("doc_id"),
+          Text.langId(col("text")).as("lang"),
+          Text.fingerprint(col("text")).as("fp")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_logprob").desc, col("doc_id"))
+      val rates = Map(1 -> 1000, 2 -> 1000, 3 -> 1000, 4 -> 500, 5 -> 500,
+        6 -> 500, 7 -> 250, 8 -> 250, 9 -> 0, 10 -> 0)
+      val rateCol = rates.foldLeft(lit(0)) { case (acc, (d, r)) =>
+        when(col("decile") === d, r).otherwise(acc) }
+      scored.withColumn("decile", ntile(10).over(w))
+        .withColumn("kept", pmod(col("fp"), lit(1000)) < rateCol)
+        .groupBy(col("lang"), col("decile"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("kept"), 1).otherwise(0)).cast("bigint").as("n_kept"))
+        .orderBy(col("lang"), col("decile"))
+    },
+    Some("""WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY 1, 2),
+      totals AS (SELECT CAST(SUM(tf) AS DOUBLE) AS n_tokens_corpus FROM tf),
+      cnt AS (SELECT term, CAST(SUM(tf) AS DOUBLE) AS cnt FROM tf GROUP BY 1),
+      contrib AS (SELECT doc_id, tf,
+        CAST(CAST(tf AS DOUBLE) *
+          CAST(CAST(ln(cnt / n_tokens_corpus) AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS c
+        FROM tf JOIN cnt USING (term), totals),
+      lp AS (SELECT doc_id,
+        CAST(CAST(SUM(c) AS DECIMAL(38,12)) AS DOUBLE)
+          / CAST(CAST(SUM(tf) AS BIGINT) AS DOUBLE) AS mean_logprob
+        FROM contrib GROUP BY doc_id),
+      sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(string_split(text, ' '),
+              t -> CAST(len(t)*961 + ascii(t)*31 + ascii(t[-1]) AS BIGINT))),
+          (a, x) -> (a*1000003 + x) % 2147483647) AS fp
+        FROM sc),
+      d AS (SELECT m.doc_id, m.lang, m.fp,
+        CAST(ntile(10) OVER (PARTITION BY m.lang
+          ORDER BY lp.mean_logprob DESC, m.doc_id) AS INTEGER) AS decile
+        FROM m JOIN lp ON lp.doc_id = m.doc_id),
+      r AS (SELECT lang, decile, fp,
+        CASE WHEN decile <= 3 THEN 1000 WHEN decile <= 6 THEN 500
+          WHEN decile <= 8 THEN 250 ELSE 0 END AS rate
+        FROM d)
+      SELECT lang, decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN fp % 1000 < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM r GROUP BY lang, decile ORDER BY lang, decile"""))
+
+  /** Cross-source duplication audit — "which crawls overlap, and how
+    * much": per unordered source pair, the number of distinct 20-token
+    * segments present in both (whole-document digests never cross
+    * sources in this corpus, so the segment granularity is what makes
+    * the audit informative; it's also what a snapshot-dedup planner
+    * actually acts on). Shape: segment explode → per-source distinct →
+    * segment equi-join — at scale the join key becomes the segment
+    * digest (exactByDigest's trick) and hot boilerplate segments get a
+    * df-cutoff; the pair aggregate is O(#source pairs).
+    */
+  val xSourceOverlap = Q(
+    "x_source_overlap",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ch = graft.ext.Text.chunk(docs, "text", "doc_id",
+          chunkTokens = 20, overlap = 0)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("chunk_text")).distinct()
+      ch.as("a").join(ch.as("b"),
+          col("a.chunk_text") === col("b.chunk_text") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_shared_segments"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents),
+      ch AS (SELECT source,
+          unnest(list_transform(range(0, greatest(len(toks), 1), 20),
+            s -> array_to_string(toks[s + 1 : s + 20], ' '))) AS chunk_text
+        FROM d),
+      ds AS (SELECT DISTINCT source, chunk_text FROM ch)
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_shared_segments
+      FROM ds a JOIN ds b ON a.chunk_text = b.chunk_text AND a.source < b.source
+      GROUP BY source_a, source_b ORDER BY source_a, source_b"""))
+
   val queries: Seq[Q] = Seq(
     xTextRepetition, xPiiRedact, xDecontaminate, xDecontaminateHashed,
     xDecontaminateFuzzy, xSampleMixture, xPipelineCurate, xSampleTokenBudget,
-    xPackSequences, xSampleTemperature)
+    xPackSequences, xSampleTemperature, xSampleCurriculum, xSourceOverlap)
 }
