@@ -75,7 +75,8 @@ class PlanSpec extends SparkSuite {
 
   test("near-dup candidate generation never degrades to a cartesian product") {
     for (name <- Seq("x_dedup_ngram_jaccard", "x_dedup_minhash_lsh",
-        "x_dedup_simhash", "x_dedup_embedding_lsh")) {
+        "x_dedup_simhash", "x_dedup_embedding_lsh", "x_dedup_winnow",
+        "x_source_overlap")) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"),
         s"$name plans a cartesian product:\n$p")
