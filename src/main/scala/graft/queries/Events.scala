@@ -59,5 +59,95 @@ object Events {
     SELECT min(ts) AS ws, max(ts) + INTERVAL 5 MINUTE AS we, user_id, COUNT(*) AS n
     FROM y GROUP BY user_id, sid ORDER BY user_id, ws"""))
 
-  val queries: Seq[Q] = Seq(q26WindowTumbling, q27WindowSliding, q28SessionWindow)
+  /** Time-series resampling to 1-minute OHLC bars per event type — the
+    * downsampling idiom (market bars, metrics rollups). Open/close are
+    * picked by row_number over the total order (ts, event_id) — both
+    * engines window identically; high/low/n are plain aggregates with
+    * the decimal discipline. One shuffle on (event_type, bar).
+    */
+  val q56ResampleOhlc = Q(
+    "q56_resample_ohlc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.H.dec2
+      val base = t(s, dir, "events").select(col("event_type"),
+        date_trunc("minute", col("ts")).as("bar"),
+        col("ts"), col("event_id"), col("value"))
+      val w = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      base
+        .withColumn("rn_a", row_number().over(w))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(count(lit(1)).as("n"),
+          max(dec2(col("value"))).cast("double").as("high"),
+          min(dec2(col("value"))).cast("double").as("low"),
+          max(when(col("rn_a") === 1, dec2(col("value")))).cast("double").as("open"),
+          max(when(col("rn_d") === 1, dec2(col("value")))).cast("double").as("close"))
+        .orderBy(col("event_type"), col("bar"))
+    },
+    Some("""WITH b AS (SELECT event_type, date_trunc('minute', ts) AS bar,
+        ts, event_id, CAST(value AS DECIMAL(10,2)) AS v,
+        row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+          ORDER BY ts, event_id) AS rn_a,
+        row_number() OVER (PARTITION BY event_type, date_trunc('minute', ts)
+          ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events)
+      SELECT event_type, bar, COUNT(*) AS n,
+        CAST(MAX(v) AS DOUBLE) AS high, CAST(MIN(v) AS DOUBLE) AS low,
+        CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS DOUBLE) AS open,
+        CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS DOUBLE) AS close
+      FROM b GROUP BY event_type, bar ORDER BY event_type, bar"""))
+
+  /** Dense time-axis gap fill: every minute from each type's first to
+    * last bar exists in the output, missing bars carry the
+    * last-observation-carried-forward close. Axis generation is a
+    * per-type sequence explode (O(span) rows, no driver loop); the fill
+    * is a per-type ordered window over the dense axis.
+    */
+  val q57Gapfill = Q(
+    "q57_gapfill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.H.dec2
+      val bars = t(s, dir, "events")
+        .filter(col("event_id") <= 2000)
+        .select(col("event_type"),
+          date_trunc("minute", col("ts")).as("bar"), col("value"))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(max(dec2(col("value"))).cast("double").as("close"))
+      val axis = bars.groupBy(col("event_type"))
+        .agg(min(col("bar")).as("t0"), max(col("bar")).as("t1"))
+        .select(col("event_type"),
+          explode(sequence(col("t0"), col("t1"),
+            expr("interval 1 minute"))).as("bar"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bar"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      axis.join(bars, Seq("event_type", "bar"), "left")
+        .select(col("event_type"), col("bar"),
+          col("close").isNotNull.as("observed"),
+          last(col("close"), ignoreNulls = true).over(w).as("close_filled"))
+        .orderBy(col("event_type"), col("bar"))
+    },
+    Some("""WITH bars AS (SELECT event_type, date_trunc('minute', ts) AS bar,
+        CAST(MAX(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS close
+        FROM events WHERE event_id <= 2000 GROUP BY 1, 2),
+      axis AS (SELECT event_type,
+        unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS bar
+        FROM (SELECT event_type, MIN(bar) AS t0, MAX(bar) AS t1
+          FROM bars GROUP BY 1)),
+      j AS (SELECT a.event_type, a.bar, b.close,
+        b.close IS NOT NULL AS observed
+        FROM axis a LEFT JOIN bars b
+          ON b.event_type = a.event_type AND b.bar = a.bar)
+      SELECT event_type, bar, observed,
+        last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+          ORDER BY bar ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS close_filled
+      FROM j ORDER BY event_type, bar"""))
+
+  val queries: Seq[Q] = Seq(q26WindowTumbling, q27WindowSliding,
+    q28SessionWindow, q56ResampleOhlc, q57Gapfill)
 }
