@@ -65,8 +65,8 @@ object Events {
     * engines window identically; high/low/n are plain aggregates with
     * the decimal discipline. One shuffle on (event_type, bar).
     */
-  val q56ResampleOhlc = Q(
-    "q56_resample_ohlc",
+  val q58ResampleOhlc = Q(
+    "q58_resample_ohlc",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.queries.H.dec2
@@ -107,8 +107,8 @@ object Events {
     * per-type sequence explode (O(span) rows, no driver loop); the fill
     * is a per-type ordered window over the dense axis.
     */
-  val q57Gapfill = Q(
-    "q57_gapfill",
+  val q59Gapfill = Q(
+    "q59_gapfill",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.queries.H.dec2
@@ -149,5 +149,5 @@ object Events {
       FROM j ORDER BY event_type, bar"""))
 
   val queries: Seq[Q] = Seq(q26WindowTumbling, q27WindowSliding,
-    q28SessionWindow, q56ResampleOhlc, q57Gapfill)
+    q28SessionWindow, q58ResampleOhlc, q59Gapfill)
 }

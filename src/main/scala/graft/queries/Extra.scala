@@ -438,9 +438,101 @@ object Extra {
       WHERE o_orderkey > 1000 AND o_orderkey <= 2000)
       ORDER BY o_orderkey"""))
 
+  /** MERGE/upsert composed from a full outer join + per-column
+    * coalesce — Spark's DataFrame API has no MERGE statement without a
+    * lakehouse format, but the semantics are a plain relational
+    * composition: matched rows take the update's values, unmatched
+    * updates insert, unmatched targets persist. The updates table is
+    * synthesized deterministically from orders on BOTH sides (the
+    * xPiiRedact pattern): every 7th key updates (+10.00), every 11th
+    * key inserts under key+10M. One shuffle-or-broadcast join; action
+    * tagging falls out of the null pattern.
+    */
+  val q60MergeUpsert = Q(
+    "q60_merge_upsert",
+    (s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), dec2(col("o_totalprice")).as("price"))
+      val updates = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 11 === 0)
+        .select(
+          when(col("o_orderkey") % 7 === 0, col("o_orderkey"))
+            .otherwise(col("o_orderkey") + 10000000L).as("k"),
+          (dec2(col("o_totalprice")) + dec2(lit(10.0))).as("u_price"))
+      base.join(updates, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("u_price"), col("price")).cast("double").as("final_price"),
+          when(col("price").isNull, "insert")
+            .when(col("u_price").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS k,
+        CAST(o_totalprice AS DECIMAL(10,2)) AS price FROM orders),
+      updates AS (SELECT
+        CASE WHEN o_orderkey % 7 = 0 THEN o_orderkey
+          ELSE o_orderkey + 10000000 END AS k,
+        CAST(o_totalprice AS DECIMAL(10,2)) + CAST(10.0 AS DECIMAL(10,2)) AS u_price
+        FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0)
+      SELECT COALESCE(b.k, u.k) AS k,
+        CAST(COALESCE(u.u_price, b.price) AS DOUBLE) AS final_price,
+        CASE WHEN b.price IS NULL THEN 'insert'
+          WHEN u.u_price IS NULL THEN 'keep' ELSE 'update' END AS action
+      FROM base b FULL OUTER JOIN updates u ON u.k = b.k
+      ORDER BY k"""))
+
+  /** Blocked fuzzy join: probe names with a deterministic last-char
+    * corruption matched back to the customer table under edit distance
+    * ≤ 2. The blocking key (the first 6 digits of the customer number)
+    * turns the quadratic all-pairs levenshtein into a per-block
+    * equi-join — the standard entity-resolution shape; at corpus scale
+    * blocks are bounded and hot blocks get a frequency cutoff like any
+    * other candidate family. Both engines implement classic
+    * Wagner-Fischer, so distances agree exactly.
+    */
+  val q61FuzzyJoin = Q(
+    "q61_fuzzy_join",
+    (s, dir) => {
+      val names = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          substring(col("c_name"), 10, 6).as("blk"))
+      val probes = t(s, dir, "customer")
+        .filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("probe_id"),
+          concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X"))
+            .as("probe_name"),
+          substring(col("c_name"), 10, 6).as("blk"))
+      probes.join(names, "blk")
+        .withColumn("dist", levenshtein(col("probe_name"), col("c_name")))
+        .filter(col("dist") <= 2)
+        .groupBy(col("probe_id"), col("probe_name"))
+        .agg(min(struct(col("dist"), col("c_custkey"))).as("best"))
+        .select(col("probe_id"), col("probe_name"),
+          col("best.c_custkey").as("matched_custkey"),
+          col("best.dist").cast("int").as("dist"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH names AS (SELECT c_custkey, c_name,
+        substring(c_name, 10, 6) AS blk FROM customer),
+      probes AS (SELECT c_custkey AS probe_id,
+        substring(c_name, 1, length(c_name) - 1) || 'X' AS probe_name,
+        substring(c_name, 10, 6) AS blk
+        FROM customer WHERE c_custkey % 3 = 0),
+      cand AS (SELECT p.probe_id, p.probe_name, n.c_custkey,
+        levenshtein(p.probe_name, n.c_name) AS dist
+        FROM probes p JOIN names n ON n.blk = p.blk
+        WHERE levenshtein(p.probe_name, n.c_name) <= 2),
+      ranked AS (SELECT probe_id, probe_name, c_custkey, dist,
+        row_number() OVER (PARTITION BY probe_id ORDER BY dist, c_custkey) AS rn
+        FROM cand)
+      SELECT probe_id, probe_name, c_custkey AS matched_custkey,
+        CAST(dist AS INTEGER) AS dist
+      FROM ranked WHERE rn = 1 ORDER BY probe_id"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
     q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
     q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset,
-    q54AggFilter, q55IgnoreNulls, q56UnionEvolution)
+    q54AggFilter, q55IgnoreNulls, q56UnionEvolution, q60MergeUpsert,
+    q61FuzzyJoin)
 }
