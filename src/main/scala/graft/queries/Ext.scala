@@ -989,6 +989,41 @@ object Ext {
       COUNT(*) AS n, max(l_extendedprice) AS max_price
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Re-aggregatable HLL sketches — the property that makes sketch
+    * cardinality work at 100 TB: per-group sketches are built once
+    * (map-side mergeable), then UNIONED across groups for the corpus
+    * total without touching the data again. Datasketches HLL, exposed
+    * through Spark's hll_sketch_agg / hll_union_agg. Adjudicated like
+    * q29: exact cardinalities recomputed by the oracle + measured-
+    * margin accuracy booleans (observed error < 1%, asserted ≤ 5%).
+    */
+  val xSketchReaggregate = Q(
+    "x_sketch_reaggregate",
+    (s, dir) => {
+      val perGroup = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .withColumn("grp_ok",
+          abs(hll_sketch_estimate(col("sk")).cast("double") - col("exact"))
+            / col("exact") <= 0.05)
+      val total = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("total_exact"))
+      perGroup.agg(
+          count(lit(1)).as("n_groups"),
+          min(col("grp_ok")).as("groups_all_within_5pct"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_est"))
+        .crossJoin(total)
+        .select(col("n_groups"), col("total_exact"),
+          col("groups_all_within_5pct"),
+          (abs(col("merged_est").cast("double") - col("total_exact"))
+            / col("total_exact") <= 0.05).as("merged_within_5pct"))
+    },
+    Some("""SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS n_groups,
+      COUNT(DISTINCT l_partkey) AS total_exact,
+      true AS groups_all_within_5pct, true AS merged_within_5pct
+      FROM lineitem"""))
+
   /** Global row numbering WITHOUT the single-partition window trap:
     * range partition + per-partition counts + offset fix-up (see
     * [[graft.ext.Rank.globalRowNumber]]). The oracle is the very
@@ -1015,7 +1050,7 @@ object Ext {
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
     xTextFingerprint,
     xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
-    xRankGlobal,
+    xRankGlobal, xSketchReaggregate,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xMultimodalResize,
     xSkewSaltedAgg)
