@@ -560,7 +560,11 @@ object Dedup {
     * shallow); each round is one equi-join + one aggregate, and labels
     * are eagerly localCheckpoint'ed so lineage doesn't snowball.
     */
-  def nearDupClusters(pairs: DataFrame): DataFrame = {
+  /** Per-member cluster labels from a near-dup pair set (iterative
+    * min-label propagation; see [[nearDupClusters]] for the scale
+    * notes). Returns (id, lbl) for every id appearing in a pair.
+    */
+  def nearDupLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long"), col("doc_a").cast("long")))
@@ -583,9 +587,37 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.groupBy(col("lbl"))
+    labels
+  }
+
+  def nearDupClusters(pairs: DataFrame): DataFrame =
+    nearDupLabels(pairs)
+      .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
+
+  /** Leakage-safe train/val/test assignment: split membership is a
+    * deterministic function of the near-dup CLUSTER id, never the
+    * document, so two near-duplicate documents can never straddle a
+    * split boundary (the classic eval-leakage failure of per-document
+    * random splits). Singleton documents are their own cluster. The
+    * spreading key multiplies the cluster id by a large odd constant
+    * before the mod so dense id ranges still distribute ~uniformly —
+    * plain `id mod 1000` would put every cluster of a small corpus in
+    * one split.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
+    val labels = nearDupLabels(pairs)
+      .select(col("id").as("_lid"), col("lbl"))
+    val key = pmod(col("cluster_id") * 2654435761L, lit(1000))
+    docs.join(labels, col(idCol).cast("long") === col("_lid"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col(idCol).cast("long")))
+      .drop("_lid", "lbl")
+      .withColumn("split",
+        when(key < trainPerMille, "train")
+          .when(key < trainPerMille + valPerMille, "val")
+          .otherwise("test"))
   }
 
   /** Embedding-cosine near-dup pairs (exact all-pairs — the baseline;

@@ -205,6 +205,59 @@ object Ext {
       SELECT cluster_id, COUNT(*) AS n_members
       FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""))
 
+  /** Leakage-safe splitting (see [[Dedup.leakageSafeSplit]]): split by
+    * near-dup cluster, so paraphrases of one document can never land in
+    * both train and test. The oracle independently rebuilds the
+    * clusters (recursive CTE), replays the cluster-keyed assignment,
+    * and — the point — recomputes `leak_pairs` itself, so the zero is
+    * an adjudicated invariant, not a self-report.
+    */
+  val xSplitLeakageSafe = Q(
+    "x_split_leakage_safe",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+        k = 3, threshold = 0.5).cache()
+      val assigned = Dedup.leakageSafeSplit(docs, "doc_id", pairs)
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .agg(sum(when(col("sa") =!= col("sb"), 1).otherwise(0))
+          .cast("bigint").as("leak_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"))
+        .crossJoin(leaks)
+        .orderBy(col("split"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db),
+      pairs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+        UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS id, least(a, min(b)) AS lbl FROM reach GROUP BY a),
+      asg AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id,
+        CASE WHEN (COALESCE(l.lbl, d.doc_id) * 2654435761) % 1000 < 800 THEN 'train'
+          WHEN (COALESCE(l.lbl, d.doc_id) * 2654435761) % 1000 < 900 THEN 'val'
+          ELSE 'test' END AS split
+        FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+      leaks AS (SELECT CAST(SUM(CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT)
+          AS leak_pairs
+        FROM pairs p JOIN asg a ON a.doc_id = p.da JOIN asg b ON b.doc_id = p.db)
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        COUNT(DISTINCT cluster_id) AS n_clusters, leaks.leak_pairs
+      FROM asg, leaks GROUP BY split, leaks.leak_pairs ORDER BY split"""))
+
   /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
     * xxhash64 isn't reproducible in DuckDB SQL → rows-only here
     * (cross-checked against the Jaccard pairs in ExtSpec); the
@@ -1043,7 +1096,7 @@ object Ext {
 
   val queries: Seq[Q] = Seq(
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
-    xDedupMinhash, xDedupClusters, xTextWinnow, xDedupWinnow,
+    xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
