@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior analytics over event streams: sessionization, ordered
+  * funnels, cohort retention. The reference delegates all analytics to
+  * its warehouse (SURVEY.md §2.7 — no group-by/window anywhere in
+  * etl.py); these are the standard event-analytics operators a user of
+  * that stack runs post-load, expressed Spark-first.
+  *
+  * Scale shape: everything here is keyed by the user column — one hash
+  * exchange on user_id, then per-user windows/aggregates. User keys are
+  * high-cardinality and near-uniform in real event data, so the shuffle
+  * is skew-free; nothing ever uses a global (unpartitioned) window.
+  */
+object Behavior {
+
+  /** Gap-based sessionization (gaps-and-islands): a new session starts
+    * when the user's inter-event gap is >= `gapSeconds`. Returns the
+    * input plus a per-user `session_id` (0-based, in time order). Ties
+    * on the timestamp are broken by `tieCol` so the numbering is
+    * deterministic under any partitioning.
+    *
+    * One exchange on `userCol`; the running sum rides the same sort the
+    * lag needs (consecutive WindowExecs, no second shuffle).
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val brk = when(prev.isNull ||
+      unix_micros(col(tsCol)) - prev >= gapSeconds * 1000000L, 1).otherwise(0)
+    events.withColumn("_brk", brk)
+      .withColumn("session_id",
+        sum(col("_brk")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - 1)
+      .drop("_brk")
+  }
+
+  /** Strict-order funnel: per user, the time of stage i is the earliest
+    * event matching `stages(i)` that occurs strictly AFTER the user's
+    * stage i-1 time (stage 0 is the plain minimum). A user who never
+    * reaches stage i-1 can never count for stage i. Returns one row per
+    * user with nullable columns `t0..t{n-1}`.
+    *
+    * Each stage is an unordered min-over-partition window referencing
+    * the previous stage's column — Catalyst plans all n windows over
+    * the single user_id exchange (no per-stage shuffle, no join chain,
+    * no collect), which is what keeps this viable when "users" is
+    * hundreds of millions of keys.
+    */
+  def funnelTimes(events: DataFrame, userCol: String, tsCol: String,
+      stages: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+    val staged = stages.zipWithIndex.foldLeft(events) {
+      case (df, (pred, i)) =>
+        val gated = if (i == 0) pred
+          else pred && col(tsCol) > col(s"t${i - 1}")
+        df.withColumn(s"t$i", min(when(gated, col(tsCol))).over(w))
+    }
+    staged.groupBy(col(userCol))
+      .agg(min(col("t0")).as("t0"),
+        (1 until stages.size).map(i => min(col(s"t$i")).as(s"t$i")): _*)
+  }
+
+  /** Weekly cohort retention: users are grouped by the week of their
+    * first event (cohort), and counted once per calendar week in which
+    * they were active. `retention` = active users / cohort size as an
+    * IEEE double of two exact longs.
+    *
+    * Two exchanges total: one on user (first-seen + the self-join are
+    * co-partitioned on the same key, so AQE reuses the layout), one on
+    * (cohort, offset) for the final count-distinct.
+    */
+  def cohortRetention(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val first = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"))
+    val sizes = first.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).cast("bigint").as("cohort_size"))
+    val active = events.join(first, userCol)
+      .select(col(userCol), col("cohort_week"),
+        date_trunc("week", col(tsCol)).as("active_week"))
+      .withColumn("week_offset",
+        expr("datediff(active_week, cohort_week) div 7").cast("int"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count_distinct(col(userCol)).as("n_active"))
+    active.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        col("n_active").cast("double") / col("cohort_size"))
+  }
+}

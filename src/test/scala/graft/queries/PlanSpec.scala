@@ -151,6 +151,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("behavior analytics shuffle once on user_id (plus output agg/sort)") {
+    // funnel: chained per-user window minima must share ONE user_id
+    // exchange (a per-stage shuffle or a join chain means the
+    // fold-into-windows shape regressed); the only other exchange is
+    // the final single-row aggregate. sessionize: lag + running sum +
+    // landing/exit row_numbers all ride the same user_id exchange.
+    for ((name, budget) <- Seq("q62_funnel" -> 2, "q64_sessionize" -> 2)) {
+      val p = plan(name)
+      val hashEx = p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning"))
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(hashEx <= 1, s"$name re-shuffles the user key ($hashEx):\n$p")
+      assert(exchanges <= budget,
+        s"$name plans $exchanges exchanges (budget $budget):\n$p")
+      assert(!p.contains("Join"), s"$name grew a join:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
