@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Deequ idea, re-expressed
+  * as plain Catalyst aggregates): each check compiles to a conditional
+  * aggregate column, and a whole check suite over a table runs as ONE
+  * single-pass aggregation — at 100 TB the table is scanned once no
+  * matter how many checks are attached, and every numerator is a
+  * map-side partial count. Metrics are ratios of exact longs surfaced
+  * as IEEE doubles, so they adjudicate bit-identically cross-engine.
+  *
+  * The reference has no validation layer at all (failures surface as
+  * BigQuery load errors, etl.py:1329); this is the pre-load gate a
+  * production pipeline puts in front of that sink.
+  */
+object Expect {
+
+  sealed trait Check {
+    def column: String
+    def minRatio: Double
+    /** Human-stable check key, e.g. `completeness(l_shipdate)`. */
+    def key: String
+  }
+  /** Fraction of non-null values. */
+  final case class Completeness(column: String, minRatio: Double)
+      extends Check { def key = s"completeness($column)" }
+  /** Fraction of rows with a distinct key tuple (1.0 = primary key). */
+  final case class Uniqueness(columns: Seq[String], minRatio: Double)
+      extends Check {
+    def column: String = columns.mkString(",")
+    def key = s"uniqueness($column)"
+  }
+  /** Fraction of values inside [lo, hi]; nulls count as violations. */
+  final case class InRange(column: String, lo: Double, hi: Double,
+      minRatio: Double) extends Check { def key = s"in_range($column)" }
+  /** Fraction of values in the allowed set; nulls are violations. */
+  final case class InSet(column: String, values: Seq[String],
+      minRatio: Double) extends Check { def key = s"in_set($column)" }
+  /** Fraction of values matching the regex (RE2-compatible subset so
+    * the same pattern means the same thing in any engine).
+    */
+  final case class MatchesRegex(column: String, pattern: String,
+      minRatio: Double) extends Check { def key = s"matches_regex($column)" }
+
+  private def numerator(c: Check): Column = c match {
+    case Completeness(col0, _) => count(col(col0))
+    case Uniqueness(cols, _) => count_distinct(col(cols.head),
+      cols.tail.map(col): _*)
+    case InRange(col0, lo, hi, _) =>
+      sum(when(col(col0) >= lo && col(col0) <= hi, 1L).otherwise(0L))
+    case InSet(col0, vs, _) =>
+      sum(when(col(col0).isin(vs: _*), 1L).otherwise(0L))
+    case MatchesRegex(col0, re, _) =>
+      sum(when(col(col0).rlike(re), 1L).otherwise(0L))
+  }
+
+  /** Run a check suite over one table in a single aggregation pass.
+    * Returns long-form rows (check_name, metric, passed); `table`
+    * prefixes the check names so suites over several tables union
+    * cleanly.
+    */
+  def report(df: DataFrame, table: String, checks: Seq[Check]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case (c, i) =>
+      numerator(c).cast("long").as(s"_m$i")
+    } :+ count(lit(1)).as("_n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = checks.zipWithIndex.map { case (c, i) =>
+      val metric = col(s"_m$i").cast("double") / col("_n")
+      struct(lit(s"$table.${c.key}").as("check_name"),
+        metric.as("metric"), (metric >= c.minRatio).as("passed"))
+    }
+    row.select(explode(array(entries: _*)).as("e")).select(col("e.*"))
+  }
+
+  /** Referential-integrity check: fraction of child rows whose key
+    * exists in the parent (nulls are violations). One anti-join —
+    * Catalyst broadcasts the parent when it is dimension-sized,
+    * otherwise a shuffled semi/anti on the key.
+    */
+  def referential(child: DataFrame, childCol: String, parent: DataFrame,
+      parentCol: String, minRatio: Double, childName: String): DataFrame = {
+    val total = child.agg(count(lit(1)).as("_n"))
+    val orphans = child.join(parent.select(col(parentCol).as("_pk")).distinct(),
+        col(childCol) === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("_o"))
+    total.crossJoin(orphans).select(
+      lit(s"$childName.referential($childCol)").as("check_name"),
+      ((col("_n") - col("_o")).cast("double") / col("_n")).as("metric"),
+      (((col("_n") - col("_o")).cast("double") / col("_n")) >= minRatio)
+        .as("passed"))
+  }
+}

@@ -1094,7 +1094,71 @@ object Ext {
       ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
       FROM orders ORDER BY rn"""))
 
+  /** Data-quality expectation suite ([[graft.ext.Expect]]): every check
+    * over a table compiles into ONE single-pass aggregation (the table
+    * is scanned once regardless of suite size), plus one anti-join for
+    * referential integrity. `lineitem.uniqueness(l_orderkey)` is a
+    * deliberately failing check so the report's `passed=false` path is
+    * adjudicated too. Metrics are exact-long ratios as IEEE doubles.
+    */
+  val xExpectQuality = Q(
+    "x_expect_quality",
+    (s, dir) => {
+      import graft.ext.Expect
+      import graft.ext.Expect._
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      Expect.report(li, "lineitem", Seq(
+          Completeness("l_shipdate", 1.0),
+          Completeness("l_tax", 1.0),
+          Uniqueness(Seq("l_orderkey", "l_linenumber"), 1.0),
+          Uniqueness(Seq("l_orderkey"), 1.0),
+          InRange("l_discount", 0.0, 0.1, 1.0),
+          InRange("l_quantity", 1.0, 49.0, 0.95),
+          InSet("l_returnflag", Seq("A", "N", "R"), 1.0)))
+        .unionByName(Expect.report(ord, "orders", Seq(
+          Completeness("o_custkey", 1.0),
+          MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$", 1.0))))
+        .unionByName(Expect.referential(ord, "o_custkey", cust,
+          "c_custkey", 1.0, "orders"))
+        .orderBy(col("check_name"))
+    },
+    Some("""WITH m AS (
+        SELECT 'lineitem.completeness(l_shipdate)' AS check_name,
+          CAST(COUNT(l_shipdate) AS DOUBLE)/COUNT(*) AS metric,
+          CAST(1.0 AS DOUBLE) AS thr FROM lineitem
+        UNION ALL SELECT 'lineitem.completeness(l_tax)',
+          CAST(COUNT(l_tax) AS DOUBLE)/COUNT(*), 1.0 FROM lineitem
+        UNION ALL SELECT 'lineitem.uniqueness(l_orderkey,l_linenumber)',
+          CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)/COUNT(*),
+          1.0 FROM lineitem
+        UNION ALL SELECT 'lineitem.uniqueness(l_orderkey)',
+          CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)/COUNT(*), 1.0 FROM lineitem
+        UNION ALL SELECT 'lineitem.in_range(l_discount)',
+          CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1
+            THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 1.0 FROM lineitem
+        UNION ALL SELECT 'lineitem.in_range(l_quantity)',
+          CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 49.0
+            THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*),
+          CAST(0.95 AS DOUBLE) FROM lineitem
+        UNION ALL SELECT 'lineitem.in_set(l_returnflag)',
+          CAST(SUM(CASE WHEN l_returnflag IN ('A','N','R')
+            THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 1.0 FROM lineitem
+        UNION ALL SELECT 'orders.completeness(o_custkey)',
+          CAST(COUNT(o_custkey) AS DOUBLE)/COUNT(*), 1.0 FROM orders
+        UNION ALL SELECT 'orders.matches_regex(o_orderpriority)',
+          CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$')
+            THEN 1 ELSE 0 END) AS DOUBLE)/COUNT(*), 1.0 FROM orders
+        UNION ALL SELECT 'orders.referential(o_custkey)',
+          CAST((SELECT COUNT(*) FROM orders o JOIN customer c
+            ON c.c_custkey = o.o_custkey) AS DOUBLE)
+            / (SELECT COUNT(*) FROM orders), 1.0 FROM (SELECT 1))
+      SELECT check_name, metric, metric >= thr AS passed
+      FROM m ORDER BY check_name"""))
+
   val queries: Seq[Q] = Seq(
+    xExpectQuality,
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
     xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
