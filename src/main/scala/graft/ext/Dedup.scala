@@ -636,4 +636,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    * — public literature): cluster the embedding space, then compute
+    * exact pairwise cosine ONLY within clusters and drop every vector
+    * that has a lower-id neighbor at cosine >= `threshold` (so each
+    * near-dup chain keeps its minimal id — deterministic under any
+    * partitioning). Returns one row per vector:
+    * (vec_id, bucket, dropped, killer_id) where killer_id is the
+    * smallest such neighbor (null for survivors).
+    *
+    * Scale shape: the all-pairs cosine never materializes — candidates
+    * are a bucket equi-join, O(sum of cluster sizes squared), and nlist
+    * grows with n (SemDeDup uses ~100k clusters at web scale) to keep
+    * clusters bounded. Centroids default to first-n-by-id (SQL-
+    * replayable); pass [[Similarity.kmeansCentroids]] for production
+    * (identical machinery). A runaway cluster (skew) is capped by the
+    * same remedy as IVF: raise nlist or re-cluster the big bucket.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", Similarity.norm(col("nv")))
+    val centroidDf = centroids.getOrElse(
+      base.orderBy(col("nid")).limit(nlist)
+        .select(col("nid").as("cid"), col("nv").as("cv")))
+      .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
+    val assigned = Similarity.assignToCentroids(base, centroidDf).cache()
+    val a = assigned.select(col("bucket").as("bk_a"), col("nid").as("ka"),
+      col("nv").as("va"), col("nn").as("na"))
+    val b = assigned.select(col("bucket").as("bk_b"), col("nid").as("vb"),
+      col("nv").as("vband"), col("nn").as("nb"))
+    val kills = a.join(b, col("bk_a") === col("bk_b") && col("ka") < col("vb"))
+      .filter(Similarity.dot(col("va"), col("vband")) /
+        (col("na") * col("nb")) >= threshold)
+      .groupBy(col("vb")).agg(min(col("ka")).as("killer_id"))
+    assigned.select(col("nid").as("vec_id"), col("bucket"))
+      .join(kills, col("vec_id") === col("vb"), "left")
+      .select(col("vec_id"), col("bucket"),
+        col("killer_id").isNotNull.as("dropped"), col("killer_id"))
+  }
 }

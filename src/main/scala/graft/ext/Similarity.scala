@@ -75,6 +75,22 @@ object Similarity {
       .toDF("cid", "cv")
   }
 
+  /** Nearest-centroid assignment by cosine (shared by [[ivfTopK]] and
+    * [[graft.ext.Dedup.semanticDedup]]): centroids are broadcast — the
+    * collection never shuffles for the expansion, only for the per-id
+    * argmax window (a skew-free exchange on the high-cardinality id).
+    * Input `base` must carry (nid, nv, nn); `centroidDf` carries
+    * (cid, cv, cn). Returns (nid, nv, nn, bucket).
+    */
+  def assignToCentroids(base: DataFrame, centroidDf: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy(col("nid")).orderBy(col("csim").desc, col("cid"))
+    base.crossJoin(broadcast(centroidDf))
+      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("nid"), col("nv"), col("nn"), col("cid").as("bucket"))
+  }
+
   /** IVF top-k: the collection is partitioned into `nlist` buckets by
     * nearest centroid. Default centroid choice is the first `nlist`
     * vectors by id — deterministic and SQL-replayable by the oracle;
@@ -94,14 +110,7 @@ object Similarity {
       base.orderBy(col("nid")).limit(nlist)
         .select(col("nid").as("cid"), col("nv").as("cv")))
       .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
-
-    // assign each vector to its nearest centroid (broadcast centroids)
-    val wAssign = Window.partitionBy(col("nid")).orderBy(col("csim").desc, col("cid"))
-    val assigned = base.crossJoin(broadcast(centroidDf))
-      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("nid"), col("nv"), col("nn"), col("cid").as("bucket"))
+    val assigned = assignToCentroids(base, centroidDf)
 
     // queries probe their nprobe nearest centroids
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))

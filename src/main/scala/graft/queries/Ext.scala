@@ -317,6 +317,42 @@ object Ext {
       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
     ORDER BY id_a, id_b"""))
 
+  /** SemDeDup semantic dedup ([[Dedup.semanticDedup]]): cluster-then-
+    * pair, so the exact cosine is only computed inside clusters. The
+    * oracle replays the whole machinery — first-16 centroids, cosine
+    * argmax assignment, within-bucket pair join, min-killer aggregation
+    * — and adjudicates every per-vector (bucket, dropped, killer_id).
+    * Pairs that x_dedup_embedding finds across cluster boundaries are
+    * deliberately invisible here: that recall trade is the operator's
+    * scale contract, and it is replayed identically on both sides.
+    */
+  val xDedupSemantic = Q(
+    "x_dedup_semantic",
+    (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"),
+      "vec_id", "embedding", threshold = 0.45, nlist = 16)
+      .orderBy(col("vec_id")),
+    Some("""WITH nn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        ORDER BY vec_id LIMIT 16),
+      assigned AS (SELECT nid, nv, nn2, bucket FROM (
+          SELECT b.vec_id AS nid, b.v AS nv, b.nrm AS nn2, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC, c.cid) AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      kills AS (SELECT b.nid AS vec_id, MIN(a.nid) AS killer_id
+        FROM assigned a JOIN assigned b
+          ON a.bucket = b.bucket AND a.nid < b.nid
+        WHERE list_dot_product(a.nv, b.nv)/(a.nn2*b.nn2) >= 0.45
+        GROUP BY b.nid)
+      SELECT a.nid AS vec_id, a.bucket,
+        k.killer_id IS NOT NULL AS dropped, k.killer_id
+      FROM assigned a LEFT JOIN kills k ON k.vec_id = a.nid
+      ORDER BY vec_id"""),
+    bench = true)
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   val xAnnTopk = Q(
     "x_ann_topk",
@@ -1161,7 +1197,7 @@ object Ext {
     xExpectQuality,
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
     xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
-    xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding,
+    xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding, xDedupSemantic,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,

@@ -152,6 +152,25 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("semantic dedup kills are true near-dups and chain minima survive") {
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45).collect()
+    assert(sem.length == emb.count(), "semantic dedup lost or duplicated rows")
+    for (r <- sem if r.getBoolean(2)) {
+      val (id, killer) = (r.getLong(0), r.getLong(3))
+      assert(killer < id, s"killer $killer not a lower id than $id")
+      assert(exact.contains((killer, id)),
+        s"($killer,$id) dropped but not an exact near-dup pair")
+    }
+    // within-cluster recall: every exact pair whose endpoints share a
+    // bucket must register as a kill of the larger id
+    val bucketOf = sem.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = sem.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    for ((a, b) <- exact if bucketOf(a) == bucketOf(b))
+      assert(dropped.contains(b), s"co-bucketed near-dup ($a,$b) kept $b")
+  }
+
   test("feature extraction emits fixed-dim float vectors, deterministically") {
     val wb = Multimodal.withBinary(docs, "text", "doc_id")
     val f1 = Multimodal.featureExtract(wb, "doc_id")
