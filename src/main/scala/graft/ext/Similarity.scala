@@ -131,6 +131,103 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011 — public
+    * literature): vectors are L2-normalized, split into `m` subvectors,
+    * and each subvector is encoded as the id of its nearest of `ksub`
+    * sub-centroids — the corpus is then `m` small ints per vector
+    * (16 codes vs 64 floats here, a 16× memory cut; at 100 TB the code
+    * table is what stays resident while raw vectors stay in cold
+    * storage). Queries never decode: asymmetric distance (ADC) sums,
+    * per subspace, the precomputed query-to-sub-centroid distance —
+    * a broadcast table of q·m·ksub doubles — so scoring the corpus is
+    * one broadcast-hash join on (subspace, code) plus a per-(qid,nid)
+    * fixed-order reduction (the m partial distances are reduced
+    * left-to-right, never a float sum in arbitrary order, so results
+    * adjudicate bit-identically cross-engine). ADC keeps the top
+    * k·`rerank` shortlist, which is then re-ranked with the exact
+    * cosine — the standard PQ serving shape: quantization error decides
+    * only which candidates are seen, never their final order.
+    *
+    * Sub-centroids default to the subvectors of the first `ksub`
+    * vectors by id — deterministic and SQL-replayable; production uses
+    * per-subspace k-means exactly like [[kmeansCentroids]]. Unit
+    * vectors make ADC's L2 ranking equivalent to cosine ranking
+    * (||x−q||² = 2−2cos), so recall is measured against the cosine
+    * brute force. Compose with [[ivfTopK]] buckets for IVF-PQ.
+    */
+  def pqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, m: Int = 4,
+      ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    def unitize(df: DataFrame, idName: String): DataFrame = {
+      val v = toDoubleVec(col(vecCol))
+      df.select(col(idCol).as(idName), v.as("_v"))
+        .select(col(idName),
+          transform(col("_v"), x => x / sqrt(call_function("vec_dot",
+            col("_v"), col("_v")))).as("uv"))
+    }
+    def subvecs(df: DataFrame, keep: Column*): DataFrame =
+      df.select(keep :+ explode(array((0 until m).map(j =>
+          struct(lit(j).as("j"),
+            slice(col("uv"), j * sub + 1, sub).as("xv"))): _*)).as("s"): _*)
+        .select(keep :+ col("s.j").as("j") :+ col("s.xv").as("xv"): _*)
+    def l2(a: Column, b: Column): Column =
+      (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
+    val base = unitize(emb, "nid")
+    // codebook: subvectors of the first ksub vectors by id
+    val wSeed = Window.partitionBy(pmod(col("nid"), lit(1))).orderBy(col("nid"))
+    val seeds = base.orderBy(col("nid")).limit(ksub)
+      .withColumn("code", (row_number().over(wSeed) - 1).cast("int"))
+    val codebook = subvecs(seeds, col("code"))
+      .select(col("j"), col("code"), col("xv").as("cv"))
+
+    // encode: per (vector, subspace) argmin over the broadcast codebook
+    val wEnc = Window.partitionBy(col("nid"), col("j"))
+      .orderBy(col("d2"), col("code"))
+    val codes = subvecs(base, col("nid"))
+      .join(broadcast(codebook), "j")
+      .withColumn("d2", l2(col("xv"), col("cv")))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("nid"), col("j"), col("code"))
+
+    // ADC: per-query distance table, broadcast against the code table
+    val qtab = subvecs(unitize(queries, "qid"), col("qid"))
+      .join(broadcast(codebook), "j")
+      .select(col("qid"), col("j"), col("code"),
+        l2(col("xv"), col("cv")).as("d2"))
+    val dcols = (0 until m).map(j =>
+      max(when(col("j") === j, col("d2"))).as(s"_d$j"))
+    val adc = (1 until m).foldLeft(col("_d0"))((acc, j) => acc + col(s"_d$j"))
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_d2"), col("nid"))
+    val shortlist = codes.join(broadcast(qtab), Seq("j", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(dcols.head, dcols.tail: _*)
+      .withColumn("adc_d2", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * rerank)
+      .select(col("qid"), col("nid"))
+
+    // exact re-rank of the ADC shortlist (unit vectors: dot = cosine).
+    // The shortlist is tiny (q·k·rerank rows) — broadcast it against
+    // the corpus so the re-rank reads each candidate vector once.
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    broadcast(shortlist)
+      .join(base.select(col("nid"), col("uv").as("nu")), "nid")
+      .join(broadcast(unitize(queries, "qid").select(col("qid"),
+        col("uv").as("qu"))), "qid")
+      .withColumn("cosine", dot(col("qu"), col("nu")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
     * embedding-cosine dedup (Charikar, STOC'02 — public literature):
     * sign(v·r_i) bits from `nBits` fixed-seed Gaussian hyperplanes,

@@ -462,6 +462,74 @@ object Ext {
         CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, nid)) AS DOUBLE)
           / (SELECT count(*) FROM bf) AS recall_at_5"""))
 
+  /** Product-quantization ANN ([[Similarity.pqTopK]]): the oracle
+    * replays the complete machinery — unit-normalize, first-16
+    * sub-codebook, per-subspace argmin encoding, ADC distance tables,
+    * and the fixed-order (left-to-right) reduction of the m partial
+    * distances — so every (qid, nid, rank, adc_d2) adjudicates exactly,
+    * including the float distances.
+    */
+  val xAnnPq = Q(
+    "x_ann_pq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, m = 8, ksub = 16,
+        rerank = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH nn AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM nn),
+      fir AS (SELECT vec_id, u,
+        CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+        FROM e ORDER BY vec_id LIMIT 16),
+      js AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      sub AS (SELECT j, code, list_slice(u, j*8 + 1, j*8 + 8) AS cv
+        FROM fir, js),
+      xs AS (SELECT vec_id AS nid, j, list_slice(u, j*8 + 1, j*8 + 8) AS xv
+        FROM e, js),
+      enc AS (SELECT nid, j, code FROM (
+          SELECT x.nid, x.j, s.code,
+            row_number() OVER (PARTITION BY x.nid, x.j ORDER BY
+              (list_dot_product(x.xv, x.xv) - 2.0*list_dot_product(x.xv, s.cv))
+                + list_dot_product(s.cv, s.cv), s.code) AS rk
+          FROM xs x JOIN sub s ON s.j = x.j) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, j, list_slice(u, j*8 + 1, j*8 + 8) AS qv
+        FROM e, js WHERE vec_id < 10),
+      qtab AS (SELECT q.qid, q.j, s.code,
+          (list_dot_product(q.qv, q.qv) - 2.0*list_dot_product(q.qv, s.cv))
+            + list_dot_product(s.cv, s.cv) AS d2
+        FROM q JOIN sub s ON s.j = q.j),
+      adc AS (SELECT t.qid, c.nid,
+          (((((((MAX(CASE WHEN c.j = 0 THEN t.d2 END)
+            + MAX(CASE WHEN c.j = 1 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 2 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 3 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 4 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 5 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 6 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 7 THEN t.d2 END)) AS adc_d2
+        FROM enc c JOIN qtab t ON t.j = c.j AND t.code = c.code
+        WHERE c.nid != t.qid
+        GROUP BY t.qid, c.nid),
+      shortlist AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY adc_d2, nid) AS rk
+          FROM adc) WHERE rk <= 25),
+      rer AS (SELECT sl.qid, sl.nid,
+          list_dot_product(qe.u, ne.u) AS cosine
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.qid
+        JOIN e ne ON ne.vec_id = sl.nid)
+      SELECT qid, nid,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, nid) AS INT) AS rank, cosine
+      FROM rer QUALIFY rank <= 5 ORDER BY qid, rank"""))
+
   /** Per-document quality metrics. */
   val xTextQuality = Q(
     "x_text_quality",
@@ -1198,7 +1266,7 @@ object Ext {
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
     xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding, xDedupSemantic,
-    xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnIvf,
+    xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
     xTextFingerprint,
