@@ -148,6 +148,129 @@ object Events {
           AS close_filled
       FROM j ORDER BY event_type, bar"""))
 
+  /** SCD Type-2 dimension build: change capture + validity intervals.
+    * Each user's event_type stream stands in for a tracked dimension
+    * attribute; rows where the attribute changes (vs the previous event
+    * in (ts, event_id) order) open a version with valid_from = change
+    * time, valid_to = next change time (null ⇒ current, is_current).
+    * One user_id exchange; the change-capture lag and the interval-
+    * closing lead ride the same sort (filter preserves partitioning).
+    */
+  val q65Scd2 = Q(
+    "q65_scd2",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_from", col("ts"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev
+        FROM events),
+      ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          IS NULL AS is_current
+      FROM ch ORDER BY user_id, valid_from"""))
+
+  /** Rolling z-score anomaly flags over each event type's value
+    * series: mean/variance of the TRAILING 20 observations (current
+    * row excluded, so the score is a true out-of-sample residual).
+    * Sums are exact decimals on both engines; mean, variance and z are
+    * then identical IEEE double arithmetic on those exact operands —
+    * the flags adjudicate bit-identically. One (event_type) exchange;
+    * variance never needs a second pass (sum + sum-of-squares frames).
+    */
+  val q66Anomaly = Q(
+    "q66_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.queries.H.dec2
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-20, -1)
+      val base = t(s, dir, "events")
+        .filter(col("event_id") <= 2000)
+        .select(col("event_type"), col("ts"), col("event_id"),
+          dec2(col("value")).as("v"))
+      base
+        .withColumn("n_win", count(col("v")).over(w))
+        .withColumn("s1", sum(col("v")).over(w).cast("decimal(38,2)").cast("double"))
+        .withColumn("s2", sum((col("v") * col("v")).cast("decimal(20,4)")).over(w)
+          .cast("decimal(38,4)").cast("double"))
+        .filter(col("n_win") === 20)
+        .withColumn("mean", col("s1") / col("n_win"))
+        .withColumn("variance",
+          (col("s2") - col("s1") * col("s1") / col("n_win")) / (col("n_win") - 1))
+        .withColumn("z",
+          (col("v").cast("double") - col("mean")) / sqrt(col("variance")))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_type"), col("event_id"),
+          col("v").cast("double").as("value_d"), col("mean"), col("z"))
+        .orderBy(col("event_type"), col("event_id"))
+    },
+    Some("""WITH b AS (SELECT event_type, ts, event_id,
+        CAST(value AS DECIMAL(10,2)) AS v
+        FROM events WHERE event_id <= 2000),
+      r AS (SELECT event_type, ts, event_id, v,
+        COUNT(v) OVER w AS n_win,
+        CAST(CAST(SUM(v) OVER w AS DECIMAL(38,2)) AS DOUBLE) AS s1,
+        CAST(CAST(SUM(CAST(v * v AS DECIMAL(20,4))) OVER w
+          AS DECIMAL(38,4)) AS DOUBLE) AS s2
+        FROM b
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+      z AS (SELECT event_type, event_id, CAST(v AS DOUBLE) AS value_d,
+        s1 / n_win AS mean,
+        (CAST(v AS DOUBLE) - s1 / n_win)
+          / sqrt((s2 - s1 * s1 / n_win) / (n_win - 1)) AS z
+        FROM r WHERE n_win = 20)
+      SELECT event_type, event_id, value_d, mean, z FROM z
+      WHERE abs(z) > 2.5 ORDER BY event_type, event_id"""))
+
+  /** Equal-width histogram of order totals: closed-form bucket
+    * assignment (no per-bucket pass), global min/max via a broadcast
+    * single-row aggregate. Bucket edges are IEEE doubles computed
+    * identically on both sides; the top edge folds into the last
+    * bucket. Shape: one tiny aggregate + one narrow pass + one
+    * (bucket) aggregate.
+    */
+  val q67Histogram = Q(
+    "q67_histogram",
+    (s, dir) => {
+      val nb = 20
+      val o = t(s, dir, "orders")
+        .select(graft.queries.H.dec2(col("o_totalprice")).cast("double").as("x"))
+      val mm = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      o.crossJoin(broadcast(mm))
+        .withColumn("bucket",
+          least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / nb))
+            .cast("int"), lit(nb - 1)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(10,2))
+          AS DOUBLE) AS x FROM orders),
+      mm AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM o)
+      SELECT CAST(least(floor((x - lo) / ((hi - lo) / 20)), 19) AS INT)
+          AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS x_min, MAX(x) AS x_max
+      FROM o, mm GROUP BY 1 ORDER BY bucket"""))
+
   val queries: Seq[Q] = Seq(q26WindowTumbling, q27WindowSliding,
-    q28SessionWindow, q58ResampleOhlc, q59Gapfill)
+    q28SessionWindow, q58ResampleOhlc, q59Gapfill, q65Scd2, q66Anomaly,
+    q67Histogram)
 }
