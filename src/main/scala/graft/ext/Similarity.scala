@@ -131,6 +131,30 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** L2-normalize `vecCol` (as doubles) into column `uv`. */
+  private def unitVecs(df: DataFrame, idCol: String, vecCol: String,
+      idName: String): DataFrame = {
+    val v = toDoubleVec(col(vecCol))
+    df.select(col(idCol).as(idName), v.as("_v"))
+      .select(col(idName),
+        transform(col("_v"), x => x / sqrt(call_function("vec_dot",
+          col("_v"), col("_v")))).as("uv"))
+  }
+
+  /** Explode a vector column into its m subvectors: keep*, j, xv. */
+  private def subvecSplit(df: DataFrame, vecName: String, m: Int,
+      sub: Int, keep: Column*): DataFrame =
+    df.select(keep :+ explode(array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+          slice(col(vecName), j * sub + 1, sub).as("xv"))): _*)).as("s"): _*)
+      .select(keep :+ col("s.j").as("j") :+ col("s.xv").as("xv"): _*)
+
+  /** Squared L2 via dot products — the exact double expression both
+    * engines evaluate left-to-right: (a·a − 2(a·b)) + b·b.
+    */
+  private def l2d(a: Column, b: Column): Column =
+    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
   /** Product-quantization ANN (Jégou et al., TPAMI 2011 — public
     * literature): vectors are L2-normalized, split into `m` subvectors,
     * and each subvector is encoded as the id of its nearest of `ksub`
@@ -161,20 +185,11 @@ object Similarity {
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    def unitize(df: DataFrame, idName: String): DataFrame = {
-      val v = toDoubleVec(col(vecCol))
-      df.select(col(idCol).as(idName), v.as("_v"))
-        .select(col(idName),
-          transform(col("_v"), x => x / sqrt(call_function("vec_dot",
-            col("_v"), col("_v")))).as("uv"))
-    }
+    def unitize(df: DataFrame, idName: String): DataFrame =
+      unitVecs(df, idCol, vecCol, idName)
     def subvecs(df: DataFrame, keep: Column*): DataFrame =
-      df.select(keep :+ explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"),
-            slice(col("uv"), j * sub + 1, sub).as("xv"))): _*)).as("s"): _*)
-        .select(keep :+ col("s.j").as("j") :+ col("s.xv").as("xv"): _*)
-    def l2(a: Column, b: Column): Column =
-      (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+      subvecSplit(df, "uv", m, sub, keep: _*)
+    val l2 = l2d _
 
     val base = unitize(emb, "nid")
     // codebook: subvectors of the first ksub vectors by id
@@ -222,6 +237,116 @@ object Similarity {
       .join(base.select(col("nid"), col("uv").as("nu")), "nid")
       .join(broadcast(unitize(queries, "qid").select(col("qid"),
         col("uv").as("qu"))), "qid")
+      .withColumn("cosine", dot(col("qu"), col("nu")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("cosine"))
+  }
+
+  /** IVF-PQ — the composed web-scale ANN shape (FAISS's workhorse
+    * index, Jégou TPAMI'11 §IV): a coarse quantizer routes vectors
+    * into `nlist` buckets ([[assignToCentroids]]), and a product
+    * quantizer encodes each vector's RESIDUAL (v − coarse centroid) —
+    * residuals concentrate near zero, so the same sub-codebook budget
+    * quantizes them far more finely than raw vectors, and since
+    * ||(q−c) − (x−c)|| = ||q − x||, ADC on residuals in a probed
+    * bucket estimates the true distance. Queries probe their `nprobe`
+    * nearest buckets, score ONLY those buckets' code tables (never the
+    * corpus), and the ADC shortlist is re-ranked with the exact
+    * cosine. At 100 TB: the resident state is m bytes per vector plus
+    * nlist centroids; per query, work is nprobe/nlist of the corpus'
+    * codes via broadcast distance tables — no shuffle of raw vectors
+    * anywhere past the one-off encode.
+    *
+    * Deterministic seeds throughout (first-n coarse centroids, first-n
+    * residual sub-codebook) keep the whole pipeline SQL-replayable;
+    * production swaps both for k-means exactly as in [[kmeansCentroids]].
+    */
+  def ivfPqTopK(emb: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dim: Int, nlist: Int = 16, nprobe: Int = 4,
+      m: Int = 8, ksub: Int = 16, rerank: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+
+    val base = unitVecs(emb, idCol, vecCol, "nid")
+    val qs = unitVecs(queries, idCol, vecCol, "qid")
+    // coarse quantizer: first nlist unit vectors by id
+    val coarse = base.orderBy(col("nid")).limit(nlist)
+      .select(col("nid").as("cid"), col("uv").as("cv"))
+    val coarseN = coarse.select(col("cid"), col("cv"),
+      norm(col("cv")).as("cn"))
+    val assigned = assignToCentroids(
+      base.select(col("nid"), col("uv").as("nv"))
+        .withColumn("nn", norm(col("nv"))), coarseN)
+
+    // residuals vs the owning coarse centroid
+    val resid = assigned
+      .join(broadcast(coarse.select(col("cid").as("bucket"),
+        col("cv").as("bcv"))), "bucket")
+      .select(col("nid"), col("bucket"),
+        zip_with(col("nv"), col("bcv"), (x, y) => x - y).as("rv"))
+
+    // residual sub-codebook: the ksub vectors AFTER the coarse seeds —
+    // the first nlist vectors ARE the coarse centroids, so their
+    // residuals are exact zeros and would make a degenerate codebook
+    val wSeed = Window.partitionBy(pmod(col("nid"), lit(1))).orderBy(col("nid"))
+    val seeds = resid.orderBy(col("nid")).limit(nlist + ksub)
+      .withColumn("rk0", row_number().over(wSeed))
+      .filter(col("rk0") > nlist)
+      .withColumn("code", (col("rk0") - nlist - 1).cast("int"))
+    val codebook = subvecSplit(seeds, "rv", m, sub, col("code"))
+      .select(col("j"), col("code"), col("xv").as("cv2"))
+
+    // encode: per (vector, subspace) argmin over the broadcast codebook
+    val wEnc = Window.partitionBy(col("nid"), col("j"))
+      .orderBy(col("d2"), col("code"))
+    val codes = subvecSplit(resid, "rv", m, sub, col("nid"), col("bucket"))
+      .join(broadcast(codebook), "j")
+      .withColumn("d2", l2d(col("xv"), col("cv2")))
+      .withColumn("rk", row_number().over(wEnc))
+      .filter(col("rk") === 1)
+      .select(col("nid"), col("bucket"), col("j"), col("code"))
+
+    // queries probe their nprobe nearest coarse buckets
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("psim").desc, col("cid"))
+    val probes = qs.withColumn("qn", norm(col("uv")))
+      .crossJoin(broadcast(coarseN))
+      .withColumn("psim", dot(col("uv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("uv"), col("cid").as("bucket"))
+    // per-probe query residual → per-subspace ADC distance table
+    val qres = probes
+      .join(broadcast(coarse.select(col("cid").as("bucket"), col("cv").as("bcv"))),
+        "bucket")
+      .select(col("qid"), col("bucket"),
+        zip_with(col("uv"), col("bcv"), (x, y) => x - y).as("qrv"))
+    val qtab = subvecSplit(qres, "qrv", m, sub, col("qid"), col("bucket"))
+      .join(broadcast(codebook), "j")
+      .select(col("qid"), col("bucket"), col("j"), col("code"),
+        l2d(col("xv"), col("cv2")).as("d2"))
+
+    // ADC over probed buckets only, fixed-order reduction
+    val dcols = (0 until m).map(j =>
+      max(when(col("j") === j, col("d2"))).as(s"_d$j"))
+    val adc = (1 until m).foldLeft(col("_d0"))((acc, j) => acc + col(s"_d$j"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc_d2"), col("nid"))
+    val shortlist = codes.join(broadcast(qtab), Seq("bucket", "j", "code"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      .agg(dcols.head, dcols.tail: _*)
+      .withColumn("adc_d2", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * rerank)
+      .select(col("qid"), col("nid"))
+
+    // exact re-rank of the shortlist (unit vectors: dot = cosine)
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    broadcast(shortlist)
+      .join(base.select(col("nid"), col("uv").as("nu")), "nid")
+      .join(broadcast(qs.select(col("qid"), col("uv").as("qu"))), "qid")
       .withColumn("cosine", dot(col("qu"), col("nu")))
       .withColumn("rank", row_number().over(wRank))
       .filter(col("rank") <= k)

@@ -530,6 +530,96 @@ object Ext {
           ORDER BY cosine DESC, nid) AS INT) AS rank, cosine
       FROM rer QUALIFY rank <= 5 ORDER BY qid, rank"""))
 
+  /** IVF-PQ ANN ([[Similarity.ivfPqTopK]]): coarse buckets + residual
+    * product quantization + ADC over probed buckets + exact re-rank —
+    * the composed web-scale index, every stage replayed in the oracle
+    * (coarse assignment, residuals, the post-centroid sub-codebook,
+    * encoding, per-probe distance tables, fixed-order ADC reduction,
+    * re-rank), adjudicating ranks and float cosines exactly.
+    */
+  val xAnnIvfPq = Q(
+    "x_ann_ivfpq",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, nlist = 16, nprobe = 4,
+        m = 8, ksub = 16, rerank = 5)
+        .orderBy(col("qid"), col("rank"))
+    },
+    Some("""WITH nn AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id,
+        list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+        FROM nn),
+      coarse AS (SELECT vec_id AS cid, u AS cv FROM e
+        ORDER BY vec_id LIMIT 16),
+      asg AS (SELECT nid, nu, bucket FROM (
+          SELECT b.vec_id AS nid, b.u AS nu, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id ORDER BY
+              list_dot_product(b.u, c.cv) / (sqrt(list_dot_product(b.u, b.u))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+          FROM e b CROSS JOIN coarse c) WHERE rk = 1),
+      res AS (SELECT a.nid, a.bucket,
+          list_transform(range(1, 65), i -> a.nu[i] - c.cv[i]) AS rv
+        FROM asg a JOIN coarse c ON c.cid = a.bucket),
+      fir AS (SELECT nid, rv, CAST(rk0 - 17 AS INT) AS code FROM (
+          SELECT nid, rv, row_number() OVER (ORDER BY nid) AS rk0
+          FROM res ORDER BY nid LIMIT 32) WHERE rk0 > 16),
+      js AS (SELECT CAST(unnest(range(8)) AS INT) AS j),
+      sub AS (SELECT j, code, list_slice(rv, j*8 + 1, j*8 + 8) AS cv2
+        FROM fir, js),
+      xs AS (SELECT nid, bucket, j, list_slice(rv, j*8 + 1, j*8 + 8) AS xv
+        FROM res, js),
+      enc AS (SELECT nid, bucket, j, code FROM (
+          SELECT x.nid, x.bucket, x.j, s.code,
+            row_number() OVER (PARTITION BY x.nid, x.j ORDER BY
+              (list_dot_product(x.xv, x.xv) - 2.0*list_dot_product(x.xv, s.cv2))
+                + list_dot_product(s.cv2, s.cv2), s.code) AS rk
+          FROM xs x JOIN sub s ON s.j = x.j) WHERE rk = 1),
+      probes AS (SELECT qid, qu, bucket FROM (
+          SELECT q.vec_id AS qid, q.u AS qu, c.cid AS bucket,
+            row_number() OVER (PARTITION BY q.vec_id ORDER BY
+              list_dot_product(q.u, c.cv) / (sqrt(list_dot_product(q.u, q.u))
+                * sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) AS rk
+          FROM e q CROSS JOIN coarse c WHERE q.vec_id < 10) WHERE rk <= 4),
+      qres AS (SELECT p.qid, p.bucket,
+          list_transform(range(1, 65), i -> p.qu[i] - c.cv[i]) AS qrv
+        FROM probes p JOIN coarse c ON c.cid = p.bucket),
+      qsub AS (SELECT qid, bucket, j,
+          list_slice(qrv, j*8 + 1, j*8 + 8) AS qv
+        FROM qres, js),
+      qtab AS (SELECT q.qid, q.bucket, q.j, s.code,
+          (list_dot_product(q.qv, q.qv) - 2.0*list_dot_product(q.qv, s.cv2))
+            + list_dot_product(s.cv2, s.cv2) AS d2
+        FROM qsub q JOIN sub s ON s.j = q.j),
+      adc AS (SELECT t.qid, c.nid,
+          (((((((MAX(CASE WHEN c.j = 0 THEN t.d2 END)
+            + MAX(CASE WHEN c.j = 1 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 2 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 3 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 4 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 5 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 6 THEN t.d2 END))
+            + MAX(CASE WHEN c.j = 7 THEN t.d2 END)) AS adc_d2
+        FROM enc c JOIN qtab t
+          ON t.bucket = c.bucket AND t.j = c.j AND t.code = c.code
+        WHERE c.nid != t.qid
+        GROUP BY t.qid, c.nid),
+      shortlist AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            row_number() OVER (PARTITION BY qid ORDER BY adc_d2, nid) AS rk
+          FROM adc) WHERE rk <= 25),
+      rer AS (SELECT sl.qid, sl.nid,
+          list_dot_product(qe.u, ne.u) AS cosine
+        FROM shortlist sl
+        JOIN e qe ON qe.vec_id = sl.qid
+        JOIN e ne ON ne.vec_id = sl.nid)
+      SELECT qid, nid,
+        CAST(row_number() OVER (PARTITION BY qid
+          ORDER BY cosine DESC, nid) AS INT) AS rank, cosine
+      FROM rer QUALIFY rank <= 5 ORDER BY qid, rank"""))
+
   /** Per-document quality metrics. */
   val xTextQuality = Q(
     "x_text_quality",
@@ -1266,7 +1356,8 @@ object Ext {
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
     xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding, xDedupSemantic,
-    xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnPq, xAnnIvf,
+    xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnPq,
+    xAnnIvfPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
     xTextFingerprint,

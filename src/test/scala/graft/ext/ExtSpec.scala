@@ -182,6 +182,18 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.6, s"PQ recall@5 $recall vs cosine brute force")
   }
 
+  test("IVF-PQ recall against the cosine brute force") {
+    val q = emb.filter(col("vec_id") < 10)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, q, "vec_id", "embedding",
+        k = 5, dim = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16,
+        rerank = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivfpq & bf).size.toDouble / bf.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 $recall vs cosine brute force")
+  }
+
   test("feature extraction emits fixed-dim float vectors, deterministically") {
     val wb = Multimodal.withBinary(docs, "text", "doc_id")
     val f1 = Multimodal.featureExtract(wb, "doc_id")
