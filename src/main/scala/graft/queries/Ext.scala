@@ -258,6 +258,99 @@ object Ext {
         COUNT(DISTINCT cluster_id) AS n_clusters, leaks.leak_pairs
       FROM asg, leaks GROUP BY split, leaks.leak_pairs ORDER BY split"""))
 
+  /** Capstone train-prep composition — the full path from raw corpus
+    * to train-ready shape in one adjudicated pipeline: quality filter
+    * (lang-ID, token/stopword gates) → exact dedup (min-id survivor
+    * per text) → n-gram-Jaccard near-dup pairs → leakage-safe
+    * cluster-keyed train/val/test split → per-(split, lang) token and
+    * packed-sequence (512-token) accounting, with `leak_pairs`
+    * recomputed by the oracle so the zero is an adjudicated invariant.
+    * Every stage reuses an operator whose oracle is already green
+    * standalone; this query proves they compose without semantic drift.
+    * Scale shape: narrow scoring pass → text-keyed groupBy → AllPairs
+    * prefix-filtered candidate join → label propagation → one final
+    * (split, lang) aggregate.
+    */
+  val xPipelineTrainPrep = Q(
+    "x_pipeline_train_prep",
+    (s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        Text.langId(col("text")).as("lang"),
+        Text.wordCount(col("text")).as("n_words"),
+        (Text.stopwordCount(col("text")).cast("double") /
+          Text.wordCount(col("text"))).as("stop_ratio"))
+      val kept = scored.filter(col("n_words") >= 20 && col("stop_ratio") <= 0.5)
+      val surv = kept.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("lang")).as("lang"),
+          max(col("n_words")).as("n_words"))
+      val pairs = Dedup.ngramJaccardPairs(surv, "text", "doc_id",
+        k = 3, threshold = 0.5).cache()
+      val assigned = Dedup.leakageSafeSplit(surv, "doc_id", pairs)
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+        .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+        .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1).otherwise(0)), lit(0))
+          .cast("bigint").as("leak_pairs"))
+      assigned.groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_words")).cast("bigint").as("n_tokens"),
+          ceil(sum(col("n_words")).cast("double") / 512.0).cast("bigint")
+            .as("n_sequences"))
+        .crossJoin(leaks)
+        .orderBy(col("split"), col("lang"))
+    },
+    Some("""WITH RECURSIVE sc AS (SELECT doc_id, text,
+        len(regexp_extract_all(text, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '), t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '), t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '), t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '), t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM documents),
+      m AS (SELECT doc_id, text,
+        CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+          WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de' WHEN 2 THEN 'fr'
+          ELSE 'es' END AS lang,
+        CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> list_contains(['the','a','an','of','and','or','to','in','is','it'], t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stop_ratio
+        FROM sc),
+      kept AS (SELECT * FROM m WHERE n_words >= 20 AND stop_ratio <= 0.5),
+      surv AS (SELECT text, min(doc_id) AS doc_id, max(lang) AS lang,
+        max(n_words) AS n_words FROM kept GROUP BY text),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY da, db),
+      pairs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+        UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS id, least(a, min(b)) AS lbl FROM reach GROUP BY a),
+      asg AS (SELECT d.doc_id, d.lang, d.n_words,
+        CASE WHEN (COALESCE(l.lbl, d.doc_id) * 2654435761) % 1000 < 800 THEN 'train'
+          WHEN (COALESCE(l.lbl, d.doc_id) * 2654435761) % 1000 < 900 THEN 'val'
+          ELSE 'test' END AS split
+        FROM surv d LEFT JOIN lbl l ON l.id = d.doc_id),
+      leaks AS (SELECT CAST(COALESCE(SUM(CASE WHEN a.split <> b.split
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_pairs
+        FROM pairs p JOIN asg a ON a.doc_id = p.da JOIN asg b ON b.doc_id = p.db)
+      SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+        CAST(ceil(CAST(SUM(n_words) AS DOUBLE) / 512.0) AS BIGINT) AS n_sequences,
+        leaks.leak_pairs
+      FROM asg, leaks GROUP BY split, lang, leaks.leak_pairs
+      ORDER BY split, lang"""),
+    bench = true)
+
   /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
     * xxhash64 isn't reproducible in DuckDB SQL → rows-only here
     * (cross-checked against the Jaccard pairs in ExtSpec); the
@@ -1361,7 +1454,8 @@ object Ext {
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
     xTextFingerprint,
-    xPipelineQualityFilter, xSampleContentHash, xSampleStratified,
+    xPipelineQualityFilter, xPipelineTrainPrep, xSampleContentHash,
+    xSampleStratified,
     xRankGlobal, xSketchReaggregate,
     xMultimodalMeta, xMultimodalDecode,
     xMultimodalFeatures, xMultimodalFrames, xMultimodalResize,
