@@ -637,6 +637,37 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
+  /** Asymmetric shingle-containment pairs: containment(A→B) =
+    * |sh(A)∩sh(B)| / |sh(A)| — unlike Jaccard this is direction-aware,
+    * so it catches quotation/superset relationships (a doc that embeds
+    * another verbatim has containment ≈ 1 from the smaller side even
+    * when Jaccard is low). Emits (sub_id, sup_id, containment) for
+    * every ordered pair at or above `threshold`.
+    *
+    * Scale shape: one shingle equi-join computes BOTH directions (the
+    * unordered intersection count is joined to each side's shingle
+    * count); `maxDocFreq` is the standard hot-shingle cutoff for web
+    * corpora (makes the result approximate — leave None for exact).
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, threshold: Double = 0.6,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(docs, textCol, idCol, k, maxDocFreq)
+    val cnt = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("id").as("da"), col("s"))
+      .join(sh.select(col("id").as("db"), col("s")), "s")
+      .filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ix"))
+    val j = inter
+      .join(cnt.select(col("id").as("da"), col("n").as("na")), "da")
+      .join(cnt.select(col("id").as("db"), col("n").as("nb")), "db")
+    j.select(col("da").as("sub_id"), col("db").as("sup_id"),
+        (col("ix").cast("double") / col("na")).as("containment"))
+      .union(j.select(col("db"), col("da"),
+        (col("ix").cast("double") / col("nb")).as("containment")))
+      .filter(col("containment") >= threshold)
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
     * — public literature): cluster the embedding space, then compute
     * exact pairwise cosine ONLY within clusters and drop every vector

@@ -455,4 +455,42 @@ object Text {
         .otherwise(windows))
     array_sort(array_distinct(mins))
   }
+
+  /** Top-`topN` vocabulary with dense frequency-ranked ids (ties broken
+    * by token, so ids are stable across runs and partitionings). The
+    * count is the classic map-side-combined wordcount; top-N is a
+    * TakeOrdered (never a global sort materialization), and the id
+    * ranking runs on the topN survivors only.
+    */
+  def buildVocab(docs: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // constant single partition on purpose: topN rows at this point
+    // (pmod, not lit(0) — a literal partition key gets constant-folded
+    // to an empty spec and logs global-window warnings)
+    val w = Window.partitionBy(pmod(length(col("token")), lit(1)))
+      .orderBy(col("cnt").desc, col("token"))
+    docs.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).cast("bigint").as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topN)
+      .withColumn("tid", (row_number().over(w) - 1).cast("int"))
+      .select(col("tid"), col("token"), col("cnt"))
+  }
+
+  /** Per-document vocabulary coverage / OOV accounting against a
+    * (small, broadcast) vocabulary: token stream left-joins the vocab,
+    * then one aggregate per document. At web scale the vocab is the
+    * only state shipped to executors; the corpus shuffles once on the
+    * document id.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("tid"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+        count(col("tid")).cast("bigint").as("n_in_vocab"),
+        count_distinct(when(col("tid").isNull, col("token")))
+          .as("n_distinct_oov"),
+        (count(col("tid")).cast("double") / count(lit(1))).as("coverage"))
 }

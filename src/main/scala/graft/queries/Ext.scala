@@ -258,6 +258,72 @@ object Ext {
         COUNT(DISTINCT cluster_id) AS n_clusters, leaks.leak_pairs
       FROM asg, leaks GROUP BY split, leaks.leak_pairs ORDER BY split"""))
 
+  /** Asymmetric containment dedup ([[Dedup.containmentPairs]]): finds
+    * quotation/superset relationships Jaccard misses — the smaller
+    * side's shingles inside the larger doc. Exact (no df cutoff here);
+    * the oracle derives both directions from one unordered
+    * intersection, like the operator.
+    */
+  val xDedupContainment = Q(
+    "x_dedup_containment",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+      "text", "doc_id", k = 3, threshold = 0.6)
+      .orderBy(col("sub_id"), col("sup_id")),
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      j AS (SELECT da, db, ix, ca.n AS na, cb.n AS nb FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db),
+      dirs AS (SELECT da AS sub_id, db AS sup_id,
+          CAST(ix AS DOUBLE)/na AS containment FROM j
+        UNION ALL SELECT db, da, CAST(ix AS DOUBLE)/nb FROM j)
+      SELECT sub_id, sup_id, containment FROM dirs
+      WHERE containment >= 0.6 ORDER BY sub_id, sup_id"""))
+
+  /** Frequency-ranked vocabulary ([[Text.buildVocab]]) with stable ids. */
+  val xTextVocab = Q(
+    "x_text_vocab",
+    (s, dir) => Text.buildVocab(t(s, dir, "documents"), "text", topN = 100)
+      .orderBy(col("tid")),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      agg AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY token),
+      top AS (SELECT token, cnt FROM agg ORDER BY cnt DESC, token LIMIT 100)
+      SELECT CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS INT)
+        AS tid, token, cnt
+      FROM top ORDER BY tid"""))
+
+  /** Per-document vocabulary coverage / OOV stats against the top-100
+    * vocab ([[Text.vocabCoverage]]) — the tokenizer-prep accounting a
+    * training pipeline runs before committing to a vocab size.
+    */
+  val xTextVocabCoverage = Q(
+    "x_text_vocab_coverage",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.vocabCoverage(docs, "text", "doc_id",
+        Text.buildVocab(docs, "text", topN = 100))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS token FROM documents),
+      agg AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+      top AS (SELECT token, cnt FROM agg ORDER BY cnt DESC, token LIMIT 100)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(COUNT(v.token) AS BIGINT) AS n_in_vocab,
+        CAST(COUNT(DISTINCT CASE WHEN v.token IS NULL THEN t.token END)
+          AS BIGINT) AS n_distinct_oov,
+        CAST(COUNT(v.token) AS DOUBLE) / COUNT(*) AS coverage
+      FROM tok t LEFT JOIN top v ON v.token = t.token
+      GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   /** Capstone train-prep composition — the full path from raw corpus
     * to train-ready shape in one adjudicated pipeline: quality filter
     * (lang-ID, token/stopword gates) → exact dedup (min-id survivor
@@ -1447,7 +1513,8 @@ object Ext {
   val queries: Seq[Q] = Seq(
     xExpectQuality,
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
-    xDedupMinhash, xDedupClusters, xSplitLeakageSafe, xTextWinnow, xDedupWinnow,
+    xDedupMinhash, xDedupClusters, xDedupContainment, xSplitLeakageSafe,
+    xTextWinnow, xDedupWinnow, xTextVocab, xTextVocabCoverage,
     xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding, xDedupSemantic,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnPq,
     xAnnIvfPq, xAnnIvf,
