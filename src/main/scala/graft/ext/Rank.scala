@@ -79,4 +79,54 @@ object Rank {
     }
     spark.createDataFrame(numbered, schema)
   }
+
+  /** Typed bounded top-k Aggregator: per group, keep only the k
+    * largest (value, id) pairs in the aggregation buffer. The scale
+    * point vs `row_number() OVER (PARTITION BY g ORDER BY v)`: the
+    * window shuffles EVERY row of every group and sorts them; this is
+    * a real Aggregator, so Spark runs it partial/final — each map task
+    * reduces its slice of a group to ≤ k pairs and the exchange ships
+    * only those. For a 10^6-row group and k=3, the shuffle carries 3
+    * pairs per map task instead of 10^6 rows. Determinism: ordering is
+    * (value, then id descending-value/ascending-id), so ties cannot
+    * reorder under partitioning.
+    */
+  class TopKAgg(k: Int) extends org.apache.spark.sql.expressions.Aggregator[
+      (Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by[(Double, Long), (Double, Long)] { case (v, id) => (-v, id) }
+    private def trim(b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.sorted(ord).take(k)
+    def zero: Seq[(Double, Long)] = Seq.empty
+    def reduce(b: Seq[(Double, Long)], a: (Double, Long)): Seq[(Double, Long)] =
+      trim(b :+ a)
+    def merge(b1: Seq[(Double, Long)], b2: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      trim(b1 ++ b2)
+    def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r.sorted(ord)
+    def bufferEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    def outputEncoder: org.apache.spark.sql.Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  }
+
+  /** Grouped top-k via [[TopKAgg]]: returns (group, rank, id, value)
+    * rows, rank 1-based in (value desc, id asc) order.
+    */
+  def groupedTopK(df: DataFrame, groupCol: String, idCol: String,
+      valCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = new TopKAgg(k).toColumn
+    df.select(col(groupCol).cast("long"), col(valCol).cast("double"),
+        col(idCol).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, v, id) => (v, id) }
+      .agg(agg.name("top"))
+      .toDF("grp", "top")
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
+        col("col._2").as("id"), col("col._1").as("value"))
+  }
 }

@@ -529,10 +529,35 @@ object Extra {
         CAST(dist AS INTEGER) AS dist
       FROM ranked WHERE rn = 1 ORDER BY probe_id"""))
 
+  /** Grouped top-k via the typed bounded-buffer Aggregator
+    * ([[graft.ext.Rank.TopKAgg]]) instead of a window: the aggregation
+    * runs partial/final, so each map task ships at most k pairs per
+    * group instead of every row — the grouped-top-k shape that survives
+    * billion-row groups. The oracle is the window formulation, proving
+    * the Aggregator's semantics equal row_number() <= k exactly.
+    */
+  val q68GroupTopk = Q(
+    "q68_group_topk",
+    (s, dir) => graft.ext.Rank.groupedTopK(
+      t(s, dir, "orders").select(col("o_custkey"),
+        dec2(col("o_totalprice")).cast("double").as("total_d"),
+        col("o_orderkey")),
+      "o_custkey", "o_orderkey", "total_d", k = 3)
+      .select(col("grp").as("o_custkey"), col("rank"),
+        col("id").as("o_orderkey"), col("value").as("total_d"))
+      .orderBy(col("o_custkey"), col("rank")),
+    Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+        CAST(CAST(o_totalprice AS DECIMAL(10,2)) AS DOUBLE) AS total_d
+        FROM orders)
+      SELECT o_custkey, CAST(row_number() OVER (PARTITION BY o_custkey
+          ORDER BY total_d DESC, o_orderkey) AS INT) AS rank,
+        o_orderkey, total_d
+      FROM o QUALIFY rank <= 3 ORDER BY o_custkey, rank"""))
+
   val queries: Seq[Q] = Seq(
     q33Listagg, q34WindowDist, q35Correlated, q36Unpivot, q37ArrayFuncs,
     q38Regex, q39Intervals, q40ArgMinMax, q41Sample, q42Lateral,
     q43ApproxSketches, q44MapFuncs, q52RangeFrames, q53LimitOffset,
     q54AggFilter, q55IgnoreNulls, q56UnionEvolution, q60MergeUpsert,
-    q61FuzzyJoin)
+    q61FuzzyJoin, q68GroupTopk)
 }

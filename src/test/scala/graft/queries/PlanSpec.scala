@@ -169,6 +169,14 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("grouped top-k aggregates partially and never windows the full input") {
+    val p = plan("q68_group_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"typed TopK aggregator not planned as an aggregate:\n$p")
+    assert(p.contains("partial"), s"no partial (map-side) phase:\n$p")
+    assert(!p.contains("Window"), s"top-k regressed to a window:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
