@@ -1,0 +1,53 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.Boiler
+import graft.queries.H.t
+
+/** Second bank of LLM-data-pipeline extension operators (SURVEY.md
+  * §2.8, round 5): boilerplate removal, deterministic weighted
+  * sampling, column profiling, bloom-pruned joins, layout ops. Same
+  * contract as [[Ext]] — every operator is a driver query with a DuckDB
+  * oracle wherever SQL-expressible.
+  */
+object ExtB {
+
+  /** Within-source boilerplate removal (see [[Boiler.removeBoilerplate]]):
+    * 5-token segments, a segment in >= 2 docs of one source is chrome.
+    * The oracle replays segmentation, per-source document frequency,
+    * flagging, and ordered re-assembly — the cleaned TEXT is
+    * adjudicated byte-for-byte.
+    */
+  val xBoilerplate = Q(
+    "x_boilerplate",
+    (s, dir) => Boiler.removeBoilerplate(t(s, dir, "documents"),
+      "text", "doc_id", "source", segTokens = 5, minDocs = 2)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents),
+      ch AS (SELECT doc_id, source,
+          generate_subscripts(range(0, greatest(len(toks), 1), 5), 1) - 1 AS seg_idx,
+          unnest(range(0, greatest(len(toks), 1), 5)) AS start,
+          toks FROM d),
+      cx AS (SELECT doc_id, source, seg_idx,
+          array_to_string(toks[start + 1 : start + 5], ' ') AS seg_text
+        FROM ch),
+      bf AS (SELECT source, seg_text FROM
+          (SELECT source, seg_text, count(DISTINCT doc_id) AS df
+            FROM cx GROUP BY 1, 2)
+          WHERE df >= 2),
+      fl AS (SELECT cx.doc_id, cx.source, cx.seg_idx, cx.seg_text,
+          (bf.seg_text IS NOT NULL) AS is_boiler
+        FROM cx LEFT JOIN bf
+          ON cx.source = bf.source AND cx.seg_text = bf.seg_text)
+      SELECT doc_id, source,
+        CAST(COUNT(*) AS BIGINT) AS n_segments,
+        CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        COALESCE(string_agg(CASE WHEN NOT is_boiler THEN seg_text END, ' '
+          ORDER BY seg_idx), '') AS clean_text,
+        CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
+      FROM fl GROUP BY doc_id, source ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(xBoilerplate)
+}

@@ -26,7 +26,8 @@ object Registry {
   lazy val all: Seq[Q] =
     Relational.queries ++ Analytic.queries ++ Functions.queries ++
       Extra.queries ++ Traps.queries ++ TpcH.queries ++ Events.queries ++
-      BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ Curate.queries
+      BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ ExtB.queries ++
+      Curate.queries
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
