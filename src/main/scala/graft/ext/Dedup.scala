@@ -39,6 +39,30 @@ object Dedup {
     docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_sha256"))
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: admit only the new batch's documents
+    * whose content digest is (a) unseen in the historical corpus and
+    * (b) first within the batch — the daily-crawl-append counterpart
+    * of [[exactByDigest]] (the near-dup counterpart with persistent
+    * state is [[minhashDedupIncremental]]).
+    *
+    * Scale shape: in-batch dedup is the usual min-aggregate groupBy;
+    * the history check is a left-anti equi-join on the 64-hex-char
+    * digest — the history side needs only its digest column (at
+    * production scale that index is stored as its own compact table,
+    * bucketed on digest so successive batches probe without
+    * reshuffling it; here it is derived from the history rows
+    * directly, which Catalyst prunes to the one column).
+    */
+  def exactIncremental(newDocs: DataFrame, history: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val dig = sha2(col(textCol).cast("binary"), 256)
+    val batch = newDocs.groupBy(dig.as("content_sha256"))
+      .agg(min(col(idCol)).as("survivor_id"),
+        count(lit(1)).as("n_batch_copies"))
+    val hist = history.select(dig.as("content_sha256")).distinct()
+    batch.join(hist, Seq("content_sha256"), "left_anti")
+  }
+
   /** Chunk-level exact-duplicate removal — the practical form of
     * exact-substring dedup (Lee et al., ACL 2022: duplicated training
     * spans hurt LMs; production pipelines approximate the suffix-array

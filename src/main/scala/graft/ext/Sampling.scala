@@ -120,4 +120,44 @@ object Sampling {
       .withColumn("n_splits", col("seq_last") - col("seq_first"))
       .drop("_cum")
   }
+
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "A-ES"): each row gets key = ln(u)/w for a uniform
+    * u ∈ (0,1); the k largest keys are the sample, and the inclusion
+    * probabilities match successive weighted draws without replacement.
+    *
+    * RNG discipline (same reasoning as [[mixtureResample]]): u is not
+    * random but a 31-bit LCG step of the row's id —
+    * u = ((id·1103515245 + 12345) mod 2³¹ + 1) / (2³¹ + 1) — so the
+    * sample is a pure function of (id, weight): reproducible across
+    * runs, partitionings, and engines, and SQL-replayable. ln goes
+    * through 12-decimal rounding (the [[Text.bm25]] determinism
+    * discipline) so JVM/libm last-ulp differences can't flip a rank.
+    *
+    * Scale: key is a narrow per-row expression; the global top-k is
+    * orderBy+limit, which Spark executes as TakeOrdered (per-partition
+    * top-k, merge of k-row heaps on the driver) — no global sort, no
+    * single-partition window, any corpus size.
+    *
+    * Output: (id, weight, sel_rank) for the k selected rows,
+    * sel_rank 1..k in descending key order (ties broken by id).
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val m = lit(2147483648L) // 2^31
+    val r = pmod(id.cast("long") * lit(1103515245L) + lit(12345L), m)
+    val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
+    val lnU = log(u).cast("decimal(20,12)").cast("double")
+    val key = (lnU / weight.cast("double")).cast("decimal(20,12)").cast("double")
+    df.select(id.as("id"), weight.cast("double").as("weight"), key.as("_key"))
+      .orderBy(col("_key").desc, col("id"))
+      .limit(k)
+      // rank over the k-row result only — a bounded global window (k
+      // rows by construction), never over the corpus
+      .withColumn("sel_rank",
+        row_number().over(Window.orderBy(col("_key").desc, col("id")))
+          .cast("bigint"))
+      .select(col("id"), col("weight"), col("sel_rank"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.Boiler
+import graft.ext.{Boiler, Dedup, Sampling}
 import graft.queries.H.t
 
 /** Second bank of LLM-data-pipeline extension operators (SURVEY.md
@@ -49,5 +49,48 @@ object ExtB {
           / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
       FROM fl GROUP BY doc_id, source ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(xBoilerplate)
+  /** Deterministic weighted sampling without replacement (see
+    * [[Sampling.weightedSample]]): A-ES keys from an LCG uniform on
+    * doc_id, weight = n_chars, top-50. The oracle replays the LCG, the
+    * rounded ln, and the ranking — the selected set AND its order are
+    * adjudicated.
+    */
+  val xSampleWeighted = Q(
+    "x_sample_weighted",
+    (s, dir) => Sampling.weightedSample(t(s, dir, "documents"),
+      col("doc_id"), col("n_chars"), k = 50),
+    Some("""WITH kd AS (SELECT doc_id,
+        CAST(n_chars AS DOUBLE) AS weight,
+        CAST(CAST(ln(((doc_id * 1103515245 + 12345) % 2147483648 + 1)
+            / 2147483649.0) AS DECIMAL(20,12)) AS DOUBLE) AS lnu
+        FROM documents),
+      k2 AS (SELECT doc_id AS id, weight,
+        CAST(CAST(lnu / weight AS DECIMAL(20,12)) AS DOUBLE) AS key
+        FROM kd)
+      SELECT id, weight,
+        CAST(row_number() OVER (ORDER BY key DESC, id) AS BIGINT) AS sel_rank
+      FROM k2 ORDER BY key DESC, id LIMIT 50"""))
+
+  /** Incremental exact dedup (see [[Dedup.exactIncremental]]): docs with
+    * doc_id < 250 are the historical corpus, >= 250 the new batch;
+    * output = the batch's admitted survivors.
+    */
+  val xDedupIncremental = Q(
+    "x_dedup_incremental",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.exactIncremental(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        "text", "doc_id").orderBy(col("survivor_id"))
+    },
+    Some("""WITH h AS (SELECT DISTINCT sha256(text) AS d
+        FROM documents WHERE doc_id < 250),
+      b AS (SELECT sha256(text) AS content_sha256,
+          min(doc_id) AS survivor_id, COUNT(*) AS n_batch_copies
+        FROM documents WHERE doc_id >= 250 GROUP BY 1)
+      SELECT content_sha256, survivor_id, n_batch_copies FROM b
+      WHERE content_sha256 NOT IN (SELECT d FROM h)
+      ORDER BY survivor_id"""))
+
+  val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental)
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SamplingIncrementalSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("weightedSample: deterministic under repartition, honors k, ranks consistent") {
+    val df = (1L to 200L).map(i => (i, (i % 7 + 1) * 10)).toDF("id", "w")
+    val a = Sampling.weightedSample(df, col("id"), col("w"), 20).collect()
+    val b = Sampling.weightedSample(df.repartition(13), col("id"), col("w"), 20)
+      .collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq,
+      "selection changed under repartition")
+    assert(a.length == 20)
+    assert(a.map(_.getAs[Long]("sel_rank")).toSeq == (1L to 20L))
+    // k > n degenerates to all rows
+    val tiny = Sampling.weightedSample(df.limit(5), col("id"), col("w"), 20)
+    assert(tiny.count() == 5)
+  }
+
+  test("weightedSample: heavy rows are strongly favored") {
+    // 100 rows of weight 1 vs 10 rows of weight 1000 — A-ES should pick
+    // mostly (not provably all) heavy rows into a k=10 sample
+    val df = ((1L to 100L).map(i => (i, 1L)) ++
+      (101L to 110L).map(i => (i, 1000L))).toDF("id", "w")
+    val picked = Sampling.weightedSample(df, col("id"), col("w"), 10)
+      .collect().map(_.getLong(0)).toSet
+    val heavy = picked.count(_ > 100L)
+    assert(heavy >= 8, s"only $heavy of 10 picks were heavy-weight rows")
+  }
+
+  test("exactIncremental: in-batch and cross-batch duplicates both drop") {
+    val hist = Seq((1L, "seen before"), (2L, "old content")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // cross-batch dup → dropped
+      (11L, "fresh a"),       // admitted
+      (12L, "fresh a"),       // in-batch dup of 11 → folded into it
+      (13L, "fresh b")        // admitted
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, hist, "text", "doc_id")
+      .orderBy("survivor_id").collect()
+    assert(out.map(_.getAs[Long]("survivor_id")).toSeq == Seq(11L, 13L))
+    assert(out.head.getAs[Long]("n_batch_copies") == 2L)
+  }
+}
