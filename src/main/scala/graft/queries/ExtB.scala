@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, Dedup, Sampling}
+import graft.ext.{Boiler, Dedup, Profile, Sampling}
 import graft.queries.H.t
 
 /** Second bank of LLM-data-pipeline extension operators (SURVEY.md
@@ -92,5 +92,45 @@ object ExtB {
       WHERE content_sha256 NOT IN (SELECT d FROM h)
       ORDER BY survivor_id"""))
 
-  val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental)
+  private def profCol(name: String, kind: String): String = {
+    val isNum = kind == "num"; val isStr = kind == "str"; val isTs = kind == "ts"
+    val minNum =
+      if (isNum) s"CAST(min($name) AS DOUBLE)"
+      else if (isTs) s"epoch(min($name))"
+      else "CAST(NULL AS DOUBLE)"
+    val maxNum =
+      if (isNum) s"CAST(max($name) AS DOUBLE)"
+      else if (isTs) s"epoch(max($name))"
+      else "CAST(NULL AS DOUBLE)"
+    val minStr = if (isStr) s"min($name)" else "CAST(NULL AS VARCHAR)"
+    val maxStr = if (isStr) s"max($name)" else "CAST(NULL AS VARCHAR)"
+    val avgLen = if (isStr) s"avg(length($name))" else "CAST(NULL AS DOUBLE)"
+    s"""SELECT '$name' AS column_name,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(*) - count($name) AS BIGINT) AS n_null,
+      CAST(count(DISTINCT $name) AS BIGINT) AS n_distinct,
+      $minNum AS min_num, $maxNum AS max_num,
+      $minStr AS min_str, $maxStr AS max_str,
+      $avgLen AS avg_len FROM orders"""
+  }
+
+  /** Single-pass column profiler (see [[Profile.profile]]) over the six
+    * orders columns — the reference's 5-row type-analyzer sample
+    * replaced by whole-table statistics in one scan.
+    */
+  val xProfileColumns = Q(
+    "x_profile_columns",
+    (s, dir) => Profile.profile(t(s, dir, "orders"), Seq(
+      "o_orderkey" -> Profile.Num, "o_custkey" -> Profile.Num,
+      "o_orderstatus" -> Profile.Str, "o_totalprice" -> Profile.Num,
+      "o_orderdate" -> Profile.Ts, "o_orderpriority" -> Profile.Str))
+      .orderBy(col("column_name")),
+    Some(Seq(
+      profCol("o_orderkey", "num"), profCol("o_custkey", "num"),
+      profCol("o_orderstatus", "str"), profCol("o_totalprice", "num"),
+      profCol("o_orderdate", "ts"), profCol("o_orderpriority", "str"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
+
+  val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
+    xProfileColumns)
 }
