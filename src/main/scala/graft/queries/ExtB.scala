@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, Dedup, Profile, Sampling}
+import graft.ext.{Boiler, BloomJoin, Dedup, Profile, Sampling}
+import graft.queries.H.sum38
 import graft.queries.H.t
 
 /** Second bank of LLM-data-pipeline extension operators (SURVEY.md
@@ -131,6 +132,28 @@ object ExtB {
       profCol("o_orderdate", "ts"), profCol("o_orderpriority", "str"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")))
 
+  /** Bloom-pruned fact⋈dim join (see [[BloomJoin.prunedEquiJoin]]):
+    * orders pruned against a Bloom filter of the selective customer
+    * subset before the join. The oracle is the PLAIN join — the Bloom
+    * stage must be semantically invisible.
+    */
+  val xBloomJoin = Q(
+    "x_bloom_join",
+    (s, dir) => {
+      val dim = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_nationkey") < 5)
+      BloomJoin.prunedEquiJoin(t(s, dir, "orders"), "o_custkey", dim, "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum38(H.dec2(col("o_totalprice")), 2, "total"))
+        .orderBy(col("c_nationkey"))
+    },
+    Some("""SELECT c_nationkey, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
+      GROUP BY c_nationkey ORDER BY c_nationkey"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
-    xProfileColumns)
+    xProfileColumns, xBloomJoin)
 }
