@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Profile, Sampling}
+import graft.ext.{Boiler, BloomJoin, Dedup, Profile, Sampling, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -154,6 +154,54 @@ object ExtB {
       WHERE c_mktsegment = 'BUILDING' AND c_nationkey < 5
       GROUP BY c_nationkey ORDER BY c_nationkey"""))
 
+  /** URL parse/normalize + per-registered-domain aggregation (see
+    * [[Web]]): documents get deterministic synthetic URLs (the corpus
+    * has no URL column), then host/domain/path/query extraction,
+    * normalization, and the per-domain stats web curation rate-limits
+    * on. The oracle replays construction AND parsing.
+    */
+  val xUrlDomain = Q(
+    "x_url_domain",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("url", concat(
+          lit("https://"),
+          when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+          col("source"), lit("-site."),
+          when(col("lang") === "en", lit("com")).otherwise(lit("org")),
+          lit("/docs/"), col("doc_id"),
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("?ref="), col("source"))).otherwise(lit(""))))
+      Web.withUrlParts(d, "url")
+        .groupBy(col("url_domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_host")).as("n_hosts"),
+          countDistinct(col("url_norm")).as("n_urls"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy(col("url_domain"))
+    },
+    Some("""WITH u AS (SELECT *,
+        'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+          || source || '-site.'
+          || (CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END)
+          || '/docs/' || doc_id
+          || (CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source ELSE '' END)
+          AS url FROM documents),
+      p AS (SELECT *,
+        lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)) AS url_host,
+        regexp_extract(lower(regexp_extract(url, '^https?://([^/:?#]+)', 1)),
+          '([^.]+\.[^.]+)$', 1) AS url_domain,
+        lower(regexp_extract(url, '^(https?)://', 1)) || '://'
+          || lower(regexp_extract(url, '^https?://([^/:?#]+)', 1))
+          || regexp_replace(regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1),
+               '/+$', '') AS url_norm
+        FROM u)
+      SELECT url_domain, COUNT(*) AS n_docs,
+        CAST(COUNT(DISTINCT url_host) AS BIGINT) AS n_hosts,
+        CAST(COUNT(DISTINCT url_norm) AS BIGINT) AS n_urls,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM p GROUP BY url_domain ORDER BY url_domain"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
-    xProfileColumns, xBloomJoin)
+    xProfileColumns, xBloomJoin, xUrlDomain)
 }
