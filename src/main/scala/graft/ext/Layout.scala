@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering so
+  * file-level min/max statistics prune scans on EITHER predicate
+  * dimension — the Delta/Iceberg `ZORDER BY` idea as an explicit
+  * operator. A linear sort makes one dimension's ranges tight and
+  * leaves the other spanning the whole table; interleaving the
+  * quantized bits gives every written bucket a small bounding box in
+  * both dimensions, so a 100 TB table answers `WHERE price BETWEEN`
+  * AND `WHERE date BETWEEN` queries from a fraction of its files.
+  *
+  * All narrow bit arithmetic (shift/and/or — codegen'd); the only wide
+  * operation is whatever the caller does with the bucket id
+  * (repartitionByRange(bucket) before the write, a groupBy here for
+  * the stats report).
+  */
+object Layout {
+
+  /** Quantize v over [lo, hi) to 0 .. 2^bits−1 (clamped). */
+  def quantize(v: Column, lo: Double, hi: Double, bits: Int): Column = {
+    require(bits > 0 && bits <= 30 && hi > lo, "need 0 < bits <= 30, hi > lo")
+    least(greatest(
+      floor((v.cast("double") - lit(lo)) / lit(hi - lo) * lit(1L << bits)),
+      lit(0L)), lit((1L << bits) - 1L)).cast("long")
+  }
+
+  /** Morton interleave of two `bits`-bit values: x on even bit
+    * positions, y on odd.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  /** Assign each row a z-order bucket (top `bucketBits` bits of the
+    * interleaved value = 2^bucketBits buckets) and report each
+    * bucket's row count and per-dimension bounding box — the min/max
+    * stats a writer would persist per file.
+    */
+  def zorderStats(df: DataFrame, x: Column, y: Column,
+      xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+      bits: Int, bucketBits: Int): DataFrame = {
+    require(bucketBits > 0 && bucketBits <= 2 * bits, "bad bucketBits")
+    val z = zValue(quantize(x, xLo, xHi, bits), quantize(y, yLo, yHi, bits), bits)
+    df.withColumn("bucket", shiftright(z, 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(x.cast("double")).as("x_min"), max(x.cast("double")).as("x_max"),
+        min(y.cast("double")).as("y_min"), max(y.cast("double")).as("y_max"))
+  }
+
+  /** The DuckDB-replayable SQL text of [[zValue]] over `x`/`y`
+    * expression strings — oracle construction shares the exact formula.
+    */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** SQL text of [[quantize]]. */
+  def quantizeSql(v: String, lo: Double, hi: Double, bits: Int): String =
+    s"least(greatest(CAST(floor((CAST($v AS DOUBLE) - $lo) / ${hi - lo} " +
+      s"* ${1L << bits}) AS BIGINT), 0), ${(1L << bits) - 1})"
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Profile, Sampling, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Layout, Profile, Sampling, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -202,6 +202,37 @@ object ExtB {
         CAST(SUM(n_chars) AS BIGINT) AS total_chars
       FROM p GROUP BY url_domain ORDER BY url_domain"""))
 
+  /** Z-order layout stats (see [[Layout.zorderStats]]): orders
+    * clustered on (totalprice, orderdate), 8 bits per dimension, 64
+    * buckets; per-bucket row counts and both-dimension bounding boxes
+    * — the min/max stats a z-ordered writer persists per file. The
+    * oracle replays quantization and bit interleave exactly (shared
+    * formula via [[Layout.zValueSql]]).
+    */
+  val xZorderLayout = Q(
+    "x_zorder_layout", {
+      val (xLo, xHi) = (800.0, 600000.0)
+      val (yLo, yHi) = (7.889184e8, 9.2e8) // epoch 1995-01-01 .. 1999-02
+      (s, dir) => Layout.zorderStats(t(s, dir, "orders"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("timestamp_ltz").cast("double"),
+        xLo, xHi, yLo, yHi, bits = 8, bucketBits = 6)
+        .orderBy(col("bucket"))
+    },
+    Some {
+      val qx = Layout.quantizeSql("o_totalprice", 800.0, 600000.0, 8)
+      val qy = Layout.quantizeSql("epoch(o_orderdate)", 7.889184e8, 9.2e8, 8)
+      s"""WITH q AS (SELECT o_totalprice, epoch(o_orderdate) AS od,
+          $qx AS zx, $qy AS zy FROM orders),
+        z AS (SELECT o_totalprice, od,
+          (${Layout.zValueSql("zx", "zy", 8)}) AS zv FROM q)
+        SELECT (zv >> 10) AS bucket, COUNT(*) AS n_rows,
+          CAST(min(o_totalprice) AS DOUBLE) AS x_min,
+          CAST(max(o_totalprice) AS DOUBLE) AS x_max,
+          min(od) AS y_min, max(od) AS y_max
+        FROM z GROUP BY bucket ORDER BY bucket"""
+    })
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
-    xProfileColumns, xBloomJoin, xUrlDomain)
+    xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout)
 }
