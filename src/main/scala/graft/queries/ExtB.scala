@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Layout, Profile, Sampling, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Layout, Profile, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -233,6 +233,58 @@ object ExtB {
         FROM z GROUP BY bucket ORDER BY bucket"""
     })
 
+  /** Entity-resolution survivorship (see [[Survivor.goldenRecords]]):
+    * every 4th customer gets a perturbed clone (suffix on the name,
+    * +50 balance, null segment) and a match pair; golden records apply
+    * oldest-name / max-balance / first-non-null-segment rules. The
+    * oracle replays clone construction, clustering (trivial for this
+    * pair set), and every survivorship rule via ranked CTEs.
+    */
+  val xGoldenRecord = Q(
+    "x_golden_record",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"))
+      val clones = cust.filter(col("c_custkey") % 4 === 0)
+        .select((col("c_custkey") + 100000).as("c_custkey"),
+          concat(col("c_name"), lit(" Jr")).as("c_name"),
+          (col("c_acctbal") + 50.0).as("c_acctbal"),
+          lit(null).cast("string").as("c_mktsegment"))
+      val pairs = cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("doc_a"),
+          (col("c_custkey") + 100000).as("doc_b"))
+      Survivor.goldenRecords(cust.unionByName(clones), "c_custkey", pairs,
+        Seq(Survivor.OldestWins("c_name"), Survivor.MaxWins("c_acctbal"),
+          Survivor.FirstNonNull("c_mktsegment")))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH clones AS (SELECT c_custkey + 100000 AS id,
+        c_name || ' Jr' AS c_name, c_acctbal + 50.0 AS c_acctbal,
+        CAST(NULL AS VARCHAR) AS c_mktsegment
+        FROM customer WHERE c_custkey % 4 = 0),
+      ents AS (SELECT c_custkey AS id, c_name, c_acctbal, c_mktsegment
+        FROM customer
+        UNION ALL SELECT * FROM clones),
+      lab AS (SELECT *, CASE WHEN id >= 100000 THEN id - 100000 ELSE id END
+        AS cluster_id FROM ents),
+      name_pick AS (SELECT cluster_id, c_name,
+        row_number() OVER (PARTITION BY cluster_id ORDER BY id) AS rn
+        FROM lab),
+      seg_pick AS (SELECT cluster_id, c_mktsegment,
+        row_number() OVER (PARTITION BY cluster_id ORDER BY
+          CASE WHEN c_mktsegment IS NULL THEN 9223372036854775807
+            ELSE id END) AS rn FROM lab),
+      base AS (SELECT cluster_id, CAST(min(id) AS BIGINT) AS canonical_id,
+        CAST(count(*) AS BIGINT) AS n_members, max(c_acctbal) AS c_acctbal
+        FROM lab GROUP BY cluster_id)
+      SELECT b.cluster_id, b.canonical_id, b.n_members, n.c_name,
+        b.c_acctbal, sp.c_mktsegment
+      FROM base b
+      JOIN name_pick n ON n.cluster_id = b.cluster_id AND n.rn = 1
+      JOIN seg_pick sp ON sp.cluster_id = b.cluster_id AND sp.rn = 1
+      ORDER BY b.cluster_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
-    xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout)
+    xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord)
 }
