@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Layout, Profile, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Freq, Layout, Profile, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -285,6 +285,39 @@ object ExtB {
       JOIN seg_pick sp ON sp.cluster_id = b.cluster_id AND sp.rn = 1
       ORDER BY b.cluster_id"""))
 
+  /** Misra–Gries heavy hitters (see [[Freq.heavyHitters]]), adjudicated
+    * the recall-oracle way (like x_ann_ivf_recall): the output rows are
+    * the EXACT heavy hitters (token frequency > n/(k+1), exact counts)
+    * plus `in_sketch` — whether the MG sketch caught the term. The MG
+    * guarantee says every row must show true, and the oracle hard-codes
+    * exactly that; a sketch bug breaks the hash match.
+    */
+  val xHeavyHitters = Q(
+    "x_heavy_hitters",
+    (s, dir) => {
+      val k = 40
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      val tot = toks.agg(count(lit(1)).as("n"))
+      val mg = Freq.heavyHitters(toks, "term", k)
+        .select(col("term"), lit(true).as("in_sketch"))
+      cnt.crossJoin(tot)
+        .filter(col("cnt") > col("n").cast("double") / (k + 1))
+        .join(mg, Seq("term"), "left")
+        .select(col("term"), col("cnt"),
+          coalesce(col("in_sketch"), lit(false)).as("in_sketch"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnt AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      tot AS (SELECT COUNT(*) AS n FROM tok)
+      SELECT term, cnt, TRUE AS in_sketch FROM cnt, tot
+      WHERE cnt > CAST(n AS DOUBLE) / 41
+      ORDER BY term"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
-    xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord)
+    xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
+    xHeavyHitters)
 }
