@@ -48,7 +48,8 @@ object ExtB {
           ORDER BY seg_idx), '') AS clean_text,
         CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS DOUBLE)
           / CAST(COUNT(*) AS DOUBLE) AS boiler_frac
-      FROM fl GROUP BY doc_id, source ORDER BY doc_id"""))
+      FROM fl GROUP BY doc_id, source ORDER BY doc_id"""),
+    bench = true)
 
   /** Deterministic weighted sampling without replacement (see
     * [[Sampling.weightedSample]]): A-ES keys from an LCG uniform on
