@@ -1,0 +1,70 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond the connected-components labeler
+  * ([[Dedup.nearDupLabels]]): weighted PageRank over an edge list —
+  * rank sources/domains by how much duplicated content flows into them
+  * (edge weight = shared segments), the graph-signal complement of the
+  * per-pair overlap audit.
+  *
+  * Determinism discipline — this is an ITERATIVE float computation,
+  * the hardest case, and double→decimal casts are exactly where Spark
+  * (shortest-string rounding) and other engines (binary rounding)
+  * drift. So ranks live in FIXED POINT: a rank is a BIGINT count of
+  * 1e-12 units ("picoranks"). Per-edge contributions floor a product
+  * of identical IEEE doubles (bit-identical everywhere), the per-node
+  * SUM is integer (order-independent under any partitioning), and the
+  * damping update floors again. Every iteration is bit-reproducible
+  * and the whole run replays in SQL as unrolled CTEs
+  * ([[graft.queries.ExtB]] generates them from the same constants).
+  *
+  * Scale shape: each iteration is one equi-join of the rank vector
+  * (O(nodes)) against the edge list plus one groupBy(dst) — the
+  * standard Pregel-as-dataframes formulation. Lineage is cut per
+  * iteration (localCheckpoint) so the plan doesn't grow unboundedly.
+  * Dangling-node mass is dropped (the simple PageRank variant),
+  * documented rather than redistributed. Fixed-point headroom: total
+  * mass ≤ 1e12 ≪ 2^53, so BIGINT sums convert to double exactly.
+  */
+object Graph {
+
+  private val Scale = 1e12
+
+  /** @param edges (src, dst, w>0) directed weighted edges; weights must
+    *              be integer-valued (counts) so out-weight sums are
+    *              exact in doubles
+    * @return (node, rank) — rank as DOUBLE (picoranks / 1e12)
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().cache()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val n = nodes.count().toDouble
+
+    var ranks = nodes
+      .withColumn("pr", floor(lit(Scale) / lit(n)).cast("bigint"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outw, "src")
+        .select(col("dst"),
+          floor(col("pr").cast("double") * col("w") / col("ow"))
+            .cast("bigint").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(sums, nodes("node") === sums("dst"), "left")
+        .select(col("node"),
+          floor((lit(1.0) - lit(damping)) * lit(Scale) / lit(n) +
+            lit(damping) * coalesce(col("sc"), lit(0L)).cast("double"))
+            .cast("bigint").as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks.select(col("node"), (col("pr").cast("double") / lit(Scale)).as("rank"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Freq, Layout, Profile, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Freq, Graph, Layout, Profile, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -318,7 +318,68 @@ object ExtB {
       WHERE cnt > CAST(n AS DOUBLE) / 41
       ORDER BY term"""))
 
+  /** Weighted PageRank over the source-overlap graph (see
+    * [[Graph.pageRank]]): nodes = sources, edge weight = shared
+    * 20-token segments (both directions), damping 0.85, 10 iterations.
+    * The oracle UNROLLS all ten iterations as generated CTEs from the
+    * same constants — an iterative float computation adjudicated
+    * bit-for-bit.
+    */
+  val xPagerankSources = Q(
+    "x_pagerank_sources",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ch = graft.ext.Text.chunk(docs, "text", "doc_id",
+          chunkTokens = 20, overlap = 0)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("chunk_text")).distinct()
+      val und = ch.as("a").join(ch.as("b"),
+          col("a.chunk_text") === col("b.chunk_text") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("sa"), col("b.source").as("sb"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      val edges = und.select(col("sa").as("src"), col("sb").as("dst"), col("w"))
+        .union(und.select(col("sb"), col("sa"), col("w")))
+      Graph.pageRank(edges, "src", "dst", "w", damping = 0.85, iters = 10)
+        .orderBy(col("node"))
+    },
+    Some {
+      val head = """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+          FROM documents),
+        ch AS (SELECT source,
+            unnest(list_transform(range(0, greatest(len(toks), 1), 20),
+              x -> array_to_string(toks[x + 1 : x + 20], ' '))) AS chunk_text
+          FROM d),
+        ds AS (SELECT DISTINCT source, chunk_text FROM ch),
+        und AS (SELECT a.source AS sa, b.source AS sb,
+            CAST(COUNT(*) AS DOUBLE) AS w
+          FROM ds a JOIN ds b
+            ON a.chunk_text = b.chunk_text AND a.source < b.source
+          GROUP BY sa, sb),
+        edges AS (SELECT sa AS src, sb AS dst, w FROM und
+          UNION ALL SELECT sb, sa, w FROM und),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        r0 AS (SELECT node,
+          CAST(floor(1e12 / (SELECT n FROM nn)) AS BIGINT) AS pr FROM nodes)"""
+      val iterations = (1 to 10).map { i =>
+        s"""c$i AS (SELECT e.dst,
+            CAST(floor(CAST(r.pr AS DOUBLE) * e.w / o.ow) AS BIGINT) AS c
+          FROM edges e JOIN r${i - 1} r ON r.node = e.src
+            JOIN outw o ON o.src = e.src),
+        s$i AS (SELECT dst, SUM(c) AS sc FROM c$i GROUP BY dst),
+        r$i AS (SELECT nodes.node,
+          CAST(floor((1.0 - 0.85) * 1e12 / (SELECT n FROM nn)
+              + 0.85 * CAST(COALESCE(s.sc, 0) AS DOUBLE)) AS BIGINT) AS pr
+          FROM nodes LEFT JOIN s$i s ON s.dst = nodes.node)"""
+      }.mkString(",\n")
+      s"$head,\n$iterations\n" +
+        "SELECT node, CAST(pr AS DOUBLE) / 1e12 AS rank FROM r10 ORDER BY node"
+    })
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
-    xHeavyHitters)
+    xHeavyHitters, xPagerankSources)
 }
