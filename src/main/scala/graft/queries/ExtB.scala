@@ -379,7 +379,49 @@ object ExtB {
         "SELECT node, CAST(pr AS DOUBLE) / 1e12 AS rank FROM r10 ORDER BY node"
     })
 
+  /** HLL set-algebra audit: distinct customers active in BOTH 1995 and
+    * 1996, estimated by inclusion–exclusion over mergeable sketches
+    * (|A∩B| = |A|+|B|−|A∪B| with hll_union) — the cross-partition
+    * distinct-overlap question exact counting can't answer from
+    * pre-aggregated state. Adjudicated the x_sketch_reaggregate way:
+    * exact values + a measured-margin tolerance boolean (observed
+    * error ~0.2%, asserted ≤ 5%).
+    */
+  val xSketchIntersect = Q(
+    "x_sketch_intersect",
+    (s, dir) => {
+      val o = t(s, dir, "orders").withColumn("yr", year(col("o_orderdate")))
+      val a = o.filter(col("yr") === 1995)
+        .agg(hll_sketch_agg(col("o_custkey")).as("ska"),
+          countDistinct(col("o_custkey")).as("exact_a"))
+      val b = o.filter(col("yr") === 1996)
+        .agg(hll_sketch_agg(col("o_custkey")).as("skb"),
+          countDistinct(col("o_custkey")).as("exact_b"))
+      val u = o.filter(col("yr").isin(1995, 1996))
+        .agg(countDistinct(col("o_custkey")).as("exact_union"))
+      a.crossJoin(b).crossJoin(u)
+        .withColumn("exact_intersect",
+          col("exact_a") + col("exact_b") - col("exact_union"))
+        .withColumn("est_intersect",
+          hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb"))
+            - hll_sketch_estimate(hll_union(col("ska"), col("skb"))))
+        .select(col("exact_a"), col("exact_b"), col("exact_union"),
+          col("exact_intersect"),
+          (abs(col("est_intersect").cast("double") - col("exact_intersect"))
+            / col("exact_intersect") <= 0.05).as("intersect_within_5pct"))
+    },
+    Some("""WITH a AS (SELECT COUNT(DISTINCT o_custkey) AS exact_a
+        FROM orders WHERE year(o_orderdate) = 1995),
+      b AS (SELECT COUNT(DISTINCT o_custkey) AS exact_b
+        FROM orders WHERE year(o_orderdate) = 1996),
+      u AS (SELECT COUNT(DISTINCT o_custkey) AS exact_union
+        FROM orders WHERE year(o_orderdate) IN (1995, 1996))
+      SELECT exact_a, exact_b, exact_union,
+        exact_a + exact_b - exact_union AS exact_intersect,
+        true AS intersect_within_5pct
+      FROM a, b, u"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
-    xHeavyHitters, xPagerankSources)
+    xHeavyHitters, xPagerankSources, xSketchIntersect)
 }
