@@ -61,6 +61,20 @@ object EventStream {
         .dropDuplicatesWithinWatermark(keyCols)
     else events.dropDuplicates(keyCols)
 
+  /** Stream-static enrichment: every micro-batch joins the static
+    * dimension via an explicit broadcast — the streaming side NEVER
+    * shuffles (no state store either; this is stateless row-local
+    * enrichment), and the dimension is re-resolved each batch, so a
+    * dim-table refresh between batches is picked up automatically.
+    * The standard lookup-join shape at any stream rate; at 100 TB/day
+    * the only requirement is that the dim fits broadcast, which is
+    * what distinguishes it from [[clickThroughJoin]]'s stateful
+    * stream-stream shape.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      joinCols: Seq[String]): DataFrame =
+    events.join(broadcast(dim), joinCols, "left")
+
   /** Stream-stream interval join: each event joined to the same user's
     * events of another type within [0, maxDelay] AFTER it. Both sides
     * watermarked; the time-bound predicate lets Spark evict join state —

@@ -165,6 +165,40 @@ class StreamingSpec extends SparkSuite {
     ev.unpersist()
   }
 
+  test("stream-static broadcast enrichment equals the batch join, stream side unshuffled") {
+    val dir = Files.createTempDirectory("enrich")
+    val src = dir.resolve("src").toString
+    eventsDf.write.parquet(src)
+    // static dim: a per-user segment lookup
+    val dim = eventsDf.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("seg"), pmod(col("user_id"), lit(5))))
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    val enriched = EventStream.enrichWithDim(stream, dim, Seq("user_id"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_test")
+      .outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT * FROM enrich_test")
+    val batch = EventStream.enrichWithDim(eventsDf, dim, Seq("user_id"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // no match unenriched: every event has a user → no null segments
+    assert(streamed.filter(col("segment").isNull).isEmpty)
+    // the enrichment itself must be a broadcast join (batch plan proxy:
+    // identical logical shape) — stream side never exchanges for it
+    val p = EventStream.enrichWithDim(eventsDf, dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"enrichment not broadcast:\n$p")
+  }
+
   test("inbox drain: valid items ingested, invalid dead-lettered") {
     val dir = Files.createTempDirectory("inbox")
     val inbox = dir.resolve("inbox"); Files.createDirectories(inbox)
