@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Freq, Graph, Layout, Profile, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Freq, Graph, Layout, Profile, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -421,7 +421,52 @@ object ExtB {
         true AS intersect_within_5pct
       FROM a, b, u"""))
 
+  /** Snapshot reconciliation (see [[Diff.snapshotDiff]]): the "new"
+    * orders snapshot deterministically drops every 97th key, clones
+    * every 89th into a fresh key, and bumps every 101st price; the
+    * diff must report exactly those as removed/added/changed.
+    */
+  val xSnapshotDiff = Q(
+    "x_snapshot_diff",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val newSnap = o.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(o.filter(col("o_orderkey") % 89 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 10000000))
+      Diff.snapshotDiff(o, newSnap, "o_orderkey",
+        Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy(col("pk"))
+    },
+    Some("""WITH n AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1.0
+            ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus,
+          o_orderpriority
+        FROM orders WHERE o_orderkey % 89 = 0)
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS pk,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+            OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+            OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+          THEN 'changed' END AS status
+      FROM orders o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+      WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+          WHEN n.o_orderkey IS NULL THEN 'removed'
+          WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+            OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+            OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+          THEN 'changed' END IS NOT NULL
+      ORDER BY pk"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
-    xHeavyHitters, xPagerankSources, xSketchIntersect)
+    xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff)
 }
