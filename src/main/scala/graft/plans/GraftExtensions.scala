@@ -29,7 +29,11 @@ object GraftExtensions {
     (new FunctionIdentifier("gram_overlap"),
       new ExpressionInfo(classOf[GramOverlap].getName, "gram_overlap"),
       (children: Seq[Expression]) =>
-        GramOverlap(children(0), children(1), children(2)): Expression))
+        GramOverlap(children(0), children(1), children(2)): Expression),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[Expression]) =>
+        JaroWinkler(children(0), children(1)): Expression))
 
   /** Idempotent per-session registration fallback: lets the functions
     * resolve even in a session built WITHOUT spark.sql.extensions (e.g.

@@ -466,7 +466,57 @@ object ExtB {
           THEN 'changed' END IS NOT NULL
       ORDER BY pk"""))
 
+  /** Best-match record linkage through the native codegen'd
+    * [[graft.plans.JaroWinkler]] expression: every 5th customer name
+    * gets its last two characters transposed (the classic typo JW was
+    * built for), candidates come from the q61-style name block, best
+    * match by (jw desc, key). DuckDB's jaro_winkler_similarity shares
+    * RapidFuzz semantics with our kernel, so the oracle replays scores
+    * exactly (%.6f-serialized like every float surface).
+    */
+  val xJwMatch = Q(
+    "x_jw_match",
+    (s, dir) => {
+      graft.plans.GraftExtensions.ensure(s)
+      val cust = t(s, dir, "customer")
+      val names = cust.select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 6).as("blk"))
+      val probes = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("probe_id"),
+          concat(expr("substring(c_name, 1, length(c_name) - 2)"),
+            expr("substring(c_name, length(c_name), 1)"),
+            expr("substring(c_name, length(c_name) - 1, 1)")).as("probe_name"),
+          substring(col("c_name"), 10, 6).as("blk"))
+      probes.join(names, "blk")
+        .withColumn("jw",
+          call_function("jaro_winkler", col("probe_name"), col("c_name")))
+        .filter(col("jw") >= 0.9)
+        .groupBy(col("probe_id"))
+        .agg(max(struct(col("jw"), (-col("c_custkey")).as("negk"))).as("best"))
+        .select(col("probe_id"),
+          (-col("best.negk")).cast("bigint").as("matched_custkey"),
+          format_string("%.6f", col("best.jw")).as("jw"))
+        .orderBy(col("probe_id"))
+    },
+    Some("""WITH names AS (SELECT c_custkey, c_name,
+        substring(c_name, 10, 6) AS blk FROM customer),
+      probes AS (SELECT c_custkey AS probe_id,
+        substring(c_name, 1, length(c_name) - 2)
+          || substring(c_name, length(c_name), 1)
+          || substring(c_name, length(c_name) - 1, 1) AS probe_name,
+        substring(c_name, 10, 6) AS blk
+        FROM customer WHERE c_custkey % 5 = 0),
+      cand AS (SELECT probe_id, n.c_custkey,
+          jaro_winkler_similarity(probe_name, n.c_name) AS jw
+        FROM probes p JOIN names n USING (blk)
+        WHERE jaro_winkler_similarity(probe_name, n.c_name) >= 0.9),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+          ORDER BY jw DESC, c_custkey) AS rn FROM cand)
+      SELECT probe_id, c_custkey AS matched_custkey, printf('%.6f', jw) AS jw
+      FROM ranked WHERE rn = 1 ORDER BY probe_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
-    xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff)
+    xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
+    xJwMatch)
 }

@@ -1,0 +1,49 @@
+package graft.plans
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class JaroWinklerSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("textbook values (Winkler's own examples)") {
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.84) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333334) < 1e-15)
+    assert(jw("abcd", "abcd") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+    assert(jw("", "") == 1.0 && jw("x", "") == 0.0)
+    // adjacent transposition outside the window: no matches at all
+    assert(jw("ab", "ba") == 0.0)
+  }
+
+  test("prefix boost applies only above the 0.7 jaro threshold") {
+    // shared 2-char prefix but jaro < 0.7 → NO boost (RapidFuzz/DuckDB)
+    assert(math.abs(jw("abcdefghij", "abzzzzzzzz") - 0.4666666666666666) < 1e-15)
+    // above threshold the 4-char-capped boost kicks in
+    assert(math.abs(jw("aaaa", "aaab") - 0.8833333333333333) < 1e-15)
+  }
+
+  test("codegen'd expression equals the kernel and handles nulls") {
+    graft.plans.GraftExtensions.ensure(spark)
+    val df = Seq(
+      (Option("martha"), Option("marhta")),
+      (Option("dwayne"), Option("duane")),
+      (None: Option[String], Option("x")),
+      (Option("x"), None: Option[String])
+    ).toDF("a", "b")
+    val out = df.select(call_function("jaro_winkler", col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - jw("martha", "marhta")) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - jw("dwayne", "duane")) == 0.0)
+    assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+    // wrong arity / types fail analysis, not execution
+    intercept[Exception] {
+      df.select(call_function("jaro_winkler", col("a"), lit(3))).collect()
+    }
+  }
+}
