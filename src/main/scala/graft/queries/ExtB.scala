@@ -515,8 +515,42 @@ object ExtB {
       SELECT probe_id, c_custkey AS matched_custkey, printf('%.6f', jw) AS jw
       FROM ranked WHERE rn = 1 ORDER BY probe_id"""))
 
+  /** Mergeable quantile sketch audit: per-group approx_percentile (GK
+    * summaries, accuracy 100 ⇒ rank error ≤ 1%) checked against the
+    * EXACT neighborhood — the approx p50/p95 must land inside the exact
+    * [p49,p51] / [p94,p96] value bands. GK's merge-order wobble stays
+    * inside the rank bound, so the booleans are deterministic and the
+    * oracle hard-codes them true alongside exact quantiles it
+    * recomputes (the x_heavy_hitters adjudication style for the
+    * quantile family).
+    */
+  val xSketchQuantiles = Q(
+    "x_sketch_quantiles",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+        expr("percentile(l_extendedprice, 0.49)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.51)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.94)").as("lo95"),
+        expr("percentile(l_extendedprice, 0.96)").as("hi95"),
+        expr("approx_percentile(l_extendedprice, 0.5, 100)").as("a50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 100)").as("a95"))
+      .select(col("l_returnflag"), col("exact_p50"), col("exact_p95"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50"))
+          .as("p50_within_rank_eps"),
+        (col("a95") >= col("lo95") && col("a95") <= col("hi95"))
+          .as("p95_within_rank_eps"))
+      .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact_p50,
+        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS exact_p95,
+        true AS p50_within_rank_eps, true AS p95_within_rank_eps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
-    xJwMatch)
+    xJwMatch, xSketchQuantiles)
 }
