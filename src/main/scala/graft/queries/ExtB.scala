@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Freq, Graph, Layout, Profile, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -549,8 +549,30 @@ object ExtB {
         true AS p50_within_rank_eps, true AS p95_within_rank_eps
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Robust outliers (see [[Robust.madOutliers]]): events.value per
+    * event_type, modified z-score > 3.5. The oracle replays both
+    * medians, the residual MAD, and the %.6f-serialized score.
+    */
+  val xMadOutliers = Q(
+    "x_mad_outliers",
+    (s, dir) => Robust.madOutliers(t(s, dir, "events"),
+      col("event_type"), col("value"))
+      .orderBy(col("grp"), col("v")),
+    Some("""WITH base AS (SELECT event_type AS grp,
+        CAST(value AS DOUBLE) AS v FROM events),
+      med AS (SELECT grp, quantile_cont(v, 0.5) AS med
+        FROM base GROUP BY grp),
+      wm AS (SELECT base.grp, v, med FROM base JOIN med USING (grp)),
+      mad AS (SELECT grp, quantile_cont(abs(v - med), 0.5) AS mad
+        FROM wm GROUP BY grp)
+      SELECT wm.grp, v, wm.med, mad.mad,
+        printf('%.6f', 0.6745 * (v - wm.med) / mad.mad) AS mod_z
+      FROM wm JOIN mad USING (grp)
+      WHERE mad.mad > 0 AND abs(0.6745 * (v - wm.med) / mad.mad) > 3.5
+      ORDER BY wm.grp, v"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
-    xJwMatch, xSketchQuantiles)
+    xJwMatch, xSketchQuantiles, xMadOutliers)
 }
