@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus drift monitoring: compare the token distributions of two
+  * corpus slices (yesterday's crawl vs today's; the training mix
+  * before and after a pipeline change) — the data-drift alarm every
+  * continuously-ingesting training pipeline needs before a silent
+  * distribution shift reaches the loss curve.
+  *
+  * Metrics over the add-one-smoothed unigram distributions p (old) and
+  * q (new) on the union vocabulary:
+  *  - total variation distance 0.5·Σ|p−q| — per-term values are IEEE
+  *    doubles of identical operands, decimal-rounded and summed
+  *    exactly (order-independent);
+  *  - KL(p‖q) = Σ p·ln(p/q) — ln through the 12-decimal discipline,
+  *    same as the language-model scores;
+  *  - type churn: tokens appearing only in new / only in old.
+  *
+  * Scale shape: two token-count aggregations (map-side combinable),
+  * one full-outer equi-join on the token, one global aggregate of
+  * O(vocabulary) rows. Document bodies never shuffle.
+  */
+object Drift {
+
+  def tokenDrift(oldDocs: DataFrame, newDocs: DataFrame,
+      textCol: String): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+    val oc = counts(oldDocs).withColumnRenamed("c", "co")
+    val nc = counts(newDocs).withColumnRenamed("c", "cn")
+    val joined = oc.join(nc, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+
+    val totals = joined.agg(
+      sum(col("co")).as("n_old"), sum(col("cn")).as("n_new"),
+      count(lit(1)).as("v"))
+
+    val dec = "decimal(20,12)"
+    val p = (col("co") + 1).cast("double") / (col("n_old") + col("v")).cast("double")
+    val q = (col("cn") + 1).cast("double") / (col("n_new") + col("v")).cast("double")
+    val lnRatio = log(p / q).cast(dec).cast("double")
+
+    joined.crossJoin(totals)
+      .select(col("co"), col("cn"), col("n_old"), col("n_new"), col("v"),
+        abs(p - q).cast(dec).as("tv_term"),
+        (p * lnRatio).cast(dec).as("kl_term"))
+      .groupBy(col("n_old"), col("n_new"), col("v"))
+      .agg(
+        sum(when(col("co") === 0, 1).otherwise(0)).cast("bigint").as("n_new_types"),
+        sum(when(col("cn") === 0, 1).otherwise(0)).cast("bigint").as("n_lost_types"),
+        (sum(col("tv_term")).cast("double") * 0.5).as("tvd"),
+        sum(col("kl_term")).cast("double").as("kl_old_new"))
+      .select(col("n_old").cast("bigint").as("n_tokens_old"),
+        col("n_new").cast("bigint").as("n_tokens_new"),
+        col("v").cast("bigint").as("vocab_union"),
+        col("n_new_types"), col("n_lost_types"),
+        col("tvd"), col("kl_old_new"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -571,8 +571,49 @@ object ExtB {
       WHERE mad.mad > 0 AND abs(0.6745 * (v - wm.med) / mad.mad) > 3.5
       ORDER BY wm.grp, v"""))
 
+  /** Corpus drift audit (see [[Drift.tokenDrift]]): docs < 250 vs
+    * >= 250 as the two slices; the oracle replays smoothing, the
+    * decimal-summed TVD, the 12-decimal-ln KL, and the type churn.
+    */
+  val xCorpusDrift = Q(
+    "x_corpus_drift",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Drift.tokenDrift(d.filter(col("doc_id") < 250),
+        d.filter(col("doc_id") >= 250), "text")
+    },
+    Some("""WITH ot AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 250),
+      nt AS (SELECT unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id >= 250),
+      oc AS (SELECT tok, COUNT(*) AS co FROM ot GROUP BY tok),
+      nc AS (SELECT tok, COUNT(*) AS cn FROM nt GROUP BY tok),
+      j AS (SELECT COALESCE(oc.tok, nc.tok) AS tok,
+          COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+        FROM oc FULL OUTER JOIN nc ON oc.tok = nc.tok),
+      tot AS (SELECT CAST(SUM(co) AS BIGINT) AS n_old,
+          CAST(SUM(cn) AS BIGINT) AS n_new,
+          CAST(COUNT(*) AS BIGINT) AS v FROM j),
+      terms AS (SELECT co, cn, n_old, n_new, v,
+          CAST(abs(CAST(co + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE)
+              - CAST(cn + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE))
+            AS DECIMAL(20,12)) AS tv_term,
+          CAST((CAST(co + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE))
+            * CAST(CAST(ln((CAST(co + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE))
+                / (CAST(cn + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE)))
+              AS DECIMAL(20,12)) AS DOUBLE)
+            AS DECIMAL(20,12)) AS kl_term
+        FROM j, tot)
+      SELECT n_old AS n_tokens_old, n_new AS n_tokens_new,
+        v AS vocab_union,
+        CAST(SUM(CASE WHEN co = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_types,
+        CAST(SUM(CASE WHEN cn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_types,
+        CAST(SUM(tv_term) AS DOUBLE) * 0.5 AS tvd,
+        CAST(SUM(kl_term) AS DOUBLE) AS kl_old_new
+      FROM terms GROUP BY n_old, n_new, v"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
-    xJwMatch, xSketchQuantiles, xMadOutliers)
+    xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift)
 }

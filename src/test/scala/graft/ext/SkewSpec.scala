@@ -40,6 +40,37 @@ class SkewSpec extends SparkSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    import spark.implicits._
+    // one hot key carrying ~100x the rows of every other key
+    val fact = spark.range(0, 300000)
+      .select(when(col("id") < 200000, 0L).otherwise(col("id") % 1000)
+        .as("k"), col("id").as("payload"))
+    val dim = spark.range(0, 1000).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("name"))
+    val conf = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    conf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = fact.join(dim, "k")
+      // materialize THIS DataFrame's execution (count() would spawn a
+      // separate one and leave this AdaptiveSparkPlan un-finalized)
+      assert(joined.collect().length == 300000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salt is deterministic and bounded") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val s1 = li.select(Skew.salt(16, col("l_orderkey")).as("s"))
