@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
+import graft.ext.{Boiler, BloomJoin, Bpe, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -612,8 +612,19 @@ object ExtB {
         CAST(SUM(kl_term) AS DOUBLE) AS kl_old_new
       FROM terms GROUP BY n_old, n_new, v"""))
 
+  /** BPE tokenizer training (see [[Bpe.trainMerges]]): the first 8
+    * merges learned from the documents corpus; the oracle unrolls
+    * every round — pair counting, deterministic best-pair choice, and
+    * the triple-replace merge application — from the same constants.
+    */
+  val xBpeTrain = Q(
+    "x_bpe_train",
+    (s, dir) => Bpe.trainMerges(t(s, dir, "documents"), "text", merges = 8)
+      .orderBy(col("step")),
+    Some(Bpe.trainMergesSql(8) + "\nORDER BY step"))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
-    xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift)
+    xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain)
 }
