@@ -79,10 +79,39 @@ object Bpe {
     steps.reduce(_ union _)
   }
 
-  /** The unrolled DuckDB oracle for [[trainMerges]], generated from the
-    * same constants (mirrors the three replace passes).
+  /** Apply learned merges to tokenize documents: the whole document is
+    * symbolized (every character followed by a space, so the original
+    * inter-word space becomes a DOUBLE space — a boundary no
+    * single-spaced merge pattern can bridge), then each merge is
+    * applied in training order with the same three fixed replace
+    * passes. Output per doc: symbol count before/after and the
+    * compression ratio — the tokens-per-byte statistic corpus work is
+    * budgeted in.
+    *
+    * The merge table is O(merges) — collected and folded into a single
+    * narrow column expression: encoding is a zero-shuffle per-row pass
+    * at any corpus size.
     */
-  def trainMergesSql(merges: Int): String = {
+  def encode(docs: DataFrame, textCol: String, idCol: String,
+      mergePairs: Seq[String]): DataFrame = {
+    val sym = concat(lit(" "),
+      regexp_replace(col(textCol), "(.)", "$1 "))
+    val encoded = mergePairs.foldLeft(sym) { (r, pair) =>
+      val search = s" $pair "
+      val merged = " " + pair.replace(" ", "") + " "
+      (1 to 3).foldLeft(r)((c, _) => replace(c, lit(search), lit(merged)))
+    }
+    docs.select(col(idCol).as("doc_id"),
+        size(regexp_extract_all(sym, lit("[^ ]+"), lit(0)))
+          .cast("bigint").as("n_symbols"),
+        size(regexp_extract_all(encoded, lit("[^ ]+"), lit(0)))
+          .cast("bigint").as("n_bpe_tokens"))
+      .withColumn("compression",
+        col("n_symbols").cast("double") / col("n_bpe_tokens").cast("double"))
+  }
+
+  /** Shared CTE block (w0 + per-round p/b/w) for the unrolled oracles. */
+  private def cteSql(merges: Int): String = {
     val head = """WITH w0 AS (
         SELECT ' ' || array_to_string(list_transform(range(1, length(w) + 1),
             i -> w[i]), ' ') || ' ' AS repr,
@@ -103,9 +132,39 @@ object Bpe {
           AS repr, freq
         FROM w${i - 1}, b$i b)"""
     }.mkString(",\n")
+    s"$head,\n$rounds"
+  }
+
+  /** The unrolled DuckDB oracle for [[trainMerges]], generated from the
+    * same constants (mirrors the three replace passes).
+    */
+  def trainMergesSql(merges: Int): String = {
     val out = (1 to merges).map(i =>
       s"""SELECT $i AS step, pair, replace(pair, ' ', '') AS merged,
         c AS pair_count FROM b$i""").mkString("\nUNION ALL\n")
-    s"$head,\n$rounds\n$out"
+    s"${cteSql(merges)}\n$out"
+  }
+
+  /** The unrolled DuckDB oracle for [[encode]] run with the merges the
+    * training oracle itself derives (scalar subqueries against b1..bN).
+    */
+  def encodeSql(merges: Int): String = {
+    val folded = (1 to merges).foldLeft("sym") { (acc, i) =>
+      val p = s"(SELECT pair FROM b$i)"
+      val m = s"' ' || replace($p, ' ', '') || ' '"
+      (1 to 3).foldLeft(acc)((a, _) => s"replace($a, ' ' || $p || ' ', $m)")
+    }
+    s"""${cteSql(merges)},
+      docsym AS (SELECT doc_id,
+        ' ' || regexp_replace(text, '(.)', '\\1 ', 'g') AS sym
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(sym, '[^ ]+')) AS BIGINT) AS n_symbols,
+        CAST(len(regexp_extract_all($folded, '[^ ]+')) AS BIGINT)
+          AS n_bpe_tokens,
+        CAST(len(regexp_extract_all(sym, '[^ ]+')) AS DOUBLE)
+          / CAST(len(regexp_extract_all($folded, '[^ ]+')) AS DOUBLE)
+          AS compression
+      FROM docsym"""
   }
 }

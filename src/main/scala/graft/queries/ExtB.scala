@@ -623,8 +623,25 @@ object ExtB {
       .orderBy(col("step")),
     Some(Bpe.trainMergesSql(8) + "\nORDER BY step"))
 
+  /** BPE encoding with the learned merges (see [[Bpe.encode]]): the 8
+    * trained merges fold into one narrow per-row expression; output is
+    * per-doc symbol/token counts and compression. The oracle re-derives
+    * the merge table itself (b1..b8 scalar subqueries) and replays the
+    * exact triple-pass application.
+    */
+  val xBpeEncode = Q(
+    "x_bpe_encode",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      val mergePairs = Bpe.trainMerges(d, "text", merges = 8)
+        .orderBy(col("step")).collect().map(_.getString(1)).toSeq
+      Bpe.encode(d, "text", "doc_id", mergePairs).orderBy(col("doc_id"))
+    },
+    Some(Bpe.encodeSql(8) + "\nORDER BY doc_id"))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
-    xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain)
+    xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
+    xBpeEncode)
 }

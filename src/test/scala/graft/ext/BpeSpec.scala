@@ -19,6 +19,22 @@ class BpeSpec extends SparkSuite {
     assert(out(2) == ((3, "low e", "lowe", 3L)))
   }
 
+  test("encode compresses with learned merges and respects word boundaries") {
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).toDF("text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.monotonically_increasing_id())
+    val merges = Bpe.trainMerges(docs, "text", 2)
+      .orderBy("step").collect().map(_.getString(1)).toSeq
+    assert(merges == Seq("l o", "lo w"))
+    // doc "low low": 6 symbols → 2 tokens ("low", "low"); the merge
+    // must NOT bridge the double-space word boundary
+    val one = Seq(("a", "low low")).toDF("k", "text")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(1L))
+    val enc = Bpe.encode(one, "text", "doc_id", merges).collect().head
+    assert(enc.getAs[Long]("n_symbols") == 6L)
+    assert(enc.getAs[Long]("n_bpe_tokens") == 2L)
+    assert(enc.getAs[Double]("compression") == 3.0)
+  }
+
   test("merge application handles runs (a b a b) via the fixed passes") {
     // word "abab" x3: first merge (a,b) count 6 must merge BOTH
     // occurrences, giving pair (ab,ab) count 3 next round
