@@ -91,4 +91,36 @@ object Behavior {
       .withColumn("retention",
         col("n_active").cast("double") / col("cohort_size"))
   }
+
+  /** First/last-touch attribution: each conversion credits the
+    * earliest and latest touch event of the same user inside the
+    * lookback window — the marketing-attribution primitive.
+    *
+    * Scale shape: one equi-join on the user id with a time-range
+    * predicate (bounded join state, the q20/q22 range-join family —
+    * never a cross join) and one per-conversion min/max aggregate.
+    * Ties are broken by event id, so credit assignment is
+    * deterministic under any partitioning.
+    */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, touchType: String, convType: String,
+      lookback: String): DataFrame = {
+    val conv = events.filter(col("event_type") === convType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"), col("value"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col(userCol).as("t_user"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ts"))
+    conv.join(touch,
+        col("user_id") === col("t_user") &&
+          col("touch_ts") <= col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookback"))
+      .groupBy(col("user_id"), col("conv_id"), col("conv_ts"), col("value"))
+      .agg(
+        min(struct(col("touch_ts"), col("touch_id"))).getField("touch_id")
+          .as("first_touch_id"),
+        max(struct(col("touch_ts"), col("touch_id"))).getField("touch_id")
+          .as("last_touch_id"),
+        count(lit(1)).cast("bigint").as("n_touches"))
+  }
 }

@@ -639,9 +639,35 @@ object ExtB {
     },
     Some(Bpe.encodeSql(8) + "\nORDER BY doc_id"))
 
+  /** First/last-touch attribution (see
+    * [[graft.ext.Behavior.touchAttribution]]): purchases credit the
+    * first and last click of the same user within a 3-day lookback;
+    * tie-broken by event id, fully replayed by the oracle.
+    */
+  val xAttribution = Q(
+    "x_attribution",
+    (s, dir) => graft.ext.Behavior.touchAttribution(t(s, dir, "events"),
+      "user_id", "ts", "event_id", touchType = "click",
+      convType = "purchase", lookback = "3 days")
+      .orderBy(col("conv_id")),
+    Some("""WITH conv AS (SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+        value FROM events WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id AS t_user, event_id AS touch_id,
+        ts AS touch_ts FROM events WHERE event_type = 'click')
+      SELECT user_id, conv_id, conv_ts, value,
+        (min(struct_pack(touch_ts := touch_ts, touch_id := touch_id))).touch_id
+          AS first_touch_id,
+        (max(struct_pack(touch_ts := touch_ts, touch_id := touch_id))).touch_id
+          AS last_touch_id,
+        CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM conv JOIN touch ON user_id = t_user
+        AND touch_ts <= conv_ts AND touch_ts >= conv_ts - INTERVAL 3 DAY
+      GROUP BY user_id, conv_id, conv_ts, value
+      ORDER BY conv_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
-    xBpeEncode)
+    xBpeEncode, xAttribution)
 }
