@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Boiler, BloomJoin, Bpe, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
+import graft.ext.{Bins, Boiler, BloomJoin, Bpe, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -665,9 +665,26 @@ object ExtB {
       GROUP BY user_id, conv_id, conv_ts, value
       ORDER BY conv_id"""))
 
+  /** Equi-depth quantile binning (see [[Bins.equiDepth]]): deciles of
+    * o_totalprice — near-equal bin populations under any skew, cutoffs
+    * and stats replayed exactly by the oracle.
+    */
+  val xBinsEquidepth = Q(
+    "x_bins_equidepth",
+    (s, dir) => Bins.equiDepth(t(s, dir, "orders"), col("o_totalprice"),
+      nBins = 10).orderBy(col("bin")),
+    Some("""WITH vals AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+      cuts AS (SELECT quantile_cont(v,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs FROM vals),
+      b AS (SELECT v, CAST(len(list_filter((SELECT cs FROM cuts),
+        c -> v > c)) AS INTEGER) AS bin FROM vals)
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        min(v) AS lo, max(v) AS hi
+      FROM b GROUP BY bin ORDER BY bin"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
-    xBpeEncode, xAttribution)
+    xBpeEncode, xAttribution, xBinsEquidepth)
 }
