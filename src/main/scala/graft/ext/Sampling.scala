@@ -146,7 +146,11 @@ object Sampling {
       k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val m = lit(2147483648L) // 2^31
-    val r = pmod(id.cast("long") * lit(1103515245L) + lit(12345L), m)
+    // reduce the id into 31 bits BEFORE the multiply: the product then
+    // tops out at 2^31·1103515245 ≈ 2.4e18 < Long.MaxValue, so the
+    // arithmetic never overflows for any id (DuckDB would ERROR on
+    // BIGINT overflow; Spark would wrap silently — both avoided)
+    val r = pmod(pmod(id.cast("long"), m) * lit(1103515245L) + lit(12345L), m)
     val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
     val lnU = log(u).cast("decimal(20,12)").cast("double")
     val key = (lnU / weight.cast("double")).cast("decimal(20,12)").cast("double")

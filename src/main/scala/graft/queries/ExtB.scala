@@ -63,7 +63,8 @@ object ExtB {
       col("doc_id"), col("n_chars"), k = 50),
     Some("""WITH kd AS (SELECT doc_id,
         CAST(n_chars AS DOUBLE) AS weight,
-        CAST(CAST(ln(((doc_id * 1103515245 + 12345) % 2147483648 + 1)
+        CAST(CAST(ln((((doc_id % 2147483648) * 1103515245 + 12345)
+              % 2147483648 + 1)
             / 2147483649.0) AS DECIMAL(20,12)) AS DOUBLE) AS lnu
         FROM documents),
       k2 AS (SELECT doc_id AS id, weight,
