@@ -65,6 +65,7 @@ object Graph {
         .localCheckpoint(true)
     }
     e.unpersist()
+    nodes.unpersist()
     ranks.select(col("node"), (col("pr").cast("double") / lit(Scale)).as("rank"))
   }
 }
