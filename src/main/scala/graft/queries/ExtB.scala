@@ -683,9 +683,52 @@ object ExtB {
         min(v) AS lo, max(v) AS hi
       FROM b GROUP BY bin ORDER BY bin"""))
 
+  /** Point-in-time (SCD2 interval) lookup: each purchase event joined
+    * to the state interval (q65's SCD2 build) valid AT its timestamp —
+    * the lakehouse "dimension as of event time" join. User-keyed
+    * equi-join + interval predicate: bounded state, never a cross
+    * join; exactly one interval matches per fact row.
+    */
+  val xScd2Lookup = Q(
+    "x_scd2_lookup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val ev = t(s, dir, "events")
+      val dim = ev
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .select(col("user_id").as("d_user"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .join(dim, col("user_id") === col("d_user") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("state"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev FROM events),
+      ch AS (SELECT user_id, event_type, ts, event_id FROM c
+        WHERE prev IS NULL OR prev <> event_type),
+      dim AS (SELECT user_id AS d_user, event_type AS state,
+        ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to FROM ch)
+      SELECT event_id, user_id, ts, state
+      FROM (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'purchase') f
+      JOIN dim ON user_id = d_user AND valid_from <= ts
+        AND (valid_to IS NULL OR ts < valid_to)
+      ORDER BY event_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
-    xBpeEncode, xAttribution, xBinsEquidepth)
+    xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup)
 }
