@@ -177,6 +177,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), s"top-k regressed to a window:\n$p")
   }
 
+  test("weighted sampling plans TakeOrdered, never a global sort of the corpus") {
+    val p = plan("x_sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort for A-ES top-k:\n$p")
+  }
+
+  test("round-5 interval/range joins never degrade to a cartesian product") {
+    for (name <- Seq("x_scd2_lookup", "x_attribution")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name went cartesian:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+        || p.contains("ShuffledHashJoin"), s"$name lost its equi-join:\n$p")
+    }
+  }
+
+  test("boilerplate removal: flag join broadcasts, doc re-assembly aggregates partially") {
+    val p = plan("x_boilerplate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boilerplate flag set not broadcast:\n$p")
+    assert(p.contains("partial"), s"no map-side partial phase:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
