@@ -59,6 +59,25 @@ object Text {
   /** Priorities: zh=5 > en=4 > de=3 > fr=2 > es=1; ties on count go to
     * the higher priority.
     */
+  /** Latin accent-fold table (both engines share `translate`, so the
+    * mapping replays exactly; full Unicode folding would use ICU —
+    * a per-row library call with the same narrow shape).
+    */
+  val accentFrom = "àáâãäåèéêëìíîïòóôõöùúûüçñýÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÇÑÝ"
+  val accentTo = "aaaaaaeeeeiiiiooooouuuucnyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+  /** Canonical text normalization for dedup keys and matching: NFC-ish
+    * accent fold, casefold, punctuation → space, whitespace collapse +
+    * trim. Narrow, codegen'd, zero shuffles — runs in the same
+    * projection as the quality signals.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        lower(translate(text, accentFrom, accentTo)),
+        "[\\p{Punct}]", " "),
+      " +", " "))
+
   def langId(text: Column): Column = {
     val scores = Seq(
       nonAsciiCount(text) * 10 + 5,

@@ -726,9 +726,42 @@ object ExtB {
         AND (valid_to IS NULL OR ts < valid_to)
       ORDER BY event_id"""))
 
+  /** Canonical text normalization (see [[graft.ext.Text.normalizeText]]):
+    * deterministic dirty input (accents, case, punctuation, ragged
+    * spaces) normalized for dedup keys; both engines share the same
+    * translate table and ASCII-punct regex, so the oracle replays the
+    * normalized TEXT byte-for-byte.
+    */
+  val xTextNormalize = Q(
+    "x_text_normalize",
+    (s, dir) => {
+      val dirty = concat(lit("  Crème-Brûlée #"), col("doc_id"), lit("!  "),
+        upper(col("text")), lit("  "))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.ext.Text.normalizeText(dirty).as("norm_text"))
+        .withColumn("n_norm_tokens",
+          size(split(col("norm_text"), " ")).cast("bigint"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id,
+        '  Crème-Brûlée #' || doc_id || '!  ' || upper(text) || '  ' AS dirty
+        FROM documents)
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(
+          lower(translate(dirty, '${graft.ext.Text.accentFrom}',
+            '${graft.ext.Text.accentTo}')),
+          '[[:punct:]]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text,
+        CAST(len(string_split(trim(regexp_replace(regexp_replace(
+          lower(translate(dirty, '${graft.ext.Text.accentFrom}',
+            '${graft.ext.Text.accentTo}')),
+          '[[:punct:]]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+          AS n_norm_tokens
+      FROM d ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
-    xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup)
+    xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize)
 }
