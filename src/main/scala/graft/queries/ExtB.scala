@@ -759,9 +759,41 @@ object ExtB {
           AS n_norm_tokens
       FROM d ORDER BY doc_id"""))
 
+  /** XML ingestion (Spark 4 native from_xml): order rows serialized to
+    * XML, parsed back with an explicit schema, and aggregated from the
+    * PARSED struct. The oracle computes the same aggregate from the
+    * original columns — the parse round trip must be lossless for the
+    * hash to match.
+    */
+  val xXmlParse = Q(
+    "x_xml_parse",
+    (s, dir) => {
+      val xml = concat(lit("<order><key>"), col("o_orderkey"),
+        lit("</key><status>"), col("o_orderstatus"),
+        lit("</status><price>"), col("o_totalprice"),
+        lit("</price></order>"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, status STRING, price DOUBLE")
+      t(s, dir, "orders")
+        .select(from_xml(xml, schema).as("p"))
+        .select(col("p.key").as("key"), col("p.status").as("status"),
+          col("p.price").as("price"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          min(col("key")).as("min_key"),
+          sum38(H.dec2(col("price")), 2, "total_price"))
+        .orderBy(col("status"))
+    },
+    Some("""SELECT o_orderstatus AS status, COUNT(*) AS n,
+        min(o_orderkey) AS min_key,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(10,2))) AS DOUBLE)
+          AS total_price
+      FROM orders GROUP BY o_orderstatus ORDER BY status"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
-    xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize)
+    xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
+    xXmlParse)
 }
