@@ -29,7 +29,13 @@ object Registry {
       BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ ExtB.queries ++
       Curate.queries
 
-  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+  lazy val byName: Map[String, Q] = {
+    // a duplicate name would silently shadow a query in SparkEntry's
+    // Map — fail loudly instead
+    val dups = all.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    all.map(q => q.name -> q).toMap
+  }
 }
 
 /** Parquet table loader for the driver test data (TESTDATA.md). */

@@ -46,4 +46,17 @@ class JaroWinklerSpec extends SparkSuite {
       df.select(call_function("jaro_winkler", col("a"), lit(3))).collect()
     }
   }
+
+  test("jaro_winkler stays inside whole-stage codegen") {
+    graft.plans.GraftExtensions.ensure(spark)
+    // non-literal inputs — constant folding would otherwise evaluate
+    // the whole expression at plan time and leave a LocalTableScan
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .select(call_function("jaro_winkler", col("c_name"),
+        col("c_mktsegment")).as("jw"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"jaro_winkler fell out of codegen:\n$p")
+  }
 }
