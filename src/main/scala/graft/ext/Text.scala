@@ -228,6 +228,40 @@ object Text {
     * at web-corpus scale it outgrows a broadcast and the probe becomes
     * a shuffle equi-join on the bigram key (still never all-pairs).
     */
+  /** PMI collocations: ln(P(ab) / (P(a)·P(b))) over adjacent token
+    * pairs — the classic collocation detector ("strongly associated
+    * word pairs"), and the association signal phrase-mining pipelines
+    * threshold on. `minCount` suppresses the low-frequency PMI
+    * explosion (a pair seen once always scores high).
+    *
+    * Same determinism discipline as [[bigramLogProb]] (exact counts,
+    * single IEEE divisions, 12-decimal ln); the top-k is
+    * orderBy+limit = TakeOrdered, never a global sort.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+      minCount: Long, topK: Int): DataFrame = {
+    val tf = docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val nTok = tf.agg(sum(col("cnt")).cast("double").as("n_tokens"))
+    val bi = docs.select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("bcnt"))
+    val nBi = bi.agg(sum(col("bcnt")).cast("double").as("n_bigrams"))
+    bi.filter(col("bcnt") >= minCount)
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(tf.select(col("term").as("w1"), col("cnt").as("c1"))), "w1")
+      .join(broadcast(tf.select(col("term").as("w2"), col("cnt").as("c2"))), "w2")
+      .crossJoin(nTok).crossJoin(nBi)
+      .withColumn("pmi", lnStable(
+        (col("bcnt").cast("double") / col("n_bigrams")) /
+          ((col("c1").cast("double") / col("n_tokens")) *
+            (col("c2").cast("double") / col("n_tokens")))))
+      .select(col("bigram"), col("bcnt").cast("bigint").as("b_count"),
+        col("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(topK)
+  }
+
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       lambda: Double = 0.7): DataFrame = {
     val bi = docs.select(col(idCol).as("doc_id"),

@@ -790,10 +790,40 @@ object ExtB {
           AS total_price
       FROM orders GROUP BY o_orderstatus ORDER BY status"""))
 
+  /** PMI collocations (see [[graft.ext.Text.pmiCollocations]]): top-30
+    * most strongly associated adjacent token pairs with count >= 20;
+    * the oracle replays counts, probabilities, the 12-decimal ln, and
+    * the (pmi desc, bigram) ranking.
+    */
+  val xPmiCollocations = Q(
+    "x_pmi_collocations",
+    (s, dir) => graft.ext.Text.pmiCollocations(t(s, dir, "documents"),
+      "text", minCount = 20L, topK = 30),
+    Some("""WITH tk AS (SELECT string_split(text, ' ') AS w FROM documents),
+      tf AS (SELECT term, COUNT(*) AS cnt FROM (
+          SELECT unnest(w) AS term FROM tk) GROUP BY term),
+      ntok AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_tokens FROM tf),
+      bi AS (SELECT gram, COUNT(*) AS bcnt FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
+        GROUP BY gram),
+      nbi AS (SELECT CAST(SUM(bcnt) AS DOUBLE) AS n_bigrams FROM bi),
+      sc AS (SELECT gram AS bigram, bcnt,
+          CAST(CAST(ln((CAST(bcnt AS DOUBLE) / (SELECT n_bigrams FROM nbi))
+            / ((CAST(c1.cnt AS DOUBLE) / (SELECT n_tokens FROM ntok))
+              * (CAST(c2.cnt AS DOUBLE) / (SELECT n_tokens FROM ntok))))
+            AS DECIMAL(20,12)) AS DOUBLE) AS pmi
+        FROM bi
+        JOIN tf c1 ON c1.term = string_split(gram, ' ')[1]
+        JOIN tf c2 ON c2.term = string_split(gram, ' ')[2]
+        WHERE bcnt >= 20)
+      SELECT bigram, CAST(bcnt AS BIGINT) AS b_count, pmi
+      FROM sc ORDER BY pmi DESC, bigram LIMIT 30"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
-    xXmlParse)
+    xXmlParse, xPmiCollocations)
 }
