@@ -164,4 +164,27 @@ object Sampling {
           .cast("bigint"))
       .select(col("id"), col("weight"), col("sel_rank"))
   }
+
+  /** Per-group A-ES weighted sampling ("k docs per language, weighted
+    * by length"): same deterministic LCG keys as [[weightedSample]],
+    * ranked within each group — the weighted form of quota/stratified
+    * sampling. One per-group window shuffle (groups are
+    * languages/domains: small count, any size each).
+    */
+  def weightedSampleByGroup(df: DataFrame, group: Column, id: Column,
+      weight: Column, kPerGroup: Int): DataFrame = {
+    require(kPerGroup > 0, "kPerGroup must be positive")
+    val m = lit(2147483648L) // 2^31
+    val r = pmod(pmod(id.cast("long"), m) * lit(1103515245L) + lit(12345L), m)
+    val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
+    val lnU = log(u).cast("decimal(20,12)").cast("double")
+    val key = (lnU / weight.cast("double")).cast("decimal(20,12)").cast("double")
+    df.select(group.as("grp"), id.as("id"),
+        weight.cast("double").as("weight"), key.as("_key"))
+      .withColumn("sel_rank", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("_key").desc, col("id")))
+        .cast("bigint"))
+      .filter(col("sel_rank") <= kPerGroup)
+      .select(col("grp"), col("id"), col("weight"), col("sel_rank"))
+  }
 }

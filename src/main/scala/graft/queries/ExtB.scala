@@ -820,10 +820,35 @@ object ExtB {
       SELECT bigram, CAST(bcnt AS BIGINT) AS b_count, pmi
       FROM sc ORDER BY pmi DESC, bigram LIMIT 30"""))
 
+  /** Per-language weighted sampling (see
+    * [[Sampling.weightedSampleByGroup]]): 10 docs per lang, weight =
+    * n_chars — the weighted quota draw; oracle replays keys and
+    * per-group ranks.
+    */
+  val xSampleWeightedGroup = Q(
+    "x_sample_weighted_group",
+    (s, dir) => Sampling.weightedSampleByGroup(t(s, dir, "documents"),
+      col("lang"), col("doc_id"), col("n_chars"), kPerGroup = 10)
+      .orderBy(col("grp"), col("sel_rank")),
+    Some("""WITH kd AS (SELECT lang AS grp, doc_id AS id,
+        CAST(n_chars AS DOUBLE) AS weight,
+        CAST(CAST(ln((((doc_id % 2147483648) * 1103515245 + 12345)
+              % 2147483648 + 1)
+            / 2147483649.0) AS DECIMAL(20,12)) AS DOUBLE) AS lnu
+        FROM documents),
+      k2 AS (SELECT grp, id, weight,
+        CAST(CAST(lnu / weight AS DECIMAL(20,12)) AS DOUBLE) AS key
+        FROM kd),
+      rk AS (SELECT grp, id, weight,
+        CAST(row_number() OVER (PARTITION BY grp ORDER BY key DESC, id)
+          AS BIGINT) AS sel_rank FROM k2)
+      SELECT grp, id, weight, sel_rank FROM rk
+      WHERE sel_rank <= 10 ORDER BY grp, sel_rank"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
-    xXmlParse, xPmiCollocations)
+    xXmlParse, xPmiCollocations, xSampleWeightedGroup)
 }
