@@ -45,6 +45,44 @@ object Freq {
     def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) as plain
+    * dataframe aggregation: d hash rows × w buckets of integer sums.
+    * Counter sums commute, so unlike MG the sketch CONTENT is
+    * order-independent too; the cells live as (depth, bucket, cnt)
+    * rows — O(d·w), mergeable across shards/batches by adding cells.
+    *
+    * Guarantee: est(t) = min over depths of t's cell ≥ true(t), and
+    * ≤ true(t) + (e/w)·N with probability 1−e^−d per query — the
+    * driver query adjudicates the deterministic two-sided bound for
+    * every probed term.
+    */
+  def countMin(df: DataFrame, termCol: String, width: Int,
+      depth: Int): DataFrame = {
+    require(width > 0 && depth > 0)
+    val cells = (0 until depth).map { d =>
+      df.select(lit(d).as("depth"),
+        pmod(xxhash64(col(termCol), lit(d)), lit(width.toLong)).as("bucket"))
+    }.reduce(_ union _)
+    cells.groupBy(col("depth"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate terms against a [[countMin]] sketch: min over
+    * depths of the term's cell. Probe terms are broadcast-sized.
+    */
+  def cmEstimate(sketch: DataFrame, terms: DataFrame, termCol: String,
+      width: Int, depth: Int): DataFrame = {
+    val depths = terms.sparkSession.range(depth)
+      .select(col("id").cast("int").as("depth"))
+    val probes = terms.select(col(termCol).as("term"))
+      .crossJoin(depths)
+      .withColumn("bucket",
+        pmod(xxhash64(col("term"), col("depth")), lit(width.toLong)))
+    probes.join(sketch, Seq("depth", "bucket"))
+      .groupBy(col("term"))
+      .agg(min(col("cnt")).cast("bigint").as("cm_est"))
+  }
+
   /** Sketch the heavy hitters of a string column: (term, mg_count). */
   def heavyHitters(df: DataFrame, termCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession

@@ -845,10 +845,41 @@ object ExtB {
       SELECT grp, id, weight, sel_rank FROM rk
       WHERE sel_rank <= 10 ORDER BY grp, sel_rank"""))
 
+  /** Count-Min point-frequency audit (see [[Freq.countMin]]): the 30
+    * most frequent tokens probed against a 1024x4 CM sketch; output is
+    * exact counts + the two-sided deterministic bound booleans
+    * (overestimate-only, within (e/w)*N) the oracle hard-codes true.
+    */
+  val xSketchCountmin = Q(
+    "x_sketch_countmin",
+    (s, dir) => {
+      val (w, d) = (1024, 4)
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val cnt = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+      val top = cnt.orderBy(col("true_cnt").desc, col("term")).limit(30)
+      val n = toks.agg(count(lit(1)).as("n"))
+      val sketch = Freq.countMin(toks, "term", w, d)
+      val est = Freq.cmEstimate(sketch, top, "term", w, d)
+      top.join(est, "term").crossJoin(n)
+        .select(col("term"), col("true_cnt"),
+          (col("cm_est") >= col("true_cnt")).as("never_underestimates"),
+          (col("cm_est") <= col("true_cnt")
+            + (lit(math.E) / w * col("n")).cast("bigint") + 1)
+            .as("within_eps_bound"))
+        .orderBy(col("term"))
+    },
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      cnt AS (SELECT term, COUNT(*) AS true_cnt FROM tok GROUP BY term)
+      SELECT term, true_cnt,
+        true AS never_underestimates, true AS within_eps_bound
+      FROM cnt ORDER BY true_cnt DESC, term LIMIT 30"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
-    xXmlParse, xPmiCollocations, xSampleWeightedGroup)
+    xXmlParse, xPmiCollocations, xSampleWeightedGroup, xSketchCountmin)
 }
