@@ -876,10 +876,46 @@ object ExtB {
         true AS never_underestimates, true AS within_eps_bound
       FROM cnt ORDER BY true_cnt DESC, term LIMIT 30"""))
 
+  /** Nearest-in-time join (see [[graft.ext.AsOf.nearestJoin]]): each
+    * view matched to the same user's temporally CLOSEST click, either
+    * direction — the sensor-fusion complement of q22's backward as-of.
+    * The oracle ranks the full per-user candidate set by (gap, ts,
+    * id desc), replaying the tie policy exactly.
+    */
+  val xNearestJoin = Q(
+    "x_nearest_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts"))
+      graft.ext.AsOf.nearestJoin(views, clicks, "user_id", "ts", "ts",
+        "click_id", "nearest_click")
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view'),
+      c AS (SELECT user_id, event_id AS click_id, ts AS cts FROM events
+        WHERE event_type = 'click'),
+      cand AS (SELECT v.event_id, c.click_id,
+          abs(epoch_us(v.ts) - epoch_us(c.cts)) AS gap_us,
+          row_number() OVER (PARTITION BY v.event_id
+            ORDER BY abs(epoch_us(v.ts) - epoch_us(c.cts)), c.cts,
+              c.click_id DESC) AS rn
+        FROM v JOIN c ON v.user_id = c.user_id)
+      SELECT v.event_id, v.user_id, v.ts,
+        b.click_id AS nearest_click,
+        b.gap_us AS nearest_click_gap_us
+      FROM v LEFT JOIN (SELECT * FROM cand WHERE rn = 1) b
+        ON b.event_id = v.event_id
+      ORDER BY v.event_id"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
-    xXmlParse, xPmiCollocations, xSampleWeightedGroup, xSketchCountmin)
+    xXmlParse, xPmiCollocations, xSampleWeightedGroup, xSketchCountmin,
+    xNearestJoin)
 }
