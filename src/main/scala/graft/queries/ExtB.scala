@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Bins, Boiler, BloomJoin, Bpe, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
+import graft.ext.{Bins, Boiler, BloomJoin, Bpe, Cdc, Dedup, Diff, Drift, Freq, Graph, Layout, Profile, Robust, Sampling, Survivor, Web}
 import graft.queries.H.sum38
 import graft.queries.H.t
 
@@ -911,11 +911,44 @@ object ExtB {
         ON b.event_id = v.event_id
       ORDER BY v.event_id"""))
 
+  /** Changelog materialization (see [[Cdc.materialize]]): a synthetic
+    * out-of-order CDC feed over orders — base inserts (v1), price
+    * updates for every 5th key (v2), deletes for every 7th (v3) — is
+    * SHUFFLED (arrival order keyed on a hash) and must still
+    * materialize to the same current state the oracle derives
+    * declaratively.
+    */
+  val xCdcMaterialize = Q(
+    "x_cdc_materialize",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("pk"), col("o_totalprice").as("price"))
+      val ins = o.select(col("pk"), lit(1L).as("version"),
+        lit("insert").as("op"), col("price"))
+      val upd = o.filter(col("pk") % 5 === 0)
+        .select(col("pk"), lit(2L).as("version"), lit("update").as("op"),
+          (col("price") + 100.0).as("price"))
+      val del = o.filter(col("pk") % 7 === 0)
+        .select(col("pk"), lit(3L).as("version"), lit("delete").as("op"),
+          lit(null).cast("double").as("price"))
+      val feed = ins.unionByName(upd).unionByName(del)
+        .orderBy(xxhash64(col("pk"), col("version"))) // scrambled arrival
+      Cdc.materialize(feed, "pk", "version", "op").orderBy(col("pk"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS pk, o_totalprice AS price
+        FROM orders)
+      SELECT pk,
+        CAST(CASE WHEN pk % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        CASE WHEN pk % 5 = 0 THEN 'update' ELSE 'insert' END AS op,
+        CASE WHEN pk % 5 = 0 THEN price + 100.0 ELSE price END AS price
+      FROM base WHERE pk % 7 <> 0
+      ORDER BY pk"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
     xXmlParse, xPmiCollocations, xSampleWeightedGroup, xSketchCountmin,
-    xNearestJoin)
+    xNearestJoin, xCdcMaterialize)
 }

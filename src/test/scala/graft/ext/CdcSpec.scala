@@ -1,0 +1,30 @@
+package graft.ext
+
+import graft.SparkSuite
+
+class CdcSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("latest version wins regardless of arrival order; deletes drop rows") {
+    val feed = Seq(
+      // pk 1: insert then update — update wins
+      (1L, 2L, "update", Some("v2")),
+      (1L, 1L, "insert", Some("v1")),
+      // pk 2: full lifecycle ending in delete — absent from state
+      (2L, 3L, "delete", None),
+      (2L, 1L, "insert", Some("x")),
+      (2L, 2L, "update", Some("y")),
+      // pk 3: delete then REINSERT at a higher version — present again
+      (3L, 2L, "delete", None),
+      (3L, 3L, "insert", Some("back")),
+      (3L, 1L, "insert", Some("orig"))
+    ).toDF("pk", "version", "op", "payload")
+    val out = Cdc.materialize(feed.repartition(7), "pk", "version", "op")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3))).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out(1L) == ((2L, "update", "v2")))
+    assert(out(3L) == ((3L, "insert", "back")))
+  }
+}
