@@ -35,6 +35,34 @@ class FormatSpec extends SparkSuite {
       .exists(_.getName.contains(".zstd.")), "zstd codec not applied")
   }
 
+  test("schema evolution on read: mergeSchema unions batch schemas") {
+    val out = Files.createTempDirectory("evolve").resolve("t").toString
+    // batch 1: (id, a) — batch 2 adds column b
+    spark.range(0, 5).select(col("id"), lit("x").as("a"))
+      .write.parquet(s"$out/batch=1")
+    spark.range(5, 10).select(col("id"), lit("y").as("a"), lit(7L).as("b"))
+      .write.parquet(s"$out/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "a", "b", "batch"))
+    assert(merged.count() == 10)
+    // rows from batch 1 surface null b, not an error
+    assert(merged.filter(col("batch") === 1 && col("b").isNull).count() == 5)
+  }
+
+  test("observe() exposes pipeline metrics without a second pass") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("ingest_metrics")
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice") > 200000, 1).otherwise(0)).as("n_big"))
+      .filter(col("o_orderstatus") === "O")
+    val kept = df.count()
+    val m = obs.get
+    // metrics describe the FULL observed pass, not the filtered result
+    assert(m("n_rows").asInstanceOf[Long] > kept)
+    assert(m("n_big").asInstanceOf[Long] > 0L)
+  }
+
   test("join strategy hints are honored (merge / shuffle_hash vs auto broadcast)") {
     val fact = spark.read.parquet(s"$dir/orders.parquet")
     val dim = spark.read.parquet(s"$dir/customer.parquet")
