@@ -38,4 +38,27 @@ object Robust {
       .select(col("grp"), col("v"), col("med"), col("mad"),
         format_string("%.6f", col("mod_z")).as("mod_z"))
   }
+
+  /** Winsorized aggregation: values clipped to the group's
+    * [pLo, pHi] exact quantiles before averaging — the robust mean
+    * companion of [[madOutliers]] (outliers bounded instead of
+    * dropped, so sample size is preserved). Same shape: one quantile
+    * aggregate, broadcast-sized bounds join, exact-decimal mean.
+    */
+  def winsorizedMean(df: DataFrame, group: Column, value: Column,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val base = df.select(group.as("grp"), value.cast("double").as("v"))
+    val bounds = base.groupBy(col("grp")).agg(
+      expr(s"percentile(v, $pLo)").as("lo"),
+      expr(s"percentile(v, $pHi)").as("hi"))
+    base.join(bounds, "grp")
+      .withColumn("w", least(greatest(col("v"), col("lo")), col("hi")))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        // decimal-exact sum so the mean is partitioning-independent
+        (sum(col("w").cast("decimal(20,6)")).cast("double") / count(lit(1)))
+          .as("winsorized_mean"))
+  }
 }

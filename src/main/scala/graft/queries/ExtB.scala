@@ -944,11 +944,32 @@ object ExtB {
       FROM base WHERE pk % 7 <> 0
       ORDER BY pk"""))
 
+  /** Winsorized mean (see [[Robust.winsorizedMean]]): events.value per
+    * type clipped to [p05, p95] then averaged — the robust aggregate
+    * whose outlier handling preserves sample size; bounds, clipping,
+    * and the decimal-exact mean replayed by the oracle.
+    */
+  val xWinsorizedMean = Q(
+    "x_winsorized_mean",
+    (s, dir) => Robust.winsorizedMean(t(s, dir, "events"),
+      col("event_type"), col("value"), 0.05, 0.95)
+      .orderBy(col("grp")),
+    Some("""WITH base AS (SELECT event_type AS grp,
+        CAST(value AS DOUBLE) AS v FROM events),
+      bounds AS (SELECT grp, quantile_cont(v, 0.05) AS lo,
+        quantile_cont(v, 0.95) AS hi FROM base GROUP BY grp)
+      SELECT base.grp, CAST(COUNT(*) AS BIGINT) AS n,
+        max(bounds.lo) AS lo, max(bounds.hi) AS hi,
+        CAST(SUM(CAST(least(greatest(v, bounds.lo), bounds.hi)
+          AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+      FROM base JOIN bounds ON base.grp = bounds.grp
+      GROUP BY base.grp ORDER BY base.grp"""))
+
   val queries: Seq[Q] = Seq(xBoilerplate, xSampleWeighted, xDedupIncremental,
     xProfileColumns, xBloomJoin, xUrlDomain, xZorderLayout, xGoldenRecord,
     xHeavyHitters, xPagerankSources, xSketchIntersect, xSnapshotDiff,
     xJwMatch, xSketchQuantiles, xMadOutliers, xCorpusDrift, xBpeTrain,
     xBpeEncode, xAttribution, xBinsEquidepth, xScd2Lookup, xTextNormalize,
     xXmlParse, xPmiCollocations, xSampleWeightedGroup, xSketchCountmin,
-    xNearestJoin, xCdcMaterialize)
+    xNearestJoin, xCdcMaterialize, xWinsorizedMean)
 }

@@ -21,4 +21,16 @@ class RobustSpec extends SparkSuite {
       (1 to 10).map(i => ("clean", i.toDouble))).toDF("grp", "v")
     assert(Robust.madOutliers(df, col("grp"), col("v")).isEmpty)
   }
+
+  test("winsorized mean bounds the outlier's pull, plain mean doesn't") {
+    val df = ((1 to 99).map(i => ("g", (i % 10 + 1).toDouble)) :+
+      ("g", 100000.0)).toDF("grp", "v")
+    val r = Robust.winsorizedMean(df, col("grp"), col("v"), 0.05, 0.95)
+      .collect().head
+    val wm = r.getAs[Double]("winsorized_mean")
+    val plain = df.agg(avg(col("v"))).head().getDouble(0)
+    assert(plain > 1000, "outlier should dominate the plain mean")
+    assert(wm < 20, s"winsorized mean still dragged: $wm")
+    assert(r.getAs[Long]("n") == 100L, "winsorizing must not drop rows")
+  }
 }
