@@ -27,4 +27,36 @@ class CdcSpec extends SparkSuite {
     assert(out(1L) == ((2L, "update", "v2")))
     assert(out(3L) == ((3L, "insert", "back")))
   }
+
+  test("incremental batches converge to the one-shot materialization; replay idempotent") {
+    import graft.streaming.CdcStream
+    val state = java.nio.file.Files.createTempDirectory("cdc")
+      .resolve("state").toString
+    val b1 = Seq(
+      (1L, 1L, "insert", Some("a1")),
+      (2L, 2L, "update", Some("b2")),   // update arrives BEFORE its insert
+      (3L, 1L, "insert", Some("c1"))
+    ).toDF("pk", "version", "op", "payload")
+    val b2 = Seq(
+      (2L, 1L, "insert", Some("b1")),   // late low version — must lose
+      (3L, 2L, "delete", None),         // delete row 3
+      (4L, 5L, "delete", None),         // tombstone before any insert
+      (4L, 1L, "insert", Some("d1"))    // late insert under tombstone — must lose
+    ).toDF("pk", "version", "op", "payload")
+
+    CdcStream.applyBatch(b1, state, "pk", "version", "op")
+    val vis = CdcStream.applyBatch(b2, state, "pk", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(vis == Map(1L -> "a1", 2L -> "b2"))
+
+    // one-shot over the full feed agrees
+    val oneShot = Cdc.materialize(b1.unionByName(b2), "pk", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(oneShot == vis)
+
+    // crash-replay of batch 2: identical state, nothing resurrects
+    val replay = CdcStream.applyBatch(b2, state, "pk", "version", "op")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(replay == vis)
+  }
 }
