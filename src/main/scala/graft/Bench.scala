@@ -11,7 +11,12 @@ import graft.queries.Registry
   *    Catalyst prune every non-key column and under-measure projection
   *    work; noop forces full evaluation of the result;
   *  - one warmup query first so JVM/codegen startup isn't charged to the
-  *    first measured query.
+  *    first measured query;
+  *  - each query runs REPS times (default 3) and the MEDIAN is reported:
+  *    n=1 samples on a shared box cannot distinguish load noise from a
+  *    real regression (r04→r05 showed uniform ±10-30% spread across
+  *    unrelated queries from machine load alone). The cache is cleared
+  *    between reps so every rep is a cold run of the same plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,7 +46,9 @@ object Bench {
 
     val headline = Registry.all.filter(_.bench)
 
-    def exec(name: String): Double = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try Registry.byName(name).run(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -56,7 +63,12 @@ object Bench {
       dt
     }
 
-    exec(headline.head.name) // warmup, not recorded
+    def exec(name: String): Double = {
+      val samples = (1 to reps).map(_ => execOnce(name)).sorted
+      samples(samples.length / 2) // median (upper-median for even n)
+    }
+
+    execOnce(headline.head.name) // warmup, not recorded
 
     val results = headline.map(q => q.name -> exec(q.name))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

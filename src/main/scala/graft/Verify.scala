@@ -50,6 +50,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // full registry manifest: selfcheck compares coverage against THIS,
+    // not against whichever output dirs happen to exist — a rows-only
+    // query that crashed (no output dir, no oracle key) must show up as
+    // MISSING-OUTPUT, not silently vanish from the check
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
     // all outputs are flushed/written; drop Hadoop's shutdown hooks so
     // they don't race sbt's (unforked) classloader/temp-jar cleanup

@@ -101,14 +101,18 @@ object Behavior {
     * never a cross join) and one per-conversion min/max aggregate.
     * Ties are broken by event id, so credit assignment is
     * deterministic under any partitioning.
+    *
+    * @param typeCol  column holding the event type (touch vs conversion)
+    * @param valueCol column carried through per conversion (e.g. revenue)
     */
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       idCol: String, touchType: String, convType: String,
-      lookback: String): DataFrame = {
-    val conv = events.filter(col("event_type") === convType)
+      lookback: String, typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
       .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
-        col(tsCol).as("conv_ts"), col("value"))
-    val touch = events.filter(col("event_type") === touchType)
+        col(tsCol).as("conv_ts"), col(valueCol).as("value"))
+    val touch = events.filter(col(typeCol) === touchType)
       .select(col(userCol).as("t_user"), col(idCol).as("touch_id"),
         col(tsCol).as("touch_ts"))
     conv.join(touch,

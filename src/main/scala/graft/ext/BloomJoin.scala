@@ -52,10 +52,17 @@ object BloomJoin {
     */
   def mightContain(key: Column, bloom: Array[Long], numBits: Int,
       numHashes: Int): Column = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a multiple of 64")
+    require(bloom.length == numBits / 64,
+      s"bloom array length ${bloom.length} does not match numBits=$numBits " +
+        s"(expected ${numBits / 64} words) — probe positions would be wrong")
     val pos = positions(key, numBits, numHashes)
     (0 until numHashes).map { i =>
       val p = element_at(pos, i + 1)
-      val word = element_at(typedlit(bloom.toSeq), (p / 64).cast("int") + 1)
+      // integral floor-div (`div`), not `/`: Column `/` is double
+      // division and only int-casts back afterwards
+      val word = element_at(typedlit(bloom.toSeq),
+        call_function("div", p, lit(64L)).cast("int") + 1)
       call_function("shiftright", word, pmod(p, lit(64L)).cast("int"))
         .bitwiseAND(lit(1L)) === lit(1L)
     }.reduce(_ && _)

@@ -63,6 +63,12 @@ object Bpe {
       val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
         .select(col("pair"), col("c"))
         .localCheckpoint(true)
+      // an empty best would crossJoin `words` to empty and silently
+      // truncate every later round — fail fast instead
+      if (best.isEmpty) throw new IllegalStateException(
+        s"BPE training exhausted at step $step of $merges: no symbol " +
+          "pairs remain (every word reduced to a single symbol); " +
+          "request fewer merges or supply a larger corpus")
 
       val search = concat(lit(" "), col("pair"), lit(" "))
       val merged = concat(lit(" "), regexp_replace(col("pair"), " ", ""), lit(" "))

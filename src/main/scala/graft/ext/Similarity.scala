@@ -75,6 +75,66 @@ object Similarity {
       .toDF("cid", "cv")
   }
 
+  /** Deterministic spherical Lloyd's k-means — the SQL-replayable twin
+    * of [[kmeansCentroids]]. MLlib's k-means|| init samples per input
+    * partition, so its centroids depend on file-split layout and can't
+    * be replayed by an external oracle; this variant pins every source
+    * of nondeterminism instead:
+    *
+    *  - init = the first `nlist` unit vectors by id (no RNG);
+    *  - assignment = cosine argmax (plain dot on unit vectors), ties
+    *    broken by smallest centroid id;
+    *  - update = the normalized SUM of assigned unit vectors — cosine
+    *    only needs the direction, so the mean's division is skipped
+    *    entirely, and the element sums run in FIXED-POINT (floor(x·1e12)
+    *    as BIGINT): integer addition is associative, so the result is
+    *    bit-identical under any partitioning, row order, or engine
+    *    (same technique as [[graft.ext.Graph.pageRank]]);
+    *  - a cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape per round: one broadcast crossJoin (nlist centroid rows)
+    * + one narrow per-id argmax window + one (cid, pos) groupBy whose
+    * key space is nlist·dim — never a data-sized shuffle. `rounds` is
+    * fixed (not convergence-tested) so the oracle can unroll it.
+    */
+  def lloydCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, rounds: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    val u = emb
+      .select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v"))).filter(col("nrm") > 0)
+      .select(col("nid"), transform(col("v"), x => x / col("nrm")).as("uv"))
+      .localCheckpoint(true) // scanned every round; cut lineage once
+    var cent = u.orderBy(col("nid")).limit(nlist)
+      .select(col("nid").as("cid"), col("uv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val wA = Window.partitionBy(col("nid"))
+        .orderBy(col("sim").desc, col("cid"))
+      val assigned = u.crossJoin(broadcast(cent))
+        .withColumn("sim", dot(col("uv"), col("cv")))
+        .withColumn("rk", row_number().over(wA))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("uv"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .withColumn("fx", floor(col("x") * lit(1e12)).cast("long"))
+        .groupBy(col("cid"), col("pos")).agg(sum(col("fx")).as("sfx"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sfx")))),
+          s => s.getField("sfx").cast("double")).as("sv"))
+        .withColumn("sn", sqrt(dot(col("sv"), col("sv"))))
+        .filter(col("sn") > 0)
+        .select(col("cid"),
+          transform(col("sv"), x => x / col("sn")).as("ncv"))
+      cent = cent.join(sums, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint(true) // cut per-round lineage (PageRank lesson)
+    }
+    cent
+  }
+
   /** Nearest-centroid assignment by cosine (shared by [[ivfTopK]] and
     * [[graft.ext.Dedup.semanticDedup]]): centroids are broadcast — the
     * collection never shuffles for the expansion, only for the per-id

@@ -51,10 +51,15 @@ case class JaroWinkler(left: Expression, right: Expression)
 
 object JaroWinkler {
 
-  /** Shared kernel for interpreted eval and generated code. */
+  /** Shared kernel for interpreted eval and generated code. Compares
+    * Unicode CODEPOINTS, not UTF-16 code units — DuckDB's
+    * `jaro_winkler_similarity` is codepoint-based, and comparing code
+    * units would let surrogate halves of supplementary-plane characters
+    * match independently (and skew lengths/windows).
+    */
   def compute(a: UTF8String, b: UTF8String): Double = {
-    val s1 = a.toString
-    val s2 = b.toString
+    val s1 = a.toString.codePoints().toArray
+    val s2 = b.toString.codePoints().toArray
     val l1 = s1.length
     val l2 = s2.length
     if (l1 == 0 && l2 == 0) return 1.0
@@ -70,7 +75,7 @@ object JaroWinkler {
       var j = math.max(0, i - window)
       var matched = false
       while (j <= hi && !matched) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; m += 1; matched = true
         }
         j += 1
@@ -85,7 +90,7 @@ object JaroWinkler {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -95,7 +100,7 @@ object JaroWinkler {
 
     var p = 0
     val pMax = math.min(4, math.min(l1, l2))
-    while (p < pMax && s1.charAt(p) == s2.charAt(p)) p += 1
+    while (p < pMax && s1(p) == s2(p)) p += 1
     if (jaro > 0.7) jaro + 0.1 * p * (1.0 - jaro) else jaro
   }
 }

@@ -547,20 +547,28 @@ object Ext {
     },
     None)
 
-  /** IVF with k-means centroids (MLlib Lloyd's, fixed seed) — the
-    * production centroid path; MLlib's iteration isn't SQL-replayable →
-    * rows-only; recall vs brute force asserted in ExtSpec.
+  /** IVF with trained k-means centroids — the production centroid path.
+    * Uses [[Similarity.lloydCentroids]] (deterministic spherical Lloyd,
+    * fixed-point sums), so the FULL result — training included — is
+    * oracle-adjudicated: the oracle unrolls all 5 Lloyd rounds as
+    * generated CTEs, then replays assignment/probing/ranking. The MLlib
+    * [[Similarity.kmeansCentroids]] variant (identical IVF machinery,
+    * k-means|| init that depends on partition layout) stays covered by
+    * ExtSpec's recall assertion.
     */
   val xAnnIvfKmeans = Q(
     "x_ann_ivf_kmeans",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(emb, "embedding", nlist = 16)
+      val cents = Similarity.lloydCentroids(emb, "vec_id", "embedding",
+        nlist = 16, rounds = 5)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, centroids = Some(cents))
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some(s"""${ExtC.lloydCtes(nlist = 16, rounds = 5, dim = 64)},
+      ${ExtC.ivfCtes(rounds = 5, nprobe = 4, k = 5)}
+      SELECT qid, nid, rank FROM ivf ORDER BY qid, rank"""))
 
   /** IVF recall measurement — the oracle-adjudicable face of x_ann_ivf:
     * recall@5 of the IVF path against brute force, computed INSIDE Spark

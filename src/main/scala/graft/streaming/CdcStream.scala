@@ -30,7 +30,14 @@ object CdcStream {
   def applyBatch(batch: DataFrame, statePath: String, pkCol: String,
       versionCol: String, opCol: String): DataFrame = {
     val spark = batch.sparkSession
-    val prior = scala.util.Try(spark.read.parquet(statePath)).toOption
+    // Probe existence explicitly rather than Try(...).toOption: swallowing
+    // ALL read failures would treat a corrupted/transiently-unreadable
+    // state dir as empty prior state, resetting accumulated state (and
+    // resurrecting deleted rows). Only path-absent means "no prior".
+    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(hPath)) Some(spark.read.parquet(statePath)) else None
     val all = prior.fold(batch)(p => p.unionByName(batch))
     // keep tombstones: aggregate WITHOUT the delete filter
     val payloadCols = batch.columns.toSeq

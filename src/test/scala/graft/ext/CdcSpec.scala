@@ -59,4 +59,21 @@ class CdcSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
     assert(replay == vis)
   }
+
+  test("corrupted state directory fails loudly instead of resetting state") {
+    import graft.streaming.CdcStream
+    val state = java.nio.file.Files.createTempDirectory("cdcbad")
+      .resolve("state")
+    // a state dir that EXISTS but holds garbage must propagate the read
+    // error — treating it as empty prior state would resurrect deletes
+    java.nio.file.Files.createDirectories(state)
+    java.nio.file.Files.write(state.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes)
+    val batch = Seq((1L, 1L, "insert", Some("a1")))
+      .toDF("pk", "version", "op", "payload")
+    intercept[Exception] {
+      CdcStream.applyBatch(batch, state.toString, "pk", "version", "op")
+        .collect()
+    }
+  }
 }

@@ -81,6 +81,30 @@ class ExtSpec extends SparkSuite {
     assert(rKm >= 0.3, s"k-means IVF recall $rKm too low")
   }
 
+  test("deterministic Lloyd centroids: reproducible, and recall holds up") {
+    val q = emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+    val bf = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = Similarity.lloydCentroids(emb, "vec_id", "embedding", 16, 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // bit-exact reproducibility under a different input partitioning —
+    // the property MLlib's k-means|| init lacks
+    val c2 = Similarity.lloydCentroids(emb.repartition(7), "vec_id",
+        "embedding", 16, 5)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(c1 == c2, "lloydCentroids not partition-invariant")
+    val firstN = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lloyd = Similarity.ivfTopK(emb, q, "vec_id", "embedding", 5,
+        centroids = Some(Similarity.lloydCentroids(emb, "vec_id",
+          "embedding", 16, 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rFirst = firstN.intersect(bf).size.toDouble / bf.size
+    val rLloyd = lloyd.intersect(bf).size.toDouble / bf.size
+    assert(rLloyd >= rFirst, s"lloyd recall $rLloyd below first-n $rFirst")
+    assert(rLloyd >= 0.3, s"lloyd IVF recall $rLloyd too low")
+  }
+
   test("incremental minhash dedup: in-batch, cross-batch, and replay") {
     import spark.implicits._
     val state = java.nio.file.Files.createTempDirectory("dedupstate")

@@ -47,6 +47,19 @@ class JaroWinklerSpec extends SparkSuite {
     }
   }
 
+  test("supplementary-plane characters compare as codepoints, not UTF-16 units") {
+    // "𝐀" (U+1D400) is a surrogate pair in UTF-16. Codepoint semantics:
+    // identical strings → 1.0; "𝐀" vs "𝐁" (U+1D401) are length-1 strings
+    // with zero matching codepoints → 0.0. Code-unit semantics would see
+    // length-2 strings sharing a high surrogate and return ~0.67.
+    val a = "𝐀" // 𝐀
+    val b = "𝐁" // 𝐁
+    assert(jw(a, a) == 1.0)
+    assert(jw(a, b) == 0.0)
+    // mixed: BMP prefix + supplementary tail; length must count codepoints
+    assert(jw("ab" + a, "ab" + a) == 1.0)
+  }
+
   test("jaro_winkler stays inside whole-stage codegen") {
     graft.plans.GraftExtensions.ensure(spark)
     // non-literal inputs — constant folding would otherwise evaluate

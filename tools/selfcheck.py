@@ -105,7 +105,14 @@ def main():
 
     results = {}
     out_names = set(d.name for d in Path(out_dir).iterdir() if d.is_dir())
-    names = sorted(out_names | set(oracle))
+    # coverage baseline is the REGISTRY manifest, not the output dirs: a
+    # rows-only query that crashed in Verify leaves no output dir AND no
+    # oracle key, and would otherwise silently vanish from the check
+    manifest_path = Path(out_dir) / "queries.json"
+    manifest = (set(json.loads(manifest_path.read_text()))
+                if manifest_path.exists() else set())
+    orphan_oracles = set(oracle) - manifest if manifest else set()
+    names = sorted(out_names | set(oracle) | manifest)
     if only:
         unknown = only - set(names)
         if unknown:
@@ -113,6 +120,9 @@ def main():
             sys.exit(2)
         names = [n for n in names if n in only]
     for name in names:
+        if name in orphan_oracles:
+            results[name] = "ORACLE-WITHOUT-QUERY (oracle_sql key not in registry)"
+            continue
         if name not in out_names:
             results[name] = "MISSING-OUTPUT (query crashed in graft.Verify?)"
             continue
@@ -124,8 +134,16 @@ def main():
             results[name] = f"SPARK-READ-FAIL {e}"
             continue
         if name not in oracle:
-            results[name] = (f"rows-only rows={len(grows)} OK"
-                             if len(grows) > 0 else "ROWS-ONLY-EMPTY (0 rows)")
+            # degenerate-output guards: 0 rows, 0 columns, or all-null
+            # rows are failures — "it produced something" is not a check
+            if len(gcols) == 0:
+                results[name] = "ROWS-ONLY-NO-COLUMNS (empty schema)"
+            elif len(grows) == 0:
+                results[name] = "ROWS-ONLY-EMPTY (0 rows)"
+            elif all(all(c == ("null",) for c in r) for r in grows):
+                results[name] = "ROWS-ONLY-ALL-NULL (every cell null)"
+            else:
+                results[name] = f"rows-only rows={len(grows)} OK"
             continue
         try:
             ocols, otypes, orows = fetch_sorted(con, oracle[name])
@@ -163,12 +181,18 @@ def main():
 
     width = max(len(n) for n in results) if results else 0
     fails = 0
+    rows_only = 0
     for n in sorted(results):
         r = results[n]
         if not r.startswith("OK") and not r.startswith("rows-only"):
             fails += 1
+        if r.startswith("rows-only"):
+            rows_only += 1
         print(f"{n:<{width}}  {r}")
-    print(f"\n{len(results)} checked, {fails} failing")
+    # rows_only is printed so an accidentally-dropped oracle entry is
+    # visible as a count change even when nothing "fails"
+    print(f"\n{len(results)} checked, {len(results) - rows_only - fails} "
+          f"oracle-backed OK, {rows_only} rows-only, {fails} failing")
     sys.exit(1 if fails else 0)
 
 
