@@ -7,11 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY.md §2.8): opaque binary payloads
   * with typed metadata, partition-parallel decode.
   *
-  * The actual media decode is STUBBED (no image/audio libraries in this
-  * container): [[fakeDecode]] derives deterministic pseudo-metadata from
-  * the bytes. Everything Spark-side — schema, binary column handling,
-  * batch shape of the partition-parallel decode — is real and tested; a
-  * production build swaps `fakeDecode` for a JNI/library call.
+  * PNG and JPEG payloads are decoded/resized FOR REAL via the JDK's
+  * `javax.imageio` (no external dependency): [[realDecode]] sniffs the
+  * magic bytes and reads true pixel dimensions; [[resize]] renders an
+  * aspect-preserving scaled raster and re-encodes it. Payloads in any
+  * other format fall back to [[fakeDecode]], which derives deterministic
+  * pseudo-metadata from the bytes — video/audio codecs aren't in this
+  * container, so that half stays an honestly-marked stub. Everything
+  * Spark-side — schema, binary column handling, batch shape of the
+  * partition-parallel decode — is real and tested either way.
   */
 object Multimodal {
 
@@ -25,19 +29,91 @@ object Multimodal {
 
   final case class DecodedMeta(id: Long, width: Int, height: Int, nFrames: Int, format: String)
 
-  /** STUB decode: pretends the payload is media and emits deterministic
-    * pseudo-dimensions from its bytes. Runs via mapPartitions so the
-    * "decoder" is instantiated once per partition (the real pattern for
-    * a native decoder handle), never per row.
+  /** STUB decode for formats ImageIO can't read (video/audio/webp):
+    * emits deterministic pseudo-dimensions from the bytes. Runs via
+    * mapPartitions so the "decoder" is instantiated once per partition
+    * (the real pattern for a native decoder handle), never per row.
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    // ??? real decoder goes here; deterministic fake below
+    // ??? real video/audio codec goes here; deterministic fake below
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >> 10, 1024).toInt
     val frames = 1 + math.floorMod(h >> 20, 32).toInt
     val fmt = Seq("png", "jpeg", "webp")(math.floorMod(h >> 25, 3).toInt)
     (w, ht, frames, fmt)
+  }
+
+  /** Magic-byte format sniff: the dispatch gate between the real
+    * imageio path and the fake fallback. Deliberately header-based (not
+    * extension-based) — payloads are opaque binaries.
+    */
+  def sniffFormat(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') Some("png")
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
+    else None
+
+  /** REAL decode for PNG/JPEG via the JDK's ImageIO: true pixel
+    * dimensions, single frame. None for unrecognized or corrupt
+    * payloads (callers fall back to [[fakeDecode]]).
+    */
+  def realDecode(bytes: Array[Byte]): Option[(Int, Int, Int, String)] =
+    sniffFormat(bytes).flatMap { fmt =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None else Some((img.getWidth, img.getHeight, 1, fmt))
+      } catch { case _: Exception => None }
+    }
+
+  /** Real decode when the payload is a recognized image, fake otherwise. */
+  def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) =
+    realDecode(bytes).getOrElse(fakeDecode(bytes))
+
+  /** Deterministic synthetic PNG: a real, ImageIO-decodable payload
+    * whose dimensions are a pure function of `seed` — the fixture
+    * generator that lets an external oracle adjudicate the REAL decode
+    * path (predict dims from the seed, compare against what ImageIO
+    * read back out of the actual PNG bytes).
+    */
+  def syntheticPng(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17 + seed).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL synthetic PNG payload per row, dimensions derived
+    * from the id (w = 16 + id mod 48, h = 16 + 7·id mod 48) so an
+    * oracle can predict them. Runs in mapPartitions — the encoder
+    * allocation pattern matches a production per-partition codec.
+    */
+  def withSyntheticPng(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + math.floorMod(id, 48L).toInt
+        val h = 16 + math.floorMod(id * 7, 48L).toInt
+        Row(id, syntheticPng(w, h, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   val decodedSchema: StructType = StructType(Seq(
@@ -47,14 +123,16 @@ object Multimodal {
     StructField("n_frames", IntegerType),
     StructField("format", StringType)))
 
-  /** Partition-parallel decode of (id, payload) rows. */
+  /** Partition-parallel decode of (id, payload) rows: real ImageIO for
+    * PNG/JPEG, deterministic fake for everything else.
+    */
   def decode(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession
     val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
       .mapPartitions { it =>
         // per-partition decoder init would happen here
         it.map { r =>
-          val (w, h, f, fmt) = fakeDecode(r.getAs[Array[Byte]](1))
+          val (w, h, f, fmt) = decodeMeta(r.getAs[Array[Byte]](1))
           Row(r.getLong(0), w, h, f, fmt)
         }
       }
@@ -89,10 +167,24 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** STUB resize: emits a new payload whose pseudo-dimensions are
-    * clamped to (maxW, maxH), preserving the opaque-binary contract
-    * (payload in → payload out + typed metadata). Per-row, narrow,
-    * no driver involvement.
+  /** Aspect-preserving scale-to-fit in pure INTEGER arithmetic, so an
+    * external oracle can replay the target dimensions exactly: if the
+    * image already fits, unchanged; otherwise the limiting side pins to
+    * its max and the other scales by the same integer-truncated ratio.
+    */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH <= h.toLong * maxW)
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+    else (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+
+  /** Resize to fit (maxW, maxH), preserving the opaque-binary contract
+    * (payload in → payload out + typed metadata). PNG/JPEG payloads are
+    * REALLY rescaled — decoded, redrawn at [[fitDims]], re-encoded as
+    * PNG — so re-decoding the output payload yields the new dimensions.
+    * Unrecognized payloads keep the deterministic fake (clamped
+    * pseudo-dims, byte-bounded slice). Per-row, narrow, no driver
+    * involvement.
     */
   def resize(withPayload: DataFrame, idCol: String,
       maxW: Int, maxH: Int): DataFrame = {
@@ -106,12 +198,31 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val (w, h, _, _) = fakeDecode(bytes)
-          val sw = math.min(w, maxW)
-          val sh = math.min(h, maxH)
-          // ??? real re-encode goes here; fake keeps a byte-bounded slice
-          val out = bytes.take(math.max(1, math.min(bytes.length, sw * sh / 64)))
-          Row(r.getLong(0), out, sw, sh)
+          realDecode(bytes) match {
+            case Some((w, h, _, _)) =>
+              val (nw, nh) = fitDims(w, h, maxW, maxH)
+              if (nw == w && nh == h) Row(r.getLong(0), bytes, w, h)
+              else {
+                val src = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(bytes))
+                val dst = new java.awt.image.BufferedImage(
+                  nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = dst.createGraphics()
+                try g.drawImage(src, 0, 0, nw, nh, null)
+                finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                Row(r.getLong(0), bos.toByteArray, nw, nh)
+              }
+            case None =>
+              val (w, h, _, _) = fakeDecode(bytes)
+              val sw = math.min(w, maxW)
+              val sh = math.min(h, maxH)
+              // fake path keeps a byte-bounded slice as the "payload"
+              val out = bytes.take(
+                math.max(1, math.min(bytes.length, sw * sh / 64)))
+              Row(r.getLong(0), out, sw, sh)
+          }
         }
       }
     spark.createDataFrame(rdd, schema)

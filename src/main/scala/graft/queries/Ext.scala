@@ -347,13 +347,18 @@ object Ext {
         (Text.stopwordCount(col("text")).cast("double") /
           Text.wordCount(col("text"))).as("stop_ratio"))
       val kept = scored.filter(col("n_words") >= 20 && col("stop_ratio") <= 0.5)
+      // surv feeds THREE consumers (the pairs build, the split, and the
+      // final aggregate via assigned); without the cache each one
+      // re-runs the regex-heavy langId/stopword scoring over the full
+      // documents scan (profiled: ~1.5 s of repeated scoring at sf0.1)
       val surv = kept.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"),
           max(col("lang")).as("lang"),
           max(col("n_words")).as("n_words"))
+        .cache()
       val pairs = Dedup.ngramJaccardPairs(surv, "text", "doc_id",
         k = 3, threshold = 0.5).cache()
-      val assigned = Dedup.leakageSafeSplit(surv, "doc_id", pairs)
+      val assigned = Dedup.leakageSafeSplit(surv, "doc_id", pairs).cache()
       val leaks = pairs
         .join(assigned.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
         .join(assigned.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")

@@ -115,5 +115,160 @@ object ExtC {
         CAST((SELECT count(*) FROM ivf JOIN bf USING (qid, nid)) AS DOUBLE)
           / (SELECT count(*) FROM bf) AS recall_at_5"""))
 
-  val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall)
+  /** REAL image decode adjudicated end-to-end: each doc gets a genuine
+    * synthetic PNG whose dimensions are a pure function of doc_id
+    * ([[graft.ext.Multimodal.withSyntheticPng]]); decode reads the
+    * dimensions back with the JDK's ImageIO — so the oracle predicts
+    * (width, height) from doc_id and a decode that didn't actually
+    * parse the PNG can't match.
+    */
+  val xMultimodalDecodeReal = Q(
+    "x_multimodal_decode_real",
+    (s, dir) => {
+      import graft.ext.Multimodal
+      Multimodal.decode(
+        Multimodal.withSyntheticPng(t(s, dir, "documents"), "doc_id"), "id")
+        .orderBy(col("id"))
+    },
+    Some("""SELECT doc_id AS id,
+        CAST(16 + doc_id % 48 AS INTEGER) AS width,
+        CAST(16 + (doc_id * 7) % 48 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames, 'png' AS format
+      FROM documents ORDER BY id"""))
+
+  /** REAL resize adjudicated end-to-end: synthetic PNGs are rescaled to
+    * fit 24×24 ([[graft.ext.Multimodal.fitDims]] — integer-truncated,
+    * aspect-preserving), then the OUTPUT payloads are re-decoded, so
+    * the asserted dimensions come out of the re-encoded PNG bytes, not
+    * the metadata columns. The oracle replays the integer fit math
+    * (w·maxH ≤ h·maxW reduces to w ≤ h at square 24×24).
+    */
+  val xMultimodalResizeReal = Q(
+    "x_multimodal_resize_real",
+    (s, dir) => {
+      import graft.ext.Multimodal
+      val resized = Multimodal.resize(
+        Multimodal.withSyntheticPng(t(s, dir, "documents"), "doc_id"), "id",
+        maxW = 24, maxH = 24)
+      Multimodal.decode(resized, "id").orderBy(col("id"))
+    },
+    Some("""WITH dims AS (SELECT doc_id AS id,
+          16 + doc_id % 48 AS w, 16 + (doc_id * 7) % 48 AS h
+        FROM documents)
+      SELECT id,
+        CAST(CASE WHEN w <= 24 AND h <= 24 THEN w
+             WHEN w <= h THEN greatest(1, (w * 24) // h)
+             ELSE 24 END AS INTEGER) AS width,
+        CAST(CASE WHEN w <= 24 AND h <= 24 THEN h
+             WHEN w <= h THEN 24
+             ELSE greatest(1, (h * 24) // w) END AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames, 'png' AS format
+      FROM dims ORDER BY id"""))
+
+  /** TRAP: incremental CDC where deletes arrive a batch BEFORE their
+    * inserts. Batch 1 carries deletes (v3, every 3rd key) and updates
+    * (v2, every 4th); batch 2 carries the base inserts (v1, ALL keys)
+    * and late high-version updates (v4, every 9th) that must resurrect
+    * previously-deleted rows. Correct only if tombstones persist in
+    * state across the batch boundary: dropping them would let the v1
+    * inserts resurrect every deleted key, keeping them but ignoring
+    * versions would block the v4 resurrections.
+    */
+  val xTrapCdcDeleteFirst = Q(
+    "x_trap_cdc_delete_first",
+    (s, dir) => {
+      import graft.streaming.CdcStream
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey").as("pk"), col("o_totalprice").as("price"))
+      val b1 = o.filter(col("pk") % 3 === 0)
+        .select(col("pk"), lit(3L).as("version"), lit("delete").as("op"),
+          lit(null).cast("double").as("price"))
+        .unionByName(o.filter(col("pk") % 4 === 0)
+          .select(col("pk"), lit(2L).as("version"), lit("update").as("op"),
+            (col("price") + 100.0).as("price")))
+      val b2 = o.select(col("pk"), lit(1L).as("version"),
+          lit("insert").as("op"), col("price"))
+        .unionByName(o.filter(col("pk") % 9 === 0)
+          .select(col("pk"), lit(4L).as("version"), lit("update").as("op"),
+            (col("price") + 200.0).as("price")))
+      val state = java.nio.file.Files.createTempDirectory("cdctrap")
+        .resolve("state").toString
+      CdcStream.applyBatch(b1, state, "pk", "version", "op")
+      CdcStream.applyBatch(b2, state, "pk", "version", "op")
+        .orderBy(col("pk"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey AS pk, o_totalprice AS price
+        FROM orders)
+      SELECT pk,
+        CAST(CASE WHEN pk % 9 = 0 THEN 4
+             WHEN pk % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS version,
+        CASE WHEN pk % 9 = 0 THEN 'update'
+             WHEN pk % 4 = 0 THEN 'update' ELSE 'insert' END AS op,
+        CASE WHEN pk % 9 = 0 THEN price + 200.0
+             WHEN pk % 4 = 0 THEN price + 100.0 ELSE price END AS price
+      FROM base WHERE pk % 9 = 0 OR pk % 3 <> 0
+      ORDER BY pk"""))
+
+  /** TRAP: winsorized mean over a massively TIED discrete domain
+    * (user_id mod 7 → seven plateaus) at quartile clips — the exact
+    * place where two engines' quantile interpolation conventions could
+    * silently diverge: (n−1)·p lands inside tie plateaus or exactly
+    * between two of them depending on group size.
+    */
+  val xTrapWinsorTies = Q(
+    "x_trap_winsor_ties",
+    (s, dir) => graft.ext.Robust.winsorizedMean(
+      t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 7).cast("double").as("value")),
+      col("event_type"), col("value"), 0.25, 0.75)
+      .orderBy(col("grp")),
+    Some("""WITH base AS (SELECT event_type AS grp,
+        CAST(user_id % 7 AS DOUBLE) AS v FROM events),
+      bounds AS (SELECT grp, quantile_cont(v, 0.25) AS lo,
+        quantile_cont(v, 0.75) AS hi FROM base GROUP BY grp)
+      SELECT base.grp, CAST(COUNT(*) AS BIGINT) AS n,
+        max(bounds.lo) AS lo, max(bounds.hi) AS hi,
+        CAST(SUM(CAST(least(greatest(v, bounds.lo), bounds.hi)
+          AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+      FROM base JOIN bounds ON base.grp = bounds.grp
+      GROUP BY base.grp ORDER BY base.grp"""))
+
+  /** TRAP: nearest-in-time join where EVERY left row has right
+    * neighbors at exactly ±3 s — the documented tie convention
+    * (equidistant → earlier right row) decides every single output —
+    * and even-keyed users additionally carry TWO simultaneous backward
+    * rows (same timestamp, different values) to pin the
+    * max-value-among-simultaneous winner.
+    */
+  val xTrapNearestTie = Q(
+    "x_trap_nearest_tie",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val base = ev.groupBy(col("user_id")).agg(min(col("ts")).as("ts"))
+      val rBack = base.select(col("user_id"),
+        (col("ts") - expr("INTERVAL 3 SECONDS")).as("rts"),
+        (col("user_id") * 10 + 1).as("rv"))
+      val rFwd = base.select(col("user_id"),
+        (col("ts") + expr("INTERVAL 3 SECONDS")).as("rts"),
+        (col("user_id") * 10 + 2).as("rv"))
+      val rDup = base.filter(col("user_id") % 2 === 0)
+        .select(col("user_id"),
+          (col("ts") - expr("INTERVAL 3 SECONDS")).as("rts"),
+          (col("user_id") * 10 + 9).as("rv"))
+      graft.ext.AsOf.nearestJoin(base,
+          rBack.unionByName(rFwd).unionByName(rDup),
+          "user_id", "ts", "rts", "rv", "picked")
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH l AS (SELECT user_id, min(ts) AS ts FROM events
+        GROUP BY user_id)
+      SELECT user_id, ts,
+        CAST(CASE WHEN user_id % 2 = 0 THEN user_id * 10 + 9
+             ELSE user_id * 10 + 1 END AS BIGINT) AS picked,
+        CAST(3000000 AS BIGINT) AS picked_gap_us
+      FROM l ORDER BY user_id"""))
+
+  val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
+    xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
+    xTrapNearestTie)
 }

@@ -164,6 +164,41 @@ class ExtSpec extends SparkSuite {
     assert(out.exceptAll(again).isEmpty)
   }
 
+  test("real PNG decode reads true pixel dimensions via ImageIO") {
+    import spark.implicits._
+    // fixture: genuine PNG bytes at known dims, plus a non-image payload
+    val png = Multimodal.syntheticPng(37, 21, seed = 5L)
+    assert(Multimodal.sniffFormat(png).contains("png"))
+    assert(Multimodal.realDecode(png).contains((37, 21, 1, "png")))
+    // corrupt header → fake fallback, never a crash
+    assert(Multimodal.realDecode("hello".getBytes).isEmpty)
+    val df = Seq((1L, png), (2L, "not an image".getBytes))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decode(df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(out(1L) == ((37, 21, "png")), "real path must read true dims")
+    val (fw, fh, _, ffmt) = Multimodal.fakeDecode("not an image".getBytes)
+    assert(out(2L) == ((fw, fh, ffmt)), "non-image must take the fake path")
+  }
+
+  test("real resize rescales the actual payload, not just metadata") {
+    import spark.implicits._
+    val df = Seq((1L, Multimodal.syntheticPng(60, 30, 1L)), // wide: w-limited
+      (2L, Multimodal.syntheticPng(20, 50, 2L)),            // tall: h-limited
+      (3L, Multimodal.syntheticPng(10, 12, 3L)))            // already fits
+      .toDF("doc_id", "payload")
+    val resized = Multimodal.resize(df, "doc_id", maxW = 24, maxH = 24)
+    // adjudicate from the OUTPUT payload bytes via a real re-decode
+    val redecoded = Multimodal.decode(resized, "id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(redecoded(1L) == ((24, 12)), "60x30 must scale to 24x12")
+    assert(redecoded(2L) == ((9, 24)), "20x50 must scale to 9x24 (20*24/50)")
+    assert(redecoded(3L) == ((10, 12)), "fitting image must pass through")
+    assert(Multimodal.fitDims(60, 30, 24, 24) == ((24, 12)))
+    assert(Multimodal.fitDims(20, 50, 24, 24) == ((9, 24)))
+  }
+
   test("cosine LSH finds the exact all-pairs near-dups with no false positives") {
     val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
