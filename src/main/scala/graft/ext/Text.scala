@@ -546,4 +546,58 @@ object Text {
         count_distinct(when(col("tid").isNull, col("token")))
           .as("n_distinct_oov"),
         (count(col("tid")).cast("double") / count(lit(1))).as("coverage"))
+
+  /** Zipf's-law fit over the corpus rank–frequency curve: ordinary
+    * least squares of ln(freq) on ln(rank) for the top `topR` terms —
+    * the slope (healthy natural-language corpora sit near −1) is the
+    * classic one-number diagnostic for boilerplate-flooded or
+    * synthetic-heavy corpora (a drifted slope means the token
+    * distribution no longer looks like language).
+    *
+    * Determinism recipe: each ln is canonicalized through
+    * DECIMAL(20,12) (absorbs the last-ulp libm differences between
+    * engines); OLS cross-products are products of those canonical
+    * doubles rounded to DECIMAL(30,14) and SUMMED EXACTLY, so the
+    * closed-form slope/intercept divide identical operands in both
+    * engines. One row out.
+    *
+    * Scale shape: one token-count aggregate (map-side combinable), a
+    * topR TakeOrdered (never a global sort), and an O(topR) final
+    * aggregate.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topR: Int): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term")).limit(topR)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("term")) // topR rows — tiny window
+    val pts = freq
+      .withColumn("r", row_number().over(w))
+      .select(
+        log(col("r").cast("double")).cast("decimal(20,12)").cast("double")
+          .as("lx"),
+        log(col("freq").cast("double")).cast("decimal(20,12)").cast("double")
+          .as("ly"))
+    val sums = pts.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(col("lx").cast("decimal(30,14)")).as("sx"),
+      sum(col("ly").cast("decimal(30,14)")).as("sy"),
+      sum((col("lx") * col("lx")).cast("decimal(30,14)")).as("sxx"),
+      sum((col("lx") * col("ly")).cast("decimal(30,14)")).as("sxy"))
+    sums.select(col("n"),
+      ((col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")))
+        .cast("decimal(20,12)").cast("double").as("zipf_slope"),
+      ((col("sy").cast("double") -
+        ((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))) *
+          col("sx").cast("double")) / col("n"))
+        .cast("decimal(20,12)").cast("double").as("zipf_intercept"))
+  }
 }

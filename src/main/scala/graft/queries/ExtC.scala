@@ -268,7 +268,152 @@ object ExtC {
         CAST(3000000 AS BIGINT) AS picked_gap_us
       FROM l ORDER BY user_id"""))
 
+  /** Int8 embedding quantization ([[graft.ext.Quant]]): per-dim abs-max
+    * calibration then a zero-shuffle encode; codes AND reconstruction
+    * errors replayed exactly (plain IEEE + HALF_UP rounding on both
+    * engines).
+    */
+  val xEmbedQuantize = Q(
+    "x_embed_quantize",
+    (s, dir) => {
+      import graft.ext.Quant
+      val emb = t(s, dir, "embeddings")
+      Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibrate(emb, "embedding"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      pp AS (SELECT unnest(range(1, 65)) AS p),
+      cal AS (SELECT p, max(abs(v[p])) AS am FROM e CROSS JOIN pp GROUP BY p),
+      sc AS (SELECT p, CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS s
+        FROM cal),
+      q AS (SELECT vec_id, p, v[p] AS x, s,
+          least(greatest(round(v[p] * s), -127.0), 127.0) AS c
+        FROM e CROSS JOIN pp JOIN sc USING (p))
+      SELECT vec_id,
+        string_agg(CAST(CAST(c AS INTEGER) AS VARCHAR), ',' ORDER BY p) AS codes,
+        CAST(SUM(CASE WHEN abs(round(x * s)) > 127 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped,
+        CAST(CAST(max(CASE WHEN s > 0 THEN abs(x - c / s) ELSE abs(x) END)
+          AS DECIMAL(20,12)) AS DOUBLE) AS max_err
+      FROM q GROUP BY vec_id ORDER BY vec_id"""))
+
+  /** Fellegi–Sunter record linkage ([[graft.ext.Linkage]]): customers +
+    * exact-duplicate clones (every 6th key, new surrogate key) scored
+    * over (nation, segment)-blocked pairs on three field rules.
+    * TPC-H names share a constant "Customer#0000" prefix that saturates
+    * Jaro–Winkler, so the name comparison runs on REVERSED names (the
+    * discriminating digits land in the prefix-boost window — fixture
+    * conditioning, noted). Constant log-likelihood weights are
+    * interpolated into the oracle verbatim, so scores and decisions
+    * adjudicate exactly.
+    */
+  val xRecordLinkage: Q = {
+    import graft.ext.Linkage.FieldRule
+    // rules are built once so the SAME weight doubles feed both sides;
+    // agree predicates are filled in below (they need the a/b aliases)
+    val rName = FieldRule("name", lit(true), 0.95, 0.01)
+    val rBal = FieldRule("bal_close", lit(true), 0.90, 0.02)
+    val rBand = FieldRule("bal_band", lit(true), 0.85, 0.05)
+    Q("x_record_linkage",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensure(s) // jaro_winkler
+        val cust = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_name"), col("c_nationkey"), col("c_acctbal"),
+          col("c_mktsegment"))
+        val clones = cust.filter(col("c_custkey") % 6 === 0)
+          .select((col("c_custkey") + 200000).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"))
+        val rules = Seq(
+          rName.copy(agree = call_function("jaro_winkler",
+            reverse(col("a.c_name")), reverse(col("b.c_name"))) >= 0.92),
+          rBal.copy(agree =
+            abs(col("a.c_acctbal") - col("b.c_acctbal")) <= 10.0),
+          rBand.copy(agree =
+            floor(col("a.c_acctbal") / 1000.0) === floor(col("b.c_acctbal") / 1000.0)))
+        graft.ext.Linkage.scorePairs(cust.unionByName(clones), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"), rules,
+          upper = 8.0, lower = 0.0)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH base AS (SELECT c_custkey, c_name, c_nationkey,
+            c_acctbal, c_mktsegment FROM customer),
+        clones AS (SELECT c_custkey + 200000 AS c_custkey, c_name,
+            c_nationkey, c_acctbal, c_mktsegment
+          FROM base WHERE c_custkey % 6 = 0),
+        recs AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+        pairs AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+            jaro_winkler_similarity(reverse(a.c_name), reverse(b.c_name))
+              >= 0.92 AS agree_name,
+            abs(a.c_acctbal - b.c_acctbal) <= 10.0 AS agree_bal_close,
+            floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+              AS agree_bal_band
+          FROM recs a JOIN recs b
+            ON a.c_nationkey = b.c_nationkey
+            AND a.c_mktsegment = b.c_mktsegment
+            AND a.c_custkey < b.c_custkey),
+        scored AS (SELECT *,
+            -- literals CAST AS DOUBLE: a bare decimal literal is a
+            -- DECIMAL in DuckDB and the sum would run in decimal
+            -- arithmetic instead of the engine's IEEE double sum
+            CAST(CAST(
+              (CASE WHEN agree_name THEN CAST(${rName.agreeWeight} AS DOUBLE)
+                    ELSE CAST(${rName.disagreeWeight} AS DOUBLE) END
+               + CASE WHEN agree_bal_close THEN CAST(${rBal.agreeWeight} AS DOUBLE)
+                      ELSE CAST(${rBal.disagreeWeight} AS DOUBLE) END)
+               + CASE WHEN agree_bal_band THEN CAST(${rBand.agreeWeight} AS DOUBLE)
+                      ELSE CAST(${rBand.disagreeWeight} AS DOUBLE) END
+              AS DECIMAL(20,12)) AS DOUBLE) AS score
+          FROM pairs)
+        SELECT id_a, id_b, agree_name, agree_bal_close, agree_bal_band,
+          score,
+          CASE WHEN score >= 8.0 THEN 'match'
+               WHEN score >= 0.0 THEN 'possible'
+               ELSE 'non_match' END AS decision
+        FROM scored ORDER BY id_a, id_b"""))
+  }
+
+  /** Zipf's-law corpus fit ([[graft.ext.Text.zipfFit]]): OLS of
+    * ln(freq) on ln(rank) for the top-200 terms; sums run in exact
+    * decimals of decimal-canonicalized lns, so slope/intercept divide
+    * identical operands on both engines.
+    */
+  val xZipfFit = Q(
+    "x_zipf_fit",
+    (s, dir) => graft.ext.Text.zipfFit(t(s, dir, "documents"), "text", 200),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      f AS (SELECT term, COUNT(*) AS freq FROM tok
+        WHERE len(term) > 0 GROUP BY term),
+      top AS (SELECT term, freq,
+          row_number() OVER (ORDER BY freq DESC, term) AS r FROM f),
+      pts AS (SELECT
+          CAST(CAST(ln(CAST(r AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS lx,
+          CAST(CAST(ln(CAST(freq AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS ly
+        FROM top WHERE r <= 200),
+      sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          SUM(CAST(lx AS DECIMAL(30,14))) AS sx,
+          SUM(CAST(ly AS DECIMAL(30,14))) AS sy,
+          SUM(CAST(lx * lx AS DECIMAL(30,14))) AS sxx,
+          SUM(CAST(lx * ly AS DECIMAL(30,14))) AS sxy
+        FROM pts)
+      SELECT n,
+        CAST(CAST(
+          (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          AS DECIMAL(20,12)) AS DOUBLE) AS zipf_slope,
+        CAST(CAST(
+          (CAST(sy AS DOUBLE) -
+            ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+            * CAST(sx AS DOUBLE)) / n
+          AS DECIMAL(20,12)) AS DOUBLE) AS zipf_intercept
+      FROM sums"""))
+
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
-    xTrapNearestTie)
+    xTrapNearestTie, xEmbedQuantize, xRecordLinkage, xZipfFit)
 }

@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Round-6 operator specs: int8 quantization, Fellegi–Sunter linkage,
+  * Zipf fit.
+  */
+class ExtCSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("int8 quantization: hand-computable codes, errors, and clip count") {
+    val emb = Seq(
+      (1L, Seq(1.0f, -2.0f)),
+      (2L, Seq(0.5f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibrate(emb, "embedding"))
+      .orderBy(col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // absmax: dim0 = 1.0 → scale 127; dim1 = 2.0 → scale 63.5
+    // codes: [round(1*127), round(-2*63.5)] = [127, -127]
+    //        [round(0.5*127)=64 (HALF_UP), round(2*63.5)] = [64, 127]
+    assert(out(0) == ((1L, "127,-127", 0L)))
+    assert(out(1) == ((2L, "64,127", 0L)))
+    // max_err row 2: |0.5 - 64/127| ≈ 0.0039
+    val err = Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibrate(emb, "embedding"))
+      .filter(col("vec_id") === 2).collect()(0).getDouble(3)
+    assert(math.abs(err - math.abs(0.5 - 64.0 / 127.0)) < 1e-9)
+  }
+
+  test("int8 quantization clips codes beyond the calibration range") {
+    // calibrate on small vectors, quantize a frame containing a larger
+    // one — the out-of-range element must clamp to ±127 and be counted
+    val cal = Quant.calibrate(
+      Seq((1L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding"), "embedding")
+    val out = Quant.quantizeInt8(
+        Seq((9L, Seq(2.0f, -3.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cal)
+      .collect()(0)
+    assert(out.getString(1) == "127,-127")
+    assert(out.getLong(2) == 2L)
+  }
+
+  test("Fellegi-Sunter: weights sum per agreement pattern, decisions cut at thresholds") {
+    import Linkage.FieldRule
+    val recs = Seq(
+      (1L, "alpha", 10.0, "B"),
+      (2L, "alpha", 10.0, "B"),  // full agree vs 1 → match
+      (3L, "omega", 900.0, "B")  // full disagree vs 1 → non_match
+    ).toDF("id", "name", "bal", "blk")
+    val rName = FieldRule("name", col("a.name") === col("b.name"), 0.9, 0.05)
+    val rBal = FieldRule("bal", abs(col("a.bal") - col("b.bal")) <= 1.0, 0.8, 0.1)
+    val out = Linkage.scorePairs(recs, "id", Seq("blk"),
+        Seq(rName, rBal), upper = 4.0, lower = 0.0)
+      .orderBy(col("id_a"), col("id_b"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getBoolean(2), r.getBoolean(3), r.getDouble(4), r.getString(5))))
+      .toMap
+    val full = rName.agreeWeight + rBal.agreeWeight
+    val none = rName.disagreeWeight + rBal.disagreeWeight
+    assert(out((1L, 2L))._1 && out((1L, 2L))._2)
+    assert(math.abs(out((1L, 2L))._3 - full) < 1e-9)
+    assert(out((1L, 2L))._4 == "match")
+    assert(!out((1L, 3L))._1 && !out((1L, 3L))._2)
+    assert(math.abs(out((1L, 3L))._3 - none) < 1e-9)
+    assert(out((1L, 3L))._4 == "non_match")
+    // blocking: a record in another block never pairs
+    val blocked = Linkage.scorePairs(
+      recs.union(Seq((4L, "alpha", 10.0, "C")).toDF("id", "name", "bal", "blk")),
+      "id", Seq("blk"), Seq(rName, rBal), 4.0, 0.0)
+    assert(blocked.filter(col("id_b") === 4L).isEmpty)
+  }
+
+  test("zipf fit recovers the -1 slope of an exactly Zipfian corpus") {
+    // term_i appears floor(1000/i) times: ln-ln slope ≈ -1
+    val words = (1 to 30).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val row = Text.zipfFit(docs, "text", 30).collect()(0)
+    assert(row.getLong(0) == 30L)
+    val slope = row.getDouble(1)
+    assert(slope > -1.1 && slope < -0.9, s"zipf slope $slope not near -1")
+  }
+}
