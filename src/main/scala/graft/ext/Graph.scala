@@ -68,4 +68,49 @@ object Graph {
     nodes.unpersist()
     ranks.select(col("node"), (col("pr").cast("double") / lit(Scale)).as("rank"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007) with FIXED deterministic semantics so it replays in SQL:
+    *
+    *  - init: every node labels itself;
+    *  - per round, every node adopts the most frequent label among its
+    *    in-neighbors' PREVIOUS-round labels (synchronous update — the
+    *    asynchronous variant is order-dependent and unreplayable),
+    *    ties → smallest label; nodes with no in-edges keep theirs;
+    *  - `rounds` is fixed, not convergence-tested, so an oracle can
+    *    unroll it (the [[pageRank]] technique; integer counts, no
+    *    floats anywhere).
+    *
+    * Callers wanting undirected semantics pass both edge directions.
+    *
+    * Scale shape per round: one equi-join of the O(nodes) label vector
+    * against the edge list, one (dst, lbl) count aggregate (map-side
+    * combinable), one per-dst argmax via max(struct(cnt, -lbl)) —
+    * never a window over the full graph; lineage cut per round.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds > 0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().cache()
+    var labels = nodes.withColumn("lbl", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val best = e.join(labels, e("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        // argmax: highest count, then LOWEST label (labels are node
+        // ids ≥ 0, so -lbl orders ties correctly inside one max)
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("w"))
+        .select(col("dst"), (-col("w.neg")).as("newLbl"))
+      labels = labels.join(best, labels("node") === best("dst"), "left")
+        .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    nodes.unpersist()
+    labels.select(col("node"), col("lbl").as("community"))
+  }
 }

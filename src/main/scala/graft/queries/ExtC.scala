@@ -413,7 +413,54 @@ object ExtC {
           AS DECIMAL(20,12)) AS DOUBLE) AS zipf_intercept
       FROM sums"""))
 
+  /** Label-propagation community detection
+    * ([[graft.ext.Graph.labelPropagation]]): a deterministic synthetic
+    * graph over customer keys (15 disjoint 100-node blocks, 3 modular
+    * out-edges per node, undirected) run for 4 synchronous rounds; the
+    * oracle unrolls every round as generated CTEs — integer counts and
+    * min-tie-breaks only, so communities adjudicate exactly.
+    */
+  val xLabelPropagation: Q = {
+    val rounds = 4
+    val head = """WITH ks AS (SELECT c_custkey AS k FROM customer),
+      js AS (SELECT unnest(range(1, 4)) AS j),
+      fwd AS (SELECT k AS src,
+          (k // 100) * 100 + ((k % 100) * 7 + j * 13 + 1) % 100 AS dst
+        FROM ks CROSS JOIN js),
+      edges AS (SELECT src, dst FROM fwd WHERE src <> dst
+        UNION ALL SELECT dst, src FROM fwd WHERE src <> dst),
+      nodes AS (SELECT DISTINCT node FROM
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+      l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    val iters = (1 to rounds).map { i =>
+      s"""c$i AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt
+          FROM edges e JOIN l${i - 1} l ON l.node = e.src
+          GROUP BY e.dst, l.lbl),
+        p$i AS (SELECT dst, lbl FROM (SELECT dst, lbl,
+            row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, lbl) AS rk
+          FROM c$i) WHERE rk = 1),
+        l$i AS (SELECT l.node, COALESCE(p.lbl, l.lbl) AS lbl
+          FROM l${i - 1} l LEFT JOIN p$i p ON p.dst = l.node)"""
+    }.mkString(",\n")
+    Q("x_label_propagation",
+      (s, dir) => {
+        val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+        val fwd = keys
+          .select(col("k"), explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+          .select(col("k").as("src"),
+            (expr("k div 100") * 100 +
+              ((col("k") % 100) * 7 + col("j") * 13 + 1) % 100).as("dst"))
+          .filter(col("src") =!= col("dst"))
+        val edges = fwd.unionByName(
+          fwd.select(col("dst").as("src"), col("src").as("dst")))
+        graft.ext.Graph.labelPropagation(edges, "src", "dst", rounds)
+          .orderBy(col("node"))
+      },
+      Some(s"$head,\n$iters\nSELECT node, lbl AS community FROM l$rounds ORDER BY node"))
+  }
+
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
-    xTrapNearestTie, xEmbedQuantize, xRecordLinkage, xZipfFit)
+    xTrapNearestTie, xEmbedQuantize, xRecordLinkage, xZipfFit,
+    xLabelPropagation)
 }

@@ -72,6 +72,18 @@ class ExtCSpec extends SparkSuite {
     assert(blocked.filter(col("id_b") === 4L).isEmpty)
   }
 
+  test("label propagation: two disjoint triangles converge to their min labels") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val out = Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sync rounds on a triangle: r1 sends each node its neighbors' min,
+    // r2 floods label 1 (resp. 10) everywhere — hand-derived
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
+  }
+
   test("zipf fit recovers the -1 slope of an exactly Zipfian corpus") {
     // term_i appears floor(1000/i) times: ln-ln slope ≈ -1
     val words = (1 to 30).flatMap(i => Seq.fill(1000 / i)(s"w$i"))

@@ -198,6 +198,30 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("partial"), s"no map-side partial phase:\n$p")
   }
 
+  test("round-6 operators keep their scale shapes") {
+    // record linkage: blocked equi-join, never a cartesian
+    val link = plan("x_record_linkage")
+    assert(!link.contains("CartesianProduct"),
+      s"record linkage went cartesian:\n$link")
+    assert(link.contains("SortMergeJoin") || link.contains("BroadcastHashJoin")
+      || link.contains("ShuffledHashJoin"),
+      s"record linkage lost its blocked equi-join:\n$link")
+
+    // int8 encode: scales folded into literals — the encode pass itself
+    // adds NO exchange beyond calibration's (pos-keyed) aggregate and
+    // the output sort
+    val q = plan("x_embed_quantize")
+    val qEx = q.linesIterator.count(_.contains("Exchange"))
+    assert(qEx <= 4, s"quantize encode plans $qEx exchanges:\n$q")
+
+    // zipf fit: token count aggregates partially (map-side combine) and
+    // the topR cut is a TakeOrdered, not a global sort of the vocab
+    val z = plan("x_zipf_fit")
+    assert(z.contains("partial"), s"zipf token count not partial:\n$z")
+    assert(z.contains("TakeOrderedAndProject"),
+      s"zipf topR is not a TakeOrdered:\n$z")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
