@@ -92,6 +92,36 @@ object Behavior {
         col("n_active").cast("double") / col("cohort_size"))
   }
 
+  /** Linear (equal-credit) multi-touch attribution — the fractional
+    * companion of [[touchAttribution]]: every touch inside the lookback
+    * window gets `value / n_touches` of the conversion's credit, one
+    * output row per (conversion, touch). Same single user-keyed
+    * range-join shape; the per-conversion touch count is a window count
+    * over the conversion key (narrow after the join), never a re-join.
+    * Credit is a plain double division of identical operands, so an
+    * external oracle replays it exactly.
+    */
+  def linearAttribution(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, touchType: String, convType: String,
+      lookback: String, typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    val conv = events.filter(col(typeCol) === convType)
+      .select(col(userCol).as("user_id"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"), col(valueCol).as("value"))
+    val touch = events.filter(col(typeCol) === touchType)
+      .select(col(userCol).as("t_user"), col(idCol).as("touch_id"),
+        col(tsCol).as("touch_ts"))
+    val w = Window.partitionBy(col("conv_id"))
+    conv.join(touch,
+        col("user_id") === col("t_user") &&
+          col("touch_ts") <= col("conv_ts") &&
+          col("touch_ts") >= col("conv_ts") - expr(s"INTERVAL $lookback"))
+      .withColumn("n_touches", count(lit(1)).over(w).cast("bigint"))
+      .select(col("user_id"), col("conv_id"), col("touch_id"),
+        col("touch_ts"), col("n_touches"),
+        (col("value") / col("n_touches")).as("credit"))
+  }
+
   /** First/last-touch attribution: each conversion credits the
     * earliest and latest touch event of the same user inside the
     * lookback window — the marketing-attribution primitive.

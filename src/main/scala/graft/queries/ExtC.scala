@@ -459,8 +459,34 @@ object ExtC {
       Some(s"$head,\n$iters\nSELECT node, lbl AS community FROM l$rounds ORDER BY node"))
   }
 
+  /** Linear multi-touch attribution
+    * ([[graft.ext.Behavior.linearAttribution]]): every click inside
+    * the 3-day lookback gets an equal value/n share of the purchase —
+    * one row per (conversion, touch), the fractional companion of the
+    * first/last-touch `x_attribution`. Credit is a plain double
+    * division, replayed exactly.
+    */
+  val xAttributionLinear = Q(
+    "x_attribution_linear",
+    (s, dir) => graft.ext.Behavior.linearAttribution(t(s, dir, "events"),
+      "user_id", "ts", "event_id", touchType = "click",
+      convType = "purchase", lookback = "3 days")
+      .orderBy(col("conv_id"), col("touch_id")),
+    Some("""WITH conv AS (SELECT user_id, event_id AS conv_id,
+        ts AS conv_ts, value FROM events WHERE event_type = 'purchase'),
+      touch AS (SELECT user_id AS t_user, event_id AS touch_id,
+        ts AS touch_ts FROM events WHERE event_type = 'click'),
+      joined AS (SELECT user_id, conv_id, touch_id, touch_ts, value
+        FROM conv JOIN touch ON user_id = t_user
+          AND touch_ts <= conv_ts
+          AND touch_ts >= conv_ts - INTERVAL 3 DAY)
+      SELECT user_id, conv_id, touch_id, touch_ts,
+        CAST(COUNT(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n_touches,
+        value / (COUNT(*) OVER (PARTITION BY conv_id)) AS credit
+      FROM joined ORDER BY conv_id, touch_id"""))
+
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
     xTrapNearestTie, xEmbedQuantize, xRecordLinkage, xZipfFit,
-    xLabelPropagation)
+    xLabelPropagation, xAttributionLinear)
 }

@@ -84,6 +84,24 @@ class ExtCSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
   }
 
+  test("linear attribution splits conversion value equally across in-window touches") {
+    val base = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
+    def at(hours: Int) = new java.sql.Timestamp(base.getTime + hours * 3600L * 1000)
+    val events = Seq(
+      (1L, 100L, at(-10), "click", 0.0),
+      (1L, 101L, at(-5), "click", 0.0),
+      (1L, 102L, at(0), "purchase", 90.0),
+      (1L, 103L, at(-100), "click", 0.0), // outside 3-day lookback
+      (2L, 200L, at(0), "purchase", 50.0) // no touches → no rows
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Behavior.linearAttribution(events, "user_id", "ts",
+        "event_id", "click", "purchase", "3 days")
+      .collect().map(r => r.getLong(2) -> (r.getLong(4), r.getDouble(5)))
+      .toMap
+    assert(out.keySet == Set(100L, 101L), s"wrong touches credited: $out")
+    assert(out(100L) == ((2L, 45.0)) && out(101L) == ((2L, 45.0)))
+  }
+
   test("zipf fit recovers the -1 slope of an exactly Zipfian corpus") {
     // term_i appears floor(1000/i) times: ln-ln slope ≈ -1
     val words = (1 to 30).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
