@@ -31,6 +31,25 @@ object Quant {
         when(col("absmax") > 0, lit(127.0) / col("absmax"))
           .otherwise(lit(0.0)).as("scale"))
 
+  /** Percentile calibration — the production alternative to [[calibrate]]:
+    * abs-max is a single-outlier hostage (one corrupt vector crushes the
+    * whole dimension's resolution), so the range is set at the `p`-th
+    * exact percentile of |x| and the tail beyond it CLIPS to ±127 — the
+    * standard resolution-vs-saturation trade. Same output contract, so
+    * it drops into [[quantizeInt8]] unchanged.
+    */
+  def calibratePercentile(emb: DataFrame, vecCol: String,
+      p: Double): DataFrame = {
+    require(0 < p && p <= 1, "need 0 < p <= 1")
+    emb.select(posexplode(Similarity.toDoubleVec(col(vecCol)))
+        .as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(expr(s"percentile(abs(x), $p)").as("absmax"))
+      .select(col("pos"), col("absmax"),
+        when(col("absmax") > 0, lit(127.0) / col("absmax"))
+          .otherwise(lit(0.0)).as("scale"))
+  }
+
   /** Quantize each vector with the given calibration. Output per id:
     * the int8 codes (serialized — list cells don't survive the driver
     * compare), the clip count, and the max absolute reconstruction

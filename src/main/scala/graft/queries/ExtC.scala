@@ -300,6 +300,41 @@ object ExtC {
           AS DECIMAL(20,12)) AS DOUBLE) AS max_err
       FROM q GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** Percentile-calibrated int8 quantization: range at the p99 of |x|
+    * per dimension, so the top tail actually CLIPS — the
+    * resolution-vs-saturation production trade [[xEmbedQuantize]]'s
+    * abs-max variant never exercises. Clip counts and errors
+    * adjudicate exactly (percentile ↔ quantile_cont interpolation
+    * agreement is the proven winsorized-mean pattern).
+    */
+  val xEmbedQuantizeP99 = Q(
+    "x_embed_quantize_p99",
+    (s, dir) => {
+      import graft.ext.Quant
+      val emb = t(s, dir, "embeddings")
+      Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibratePercentile(emb, "embedding", 0.99))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      pp AS (SELECT unnest(range(1, 65)) AS p),
+      cal AS (SELECT p, quantile_cont(abs(v[p]), 0.99) AS am
+        FROM e CROSS JOIN pp GROUP BY p),
+      sc AS (SELECT p, CASE WHEN am > 0 THEN 127.0 / am ELSE 0.0 END AS s
+        FROM cal),
+      q AS (SELECT vec_id, p, v[p] AS x, s,
+          least(greatest(round(v[p] * s), -127.0), 127.0) AS c
+        FROM e CROSS JOIN pp JOIN sc USING (p))
+      SELECT vec_id,
+        string_agg(CAST(CAST(c AS INTEGER) AS VARCHAR), ',' ORDER BY p) AS codes,
+        CAST(SUM(CASE WHEN abs(round(x * s)) > 127 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clipped,
+        CAST(CAST(max(CASE WHEN s > 0 THEN abs(x - c / s) ELSE abs(x) END)
+          AS DECIMAL(20,12)) AS DOUBLE) AS max_err
+      FROM q GROUP BY vec_id ORDER BY vec_id"""))
+
   /** Fellegi–Sunter record linkage ([[graft.ext.Linkage]]): customers +
     * exact-duplicate clones (every 6th key, new surrogate key) scored
     * over (nation, segment)-blocked pairs on three field rules.
@@ -487,6 +522,6 @@ object ExtC {
 
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
-    xTrapNearestTie, xEmbedQuantize, xRecordLinkage, xZipfFit,
-    xLabelPropagation, xAttributionLinear)
+    xTrapNearestTie, xEmbedQuantize, xEmbedQuantizeP99, xRecordLinkage,
+    xZipfFit, xLabelPropagation, xAttributionLinear)
 }

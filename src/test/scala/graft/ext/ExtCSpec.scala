@@ -42,6 +42,25 @@ class ExtCSpec extends SparkSuite {
     assert(out.getLong(2) == 2L)
   }
 
+  test("percentile calibration clips the outlier tail that absmax would protect") {
+    import spark.implicits._
+    // 9 unit values + one 10x outlier in dim 0: absmax calibration keeps
+    // the outlier representable; p-0.8 calibration sets the range at the
+    // bulk and the outlier clips
+    val emb = ((1 to 9).map(i => (i.toLong, Seq(1.0f, 1.0f))) :+
+      (10L, Seq(10.0f, 1.0f))).toDF("vec_id", "embedding")
+    val byMax = Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibrate(emb, "embedding"))
+      .agg(sum(col("n_clipped"))).collect()(0).getLong(0)
+    assert(byMax == 0L, "absmax calibration must never clip")
+    val byPct = Quant.quantizeInt8(emb, "vec_id", "embedding",
+        Quant.calibratePercentile(emb, "embedding", 0.8))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byPct(10L) == 1L, s"outlier vector must clip in dim 0: $byPct")
+    assert((1 to 9).forall(i => byPct(i.toLong) == 0L),
+      s"bulk vectors must not clip: $byPct")
+  }
+
   test("Fellegi-Sunter: weights sum per agreement pattern, decisions cut at thresholds") {
     import Linkage.FieldRule
     val recs = Seq(
