@@ -113,4 +113,45 @@ object Graph {
     nodes.unpersist()
     labels.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Multi-source BFS distances, `rounds` synchronous hops: the k-hop
+    * reachability primitive (e.g. how far does contamination spread
+    * from a set of flagged documents through the near-dup graph).
+    * Pure integer min-propagation — distance vector starts at 0 on the
+    * seeds, each round takes min(dist, 1 + min over in-neighbors) —
+    * so an oracle unrolls it exactly like [[pageRank]]'s CTEs. Nodes
+    * unreached within `rounds` hops report distance −1 (documented
+    * sentinel; NULL would make the driver hash fragile).
+    *
+    * Scale shape per round: one distance-vector equi-join + one min
+    * aggregate per destination (map-side combinable); lineage cut per
+    * round. Callers wanting undirected semantics pass both directions.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().cache()
+    val s0 = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val Unreached = Long.MaxValue
+    var dist = nodes.join(s0.withColumn("z", lit(0L)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("z"), lit(Unreached)).as("d"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = e.join(dist, e("src") === dist("node"))
+        .filter(col("d") =!= Unreached) // don't relax from unreached
+        .groupBy(col("dst")).agg((min(col("d")) + 1).as("nd"))
+      dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
+        .select(col("node"), least(col("d"), coalesce(col("nd"),
+          lit(Unreached))).as("d"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    nodes.unpersist()
+    dist.select(col("node"),
+      when(col("d") === Unreached, lit(-1L)).otherwise(col("d"))
+        .as("distance"))
+  }
 }

@@ -448,16 +448,24 @@ object ExtC {
           AS DECIMAL(20,12)) AS DOUBLE) AS zipf_intercept
       FROM sums"""))
 
-  /** Label-propagation community detection
-    * ([[graft.ext.Graph.labelPropagation]]): a deterministic synthetic
-    * graph over customer keys (15 disjoint 100-node blocks, 3 modular
-    * out-edges per node, undirected) run for 4 synchronous rounds; the
-    * oracle unrolls every round as generated CTEs — integer counts and
-    * min-tie-breaks only, so communities adjudicate exactly.
+  /** Deterministic synthetic graph over customer keys (15 disjoint
+    * 100-node blocks, 3 modular out-edges per node, undirected) —
+    * shared fixture for the iterative graph operators; [[graphCtes]]
+    * is its SQL replay (exposes `edges` and `nodes`).
     */
-  val xLabelPropagation: Q = {
-    val rounds = 4
-    val head = """WITH ks AS (SELECT c_custkey AS k FROM customer),
+  private def syntheticGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
+    val fwd = keys
+      .select(col("k"), explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+      .select(col("k").as("src"),
+        (expr("k div 100") * 100 +
+          ((col("k") % 100) * 7 + col("j") * 13 + 1) % 100).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private val graphCtes = """WITH ks AS (SELECT c_custkey AS k FROM customer),
       js AS (SELECT unnest(range(1, 4)) AS j),
       fwd AS (SELECT k AS src,
           (k // 100) * 100 + ((k % 100) * 7 + j * 13 + 1) % 100 AS dst
@@ -465,8 +473,17 @@ object ExtC {
       edges AS (SELECT src, dst FROM fwd WHERE src <> dst
         UNION ALL SELECT dst, src FROM fwd WHERE src <> dst),
       nodes AS (SELECT DISTINCT node FROM
-        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
-      l0 AS (SELECT node, node AS lbl FROM nodes)"""
+        (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))"""
+
+  /** Label-propagation community detection
+    * ([[graft.ext.Graph.labelPropagation]]): the synthetic blocked
+    * graph run for 4 synchronous rounds; the oracle unrolls every
+    * round as generated CTEs — integer counts and min-tie-breaks only,
+    * so communities adjudicate exactly.
+    */
+  val xLabelPropagation: Q = {
+    val rounds = 4
+    val head = s"$graphCtes,\n      l0 AS (SELECT node, node AS lbl FROM nodes)"
     val iters = (1 to rounds).map { i =>
       s"""c$i AS (SELECT e.dst, l.lbl, COUNT(*) AS cnt
           FROM edges e JOIN l${i - 1} l ON l.node = e.src
@@ -478,20 +495,41 @@ object ExtC {
           FROM l${i - 1} l LEFT JOIN p$i p ON p.dst = l.node)"""
     }.mkString(",\n")
     Q("x_label_propagation",
-      (s, dir) => {
-        val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
-        val fwd = keys
-          .select(col("k"), explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
-          .select(col("k").as("src"),
-            (expr("k div 100") * 100 +
-              ((col("k") % 100) * 7 + col("j") * 13 + 1) % 100).as("dst"))
-          .filter(col("src") =!= col("dst"))
-        val edges = fwd.unionByName(
-          fwd.select(col("dst").as("src"), col("src").as("dst")))
-        graft.ext.Graph.labelPropagation(edges, "src", "dst", rounds)
-          .orderBy(col("node"))
-      },
+      (s, dir) => graft.ext.Graph.labelPropagation(
+        syntheticGraph(s, dir), "src", "dst", rounds).orderBy(col("node")),
       Some(s"$head,\n$iters\nSELECT node, lbl AS community FROM l$rounds ORDER BY node"))
+  }
+
+  /** Multi-source BFS distances ([[graft.ext.Graph.bfsDistances]]):
+    * every 250th key seeds distance 0 on the synthetic blocked graph;
+    * 4 hops of pure integer min-propagation, unrolled by the oracle
+    * round for round. Blocks without a seed stay at the −1 sentinel —
+    * the k-hop reachability primitive (contamination-spread audits).
+    */
+  val xBfsDistances: Q = {
+    val rounds = 4
+    val inf = Long.MaxValue
+    val iters = (1 to rounds).map { i =>
+      s"""r$i AS (SELECT e.dst, MIN(d.d) + 1 AS nd
+          FROM edges e JOIN d${i - 1} d ON d.node = e.src
+          WHERE d.d <> $inf GROUP BY e.dst),
+        d$i AS (SELECT d.node, least(d.d, COALESCE(r.nd, $inf)) AS d
+          FROM d${i - 1} d LEFT JOIN r$i r ON r.dst = d.node)"""
+    }.mkString(",\n")
+    Q("x_bfs_distances",
+      (s, dir) => {
+        val seeds = t(s, dir, "customer")
+          .filter(col("c_custkey") % 250 === 0)
+          .select(col("c_custkey").as("seed"))
+        graft.ext.Graph.bfsDistances(syntheticGraph(s, dir), "src", "dst",
+          seeds, "seed", rounds).orderBy(col("node"))
+      },
+      Some(s"""$graphCtes,
+        d0 AS (SELECT node,
+          CASE WHEN node % 250 = 0 THEN 0 ELSE $inf END AS d FROM nodes),
+        $iters
+        SELECT node, CASE WHEN d = $inf THEN -1 ELSE d END AS distance
+        FROM d$rounds ORDER BY node"""))
   }
 
   /** Linear multi-touch attribution
@@ -523,5 +561,5 @@ object ExtC {
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
     xTrapNearestTie, xEmbedQuantize, xEmbedQuantizeP99, xRecordLinkage,
-    xZipfFit, xLabelPropagation, xAttributionLinear)
+    xZipfFit, xLabelPropagation, xBfsDistances, xAttributionLinear)
 }

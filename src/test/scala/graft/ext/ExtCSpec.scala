@@ -103,6 +103,23 @@ class ExtCSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
   }
 
+  test("bfs distances: path graph hops, horizon sentinel, multi-seed min") {
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val out = Graph.bfsDistances(edges, "src", "dst", seeds, "seed", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 5 is 4 hops away — beyond the 3-round horizon → -1 sentinel
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> -1L),
+      s"got $out")
+    // two seeds: every node takes the min over sources
+    val out2 = Graph.bfsDistances(edges, "src", "dst",
+        Seq(1L, 5L).toDF("seed"), "seed", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L),
+      s"got $out2")
+  }
+
   test("linear attribution splits conversion value equally across in-window touches") {
     val base = java.sql.Timestamp.valueOf("2024-01-10 12:00:00")
     def at(hours: Int) = new java.sql.Timestamp(base.getTime + hours * 3600L * 1000)
