@@ -61,4 +61,43 @@ object Robust {
         (sum(col("w").cast("decimal(20,6)")).cast("double") / count(lit(1)))
           .as("winsorized_mean"))
   }
+
+  /** Benford's-law first-digit audit — the classic fabricated-data /
+    * unit-mixing screen: naturally-occurring magnitudes put digit d
+    * first with probability log₁₀(1 + 1/d); synthetic or truncated
+    * feeds don't. Emits per digit the observed count, the expected
+    * count, and its χ² contribution.
+    *
+    * Determinism: the first significant digit comes from the STRING of
+    * the DECIMAL(18,2)-canonicalized value (a float log₁₀ would flip
+    * at exact powers of ten where log10(100) evaluates 1.999…), and
+    * the Benford probabilities are compile-time literals, so expected
+    * counts and χ² terms replay exactly. The 2-decimal canonicalization
+    * means magnitudes below 0.005 round to 0.00 and drop out, and a
+    * sub-cent first digit can shift with the rounding — fine for
+    * currency-scale feeds, use a wider DECIMAL for micro-magnitudes.
+    * One count aggregate over a 9-value key space plus a 1-row total —
+    * trivially map-side combinable at any scale.
+    */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val digits = df
+      .select(value.cast("decimal(18,2)").cast("string").as("s"))
+      .select(regexp_extract(col("s"), "[1-9]", 0).as("digit"))
+      .filter(col("digit") =!= "")
+      .groupBy(col("digit")).agg(count(lit(1)).cast("bigint").as("n_obs"))
+    val tot = digits.agg(sum(col("n_obs")).cast("bigint").as("n"))
+    val p = (1 to 9).foldLeft(lit(0.0)) { (acc, d) =>
+      when(col("digit") === d.toString, lit(math.log10(1 + 1.0 / d)))
+        .otherwise(acc)
+    }
+    digits.crossJoin(tot)
+      .withColumn("expected",
+        (col("n").cast("double") * p).cast("decimal(20,12)").cast("double"))
+      .withColumn("chi2_term",
+        (((col("n_obs").cast("double") - col("n").cast("double") * p) *
+          (col("n_obs").cast("double") - col("n").cast("double") * p)) /
+          (col("n").cast("double") * p))
+          .cast("decimal(20,12)").cast("double"))
+      .select(col("digit"), col("n_obs"), col("expected"), col("chi2_term"))
+  }
 }

@@ -558,8 +558,42 @@ object ExtC {
         value / (COUNT(*) OVER (PARTITION BY conv_id)) AS credit
       FROM joined ORDER BY conv_id, touch_id"""))
 
+  /** Benford's-law first-digit audit ([[graft.ext.Robust.benfordAudit]])
+    * over order totals — the fabricated-data screen. Digits come from
+    * the DECIMAL-canonicalized string (never a float log10), the
+    * Benford probabilities are interpolated literals (CAST AS DOUBLE —
+    * the record-linkage lesson), so expected counts and χ² terms
+    * adjudicate exactly.
+    */
+  val xBenford: Q = {
+    val cases = (1 to 9).map(d =>
+      s"WHEN digit = '$d' THEN CAST(${math.log10(1 + 1.0 / d)} AS DOUBLE)")
+      .mkString(" ")
+    Q("x_benford",
+      (s, dir) => graft.ext.Robust.benfordAudit(t(s, dir, "orders"),
+        col("o_totalprice")).orderBy(col("digit")),
+      Some(s"""WITH digits AS (SELECT regexp_extract(
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '[1-9]')
+            AS digit FROM orders),
+        d AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits
+          WHERE digit <> '' GROUP BY digit),
+        tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM d),
+        w AS (SELECT digit, n_obs, n,
+            CASE $cases ELSE CAST(0.0 AS DOUBLE) END AS p
+          FROM d CROSS JOIN tot)
+        SELECT digit, n_obs,
+          CAST(CAST(CAST(n AS DOUBLE) * p AS DECIMAL(20,12)) AS DOUBLE)
+            AS expected,
+          CAST(CAST(((CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p)
+              * (CAST(n_obs AS DOUBLE) - CAST(n AS DOUBLE) * p))
+              / (CAST(n AS DOUBLE) * p) AS DECIMAL(20,12)) AS DOUBLE)
+            AS chi2_term
+        FROM w ORDER BY digit"""))
+  }
+
   val queries: Seq[Q] = Seq(xAnnIvfKmeansRecall, xMultimodalDecodeReal,
     xMultimodalResizeReal, xTrapCdcDeleteFirst, xTrapWinsorTies,
     xTrapNearestTie, xEmbedQuantize, xEmbedQuantizeP99, xRecordLinkage,
-    xZipfFit, xLabelPropagation, xBfsDistances, xAttributionLinear)
+    xZipfFit, xLabelPropagation, xBfsDistances, xAttributionLinear,
+    xBenford)
 }

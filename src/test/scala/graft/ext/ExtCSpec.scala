@@ -103,6 +103,26 @@ class ExtCSpec extends SparkSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L), s"got $out")
   }
 
+  test("benford audit: digits from canonical strings, chi2 sums to known value") {
+    import spark.implicits._
+    // 30 values leading with 1, 10 with 2: n=40 (note 0.25 — the
+    // DECIMAL(18,2) canonicalization rounds sub-cent magnitudes, so
+    // e.g. 0.029 would become 0.03 and read as digit 3)
+    val vals = (Seq.fill(30)(123.45) ++ Seq.fill(10)(0.25)).toDF("v")
+    val out = Robust.benfordAudit(vals, col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("1", "2"))
+    assert(out("1")._1 == 30L && out("2")._1 == 10L)
+    val e1 = 40 * math.log10(2.0)
+    assert(math.abs(out("1")._2 - e1) < 1e-9)
+    assert(math.abs(out("1")._3 - (30 - e1) * (30 - e1) / e1) < 1e-9)
+    // power-of-ten value must classify as digit 1 (the float-log trap)
+    val p10 = Robust.benfordAudit(Seq(100.0).toDF("v"), col("v"))
+      .collect()(0).getString(0)
+    assert(p10 == "1")
+  }
+
   test("bfs distances: path graph hops, horizon sentinel, multi-seed min") {
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
     val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
