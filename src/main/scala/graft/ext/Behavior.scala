@@ -157,4 +157,33 @@ object Behavior {
           .as("last_touch_id"),
         count(lit(1)).cast("bigint").as("n_touches"))
   }
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = to | current = from), estimated from adjacent
+    * event pairs in time order (ties broken by `tieCol` so pairing is
+    * deterministic under any partitioning). Transition counts are
+    * integers and the probability is one double division of integer
+    * operands, so the matrix adjudicates exactly.
+    *
+    * Scale shape: one exchange on the user column for the lag, then a
+    * groupBy on the (from, to) pair — the matrix side is O(#types²),
+    * so the per-row probability join is a broadcast at any corpus
+    * size.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("from_type", lag(col(typeCol), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .select(col("from_type"), col(typeCol).as("to_type"))
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    counts
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("row_total").cast("double"))
+          .as("prob"))
+  }
 }

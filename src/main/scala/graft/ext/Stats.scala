@@ -1,0 +1,288 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical audits over model scores and curated corpora: ROC-AUC
+  * for filter-model evaluation, Spearman rank correlation between
+  * quality signals, Gini concentration, rolling integer-exact anomaly
+  * detection, and a k-anonymity privacy audit. The reference delegates
+  * all analytics to its warehouse (SURVEY.md §2.7); these are the
+  * model-eval / dataset-audit operators a training-data pipeline runs
+  * on top of that stack, expressed Spark-first.
+  *
+  * Determinism: every operator below reduces to integer (or exact
+  * decimal) aggregates with a single final double division — the
+  * [[graft.queries.H]] recipe — so each is adjudicated hash-exactly by
+  * the DuckDB oracle. In particular the rank-based operators avoid
+  * per-row global windows: ranks are derived from cumulative counts
+  * over *distinct values*, which is both the scale-correct shape
+  * (the window state is O(#distinct), not O(#rows)) and trivially
+  * tie-stable.
+  */
+object Stats {
+
+  /** Tie-corrected ROC-AUC (Mann–Whitney U) of a score column against
+    * a boolean label. Ranks ascend with the score; tied scores take
+    * the average rank, tracked as the *doubled* rank `2·avg = 2·cum −
+    * c + 1` so everything stays in BIGINT until the one final
+    * division: `AUC = (Σ 2R⁺ − P(P+1)) / (2·P·N)`.
+    *
+    * Scale shape: one groupBy on the score value (map-side
+    * combinable), then a cumulative window over *distinct scores* —
+    * for calibrated model scores that domain is bounded (and can be
+    * bucketized first if it ever is not), so the single-partition
+    * window holds O(#distinct) rows, not O(#rows).
+    */
+  def rocAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val base = df.select(score.cast("double").as("s"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val byScore = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("c"), sum(col("y")).as("p"))
+    val cum = byScore.withColumn("cumc",
+      sum(col("c")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // min rank of the tie group = cumc − c + 1, so
+    // 2·avgrank = 2(cumc − c + 1) + (c − 1) = 2·cumc − c + 1
+    val sums = cum
+      .select((col("p") * (lit(2) * col("cumc") - col("c") + 1)).as("r2"),
+        col("p"), col("c"))
+      .agg(sum(col("r2")).as("sum2r"), sum(col("p")).as("pos"),
+        sum(col("c")).as("n"))
+    sums.select(
+      col("pos").cast("bigint").as("n_pos"),
+      (col("n") - col("pos")).cast("bigint").as("n_neg"),
+      ((col("sum2r") - col("pos") * (col("pos") + 1)).cast("double") /
+        (lit(2).cast("double") * col("pos").cast("double") *
+          (col("n") - col("pos")).cast("double"))).as("auc"))
+  }
+
+  /** Spearman rank correlation between two numeric columns, with
+    * proper average-rank tie handling. Works on centered doubled
+    * ranks: `c = 2·avgrank − (n+1)` is an integer in [−n, n] with an
+    * exactly-zero mean, so `ρ = Σcₓc_y / (√Σcₓ² · √Σc_y²)` needs no
+    * n·Σ − Σ² cross terms and every sum fits BIGINT up to n ≈ 2M rows
+    * (beyond that, swap the three sums to DECIMAL(38,0)).
+    *
+    * Scale shape: two distinct-value rank maps (each a groupBy plus a
+    * cumulative window over distinct values) joined back onto the
+    * rows — the maps broadcast whenever the domains are bounded.
+    */
+  def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    def rankMap(c: String): DataFrame = {
+      val g = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      g.withColumn("cumc", sum(col("cnt")).over(Window.orderBy(col(c))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col(c), (lit(2) * col("cumc") - col("cnt") + 1).as(s"r2$c"))
+    }
+    val n1 = base.agg((count(lit(1)) + 1).as("np1"))
+    val ranked = base.join(rankMap("x"), "x").join(rankMap("y"), "y")
+      .crossJoin(n1)
+      .select((col("r2x") - col("np1")).as("cx"),
+        (col("r2y") - col("np1")).as("cy"))
+    ranked
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("cx") * col("cy")).as("sxy"),
+        sum(col("cx") * col("cx")).as("sxx"),
+        sum(col("cy") * col("cy")).as("syy"))
+      .select(col("n"),
+        (col("sxy").cast("double") /
+          (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
+          .as("spearman_rho"))
+  }
+
+  /** Gini coefficient of a non-negative decimal measure (revenue
+    * concentration, token-count concentration): with values sorted
+    * ascending and 1-based index i, `G = (2·Σ i·xᵢ − (n+1)·Σx) /
+    * (n·Σx)`. Σ i·xᵢ is permutation-invariant within tied values, so
+    * the index tie-break only pins determinism, never the value. All
+    * arithmetic is exact decimal until the single final division.
+    *
+    * Scale shape: one aggregate per entity, then a global index over
+    * the *entities* (O(#groups), not O(#rows)); at extreme entity
+    * cardinality the drop-in replacement is a bucketed Lorenz curve
+    * over equi-depth bins ([[Bins.equiDepth]]).
+    */
+  def gini(df: DataFrame, entity: Column, measure: Column): DataFrame = {
+    val per = df.groupBy(entity.as("e"))
+      .agg(sum(measure.cast("decimal(18,2)")).as("v"))
+    val idx = per.withColumn("i",
+      row_number().over(Window.orderBy(col("v"), col("e"))))
+    // decimal widths are chosen so DuckDB's width-additive decimal
+    // multiplies stay under its precision-38 ceiling: t,w ≤ 10^23 in
+    // DECIMAL(25,2); the int factors ride in DECIMAL(10,0)
+    idx
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("v")).cast("decimal(25,2)").as("t"),
+        sum(col("i") * col("v")).cast("decimal(25,2)").as("w"))
+      .select(col("n"),
+        col("t").cast("double").as("total"),
+        ((lit(2).cast("decimal(10,0)") * col("w") -
+          (col("n") + 1).cast("decimal(10,0)") * col("t"))
+          .cast("decimal(38,2)").cast("double") /
+          (col("n").cast("decimal(10,0)") * col("t"))
+            .cast("decimal(38,2)").cast("double")).as("gini"))
+  }
+
+  /** Rolling anomaly detection over per-group daily counts, exact in
+    * integers: a day is anomalous when its count x deviates from the
+    * trailing `win`-day mean by more than k standard deviations —
+    * tested as `(n·x − S)² > k²·(n·Q − S²)` with S = Σcount and
+    * Q = Σcount² over the trailing window, which clears both
+    * denominators so no float (or sqrt) ever enters the decision.
+    * Days with an incomplete trailing window are never flagged.
+    *
+    * Scale shape: the raw events collapse to one row per (group, day)
+    * first (map-side combinable), so the per-group window walks days,
+    * not events.
+    */
+  def rollingAnomalies(df: DataFrame, group: Column, ts: Column,
+      win: Int = 7, k: Int = 3): DataFrame = {
+    val daily = df
+      .groupBy(group.as("grp"), date_format(ts, "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("day"))
+      .rowsBetween(-win, -1)
+    daily
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s_win", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("q_win", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .select(col("grp"), col("day"), col("cnt").cast("bigint").as("cnt"),
+        col("n_win").cast("bigint").as("n_win"),
+        col("s_win").cast("bigint").as("s_win"),
+        (col("n_win") === win &&
+          (col("n_win") * col("cnt") - col("s_win")) *
+            (col("n_win") * col("cnt") - col("s_win")) >
+            lit(k.toLong * k) * (col("n_win") * col("q_win") -
+              col("s_win") * col("s_win"))).as("anomaly"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `valA` and
+    * `valB` distributions: `D = max |F_A(v) − F_B(v)|` over the union
+    * of observed values, computed denominator-cleared as
+    * `max |cumA·nB − cumB·nA| / (nA·nB)` — the max runs over BIGINTs,
+    * so the drift decision never touches a float until the one final
+    * division. The distribution-shift / A-B-test primitive.
+    *
+    * Scale shape: each sample collapses to per-distinct-value counts
+    * first (map-side combinable); the cumulative window then walks
+    * O(#distinct values), not O(#rows), exactly like [[rocAuc]].
+    */
+  def ksTest(a: DataFrame, b: DataFrame, value: Column): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      df.select(value.cast("double").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as(name))
+    val merged = counts(a, "ca").join(counts(b, "cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cuma", sum(col("ca")).over(w))
+      .withColumn("cumb", sum(col("cb")).over(w))
+    val tot = merged.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cum.crossJoin(tot)
+      .select(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d"),
+        col("na"), col("nb"))
+      .groupBy(col("na"), col("nb"))
+      .agg(max(col("d")).as("dnum"))
+      .select(col("na").cast("bigint").as("n_a"),
+        col("nb").cast("bigint").as("n_b"),
+        (col("dnum").cast("double") /
+          (col("na") * col("nb")).cast("double")).as("ks_d"))
+  }
+
+  /** Reliability-diagram bins for a score against a boolean outcome:
+    * fixed-width score buckets with observed positive rate and exact
+    * decimal mean score per bin — read next to [[rocAuc]], this is the
+    * calibration half of filter-model evaluation. Counts are integers,
+    * the mean and rate are single divisions of exact operands.
+    *
+    * Scale shape: one map-side-combinable groupBy on the bucket index;
+    * O(#bins) rows out.
+    */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+      binWidth: Double, nBins: Int): DataFrame = {
+    val bin = least(floor(score.cast("double") / binWidth),
+      lit(nBins - 1L)).cast("bigint")
+    df.select(bin.as("bin"), score.cast("double").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("y")).cast("bigint").as("n_pos"),
+        graft.queries.H.sum38(graft.queries.H.dec2(col("s")), 2, "sum_score"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("sum_score") / col("n").cast("double")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("pos_rate"))
+  }
+
+  /** Pearson χ² independence audit between two categorical columns:
+    * one row per observed cell with its expected count `r·c/N` and χ²
+    * term `(O−E)²/E` — the [[Robust.benfordAudit]] recipe generalized
+    * from a fixed reference distribution to the product of the
+    * marginals. Terms are double arithmetic on identical integer
+    * operands, canonicalized once through DECIMAL(20,12).
+    *
+    * Scale shape: one cell-count groupBy; the marginals are O(|X|) and
+    * O(|Y|) aggregates broadcast back onto the cells.
+    */
+  def chi2Independence(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val e = (col("r") * col("c")).cast("double") / col("n").cast("double")
+    val dev = col("o").cast("double") - e
+    cells.join(rows, "x").join(cols, "y").crossJoin(n)
+      .select(col("x"), col("y"), col("o").cast("bigint").as("n_obs"),
+        e.cast("decimal(20,12)").cast("double").as("expected"),
+        (dev * dev / e).cast("decimal(20,12)").cast("double").as("chi2_term"))
+  }
+
+  /** Mutual information (nats) between two categorical columns:
+    * `MI = Σ (n_ij/N)·ln(n_ij·N / (r_i·c_j))` with every logarithm
+    * taken of an exact integer product (≤ N³, exact in a double up to
+    * N ≈ 200k per side) and canonicalized through DECIMAL(20,12); the
+    * weighted sum runs in DECIMAL(30,14). The feature-redundancy audit
+    * for categorical metadata columns.
+    *
+    * Scale shape: identical to [[chi2Independence]] — cell counts plus
+    * broadcast marginals, one final one-row aggregate.
+    */
+  def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    def lnCanon(c: Column) =
+      log(c.cast("double")).cast("decimal(20,12)").cast("double")
+    val term = (col("o").cast("double") *
+      (lnCanon(col("o") * col("n")) - lnCanon(col("r") * col("c"))))
+      .cast("decimal(30,14)")
+    cells.join(rows, "x").join(cols, "y").crossJoin(n)
+      .groupBy(col("n"))
+      .agg(sum(term).as("s"))
+      .select(col("n").cast("bigint").as("n"),
+        (col("s").cast("double") / col("n").cast("double"))
+          .cast("decimal(20,12)").cast("double").as("mutual_info"))
+  }
+
+  /** k-anonymity audit: quasi-identifier combinations shared by fewer
+    * than k rows — each is a re-identification risk in released
+    * training data. Returns the risky combinations with their counts;
+    * generalization (e.g. bucketing a continuous column) is the
+    * caller's move, applied in the `qids` expressions.
+    *
+    * Scale shape: one map-side-combinable groupBy on the
+    * quasi-identifier tuple; the k-filter prunes on the aggregated
+    * side so only risk rows ever leave the exchange.
+    */
+  def kAnonymityAudit(df: DataFrame, qids: Seq[Column], k: Long): DataFrame =
+    df.groupBy(qids: _*)
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .filter(col("n") < k)
+}

@@ -600,4 +600,36 @@ object Text {
           col("sx").cast("double")) / col("n"))
         .cast("decimal(20,12)").cast("double").as("zipf_intercept"))
   }
+
+  /** Per-document Shannon entropy of the token distribution (nats) —
+    * the information-density quality signal: boilerplate and
+    * keyword-stuffed docs score low, natural prose high. Computed as
+    * `ln(n) − (Σ c·ln c)/n` over per-doc token counts so only counts
+    * (integers) ever enter a logarithm.
+    *
+    * Determinism recipe (the [[zipfFit]] one): each ln is canonicalized
+    * through DECIMAL(20,12); the c·ln c products are rounded to
+    * DECIMAL(30,14) and summed exactly; the final expression is plain
+    * double arithmetic on identical operands, re-canonicalized once.
+    *
+    * Scale shape: one (doc, token) count aggregate (map-side
+    * combinable) and one per-doc aggregate — both exchanges are keyed
+    * by doc id, so the second collapses into the first's partitioning.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val lnC = log(col("c").cast("double")).cast("decimal(20,12)").cast("double")
+    tf
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).cast("bigint").as("n_tokens"),
+        sum((col("c").cast("double") * lnC).cast("decimal(30,14)")).as("s"))
+      .select(col(idCol), col("n_tokens"),
+        (log(col("n_tokens").cast("double")).cast("decimal(20,12)").cast("double") -
+          col("s").cast("double") / col("n_tokens").cast("double"))
+          .cast("decimal(20,12)").cast("double").as("token_entropy"))
+  }
 }

@@ -1,0 +1,323 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Behavior, Stats, Text}
+import graft.queries.H.t
+
+/** Round-6 extension bank, second wave: statistical audits over model
+  * scores and curated corpora ([[graft.ext.Stats]]), the Markov
+  * transition matrix ([[graft.ext.Behavior.transitionMatrix]]), and the
+  * token-entropy quality signal ([[graft.ext.Text.tokenEntropy]]) —
+  * every query hash-exact against the DuckDB oracle.
+  */
+object ExtD {
+
+  /** Tie-corrected ROC-AUC ([[graft.ext.Stats.rocAuc]]) of the event
+    * value as a purchase predictor — the filter-model evaluation
+    * primitive. The doubled-rank formulation keeps everything BIGINT
+    * until one final double division, so AUC adjudicates exactly
+    * (including the tie correction: 2-decimal values collide).
+    */
+  val xRocAuc = Q(
+    "x_roc_auc",
+    (s, dir) => Stats.rocAuc(t(s, dir, "events"), col("value"),
+      col("event_type") === "purchase"),
+    Some("""WITH base AS (SELECT value AS s,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(SUM(y) AS BIGINT) AS p FROM base GROUP BY s),
+      cum AS (SELECT s, c, p,
+          CAST(SUM(c) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumc
+        FROM g),
+      sums AS (SELECT
+          CAST(SUM(p * (2 * cumc - c + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(p) AS BIGINT) AS pos,
+          CAST(SUM(c) AS BIGINT) AS n
+        FROM cum)
+      SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
+        CAST(sum2r - pos * (pos + 1) AS DOUBLE)
+          / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
+             * CAST(n - pos AS DOUBLE)) AS auc
+      FROM sums"""))
+
+  /** First-order Markov transition matrix
+    * ([[graft.ext.Behavior.transitionMatrix]]) over per-user event
+    * sequences — next-event modeling / funnel-leak analysis. Counts
+    * are integers; each probability is one double division of integer
+    * operands.
+    */
+  val xMarkovTransitions = Q(
+    "x_markov_transitions",
+    (s, dir) => Behavior.transitionMatrix(t(s, dir, "events"),
+      "user_id", "ts", "event_id")
+      .orderBy(col("from_type"), col("to_type")),
+    Some("""WITH seq AS (SELECT user_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS from_type
+        FROM events),
+      p AS (SELECT from_type, event_type AS to_type FROM seq
+        WHERE from_type IS NOT NULL),
+      c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY from_type, to_type)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE)
+          / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+      FROM c ORDER BY from_type, to_type"""))
+
+  /** Rolling integer-exact anomaly detection
+    * ([[graft.ext.Stats.rollingAnomalies]]): per-type daily event
+    * counts against the trailing 7-day window, flagged via the
+    * denominator-cleared `(n·x − S)² > k²·(n·Q − S²)` test — no float
+    * or sqrt ever enters the decision, so flags adjudicate exactly.
+    */
+  val xRollingAnomaly = Q(
+    "x_rolling_anomaly",
+    (s, dir) => Stats.rollingAnomalies(t(s, dir, "events"),
+      col("event_type"), col("ts"), win = 7, k = 3)
+      .orderBy(col("grp"), col("day")),
+    Some("""WITH daily AS (SELECT event_type AS grp,
+        strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      w AS (SELECT grp, day, cnt,
+          CAST(COUNT(*) OVER tw AS BIGINT) AS n_win,
+          CAST(COALESCE(SUM(cnt) OVER tw, 0) AS BIGINT) AS s_win,
+          CAST(COALESCE(SUM(cnt * cnt) OVER tw, 0) AS BIGINT) AS q_win
+        FROM daily
+        WINDOW tw AS (PARTITION BY grp ORDER BY day
+          ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT grp, day, cnt, n_win, s_win,
+        (n_win = 7 AND
+         (n_win * cnt - s_win) * (n_win * cnt - s_win) >
+           9 * (n_win * q_win - s_win * s_win)) AS anomaly
+      FROM w ORDER BY grp, day"""))
+
+  /** Spearman rank correlation ([[graft.ext.Stats.spearman]]) between
+    * document length and token count — the signal-redundancy check run
+    * before combining quality filters. Centered doubled ranks keep all
+    * three sums in BIGINT; the final ρ is double arithmetic on
+    * identical operands (IEEE sqrt is correctly rounded in both
+    * engines).
+    */
+  val xSpearmanQuality = Q(
+    "x_spearman_quality",
+    (s, dir) => Stats.spearman(t(s, dir, "documents"),
+      col("n_chars"), size(split(col("text"), " "))),
+    Some("""WITH base AS (SELECT n_chars AS x,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS y FROM documents),
+      gx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY x),
+      rx AS (SELECT x, CAST(2 * SUM(cnt) OVER (ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt + 1 AS BIGINT) AS r2x FROM gx),
+      gy AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt FROM base GROUP BY y),
+      ry AS (SELECT y, CAST(2 * SUM(cnt) OVER (ORDER BY y
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt + 1 AS BIGINT) AS r2y FROM gy),
+      np AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS np1 FROM base),
+      r AS (SELECT r2x - np1 AS cx, r2y - np1 AS cy
+        FROM base JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN np)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(CAST(SUM(cx * cy) AS BIGINT) AS DOUBLE)
+          / (sqrt(CAST(CAST(SUM(cx * cx) AS BIGINT) AS DOUBLE))
+             * sqrt(CAST(CAST(SUM(cy * cy) AS BIGINT) AS DOUBLE)))
+          AS spearman_rho
+      FROM r"""))
+
+  /** Per-document token entropy ([[graft.ext.Text.tokenEntropy]]) —
+    * the information-density quality signal; DECIMAL-canonicalized
+    * logs and exact decimal sums make it hash-exact.
+    *
+    * Oracle subtlety: Spark's double→decimal cast rounds the double's
+    * SHORTEST-STRING repr (HALF_UP), DuckDB rounds differently at
+    * half-boundaries (2.6941537039845 → …984 vs Spark's …985, hit by
+    * 2 of 500 docs) — so every canonicalization below round-trips
+    * through VARCHAR (DuckDB's shortest-repr printer) to replicate
+    * Spark's rounding exactly.
+    */
+  val xTokenEntropy = Q(
+    "x_token_entropy",
+    (s, dir) => Text.tokenEntropy(t(s, dir, "documents"), "text", "doc_id")
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id,
+        unnest(string_split(text, ' ')) AS tk FROM documents),
+      tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        WHERE len(tk) > 0 GROUP BY doc_id, tk),
+      agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          SUM(CAST(CAST(c AS DOUBLE)
+            * CAST(CAST(CAST(ln(CAST(c AS DOUBLE)) AS VARCHAR)
+                AS DECIMAL(20,12)) AS DOUBLE)
+            AS DECIMAL(30,14))) AS s
+        FROM tf GROUP BY doc_id)
+      SELECT doc_id, n_tokens,
+        CAST(CAST(CAST(
+          CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
+            AS DECIMAL(20,12)) AS DOUBLE)
+          - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS token_entropy
+      FROM agg ORDER BY doc_id"""))
+
+  /** Gini coefficient ([[graft.ext.Stats.gini]]) of revenue across
+    * customers — the dataset-concentration audit (same formula audits
+    * per-domain token share in a training mix). Exact decimal
+    * arithmetic end to end; one final double division.
+    */
+  val xGiniRevenue = Q(
+    "x_gini_revenue",
+    (s, dir) => Stats.gini(t(s, dir, "orders"),
+      col("o_custkey"), col("o_totalprice")),
+    Some("""WITH per AS (SELECT o_custkey AS e,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        FROM orders GROUP BY o_custkey),
+      idx AS (SELECT e, v,
+          CAST(row_number() OVER (ORDER BY v, e) AS BIGINT) AS i FROM per),
+      sums AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(v) AS DECIMAL(25,2)) AS t,
+          CAST(SUM(i * v) AS DECIMAL(25,2)) AS w
+        FROM idx)
+      SELECT n, CAST(t AS DOUBLE) AS total,
+        CAST(CAST(CAST(2 AS DECIMAL(10,0)) * w
+            - CAST(n + 1 AS DECIMAL(10,0)) * t AS DECIMAL(38,2)) AS DOUBLE)
+          / CAST(CAST(CAST(n AS DECIMAL(10,0)) * t AS DECIMAL(38,2)) AS DOUBLE)
+          AS gini
+      FROM sums"""))
+
+  /** k-anonymity audit ([[graft.ext.Stats.kAnonymityAudit]]) on
+    * (nation, segment, account-balance bucket): quasi-identifier
+    * combinations carried by fewer than 5 customers — the
+    * re-identification screen run before a table is released as
+    * training data.
+    */
+  val xKAnonymity = Q(
+    "x_k_anonymity",
+    (s, dir) => Stats.kAnonymityAudit(t(s, dir, "customer"),
+      Seq(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000)).cast("bigint").as("bal_bucket")),
+      k = 5)
+      .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bucket")),
+    Some("""SELECT c_nationkey, c_mktsegment,
+        CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, bal_bucket
+      HAVING COUNT(*) < 5
+      ORDER BY c_nationkey, c_mktsegment, bal_bucket"""))
+
+  /** Two-sample KS statistic ([[graft.ext.Stats.ksTest]]) between
+    * purchase and view value distributions — the distribution-shift
+    * primitive. Denominator-cleared `max |cumA·nB − cumB·nA|` keeps
+    * the max over BIGINTs; one final double division.
+    */
+  val xKsTest = Q(
+    "x_ks_test",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      Stats.ksTest(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"), col("value"))
+    },
+    Some("""WITH a AS (SELECT value AS v FROM events
+        WHERE event_type = 'purchase'),
+      b AS (SELECT value AS v FROM events WHERE event_type = 'view'),
+      ga AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY v),
+      gb AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY v),
+      m AS (SELECT COALESCE(ga.v, gb.v) AS v,
+          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ga FULL OUTER JOIN gb ON ga.v = gb.v),
+      cum AS (SELECT v,
+          CAST(SUM(ca) OVER w AS BIGINT) AS cuma,
+          CAST(SUM(cb) OVER w AS BIGINT) AS cumb
+        FROM m WINDOW w AS (ORDER BY v
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+          CAST(SUM(cb) AS BIGINT) AS nb FROM m)
+      SELECT na AS n_a, nb AS n_b,
+        CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
+          / CAST(na * nb AS DOUBLE) AS ks_d
+      FROM cum CROSS JOIN tot GROUP BY na, nb"""))
+
+  /** Reliability-diagram bins ([[graft.ext.Stats.calibrationBins]])
+    * of the event value as a purchase predictor — the calibration half
+    * of model evaluation next to [[xRocAuc]]. Integer counts, exact
+    * decimal score sums, two final divisions.
+    */
+  val xCalibration = Q(
+    "x_calibration",
+    (s, dir) => Stats.calibrationBins(t(s, dir, "events"), col("value"),
+      col("event_type") === "purchase", binWidth = 50.0, nBins = 10)
+      .orderBy(col("bin")),
+    Some("""WITH base AS (SELECT least(floor(value / 50.0), 9) AS bin,
+        value AS s,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      g AS (SELECT CAST(bin AS BIGINT) AS bin,
+          CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS n_pos,
+          CAST(CAST(SUM(CAST(s AS DECIMAL(10,2))) AS DECIMAL(38,2))
+            AS DOUBLE) AS sum_score
+        FROM base GROUP BY 1)
+      SELECT bin, n, n_pos,
+        sum_score / CAST(n AS DOUBLE) AS mean_score,
+        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS pos_rate
+      FROM g ORDER BY bin"""))
+
+  /** Pearson χ² independence audit
+    * ([[graft.ext.Stats.chi2Independence]]) of nation × market
+    * segment — the [[xBenford]] recipe against the product of the
+    * marginals. Canonicalizations round-trip through VARCHAR so DuckDB
+    * replicates Spark's shortest-string decimal rounding at
+    * half-boundaries.
+    */
+  val xChi2Independence = Q(
+    "x_chi2_independence",
+    (s, dir) => Stats.chi2Independence(t(s, dir, "customer"),
+      col("c_nationkey"), col("c_mktsegment"))
+      .orderBy(col("x"), col("y")),
+    Some("""WITH cells AS (SELECT c_nationkey AS x, c_mktsegment AS y,
+        CAST(COUNT(*) AS BIGINT) AS o FROM customer GROUP BY 1, 2),
+      rr AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x),
+      cc AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY y),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+      SELECT x, y, o AS n_obs,
+        CAST(CAST(CAST(
+          CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS expected,
+        CAST(CAST(CAST(
+          (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS chi2_term
+      FROM cells JOIN rr USING (x) JOIN cc USING (y) CROSS JOIN nn
+      ORDER BY x, y"""))
+
+  /** Mutual information ([[graft.ext.Stats.mutualInfo]]) between
+    * document language and source — the categorical feature-redundancy
+    * audit. Logs of exact integer products, VARCHAR-canonicalized;
+    * weighted sum in DECIMAL(30,14).
+    */
+  val xMutualInfo = Q(
+    "x_mutual_info",
+    (s, dir) => Stats.mutualInfo(t(s, dir, "documents"),
+      col("lang"), col("source")),
+    Some("""WITH cells AS (SELECT lang AS x, source AS y,
+        CAST(COUNT(*) AS BIGINT) AS o FROM documents GROUP BY 1, 2),
+      rr AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x),
+      cc AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY y),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      terms AS (SELECT n, CAST(CAST(o AS DOUBLE) * (
+            CAST(CAST(CAST(ln(CAST(o * n AS DOUBLE)) AS VARCHAR)
+              AS DECIMAL(20,12)) AS DOUBLE)
+          - CAST(CAST(CAST(ln(CAST(r * c AS DOUBLE)) AS VARCHAR)
+              AS DECIMAL(20,12)) AS DOUBLE))
+          AS DECIMAL(30,14)) AS term
+        FROM cells JOIN rr USING (x) JOIN cc USING (y) CROSS JOIN nn)
+      SELECT n,
+        CAST(CAST(CAST(
+          CAST(SUM(term) AS DOUBLE) / CAST(n AS DOUBLE)
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS mutual_info
+      FROM terms GROUP BY n"""))
+
+  val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
+    xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
+    xKsTest, xCalibration, xChi2Independence, xMutualInfo)
+}
