@@ -254,4 +254,142 @@ object Multimodal {
       }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Difference hash (dHash) of a REAL decoded image: 9×8 grid sampled
+    * at `(x·w/9, y·h/8)` (integer division), ITU-R 601 integer
+    * grayscale `(299r + 587g + 114b)/1000`, one bit per horizontally
+    * adjacent comparison — 64 bits as 16 hex chars (row-major, MSB =
+    * leftmost comparison). Every step is integer arithmetic on exact
+    * decoded pixels, so an oracle that knows the image's pixel formula
+    * can replay the hash bit for bit. None for non-image payloads.
+    */
+  def dHash(bytes: Array[Byte]): Option[String] =
+    sniffFormat(bytes).flatMap { _ =>
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          def gray(gx: Int, gy: Int): Int = {
+            val rgb = img.getRGB(gx * w / 9, gy * h / 8) & 0xffffff
+            (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255) +
+              114 * (rgb & 255)) / 1000
+          }
+          val sb = new StringBuilder(16)
+          var y = 0
+          while (y < 8) {
+            var byte = 0
+            var x = 0
+            while (x < 8) {
+              if (gray(x, y) > gray(x + 1, y)) byte |= 1 << (7 - x)
+              x += 1
+            }
+            sb.append(f"$byte%02x")
+            y += 1
+          }
+          Some(sb.toString)
+        }
+      } catch { case _: Exception => None }
+    }
+
+  /** Keyed synthetic-PNG fixture for perceptual dedup: ids sharing
+    * `id mod mod` render the SAME image (dims and pixels derive from
+    * the key), and odd generations (`(id/mod) mod 2 = 1`) additionally
+    * brighten the single sampled pixel `(4·w/9, 3·h/8)` by +48/channel
+    * — perturbing at most the two dHash bits that compare against that
+    * sample. Exact duplicates land at Hamming 0, perturbed twins at
+    * ≤ 2, so a Hamming-≤3 matcher must find both — and every pixel is
+    * still a pure function of (id, mod), so the oracle replays the
+    * whole thing.
+    */
+  def withSyntheticPngKeyed(docs: DataFrame, idCol: String,
+      mod: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val key = math.floorMod(id, mod.toLong)
+        val w = 16 + (key % 48).toInt
+        val h = 16 + (key * 7 % 48).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (x * 31 + y * 17 + key).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        if ((id / mod) % 2 == 1) {
+          val px = 4 * w / 9
+          val py = 3 * h / 8
+          img.setRGB(px, py,
+            ((img.getRGB(px, py) & 0xffffff) + 0x303030) & 0xffffff)
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row(id, bos.toByteArray)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-payload dHash column: (id, dhash) with null for non-images.
+    * Same partition-parallel decode shape as [[decode]].
+    */
+  def withDHash(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("dhash", StringType)))
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          Row(r.getLong(0), dHash(r.getAs[Array[Byte]](1)).orNull)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Perceptual near-duplicate image pairs: dHash pairs within
+    * `maxHamming` bits. Candidate generation is the pigeonhole band
+    * join on the hash's four 16-bit chunks (any pair within distance 3
+    * shares at least one of 4 chunks — the SimHash argument at the
+    * image level), then the exact Hamming distance verifies via
+    * xor + bit_count on the chunk ints. Never an all-pairs join.
+    *
+    * Scale shape: the shuffle key is (chunk index, chunk value) — 4
+    * rows per image, 2 ints each; raw payloads never ship. Verify
+    * touches only candidate pairs.
+    */
+  def phashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole banding only guarantees recall up to Hamming 3")
+    val chunked = hashed.filter(col("dhash").isNotNull).select(
+      col("id") +: (0 to 3).map(i =>
+        conv(substring(col("dhash"), i * 4 + 1, 4), 16, 10)
+          .cast("int").as(s"c$i")): _*)
+    val banded = chunked.select(col("id"), col("c0"), col("c1"), col("c2"),
+      col("c3"), explode(array((0 to 3).map(i =>
+        struct(lit(i).as("bi"), col(s"c$i").as("bv"))): _*)).as("band"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val hamming =
+      bit_count(col("a.c0").bitwiseXOR(col("b.c0"))) +
+        bit_count(col("a.c1").bitwiseXOR(col("b.c1"))) +
+        bit_count(col("a.c2").bitwiseXOR(col("b.c2"))) +
+        bit_count(col("a.c3").bitwiseXOR(col("b.c3")))
+    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming.cast("bigint").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

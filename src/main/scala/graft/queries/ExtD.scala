@@ -317,7 +317,93 @@ object ExtD {
           AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS mutual_info
       FROM terms GROUP BY n"""))
 
+  /** CTE prefix replaying the keyed synthetic-PNG dHash pipeline
+    * ([[graft.ext.Multimodal.withSyntheticPngKeyed]] +
+    * [[graft.ext.Multimodal.dHash]]) in pure integer SQL: pixel
+    * formula (incl. the single-sample perturbation on odd
+    * generations), 9×8 grid sample, ITU-R 601 grayscale, adjacent
+    * comparisons, row bytes. The Spark side decodes REAL PNG bytes via
+    * ImageIO — the oracle predicts every bit from the formula, so a
+    * lossy codec, color-profile drift, or sampling mismatch would all
+    * break the hash compare. Exposes `hbytes` (id, y, byte).
+    */
+  private val dhashCtes = """WITH imgs AS (SELECT doc_id AS id,
+        doc_id % 97 AS key,
+        16 + (doc_id % 97) % 48 AS w,
+        16 + ((doc_id % 97) * 7) % 48 AS h,
+        ((doc_id // 97) % 2 = 1) AS pert
+      FROM documents),
+    gx AS (SELECT unnest(range(0, 9)) AS x),
+    gy AS (SELECT unnest(range(0, 8)) AS y),
+    px AS (SELECT id, x, y,
+        CASE WHEN pert AND x = 4 AND y = 3
+          THEN ((((x * w // 9) * 31 + (y * h // 8) * 17 + key) & 16777215)
+                + 3158064) & 16777215
+          ELSE ((x * w // 9) * 31 + (y * h // 8) * 17 + key) & 16777215
+        END AS rgb
+      FROM imgs CROSS JOIN gx CROSS JOIN gy),
+    gr AS (SELECT id, x, y,
+        (299 * ((rgb >> 16) & 255) + 587 * ((rgb >> 8) & 255)
+          + 114 * (rgb & 255)) // 1000 AS gray
+      FROM px),
+    bits AS (SELECT a.id, a.y, a.x,
+        CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+      FROM gr a JOIN gr b ON b.id = a.id AND b.y = a.y AND b.x = a.x + 1
+      WHERE a.x < 8),
+    hbytes AS (SELECT id, y,
+        CAST(SUM(bit * (1 << (7 - x))) AS BIGINT) AS byte
+      FROM bits GROUP BY id, y)"""
+
+  /** Perceptual image hash over REAL decoded PNGs
+    * ([[graft.ext.Multimodal.dHash]]): the oracle recomputes all 64
+    * bits from the synthetic pixel formula and compares hex-for-hex
+    * against what ImageIO read out of the actual bytes.
+    */
+  val xMultimodalPhash = Q(
+    "x_multimodal_phash",
+    (s, dir) => {
+      import graft.ext.Multimodal
+      Multimodal.withDHash(
+        Multimodal.withSyntheticPngKeyed(t(s, dir, "documents"),
+          "doc_id", 97), "id")
+        .orderBy(col("id"))
+    },
+    Some(s"""$dhashCtes
+      SELECT id, string_agg(printf('%02x', byte), '' ORDER BY y) AS dhash
+      FROM hbytes GROUP BY id ORDER BY id"""))
+
+  /** Perceptual near-duplicate image pairs
+    * ([[graft.ext.Multimodal.phashPairs]]): banded pigeonhole
+    * candidates + exact Hamming verify on the Spark side; the oracle
+    * brute-forces every pair from the replayed hashes, so both recall
+    * (pigeonhole) and precision (xor + bit_count) are adjudicated.
+    * Exact duplicates (same key, same parity) land at Hamming 0,
+    * perturbed twins at ≤ 2.
+    */
+  val xMultimodalPhashPairs = Q(
+    "x_multimodal_phash_pairs",
+    (s, dir) => {
+      import graft.ext.Multimodal
+      Multimodal.phashPairs(
+        Multimodal.withDHash(
+          Multimodal.withSyntheticPngKeyed(t(s, dir, "documents"),
+            "doc_id", 97), "id"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""$dhashCtes,
+      chunks AS (SELECT id, y // 2 AS j,
+          CAST(SUM(byte * CASE WHEN y % 2 = 0 THEN 256 ELSE 1 END)
+            AS BIGINT) AS cv
+        FROM hbytes GROUP BY id, y // 2),
+      pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+          CAST(SUM(bit_count(xor(a.cv, b.cv))) AS BIGINT) AS hamming
+        FROM chunks a JOIN chunks b ON a.j = b.j AND a.id < b.id
+        GROUP BY a.id, b.id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+      ORDER BY id_a, id_b"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
-    xKsTest, xCalibration, xChi2Independence, xMutualInfo)
+    xKsTest, xCalibration, xChi2Independence, xMutualInfo,
+    xMultimodalPhash, xMultimodalPhashPairs)
 }

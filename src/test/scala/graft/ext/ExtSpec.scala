@@ -199,6 +199,44 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.fitDims(20, 50, 24, 24) == ((9, 24)))
   }
 
+  test("dHash is stable under PNG re-encode and flips on content change") {
+    // hash is a function of decoded PIXELS: byte-identical after a
+    // lossless re-encode round-trip, different when content changes
+    val png = Multimodal.syntheticPng(40, 32, seed = 9L)
+    val h1 = Multimodal.dHash(png).get
+    assert(h1.length == 16 && h1.matches("[0-9a-f]{16}"))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash(bos.toByteArray).contains(h1),
+      "re-encoded identical pixels must hash identically")
+    // a uniform brightness shift (seed+1 adds +1 to every pixel) keeps
+    // every gradient comparison — invariance is the POINT of dHash
+    val shifted = Multimodal.syntheticPng(40, 32, seed = 10L)
+    assert(Multimodal.dHash(shifted).contains(h1),
+      "uniform brightness shift must not change a difference hash")
+    // different geometry changes the sampling strides -> different bits
+    val other = Multimodal.syntheticPng(32, 40, seed = 9L)
+    assert(Multimodal.dHash(other).get != h1, "different content must differ")
+    assert(Multimodal.dHash("not an image".getBytes).isEmpty)
+  }
+
+  test("phashPairs: keyed duplicates found, perturbed twins within 2 bits") {
+    import spark.implicits._
+    // ids 1,11,21 share key 1 (gens 0,1,2): gen1 is perturbed by one
+    // sampled pixel; 5 has its own key and must pair with nothing
+    val ids = Seq(1L, 11L, 21L, 5L).toDF("doc_id")
+    val hashed = Multimodal.withDHash(
+      Multimodal.withSyntheticPngKeyed(ids, "doc_id", mod = 10), "id")
+    val pairs = Multimodal.phashPairs(hashed, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 11L), (1L, 21L), (11L, 21L)),
+      s"got ${pairs.keySet}")
+    assert(pairs((1L, 21L)) == 0L, "same parity generations are exact dups")
+    assert(pairs((1L, 11L)) <= 2L, "perturbation touches at most 2 bits")
+    assert(pairs((1L, 11L)) == pairs((11L, 21L)))
+  }
+
   test("cosine LSH finds the exact all-pairs near-dups with no false positives") {
     val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
