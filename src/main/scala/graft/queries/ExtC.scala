@@ -453,7 +453,7 @@ object ExtC {
     * shared fixture for the iterative graph operators; [[graphCtes]]
     * is its SQL replay (exposes `edges` and `nodes`).
     */
-  private def syntheticGraph(s: org.apache.spark.sql.SparkSession,
+  private[queries] def syntheticGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val keys = t(s, dir, "customer").select(col("c_custkey").as("k"))
     val fwd = keys
@@ -465,7 +465,7 @@ object ExtC {
     fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  private val graphCtes = """WITH ks AS (SELECT c_custkey AS k FROM customer),
+  private[queries] val graphCtes = """WITH ks AS (SELECT c_custkey AS k FROM customer),
       js AS (SELECT unnest(range(1, 4)) AS j),
       fwd AS (SELECT k AS src,
           (k // 100) * 100 + ((k % 100) * 7 + j * 13 + 1) % 100 AS dst

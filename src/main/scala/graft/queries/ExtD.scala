@@ -402,8 +402,51 @@ object ExtD {
       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
       ORDER BY id_a, id_b"""))
 
+  /** Exact triangle count ([[graft.ext.Graph.triangleCount]]) on the
+    * shared synthetic blocked graph — degree-ordered compact-forward
+    * on the Spark side, canonical i<j<k 3-way join in the oracle.
+    * Pure integer counts.
+    */
+  val xTriangleCount = Q(
+    "x_triangle_count",
+    (s, dir) => graft.ext.Graph.triangleCount(
+      ExtC.syntheticGraph(s, dir), "src", "dst"),
+    Some(s"""${ExtC.graphCtes},
+      ue AS (SELECT src, dst FROM edges WHERE src < dst GROUP BY src, dst),
+      tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        FROM ue e1 JOIN ue e2 ON e2.src = e1.dst
+        JOIN ue e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+      SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+        CAST((SELECT COUNT(*) FROM ue) AS BIGINT) AS n_edges,
+        (SELECT t FROM tri) AS n_triangles"""))
+
+  /** Adamic–Adar link prediction ([[graft.ext.Graph.adamicAdar]]) over
+    * the same graph: 2-hop pairs scored `Σ 1/ln(deg w)` with only
+    * integer degrees entering the log — canonicalized, decimal-summed,
+    * hash-exact.
+    */
+  val xAdamicAdar = Q(
+    "x_adamic_adar",
+    (s, dir) => graft.ext.Graph.adamicAdar(
+      ExtC.syntheticGraph(s, dir), "src", "dst", minCommon = 2L)
+      .orderBy(col("u"), col("v")),
+    Some(s"""${ExtC.graphCtes},
+      de AS (SELECT src, dst FROM edges GROUP BY src, dst),
+      deg AS (SELECT src AS w, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM de GROUP BY src),
+      nb AS (SELECT dst AS w, src AS u FROM de),
+      wedge AS (SELECT l.w, l.u AS u, r.u AS v
+        FROM nb l JOIN nb r ON l.w = r.w AND l.u < r.u),
+      sc AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS common,
+          SUM(CAST(CAST(1.0 AS DOUBLE)
+            / CAST(CAST(ln(CAST(deg AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS DECIMAL(30,14))) AS s
+        FROM wedge JOIN deg USING (w) GROUP BY u, v)
+      SELECT u, v, common, CAST(s AS DOUBLE) AS aa_score
+      FROM sc WHERE common >= 2 ORDER BY u, v"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
-    xMultimodalPhash, xMultimodalPhashPairs)
+    xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar)
 }

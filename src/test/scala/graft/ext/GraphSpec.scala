@@ -27,6 +27,53 @@ class GraphSpec extends SparkSuite {
     assert(r.values.sum <= 1.0 + 1e-9)
   }
 
+  test("triangleCount: K4 has 4 triangles, a square has none") {
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val k4 = sym(for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
+    val r = Graph.triangleCount(k4, "src", "dst").collect()(0)
+    assert(r.getAs[Long]("n_nodes") == 4 && r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    val square = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(Graph.triangleCount(square, "src", "dst")
+      .collect()(0).getAs[Long]("n_triangles") == 0)
+    // adding one diagonal closes two triangles
+    val diag = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)))
+    assert(Graph.triangleCount(diag, "src", "dst")
+      .collect()(0).getAs[Long]("n_triangles") == 2)
+  }
+
+  test("triangleCount is invariant under repartition and hub skew") {
+    // star + one closing edge: hub degree 10, exactly 1 triangle; the
+    // degree orientation must keep the wedge fan-out on the spokes
+    val pairs = (1L to 10L).map(i => (0L, i)) :+ (1L, 2L)
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val a = Graph.triangleCount(sym, "src", "dst").collect()(0)
+    val b = Graph.triangleCount(sym.repartition(13), "src", "dst").collect()(0)
+    assert(a.getAs[Long]("n_triangles") == 1)
+    assert(a == b)
+  }
+
+  test("adamicAdar scores a shared neighbor by 1/ln(its degree)") {
+    // the 4-cycle 1-2-3-4: BOTH diagonals (1,3) and (2,4) have two
+    // common neighbors of degree 2 -> AA = 2/ln 2 each
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L))
+    val sym = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val rows = Graph.adamicAdar(sym, "src", "dst", minCommon = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common"), r.getAs[Double]("aa_score"))).toMap
+    assert(rows.keySet == Set((1L, 3L), (2L, 4L)))
+    assert(rows((1L, 3L))._1 == 2)
+    assert(math.abs(rows((1L, 3L))._2 - 2.0 / math.log(2)) < 1e-9)
+    // a path 1-2-3 alone: single-wedge pair only appears at minCommon=1
+    val path = Seq((1L, 2L), (2L, 3L))
+    val psym = (path ++ path.map(p => (p._2, p._1))).toDF("src", "dst")
+    assert(Graph.adamicAdar(psym, "src", "dst", minCommon = 2L).isEmpty)
+    val one = Graph.adamicAdar(psym, "src", "dst", minCommon = 1L).collect()
+    assert(one.length == 1 && (one(0).getLong(0), one(0).getLong(1)) == ((1L, 3L)))
+    assert(math.abs(one(0).getAs[Double]("aa_score") - 1.0 / math.log(2)) < 1e-9)
+  }
+
   test("weights matter and results are partition-independent") {
     val edges = Seq(
       ("x", "heavy", 9.0), ("x", "light", 1.0),
