@@ -620,6 +620,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
 
+  /** Quality-aware survivor selection: one document kept per near-dup
+    * cluster — the HIGHEST-scoring member (ties broken by min id), not
+    * the arbitrary min-id member. This is the curation-correct dedup:
+    * when a document exists in five scraped variants, keep the cleanest
+    * one, not the one with the smallest crawl id. Singletons (documents
+    * in no pair) survive as their own cluster.
+    *
+    * The argmax is a single `max(struct(score, -id))` aggregate —
+    * map-side combinable and order-independent, so survivors are
+    * deterministic under any partitioning.
+    */
+  def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
+      score: Column): DataFrame = {
+    val labels = nearDupLabels(pairs).select(col("id").as("_lid"), col("lbl"))
+    docs
+      .select(col(idCol).cast("long").as("doc"), score.cast("double").as("q"))
+      .join(labels, col("doc") === col("_lid"), "left")
+      .withColumn("cluster_id", coalesce(col("lbl"), col("doc")))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_members"),
+        max(struct(col("q"), (-col("doc")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best").getField("nid")).as("survivor_id"),
+        col("best").getField("q").as("survivor_score"))
+  }
+
   /** Leakage-safe train/val/test assignment: split membership is a
     * deterministic function of the near-dup CLUSTER id, never the
     * document, so two near-duplicate documents can never straddle a

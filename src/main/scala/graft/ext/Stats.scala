@@ -271,6 +271,47 @@ object Stats {
           .cast("decimal(20,12)").cast("double").as("mutual_info"))
   }
 
+  /** Kaplan–Meier survival estimator over (duration, event-observed)
+    * rows — retention/churn curves with right-censoring. Emitted in
+    * LOG space: `log S(t) = Σ_{tᵢ ≤ t} ln(1 − dᵢ/nᵢ)` over event
+    * times, because the cumulative product itself would be
+    * order-sensitive in floats while the log-sum is an exact decimal
+    * cumulative sum of canonicalized terms (each ln argument is a
+    * ratio of exact integers). If a risk set is wiped out (dᵢ = nᵢ,
+    * survival exactly 0) that time and everything after carry a NULL
+    * log — the −∞ sentinel.
+    *
+    * Scale shape: rows collapse to per-duration (events, total)
+    * counts first; the risk-set and survival windows then walk
+    * O(#distinct durations).
+    */
+  def kaplanMeier(df: DataFrame, duration: Column,
+      event: Column): DataFrame = {
+    val base = df.select(duration.cast("long").as("t"),
+      when(event, 1L).otherwise(0L).as("e"))
+    val byT = base.groupBy(col("t"))
+      .agg(count(lit(1)).as("m"), sum(col("e")).as("d"))
+    // n_risk at t = everyone leaving at t or later (reverse cumsum)
+    val nRisk = sum(col("m")).over(Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val risked = byT.withColumn("n", nRisk).filter(col("d") > 0)
+    val lnTerm = when(col("d") < col("n"),
+      log((col("n") - col("d")).cast("double") / col("n").cast("double"))
+        .cast("decimal(20,12)").cast("double"))
+    val cumW = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risked
+      .withColumn("term", lnTerm)
+      .withColumn("wiped", max(when(col("d") === col("n"), 1).otherwise(0))
+        .over(cumW))
+      .withColumn("logs", sum(col("term").cast("decimal(30,14)")).over(cumW))
+      .select(col("t"), col("n").cast("bigint").as("n_risk"),
+        col("d").cast("bigint").as("n_events"),
+        (col("m") - col("d")).cast("bigint").as("n_censored"),
+        when(col("wiped") === 1, lit(null).cast("double"))
+          .otherwise(col("logs").cast("double")).as("log_survival"))
+  }
+
   /** k-anonymity audit: quasi-identifier combinations shared by fewer
     * than k rows — each is a re-identification risk in released
     * training data. Returns the risky combinations with their counts;

@@ -445,8 +445,111 @@ object ExtD {
       SELECT u, v, common, CAST(s AS DOUBLE) AS aa_score
       FROM sc WHERE common >= 2 ORDER BY u, v"""))
 
+  /** Quality-aware survivor selection
+    * ([[graft.ext.Dedup.qualitySurvivors]]): per near-dup cluster keep
+    * the highest-scoring member (min-id tie-break), not the arbitrary
+    * min-id — the curation-correct dedup. The oracle rebuilds the
+    * transitive closure with a recursive CTE and replays the argmax as
+    * a ranked window.
+    */
+  val xDedupSurvivors = Q(
+    "x_dedup_survivors",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Dedup.qualitySurvivors(docs, "doc_id",
+        graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+          k = 3, threshold = 0.5), col("n_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""WITH RECURSIVE toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      pairs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM pairs
+        UNION SELECT db, da FROM pairs),
+      reach(a, b) AS (SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      alldocs AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS q
+        FROM documents),
+      withc AS (SELECT d.doc_id,
+          COALESCE(l.cluster_id, d.doc_id) AS cluster_id, q
+        FROM alldocs d LEFT JOIN lbl l ON l.id = d.doc_id),
+      rk AS (SELECT cluster_id, doc_id, q,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY q DESC, doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+        FROM withc)
+      SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+        doc_id AS survivor_id, q AS survivor_score
+      FROM rk WHERE rn = 1 ORDER BY cluster_id"""))
+
+  /** Kaplan–Meier time-to-conversion curve
+    * ([[graft.ext.Stats.kaplanMeier]]): duration = days from a user's
+    * first event to their first high-value purchase (value ≥ 200),
+    * right-censored at the last observed event for the 118/150 users
+    * who never convert. Log-space survival over exact integer risk
+    * sets; the VARCHAR round-trip mirrors Spark's decimal rounding.
+    */
+  val xKaplanMeier = Q(
+    "x_kaplan_meier",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"))
+      val fp = ev.filter(col("event_type") === "purchase" &&
+          col("value") >= 200)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"))
+      val dur = per.join(fp, Seq("user_id"), "left").select(
+        datediff(coalesce(col("tp"), col("t1")).cast("date"),
+          col("t0").cast("date")).cast("long").as("dur"),
+        col("tp").isNotNull.as("obs"))
+      Stats.kaplanMeier(dur, col("dur"), col("obs")).orderBy(col("t"))
+    },
+    Some("""WITH per AS (SELECT user_id, min(ts) AS t0, max(ts) AS t1
+        FROM events GROUP BY user_id),
+      fp AS (SELECT user_id, min(ts) AS tp FROM events
+        WHERE event_type = 'purchase' AND value >= 200 GROUP BY user_id),
+      dur AS (SELECT
+          CAST(date_diff('day', CAST(t0 AS DATE),
+            CAST(COALESCE(tp, t1) AS DATE)) AS BIGINT) AS t,
+          CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS e
+        FROM per LEFT JOIN fp USING (user_id)),
+      byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(e) AS BIGINT) AS d FROM dur GROUP BY t),
+      rsk AS (SELECT t, m, d,
+          CAST(SUM(m) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        FROM byt),
+      evt AS (SELECT t, m, d, n,
+          CASE WHEN d < n THEN
+            CAST(CAST(CAST(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) END AS term
+        FROM rsk WHERE d > 0),
+      cum AS (SELECT t, n, d, m,
+          MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER w AS wiped,
+          SUM(CAST(term AS DECIMAL(30,14))) OVER w AS logs
+        FROM evt WINDOW w AS (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT t, n AS n_risk, d AS n_events,
+        CAST(m - d AS BIGINT) AS n_censored,
+        CASE WHEN wiped = 1 THEN NULL
+          ELSE CAST(logs AS DOUBLE) END AS log_survival
+      FROM cum ORDER BY t"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
-    xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar)
+    xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
+    xDedupSurvivors, xKaplanMeier)
 }

@@ -199,6 +199,21 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.fitDims(20, 50, 24, 24) == ((9, 24)))
   }
 
+  test("qualitySurvivors keeps the best-scoring member, min-id on ties") {
+    import spark.implicits._
+    val d = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 5.0), (5L, 5.0),
+      (9L, 1.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val out = Dedup.qualitySurvivors(d, "doc_id", pairs, col("q"))
+      .collect().map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("survivor_id"),
+          r.getAs[Double]("survivor_score"))).toMap
+    assert(out.keySet == Set(1L, 4L, 9L))
+    assert(out(1L) == ((3L, 2L, 30.0)), "highest score wins the cluster")
+    assert(out(4L) == ((2L, 4L, 5.0)), "score tie falls back to min id")
+    assert(out(9L) == ((1L, 9L, 1.0)), "singleton survives itself")
+  }
+
   test("dHash is stable under PNG re-encode and flips on content change") {
     // hash is a function of decoded PIXELS: byte-identical after a
     // lossless re-encode round-trip, different when content changes

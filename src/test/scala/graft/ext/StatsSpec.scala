@@ -203,6 +203,40 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(mi - math.log(2)) < 1e-9, s"got $mi")
   }
 
+  test("kaplanMeier: risk sets, censoring, and the wiped-out sentinel") {
+    // durations: event@1, event@2, censored@2, event@3
+    val df = Seq((1L, true), (2L, true), (2L, false), (3L, true))
+      .toDF("dur", "obs")
+    val r = Stats.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy("t").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val byT = r.map(x => x.getLong(0) ->
+      (x.getAs[Long]("n_risk"), x.getAs[Long]("n_events"),
+        x.getAs[Long]("n_censored"))).toMap
+    assert(byT(1L) == ((4L, 1L, 0L)))
+    assert(byT(2L) == ((3L, 1L, 1L)), "censored-at-2 must count at t=2")
+    assert(byT(3L) == ((1L, 1L, 0L)))
+    val ln34 = BigDecimal(math.log(3.0 / 4.0))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(r(0).getAs[Double]("log_survival") - ln34) < 1e-11)
+    // t=3 wipes the risk set: survival 0 -> NULL log sentinel
+    assert(r(2).isNullAt(r(2).fieldIndex("log_survival")))
+    // log-survival is monotone nonincreasing over event times
+    assert(r(0).getAs[Double]("log_survival") >
+      r(1).getAs[Double]("log_survival"))
+  }
+
+  test("kaplanMeier with no censoring matches the empirical survival") {
+    // 3 events at distinct times: S after first = 2/3, log = ln(2/3)+...
+    val df = Seq((5L, true), (6L, true), (7L, true)).toDF("dur", "obs")
+    val r = Stats.kaplanMeier(df, col("dur"), col("obs"))
+      .orderBy("t").collect()
+    def canon(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = canon(math.log(2.0 / 3.0)) + canon(math.log(1.0 / 2.0))
+    assert(math.abs(r(1).getAs[Double]("log_survival") - expected) < 1e-11)
+  }
+
   test("tokenEntropy: uniform tokens high, repeated token zero") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
       .toDF("doc_id", "text")
