@@ -620,6 +620,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_members"))
       .select(col("lbl").as("cluster_id"), col("n_members"))
 
+  /** Textual-overlap candidate pairs: documents sharing at least
+    * `minShared` distinct k-token shingles — the conservative
+    * span-overlap graph (a pair here need not be a near-duplicate;
+    * it shares verbatim phrases). Used where overlap itself is the
+    * signal, e.g. contamination spread.
+    *
+    * Scale shape: one shingle equi-join; at web scale add the same
+    * document-frequency cutoff on hot shingles as
+    * [[ngramJaccardPairs]] (boilerplate shingles otherwise dominate
+    * the join).
+    */
+  def sharedShinglePairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, minShared: Long): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+        explode(Text.ngramArray(Text.tokens(col(textCol)), k)).as("s"))
+      .distinct()
+    sh.as("a")
+      .join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Quality-aware survivor selection: one document kept per near-dup
     * cluster — the HIGHEST-scoring member (ties broken by min id), not
     * the arbitrary min-id member. This is the curation-correct dedup:

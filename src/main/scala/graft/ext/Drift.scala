@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus drift monitoring: compare the token distributions of two
@@ -60,5 +60,44 @@ object Drift {
         col("v").cast("bigint").as("vocab_union"),
         col("n_new_types"), col("n_lost_types"),
         col("tvd"), col("kl_old_new"))
+  }
+
+  /** Population Stability Index between two numeric samples over
+    * fixed-width value bins — the standard model-monitoring drift
+    * score (PSI < 0.1 stable, > 0.25 shifted). Same conventions as
+    * [[tokenDrift]]: add-one smoothing over the union of OBSERVED
+    * bins, ln through the 12-decimal discipline, per-bin terms
+    * decimal-rounded and summed exactly. `PSI = Σ (p−q)·ln(p/q)`,
+    * symmetric by construction.
+    *
+    * Scale shape: each sample collapses to per-bin counts (map-side
+    * combinable); the rest is one full-outer join + one aggregate of
+    * O(#bins) rows.
+    */
+  def psi(oldDf: DataFrame, newDf: DataFrame, value: Column,
+      binWidth: Double, nBins: Int): DataFrame = {
+    def bins(df: DataFrame, name: String) = df
+      .select(least(floor(value.cast("double") / binWidth),
+        lit(nBins - 1L)).cast("bigint").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(name))
+    val j = bins(oldDf, "co").join(bins(newDf, "cn"), Seq("bin"),
+        "full_outer")
+      .select(col("bin"), coalesce(col("co"), lit(0L)).as("co"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = j.agg(sum(col("co")).as("n_old"), sum(col("cn")).as("n_new"),
+      count(lit(1)).as("v"))
+    val dec = "decimal(20,12)"
+    val p = (col("co") + 1).cast("double") /
+      (col("n_old") + col("v")).cast("double")
+    val q = (col("cn") + 1).cast("double") /
+      (col("n_new") + col("v")).cast("double")
+    val term = ((p - q) * log(p / q).cast(dec).cast("double")).cast(dec)
+    j.crossJoin(tot)
+      .select(col("n_old"), col("n_new"), col("v"), term.as("psi_term"))
+      .groupBy(col("n_old"), col("n_new"), col("v"))
+      .agg(sum(col("psi_term")).cast("double").as("psi"))
+      .select(col("n_old").cast("bigint").as("n_old"),
+        col("n_new").cast("bigint").as("n_new"),
+        col("v").cast("bigint").as("n_bins"), col("psi"))
   }
 }

@@ -547,9 +547,149 @@ object ExtD {
           ELSE CAST(logs AS DOUBLE) END AS log_survival
       FROM cum ORDER BY t"""))
 
+  /** Market-basket association rules
+    * ([[graft.ext.Basket.associationRules]]) over parts co-purchased
+    * in one order: support, directional confidences, lift — every
+    * metric one double division (or product per side) of exact integer
+    * counts.
+    */
+  val xBasketRules = Q(
+    "x_basket_rules",
+    (s, dir) => graft.ext.Basket.associationRules(t(s, dir, "lineitem"),
+      col("l_orderkey"), col("l_partkey"), minSupport = 2L)
+      .orderBy(col("item_a"), col("item_b")),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS txn,
+        l_partkey AS item FROM lineitem),
+      tot AS (SELECT CAST(COUNT(DISTINCT txn) AS BIGINT) AS n_txn FROM li),
+      ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM li GROUP BY item),
+      pr AS (SELECT a.item AS item_a, b.item AS item_b,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li a JOIN li b ON a.txn = b.txn AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      SELECT item_a, item_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        CAST(n_ab AS DOUBLE) / CAST(n_txn AS DOUBLE) AS support,
+        CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_a_to_b,
+        CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_b_to_a,
+        CAST(n_ab * n_txn AS DOUBLE)
+          / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+      FROM pr JOIN ic ia ON ia.item = pr.item_a
+      JOIN ic ib ON ib.item = pr.item_b CROSS JOIN tot
+      ORDER BY item_a, item_b"""))
+
+  /** Population Stability Index ([[graft.ext.Drift.psi]]) between the
+    * purchase and view value distributions — the model-monitoring
+    * companion of [[xKsTest]] (same bins as [[xCalibration]]).
+    */
+  val xPsiDrift = Q(
+    "x_psi_drift",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ext.Drift.psi(ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "view"), col("value"),
+        binWidth = 50.0, nBins = 10)
+    },
+    Some("""WITH ob AS (SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT)
+          AS bin FROM events WHERE event_type = 'purchase'),
+      nb AS (SELECT CAST(least(floor(value / 50.0), 9) AS BIGINT) AS bin
+        FROM events WHERE event_type = 'view'),
+      oc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS co FROM ob
+        GROUP BY bin),
+      nc AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cn FROM nb
+        GROUP BY bin),
+      j AS (SELECT COALESCE(oc.bin, nc.bin) AS bin,
+          COALESCE(co, 0) AS co, COALESCE(cn, 0) AS cn
+        FROM oc FULL OUTER JOIN nc ON oc.bin = nc.bin),
+      tot AS (SELECT CAST(SUM(co) AS BIGINT) AS n_old,
+          CAST(SUM(cn) AS BIGINT) AS n_new,
+          CAST(COUNT(*) AS BIGINT) AS v FROM j),
+      terms AS (SELECT n_old, n_new, v,
+          CAST((CAST(co + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE)
+              - CAST(cn + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE))
+            * CAST(CAST(ln(
+                (CAST(co + 1 AS DOUBLE) / CAST(n_old + v AS DOUBLE))
+                / (CAST(cn + 1 AS DOUBLE) / CAST(n_new + v AS DOUBLE)))
+              AS DECIMAL(20,12)) AS DOUBLE)
+            AS DECIMAL(20,12)) AS psi_term
+        FROM j, tot)
+      SELECT n_old, n_new, v AS n_bins,
+        CAST(SUM(psi_term) AS DOUBLE) AS psi
+      FROM terms GROUP BY n_old, n_new, v"""))
+
+  /** Contamination-spread audit — the composition the individual
+    * operators exist for: benchmark-contaminated docs
+    * ([[graft.ext.Text.contamination]], 5-gram overlap with the eval
+    * slice) seed a 2-hop BFS ([[graft.ext.Graph.bfsDistances]]) over
+    * the textual-overlap graph
+    * ([[graft.ext.Dedup.sharedShinglePairs]], ≥2 shared 3-grams), so
+    * documents sharing verbatim phrases with contaminated docs — and
+    * THEIR overlaps — are flagged too (the conservative transitive
+    * decontamination). Self-edges keep isolated docs in the output
+    * (harmless under min-propagation: d vs d+1). distance 0 =
+    * directly contaminated, 1–2 = transitively tainted, −1 = clean.
+    */
+  val xContaminationSpread: Q = {
+    val inf = Long.MaxValue
+    val iters = (1 to 2).map { i =>
+      s"""r$i AS (SELECT e.dst, MIN(d.d) + 1 AS nd
+          FROM edges e JOIN d${i - 1} d ON d.node = e.src
+          WHERE d.d <> $inf GROUP BY e.dst),
+        d$i AS (SELECT d.node, least(d.d, COALESCE(r.nd, $inf)) AS d
+          FROM d${i - 1} d LEFT JOIN r$i r ON r.dst = d.node)"""
+    }.mkString(",\n")
+    Q("x_contamination_spread",
+      (s, dir) => {
+        import graft.ext.{Dedup, Graph, Text}
+        val docs = t(s, dir, "documents")
+        val corpus = docs.filter(col("doc_id") >= 20)
+        val seeds = Text.contamination(corpus,
+            docs.filter(col("doc_id") < 20), "text", "doc_id", n = 5)
+          .filter(col("contaminated")).select(col("doc_id").as("seed"))
+        val pairs = Dedup.sharedShinglePairs(corpus, "text", "doc_id",
+          k = 3, minShared = 2L)
+        val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+          .unionByName(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst")))
+          .unionByName(corpus.select(col("doc_id").as("src"),
+            col("doc_id").as("dst")))
+        Graph.bfsDistances(sym, "src", "dst", seeds, "seed", rounds = 2)
+          .orderBy(col("node"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents),
+        g5 AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4])) AS gram
+          FROM d),
+        eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 20),
+        seeds AS (SELECT DISTINCT g5.doc_id FROM g5
+          JOIN eg ON g5.gram = eg.gram WHERE g5.doc_id >= 20),
+        sh AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w)-1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM d WHERE doc_id >= 20),
+        inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY da, db),
+        prs AS (SELECT da, db FROM inter WHERE ix >= 2),
+        corpus AS (SELECT doc_id FROM documents WHERE doc_id >= 20),
+        edges AS (SELECT da AS src, db AS dst FROM prs
+          UNION ALL SELECT db, da FROM prs
+          UNION ALL SELECT doc_id, doc_id FROM corpus),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+        d0 AS (SELECT node, CASE WHEN node IN (SELECT doc_id FROM seeds)
+          THEN 0 ELSE $inf END AS d FROM nodes),
+        $iters
+        SELECT node, CASE WHEN d = $inf THEN -1 ELSE d END AS distance
+        FROM d2 ORDER BY node"""))
+  }
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
-    xDedupSurvivors, xKaplanMeier)
+    xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
+    xContaminationSpread)
 }

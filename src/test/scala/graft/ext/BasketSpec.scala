@@ -1,0 +1,49 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class BasketSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("associationRules computes support, confidence, and lift exactly") {
+    // 4 baskets: {a,b} x2, {a,c}, {b}  ->  pair (a,b) in 2 of 4
+    val df = Seq((1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+      (3, "c"), (4, "b")).toDF("txn", "item")
+    val r = Basket.associationRules(df, col("txn"), col("item"),
+      minSupport = 2L).collect()
+    assert(r.length == 1, "only (a,b) reaches support 2")
+    val x = r(0)
+    assert(x.getAs[String]("item_a") == "a" && x.getAs[String]("item_b") == "b")
+    assert(x.getAs[Long]("n_ab") == 2 && x.getAs[Long]("n_a") == 3 &&
+      x.getAs[Long]("n_b") == 3)
+    assert(x.getAs[Double]("support") == 0.5)
+    assert(x.getAs[Double]("conf_a_to_b") == 2.0 / 3.0)
+    assert(x.getAs[Double]("conf_b_to_a") == 2.0 / 3.0)
+    // lift = n_ab*N / (n_a*n_b) = 8/9 < 1: a and b slightly repel
+    assert(x.getAs[Double]("lift") == 8.0 / 9.0)
+  }
+
+  test("associationRules deduplicates repeated items within a basket") {
+    // item repeated in one txn must count once (DISTINCT basket sets)
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b"))
+      .toDF("txn", "item")
+    val r = Basket.associationRules(df, col("txn"), col("item"), 2L)
+      .collect()(0)
+    assert(r.getAs[Long]("n_ab") == 2 && r.getAs[Long]("n_a") == 2)
+    assert(r.getAs[Double]("lift") == 1.0, "perfect co-occurrence, lift 1")
+  }
+
+  test("psi is zero for identical samples and grows with shift") {
+    val a = Seq.tabulate(100)(i => i.toDouble).toDF("v")
+    val same = Drift.psi(a, a, col("v"), binWidth = 10.0, nBins = 10)
+      .collect()(0)
+    assert(same.getAs[Double]("psi") == 0.0)
+    assert(same.getAs[Long]("n_bins") == 10)
+    val shifted = Seq.tabulate(100)(i => 50.0 + i / 2.0).toDF("v")
+    val drift = Drift.psi(a, shifted, col("v"), 10.0, 10)
+      .collect()(0).getAs[Double]("psi")
+    assert(drift > 0.25, s"concentrated shift must alarm, got $drift")
+  }
+}

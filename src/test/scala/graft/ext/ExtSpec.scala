@@ -199,6 +199,22 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.fitDims(20, 50, 24, 24) == ((9, 24)))
   }
 
+  test("sharedShinglePairs counts distinct shared k-grams with a floor") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d e"),        // shingles: abc bcd cde
+      (2L, "a b c d x"),        // shares abc bcd with 1
+      (3L, "z a b c z2"),       // shares only abc with 1 and 2
+      (4L, "q r s t u")).toDF("doc_id", "text")
+    val two = Dedup.sharedShinglePairs(d, "text", "doc_id", 3, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(two.keySet == Set((1L, 2L)), s"got ${two.keySet}")
+    assert(two((1L, 2L)) == 2L)
+    val one = Dedup.sharedShinglePairs(d, "text", "doc_id", 3, 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(one == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("qualitySurvivors keeps the best-scoring member, min-id on ties") {
     import spark.implicits._
     val d = Seq((1L, 10.0), (2L, 30.0), (3L, 20.0), (4L, 5.0), (5L, 5.0),
