@@ -139,10 +139,18 @@ object Stats {
     * not events.
     */
   def rollingAnomalies(df: DataFrame, group: Column, ts: Column,
-      win: Int = 7, k: Int = 3): DataFrame = {
-    val daily = df
+      win: Int = 7, k: Int = 3): DataFrame =
+    rollingAnomaliesFromDaily(df
       .groupBy(group.as("grp"), date_format(ts, "yyyy-MM-dd").as("day"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt")), win, k)
+
+  /** The decision rule of [[rollingAnomalies]] over pre-aggregated
+    * (grp, day, cnt) rows — shared with the streaming twin
+    * (`streaming/AnomalyStream`), which maintains the daily counts as
+    * incremental state.
+    */
+  def rollingAnomaliesFromDaily(daily: DataFrame, win: Int,
+      k: Int): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(-win, -1)
     daily

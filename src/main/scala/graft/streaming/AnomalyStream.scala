@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import graft.ext.Stats
+
+/** Continuous anomaly monitoring — [[graft.ext.Stats.rollingAnomalies]]
+  * run per micro-batch against accumulated daily counts (the
+  * foreachBatch companion, like [[CdcStream]] is for CDC apply).
+  *
+  * State holds one row per (group, day) with its event count. Merging
+  * a batch is a pure integer ADD per key, which is idempotent-safe
+  * under replay ONLY with exactly-once batch semantics (foreachBatch +
+  * checkpoint, as everywhere in this layer) — counts, unlike
+  * [[CdcStream]]'s max-merge, are not naturally re-applicable, so the
+  * state write and the checkpoint commit must be atomic per epoch;
+  * the spec covers the convergence contract (any batch SPLIT of the
+  * feed yields the one-shot flags), not at-least-once replay.
+  *
+  * Scale shape: per batch, one groupBy over state ∪ batch increments
+  * keyed on (group, day) — state is bounded by groups × active days,
+  * and production would age out days beyond the trailing window plus
+  * the late-data horizon.
+  */
+object AnomalyStream {
+
+  /** Merge one event micro-batch into the daily-count state at
+    * `statePath`, then return the anomaly flags over the merged
+    * counts — identical to running the batch detector over all events
+    * seen so far.
+    */
+  def applyBatch(batch: DataFrame, statePath: String, groupCol: String,
+      tsCol: String, win: Int = 7, k: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(statePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior =
+      if (fs.exists(hPath)) Some(spark.read.parquet(statePath)) else None
+    val inc = batch
+      .groupBy(col(groupCol).as("grp"),
+        date_format(col(tsCol), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val merged = prior.fold(inc)(p => p.unionByName(inc))
+      .groupBy(col("grp"), col("day"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint(true)
+    merged.write.mode(SaveMode.Overwrite).parquet(statePath)
+    Stats.rollingAnomaliesFromDaily(merged, win, k)
+  }
+}

@@ -320,4 +320,27 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() > 0, "curation stream produced nothing")
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("incremental anomaly flags converge to the one-shot batch result") {
+    import graft.streaming.AnomalyStream
+    import graft.ext.Stats
+    val ev = eventsDf
+    val state = Files.createTempDirectory("anomstate")
+      .resolve("state").toString
+    // split the feed on an arbitrary mid-stream timestamp: batch 2 also
+    // ADDS events to days batch 1 already counted (the merge is an add,
+    // not an overwrite — the case a naive state union would get wrong)
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.6) p")
+      .collect()(0).getDouble(0).toLong
+    val b1 = ev.filter(unix_micros(col("ts")) <= cut)
+    val b2 = ev.filter(unix_micros(col("ts")) > cut)
+    assert(b1.count() > 0 && b2.count() > 0)
+    AnomalyStream.applyBatch(b1, state, "event_type", "ts")
+    val streamed = AnomalyStream.applyBatch(b2, state, "event_type", "ts")
+    val oneShot = Stats.rollingAnomalies(ev, col("event_type"), col("ts"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "two-batch incremental flags must equal the one-shot batch flags")
+  }
 }
