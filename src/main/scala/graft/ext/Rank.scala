@@ -129,4 +129,32 @@ object Rank {
       .select(col("grp"), (col("pos") + 1).cast("int").as("rank"),
         col("col._2").as("id"), col("col._1").as("value"))
   }
+
+  /** Reciprocal rank fusion (Cormack, Clarke & Buettcher SIGIR'09):
+    * combine several (id, rank) result lists into one ranking by
+    * `RRF(id) = Σ_lists 1/(k + rank)` — the standard hybrid-retrieval
+    * merge (BM25 ⊕ dense-vector lists) that needs no score
+    * calibration between the systems. Each term is a division of
+    * exact integers (bit-identical everywhere); terms are
+    * decimal-rounded and summed exactly, so fused scores — and
+    * therefore the fused ORDER — adjudicate exactly.
+    *
+    * Scale shape: a union of the (tiny) top-k lists and one groupBy
+    * on the id — nothing touches the corpora themselves.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int = 60): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(rankings.nonEmpty, "need at least one ranking")
+    val tagged = rankings.map(df =>
+      df.select(col(idCol).as("id"), col(rankCol).cast("long").as("r")))
+    val term = (lit(1.0) / (lit(k.toDouble) + col("r").cast("double")))
+      .cast("decimal(30,14)")
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("bigint").as("n_lists"),
+        sum(term).as("s"))
+      .select(col("id"), col("n_lists"),
+        col("s").cast("double").as("rrf_score"))
+  }
 }

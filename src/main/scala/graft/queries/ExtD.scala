@@ -686,10 +686,92 @@ object ExtD {
         FROM d2 ORDER BY node"""))
   }
 
+  /** Hybrid retrieval via reciprocal rank fusion
+    * ([[graft.ext.Rank.rrfFuse]]): the BM25 top-20 (lexical) and the
+    * embedding-cosine top-20 for query vector 0 (dense) fused by
+    * `Σ 1/(60 + rank)` — the standard hybrid-search merge, no score
+    * calibration needed. Both input rankings reuse adjudicated-green
+    * machinery (the `x_text_bm25` scoring chain; the `vec_dot` cosine
+    * whose doubles are bit-identical to DuckDB's sequential
+    * `list_dot_product`), so the fused ORDER adjudicates exactly.
+    */
+  val xHybridRrf: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q("x_hybrid_rrf",
+      (s, dir) => {
+        import graft.ext.{Rank, Similarity, Text}
+        val topW = Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("sc").desc, col("id"))
+        def top20(scored: org.apache.spark.sql.DataFrame) = scored
+          .orderBy(col("sc").desc, col("id")).limit(20)
+          .withColumn("rank", row_number().over(topW))
+          .select(col("id"), col("rank"))
+        val bm = top20(Text.bm25(t(s, dir, "documents"), "text", "doc_id",
+            terms = Seq("dup", "vector", "stream"))
+          .select(col("doc_id").as("id"), col("score").as("sc")))
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val cos = top20(emb.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(q))
+          .select(col("vec_id").as("id"),
+            (Similarity.dot(col("embedding"), col("qv")) /
+              (Similarity.norm(col("embedding")) *
+                Similarity.norm(col("qv")))).as("sc")))
+        Rank.rrfFuse(Seq(bm, cos), "id", "rank", k = 60)
+          .orderBy(col("rrf_score").desc, col("id"))
+      },
+      Some("""WITH b2 AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+          string_split(text, ' ') AS toks FROM documents),
+        stats AS (SELECT count(*) AS n_docs,
+          CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM b2),
+        tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM (
+            SELECT doc_id, dl, unnest(toks) AS term FROM b2)
+          WHERE term IN ('dup', 'vector', 'stream') GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        contrib AS (SELECT doc_id,
+          CAST((CAST(CAST(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                / (CAST(df AS DOUBLE) + 0.5)) AS DECIMAL(20,12)) AS DOUBLE)
+            * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0))
+            / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / avgdl)))
+            AS DECIMAL(20,12)) AS c
+          FROM tf JOIN dfreq USING (term), stats),
+        sc AS (SELECT doc_id,
+          CAST(CAST(SUM(c) AS DECIMAL(38,12)) AS DOUBLE) AS score
+          FROM contrib GROUP BY 1),
+        bmrank AS (SELECT doc_id AS id,
+            CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+              AS INTEGER) AS rank
+          FROM sc QUALIFY rank <= 20),
+        e AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+        qv AS (SELECT v AS q FROM e WHERE vec_id = 0),
+        cosr AS (SELECT vec_id, list_dot_product(v, q)
+            / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(q, q)))
+            AS cs
+          FROM e CROSS JOIN qv WHERE vec_id <> 0),
+        crank AS (SELECT vec_id AS id,
+            CAST(row_number() OVER (ORDER BY cs DESC, vec_id)
+              AS INTEGER) AS rank
+          FROM cosr QUALIFY rank <= 20),
+        u AS (SELECT id, rank FROM bmrank
+          UNION ALL SELECT id, rank FROM crank),
+        f AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+            SUM(CAST(CAST(
+              CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+                + CAST(rank AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(30,14))) AS s
+          FROM u GROUP BY id)
+        SELECT id, n_lists, CAST(s AS DOUBLE) AS rrf_score
+        FROM f ORDER BY rrf_score DESC, id"""))
+  }
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
-    xContaminationSpread)
+    xContaminationSpread, xHybridRrf)
 }

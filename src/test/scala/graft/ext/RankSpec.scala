@@ -52,4 +52,21 @@ class RankSpec extends SparkSuite {
     assert(plan.contains("rangepartitioning"))
     assert(!plan.contains("SinglePartition"))
   }
+
+  test("rrfFuse sums reciprocal ranks across lists, exactly") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("id", "rank")
+    val f = Rank.rrfFuse(Seq(a, b), "id", "rank", k = 60)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_lists"), r.getAs[Double]("rrf_score"))).toMap
+    def t(r: Int) = BigDecimal(1.0 / (60.0 + r))
+      .setScale(14, BigDecimal.RoundingMode.HALF_UP)
+    assert(f(20L)._1 == 2, "id in both lists")
+    assert(f(20L)._2 == (t(2) + t(1)).toDouble)
+    assert(f(10L) == ((1L, t(1).toDouble)))
+    // consensus beats a single first place: 20 outranks 10
+    assert(f(20L)._2 > f(10L)._2)
+  }
 }

@@ -222,6 +222,29 @@ class PlanSpec extends SparkSuite {
       s"zipf topR is not a TakeOrdered:\n$z")
   }
 
+  test("round-6 statistical audits keep their scale shapes") {
+    // perceptual near-dup pairs: banded equi-join, never all-pairs
+    val ph = plan("x_multimodal_phash_pairs")
+    assert(!ph.contains("CartesianProduct"),
+      s"phash pairs went cartesian:\n$ph")
+
+    // basket rules: within-txn equi-join + partial pair counts; the
+    // item-count side broadcasts back onto the (filtered) pairs
+    val bk = plan("x_basket_rules")
+    assert(!bk.contains("CartesianProduct"), s"basket went cartesian:\n$bk")
+    assert(bk.contains("partial"), s"basket counts not partial:\n$bk")
+
+    // triangle counting's joins are equi-joins on node/pair keys
+    val tri = plan("x_adamic_adar")
+    assert(!tri.contains("CartesianProduct"),
+      s"wedge join went cartesian:\n$tri")
+
+    // ROC-AUC: the only exchanges are the score groupBy and the
+    // (deliberate, distinct-scores-sized) cumulative window
+    val auc = plan("x_roc_auc")
+    assert(auc.contains("partial"), s"AUC score counts not partial:\n$auc")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
