@@ -74,6 +74,54 @@ object ScaleBench {
       }
     }
 
+    // triangle counting over the SYMMETRIZED versions of the same
+    // graphs: oriented out-degree stays ~10, so wedge fan-out per node
+    // is constant while node count grows 10x
+    for (n <- Seq(50000L, 200000L, 500000L)) {
+      val fwd = spark.range(n).select(col("id").as("src"))
+        .crossJoin(spark.range(10).select(col("id").as("j")))
+        .select(col("src"),
+          pmod(col("src") * 7 + col("j") * 1231, lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val sym = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      time(s"triangleCount ${n} nodes / ~${n * 20} directed edges") {
+        Graph.triangleCount(sym, "src", "dst").collect()(0).getLong(2)
+      }
+    }
+
+    // perceptual-hash near-dup pairs: real PNG encode+decode per image;
+    // mod = n/5 keeps duplicate-bucket size constant (~5), so the
+    // OUTPUT stays linear while the image count grows 10x (quadratic
+    // output under fixed mod is semantic, not an operator defect)
+    for (n <- Seq(5000L, 20000L, 50000L)) {
+      val ids = spark.range(n).select(col("id").as("doc_id"))
+        .repartition(cpus.toInt)
+      time(s"phashPairs ${n} real PNGs (bucket ~5)") {
+        graft.ext.Multimodal.phashPairs(
+          graft.ext.Multimodal.withDHash(
+            graft.ext.Multimodal.withSyntheticPngKeyed(
+              ids, "doc_id", (n / 5).toInt), "id"), 3).count()
+      }
+    }
+
+    // basket rules on replicated lineitem (offset orderkeys): basket
+    // size constant, transaction count grows -> pair volume linear
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).cache()
+    li.count()
+    for (k <- Seq(1, 4, 10)) {
+      val rep = li
+        .crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("l_orderkey") * 16 + col("rep")).as("txn"),
+          col("l_partkey").as("item"))
+        .repartition(cpus.toInt)
+      time(s"basket rules x$k lineitem (${k * 600}k rows)") {
+        graft.ext.Basket.associationRules(rep, col("txn"), col("item"),
+          minSupport = 2L).count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
