@@ -768,10 +768,112 @@ object ExtD {
         FROM f ORDER BY rrf_score DESC, id"""))
   }
 
+  /** Trap: ROC-AUC under MASS ties — scores collapsed to 5 buckets, so
+    * almost every rank is an average rank and `2·cum − c + 1` does all
+    * the work. A naive rank (min or max instead of average) is off in
+    * the third decimal here.
+    */
+  val xTrapAucTies = Q(
+    "x_trap_auc_ties",
+    (s, dir) => Stats.rocAuc(t(s, dir, "events"),
+      floor(col("value") / 100), col("event_type") === "purchase"),
+    Some("""WITH base AS (SELECT CAST(floor(value / 100) AS DOUBLE) AS s,
+        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        FROM events),
+      g AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+          CAST(SUM(y) AS BIGINT) AS p FROM base GROUP BY s),
+      cum AS (SELECT s, c, p,
+          CAST(SUM(c) OVER (ORDER BY s
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cumc
+        FROM g),
+      sums AS (SELECT
+          CAST(SUM(p * (2 * cumc - c + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(p) AS BIGINT) AS pos,
+          CAST(SUM(c) AS BIGINT) AS n
+        FROM cum)
+      SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
+        CAST(sum2r - pos * (pos + 1) AS DOUBLE)
+          / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
+             * CAST(n - pos AS DOUBLE)) AS auc
+      FROM sums"""))
+
+  /** Trap: Kaplan–Meier with a WIPED-OUT final risk set — every
+    * subject has an event and the longest duration's d equals its n,
+    * so survival is exactly 0 there: the NULL log sentinel (not −inf,
+    * not a crash, not a skipped row) is what adjudicates.
+    */
+  val xTrapKmWipeout = Q(
+    "x_trap_km_wipeout",
+    (s, dir) => Stats.kaplanMeier(
+      t(s, dir, "customer").select((col("c_custkey") % 5).as("dur"),
+        lit(true).as("obs")),
+      col("dur"), col("obs")).orderBy(col("t")),
+    Some("""WITH dur AS (SELECT CAST(c_custkey % 5 AS BIGINT) AS t, 1 AS e
+        FROM customer),
+      byt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS m,
+          CAST(SUM(e) AS BIGINT) AS d FROM dur GROUP BY t),
+      rsk AS (SELECT t, m, d,
+          CAST(SUM(m) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n
+        FROM byt),
+      evt AS (SELECT t, m, d, n,
+          CASE WHEN d < n THEN
+            CAST(CAST(CAST(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) END AS term
+        FROM rsk WHERE d > 0),
+      cum AS (SELECT t, n, d, m,
+          MAX(CASE WHEN d = n THEN 1 ELSE 0 END) OVER w AS wiped,
+          SUM(CAST(term AS DECIMAL(30,14))) OVER w AS logs
+        FROM evt WINDOW w AS (ORDER BY t
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT t, n AS n_risk, d AS n_events,
+        CAST(m - d AS BIGINT) AS n_censored,
+        CASE WHEN wiped = 1 THEN NULL
+          ELSE CAST(logs AS DOUBLE) END AS log_survival
+      FROM cum ORDER BY t"""))
+
+  /** Trap: RRF with EXACT score ties — two mirrored rankings over ten
+    * ids give id i and id 11−i identical fused sums (equal exact
+    * decimals → equal doubles), so the output order is decided purely
+    * by the (score desc, id) tie-break, which the oracle replays.
+    */
+  val xTrapRrfTie: Q = {
+    import org.apache.spark.sql.expressions.Window
+    Q("x_trap_rrf_tie",
+      (s, dir) => {
+        val base = t(s, dir, "customer").filter(col("c_custkey").between(1, 10))
+          .select(col("c_custkey").as("id"))
+        val w = Window.partitionBy(pmod(col("id"), lit(1)))
+          .orderBy(col("id"))
+        val a = base.withColumn("rank", row_number().over(w))
+        val b = base.withColumn("rank", lit(11) - row_number().over(w))
+        graft.ext.Rank.rrfFuse(Seq(a, b), "id", "rank", k = 60)
+          .orderBy(col("rrf_score").desc, col("id"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS id FROM customer
+          WHERE c_custkey BETWEEN 1 AND 10),
+        a AS (SELECT id, CAST(row_number() OVER (ORDER BY id) AS INTEGER)
+            AS rank FROM base),
+        b AS (SELECT id,
+            CAST(11 - row_number() OVER (ORDER BY id) AS INTEGER) AS rank
+          FROM base),
+        u AS (SELECT id, rank FROM a UNION ALL SELECT id, rank FROM b),
+        f AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+            SUM(CAST(CAST(
+              CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE)
+                + CAST(rank AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(30,14))) AS s
+          FROM u GROUP BY id)
+        SELECT id, n_lists, CAST(s AS DOUBLE) AS rrf_score
+        FROM f ORDER BY rrf_score DESC, id"""))
+  }
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
-    xContaminationSpread, xHybridRrf)
+    xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
+    xTrapRrfTie)
 }
