@@ -320,6 +320,72 @@ object Stats {
           .otherwise(col("logs").cast("double")).as("log_survival"))
   }
 
+  /** Time-aware exponentially weighted moving average of per-group
+    * daily counts: `y_t = α·Σ_{0≤δ<K} (1−α)^δ·x_{t−δ}` with δ the REAL
+    * day gap (missing days decay the weight, as they should), truncated
+    * at a K-day kernel — the truncation (tail weight (1−α)^K, ~1.8% at
+    * α=0.25, K=14) is part of the DEFINED computation, which the oracle
+    * replays term for term. Each weight is a canonicalized pow; terms
+    * are decimal-summed exactly; the final ×α is exact (α a binary
+    * fraction).
+    *
+    * Scale shape: the kernel join is (group-key equi-join) × K rows
+    * per day — never a window holding unbounded history; day count per
+    * group bounds everything.
+    */
+  def ewmaDaily(df: DataFrame, group: Column, ts: Column,
+      alpha: Double = 0.25, kernel: Int = 14): DataFrame = {
+    val daily = df
+      .groupBy(group.as("grp"), date_format(ts, "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val delta = datediff(to_date(col("a.day")), to_date(col("b.day")))
+    val w = pow(lit(1.0 - alpha), delta.cast("double"))
+      .cast("decimal(20,12)").cast("double")
+    daily.as("a")
+      .join(daily.as("b"),
+        col("a.grp") === col("b.grp") &&
+          delta >= 0 && delta < kernel)
+      .groupBy(col("a.grp").as("grp"), col("a.day").as("day"))
+      .agg(max(col("a.cnt")).cast("bigint").as("cnt"),
+        sum((col("b.cnt").cast("double") * w).cast("decimal(30,14)")).as("s"))
+      .select(col("grp"), col("day"), col("cnt"),
+        (lit(alpha) * col("s").cast("double")).as("ewma"))
+  }
+
+  /** RFM customer segmentation: recency (days since last order as of
+    * the data's max date), frequency (order count), monetary (exact
+    * decimal revenue), each scored into quintiles with deterministic
+    * (value, customer) tie-breaks — score 5 is best on every axis.
+    * The classic behavioral-feature primitive; the same shape scores
+    * documents by (freshness, dup-count, token-mass).
+    *
+    * Scale shape: one per-customer aggregate, then ntile windows over
+    * O(#customers) rows (range-partitionable; at extreme cardinality
+    * swap ntile for rank/count buckets).
+    */
+  def rfm(orders: DataFrame, cust: Column, orderDate: Column,
+      amount: Column): DataFrame = {
+    val per = orders
+      .groupBy(cust.as("cust"))
+      .agg(max(orderDate.cast("date")).as("last_order"),
+        count(lit(1)).cast("bigint").as("frequency"),
+        sum(amount.cast("decimal(18,2)")).cast("decimal(25,2)")
+          .as("monetary"))
+      .crossJoin(orders.agg(max(orderDate.cast("date")).as("as_of")))
+      .withColumn("recency",
+        datediff(col("as_of"), col("last_order")).cast("bigint"))
+    val r = ntile(5).over(Window.orderBy(col("recency").desc, col("cust")))
+    val f = ntile(5).over(Window.orderBy(col("frequency"), col("cust")))
+    val m = ntile(5).over(Window.orderBy(col("monetary"), col("cust")))
+    per.select(col("cust"), col("recency"), col("frequency"),
+        col("monetary").cast("double").as("monetary"),
+        r.cast("bigint").as("r_score"), f.cast("bigint").as("f_score"),
+        m.cast("bigint").as("m_score"))
+      .withColumn("rfm_segment",
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .cast("bigint"))
+  }
+
   /** k-anonymity audit: quasi-identifier combinations shared by fewer
     * than k rows — each is a re-identification risk in released
     * training data. Returns the risky combinations with their counts;

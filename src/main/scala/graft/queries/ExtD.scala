@@ -869,11 +869,81 @@ object ExtD {
         FROM f ORDER BY rrf_score DESC, id"""))
   }
 
+  /** Time-aware EWMA smoothing ([[graft.ext.Stats.ewmaDaily]]) of
+    * per-type daily volumes: real day gaps decay the weight, the
+    * 14-day truncated kernel is part of the defined computation, and
+    * the oracle replays every weighted term (pow canonicalized through
+    * the VARCHAR round-trip).
+    */
+  val xEwmaDaily = Q(
+    "x_ewma_daily",
+    (s, dir) => Stats.ewmaDaily(t(s, dir, "events"), col("event_type"),
+      col("ts"), alpha = 0.25, kernel = 14)
+      .orderBy(col("grp"), col("day")),
+    Some("""WITH daily AS (SELECT event_type AS grp,
+        strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2),
+      j AS (SELECT a.grp, a.day, a.cnt,
+          date_diff('day', CAST(b.day AS DATE), CAST(a.day AS DATE))
+            AS delta,
+          b.cnt AS bc
+        FROM daily a JOIN daily b ON a.grp = b.grp
+        WHERE date_diff('day', CAST(b.day AS DATE), CAST(a.day AS DATE))
+            >= 0
+          AND date_diff('day', CAST(b.day AS DATE), CAST(a.day AS DATE))
+            < 14),
+      agg AS (SELECT grp, day, CAST(MAX(cnt) AS BIGINT) AS cnt,
+          SUM(CAST(CAST(bc AS DOUBLE)
+            * CAST(CAST(CAST(pow(CAST(0.75 AS DOUBLE),
+                CAST(delta AS DOUBLE)) AS VARCHAR) AS DECIMAL(20,12))
+              AS DOUBLE)
+            AS DECIMAL(30,14))) AS s
+        FROM j GROUP BY grp, day)
+      SELECT grp, day, cnt,
+        CAST(0.25 AS DOUBLE) * CAST(s AS DOUBLE) AS ewma
+      FROM agg ORDER BY grp, day"""))
+
+  /** RFM segmentation ([[graft.ext.Stats.rfm]]): recency / frequency /
+    * monetary quintiles with deterministic tie-breaks — DuckDB's ntile
+    * shares Spark's equal-buckets-extras-first definition, so segment
+    * codes adjudicate exactly.
+    */
+  val xRfm = Q(
+    "x_rfm",
+    (s, dir) => Stats.rfm(t(s, dir, "orders"), col("o_custkey"),
+      col("o_orderdate"), col("o_totalprice"))
+      .orderBy(col("cust")),
+    Some("""WITH maxd AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS as_of
+        FROM orders),
+      per AS (SELECT o_custkey AS cust,
+          MAX(CAST(o_orderdate AS DATE)) AS last_order,
+          CAST(COUNT(*) AS BIGINT) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(25,2))
+            AS monetary
+        FROM orders GROUP BY 1),
+      s AS (SELECT cust,
+          CAST(date_diff('day', last_order, as_of) AS BIGINT) AS recency,
+          frequency, monetary
+        FROM per CROSS JOIN maxd),
+      sc AS (SELECT cust, recency, frequency,
+          CAST(monetary AS DOUBLE) AS monetary,
+          CAST(ntile(5) OVER (ORDER BY recency DESC, cust) AS BIGINT)
+            AS r_score,
+          CAST(ntile(5) OVER (ORDER BY frequency, cust) AS BIGINT)
+            AS f_score,
+          CAST(ntile(5) OVER (ORDER BY monetary, cust) AS BIGINT)
+            AS m_score
+        FROM s)
+      SELECT cust, recency, frequency, monetary, r_score, f_score,
+        m_score,
+        r_score * 100 + f_score * 10 + m_score AS rfm_segment
+      FROM sc ORDER BY cust"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
-    xTrapRrfTie)
+    xTrapRrfTie, xEwmaDaily, xRfm)
 }

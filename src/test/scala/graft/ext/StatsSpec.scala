@@ -237,6 +237,44 @@ class StatsSpec extends SparkSuite {
     assert(math.abs(r(1).getAs[Double]("log_survival") - expected) < 1e-11)
   }
 
+  test("ewmaDaily decays by real day gaps and truncates the kernel") {
+    val rows = Seq(("a", "2024-01-01", 8), ("a", "2024-01-02", 8),
+      ("b", "2024-01-01", 4), ("b", "2024-01-03", 4))
+      .flatMap { case (g, d, n) => (1 to n).map(_ => (g, s"$d 09:00:00")) }
+    val df = rows.toDF("g", "ts")
+      .select(col("g"), col("ts").cast("timestamp").as("ts"))
+    val e = Stats.ewmaDaily(df, col("g"), col("ts"), alpha = 0.25,
+      kernel = 14).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("ewma"))
+      .toMap
+    // adjacent days: y = 0.25*(8 + 8*0.75) = 3.5
+    assert(e(("a", "2024-01-02")) == 3.5)
+    assert(e(("a", "2024-01-01")) == 2.0)
+    // a 2-day gap decays by 0.75^2: y = 0.25*(4 + 4*0.5625) = 1.5625
+    assert(e(("b", "2024-01-03")) == 1.5625)
+  }
+
+  test("rfm scores quintiles with 5 = best on every axis") {
+    // 5 customers, strictly ordered on each axis
+    val rows = (1 to 5).flatMap { c =>
+      (1 to c).map(i => (c.toLong, f"2024-01-${c * 5}%02d 00:00:00",
+        c * 100.0))
+    }
+    val df = rows.toDF("cust", "d", "amt")
+      .select(col("cust"), col("d").cast("timestamp").as("d"), col("amt"))
+    val r = Stats.rfm(df, col("cust"), col("d"), col("amt"))
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("r_score"), x.getAs[Long]("f_score"),
+          x.getAs[Long]("m_score"), x.getAs[Long]("rfm_segment"))).toMap
+    // customer 5: most recent, most orders, most revenue -> 555
+    assert(r(5L) == ((5L, 5L, 5L, 555L)))
+    assert(r(1L) == ((1L, 1L, 1L, 111L)))
+    // recency of customer 5 is 0 days (orders on the as-of date)
+    val rec5 = Stats.rfm(df, col("cust"), col("d"), col("amt"))
+      .filter(col("cust") === 5).collect()(0).getAs[Long]("recency")
+    assert(rec5 == 0L)
+  }
+
   test("tokenEntropy: uniform tokens high, repeated token zero") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
       .toDF("doc_id", "text")
