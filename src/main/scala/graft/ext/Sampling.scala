@@ -187,4 +187,49 @@ object Sampling {
       .filter(col("sel_rank") <= kPerGroup)
       .select(col("grp"), col("id"), col("weight"), col("sel_rank"))
   }
+
+  /** Water-filling token-budget allocation across domains: each domain
+    * wants `w_d/Σw` of the `total` budget but can supply at most
+    * `cap_d` tokens; saturated domains take their cap and their unused
+    * share is redistributed among the rest — iterated a fixed `rounds`
+    * times (each round can only saturate more domains, so `rounds` ≥
+    * the cascade depth fixes the set; leftovers beyond that are a
+    * documented property of fixed-round truncation, same discipline as
+    * the other fixed-point operators). All arithmetic is BIGINT with
+    * floor division, so allocations replay exactly as unrolled CTEs.
+    *
+    * This is the mixture-planning step BEFORE [[mixtureResample]] /
+    * [[tokenBudget]]: it turns target weights + measured domain sizes
+    * into feasible per-domain token budgets.
+    *
+    * Scale shape: the state is O(#domains) rows; each round is one
+    * two-value aggregate broadcast back — nothing data-sized moves.
+    */
+  def waterFill(domains: DataFrame, domainCol: String, capCol: String,
+      wCol: String, total: Long, rounds: Int = 4): DataFrame = {
+    require(rounds > 0)
+    var st = domains.select(col(domainCol).as("domain"),
+        col(capCol).cast("long").as("cap"), col(wCol).cast("long").as("w"))
+      .withColumn("sat", lit(false))
+      .localCheckpoint(true)
+    def agg(s: DataFrame) = s.agg(
+      sum(when(col("sat"), col("cap")).otherwise(0L)).cast("long").as("used"),
+      sum(when(!col("sat"), col("w")).otherwise(0L)).cast("long").as("wsum"))
+    def tentative: org.apache.spark.sql.Column =
+      when(col("wsum") === 0, col("cap"))
+        .otherwise(expr("(w * (wtotal - used)) div wsum"))
+    for (_ <- 1 to rounds) {
+      st = st.crossJoin(broadcast(agg(st)))
+        .withColumn("wtotal", lit(total))
+        .withColumn("sat", col("sat") || tentative >= col("cap"))
+        .select(col("domain"), col("cap"), col("w"), col("sat"))
+        .localCheckpoint(true)
+    }
+    st.crossJoin(broadcast(agg(st)))
+      .withColumn("wtotal", lit(total))
+      .select(col("domain"), col("cap"), col("w"),
+        col("sat").as("saturated"),
+        when(col("sat"), col("cap")).otherwise(tentative)
+          .cast("bigint").as("alloc"))
+  }
 }

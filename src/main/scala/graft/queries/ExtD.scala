@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.ext.{Behavior, Stats, Text}
+import graft.ext.{Behavior, Sampling, Stats, Text}
 import graft.queries.H.t
 
 /** Round-6 extension bank, second wave: statistical audits over model
@@ -939,11 +939,58 @@ object ExtD {
         r_score * 100 + f_score * 10 + m_score AS rfm_segment
       FROM sc ORDER BY cust"""))
 
+  /** Water-filling mixture allocation
+    * ([[graft.ext.Sampling.waterFill]]): equal target weights against
+    * unequal domain caps at a budget that forces a 3-round saturation
+    * cascade — small domains take their caps, the freed budget flows
+    * to the rest. Pure BIGINT floor arithmetic; the oracle unrolls
+    * every round.
+    */
+  val xMixtureWaterfill: Q = {
+    val total = 26000L
+    val rounds = 4
+    def aggCte(i: Int, src: String) =
+      s"""a$i AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN w END), 0) AS BIGINT)
+            AS wsum
+        FROM $src)"""
+    def tentSql = s"""CASE WHEN wsum = 0 THEN cap
+        ELSE (w * ($total - used)) // wsum END"""
+    val iters = (1 to rounds).map { i =>
+      s"""${aggCte(i, s"s${i - 1}")},
+        s$i AS (SELECT domain, cap, w,
+            sat OR ($tentSql) >= cap AS sat
+          FROM s${i - 1} CROSS JOIN a$i)"""
+    }.mkString(",\n")
+    Q("x_mixture_waterfill",
+      (s, dir) => {
+        val caps = t(s, dir, "documents")
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("cap"))
+          .withColumn("w", lit(50L))
+        Sampling.waterFill(caps, "source", "cap", "w", total, rounds)
+          .orderBy(col("domain"))
+      },
+      Some(s"""WITH caps AS (SELECT source AS domain,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS cap,
+          CAST(50 AS BIGINT) AS w
+        FROM documents GROUP BY source),
+        s0 AS (SELECT domain, cap, w, false AS sat FROM caps),
+        $iters,
+        ${aggCte(rounds + 1, s"s$rounds")}
+        SELECT domain, cap, w, sat AS saturated,
+          CAST(CASE WHEN sat THEN cap ELSE ($tentSql) END AS BIGINT)
+            AS alloc
+        FROM s$rounds CROSS JOIN a${rounds + 1} ORDER BY domain"""))
+  }
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
-    xTrapRrfTie, xEwmaDaily, xRfm)
+    xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill)
 }

@@ -45,4 +45,31 @@ class SamplingIncrementalSpec extends SparkSuite {
     assert(out.map(_.getAs[Long]("survivor_id")).toSeq == Seq(11L, 13L))
     assert(out.head.getAs[Long]("n_batch_copies") == 2L)
   }
+
+  test("waterFill saturates small domains and redistributes exactly") {
+    import org.apache.spark.sql.functions.col
+    // equal weights, budget 100: fair share 25; a (cap 10) saturates,
+    // then share (100-10)/3 = 30; b (cap 30) saturates at round 2;
+    // c and d split (100-40) = 30 each under caps 50/80
+    val domains = Seq(("a", 10L), ("b", 30L), ("c", 50L), ("d", 80L))
+      .toDF("dom", "cap").withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val r = Sampling.waterFill(domains, "dom", "cap", "w", total = 100L)
+      .collect().map(x => x.getString(0) ->
+        (x.getAs[Boolean]("saturated"), x.getAs[Long]("alloc"))).toMap
+    assert(r("a") == ((true, 10L)))
+    assert(r("b") == ((true, 30L)))
+    assert(r("c") == ((false, 30L)))
+    assert(r("d") == ((false, 30L)))
+    // never exceeds the budget, never exceeds a cap
+    assert(r.values.map(_._2).sum <= 100L)
+  }
+
+  test("waterFill with ample budget gives every domain its cap") {
+    import org.apache.spark.sql.functions.lit
+    val domains = Seq(("a", 10L), ("b", 20L)).toDF("dom", "cap")
+      .withColumn("w", lit(1L))
+    val r = Sampling.waterFill(domains, "dom", "cap", "w", total = 1000L)
+      .collect().map(x => x.getString(0) -> x.getAs[Long]("alloc")).toMap
+    assert(r == Map("a" -> 10L, "b" -> 20L))
+  }
 }
