@@ -986,11 +986,140 @@ object ExtD {
         FROM s$rounds CROSS JOIN a${rounds + 1} ORDER BY domain"""))
   }
 
+  /** Tokenizer fertility by language ([[graft.ext.Text.lexTokenCount]]
+    * over [[graft.ext.Text.wordCount]]): BPE-ish lexer tokens per
+    * whitespace word — the tokenizer-efficiency audit (CJK text shows
+    * its fertility blow-up immediately). Integer sums, one division.
+    */
+  val xTokenizerFertility = Q(
+    "x_tokenizer_fertility",
+    (s, dir) => t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(Text.lexTokenCount(col("text"))).cast("bigint")
+          .as("n_lex_tokens"),
+        sum(Text.wordCount(col("text"))).cast("bigint").as("n_words"))
+      .withColumn("fertility",
+        col("n_lex_tokens").cast("double") / col("n_words").cast("double"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang,
+        CAST(SUM(len(regexp_extract_all(text,
+          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS n_lex_tokens,
+        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        CAST(SUM(len(regexp_extract_all(text,
+          '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS DOUBLE)
+          / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS fertility
+      FROM documents GROUP BY lang ORDER BY lang"""))
+
+  /** Cross-source duplication matrix: near-dup pair counts per
+    * (source, source) — the provenance audit that finds mirror sites
+    * and double-scraped feeds. Composition of
+    * [[graft.ext.Dedup.ngramJaccardPairs]] with two source lookups.
+    */
+  val xDupSourceMatrix = Q(
+    "x_dup_source_matrix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = graft.ext.Dedup.ngramJaccardPairs(docs, "text",
+        "doc_id", k = 3, threshold = 0.5)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(w)-1),
+          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM toks),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      prs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      lab AS (SELECT p.da, p.db, x.source AS sa, y.source AS sb
+        FROM prs p JOIN documents x ON x.doc_id = p.da
+        JOIN documents y ON y.doc_id = p.db)
+      SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b"""))
+
+  /** K-means cluster label purity: every vector assigned to its
+    * nearest deterministic Lloyd centroid
+    * ([[graft.ext.Similarity.lloydCentroids]], the fully-oracled
+    * training), then per-cluster majority-label share — the intrinsic
+    * clustering-quality audit against the embeddings' labels. The
+    * oracle replays centroid training (all 5 rounds unrolled), the
+    * assignment, and the majority vote.
+    */
+  val xClusterPurity = Q(
+    "x_cluster_purity",
+    (s, dir) => {
+      import graft.ext.Similarity
+      val emb = t(s, dir, "embeddings")
+      val cents = Similarity.lloydCentroids(emb, "vec_id", "embedding",
+        nlist = 16, rounds = 5)
+        .select(col("cid"), col("cv"),
+          Similarity.norm(col("cv")).as("cn"))
+      val base = emb.select(col("vec_id").as("nid"),
+          col("embedding").as("nv"))
+        .withColumn("nn", Similarity.norm(col("nv")))
+      val assigned = Similarity.assignToCentroids(base, cents)
+        .select(col("nid"), col("bucket"))
+      val lab = emb.select(col("vec_id").as("nid"), col("label"))
+      val cl = assigned.join(lab, "nid")
+        .groupBy(col("bucket"), col("label"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+      import org.apache.spark.sql.expressions.Window
+      val wTop = Window.partitionBy(col("bucket"))
+        .orderBy(col("c").desc, col("label"))
+      cl.withColumn("rk", row_number().over(wTop))
+        .withColumn("n",
+          sum(col("c")).over(Window.partitionBy(col("bucket")))
+            .cast("bigint"))
+        .filter(col("rk") === 1)
+        .select(col("bucket").as("cluster_id"), col("n"),
+          col("label").cast("bigint").as("top_label"),
+          col("c").as("n_top"),
+          (col("c").cast("double") / col("n").cast("double"))
+            .as("purity"))
+        .orderBy(col("cluster_id"))
+    },
+    Some(s"""${ExtC.lloydCtes(nlist = 16, rounds = 5, dim = 64)},
+      cent AS (SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn
+        FROM cent5),
+      assigned AS (SELECT nid, bucket FROM (
+          SELECT b.vec_id AS nid, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC,
+                c.cid) AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      cl AS (SELECT bucket, label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM assigned JOIN lab ON lab.vec_id = nid GROUP BY 1, 2),
+      top AS (SELECT bucket, label, c,
+          row_number() OVER (PARTITION BY bucket
+            ORDER BY c DESC, label) AS rk,
+          CAST(SUM(c) OVER (PARTITION BY bucket) AS BIGINT) AS n
+        FROM cl)
+      SELECT bucket AS cluster_id, n, CAST(label AS BIGINT) AS top_label,
+        c AS n_top, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+      FROM top WHERE rk = 1 ORDER BY cluster_id"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
     xMultimodalPhash, xMultimodalPhashPairs, xTriangleCount, xAdamicAdar,
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
-    xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill)
+    xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
+    xTokenizerFertility, xDupSourceMatrix, xClusterPurity)
 }
