@@ -69,6 +69,61 @@ object Graph {
     ranks.select(col("node"), (col("pr").cast("double") / lit(Scale)).as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; the proximity scorer
+    * behind "related items" and taint propagation): identical fixed-
+    * point discipline to [[pageRank]], but the teleport mass returns to
+    * a SEED SET instead of spreading uniformly — rank becomes
+    * random-walk proximity to the seeds (e.g. contaminated or
+    * gold-labeled nodes). Seeds absent from the graph are ignored;
+    * non-seed nodes start (and teleport) at zero.
+    *
+    * Same bit-reproducibility story: BIGINT picoranks, floored
+    * per-edge contributions of identical IEEE doubles, integer sums —
+    * every iteration replays in SQL as unrolled CTEs.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, seeds: DataFrame, seedCol: String,
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w")).cache()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
+    val nodesS = nodes
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("_s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed"))
+      .localCheckpoint(true)
+    val seedN = nodesS.filter(col("is_seed")).count().toDouble
+    require(seedN > 0, "no seed is present in the graph")
+
+    val teleport = when(col("is_seed"),
+      (lit(1.0) - lit(damping)) * lit(Scale) / lit(seedN))
+      .otherwise(lit(0.0))
+    var ranks = nodesS
+      .withColumn("pr", when(col("is_seed"),
+        floor(lit(Scale) / lit(seedN))).otherwise(lit(0L)).cast("bigint"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .join(outw, "src")
+        .select(col("dst"),
+          floor(col("pr").cast("double") * col("w") / col("ow"))
+            .cast("bigint").as("c"))
+      val sums = contribs.groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      ranks = nodesS.join(sums, nodesS("node") === sums("dst"), "left")
+        .select(nodesS("node"), col("is_seed"),
+          floor(teleport +
+            lit(damping) * coalesce(col("sc"), lit(0L)).cast("double"))
+            .cast("bigint").as("pr"))
+        .localCheckpoint(true)
+    }
+    e.unpersist()
+    ranks.select(col("node"),
+      (col("pr").cast("double") / lit(Scale)).as("ppr"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007) with FIXED deterministic semantics so it replays in SQL:
     *

@@ -1114,6 +1114,55 @@ object ExtD {
         c AS n_top, CAST(c AS DOUBLE) / CAST(n AS DOUBLE) AS purity
       FROM top WHERE rk = 1 ORDER BY cluster_id"""))
 
+  /** Personalized PageRank
+    * ([[graft.ext.Graph.personalizedPageRank]]): random-walk proximity
+    * to the every-250th-key seed set on the synthetic blocked graph —
+    * the taint-propagation / related-items scorer. Fixed-point BIGINT
+    * picoranks; the oracle unrolls all 10 iterations with the seeded
+    * teleport, bit-for-bit.
+    */
+  val xPersonalizedPagerank: Q = {
+    val iters = (1 to 10).map { i =>
+      s"""c$i AS (SELECT e.dst,
+          CAST(floor(CAST(r.pr AS DOUBLE) * CAST(1.0 AS DOUBLE) / o.ow)
+            AS BIGINT) AS c
+        FROM wedges e JOIN r${i - 1} r ON r.node = e.src
+          JOIN outw o ON o.src = e.src),
+      s$i AS (SELECT dst, SUM(c) AS sc FROM c$i GROUP BY dst),
+      r$i AS (SELECT nodes.node,
+          CAST(floor(
+            CASE WHEN nodes.node % 250 = 0
+              THEN (1.0 - 0.85) * 1e12 / (SELECT sn FROM ns)
+              ELSE 0.0 END
+            + 0.85 * CAST(COALESCE(s.sc, 0) AS DOUBLE)) AS BIGINT) AS pr
+        FROM nodes LEFT JOIN s$i s ON s.dst = nodes.node)"""
+    }.mkString(",\n")
+    Q("x_personalized_pagerank",
+      (s, dir) => {
+        val seeds = t(s, dir, "customer")
+          .filter(col("c_custkey") % 250 === 0)
+          .select(col("c_custkey").as("seed"))
+        graft.ext.Graph.personalizedPageRank(
+          ExtC.syntheticGraph(s, dir).withColumn("w", lit(1.0)),
+          "src", "dst", "w", seeds, "seed",
+          damping = 0.85, iters = 10)
+          .orderBy(col("node"))
+      },
+      Some(s"""${ExtC.graphCtes},
+        wedges AS (SELECT src, dst, CAST(1.0 AS DOUBLE) AS w FROM edges),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS sn FROM nodes
+          WHERE node % 250 = 0),
+        outw AS (SELECT src, SUM(w) AS ow FROM wedges GROUP BY src),
+        r0 AS (SELECT node,
+          CAST(CASE WHEN node % 250 = 0
+            THEN floor(1e12 / (SELECT sn FROM ns)) ELSE 0 END AS BIGINT)
+            AS pr
+          FROM nodes),
+        $iters
+        SELECT node, CAST(pr AS DOUBLE) / 1e12 AS ppr
+        FROM r10 ORDER BY node"""))
+  }
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1121,5 +1170,6 @@ object ExtD {
     xDedupSurvivors, xKaplanMeier, xBasketRules, xPsiDrift,
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
-    xTokenizerFertility, xDupSourceMatrix, xClusterPurity)
+    xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
+    xPersonalizedPagerank)
 }

@@ -74,6 +74,33 @@ class GraphSpec extends SparkSuite {
     assert(math.abs(one(0).getAs[Double]("aa_score") - 1.0 / math.log(2)) < 1e-9)
   }
 
+  test("personalizedPageRank concentrates mass near the seed") {
+    // triangle a-b-c with tail c-d, seeded at a. (A plain path would be
+    // bipartite: the walk oscillates with period 2 and mid-ring nodes
+    // can swap order at a fixed iteration count — the triangle breaks
+    // the parity so proximity ordering is stable.)
+    val pairs = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .map { case (s, d) => (s, d, 1.0) }.toDF("src", "dst", "w")
+    val seeds = Seq("a").toDF("seed")
+    val r = Graph.personalizedPageRank(edges, "src", "dst", "w",
+      seeds, "seed").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r("a") == r.values.max, s"seed must rank highest: $r")
+    assert(r("d") == r.values.min, s"far tail must rank lowest: $r")
+    assert(r("b") > r("d") && r("c") > r("d"), s"proximity broken: $r")
+    assert(r.values.sum <= 1.0 + 1e-9)
+    // a seed absent from the graph is ignored; none present fails fast
+    val r2 = Graph.personalizedPageRank(edges, "src", "dst", "w",
+      Seq("a", "zz").toDF("seed"), "seed").collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r2 == r, "absent seed must not change the teleport set")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "src", "dst", "w",
+        Seq("zz").toDF("seed"), "seed")
+    }
+  }
+
   test("weights matter and results are partition-independent") {
     val edges = Seq(
       ("x", "heavy", 9.0), ("x", "light", 1.0),
