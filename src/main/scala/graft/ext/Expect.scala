@@ -91,4 +91,25 @@ object Expect {
       (((col("_n") - col("_o")).cast("double") / col("_n")) >= minRatio)
         .as("passed"))
   }
+
+  /** Functional-dependency violation profiler: left-hand-side values
+    * that map to MORE than one distinct right-hand-side value — the
+    * discovery half of schema inference (a candidate `lhs → rhs` rule
+    * holds iff this returns nothing). Returns each violating lhs with
+    * its distinct-rhs count and row count, worst first.
+    *
+    * Scale shape: one map-side-combinable (lhs, rhs) distinct
+    * aggregate, then an O(#lhs) groupBy — rows never move twice.
+    */
+  def fdViolations(df: DataFrame, lhs: Seq[Column], rhs: Column): DataFrame = {
+    val named = lhs.zipWithIndex.map { case (c, i) => c.as(s"_l$i") }
+    val lhsCols = lhs.indices.map(i => col(s"_l$i"))
+    val pairs = df.select(named :+ rhs.as("_r"): _*)
+    val counts = pairs.groupBy(lhsCols :+ col("_r"): _*)
+      .agg(count(lit(1)).as("_n"))
+    counts.groupBy(lhsCols: _*)
+      .agg(count(lit(1)).cast("bigint").as("n_rhs"),
+        sum(col("_n")).cast("bigint").as("n_rows"))
+      .filter(col("n_rhs") > 1)
+  }
 }

@@ -1163,6 +1163,89 @@ object ExtD {
         FROM r10 ORDER BY node"""))
   }
 
+  /** Functional-dependency violation profiler
+    * ([[graft.ext.Expect.fdViolations]]): does market segment determine
+    * nation? (No — every segment maps to many nations; the counts are
+    * the evidence.) The discovery half of schema inference; a
+    * candidate FD holds iff the result is empty.
+    */
+  val xFdViolations = Q(
+    "x_fd_violations",
+    (s, dir) => graft.ext.Expect.fdViolations(t(s, dir, "customer"),
+      Seq(col("c_mktsegment").as("segment")), col("c_nationkey"))
+      .orderBy(col("_l0")),
+    Some("""WITH pairs AS (SELECT c_mktsegment AS l0, c_nationkey AS r,
+        CAST(COUNT(*) AS BIGINT) AS n
+        FROM customer GROUP BY 1, 2)
+      SELECT l0 AS _l0, CAST(COUNT(*) AS BIGINT) AS n_rhs,
+        CAST(SUM(n) AS BIGINT) AS n_rows
+      FROM pairs GROUP BY l0 HAVING COUNT(*) > 1 ORDER BY l0"""))
+
+  /** Right-to-be-forgotten cascade audit: deleting every 100th-key
+    * customer must cascade through orders to lineitems, and afterwards
+    * NO orphan may remain at either level — the deletion-propagation
+    * invariant adjudicated as exact counts plus two zero-orphan
+    * booleans the oracle recomputes itself. Pure semi/anti-join
+    * composition (each level shuffles on its own key; parent key sets
+    * broadcast when dimension-sized).
+    */
+  val xForgetCascade = Q(
+    "x_forget_cascade",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val gone = cust.filter(col("c_custkey") % 100 === 7)
+        .select(col("c_custkey"))
+      val goneOrders = ord.join(gone, col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      val keptOrders = ord.join(gone, col("o_custkey") === col("c_custkey"),
+        "left_anti")
+      val goneLi = li.join(goneOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val keptLi = li.join(goneOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      val orphanOrders = keptOrders.join(gone,
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val orphanLi = keptLi.join(goneOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      gone.agg(count(lit(1)).cast("bigint").as("n_forgotten"))
+        .crossJoin(goneOrders.agg(count(lit(1)).cast("bigint")
+          .as("n_cascade_orders")))
+        .crossJoin(goneLi.agg(count(lit(1)).cast("bigint")
+          .as("n_cascade_lineitems")))
+        .crossJoin(keptOrders.agg(count(lit(1)).cast("bigint")
+          .as("n_kept_orders")))
+        .crossJoin(orphanOrders.agg((count(lit(1)) === 0)
+          .as("no_order_orphans")))
+        .crossJoin(orphanLi.agg((count(lit(1)) === 0)
+          .as("no_lineitem_orphans")))
+    },
+    Some("""WITH gone AS (SELECT c_custkey FROM customer
+        WHERE c_custkey % 100 = 7),
+      gone_orders AS (SELECT * FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM gone)),
+      kept_orders AS (SELECT * FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM gone)),
+      gone_li AS (SELECT * FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM gone_orders)),
+      kept_li AS (SELECT * FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM gone_orders))
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM gone) AS n_forgotten,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM gone_orders)
+          AS n_cascade_orders,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM gone_li)
+          AS n_cascade_lineitems,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM kept_orders)
+          AS n_kept_orders,
+        (SELECT COUNT(*) FROM kept_orders
+          WHERE o_custkey IN (SELECT c_custkey FROM gone)) = 0
+          AS no_order_orphans,
+        (SELECT COUNT(*) FROM kept_li
+          WHERE l_orderkey IN (SELECT o_orderkey FROM gone_orders)) = 0
+          AS no_lineitem_orphans"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1171,5 +1254,5 @@ object ExtD {
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
-    xPersonalizedPagerank)
+    xPersonalizedPagerank, xFdViolations, xForgetCascade)
 }

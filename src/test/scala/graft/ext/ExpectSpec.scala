@@ -48,4 +48,18 @@ class ExpectSpec extends SparkSuite {
     assert(r.getDouble(1) == 0.5)
     assert(!r.getBoolean(2))
   }
+
+  test("fdViolations reports only lhs values with more than one rhs") {
+    import org.apache.spark.sql.functions.col
+    // a -> 1 (holds, 2 rows); b -> {1,2,2} (violates); c -> 3 (holds)
+    val df = Seq(("a", 1), ("a", 1), ("b", 1), ("b", 2), ("b", 2),
+      ("c", 3)).toDF("l", "r")
+    val v = Expect.fdViolations(df, Seq(col("l")), col("r")).collect()
+    assert(v.length == 1)
+    assert(v(0).getString(0) == "b")
+    assert(v(0).getAs[Long]("n_rhs") == 2 && v(0).getAs[Long]("n_rows") == 3)
+    // a compound lhs that fully determines rhs -> no violations
+    val ok = Expect.fdViolations(df, Seq(col("l"), col("r")), col("r"))
+    assert(ok.isEmpty)
+  }
 }
