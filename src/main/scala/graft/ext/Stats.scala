@@ -386,6 +386,35 @@ object Stats {
           .cast("bigint"))
   }
 
+  /** Wilson score interval for per-group success rates (Wilson 1927;
+    * the recommended binomial CI — unlike the normal approximation it
+    * stays inside [0,1] and behaves at small n / extreme rates).
+    * Integer trials and successes; the interval is a fixed sequence of
+    * IEEE double operations on identical operands in both engines,
+    * canonicalized once on output. z defaults to 1.96 (95%).
+    *
+    * Scale shape: one map-side-combinable groupBy; O(#groups) rows out.
+    */
+  def wilsonInterval(df: DataFrame, group: Column, success: Column,
+      z: Double = 1.96): DataFrame = {
+    val agg = df.select(group.as("grp"),
+        when(success, 1L).otherwise(0L).as("y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("y")).cast("bigint").as("x"))
+    val nD = col("n").cast("double")
+    val p = col("x").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = p + z2 / (lit(2.0) * nD)
+    val half = lit(z) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD))
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    agg.select(col("grp"), col("n"), col("x"), p.as("rate"),
+      canon((center - half) / denom).as("ci_lo"),
+      canon((center + half) / denom).as("ci_hi"))
+  }
+
   /** k-anonymity audit: quasi-identifier combinations shared by fewer
     * than k rows — each is a re-identification risk in released
     * training data. Returns the risky combinations with their counts;

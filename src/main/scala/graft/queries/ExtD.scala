@@ -1246,6 +1246,57 @@ object ExtD {
           WHERE l_orderkey IN (SELECT o_orderkey FROM gone_orders)) = 0
           AS no_lineitem_orphans"""))
 
+  /** Wilson score intervals ([[graft.ext.Stats.wilsonInterval]]) for
+    * each event type's high-value rate — the confidence-aware
+    * companion of plain rate columns (stays in [0,1] at small n and
+    * extreme rates). Identical IEEE operand sequences on both engines;
+    * bounds canonicalized once.
+    */
+  val xWilsonRates = Q(
+    "x_wilson_rates",
+    (s, dir) => Stats.wilsonInterval(t(s, dir, "events"),
+      col("event_type"), col("value") >= 100, z = 1.96)
+      .orderBy(col("grp")),
+    Some("""WITH agg AS (SELECT event_type AS grp,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM events GROUP BY 1)
+      SELECT grp, n, x,
+        CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS rate,
+        CAST(CAST(CAST(
+          ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+            + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+              / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+           - CAST(1.96 AS DOUBLE) * sqrt(
+              CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+          / (CAST(1.0 AS DOUBLE)
+             + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+               / CAST(n AS DOUBLE))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS ci_lo,
+        CAST(CAST(CAST(
+          ((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+            + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+              / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+           + CAST(1.96 AS DOUBLE) * sqrt(
+              CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                * (CAST(1.0 AS DOUBLE)
+                   - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                / CAST(n AS DOUBLE)
+              + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+                / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                   * CAST(n AS DOUBLE))))
+          / (CAST(1.0 AS DOUBLE)
+             + CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE)
+               / CAST(n AS DOUBLE))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS ci_hi
+      FROM agg ORDER BY grp"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1254,5 +1305,5 @@ object ExtD {
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
-    xPersonalizedPagerank, xFdViolations, xForgetCascade)
+    xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates)
 }

@@ -275,6 +275,25 @@ class StatsSpec extends SparkSuite {
     assert(rec5 == 0L)
   }
 
+  test("wilsonInterval brackets the rate and stays inside [0,1]") {
+    val df = (Seq.fill(8)(("a", true)) ++ Seq.fill(2)(("a", false)) ++
+      Seq.fill(1)(("b", true)) ++ Seq.fill(99)(("b", false)))
+      .toDF("g", "y")
+    val r = Stats.wilsonInterval(df, col("g"), col("y")).collect()
+      .map(x => x.getString(0) -> (x.getAs[Long]("n"),
+        x.getAs[Double]("rate"), x.getAs[Double]("ci_lo"),
+        x.getAs[Double]("ci_hi"))).toMap
+    val (na, ra, loa, hia) = r("a")
+    assert(na == 10 && ra == 0.8)
+    assert(loa > 0.0 && loa < 0.8 && hia > 0.8 && hia < 1.0)
+    // Wilson at p=0.8, n=10, z=1.96: known interval ~(0.490, 0.943)
+    assert(math.abs(loa - 0.4901625302) < 1e-3, s"lo $loa")
+    assert(math.abs(hia - 0.9433178912) < 1e-3, s"hi $hia")
+    // extreme small rate still yields a positive lower bound < rate
+    val (_, rb, lob, hib) = r("b")
+    assert(rb == 0.01 && lob >= 0.0 && lob < rb && hib > rb && hib < 1.0)
+  }
+
   test("tokenEntropy: uniform tokens high, repeated token zero") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
       .toDF("doc_id", "text")
