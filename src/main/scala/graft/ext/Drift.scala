@@ -62,6 +62,52 @@ object Drift {
         col("tvd"), col("kl_old_new"))
   }
 
+  /** Embedding-centroid drift between two corpus snapshots: per label,
+    * the cosine between the old and new mean DIRECTIONS — the
+    * embedding-space companion of [[tokenDrift]] (a re-trained encoder
+    * or a shifted corpus shows up as per-label cosine < 1 long before
+    * downstream metrics move). Directions use the deterministic
+    * fixed-point trick from the Lloyd trainer: unit vectors, per-
+    * dimension BIGINT sums of floor(x·1e12) — partition-invariant and
+    * SQL-replayable; the cosine then divides exact-decimal dot/norm
+    * aggregates of those integer sums.
+    *
+    * Scale shape: one (label, dimension) sum per side (map-side
+    * combinable), joined on O(#labels·dim) rows.
+    */
+  def embeddingDrift(oldEmb: DataFrame, newEmb: DataFrame, idCol: String,
+      vecCol: String, labelCol: String): DataFrame = {
+    def dirs(df: DataFrame, tag: String) = {
+      val v = transform(col(vecCol), x => x.cast("double"))
+      val nrm = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      df.select(col(labelCol).as("label"), v.as("_v"), nrm.as("_n"))
+        .filter(col("_n") > 0)
+        .select(col("label"),
+          posexplode(transform(col("_v"), x => x / col("_n"))))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(floor(col("col") * lit(1e12)).cast("long")).as(s"s_$tag"))
+    }
+    val o = dirs(oldEmb, "o")
+    val n = dirs(newEmb, "n")
+    val cnts = (df: DataFrame, name: String) =>
+      df.groupBy(col(labelCol).as("label"))
+        .agg(count(lit(1)).cast("bigint").as(name))
+    val joined = o.join(n, Seq("label", "pos"))
+    val dec = (c: Column) => c.cast("decimal(19,0)")
+    joined
+      .groupBy(col("label"))
+      .agg(
+        sum(dec(col("s_o")) * dec(col("s_n"))).cast("decimal(38,0)").as("dp"),
+        sum(dec(col("s_o")) * dec(col("s_o"))).cast("decimal(38,0)").as("no"),
+        sum(dec(col("s_n")) * dec(col("s_n"))).cast("decimal(38,0)").as("nn"))
+      .join(cnts(oldEmb, "n_old"), "label")
+      .join(cnts(newEmb, "n_new"), "label")
+      .select(col("label"), col("n_old"), col("n_new"),
+        (col("dp").cast("double") /
+          (sqrt(col("no").cast("double")) * sqrt(col("nn").cast("double"))))
+          .cast("decimal(20,12)").cast("double").as("drift_cosine"))
+  }
+
   /** Population Stability Index between two numeric samples over
     * fixed-width value bins — the standard model-monitoring drift
     * score (PSI < 0.1 stable, > 0.25 shifted). Same conventions as

@@ -57,4 +57,37 @@ object Skew {
         saltedFact("_salt") === replicatedDim("_salt"))
       .drop("_salt")
   }
+
+  /** Top-key skew report for a join/aggregation key: the topK hottest
+    * values with their absolute counts, share of all rows, and the
+    * running (cumulative) share — the measurement that DECIDES whether
+    * [[salt]]/[[saltedJoin]] or an AQE skew hint is warranted before a
+    * shuffle is planned. A top key holding >1/shuffle-partitions of
+    * the rows is the task that straggles.
+    *
+    * Scale shape: one map-side-combinable key count, a TakeOrdered
+    * topK (never a global sort), and a topK-row window.
+    */
+  def topKeyReport(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(key.as("key"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(col("n")).as("total"),
+      count(lit(1)).as("n_keys"))
+    // constant-valued-but-not-foldable partition spec: the (deliberate,
+    // topK-row) single partition stays explicit instead of degrading to
+    // the accidental-global-window warning; xxhash64 keeps it type-generic
+    val w = Window.partitionBy(pmod(xxhash64(col("key")), lit(1)))
+      .orderBy(col("n").desc, col("key"))
+    val top = counts.orderBy(col("n").desc, col("key")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+    top.crossJoin(broadcast(tot))
+      .withColumn("share", col("n").cast("double") / col("total").cast("double"))
+      .withColumn("cum_share", sum(col("share"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rank").cast("bigint").as("rank"), col("key"),
+        col("n").cast("bigint").as("n"),
+        col("n_keys").cast("bigint").as("n_keys"),
+        col("share"), col("cum_share"))
+  }
 }

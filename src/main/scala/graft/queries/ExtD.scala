@@ -1297,6 +1297,84 @@ object ExtD {
           AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS ci_hi
       FROM agg ORDER BY grp"""))
 
+  /** Top-key skew report ([[graft.ext.Skew.topKeyReport]]) on the
+    * lineitem supplier key — the measurement that decides whether a
+    * salted join or AQE skew hint is warranted before the shuffle is
+    * planned. Counts and shares exact; cumulative share sums in rank
+    * order on both engines.
+    */
+  val xSkewReport = Q(
+    "x_skew_report",
+    (s, dir) => graft.ext.Skew.topKeyReport(t(s, dir, "lineitem"),
+      col("l_suppkey"), topK = 20).orderBy(col("rank")),
+    Some("""WITH c AS (SELECT l_suppkey AS key,
+        CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        CAST(COUNT(*) AS BIGINT) AS n_keys FROM c),
+      top AS (SELECT key, n,
+          CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+        FROM c QUALIFY rank <= 20)
+      SELECT rank, key, n, n_keys,
+        CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+        SUM(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+          OVER (ORDER BY rank
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_share
+      FROM top CROSS JOIN tot ORDER BY rank"""))
+
+  /** Embedding-centroid drift ([[graft.ext.Drift.embeddingDrift]])
+    * between the even- and odd-id halves of the embeddings table: per
+    * label, the cosine between mean directions — fixed-point BIGINT
+    * dimension sums (the Lloyd trick), exact-decimal dot/norm
+    * aggregates, one final canonicalized division.
+    */
+  val xEmbeddingDrift = Q(
+    "x_embedding_drift",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.ext.Drift.embeddingDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", "label")
+        .orderBy(col("label"))
+    },
+    Some("""WITH base AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      un AS (SELECT vec_id, label, v,
+        sqrt(list_dot_product(v, v)) AS nrm FROM base),
+      uo AS (SELECT label, list_transform(v, x -> x / nrm) AS uv
+        FROM un WHERE nrm > 0 AND vec_id % 2 = 0),
+      uw AS (SELECT label, list_transform(v, x -> x / nrm) AS uv
+        FROM un WHERE nrm > 0 AND vec_id % 2 = 1),
+      pp AS (SELECT unnest(range(1, 65)) AS p),
+      so AS (SELECT label, p,
+          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS BIGINT) AS s
+        FROM uo CROSS JOIN pp GROUP BY 1, 2),
+      sn AS (SELECT label, p,
+          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS BIGINT) AS s
+        FROM uw CROSS JOIN pp GROUP BY 1, 2),
+      j AS (SELECT so.label, so.s AS so_s, sn.s AS sn_s
+        FROM so JOIN sn ON sn.label = so.label AND sn.p = so.p),
+      ag AS (SELECT label,
+          CAST(SUM(CAST(so_s AS DECIMAL(19,0)) * CAST(sn_s AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS dp,
+          CAST(SUM(CAST(so_s AS DECIMAL(19,0)) * CAST(so_s AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS no,
+          CAST(SUM(CAST(sn_s AS DECIMAL(19,0)) * CAST(sn_s AS DECIMAL(19,0)))
+            AS DECIMAL(38,0)) AS nn
+        FROM j GROUP BY 1),
+      co AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_old
+        FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+      cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1)
+      SELECT ag.label, n_old, n_new,
+        CAST(CAST(CAST(
+          CAST(dp AS DOUBLE)
+            / (sqrt(CAST(no AS DOUBLE)) * sqrt(CAST(nn AS DOUBLE)))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS drift_cosine
+      FROM ag JOIN co ON co.label = ag.label
+      JOIN cn ON cn.label = ag.label ORDER BY ag.label"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1305,5 +1383,6 @@ object ExtD {
     xContaminationSpread, xHybridRrf, xTrapAucTies, xTrapKmWipeout,
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
-    xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates)
+    xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
+    xSkewReport, xEmbeddingDrift)
 }

@@ -29,4 +29,21 @@ class DriftSpec extends SparkSuite {
     assert(r.getAs[Double]("tvd") == r2.getAs[Double]("tvd"))
     assert(r.getAs[Double]("kl_old_new") == r2.getAs[Double]("kl_old_new"))
   }
+
+  test("embeddingDrift: identical snapshots cosine 1, opposite -1") {
+    import org.apache.spark.sql.functions.{col, transform}
+    val a = Seq((1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.8f, 0.6f), 0),
+      (3L, Seq(0.0f, 1.0f), 1)).toDF("vec_id", "embedding", "label")
+    val same = Drift.embeddingDrift(a, a, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("drift_cosine"))
+      .toMap
+    assert(math.abs(same(0) - 1.0) < 1e-9 && math.abs(same(1) - 1.0) < 1e-9)
+    val neg = a.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"), col("label"))
+    val opp = Drift.embeddingDrift(a, neg, "vec_id", "embedding", "label")
+      .collect().map(r => r.getInt(0) -> r.getAs[Double]("drift_cosine"))
+      .toMap
+    assert(math.abs(opp(0) + 1.0) < 1e-9, s"got $opp")
+    assert(math.abs(opp(1) + 1.0) < 1e-9)
+  }
 }

@@ -79,4 +79,18 @@ class SkewSpec extends SparkSuite {
     val s2 = li.select(Skew.salt(16, col("l_orderkey")).as("s"))
     assert(s1.exceptAll(s2).isEmpty)
   }
+
+  test("topKeyReport ranks hot keys with exact shares") {
+    import spark.implicits._
+    val df = (Seq.fill(60)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(10)(3L))
+      .toDF("k")
+    val r = Skew.topKeyReport(df, col("k"), topK = 2).orderBy("rank")
+      .collect()
+    assert(r.length == 2, "topK must cap the report")
+    assert(r(0).getAs[Long]("key") == 1L && r(0).getAs[Long]("n") == 60)
+    assert(r(0).getAs[Double]("share") == 0.6)
+    assert(r(0).getAs[Long]("n_keys") == 3)
+    assert(math.abs(r(1).getAs[Double]("cum_share") - 0.9) < 1e-12)
+    assert(r(1).getAs[Long]("key") == 2L)
+  }
 }
