@@ -1375,6 +1375,75 @@ object ExtD {
       FROM ag JOIN co ON co.label = ag.label
       JOIN cn ON cn.label = ag.label ORDER BY ag.label"""))
 
+  /** Per-node clustering coefficient
+    * ([[graft.ext.Graph.clusteringCoefficient]]) on the synthetic
+    * blocked graph — triangles attributed to all three corners, then
+    * `2t/(deg(deg−1))` per node. The oracle counts triangles by the
+    * canonical i<j<k 3-way join and unnests the corners.
+    */
+  val xClusteringCoeff = Q(
+    "x_clustering_coeff",
+    (s, dir) => graft.ext.Graph.clusteringCoefficient(
+      ExtC.syntheticGraph(s, dir), "src", "dst")
+      .orderBy(col("node")),
+    Some(s"""${ExtC.graphCtes},
+      de AS (SELECT src, dst FROM edges GROUP BY src, dst),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM de GROUP BY src),
+      ue AS (SELECT src, dst FROM de WHERE src < dst),
+      tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM ue e1 JOIN ue e2 ON e2.src = e1.dst
+        JOIN ue e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+      corners AS (SELECT unnest([a, b, c]) AS node FROM tri),
+      t AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS nt
+        FROM corners GROUP BY node)
+      SELECT deg.node, degree,
+        CAST(COALESCE(nt, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN degree < 2 THEN CAST(0.0 AS DOUBLE)
+          ELSE CAST(2.0 AS DOUBLE) * CAST(COALESCE(nt, 0) AS DOUBLE)
+            / CAST(degree * (degree - 1) AS DOUBLE) END
+          AS clustering_coeff
+      FROM deg LEFT JOIN t ON t.node = deg.node ORDER BY deg.node"""))
+
+  /** Top event-type trigram paths ([[graft.ext.Behavior]] family):
+    * per-user consecutive 3-step sequences with counts and share — the
+    * sankey/path-analysis primitive behind funnel exploration. Lead
+    * pairing tie-broken by event id; integer counts, one division.
+    */
+  val xEventPaths = Q(
+    "x_event_paths",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val paths = t(s, dir, "events")
+        .select(col("event_type").as("s1"),
+          lead(col("event_type"), 1).over(w).as("s2"),
+          lead(col("event_type"), 2).over(w).as("s3"))
+        .filter(col("s2").isNotNull && col("s3").isNotNull)
+      val counts = paths.groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+      counts
+        .crossJoin(broadcast(counts.agg(sum(col("n")).as("total"))))
+        .select(col("s1"), col("s2"), col("s3"), col("n"),
+          (col("n").cast("double") / col("total").cast("double"))
+            .as("share"))
+        .orderBy(col("s1"), col("s2"), col("s3"))
+    },
+    Some("""WITH seq AS (SELECT event_type AS s1,
+        lead(event_type, 1) OVER w AS s2,
+        lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (SELECT s1, s2, s3 FROM seq
+        WHERE s2 IS NOT NULL AND s3 IS NOT NULL),
+      c AS (SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+        FROM p GROUP BY 1, 2, 3),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT s1, s2, s3, n,
+        CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM c CROSS JOIN tot ORDER BY s1, s2, s3"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1384,5 +1453,5 @@ object ExtD {
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
     xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
-    xSkewReport, xEmbeddingDrift)
+    xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths)
 }

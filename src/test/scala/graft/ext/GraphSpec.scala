@@ -54,6 +54,26 @@ class GraphSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("clusteringCoefficient: K4 all 1.0, square all 0, hub 1/45") {
+    def sym(pairs: Seq[(Long, Long)]) =
+      (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val k4 = sym(for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j))
+    val rk4 = Graph.clusteringCoefficient(k4, "src", "dst").collect()
+    assert(rk4.forall(_.getAs[Double]("clustering_coeff") == 1.0))
+    assert(rk4.forall(_.getAs[Long]("n_triangles") == 3))
+    val square = sym(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(Graph.clusteringCoefficient(square, "src", "dst").collect()
+      .forall(_.getAs[Double]("clustering_coeff") == 0.0))
+    // star with one closed spoke pair: hub deg 10 in 1 triangle
+    val pairs = (1L to 10L).map(i => (0L, i)) :+ (1L, 2L)
+    val r = Graph.clusteringCoefficient(sym(pairs), "src", "dst")
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Long]("degree"), x.getAs[Double]("clustering_coeff"))).toMap
+    assert(r(0L) == ((10L, 2.0 * 1 / (10 * 9))))
+    assert(r(1L) == ((2L, 1.0)) && r(2L) == ((2L, 1.0)))
+    assert(r(3L) == ((1L, 0.0)), "degree-1 node scores 0")
+  }
+
   test("adamicAdar scores a shared neighbor by 1/ln(its degree)") {
     // the 4-cycle 1-2-3-4: BOTH diagonals (1,3) and (2,4) have two
     // common neighbors of degree 2 -> AA = 2/ln 2 each
