@@ -188,6 +188,42 @@ object Sampling {
       .select(col("grp"), col("id"), col("weight"), col("sel_rank"))
   }
 
+  /** Deterministic random-negative sampling for contrastive training:
+    * per anchor, `k` DIFFERENT-label candidates chosen by the
+    * SQL-replayable LCG key on the (anchor, candidate) pair — the easy
+    * negatives that complement
+    * [[graft.ext.Similarity.hardNegatives]]' hard ones. The candidate
+    * pool is thinned FIRST by an LCG bucket filter (keep ~1/`thin` of
+    * cross-label pairs), so the per-anchor ranking never sees the full
+    * quadratic pair space; `thin` trades pool size against cost and is
+    * part of the defined (replayable) semantics.
+    */
+  def negativeSample(df: DataFrame, idCol: String, labelCol: String,
+      k: Int, thin: Int): DataFrame = {
+    val m = lit(2147483648L)
+    val a = df.select(col(idCol).cast("long").as("aid"),
+      col(labelCol).as("al"))
+    // global pool thin by a per-CANDIDATE LCG — the pool (~n/thin rows)
+    // broadcasts, so no quadratic pair space ever materializes
+    val poolKey = pmod(pmod(col("cid"), m) * lit(1103515245L) +
+      lit(12345L), m)
+    val pool = df.select(col(idCol).cast("long").as("cid"),
+        col(labelCol).as("cl"))
+      .filter(pmod(poolKey, lit(thin.toLong)) === 0)
+    // per-PAIR LCG ranks the pool differently for every anchor
+    val pairKey = pmod(pmod(col("aid") * lit(1000003L) + col("cid"), m) *
+      lit(1103515245L) + lit(12345L), m)
+    val w = Window.partitionBy(col("aid")).orderBy(col("_key"), col("cid"))
+    a.crossJoin(broadcast(pool))
+      .filter(col("al") =!= col("cl"))
+      .withColumn("_key", pairKey)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("aid").as("anchor_id"), col("al").as("anchor_label"),
+        col("cid").as("negative_id"), col("cl").as("negative_label"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** Water-filling token-budget allocation across domains: each domain
     * wants `w_d/Σw` of the `total` budget but can supply at most
     * `cap_d` tokens; saturated domains take their cap and their unused

@@ -49,6 +49,35 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k highest-cosine vectors with a DIFFERENT label — the
+    * negatives that actually move an embedding model, vs the easy
+    * random ones ([[graft.ext.Sampling]]'s LCG draw covers those).
+    * Brute-force formulation (the exactness baseline, like
+    * [[bruteForceTopK]]); at corpus scale the drop-in path is the same
+    * mining over [[ivfTopK]]'s probed buckets with the label filter in
+    * the verify step.
+    */
+  def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).as("nl"))
+      .withColumn("nn", norm(col("nv")))
+    val q = emb.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("ql"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("nl") =!= col("ql"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("ql").as("anchor_label"),
+        col("nid"), col("nl").as("negative_label"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
   /** Spherical k-means centroids (MLlib Lloyd's over UNIT vectors,
     * fixed seed — public Spark API): the production centroid step that
     * [[ivfTopK]]'s deterministic first-n-by-id default stands in for.

@@ -1444,6 +1444,60 @@ object ExtD {
         CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
       FROM c CROSS JOIN tot ORDER BY s1, s2, s3"""))
 
+  /** Hard-negative mining ([[graft.ext.Similarity.hardNegatives]]):
+    * per anchor the 5 highest-cosine different-label vectors — the
+    * contrastive-training negatives that matter. Cosines are
+    * bit-identical to DuckDB's sequential list_dot_product (the proven
+    * vec_dot pairing), so ranks adjudicate exactly.
+    */
+  val xHardNegatives = Q(
+    "x_hard_negatives",
+    (s, dir) => graft.ext.Similarity.hardNegatives(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("qid"), col("rank")),
+    Some("""WITH e AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      nb AS (SELECT vec_id AS nid, label AS nl, v AS nv,
+        sqrt(list_dot_product(v, v)) AS nn FROM e),
+      qb AS (SELECT vec_id AS qid, label AS ql, v AS qv,
+        sqrt(list_dot_product(v, v)) AS qn FROM e),
+      sc AS (SELECT qid, ql, nid, nl,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY list_dot_product(qv, nv) / (qn * nn) DESC, nid)
+            AS rank
+        FROM nb CROSS JOIN qb WHERE nl <> ql)
+      SELECT qid, ql AS anchor_label, nid, nl AS negative_label,
+        CAST(rank AS BIGINT) AS rank
+      FROM sc WHERE rank <= 5 ORDER BY qid, rank"""))
+
+  /** Deterministic random negatives
+    * ([[graft.ext.Sampling.negativeSample]]): LCG-thinned candidate
+    * pool + per-(anchor, candidate) LCG ranking, fully SQL-replayable
+    * — the easy-negative companion of [[xHardNegatives]].
+    */
+  val xNegativeSample = Q(
+    "x_negative_sample",
+    (s, dir) => Sampling.negativeSample(t(s, dir, "embeddings"),
+      "vec_id", "label", k = 4, thin = 5)
+      .orderBy(col("anchor_id"), col("rank")),
+    Some("""WITH pool AS (SELECT vec_id AS cid, label AS cl
+        FROM embeddings
+        WHERE (((vec_id % 2147483648) * 1103515245 + 12345)
+          % 2147483648) % 5 = 0),
+      a AS (SELECT vec_id AS aid, label AS al FROM embeddings),
+      pairs AS (SELECT aid, al, cid, cl,
+          (((aid * 1000003 + cid) % 2147483648) * 1103515245 + 12345)
+            % 2147483648 AS k
+        FROM a CROSS JOIN pool WHERE al <> cl),
+      rk AS (SELECT aid, al, cid, cl,
+          row_number() OVER (PARTITION BY aid ORDER BY k, cid) AS rank
+        FROM pairs)
+      SELECT aid AS anchor_id, al AS anchor_label,
+        cid AS negative_id, cl AS negative_label,
+        CAST(rank AS BIGINT) AS rank
+      FROM rk WHERE rank <= 4 ORDER BY anchor_id, rank"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1453,5 +1507,6 @@ object ExtD {
     xTrapRrfTie, xEwmaDaily, xRfm, xMixtureWaterfill,
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
     xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
-    xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths)
+    xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths,
+    xHardNegatives, xNegativeSample)
 }

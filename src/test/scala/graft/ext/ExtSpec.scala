@@ -199,6 +199,41 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.fitDims(20, 50, 24, 24) == ((9, 24)))
   }
 
+  test("hardNegatives returns closest wrong-label vectors only") {
+    import spark.implicits._
+    // label 0: x-axis cluster; label 1: y-axis; anchor (1,0)'s hardest
+    // wrong-label negative is the y-vector tilted toward x
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.5f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(df, "vec_id", "embedding", "label", 2)
+      .collect()
+    assert(r.forall(x =>
+      x.getAs[Int]("anchor_label") != x.getAs[Int]("negative_label")),
+      "a negative shared the anchor's label")
+    val anchor1 = r.filter(_.getAs[Long]("qid") == 1L)
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("nid")).toSeq
+    assert(anchor1 == Seq(4L, 3L), s"got $anchor1")
+  }
+
+  test("negativeSample is deterministic, label-disjoint, and capped") {
+    import spark.implicits._
+    val df = (0L until 60L).map(i => (i, (i % 3).toInt))
+      .toDF("vec_id", "label")
+    val a = Sampling.negativeSample(df, "vec_id", "label", k = 3, thin = 2)
+      .collect()
+    assert(a.forall(x =>
+      x.getAs[Int]("anchor_label") != x.getAs[Int]("negative_label")))
+    assert(a.groupBy(_.getAs[Long]("anchor_id"))
+      .forall(_._2.length <= 3), "k not respected")
+    assert(a.nonEmpty)
+    val b = Sampling.negativeSample(df.repartition(7), "vec_id", "label",
+      k = 3, thin = 2).collect()
+    assert(a.map(_.toSeq).toSet == b.map(_.toSeq).toSet,
+      "sampling changed under repartition")
+  }
+
   test("sharedShinglePairs counts distinct shared k-grams with a floor") {
     import spark.implicits._
     val d = Seq(
