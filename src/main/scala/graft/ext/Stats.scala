@@ -415,6 +415,111 @@ object Stats {
       canon((center + half) / denom).as("ci_hi"))
   }
 
+  /** Exact higher-moment profile per group: mean, variance, skewness,
+    * excess kurtosis from EXACT decimal power sums (Σx…Σx⁴ of the
+    * 2-decimal source values add exactly in decimals, so the moments
+    * are order-independent); the central-moment combinations are then
+    * fixed sequences of IEEE ops on identical operands, canonicalized
+    * once each. The distribution-shape profiling step (heavy tails and
+    * asymmetry flags) next to [[Robust.madOutliers]].
+    *
+    * Scale shape: one map-side-combinable groupBy carrying four sums.
+    */
+  def moments(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val x = value.cast("decimal(10,2)")
+    val agg = df.select(group.as("grp"), x.as("x"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("x")).cast("decimal(38,2)").as("s1"),
+        sum((col("x") * col("x")).cast("decimal(30,4)"))
+          .cast("decimal(38,4)").as("s2"),
+        sum((col("x") * col("x") * col("x")).cast("decimal(32,6)"))
+          .cast("decimal(38,6)").as("s3"),
+        sum((col("x") * col("x") * col("x") * col("x"))
+          .cast("decimal(34,8)")).cast("decimal(38,8)").as("s4"))
+    val nD = col("n").cast("double")
+    val mean = col("s1").cast("double") / nD
+    val m2 = col("s2").cast("double") / nD - mean * mean
+    val m3 = col("s3").cast("double") / nD -
+      lit(3.0) * mean * (col("s2").cast("double") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / nD -
+      lit(4.0) * mean * (col("s3").cast("double") / nD) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    agg.select(col("grp"), col("n"),
+      canon(mean).as("mean"),
+      canon(m2).as("variance"),
+      canon(m3 / (sqrt(m2) * m2)).as("skewness"),
+      canon(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+  }
+
+  /** Cramér's V association strength between two categoricals:
+    * `V = √(χ² / (N·min(r−1, c−1)))` over the [[chi2Independence]]
+    * cells — the 0..1 summary of the per-cell audit. χ² terms are
+    * canonicalized and decimal-summed so the one-row answer is exact.
+    */
+  def cramersV(df: DataFrame, x: Column, y: Column): DataFrame = {
+    val cells = df.groupBy(x.as("x"), y.as("y"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val cols = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("x")).as("nr"), countDistinct(col("y")).as("nc"))
+    val e = (col("r") * col("c")).cast("double") / col("n").cast("double")
+    val dev = col("o").cast("double") - e
+    val term = (dev * dev / e).cast("decimal(20,12)")
+    cells.join(rows, "x").join(cols, "y").crossJoin(n)
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(sum(term).as("chi2"))
+      .select(col("n").cast("bigint").as("n"),
+        col("chi2").cast("double").as("chi2"),
+        sqrt(col("chi2").cast("double") /
+          (col("n").cast("double") *
+            least(col("nr") - 1, col("nc") - 1).cast("double")))
+          .cast("decimal(20,12)").cast("double").as("cramers_v"))
+  }
+
+  /** Day-of-week seasonality strength per group: ANOVA η² of daily
+    * counts against the weekday — `SS_between / SS_total` of the
+    * (group, day) count series, 1 when weekday fully explains volume,
+    * 0 when flat. Counts are integers; the sums of squares are fixed
+    * double sequences over exact-decimal sums, canonicalized once.
+    *
+    * Scale shape: events collapse to (group, day) counts, then to
+    * O(#groups·7) weekday aggregates.
+    */
+  def seasonalityStrength(df: DataFrame, group: Column,
+      ts: Column): DataFrame = {
+    val daily = df
+      .groupBy(group.as("grp"), date_format(ts, "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .withColumn("dow", dayofweek(to_date(col("day"))).cast("long"))
+    val byDow = daily.groupBy(col("grp"), col("dow"))
+      .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"),
+        sum(col("x") * col("x")).as("qd"))
+    val tot = byDow.groupBy(col("grp"))
+      .agg(sum(col("nd")).cast("bigint").as("n"),
+        sum(col("sd")).cast("bigint").as("s"),
+        sum(col("qd")).cast("bigint").as("q"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / nD
+    // SS_between = Σ_d nd·(mean_d − mean)²; SS_total = Q − n·mean²
+    val meanD = col("sd").cast("double") / col("nd").cast("double")
+    val ssb = sum((col("nd").cast("double") *
+      (meanD - mean) * (meanD - mean)).cast("decimal(30,12)"))
+    byDow.join(tot, "grp")
+      .groupBy(col("grp"), col("n"), col("s"), col("q"))
+      .agg(ssb.as("ssb"))
+      .select(col("grp"), col("n").as("n_days"),
+        (col("ssb").cast("double") /
+          (col("q").cast("double") -
+            (col("s").cast("double") / col("n").cast("double")) *
+              col("s").cast("double")))
+          .cast("decimal(20,12)").cast("double").as("eta_sq"))
+  }
+
   /** k-anonymity audit: quasi-identifier combinations shared by fewer
     * than k rows — each is a re-identification risk in released
     * training data. Returns the risky combinations with their counts;

@@ -1498,6 +1498,131 @@ object ExtD {
         CAST(rank AS BIGINT) AS rank
       FROM rk WHERE rank <= 4 ORDER BY anchor_id, rank"""))
 
+  /** Exact higher-moment profile ([[graft.ext.Stats.moments]]) of
+    * event values per type: mean/variance/skewness/kurtosis from
+    * exact decimal power sums; central-moment combinations are fixed
+    * IEEE sequences replayed operand-for-operand by layered CTEs.
+    */
+  val xMoments = Q(
+    "x_moments",
+    (s, dir) => Stats.moments(t(s, dir, "events"), col("event_type"),
+      col("value")).orderBy(col("grp")),
+    Some("""WITH b AS (SELECT event_type AS grp,
+        CAST(value AS DECIMAL(10,2)) AS v FROM events),
+      pw AS (SELECT grp, v,
+        CAST(CAST(v AS DECIMAL(19,2)) * CAST(v AS DECIMAL(19,2))
+          AS DECIMAL(19,4)) AS v2 FROM b),
+      pw2 AS (SELECT grp, v, v2,
+        CAST(v2 * CAST(v AS DECIMAL(12,2)) AS DECIMAL(25,6)) AS v3
+        FROM pw),
+      pw3 AS (SELECT grp, v, v2, v3,
+        CAST(v3 * CAST(v AS DECIMAL(12,2)) AS DECIMAL(30,8)) AS v4
+        FROM pw2),
+      agg AS (SELECT grp,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(v) AS DECIMAL(38,2)) AS s1,
+        CAST(SUM(CAST(v2 AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS s2,
+        CAST(SUM(CAST(v3 AS DECIMAL(32,6))) AS DECIMAL(38,6)) AS s3,
+        CAST(SUM(CAST(v4 AS DECIMAL(34,8))) AS DECIMAL(38,8)) AS s4
+        FROM pw3 GROUP BY 1),
+      l1 AS (SELECT grp, n, s2, s3, s4,
+          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+        FROM agg),
+      l2 AS (SELECT grp, n, mean,
+          CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS m2,
+          CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(3.0 AS DOUBLE) * mean
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            + CAST(2.0 AS DOUBLE) * mean * mean * mean AS m3,
+          CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE)
+            - CAST(4.0 AS DOUBLE) * mean
+              * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+            + CAST(6.0 AS DOUBLE) * mean * mean
+              * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+            - CAST(3.0 AS DOUBLE) * mean * mean * mean * mean AS m4
+        FROM l1)
+      SELECT grp, n,
+        CAST(CAST(CAST(mean AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)
+          AS mean,
+        CAST(CAST(CAST(m2 AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)
+          AS variance,
+        CAST(CAST(CAST(m3 / (sqrt(m2) * m2) AS VARCHAR)
+          AS DECIMAL(20,12)) AS DOUBLE) AS skewness,
+        CAST(CAST(CAST(m4 / (m2 * m2) - CAST(3.0 AS DOUBLE) AS VARCHAR)
+          AS DECIMAL(20,12)) AS DOUBLE) AS kurtosis
+      FROM l2 ORDER BY grp"""))
+
+  /** Cramér's V ([[graft.ext.Stats.cramersV]]) for nation × segment —
+    * the one-row 0..1 association summary over the [[xChi2Independence]]
+    * cells.
+    */
+  val xCramersV = Q(
+    "x_cramers_v",
+    (s, dir) => Stats.cramersV(t(s, dir, "customer"),
+      col("c_nationkey"), col("c_mktsegment")),
+    Some("""WITH cells AS (SELECT c_nationkey AS x, c_mktsegment AS y,
+        CAST(COUNT(*) AS BIGINT) AS o FROM customer GROUP BY 1, 2),
+      rr AS (SELECT x, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY x),
+      cc AS (SELECT y, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY y),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM rr) AS nr,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM cc) AS nc
+        FROM cells),
+      terms AS (SELECT n, nr, nc,
+          CAST(CAST(
+            (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(o AS DOUBLE) - CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(20,12)) AS term
+        FROM cells JOIN rr USING (x) JOIN cc USING (y) CROSS JOIN nn),
+      st AS (SELECT n, nr, nc, SUM(term) AS chi2 FROM terms
+        GROUP BY n, nr, nc)
+      SELECT n, CAST(chi2 AS DOUBLE) AS chi2,
+        CAST(CAST(CAST(
+          sqrt(CAST(chi2 AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS cramers_v
+      FROM st"""))
+
+  /** Day-of-week seasonality strength
+    * ([[graft.ext.Stats.seasonalityStrength]]): ANOVA η² of daily
+    * counts vs weekday per event type. The weekday is a grouping key
+    * only, so Spark's 1–7 and DuckDB's 0–6 conventions partition
+    * identically.
+    */
+  val xSeasonality = Q(
+    "x_seasonality",
+    (s, dir) => Stats.seasonalityStrength(t(s, dir, "events"),
+      col("event_type"), col("ts")).orderBy(col("grp")),
+    Some("""WITH daily AS (SELECT event_type AS grp,
+        strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      dd AS (SELECT grp, x, dayofweek(CAST(day AS DATE)) AS dow
+        FROM daily),
+      byd AS (SELECT grp, dow, CAST(COUNT(*) AS BIGINT) AS nd,
+          CAST(SUM(x) AS BIGINT) AS sd,
+          CAST(SUM(x * x) AS BIGINT) AS qd
+        FROM dd GROUP BY 1, 2),
+      tot AS (SELECT grp, CAST(SUM(nd) AS BIGINT) AS n,
+          CAST(SUM(sd) AS BIGINT) AS s, CAST(SUM(qd) AS BIGINT) AS q
+        FROM byd GROUP BY 1),
+      wm AS (SELECT b.grp, n, s, q,
+          SUM(CAST(CAST(
+            CAST(nd AS DOUBLE)
+            * ((CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            * ((CAST(sd AS DOUBLE) / CAST(nd AS DOUBLE))
+               - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(30,12))) AS ssb
+        FROM byd b JOIN tot t ON t.grp = b.grp GROUP BY 1, 2, 3, 4)
+      SELECT grp, n AS n_days,
+        CAST(CAST(CAST(
+          CAST(ssb AS DOUBLE)
+          / (CAST(q AS DOUBLE)
+             - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(s AS DOUBLE))
+          AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS eta_sq
+      FROM wm ORDER BY grp"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1508,5 +1633,5 @@ object ExtD {
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
     xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
     xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths,
-    xHardNegatives, xNegativeSample)
+    xHardNegatives, xNegativeSample, xMoments, xCramersV, xSeasonality)
 }

@@ -294,6 +294,43 @@ class StatsSpec extends SparkSuite {
     assert(rb == 0.01 && lob >= 0.0 && lob < rb && hib > rb && hib < 1.0)
   }
 
+  test("moments: symmetric data has zero skew, known kurtosis") {
+    // {1,2,3}: mean 2, m2 = 2/3, m3 = 0, m4 = 2/3 -> kurtosis -1.5
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0)).toDF("g", "v")
+    val r = Stats.moments(df, col("g"), col("v")).collect()(0)
+    assert(r.getAs[Long]("n") == 3)
+    assert(r.getAs[Double]("mean") == 2.0)
+    assert(math.abs(r.getAs[Double]("variance") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("skewness")) < 1e-12)
+    assert(math.abs(r.getAs[Double]("kurtosis") + 1.5) < 1e-12)
+    // right-skewed data scores positive skewness
+    val sk = Stats.moments(Seq(("b", 1.0), ("b", 1.0), ("b", 1.0),
+      ("b", 10.0)).toDF("g", "v"), col("g"), col("v")).collect()(0)
+    assert(sk.getAs[Double]("skewness") > 1.0)
+  }
+
+  test("seasonalityStrength: weekday-determined volume scores near 1") {
+    // two full weeks; count per day = 10*dow (pure weekday signal)
+    val rows = for {
+      d <- 1 to 14
+      dow = (d - 1) % 7
+      i <- 1 to (10 + dow * 10)
+    } yield ("a", f"2024-01-$d%02d 12:00:00")
+    val df = rows.toDF("g", "ts")
+      .select(col("g"), col("ts").cast("timestamp").as("ts"))
+    val eta = Stats.seasonalityStrength(df, col("g"), col("ts"))
+      .collect()(0).getAs[Double]("eta_sq")
+    assert(eta == 1.0, s"pure weekday signal must score 1, got $eta")
+    // flat volume scores 0
+    val flat = (1 to 14).flatMap(d =>
+      (1 to 10).map(_ => ("b", f"2024-01-$d%02d 12:00:00")))
+      .toDF("g", "ts")
+      .select(col("g"), col("ts").cast("timestamp").as("ts"))
+    val e0 = Stats.seasonalityStrength(flat, col("g"), col("ts"))
+      .collect()(0).getAs[Double]("eta_sq")
+    assert(e0 == 0.0, s"flat volume must score 0, got $e0")
+  }
+
   test("tokenEntropy: uniform tokens high, repeated token zero") {
     val df = Seq((1L, "a b c d"), (2L, "x x x x"), (3L, "a a b b"))
       .toDF("doc_id", "text")
