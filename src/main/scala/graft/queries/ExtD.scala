@@ -1623,6 +1623,156 @@ object ExtD {
           AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS eta_sq
       FROM wm ORDER BY grp"""))
 
+  /** Curation pipeline v2 — the capstone composition of this round's
+    * operators: token-entropy quality filter (≥ 2.8 nats) →
+    * quality-aware near-dup survivor selection (best n_chars per
+    * cluster) → benchmark decontamination (5-gram overlap with the
+    * eval slice) → water-filling token-budget allocation per source at
+    * 90% of the surviving mass (tight enough that small sources
+    * saturate and their budget cascades). One row per source with docs kept,
+    * token cap, saturation flag, and allocated budget — every stage
+    * replayed end-to-end by the oracle (entropy canonicalization,
+    * recursive-CTE closure, ranked-window argmax, contamination join,
+    * all four water-fill rounds).
+    */
+  val xPipelineCurateV2 = Q(
+    "x_pipeline_curate_v2",
+    (s, dir) => {
+      import graft.ext.{Dedup, Sampling}
+      val docs = t(s, dir, "documents")
+      val ent = Text.tokenEntropy(docs, "text", "doc_id")
+      val quality = docs.join(ent.filter(col("token_entropy") >= 2.8)
+        .select(col("doc_id")), "doc_id")
+      val pairs = Dedup.ngramJaccardPairs(quality, "text", "doc_id",
+        k = 3, threshold = 0.5)
+      val surv = Dedup.qualitySurvivors(quality, "doc_id", pairs,
+        col("n_chars")).select(col("survivor_id").as("doc_id"))
+      val corpus = quality.join(surv, "doc_id")
+        .filter(col("doc_id") >= 20)
+      val cont = Text.contamination(corpus,
+          docs.filter(col("doc_id") < 20), "text", "doc_id", n = 5)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val clean = corpus.join(cont, Seq("doc_id"), "left_anti")
+      val caps = clean.groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("cap"))
+        .withColumn("w", lit(50L))
+      val total = caps.agg(sum(col("cap"))).collect()(0).getLong(0) * 9 / 10
+      val alloc = Sampling.waterFill(caps, "source", "cap", "w", total,
+        rounds = 4)
+      val nd = clean.groupBy(col("source").as("domain"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      alloc.join(nd, "domain")
+        .select(col("domain"), col("n_docs"), col("cap"),
+          col("saturated"), col("alloc"))
+        .orderBy(col("domain"))
+    },
+    Some("""WITH RECURSIVE d AS (SELECT doc_id, source, n_chars,
+        string_split(text, ' ') AS tks FROM documents),
+      tok AS (SELECT doc_id, unnest(tks) AS tk FROM d),
+      tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok
+        WHERE len(tk) > 0 GROUP BY doc_id, tk),
+      ent AS (SELECT doc_id,
+          CAST(CAST(CAST(
+            CAST(CAST(CAST(ln(CAST(SUM(c) AS DOUBLE)) AS VARCHAR)
+              AS DECIMAL(20,12)) AS DOUBLE)
+            - CAST(SUM(CAST(CAST(c AS DOUBLE)
+                * CAST(CAST(CAST(ln(CAST(c AS DOUBLE)) AS VARCHAR)
+                    AS DECIMAL(20,12)) AS DOUBLE)
+                AS DECIMAL(30,14))) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+            AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS e
+        FROM tf GROUP BY doc_id),
+      q AS (SELECT doc_id FROM ent WHERE e >= 2.8),
+      sh AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(tks)-1),
+          i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2])) AS s
+        FROM d WHERE doc_id IN (SELECT doc_id FROM q)),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      prs AS (SELECT da, db FROM inter
+        JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE)/(ca.n + cb.n - ix) >= 0.5),
+      edges AS (SELECT da AS a, db AS b FROM prs
+        UNION SELECT db, da FROM prs),
+      reach(a, b) AS (SELECT a, b FROM edges
+        UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a),
+      qd AS (SELECT d.doc_id, CAST(n_chars AS DOUBLE) AS qs
+        FROM d WHERE doc_id IN (SELECT doc_id FROM q)),
+      withc AS (SELECT qd.doc_id,
+          COALESCE(l.cluster_id, qd.doc_id) AS cluster_id, qs
+        FROM qd LEFT JOIN lbl l ON l.id = qd.doc_id),
+      rk AS (SELECT cluster_id, doc_id, qs,
+          row_number() OVER (PARTITION BY cluster_id
+            ORDER BY qs DESC, doc_id) AS rn
+        FROM withc),
+      surv AS (SELECT doc_id FROM rk WHERE rn = 1),
+      g5 AS (SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, len(tks) - 3),
+          i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] || ' '
+            || tks[i+3] || ' ' || tks[i+4])) AS gram
+        FROM d),
+      eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 20),
+      cont AS (SELECT DISTINCT g5.doc_id FROM g5
+        JOIN eg USING (gram) WHERE g5.doc_id >= 20),
+      clean AS (SELECT s.doc_id FROM surv s
+        WHERE s.doc_id >= 20
+          AND s.doc_id NOT IN (SELECT doc_id FROM cont)),
+      caps AS (SELECT d.source AS domain,
+          CAST(SUM(len(d.tks)) AS BIGINT) AS cap,
+          CAST(50 AS BIGINT) AS wt
+        FROM d JOIN clean c ON c.doc_id = d.doc_id GROUP BY 1),
+      tt AS (SELECT CAST((SUM(cap) * 9) // 10 AS BIGINT) AS total
+        FROM caps),
+      s0 AS (SELECT domain, cap, wt, false AS sat FROM caps),
+      a1 AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT)
+            AS wsum FROM s0),
+      s1 AS (SELECT domain, cap, wt, sat OR (CASE WHEN wsum = 0 THEN cap
+          ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) >= cap
+          AS sat FROM s0 CROSS JOIN a1),
+      a2 AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT)
+            AS wsum FROM s1),
+      s2 AS (SELECT domain, cap, wt, sat OR (CASE WHEN wsum = 0 THEN cap
+          ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) >= cap
+          AS sat FROM s1 CROSS JOIN a2),
+      a3 AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT)
+            AS wsum FROM s2),
+      s3 AS (SELECT domain, cap, wt, sat OR (CASE WHEN wsum = 0 THEN cap
+          ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) >= cap
+          AS sat FROM s2 CROSS JOIN a3),
+      a4 AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT)
+            AS wsum FROM s3),
+      s4 AS (SELECT domain, cap, wt, sat OR (CASE WHEN wsum = 0 THEN cap
+          ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) >= cap
+          AS sat FROM s3 CROSS JOIN a4),
+      a5 AS (SELECT
+          CAST(COALESCE(SUM(CASE WHEN sat THEN cap END), 0) AS BIGINT)
+            AS used,
+          CAST(COALESCE(SUM(CASE WHEN NOT sat THEN wt END), 0) AS BIGINT)
+            AS wsum FROM s4),
+      nd AS (SELECT d.source AS domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d JOIN clean c ON c.doc_id = d.doc_id GROUP BY 1)
+      SELECT s4.domain, n_docs, cap, sat AS saturated,
+        CAST(CASE WHEN sat THEN cap ELSE (CASE WHEN wsum = 0 THEN cap
+          ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) END
+          AS BIGINT) AS alloc
+      FROM s4 CROSS JOIN a5 JOIN nd ON nd.domain = s4.domain
+      ORDER BY s4.domain"""))
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1633,5 +1783,6 @@ object ExtD {
     xTokenizerFertility, xDupSourceMatrix, xClusterPurity,
     xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
     xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths,
-    xHardNegatives, xNegativeSample, xMoments, xCramersV, xSeasonality)
+    xHardNegatives, xNegativeSample, xMoments, xCramersV, xSeasonality,
+    xPipelineCurateV2)
 }
