@@ -92,6 +92,30 @@ object Expect {
         .as("passed"))
   }
 
+  /** Order-independent table fingerprint for cross-system
+    * reconciliation: every row is serialized (null-sentineled,
+    * unit-separator-joined), SHA-256 hashed, and the first 15 hex
+    * digits (60 bits, < 2^63) are SUMMED as an exact decimal — a
+    * commutative digest two engines can compute independently and
+    * compare without moving a row. Any inserted, deleted, or mutated
+    * row changes the sum; collisions require hash-prefix sums to
+    * cancel exactly. Returned as (n_rows, fingerprint-as-string) —
+    * the decimal stays a string because it exceeds double precision.
+    *
+    * Scale shape: embarrassingly parallel map + one order-independent
+    * decimal sum; nothing shuffles but partial sums.
+    */
+  def tableFingerprint(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val serialized = concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast("string"), lit("\u001e"))): _*)
+    val rowHash = conv(substring(sha2(serialized, 256), 1, 15), 16, 10)
+      .cast("decimal(19,0)")
+    df.select(rowHash.as("_h"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("_h")).cast("decimal(38,0)").cast("string")
+          .as("fingerprint"))
+  }
+
   /** Functional-dependency violation profiler: left-hand-side values
     * that map to MORE than one distinct right-hand-side value — the
     * discovery half of schema inference (a candidate `lhs → rhs` rule

@@ -1773,6 +1773,25 @@ object ExtD {
       FROM s4 CROSS JOIN a5 JOIN nd ON nd.domain = s4.domain
       ORDER BY s4.domain"""))
 
+  /** Order-independent table fingerprint
+    * ([[graft.ext.Expect.tableFingerprint]]) of lineitem's key columns
+    * — both engines compute the commutative SHA-256-prefix sum
+    * independently and must land on the same decimal, digit for
+    * digit: the cross-system reconciliation primitive.
+    */
+  val xTableFingerprint = Q(
+    "x_table_fingerprint",
+    (s, dir) => graft.ext.Expect.tableFingerprint(t(s, dir, "lineitem"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))),
+    Some("""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(CAST(SUM(CAST(CAST(concat('0x', substring(sha256(
+          CAST(l_orderkey AS VARCHAR) || chr(31)
+            || CAST(l_linenumber AS VARCHAR) || chr(31)
+            || l_returnflag), 1, 15)) AS BIGINT) AS DECIMAL(19,0)))
+          AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      FROM lineitem"""))
+
+
   val queries: Seq[Q] = Seq(xRocAuc, xMarkovTransitions, xRollingAnomaly,
     xSpearmanQuality, xTokenEntropy, xGiniRevenue, xKAnonymity,
     xKsTest, xCalibration, xChi2Independence, xMutualInfo,
@@ -1784,5 +1803,5 @@ object ExtD {
     xPersonalizedPagerank, xFdViolations, xForgetCascade, xWilsonRates,
     xSkewReport, xEmbeddingDrift, xClusteringCoeff, xEventPaths,
     xHardNegatives, xNegativeSample, xMoments, xCramersV, xSeasonality,
-    xPipelineCurateV2)
+    xPipelineCurateV2, xTableFingerprint)
 }

@@ -49,6 +49,26 @@ class ExpectSpec extends SparkSuite {
     assert(!r.getBoolean(2))
   }
 
+  test("tableFingerprint is order-independent and mutation-sensitive") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a"), (2L, "b"), (3L, Option.empty[String].orNull))
+      .toDF("k", "v")
+    def fp(d: org.apache.spark.sql.DataFrame) =
+      Expect.tableFingerprint(d, Seq(col("k"), col("v")))
+        .collect()(0).getAs[String]("fingerprint")
+    val base = fp(df)
+    assert(fp(df.orderBy(col("k").desc).repartition(7)) == base,
+      "row order or partitioning changed the fingerprint")
+    val mutated = Seq((1L, "a"), (2L, "B"), (3L, Option.empty[String].orNull))
+      .toDF("k", "v")
+    assert(fp(mutated) != base, "a mutated cell must change the digest")
+    val dropped = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(fp(dropped) != base, "a dropped row must change the digest")
+    // the null sentinel distinguishes null from the empty string
+    val empty = Seq((1L, "a"), (2L, "b"), (3L, "")).toDF("k", "v")
+    assert(fp(empty) != base, "null and '' must fingerprint differently")
+  }
+
   test("fdViolations reports only lhs values with more than one rhs") {
     import org.apache.spark.sql.functions.col
     // a -> 1 (holds, 2 rows); b -> {1,2,2} (violates); c -> 3 (holds)
