@@ -251,9 +251,15 @@ object Sampling {
     def agg(s: DataFrame) = s.agg(
       sum(when(col("sat"), col("cap")).otherwise(0L)).cast("long").as("used"),
       sum(when(!col("sat"), col("w")).otherwise(0L)).cast("long").as("wsum"))
+    // the product rides in DECIMAL(38,0): token-scale budgets times
+    // large weights overflow BIGINT and would wrap silently with ANSI
+    // off; div on decimals is still exact integral division
     def tentative: org.apache.spark.sql.Column =
       when(col("wsum") === 0, col("cap"))
-        .otherwise(expr("(w * (wtotal - used)) div wsum"))
+        .otherwise(expr(
+          """cast((cast(w as decimal(19,0)) *
+            |       cast(wtotal - used as decimal(19,0))) div
+            |      cast(wsum as decimal(19,0)) as bigint)""".stripMargin))
     for (_ <- 1 to rounds) {
       st = st.crossJoin(broadcast(agg(st)))
         .withColumn("wtotal", lit(total))

@@ -70,7 +70,11 @@ object Stats {
     * rows — the maps broadcast whenever the domains are bounded.
     */
   def spearman(df: DataFrame, x: Column, y: Column): DataFrame = {
-    val base = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+    // rank on the NATIVE double value — a long cast here would silently
+    // truncate fractional inputs (scores in [0,1]) into collapsed ties;
+    // only the ranks (exact integers) enter the sums, so fractional
+    // keys cost nothing in determinism
+    val base = df.select(x.cast("double").as("x"), y.cast("double").as("y"))
     def rankMap(c: String): DataFrame = {
       val g = base.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
       g.withColumn("cumc", sum(col("cnt")).over(Window.orderBy(col(c))
@@ -133,6 +137,12 @@ object Stats {
     * Q = Σcount² over the trailing window, which clears both
     * denominators so no float (or sqrt) ever enters the decision.
     * Days with an incomplete trailing window are never flagged.
+    *
+    * "Trailing window" means the `win` most recent OBSERVED days for
+    * the group, not `win` calendar days: a group with gaps compares
+    * against its last `win` active days (zero-count days don't exist
+    * as rows). For strict calendar semantics, densify days upstream or
+    * switch the window to rangeBetween on a day ordinal.
     *
     * Scale shape: the raw events collapse to one row per (group, day)
     * first (map-side combinable), so the per-group window walks days,
@@ -429,7 +439,12 @@ object Stats {
     val x = value.cast("decimal(10,2)")
     val agg = df.select(group.as("grp"), x.as("x"))
       .groupBy(col("grp"))
-      .agg(count(lit(1)).cast("bigint").as("n"),
+      // count x, not *: with ANSI off a value ≥ 10^8 overflows the
+      // decimal cast to NULL and drops out of the power sums — counting
+      // the row anyway would silently skew every moment, whereas
+      // count(x) keeps n consistent with the sums (and the n-vs-total
+      // gap is the caller-visible overflow signal)
+      .agg(count(col("x")).cast("bigint").as("n"),
         sum(col("x")).cast("decimal(38,2)").as("s1"),
         sum((col("x") * col("x")).cast("decimal(30,4)"))
           .cast("decimal(38,4)").as("s2"),

@@ -1519,7 +1519,7 @@ object ExtD {
         CAST(v3 * CAST(v AS DECIMAL(12,2)) AS DECIMAL(30,8)) AS v4
         FROM pw2),
       agg AS (SELECT grp,
-        CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(COUNT(v) AS BIGINT) AS n,
         CAST(SUM(v) AS DECIMAL(38,2)) AS s1,
         CAST(SUM(CAST(v2 AS DECIMAL(30,4))) AS DECIMAL(38,4)) AS s2,
         CAST(SUM(CAST(v3 AS DECIMAL(32,6))) AS DECIMAL(38,6)) AS s3,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ext.Stats
 
@@ -15,7 +15,10 @@ import graft.ext.Stats
   * [[CdcStream]]'s max-merge, are not naturally re-applicable, so the
   * state write and the checkpoint commit must be atomic per epoch;
   * the spec covers the convergence contract (any batch SPLIT of the
-  * feed yields the one-shot flags), not at-least-once replay.
+  * feed yields the one-shot flags), not at-least-once replay. The
+  * state write itself is crash-safe via [[StateDir]]'s
+  * replace-by-rename: an interrupt mid-write leaves the old state (or
+  * a restorable backup) intact, never a half-written dir.
   *
   * Scale shape: per batch, one groupBy over state ∪ batch increments
   * keyed on (group, day) — state is bounded by groups × active days,
@@ -32,10 +35,7 @@ object AnomalyStream {
   def applyBatch(batch: DataFrame, statePath: String, groupCol: String,
       tsCol: String, win: Int = 7, k: Int = 3): DataFrame = {
     val spark = batch.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(hPath)) Some(spark.read.parquet(statePath)) else None
+    val prior = StateDir.readPrior(spark, statePath)
     val inc = batch
       .groupBy(col(groupCol).as("grp"),
         date_format(col(tsCol), "yyyy-MM-dd").as("day"))
@@ -44,7 +44,7 @@ object AnomalyStream {
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("cnt")).as("cnt"))
       .localCheckpoint(true)
-    merged.write.mode(SaveMode.Overwrite).parquet(statePath)
+    StateDir.atomicOverwrite(merged, statePath)
     Stats.rollingAnomaliesFromDaily(merged, win, k)
   }
 }

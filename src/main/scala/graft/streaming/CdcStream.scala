@@ -1,8 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ext.Cdc
 
 /** Incremental CDC apply — [[graft.ext.Cdc.materialize]] run per
   * micro-batch against accumulated state (the foreachBatch companion,
@@ -19,25 +18,33 @@ import graft.ext.Cdc
   * commutative, which is exactly what at-least-once delivery needs.
   *
   * Scale shape: per batch, one groupBy(pk) over state ∪ batch — state
-  * is bounded by live pks + tombstones (production compacts tombstones
-  * past the source's replay horizon; noted, not implemented).
+  * is bounded by live pks + recent tombstones: passing
+  * `tombstoneHorizon` compacts tombstones older than the source's
+  * replay horizon at merge time, so tombstone state stays O(churn
+  * within the horizon) instead of growing with total deletes forever.
+  * State writes are crash-safe via [[StateDir]] replace-by-rename.
   */
 object CdcStream {
 
   /** Merge one changelog micro-batch into `statePath`; returns the
     * VISIBLE state (tombstones filtered) after the merge.
+    *
+    * `tombstoneHorizon`, when set, drops tombstones whose version is
+    * more than `h` behind the max version in state. This is safe
+    * exactly when the source cannot replay events that far back (the
+    * standard changelog-retention contract): a dropped tombstone only
+    * matters if a lower-versioned event for that pk arrives later, and
+    * the horizon guarantees it never will. `None` keeps every
+    * tombstone (the safe default when retention is unknown).
     */
   def applyBatch(batch: DataFrame, statePath: String, pkCol: String,
-      versionCol: String, opCol: String): DataFrame = {
+      versionCol: String, opCol: String,
+      tombstoneHorizon: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    // Probe existence explicitly rather than Try(...).toOption: swallowing
-    // ALL read failures would treat a corrupted/transiently-unreadable
-    // state dir as empty prior state, resetting accumulated state (and
-    // resurrecting deleted rows). Only path-absent means "no prior".
-    val hPath = new org.apache.hadoop.fs.Path(statePath)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val prior =
-      if (fs.exists(hPath)) Some(spark.read.parquet(statePath)) else None
+    // Only path-absent means "no prior": a corrupted/transiently-
+    // unreadable state dir must fail the batch, not silently reset
+    // state (and resurrect deleted rows). StateDir probes existence.
+    val prior = StateDir.readPrior(spark, statePath)
     val all = prior.fold(batch)(p => p.unionByName(batch))
     // keep tombstones: aggregate WITHOUT the delete filter
     val payloadCols = batch.columns.toSeq
@@ -45,12 +52,20 @@ object CdcStream {
     val packed = struct(
       (col(versionCol).as("_ver") +: col(opCol).as("_op") +:
         payloadCols.map(col)): _*)
-    // pin eagerly before overwriting the directory the plan reads from
-    val next = all.groupBy(col(pkCol)).agg(max(packed).as("_w"))
+    val merged = all.groupBy(col(pkCol)).agg(max(packed).as("_w"))
       .select((col(pkCol) +: col("_w._ver").as(versionCol) +:
         col("_w._op").as(opCol) +: payloadCols.map(c => col(s"_w.$c").as(c))): _*)
-      .localCheckpoint(true)
-    next.write.mode(SaveMode.Overwrite).parquet(statePath)
+    val compacted = tombstoneHorizon.fold(merged) { h =>
+      merged
+        .crossJoin(broadcast(
+          merged.agg(max(col(versionCol).cast("long")).as("_maxv"))))
+        .filter(col(opCol) =!= "delete" ||
+          col(versionCol).cast("long") >= col("_maxv") - h)
+        .drop("_maxv")
+    }
+    // pin eagerly: the lazy plan reads the dir the swap will replace
+    val next = compacted.localCheckpoint(true)
+    StateDir.atomicOverwrite(next, statePath)
     next.filter(col(opCol) =!= "delete")
   }
 }
