@@ -54,9 +54,8 @@ object Similarity {
     * negatives that actually move an embedding model, vs the easy
     * random ones ([[graft.ext.Sampling]]'s LCG draw covers those).
     * Brute-force formulation (the exactness baseline, like
-    * [[bruteForceTopK]]); at corpus scale the drop-in path is the same
-    * mining over [[ivfTopK]]'s probed buckets with the label filter in
-    * the verify step.
+    * [[bruteForceTopK]]); [[hardNegativesIvf]] is the drop-in corpus-
+    * scale path — same output schema, IVF-bucketed candidates.
     */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, k: Int): DataFrame = {
@@ -71,6 +70,66 @@ object Similarity {
       .filter(col("nl") =!= col("ql"))
       .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("ql").as("anchor_label"),
+        col("nid"), col("nl").as("negative_label"),
+        col("rank").cast("bigint").as("rank"))
+  }
+
+  /** IVF-bucketed hard-negative mining — the 100 TB scale path for
+    * [[hardNegatives]]. Same IVF machinery as [[ivfTopK]] (nearest-
+    * centroid bucketing, nprobe probing), with the different-label
+    * filter pushed into the bucket probe join, so per anchor only
+    * ~nprobe/nlist of the corpus is scored instead of all of it — and
+    * the only broadcasts in the plan are the nlist centroid rows, never
+    * the embedding table. Negatives outside the probed buckets are
+    * invisible (that recall trade IS the operator's contract; the twin
+    * query adjudicates it against the brute-force oracle).
+    *
+    * Scale shape: two broadcast joins against nlist rows, one shuffle
+    * join on `bucket` (bucket-local candidate generation — grow nlist
+    * with ~√n to keep per-bucket work bounded), one per-anchor top-k
+    * window. Nothing data-sized is ever broadcast or crossed.
+    */
+  def hardNegativesIvf(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+        col(labelCol).as("nl"))
+      .withColumn("nn", norm(col("nv")))
+    val centroidDf = centroids.getOrElse(
+      base.orderBy(col("nid")).limit(nlist)
+        .select(col("nid").as("cid"), col("nv").as("cv")))
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+    // nearest-centroid assignment, label carried through
+    val wAssign = Window.partitionBy(col("nid"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = base.crossJoin(broadcast(centroidDf))
+      .withColumn("csim", dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("nid"), col("nv"), col("nn"), col("nl"),
+        col("cid").as("bucket"))
+    // every row is an anchor probing its nprobe nearest buckets
+    val q = emb.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+        col(labelCol).as("ql"))
+      .withColumn("qn", norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("psim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("ql"),
+        col("cid").as("bucket"))
+    // score ONLY probed buckets; the label filter rides the same join
+    val scored = probes.join(assigned, "bucket")
+      .filter(col("nid") =!= col("qid") && col("nl") =!= col("ql"))
+      .withColumn("cosine", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("ql").as("anchor_label"),

@@ -539,8 +539,12 @@ object Ext {
     SELECT qid, nid, rank FROM r WHERE rank <= 5 ORDER BY qid, rank"""),
     bench = true)
 
-  /** IVF-bucketed ANN — approximate by construction → rows-only; recall
-    * vs brute force asserted in ExtSpec.
+  /** IVF-bucketed ANN. Approximate vs brute force by construction, but
+    * DETERMINISTIC end-to-end (first-nlist centroids, cosine-argmax
+    * assignment, id tie-breaks) — so since round 7 the oracle replays
+    * the whole index in SQL, the same CTEs [[xAnnIvfRecall]] always
+    * used, and every (qid, nid, rank) adjudicates exactly. The recall
+    * twin keeps quantifying the approximation against brute force.
     */
   val xAnnIvf = Q(
     "x_ann_ivf",
@@ -550,7 +554,29 @@ object Ext {
         "vec_id", "embedding", k = 5)
         .orderBy(col("qid"), col("rank"))
     },
-    None)
+    Some("""WITH nn AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM nn),
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        ORDER BY vec_id LIMIT 16),
+      assigned AS (SELECT nid, nv, nn2, bucket FROM (
+          SELECT b.vec_id AS nid, b.v AS nv, b.nrm AS nn2, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC, c.cid) AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+      probes AS (SELECT qid, qv, qn, bucket FROM (
+          SELECT q.qid, q.qv, q.qn, c.cid AS bucket,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC, c.cid) AS rk
+          FROM q CROSS JOIN cent c) WHERE rk <= 4)
+      SELECT qid, nid, CAST(rank AS INTEGER) AS rank FROM (
+          SELECT p.qid, a.nid,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_dot_product(p.qv, a.nv)/(p.qn*a.nn2) DESC, a.nid) AS rank
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket AND a.nid != p.qid)
+        WHERE rank <= 5 ORDER BY qid, rank"""))
 
   /** IVF with trained k-means centroids — the production centroid path.
     * Uses [[Similarity.lloydCentroids]] (deterministic spherical Lloyd,

@@ -408,7 +408,8 @@ object ExtC {
           CASE WHEN score >= 8.0 THEN 'match'
                WHEN score >= 0.0 THEN 'possible'
                ELSE 'non_match' END AS decision
-        FROM scored ORDER BY id_a, id_b"""))
+        FROM scored ORDER BY id_a, id_b"""),
+      bench = true)
   }
 
   /** Zipf's-law corpus fit ([[graft.ext.Text.zipfFit]]): OLS of

@@ -418,7 +418,8 @@ object ExtD {
         JOIN ue e3 ON e3.src = e1.src AND e3.dst = e2.dst)
       SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
         CAST((SELECT COUNT(*) FROM ue) AS BIGINT) AS n_edges,
-        (SELECT t FROM tri) AS n_triangles"""))
+        (SELECT t FROM tri) AS n_triangles"""),
+    bench = true)
 
   /** Adamic–Adar link prediction ([[graft.ext.Graph.adamicAdar]]) over
     * the same graph: 2-hop pairs scored `Σ 1/ln(deg w)` with only
@@ -1160,7 +1161,8 @@ object ExtD {
           FROM nodes),
         $iters
         SELECT node, CAST(pr AS DOUBLE) / 1e12 AS ppr
-        FROM r10 ORDER BY node"""))
+        FROM r10 ORDER BY node"""),
+      bench = true)
   }
 
   /** Functional-dependency violation profiler
@@ -1771,7 +1773,8 @@ object ExtD {
           ELSE (wt * ((SELECT total FROM tt) - used)) // wsum END) END
           AS BIGINT) AS alloc
       FROM s4 CROSS JOIN a5 JOIN nd ON nd.domain = s4.domain
-      ORDER BY s4.domain"""))
+      ORDER BY s4.domain"""),
+    bench = true)
 
   /** Order-independent table fingerprint
     * ([[graft.ext.Expect.tableFingerprint]]) of lineitem's key columns

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext._
+import H.t
+
+/** Round-7 extension queries: IVF-bucketed hard-negative mining (the
+  * scale path replacing the brute-force exactness baseline as the
+  * production story), plus this round's additions.
+  */
+object ExtE {
+
+  /** The IVF replay CTE block with labels carried through — shared by
+    * the x_hard_negatives_ivf oracle and its recall twin. Mirrors the
+    * x_ann_ivf_recall oracle (deterministic first-`nlist` centroids,
+    * cosine argmax assignment, nprobe probing) with the different-label
+    * filter applied inside the probed-bucket scoring, exactly as
+    * [[graft.ext.Similarity.hardNegativesIvf]] does.
+    */
+  private def hardNegIvfCtes(nlist: Int, nprobe: Int, k: Int): String =
+    s"""WITH nn0 AS (SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM nn0),
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        ORDER BY vec_id LIMIT $nlist),
+      assigned AS (SELECT nid, nl, nv, nn2, bucket FROM (
+          SELECT b.vec_id AS nid, b.label AS nl, b.v AS nv,
+            b.nrm AS nn2, c.cid AS bucket,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC, c.cid)
+              AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      q AS (SELECT vec_id AS qid, label AS ql, v AS qv, nrm AS qn FROM e),
+      probes AS (SELECT qid, ql, qv, qn, bucket FROM (
+          SELECT q.qid, q.ql, q.qv, q.qn, c.cid AS bucket,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_dot_product(q.qv, c.cv)/(q.qn*c.cn) DESC, c.cid)
+              AS rk
+          FROM q CROSS JOIN cent c) WHERE rk <= $nprobe),
+      ivfneg AS (SELECT qid, ql, nid, nl, rank FROM (
+          SELECT p.qid, p.ql, a.nid, a.nl,
+            row_number() OVER (PARTITION BY p.qid
+              ORDER BY list_dot_product(p.qv, a.nv)/(p.qn*a.nn2) DESC, a.nid)
+              AS rank
+          FROM probes p JOIN assigned a ON p.bucket = a.bucket
+            AND a.nid != p.qid AND a.nl != p.ql)
+        WHERE rank <= $k)"""
+
+  /** IVF-bucketed hard negatives ([[Similarity.hardNegativesIvf]]):
+    * the corpus-scale replacement for [[ExtD.xHardNegatives]]'s O(n²)
+    * crossJoin — candidates come from nprobe probed buckets only, the
+    * different-label filter rides the bucket join, and the plan never
+    * broadcasts anything bigger than the nlist centroid rows
+    * (PlanSpec-gated). Deterministic first-16 centroids make the ENTIRE
+    * pipeline SQL-replayable: the oracle re-derives assignment, probing,
+    * label-filtered scoring, and ranks — every row adjudicates exactly.
+    */
+  val xHardNegativesIvf = Q(
+    "x_hard_negatives_ivf",
+    (s, dir) => Similarity.hardNegativesIvf(
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("qid"), col("rank")),
+    Some(s"""${hardNegIvfCtes(nlist = 16, nprobe = 4, k = 5)}
+      SELECT qid, ql AS anchor_label, nid, nl AS negative_label,
+        CAST(rank AS BIGINT) AS rank
+      FROM ivfneg ORDER BY qid, rank"""))
+
+  /** Recall of the IVF hard negatives against the brute-force miner —
+    * the quantified cost of the bucket approximation, computed inside
+    * Spark as one deterministic row; the oracle replays BOTH pipelines
+    * (the IVF CTEs above + the brute-force cross join) in SQL with no
+    * hard-coded constants, so the check holds at any SF.
+    */
+  val xHardNegativesIvfRecall = Q(
+    "x_hard_negatives_ivf_recall",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val bf = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        "label", k = 5).select(col("qid"), col("nid"))
+      val ivf = Similarity.hardNegativesIvf(emb, "vec_id", "embedding",
+        "label", k = 5).select(col("qid"), col("nid"))
+      val nA = emb.agg(countDistinct(col("vec_id")).as("n_anchors"))
+      val nBf = bf.agg(count(lit(1)).as("n_bf"))
+      val nHits = ivf.join(bf, Seq("qid", "nid"))
+        .agg(count(lit(1)).as("n_hits"))
+      nA.crossJoin(nBf).crossJoin(nHits)
+        .select(
+          col("n_anchors").cast("bigint").as("n_anchors"),
+          col("n_hits").cast("bigint").as("n_hits"),
+          (col("n_hits").cast("double") / col("n_bf").cast("double"))
+            .as("recall_at_5"))
+    },
+    Some(s"""${hardNegIvfCtes(nlist = 16, nprobe = 4, k = 5)},
+      bf AS (SELECT qid, nid FROM (
+          SELECT q.qid, b.nid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_dot_product(q.qv, b.nv)/(q.qn*b.nn2) DESC, b.nid)
+              AS rank
+          FROM q CROSS JOIN assigned b
+          WHERE b.nid != q.qid AND b.nl != q.ql)
+        WHERE rank <= 5)
+      SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_anchors,
+        CAST((SELECT count(*) FROM ivfneg i JOIN bf USING (qid, nid))
+          AS BIGINT) AS n_hits,
+        CAST((SELECT count(*) FROM ivfneg i JOIN bf USING (qid, nid))
+          AS DOUBLE) / (SELECT count(*) FROM bf) AS recall_at_5"""))
+
+  val queries: Seq[Q] = Seq(
+    xHardNegativesIvf,
+    xHardNegativesIvfRecall)
+}

@@ -61,6 +61,23 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall too low") // nprobe=4/16 buckets
   }
 
+  test("IVF hard negatives: same contract as brute force, sane recall") {
+    val bf = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 5)
+    val ivf = Similarity.hardNegativesIvf(emb, "vec_id", "embedding", "label", 5)
+    assert(ivf.columns.toSeq == bf.columns.toSeq)
+    val bfSet = bf.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivf.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every anchor still gets k negatives (buckets hold plenty of
+    // different-label rows on this corpus)
+    assert(ivfSet.size == bfSet.size)
+    // label contract: no negative shares its anchor's label
+    assert(ivf.filter(col("anchor_label") === col("negative_label")).count() == 0)
+    val recall = ivfSet.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.3, s"IVF hard-negative recall $recall too low")
+  }
+
   test("k-means centroids beat first-n on queries outside the centroid set") {
     // queries DISJOINT from the first-16 ids: when a query IS a
     // centroid its own bucket is centered on itself and first-n recall

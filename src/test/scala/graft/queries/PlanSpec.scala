@@ -245,6 +245,23 @@ class PlanSpec extends SparkSuite {
     assert(auc.contains("partial"), s"AUC score counts not partial:\n$auc")
   }
 
+  test("round-7 IVF hard negatives never go quadratic") {
+    // the scale contract vs the brute-force baseline: no cartesian, no
+    // broadcast of the embedding table — the only nested-loop joins are
+    // the two 16-row centroid crossJoins, and candidates come from an
+    // equi-join on bucket
+    val p = plan("x_hard_negatives_ivf")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF hard negatives went cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"$bnlj nested-loop joins (expected ≤2 centroid " +
+      s"crossJoins):\n$p")
+    assert(p.linesIterator.exists(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin")) && l.contains("bucket")),
+      s"bucket equi-join lost:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
