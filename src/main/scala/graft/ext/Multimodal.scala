@@ -341,6 +341,168 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Magic-byte sniff for RIFF/WAVE payloads (the audio analog of
+    * [[sniffFormat]]).
+    */
+  def sniffWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** Deterministic synthetic 16-bit PCM WAV: `frames` frames of
+    * `channels` interleaved samples, where flat sample index j holds
+    * `((seed·7919 + j·104729) mod 65536) − 32768` — pure BIGINT
+    * arithmetic an external oracle replays with a range() unnest. The
+    * payload is a REAL RIFF/WAVE file `javax.sound.sampled` decodes.
+    */
+  def syntheticWav(sampleRate: Int, channels: Int, frames: Int,
+      seed: Long): Array[Byte] = {
+    val dataSize = frames * channels * 2
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le32(36 + dataSize)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16)
+    le16(1) // PCM
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * channels * 2) // byte rate
+    le16(channels * 2)              // block align
+    le16(16)                        // bits per sample
+    out.write("data".getBytes); le32(dataSize)
+    var j = 0
+    val n = frames * channels
+    while (j < n) {
+      le16((((seed * 7919L + j * 104729L) % 65536L).toInt - 32768) & 0xffff)
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  /** Per-row synthetic WAV payloads with id-derived parameters —
+    * `rate = 8000 + 1000·(id mod 8)`, `channels = 1 + id mod 2`,
+    * `frames = 200 + 13·id mod 800` — so an oracle can predict every
+    * decoded field AND every PCM statistic from the id alone.
+    */
+  def withSyntheticWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + math.floorMod(id, 8L).toInt * 1000
+        val ch = 1 + math.floorMod(id, 2L).toInt
+        val frames = 200 + math.floorMod(id * 13, 800L).toInt
+        Row(id, syntheticWav(rate, ch, frames, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType),
+    StructField("s_min", LongType),
+    StructField("s_max", LongType),
+    StructField("s_sumabs", LongType),
+    StructField("source", StringType)))
+
+  /** REAL WAV/PCM decode via the JDK's `javax.sound.sampled` (the
+    * ImageIO move for audio — zero new dependencies): true sample rate,
+    * channel count, bit depth, frame count, integer-division duration,
+    * and exact integer PCM stats (min/max/Σ|s| over all interleaved
+    * samples). None for non-WAV or corrupt payloads.
+    */
+  def realAudioDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long, Long, Long)] =
+    if (!sniffWav(bytes)) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val rate = fmt.getSampleRate.toInt
+          val ch = fmt.getChannels
+          val buf = new Array[Byte](4096)
+          var sMin = Long.MaxValue
+          var sMax = Long.MinValue
+          var sumAbs = 0L
+          var nBytes = 0L
+          var read = in.read(buf)
+          var carry = -1 // low byte waiting for its pair across reads
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read > 0) {
+              val s = ((buf(0) << 8) | carry).toShort.toLong
+              if (s < sMin) sMin = s
+              if (s > sMax) sMax = s
+              sumAbs += math.abs(s)
+              carry = -1
+              i = 1
+            }
+            while (i + 1 < read) {
+              val s = ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toLong
+              if (s < sMin) sMin = s
+              if (s > sMax) sMax = s
+              sumAbs += math.abs(s)
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            nBytes += read
+            read = in.read(buf)
+          }
+          val frames = nBytes / (2L * ch)
+          Some((rate, ch, 16, frames, frames * 1000L / rate,
+            sMin, sMax, sumAbs))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic fake audio metadata for payloads the JDK can't
+    * decode (compressed codecs aren't in this container — honestly
+    * stubbed, like [[fakeDecode]] for video).
+    */
+  def fakeAudioDecode(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long, Long, Long) = {
+    // ??? real compressed-audio codec goes here; deterministic fake below
+    val h = bytes.foldLeft(23L)((acc, b) => acc * 31 + (b & 0xff))
+    val rate = 8000 + math.floorMod(h, 8L).toInt * 1000
+    val ch = 1 + math.floorMod(h >> 3, 2L).toInt
+    val frames = 200 + math.floorMod(h >> 4, 800L)
+    (rate, ch, 16, frames, frames * 1000L / rate, -32768L, 32767L,
+      frames * ch * 16384L)
+  }
+
+  /** Partition-parallel audio decode of (id, payload) rows: real
+    * `javax.sound.sampled` for WAV/PCM16, deterministic fake otherwise
+    * — the audio face of [[decode]].
+    */
+  def audioDecode(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload")).rdd
+      .mapPartitions { it =>
+        // per-partition decoder init would happen here
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          realAudioDecode(bytes) match {
+            case Some((rate, ch, bits, fr, dur, mn, mx, sa)) =>
+              Row(r.getLong(0), rate, ch, bits, fr, dur, mn, mx, sa, "wav")
+            case None =>
+              val (rate, ch, bits, fr, dur, mn, mx, sa) = fakeAudioDecode(bytes)
+              Row(r.getLong(0), rate, ch, bits, fr, dur, mn, mx, sa, "fake")
+          }
+        }
+      }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
   /** Per-payload dHash column: (id, dhash) with null for non-images.
     * Same partition-parallel decode shape as [[decode]].
     */

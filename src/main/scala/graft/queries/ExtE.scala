@@ -107,7 +107,41 @@ object ExtE {
         CAST((SELECT count(*) FROM ivfneg i JOIN bf USING (qid, nid))
           AS DOUBLE) / (SELECT count(*) FROM bf) AS recall_at_5"""))
 
+  /** REAL audio decode adjudicated end-to-end
+    * ([[graft.ext.Multimodal.audioDecode]]): synthetic RIFF/WAVE PCM16
+    * payloads — sample j of doc d is `((d·7919 + j·104729) mod 65536) −
+    * 32768`, rate/channels/frames id-derived — are decoded by
+    * `javax.sound.sampled`, and the oracle predicts every decoded field
+    * AND the exact integer PCM statistics (min / max / Σ|s|) from the
+    * id formula alone. The JDK decode is the thing under test: a wrong
+    * header parse, frame count, or sample byte order breaks the hash.
+    */
+  val xMultimodalAudioReal = Q(
+    "x_multimodal_audio_real",
+    (s, dir) => Multimodal.audioDecode(
+      Multimodal.withSyntheticWav(t(s, dir, "documents"), "doc_id"), "id")
+      .orderBy(col("id")),
+    Some("""WITH p AS (SELECT doc_id AS id,
+        8000 + CAST(doc_id % 8 AS BIGINT) * 1000 AS rate,
+        1 + CAST(doc_id % 2 AS BIGINT) AS ch,
+        200 + (doc_id * 13) % 800 AS frames
+      FROM documents),
+      s AS (SELECT id, rate, ch, frames,
+        unnest(range(frames * ch)) AS j FROM p),
+      v AS (SELECT id, ((id * 7919 + j * 104729) % 65536) - 32768 AS sv
+        FROM s),
+      a AS (SELECT id, MIN(sv) AS s_min, MAX(sv) AS s_max,
+        SUM(abs(sv)) AS s_sumabs FROM v GROUP BY id)
+      SELECT p.id, CAST(rate AS INTEGER) AS sample_rate,
+        CAST(ch AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        CAST(frames AS BIGINT) AS n_frames,
+        CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        CAST(s_min AS BIGINT) AS s_min, CAST(s_max AS BIGINT) AS s_max,
+        CAST(s_sumabs AS BIGINT) AS s_sumabs, 'wav' AS source
+      FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
-    xHardNegativesIvfRecall)
+    xHardNegativesIvfRecall,
+    xMultimodalAudioReal)
 }

@@ -282,6 +282,25 @@ class ExtSpec extends SparkSuite {
     assert(out(9L) == ((1L, 9L, 1.0)), "singleton survives itself")
   }
 
+  test("WAV decode reads back exactly what the synthetic generator wrote") {
+    // real javax.sound.sampled path: format fields and integer PCM
+    // stats must match the generator's closed-form sample function
+    val seed = 42L
+    val wav = Multimodal.syntheticWav(11000, 2, 250, seed)
+    val Some((rate, ch, bits, frames, durMs, sMin, sMax, sumAbs)) =
+      Multimodal.realAudioDecode(wav)
+    assert((rate, ch, bits, frames) == (11000, 2, 16, 250L))
+    assert(durMs == 250L * 1000 / 11000)
+    val expected = (0 until 500).map(j =>
+      ((seed * 7919L + j * 104729L) % 65536L) - 32768L)
+    assert(sMin == expected.min && sMax == expected.max)
+    assert(sumAbs == expected.map(math.abs).sum)
+    // non-WAV bytes take the deterministic fake path
+    assert(Multimodal.realAudioDecode("not audio".getBytes).isEmpty)
+    val fake1 = Multimodal.fakeAudioDecode("not audio".getBytes)
+    assert(fake1 == Multimodal.fakeAudioDecode("not audio".getBytes))
+  }
+
   test("dHash is stable under PNG re-encode and flips on content change") {
     // hash is a function of decoded PIXELS: byte-identical after a
     // lossless re-encode round-trip, different when content changes
