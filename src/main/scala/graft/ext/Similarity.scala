@@ -501,13 +501,30 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), col("cosine"))
   }
 
+  /** The ±1 hyperplane entry for bit `i`, dimension `d` of a `dim`-wide
+    * embedding: an LCG over `seed + i·dim + d`, taking a mid bit (the
+    * LCG's low bits cycle with tiny period). Pure integer arithmetic —
+    * an external SQL engine replays the plane exactly.
+    */
+  def lshPlaneEntry(seed: Long, i: Int, dim: Int, d: Int): Double =
+    if (((math.floorMod((seed + i.toLong * dim + d) * 1103515245L + 12345L,
+      2147483648L) >> 15) & 1L) == 1L) 1.0 else -1.0
+
   /** Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
     * embedding-cosine dedup (Charikar, STOC'02 — public literature):
-    * sign(v·r_i) bits from `nBits` fixed-seed Gaussian hyperplanes,
-    * split into `bands`; vectors sharing any band bucket become
-    * candidates (equi-join, never O(n²)); candidates are verified with
-    * the exact cosine, so false positives are impossible and only
-    * band-recall is approximate.
+    * sign(v·r_i) bits from `nBits` fixed hyperplanes, split into
+    * `bands`; vectors sharing any band bucket become candidates
+    * (equi-join, never O(n²)); candidates are verified with the exact
+    * cosine, so false positives are impossible and only band-recall is
+    * approximate.
+    *
+    * Hyperplane entries are Rademacher ±1 (Achlioptas 2003,
+    * database-friendly random projections — public literature) derived
+    * from an LCG on (seed, bit, dim) rather than Gaussian draws from a
+    * stateful RNG: sign-projection LSH only needs a symmetric
+    * distribution, and the integer derivation makes every signature
+    * bit — and therefore the full pair set — replayable by a plain-SQL
+    * oracle (the x_ann_ivf_kmeans determinism move applied here).
     *
     * Sizing at scale: random collisions per band scale with
     * n² / 2^bitsPerBand, so bitsPerBand should grow with log2(n)
@@ -529,11 +546,11 @@ object Similarity {
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
 
-    // fixed-seed hyperplanes sized to the embedding dim (driver reads
+    // fixed ±1 hyperplanes sized to the embedding dim (driver reads
     // ONE row for the dim — O(1), not O(rows))
     val dim = e.select(size(col("v"))).head().getInt(0)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
+    val planes = Array.tabulate(nBits, dim)((i, d) =>
+      lshPlaneEntry(seed, i, dim, d))
 
     // all nBits sign bits per row in ONE compiled mapPartitions kernel
     // (an expression tree of nBits dot products would blow codegen

@@ -423,9 +423,18 @@ object Ext {
     bench = true)
 
   /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
-    * xxhash64 isn't reproducible in DuckDB SQL → rows-only here
-    * (cross-checked against the Jaccard pairs in ExtSpec); the
-    * replayable-hash variant below is adjudicated pair-for-pair.
+    *
+    * THE one remaining rows-only query (since round 7), and permanently
+    * so: the production token hash is Spark's engine-native xxhash64
+    * (codegen'd, full 64-bit spread), which no plain-SQL oracle can
+    * recompute, and unlike the LSH hyperplanes — where the random source
+    * was incidental — swapping it would mean shipping a weaker 32-bit
+    * polynomial hash in the production path solely to please the
+    * oracle. Instead the machinery is adjudicated via its twin:
+    * [[xDedupSimhashReplay]] runs the IDENTICAL kernel/banding/verify
+    * over the replayable hash and is proven pair-for-pair against an
+    * exhaustive O(n²) oracle, and ExtSpec cross-checks this query's
+    * pairs against the exact Jaccard near-dups.
     */
   val xDedupSimhash = Q(
     "x_dedup_simhash",
@@ -1357,26 +1366,71 @@ object Ext {
         CAST((n_frames + 3) // 4 AS BIGINT) AS n_frames_sampled
       FROM meta ORDER BY id"""))
 
+  /** The full-replay CTE block for hyperplane-LSH cosine pairs
+    * (threshold 0.45, 256 bits, 32 bands, seed 7): rebuilds the ±1
+    * LCG hyperplanes ([[Similarity.lshPlaneEntry]]), every signature
+    * bit (list_dot_product is sequential, matching the kernel's
+    * ascending-dimension float loop), the 8-bit band buckets, the
+    * banded candidate join, the mean+4σ Hamming prefilter (Hamming via
+    * popcounts: |a|+|b|−2·a·b on the 0/1 signature lists), and the
+    * exact-cosine verify. `lsh` is the final pair set.
+    */
+  private val lshReplayCtes: String =
+    """WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM n),
+      dm AS (SELECT MAX(len(v)) AS dim FROM n),
+      planes AS (SELECT i, list_transform(range(dim), d ->
+          CASE WHEN ((((7 + i * dim + d) * 1103515245 + 12345)
+              % 2147483648) // 32768) % 2 = 1
+            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END) AS p
+        FROM (SELECT unnest(range(256)) AS i), dm),
+      bits AS (SELECT e.id, pl.i,
+          CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
+        FROM e CROSS JOIN planes pl),
+      bands AS (SELECT id, i // 8 AS band,
+          SUM(b * (1 << CAST(i % 8 AS INTEGER))) AS bucket
+        FROM bits GROUP BY id, band),
+      sig AS (SELECT id, list(CAST(b AS DOUBLE) ORDER BY i) AS s,
+          CAST(SUM(b) AS BIGINT) AS pc FROM bits GROUP BY id),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+      hm AS (SELECT CEIL(256 * (acos(0.45) / pi()) +
+          4 * sqrt(256 * (acos(0.45) / pi()) * (1 - acos(0.45) / pi())))
+          AS hmax),
+      ham AS (SELECT c.id_a, c.id_b,
+          sa.pc + sb.pc - 2 * CAST(list_dot_product(sa.s, sb.s) AS BIGINT)
+            AS hd
+        FROM cand c JOIN sig sa ON sa.id = c.id_a
+          JOIN sig sb ON sb.id = c.id_b),
+      lsh AS (SELECT h.id_a, h.id_b
+        FROM ham h JOIN e a ON a.id = h.id_a JOIN e b ON b.id = h.id_b, hm
+        WHERE h.hd <= hm.hmax
+          AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)"""
+
   /** Hyperplane-LSH cosine near-dup — the bucketed scale path for
-    * x_dedup_embedding; approximate recall by construction → rows-only
-    * (exact-cosine verification means zero false positives; ExtSpec
-    * asserts recall vs the exact all-pairs result).
+    * x_dedup_embedding. Since round 7 the ±1 LCG hyperplanes make the
+    * whole pipeline deterministic-replayable, so the oracle rebuilds
+    * signatures, bands, prefilter, and verify in SQL and every pair
+    * adjudicates exactly (previously rows-only: Gaussian planes from a
+    * stateful RNG weren't SQL-expressible).
     */
   val xDedupEmbeddingLsh = Q(
     "x_dedup_embedding_lsh",
     (s, dir) => Similarity.cosineLshPairs(t(s, dir, "embeddings"),
       "vec_id", "embedding", threshold = 0.45)
       .orderBy(col("id_a"), col("id_b")),
-    None,
+    Some(s"""$lshReplayCtes
+      SELECT id_a, id_b FROM lsh ORDER BY id_a, id_b"""),
     bench = true)
 
-  /** Hyperplane-LSH recall measurement — the oracle-adjudicable face of
-    * x_dedup_embedding_lsh: because LSH candidates are verified with the
-    * SAME exact-cosine arithmetic as the all-pairs baseline, LSH output
-    * is provably a subset of the exact pairs (ExtSpec asserts it), so
-    * recall = n_lsh / n_exact. n_exact is recomputed by the oracle in
-    * SQL; n_lsh (Scala-RNG hyperplanes, not SQL-expressible) is the one
-    * measured constant — valid at the driver's correctness SF (sf0.01).
+  /** Hyperplane-LSH recall measurement — quantifies band recall against
+    * the exact all-pairs baseline. Both counts now replay fully in SQL
+    * (no measured constants): n_lsh from the same CTEs as
+    * x_dedup_embedding_lsh, n_exact from the O(n²) cosine join.
     */
   val xDedupEmbeddingLshRecall = Q(
     "x_dedup_embedding_lsh_recall",
@@ -1391,18 +1445,15 @@ object Ext {
         col("n_lsh").cast("bigint").as("n_lsh"),
         (col("n_lsh").cast("double") / col("n_exact").cast("double")).as("recall"))
     },
-    Some("""WITH n AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
+    Some(s"""$lshReplayCtes,
       exact AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        FROM n a JOIN n b ON a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) /
-          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45)
-      SELECT CAST(count(*) AS BIGINT) AS n_exact,
-        CAST(10 AS BIGINT) AS n_lsh,
-        CAST(10 AS DOUBLE) / count(*) AS recall
-      FROM exact"""))
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM e a JOIN e b ON a.id < b.id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)
+      SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+        CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+        CAST((SELECT count(*) FROM lsh) AS DOUBLE)
+          / (SELECT count(*) FROM exact) AS recall"""))
 
   /** Salted two-phase aggregation: splits each hot group key across 8
     * salt buckets before combining — result is IDENTICAL to the plain
