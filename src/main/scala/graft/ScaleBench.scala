@@ -122,6 +122,66 @@ object ScaleBench {
       }
     }
 
+    // record linkage (round 7): the operator's failure mode is blocked-
+    // join skew — pairs per block are quadratic in block size. Two
+    // regimes: (a) replication SALTS the block key (blocks grow with
+    // data, block size constant) -> runtime should scale ~linearly;
+    // (b) replication keeps the SAME 125 (nation, segment) blocks (hot
+    // blocks) -> pair count grows k², and runtime must track the OUTPUT
+    // (pairs scored), not degrade worse than it
+    graft.plans.GraftExtensions.ensure(spark) // jaro_winkler
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment")).cache()
+    val nCust = cust.count()
+    val linkRules = Seq(
+      ext.Linkage.FieldRule("name", org.apache.spark.sql.functions
+        .call_function("jaro_winkler", col("a.c_name"), col("b.c_name"))
+        >= 0.92, 0.95, 0.01),
+      ext.Linkage.FieldRule("bal_close",
+        abs(col("a.c_acctbal") - col("b.c_acctbal")) <= 10.0, 0.90, 0.02))
+    def custRep(k: Int, salt: Boolean): DataFrame = cust
+      .crossJoin(spark.range(k).select(col("id").as("rep")))
+      .select((col("c_custkey") * 64 + col("rep")).as("c_custkey"),
+        col("c_name"),
+        (if (salt) col("c_nationkey") + col("rep") * 100
+         else col("c_nationkey")).as("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+      .repartition(cpus.toInt)
+    for (k <- Seq(4, 16, 40)) {
+      time(s"linkage x$k salted blocks (${nCust * k} recs, size-constant)") {
+        ext.Linkage.scorePairs(custRep(k, salt = true), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"), linkRules, 8.0, 0.0).count()
+      }
+    }
+    for (k <- Seq(2, 4)) {
+      time(s"linkage x$k HOT blocks (${nCust * k} recs, pairs ~k^2)") {
+        ext.Linkage.scorePairs(custRep(k, salt = false), "c_custkey",
+          Seq("c_nationkey", "c_mktsegment"), linkRules, 8.0, 0.0).count()
+      }
+    }
+
+    // ROC-AUC / Kaplan-Meier (round 7): both reduce events to one row
+    // per distinct score/duration FIRST (map-side combinable), then
+    // window over that bounded set — replication multiplies the scan
+    // but not the window, so runtime should grow sublinearly in k
+    val ev = graft.queries.H.t(spark, sfDir, "events")
+      .select(col("value"), col("event_type")).cache()
+    ev.count()
+    for (k <- Seq(10, 40, 100)) {
+      val rep = ev.crossJoin(spark.range(k).select(col("id").as("rep")))
+        .repartition(cpus.toInt)
+      time(s"rocAuc x$k events") {
+        ext.Stats.rocAuc(rep, col("value"),
+          col("event_type") === "purchase").count()
+      }
+      time(s"kaplanMeier x$k events") {
+        ext.Stats.kaplanMeier(rep,
+          col("value").cast("long") % 30, col("event_type") === "error")
+          .count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

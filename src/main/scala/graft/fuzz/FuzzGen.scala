@@ -1,0 +1,230 @@
+package graft.fuzz
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Seeded generative differential fuzzer: random
+  * filter / aggregate / join / window plans over the fixture tables,
+  * rendered TWICE from one AST — once as DataFrame API calls, once as
+  * SQL constrained to the dialect subset Spark SQL and DuckDB share.
+  * FuzzSpec compares the two Catalyst entry paths for many seeds in
+  * `sbt test`; a fixed pick of seeds is registered as driver queries
+  * (ExtE) whose oracle is the SAME SQL text run by DuckDB — a true
+  * cross-engine differential that sweeps conventions (grouping, ties,
+  * integer arithmetic, HAVING, distinct counts, window frames) nobody
+  * thought to hand-trap.
+  *
+  * Determinism rules baked into the grammar: integer-only arithmetic
+  * (no floats anywhere), non-negative operands for %, group keys from
+  * bounded domains (string columns or mod-buckets), row_number windows
+  * totally tie-broken by unique id columns, and a final ORDER BY over
+  * every output column.
+  */
+object FuzzGen {
+
+  final case class TableMeta(name: String, intCols: Seq[String],
+      strCols: Seq[String], idCols: Seq[String])
+
+  val tables: Seq[TableMeta] = Seq(
+    TableMeta("region", Seq("r_regionkey"), Seq("r_name"),
+      Seq("r_regionkey")),
+    TableMeta("nation", Seq("n_nationkey", "n_regionkey"), Seq("n_name"),
+      Seq("n_nationkey")),
+    TableMeta("customer", Seq("c_custkey", "c_nationkey"),
+      Seq("c_mktsegment"), Seq("c_custkey")),
+    TableMeta("supplier", Seq("s_suppkey", "s_nationkey"), Seq(),
+      Seq("s_suppkey")),
+    TableMeta("part", Seq("p_partkey", "p_size"), Seq("p_brand", "p_type"),
+      Seq("p_partkey")),
+    TableMeta("orders", Seq("o_orderkey", "o_custkey"),
+      Seq("o_orderstatus", "o_orderpriority"), Seq("o_orderkey")),
+    TableMeta("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      Seq("l_returnflag", "l_linestatus"),
+      Seq("l_orderkey", "l_linenumber")))
+
+  private val byName = tables.map(t => t.name -> t).toMap
+
+  /** FK equi-join pairs: (left table, right table, left col, right col). */
+  val fkJoins: Seq[(String, String, String, String)] = Seq(
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("supplier", "nation", "s_nationkey", "n_nationkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("lineitem", "part", "l_partkey", "p_partkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"))
+
+  // ---- AST ----
+
+  /** (column, modulus, rhs, op) — op ∈ =, <>, <= over `col % modulus`. */
+  final case class Pred(colName: String, k: Int, r: Int, op: String) {
+    def sql: String = s"($colName % $k) $op $r"
+    def df: Column = {
+      val m = col(colName) % k
+      op match {
+        case "=" => m === r
+        case "<>" => m =!= r
+        case "<=" => m <= r
+      }
+    }
+  }
+
+  /** A group key: raw string column, or `CAST(col % m AS BIGINT)`. */
+  final case class Key(alias: String, colName: String, mod: Option[Int]) {
+    def sqlExpr: String =
+      mod.fold(colName)(m => s"CAST($colName % $m AS BIGINT)")
+    def sqlAliased: String = s"$sqlExpr AS $alias"
+    def df: Column =
+      mod.fold(col(colName))(m => (col(colName) % m).cast("bigint"))
+        .as(alias)
+  }
+
+  /** One aggregate: kind ∈ count, sum, min, max, cntd, minstr. */
+  final case class Agg(alias: String, kind: String, colName: String) {
+    def sql: String = kind match {
+      case "count" => s"CAST(COUNT(*) AS BIGINT) AS $alias"
+      case "sum" => s"CAST(SUM($colName) AS BIGINT) AS $alias"
+      case "min" => s"MIN($colName) AS $alias"
+      case "max" => s"MAX($colName) AS $alias"
+      case "cntd" => s"CAST(COUNT(DISTINCT $colName) AS BIGINT) AS $alias"
+      case "minstr" => s"MIN($colName) AS $alias"
+    }
+    def df: Column = (kind match {
+      case "count" => count(lit(1)).cast("bigint")
+      case "sum" => sum(col(colName)).cast("bigint")
+      case "min" => min(col(colName))
+      case "max" => max(col(colName))
+      case "cntd" => countDistinct(col(colName)).cast("bigint")
+      case "minstr" => min(col(colName))
+    }).as(alias)
+  }
+
+  sealed trait Shape
+  final case class AggShape(keys: Seq[Key], aggs: Seq[Agg],
+      having: Option[Int]) extends Shape
+  final case class WinShape(pk: Key, ordCol: String, desc: Boolean,
+      ids: Seq[String], topK: Int) extends Shape
+
+  final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
+      join: Option[(String, String, String, String)], preds: Seq[Pred],
+      shape: Shape) {
+
+    def name: String = s"x_fuzz_$seed"
+
+    private def fromSql: String = join match {
+      case None => fromTables.head.name
+      case Some((lt, rt, lc, rc)) => s"$lt JOIN $rt ON $lc = $rc"
+    }
+
+    private def whereSql: String =
+      if (preds.isEmpty) "" else preds.map(_.sql).mkString(" WHERE ", " AND ", "")
+
+    def sql: String = shape match {
+      case AggShape(keys, aggs, having) =>
+        val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql)).mkString(", ")
+        val grp = keys.map(_.sqlExpr).mkString(", ")
+        val hav = having.fold("")(c => s" HAVING COUNT(*) > $c")
+        val ord = (keys.map(_.alias) ++ aggs.map(_.alias)).mkString(", ")
+        s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav ORDER BY $ord"
+      case WinShape(pk, ordCol, desc, ids, topK) =>
+        val dir = if (desc) " DESC" else ""
+        val tie = ids.mkString(", ")
+        val outer = (Seq("pk") ++ ids ++ Seq("rn")).mkString(", ")
+        s"""SELECT $outer FROM (
+           |  SELECT ${pk.sqlExpr} AS pk, $tie,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY ${pk.sqlExpr}
+           |      ORDER BY $ordCol$dir, $tie) AS INTEGER) AS rn
+           |  FROM $fromSql$whereSql) t
+           |WHERE rn <= $topK ORDER BY $outer""".stripMargin
+    }
+
+    def run(s: SparkSession, dir: String): DataFrame = {
+      import graft.queries.H
+      val base0 = join match {
+        case None => H.t(s, dir, fromTables.head.name)
+        case Some((lt, rt, lc, rc)) =>
+          H.t(s, dir, lt).join(H.t(s, dir, rt), col(lc) === col(rc))
+      }
+      val base = preds.foldLeft(base0)((df, p) => df.filter(p.df))
+      shape match {
+        case AggShape(keys, aggs, having) =>
+          val g = base.groupBy(keys.map(_.df): _*)
+            .agg(aggs.head.df, aggs.tail.map(_.df): _*)
+          val h = having.fold(g)(c =>
+            g.filter(col(aggs.find(_.kind == "count").get.alias) > c))
+          h.orderBy((keys.map(k => col(k.alias)) ++
+            aggs.map(a => col(a.alias))): _*)
+        case WinShape(pk, ordCol, desc, ids, topK) =>
+          val ordSorts = (if (desc) col(ordCol).desc else col(ordCol).asc) +:
+            ids.map(col(_).asc)
+          val outCols = (Seq("pk") ++ ids ++ Seq("rn")).map(col)
+          base.withColumn("pk", pk.df)
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
+            .filter(col("rn") <= topK)
+            .select(outCols: _*)
+            .orderBy(outCols: _*)
+      }
+    }
+  }
+
+  // ---- generator ----
+
+  private def pick[A](rnd: Random, xs: Seq[A]): A = xs(rnd.nextInt(xs.size))
+
+  def gen(seed: Int): FuzzCase = {
+    val rnd = new Random(seed * 2654435761L + 1)
+    val join =
+      if (rnd.nextInt(2) == 0) Some(pick(rnd, fkJoins)) else None
+    val fromTables = join match {
+      case Some((lt, rt, _, _)) => Seq(byName(lt), byName(rt))
+      case None =>
+        // single-table: skip region (5 rows — everything degenerates)
+        Seq(pick(rnd, tables.filterNot(_.name == "region")))
+    }
+    val intCols = fromTables.flatMap(_.intCols)
+    val strCols = fromTables.flatMap(_.strCols)
+    val idCols = fromTables.flatMap(_.idCols)
+
+    val preds = (0 until rnd.nextInt(3)).map { _ =>
+      val k = pick(rnd, Seq(2, 3, 5, 7, 11))
+      Pred(pick(rnd, intCols), k, rnd.nextInt(k),
+        pick(rnd, Seq("=", "<>", "<=")))
+    }
+
+    def genKey(alias: String): Key =
+      if (strCols.nonEmpty && rnd.nextInt(2) == 0)
+        Key(alias, pick(rnd, strCols), None)
+      else Key(alias, pick(rnd, intCols), Some(pick(rnd, Seq(4, 8, 13, 16))))
+
+    val shape =
+      if (rnd.nextInt(10) < 7) {
+        val keys = (0 to rnd.nextInt(2)).map(i => genKey(s"k$i"))
+          .distinctBy(_.sqlExpr).zipWithIndex
+          .map { case (k, i) => k.copy(alias = s"k$i") }
+        val extra = (1 to 1 + rnd.nextInt(2)).map { i =>
+          val kind = pick(rnd, Seq("sum", "min", "max", "cntd") ++
+            (if (strCols.nonEmpty) Seq("minstr") else Seq()))
+          Agg(s"a$i", kind,
+            if (kind == "minstr") pick(rnd, strCols) else pick(rnd, intCols))
+        }.distinctBy(a => (a.kind, a.colName)).zipWithIndex
+          .map { case (a, i) => a.copy(alias = s"a${i + 1}") }
+        val having = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(3)) else None
+        AggShape(keys, Agg("n", "count", "") +: extra, having)
+      } else {
+        WinShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
+          idCols, pick(rnd, Seq(2, 3, 5)))
+      }
+    FuzzCase(seed, fromTables, join, preds, shape)
+  }
+
+  /** The fixed seeds registered as driver queries (cross-engine
+    * differential vs DuckDB). Chosen to cover both shapes, joins, and
+    * HAVING; FuzzSpec sweeps a much wider seed range DF-vs-SQL.
+    */
+  val driverSeeds: Seq[Int] = Seq(101, 102, 103, 104, 105, 106, 107, 108,
+    109, 110)
+}

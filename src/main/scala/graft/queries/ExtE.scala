@@ -140,8 +140,22 @@ object ExtE {
         CAST(s_sumabs AS BIGINT) AS s_sumabs, 'wav' AS source
       FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
 
+  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): ten fixed
+    * seeds from the generative fuzzer, each a random
+    * filter/agg/join/window plan whose DataFrame rendering runs in
+    * Spark while the DuckDB oracle executes the SAME dual-dialect SQL
+    * the generator emitted — a cross-engine differential sweep over
+    * conventions (grouping, ties, integer arithmetic, HAVING, distinct
+    * counts) that hand-written traps can't cover. FuzzSpec additionally
+    * sweeps 60 seeds DF-vs-SQL inside Spark per test run.
+    */
+  val fuzzQueries: Seq[Q] = graft.fuzz.FuzzGen.driverSeeds.map { seed =>
+    val fc = graft.fuzz.FuzzGen.gen(seed)
+    Q(fc.name, (s, dir) => fc.run(s, dir), Some(fc.sql))
+  }
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
-    xMultimodalAudioReal)
+    xMultimodalAudioReal) ++ fuzzQueries
 }
