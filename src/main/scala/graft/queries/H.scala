@@ -58,11 +58,16 @@ object H {
   def revenue(price: Column, discount: Column): Column =
     dec2(price) * (one2 - dec2(discount))
 
-  /** Table loader. events.ts is parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]); read it as a nanos LONG
-    * (legacy conf) and rebuild the micros timestamp with integer
-    * division — exactly DuckDB's ns→us truncation, keeping the oracle
-    * comparison bit-identical.
+  /** Table loader. events.ts has shipped as BOTH parquet
+    * TIMESTAMP(NANOS) (early driver generations) and TIMESTAMP(MICROS)
+    * (current), so the read dispatches on the resolved type: NANOS is
+    * rejected outright by Spark 4 ([PARQUET_TYPE_ILLEGAL]), so it is
+    * read as a nanos LONG (legacy conf) and rebuilt with integer
+    * division — exactly DuckDB's ns→us truncation; MICROS arrives as
+    * TIMESTAMP_NTZ (no UTC adjustment in the footer) and is cast to
+    * session-TZ TIMESTAMP (UTC here), the type every downstream query
+    * and oracle was written against. Either way the values are
+    * bit-identical to DuckDB's read of the same file.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     // harness-proof: vec_dot resolves even in sessions built without
@@ -70,8 +75,12 @@ object H {
     graft.plans.GraftExtensions.ensure(spark)
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 }
