@@ -154,8 +154,68 @@ object ExtE {
     Q(fc.name, (s, dir) => fc.run(s, dir), Some(fc.sql))
   }
 
+  /** Shared oracle for the span-dedup pair: replays windowing (stride
+    * 1), first-occurrence ranking (row_number ORDER BY doc, start —
+    * identical to the engine's min(struct)), covered-position
+    * explosion, anti-join, and ordered re-assembly, so the deduped
+    * TEXT adjudicates byte-for-byte. `scope` adds doc_id to the
+    * ranking partition for the intra-document variant.
+    */
+  private def spanDedupSql(span: Int, perDoc: Boolean): String = {
+    val part = if (perDoc) "doc_id, sp" else "sp"
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      w AS (SELECT doc_id, unnest(range(0, greatest(len(tk) - ${span - 1}, 0)))
+          AS start, tk FROM d),
+      wx AS (SELECT doc_id, start,
+          array_to_string(tk[start + 1 : start + $span], ' ') AS sp FROM w),
+      f AS (SELECT doc_id, start,
+          row_number() OVER (PARTITION BY $part ORDER BY doc_id, start) AS rn
+        FROM wx),
+      rem AS (SELECT DISTINCT doc_id, start + i AS pos
+        FROM f CROSS JOIN (SELECT unnest(range(0, $span)) AS i) js
+        WHERE rn > 1),
+      tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+          unnest(tk) AS tok FROM d),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN rem r
+        ON t.doc_id = r.doc_id AND t.pos = r.pos WHERE r.pos IS NULL),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+        CAST(len(d.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(a.txt, '') AS deduped_text
+      FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""
+  }
+
+  /** Corpus-wide overlapping-span dedup ([[graft.ext.Dedup.spanDedup]],
+    * C4/Lee-et-al exact-substring style): every repeat of any 10-token
+    * window is excised wherever it reappears, first occurrence wins.
+    * The generator splices shared passages across documents (969
+    * distinct 10-token windows recur cross-doc at sf0.01), so removal
+    * is substantive, not vacuous.
+    */
+  val xDedupSpan = Q(
+    "x_dedup_span",
+    (s, dir) => Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id",
+      span = 10).orderBy(col("doc_id")),
+    Some(spanDedupSql(10, perDoc = false)))
+
+  /** Intra-document repetition removal
+    * ([[graft.ext.Dedup.intraDocDedup]], the RefinedWeb within-page
+    * pass): later repeats of a 3-token window inside the SAME document
+    * are cut; cross-document sharing is untouched.
+    */
+  val xDedupIntraDoc = Q(
+    "x_dedup_intra_doc",
+    (s, dir) => Dedup.intraDocDedup(t(s, dir, "documents"), "text",
+      "doc_id", span = 3).orderBy(col("doc_id")),
+    Some(spanDedupSql(3, perDoc = true)))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
-    xMultimodalAudioReal) ++ fuzzQueries
+    xMultimodalAudioReal,
+    xDedupSpan,
+    xDedupIntraDoc) ++ fuzzQueries
 }

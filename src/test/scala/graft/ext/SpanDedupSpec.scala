@@ -1,0 +1,80 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class SpanDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def runGlobal(rows: Seq[(Long, String)], span: Int) =
+    Dedup.spanDedup(rows.toDF("doc_id", "text"), "text", "doc_id", span)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+  private def runIntra(rows: Seq[(Long, String)], span: Int) =
+    Dedup.intraDocDedup(rows.toDF("doc_id", "text"), "text", "doc_id", span)
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+
+  test("a straddling duplicated passage is excised wherever it reappears") {
+    // doc 2 embeds doc 1's "b c d" mid-document: chunk dedup with
+    // disjoint 3-token segments would MISS it (doc 2's segments are
+    // [x b c][d y z]); stride-1 spans catch it at offset 1
+    val got = runGlobal(Seq(1L -> "a b c d e", 2L -> "x b c d y z"), span = 3)
+    assert(got(0) === ((1L, 5L, 5L, 0L, "a b c d e")))
+    assert(got(1) === ((2L, 6L, 3L, 3L, "x y z")))
+  }
+
+  test("fully duplicated document dedups to empty; first occurrence wins") {
+    val got = runGlobal(Seq(1L -> "a b c d", 2L -> "a b c d"), span = 2)
+    assert(got === Array(
+      (1L, 4L, 4L, 0L, "a b c d"),
+      (2L, 4L, 0L, 4L, "")))
+  }
+
+  test("documents shorter than the span pass through unchanged") {
+    val got = runGlobal(Seq(1L -> "a b", 2L -> "a b"), span = 3)
+    assert(got === Array(
+      (1L, 2L, 2L, 0L, "a b"),
+      (2L, 2L, 2L, 0L, "a b")))
+  }
+
+  test("overlapping repeats inside one document collapse to the first span") {
+    // "a a a a a": every length-2 window is "a a"; the window at
+    // position 0 is the sole survivor. A position is removed when ANY
+    // duplicate window covers it, so position 1 (covered by kept
+    // window 0 AND duplicate window 1) is cut too — tokens 1..4 go,
+    // leaving exactly "a".
+    val got = runGlobal(Seq(1L -> "a a a a a"), span = 2)
+    assert(got === Array((1L, 5L, 1L, 4L, "a")))
+  }
+
+  test("intra-doc scope cuts within-doc repeats but not cross-doc sharing") {
+    val rows = Seq(1L -> "p q r s p q r t", 2L -> "p q r z")
+    val intra = runIntra(rows, span = 3)
+    // doc 1 repeats its own "p q r" at offset 4 → positions 4..6 cut;
+    // doc 2 shares "p q r" with doc 1 but has no internal repeat
+    assert(intra === Array(
+      (1L, 8L, 5L, 3L, "p q r s t"),
+      (2L, 4L, 4L, 0L, "p q r z")))
+    // the global pass at the same span DOES cut doc 2's copy
+    val global = runGlobal(rows, span = 3)
+    assert(global(1) === ((2L, 4L, 1L, 3L, "z")))
+  }
+
+  test("result is invariant under input partitioning") {
+    val rows = (0L until 40L).map(i =>
+      i -> (s"common passage tokens here ${i % 7} tail a b c d e f"))
+    val df1 = rows.toDF("doc_id", "text").repartition(1)
+    val df8 = rows.toDF("doc_id", "text").repartition(8)
+    val a = Dedup.spanDedup(df1, "text", "doc_id", 4)
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = Dedup.spanDedup(df8, "text", "doc_id", 4)
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a === b)
+  }
+}
