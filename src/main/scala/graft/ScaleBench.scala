@@ -182,6 +182,20 @@ object ScaleBench {
       }
     }
 
+    // spanDedup (round 7): window-index amplification is the risk —
+    // len−span+1 rows per doc, every one an exact clone's hot key under
+    // k× replication. The first-occurrence min-agg must map-side
+    // combine those 100×-hot window keys just like chunkDedup's
+    // segments; removal-position explosion tracks output damage (every
+    // clone fully excised), so runtime should track corpus size, not
+    // candidate pairs.
+    for (k <- Seq(10, 40, 100)) {
+      val n = nDocs * k
+      time(s"spanDedup ${n} docs (x$k clones)") {
+        Dedup.spanDedup(cloned(k), "text", "doc_id", 10).count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

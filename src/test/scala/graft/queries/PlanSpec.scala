@@ -262,6 +262,22 @@ class PlanSpec extends SparkSuite {
       s"bucket equi-join lost:\n$p")
   }
 
+  test("round-7 span dedup keeps its scale shape") {
+    // window ranking is a min-agg groupBy (partial aggregation absorbs
+    // hot boilerplate windows map-side), candidates join on equi keys
+    // only — no cartesian anywhere in the pipeline
+    for (q <- Seq("x_dedup_span", "x_dedup_intra_doc")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to a non-equi join:\n$p")
+      assert(p.contains("partial_min") || p.contains("partial min") ||
+        p.linesIterator.exists(l => l.contains("HashAggregate") &&
+          l.contains("min")),
+        s"$q first-occurrence min lost partial aggregation:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
