@@ -29,6 +29,12 @@ object ScaleBench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
 
+    // optional section filter: SPARK_GRAFT_SCALE_SECTIONS=span,linkage
+    // runs only the named blocks (dev iteration; default all)
+    val sections = sys.env.get("SPARK_GRAFT_SCALE_SECTIONS")
+      .map(_.split(",").map(_.trim).toSet)
+    def sec(name: String): Boolean = sections.forall(_.contains(name))
+
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime(); val rows = f
       println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
@@ -49,7 +55,7 @@ object ScaleBench {
         col("text"), col("source"))
       .repartition(cpus.toInt)
 
-    for (k <- Seq(10, 40, 100)) {
+    if (sec("docs")) for (k <- Seq(10, 40, 100)) {
       val n = nDocs * k
       time(s"chunkDedup ${n} docs (x$k clones)") {
         Dedup.chunkDedup(cloned(k), "text", "doc_id", 20).count()
@@ -62,7 +68,7 @@ object ScaleBench {
 
     // pageRank over synthetic deterministic graphs: 10 out-edges per
     // node, weights 1..3, node count grows 10x across rows
-    for (n <- Seq(50000L, 200000L, 500000L)) {
+    if (sec("pagerank")) for (n <- Seq(50000L, 200000L, 500000L)) {
       val edges = spark.range(n).select(col("id").as("src"))
         .crossJoin(spark.range(10).select(col("id").as("j")))
         .select(col("src"),
@@ -77,7 +83,7 @@ object ScaleBench {
     // triangle counting over the SYMMETRIZED versions of the same
     // graphs: oriented out-degree stays ~10, so wedge fan-out per node
     // is constant while node count grows 10x
-    for (n <- Seq(50000L, 200000L, 500000L)) {
+    if (sec("triangles")) for (n <- Seq(50000L, 200000L, 500000L)) {
       val fwd = spark.range(n).select(col("id").as("src"))
         .crossJoin(spark.range(10).select(col("id").as("j")))
         .select(col("src"),
@@ -94,7 +100,7 @@ object ScaleBench {
     // mod = n/5 keeps duplicate-bucket size constant (~5), so the
     // OUTPUT stays linear while the image count grows 10x (quadratic
     // output under fixed mod is semantic, not an operator defect)
-    for (n <- Seq(5000L, 20000L, 50000L)) {
+    if (sec("phash")) for (n <- Seq(5000L, 20000L, 50000L)) {
       val ids = spark.range(n).select(col("id").as("doc_id"))
         .repartition(cpus.toInt)
       time(s"phashPairs ${n} real PNGs (bucket ~5)") {
@@ -110,7 +116,7 @@ object ScaleBench {
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey")).cache()
     li.count()
-    for (k <- Seq(1, 4, 10)) {
+    if (sec("basket")) for (k <- Seq(1, 4, 10)) {
       val rep = li
         .crossJoin(spark.range(k).select(col("id").as("rep")))
         .select((col("l_orderkey") * 16 + col("rep")).as("txn"),
@@ -148,13 +154,13 @@ object ScaleBench {
          else col("c_nationkey")).as("c_nationkey"),
         col("c_acctbal"), col("c_mktsegment"))
       .repartition(cpus.toInt)
-    for (k <- Seq(4, 16, 40)) {
+    if (sec("linkage")) for (k <- Seq(4, 16, 40)) {
       time(s"linkage x$k salted blocks (${nCust * k} recs, size-constant)") {
         ext.Linkage.scorePairs(custRep(k, salt = true), "c_custkey",
           Seq("c_nationkey", "c_mktsegment"), linkRules, 8.0, 0.0).count()
       }
     }
-    for (k <- Seq(2, 4)) {
+    if (sec("linkage")) for (k <- Seq(2, 4)) {
       time(s"linkage x$k HOT blocks (${nCust * k} recs, pairs ~k^2)") {
         ext.Linkage.scorePairs(custRep(k, salt = false), "c_custkey",
           Seq("c_nationkey", "c_mktsegment"), linkRules, 8.0, 0.0).count()
@@ -168,7 +174,7 @@ object ScaleBench {
     val ev = graft.queries.H.t(spark, sfDir, "events")
       .select(col("value"), col("event_type")).cache()
     ev.count()
-    for (k <- Seq(10, 40, 100)) {
+    if (sec("stats")) for (k <- Seq(10, 40, 100)) {
       val rep = ev.crossJoin(spark.range(k).select(col("id").as("rep")))
         .repartition(cpus.toInt)
       time(s"rocAuc x$k events") {
@@ -189,7 +195,7 @@ object ScaleBench {
     // segments; removal-position explosion tracks output damage (every
     // clone fully excised), so runtime should track corpus size, not
     // candidate pairs.
-    for (k <- Seq(10, 40, 100)) {
+    if (sec("span")) for (k <- Seq(10, 40, 100)) {
       val n = nDocs * k
       time(s"spanDedup ${n} docs (x$k clones)") {
         Dedup.spanDedup(cloned(k), "text", "doc_id", 10).count()

@@ -1643,18 +1643,25 @@ object ExtD {
       import graft.ext.{Dedup, Sampling}
       val docs = t(s, dir, "documents")
       val ent = Text.tokenEntropy(docs, "text", "doc_id")
+      // cache the two fan-out points (the train_prep lesson): quality
+      // feeds the AllPairs join, the survivor argmax, AND the corpus
+      // join; clean feeds the budget collect plus two aggregations —
+      // uncached, the entropy→AllPairs→survivor→decontamination chain
+      // re-ran once per consumer (~4x the whole pipeline)
       val quality = docs.join(ent.filter(col("token_entropy") >= 2.8)
-        .select(col("doc_id")), "doc_id")
+        .select(col("doc_id")), "doc_id").cache()
       val pairs = Dedup.ngramJaccardPairs(quality, "text", "doc_id",
         k = 3, threshold = 0.5)
       val surv = Dedup.qualitySurvivors(quality, "doc_id", pairs,
         col("n_chars")).select(col("survivor_id").as("doc_id"))
+      // corpus also fans out (contamination probe + clean anti-join);
+      // uncached, the AllPairs+survivor chain upstream runs twice
       val corpus = quality.join(surv, "doc_id")
-        .filter(col("doc_id") >= 20)
+        .filter(col("doc_id") >= 20).cache()
       val cont = Text.contamination(corpus,
           docs.filter(col("doc_id") < 20), "text", "doc_id", n = 5)
         .filter(col("contaminated")).select(col("doc_id"))
-      val clean = corpus.join(cont, Seq("doc_id"), "left_anti")
+      val clean = corpus.join(cont, Seq("doc_id"), "left_anti").cache()
       val caps = clean.groupBy(col("source"))
         .agg(sum(size(split(col("text"), " "))).cast("long").as("cap"))
         .withColumn("w", lit(50L))

@@ -154,39 +154,53 @@ object ExtE {
     Q(fc.name, (s, dir) => fc.run(s, dir), Some(fc.sql))
   }
 
-  /** Shared oracle for the span-dedup pair: replays windowing (stride
-    * 1), first-occurrence ranking (row_number ORDER BY doc, start —
-    * identical to the engine's min(struct)), covered-position
-    * explosion, anti-join, and ordered re-assembly, so the deduped
-    * TEXT adjudicates byte-for-byte. `scope` adds doc_id to the
-    * ranking partition for the intra-document variant.
+  /** Shared oracle CTE block for the span-dedup family: replays
+    * windowing (stride 1), first-occurrence ranking (row_number ORDER
+    * BY doc, start — identical to the engine's min(struct)),
+    * covered-position explosion, anti-join, and ordered re-assembly,
+    * so the deduped TEXT adjudicates byte-for-byte. `perDoc` adds
+    * doc_id to the ranking partition for the intra-document variant.
+    * Every CTE is prefixed with `pfx` and reads (doc_id, text) from
+    * `src`, so two passes CHAIN (the curate-v3 capstone feeds the
+    * intra-pass output into the global pass); the result relation is
+    * `${pfx}res(doc_id, n_tokens, n_kept_tokens, deduped_text)`.
     */
-  private def spanDedupSql(span: Int, perDoc: Boolean): String = {
+  private def spanDedupCtes(pfx: String, src: String, span: Int,
+      perDoc: Boolean): String = {
     val part = if (perDoc) "doc_id, sp" else "sp"
-    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-      w AS (SELECT doc_id, unnest(range(0, greatest(len(tk) - ${span - 1}, 0)))
-          AS start, tk FROM d),
-      wx AS (SELECT doc_id, start,
-          array_to_string(tk[start + 1 : start + $span], ' ') AS sp FROM w),
-      f AS (SELECT doc_id, start,
+    s"""${pfx}d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),
+      ${pfx}w AS (SELECT doc_id,
+          unnest(range(0, greatest(len(tk) - ${span - 1}, 0))) AS start, tk
+        FROM ${pfx}d),
+      ${pfx}wx AS (SELECT doc_id, start,
+          array_to_string(tk[start + 1 : start + $span], ' ') AS sp
+        FROM ${pfx}w),
+      ${pfx}f AS (SELECT doc_id, start,
           row_number() OVER (PARTITION BY $part ORDER BY doc_id, start) AS rn
-        FROM wx),
-      rem AS (SELECT DISTINCT doc_id, start + i AS pos
-        FROM f CROSS JOIN (SELECT unnest(range(0, $span)) AS i) js
+        FROM ${pfx}wx),
+      ${pfx}rem AS (SELECT DISTINCT doc_id, start + i AS pos
+        FROM ${pfx}f CROSS JOIN (SELECT unnest(range(0, $span)) AS i) js
         WHERE rn > 1),
-      tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
-          unnest(tk) AS tok FROM d),
-      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t LEFT JOIN rem r
-        ON t.doc_id = r.doc_id AND t.pos = r.pos WHERE r.pos IS NULL),
-      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+      ${pfx}tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+          unnest(tk) AS tok FROM ${pfx}d),
+      ${pfx}kept AS (SELECT t.doc_id, t.pos, t.tok FROM ${pfx}tok t
+        LEFT JOIN ${pfx}rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.pos IS NULL),
+      ${pfx}agg AS (SELECT doc_id, COUNT(*) AS n_kept,
           string_agg(tok, ' ' ORDER BY pos) AS txt
-        FROM kept GROUP BY doc_id)
-      SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
-        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
-        CAST(len(d.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
-        COALESCE(a.txt, '') AS deduped_text
-      FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""
+        FROM ${pfx}kept GROUP BY doc_id),
+      ${pfx}res AS (SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+          CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+          COALESCE(a.txt, '') AS deduped_text
+        FROM ${pfx}d d LEFT JOIN ${pfx}agg a ON a.doc_id = d.doc_id)"""
   }
+
+  private def spanDedupSql(span: Int, perDoc: Boolean): String =
+    s"""WITH ${spanDedupCtes("", "documents", span, perDoc)}
+      SELECT doc_id, n_tokens, n_kept_tokens,
+        CAST(n_tokens - n_kept_tokens AS BIGINT) AS n_removed,
+        deduped_text
+      FROM res ORDER BY doc_id"""
 
   /** Corpus-wide overlapping-span dedup ([[graft.ext.Dedup.spanDedup]],
     * C4/Lee-et-al exact-substring style): every repeat of any 10-token
@@ -212,10 +226,65 @@ object ExtE {
       "doc_id", span = 3).orderBy(col("doc_id")),
     Some(spanDedupSql(3, perDoc = true)))
 
+  /** Curation pipeline v3 — the round-7 capstone composing the
+    * exact-substring dedup pair the way a production cleanup actually
+    * layers them: (1) intra-document repetition removal (3-token spans,
+    * the RefinedWeb within-page pass) feeds its RE-ASSEMBLED text into
+    * (2) corpus-wide overlapping-span dedup (10-token spans, the C4
+    * pass), then (3) documents shrunk below 20 surviving tokens are
+    * dropped (the post-dedup length filter), and (4) the per-source
+    * damage report aggregates raw/intra/final token counts and the
+    * excision fraction. The oracle CHAINS two full span-dedup replays —
+    * the second pass windows over text the first pass re-assembled, so
+    * any drift anywhere in either pass (ranking, coverage, re-assembly
+    * order) cascades into every downstream number.
+    */
+  val xPipelineCurateV3 = Q(
+    "x_pipeline_curate_v3",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      // fan-out hygiene: the intra result feeds the global pass AND the
+      // raw-token join
+      val intra = Dedup.intraDocDedup(docs, "text", "doc_id", span = 3)
+        .cache()
+      val d1 = intra.select(col("doc_id"),
+        col("deduped_text").as("text"))
+      val global = Dedup.spanDedup(d1, "text", "doc_id", span = 10)
+      val kept = global.filter(col("n_kept_tokens") >= 20)
+      kept
+        .join(intra.select(col("doc_id"),
+          col("n_tokens").as("raw_tokens")), "doc_id")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("raw_tokens")).cast("bigint").as("tokens_raw"),
+          sum(col("n_tokens")).cast("bigint").as("tokens_after_intra"),
+          sum(col("n_kept_tokens")).cast("bigint").as("tokens_final"))
+        .withColumn("excised_frac",
+          lit(1.0) - col("tokens_final").cast("double") /
+            col("tokens_raw").cast("double"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ${spanDedupCtes("i", "documents", 3, perDoc = true)},
+      d1 AS (SELECT doc_id, deduped_text AS text FROM ires),
+      ${spanDedupCtes("g", "d1", 10, perDoc = false)}
+      SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(i.n_tokens) AS BIGINT) AS tokens_raw,
+        CAST(SUM(g.n_tokens) AS BIGINT) AS tokens_after_intra,
+        CAST(SUM(g.n_kept_tokens) AS BIGINT) AS tokens_final,
+        1.0 - CAST(SUM(g.n_kept_tokens) AS DOUBLE)
+          / CAST(SUM(i.n_tokens) AS DOUBLE) AS excised_frac
+      FROM gres g
+      JOIN ires i ON i.doc_id = g.doc_id
+      JOIN documents s ON s.doc_id = g.doc_id
+      WHERE g.n_kept_tokens >= 20
+      GROUP BY s.source ORDER BY s.source"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
     xMultimodalAudioReal,
     xDedupSpan,
-    xDedupIntraDoc) ++ fuzzQueries
+    xDedupIntraDoc,
+    xPipelineCurateV3) ++ fuzzQueries
 }
