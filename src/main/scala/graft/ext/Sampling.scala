@@ -274,4 +274,59 @@ object Sampling {
         when(col("sat"), col("cap")).otherwise(tentative)
           .cast("bigint").as("alloc"))
   }
+
+  /** Cluster-balanced diversity sampling over an embedding column —
+    * the coverage-preserving subset selection of the DataComp/SemDeDup
+    * line of work: flat random sampling over-draws from dense semantic
+    * regions, so quotas are allocated per embedding CLUSTER,
+    * proportional to √(cluster size) (dense clusters are down-weighted,
+    * sparse ones over-represented relative to their mass), and each
+    * cluster contributes its most CENTRAL members first (highest cosine
+    * to the centroid — the cluster's best exemplars, the SemDeDup
+    * survivor convention).
+    *
+    * Deterministic end-to-end, same discipline as the IVF family:
+    * first-`nlist` centroids by id, cosine-argmax assignment with id
+    * tie-breaks, √-weights canonicalized to DECIMAL(20,12) and summed
+    * exactly (float sum order would be partition-dependent), quota =
+    * ⌊total·w/Σw⌋ computed in identical IEEE doubles both engines, so
+    * the whole draw — assignment, quota, rank, keep flag — is
+    * SQL-replayable.
+    *
+    * Scale shape: centroids broadcast (nlist·dim); assignment is the
+    * one crossJoin-with-broadcast every IVF operator pays; quotas are
+    * O(nlist) rows; the per-cluster rank is a window over the bucket
+    * key — the only data-sized exchange.
+    */
+  def diversitySample(emb: DataFrame, idCol: String, vecCol: String,
+      total: Long, nlist: Int = 16): DataFrame = {
+    graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", Similarity.norm(col("nv")))
+    val centroidDf = base.orderBy(col("nid")).limit(nlist)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .select(col("cid"), col("cv"), Similarity.norm(col("cv")).as("cn"))
+    val assigned = Similarity.assignToCentroids(base, centroidDf)
+      // re-derive the winning similarity (identical operands to the
+      // argmax, so bit-identical): rank-by-centrality needs it
+      .join(broadcast(centroidDf), col("bucket") === col("cid"))
+      .withColumn("csim",
+        Similarity.dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
+      .select(col("nid"), col("bucket"), col("csim"))
+    val sizes = assigned.groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("nc"))
+    val sqrtCanon = sqrt(col("nc").cast("double")).cast("decimal(20,12)")
+    val wsum = sizes.agg(sum(sqrtCanon).cast("decimal(38,12)").as("ws"))
+    val quotas = sizes.crossJoin(broadcast(wsum))
+      .withColumn("quota", least(col("nc"),
+        floor(lit(total).cast("double") * sqrtCanon.cast("double") /
+          col("ws").cast("double")).cast("bigint")))
+      .select(col("bucket").as("qb"), col("nc"), col("quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("csim").desc, col("nid"))
+    assigned.withColumn("rank", row_number().over(w).cast("bigint"))
+      .join(broadcast(quotas), col("bucket") === col("qb"))
+      .select(col("nid").as("vec_id"), col("bucket"), col("nc"),
+        col("quota"), col("rank"), (col("rank") <= col("quota")).as("kept"))
+  }
 }

@@ -280,11 +280,58 @@ object ExtE {
       WHERE g.n_kept_tokens >= 20
       GROUP BY s.source ORDER BY s.source"""))
 
+  /** Cluster-balanced diversity sampling
+    * ([[graft.ext.Sampling.diversitySample]]): 100-vector budget split
+    * across the 16 deterministic embedding clusters ∝ √(cluster size),
+    * each cluster contributing its most central members first. The
+    * oracle replays assignment (the IVF CTEs), the exact-decimal
+    * √-weight sum, the IEEE quota arithmetic, and the centrality
+    * ranking — every (vec_id, bucket, quota, rank, kept) adjudicates.
+    */
+  val xSampleDiversity = Q(
+    "x_sample_diversity",
+    (s, dir) => Sampling.diversitySample(t(s, dir, "embeddings"),
+      "vec_id", "embedding", total = 100L, nlist = 16)
+      .orderBy(col("vec_id")),
+    Some("""WITH nn0 AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM nn0),
+      cent AS (SELECT vec_id AS cid, v AS cv, nrm AS cn FROM e
+        ORDER BY vec_id LIMIT 16),
+      assigned AS (SELECT nid, bucket, csim FROM (
+          SELECT b.vec_id AS nid, c.cid AS bucket,
+            list_dot_product(b.v, c.cv)/(b.nrm*c.cn) AS csim,
+            row_number() OVER (PARTITION BY b.vec_id
+              ORDER BY list_dot_product(b.v, c.cv)/(b.nrm*c.cn) DESC,
+                c.cid) AS rk
+          FROM e b CROSS JOIN cent c) WHERE rk = 1),
+      sizes AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM assigned GROUP BY bucket),
+      ws AS (SELECT CAST(SUM(CAST(sqrt(CAST(nc AS DOUBLE))
+          AS DECIMAL(20,12))) AS DECIMAL(38,12)) AS wsd FROM sizes),
+      quotas AS (SELECT bucket, nc,
+          least(nc, CAST(floor(CAST(100 AS DOUBLE)
+            * CAST(CAST(sqrt(CAST(nc AS DOUBLE)) AS DECIMAL(20,12))
+                AS DOUBLE)
+            / CAST(wsd AS DOUBLE)) AS BIGINT)) AS quota
+        FROM sizes CROSS JOIN ws),
+      ranked AS (SELECT nid, bucket, csim,
+          row_number() OVER (PARTITION BY bucket
+            ORDER BY csim DESC, nid) AS rnk
+        FROM assigned)
+      SELECT r.nid AS vec_id, r.bucket, q.nc, q.quota,
+        CAST(r.rnk AS BIGINT) AS rank, r.rnk <= q.quota AS kept
+      FROM ranked r JOIN quotas q ON q.bucket = r.bucket
+      ORDER BY vec_id"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
     xMultimodalAudioReal,
     xDedupSpan,
     xDedupIntraDoc,
-    xPipelineCurateV3) ++ fuzzQueries
+    xPipelineCurateV3,
+    xSampleDiversity) ++ fuzzQueries
 }

@@ -449,4 +449,39 @@ class ExtSpec extends SparkSuite {
       .collect().map(_.getString(0)).toSet
     assert(langs.subsetOf(Set("en", "de", "fr", "es", "zh")))
   }
+
+  test("diversitySample: sqrt quotas, central-first picks, partition-proof") {
+    import spark.implicits._
+    // nlist=2 -> centroids are vectors 0 ([1,0]) and 1 ([0,1]); ids
+    // 2..6 cluster on the x-axis (bucket 0, size 6 with its centroid),
+    // ids 7..8 on the y-axis (bucket 1, size 3). total=4:
+    // w0=sqrt(6)=2.449.., w1=sqrt(3)=1.732.., sum=4.181..;
+    // quota0=floor(4*2.449/4.181)=2, quota1=floor(4*1.732/4.181)=1
+    val vecs = Seq(
+      0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f),
+      2L -> Seq(1.0f, 0.05f), 3L -> Seq(1.0f, 0.1f),
+      4L -> Seq(1.0f, 0.2f), 5L -> Seq(1.0f, 0.3f),
+      6L -> Seq(1.0f, 0.4f),
+      7L -> Seq(0.05f, 1.0f), 8L -> Seq(0.3f, 1.0f))
+      .toDF("vec_id", "embedding")
+    val r = Sampling.diversitySample(vecs, "vec_id", "embedding",
+      total = 4L, nlist = 2).collect()
+    assert(r.length == 9)
+    val kept = r.filter(_.getAs[Boolean]("kept"))
+      .map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("vec_id")).toSeq
+    // bucket 0 keeps its centroid (csim 1.0) + the closest member (id
+    // 2, 0.05 tilt); bucket 1 keeps only its centroid
+    assert(kept.sorted == Seq(0L -> 0L, 0L -> 2L, 1L -> 1L), s"got $kept")
+    val q = r.map(x => x.getAs[Long]("bucket") -> x.getAs[Long]("quota"))
+      .distinct.toMap
+    assert(q == Map(0L -> 2L, 1L -> 1L), s"got $q")
+    // same result under any input partitioning
+    val r8 = Sampling.diversitySample(vecs.repartition(8), "vec_id",
+      "embedding", total = 4L, nlist = 2)
+      .orderBy(col("vec_id")).collect().toSeq
+    val r1 = Sampling.diversitySample(vecs.repartition(1), "vec_id",
+      "embedding", total = 4L, nlist = 2)
+      .orderBy(col("vec_id")).collect().toSeq
+    assert(r8 == r1)
+  }
 }
