@@ -107,20 +107,47 @@ object FuzzGen {
       having: Option[Int]) extends Shape
   final case class WinShape(pk: Key, ordCol: String, desc: Boolean,
       ids: Seq[String], topK: Int) extends Shape
+  /** Set operation between two mod-projections of the SAME table under
+    * different predicates: UNION ALL keeps bag semantics, INTERSECT /
+    * EXCEPT are set-distinct in BOTH engines — the convention under
+    * test.
+    */
+  final case class SetShape(colName: String, mod: Int, op: String,
+      predA: Pred, predB: Pred) extends Shape
 
+  /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
+    * EXISTS / NOT EXISTS against the right table (decorrelated to
+    * left_semi / left_anti in the DataFrame rendering) — only the left
+    * table's columns are visible downstream. `subPred` scopes the
+    * EXISTS subquery (the generated data is FK-complete, so an
+    * unscoped parent-side NOT EXISTS is vacuously empty — the
+    * child-side predicate makes both directions substantive).
+    */
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
-      join: Option[(String, String, String, String)], preds: Seq[Pred],
-      shape: Shape) {
+      join: Option[(String, String, String, String)], joinKind: String,
+      subPred: Option[Pred], preds: Seq[Pred], shape: Shape) {
 
     def name: String = s"x_fuzz_$seed"
 
     private def fromSql: String = join match {
       case None => fromTables.head.name
-      case Some((lt, rt, lc, rc)) => s"$lt JOIN $rt ON $lc = $rc"
+      case Some((lt, rt, lc, rc)) if joinKind == "inner" =>
+        s"$lt JOIN $rt ON $lc = $rc"
+      case Some((lt, _, _, _)) => lt
     }
 
-    private def whereSql: String =
-      if (preds.isEmpty) "" else preds.map(_.sql).mkString(" WHERE ", " AND ", "")
+    private def whereSql: String = {
+      val sub = subPred.fold("")(p => s" AND ${p.sql}")
+      val existsCond = join match {
+        case Some((_, rt, lc, rc)) if joinKind == "semi" =>
+          Seq(s"EXISTS (SELECT 1 FROM $rt WHERE $rc = $lc$sub)")
+        case Some((_, rt, lc, rc)) if joinKind == "anti" =>
+          Seq(s"NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = $lc$sub)")
+        case _ => Seq()
+      }
+      val conds = existsCond ++ preds.map(_.sql)
+      if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    }
 
     def sql: String = shape match {
       case AggShape(keys, aggs, having) =>
@@ -139,6 +166,12 @@ object FuzzGen {
            |      ORDER BY $ordCol$dir, $tie) AS INTEGER) AS rn
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK ORDER BY $outer""".stripMargin
+      case SetShape(c, m, op, pa, pb) =>
+        val t = fromSql
+        val side = (p: Pred) =>
+          s"SELECT CAST($c % $m AS BIGINT) AS v FROM $t$whereSql" +
+            (if (whereSql.isEmpty) " WHERE " else " AND ") + p.sql
+        s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v"
     }
 
     def run(s: SparkSession, dir: String): DataFrame = {
@@ -146,7 +179,13 @@ object FuzzGen {
       val base0 = join match {
         case None => H.t(s, dir, fromTables.head.name)
         case Some((lt, rt, lc, rc)) =>
-          H.t(s, dir, lt).join(H.t(s, dir, rt), col(lc) === col(rc))
+          val kind = joinKind match {
+            case "inner" => "inner"
+            case "semi" => "left_semi"
+            case "anti" => "left_anti"
+          }
+          val rdf = subPred.foldLeft(H.t(s, dir, rt))((df, p) => df.filter(p.df))
+          H.t(s, dir, lt).join(rdf, col(lc) === col(rc), kind)
       }
       val base = preds.foldLeft(base0)((df, p) => df.filter(p.df))
       shape match {
@@ -167,6 +206,15 @@ object FuzzGen {
             .filter(col("rn") <= topK)
             .select(outCols: _*)
             .orderBy(outCols: _*)
+        case SetShape(c, m, op, pa, pb) =>
+          val side = (p: Pred) => base.filter(p.df)
+            .select((col(c) % m).cast("bigint").as("v"))
+          val combined = op match {
+            case "UNION ALL" => side(pa).union(side(pb))
+            case "INTERSECT" => side(pa).intersect(side(pb))
+            case "EXCEPT" => side(pa).except(side(pb))
+          }
+          combined.orderBy(col("v"))
       }
     }
   }
@@ -177,17 +225,38 @@ object FuzzGen {
 
   def gen(seed: Int): FuzzCase = {
     val rnd = new Random(seed * 2654435761L + 1)
-    val join =
+    val join0 =
       if (rnd.nextInt(2) == 0) Some(pick(rnd, fkJoins)) else None
+    val joinKind =
+      if (join0.isEmpty) "inner"
+      else pick(rnd, Seq("inner", "inner", "semi", "anti"))
+    // semi/anti run PARENT-side (orders EXISTS lineitem, customer NOT
+    // EXISTS orders, ...): child-side EXISTS is the identity and
+    // child-side NOT EXISTS is vacuously empty on FK-complete data
+    val join = join0.map { case (lt, rt, lc, rc) =>
+      if (joinKind == "inner") (lt, rt, lc, rc) else (rt, lt, rc, lc)
+    }
+    // scope semi/anti subqueries on a child-side mod predicate
+    val subPred = join.filter(_ => joinKind != "inner").map {
+      case (_, child, _, _) =>
+        val k = pick(rnd, Seq(2, 3, 5))
+        Pred(pick(rnd, byName(child).intCols), k, rnd.nextInt(k),
+          pick(rnd, Seq("=", "<>")))
+    }
     val fromTables = join match {
       case Some((lt, rt, _, _)) => Seq(byName(lt), byName(rt))
       case None =>
         // single-table: skip region (5 rows — everything degenerates)
         Seq(pick(rnd, tables.filterNot(_.name == "region")))
     }
-    val intCols = fromTables.flatMap(_.intCols)
-    val strCols = fromTables.flatMap(_.strCols)
-    val idCols = fromTables.flatMap(_.idCols)
+    // semi/anti: only the left table's columns survive the join
+    val visible = join match {
+      case Some((lt, _, _, _)) if joinKind != "inner" => Seq(byName(lt))
+      case _ => fromTables
+    }
+    val intCols = visible.flatMap(_.intCols)
+    val strCols = visible.flatMap(_.strCols)
+    val idCols = visible.flatMap(_.idCols)
 
     val preds = (0 until rnd.nextInt(3)).map { _ =>
       val k = pick(rnd, Seq(2, 3, 5, 7, 11))
@@ -201,7 +270,14 @@ object FuzzGen {
       else Key(alias, pick(rnd, intCols), Some(pick(rnd, Seq(4, 8, 13, 16))))
 
     val shape =
-      if (rnd.nextInt(10) < 7) {
+      if (rnd.nextInt(10) >= 8) {
+        val k = pick(rnd, Seq(2, 3, 5, 7, 11))
+        val mkPred = () => Pred(pick(rnd, intCols), k, rnd.nextInt(k),
+          pick(rnd, Seq("=", "<>", "<=")))
+        SetShape(pick(rnd, intCols), pick(rnd, Seq(5, 9, 13)),
+          pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT")),
+          mkPred(), mkPred())
+      } else if (rnd.nextInt(10) < 7) {
         val keys = (0 to rnd.nextInt(2)).map(i => genKey(s"k$i"))
           .distinctBy(_.sqlExpr).zipWithIndex
           .map { case (k, i) => k.copy(alias = s"k$i") }
@@ -218,13 +294,15 @@ object FuzzGen {
         WinShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
           idCols, pick(rnd, Seq(2, 3, 5)))
       }
-    FuzzCase(seed, fromTables, join, preds, shape)
+    FuzzCase(seed, fromTables, join, joinKind, subPred, preds, shape)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
-    * differential vs DuckDB). Chosen to cover both shapes, joins, and
-    * HAVING; FuzzSpec sweeps a much wider seed range DF-vs-SQL.
+    * differential vs DuckDB). Chosen to cover the full grammar —
+    * agg/window/set-op shapes, inner/semi/anti joins, HAVING — and
+    * asserted to stay covering by FuzzSpec; the spec additionally
+    * sweeps a much wider seed range DF-vs-SQL.
     */
   val driverSeeds: Seq[Int] = Seq(101, 102, 103, 104, 105, 106, 107, 108,
-    109, 110)
+    109, 110, 111, 113, 124, 146, 317)
 }

@@ -374,8 +374,11 @@ object TpcH {
 
   /** Q22 shape: global sales opportunity — customers in a set of
     * "country codes" (nationkey mod 10 stands in for the phone prefix)
-    * with above-average positive balances and no orders at all: scalar
-    * AVG subquery + NOT EXISTS anti-join + final per-code rollup.
+    * with above-average positive balances and no RECENT orders (the
+    * generated data is FK-complete — every customer has SOME order —
+    * so the anti-join is scoped to orders since 1999, keeping the
+    * NOT-EXISTS shape substantive): scalar AVG subquery + scoped
+    * NOT EXISTS anti-join + final per-code rollup.
     */
   val h22GlobalSales = Q(
     "h22_global_sales",
@@ -389,7 +392,9 @@ object TpcH {
           count(lit(1))).as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal").cast("double") > col("avg_bal"))
-        .join(t(s, dir, "orders").select(col("o_custkey")),
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).cast("bigint").as("numcust"),
@@ -404,7 +409,8 @@ object TpcH {
           SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(10,2))) AS DOUBLE) / COUNT(*)
           FROM customer
           WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1,2,3,4,5))
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '1999-01-01')
       GROUP BY cntrycode ORDER BY cntrycode"""))
 
   /** Q2 shape: minimum-cost supplier — the correlated-scalar-MIN

@@ -37,11 +37,14 @@ class FuzzSpec extends SparkSuite {
     }
   }
 
-  test("driver seeds cover both shapes and joins") {
+  test("driver seeds cover the full grammar") {
     val cases = FuzzGen.driverSeeds.map(FuzzGen.gen)
     assert(cases.exists(_.shape.isInstanceOf[FuzzGen.AggShape]))
     assert(cases.exists(_.shape.isInstanceOf[FuzzGen.WinShape]))
+    assert(cases.exists(_.shape.isInstanceOf[FuzzGen.SetShape]))
     assert(cases.exists(_.join.isDefined))
     assert(cases.exists(_.join.isEmpty))
+    assert(cases.exists(_.joinKind == "semi"), "no EXISTS case")
+    assert(cases.exists(_.joinKind == "anti"), "no NOT EXISTS case")
   }
 }
