@@ -313,6 +313,9 @@ object Sampling {
       .withColumn("csim",
         Similarity.dot(col("nv"), col("cv")) / (col("nn") * col("cn")))
       .select(col("nid"), col("bucket"), col("csim"))
+      // fans out to sizes (→ wsum, quotas) AND the rank window —
+      // uncached, the assignment crossJoin re-runs per consumer
+      .cache()
     val sizes = assigned.groupBy(col("bucket"))
       .agg(count(lit(1)).cast("bigint").as("nc"))
     val sqrtCanon = sqrt(col("nc").cast("double")).cast("decimal(20,12)")

@@ -278,6 +278,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-7 diversity sample and curate v3 keep their scale shapes") {
+    // diversity sample: the only nested-loop joins are the nlist-row
+    // centroid assignment crossJoin (cached, but its subtree prints
+    // once per cache reference) and the 1-row wsum quota crossJoin —
+    // each a bounded broadcast, never data×data
+    val p = plan("x_sample_diversity")
+    assert(!p.contains("CartesianProduct"), s"diversity went cartesian:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 4, s"$bnlj nested-loop joins (expected <=4 bounded " +
+      s"broadcasts):\n$p")
+    assert(p.contains("vec_dot"), s"assignment lost the codegen'd kernel:\n$p")
+    // curate v3: two chained span-dedup passes — equi-joins only
+    val p3 = plan("x_pipeline_curate_v3")
+    assert(!p3.contains("CartesianProduct") &&
+      !p3.contains("BroadcastNestedLoopJoin"),
+      s"curate v3 degraded to a non-equi join:\n$p3")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
