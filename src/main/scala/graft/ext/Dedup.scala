@@ -834,6 +834,127 @@ object Dedup {
       span: Int): DataFrame =
     spanDedupCore(docs, textCol, idCol, span, perDoc = true)
 
+  /** Incremental overlapping-span dedup for continuous ingestion — the
+    * streaming face of [[spanDedup]], same conventions as
+    * [[minhashDedupIncremental]]: each batch is (1) span-deduped
+    * in-batch (corpus-wide first-occurrence semantics within the
+    * batch), (2) checked against the ACCUMULATED window state at
+    * `statePath` — EVERY batch occurrence of a historical window is
+    * excised, including the batch's own first — and (3) the batch's
+    * genuinely-new first-occurrence windows are appended to state.
+    *
+    * Equivalence: processing a corpus as doc-id-ordered batches yields
+    * exactly [[spanDedup]]'s one-shot output (spec-gated) — batch-2
+    * occurrences of a batch-1 window are non-first globally, and the
+    * state filter removes precisely those.
+    *
+    * Redelivery via `batchTag` (the minhash protocol): state rows are
+    * stamped, same-tag rows are ignored during the history check, so a
+    * replayed micro-batch recomputes the IDENTICAL output; the
+    * replayed append costs duplicate window rows, which can never
+    * change a verdict (the history probe is a semi-join).
+    *
+    * State is O(distinct windows) with the window TEXT as key — at
+    * 100 TB store the 64-bit rolling fingerprint instead (the
+    * hashedGrams move) and bucket the state layout on it so the batch
+    * probe co-locates.
+    */
+  def spanDedupIncremental(newDocs: DataFrame, textCol: String,
+      idCol: String, span: Int, statePath: String,
+      batchTag: Option[Long] = None): DataFrame = {
+    val spark = newDocs.sparkSession
+    val state = scala.util.Try(spark.read.parquet(statePath)).toOption
+      .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
+    val histText = state.map(_.select(col("span_text")).distinct())
+    val (out0, newWindows) =
+      spanDedupBatchCore(newDocs, textCol, idCol, span, histText)
+    // pinned EAGERLY before the state append — a lazy plan evaluated by
+    // the caller afterwards would read this batch's own windows back
+    // out of state and excise every document (the minhash lesson)
+    val out = out0.localCheckpoint(true)
+    newWindows
+      .select(col("span_text"), lit(batchTag.getOrElse(-1L)).as("batch"))
+      .write.mode("append").parquet(statePath)
+    out
+  }
+
+  /** History-relative span dedup without mutable state: `history` is a
+    * document corpus whose windows are authoritative; the batch is
+    * span-deduped in-batch AND every batch occurrence of a historical
+    * window is excised. Pure function of its two inputs (the
+    * SQL-adjudicable face of [[spanDedupIncremental]], which is this
+    * plus the accumulated-state bookkeeping).
+    */
+  def spanDedupAgainstHistory(newDocs: DataFrame, history: DataFrame,
+      textCol: String, idCol: String, span: Int): DataFrame = {
+    val histText = history
+      .select(posexplode(when(size(split(col(textCol), " ")) >= span,
+        transform(sequence(lit(0), size(split(col(textCol), " ")) - span),
+          i => concat_ws(" ", slice(split(col(textCol), " "), i + 1,
+            lit(span)))))
+        .otherwise(array().cast("array<string>"))))
+      .select(col("col").as("span_text")).distinct()
+    spanDedupBatchCore(newDocs, textCol, idCol, span, Some(histText))._1
+  }
+
+  /** Shared batch kernel: in-batch first-occurrence dedup plus optional
+    * history excision. Returns (per-doc output, genuinely-new
+    * first-occurrence windows).
+    */
+  private def spanDedupBatchCore(newDocs: DataFrame, textCol: String,
+      idCol: String, span: Int, histText: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      split(col(textCol), " ").as("tk"))
+    val windows = toks
+      .select(col("doc_id"),
+        posexplode(when(size(col("tk")) >= span,
+          transform(sequence(lit(0), size(col("tk")) - span),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(span)))))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("pos").as("start"),
+        col("col").as("span_text"))
+    val histDup = histText match {
+      case Some(h) => windows.join(h, Seq("span_text"), "left_semi")
+      case None => windows.limit(0)
+    }
+    val first = windows.groupBy(col("span_text"))
+      .agg(min(struct(col("doc_id").as("fd"), col("start").as("fs")))
+        .as("first"))
+    val batchDup = windows.join(first, Seq("span_text"))
+      .filter(!(col("doc_id") === col("first.fd") &&
+        col("start") === col("first.fs")))
+    val removed = histDup.select(col("doc_id"), col("start"))
+      .union(batchDup.select(col("doc_id"), col("start")))
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (span - 1))).as("pos"))
+      .distinct()
+    val tok = toks
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("pos"), col("col").as("tok"))
+    val rebuilt = tok.join(removed, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("deduped_text"))
+    val out = toks
+      .select(col("doc_id"), size(col("tk")).cast("bigint").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
+          .cast("bigint").as("n_removed"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+    val newWindows = histText match {
+      case Some(h) => first.select(col("span_text"))
+        .join(h, Seq("span_text"), "left_anti")
+      case None => first.select(col("span_text"))
+    }
+    (out, newWindows)
+  }
+
   /** Shared kernel for [[spanDedup]]/[[intraDocDedup]]: `perDoc` scopes
     * the first-occurrence group to (doc, window) instead of (window).
     */

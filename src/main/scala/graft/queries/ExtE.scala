@@ -326,6 +326,62 @@ object ExtE {
       FROM ranked r JOIN quotas q ON q.bucket = r.bucket
       ORDER BY vec_id"""))
 
+  /** History-relative span dedup
+    * ([[graft.ext.Dedup.spanDedupAgainstHistory]], the SQL-adjudicable
+    * face of the incremental/streaming path): docs < 250 are the
+    * accumulated corpus, >= 250 the incoming batch; every batch
+    * occurrence of a historical 10-token window is excised — including
+    * the batch's own first occurrence — plus ordinary in-batch
+    * first-occurrence dedup. SpanDedupSpec proves the doc-ordered
+    * batch composition of this kernel equals the one-shot
+    * [[graft.ext.Dedup.spanDedup]].
+    */
+  val xDedupSpanIncremental = Q(
+    "x_dedup_span_incremental",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.spanDedupAgainstHistory(
+        d.filter(col("doc_id") >= 250), d.filter(col("doc_id") < 250),
+        "text", "doc_id", span = 10).orderBy(col("doc_id"))
+    },
+    Some("""WITH hd AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id < 250),
+      hw0 AS (SELECT doc_id,
+          unnest(range(0, greatest(len(tk) - 9, 0))) AS start, tk
+        FROM hd),
+      hw AS (SELECT DISTINCT
+          array_to_string(tk[start + 1 : start + 10], ' ') AS sp
+        FROM hw0),
+      d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        FROM documents WHERE doc_id >= 250),
+      w AS (SELECT doc_id,
+          unnest(range(0, greatest(len(tk) - 9, 0))) AS start, tk
+        FROM d),
+      wx AS (SELECT doc_id, start,
+          array_to_string(tk[start + 1 : start + 10], ' ') AS sp
+        FROM w),
+      f AS (SELECT doc_id, start, sp,
+          row_number() OVER (PARTITION BY sp ORDER BY doc_id, start) AS rn
+        FROM wx),
+      dups AS (SELECT doc_id, start FROM f WHERE rn > 1
+        UNION SELECT wx.doc_id, wx.start FROM wx
+          JOIN hw ON wx.sp = hw.sp),
+      rem AS (SELECT DISTINCT doc_id, start + i AS pos
+        FROM dups CROSS JOIN (SELECT unnest(range(0, 10)) AS i) js),
+      tok AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+          unnest(tk) AS tok FROM d),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.pos = r.pos
+        WHERE r.pos IS NULL),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+          string_agg(tok, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+        CAST(len(d.tk) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(a.txt, '') AS deduped_text
+      FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
@@ -333,5 +389,6 @@ object ExtE {
     xDedupSpan,
     xDedupIntraDoc,
     xPipelineCurateV3,
-    xSampleDiversity) ++ fuzzQueries
+    xSampleDiversity,
+    xDedupSpanIncremental) ++ fuzzQueries
 }

@@ -66,6 +66,43 @@ class SpanDedupSpec extends SparkSuite {
     assert(global(1) === ((2L, 4L, 1L, 3L, "z")))
   }
 
+  test("incremental batches reproduce the one-shot global result") {
+    val dir = java.nio.file.Files.createTempDirectory("spanstate").toString
+    val state = s"$dir/windows"
+    val rows = Seq(
+      1L -> "a b c d e f", 2L -> "x b c d y z", 3L -> "p q r s t u",
+      4L -> "m a b c d n", 5L -> "p q r s t u", 6L -> "fresh tokens only here x y")
+    val oneShot = Dedup.spanDedup(rows.toDF("doc_id", "text"), "text",
+      "doc_id", 3).orderBy(col("doc_id")).collect().toSeq
+    val b1 = Dedup.spanDedupIncremental(
+      rows.take(3).toDF("doc_id", "text"), "text", "doc_id", 3, state)
+      .collect().toSeq
+    val b2 = Dedup.spanDedupIncremental(
+      rows.drop(3).toDF("doc_id", "text"), "text", "doc_id", 3, state)
+      .collect().toSeq
+    val incremental = (b1 ++ b2).sortBy(_.getLong(0))
+    assert(incremental == oneShot)
+    // doc 4 embeds doc 1's "a b c d" across the batch boundary and doc
+    // 5 clones doc 3 — the history probe must have cut both
+    val byId = incremental.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(byId(4L) > 0 && byId(5L) == 6L && byId(6L) == 0L)
+  }
+
+  test("replayed batch with the same tag recomputes identical output") {
+    val dir = java.nio.file.Files.createTempDirectory("spanstate2").toString
+    val state = s"$dir/windows"
+    val b1 = Seq(1L -> "a b c d e").toDF("doc_id", "text")
+    val b2 = Seq(2L -> "z a b c d w").toDF("doc_id", "text")
+    Dedup.spanDedupIncremental(b1, "text", "doc_id", 3, state,
+      batchTag = Some(1L))
+    val once = Dedup.spanDedupIncremental(b2, "text", "doc_id", 3, state,
+      batchTag = Some(2L)).collect().toSeq
+    val replayed = Dedup.spanDedupIncremental(b2, "text", "doc_id", 3, state,
+      batchTag = Some(2L)).collect().toSeq
+    assert(once == replayed)
+    assert(once.head.getLong(3) == 4L) // "a b c d" excised vs history
+  }
+
   test("result is invariant under input partitioning") {
     val rows = (0L until 40L).map(i =>
       i -> (s"common passage tokens here ${i % 7} tail a b c d e f"))
