@@ -14,16 +14,22 @@ class FuzzSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("seeded random plans: DataFrame and SQL renderings agree (60 seeds)") {
+  test("seeded random plans: DataFrame and SQL renderings agree (80 seeds)") {
     FuzzGen.tables.foreach(t =>
       H.t(spark, dir, t.name).createOrReplaceTempView(t.name))
-    for (seed <- 1 to 60) {
+    var nonEmpty = 0
+    for (seed <- 1 to 80) {
       val fc = FuzzGen.gen(seed)
       val viaDf = fc.run(spark, dir).collect().toSeq
       val viaSql = spark.sql(fc.sql).collect().toSeq
       assert(viaDf == viaSql,
         s"seed $seed diverged (${viaDf.size} vs ${viaSql.size} rows):\n${fc.sql}")
+      if (viaDf.nonEmpty) nonEmpty += 1
     }
+    // the sweep must exercise real rows, not agree about nothing: if a
+    // grammar change ever collapses most cases to empty results the
+    // differential silently loses its teeth
+    assert(nonEmpty >= 50, s"only $nonEmpty/80 cases returned rows")
   }
 
   test("generated cases are deterministic across re-runs") {
