@@ -133,6 +133,8 @@ object FuzzGen {
       case None => fromTables.head.name
       case Some((lt, rt, lc, rc)) if joinKind == "inner" =>
         s"$lt JOIN $rt ON $lc = $rc"
+      case Some((lt, rt, lc, rc)) if joinKind == "left" =>
+        s"$lt LEFT JOIN $rt ON $lc = $rc"
       case Some((lt, _, _, _)) => lt
     }
 
@@ -154,24 +156,27 @@ object FuzzGen {
         val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql)).mkString(", ")
         val grp = keys.map(_.sqlExpr).mkString(", ")
         val hav = having.fold("")(c => s" HAVING COUNT(*) > $c")
-        val ord = (keys.map(_.alias) ++ aggs.map(_.alias)).mkString(", ")
+        val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
+          .map(a => s"$a ASC NULLS FIRST").mkString(", ")
         s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav ORDER BY $ord"
       case WinShape(pk, ordCol, desc, ids, topK) =>
-        val dir = if (desc) " DESC" else ""
-        val tie = ids.mkString(", ")
+        val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
+        val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
         val outer = (Seq("pk") ++ ids ++ Seq("rn")).mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("rn"))
+          .map(c => s"$c ASC NULLS FIRST").mkString(", ")
         s"""SELECT $outer FROM (
-           |  SELECT ${pk.sqlExpr} AS pk, $tie,
+           |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(ROW_NUMBER() OVER (PARTITION BY ${pk.sqlExpr}
            |      ORDER BY $ordCol$dir, $tie) AS INTEGER) AS rn
            |  FROM $fromSql$whereSql) t
-           |WHERE rn <= $topK ORDER BY $outer""".stripMargin
+           |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
       case SetShape(c, m, op, pa, pb) =>
         val t = fromSql
         val side = (p: Pred) =>
           s"SELECT CAST($c % $m AS BIGINT) AS v FROM $t$whereSql" +
             (if (whereSql.isEmpty) " WHERE " else " AND ") + p.sql
-        s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v"
+        s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v ASC NULLS FIRST"
     }
 
     def run(s: SparkSession, dir: String): DataFrame = {
@@ -181,6 +186,7 @@ object FuzzGen {
         case Some((lt, rt, lc, rc)) =>
           val kind = joinKind match {
             case "inner" => "inner"
+            case "left" => "left"
             case "semi" => "left_semi"
             case "anti" => "left_anti"
           }
@@ -229,15 +235,19 @@ object FuzzGen {
       if (rnd.nextInt(2) == 0) Some(pick(rnd, fkJoins)) else None
     val joinKind =
       if (join0.isEmpty) "inner"
-      else pick(rnd, Seq("inner", "inner", "semi", "anti"))
+      else pick(rnd, Seq("inner", "inner", "semi", "anti", "left"))
     // semi/anti run PARENT-side (orders EXISTS lineitem, customer NOT
     // EXISTS orders, ...): child-side EXISTS is the identity and
     // child-side NOT EXISTS is vacuously empty on FK-complete data
     val join = join0.map { case (lt, rt, lc, rc) =>
-      if (joinKind == "inner") (lt, rt, lc, rc) else (rt, lt, rc, lc)
+      if (joinKind == "semi" || joinKind == "anti") (rt, lt, rc, lc)
+      else (lt, rt, lc, rc)
     }
-    // scope semi/anti subqueries on a child-side mod predicate
-    val subPred = join.filter(_ => joinKind != "inner").map {
+    // scope semi/anti subqueries on a child-side mod predicate (ONLY
+    // those kinds — the sweep caught subPred leaking into the LEFT
+    // JOIN's DataFrame rendering with no SQL counterpart)
+    val subPred = join
+      .filter(_ => joinKind == "semi" || joinKind == "anti").map {
       case (_, child, _, _) =>
         val k = pick(rnd, Seq(2, 3, 5))
         Pred(pick(rnd, byName(child).intCols), k, rnd.nextInt(k),
@@ -251,7 +261,8 @@ object FuzzGen {
     }
     // semi/anti: only the left table's columns survive the join
     val visible = join match {
-      case Some((lt, _, _, _)) if joinKind != "inner" => Seq(byName(lt))
+      case Some((lt, _, _, _))
+          if joinKind == "semi" || joinKind == "anti" => Seq(byName(lt))
       case _ => fromTables
     }
     val intCols = visible.flatMap(_.intCols)

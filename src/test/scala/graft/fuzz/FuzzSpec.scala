@@ -52,5 +52,6 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(_.join.isEmpty))
     assert(cases.exists(_.joinKind == "semi"), "no EXISTS case")
     assert(cases.exists(_.joinKind == "anti"), "no NOT EXISTS case")
+    assert(cases.exists(_.joinKind == "left"), "no LEFT JOIN case")
   }
 }
