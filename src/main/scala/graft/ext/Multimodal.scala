@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing (SURVEY.md §2.8): opaque binary payloads
   * with typed metadata, partition-parallel decode.
   *
-  * PNG and JPEG payloads are decoded/resized FOR REAL via the JDK's
+  * PNG, JPEG, GIF, and BMP payloads are decoded FOR REAL via the JDK's
   * `javax.imageio` (no external dependency): [[realDecode]] sniffs the
-  * magic bytes and reads true pixel dimensions; [[resize]] renders an
+  * magic bytes and reads true pixel dimensions; WAV/PCM audio decodes
+  * for real via `javax.sound.sampled` ([[audioDecode]]); [[resize]] renders an
   * aspect-preserving scaled raster and re-encodes it. Payloads in any
   * other format fall back to [[fakeDecode]], which derives deterministic
-  * pseudo-metadata from the bytes — video/audio codecs aren't in this
-  * container, so that half stays an honestly-marked stub. Everything
+  * pseudo-metadata from the bytes — COMPRESSED video/audio codecs aren't
+  * in this container, so that half stays an honestly-marked stub. Everything
   * Spark-side — schema, binary column handling, batch shape of the
   * partition-parallel decode — is real and tested either way.
   */
@@ -53,6 +54,10 @@ object Multimodal {
       bytes(2) == 'N' && bytes(3) == 'G') Some("png")
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff &&
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') Some("gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+      Some("bmp")
     else None
 
   /** REAL decode for PNG/JPEG via the JDK's ImageIO: true pixel
@@ -93,6 +98,50 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic synthetic image in any ImageIO-writable format
+    * (gif/bmp/png): same pixel formula as [[syntheticPng]], different
+    * container. GIF write quantizes to a palette, which may change
+    * pixel VALUES — dimensions (what the decode path reports) are
+    * preserved exactly by every container.
+    */
+  def syntheticImage(w: Int, h: Int, seed: Long, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17 + seed).toInt & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  /** Attach REAL synthetic GIF (even ids) / BMP (odd ids) payloads,
+    * dimensions id-derived (w = 8 + id mod 24, h = 8 + 5·id mod 24) —
+    * the fixture for adjudicating the legacy-container decode paths.
+    */
+  def withSyntheticMixed(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = 8 + math.floorMod(id, 24L).toInt
+        val h = 8 + math.floorMod(id * 5, 24L).toInt
+        val fmt = if (id % 2 == 0) "gif" else "bmp"
+        Row(id, syntheticImage(w, h, id, fmt))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Attach a REAL synthetic PNG payload per row, dimensions derived

@@ -382,10 +382,32 @@ object ExtE {
         COALESCE(a.txt, '') AS deduped_text
       FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""))
 
+  /** REAL GIF/BMP decode adjudicated end-to-end (the legacy-container
+    * companion of x_multimodal_decode_real): even ids carry a genuine
+    * GIF payload, odd ids a genuine BMP, dimensions a pure function of
+    * doc_id ([[graft.ext.Multimodal.withSyntheticMixed]]); the decode
+    * path magic-sniffs the container and ImageIO reads true pixel
+    * dimensions, so the oracle predicts (width, height, format) from
+    * the id alone and a decode that didn't parse the container
+    * can't match.
+    */
+  val xMultimodalDecodeLegacy = Q(
+    "x_multimodal_decode_legacy",
+    (s, dir) => Multimodal.decode(
+      Multimodal.withSyntheticMixed(t(s, dir, "documents"), "doc_id"), "id")
+      .orderBy(col("id")),
+    Some("""SELECT doc_id AS id,
+        CAST(8 + doc_id % 24 AS INTEGER) AS width,
+        CAST(8 + (doc_id * 5) % 24 AS INTEGER) AS height,
+        CAST(1 AS INTEGER) AS n_frames,
+        CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format
+      FROM documents ORDER BY id"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
     xMultimodalAudioReal,
+    xMultimodalDecodeLegacy,
     xDedupSpan,
     xDedupIntraDoc,
     xPipelineCurateV3,
