@@ -140,14 +140,15 @@ object ExtE {
         CAST(s_sumabs AS BIGINT) AS s_sumabs, 'wav' AS source
       FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
 
-  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): ten fixed
-    * seeds from the generative fuzzer, each a random
-    * filter/agg/join/window plan whose DataFrame rendering runs in
-    * Spark while the DuckDB oracle executes the SAME dual-dialect SQL
-    * the generator emitted — a cross-engine differential sweep over
-    * conventions (grouping, ties, integer arithmetic, HAVING, distinct
-    * counts) that hand-written traps can't cover. FuzzSpec additionally
-    * sweeps 60 seeds DF-vs-SQL inside Spark per test run.
+  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): fifteen
+    * fixed seeds from the generative fuzzer — covering agg/window/
+    * set-op shapes and inner/left/semi/anti joins — each a random plan
+    * whose DataFrame rendering runs in Spark while the DuckDB oracle
+    * executes the SAME dual-dialect SQL the generator emitted: a
+    * cross-engine differential sweep over conventions (grouping, ties,
+    * null ordering, integer arithmetic, HAVING, distinct counts, outer-
+    * join null semantics) that hand-written traps can't cover. FuzzSpec
+    * additionally sweeps 80 seeds DF-vs-SQL inside Spark per test run.
     */
   val fuzzQueries: Seq[Q] = graft.fuzz.FuzzGen.driverSeeds.map { seed =>
     val fc = graft.fuzz.FuzzGen.gen(seed)
@@ -213,7 +214,8 @@ object ExtE {
     "x_dedup_span",
     (s, dir) => Dedup.spanDedup(t(s, dir, "documents"), "text", "doc_id",
       span = 10).orderBy(col("doc_id")),
-    Some(spanDedupSql(10, perDoc = false)))
+    Some(spanDedupSql(10, perDoc = false)),
+    bench = true)
 
   /** Intra-document repetition removal
     * ([[graft.ext.Dedup.intraDocDedup]], the RefinedWeb within-page
@@ -278,7 +280,8 @@ object ExtE {
       JOIN ires i ON i.doc_id = g.doc_id
       JOIN documents s ON s.doc_id = g.doc_id
       WHERE g.n_kept_tokens >= 20
-      GROUP BY s.source ORDER BY s.source"""))
+      GROUP BY s.source ORDER BY s.source"""),
+    bench = true)
 
   /** Cluster-balanced diversity sampling
     * ([[graft.ext.Sampling.diversitySample]]): 100-vector budget split
