@@ -125,17 +125,23 @@ object FuzzGen {
     */
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
       join: Option[(String, String, String, String)], joinKind: String,
+      join2: Option[(String, String, String, String)],
       subPred: Option[Pred], preds: Seq[Pred], shape: Shape) {
 
     def name: String = s"x_fuzz_$seed"
 
-    private def fromSql: String = join match {
-      case None => fromTables.head.name
-      case Some((lt, rt, lc, rc)) if joinKind == "inner" =>
-        s"$lt JOIN $rt ON $lc = $rc"
-      case Some((lt, rt, lc, rc)) if joinKind == "left" =>
-        s"$lt LEFT JOIN $rt ON $lc = $rc"
-      case Some((lt, _, _, _)) => lt
+    private def fromSql: String = {
+      val base = join match {
+        case None => fromTables.head.name
+        case Some((lt, rt, lc, rc)) if joinKind == "inner" =>
+          s"$lt JOIN $rt ON $lc = $rc"
+        case Some((lt, rt, lc, rc)) if joinKind == "left" =>
+          s"$lt LEFT JOIN $rt ON $lc = $rc"
+        case Some((lt, _, _, _)) => lt
+      }
+      join2.fold(base) { case (_, rt2, lc2, rc2) =>
+        s"$base JOIN $rt2 ON $lc2 = $rc2"
+      }
     }
 
     private def whereSql: String = {
@@ -193,7 +199,10 @@ object FuzzGen {
           val rdf = subPred.foldLeft(H.t(s, dir, rt))((df, p) => df.filter(p.df))
           H.t(s, dir, lt).join(rdf, col(lc) === col(rc), kind)
       }
-      val base = preds.foldLeft(base0)((df, p) => df.filter(p.df))
+      val base1 = join2.foldLeft(base0) { case (df, (_, rt2, lc2, rc2)) =>
+        df.join(H.t(s, dir, rt2), col(lc2) === col(rc2))
+      }
+      val base = preds.foldLeft(base1)((df, p) => df.filter(p.df))
       shape match {
         case AggShape(keys, aggs, having) =>
           val g = base.groupBy(keys.map(_.df): _*)
@@ -259,11 +268,23 @@ object FuzzGen {
         // single-table: skip region (5 rows — everything degenerates)
         Seq(pick(rnd, tables.filterNot(_.name == "region")))
     }
+    // chain a third table onto an INNER join: a second FK hop whose
+    // left side is already in scope (join-reorder fodder for Catalyst
+    // and the cross-engine differential alike)
+    val join2 = join.filter(_ => joinKind == "inner").flatMap {
+      case (lt, rt, _, _) =>
+        val inScope = Set(lt, rt)
+        val ext = fkJoins.filter(j =>
+          inScope(j._1) && !inScope(j._2))
+        if (ext.nonEmpty && rnd.nextInt(2) == 0) Some(pick(rnd, ext))
+        else None
+    }
+    val fromTables2 = fromTables ++ join2.map(j => byName(j._2)).toSeq
     // semi/anti: only the left table's columns survive the join
     val visible = join match {
       case Some((lt, _, _, _))
           if joinKind == "semi" || joinKind == "anti" => Seq(byName(lt))
-      case _ => fromTables
+      case _ => fromTables2
     }
     val intCols = visible.flatMap(_.intCols)
     val strCols = visible.flatMap(_.strCols)
@@ -305,7 +326,7 @@ object FuzzGen {
         WinShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
           idCols, pick(rnd, Seq(2, 3, 5)))
       }
-    FuzzCase(seed, fromTables, join, joinKind, subPred, preds, shape)
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
