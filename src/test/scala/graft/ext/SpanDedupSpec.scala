@@ -103,6 +103,45 @@ class SpanDedupSpec extends SparkSuite {
     assert(once.head.getLong(3) == 4L) // "a b c d" excised vs history
   }
 
+  test("matches an independent naive reference on random corpora") {
+    // brute-force reference: materialize every window occurrence, rank
+    // first occurrence by (doc, start), mark covered positions of every
+    // later occurrence, rebuild — written against the SEMANTICS, not
+    // the kernel's joins, so a join/agg bug can't hide
+    def reference(docs: Seq[(Long, String)], span: Int)
+        : Map[Long, (Long, Long, Long, String)] = {
+      val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+      val windows = for {
+        (id, tk) <- toks
+        s <- 0 to tk.length - span
+      } yield (tk.slice(s, s + span).mkString(" "), (id, s))
+      val first = windows.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+      val removed = scala.collection.mutable.Set[(Long, Int)]()
+      for ((txt, occ) <- windows if first(txt) != occ; i <- 0 until span)
+        removed += ((occ._1, occ._2 + i))
+      toks.map { case (id, tk) =>
+        val kept = tk.indices.filterNot(i => removed((id, i))).map(tk)
+        id -> ((tk.length.toLong, kept.length.toLong,
+          (tk.length - kept.length).toLong, kept.mkString(" ")))
+      }.toMap
+    }
+    val vocab = Seq("a", "b", "c", "d", "e")
+    for (seed <- 1 to 12; span <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed * 7919 + span)
+      val docs = (0L until 8L).map { id =>
+        id -> Seq.fill(6 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val expect = reference(docs, span)
+      val got = Dedup.spanDedup(docs.toDF("doc_id", "text"), "text",
+        "doc_id", span).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4)))).toMap
+      assert(got == expect, s"seed=$seed span=$span")
+    }
+  }
+
   test("result is invariant under input partitioning") {
     val rows = (0L until 40L).map(i =>
       i -> (s"common passage tokens here ${i % 7} tail a b c d e f"))
