@@ -116,6 +116,27 @@ object Expect {
           .as("fingerprint"))
   }
 
+  /** Per-group order-independent fingerprints — the partition-level
+    * refinement of [[tableFingerprint]]: when two systems' whole-table
+    * digests diverge, per-group digests (per day, per source, per
+    * shard) LOCATE the divergence instead of just detecting it, so the
+    * re-sync copies one partition, not the table. Same commutative
+    * SHA-256-prefix-sum construction — exact decimal sum, so any
+    * partitioning and any row order land on identical digits.
+    */
+  def groupFingerprint(df: DataFrame, groupCol: Column,
+      cols: Seq[Column]): DataFrame = {
+    val serialized = concat_ws("\u001f",
+      cols.map(c => coalesce(c.cast("string"), lit("\u001e"))): _*)
+    val rowHash = conv(substring(sha2(serialized, 256), 1, 15), 16, 10)
+      .cast("decimal(19,0)")
+    df.select(groupCol.as("grp"), rowHash.as("_h"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n_rows"),
+        sum(col("_h")).cast("decimal(38,0)").cast("string")
+          .as("fingerprint"))
+  }
+
   /** Functional-dependency violation profiler: left-hand-side values
     * that map to MORE than one distinct right-hand-side value — the
     * discovery half of schema inference (a candidate `lhs → rhs` rule

@@ -406,11 +406,34 @@ object ExtE {
         CASE WHEN doc_id % 2 = 0 THEN 'gif' ELSE 'bmp' END AS format
       FROM documents ORDER BY id"""))
 
+  /** Per-group order-independent fingerprints
+    * ([[graft.ext.Expect.groupFingerprint]]): the partition-level
+    * refinement of x_table_fingerprint — per-returnflag digests of
+    * lineitem's key columns, so diverging systems can LOCATE the bad
+    * partition instead of just detecting table-level drift. Both
+    * engines compute the commutative SHA-256-prefix sum per group and
+    * must agree digit for digit in every bucket.
+    */
+  val xGroupFingerprint = Q(
+    "x_group_fingerprint",
+    (s, dir) => graft.ext.Expect.groupFingerprint(t(s, dir, "lineitem"),
+      col("l_returnflag"),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")))
+      .orderBy(col("grp")),
+    Some("""SELECT l_returnflag AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(CAST(SUM(CAST(CAST(concat('0x', substring(sha256(
+          CAST(l_orderkey AS VARCHAR) || chr(31)
+            || CAST(l_linenumber AS VARCHAR) || chr(31)
+            || l_returnflag), 1, 15)) AS BIGINT) AS DECIMAL(19,0)))
+          AS DECIMAL(38,0)) AS VARCHAR) AS fingerprint
+      FROM lineitem GROUP BY l_returnflag ORDER BY grp"""))
+
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
     xMultimodalAudioReal,
     xMultimodalDecodeLegacy,
+    xGroupFingerprint,
     xDedupSpan,
     xDedupIntraDoc,
     xPipelineCurateV3,
