@@ -34,6 +34,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that cache intermediates (LSH profiles, curate
+      // fan-outs, diversity assignment) must not accumulate across the
+      // 265-query run — executor memory is shared with the next query
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

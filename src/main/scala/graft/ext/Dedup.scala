@@ -18,6 +18,22 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Incremental-state read where ONLY "state doesn't exist yet" means
+    * empty history. Any other read failure — corruption, permissions, a
+    * transient FS error — MUST propagate: swallowing it (the old
+    * `Try(...).toOption`) would silently skip history excision and
+    * under-deduplicate the batch, which is data corruption, not a
+    * recoverable default.
+    */
+  private[ext] def readStateOrEmpty(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] =
+    try Some(spark.read.parquet(path))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" => None
+    }
+
   /** Exact dedup: canonical survivor per text (deterministic min-id —
     * dropDuplicates picks an arbitrary row, so we don't use it here).
     */
@@ -404,7 +420,7 @@ object Dedup {
     // (2) cross-batch: band candidates against state, similarity via
     // the matching-signature fraction (integer count / numHashes — a
     // deterministic rational, identical on any partitioning)
-    val state = scala.util.Try(spark.read.parquet(statePath)).toOption
+    val state = readStateOrEmpty(spark, statePath)
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
     val crossDups = state match {
       case Some(st) =>
@@ -694,13 +710,30 @@ object Dedup {
           .otherwise("test"))
   }
 
-  /** Embedding-cosine near-dup pairs (exact all-pairs — the baseline;
-    * [[Similarity.ivfTopK]] is the bucketed scale path). Floats are
-    * promoted to double BEFORE multiplication so both engines compute
-    * identical products; only summation order can differ (1 ulp).
+  /** Embedding-cosine near-dup pairs (exact all-pairs — the BASELINE,
+    * never the production path; [[Similarity.cosineLshPairs]] and
+    * [[semanticDedup]] are the bucketed scale paths with identical
+    * output shape). Floats are promoted to double BEFORE multiplication
+    * so both engines compute identical products; only summation order
+    * can differ (1 ulp).
+    *
+    * The theta join is O(n²) with NO guard the optimizer can apply, so
+    * the quadratic cost is opt-in: callers must pass
+    * `acceptQuadraticBaseline = true`, acknowledging this is an
+    * oracle-anchor / recall-measurement run on a bounded corpus. The
+    * default throws with a pointer to the scale paths — an "embedding
+    * near-dup" call that compiles without the flag cannot silently
+    * become the 10⁸-row cross join.
     */
   def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, acceptQuadraticBaseline: Boolean = false): DataFrame = {
+    require(acceptQuadraticBaseline,
+      "embeddingCosinePairs is the exact O(n²) all-pairs BASELINE (it " +
+        "cross-joins the corpus with itself). For production embedding " +
+        "near-dup use Similarity.cosineLshPairs (hyperplane LSH) or " +
+        "Dedup.semanticDedup (cluster-scoped pairs); pass " +
+        "acceptQuadraticBaseline = true only for oracle-anchor or " +
+        "recall-measurement runs on a corpus you know is small.")
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
@@ -863,7 +896,7 @@ object Dedup {
       idCol: String, span: Int, statePath: String,
       batchTag: Option[Long] = None): DataFrame = {
     val spark = newDocs.sparkSession
-    val state = scala.util.Try(spark.read.parquet(statePath)).toOption
+    val state = readStateOrEmpty(spark, statePath)
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
     val histText = state.map(_.select(col("span_text")).distinct())
     val (out0, newWindows) =

@@ -56,7 +56,11 @@ object Multimodal {
       (bytes(1) & 0xff) == 0xd8 && (bytes(2) & 0xff) == 0xff) Some("jpeg")
     else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') Some("gif")
-    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+    else if (bytes.length >= 14 && bytes(0) == 'B' && bytes(1) == 'M' &&
+      // beyond the 2-byte magic, require the full 14-byte BMP file
+      // header with its two reserved words zero (mandated by the spec)
+      // — arbitrary "BM"-prefixed payloads no longer sniff as bmp
+      (bytes(6) | bytes(7) | bytes(8) | bytes(9)) == 0)
       Some("bmp")
     else None
 

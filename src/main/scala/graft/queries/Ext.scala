@@ -479,7 +479,8 @@ object Ext {
   val xDedupEmbedding = Q(
     "x_dedup_embedding",
     (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"),
-      "vec_id", "embedding", threshold = 0.45)
+      "vec_id", "embedding", threshold = 0.45,
+      acceptQuadraticBaseline = true) // oracle anchor at sf scale
       .orderBy(col("id_a"), col("id_b")),
     Some("""WITH n AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1436,7 +1437,8 @@ object Ext {
     "x_dedup_embedding_lsh_recall",
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
-      val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", threshold = 0.45)
+      val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
+        threshold = 0.45, acceptQuadraticBaseline = true) // recall denominator
       val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding", threshold = 0.45)
       val nE = exact.agg(count(lit(1)).as("n_exact"))
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))

@@ -340,7 +340,7 @@ class ExtSpec extends SparkSuite {
   }
 
   test("cosine LSH finds the exact all-pairs near-dups with no false positives") {
-    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45, acceptQuadraticBaseline = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.cosineLshPairs(emb, "vec_id", "embedding", 0.45)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -352,7 +352,7 @@ class ExtSpec extends SparkSuite {
   }
 
   test("semantic dedup kills are true near-dups and chain minima survive") {
-    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45)
+    val exact = Dedup.embeddingCosinePairs(emb, "vec_id", "embedding", 0.45, acceptQuadraticBaseline = true)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sem = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.45).collect()
     assert(sem.length == emb.count(), "semantic dedup lost or duplicated rows")
