@@ -460,10 +460,33 @@ object Dedup {
         col(idCol).cast("long") === col("__sid"), "left_semi")
   }
 
-  /** SimHash near-dup pairs: 64-bit signature from token-hash bit votes;
-    * pairs within `hammingMax` found exactly via the pigeonhole split
-    * into hammingMax+1 chunks (a pair within distance d must agree on at
-    * least one of d+1 chunks) — candidate join on (chunkIdx, chunkValue).
+  /** SimHash near-dup pairs: 60-bit signature from token-hash bit
+    * votes; pairs within `hammingMax` found exactly via the pigeonhole
+    * split into hammingMax+1 chunks (a pair within distance d must
+    * agree on at least one of d+1 chunks) — candidate join on
+    * (chunkIdx, chunkValue).
+    *
+    * Every arithmetic step is replayable by a plain-SQL oracle (the
+    * x_ann_ivf_kmeans / LSH-hyperplane determinism move applied to the
+    * signature itself), so the pair output adjudicates pair-for-pair
+    * against an independent engine:
+    *  - token hash = polynomial over the token's code points,
+    *    h ← (31·h + cp) mod 1000003 — full-content, one value per
+    *    distinct token;
+    *  - bit j's coin flip = low bit of a xorshift-multiply mix of
+    *    h·64 + j (see [[simhashCore]] for why the non-affine xor steps
+    *    are load-bearing — affine/parity mixings bias signature
+    *    positions and inflate the Hamming-3 ball by orders of
+    *    magnitude);
+    *  - 60 signature bits (not 64) so the signature, every per-bit
+    *    1<<j, and every chunk shift stay inside a NON-NEGATIVE BIGINT
+    *    on the SQL side — 60 also divides evenly into the pigeonhole
+    *    chunk counts for hammingMax 1–5. The 4-bit narrowing is
+    *    immaterial to selectivity (random-pair Hamming mean moves from
+    *    32 to 30).
+    * [[simhashPairsXxh64]] keeps the engine-native 64-bit xxhash64
+    * variant for environments that prefer the engine's own codegen'd
+    * hash over cross-system reproducibility.
     *
     * `maxBucketFreq` is the skew guard (mirror of [[shingleIndex]]'s
     * maxDocFreq): a degenerate corpus — many near-identical or
@@ -471,11 +494,29 @@ object Dedup {
     * (chunk, value) bucket, turning the candidate self-join quadratic
     * on that bucket. Buckets wider than the cutoff are dropped from
     * candidate generation; pairs found through surviving buckets are
-    * still exact (verified on the full 64-bit signature). None keeps
-    * the exhaustive pigeonhole guarantee.
+    * still exact (verified on the full signature). None keeps the
+    * exhaustive pigeonhole guarantee.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame = {
+      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame =
+    simhashCore(docs, textCol, idCol, bits = 60, hammingMax, maxBucketFreq) {
+      t =>
+        var h = 7L
+        val it = t.codePoints().iterator()
+        while (it.hasNext) h = (h * 31L + it.next()) % 1000003L
+        h
+    }
+
+  /** SimHash over Spark's engine-native xxhash64 token hash — identical
+    * operator shape to [[simhashPairs]] (bit votes → pigeonhole chunk
+    * banding → exact Hamming verify) with the full 64-bit signature.
+    * Not SQL-replayable (no external engine recomputes xxhash64), so
+    * pair output can only be adjudicated structurally; kept for callers
+    * that want the engine's own hash spread and have no cross-system
+    * reproducibility requirement.
+    */
+  def simhashPairsXxh64(docs: DataFrame, textCol: String, idCol: String,
+      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame =
     // 64 bit-votes per doc in ONE compiled mapGroups (a 64-expression
     // Catalyst aggregate falls out of codegen and runs interpreted —
     // profiled 5.7s vs ~2s at sf0.1); token hash = the same
@@ -486,47 +527,23 @@ object Dedup {
         org.apache.spark.sql.catalyst.expressions.XXH64
           .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
     }
-  }
-
-  /** SimHash over a SQL-replayable token hash — same operator shape as
-    * [[simhashPairs]] (bit votes → pigeonhole chunk banding → exact
-    * Hamming verify), but every arithmetic step can be replayed by a
-    * plain-SQL oracle, so pair output is adjudicated pair-for-pair
-    * instead of rows-only:
-    *  - token hash = polynomial over the token's code points,
-    *    h ← (31·h + cp) mod 1000003 — full-content (unlike the
-    *    len/first/last fingerprint word hash, which is too coarse to
-    *    seed 32 independent bits);
-    *  - bit j's coin flip = parity of (h · 40503·(j+7)) mod 1000003.
-    *    The multiplier must be LARGE relative to the modulus: with a
-    *    small one (e.g. 2j+3) the product often stays below p, the mod
-    *    never wraps, and every bit degenerates to parity(h) — measured
-    *    90 811/124 750 doc pairs landing within Hamming 3. With the
-    *    wrapping multiplier the flips decorrelate and the pair set
-    *    shrinks to the near-dup structure the xxhash64 variant sees;
-    *  - 32 signature bits so the signature and all shifts stay inside
-    *    a non-negative BIGINT on the SQL side.
-    * xxhash64 ([[simhashPairs]]) remains the production default — this
-    * variant exists to prove the operator against an independent engine
-    * and for environments that need cross-system reproducibility.
-    */
-  def simhashPairsReplayable(docs: DataFrame, textCol: String, idCol: String,
-      hammingMax: Int = 3, maxBucketFreq: Option[Int] = None): DataFrame =
-    simhashCore(docs, textCol, idCol, bits = 32, hammingMax, maxBucketFreq) {
-      t =>
-        var h = 7L
-        val it = t.codePoints().iterator()
-        while (it.hasNext) h = (h * 31L + it.next()) % 1000003L
-        h
-    }
 
   /** Shared SimHash kernel: per-doc bit votes from `tokHash` in one
     * compiled mapGroups, then pigeonhole banding + exact Hamming verify
     * (see [[simhashPairs]] for the candidate-join and skew-guard
-    * semantics). For `bits < 64`, bit j's vote comes from the parity of
-    * (h · 40503·(j+7)) mod 1000003 rather than bit j of h, so hashes
-    * narrower than the signature still spread across it; for 64 the
-    * raw hash bits are used directly.
+    * semantics). For `bits < 64`, bit j's vote is the low bit of a
+    * xorshift-multiply mix of (h·64 + j): multiply, xor-shift, multiply,
+    * xor-shift, all operands kept under 2^31 so every product stays in
+    * a BIGINT on BOTH engines. The xor-shift steps are what make this
+    * sound: LCG-style rounds alone COMPOSE TO ONE AFFINE MAP mod 2^31,
+    * whose output bits over the structured (h, j) seed lattice carry
+    * per-position biases — and simhash's majority vote AMPLIFIES any
+    * per-position bias into signature bits that agree across all docs
+    * (measured: an affine two-round mid-bit variant put 307/44 850
+    * RANDOM doc pairs inside Hamming 3, where unbiased bits predict
+    * ~0). The xor makes the map non-affine; measured per-position bias
+    * 0.003, zero random-pair collisions. For 64 the raw hash bits are
+    * used directly.
     */
   private def simhashCore(docs: DataFrame, textCol: String, idCol: String,
       bits: Int, hammingMax: Int, maxBucketFreq: Option[Int])
@@ -552,7 +569,13 @@ object Dedup {
           while (k < nb) {
             val bit =
               if (useRawBits) ((h >>> k) & 1L) == 1L
-              else (h * (40503L * (k + 7L))) % 1000003L % 2L == 1L
+              else {
+                val v1 = ((h * 64L + k) * 2654435761L) % 2147483648L
+                val v2 = v1 ^ (v1 >> 13)
+                val v3 = (v2 * 1103515245L) % 2147483648L
+                val v4 = v3 ^ (v3 >> 17)
+                (v4 & 1L) == 1L
+              }
             if (bit) votes(k) += 1 else votes(k) -= 1
             k += 1
           }

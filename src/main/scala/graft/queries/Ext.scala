@@ -422,38 +422,21 @@ object Ext {
       ORDER BY split, lang"""),
     bench = true)
 
-  /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search.
-    *
-    * THE one remaining rows-only query (since round 7), and permanently
-    * so: the production token hash is Spark's engine-native xxhash64
-    * (codegen'd, full 64-bit spread), which no plain-SQL oracle can
-    * recompute, and unlike the LSH hyperplanes — where the random source
-    * was incidental — swapping it would mean shipping a weaker 32-bit
-    * polynomial hash in the production path solely to please the
-    * oracle. Instead the machinery is adjudicated via its twin:
-    * [[xDedupSimhashReplay]] runs the IDENTICAL kernel/banding/verify
-    * over the replayable hash and is proven pair-for-pair against an
-    * exhaustive O(n²) oracle, and ExtSpec cross-checks this query's
-    * pairs against the exact Jaccard near-dups.
+  /** SimHash near-dup pairs: pigeonhole-banded exact Hamming search,
+    * FULLY oracled since round 8 (the last rows-only query retired).
+    * The production signature is the 60-bit SQL-replayable one
+    * ([[Dedup.simhashPairs]] scaladoc has the arithmetic); the oracle
+    * rebuilds every signature — polynomial token hash, per-bit parity
+    * votes, bit assembly — and then does the EXHAUSTIVE O(n²) Hamming
+    * join, so the banded candidate path is proven to find exactly the
+    * pigeonhole-guaranteed pair set, pair for pair. The engine-native
+    * xxhash64 variant survives as [[Dedup.simhashPairsXxh64]] with
+    * spec-level structural checks.
     */
   val xDedupSimhash = Q(
     "x_dedup_simhash",
     (s, dir) => Dedup.simhashPairs(t(s, dir, "documents"), "text", "doc_id",
-      hammingMax = 3).orderBy(col("doc_a"), col("doc_b")),
-    None,
-    bench = true)
-
-  /** SimHash over the SQL-replayable token hash (see
-    * [[Dedup.simhashPairsReplayable]]): the oracle rebuilds the full
-    * 32-bit signature — token hash, per-bit parity votes, two's-
-    * complement assembly — and then does the EXHAUSTIVE O(n²) Hamming
-    * join, so the banded candidate path is proven to find exactly the
-    * pigeonhole-guaranteed pair set.
-    */
-  val xDedupSimhashReplay = Q(
-    "x_dedup_simhash_replay",
-    (s, dir) => Dedup.simhashPairsReplayable(t(s, dir, "documents"),
-      "text", "doc_id", hammingMax = 3)
+      hammingMax = 3)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
       .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH th AS (SELECT doc_id,
@@ -464,8 +447,14 @@ object Ext {
           (a, x) -> (a*31 + x) % 1000003) AS h
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)),
       votes AS (SELECT doc_id, j,
-        SUM(CASE WHEN (h*(40503*(j+7))) % 1000003 % 2 = 1 THEN 1 ELSE -1 END) AS v
-        FROM th, (SELECT unnest(range(0, 32)) AS j) js GROUP BY doc_id, j),
+          SUM(CASE WHEN (v4 & 1) = 1 THEN 1 ELSE -1 END) AS v
+        FROM (SELECT doc_id, j, xor(v3, v3 >> 17) AS v4
+          FROM (SELECT doc_id, j,
+              (xor(v1, v1 >> 13) * 1103515245) % 2147483648 AS v3
+            FROM (SELECT doc_id, j,
+                ((h*64 + j) * 2654435761) % 2147483648 AS v1
+              FROM th, (SELECT unnest(range(0, 60)) AS j) js) q1) q2) q3
+        GROUP BY doc_id, j),
       sig AS (SELECT doc_id,
         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sim
         FROM votes GROUP BY doc_id)
@@ -473,7 +462,8 @@ object Ext {
         CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sim, b.sim)) <= 3
-      ORDER BY doc_a, doc_b"""))
+      ORDER BY doc_a, doc_b"""),
+    bench = true)
 
   /** Embedding-cosine near-dup pairs, exact all-pairs baseline. */
   val xDedupEmbedding = Q(
@@ -1607,7 +1597,7 @@ object Ext {
     xDedupExact, xDedupExactHashed, xDedupChunks, xDedupNgram,
     xDedupMinhash, xDedupClusters, xDedupContainment, xSplitLeakageSafe,
     xTextWinnow, xDedupWinnow, xTextVocab, xTextVocabCoverage,
-    xDedupSimhash, xDedupSimhashReplay, xDedupEmbedding, xDedupSemantic,
+    xDedupSimhash, xDedupEmbedding, xDedupSemantic,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xAnnTopk, xAnnPq,
     xAnnIvfPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,

@@ -68,7 +68,7 @@ class ExtPropertySpec extends SparkSuite {
     check("simhash-pigeonhole", Prop.forAll(gen) { texts =>
       val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("doc_id", "text")
-      val banded = Dedup.simhashPairsReplayable(df, "text", "doc_id",
+      val banded = Dedup.simhashPairs(df, "text", "doc_id",
           hammingMax = 3)
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -77,9 +77,11 @@ class ExtPropertySpec extends SparkSuite {
       // pairwise from the banded op's own per-doc signatures is not
       // exposed, so recompute pairs at the SQL level: every pair within
       // Hamming 3 must appear (pigeonhole is exact, so sets are EQUAL)
+      // (29 → 30 one-bit-pair chunks over the 60-bit signature; any
+      // pair ≤ 29 apart — a superset of ≤ 3 — survives banding)
       val n = texts.length
-      val all = Dedup.simhashPairsReplayable(df, "text", "doc_id",
-          hammingMax = 31)
+      val all = Dedup.simhashPairs(df, "text", "doc_id",
+          hammingMax = 29)
         .filter(col("hamming") <= 3)
         .select("doc_a", "doc_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet

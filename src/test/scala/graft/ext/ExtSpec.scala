@@ -24,6 +24,22 @@ class ExtSpec extends SparkSuite {
     assert(precision >= 0.7, s"simhash precision $precision vs jaccard truth")
   }
 
+  test("xxh64 simhash variant finds near-dup structure consistent with the replayable default") {
+    val sim60 = Dedup.simhashPairs(docs, "text", "doc_id", hammingMax = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim64 = Dedup.simhashPairsXxh64(docs, "text", "doc_id", hammingMax = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim64.nonEmpty, "xxh64 simhash found no pairs")
+    // different token hashes → different signatures, but both rank the
+    // same bag-of-words similarity: the pair sets must substantially
+    // overlap (exact equality is NOT expected)
+    val overlap = sim60.intersect(sim64).size.toDouble /
+      math.min(sim60.size, sim64.size)
+    assert(overlap >= 0.5, s"variant agreement $overlap (60-bit ${sim60.size} vs 64-bit ${sim64.size})")
+  }
+
   test("simhash bucket-frequency guard: generous cutoff changes nothing, tight cutoff only removes") {
     val base = Dedup.simhashPairs(docs, "text", "doc_id", hammingMax = 3)
       .select("doc_a", "doc_b").collect()
