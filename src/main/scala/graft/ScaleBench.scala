@@ -41,6 +41,29 @@ object ScaleBench {
       spark.catalog.clearCache()
     }
 
+    // shuffle-write accounting for the span-dedup key-representation
+    // comparison: a listener sums bytesWritten per completed stage.
+    // Listener delivery is async — the short drain sleep is fine for a
+    // dev harness (stages complete well before the job-end returns).
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            shuffleBytes.addAndGet(
+              te.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+    def timeShuffle(label: String)(f: => Long): Unit = {
+      Thread.sleep(500); shuffleBytes.set(0)
+      val t0 = System.nanoTime(); val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[scale] $label: $secs%.2f s ($rows rows, " +
+        f"${shuffleBytes.get / 1048576.0}%.1f MiB shuffled)")
+      spark.catalog.clearCache()
+    }
+
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("source")).cache()
     val nDocs = docs.count()
@@ -195,10 +218,24 @@ object ScaleBench {
     // segments; removal-position explosion tracks output damage (every
     // clone fully excised), so runtime should track corpus size, not
     // candidate pairs.
+    // both key representations at each k: the fingerprint variant's
+    // claim is the same wall-clock shape with the corpus-wide
+    // first-occurrence shuffle shrunk from window TEXT to 8-byte keys.
+    // NOT .count(): a bare count lets Catalyst eliminate the final
+    // unique-key left join AND prune the re-assembly aggregate — the
+    // r07 span row measured that pruned plan, not the operator. The
+    // length-sum checksum forces every column of every row.
+    def spanChecksum(out: org.apache.spark.sql.DataFrame): Long =
+      out.agg(sum(col("n_removed") +
+        length(col("deduped_text")).cast("bigint")))
+        .head().getLong(0)
     if (sec("span")) for (k <- Seq(10, 40, 100)) {
       val n = nDocs * k
-      time(s"spanDedup ${n} docs (x$k clones)") {
-        Dedup.spanDedup(cloned(k), "text", "doc_id", 10).count()
+      timeShuffle(s"spanDedup TEXT keys ${n} docs (x$k clones)") {
+        spanChecksum(Dedup.spanDedup(cloned(k), "text", "doc_id", 10))
+      }
+      timeShuffle(s"spanDedup FP keys ${n} docs (x$k clones)") {
+        spanChecksum(Dedup.spanDedupHashed(cloned(k), "text", "doc_id", 10))
       }
     }
 

@@ -857,18 +857,18 @@ object Dedup {
     *
     * Scale shape — three key shuffles, nothing quadratic:
     *  - window index is len−span+1 rows per doc (amplification ≈ len,
-    *    vs len/chunk for [[chunkDedup]]); at 100 TB the group key is
-    *    the window's 64-bit rolling fingerprint, not its text (the
-    *    [[graft.ext.Text]] `hashedGrams` move), cutting the shuffle by
-    *    the mean window byte-length — text kept here so the oracle
-    *    adjudicates exact semantics;
+    *    vs len/chunk for [[chunkDedup]]); this text-keyed variant ships
+    *    window TEXT through the corpus-wide shuffle so the oracle
+    *    adjudicates exact semantics — [[spanDedupHashed]] is the 100 TB
+    *    variant, grouping on the window's 64-bit fingerprint (8-byte
+    *    shuffle keys) and adjudicated by parity against this one;
     *  - first-occurrence is a groupBy whose only aggregate is a min →
     *    map-side partial aggregation absorbs boilerplate spans repeated
     *    across millions of docs (no skew guard needed);
-    *  - removed-position explosion is span rows per DUPLICATE window
-    *    occurrence — bounded by output damage, not corpus size; a
-    *    production variant would interval-merge [start, start+span)
-    *    ranges per doc before exploding;
+    *  - removal ranges are interval-merged per doc BEFORE positions
+    *    explode ([[coveredPositions]], since round 8): the explosion is
+    *    one row per damaged position, bounded by output damage even
+    *    when dozens of sliding windows overlap the same passage;
     *  - re-assembly is the per-doc collect/array_sort/concat every
     *    other per-doc operator here lives with — state O(one doc).
     */
@@ -890,6 +890,24 @@ object Dedup {
       span: Int): DataFrame =
     spanDedupCore(docs, textCol, idCol, span, perDoc = true)
 
+  /** [[spanDedup]] with 64-bit fingerprint window keys — the 100 TB
+    * variant the text-keyed scaladoc promises: the corpus-wide
+    * first-occurrence shuffle ships an 8-byte rolling-fold key instead
+    * of the window's text (cutting shuffle bytes by the mean window
+    * length — measured ~27× on the ScaleBench corpus at span 10), and
+    * removal ranges are interval-merged per doc before positions
+    * explode ([[coveredPositions]] — which since round 8 also serves
+    * the text-keyed path). Semantics are identical to [[spanDedup]]
+    * up to 64-bit key collisions (birthday-bound ~n²/2^64 over
+    * distinct windows; a collision over-deletes one span) —
+    * x_dedup_span_hashed adjudicates exact parity against the
+    * text-keyed SQL oracle at test scale.
+    */
+  def spanDedupHashed(docs: DataFrame, textCol: String, idCol: String,
+      span: Int): DataFrame =
+    spanDedupCore(docs, textCol, idCol, span, perDoc = false,
+      hashedKeys = true)
+
   /** Incremental overlapping-span dedup for continuous ingestion — the
     * streaming face of [[spanDedup]], same conventions as
     * [[minhashDedupIncremental]]: each batch is (1) span-deduped
@@ -910,26 +928,33 @@ object Dedup {
     * replayed append costs duplicate window rows, which can never
     * change a verdict (the history probe is a semi-join).
     *
-    * State is O(distinct windows) with the window TEXT as key — at
-    * 100 TB store the 64-bit rolling fingerprint instead (the
-    * hashedGrams move) and bucket the state layout on it so the batch
-    * probe co-locates.
+    * State is O(distinct windows). `hashedState = false` keys it on the
+    * window TEXT (exact, SQL-adjudicable); `hashedState = true` stores
+    * the 64-bit fingerprint instead ([[spanWindows]] — the
+    * [[spanDedupHashed]] key), shrinking every state row to 8 bytes +
+    * tag and making the history probe an 8-byte equi-join — at 100 TB
+    * additionally bucket the state layout on the fingerprint so
+    * successive batch probes co-locate without reshuffling history.
+    * The two modes' states are not interchangeable (different key
+    * domains); pick one per state directory.
     */
   def spanDedupIncremental(newDocs: DataFrame, textCol: String,
       idCol: String, span: Int, statePath: String,
-      batchTag: Option[Long] = None): DataFrame = {
+      batchTag: Option[Long] = None,
+      hashedState: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
     val state = readStateOrEmpty(spark, statePath)
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
-    val histText = state.map(_.select(col("span_text")).distinct())
+    val histKeys = state.map(_.select(col("wkey")).distinct())
     val (out0, newWindows) =
-      spanDedupBatchCore(newDocs, textCol, idCol, span, histText)
+      spanDedupBatchCore(newDocs, textCol, idCol, span, histKeys,
+        hashedKeys = hashedState)
     // pinned EAGERLY before the state append — a lazy plan evaluated by
     // the caller afterwards would read this batch's own windows back
     // out of state and excise every document (the minhash lesson)
     val out = out0.localCheckpoint(true)
     newWindows
-      .select(col("span_text"), lit(batchTag.getOrElse(-1L)).as("batch"))
+      .select(col("wkey"), lit(batchTag.getOrElse(-1L)).as("batch"))
       .write.mode("append").parquet(statePath)
     out
   }
@@ -943,49 +968,40 @@ object Dedup {
     */
   def spanDedupAgainstHistory(newDocs: DataFrame, history: DataFrame,
       textCol: String, idCol: String, span: Int): DataFrame = {
-    val histText = history
-      .select(posexplode(when(size(split(col(textCol), " ")) >= span,
-        transform(sequence(lit(0), size(split(col(textCol), " ")) - span),
-          i => concat_ws(" ", slice(split(col(textCol), " "), i + 1,
-            lit(span)))))
-        .otherwise(array().cast("array<string>"))))
-      .select(col("col").as("span_text")).distinct()
-    spanDedupBatchCore(newDocs, textCol, idCol, span, Some(histText))._1
+    val histKeys = spanWindows(
+      history.select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("tk")), span, hashedKeys = false)
+      .select(col("wkey")).distinct()
+    spanDedupBatchCore(newDocs, textCol, idCol, span, Some(histKeys),
+      hashedKeys = false)._1
   }
 
   /** Shared batch kernel: in-batch first-occurrence dedup plus optional
     * history excision. Returns (per-doc output, genuinely-new
-    * first-occurrence windows).
+    * first-occurrence windows keyed as `wkey`). `hashedKeys` selects
+    * the window-key representation ([[spanWindows]]); `histKeys` must
+    * use the same representation.
     */
   private def spanDedupBatchCore(newDocs: DataFrame, textCol: String,
-      idCol: String, span: Int, histText: Option[DataFrame])
-      : (DataFrame, DataFrame) = {
+      idCol: String, span: Int, histKeys: Option[DataFrame],
+      hashedKeys: Boolean): (DataFrame, DataFrame) = {
     require(span >= 1, s"span must be >= 1, got $span")
     val toks = newDocs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-    val windows = toks
-      .select(col("doc_id"),
-        posexplode(when(size(col("tk")) >= span,
-          transform(sequence(lit(0), size(col("tk")) - span),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(span)))))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("pos").as("start"),
-        col("col").as("span_text"))
-    val histDup = histText match {
-      case Some(h) => windows.join(h, Seq("span_text"), "left_semi")
+    val windows = spanWindows(toks, span, hashedKeys)
+    val histDup = histKeys match {
+      case Some(h) => windows.join(h, Seq("wkey"), "left_semi")
       case None => windows.limit(0)
     }
-    val first = windows.groupBy(col("span_text"))
+    val first = windows.groupBy(col("wkey"))
       .agg(min(struct(col("doc_id").as("fd"), col("start").as("fs")))
         .as("first"))
-    val batchDup = windows.join(first, Seq("span_text"))
+    val batchDup = windows.join(first, Seq("wkey"))
       .filter(!(col("doc_id") === col("first.fd") &&
         col("start") === col("first.fs")))
-    val removed = histDup.select(col("doc_id"), col("start"))
-      .union(batchDup.select(col("doc_id"), col("start")))
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (span - 1))).as("pos"))
-      .distinct()
+    val removed = coveredPositions(
+      histDup.select(col("doc_id"), col("start"))
+        .union(batchDup.select(col("doc_id"), col("start"))), span)
     val tok = toks
       .select(col("doc_id"), posexplode(col("tk")))
       .select(col("doc_id"), col("pos"), col("col").as("tok"))
@@ -1003,44 +1019,130 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept_tokens"), lit(0L)))
           .cast("bigint").as("n_removed"),
         coalesce(col("deduped_text"), lit("")).as("deduped_text"))
-    val newWindows = histText match {
-      case Some(h) => first.select(col("span_text"))
-        .join(h, Seq("span_text"), "left_anti")
-      case None => first.select(col("span_text"))
+    val newWindows = histKeys match {
+      case Some(h) => first.select(col("wkey"))
+        .join(h, Seq("wkey"), "left_anti")
+      case None => first.select(col("wkey"))
     }
     (out, newWindows)
   }
 
-  /** Shared kernel for [[spanDedup]]/[[intraDocDedup]]: `perDoc` scopes
-    * the first-occurrence group to (doc, window) instead of (window).
+  /** Covered-position set from duplicate-window occurrences: each
+    * (doc_id, start) marks [start, start+span) for removal. Overlapping
+    * and adjacent ranges are INTERVAL-MERGED per doc (gaps-and-islands:
+    * running max of interval end, new island when a start clears it)
+    * BEFORE positions explode, so the explosion is one row per damaged
+    * position — never span rows per overlapping occurrence. A heavily
+    * duplicated passage hit by dozens of sliding windows previously
+    * exploded span×occurrences rows and leaned on a distinct() to
+    * collapse them; the merged form never materializes the redundancy.
+    * Duplicate (doc, start) inputs are harmless (they land in the same
+    * island), so callers need no pre-distinct either.
+    */
+  private def coveredPositions(occ: DataFrame, span: Int): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    occ.select(col("doc_id"), col("start"),
+        (col("start") + span).as("end"))
+      .withColumn("prev_max_end",
+        max(col("end")).over(wOrd.rowsBetween(Long.MinValue, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max_end").isNull ||
+          col("start") > col("prev_max_end"), 1).otherwise(0))
+      .withColumn("isl", sum(col("new_isl")).over(wOrd))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("start")).as("s"), max(col("end")).as("e"))
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e") - 1)).as("pos"))
+  }
+
+  /** Per-(doc, start) window keys for the span-dedup family. Text keys
+    * (`hashedKeys = false`) group on the window's literal token string
+    * — exact semantics, SQL-adjudicable, but the corpus-wide shuffle
+    * carries every window's full text. Fingerprint keys group on a
+    * 64-bit ROLLING polynomial hash of the window's xxhash64 token
+    * hashes (wrapping two's-complement arithmetic — deterministic
+    * under any partitioning): the shuffle key drops to 8 bytes
+    * regardless of window byte-length — the 100 TB shape — at the cost
+    * of a birthday-bound collision risk (~n²/2^64; negligible below
+    * ~10^8 distinct windows, and a collision can only over-delete one
+    * span). The fingerprints come from ONE compiled mapPartitions pass,
+    * O(len) per doc via the rolling update fp' = (fp − h_out·B^{s−1})·B
+    * + h_in — a per-window aggregate(slice(...)) higher-order fold was
+    * O(len·span) interpreted work and ate the shuffle savings at bench
+    * scale (the simhash/LSH compiled-kernel lesson again). No window
+    * string is ever materialized.
+    */
+  private def spanWindows(toks: DataFrame, span: Int,
+      hashedKeys: Boolean): DataFrame =
+    if (!hashedKeys)
+      toks.select(col("doc_id"),
+          posexplode(when(size(col("tk")) >= span,
+            transform(sequence(lit(0), size(col("tk")) - span),
+              i => concat_ws(" ", slice(col("tk"), i + 1, lit(span)))))
+            .otherwise(array().cast("array<string>"))))
+        .select(col("doc_id"), col("pos").as("start"),
+          col("col").as("wkey"))
+    else {
+      val spark = toks.sparkSession
+      import spark.implicits._
+      val sp = span
+      toks.select(col("doc_id"), col("tk")).as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          var bpow = 1L // 31^(span-1), wrapping
+          var j = 1
+          while (j < sp) { bpow *= 31L; j += 1 }
+          val bp = bpow
+          it.flatMap { case (id, tk) =>
+            val n = tk.length
+            if (n < sp) Iterator.empty
+            else {
+              val hs = new Array[Long](n)
+              var i = 0
+              while (i < n) {
+                val u = org.apache.spark.unsafe.types.UTF8String
+                  .fromString(tk(i))
+                hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+                  .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+                    u.numBytes, 42L)
+                i += 1
+              }
+              var fp = 0L
+              i = 0
+              while (i < sp) { fp = fp * 31L + hs(i); i += 1 }
+              val first = (id, 0, fp)
+              Iterator.single(first) ++ (1 to n - sp).iterator.map { s =>
+                fp = (fp - hs(s - 1) * bp) * 31L + hs(s + sp - 1)
+                (id, s, fp)
+              }
+            }
+          }
+        }.toDF("doc_id", "start", "wkey")
+    }
+
+  /** Shared kernel for [[spanDedup]]/[[intraDocDedup]]/
+    * [[spanDedupHashed]]: `perDoc` scopes the first-occurrence group to
+    * (doc, window) instead of (window); `hashedKeys` selects the window
+    * key representation ([[spanWindows]]).
     */
   private def spanDedupCore(docs: DataFrame, textCol: String, idCol: String,
-      span: Int, perDoc: Boolean): DataFrame = {
+      span: Int, perDoc: Boolean, hashedKeys: Boolean = false): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-    val windows = toks
-      .select(col("doc_id"), col("tk"),
-        posexplode(when(size(col("tk")) >= span,
-          transform(sequence(lit(0), size(col("tk")) - span),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(span)))))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("pos").as("start"),
-        col("col").as("span_text"))
-    val firstKey = if (perDoc) Seq(col("doc_id"), col("span_text"))
-      else Seq(col("span_text"))
+    val windows = spanWindows(toks, span, hashedKeys)
+    val firstKey = if (perDoc) Seq(col("doc_id"), col("wkey"))
+      else Seq(col("wkey"))
     val first = windows.groupBy(firstKey: _*)
       .agg(min(struct(col("doc_id").as("fd"), col("start").as("fs")))
         .as("first"))
     val joined =
-      if (perDoc) windows.join(first, Seq("doc_id", "span_text"))
-      else windows.join(first, Seq("span_text"))
-    val removed = joined
+      if (perDoc) windows.join(first, Seq("doc_id", "wkey"))
+      else windows.join(first, Seq("wkey"))
+    val removed = coveredPositions(joined
       .filter(!(col("doc_id") === col("first.fd") &&
         col("start") === col("first.fs")))
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + (span - 1))).as("pos"))
-      .distinct()
+      .select(col("doc_id"), col("start")), span)
     val tok = toks
       .select(col("doc_id"), size(col("tk")).as("n_tok"), posexplode(col("tk")))
       .select(col("doc_id"), col("n_tok"), col("pos"), col("col").as("tok"))

@@ -217,6 +217,22 @@ object ExtE {
     Some(spanDedupSql(10, perDoc = false)),
     bench = true)
 
+  /** Fingerprint-keyed span dedup ([[graft.ext.Dedup.spanDedupHashed]],
+    * the 100 TB variant: 8-byte rolling-fold shuffle keys +
+    * interval-merged removal ranges). The oracle is DELIBERATELY the
+    * text-keyed replay — the variant's contract is exact parity with
+    * [[graft.ext.Dedup.spanDedup]] (64-bit collisions are the only
+    * permitted divergence, probability ~n²/2^64), so a hash-collision
+    * OR any drift in the fingerprint plumbing fails the hash compare
+    * byte-for-byte.
+    */
+  val xDedupSpanHashed = Q(
+    "x_dedup_span_hashed",
+    (s, dir) => Dedup.spanDedupHashed(t(s, dir, "documents"), "text",
+      "doc_id", span = 10).orderBy(col("doc_id")),
+    Some(spanDedupSql(10, perDoc = false)),
+    bench = true)
+
   /** Intra-document repetition removal
     * ([[graft.ext.Dedup.intraDocDedup]], the RefinedWeb within-page
     * pass): later repeats of a 3-token window inside the SAME document
@@ -435,6 +451,7 @@ object ExtE {
     xMultimodalDecodeLegacy,
     xGroupFingerprint,
     xDedupSpan,
+    xDedupSpanHashed,
     xDedupIntraDoc,
     xPipelineCurateV3,
     xSampleDiversity,

@@ -142,6 +142,43 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("fingerprint-keyed variant matches the text-keyed path on random corpora") {
+    val vocab = Seq("a", "b", "c", "d", "e", "longtokenvalue", "anotherlongone")
+    for (seed <- 1 to 8; span <- Seq(2, 3)) {
+      val rnd = new scala.util.Random(seed * 104729 + span)
+      val docs = (0L until 10L).map { id =>
+        id -> Seq.fill(5 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val text = Dedup.spanDedup(docs.toDF("doc_id", "text"), "text",
+        "doc_id", span).orderBy(col("doc_id")).collect().toSeq
+      val hashed = Dedup.spanDedupHashed(docs.toDF("doc_id", "text"), "text",
+        "doc_id", span).orderBy(col("doc_id")).collect().toSeq
+      assert(hashed == text, s"seed=$seed span=$span")
+    }
+  }
+
+  test("hashed-state incremental batches reproduce the one-shot global result") {
+    val dir = java.nio.file.Files.createTempDirectory("spanstateh").toString
+    val state = s"$dir/windows"
+    val rows = Seq(
+      1L -> "a b c d e f", 2L -> "x b c d y z", 3L -> "p q r s t u",
+      4L -> "m a b c d n", 5L -> "p q r s t u", 6L -> "fresh tokens only here x y")
+    val oneShot = Dedup.spanDedup(rows.toDF("doc_id", "text"), "text",
+      "doc_id", 3).orderBy(col("doc_id")).collect().toSeq
+    val b1 = Dedup.spanDedupIncremental(
+      rows.take(3).toDF("doc_id", "text"), "text", "doc_id", 3, state,
+      hashedState = true).collect().toSeq
+    val b2 = Dedup.spanDedupIncremental(
+      rows.drop(3).toDF("doc_id", "text"), "text", "doc_id", 3, state,
+      hashedState = true).collect().toSeq
+    assert((b1 ++ b2).sortBy(_.getLong(0)) == oneShot)
+    // state rows are 8-byte fingerprints, not window text
+    val st = spark.read.parquet(state)
+    assert(st.schema("wkey").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
+
   test("result is invariant under input partitioning") {
     val rows = (0L until 40L).map(i =>
       i -> (s"common passage tokens here ${i % 7} tail a b c d e f"))
