@@ -17,6 +17,10 @@ import graft.queries.Registry
   *    real regression (r04→r05 showed uniform ±10-30% spread across
   *    unrelated queries from machine load alone). The cache is cleared
   *    between reps so every rep is a cold run of the same plan.
+  *  - the 1-minute system load average is recorded at start and end
+  *    (plus per-query) so a reader can separate machine-load drift from
+  *    real regressions — r07's +5-20% uniform drift was unattributable
+  *    precisely because load wasn't in the artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -48,6 +52,10 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+
     def execOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try Registry.byName(name).run(spark, sfDir)
@@ -70,11 +78,15 @@ object Bench {
 
     execOnce(headline.head.name) // warmup, not recorded
 
-    val results = headline.map(q => q.name -> exec(q.name))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val load0 = loadAvg()
+    val results = headline.map(q => (q.name, loadAvg(), exec(q.name)))
+    val load1 = loadAvg()
+    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loads = results.map { case (k, l, _) => "\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val total = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"loadavg_at_query":$loads}""")
     spark.stop()
     // all outputs are flushed/written; drop Hadoop's shutdown hooks so
     // they don't race sbt's (unforked) classloader/temp-jar cleanup

@@ -502,13 +502,26 @@ object Similarity {
   }
 
   /** The ±1 hyperplane entry for bit `i`, dimension `d` of a `dim`-wide
-    * embedding: an LCG over `seed + i·dim + d`, taking a mid bit (the
-    * LCG's low bits cycle with tiny period). Pure integer arithmetic —
-    * an external SQL engine replays the plane exactly.
+    * embedding: the sign bit of splitmix64(seed + i·dim + d) (Steele,
+    * Lea & Flood, OOPSLA'14 — public literature). Pure wrap-around
+    * 64-bit integer arithmetic — an external SQL engine replays the
+    * plane exactly (xor/shift/multiply mod 2^64).
+    *
+    * The mix MUST avalanche: the r07 version took one mid bit of a
+    * 31-bit LCG over sequential inputs, whose lattice correlation
+    * leaked into the signatures — measured at sf0.1 it produced 344k
+    * band candidates with the Hamming prefilter passing 99.8% of them
+    * (vs 270k candidates / 59% pass for true-Gaussian planes), i.e.
+    * 2.15× the verify-join work and the r07 +37% bench regression.
+    * splitmix64's full avalanche restores i.i.d.-quality ±1 entries.
     */
-  def lshPlaneEntry(seed: Long, i: Int, dim: Int, d: Int): Double =
-    if (((math.floorMod((seed + i.toLong * dim + d) * 1103515245L + 12345L,
-      2147483648L) >> 15) & 1L) == 1L) 1.0 else -1.0
+  def lshPlaneEntry(seed: Long, i: Int, dim: Int, d: Int): Double = {
+    var z = seed + i.toLong * dim + d + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    if (z < 0) 1.0 else -1.0 // top bit as the sign
+  }
 
   /** Random-hyperplane LSH near-dup pairs — the 100 TB scale path for
     * embedding-cosine dedup (Charikar, STOC'02 — public literature):
@@ -520,11 +533,12 @@ object Similarity {
     *
     * Hyperplane entries are Rademacher ±1 (Achlioptas 2003,
     * database-friendly random projections — public literature) derived
-    * from an LCG on (seed, bit, dim) rather than Gaussian draws from a
-    * stateful RNG: sign-projection LSH only needs a symmetric
+    * from splitmix64 on (seed, bit, dim) rather than Gaussian draws
+    * from a stateful RNG: sign-projection LSH only needs a symmetric
     * distribution, and the integer derivation makes every signature
     * bit — and therefore the full pair set — replayable by a plain-SQL
-    * oracle (the x_ann_ivf_kmeans determinism move applied here).
+    * oracle (the x_ann_ivf_kmeans determinism move applied here; see
+    * [[lshPlaneEntry]] for why the hash must avalanche).
     *
     * Sizing at scale: random collisions per band scale with
     * n² / 2^bitsPerBand, so bitsPerBand should grow with log2(n)
@@ -540,6 +554,77 @@ object Similarity {
   def cosineLshPairs(emb: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nBits: Int = 256, bands: Int = 32,
       seed: Long = 7L): DataFrame = {
+    val (e, exploded) = lshParts(emb, idCol, vecCol, nBits, bands, seed)
+    val hMax = lshHammingBound(nBits, threshold)
+
+    // band entries carry (id, band, bucket, 4-long sig) — the Hamming
+    // test runs inline on the candidate join (codegen'd bit_count, no
+    // extra shuffle); the 64-float arrays join back per UNIQUE
+    // surviving pair after dedup, so vectors cross the wire once per
+    // verification, not once per shared band
+    val candidates = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .filter(lshHamming((nBits + 63) / 64) <= hMax)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    candidates
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Stage-count instrumentation for [[cosineLshPairs]]: ONE row with
+    * the distinct band-candidate pair count, the post-Hamming-prefilter
+    * survivor count, and the verified (exact-cosine ≥ threshold) pair
+    * count. This is the breakdown that separates "the planes got worse
+    * at bucketing" (n_band_candidates up) from "the machine was loaded"
+    * (counts flat, wall-clock up) when a bench number drifts — exactly
+    * the question r07's +37% on x_dedup_embedding_lsh couldn't answer.
+    * All three counts replay in SQL (the planes are LCG-derived), so
+    * the breakdown is oracle-adjudicated, not self-reported.
+    *
+    * Hamming distance is pair-deterministic (a function of the two
+    * signatures, not of which band collided), so deduping AFTER the
+    * Hamming computation counts each pair once with its hd attached —
+    * one aggregation pass, no caching of intermediates.
+    */
+  def cosineLshStageCounts(emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nBits: Int = 256, bands: Int = 32,
+      seed: Long = 7L): DataFrame = {
+    val (e, exploded) = lshParts(emb, idCol, vecCol, nBits, bands, seed)
+    val hMax = lshHammingBound(nBits, threshold)
+    val pairs = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lshHamming((nBits + 63) / 64).as("hd"))
+      .dropDuplicates("id_a", "id_b")
+    val flagged = pairs
+      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("hd"),
+        (col("hd") <= hMax &&
+          dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+          .as("verified"))
+    flagged.agg(
+      count(lit(1)).cast("bigint").as("n_band_candidates"),
+      sum(when(col("hd") <= hMax, 1L).otherwise(0L)).cast("bigint")
+        .as("n_post_hamming"),
+      sum(when(col("verified"), 1L).otherwise(0L)).cast("bigint")
+        .as("n_verified"))
+  }
+
+  /** Shared [[cosineLshPairs]] plumbing: `e(id, v, nrm)` and the
+    * band-exploded signature profiles `(id, band, bucket, sig)`.
+    */
+  private def lshParts(emb: DataFrame, idCol: String, vecCol: String,
+      nBits: Int, bands: Int, seed: Long): (DataFrame, DataFrame) = {
     require(nBits % bands == 0, "nBits must divide into bands")
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val bitsPerBand = nBits / bands
@@ -593,39 +678,29 @@ object Similarity {
       .cache()
     val exploded = profiles.select(col("id"),
       posexplode(col("buckets")).as(Seq("band", "bucket")), col("sig"))
+    (e, exploded)
+  }
 
-    // Hamming prefilter bound: a pair at exactly `threshold` cosine has
-    // angle θ = acos(threshold) and Hamming ~ Binomial(nBits, θ/π);
-    // keep pairs within mean + 4σ — loses a true-threshold pair with
-    // p ≈ 3e-5 (negligible vs banding recall) while rejecting ~5/6 of
-    // random collisions (mean nBits/2) BEFORE any vector is shipped.
-    // Measured at sf0.1: 8.1s → the verify joins shrink ~6×.
+  /** Hamming prefilter bound: a pair at exactly `threshold` cosine has
+    * angle θ = acos(threshold) and Hamming ~ Binomial(nBits, θ/π);
+    * keep pairs within mean + 4σ — loses a true-threshold pair with
+    * p ≈ 3e-5 (negligible vs banding recall) while rejecting ~5/6 of
+    * random collisions (mean nBits/2) BEFORE any vector is shipped.
+    * Measured at sf0.1: 8.1s → the verify joins shrink ~6×.
+    */
+  private def lshHammingBound(nBits: Int, threshold: Double): Long = {
     val pBit = math.acos(threshold) / math.Pi
-    val hMax = math.ceil(nBits * pBit +
+    math.ceil(nBits * pBit +
       4.0 * math.sqrt(nBits * pBit * (1.0 - pBit))).toLong
+  }
 
-    // band entries carry (id, band, bucket, 4-long sig) — the Hamming
-    // test runs inline on the candidate join (codegen'd bit_count, no
-    // extra shuffle); the 64-float arrays join back per UNIQUE
-    // surviving pair after dedup, so vectors cross the wire once per
-    // verification, not once per shared band
-    val hamming = (0 until sigWords)
+  /** Hamming distance between the packed `sig` arrays of self-join
+    * sides `a`/`b` — codegen'd bit_count over XOR'd words, runs inline
+    * on the band join with no extra shuffle.
+    */
+  private def lshHamming(sigWords: Int): Column =
+    (0 until sigWords)
       .map(w => bit_count(element_at(col("a.sig"), w + 1)
         .bitwiseXOR(element_at(col("b.sig"), w + 1))))
       .reduce(_ + _)
-    val candidates = exploded.as("a")
-      .join(exploded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .filter(hamming <= hMax)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    candidates
-      .join(e.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
-      .join(e.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"))
-  }
 }

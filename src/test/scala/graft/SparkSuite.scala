@@ -17,7 +17,15 @@ trait SparkSuite extends AnyFunSuite with BeforeAndAfterAll {
     .getOrCreate()
 
   override def afterAll(): Unit = {
-    // session is shared across suites in one JVM; don't stop it
+    // session is shared across suites in one JVM; don't stop it — but DO
+    // drop any caches this suite's operators left behind (LSH profiles,
+    // diversity-sample assignment, curate fan-outs): the CacheManager
+    // substitutes cached subtrees into LATER suites' plans, which both
+    // leaks memory across the run and flips plan-shape assertions (a
+    // cached crossJoin subtree prints once per cache reference —
+    // ExtSpec→PlanSpec ordering pushed x_sample_diversity from 4 to 7
+    // BroadcastNestedLoopJoin lines with identical semantics)
+    spark.catalog.clearCache()
     super.afterAll()
   }
 }
