@@ -103,10 +103,22 @@ object FuzzGen {
   }
 
   sealed trait Shape
+  /** gmode ∈ plain | rollup | cube — ROLLUP/CUBE subtotal rows carry
+    * NULL keys in both engines (SQL-standard grouping sets); the
+    * NULLS FIRST total order makes them adjudicable.
+    */
   final case class AggShape(keys: Seq[Key], aggs: Seq[Agg],
-      having: Option[Int]) extends Shape
+      having: Option[Int], gmode: String) extends Shape
   final case class WinShape(pk: Key, ordCol: String, desc: Boolean,
       ids: Seq[String], topK: Int) extends Shape
+  /** Windowed running SUM under an explicit frame + LAG with an explicit
+    * default — the frame-semantics minefield: ROWS frames are tie-broken
+    * by the unique id columns; RANGE frames order by the value column
+    * ALONE (the single-expression restriction both engines share) and
+    * include peers, which keeps the peer-group sum deterministic.
+    */
+  final case class FrameShape(pk: Key, ordCol: String, desc: Boolean,
+      ids: Seq[String], frame: String, prec: Int) extends Shape
   /** Set operation between two mod-projections of the SAME table under
     * different predicates: UNION ALL keeps bag semantics, INTERSECT /
     * EXCEPT are set-distinct in BOTH engines — the convention under
@@ -137,6 +149,8 @@ object FuzzGen {
           s"$lt JOIN $rt ON $lc = $rc"
         case Some((lt, rt, lc, rc)) if joinKind == "left" =>
           s"$lt LEFT JOIN $rt ON $lc = $rc"
+        case Some((lt, rt, lc, rc)) if joinKind == "full" =>
+          s"$lt FULL JOIN $rt ON $lc = $rc"
         case Some((lt, _, _, _)) => lt
       }
       join2.fold(base) { case (_, rt2, lc2, rc2) =>
@@ -158,9 +172,14 @@ object FuzzGen {
     }
 
     def sql: String = shape match {
-      case AggShape(keys, aggs, having) =>
+      case AggShape(keys, aggs, having, gmode) =>
         val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql)).mkString(", ")
-        val grp = keys.map(_.sqlExpr).mkString(", ")
+        val grpList = keys.map(_.sqlExpr).mkString(", ")
+        val grp = gmode match {
+          case "rollup" => s"ROLLUP ($grpList)"
+          case "cube" => s"CUBE ($grpList)"
+          case _ => grpList
+        }
         val hav = having.fold("")(c => s" HAVING COUNT(*) > $c")
         val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
           .map(a => s"$a ASC NULLS FIRST").mkString(", ")
@@ -177,6 +196,26 @@ object FuzzGen {
            |      ORDER BY $ordCol$dir, $tie) AS INTEGER) AS rn
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
+      case FrameShape(pk, ordCol, desc, ids, frame, prec) =>
+        val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
+        val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        val frameOrd = frame match {
+          case "rows" => s"$ordCol$dir, $tie"
+          case _ => s"$ordCol$dir" // RANGE: single ordering expression
+        }
+        val frameKw = if (frame == "rows") "ROWS" else "RANGE"
+        val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev"))
+          .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+        s"""SELECT $outer FROM (
+           |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
+           |    CAST(SUM($ordCol) OVER (PARTITION BY ${pk.sqlExpr}
+           |      ORDER BY $frameOrd
+           |      $frameKw BETWEEN $prec PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum,
+           |    CAST(LAG($ordCol, 1, -1) OVER (PARTITION BY ${pk.sqlExpr}
+           |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev
+           |  FROM $fromSql$whereSql) t
+           |ORDER BY $outerOrd""".stripMargin
       case SetShape(c, m, op, pa, pb) =>
         val t = fromSql
         val side = (p: Pred) =>
@@ -193,6 +232,7 @@ object FuzzGen {
           val kind = joinKind match {
             case "inner" => "inner"
             case "left" => "left"
+            case "full" => "full_outer"
             case "semi" => "left_semi"
             case "anti" => "left_anti"
           }
@@ -204,9 +244,13 @@ object FuzzGen {
       }
       val base = preds.foldLeft(base1)((df, p) => df.filter(p.df))
       shape match {
-        case AggShape(keys, aggs, having) =>
-          val g = base.groupBy(keys.map(_.df): _*)
-            .agg(aggs.head.df, aggs.tail.map(_.df): _*)
+        case AggShape(keys, aggs, having, gmode) =>
+          val grouped = gmode match {
+            case "rollup" => base.rollup(keys.map(_.df): _*)
+            case "cube" => base.cube(keys.map(_.df): _*)
+            case _ => base.groupBy(keys.map(_.df): _*)
+          }
+          val g = grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
           val h = having.fold(g)(c =>
             g.filter(col(aggs.find(_.kind == "count").get.alias) > c))
           h.orderBy((keys.map(k => col(k.alias)) ++
@@ -219,6 +263,22 @@ object FuzzGen {
             .withColumn("rn", row_number().over(
               Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
             .filter(col("rn") <= topK)
+            .select(outCols: _*)
+            .orderBy(outCols: _*)
+        case FrameShape(pk, ordCol, desc, ids, frame, prec) =>
+          val ordSort = if (desc) col(ordCol).desc else col(ordCol).asc
+          val tieSorts = ids.map(col(_).asc)
+          val lagWin = Window.partitionBy(col("pk"))
+            .orderBy(ordSort +: tieSorts: _*)
+          val sumWin = frame match {
+            case "rows" => lagWin.rowsBetween(-prec, 0)
+            case _ => Window.partitionBy(col("pk")).orderBy(ordSort)
+              .rangeBetween(-prec, 0)
+          }
+          val outCols = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).map(col)
+          base.withColumn("pk", pk.df)
+            .withColumn("wsum", sum(col(ordCol)).over(sumWin).cast("bigint"))
+            .withColumn("prev", lag(col(ordCol), 1, -1).over(lagWin).cast("bigint"))
             .select(outCols: _*)
             .orderBy(outCols: _*)
         case SetShape(c, m, op, pa, pb) =>
@@ -244,7 +304,7 @@ object FuzzGen {
       if (rnd.nextInt(2) == 0) Some(pick(rnd, fkJoins)) else None
     val joinKind =
       if (join0.isEmpty) "inner"
-      else pick(rnd, Seq("inner", "inner", "semi", "anti", "left"))
+      else pick(rnd, Seq("inner", "inner", "semi", "anti", "left", "full"))
     // semi/anti run PARENT-side (orders EXISTS lineitem, customer NOT
     // EXISTS orders, ...): child-side EXISTS is the identity and
     // child-side NOT EXISTS is vacuously empty on FK-complete data
@@ -301,6 +361,12 @@ object FuzzGen {
         Key(alias, pick(rnd, strCols), None)
       else Key(alias, pick(rnd, intCols), Some(pick(rnd, Seq(4, 8, 13, 16))))
 
+    // frames need non-null ordering/partition values: under LEFT/FULL
+    // joins the null-extended side makes RANGE-frame NULL-peer and
+    // NULL-default-lag conventions engine-specific — keep frames to the
+    // FK-complete (non-null) join kinds and let WinShape's row_number
+    // (tie-broken, null-direction-pinned) cover the outer joins
+    val framesOk = joinKind != "left" && joinKind != "full"
     val shape =
       if (rnd.nextInt(10) >= 8) {
         val k = pick(rnd, Seq(2, 3, 5, 7, 11))
@@ -309,7 +375,7 @@ object FuzzGen {
         SetShape(pick(rnd, intCols), pick(rnd, Seq(5, 9, 13)),
           pick(rnd, Seq("UNION ALL", "INTERSECT", "EXCEPT")),
           mkPred(), mkPred())
-      } else if (rnd.nextInt(10) < 7) {
+      } else if (rnd.nextInt(10) < 6) {
         val keys = (0 to rnd.nextInt(2)).map(i => genKey(s"k$i"))
           .distinctBy(_.sqlExpr).zipWithIndex
           .map { case (k, i) => k.copy(alias = s"k$i") }
@@ -321,7 +387,11 @@ object FuzzGen {
         }.distinctBy(a => (a.kind, a.colName)).zipWithIndex
           .map { case (a, i) => a.copy(alias = s"a${i + 1}") }
         val having = if (rnd.nextInt(3) == 0) Some(1 + rnd.nextInt(3)) else None
-        AggShape(keys, Agg("n", "count", "") +: extra, having)
+        val gmode = pick(rnd, Seq("plain", "plain", "plain", "rollup", "cube"))
+        AggShape(keys, Agg("n", "count", "") +: extra, having, gmode)
+      } else if (rnd.nextInt(2) == 0 && framesOk) {
+        FrameShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
+          idCols, pick(rnd, Seq("rows", "range")), 1 + rnd.nextInt(3))
       } else {
         WinShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
           idCols, pick(rnd, Seq(2, 3, 5)))
@@ -331,10 +401,14 @@ object FuzzGen {
 
   /** The fixed seeds registered as driver queries (cross-engine
     * differential vs DuckDB). Chosen to cover the full grammar —
-    * agg/window/set-op shapes, inner/semi/anti joins, HAVING — and
-    * asserted to stay covering by FuzzSpec; the spec additionally
-    * sweeps a much wider seed range DF-vs-SQL.
+    * agg/window/set-op shapes, ROLLUP/CUBE grouping sets, ROWS/RANGE
+    * window frames with LAG defaults, inner/semi/anti/LEFT/FULL joins,
+    * HAVING — and asserted to stay covering by FuzzSpec; the spec
+    * additionally sweeps a much wider seed range DF-vs-SQL. Seed 1 is
+    * ROLLUP over a FULL join (subtotal NULL keys interleaving with
+    * null-extended NULL keys — the grouping-set row identity trap),
+    * 22 is a ROWS frame under NOT EXISTS, 68 is CUBE over a FULL join.
     */
-  val driverSeeds: Seq[Int] = Seq(101, 102, 103, 104, 105, 106, 107, 108,
-    109, 110, 111, 113, 124, 146, 317)
+  val driverSeeds: Seq[Int] = Seq(1, 22, 68, 101, 102, 103, 104, 105, 106,
+    107, 108, 109, 110, 111, 113, 124, 146, 317)
 }

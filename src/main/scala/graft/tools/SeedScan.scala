@@ -1,0 +1,16 @@
+package graft.tools
+object SeedScan {
+  def main(args: Array[String]): Unit = {
+    import graft.fuzz.FuzzGen._
+    for (seed <- 1 to 400) {
+      val c = gen(seed)
+      val desc = c.shape match {
+        case AggShape(_, _, h, g) => s"agg($g${h.fold("")(_ => ",having")})"
+        case WinShape(_, _, _, _, _) => "win"
+        case FrameShape(_, _, _, _, f, _) => s"frame($f)"
+        case SetShape(_, _, op, _, _) => s"set($op)"
+      }
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""} $desc")
+    }
+  }
+}

@@ -48,10 +48,33 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(_.shape.isInstanceOf[FuzzGen.AggShape]))
     assert(cases.exists(_.shape.isInstanceOf[FuzzGen.WinShape]))
     assert(cases.exists(_.shape.isInstanceOf[FuzzGen.SetShape]))
+    assert(cases.exists(_.shape.isInstanceOf[FuzzGen.FrameShape]),
+      "no window-frame case")
+    assert(cases.exists {
+      case c => c.shape match {
+        case FuzzGen.FrameShape(_, _, _, _, "rows", _) => true; case _ => false
+      }
+    }, "no ROWS frame case")
+    assert(cases.exists {
+      case c => c.shape match {
+        case FuzzGen.FrameShape(_, _, _, _, "range", _) => true; case _ => false
+      }
+    }, "no RANGE frame case")
+    assert(cases.exists {
+      case c => c.shape match {
+        case FuzzGen.AggShape(_, _, _, "rollup") => true; case _ => false
+      }
+    }, "no ROLLUP case")
+    assert(cases.exists {
+      case c => c.shape match {
+        case FuzzGen.AggShape(_, _, _, "cube") => true; case _ => false
+      }
+    }, "no CUBE case")
     assert(cases.exists(_.join.isDefined))
     assert(cases.exists(_.join.isEmpty))
     assert(cases.exists(_.joinKind == "semi"), "no EXISTS case")
     assert(cases.exists(_.joinKind == "anti"), "no NOT EXISTS case")
     assert(cases.exists(_.joinKind == "left"), "no LEFT JOIN case")
+    assert(cases.exists(_.joinKind == "full"), "no FULL JOIN case")
   }
 }
