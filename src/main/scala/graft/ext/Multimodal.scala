@@ -36,7 +36,8 @@ object Multimodal {
     * (the real pattern for a native decoder handle), never per row.
     */
   def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, String) = {
-    // ??? real video/audio codec goes here; deterministic fake below
+    // ??? real inter-frame video codec (h264/vp9) goes here — MJPEG-AVI
+    // demuxes for real via aviFrames; deterministic fake below
     val h = bytes.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xff))
     val w = 64 + math.floorMod(h, 1024).toInt
     val ht = 64 + math.floorMod(h >> 10, 1024).toInt
@@ -281,11 +282,110 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
-  /** STUB frame sampler: one output row per sampled frame (every
-    * `stride`-th of the decoded n_frames) — the distributed explode
-    * shape of video processing: row count multiplies by frames/stride
-    * with NO driver materialization, and downstream ops see
-    * (id, frame_idx, frame_payload).
+  /** Magic-byte sniff for RIFF/AVI payloads (the video analog of
+    * [[sniffFormat]]).
+    */
+  def sniffAvi(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  /** Deterministic synthetic MJPEG-in-AVI: a REAL RIFF/AVI container
+    * (hdrl LIST with a 56-byte avih main header carrying the frame
+    * count, movi LIST with one '00dc' chunk per JPEG-compressed frame).
+    * Frame f renders at `w = 16 + (seed + 11f) mod 32`,
+    * `h = 16 + (7·seed + 5f) mod 32` — JPEG is lossy so pixel VALUES
+    * aren't oracle-predictable, but the container walk, frame count,
+    * and per-frame decoded dimensions are.
+    */
+  def syntheticAvi(nFrames: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val frames = Array.tabulate(nFrames) { f =>
+      val w = 16 + math.floorMod(seed + 11L * f, 32L).toInt
+      val h = 16 + math.floorMod(7L * seed + 5L * f, 32L).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + seed + f).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val hdrlSize = 4 + 8 + 56 // 'hdrl' + avih chunk header + payload
+    val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
+    fourcc("RIFF"); le32(4 + 8 + hdrlSize + 8 + moviSize); fourcc("AVI ")
+    fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
+    fourcc("avih"); le32(56)
+    le32(40000); le32(0); le32(0); le32(0) // µs/frame, maxBps, pad, flags
+    le32(nFrames)                          // dwTotalFrames
+    le32(0); le32(1); le32(0)              // initialFrames, streams, bufSize
+    le32(0); le32(0)                       // width, height (per-frame here)
+    le32(0); le32(0); le32(0); le32(0)     // reserved
+    fourcc("LIST"); le32(moviSize); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); le32(f.length); out.write(f)
+      if ((f.length & 1) == 1) out.write(0) // RIFF chunks pad to even
+    }
+    out.toByteArray
+  }
+
+  /** RIFF walk over an AVI payload: collects the '00dc'/'00db' video
+    * chunks inside the 'movi' LIST, in container order. Plain-JDK
+    * byte-level parsing — the real demux step of MJPEG processing.
+    * Empty for malformed containers (callers fall back to the stub).
+    */
+  def aviFrames(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    def le32(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+    def cc(off: Int): String =
+      new String(bytes, off, 4, "US-ASCII")
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    try {
+      if (!sniffAvi(bytes)) return Seq.empty
+      var pos = 12
+      while (pos + 8 <= bytes.length) {
+        val id = cc(pos)
+        val size = le32(pos + 4)
+        if (size < 0 || pos + 8 + size > bytes.length) return frames.toSeq
+        if (id == "LIST" && size >= 4 && cc(pos + 8) == "movi") {
+          var p = pos + 12
+          val end = pos + 8 + size
+          while (p + 8 <= end) {
+            val cid = cc(p)
+            val csize = le32(p + 4)
+            if (csize < 0 || p + 8 + csize > end) return frames.toSeq
+            if (cid == "00dc" || cid == "00db")
+              frames += java.util.Arrays.copyOfRange(bytes, p + 8, p + 8 + csize)
+            p += 8 + csize + (csize & 1)
+          }
+        }
+        pos += 8 + size + (size & 1)
+      }
+      frames.toSeq
+    } catch { case _: Exception => frames.toSeq }
+  }
+
+  /** Frame sampler: one output row per sampled frame (every `stride`-th
+    * frame) — the distributed explode shape of video processing: row
+    * count multiplies by frames/stride with NO driver materialization,
+    * and downstream ops see (id, frame_idx, frame_payload).
+    *
+    * MJPEG-in-AVI payloads demux for REAL ([[aviFrames]] RIFF walk;
+    * each sampled frame_payload is the actual embedded JPEG, decodable
+    * downstream by [[decodeFrames]]/[[decode]]). Other containers keep
+    * the deterministic stub (compressed inter-frame codecs aren't in
+    * this container).
     */
   def frameSample(withPayload: DataFrame, idCol: String,
       stride: Int = 4): DataFrame = {
@@ -298,13 +398,60 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
-          val (_, _, nFrames, _) = fakeDecode(bytes)
-          (0 until nFrames by stride).iterator.map { f =>
-            // ??? real frame decode; fake tags the payload with the index
-            Row(r.getLong(0), f, bytes.take(math.min(bytes.length, 32)) :+ f.toByte)
+          val real = aviFrames(bytes)
+          if (real.nonEmpty)
+            real.indices.by(stride).iterator.map(f =>
+              Row(r.getLong(0), f, real(f)))
+          else {
+            val (_, _, nFrames, _) = fakeDecode(bytes)
+            (0 until nFrames by stride).iterator.map { f =>
+              // ??? real inter-frame codec; fake tags the payload with the index
+              Row(r.getLong(0), f, bytes.take(math.min(bytes.length, 32)) :+ f.toByte)
+            }
           }
         }
       }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Decode sampled frames: (id, frame_idx, width, height, format) via
+    * the real ImageIO path ([[decodeMeta]]) — the per-frame half of the
+    * video pipeline, same partition-parallel shape as [[decode]].
+    */
+  def decodeFrames(frames: DataFrame): DataFrame = {
+    val spark = frames.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType)))
+    val rdd = frames.select(col("id").cast("long"), col("frame_idx"),
+      col("frame_payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val (w, h, _, fmt) = decodeMeta(r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), r.getInt(1), w, h, fmt)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Per-row synthetic MJPEG-AVI payloads, frame count id-derived
+    * (`2 + id mod 6`) — the fixture for adjudicating the real demux +
+    * per-frame decode path.
+    */
+  def withSyntheticAvi(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticAvi(2 + math.floorMod(id, 6L).toInt, id))
+      }
+    }
     spark.createDataFrame(rdd, schema)
   }
 
@@ -467,18 +614,74 @@ object Multimodal {
     StructField("s_sumabs", LongType),
     StructField("source", StringType)))
 
-  /** REAL WAV/PCM decode via the JDK's `javax.sound.sampled` (the
+  /** Deterministic synthetic µ-law WAV (fmt code 7, 8-bit log-companded
+    * — a REAL compressed-audio codec the JDK ships a decoder for):
+    * µ-law byte j is `(seed·7919 + j·104729) mod 256`, so the oracle
+    * derives every decoded 16-bit sample through the closed-form G.711
+    * expansion ([[ulawToPcm16]]) and adjudicates the decode stats
+    * exactly.
+    */
+  def syntheticUlawWav(sampleRate: Int, channels: Int, frames: Int,
+      seed: Long): Array[Byte] = {
+    val dataSize = frames * channels
+    val out = new java.io.ByteArrayOutputStream(44 + dataSize)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    out.write("RIFF".getBytes); le32(36 + dataSize)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(16)
+    le16(7) // µ-law
+    le16(channels)
+    le32(sampleRate)
+    le32(sampleRate * channels) // byte rate: 1 byte/sample
+    le16(channels)              // block align
+    le16(8)                     // bits per µ-law code
+    out.write("data".getBytes); le32(dataSize)
+    var j = 0
+    while (j < dataSize) {
+      out.write((math.floorMod(seed * 7919L + j * 104729L, 256L)).toInt)
+      j += 1
+    }
+    out.toByteArray
+  }
+
+  /** Closed-form G.711 µ-law expansion, verified byte-for-byte against
+    * the JDK's ULAW codec (all 256 codes): complement, split into
+    * 3-bit exponent + 4-bit mantissa, expand `((2m+33)·2^e − 33)·4`,
+    * apply the sign. Pure integer arithmetic — the SQL oracle replays
+    * it with div/mod.
+    */
+  def ulawToPcm16(b: Int): Int = {
+    val u = 255 - (b & 0xff)
+    val mag = (((2 * (u % 16) + 33) << ((u / 16) % 8)) - 33) * 4
+    if (u >= 128) -mag else mag
+  }
+
+  /** REAL WAV decode via the JDK's `javax.sound.sampled` (the
     * ImageIO move for audio — zero new dependencies): true sample rate,
     * channel count, bit depth, frame count, integer-division duration,
     * and exact integer PCM stats (min/max/Σ|s| over all interleaved
-    * samples). None for non-WAV or corrupt payloads.
+    * samples). µ-law/A-law payloads (fmt codes 7/6 — genuinely
+    * compressed audio) are transcoded to PCM16 through the JDK's G.711
+    * codec before the stats pass, so the same numbers come out of a
+    * REAL decompression step. None for non-WAV or corrupt payloads.
     */
-  def realAudioDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long, Long, Long)] =
+  def realAudioDecode(bytes: Array[Byte]): Option[(Int, Int, Int, Long, Long, Long, Long, Long, String)] =
     if (!sniffWav(bytes)) None
     else try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
+        val enc = raw.getFormat.getEncoding.toString.toLowerCase
+        val compressed = enc == "ulaw" || enc == "alaw"
+        val in =
+          if (!compressed) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+              raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate,
+              false), raw)
         val fmt = in.getFormat
         if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
         else {
@@ -514,17 +717,18 @@ object Multimodal {
           }
           val frames = nBytes / (2L * ch)
           Some((rate, ch, 16, frames, frames * 1000L / rate,
-            sMin, sMax, sumAbs))
+            sMin, sMax, sumAbs, if (compressed) enc else "wav"))
         }
-      } finally in.close()
+      } finally raw.close() // closes the transcoding wrapper's source too
     } catch { case _: Exception => None }
 
   /** Deterministic fake audio metadata for payloads the JDK can't
-    * decode (compressed codecs aren't in this container — honestly
-    * stubbed, like [[fakeDecode]] for video).
+    * decode. PCM and G.711 µ-law/A-law WAVs decode for REAL above;
+    * perceptual codecs (mp3/aac/opus) aren't in this container —
+    * honestly stubbed, like [[fakeDecode]] for non-image payloads.
     */
   def fakeAudioDecode(bytes: Array[Byte]): (Int, Int, Int, Long, Long, Long, Long, Long) = {
-    // ??? real compressed-audio codec goes here; deterministic fake below
+    // ??? real perceptual-codec decode goes here; deterministic fake below
     val h = bytes.foldLeft(23L)((acc, b) => acc * 31 + (b & 0xff))
     val rate = 8000 + math.floorMod(h, 8L).toInt * 1000
     val ch = 1 + math.floorMod(h >> 3, 2L).toInt
@@ -534,8 +738,9 @@ object Multimodal {
   }
 
   /** Partition-parallel audio decode of (id, payload) rows: real
-    * `javax.sound.sampled` for WAV/PCM16, deterministic fake otherwise
-    * — the audio face of [[decode]].
+    * `javax.sound.sampled` for WAV (PCM16 pass-through, µ-law/A-law
+    * through the JDK's G.711 decompressor), deterministic fake
+    * otherwise — the audio face of [[decode]].
     */
   def audioDecode(withPayload: DataFrame, idCol: String): DataFrame = {
     val spark = withPayload.sparkSession
@@ -545,8 +750,8 @@ object Multimodal {
         it.map { r =>
           val bytes = r.getAs[Array[Byte]](1)
           realAudioDecode(bytes) match {
-            case Some((rate, ch, bits, fr, dur, mn, mx, sa)) =>
-              Row(r.getLong(0), rate, ch, bits, fr, dur, mn, mx, sa, "wav")
+            case Some((rate, ch, bits, fr, dur, mn, mx, sa, src)) =>
+              Row(r.getLong(0), rate, ch, bits, fr, dur, mn, mx, sa, src)
             case None =>
               val (rate, ch, bits, fr, dur, mn, mx, sa) = fakeAudioDecode(bytes)
               Row(r.getLong(0), rate, ch, bits, fr, dur, mn, mx, sa, "fake")
@@ -554,6 +759,28 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** Per-row synthetic µ-law WAV payloads with id-derived parameters —
+    * same parameter formulas as [[withSyntheticWav]] so the two decode
+    * paths share one oracle skeleton; the payload itself is 8-bit
+    * log-companded G.711, decompressed for real by the JDK codec.
+    */
+  def withSyntheticUlawWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + math.floorMod(id, 8L).toInt * 1000
+        val ch = 1 + math.floorMod(id, 2L).toInt
+        val frames = 200 + math.floorMod(id * 13, 800L).toInt
+        Row(id, syntheticUlawWav(rate, ch, frames, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** Per-payload dHash column: (id, dhash) with null for non-images.

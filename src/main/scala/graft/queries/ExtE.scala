@@ -140,15 +140,81 @@ object ExtE {
         CAST(s_sumabs AS BIGINT) AS s_sumabs, 'wav' AS source
       FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
 
-  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): fifteen
-    * fixed seeds from the generative fuzzer — covering agg/window/
-    * set-op shapes and inner/left/semi/anti joins — each a random plan
-    * whose DataFrame rendering runs in Spark while the DuckDB oracle
-    * executes the SAME dual-dialect SQL the generator emitted: a
-    * cross-engine differential sweep over conventions (grouping, ties,
+  /** REAL compressed-audio decode (round 8): synthetic G.711 µ-law
+    * WAV payloads — 8-bit log-companded, a genuine compression codec —
+    * are decompressed by the JDK's ULAW codec inside
+    * [[graft.ext.Multimodal.audioDecode]], and the oracle replays the
+    * closed-form µ-law expansion (complement / exponent / mantissa /
+    * `((2m+33)·2^e − 33)·4`, verified against all 256 codes in
+    * ExtSpec) over the deterministic byte stream to predict the exact
+    * decoded PCM statistics. This retires the "compressed audio is
+    * stubbed" caveat for the G.711 family.
+    */
+  val xMultimodalAudioUlaw = Q(
+    "x_multimodal_audio_ulaw",
+    (s, dir) => Multimodal.audioDecode(
+      Multimodal.withSyntheticUlawWav(t(s, dir, "documents"), "doc_id"), "id")
+      .orderBy(col("id")),
+    Some("""WITH p AS (SELECT doc_id AS id,
+        8000 + CAST(doc_id % 8 AS BIGINT) * 1000 AS rate,
+        1 + CAST(doc_id % 2 AS BIGINT) AS ch,
+        200 + (doc_id * 13) % 800 AS frames
+      FROM documents),
+      s AS (SELECT id, rate, ch, frames,
+        unnest(range(frames * ch)) AS j FROM p),
+      u AS (SELECT id, 255 - ((id * 7919 + j * 104729) % 256) AS uc FROM s),
+      v AS (SELECT id,
+        CASE WHEN uc >= 128 THEN -1 ELSE 1 END *
+          (((2 * (uc % 16) + 33) * (1 << CAST((uc // 16) % 8 AS INTEGER)))
+            - 33) * 4 AS sv
+        FROM u),
+      a AS (SELECT id, MIN(sv) AS s_min, MAX(sv) AS s_max,
+        SUM(abs(sv)) AS s_sumabs FROM v GROUP BY id)
+      SELECT p.id, CAST(rate AS INTEGER) AS sample_rate,
+        CAST(ch AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        CAST(frames AS BIGINT) AS n_frames,
+        CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        CAST(s_min AS BIGINT) AS s_min, CAST(s_max AS BIGINT) AS s_max,
+        CAST(s_sumabs AS BIGINT) AS s_sumabs, 'ulaw' AS source
+      FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
+
+  /** REAL video-frame pipeline (round 8): synthetic MJPEG-in-AVI
+    * containers are demuxed by an actual RIFF walk
+    * ([[graft.ext.Multimodal.aviFrames]] — hdrl/movi LISTs, '00dc'
+    * chunks, even-byte padding), every 2nd frame sampled, and each
+    * sampled frame's embedded JPEG decoded by ImageIO. The oracle
+    * predicts the sampled frame indices AND each frame's true decoded
+    * pixel dimensions from the id formula — a wrong chunk offset,
+    * missed pad byte, or bad frame order breaks the hash. This retires
+    * the "frame sampling is stubbed" caveat for MJPEG.
+    */
+  val xMultimodalFramesReal = Q(
+    "x_multimodal_frames_real",
+    (s, dir) => Multimodal.decodeFrames(Multimodal.frameSample(
+      Multimodal.withSyntheticAvi(t(s, dir, "documents"), "doc_id"),
+      "id", stride = 2))
+      .orderBy(col("id"), col("frame_idx")),
+    Some("""WITH p AS (SELECT doc_id AS id,
+        2 + CAST(doc_id % 6 AS BIGINT) AS nf FROM documents),
+      f AS (SELECT id, unnest(range(nf)) AS fi FROM p)
+      SELECT id, CAST(fi AS INTEGER) AS frame_idx,
+        CAST(16 + (id + 11 * fi) % 32 AS INTEGER) AS width,
+        CAST(16 + (7 * id + 5 * fi) % 32 AS INTEGER) AS height,
+        'jpeg' AS format
+      FROM f WHERE fi % 2 = 0 ORDER BY id, frame_idx"""))
+
+  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): eighteen
+    * fixed seeds from the generative fuzzer — covering agg (plain /
+    * ROLLUP / CUBE), window (row_number top-k and ROWS/RANGE-framed
+    * running sums + LAG defaults), and set-op shapes over inner/left/
+    * full/semi/anti joins — each a random plan whose DataFrame
+    * rendering runs in Spark while the DuckDB oracle executes the SAME
+    * dual-dialect SQL the generator emitted: a cross-engine
+    * differential sweep over conventions (grouping-set NULL keys, ties,
     * null ordering, integer arithmetic, HAVING, distinct counts, outer-
-    * join null semantics) that hand-written traps can't cover. FuzzSpec
-    * additionally sweeps 80 seeds DF-vs-SQL inside Spark per test run.
+    * join null semantics, frame boundaries) that hand-written traps
+    * can't cover. FuzzSpec additionally sweeps 80 seeds DF-vs-SQL
+    * inside Spark per test run.
     */
   val fuzzQueries: Seq[Q] = graft.fuzz.FuzzGen.driverSeeds.map { seed =>
     val fc = graft.fuzz.FuzzGen.gen(seed)
@@ -447,7 +513,7 @@ object ExtE {
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
-    xMultimodalAudioReal,
+    xMultimodalAudioReal, xMultimodalAudioUlaw, xMultimodalFramesReal,
     xMultimodalDecodeLegacy,
     xGroupFingerprint,
     xDedupSpan,

@@ -303,9 +303,9 @@ class ExtSpec extends SparkSuite {
     // stats must match the generator's closed-form sample function
     val seed = 42L
     val wav = Multimodal.syntheticWav(11000, 2, 250, seed)
-    val Some((rate, ch, bits, frames, durMs, sMin, sMax, sumAbs)) =
+    val Some((rate, ch, bits, frames, durMs, sMin, sMax, sumAbs, src)) =
       Multimodal.realAudioDecode(wav)
-    assert((rate, ch, bits, frames) == (11000, 2, 16, 250L))
+    assert((rate, ch, bits, frames, src) == (11000, 2, 16, 250L, "wav"))
     assert(durMs == 250L * 1000 / 11000)
     val expected = (0 until 500).map(j =>
       ((seed * 7919L + j * 104729L) % 65536L) - 32768L)
@@ -315,6 +315,65 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.realAudioDecode("not audio".getBytes).isEmpty)
     val fake1 = Multimodal.fakeAudioDecode("not audio".getBytes)
     assert(fake1 == Multimodal.fakeAudioDecode("not audio".getBytes))
+  }
+
+  test("µ-law decode runs the JDK G.711 decompressor and matches the closed form") {
+    // the formula the SQL oracle replays must equal the JDK codec's
+    // table on every one of the 256 µ-law codes
+    val allCodes = Array.tabulate(256)(_.toByte)
+    val ref = {
+      val wav = {
+        val out = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+        out.write("RIFF".getBytes); le32(36 + 256); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); le32(16); le16(7); le16(1); le32(8000)
+        le32(8000); le16(1); le16(8)
+        out.write("data".getBytes); le32(256); out.write(allCodes); out.toByteArray
+      }
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), raw)
+      val bs = pcm.readAllBytes()
+      Array.tabulate(256)(i => (((bs(2 * i + 1) << 8) | (bs(2 * i) & 0xff)).toShort).toInt)
+    }
+    for (b <- 0 until 256)
+      assert(Multimodal.ulawToPcm16(b) == ref(b), s"code $b diverges")
+
+    // end-to-end: synthetic µ-law payload through realAudioDecode
+    val ulaw = Multimodal.syntheticUlawWav(9000, 2, 300, 5L)
+    val Some((rate, ch, bits, frames, _, sMin, sMax, sumAbs, src)) =
+      Multimodal.realAudioDecode(ulaw)
+    assert((rate, ch, bits, frames, src) == (9000, 2, 16, 300L, "ulaw"))
+    val expected = (0 until 600).map(j =>
+      Multimodal.ulawToPcm16(math.floorMod(5L * 7919L + j * 104729L, 256L).toInt).toLong)
+    assert(sMin == expected.min && sMax == expected.max)
+    assert(sumAbs == expected.map(math.abs).sum)
+  }
+
+  test("AVI demux walks the RIFF container and recovers every JPEG frame") {
+    val avi = Multimodal.syntheticAvi(5, 42L)
+    assert(Multimodal.sniffAvi(avi))
+    val frames = Multimodal.aviFrames(avi)
+    assert(frames.length == 5, s"expected 5 frames, got ${frames.length}")
+    // every extracted chunk is a decodable JPEG with the formula dims
+    for ((f, i) <- frames.zipWithIndex) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(img != null, s"frame $i not a decodable image")
+      assert(img.getWidth == 16 + math.floorMod(42L + 11L * i, 32L).toInt)
+      assert(img.getHeight == 16 + math.floorMod(7L * 42L + 5L * i, 32L).toInt)
+    }
+    // odd-length chunks must be padded: frame sizes vary, so at least
+    // one synthetic AVI in a small sweep exercises the pad-byte path
+    val padded = (0 until 8).map(s => Multimodal.syntheticAvi(3, s.toLong))
+    assert(padded.forall(b => Multimodal.aviFrames(b).length == 3),
+      "a padded chunk broke the walk")
+    // non-AVI and truncated payloads degrade to empty, never throw
+    assert(Multimodal.aviFrames("not a container".getBytes).isEmpty)
+    assert(Multimodal.aviFrames(avi.take(40)).isEmpty)
   }
 
   test("dHash is stable under PNG re-encode and flips on content change") {
