@@ -48,7 +48,12 @@ object Bench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
 
+    // optional dev filter: SPARK_GRAFT_BENCH_ONLY=q1,x_dedup_span runs
+    // only the named headliners (the driver never sets it = full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val headline = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 

@@ -657,6 +657,30 @@ object Multimodal {
     if (u >= 128) -mag else mag
   }
 
+  /** Closed-form G.711 A-law expansion, verified byte-for-byte against
+    * the JDK's ALAW codec (all 256 codes): XOR 0x55, 3-bit exponent +
+    * 4-bit mantissa, `(2m+1)·8` in the linear segment (e = 0) else
+    * `(2m+33)·2^e·4`, sign POSITIVE when bit 7 survives the XOR (the
+    * opposite convention from µ-law's complemented sign).
+    */
+  def alawToPcm16(b: Int): Int = {
+    val u = (b & 0xff) ^ 0x55
+    val e = (u / 16) % 8
+    val m = u % 16
+    val mag = if (e == 0) (2 * m + 1) * 8 else ((2 * m + 33) << e) * 4
+    if (u >= 128) mag else -mag
+  }
+
+  /** Deterministic synthetic A-law WAV (fmt code 6) — same byte-stream
+    * formula as [[syntheticUlawWav]], A-law companding instead.
+    */
+  def syntheticAlawWav(sampleRate: Int, channels: Int, frames: Int,
+      seed: Long): Array[Byte] = {
+    val bytes = syntheticUlawWav(sampleRate, channels, frames, seed)
+    bytes(20) = 6 // fmt tag µ-law(7) → A-law(6); all else identical
+    bytes
+  }
+
   /** REAL WAV decode via the JDK's `javax.sound.sampled` (the
     * ImageIO move for audio — zero new dependencies): true sample rate,
     * channel count, bit depth, frame count, integer-division duration,
@@ -778,6 +802,26 @@ object Multimodal {
         val ch = 1 + math.floorMod(id, 2L).toInt
         val frames = 200 + math.floorMod(id * 13, 800L).toInt
         Row(id, syntheticUlawWav(rate, ch, frames, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** A-law sibling of [[withSyntheticUlawWav]] — identical parameter
+    * and byte formulas, fmt code 6.
+    */
+  def withSyntheticAlawWav(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 + math.floorMod(id, 8L).toInt * 1000
+        val ch = 1 + math.floorMod(id, 2L).toInt
+        val frames = 200 + math.floorMod(id * 13, 800L).toInt
+        Row(id, syntheticAlawWav(rate, ch, frames, id))
       }
     }
     spark.createDataFrame(rdd, schema)

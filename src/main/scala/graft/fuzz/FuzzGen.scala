@@ -127,6 +127,19 @@ object FuzzGen {
   final case class SetShape(colName: String, mod: Int, op: String,
       predA: Pred, predB: Pred) extends Shape
 
+  /** Uncorrelated scalar subquery in the WHERE clause:
+    * `parentCol op (SELECT MAX(childCol) FROM tbl WHERE pred)` —
+    * DataFrame rendering decorrelates to a broadcast 1-row aggregate +
+    * filter. MAX over an empty child is NULL, which nulls the
+    * comparison and filters every row — a convention both engines must
+    * share for the differential to stay green.
+    */
+  final case class ScalarSub(parentCol: String, tbl: String,
+      childCol: String, op: String, pred: Pred) {
+    def sql: String =
+      s"$parentCol $op (SELECT MAX($childCol) FROM $tbl WHERE ${pred.sql})"
+  }
+
   /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
     * EXISTS / NOT EXISTS against the right table (decorrelated to
     * left_semi / left_anti in the DataFrame rendering) — only the left
@@ -138,7 +151,8 @@ object FuzzGen {
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
       join: Option[(String, String, String, String)], joinKind: String,
       join2: Option[(String, String, String, String)],
-      subPred: Option[Pred], preds: Seq[Pred], shape: Shape) {
+      subPred: Option[Pred], preds: Seq[Pred], shape: Shape,
+      scalarSub: Option[ScalarSub] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -167,7 +181,7 @@ object FuzzGen {
           Seq(s"NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = $lc$sub)")
         case _ => Seq()
       }
-      val conds = existsCond ++ preds.map(_.sql)
+      val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql)
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
@@ -242,7 +256,16 @@ object FuzzGen {
       val base1 = join2.foldLeft(base0) { case (df, (_, rt2, lc2, rc2)) =>
         df.join(H.t(s, dir, rt2), col(lc2) === col(rc2))
       }
-      val base = preds.foldLeft(base1)((df, p) => df.filter(p.df))
+      val base2 = preds.foldLeft(base1)((df, p) => df.filter(p.df))
+      val base = scalarSub.foldLeft(base2) { (df, ss) =>
+        val sc = H.t(s, dir, ss.tbl).filter(ss.pred.df)
+          .agg(max(col(ss.childCol)).as("_scalar"))
+        val cond = ss.op match {
+          case "<=" => col(ss.parentCol) <= col("_scalar")
+          case _ => col(ss.parentCol) >= col("_scalar")
+        }
+        df.crossJoin(broadcast(sc)).filter(cond).drop("_scalar")
+      }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
           val grouped = gmode match {
@@ -396,7 +419,21 @@ object FuzzGen {
         WinShape(genKey("pk"), pick(rnd, intCols), rnd.nextInt(2) == 1,
           idCols, pick(rnd, Seq(2, 3, 5)))
       }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape)
+    // scalar subquery drawn from an INDEPENDENT stream: layering a new
+    // grammar feature must not shift the primary stream's draws, which
+    // would regenerate every existing fixed seed's structure
+    val rnd2 = new Random(seed * 0x9E3779B1L + 13)
+    val scalarSub =
+      if (rnd2.nextInt(3) == 0) {
+        val tbl = pick(rnd2, tables)
+        val k = pick(rnd2, Seq(2, 3, 5))
+        Some(ScalarSub(pick(rnd2, intCols), tbl.name,
+          pick(rnd2, tbl.intCols), pick(rnd2, Seq("<=", ">=")),
+          Pred(pick(rnd2, tbl.intCols), k, rnd2.nextInt(k),
+            pick(rnd2, Seq("=", "<>")))))
+      } else None
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape,
+      scalarSub)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -407,8 +444,12 @@ object FuzzGen {
     * additionally sweeps a much wider seed range DF-vs-SQL. Seed 1 is
     * ROLLUP over a FULL join (subtotal NULL keys interleaving with
     * null-extended NULL keys — the grouping-set row identity trap),
-    * 22 is a ROWS frame under NOT EXISTS, 68 is CUBE over a FULL join.
+    * 22 is a ROWS frame under NOT EXISTS, 68 is CUBE over a FULL join,
+    * 34/48/55 carry scalar subqueries over set-op / chained-join-window
+    * / FULL-join-HAVING shapes with non-empty results (the previous
+    * picks 101/111/113 went empty once their scalar filters landed —
+    * an empty fixed differential only adjudicates the schema).
     */
-  val driverSeeds: Seq[Int] = Seq(1, 22, 68, 101, 102, 103, 104, 105, 106,
-    107, 108, 109, 110, 111, 113, 124, 146, 317)
+  val driverSeeds: Seq[Int] = Seq(1, 22, 34, 48, 55, 68, 102, 103, 104,
+    105, 106, 107, 108, 109, 110, 124, 146, 317)
 }

@@ -178,6 +178,40 @@ object ExtE {
         CAST(s_sumabs AS BIGINT) AS s_sumabs, 'ulaw' AS source
       FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
 
+  /** A-law sibling of [[xMultimodalAudioUlaw]] — fmt code 6, the other
+    * half of the G.711 family, with the opposite sign convention and a
+    * linear low segment (`(2m+1)·8` at e = 0) the oracle replays.
+    */
+  val xMultimodalAudioAlaw = Q(
+    "x_multimodal_audio_alaw",
+    (s, dir) => Multimodal.audioDecode(
+      Multimodal.withSyntheticAlawWav(t(s, dir, "documents"), "doc_id"), "id")
+      .orderBy(col("id")),
+    Some("""WITH p AS (SELECT doc_id AS id,
+        8000 + CAST(doc_id % 8 AS BIGINT) * 1000 AS rate,
+        1 + CAST(doc_id % 2 AS BIGINT) AS ch,
+        200 + (doc_id * 13) % 800 AS frames
+      FROM documents),
+      s AS (SELECT id, rate, ch, frames,
+        unnest(range(frames * ch)) AS j FROM p),
+      u AS (SELECT id,
+        xor((id * 7919 + j * 104729) % 256, 85) AS uc FROM s),
+      v AS (SELECT id,
+        CASE WHEN uc >= 128 THEN 1 ELSE -1 END *
+          CASE WHEN (uc // 16) % 8 = 0 THEN (2 * (uc % 16) + 1) * 8
+               ELSE (2 * (uc % 16) + 33)
+                 * (1 << CAST((uc // 16) % 8 AS INTEGER)) * 4 END AS sv
+        FROM u),
+      a AS (SELECT id, MIN(sv) AS s_min, MAX(sv) AS s_max,
+        SUM(abs(sv)) AS s_sumabs FROM v GROUP BY id)
+      SELECT p.id, CAST(rate AS INTEGER) AS sample_rate,
+        CAST(ch AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        CAST(frames AS BIGINT) AS n_frames,
+        CAST(frames * 1000 // rate AS BIGINT) AS duration_ms,
+        CAST(s_min AS BIGINT) AS s_min, CAST(s_max AS BIGINT) AS s_max,
+        CAST(s_sumabs AS BIGINT) AS s_sumabs, 'alaw' AS source
+      FROM p JOIN a ON a.id = p.id ORDER BY p.id"""))
+
   /** REAL video-frame pipeline (round 8): synthetic MJPEG-in-AVI
     * containers are demuxed by an actual RIFF walk
     * ([[graft.ext.Multimodal.aviFrames]] — hdrl/movi LISTs, '00dc'
@@ -513,7 +547,8 @@ object ExtE {
   val queries: Seq[Q] = Seq(
     xHardNegativesIvf,
     xHardNegativesIvfRecall,
-    xMultimodalAudioReal, xMultimodalAudioUlaw, xMultimodalFramesReal,
+    xMultimodalAudioReal, xMultimodalAudioUlaw, xMultimodalAudioAlaw,
+    xMultimodalFramesReal,
     xMultimodalDecodeLegacy,
     xGroupFingerprint,
     xDedupSpan,

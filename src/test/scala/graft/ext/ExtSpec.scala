@@ -354,6 +354,40 @@ class ExtSpec extends SparkSuite {
     assert(sumAbs == expected.map(math.abs).sum)
   }
 
+  test("A-law decode matches the JDK table on all 256 codes and end-to-end") {
+    val allCodes = Array.tabulate(256)(_.toByte)
+    val ref = {
+      val wav = {
+        val out = new java.io.ByteArrayOutputStream()
+        def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+        def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+        out.write("RIFF".getBytes); le32(36 + 256); out.write("WAVE".getBytes)
+        out.write("fmt ".getBytes); le32(16); le16(6); le16(1); le32(8000)
+        le32(8000); le16(1); le16(8)
+        out.write("data".getBytes); le32(256); out.write(allCodes); out.toByteArray
+      }
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000f, 16, 1, 2, 8000f, false), raw)
+      val bs = pcm.readAllBytes()
+      Array.tabulate(256)(i => (((bs(2 * i + 1) << 8) | (bs(2 * i) & 0xff)).toShort).toInt)
+    }
+    for (b <- 0 until 256)
+      assert(Multimodal.alawToPcm16(b) == ref(b), s"code $b diverges")
+
+    val alaw = Multimodal.syntheticAlawWav(12000, 1, 400, 9L)
+    val Some((rate, ch, bits, frames, _, sMin, sMax, sumAbs, src)) =
+      Multimodal.realAudioDecode(alaw)
+    assert((rate, ch, bits, frames, src) == (12000, 1, 16, 400L, "alaw"))
+    val expected = (0 until 400).map(j =>
+      Multimodal.alawToPcm16(math.floorMod(9L * 7919L + j * 104729L, 256L).toInt).toLong)
+    assert(sMin == expected.min && sMax == expected.max)
+    assert(sumAbs == expected.map(math.abs).sum)
+  }
+
   test("AVI demux walks the RIFF container and recovers every JPEG frame") {
     val avi = Multimodal.syntheticAvi(5, 42L)
     assert(Multimodal.sniffAvi(avi))

@@ -76,5 +76,6 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(_.joinKind == "anti"), "no NOT EXISTS case")
     assert(cases.exists(_.joinKind == "left"), "no LEFT JOIN case")
     assert(cases.exists(_.joinKind == "full"), "no FULL JOIN case")
+    assert(cases.exists(_.scalarSub.isDefined), "no scalar-subquery case")
   }
 }
