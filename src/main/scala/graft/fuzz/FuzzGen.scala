@@ -140,6 +140,21 @@ object FuzzGen {
       s"$parentCol $op (SELECT MAX($childCol) FROM $tbl WHERE ${pred.sql})"
   }
 
+  /** CORRELATED scalar subquery in the WHERE clause:
+    * `parentCol op (SELECT MAX(childCol) FROM tbl
+    *                WHERE tbl.fk = parent.pk AND pred)` —
+    * the classic decorrelation minefield. The DataFrame rendering
+    * decorrelates by hand the way Catalyst does: group the child by its
+    * FK, aggregate, LEFT join back on the parent key, filter. Parents
+    * with no qualifying child rows see a NULL aggregate, which nulls
+    * the comparison and drops the row — the convention under test.
+    */
+  final case class CorrSub(parentCol: String, tbl: String, childCol: String,
+      op: String, fkChild: String, fkParent: String, pred: Pred) {
+    def sql: String = s"$parentCol $op (SELECT MAX($childCol) FROM $tbl " +
+      s"WHERE $fkChild = $fkParent AND ${pred.sql})"
+  }
+
   /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
     * EXISTS / NOT EXISTS against the right table (decorrelated to
     * left_semi / left_anti in the DataFrame rendering) — only the left
@@ -152,7 +167,8 @@ object FuzzGen {
       join: Option[(String, String, String, String)], joinKind: String,
       join2: Option[(String, String, String, String)],
       subPred: Option[Pred], preds: Seq[Pred], shape: Shape,
-      scalarSub: Option[ScalarSub] = None) {
+      scalarSub: Option[ScalarSub] = None,
+      corrSub: Option[CorrSub] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -181,7 +197,8 @@ object FuzzGen {
           Seq(s"NOT EXISTS (SELECT 1 FROM $rt WHERE $rc = $lc$sub)")
         case _ => Seq()
       }
-      val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql)
+      val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
+        corrSub.map(_.sql)
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
@@ -257,7 +274,7 @@ object FuzzGen {
         df.join(H.t(s, dir, rt2), col(lc2) === col(rc2))
       }
       val base2 = preds.foldLeft(base1)((df, p) => df.filter(p.df))
-      val base = scalarSub.foldLeft(base2) { (df, ss) =>
+      val base3 = scalarSub.foldLeft(base2) { (df, ss) =>
         val sc = H.t(s, dir, ss.tbl).filter(ss.pred.df)
           .agg(max(col(ss.childCol)).as("_scalar"))
         val cond = ss.op match {
@@ -265,6 +282,17 @@ object FuzzGen {
           case _ => col(ss.parentCol) >= col("_scalar")
         }
         df.crossJoin(broadcast(sc)).filter(cond).drop("_scalar")
+      }
+      val base = corrSub.foldLeft(base3) { (df, cs) =>
+        val agg = H.t(s, dir, cs.tbl).filter(cs.pred.df)
+          .groupBy(col(cs.fkChild).as("_ck"))
+          .agg(max(col(cs.childCol)).as("_cmax"))
+        val cond = cs.op match {
+          case "<=" => col(cs.parentCol) <= col("_cmax")
+          case _ => col(cs.parentCol) >= col("_cmax")
+        }
+        df.join(agg, col(cs.fkParent) === col("_ck"), "left")
+          .filter(cond).drop("_ck", "_cmax")
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
@@ -432,8 +460,25 @@ object FuzzGen {
           Pred(pick(rnd2, tbl.intCols), k, rnd2.nextInt(k),
             pick(rnd2, Seq("=", "<>")))))
       } else None
+    // correlated scalar subquery: needs a visible table that is the
+    // PARENT of some FK edge (the child aggregates per parent key);
+    // >= keeps rows (child keys are usually smaller than parent ids),
+    // <= exercises the NULL-drop on childless parents
+    val visNames = visible.map(_.name).toSet
+    val corrEdges = fkJoins.filter(j => visNames(j._2))
+    val corrSub =
+      if (corrEdges.nonEmpty && rnd2.nextInt(3) == 0) {
+        val (ct, _, cfk, pk) = pick(rnd2, corrEdges)
+        val child = byName(ct)
+        val k = pick(rnd2, Seq(2, 3, 5))
+        Some(CorrSub(pick(rnd2, intCols), ct,
+          pick(rnd2, child.intCols), pick(rnd2, Seq("<=", ">=", ">=")),
+          cfk, pk,
+          Pred(pick(rnd2, child.intCols), k, rnd2.nextInt(k),
+            pick(rnd2, Seq("=", "<>")))))
+      } else None
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape,
-      scalarSub)
+      scalarSub, corrSub)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -448,8 +493,10 @@ object FuzzGen {
     * 34/48/55 carry scalar subqueries over set-op / chained-join-window
     * / FULL-join-HAVING shapes with non-empty results (the previous
     * picks 101/111/113 went empty once their scalar filters landed —
-    * an empty fixed differential only adjudicates the schema).
+    * an empty fixed differential only adjudicates the schema), 3/8/32
+    * carry CORRELATED scalar subqueries (plain agg / chained RANGE
+    * frame with both subquery kinds / FULL-join window).
     */
-  val driverSeeds: Seq[Int] = Seq(1, 22, 34, 48, 55, 68, 102, 103, 104,
-    105, 106, 107, 108, 109, 110, 124, 146, 317)
+  val driverSeeds: Seq[Int] = Seq(1, 3, 8, 22, 32, 34, 48, 55, 68, 102,
+    103, 104, 105, 107, 108, 109, 110, 124, 146)
 }

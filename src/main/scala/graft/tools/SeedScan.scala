@@ -10,7 +10,7 @@ object SeedScan {
         case FrameShape(_, _, _, _, f, _) => s"frame($f)"
         case SetShape(_, _, op, _, _) => s"set($op)"
       }
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""} $desc")
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""} $desc")
     }
   }
 }

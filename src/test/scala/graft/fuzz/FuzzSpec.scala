@@ -77,5 +77,7 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(_.joinKind == "left"), "no LEFT JOIN case")
     assert(cases.exists(_.joinKind == "full"), "no FULL JOIN case")
     assert(cases.exists(_.scalarSub.isDefined), "no scalar-subquery case")
+    assert(cases.exists(_.corrSub.isDefined),
+      "no correlated-scalar-subquery case")
   }
 }

@@ -278,6 +278,30 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("round-8 hashed span dedup and LSH stage counts keep their scale shapes") {
+    // fingerprint-keyed span dedup: the first-occurrence group must
+    // STILL partial-aggregate (hot 8-byte keys combine map-side) and
+    // stay equi-join-only; additionally the shuffled window key is the
+    // bigint fingerprint, never the window text
+    val p = plan("x_dedup_span_hashed")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"hashed span dedup degraded to a non-equi join:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min") ||
+      p.linesIterator.exists(l => l.contains("HashAggregate") &&
+        l.contains("min")),
+      s"hashed first-occurrence min lost partial aggregation:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("Exchange") &&
+      l.contains("wkey")), s"fingerprint key not the shuffle key:\n$p")
+    // stage-count instrumentation rides the same banded equi-join as
+    // the pair query — instrumenting must not change the join shape
+    val ps = plan("x_dedup_embedding_lsh_stages")
+    assert(!ps.contains("CartesianProduct"),
+      s"LSH stage counts planned a cartesian:\n$ps")
+    assert(ps.contains("bit_count"),
+      s"Hamming prefilter left the stage-count plan:\n$ps")
+  }
+
   test("round-7 diversity sample and curate v3 keep their scale shapes") {
     // diversity sample: the only nested-loop joins are the nlist-row
     // centroid assignment crossJoin (cached, but its subtree prints
