@@ -237,7 +237,7 @@ object ExtE {
         'jpeg' AS format
       FROM f WHERE fi % 2 = 0 ORDER BY id, frame_idx"""))
 
-  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): eighteen
+  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): nineteen
     * fixed seeds from the generative fuzzer — covering agg (plain /
     * ROLLUP / CUBE), window (row_number top-k and ROWS/RANGE-framed
     * running sums + LAG defaults), and set-op shapes over inner/left/
