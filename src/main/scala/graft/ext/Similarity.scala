@@ -620,6 +620,121 @@ object Similarity {
         .as("n_verified"))
   }
 
+  /** Pure two-input face of incremental embedding near-dup dedup —
+    * [[graft.ext.Dedup.spanDedupAgainstHistory]]'s convention applied
+    * to the LSH modality. For every NEW vector, reports whether it is
+    * (a) dropped in-batch (it is the GREATER side of some verified
+    * in-batch pair — greedy min-id survivorship) or, if it survives
+    * that, (b) dropped by history (a verified pair with any historical
+    * vector). History rows are assumed already deduplicated (state
+    * only ever holds accepted vectors — a vector killed in an earlier
+    * batch cannot kill later arrivals, the SemDeDup-style convention
+    * [[graft.ext.Dedup.minhashDedupIncremental]] also uses).
+    *
+    * Candidate generation stays the banded equi-join on BOTH legs
+    * (in-batch self-join; new-vs-history join), with the Hamming
+    * prefilter inline and exact-cosine verification — identical
+    * guarantees to [[cosineLshPairs]]: false positives impossible,
+    * only band recall approximate. Deterministic splitmix64 planes
+    * make the whole decision SQL-replayable, so the driver query
+    * adjudicates every flag.
+    */
+  def cosineLshAgainstHistory(newEmb: DataFrame, histEmb: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      nBits: Int = 256, bands: Int = 32, seed: Long = 7L): DataFrame = {
+    val (eNew, exNew) = lshParts(newEmb, idCol, vecCol, nBits, bands, seed)
+    val (eHist, exHist) = lshParts(histEmb, idCol, vecCol, nBits, bands, seed)
+    val hMax = lshHammingBound(nBits, threshold)
+    val sigWords = (nBits + 63) / 64
+
+    def verified(cands: DataFrame, left: DataFrame, right: DataFrame): DataFrame =
+      cands
+        .join(left.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+        .join(right.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+        .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+
+    // in-batch: verified pair (a < b) drops b
+    val inBatchPairs = verified(
+      exNew.as("a").join(exNew.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.id") < col("b.id"))
+        .filter(lshHamming(sigWords) <= hMax)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b"),
+      eNew, eNew)
+    val inBatchDrops = inBatchPairs.select(col("id_b").as("id")).distinct()
+
+    // cross-batch: in-batch survivors vs history (history id on the
+    // right so `verified` reads vectors from the right frame)
+    val crossPairs = verified(
+      exNew.as("a").join(exHist.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        .filter(lshHamming(sigWords) <= hMax)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b"),
+      eNew, eHist)
+    val histDrops = crossPairs.select(col("id_a").as("id")).distinct()
+      .join(inBatchDrops, Seq("id"), "left_anti")
+
+    eNew.select(col("id"))
+      .join(inBatchDrops.withColumn("dib", lit(true)), Seq("id"), "left")
+      .join(histDrops.withColumn("dh", lit(true)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dib"), lit(false)).as("dropped_in_batch"),
+        coalesce(col("dh"), lit(false)).as("dropped_by_history"),
+        not(coalesce(col("dib"), lit(false)) ||
+          coalesce(col("dh"), lit(false))).as("survived"))
+  }
+
+  /** Stateful incremental embedding dedup over a parquet signature+
+    * vector state — continuous-ingestion near-dup filtering for the
+    * embedding modality, [[graft.ext.Dedup.minhashDedupIncremental]]'s
+    * protocol applied to hyperplane LSH: in-batch min-id survivorship,
+    * cross-batch banded probe against accumulated state with exact-
+    * cosine verification (state stores the vectors — fixed-width
+    * payload, so unlike text the exactness costs only dim·4 bytes per
+    * accepted row), survivors appended to state, `batchTag` redelivery
+    * protocol (a replayed batch first drops its own earlier append, so
+    * re-processing is idempotent). Returns the surviving new rows.
+    *
+    * State is append-only and grows ONLY by accepted vectors — the
+    * 100 TB shape: each batch shuffles its own profiles plus candidate
+    * pairs, never the full state (the state side of the band join
+    * prunes to colliding buckets).
+    */
+  def cosineLshIncremental(newEmb: DataFrame, idCol: String,
+      vecCol: String, statePath: String, threshold: Double,
+      nBits: Int = 256, bands: Int = 32, seed: Long = 7L,
+      batchTag: Option[Long] = None): DataFrame = {
+    val spark = newEmb.sparkSession
+    val state = Dedup.readStateOrEmpty(spark, statePath)
+      .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
+    val hist = state match {
+      case Some(st) => st.select(col("id").as(idCol), col("v").as(vecCol))
+      case None =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField(idCol, LongType),
+            StructField(vecCol, ArrayType(FloatType)))))
+    }
+    val flags = cosineLshAgainstHistory(newEmb, hist, idCol, vecCol,
+      threshold, nBits, bands, seed)
+    // pin survivors BEFORE the state append — a lazy plan re-read after
+    // the append would see this batch's own vectors in state and kill
+    // every row as its own duplicate
+    val survivors = flags.filter(col("survived")).select(col("id"))
+      .localCheckpoint(true)
+    newEmb.select(col(idCol).cast("long").as("id"),
+        toDoubleVec(col(vecCol)).cast("array<float>").as("v"))
+      .join(survivors, Seq("id"))
+      .withColumn("batch", lit(batchTag.getOrElse(-1L)))
+      .write.mode("append").parquet(statePath)
+    newEmb.join(survivors.withColumnRenamed("id", "__sid"),
+      col(idCol).cast("long") === col("__sid"), "left_semi")
+  }
+
   /** Shared [[cosineLshPairs]] plumbing: `e(id, v, nrm)` and the
     * band-exploded signature profiles `(id, band, bucket, sig)`.
     */
@@ -632,8 +747,11 @@ object Similarity {
       norm(col(vecCol)).as("nrm"))
 
     // fixed ±1 hyperplanes sized to the embedding dim (driver reads
-    // ONE row for the dim — O(1), not O(rows))
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    // ONE row for the dim — O(1), not O(rows); an EMPTY input — the
+    // first incremental batch has no history — gets a 1-dim dummy
+    // plane set it will never apply)
+    val dim = e.select(size(col("v"))).head(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
     val planes = Array.tabulate(nBits, dim)((i, d) =>
       lshPlaneEntry(seed, i, dim, d))
 

@@ -1489,6 +1489,40 @@ object Ext {
           AS n_post_hamming,
         CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_verified"""))
 
+  /** Incremental embedding dedup, pure two-input face
+    * ([[Similarity.cosineLshAgainstHistory]]): even vec_ids play the
+    * accumulated state, odd ids the arriving batch. Every flag —
+    * dropped in-batch (greater side of a verified new-new pair),
+    * dropped by history (verified pair with any state vector, only if
+    * it survived in-batch), survived — adjudicates because the global
+    * verified-pair set replays in SQL and the incremental decisions
+    * are pure restrictions of it (same banding, prefilter, verify).
+    */
+  val xDedupEmbeddingLshIncremental = Q(
+    "x_dedup_embedding_lsh_incremental",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.cosineLshAgainstHistory(
+        emb.filter(col("vec_id") % 2 === 1),
+        emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", threshold = 0.45)
+        .orderBy(col("id"))
+    },
+    Some(s"""$lshReplayCtes,
+      newv AS (SELECT vec_id AS id FROM embeddings WHERE vec_id % 2 = 1),
+      dib AS (SELECT DISTINCT id_b AS id FROM lsh
+        WHERE id_a % 2 = 1 AND id_b % 2 = 1),
+      xh AS (SELECT DISTINCT
+          CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS id
+        FROM lsh WHERE (id_a % 2) <> (id_b % 2)),
+      dh AS (SELECT id FROM xh WHERE id NOT IN (SELECT id FROM dib))
+      SELECT n.id,
+        n.id IN (SELECT id FROM dib) AS dropped_in_batch,
+        n.id IN (SELECT id FROM dh) AS dropped_by_history,
+        NOT (n.id IN (SELECT id FROM dib)
+          OR n.id IN (SELECT id FROM dh)) AS survived
+      FROM newv n ORDER BY n.id"""))
+
   /** Salted two-phase aggregation: splits each hot group key across 8
     * salt buckets before combining — result is IDENTICAL to the plain
     * GROUP BY (the oracle), which is the whole point: skew mitigation
@@ -1641,7 +1675,7 @@ object Ext {
     xTextWinnow, xDedupWinnow, xTextVocab, xTextVocabCoverage,
     xDedupSimhash, xDedupEmbedding, xDedupSemantic,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xDedupEmbeddingLshStages,
-    xAnnTopk, xAnnPq,
+    xDedupEmbeddingLshIncremental, xAnnTopk, xAnnPq,
     xAnnIvfPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,

@@ -38,4 +38,27 @@ object DedupStream {
         ()
       }
       .start()
+
+  /** The embedding-modality sibling (round 8): a vector stream is
+    * deduplicated per micro-batch against accumulated hyperplane-LSH
+    * state ([[graft.ext.Similarity.cosineLshIncremental]] — exact-
+    * cosine verified, so no false drops beyond band recall). Same
+    * exactly-once shape: batch-tagged state for idempotent replay,
+    * overwrite-into-`batch=<id>` sink.
+    */
+  def embeddingDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+      statePath: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.9,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val survivors = graft.ext.Similarity.cosineLshIncremental(
+          batch, idCol, vecCol, statePath, threshold,
+          batchTag = Some(batchId))
+        survivors.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -188,6 +188,51 @@ class ExtSpec extends SparkSuite {
     assert(later == 0, "later batch missed cross-batch state")
   }
 
+  test("incremental embedding LSH dedup: in-batch, cross-batch, and replay") {
+    import spark.implicits._
+    val state = java.nio.file.Files.createTempDirectory("lshstate")
+      .resolve("state").toString
+    def v(xs: Float*): Seq[Float] = xs
+    val e1 = v(1f, 0.01f, 0f, 0f)           // anchor
+    val e1b = v(0.99f, 0.05f, 0.01f, 0f)    // near-dup of anchor
+    val e2 = v(0f, 1f, 0f, 0f)              // orthogonal
+    val b1 = Seq(1L -> e1, 2L -> e1b, 3L -> e2).toDF("vec_id", "embedding")
+    val s1 = Similarity.cosineLshIncremental(b1, "vec_id", "embedding",
+      state, threshold = 0.9).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(1L, 3L), s"in-batch near-dup should drop vec 2: $s1")
+
+    // batch 2: near-dup of a state survivor (drop) + genuinely new (keep)
+    val b2 = Seq(10L -> v(0.98f, 0.02f, 0.05f, 0f),
+      11L -> v(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    val s2 = Similarity.cosineLshIncremental(b2, "vec_id", "embedding",
+      state, threshold = 0.9).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(11L), s"cross-batch near-dup should drop vec 10: $s2")
+
+    // redelivery without a tag: replay sees its own vectors in state
+    val s3 = Similarity.cosineLshIncremental(b2, "vec_id", "embedding",
+      state, threshold = 0.9).count()
+    assert(s3 == 0, s"replayed batch must yield zero survivors, got $s3")
+
+    // batch-tagged replay is idempotent
+    val state2 = java.nio.file.Files.createTempDirectory("lshreplay")
+      .resolve("state").toString
+    val first = Similarity.cosineLshIncremental(b1, "vec_id", "embedding",
+      state2, threshold = 0.9, batchTag = Some(7L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val replay = Similarity.cosineLshIncremental(b1, "vec_id", "embedding",
+      state2, threshold = 0.9, batchTag = Some(7L))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 3L) && replay == first,
+      s"tagged replay diverged: first=$first replay=$replay")
+
+    // the pure face agrees with the stateful decisions
+    val flags = Similarity.cosineLshAgainstHistory(b2, b1.filter($"vec_id" =!= 2L),
+      "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(flags(10L) == ((false, true, false)), s"10 should die by history: $flags")
+    assert(flags(11L) == ((false, false, true)), s"11 should survive: $flags")
+  }
+
   test("decode stub is deterministic and total") {
     val out = Multimodal.decode(
       Multimodal.withBinary(docs, "text", "doc_id"), "doc_id")

@@ -117,6 +117,49 @@ class StreamingSpec extends SparkSuite {
     assert(after2 == Set(1L, 3L, 11L), s"batch 2 survivors wrong: $after2")
   }
 
+  test("streaming embedding near-dup dedup: micro-batches against LSH state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("embdedupstream")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    def v(xs: Float*): Seq[Float] = xs
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+        .parquet(src.toString)
+      val q = DedupStream.embeddingDedupStream(stream, "vec_id", "embedding",
+        state, out, ckpt)
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+
+    // micro-batch 1: a near-dup pair + an orthogonal unique
+    Seq(1L -> v(1f, 0.01f, 0f, 0f), 2L -> v(0.99f, 0.05f, 0.01f, 0f),
+        3L -> v(0f, 1f, 0f, 0f))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src.toString)
+    run()
+    val after1 = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after1 == Set(1L, 3L), s"batch 1 survivors wrong: $after1")
+
+    // micro-batch 2: near-dup of a state survivor + something fresh
+    Seq(10L -> v(0.98f, 0.02f, 0.05f, 0f), 11L -> v(0f, 0f, 1f, 0f))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(src.toString)
+    run()
+    val after2 = spark.read.parquet(out).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after2 == Set(1L, 3L, 11L), s"batch 2 survivors wrong: $after2")
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     val dir = Files.createTempDirectory("dedupstream")
     val src = dir.resolve("src").toString
