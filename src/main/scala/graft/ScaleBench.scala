@@ -239,6 +239,34 @@ object ScaleBench {
       }
     }
 
+    // embedding LSH dedup (round 8): replicated vectors are EXACT
+    // clones (cosine 1.0) of their originals — every clone group lands
+    // in identical band buckets, the hot-bucket worst case for banding.
+    // Verified-pair output grows ~k² per original near-dup group
+    // (semantic damage), so runtime must track the OUTPUT pair count,
+    // not degrade worse than it; the Hamming prefilter rejects nothing
+    // inside clone groups (distance 0) and everything still verifies.
+    val embSc = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).cache()
+    val nEmb = embSc.count()
+    if (sec("lsh")) for (k <- Seq(2, 4, 8)) {
+      val rep = embSc
+        .crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("vec_id") * 64 + col("rep")).as("vec_id"),
+          col("embedding"))
+        .repartition(cpus.toInt)
+      timeShuffle(s"cosineLshPairs x$k vectors (${nEmb * k} vecs, pairs ~k^2)") {
+        graft.ext.Similarity.cosineLshPairs(rep, "vec_id", "embedding",
+          threshold = 0.45).count()
+      }
+      timeShuffle(s"lshIncremental split x$k (${nEmb * k} vecs)") {
+        graft.ext.Similarity.cosineLshAgainstHistory(
+          rep.filter(col("vec_id") % 2 === 1),
+          rep.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", threshold = 0.45).count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

@@ -890,6 +890,16 @@ object Dedup {
       span: Int): DataFrame =
     spanDedupCore(docs, textCol, idCol, span, perDoc = true)
 
+  /** [[intraDocDedup]] on 64-bit fingerprint window keys — the per-doc
+    * group never ships window text (the key is (doc_id, 8-byte
+    * fingerprint)); same collision caveat and parity adjudication
+    * story as [[spanDedupHashed]] (`x_dedup_intra_doc_hashed`).
+    */
+  def intraDocDedupHashed(docs: DataFrame, textCol: String, idCol: String,
+      span: Int): DataFrame =
+    spanDedupCore(docs, textCol, idCol, span, perDoc = true,
+      hashedKeys = true)
+
   /** [[spanDedup]] with 64-bit fingerprint window keys — the 100 TB
     * variant the text-keyed scaladoc promises: the corpus-wide
     * first-occurrence shuffle ships an 8-byte rolling-fold key instead

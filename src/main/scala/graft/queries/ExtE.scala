@@ -344,6 +344,17 @@ object ExtE {
       "doc_id", span = 3).orderBy(col("doc_id")),
     Some(spanDedupSql(3, perDoc = true)))
 
+  /** Fingerprint-keyed intra-doc dedup
+    * ([[graft.ext.Dedup.intraDocDedupHashed]]) — adjudicated against
+    * the SAME text-keyed oracle as [[xDedupIntraDoc]]: byte-identical
+    * output proves the (doc, fingerprint) key swap changes nothing.
+    */
+  val xDedupIntraDocHashed = Q(
+    "x_dedup_intra_doc_hashed",
+    (s, dir) => Dedup.intraDocDedupHashed(t(s, dir, "documents"), "text",
+      "doc_id", span = 3).orderBy(col("doc_id")),
+    Some(spanDedupSql(3, perDoc = true)))
+
   /** Curation pipeline v3 — the round-7 capstone composing the
     * exact-substring dedup pair the way a production cleanup actually
     * layers them: (1) intra-document repetition removal (3-token spans,
@@ -362,8 +373,9 @@ object ExtE {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       // fan-out hygiene: the intra result feeds the global pass AND the
-      // raw-token join
-      val intra = Dedup.intraDocDedup(docs, "text", "doc_id", span = 3)
+      // raw-token join; both passes ride the fingerprint-keyed
+      // production default (parity queries prove byte-identical output)
+      val intra = Dedup.intraDocDedupHashed(docs, "text", "doc_id", span = 3)
         .cache()
       val d1 = intra.select(col("doc_id"),
         col("deduped_text").as("text"))
@@ -558,7 +570,7 @@ object ExtE {
     xGroupFingerprint,
     xDedupSpan,
     xDedupSpanHashed,
-    xDedupIntraDoc,
+    xDedupIntraDoc, xDedupIntraDocHashed,
     xPipelineCurateV3,
     xSampleDiversity,
     xDedupSpanIncremental) ++ fuzzQueries
