@@ -299,10 +299,6 @@ object Multimodal {
     * and per-frame decoded dimensions are.
     */
   def syntheticAvi(nFrames: Int, seed: Long): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
-    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     val frames = Array.tabulate(nFrames) { f =>
       val w = 16 + math.floorMod(seed + 11L * f, 32L).toInt
       val h = 16 + math.floorMod(7L * seed + 5L * f, 32L).toInt
@@ -321,22 +317,84 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpeg", bos)
       bos.toByteArray
     }
+    buildAvi(frames, "00dc")
+  }
+
+  /** RIFF/AVI container writer shared by the synthetic builders:
+    * hdrl LIST with the 56-byte avih main header (frame count), movi
+    * LIST with one `chunkId` chunk per frame payload, even-byte
+    * padding per the RIFF spec.
+    */
+  private def buildAvi(frames: Array[Array[Byte]],
+      chunkId: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def fourcc(s: String): Unit = out.write(s.getBytes("US-ASCII"))
     val hdrlSize = 4 + 8 + 56 // 'hdrl' + avih chunk header + payload
     val moviSize = 4 + frames.map(f => 8 + f.length + (f.length & 1)).sum
     fourcc("RIFF"); le32(4 + 8 + hdrlSize + 8 + moviSize); fourcc("AVI ")
     fourcc("LIST"); le32(hdrlSize); fourcc("hdrl")
     fourcc("avih"); le32(56)
     le32(40000); le32(0); le32(0); le32(0) // µs/frame, maxBps, pad, flags
-    le32(nFrames)                          // dwTotalFrames
+    le32(frames.length)                    // dwTotalFrames
     le32(0); le32(1); le32(0)              // initialFrames, streams, bufSize
     le32(0); le32(0)                       // width, height (per-frame here)
     le32(0); le32(0); le32(0); le32(0)     // reserved
     fourcc("LIST"); le32(moviSize); fourcc("movi")
     frames.foreach { f =>
-      fourcc("00dc"); le32(f.length); out.write(f)
+      fourcc(chunkId); le32(f.length); out.write(f)
       if ((f.length & 1) == 1) out.write(0) // RIFF chunks pad to even
     }
     out.toByteArray
+  }
+
+  /** Keyed LOSSLESS synthetic AVI: '00db' chunks carrying BMP frames
+    * whose pixels are a pure function of `key = (vid + f) mod mod` —
+    * the same key recurring across videos renders the IDENTICAL frame,
+    * the fixture for cross-video duplicate-frame detection. BMP is
+    * lossless, so unlike the MJPEG builder an external oracle predicts
+    * every decoded pixel (and therefore every dHash bit).
+    */
+  def syntheticAviBmpKeyed(nFrames: Int, vid: Long, mod: Int): Array[Byte] = {
+    val frames = Array.tabulate(nFrames) { f =>
+      val key = math.floorMod(vid + f, mod.toLong)
+      val w = 8 + (key % 24).toInt
+      val h = 8 + (key * 5 % 24).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (x * 31 + y * 17 + key).toInt & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", bos)
+      bos.toByteArray
+    }
+    buildAvi(frames, "00db")
+  }
+
+  /** Per-row keyed BMP-in-AVI payloads (`nFrames = 2 + id mod 6`,
+    * frame keys `(id + f) mod mod`) — see [[syntheticAviBmpKeyed]].
+    */
+  def withSyntheticAviKeyed(docs: DataFrame, idCol: String,
+      mod: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticAviBmpKeyed(2 + math.floorMod(id, 6L).toInt, id, mod))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   /** RIFF walk over an AVI payload: collects the '00dc'/'00db' video

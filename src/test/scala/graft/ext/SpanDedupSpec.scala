@@ -155,6 +155,11 @@ class SpanDedupSpec extends SparkSuite {
       val hashed = Dedup.spanDedupHashed(docs.toDF("doc_id", "text"), "text",
         "doc_id", span).orderBy(col("doc_id")).collect().toSeq
       assert(hashed == text, s"seed=$seed span=$span")
+      val intraText = Dedup.intraDocDedup(docs.toDF("doc_id", "text"),
+        "text", "doc_id", span).orderBy(col("doc_id")).collect().toSeq
+      val intraHashed = Dedup.intraDocDedupHashed(docs.toDF("doc_id", "text"),
+        "text", "doc_id", span).orderBy(col("doc_id")).collect().toSeq
+      assert(intraHashed == intraText, s"intra seed=$seed span=$span")
     }
   }
 
