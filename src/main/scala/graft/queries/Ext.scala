@@ -1489,6 +1489,30 @@ object Ext {
           AS n_post_hamming,
         CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_verified"""))
 
+  /** Embedding near-dup cluster formation: transitive closure over the
+    * hyperplane-LSH verified pair graph (min-label-propagation CC —
+    * the same [[graft.ext.Dedup.nearDupClusters]] machinery the text
+    * modality uses), giving duplicate GROUP sizes instead of raw
+    * pairs. The oracle chains the full LSH replay into a recursive-CTE
+    * closure, so cluster ids and member counts adjudicate exactly.
+    */
+  val xDedupEmbeddingClusters = Q(
+    "x_dedup_embedding_clusters",
+    (s, dir) => Dedup.nearDupClusters(
+      Similarity.cosineLshPairs(t(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b")))
+      .orderBy(col("cluster_id")),
+    Some(s"""${lshReplayCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+      cedges AS (SELECT id_a AS a, id_b AS b FROM lsh
+        UNION SELECT id_b, id_a FROM lsh),
+      reach(a, b) AS (SELECT a, b FROM cedges
+        UNION SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a),
+      clbl AS (SELECT a AS id, least(a, min(b)) AS cluster_id
+        FROM reach GROUP BY a)
+      SELECT cluster_id, COUNT(*) AS n_members
+      FROM clbl GROUP BY cluster_id ORDER BY cluster_id"""))
+
   /** Incremental embedding dedup, pure two-input face
     * ([[Similarity.cosineLshAgainstHistory]]): even vec_ids play the
     * accumulated state, odd ids the arriving batch. Every flag —
@@ -1675,7 +1699,7 @@ object Ext {
     xTextWinnow, xDedupWinnow, xTextVocab, xTextVocabCoverage,
     xDedupSimhash, xDedupEmbedding, xDedupSemantic,
     xDedupEmbeddingLsh, xDedupEmbeddingLshRecall, xDedupEmbeddingLshStages,
-    xDedupEmbeddingLshIncremental, xAnnTopk, xAnnPq,
+    xDedupEmbeddingLshIncremental, xDedupEmbeddingClusters, xAnnTopk, xAnnPq,
     xAnnIvfPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
     xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
