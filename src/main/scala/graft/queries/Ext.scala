@@ -1545,7 +1545,8 @@ object Ext {
         n.id IN (SELECT id FROM dh) AS dropped_by_history,
         NOT (n.id IN (SELECT id FROM dib)
           OR n.id IN (SELECT id FROM dh)) AS survived
-      FROM newv n ORDER BY n.id"""))
+      FROM newv n ORDER BY n.id"""),
+    bench = true)
 
   /** Salted two-phase aggregation: splits each hot group key across 8
     * salt buckets before combining — result is IDENTICAL to the plain

@@ -459,6 +459,9 @@ object ExtD {
         GROUP BY a.id, b.id)
       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
       ORDER BY id_a, id_b"""))
+  // not a bench headliner: at sf0.1 the wall-clock is dominated by the
+  // FIXTURE's per-frame BMP encodes (ImageIO write throughput), not by
+  // the demux/hash/pair operators under test
 
   /** Exact triangle count ([[graft.ext.Graph.triangleCount]]) on the
     * shared synthetic blocked graph — degree-ordered compact-forward
