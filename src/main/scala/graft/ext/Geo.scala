@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Grid-bucketed spatial joins over point sets — the geo face of the
+  * same scale discipline as the LSH/IVF stack: candidates come from an
+  * EQUI-join on spatial grid cells (a point meets only the 3×3 cell
+  * neighborhood that can contain matches at the query radius), then an
+  * exact distance verify — never an all-pairs theta join.
+  *
+  * Geometry runs in integer micro-degrees end to end: coordinates are
+  * BIGINT micro-degrees, cell ids are integer divisions, and the
+  * distance test compares exact integer squared distances — so every
+  * pair decision is bit-replayable by a plain-SQL oracle (no trig in
+  * the adjudicated path). The metric is planar degree-space distance;
+  * production geodesy swaps the verify to haversine (and sizes cells
+  * by the cos(lat)-shrunk longitude span) without touching the
+  * bucketing shape, which is the part that matters at scale.
+  *
+  * Scale shape: cells are radius-sized, so candidate volume is
+  * output-bound (each point joins its ~9-cell neighborhood, expected
+  * occupancy n·r²/area); the join shuffles on cell ids (8-byte keys);
+  * a skewed hot cell (city center) salts exactly like any hot join
+  * key ([[Skew]]).
+  */
+object Geo {
+
+  /** Deterministic synthetic coordinates for an integer-keyed table —
+    * a ~111 km × 85 km box ([40°, 41°] × [−74°, −73°], micro-degree
+    * resolution). A single multiplicative hash of SEQUENTIAL ids puts
+    * every point on a 1-D lattice (measured: 19 radius pairs at sf0.01
+    * vs ~350 expected uniform — the same lattice trap the r07 LSH
+    * planes hit), so each axis runs the 31-bit xorshift-multiply mix
+    * the SimHash oracle already replays in SQL: x ^= x>>13;
+    * x = x·1103515245 mod 2^31; x ^= x>>17. All intermediates stay
+    * < 2^62, exact BIGINT on both engines. Stands in for the lat/lon
+    * columns a real corpus would carry.
+    */
+  def syntheticPoints(df: DataFrame, idCol: String): DataFrame = {
+    def mix(mult: Long, add: Long): Column = {
+      val v1 = (col(idCol).cast("bigint") * lit(mult) + lit(add)) %
+        lit(2147483648L)
+      val x1 = v1.bitwiseXOR(shiftright(v1, 13))
+      val v3 = (x1 * lit(1103515245L)) % lit(2147483648L)
+      v3.bitwiseXOR(shiftright(v3, 17))
+    }
+    df.select(
+      col(idCol).cast("bigint").as("id"),
+      (lit(40000000L) + mix(2654435761L, 97L) % lit(1000001L))
+        .as("lat_micro"),
+      (lit(-74000000L) + mix(2246822519L, 31L) % lit(1000001L))
+        .as("lon_micro"))
+  }
+
+  /** All pairs within `radiusMicro` micro-degrees (planar): grid cells
+    * of side `radiusMicro`, candidates from the 3×3 neighbor-cell
+    * equi-join, exact integer verify `Δlat² + Δlon² ≤ r²`. Each point
+    * occupies ONE cell, so a pair meets on exactly one (dx, dy) offset
+    * — no post-join dedup needed. Longitude is shifted positive before
+    * the cell division so truncating integer division IS floor
+    * division on both engines.
+    *
+    * Returns (id_a, id_b, dist2, dist_deg) with id_a < id_b;
+    * `dist_deg` = √dist2 / 1e6 (one correctly-rounded sqrt of an exact
+    * integer — bit-identical cross-engine).
+    */
+  def radiusPairs(points: DataFrame, radiusMicro: Long): DataFrame = {
+    val r = lit(radiusMicro)
+    // `div`, not `/`: Spark's / is double division, and a
+    // correctly-rounded-up quotient would land points in the wrong cell
+    val cells = points.select(col("id"), col("lat_micro"), col("lon_micro"),
+      expr(s"lat_micro div ${radiusMicro}L").as("cx"),
+      expr(s"(lon_micro + 180000000L) div ${radiusMicro}L").as("cy"))
+    val offsets = points.sparkSession.range(0, 9)
+      .select(expr("id div 3 - 1").as("dx"), expr("id % 3 - 1").as("dy"))
+    val probe = cells.crossJoin(broadcast(offsets))
+      .select(col("id").as("id_b"), col("lat_micro").as("lat_b"),
+        col("lon_micro").as("lon_b"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val d2 = (col("lat_micro") - col("lat_b")) * (col("lat_micro") - col("lat_b")) +
+      (col("lon_micro") - col("lon_b")) * (col("lon_micro") - col("lon_b"))
+    cells.join(probe, Seq("cx", "cy"))
+      .filter(col("id") < col("id_b") && d2 <= r * r)
+      .select(col("id").as("id_a"), col("id_b"), d2.as("dist2"),
+        (sqrt(d2.cast("double")) / lit(1000000.0)).as("dist_deg"))
+  }
+
+  /** Nearest neighbor within `radiusMicro` for every point that has
+    * one: the symmetrized radius pairs ranked by (dist2, neighbor id).
+    * The classic bounded-radius kNN that rides the same grid join —
+    * points in empty neighborhoods simply produce no row (no unbounded
+    * global search at scale).
+    */
+  def nearestWithin(points: DataFrame, radiusMicro: Long): DataFrame = {
+    val pairs = radiusPairs(points, radiusMicro)
+    val sym = pairs.select(col("id_a").as("id"), col("id_b").as("nn_id"),
+        col("dist2"))
+      .unionAll(pairs.select(col("id_b").as("id"), col("id_a").as("nn_id"),
+        col("dist2")))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("dist2"), col("nn_id"))
+    sym.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("nn_id"), col("dist2"),
+        (sqrt(col("dist2").cast("double")) / lit(1000000.0)).as("dist_deg"))
+  }
+
+  /** Per-cell density profile at an arbitrary cell size — the
+    * aggregation face of the same grid (hot-cell discovery for salting
+    * decisions, coverage maps): one exact groupBy on the cell id.
+    */
+  def cellDensity(points: DataFrame, cellMicro: Long): DataFrame =
+    points.groupBy(
+        expr(s"lat_micro div ${cellMicro}L").as("cx"),
+        expr(s"(lon_micro + 180000000L) div ${cellMicro}L").as("cy"))
+      .agg(count(lit(1)).cast("bigint").as("n_points"),
+        min(col("id")).cast("bigint").as("min_id"))
+}

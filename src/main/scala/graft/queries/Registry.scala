@@ -27,7 +27,8 @@ object Registry {
     Relational.queries ++ Analytic.queries ++ Functions.queries ++
       Extra.queries ++ Traps.queries ++ TpcH.queries ++ Events.queries ++
       BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ ExtB.queries ++
-      ExtC.queries ++ ExtD.queries ++ ExtE.queries ++ Curate.queries
+      ExtC.queries ++ ExtD.queries ++ ExtE.queries ++ ExtF.queries ++
+      Curate.queries
 
   lazy val byName: Map[String, Q] = {
     // a duplicate name would silently shadow a query in SparkEntry's

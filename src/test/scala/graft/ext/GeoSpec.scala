@@ -1,0 +1,89 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class GeoSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def pts(rows: (Long, Long, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "lat_micro", "lon_micro")
+
+  test("radiusPairs equals the naive quadratic join on random points") {
+    val rnd = new Random(11)
+    val n = 300
+    val rows = (0L until n).map(i =>
+      (i, 40000000L + rnd.nextInt(1000001),
+        -74000000L + rnd.nextInt(1000001)))
+    val r = 10000L
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1, d2)).toSet
+    val got = Geo.radiusPairs(pts(rows: _*), r)
+      .select("id_a", "id_b", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "test corpus produced no pairs — not probative")
+    assert(got === naive)
+  }
+
+  test("radiusPairs catches cross-cell neighbors and excludes far points") {
+    // two points 1 micro-degree apart straddling a cell border, plus an
+    // outlier exactly ON the radius (boundary is inclusive) and one just
+    // past it
+    val r = 1000L
+    val df = pts(
+      (1L, 40000999L, -73500000L), // cell (cx=40000, …)
+      (2L, 40001000L, -73500000L), // next lat cell, distance 1
+      (3L, 40001000L, -73499000L), // distance 1000 from id 2 — ON radius
+      (4L, 40001000L, -73497999L)) // distance 1001 from id 3 — out
+    val got = Geo.radiusPairs(df, r)
+      .select("id_a", "id_b", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 1000000L)))
+  }
+
+  test("nearestWithin picks the min-dist2 neighbor with id tie-break") {
+    val r = 1000L
+    val df = pts(
+      (1L, 40500000L, -73500000L),
+      (2L, 40500003L, -73500004L), // dist2 25 from 1
+      (3L, 40500005L, -73500000L), // dist2 25 from 1 — tie, higher id
+      (9L, 40900000L, -73900000L)) // isolated: no row
+    val got = Geo.nearestWithin(df, r)
+      .select("id", "nn_id", "dist2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.find(_._1 == 1L).get === ((1L, 2L, 25L)))
+    assert(!got.exists(_._1 == 9L))
+    // 3's nearest is 2 (dist2 20 beats 1's 25)
+    assert(got.find(_._1 == 3L).get === ((3L, 2L, 20L)))
+  }
+
+  test("the grid join is an equi-join — no cartesian in the plan") {
+    val df = Geo.syntheticPoints(
+      spark.range(0, 500).toDF("c_custkey"), "c_custkey")
+    val plan = Geo.radiusPairs(df, 10000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the point-vs-point join must be the hash equi-join on cell ids;
+    // the single permitted nested-loop is the constant 9-row offset
+    // dimension fanning out the probe side
+    assert(plan.contains("BroadcastHashJoin [cx"), plan)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
+  }
+
+  test("cellDensity counts every point exactly once") {
+    val df = Geo.syntheticPoints(
+      spark.range(0, 400).toDF("c_custkey"), "c_custkey")
+    val dens = Geo.cellDensity(df, 50000L)
+    assert(dens.agg(sum("n_points")).as[Long].head() === 400L)
+    // 1°/0.05° = 21 cells per axis max (inclusive span)
+    assert(dens.count() <= 21L * 21L)
+  }
+}
