@@ -82,8 +82,15 @@ object FuzzGen {
         .as(alias)
   }
 
-  /** One aggregate: kind ∈ count, sum, min, max, cntd, minstr. */
-  final case class Agg(alias: String, kind: String, colName: String) {
+  /** One aggregate: kind ∈ count, sum, min, max, cntd, minstr, plus
+    * "csum" — a conditional CASE aggregate
+    * `SUM(CASE WHEN (col % k) = r THEN col % k2 ELSE -1 END)` (ck
+    * carries (k, r, k2)): CASE inside an aggregate exercises the
+    * expression-under-agg path both planners constant-fold and
+    * null-propagate differently than bare columns.
+    */
+  final case class Agg(alias: String, kind: String, colName: String,
+      ck: Option[(Int, Int, Int)] = None) {
     def sql: String = kind match {
       case "count" => s"CAST(COUNT(*) AS BIGINT) AS $alias"
       case "sum" => s"CAST(SUM($colName) AS BIGINT) AS $alias"
@@ -91,6 +98,10 @@ object FuzzGen {
       case "max" => s"MAX($colName) AS $alias"
       case "cntd" => s"CAST(COUNT(DISTINCT $colName) AS BIGINT) AS $alias"
       case "minstr" => s"MIN($colName) AS $alias"
+      case "csum" =>
+        val (k, r, k2) = ck.get
+        s"CAST(SUM(CASE WHEN ($colName % $k) = $r THEN $colName % $k2 " +
+          s"ELSE -1 END) AS BIGINT) AS $alias"
     }
     def df: Column = (kind match {
       case "count" => count(lit(1)).cast("bigint")
@@ -99,6 +110,10 @@ object FuzzGen {
       case "max" => max(col(colName))
       case "cntd" => countDistinct(col(colName)).cast("bigint")
       case "minstr" => min(col(colName))
+      case "csum" =>
+        val (k, r, k2) = ck.get
+        sum(when(col(colName) % k === r, col(colName) % k2)
+          .otherwise(lit(-1))).cast("bigint")
     }).as(alias)
   }
 
@@ -155,6 +170,27 @@ object FuzzGen {
       s"WHERE $fkChild = $fkParent AND ${pred.sql})"
   }
 
+  /** [NOT] IN subquery in the WHERE clause:
+    * `(parentCol % m) [NOT] IN (SELECT maybe-NULLIF(childCol % m, r)
+    *  FROM tbl WHERE pred)` — the three-valued-logic minefield. With
+    * `nullR` set, NULLIF poisons the subquery with NULLs whenever the
+    * child value hits r: `IN` simply never matches on them, but a
+    * single NULL in a NOT IN list makes EVERY non-matching comparison
+    * UNKNOWN, i.e. the query goes empty — the convention both engines
+    * must share. The DataFrame rendering decorrelates by hand to the
+    * null-aware anti join Catalyst builds for NOT IN: a broadcast
+    * has-null flag gates the left_anti equi-join (empty list ⇒ all
+    * rows pass; any NULL ⇒ none do).
+    */
+  final case class InSub(parentCol: String, m: Int, tbl: String,
+      childCol: String, nullR: Option[Int], neg: Boolean, pred: Pred) {
+    private def inner: String =
+      nullR.fold(s"$childCol % $m")(r => s"NULLIF($childCol % $m, $r)")
+    def sql: String =
+      s"($parentCol % $m) ${if (neg) "NOT " else ""}IN " +
+        s"(SELECT $inner FROM $tbl WHERE ${pred.sql})"
+  }
+
   /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
     * EXISTS / NOT EXISTS against the right table (decorrelated to
     * left_semi / left_anti in the DataFrame rendering) — only the left
@@ -168,7 +204,8 @@ object FuzzGen {
       join2: Option[(String, String, String, String)],
       subPred: Option[Pred], preds: Seq[Pred], shape: Shape,
       scalarSub: Option[ScalarSub] = None,
-      corrSub: Option[CorrSub] = None) {
+      corrSub: Option[CorrSub] = None,
+      inSub: Option[InSub] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -198,7 +235,7 @@ object FuzzGen {
         case _ => Seq()
       }
       val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
-        corrSub.map(_.sql)
+        corrSub.map(_.sql) ++ inSub.map(_.sql)
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
@@ -283,7 +320,7 @@ object FuzzGen {
         }
         df.crossJoin(broadcast(sc)).filter(cond).drop("_scalar")
       }
-      val base = corrSub.foldLeft(base3) { (df, cs) =>
+      val base4 = corrSub.foldLeft(base3) { (df, cs) =>
         val agg = H.t(s, dir, cs.tbl).filter(cs.pred.df)
           .groupBy(col(cs.fkChild).as("_ck"))
           .agg(max(col(cs.childCol)).as("_cmax"))
@@ -293,6 +330,31 @@ object FuzzGen {
         }
         df.join(agg, col(cs.fkParent) === col("_ck"), "left")
           .filter(cond).drop("_ck", "_cmax")
+      }
+      val base = inSub.foldLeft(base4) { (df, is) =>
+        val raw = (col(is.childCol) % is.m)
+        val iv = is.nullR
+          .fold(raw)(r => when(raw === r, lit(null)).otherwise(raw))
+        val sub = H.t(s, dir, is.tbl).filter(is.pred.df)
+          .select(iv.as("_iv"))
+        val pv = col(is.parentCol) % is.m
+        if (!is.neg) df.join(sub, pv === col("_iv"), "left_semi")
+        else {
+          // null-aware anti, all three NULL conventions by hand:
+          //  - any NULL in the list ⇒ every row UNKNOWN/FALSE ⇒ empty
+          //  - a NULL parent key vs a NON-empty list ⇒ UNKNOWN ⇒ drop
+          //    (a plain left_anti would KEEP it — the condition never
+          //    evaluates true — which is exactly the Spark null-aware
+          //    anti-join special case being mirrored)
+          //  - NOT IN (empty list) ⇒ TRUE for every row, null keys too
+          val flag = sub.agg(max(col("_iv").isNull).as("_hasnull"),
+            count(lit(1)).as("_cnt"))
+          df.crossJoin(broadcast(flag))
+            .filter(!coalesce(col("_hasnull"), lit(false)) &&
+              (pv.isNotNull || col("_cnt") === 0))
+            .drop("_hasnull", "_cnt")
+            .join(sub, pv === col("_iv"), "left_anti")
+        }
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
@@ -477,26 +539,53 @@ object FuzzGen {
           Pred(pick(rnd2, child.intCols), k, rnd2.nextInt(k),
             pick(rnd2, Seq("=", "<>")))))
       } else None
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape,
-      scalarSub, corrSub)
+    // round-8 features ride their own stream (same rule as rnd2: new
+    // grammar must not shift the primary stream's draws)
+    val rnd3 = new Random(seed * 0x85EBCA77L + 29)
+    val inSub =
+      if (rnd3.nextInt(3) == 0) {
+        val tbl = pick(rnd3, tables)
+        val m = pick(rnd3, Seq(4, 7, 9))
+        val k = pick(rnd3, Seq(2, 3, 5))
+        val nullR = if (rnd3.nextInt(3) == 0) Some(rnd3.nextInt(m)) else None
+        Some(InSub(pick(rnd3, intCols), m, tbl.name,
+          pick(rnd3, tbl.intCols), nullR, neg = rnd3.nextInt(2) == 1,
+          Pred(pick(rnd3, tbl.intCols), k, rnd3.nextInt(k),
+            pick(rnd3, Seq("=", "<>")))))
+      } else None
+    // conditional CASE aggregate appended to agg shapes (an extra
+    // column never changes the row set, so fixed seeds keep their
+    // documented non-emptiness)
+    val shape2 = shape match {
+      case a: AggShape if rnd3.nextInt(2) == 0 =>
+        val k = pick(rnd3, Seq(2, 3, 5))
+        a.copy(aggs = a.aggs :+ Agg("ca", "csum", pick(rnd3, intCols),
+          ck = Some((k, rnd3.nextInt(k), pick(rnd3, Seq(4, 9, 13))))))
+      case other => other
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape2,
+      scalarSub, corrSub, inSub)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
     * differential vs DuckDB). Chosen to cover the full grammar —
     * agg/window/set-op shapes, ROLLUP/CUBE grouping sets, ROWS/RANGE
     * window frames with LAG defaults, inner/semi/anti/LEFT/FULL joins,
-    * HAVING — and asserted to stay covering by FuzzSpec; the spec
-    * additionally sweeps a much wider seed range DF-vs-SQL. Seed 1 is
-    * ROLLUP over a FULL join (subtotal NULL keys interleaving with
-    * null-extended NULL keys — the grouping-set row identity trap),
-    * 22 is a ROWS frame under NOT EXISTS, 68 is CUBE over a FULL join,
-    * 34/48/55 carry scalar subqueries over set-op / chained-join-window
-    * / FULL-join-HAVING shapes with non-empty results (the previous
-    * picks 101/111/113 went empty once their scalar filters landed —
-    * an empty fixed differential only adjudicates the schema), 3/8/32
-    * carry CORRELATED scalar subqueries (plain agg / chained RANGE
-    * frame with both subquery kinds / FULL-join window).
+    * HAVING, scalar + correlated + [NOT] IN subqueries, CASE
+    * aggregates — and asserted to stay covering by FuzzSpec; the spec
+    * additionally sweeps a much wider seed range DF-vs-SQL.
+    * Notables: 22 is a ROWS frame under NOT EXISTS whose NOT IN
+    * carries a NULLIF that happens never to fire (the machinery under
+    * test, un-poisoned); 90 is a NULLIF-poisoned positive IN that
+    * keeps rows (IN skips NULLs — the asymmetry vs NOT IN); 25/118
+    * put positive INs under RANGE/ROWS frames; 272 is ROLLUP over a
+    * FULL join with scalar + positive-IN subqueries; 173 is CUBE over
+    * a FULL join; 81 INTERSECT + scalar; 8/32/48/103/108/146 carry
+    * CORRELATED scalar subqueries. The round-8 IN/CASE wave emptied
+    * previous picks 1/3/68/124 (an empty fixed differential only
+    * adjudicates the schema) — replaced by 272/90/173/81, same
+    * coverage, non-empty.
     */
-  val driverSeeds: Seq[Int] = Seq(1, 3, 8, 22, 32, 34, 48, 55, 68, 102,
-    103, 104, 105, 107, 108, 109, 110, 124, 146)
+  val driverSeeds: Seq[Int] = Seq(8, 22, 25, 32, 34, 48, 55, 81, 90, 102,
+    103, 104, 105, 107, 108, 109, 110, 118, 146, 173, 272)
 }

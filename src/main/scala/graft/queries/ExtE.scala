@@ -237,11 +237,13 @@ object ExtE {
         'jpeg' AS format
       FROM f WHERE fi % 2 = 0 ORDER BY id, frame_idx"""))
 
-  /** Generated differential queries ([[graft.fuzz.FuzzGen]]): nineteen
-    * fixed seeds from the generative fuzzer — covering agg (plain /
-    * ROLLUP / CUBE), window (row_number top-k and ROWS/RANGE-framed
-    * running sums + LAG defaults), and set-op shapes over inner/left/
-    * full/semi/anti joins — each a random plan whose DataFrame
+  /** Generated differential queries ([[graft.fuzz.FuzzGen]]):
+    * twenty-one fixed seeds from the generative fuzzer — covering agg
+    * (plain / ROLLUP / CUBE, incl. CASE aggregates), window
+    * (row_number top-k and ROWS/RANGE-framed running sums + LAG
+    * defaults), and set-op shapes over inner/left/full/semi/anti
+    * joins, with scalar / correlated / [NOT] IN (incl. NULLIF-
+    * poisoned) subqueries — each a random plan whose DataFrame
     * rendering runs in Spark while the DuckDB oracle executes the SAME
     * dual-dialect SQL the generator emitted: a cross-engine
     * differential sweep over conventions (grouping-set NULL keys, ties,

@@ -10,7 +10,13 @@ object SeedScan {
         case FrameShape(_, _, _, _, f, _) => s"frame($f)"
         case SetShape(_, _, op, _, _) => s"set($op)"
       }
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""} $desc")
+      val in = c.inSub.fold("")(i =>
+        s"/in${if (i.neg) "-not" else ""}${if (i.nullR.isDefined) "-null" else ""}")
+      val cs = c.shape match {
+        case AggShape(_, aggs, _, _) if aggs.exists(_.kind == "csum") => "/case"
+        case _ => ""
+      }
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs $desc")
     }
   }
 }

@@ -79,5 +79,13 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(_.scalarSub.isDefined), "no scalar-subquery case")
     assert(cases.exists(_.corrSub.isDefined),
       "no correlated-scalar-subquery case")
+    assert(cases.exists(c => c.inSub.exists(!_.neg)), "no IN case")
+    assert(cases.exists(c => c.inSub.exists(_.neg)), "no NOT IN case")
+    assert(cases.exists(c => c.inSub.exists(_.nullR.isDefined)),
+      "no NULLIF-poisoned IN case")
+    assert(cases.exists(c => c.shape match {
+      case FuzzGen.AggShape(_, aggs, _, _) => aggs.exists(_.kind == "csum")
+      case _ => false
+    }), "no CASE-aggregate case")
   }
 }
