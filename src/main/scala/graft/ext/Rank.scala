@@ -142,6 +142,77 @@ object Rank {
     * Scale shape: a union of the (tiny) top-k lists and one groupBy
     * on the id — nothing touches the corpora themselves.
     */
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR'98): from each anchor's candidate pool, greedily pick k
+    * items maximizing `λ·rel − (1−λ)·max_{s∈S} sim(c, s)` — the
+    * standard diversity-aware re-rank that keeps a RAG context window
+    * (or a training batch) from filling with near-duplicates of the
+    * top hit. Relevance and similarity are both exact-replay cosines;
+    * the greedy recurrence is unrolled as k plan rounds (the
+    * Lloyd-rounds/water-fill move), each an equi-join on the anchor id
+    * + a groupBy max + an argmax window tie-broken by item id — so the
+    * whole selection is SQL-replayable CTE by CTE. Round 1 scores
+    * λ·rel (max-sim over the empty set is 0); `(1 − λ)` is computed,
+    * not precomputed, so both engines derive the identical double.
+    *
+    * Scale shape: pools are top-`pool` shortlists (from ANN/BM25 —
+    * here brute-force cosine for the exactness anchor), so every round
+    * joins O(#anchors · pool) rows against O(#anchors · round)
+    * selections — the corpus itself is touched once, to build pools.
+    * k and pool are small constants; nothing grows with corpus size.
+    */
+  def mmrRerank(emb: DataFrame, idCol: String, vecCol: String,
+      nAnchors: Int, pool: Int, k: Int, lambda: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.ext.Similarity.dot
+    graft.plans.GraftExtensions.ensure(emb.sparkSession)
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val anchors = e.filter(col("id") < nAnchors)
+      .select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val wPool = Window.partitionBy(col("qid"))
+      .orderBy(col("rel").desc, col("id"))
+    val cands = e.join(broadcast(anchors), col("id") =!= col("qid"))
+      .withColumn("rel", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rk", row_number().over(wPool))
+      .filter(col("rk") <= pool)
+      .select(col("qid"), col("id"), col("v"), col("nrm"), col("rel"))
+    val lam = lit(lambda)
+    val wPick = Window.partitionBy(col("qid"))
+      .orderBy(col("mmr").desc, col("id"))
+    var selected = cands
+      .withColumn("mmr", lam * col("rel") - (lit(1.0) - lam) * lit(0.0))
+      .withColumn("pk", row_number().over(wPick))
+      .filter(col("pk") === 1)
+      .select(col("qid"), col("id"), col("v"), col("nrm"), col("rel"),
+        col("mmr"), lit(1).as("pick_rank"))
+    for (round <- 2 to k) {
+      val sel = selected.select(col("qid"), col("id").as("sid"),
+        col("v").as("sv"), col("nrm").as("sn"))
+      val scored = cands
+        .join(sel, Seq("qid"))
+        .filter(col("id") =!= col("sid"))
+        .groupBy(col("qid"), col("id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          first(col("rel")).as("rel"),
+          max(dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+            .as("maxsim"),
+          count(lit(1)).as("nsel"))
+        .filter(col("nsel") === round - 1) // drop already-picked items
+        .withColumn("mmr", lam * col("rel") - (lit(1.0) - lam) * col("maxsim"))
+      val pick = scored
+        .withColumn("pk", row_number().over(wPick))
+        .filter(col("pk") === 1)
+        .select(col("qid"), col("id"), col("v"), col("nrm"), col("rel"),
+          col("mmr"), lit(round).as("pick_rank"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("qid"), col("pick_rank"), col("id"), col("rel"),
+      col("mmr").as("mmr_score"))
+  }
+
   def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
       k: Int = 60): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -253,6 +253,70 @@ object ExtF {
         CAST(MIN(id) AS BIGINT) AS min_id
       FROM pts GROUP BY 1, 2 ORDER BY cx, cy"""))
 
+  /** MMR diversified re-ranking ([[graft.ext.Rank.mmrRerank]],
+    * λ=0.7, 3 anchors, 12-candidate pools, k=5): the oracle unrolls
+    * all five greedy rounds as CTEs — pool build, per-round
+    * max-sim-to-selected aggregation (the nsel count re-derives
+    * "not yet picked"), argmax with id tie-break — with every constant
+    * CAST to DOUBLE so `(1 − 0.7)` lands on the same IEEE double in
+    * both engines (DuckDB parses bare 0.7 as DECIMAL, whose exact 0.3
+    * differs from 1.0−0.7 by one ulp).
+    */
+  val xMmrRerank: Q = {
+    val (nA, pool, k) = (3, 12, 5)
+    val lam = "CAST(0.7 AS DOUBLE)"
+    val mu = s"(CAST(1 AS DOUBLE) - $lam)"
+    val rounds = (2 to k).map { i =>
+      s"""sc$i AS (SELECT c.qid, c.id, MAX(c.rel) AS rel,
+          MAX(list_dot_product(c.v, s.v) / (c.nrm * s.nrm)) AS maxsim,
+          COUNT(*) AS nsel
+        FROM cands c JOIN selall${i - 1} s
+          ON s.qid = c.qid AND c.id != s.id
+        GROUP BY c.qid, c.id),
+      pick$i AS (SELECT t.qid, t.id, c2.v, c2.nrm, t.rel, t.mmr,
+          $i AS pick_rank
+        FROM (SELECT qid, id, rel,
+            $lam * rel - $mu * maxsim AS mmr,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY $lam * rel - $mu * maxsim DESC, id) AS pk
+          FROM sc$i WHERE nsel = ${i - 1}) t
+        JOIN cands c2 ON c2.qid = t.qid AND c2.id = t.id
+        WHERE t.pk = 1),
+      selall$i AS (SELECT * FROM selall${i - 1}
+        UNION ALL SELECT * FROM pick$i)"""
+    }.mkString(",\n      ")
+    Q("x_mmr_rerank",
+      (s, dir) => Rank.mmrRerank(t(s, dir, "embeddings"), "vec_id",
+          "embedding", nAnchors = nA, pool = pool, k = k, lambda = 0.7)
+        .orderBy(col("qid"), col("pick_rank")),
+      Some(s"""WITH nn0 AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM nn0),
+      anchors AS (SELECT id AS qid, v AS qv, nrm AS qn FROM e
+        WHERE id < $nA),
+      cands AS (SELECT qid, id, v, nrm, rel FROM (
+          SELECT a.qid, b.id, b.v, b.nrm,
+            list_dot_product(a.qv, b.v) / (a.qn * b.nrm) AS rel,
+            row_number() OVER (PARTITION BY a.qid
+              ORDER BY list_dot_product(a.qv, b.v) / (a.qn * b.nrm)
+                DESC, b.id) AS rk
+          FROM anchors a JOIN e b ON b.id != a.qid)
+        WHERE rk <= $pool),
+      selall1 AS (SELECT qid, id, v, nrm, rel,
+          $lam * rel - $mu * CAST(0 AS DOUBLE) AS mmr, 1 AS pick_rank
+        FROM (SELECT qid, id, v, nrm, rel,
+            row_number() OVER (PARTITION BY qid
+              ORDER BY $lam * rel - $mu * CAST(0 AS DOUBLE) DESC, id)
+              AS pk
+          FROM cands) WHERE pk = 1),
+      $rounds
+      SELECT qid, CAST(pick_rank AS INTEGER) AS pick_rank, id, rel,
+        mmr AS mmr_score
+      FROM selall$k ORDER BY qid, pick_rank"""))
+  }
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
-    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity)
+    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank)
 }

@@ -69,4 +69,58 @@ class RankSpec extends SparkSuite {
     // consensus beats a single first place: 20 outranks 10
     assert(f(20L)._2 > f(10L)._2)
   }
+
+  test("mmrRerank matches a naive greedy reference") {
+    val rnd = new scala.util.Random(5)
+    val n = 40; val dim = 8
+    val rows = (0L until n).map(i =>
+      (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (nA, pool, k, lam) = (2, 10, 4, 0.7)
+    val got = Rank.mmrRerank(df, "vec_id", "embedding", nA, pool, k, lam)
+      .select("qid", "pick_rank", "id")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+
+    // naive reference: exact greedy MMR per anchor, double arithmetic
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.map(i => x(i).toDouble * y(i).toDouble).sum
+      d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val byId = rows.toMap
+    for (q <- 0L until nA) {
+      val cand = rows.filter(_._1 != q)
+        .map { case (i, v) => (i, cos(byId(q), v)) }
+        .sortBy { case (i, r) => (-r, i) }.take(pool)
+      var sel = Seq.empty[Long]
+      for (_ <- 1 to k) {
+        val remaining = cand.filterNot { case (i, _) => sel.contains(i) }
+        val pick = remaining.map { case (i, r) =>
+          val ms = if (sel.isEmpty) 0.0
+            else sel.map(s => cos(byId(i), byId(s))).max
+          (i, lam * r - (1.0 - lam) * ms)
+        }.minBy { case (i, s) => (-s, i) }._1
+        sel = sel :+ pick
+      }
+      assert(got(q) === sel, s"anchor $q")
+    }
+  }
+
+  test("mmrRerank first pick is the relevance argmax and later picks diversify") {
+    // anchor 0; items: 1 and 2 nearly parallel high-relevance, 3
+    // orthogonal-ish lower relevance. MMR must take 1 then 3, not 1,2.
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0.9f, 0.11f, 0f)),
+      (3L, Array(0.3f, 0f, 0.95f)))
+      .toDF("vec_id", "embedding")
+    val got = Rank.mmrRerank(df, "vec_id", "embedding",
+        nAnchors = 1, pool = 3, k = 2, lambda = 0.5)
+      .select("pick_rank", "id").as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2).toSeq
+    assert(got.head === 1L)
+    assert(got(1) === 3L, "second pick should diversify away from 1/2")
+  }
 }
