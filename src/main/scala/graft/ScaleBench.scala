@@ -267,6 +267,36 @@ object ScaleBench {
       }
     }
 
+    // grid-bucketed radius join: point count grows 10x with the radius
+    // shrunk ~1/sqrt(n) so expected NEIGHBORS PER POINT stay constant —
+    // the production sizing rule (radius-sized cells => candidate
+    // volume tracks the OUTPUT, not n^2). The hot row parks 1% of the
+    // points on ONE coordinate: a k^2 pair blowup inside a single cell
+    // that runtime must absorb as output rows, not as a stuck task.
+    if (sec("geo")) {
+      for ((n, r) <- Seq((100000L, 4000L), (400000L, 2000L),
+          (1000000L, 1200L))) {
+        val pts = graft.ext.Geo.syntheticPoints(
+          spark.range(n).select(col("id").as("c_custkey")), "c_custkey")
+          .repartition(cpus.toInt)
+        timeShuffle(s"geo radiusPairs $n pts r=$r") {
+          graft.ext.Geo.radiusPairs(pts, r).count()
+        }
+      }
+      val n = 100000L
+      val base = graft.ext.Geo.syntheticPoints(
+        spark.range(n).select(col("id").as("c_custkey")), "c_custkey")
+      val hot = base.select(col("id"),
+        when(col("id") % 100 === 0, lit(40500000L))
+          .otherwise(col("lat_micro")).as("lat_micro"),
+        when(col("id") % 100 === 0, lit(-73500000L))
+          .otherwise(col("lon_micro")).as("lon_micro"))
+        .repartition(cpus.toInt)
+      timeShuffle(s"geo radiusPairs $n pts, 1% in ONE hot cell") {
+        graft.ext.Geo.radiusPairs(hot, 4000L).count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

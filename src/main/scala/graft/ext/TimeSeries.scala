@@ -154,8 +154,17 @@ object TimeSeries {
     * group's own series.
     */
   def cusum(df: DataFrame, group: Column, ts: Column, value: Column,
-      slack: BigDecimal, threshold: BigDecimal): DataFrame = {
-    val daily = dailySum(df, Seq("grp" -> group), ts, value)
+      slack: BigDecimal, threshold: BigDecimal): DataFrame =
+    cusumFromDaily(dailySum(df, Seq("grp" -> group), ts, value),
+      slack, threshold)
+
+  /** [[cusum]] over an already-aggregated exact-decimal daily series
+    * (columns `grp`, `day`, `x: decimal(12,2)`) — the face
+    * [[graft.streaming.CusumStream]] runs per micro-batch against
+    * accumulated state.
+    */
+  def cusumFromDaily(daily: DataFrame, slack: BigDecimal,
+      threshold: BigDecimal): DataFrame = {
     val tot = daily.groupBy(col("grp")).agg(
       count(lit(1)).cast("bigint").as("n"),
       sum(col("x")).cast("decimal(20,2)").as("s"))

@@ -199,7 +199,8 @@ object ExtF {
         Geo.syntheticPoints(t(s, dir, "customer"), "c_custkey"),
         radiusMicro = 10000L)
       .orderBy(col("id_a"), col("id_b")),
-    Some(s"""WITH $geoPtsCte
+    bench = true,
+    oracle = Some(s"""WITH $geoPtsCte
       SELECT a.id AS id_a, b.id AS id_b,
         (a.lat - b.lat) * (a.lat - b.lat)
           + (a.lon - b.lon) * (a.lon - b.lon) AS dist2,

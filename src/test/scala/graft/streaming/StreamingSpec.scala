@@ -386,4 +386,29 @@ class StreamingSpec extends SparkSuite {
       oneShot.exceptAll(streamed).isEmpty,
       "two-batch incremental flags must equal the one-shot batch flags")
   }
+
+  test("incremental CUSUM converges to the one-shot batch result") {
+    import graft.streaming.CusumStream
+    import graft.ext.TimeSeries
+    val ev = eventsDf
+    val state = Files.createTempDirectory("cusumstate")
+      .resolve("state").toString
+    // same split contract as the anomaly stream: batch 2 ADDS value
+    // mass to days batch 1 already aggregated
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) p")
+      .collect()(0).getDouble(0).toLong
+    val b1 = ev.filter(unix_micros(col("ts")) <= cut)
+    val b2 = ev.filter(unix_micros(col("ts")) > cut)
+    assert(b1.count() > 0 && b2.count() > 0)
+    val (k, h) = (BigDecimal("10.00"), BigDecimal("50.00"))
+    CusumStream.applyBatch(b1, state, "event_type", "ts", "value", k, h)
+    val streamed = CusumStream.applyBatch(b2, state, "event_type", "ts",
+      "value", k, h)
+    val oneShot = TimeSeries.cusum(ev, col("event_type"), col("ts"),
+      col("value"), k, h)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "two-batch incremental CUSUM must equal the one-shot batch scores")
+  }
 }
