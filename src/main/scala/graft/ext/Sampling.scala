@@ -332,4 +332,66 @@ object Sampling {
       .select(col("nid").as("vec_id"), col("bucket"), col("nc"),
         col("quota"), col("rank"), (col("rank") <= col("quota")).as("kept"))
   }
+
+  /** Farthest-point sampling (Gonzalez 1985 k-center greedy): pick k
+    * vectors maximizing pairwise spread — seed at the min id, then
+    * repeatedly take the point FARTHEST (cosine distance 1 − cos) from
+    * everything selected so far, tie-broken by id. The classic coreset
+    * selector for "cover the embedding space with k exemplars"
+    * (training-subset seeding, eval-set design, cluster init); each
+    * pick's distance at selection is the k-center coverage radius
+    * bound after that round.
+    *
+    * The greedy recurrence unrolls as plan rounds with the INCREMENTAL
+    * min-distance update: round i joins the candidate set with the ONE
+    * new pick (a broadcast single row) and takes
+    * `mind := least(mind, dist(·, pick))` — never re-scoring against
+    * the whole selected set, so each round is one narrow map + one
+    * argmax aggregate. The argmax is `max(struct(mind, −id))` (max
+    * distance, then min id — exact on bit-identical doubles), which
+    * the oracle replays as ORDER BY mind DESC, id LIMIT 1.
+    *
+    * Scale shape: k rounds × (one broadcast-1-row join + one all-reduce
+    * argmax) over the candidate pool — O(k·n) distance evaluations
+    * total, the textbook FPS cost; nothing quadratic, no data-sized
+    * window. k is a small constant; the plan's self-referencing lineage
+    * doubles per round (the MMR/Lloyd unroll trade-off), so keep
+    * k ≲ 8 per call at this pool granularity.
+    */
+  def farthestPointSample(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    import graft.ext.Similarity.dot
+    graft.plans.GraftExtensions.ensure(emb.sparkSession)
+    val e = emb.select(col(idCol).cast("bigint").as("id"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val seedId = e.agg(min(col("id"))).first().getLong(0)
+    val seed = e.filter(col("id") === seedId)
+    def distTo(pv: Column, pn: Column): Column =
+      lit(1.0) - dot(col("v"), pv) / (col("nrm") * pn)
+    var picks = seed.select(col("id"), col("v"), col("nrm"),
+      lit(1).as("pick_rank"), lit(Double.MaxValue).as("mind"))
+    var cand = e.filter(col("id") =!= seedId)
+      .crossJoin(broadcast(seed.select(col("v").as("pv"), col("nrm").as("pn"))))
+      .select(col("id"), col("v"), col("nrm"),
+        distTo(col("pv"), col("pn")).as("mind"))
+    for (round <- 2 to k) {
+      val top = cand
+        .agg(max(struct(col("mind"), (-col("id")).as("nid"))).as("m"))
+        .select(col("m.mind").as("pmind"), (-col("m.nid")).as("pid"))
+      val pick = cand.join(broadcast(top), col("id") === col("pid"))
+        .select(col("id"), col("v"), col("nrm"),
+          lit(round).as("pick_rank"), col("pmind").as("mind"))
+      picks = picks.unionByName(pick)
+      if (round < k) cand = cand
+        .crossJoin(broadcast(pick.select(col("v").as("pv"), col("nrm").as("pn"),
+          col("id").as("pid"))))
+        .filter(col("id") =!= col("pid"))
+        .select(col("id"), col("v"), col("nrm"),
+          least(col("mind"), distTo(col("pv"), col("pn"))).as("mind"))
+    }
+    picks.select(col("pick_rank"), col("id"),
+      when(col("pick_rank") === 1, lit(null).cast("double"))
+        .otherwise(col("mind")).as("sel_dist"))
+  }
 }

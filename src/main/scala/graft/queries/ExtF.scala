@@ -318,6 +318,50 @@ object ExtF {
       FROM selall$k ORDER BY qid, pick_rank"""))
   }
 
+  /** Farthest-point k-center sampling
+    * ([[graft.ext.Sampling.farthestPointSample]], k=6): the oracle
+    * unrolls the greedy rounds — seed at min id, per-round incremental
+    * `LEAST(mind, dist-to-new-pick)` update, argmax as ORDER BY mind
+    * DESC, id LIMIT 1 — so every pick AND its selection distance (the
+    * k-center coverage radius bound) adjudicate exactly.
+    */
+  val xFpsSample: Q = {
+    val k = 6
+    def distSql(a: String, b: String): String =
+      s"1 - list_dot_product($a.v, $b.v) / ($a.nrm * $b.nrm)"
+    val rounds = (2 to k).map { i =>
+      val prev = if (i == 2) "cand1" else s"cand${i - 1}"
+      val upd =
+        s"""cand$i AS (SELECT c.id, c.v, c.nrm,
+            LEAST(c.mind, ${distSql("c", "p")}) AS mind
+          FROM ${if (i == 2) "cand1" else s"cand${i - 1}"} c, pick$i p
+          WHERE c.id != p.id)"""
+      s"""pick$i AS (SELECT id, v, nrm, mind FROM $prev
+          ORDER BY mind DESC, id LIMIT 1)${if (i < k) ",\n      " + upd else ""}"""
+    }.mkString(",\n      ")
+    val unionArms = (2 to k).map(i =>
+      s"SELECT $i AS pick_rank, id, mind AS sel_dist FROM pick$i")
+      .mkString("\n      UNION ALL ")
+    Q("x_fps_sample",
+      (s, dir) => Sampling.farthestPointSample(t(s, dir, "embeddings"),
+          "vec_id", "embedding", k = k)
+        .orderBy(col("pick_rank")),
+      Some(s"""WITH nn0 AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM nn0),
+      seed AS (SELECT id, v, nrm FROM e ORDER BY id LIMIT 1),
+      cand1 AS (SELECT c.id, c.v, c.nrm, ${distSql("c", "s")} AS mind
+        FROM e c, seed s WHERE c.id != s.id),
+      $rounds
+      SELECT CAST(pick_rank AS INTEGER) AS pick_rank, id, sel_dist FROM (
+        SELECT 1 AS pick_rank, id, CAST(NULL AS DOUBLE) AS sel_dist
+        FROM seed
+        UNION ALL $unionArms)
+      ORDER BY pick_rank"""))
+  }
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
-    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank)
+    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank, xFpsSample)
 }

@@ -638,4 +638,46 @@ class ExtSpec extends SparkSuite {
       .orderBy(col("vec_id")).collect().toSeq
     assert(r8 == r1)
   }
+
+  test("farthestPointSample matches the naive greedy k-center reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(6)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val k = 5
+    val got = Sampling.farthestPointSample(df, "vec_id", "embedding", k)
+      .orderBy(col("pick_rank"))
+      .select("pick_rank", "id").as[(Int, Long)].collect()
+      .map(_._2).toSeq
+
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      def d(x: Array[Float], y: Array[Float]) =
+        x.indices.map(j => x(j).toDouble * y(j).toDouble).sum
+      1.0 - d(a, b) / (math.sqrt(d(a, a)) * math.sqrt(d(b, b)))
+    }
+    val byId = rows.toMap
+    var sel = Seq(0L) // seed = min id
+    while (sel.size < k) {
+      val pick = rows.map(_._1).filterNot(sel.contains)
+        .map(i => (i, sel.map(s => cosd(byId(i), byId(s))).min))
+        .minBy { case (i, d) => (-d, i) }._1
+      sel = sel :+ pick
+    }
+    assert(got === sel)
+  }
+
+  test("farthestPointSample spreads picks: every later pick is farther than its coverage radius") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 80L).map(i =>
+      (i, Array.fill(5)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val r = Sampling.farthestPointSample(df, "vec_id", "embedding", 6)
+      .orderBy(col("pick_rank"))
+      .select("pick_rank", "sel_dist").as[(Int, Option[Double])].collect()
+    assert(r.head._2.isEmpty) // seed has no distance
+    val dists = r.tail.map(_._2.get)
+    // greedy max-min distances are non-increasing
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b })
+  }
 }
