@@ -270,6 +270,66 @@ object Stats {
     * Scale shape: identical to [[chi2Independence]] — cell counts plus
     * broadcast marginals, one final one-row aggregate.
     */
+  /** Histogram-Based Outlier Score (Goldstein & Dengel, KI'12): per
+    * row, `HBOS = Σ_features −ln(density of the row's equal-width
+    * bin)` — the deterministic, embarrassingly-parallel outlier
+    * detector (no model state, no iterations; what you run over a
+    * 100 TB table before trusting an isolation forest). Emitted as the
+    * top-k rows by score with full-key tie-breaks.
+    *
+    * Determinism: features are exact decimals, so bin edges
+    * `⌊(x−min)/(max−min)·B⌋` are identical double expressions on
+    * bit-identical inputs; densities are integer bin counts; each
+    * −ln(cnt/n) term is `lnCanon(n) − lnCanon(cnt)` (the
+    * [[mutualInfo]] canonicalization) and the per-row sum rides
+    * DECIMAL(30,14). Constant features (max = min) carry no signal and
+    * are excluded from the sum.
+    *
+    * Scale shape: one per-feature min/max aggregate (broadcast,
+    * O(#features) rows), one count per (feature, bin) (map-side
+    * combine, O(#features·B) rows, broadcast back), one narrow
+    * map per row — plus the top-k. Nothing shuffles the data itself
+    * except the final k-row TakeOrdered.
+    */
+  def hbosOutliers(df: DataFrame, keys: Seq[(String, Column)],
+      features: Seq[(String, Column)], bins: Int,
+      topK: Int): DataFrame = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val keyNames = keys.map(_._1)
+    // long format: one row per (row, feature)
+    val long = features.map { case (fn, fc) =>
+      df.select(keyCols :+ lit(fn).as("feat") :+
+        fc.cast("decimal(12,2)").as("x"): _*)
+    }.reduce(_ unionByName _)
+    val stats = long.groupBy(col("feat"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+        count(lit(1)).cast("bigint").as("n"))
+      .filter(col("mx") > col("mn"))
+    val binned = long.join(broadcast(stats), "feat")
+      .withColumn("bin", least(
+        floor((col("x").cast("double") - col("mn").cast("double")) /
+          (col("mx").cast("double") - col("mn").cast("double")) * bins)
+          .cast("bigint"),
+        lit(bins - 1L)))
+    val densities = binned.groupBy(col("feat"), col("bin"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    def lnCanon(c: Column) =
+      log(c.cast("double")).cast("decimal(20,12)").cast("double")
+    val scored = binned.join(broadcast(densities), Seq("feat", "bin"))
+      .groupBy(keyNames.map(col): _*)
+      .agg(sum((lnCanon(col("n")) - lnCanon(col("cnt")))
+        .cast("decimal(30,14)")).as("s"))
+      .select(keyNames.map(col) :+ col("s").cast("double").as("score"): _*)
+    val order = col("score").desc +: keyNames.map(col(_).asc)
+    // orderBy+limit = distributed TakeOrdered; the row_number window
+    // then runs over only the k survivors (a global window over the
+    // full score table would be the single-partition funnel this file
+    // exists to avoid)
+    scored.orderBy(order: _*).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(order: _*)).cast("bigint"))
+  }
+
   def mutualInfo(df: DataFrame, x: Column, y: Column): DataFrame = {
     val cells = df.groupBy(x.as("x"), y.as("y"))
       .agg(count(lit(1)).as("o"))

@@ -362,6 +362,57 @@ object ExtF {
       ORDER BY pick_rank"""))
   }
 
+  /** HBOS outlier scoring ([[graft.ext.Stats.hbosOutliers]], 16 bins,
+    * top-50) over (quantity, extendedprice, discount): the oracle
+    * rebuilds the long format as a UNION ALL, the equal-width bins as
+    * the identical double expression, the bin densities, and each
+    * −ln(cnt/n) term through the VARCHAR-roundtrip canonicalization
+    * ([[graft.ext.Stats.mutualInfo]]'s idiom) — every score and rank
+    * adjudicates exactly.
+    */
+  val xHbosOutliers: Q = {
+    val lnC = (e: String) =>
+      s"CAST(CAST(CAST(ln(CAST($e AS DOUBLE)) AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)"
+    Q("x_hbos_outliers",
+      (s, dir) => Stats.hbosOutliers(t(s, dir, "lineitem"),
+          keys = Seq("okey" -> col("l_orderkey"),
+            "lnum" -> col("l_linenumber")),
+          features = Seq("qty" -> col("l_quantity"),
+            "price" -> col("l_extendedprice"),
+            "disc" -> col("l_discount")),
+          bins = 16, topK = 50)
+        .orderBy(col("rank")),
+      Some(s"""WITH long AS (
+        SELECT l_orderkey AS okey, l_linenumber AS lnum, 'qty' AS feat,
+          CAST(l_quantity AS DECIMAL(12,2)) AS x FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price',
+          CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc',
+          CAST(l_discount AS DECIMAL(12,2)) FROM lineitem),
+      stats AS (SELECT feat, MIN(x) AS mn, MAX(x) AS mx,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM long GROUP BY 1 HAVING MAX(x) > MIN(x)),
+      binned AS (SELECT l.okey, l.lnum, l.feat, s.n,
+          LEAST(CAST(FLOOR((CAST(l.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+            / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE)) * 16)
+            AS BIGINT), 15) AS bin
+        FROM long l JOIN stats s USING (feat)),
+      dens AS (SELECT feat, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM binned GROUP BY 1, 2),
+      scored AS (SELECT okey, lnum,
+          CAST(SUM(CAST(${lnC("b.n")} - ${lnC("d.cnt")}
+            AS DECIMAL(30,14))) AS DOUBLE) AS score
+        FROM binned b JOIN dens d USING (feat, bin)
+        GROUP BY 1, 2)
+      SELECT okey, lnum, score,
+        CAST(row_number() OVER (ORDER BY score DESC, okey, lnum)
+          AS BIGINT) AS rank
+      FROM scored ORDER BY score DESC, okey, lnum LIMIT 50"""))
+  }
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
-    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank, xFpsSample)
+    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank, xFpsSample,
+    xHbosOutliers)
 }

@@ -341,4 +341,34 @@ class StatsSpec extends SparkSuite {
     assert(e(2L)._2 == 0.0)
     assert(math.abs(e(3L)._2 - math.log(2)) < 1e-9)
   }
+
+  test("hbosOutliers: planted outlier ranks first with the hand-computed score") {
+    import spark.implicits._
+    // 19 inliers clustered at (1.0, 10.0), one outlier at (9.0, 90.0):
+    // with 4 bins over [1,9]/[10,90] the outlier sits alone in the last
+    // bin of BOTH features → score = 2·ln(20/1); inliers share bin 0
+    // with 19 peers → 2·ln(20/19)
+    val rows = (1L to 19L).map(i => (i, 1.0, 10.0)) :+ ((20L, 9.0, 90.0))
+    val df = rows.toDF("id", "a", "b")
+    val r = Stats.hbosOutliers(df, Seq("id" -> col("id")),
+        Seq("a" -> col("a"), "b" -> col("b")), bins = 4, topK = 3)
+      .orderBy(col("rank"))
+      .select("id", "score", "rank").as[(Long, Double, Long)].collect()
+    assert(r.head._1 === 20L)
+    assert(math.abs(r.head._2 - 2 * math.log(20.0)) < 1e-9)
+    assert(math.abs(r(1)._2 - 2 * math.log(20.0 / 19)) < 1e-9)
+    // ranks 2..3 are the smallest inlier ids (deterministic tie-break)
+    assert(r(1)._1 === 1L && r(2)._1 === 2L)
+  }
+
+  test("hbosOutliers excludes constant features from the score") {
+    import spark.implicits._
+    val df = (1L to 10L).map(i => (i, i.toDouble, 5.0)).toDF("id", "a", "c")
+    val withConst = Stats.hbosOutliers(df, Seq("id" -> col("id")),
+      Seq("a" -> col("a"), "c" -> col("c")), bins = 5, topK = 10)
+    val without = Stats.hbosOutliers(df, Seq("id" -> col("id")),
+      Seq("a" -> col("a")), bins = 5, topK = 10)
+    assert(withConst.orderBy("rank").collect().toSeq ===
+      without.orderBy("rank").collect().toSeq)
+  }
 }
