@@ -412,7 +412,45 @@ object ExtF {
       FROM scored ORDER BY score DESC, okey, lnum LIMIT 50"""))
   }
 
+  /** k-core decomposition ([[graft.ext.Graph.kCore]], k=5, 6 peel
+    * rounds) of the shared synthetic blocked graph: 1,440 of 1,500
+    * nodes survive at sf0.01 with the convergence certificate true
+    * (min induced degree ≥ k ⇒ the output IS the exact 5-core). The
+    * oracle unrolls every peel round and the final induced-degree
+    * recompute — the recompute matters: certifying on the loop's
+    * pre-peel degrees would be vacuous.
+    */
+  val xKCore: Q = {
+    val (k, rounds) = (5, 6)
+    val peels = (1 to rounds).map { i =>
+      val prev = s"alive${i - 1}"
+      s"""e$i AS (SELECT u.src, u.dst FROM ue u
+          JOIN $prev a ON a.node = u.src JOIN $prev b ON b.node = u.dst),
+      deg$i AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM e$i GROUP BY 1),
+      alive$i AS (SELECT node FROM deg$i WHERE d >= $k)"""
+    }.mkString(",\n      ")
+    Q("x_kcore",
+      (s, dir) => Graph.kCore(ExtC.syntheticGraph(s, dir), "src", "dst",
+          k = k, rounds = rounds)
+        .orderBy(col("node")),
+      Some(s"""${ExtC.graphCtes},
+      ue AS (SELECT DISTINCT src, dst FROM edges),
+      alive0 AS (SELECT DISTINCT src AS node FROM ue),
+      $peels,
+      ef AS (SELECT u.src, u.dst FROM ue u
+        JOIN alive$rounds a ON a.node = u.src
+        JOIN alive$rounds b ON b.node = u.dst),
+      degf AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ef GROUP BY 1),
+      outc AS (SELECT a.node, CAST(COALESCE(f.d, 0) AS BIGINT) AS degree
+        FROM alive$rounds a LEFT JOIN degf f USING (node)),
+      cert AS (SELECT MIN(degree) >= $k AS conv FROM outc)
+      SELECT node, degree, conv AS converged FROM outc, cert
+      ORDER BY node"""))
+  }
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank, xFpsSample,
-    xHbosOutliers)
+    xHbosOutliers, xKCore)
 }

@@ -133,4 +133,32 @@ class GraphSpec extends SparkSuite {
     assert(r1 == r2, "ranks changed under repartition")
     assert(r1("heavy") > r1("light"))
   }
+
+  test("kCore keeps the triangle, peels the pendant chain, certifies") {
+    import spark.implicits._
+    // triangle 1-2-3 plus chain 3-4-5: for k=2 the chain peels off
+    // (5 first, then 4), the triangle is the exact 2-core
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = Graph.kCore(edges, "src", "dst", k = 2, rounds = 4)
+      .orderBy("node")
+      .select("node", "degree", "converged")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(r === Seq((1L, 2L, true), (2L, 2L, true), (3L, 2L, true)))
+  }
+
+  test("kCore reports converged=false when rounds run out mid-cascade") {
+    import spark.implicits._
+    // a 12-node path has NO 2-core; peeling eats one node per end per
+    // round, so 3 rounds cannot finish and the certificate must say so
+    val und = (1L to 11L).map(i => (i, i + 1))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val partial = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+    assert(partial.count() > 0)
+    assert(partial.filter(col("converged")).count() === 0L,
+      "mid-cascade output must not certify")
+    // with enough rounds the path peels to nothing (no 2-core exists)
+    assert(Graph.kCore(edges, "src", "dst", k = 2, rounds = 6)
+      .count() === 0L)
+  }
 }
