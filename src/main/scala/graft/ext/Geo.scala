@@ -66,25 +66,67 @@ object Geo {
     * `dist_deg` = √dist2 / 1e6 (one correctly-rounded sqrt of an exact
     * integer — bit-identical cross-engine).
     */
-  def radiusPairs(points: DataFrame, radiusMicro: Long): DataFrame = {
-    val r = lit(radiusMicro)
-    // `div`, not `/`: Spark's / is double division, and a
-    // correctly-rounded-up quotient would land points in the wrong cell
-    val cells = points.select(col("id"), col("lat_micro"), col("lon_micro"),
+  // `div`, not `/`: Spark's / is double division, and a
+  // correctly-rounded-up quotient would land points in the wrong cell
+  private def cellify(points: DataFrame, radiusMicro: Long): DataFrame =
+    points.select(col("id"), col("lat_micro"), col("lon_micro"),
       expr(s"lat_micro div ${radiusMicro}L").as("cx"),
       expr(s"(lon_micro + 180000000L) div ${radiusMicro}L").as("cy"))
+
+  /** The 9-offset probe side: each point re-keyed to every neighbor
+    * cell that could hold a match at the query radius.
+    */
+  private def probeSide(points: DataFrame, radiusMicro: Long): DataFrame = {
     val offsets = points.sparkSession.range(0, 9)
       .select(expr("id div 3 - 1").as("dx"), expr("id % 3 - 1").as("dy"))
-    val probe = cells.crossJoin(broadcast(offsets))
+    cellify(points, radiusMicro).crossJoin(broadcast(offsets))
       .select(col("id").as("id_b"), col("lat_micro").as("lat_b"),
         col("lon_micro").as("lon_b"),
         (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
-    val d2 = (col("lat_micro") - col("lat_b")) * (col("lat_micro") - col("lat_b")) +
+  }
+
+  private def d2: Column =
+    (col("lat_micro") - col("lat_b")) * (col("lat_micro") - col("lat_b")) +
       (col("lon_micro") - col("lon_b")) * (col("lon_micro") - col("lon_b"))
-    cells.join(probe, Seq("cx", "cy"))
+
+  def radiusPairs(points: DataFrame, radiusMicro: Long): DataFrame = {
+    val r = lit(radiusMicro)
+    cellify(points, radiusMicro)
+      .join(probeSide(points, radiusMicro), Seq("cx", "cy"))
       .filter(col("id") < col("id_b") && d2 <= r * r)
       .select(col("id").as("id_a"), col("id_b"), d2.as("dist2"),
         (sqrt(d2.cast("double")) / lit(1000000.0)).as("dist_deg"))
+  }
+
+  /** Incremental face of [[radiusPairs]] —
+    * [[graft.ext.Dedup.spanDedupAgainstHistory]]'s two-input
+    * convention on the geo modality: for a batch of NEW points against
+    * an accepted historical point set, report every in-radius pair the
+    * batch introduces — batch-internal pairs (id_a < id_b, `origin =
+    * 'batch'`) and new-vs-history pairs (id_a = new id, `origin =
+    * 'history'`). History×history pairs were reported when THOSE
+    * batches arrived, so each pair is reported exactly once across any
+    * batch split — the composition property a streaming geofence /
+    * proximity-dedup pipeline needs.
+    *
+    * Scale shape: both legs are the same neighbor-cell equi-join; the
+    * history side ships only the cells the batch's probe keys touch —
+    * at 100 TB, bucket the stored history by cell id so batch probes
+    * co-locate without reshuffling it.
+    */
+  def radiusPairsAgainstHistory(newPts: DataFrame, histPts: DataFrame,
+      radiusMicro: Long): DataFrame = {
+    val r = lit(radiusMicro)
+    val inBatch = radiusPairs(newPts, radiusMicro)
+      .select(col("id_a"), col("id_b"), col("dist2"), col("dist_deg"),
+        lit("batch").as("origin"))
+    val vsHist = cellify(newPts, radiusMicro)
+      .join(probeSide(histPts, radiusMicro), Seq("cx", "cy"))
+      .filter(d2 <= r * r)
+      .select(col("id").as("id_a"), col("id_b"), d2.as("dist2"),
+        (sqrt(d2.cast("double")) / lit(1000000.0)).as("dist_deg"),
+        lit("history").as("origin"))
+    inBatch.unionByName(vsHist)
   }
 
   /** Nearest neighbor within `radiusMicro` for every point that has

@@ -450,7 +450,44 @@ object ExtF {
       ORDER BY node"""))
   }
 
+  /** Incremental geo pairs
+    * ([[graft.ext.Geo.radiusPairsAgainstHistory]], odd ids as the new
+    * batch vs even ids as history): batch-internal + new-vs-history
+    * pairs, each reported exactly once across any batch split. The
+    * oracle again takes the naive quadratic path for both legs.
+    */
+  val xGeoIncremental = Q(
+    "x_geo_pairs_incremental",
+    (s, dir) => {
+      val pts = Geo.syntheticPoints(t(s, dir, "customer"), "c_custkey")
+      Geo.radiusPairsAgainstHistory(
+          pts.filter(col("id") % 2 === 1), pts.filter(col("id") % 2 === 0),
+          radiusMicro = 10000L)
+        .orderBy(col("origin"), col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $geoPtsCte,
+      newp AS (SELECT * FROM pts WHERE id % 2 = 1),
+      hist AS (SELECT * FROM pts WHERE id % 2 = 0),
+      b AS (SELECT a.id AS id_a, b.id AS id_b,
+          (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) AS dist2,
+          'batch' AS origin
+        FROM newp a JOIN newp b ON a.id < b.id
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) <= 100000000),
+      h AS (SELECT a.id AS id_a, b.id AS id_b,
+          (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) AS dist2,
+          'history' AS origin
+        FROM newp a JOIN hist b ON TRUE
+        WHERE (a.lat - b.lat) * (a.lat - b.lat)
+            + (a.lon - b.lon) * (a.lon - b.lon) <= 100000000)
+      SELECT id_a, id_b, dist2,
+        sqrt(CAST(dist2 AS DOUBLE)) / 1000000.0 AS dist_deg, origin
+      FROM (SELECT * FROM b UNION ALL SELECT * FROM h)
+      ORDER BY origin, id_a, id_b"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
-    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xMmrRerank, xFpsSample,
-    xHbosOutliers, xKCore)
+    xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
+    xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -78,6 +78,32 @@ class GeoSpec extends SparkSuite {
     assert(bnlj <= 1, s"unexpected nested-loop joins ($bnlj):\n$plan")
   }
 
+  test("radiusPairsAgainstHistory composes: batch splits cover each pair once") {
+    val rnd = new Random(31)
+    val rows = (0L until 200L).map(i =>
+      (i, 40000000L + rnd.nextInt(300001), -74000000L + rnd.nextInt(300001)))
+    val all = pts(rows: _*)
+    val r = 20000L
+    val full = Geo.radiusPairs(all, r)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    // batch 1 = ids < 100 (reported via plain radiusPairs when it
+    // arrived), batch 2 = ids >= 100 against batch-1 history
+    val b1 = pts(rows.filter(_._1 < 100): _*)
+    val b2 = pts(rows.filter(_._1 >= 100): _*)
+    val first = Geo.radiusPairs(b1, r)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val second = Geo.radiusPairsAgainstHistory(b2, b1, r)
+      .select("id_a", "id_b", "origin").as[(Long, Long, String)].collect()
+    val canon = second.map { case (a, b, _) =>
+      (math.min(a, b), math.max(a, b))
+    }.toSet
+    assert(second.length === canon.size, "a pair was reported twice")
+    assert(first ++ canon === full,
+      "batch composition must cover exactly the one-shot pair set")
+    assert(second.exists(_._3 == "history") && second.exists(_._3 == "batch"))
+  }
+
   test("cellDensity counts every point exactly once") {
     val df = Geo.syntheticPoints(
       spark.range(0, 400).toDF("c_custkey"), "c_custkey")

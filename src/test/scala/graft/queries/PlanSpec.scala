@@ -320,6 +320,33 @@ class PlanSpec extends SparkSuite {
       s"curate v3 degraded to a non-equi join:\n$p3")
   }
 
+  test("round-8 wave-2 operators keep their scale shapes") {
+    // HBOS: the top-k must be a distributed TakeOrdered, not a global
+    // sort or a full-corpus window funnel; the stats/density joins
+    // broadcast their O(#features·bins) sides
+    val ph = plan("x_hbos_outliers")
+    assert(ph.contains("TakeOrderedAndProject"),
+      s"hbos top-k is not TakeOrdered:\n$ph")
+    assert(ph.contains("BroadcastHashJoin"),
+      s"hbos lost the broadcast density join:\n$ph")
+    // ACF: the lag fan-out is a 7-row broadcast; the lag join itself
+    // must stay an equi-join on (grp, idx)
+    val pa = plan("x_ts_acf")
+    assert(!pa.contains("CartesianProduct"), s"acf went cartesian:\n$pa")
+    // CUSUM: no join wider than the O(#groups) totals broadcast, and
+    // the daily aggregate combines map-side
+    val pc = plan("x_ts_cusum")
+    assert(!pc.contains("CartesianProduct") &&
+      !pc.contains("BroadcastNestedLoopJoin"),
+      s"cusum degraded to a non-equi join:\n$pc")
+    assert(pc.contains("partial_sum") || pc.contains("partial"),
+      s"cusum daily aggregate lost map-side combine:\n$pc")
+    // MMR / FPS: pool-bounded rounds — nothing may go cartesian
+    // (the anchor fan-out is the one permitted bounded nested-loop)
+    val pm = plan("x_mmr_rerank")
+    assert(!pm.contains("CartesianProduct"), s"mmr went cartesian:\n$pm")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
