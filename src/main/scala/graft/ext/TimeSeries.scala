@@ -134,6 +134,75 @@ object TimeSeries {
       .select(col("grp"), col("lag"), col("n"), (num / den).as("acf"))
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope of per-group daily
+    * sums — the robust monotone-trend detector (is this source's
+    * volume/quality drifting?) that complements [[cusum]]'s abrupt-
+    * shift detection. Over the time-ordered series x_0..x_{n−1}:
+    *
+    *   S   = Σ_{i<j} sign(x_j − x_i)                (exact integer)
+    *   Var = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18   (tie-corrected)
+    *   z   = (S ∓ 1) / √Var  (continuity-corrected, 0 when S = 0)
+    *   Theil–Sen = median over all pairwise slopes (x_j−x_i)/(j−i)
+    *
+    * Everything before the final doubles is integer/decimal-exact:
+    * signs and tie counts are integers, each slope is one double
+    * division of exact operands, and the median picks (or averages)
+    * order statistics — so the whole test adjudicates bit-for-bit.
+    *
+    * Scale shape: the pair join is per-group O(days²) — bounded by
+    * SERIES LENGTH, never corpus size (30 days → 435 pairs; cap the
+    * monitored window at cluster scale). One join, two aggregates,
+    * one slope-rank window.
+    */
+  def trendTest(df: DataFrame, group: Column, ts: Column,
+      value: Column): DataFrame = {
+    val daily = dailySum(df, Seq("grp" -> group), ts, value)
+    val idx = Window.partitionBy(col("grp")).orderBy(col("day"))
+    val series = daily.select(col("grp"),
+      (row_number().over(idx) - 1).cast("bigint").as("i"), col("x"))
+    val pairs = series.as("a")
+      .join(series.as("b"),
+        col("a.grp") === col("b.grp") && col("a.i") < col("b.i"))
+      .select(col("a.grp").as("grp"),
+        signum((col("b.x") - col("a.x")).cast("double")).cast("bigint")
+          .as("sgn"),
+        ((col("b.x") - col("a.x")).cast("double") /
+          (col("b.i") - col("a.i")).cast("double")).as("slope"))
+    val sAgg = pairs.groupBy(col("grp")).agg(
+      sum(col("sgn")).cast("bigint").as("s_stat"),
+      count(lit(1)).cast("bigint").as("npairs"))
+    val n = daily.groupBy(col("grp"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val ties = daily.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).cast("bigint").as("t"))
+      .filter(col("t") > 1)
+      .groupBy(col("grp"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+        .cast("bigint").as("tie_term"))
+    val wSlope = Window.partitionBy(col("grp")).orderBy(col("slope"))
+    val ranked = pairs
+      .withColumn("rk", row_number().over(wSlope).cast("bigint"))
+    // median = the ⌈m/2⌉-th and ⌊m/2⌋+1-th order stats averaged (equal
+    // for odd m; both sides compute the identical (a+b)/2 double)
+    val sen = ranked.join(sAgg.select(col("grp"), col("npairs")), "grp")
+      // div, not /: Spark's / on bigints is double division
+      .filter(expr("rk = (npairs + 1) div 2 OR rk = npairs div 2 + 1"))
+      .groupBy(col("grp"))
+      .agg(((min(col("slope")) + max(col("slope"))) / lit(2.0))
+        .as("sen_slope"))
+    val varS = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) -
+      coalesce(col("tie_term"), lit(0L))).cast("double") / lit(18.0)
+    sAgg.join(n, "grp").join(ties, Seq("grp"), "left").join(sen, "grp")
+      .select(col("grp"), col("n"), col("s_stat"),
+        varS.as("var_s"),
+        when(col("s_stat") > 0,
+            (col("s_stat") - 1).cast("double") / sqrt(varS))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1).cast("double") / sqrt(varS))
+          .otherwise(lit(0.0)).as("z"),
+        col("sen_slope"))
+  }
+
   /** Two-sided CUSUM changepoint scores (Page 1954) of per-group daily
     * sums against the group's own full-series mean, with slack `k` and
     * alarm threshold `h` in measure units:

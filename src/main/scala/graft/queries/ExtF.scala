@@ -487,7 +487,66 @@ object ExtF {
       FROM (SELECT * FROM b UNION ALL SELECT * FROM h)
       ORDER BY origin, id_a, id_b"""))
 
-  val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum,
+  /** Mann–Kendall trend test + Theil–Sen slope
+    * ([[graft.ext.TimeSeries.trendTest]]): S and tie terms are exact
+    * integers, each pairwise slope one double division of exact
+    * operands, the median an averaged pair of order statistics, the
+    * continuity-corrected z the same double expression — everything
+    * adjudicates bit-for-bit.
+    */
+  val xTsTrend = Q(
+    "x_ts_trend",
+    (s, dir) => TimeSeries.trendTest(t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value"))
+      .orderBy(col("grp")),
+    Some("""WITH daily AS (SELECT event_type AS grp,
+        strftime(ts, '%Y-%m-%d') AS day,
+        CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(12,2)) AS x
+      FROM events GROUP BY 1, 2),
+      series AS (SELECT grp,
+          CAST(row_number() OVER (PARTITION BY grp ORDER BY day) - 1
+            AS BIGINT) AS i, x
+        FROM daily),
+      pairs AS (SELECT a.grp,
+          CAST(sign(CAST(b.x - a.x AS DOUBLE)) AS BIGINT) AS sgn,
+          CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope
+        FROM series a JOIN series b ON a.grp = b.grp AND a.i < b.i),
+      sagg AS (SELECT grp, CAST(SUM(sgn) AS BIGINT) AS s_stat,
+          CAST(COUNT(*) AS BIGINT) AS npairs
+        FROM pairs GROUP BY 1),
+      nn AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily GROUP BY 1),
+      ties AS (SELECT grp,
+          CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS t
+          FROM daily GROUP BY 1, 2)
+        WHERE t > 1 GROUP BY grp),
+      ranked AS (SELECT grp, slope,
+          CAST(row_number() OVER (PARTITION BY grp ORDER BY slope)
+            AS BIGINT) AS rk
+        FROM pairs),
+      sen AS (SELECT r.grp,
+          (MIN(r.slope) + MAX(r.slope)) / CAST(2 AS DOUBLE) AS sen_slope
+        FROM ranked r JOIN sagg s ON s.grp = r.grp
+        WHERE r.rk = (s.npairs + 1) // 2 OR r.rk = s.npairs // 2 + 1
+        GROUP BY r.grp),
+      vs AS (SELECT s.grp, s.s_stat, n.n,
+          CAST(n.n * (n.n - 1) * (2 * n.n + 5)
+            - COALESCE(t.tie_term, 0) AS DOUBLE) / CAST(18 AS DOUBLE)
+            AS var_s
+        FROM sagg s JOIN nn n ON n.grp = s.grp
+        LEFT JOIN ties t ON t.grp = s.grp)
+      SELECT v.grp, v.n, v.s_stat, v.var_s,
+        CASE WHEN v.s_stat > 0
+            THEN CAST(v.s_stat - 1 AS DOUBLE) / sqrt(v.var_s)
+          WHEN v.s_stat < 0
+            THEN CAST(v.s_stat + 1 AS DOUBLE) / sqrt(v.var_s)
+          ELSE CAST(0 AS DOUBLE) END AS z,
+        sen.sen_slope
+      FROM vs v JOIN sen ON sen.grp = v.grp
+      ORDER BY v.grp"""))
+
+  val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -88,6 +88,38 @@ class TimeSeriesSpec extends SparkSuite {
     assert(math.abs(out(4)._2) < 1e-9)
   }
 
+  test("trendTest matches hand-computed Mann-Kendall and Theil-Sen") {
+    // series 1, 2, 2, 4 (days 1..4):
+    // pairs (i<j): (1,2)+ (1,2)+ (1,4)+ (2,2)0 (2,4)+ (2,4)+ → S = 5
+    // ties: one group of size 2 → tie_term = 2·1·9 = 18
+    // Var = [4·3·13 − 18]/18 = 138/18
+    // slopes: 1, 0.5, 1, 0, 2, 1 → sorted [0, .5, 1, 1, 1, 2] →
+    // median = (1+1)/2 = 1
+    val df = ev(
+      ("g", "2024-05-01", 1.0), ("g", "2024-05-02", 2.0),
+      ("g", "2024-05-03", 2.0), ("g", "2024-05-04", 4.0))
+    val r = TimeSeries.trendTest(df, col("g"), col("ts"), col("v"))
+      .select("n", "s_stat", "var_s", "z", "sen_slope")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r._1 === 4L)
+    assert(r._2 === 5L)
+    assert(math.abs(r._3 - 138.0 / 18.0) < 1e-12)
+    assert(math.abs(r._4 - 4.0 / math.sqrt(138.0 / 18.0)) < 1e-12)
+    assert(r._5 === 1.0)
+  }
+
+  test("trendTest z is negative on a decreasing series and 0 on S=0") {
+    val down = ev(("d", "2024-06-01", 9.0), ("d", "2024-06-02", 6.0),
+      ("d", "2024-06-03", 3.0))
+    val rd = TimeSeries.trendTest(down, col("g"), col("ts"), col("v"))
+      .select("s_stat", "z").as[(Long, Double)].head()
+    assert(rd._1 === -3L && rd._2 < 0)
+    val flat2 = ev(("f", "2024-06-01", 5.0), ("f", "2024-06-02", 5.0))
+    val rf = TimeSeries.trendTest(flat2, col("g"), col("ts"), col("v"))
+      .select("s_stat", "z").as[(Long, Double)].head()
+    assert(rf._1 === 0L && rf._2 === 0.0)
+  }
+
   test("cusum on a flat series never alarms") {
     val df = ev((1 to 6).map(i => ("f", f"2024-04-$i%02d", 3.0)): _*)
     val out = TimeSeries.cusum(df, col("g"), col("ts"), col("v"),
