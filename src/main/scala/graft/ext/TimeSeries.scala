@@ -134,6 +134,58 @@ object TimeSeries {
       .select(col("grp"), col("lag"), col("n"), (num / den).as("acf"))
   }
 
+  /** Seasonal-naive forecast backtest with MASE (Hyndman & Koehler
+    * 2006): per group, the season-m naive forecast `x̂_t = x_{t−m}` is
+    * scored against the one-step naive baseline —
+    *
+    *   MASE = mean|x_t − x_{t−m}| / mean|x_t − x_{t−1}|
+    *
+    * over the zero-filled calendar ([[acf]]'s densification). MASE < 1
+    * means the weekly pattern genuinely predicts the series (worth a
+    * seasonal model); ≈ 1 means it adds nothing over persistence —
+    * the cheap "is this ingest volume seasonal?" gate run before any
+    * forecasting investment. Absolute errors stay EXACT decimals
+    * (|x_t − x_{t−k}| of exact operands); only the two final mean
+    * divisions and their ratio are doubles — identical expressions
+    * both engines.
+    *
+    * Scale shape: two lag equi-joins on the dense per-group index and
+    * one aggregate — O(days) per group.
+    */
+  def seasonalNaiveBacktest(df: DataFrame, group: Column, ts: Column,
+      value: Column, season: Int = 7): DataFrame = {
+    val daily = dailySum(df, Seq("grp" -> group), ts, value)
+    val span = daily.groupBy(col("grp"))
+      .agg(min(to_date(col("day"))).as("d0"), max(to_date(col("day"))).as("d1"))
+    val dense = span
+      .select(col("grp"), col("d0"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      .join(daily.withColumn("d", to_date(col("day"))).drop("day"),
+        Seq("grp", "d"), "left")
+      .select(col("grp"), datediff(col("d"), col("d0")).as("i"),
+        coalesce(col("x"), lit(0).cast("decimal(12,2)")).as("x"))
+    def lagged(k: Int, out: String): DataFrame = dense
+      .select(col("grp"), (col("i") + k).as("i"), col("x").as(out))
+    dense
+      .join(lagged(season, "xs"), Seq("grp", "i"), "left")
+      .join(lagged(1, "x1"), Seq("grp", "i"), "left")
+      .groupBy(col("grp"))
+      .agg(
+        count(col("xs")).cast("bigint").as("n_eval"),
+        sum(abs(col("x") - col("xs"))).cast("decimal(38,2)").as("se"),
+        count(col("x1")).cast("bigint").as("n1"),
+        sum(abs(col("x") - col("x1"))).cast("decimal(38,2)").as("s1"))
+      .filter(col("n_eval") > 0 && col("s1") > 0)
+      .select(col("grp"), col("n_eval"),
+        (col("se").cast("double") / col("n_eval").cast("double"))
+          .as("mae_seasonal"),
+        (col("s1").cast("double") / col("n1").cast("double"))
+          .as("mae_naive"),
+        ((col("se").cast("double") / col("n_eval").cast("double")) /
+          (col("s1").cast("double") / col("n1").cast("double")))
+          .as("mase"))
+  }
+
   /** Mann–Kendall trend test + Theil–Sen slope of per-group daily
     * sums — the robust monotone-trend detector (is this source's
     * volume/quality drifting?) that complements [[cusum]]'s abrupt-

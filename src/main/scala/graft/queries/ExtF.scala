@@ -546,7 +546,51 @@ object ExtF {
       FROM vs v JOIN sen ON sen.grp = v.grp
       ORDER BY v.grp"""))
 
+  /** Seasonal-naive MASE backtest
+    * ([[graft.ext.TimeSeries.seasonalNaiveBacktest]], season 7):
+    * absolute errors stay exact decimals, the two means and their
+    * ratio are the same double expressions — bit-exact adjudication
+    * over the zero-filled calendar.
+    */
+  val xTsMase = Q(
+    "x_ts_mase",
+    (s, dir) => TimeSeries.seasonalNaiveBacktest(t(s, dir, "events"),
+        col("event_type"), col("ts"), col("value"), season = 7)
+      .orderBy(col("grp")),
+    Some("""WITH daily AS (SELECT event_type AS grp,
+        strftime(ts, '%Y-%m-%d') AS day,
+        CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(12,2)) AS x
+      FROM events GROUP BY 1, 2),
+      span AS (SELECT grp, MIN(CAST(day AS DATE)) AS d0,
+          MAX(CAST(day AS DATE)) AS d1
+        FROM daily GROUP BY 1),
+      cal AS (SELECT grp, d0,
+          CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+            AS d
+        FROM span),
+      dense AS (SELECT c.grp, date_diff('day', c.d0, c.d) AS i,
+          COALESCE(dl.x, CAST(0 AS DECIMAL(12,2))) AS x
+        FROM cal c LEFT JOIN daily dl
+          ON dl.grp = c.grp AND CAST(dl.day AS DATE) = c.d),
+      j AS (SELECT a.grp, a.x, s7.x AS xs, s1.x AS x1
+        FROM dense a
+        LEFT JOIN dense s7 ON s7.grp = a.grp AND s7.i = a.i - 7
+        LEFT JOIN dense s1 ON s1.grp = a.grp AND s1.i = a.i - 1),
+      agg AS (SELECT grp,
+          CAST(COUNT(xs) AS BIGINT) AS n_eval,
+          CAST(SUM(abs(x - xs)) AS DECIMAL(38,2)) AS se,
+          CAST(COUNT(x1) AS BIGINT) AS n1,
+          CAST(SUM(abs(x - x1)) AS DECIMAL(38,2)) AS s1
+        FROM j GROUP BY 1)
+      SELECT grp, n_eval,
+        CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE) AS mae_seasonal,
+        CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mae_naive,
+        (CAST(se AS DOUBLE) / CAST(n_eval AS DOUBLE))
+          / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+      FROM agg WHERE n_eval > 0 AND s1 > 0 ORDER BY grp"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
+    xTsMase,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -120,6 +120,31 @@ class TimeSeriesSpec extends SparkSuite {
     assert(rf._1 === 0L && rf._2 === 0.0)
   }
 
+  test("seasonalNaiveBacktest computes MASE from hand-checked errors") {
+    // 8 days, season 2: x = 1,3,1,3,1,3,1,9
+    // seasonal (lag-2) errors: days 2..7 → |1-1|,|3-3|,... ,|9-3| = 0×5, 6
+    // one-step errors: days 1..7 → 2,2,2,2,2,2,8
+    val vals = Seq(1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0, 9.0)
+    val df = ev(vals.zipWithIndex.map { case (v, i) =>
+      ("s", f"2024-07-${i + 1}%02d", v)
+    }: _*)
+    val r = TimeSeries.seasonalNaiveBacktest(df, col("g"), col("ts"),
+        col("v"), season = 2)
+      .select("n_eval", "mae_seasonal", "mae_naive", "mase")
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 === 6L)
+    assert(math.abs(r._2 - 1.0) < 1e-12)           // 6/6
+    assert(math.abs(r._3 - 20.0 / 7.0) < 1e-12)    // (2·6+8)/7
+    assert(math.abs(r._4 - 1.0 / (20.0 / 7.0)) < 1e-12)
+    // a perfectly periodic series scores MASE = 0
+    val per = ev((1 to 8).map(i =>
+      ("p", f"2024-08-$i%02d", if (i % 2 == 1) 2.0 else 5.0)): _*)
+    val rp = TimeSeries.seasonalNaiveBacktest(per, col("g"), col("ts"),
+        col("v"), season = 2)
+      .select("mase").as[Double].head()
+    assert(rp === 0.0)
+  }
+
   test("cusum on a flat series never alarms") {
     val df = ev((1 to 6).map(i => ("f", f"2024-04-$i%02d", 3.0)): _*)
     val out = TimeSeries.cusum(df, col("g"), col("ts"), col("v"),
