@@ -411,4 +411,34 @@ class StreamingSpec extends SparkSuite {
       oneShot.exceptAll(streamed).isEmpty,
       "two-batch incremental CUSUM must equal the one-shot batch scores")
   }
+
+  test("streaming proximity pairs: any batch split covers each pair once") {
+    import graft.streaming.GeoStream
+    import graft.ext.Geo
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0L until 150L).map(i =>
+      (i, 40000000L + rnd.nextInt(200001).toLong,
+        -74000000L + rnd.nextInt(200001).toLong))
+    val all = rows.toDF("id", "lat_micro", "lon_micro")
+    val r = 20000L
+    val full = Geo.radiusPairs(all, r)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.nonEmpty)
+    val state = Files.createTempDirectory("geostate")
+      .resolve("state").toString
+    val batches = Seq(
+      rows.filter(_._1 % 3 == 0), rows.filter(_._1 % 3 == 1),
+      rows.filter(_._1 % 3 == 2))
+    val reported = batches.flatMap { b =>
+      GeoStream.applyBatch(b.toDF("id", "lat_micro", "lon_micro"),
+          state, r)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+    }
+    val canon = reported.map(p =>
+      (math.min(p._1, p._2), math.max(p._1, p._2)))
+    assert(canon.length === canon.toSet.size, "a pair reported twice")
+    assert(canon.toSet === full,
+      "three-batch streamed pairs must equal the one-shot pair set")
+  }
 }
