@@ -297,6 +297,54 @@ object ScaleBench {
       }
     }
 
+    // time-series detectors over synthetic (group × day) panels: group
+    // count grows 10x at fixed series length — per-group windows and
+    // the O(days²) trend pair-join must scale linearly in GROUPS. The
+    // deterministic value mixes a trend + weekly wave so nothing
+    // degenerates.
+    if (sec("ts")) for (g <- Seq(1000L, 10000L, 100000L)) {
+      val days = 365
+      val panel = spark.range(g).select(col("id").as("grp"))
+        .crossJoin(spark.range(days).select(col("id").as("d")))
+        .select(concat(lit("g"), col("grp")).as("g"),
+          expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, cast(d as int))").as("ts"),
+          ((col("grp") * 7 + col("d") * 13) % 1000 + col("d") % 7 * 50)
+            .cast("double").as("v"))
+        .repartition(cpus.toInt)
+      timeShuffle(s"ts cusum $g groups x $days days") {
+        graft.ext.TimeSeries.cusum(panel, col("g"), col("ts"), col("v"),
+          BigDecimal("50.00"), BigDecimal("200.00")).count()
+      }
+      // the trend pair fan-out is g·days²/2 rows through the slope-rank
+      // sort — a genuinely pair-bound stage. Capacity measured on this
+      // box (48 g heap, local[32]): 66M pairs (1k×365) in ~14 s;
+      // 200M (3k×365, below) stays group-linear; 664M (10k×365) OOMs
+      // the single-JVM sort even at 221 partitions — that's an
+      // executors-scale workload, and the sizing rule it teaches is
+      // partitions ∝ PAIRS (≈2–3M rows/task), not input rows.
+      if (g == 1000L) {
+        val g3 = 3000L
+        val panel3 = spark.range(g3).select(col("id").as("grp"))
+          .crossJoin(spark.range(days).select(col("id").as("d")))
+          .select(concat(lit("g"), col("grp")).as("g"),
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0, 0, 0, cast(d as int))").as("ts"),
+            ((col("grp") * 7 + col("d") * 13) % 1000 + col("d") % 7 * 50)
+              .cast("double").as("v"))
+          .repartition(cpus.toInt)
+        for ((gg, p) <- Seq((g, panel), (g3, panel3))) {
+          val parts = math.max(cpus.toInt,
+            (gg * days * (days - 1) / 2 / 3000000L).toInt)
+          spark.conf.set("spark.sql.shuffle.partitions", parts)
+          timeShuffle(s"ts trendTest $gg groups x $days days " +
+            s"(${gg * days * (days - 1) / 2} pairs, $parts partitions)") {
+            graft.ext.TimeSeries.trendTest(p, col("g"), col("ts"),
+              col("v")).count()
+          }
+          spark.conf.set("spark.sql.shuffle.partitions", cpus)
+        }
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
