@@ -124,8 +124,17 @@ object FuzzGen {
     */
   final case class AggShape(keys: Seq[Key], aggs: Seq[Agg],
       having: Option[Int], gmode: String) extends Shape
+  /** fn ∈ row_number | rank | dense_rank. row_number orders by
+    * (ordCol, ids) — it NEEDS the total order to be deterministic.
+    * rank/dense_rank order by ordCol ALONE: with ties the row SET kept
+    * by `fn <= topK` is deterministic (all peers share a rank) even
+    * though a row_number there would not be — precisely the tie
+    * semantics under test, including rank's gaps vs dense_rank's
+    * none.
+    */
   final case class WinShape(pk: Key, ordCol: String, desc: Boolean,
-      ids: Seq[String], topK: Int) extends Shape
+      ids: Seq[String], topK: Int, fn: String = "row_number")
+    extends Shape
   /** Windowed running SUM under an explicit frame + LAG with an explicit
     * default — the frame-semantics minefield: ROWS frames are tie-broken
     * by the unique id columns; RANGE frames order by the value column
@@ -252,16 +261,22 @@ object FuzzGen {
         val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
           .map(a => s"$a ASC NULLS FIRST").mkString(", ")
         s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav ORDER BY $ord"
-      case WinShape(pk, ordCol, desc, ids, topK) =>
+      case WinShape(pk, ordCol, desc, ids, topK, fn) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
+        // rank/dense_rank deliberately order by ordCol ALONE — ties
+        // keep the output a deterministic SET (peers share the rank)
+        val winOrd = fn match {
+          case "row_number" => s"$ordCol$dir, $tie"
+          case _ => s"$ordCol$dir"
+        }
         val outer = (Seq("pk") ++ ids ++ Seq("rn")).mkString(", ")
         val outerOrd = (Seq("pk") ++ ids ++ Seq("rn"))
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
         s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $ordCol$dir, $tie) AS INTEGER) AS rn
+           |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
+           |      ORDER BY $winOrd) AS INTEGER) AS rn
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec) =>
@@ -368,12 +383,20 @@ object FuzzGen {
             g.filter(col(aggs.find(_.kind == "count").get.alias) > c))
           h.orderBy((keys.map(k => col(k.alias)) ++
             aggs.map(a => col(a.alias))): _*)
-        case WinShape(pk, ordCol, desc, ids, topK) =>
-          val ordSorts = (if (desc) col(ordCol).desc else col(ordCol).asc) +:
-            ids.map(col(_).asc)
+        case WinShape(pk, ordCol, desc, ids, topK, fn) =>
+          val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
+          val ordSorts = fn match {
+            case "row_number" => ordBase +: ids.map(col(_).asc)
+            case _ => Seq(ordBase)
+          }
+          val rankFn = fn match {
+            case "row_number" => row_number()
+            case "rank" => rank()
+            case "dense_rank" => dense_rank()
+          }
           val outCols = (Seq("pk") ++ ids ++ Seq("rn")).map(col)
           base.withColumn("pk", pk.df)
-            .withColumn("rn", row_number().over(
+            .withColumn("rn", rankFn.over(
               Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
             .filter(col("rn") <= topK)
             .select(outCols: _*)
@@ -563,7 +586,15 @@ object FuzzGen {
           ck = Some((k, rnd3.nextInt(k), pick(rnd3, Seq(4, 9, 13))))))
       case other => other
     }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape2,
+    // rank/dense_rank variants order by the value alone — tie
+    // semantics (rank gaps vs dense_rank none) under test; appending
+    // draws to rnd3 never shifts the earlier rnd3 features
+    val shape3 = shape2 match {
+      case w: WinShape if rnd3.nextInt(3) == 0 =>
+        w.copy(fn = pick(rnd3, Seq("rank", "dense_rank")))
+      case other => other
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape3,
       scalarSub, corrSub, inSub)
   }
 

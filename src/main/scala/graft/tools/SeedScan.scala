@@ -6,7 +6,7 @@ object SeedScan {
       val c = gen(seed)
       val desc = c.shape match {
         case AggShape(_, _, h, g) => s"agg($g${h.fold("")(_ => ",having")})"
-        case WinShape(_, _, _, _, _) => "win"
+        case WinShape(_, _, _, _, _, fn) => s"win($fn)"
         case FrameShape(_, _, _, _, f, _) => s"frame($f)"
         case SetShape(_, _, op, _, _) => s"set($op)"
       }

@@ -87,5 +87,10 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.AggShape(_, aggs, _, _) => aggs.exists(_.kind == "csum")
       case _ => false
     }), "no CASE-aggregate case")
+    for (fn <- Seq("row_number", "rank", "dense_rank"))
+      assert(cases.exists(c => c.shape match {
+        case FuzzGen.WinShape(_, _, _, _, _, f) => f == fn
+        case _ => false
+      }), s"no $fn window case")
   }
 }
