@@ -270,6 +270,55 @@ object Stats {
     * Scale shape: identical to [[chi2Independence]] — cell counts plus
     * broadcast marginals, one final one-row aggregate.
     */
+  /** Cross-group quantile normalization: re-express every row's value
+    * as the POOLED distribution's value at the row's within-group
+    * quantile — the mixture-prep primitive that aligns per-source
+    * score scales before sampling weights are computed from them (a
+    * "0.8" from a lenient scorer and a "0.5" from a strict one land on
+    * comparable pooled values).
+    *
+    * Mapping is pure integer arithmetic on ranks: a row at
+    * within-group rank r of n (ties broken by the id for a total
+    * order) maps to pooled rank `(r−1)·(N−1) div (n−1) + 1`
+    * (endpoints meet exactly: rank 1 → pooled min, rank n → pooled
+    * max). The pooled rank comes from [[Rank.globalRowNumber]] — the
+    * range-partitioned distributed numbering, NOT a single-partition
+    * window — and the normalized value is the pooled value at that
+    * rank, fetched by an 8-byte equi-join. Exact end to end: decimal
+    * values, integer ranks.
+    *
+    * Groups with n = 1 carry no distribution and map to the pooled
+    * median rank `(N+1) div 2`.
+    *
+    * Scale shape: one global range-partitioned numbering over the
+    * pool, one per-group rank window, one BIGINT equi-join on the
+    * mapped rank. Nothing quadratic, no global window funnel.
+    */
+  def quantileNormalize(df: DataFrame, group: Column, id: Column,
+      value: Column): DataFrame = {
+    val base = df.select(group.as("grp"), id.cast("bigint").as("id"),
+      value.cast("decimal(12,2)").as("v"))
+    val pooled = Rank.globalRowNumber(base.select(col("v"), col("id")),
+        Seq(col("v").asc, col("id").asc), out = "prn")
+      .select(col("prn"), col("v").as("norm_value"))
+    val nTot = base.agg(count(lit(1)).cast("bigint").as("nn"))
+    val wg = Window.partitionBy(col("grp"))
+      .orderBy(col("v").asc, col("id").asc)
+    base
+      .withColumn("r", row_number().over(wg).cast("bigint"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("grp"))).cast("bigint"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("prn",
+        when(col("n") > 1,
+          expr("(r - 1) * (nn - 1) div (n - 1) + 1"))
+          .otherwise(expr("(nn + 1) div 2")))
+      .join(pooled, Seq("prn"))
+      .select(col("grp"), col("id"), col("v").cast("double").as("value"),
+        col("r"), col("n"),
+        col("norm_value").cast("double").as("norm_value"))
+  }
+
   /** Histogram-Based Outlier Score (Goldstein & Dengel, KI'12): per
     * row, `HBOS = Σ_features −ln(density of the row's equal-width
     * bin)` — the deterministic, embarrassingly-parallel outlier

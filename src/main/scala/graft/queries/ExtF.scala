@@ -589,8 +589,44 @@ object ExtF {
           / (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
       FROM agg WHERE n_eval > 0 AND s1 > 0 ORDER BY grp"""))
 
+  /** Cross-group quantile normalization
+    * ([[graft.ext.Stats.quantileNormalize]]): every event value
+    * re-expressed as the pooled distribution's value at the row's
+    * within-group quantile — integer rank arithmetic end to end, so
+    * all 10,000 rows adjudicate exactly. The engine's pooled ranks
+    * come from the distributed range-partitioned numbering
+    * ([[graft.ext.Rank.globalRowNumber]]), the oracle's from a plain
+    * global window — an independent-implementation check of the
+    * numbering itself.
+    */
+  val xQuantileNormalize = Q(
+    "x_quantile_normalize",
+    (s, dir) => Stats.quantileNormalize(t(s, dir, "events"),
+        col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("grp"), col("id")),
+    Some("""WITH base AS (SELECT event_type AS grp,
+        CAST(event_id AS BIGINT) AS id,
+        CAST(value AS DECIMAL(12,2)) AS v
+      FROM events),
+      pooled AS (SELECT CAST(row_number() OVER (ORDER BY v, id)
+          AS BIGINT) AS prn, v AS norm_value
+        FROM base),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base),
+      wg AS (SELECT grp, id, v,
+          CAST(row_number() OVER (PARTITION BY grp ORDER BY v, id)
+            AS BIGINT) AS r,
+          CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+        FROM base)
+      SELECT w.grp, w.id, CAST(w.v AS DOUBLE) AS value, w.r, w.n,
+        CAST(p.norm_value AS DOUBLE) AS norm_value
+      FROM wg w CROSS JOIN nn
+      JOIN pooled p ON p.prn = CASE WHEN w.n > 1
+        THEN (w.r - 1) * (nn.nn - 1) // (w.n - 1) + 1
+        ELSE (nn.nn + 1) // 2 END
+      ORDER BY w.grp, w.id"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
-    xTsMase,
+    xTsMase, xQuantileNormalize,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -361,6 +361,43 @@ class StatsSpec extends SparkSuite {
     assert(r(1)._1 === 1L && r(2)._1 === 2L)
   }
 
+  test("quantileNormalize maps rank-equal rows of different scales together") {
+    import spark.implicits._
+    // group a: 1,2,3,4,5 — group b: 100,200,300,400,500. Both are
+    // 5-point uniform ladders, so rank i of a and rank i of b must map
+    // to the SAME pooled value; endpoints hit the pooled min/max.
+    val rows = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("a", 5L, 5.0),
+      ("b", 6L, 100.0), ("b", 7L, 200.0), ("b", 8L, 300.0),
+      ("b", 9L, 400.0), ("b", 10L, 500.0))
+    val df = rows.toDF("g", "id", "v")
+    val r = Stats.quantileNormalize(df, col("g"), col("id"), col("v"))
+      .select("grp", "r", "norm_value")
+      .as[(String, Long, Double)].collect()
+    val a = r.filter(_._1 == "a").map(x => x._2 -> x._3).toMap
+    val b = r.filter(_._1 == "b").map(x => x._2 -> x._3).toMap
+    (1L to 5L).foreach(i => assert(a(i) === b(i), s"rank $i"))
+    assert(a(1L) === 1.0)   // pooled min
+    assert(a(5L) === 500.0) // pooled max
+  }
+
+  test("quantileNormalize is partition-invariant and handles n=1 groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map(i =>
+      (s"g${i % 4}", i, rnd.nextInt(1000) / 10.0)) :+ (("solo", 999L, 42.0))
+    val df = rows.toDF("g", "id", "v")
+    val r1 = Stats.quantileNormalize(df.repartition(1), col("g"),
+      col("id"), col("v")).orderBy("grp", "id").collect().toSeq
+    val r8 = Stats.quantileNormalize(df.repartition(8), col("g"),
+      col("id"), col("v")).orderBy("grp", "id").collect().toSeq
+    assert(r1 === r8)
+    // the singleton group landed on the pooled median rank's value
+    val solo = r1.filter(_.getString(0) == "solo")
+    assert(solo.size === 1 && !solo.head.isNullAt(5))
+  }
+
   test("hbosOutliers excludes constant features from the score") {
     import spark.implicits._
     val df = (1L to 10L).map(i => (i, i.toDouble, 5.0)).toDF("id", "a", "c")
