@@ -625,8 +625,59 @@ object ExtF {
         ELSE (nn.nn + 1) // 2 END
       ORDER BY w.grp, w.id"""))
 
+  /** Source-health monitoring capstone: one row per event source
+    * joining every time-series detector this round shipped — CUSUM
+    * alarm days + peak scores, Mann–Kendall z + Theil–Sen slope,
+    * seasonal-naive MASE, lag-1 autocorrelation — the daily "which
+    * ingest sources need a human" report a production pipeline pins
+    * to a dashboard. The ORACLE composes the four already-adjudicated
+    * oracle texts VERBATIM as subqueries (DuckDB WITH-in-subquery), so
+    * the capstone's correctness inherits each component's rather than
+    * re-deriving it — any drift in a component surfaces twice.
+    */
+  val xPipelineMonitor: Q = {
+    def sub(q: Q): String = s"(${q.oracle.get})"
+    Q("x_pipeline_monitor",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cus = TimeSeries.cusum(ev, col("event_type"), col("ts"),
+            col("value"), BigDecimal("300.00"), BigDecimal("1500.00"))
+          .groupBy(col("grp"))
+          .agg(count(lit(1)).cast("bigint").as("n_days"),
+            sum(when(col("alarm"), 1L).otherwise(0L)).cast("bigint")
+              .as("alarm_days"),
+            max(col("cusum_pos")).as("max_cusum_pos"),
+            max(col("cusum_neg")).as("max_cusum_neg"))
+        val tr = TimeSeries.trendTest(ev, col("event_type"), col("ts"),
+            col("value"))
+          .select(col("grp"), col("z").as("trend_z"), col("sen_slope"))
+        val ms = TimeSeries.seasonalNaiveBacktest(ev, col("event_type"),
+            col("ts"), col("value"), season = 7)
+          .select(col("grp"), col("mase"))
+        val a1 = TimeSeries.acf(ev, col("event_type"), col("ts"),
+            col("value"), maxLag = 1)
+          .select(col("grp"), col("acf").as("acf1"))
+        cus.join(tr, "grp").join(ms, "grp").join(a1, "grp")
+          .orderBy(col("grp"))
+      },
+      Some(s"""SELECT c.grp, c.n_days, c.alarm_days, c.max_cusum_pos,
+        c.max_cusum_neg, t.trend_z, t.sen_slope, m.mase, a.acf1
+      FROM (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+          CAST(SUM(CASE WHEN alarm THEN 1 ELSE 0 END) AS BIGINT)
+            AS alarm_days,
+          MAX(cusum_pos) AS max_cusum_pos,
+          MAX(cusum_neg) AS max_cusum_neg
+        FROM ${sub(xTsCusum)} GROUP BY grp) c
+      JOIN (SELECT grp, z AS trend_z, sen_slope
+        FROM ${sub(xTsTrend)}) t ON t.grp = c.grp
+      JOIN (SELECT grp, mase FROM ${sub(xTsMase)}) m ON m.grp = c.grp
+      JOIN (SELECT grp, acf AS acf1 FROM ${sub(xTsAcf)}
+        WHERE lag = 1) a ON a.grp = c.grp
+      ORDER BY c.grp"""))
+  }
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
-    xTsMase, xQuantileNormalize,
+    xTsMase, xQuantileNormalize, xPipelineMonitor,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }
