@@ -58,4 +58,77 @@ object Basket {
         ((col("n_ab") * col("n_txn")).cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
+
+  /** Frequent item TRIPLES at `minSupport` — Apriori level 3
+    * (Agrawal & Srikant, VLDB'94): per-basket triple enumeration with
+    * the level-wise prune applied WHERE IT PAYS, per basket — a
+    * basket's items are first restricted to frequent singletons, then
+    * its pairs to frequent pairs, so the b·(b−1)·(b−2)/6 triple
+    * fan-out only materializes over items that can still qualify.
+    * The prune is pure performance: the final support filter alone
+    * defines the output (which is how the oracle computes it,
+    * prune-free — an independent implementation).
+    *
+    * Output: ordered triple (a < b < c), count, support n_abc/N, and
+    * the 3-way lift n_abc·N² / (n_a·n_b·n_c).
+    *
+    * Scale shape: everything shuffles on transaction or item keys;
+    * the frequent-pair set broadcasts onto the per-basket joins;
+    * fan-out is bounded by (frequent items per basket)³ — the
+    * documented Apriori trade.
+    */
+  def frequentTriples(df: DataFrame, txnCol: Column, itemCol: Column,
+      minSupport: Long): DataFrame = {
+    val items = df.select(txnCol.as("txn"), itemCol.as("item")).distinct()
+    val total = items.select(col("txn")).distinct()
+      .agg(count(lit(1)).as("n_txn"))
+    val itemCnt = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val freq1 = itemCnt.filter(col("n_item") >= minSupport)
+      .select(col("item"))
+    val itemsF = items.join(broadcast(freq1), Seq("item"), "left_semi")
+    val freqPairs = itemsF.as("a")
+      .join(itemsF.as("b"),
+        col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("pa"), col("b.item").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+      .select(col("pa"), col("pb"))
+    val basketPairs = itemsF.as("a")
+      .join(itemsF.as("b"),
+        col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
+      .select(col("a.txn").as("txn"), col("a.item").as("ia"),
+        col("b.item").as("ib"))
+      .join(broadcast(freqPairs),
+        col("ia") === col("pa") && col("ib") === col("pb"), "left_semi")
+    val triples = basketPairs.as("p")
+      .join(itemsF.as("c"),
+        col("p.txn") === col("c.txn") && col("c.item") > col("p.ib"))
+      .select(col("p.txn").as("txn"), col("ia"), col("ib"),
+        col("c.item").as("ic"))
+      // Apriori prune: (ia, ic) and (ib, ic) must also be frequent
+      .join(broadcast(freqPairs),
+        col("ia") === col("pa") && col("ic") === col("pb"), "left_semi")
+      .join(broadcast(freqPairs),
+        col("ib") === col("pa") && col("ic") === col("pb"), "left_semi")
+      .groupBy(col("ia").as("item_a"), col("ib").as("item_b"),
+        col("ic").as("item_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minSupport)
+    triples
+      .join(itemCnt.select(col("item").as("item_a"),
+        col("n_item").as("n_a")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"),
+        col("n_item").as("n_b")), "item_b")
+      .join(itemCnt.select(col("item").as("item_c"),
+        col("n_item").as("n_c")), "item_c")
+      .crossJoin(total)
+      .select(col("item_a"), col("item_b"), col("item_c"),
+        col("n_abc").cast("bigint").as("n_abc"),
+        (col("n_abc").cast("double") / col("n_txn").cast("double"))
+          .as("support"),
+        ((col("n_abc") * col("n_txn") * col("n_txn")).cast("double") /
+          (col("n_a") * col("n_b") * col("n_c")).cast("double"))
+          .as("lift3"))
+  }
 }

@@ -676,8 +676,41 @@ object ExtF {
       ORDER BY c.grp"""))
   }
 
+  /** Apriori frequent triples ([[graft.ext.Basket.frequentTriples]],
+    * 200 part families, support ≥ 3): the engine runs the level-wise
+    * per-basket prune; the oracle enumerates all per-basket triples
+    * with only the final support filter — an independent
+    * implementation, so adjudication proves the prune drops nothing
+    * that qualifies and keeps nothing that doesn't.
+    */
+  val xBasketTriples = Q(
+    "x_basket_triples",
+    (s, dir) => Basket.frequentTriples(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey") % 200, minSupport = 3L)
+      .orderBy(col("item_a"), col("item_b"), col("item_c")),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS txn,
+        l_partkey % 200 AS item FROM lineitem),
+      tot AS (SELECT CAST(COUNT(DISTINCT txn) AS BIGINT) AS n_txn
+        FROM li),
+      ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM li GROUP BY item),
+      tr AS (SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+          CAST(COUNT(*) AS BIGINT) AS n_abc
+        FROM li a JOIN li b ON a.txn = b.txn AND a.item < b.item
+        JOIN li c ON a.txn = c.txn AND b.item < c.item
+        GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
+      SELECT item_a, item_b, item_c, n_abc,
+        CAST(n_abc AS DOUBLE) / CAST(n_txn AS DOUBLE) AS support,
+        CAST(n_abc * n_txn * n_txn AS DOUBLE)
+          / CAST(ia.n_item * ib.n_item * ic2.n_item AS DOUBLE) AS lift3
+      FROM tr JOIN ic ia ON ia.item = tr.item_a
+      JOIN ic ib ON ib.item = tr.item_b
+      JOIN ic ic2 ON ic2.item = tr.item_c
+      CROSS JOIN tot
+      ORDER BY item_a, item_b, item_c"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
-    xTsMase, xQuantileNormalize, xPipelineMonitor,
+    xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

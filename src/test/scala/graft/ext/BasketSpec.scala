@@ -46,4 +46,29 @@ class BasketSpec extends SparkSuite {
       .collect()(0).getAs[Double]("psi")
     assert(drift > 0.25, s"concentrated shift must alarm, got $drift")
   }
+
+  test("frequentTriples equals the prune-free enumeration") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = for {
+      t <- 1 to 120
+      i <- rnd.shuffle((0 until 12).toList).take(2 + rnd.nextInt(4))
+    } yield (t.toLong, i.toLong)
+    val df = rows.toDF("t", "i")
+    val minSup = 4L
+    val got = graft.ext.Basket.frequentTriples(df, col("t"), col("i"),
+        minSup)
+      .select("item_a", "item_b", "item_c", "n_abc")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // naive: enumerate all basket triples, keep support >= minSup
+    val byTxn = rows.distinct.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val counts = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+    for (items <- byTxn; a <- items; b <- items if b > a;
+         c <- items if c > b)
+      counts((a, b, c)) = counts.getOrElse((a, b, c), 0L) + 1
+    val want = counts.filter(_._2 >= minSup)
+      .map { case ((a, b, c), n) => (a, b, c, n) }.toSet
+    assert(want.nonEmpty, "fixture produced no frequent triples")
+    assert(got === want)
+  }
 }
