@@ -186,4 +186,51 @@ object Behavior {
         (col("n").cast("double") / col("row_total").cast("double"))
           .as("prob"))
   }
+
+  /** Gap-constrained sequential patterns: how often does event type A
+    * precede event type B within `window` events of the same user's
+    * ordered stream? Generalizes [[transitionMatrix]] (that's
+    * window = 1) to "A leads to B soon, not necessarily next" — the
+    * sequence-mining primitive behind intent detection and
+    * funnel-hypothesis discovery. Reported with the independence lift
+    * `n_ab·T / (n_a·n_b)` where the totals count WINDOW SLOTS (each
+    * ordered pair of positions ≤ window apart), so lift is measured
+    * against a slot-uniform null.
+    *
+    * Determinism: per-user positions are row_number ordered by
+    * (ts, event id) — a total order; all counts are exact integers.
+    *
+    * Scale shape: the pair join is user-equi + bounded index range —
+    * fan-out ≤ window per event, shuffled on the user key; type-pair
+    * aggregation is O(#types²) rows.
+    */
+  def sequencePatterns(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, window: Int): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("ts"), col("eid"))
+    val seq0 = events.select(col(userCol).as("u"), col(tsCol).as("ts"),
+        col(typeCol).as("et"), col(idCol).as("eid"))
+      .withColumn("i", row_number().over(w).cast("bigint"))
+      .select(col("u"), col("i"), col("et"))
+    val pairs = seq0.as("a")
+      .join(seq0.as("b"),
+        col("a.u") === col("b.u") && col("b.i") > col("a.i") &&
+          col("b.i") <= col("a.i") + window)
+      .select(col("a.et").as("type_a"), col("b.et").as("type_b"))
+    val tot = pairs.agg(count(lit(1)).cast("bigint").as("t_slots"))
+    val aCnt = pairs.groupBy(col("type_a"))
+      .agg(count(lit(1)).as("n_a"))
+    val bCnt = pairs.groupBy(col("type_b"))
+      .agg(count(lit(1)).as("n_b"))
+    pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_ab"))
+      .join(broadcast(aCnt), "type_a")
+      .join(broadcast(bCnt), "type_b")
+      .crossJoin(broadcast(tot))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"),
+        ((col("n_ab") * col("t_slots")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
 }

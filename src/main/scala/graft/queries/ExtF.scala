@@ -709,8 +709,40 @@ object ExtF {
       CROSS JOIN tot
       ORDER BY item_a, item_b, item_c"""))
 
+  /** Gap-constrained sequential patterns
+    * ([[graft.ext.Behavior.sequencePatterns]], window 5): pure
+    * integer counts over total-ordered per-user streams; the lift's
+    * slot-uniform null replays in SQL exactly.
+    */
+  val xSeqPatterns = Q(
+    "x_seq_patterns",
+    (s, dir) => Behavior.sequencePatterns(t(s, dir, "events"),
+        "user_id", "ts", "event_type", "event_id", window = 5)
+      .orderBy(col("type_a"), col("type_b")),
+    Some("""WITH seq AS (SELECT user_id AS u, event_type AS et,
+        CAST(row_number() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS BIGINT) AS i
+      FROM events),
+      pairs AS (SELECT a.et AS type_a, b.et AS type_b
+        FROM seq a JOIN seq b
+          ON a.u = b.u AND b.i > a.i AND b.i <= a.i + 5),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_slots FROM pairs),
+      ac AS (SELECT type_a, CAST(COUNT(*) AS BIGINT) AS n_a
+        FROM pairs GROUP BY 1),
+      bc AS (SELECT type_b, CAST(COUNT(*) AS BIGINT) AS n_b
+        FROM pairs GROUP BY 1),
+      ab AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM pairs GROUP BY 1, 2)
+      SELECT ab.type_a, ab.type_b, ab.n_ab, ac.n_a, bc.n_b,
+        CAST(ab.n_ab * t.t_slots AS DOUBLE)
+          / CAST(ac.n_a * bc.n_b AS DOUBLE) AS lift
+      FROM ab JOIN ac USING (type_a) JOIN bc USING (type_b)
+      CROSS JOIN tot t
+      ORDER BY type_a, type_b"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
+    xSeqPatterns,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -37,6 +37,30 @@ class BehaviorSpec extends SparkSuite {
     }
   }
 
+  test("sequencePatterns counts gap-bounded pairs, generalizing transitions") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user, stream A B C A with window 2:
+    // pairs: (A,B)(A,C) (B,C)(B,A) (C,A) → 5 slots
+    val ev = Seq(("u1", "A", 1L), ("u1", "B", 2L), ("u1", "C", 3L),
+      ("u1", "A", 4L))
+      .map { case (u, t, i) =>
+        (u, Timestamp.valueOf(s"2024-01-01 00:0$i:00"), t, i)
+      }.toDF("user_id", "ts", "event_type", "event_id")
+    val r = Behavior.sequencePatterns(ev, "user_id", "ts", "event_type",
+        "event_id", window = 2)
+      .select("type_a", "type_b", "n_ab")
+      .as[(String, String, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(r === Map(("A", "B") -> 1L, ("A", "C") -> 1L,
+      ("B", "C") -> 1L, ("B", "A") -> 1L, ("C", "A") -> 1L))
+    // window 1 degenerates to adjacent transitions: A→B, B→C, C→A
+    val r1 = Behavior.sequencePatterns(ev, "user_id", "ts", "event_type",
+        "event_id", window = 1)
+      .select("type_a", "type_b").as[(String, String)].collect().toSet
+    assert(r1 === Set(("A", "B"), ("B", "C"), ("C", "A")))
+  }
+
   test("cohort retention is 1.0 at offset zero by construction") {
     val r = Behavior.cohortRetention(events, "user_id", "ts")
       .filter(col("week_offset") === 0).collect()
