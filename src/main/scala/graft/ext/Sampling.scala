@@ -333,6 +333,61 @@ object Sampling {
         col("quota"), col("rank"), (col("rank") <= col("quota")).as("kept"))
   }
 
+  /** Neyman-allocation stratified sampling (Neyman 1934): a fixed
+    * budget split across strata ∝ n_h·σ_h — variable strata get more
+    * budget than uniform-proportional would give them, which minimizes
+    * the variance of the pooled estimate. The identity
+    * n_h·σ_h = √(n_h·Σx² − S²) keeps the weight computable from EXACT
+    * decimal power sums (one sqrt of an exact double per stratum);
+    * weights are canonicalized to DECIMAL(20,12) before the exact
+    * weight-sum so no float aggregation order can leak in, and each
+    * stratum's quota is ⌊budget·w_h/Σw⌋ capped at n_h — identical
+    * IEEE arithmetic on both engines. Row selection inside a stratum
+    * is rank over the 31-bit xorshift mix of the id (deterministic
+    * "random" — the SimHash/geo recipe), tie-broken by id.
+    *
+    * Scale shape: one exact power-sum aggregate per stratum, an
+    * O(#strata) broadcast of quotas, and one rank window per stratum —
+    * the [[diversitySample]] shape with variance-aware quotas.
+    */
+  def neymanSample(df: DataFrame, stratum: Column, id: Column,
+      value: Column, budget: Long): DataFrame = {
+    val base = df.select(stratum.as("h"), id.cast("bigint").as("id"),
+      value.cast("decimal(12,2)").as("x"))
+    val stats = base.groupBy(col("h")).agg(
+      count(lit(1)).cast("bigint").as("n_h"),
+      sum(col("x")).cast("decimal(38,2)").as("s"),
+      sum((col("x") * col("x")).cast("decimal(38,4)")).cast("decimal(38,4)")
+        .as("ss"))
+    // greatest(0, ·): a near-constant stratum can go epsilon-negative
+    // in double rounding, and sqrt(−ε) = NaN would null the weight
+    val w = sqrt(greatest(lit(0.0),
+      col("n_h").cast("double") * col("ss").cast("double") -
+        col("s").cast("double") * col("s").cast("double")))
+      .cast("decimal(20,12)")
+    val weighted = stats.withColumn("w", w)
+    val wsum = weighted.agg(sum(col("w")).cast("decimal(38,12)").as("ws"))
+    val quotas = weighted.crossJoin(broadcast(wsum))
+      .select(col("h"), col("n_h"),
+        col("w").cast("double").as("w_h"),
+        least(col("n_h"),
+          floor(lit(budget).cast("double") * col("w").cast("double") /
+            col("ws").cast("double")).cast("bigint")).as("quota"))
+    val mix = {
+      val v1 = (col("id") * lit(2654435761L) + lit(97L)) % lit(2147483648L)
+      val x1 = v1.bitwiseXOR(shiftright(v1, 13))
+      val v3 = (x1 * lit(1103515245L)) % lit(2147483648L)
+      v3.bitwiseXOR(shiftright(v3, 17))
+    }
+    val wRank = Window.partitionBy(col("h"))
+      .orderBy(col("mx"), col("id"))
+    base.withColumn("mx", mix)
+      .withColumn("rank", row_number().over(wRank).cast("bigint"))
+      .join(broadcast(quotas), "h")
+      .select(col("h"), col("id"), col("n_h"), col("w_h"), col("quota"),
+        col("rank"), (col("rank") <= col("quota")).as("kept"))
+  }
+
   /** Farthest-point sampling (Gonzalez 1985 k-center greedy): pick k
     * vectors maximizing pairwise spread — seed at the min id, then
     * repeatedly take the point FARTHEST (cosine distance 1 − cos) from

@@ -740,9 +740,54 @@ object ExtF {
       CROSS JOIN tot t
       ORDER BY type_a, type_b"""))
 
+  /** Neyman-allocation stratified sampling
+    * ([[graft.ext.Sampling.neymanSample]], budget 2000 over event
+    * types): quotas ∝ n_h·σ_h from exact power sums, rank order from
+    * the 31-bit xorshift id mix — every quota, rank, and keep flag
+    * adjudicates exactly.
+    */
+  val xSampleNeyman = Q(
+    "x_sample_neyman",
+    (s, dir) => Sampling.neymanSample(t(s, dir, "events"),
+        col("event_type"), col("event_id"), col("value"), budget = 2000L)
+      .orderBy(col("h"), col("id")),
+    Some("""WITH base AS (SELECT event_type AS h,
+        CAST(event_id AS BIGINT) AS id,
+        CAST(value AS DECIMAL(12,2)) AS x
+      FROM events),
+      stats AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_h,
+          CAST(SUM(x) AS DECIMAL(38,2)) AS s,
+          CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss
+        FROM base GROUP BY 1),
+      wtab AS (SELECT h, n_h,
+          CAST(sqrt(GREATEST(CAST(0 AS DOUBLE),
+            CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
+              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+            AS DECIMAL(20,12)) AS w
+        FROM stats),
+      ws AS (SELECT CAST(SUM(w) AS DECIMAL(38,12)) AS wsd FROM wtab),
+      quotas AS (SELECT h, n_h, CAST(w AS DOUBLE) AS w_h,
+          LEAST(n_h, CAST(floor(CAST(2000 AS DOUBLE) * CAST(w AS DOUBLE)
+            / CAST(wsd AS DOUBLE)) AS BIGINT)) AS quota
+        FROM wtab CROSS JOIN ws),
+      mixed AS (SELECT h, id,
+          xor((xor(v1, v1 // 8192) * 1103515245) % 2147483648,
+            ((xor(v1, v1 // 8192) * 1103515245) % 2147483648) // 131072)
+            AS mx
+        FROM (SELECT h, id, (id * 2654435761 + 97) % 2147483648 AS v1
+          FROM base)),
+      ranked AS (SELECT h, id,
+          CAST(row_number() OVER (PARTITION BY h ORDER BY mx, id)
+            AS BIGINT) AS rank
+        FROM mixed)
+      SELECT r.h, r.id, q.n_h, q.w_h, q.quota, r.rank,
+        r.rank <= q.quota AS kept
+      FROM ranked r JOIN quotas q ON q.h = r.h
+      ORDER BY r.h, r.id"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
-    xSeqPatterns,
+    xSeqPatterns, xSampleNeyman,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

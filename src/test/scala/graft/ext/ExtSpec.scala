@@ -639,6 +639,35 @@ class ExtSpec extends SparkSuite {
     assert(r8 == r1)
   }
 
+  test("neymanSample gives variable strata more budget, capped and invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    // stratum "wide": values 0..100; "narrow": ~50±1; same sizes
+    val rows = (1L to 300L).map(i => ("wide", i, rnd.nextInt(10000) / 100.0)) ++
+      (301L to 600L).map(i => ("narrow", i, 50.0 + rnd.nextInt(200) / 100.0)) ++
+      (601L to 605L).map(i => ("tiny", i, rnd.nextInt(10000) / 100.0))
+    val df = rows.toDF("h", "id", "v")
+    val r = Sampling.neymanSample(df, col("h"), col("id"), col("v"), 100L)
+      .select("h", "quota", "kept", "n_h")
+      .collect()
+    val quota = r.map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(quota("wide") > quota("narrow"),
+      s"variance-aware allocation inverted: $quota")
+    assert(quota.values.sum <= 100L + quota.size, "budget blown past floor slack")
+    assert(quota("tiny") <= 5L, "quota exceeded stratum size")
+    // per stratum, exactly `quota` rows carry kept = true
+    val keptBy = r.filter(_.getBoolean(2)).groupBy(_.getString(0))
+      .view.mapValues(_.length.toLong).toMap
+    quota.foreach { case (h, q) =>
+      assert(keptBy.getOrElse(h, 0L) === q, s"stratum $h kept != quota") }
+    // partition invariance
+    val a = Sampling.neymanSample(df.repartition(7), col("h"), col("id"),
+      col("v"), 100L).orderBy("h", "id").collect().toSeq
+    val b = Sampling.neymanSample(df.repartition(1), col("h"), col("id"),
+      col("v"), 100L).orderBy("h", "id").collect().toSeq
+    assert(a === b)
+  }
+
   test("farthestPointSample matches the naive greedy k-center reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(17)
