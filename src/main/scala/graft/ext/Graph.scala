@@ -333,6 +333,48 @@ object Graph {
         col("s").cast("double").as("aa_score"))
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * endpoint degrees over the (directed) edge list — do hubs link to
+    * hubs (r > 0, social graphs) or to leaves (r < 0, web/biology)?
+    * The one-number wiring diagnostic read alongside the degree
+    * distribution before trusting any sampled subgraph.
+    *
+    * Everything before the final doubles is exact BIGINT: degrees are
+    * counts, and the five Pearson power sums (Σx, Σy, Σxy, Σx², Σy²
+    * over edges) are integer sums of integer products; the closed form
+    * `(nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²))` is then one
+    * identical double expression. Degenerate variance (regular graph)
+    * returns NULL rather than a NaN.
+    *
+    * Scale shape: one degree aggregate, two broadcast joins of the
+    * O(#nodes) degree table onto the edges, one global aggregate.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val ue = edges.select(col(srcCol).cast("bigint").as("src"),
+        col(dstCol).cast("bigint").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val deg = ue.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("bigint").as("d"))
+    val joined = ue
+      .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+    val sums = joined.agg(
+      count(lit(1)).cast("bigint").as("n"),
+      sum(col("dx")).cast("bigint").as("sx"),
+      sum(col("dy")).cast("bigint").as("sy"),
+      sum(col("dx") * col("dy")).cast("bigint").as("sxy"),
+      sum(col("dx") * col("dx")).cast("bigint").as("sxx"),
+      sum(col("dy") * col("dy")).cast("bigint").as("syy"))
+    val varx = col("n") * col("sxx") - col("sx") * col("sx")
+    val vary = col("n") * col("syy") - col("sy") * col("sy")
+    sums.select(col("n"), col("sx"), col("sy"), col("sxy"),
+      when(varx > 0 && vary > 0,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt(varx.cast("double") * vary.cast("double")))
+        .otherwise(lit(null).cast("double")).as("assortativity"))
+  }
+
   /** k-core decomposition (Seidman 1983) by synchronous peeling: drop
     * every node with fewer than k live neighbors, recompute degrees
     * over the surviving induced subgraph, repeat for `rounds` rounds —

@@ -785,9 +785,38 @@ object ExtF {
       FROM ranked r JOIN quotas q ON q.h = r.h
       ORDER BY r.h, r.id"""))
 
+  /** Degree assortativity ([[graft.ext.Graph.degreeAssortativity]]) of
+    * the shared blocked graph: the Pearson closed form over exact
+    * BIGINT power sums — one row, bit-exact.
+    */
+  val xAssortativity = Q(
+    "x_assortativity",
+    (s, dir) => Graph.degreeAssortativity(
+      ExtC.syntheticGraph(s, dir), "src", "dst"),
+    Some(s"""${ExtC.graphCtes},
+      ue AS (SELECT DISTINCT src, dst FROM edges),
+      deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM ue GROUP BY 1),
+      j AS (SELECT dx.d AS dx, dy.d AS dy
+        FROM ue JOIN deg dx ON dx.node = ue.src
+        JOIN deg dy ON dy.node = ue.dst),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+          CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+          CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+          CAST(SUM(dy * dy) AS BIGINT) AS syy
+        FROM j)
+      SELECT n, sx, sy, sxy,
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+              * CAST(n * syy - sy * sy AS DOUBLE))
+          ELSE CAST(NULL AS DOUBLE) END AS assortativity
+      FROM s"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
-    xSeqPatterns, xSampleNeyman,
+    xSeqPatterns, xSampleNeyman, xAssortativity,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

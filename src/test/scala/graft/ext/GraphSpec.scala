@@ -134,6 +134,22 @@ class GraphSpec extends SparkSuite {
     assert(r1("heavy") > r1("light"))
   }
 
+  test("degreeAssortativity matches a hand Pearson and signs correctly") {
+    import spark.implicits._
+    // star graph (hub 0 to leaves 1..4, symmetrized): hubs link ONLY
+    // to leaves → strongly negative assortativity (= -1 for a star)
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+      .toDF("src", "dst")
+    val rs = Graph.degreeAssortativity(star, "src", "dst")
+      .select("assortativity").as[Option[Double]].head().get
+    assert(math.abs(rs - (-1.0)) < 1e-12, s"star should be -1, got $rs")
+    // 4-cycle is 2-regular: zero degree variance → NULL, not NaN
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    assert(Graph.degreeAssortativity(cyc, "src", "dst")
+      .select("assortativity").as[Option[Double]].head().isEmpty)
+  }
+
   test("kCore keeps the triangle, peels the pendant chain, certifies") {
     import spark.implicits._
     // triangle 1-2-3 plus chain 3-4-5: for k=2 the chain peels off
