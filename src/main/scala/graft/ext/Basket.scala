@@ -59,6 +59,53 @@ object Basket {
           (col("n_a") * col("n_b")).cast("double")).as("lift"))
   }
 
+  /** Item-item neighborhood model (Sarwar et al., WWW'01): for every
+    * item, the top-k most similar items by JACCARD of their
+    * transaction sets `n_ab / (n_a + n_b − n_ab)` — the
+    * memory-based collaborative-filtering primitive ("users who took
+    * X also took Y") and, over (document, entity) rows, the
+    * entity-neighborhood builder. Similarity is an exact rational of
+    * integer counts (one double division at the end); ranking
+    * tie-breaks on the neighbor id, and because the doubles come from
+    * identical integer operands the order adjudicates exactly.
+    *
+    * Scale shape: co-occurrence pairs shuffle on the transaction key
+    * with per-basket fan-out (the [[associationRules]] trade), counts
+    * broadcast back, and the top-k is a per-item rank window over
+    * pairs with co-count ≥ `minCo` — output-bound.
+    */
+  def itemNeighbors(df: DataFrame, txnCol: Column, itemCol: Column,
+      minCo: Long, k: Int): DataFrame = {
+    val items = df.select(txnCol.as("txn"), itemCol.as("item")).distinct()
+    val itemCnt = items.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_item"))
+    val co = items.as("a")
+      .join(items.as("b"),
+        col("a.txn") === col("b.txn") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCo)
+    val sym = co.select(col("ia").as("item"), col("ib").as("nbr"),
+        col("n_ab"))
+      .unionByName(co.select(col("ib").as("item"), col("ia").as("nbr"),
+        col("n_ab")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item")).orderBy(col("jaccard").desc, col("nbr"))
+    sym
+      .join(broadcast(itemCnt.select(col("item"), col("n_item").as("n_i"))),
+        "item")
+      .join(broadcast(itemCnt.select(col("item").as("nbr"),
+        col("n_item").as("n_j"))), "nbr")
+      .withColumn("jaccard", col("n_ab").cast("double") /
+        (col("n_i") + col("n_j") - col("n_ab")).cast("double"))
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= k)
+      .select(col("item"), col("rank"), col("nbr"),
+        col("n_ab").cast("bigint").as("n_ab"),
+        col("n_i").cast("bigint").as("n_i"),
+        col("n_j").cast("bigint").as("n_j"), col("jaccard"))
+  }
+
   /** Frequent item TRIPLES at `minSupport` — Apriori level 3
     * (Agrawal & Srikant, VLDB'94): per-basket triple enumeration with
     * the level-wise prune applied WHERE IT PAYS, per basket — a

@@ -814,9 +814,42 @@ object ExtF {
           ELSE CAST(NULL AS DOUBLE) END AS assortativity
       FROM s"""))
 
+  /** Item-item neighborhoods ([[graft.ext.Basket.itemNeighbors]],
+    * 200 part families, co-count ≥ 3, top-5): Jaccard as an exact
+    * rational of integer counts; ranks tie-broken on the neighbor id
+    * adjudicate exactly.
+    */
+  val xItemNeighbors = Q(
+    "x_item_neighbors",
+    (s, dir) => Basket.itemNeighbors(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey") % 200, minCo = 3L, k = 5)
+      .orderBy(col("item"), col("rank")),
+    Some("""WITH li AS (SELECT DISTINCT l_orderkey AS txn,
+        l_partkey % 200 AS item FROM lineitem),
+      ic AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item
+        FROM li GROUP BY item),
+      co AS (SELECT a.item AS ia, b.item AS ib,
+          CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM li a JOIN li b ON a.txn = b.txn AND a.item < b.item
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      sym AS (SELECT ia AS item, ib AS nbr, n_ab FROM co
+        UNION ALL SELECT ib, ia, n_ab FROM co),
+      sc AS (SELECT s.item, s.nbr, s.n_ab, ii.n_item AS n_i,
+          ij.n_item AS n_j,
+          CAST(s.n_ab AS DOUBLE)
+            / CAST(ii.n_item + ij.n_item - s.n_ab AS DOUBLE) AS jaccard
+        FROM sym s JOIN ic ii ON ii.item = s.item
+        JOIN ic ij ON ij.item = s.nbr),
+      rk AS (SELECT item, nbr, n_ab, n_i, n_j, jaccard,
+          CAST(row_number() OVER (PARTITION BY item
+            ORDER BY jaccard DESC, nbr) AS BIGINT) AS rank
+        FROM sc)
+      SELECT item, rank, nbr, n_ab, n_i, n_j, jaccard
+      FROM rk WHERE rank <= 5 ORDER BY item, rank"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
-    xSeqPatterns, xSampleNeyman, xAssortativity,
+    xSeqPatterns, xSampleNeyman, xAssortativity, xItemNeighbors,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

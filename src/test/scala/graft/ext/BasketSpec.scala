@@ -47,6 +47,29 @@ class BasketSpec extends SparkSuite {
     assert(drift > 0.25, s"concentrated shift must alarm, got $drift")
   }
 
+  test("itemNeighbors ranks by exact Jaccard with id tie-break") {
+    import spark.implicits._
+    // item 1 co-occurs with 2 in {t1,t2} and with 3 in {t1}:
+    // J(1,2) = 2/(3+2-2) = 2/3;  J(1,3) = 1/(3+2-1) = 1/4
+    val df = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (4L, 3L))
+      .toDF("t", "i")
+    val r = graft.ext.Basket.itemNeighbors(df, col("t"), col("i"),
+        minCo = 1L, k = 5)
+      .filter(col("item") === 1L)
+      .orderBy("rank")
+      .select("rank", "nbr", "jaccard")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((1L, 2L, 2.0 / 3.0), (2L, 3L, 1.0 / 4.0)))
+    // symmetric view: 2's best neighbor is 1 with the same similarity
+    val r2 = graft.ext.Basket.itemNeighbors(df, col("t"), col("i"), 1L, 5)
+      .filter(col("item") === 2L && col("rank") === 1L)
+      .select("nbr", "jaccard").as[(Long, Double)].head()
+    assert(r2 === ((1L, 2.0 / 3.0)))
+  }
+
   test("frequentTriples equals the prune-free enumeration") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
