@@ -804,6 +804,90 @@ object Multimodal {
       } finally raw.close() // closes the transcoding wrapper's source too
     } catch { case _: Exception => None }
 
+  /** REAL audio feature extraction over the decoded PCM stream:
+    * sample count, exact Σs² (for RMS energy), and zero crossings of
+    * CHANNEL 0 (consecutive channel-0 samples with strictly opposite
+    * signs — the cheap pitch/noisiness proxy); same JDK decode walk as
+    * [[realAudioDecode]], including the G.711 transcode. Integer
+    * accumulators stay exact (|s| ≤ 2^15, Σs² < 2^63 up to ~8e12
+    * samples); None for payloads the JDK can't decode.
+    */
+  def realAudioFeatures(bytes: Array[Byte]): Option[(Long, Long, Long)] =
+    if (!sniffWav(bytes)) None
+    else try {
+      val raw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val enc = raw.getFormat.getEncoding.toString.toLowerCase
+        val compressed = enc == "ulaw" || enc == "alaw"
+        val in =
+          if (!compressed) raw
+          else javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new javax.sound.sampled.AudioFormat(
+              javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+              raw.getFormat.getSampleRate, 16, raw.getFormat.getChannels,
+              raw.getFormat.getChannels * 2, raw.getFormat.getSampleRate,
+              false), raw)
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian) None
+        else {
+          val ch = fmt.getChannels
+          val buf = new Array[Byte](4096)
+          var n = 0L; var sumSq = 0L; var zc = 0L
+          var prev0 = 0L; var havePrev0 = false
+          var carry = -1
+          def push(s: Long): Unit = {
+            sumSq += s * s
+            if (n % ch == 0) { // channel-0 sample
+              if (havePrev0 &&
+                ((prev0 > 0 && s < 0) || (prev0 < 0 && s > 0))) zc += 1
+              prev0 = s; havePrev0 = true
+            }
+            n += 1
+          }
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read > 0) {
+              push(((buf(0) << 8) | carry).toShort.toLong)
+              carry = -1; i = 1
+            }
+            while (i + 1 < read) {
+              push(((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort.toLong)
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            read = in.read(buf)
+          }
+          Some((n, sumSq, zc))
+        }
+      } finally raw.close()
+    } catch { case _: Exception => None }
+
+  /** Partition-parallel audio FEATURES of (id, payload) rows —
+    * [[realAudioFeatures]] over each payload, with RMS assembled as
+    * one double sqrt of the exact integer sums. Undecodable payloads
+    * produce no row (the features face has no honest fake: a made-up
+    * Σs² would poison any downstream energy filter).
+    */
+  def audioFeatures(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("n_samples", LongType),
+      StructField("sum_sq", LongType),
+      StructField("zero_crossings", LongType)))
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload"))
+      .rdd.flatMap { r =>
+        realAudioFeatures(r.getAs[Array[Byte]](1)).map {
+          case (n, sq, zc) => Row(r.getLong(0), n, sq, zc)
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+      .withColumn("rms",
+        sqrt(col("sum_sq").cast("double") / col("n_samples").cast("double")))
+  }
+
   /** Deterministic fake audio metadata for payloads the JDK can't
     * decode. PCM and G.711 µ-law/A-law WAVs decode for REAL above;
     * perceptual codecs (mp3/aac/opus) aren't in this container —

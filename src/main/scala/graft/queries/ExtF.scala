@@ -847,9 +847,45 @@ object ExtF {
       SELECT item, rank, nbr, n_ab, n_i, n_j, jaccard
       FROM rk WHERE rank <= 5 ORDER BY item, rank"""))
 
+  /** REAL audio feature extraction
+    * ([[graft.ext.Multimodal.audioFeatures]]): the JDK decodes the
+    * synthetic PCM16 WAVs and the oracle predicts sample count, exact
+    * Σs², channel-0 zero crossings (consecutive-frame sign flips via a
+    * self-join on frame index), and the assembled RMS — entirely from
+    * the id-derived sample formula. A wrong byte order, a dropped
+    * sample, or a channel-interleave mistake in the decode walk all
+    * break the hash.
+    */
+  val xMultimodalAudioFeatures = Q(
+    "x_multimodal_audio_features",
+    (s, dir) => Multimodal.audioFeatures(
+      Multimodal.withSyntheticWav(t(s, dir, "documents"), "doc_id"), "id")
+      .orderBy(col("id")),
+    Some("""WITH p AS (SELECT doc_id AS id,
+        1 + CAST(doc_id % 2 AS BIGINT) AS ch,
+        200 + (doc_id * 13) % 800 AS frames
+      FROM documents),
+      s AS (SELECT id, ch, unnest(range(frames * ch)) AS j FROM p),
+      v AS (SELECT id, ch, j,
+        ((id * 7919 + j * 104729) % 65536) - 32768 AS sv FROM s),
+      agg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_samples,
+        CAST(SUM(sv * sv) AS BIGINT) AS sum_sq FROM v GROUP BY id),
+      c0 AS (SELECT id, j // ch AS f, sv FROM v WHERE j % ch = 0),
+      zc AS (SELECT a.id,
+          CAST(SUM(CASE WHEN (a.sv > 0 AND b.sv < 0)
+            OR (a.sv < 0 AND b.sv > 0) THEN 1 ELSE 0 END) AS BIGINT) AS z
+        FROM c0 a JOIN c0 b ON b.id = a.id AND b.f = a.f + 1
+        GROUP BY a.id)
+      SELECT g.id, g.n_samples, g.sum_sq,
+        CAST(COALESCE(z.z, 0) AS BIGINT) AS zero_crossings,
+        sqrt(CAST(g.sum_sq AS DOUBLE) / CAST(g.n_samples AS DOUBLE))
+          AS rms
+      FROM agg g LEFT JOIN zc z ON z.id = g.id ORDER BY g.id"""))
+
   val queries: Seq[Q] = Seq(xTsGapfill, xTsAcf, xTsCusum, xTsTrend,
     xTsMase, xQuantileNormalize, xPipelineMonitor, xBasketTriples,
     xSeqPatterns, xSampleNeyman, xAssortativity, xItemNeighbors,
+    xMultimodalAudioFeatures,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

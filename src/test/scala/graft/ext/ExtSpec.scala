@@ -362,6 +362,24 @@ class ExtSpec extends SparkSuite {
     assert(fake1 == Multimodal.fakeAudioDecode("not audio".getBytes))
   }
 
+  test("audio features: Σs², RMS, and channel-0-only zero crossings") {
+    val seed = 42L
+    val wav = Multimodal.syntheticWav(11000, 2, 250, seed)
+    val Some((n, sumSq, zc)) = Multimodal.realAudioFeatures(wav)
+    val samples = (0 until 500).map(j =>
+      ((seed * 7919L + j * 104729L) % 65536L) - 32768L)
+    assert(n == 500L)
+    assert(sumSq == samples.map(s => s * s).sum)
+    // reference ZCR over channel 0 only (even indices in the
+    // 2-channel interleave), strict sign flips
+    val c0 = samples.zipWithIndex.filter(_._2 % 2 == 0).map(_._1)
+    val wantZc = c0.zip(c0.tail).count { case (a, b) =>
+      (a > 0 && b < 0) || (a < 0 && b > 0)
+    }
+    assert(zc == wantZc.toLong, s"zc $zc != reference $wantZc")
+    assert(Multimodal.realAudioFeatures("not audio".getBytes).isEmpty)
+  }
+
   test("µ-law decode runs the JDK G.711 decompressor and matches the closed form") {
     // the formula the SQL oracle replays must equal the JDK codec's
     // table on every one of the 256 µ-law codes
