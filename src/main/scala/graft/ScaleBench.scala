@@ -319,9 +319,10 @@ object ScaleBench {
       // sort — a genuinely pair-bound stage. Capacity measured on this
       // box (48 g heap, local[32]): 66M pairs (1k×365) in ~14 s;
       // 200M (3k×365, below) stays group-linear; 664M (10k×365) OOMs
-      // the single-JVM sort even at 221 partitions — that's an
-      // executors-scale workload, and the sizing rule it teaches is
-      // partitions ∝ PAIRS (≈2–3M rows/task), not input rows.
+      // the single-JVM sort — an executors-scale workload. Since r09
+      // the OPERATOR sizes partitions ∝ pairs itself (≈3M rows/task,
+      // trendTest.maxPairsPerTask) — these rows exercise exactly that
+      // self-sizing, no conf juggling here anymore.
       if (g == 1000L) {
         val g3 = 3000L
         val panel3 = spark.range(g3).select(col("id").as("grp"))
@@ -332,17 +333,47 @@ object ScaleBench {
               .cast("double").as("v"))
           .repartition(cpus.toInt)
         for ((gg, p) <- Seq((g, panel), (g3, panel3))) {
-          val parts = math.max(cpus.toInt,
-            (gg * days * (days - 1) / 2 / 3000000L).toInt)
-          spark.conf.set("spark.sql.shuffle.partitions", parts)
           timeShuffle(s"ts trendTest $gg groups x $days days " +
-            s"(${gg * days * (days - 1) / 2} pairs, $parts partitions)") {
+            s"(${gg * days * (days - 1) / 2} pairs, operator-sized tasks)") {
             graft.ext.TimeSeries.trendTest(p, col("g"), col("ts"),
               col("v")).count()
           }
-          spark.conf.set("spark.sql.shuffle.partitions", cpus)
         }
       }
+    }
+
+    // int8 embedding-dedup state (round 9): the SAME batch folded into
+    // a float32 state vs an int8-quantized state (scale 127 — the
+    // normalized-embedding regime). The claim is the ~4× state-size
+    // cut with identical survivor decisions; runtimes should match
+    // (dequantization is one narrow map on the history leg).
+    if (sec("int8state")) {
+      def dirBytes(p: String): Long = {
+        val d = new java.io.File(p)
+        if (!d.exists) 0L
+        else d.listFiles.filter(_.isFile).map(_.length).sum
+      }
+      val rep = embSc
+        .crossJoin(spark.range(4).select(col("id").as("rep")))
+        .select((col("vec_id") * 64 + col("rep")).as("vec_id"),
+          col("embedding"))
+        .repartition(cpus.toInt)
+      val tmp = java.nio.file.Files.createTempDirectory("int8state")
+      val (fState, qState) =
+        (tmp.resolve("f").toString, tmp.resolve("q").toString)
+      var (fSurv, qSurv) = (0L, 0L)
+      timeShuffle(s"lshIncremental float32 state (${nEmb * 4} vecs)") {
+        fSurv = graft.ext.Similarity.cosineLshIncremental(rep, "vec_id",
+          "embedding", fState, threshold = 0.45).count(); fSurv
+      }
+      timeShuffle(s"lshIncremental int8 state (${nEmb * 4} vecs)") {
+        qSurv = graft.ext.Similarity.cosineLshIncremental(rep, "vec_id",
+          "embedding", qState, threshold = 0.45,
+          int8Scale = Some(127.0)).count(); qSurv
+      }
+      println(f"[scale] int8 state: ${dirBytes(fState) / 1048576.0}%.1f MiB " +
+        f"float vs ${dirBytes(qState) / 1048576.0}%.1f MiB int8 " +
+        f"(survivors $fSurv vs $qSurv)")
     }
 
     spark.stop()

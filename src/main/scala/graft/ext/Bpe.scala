@@ -48,7 +48,7 @@ object Bpe {
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(symbolize(col("w")).as("repr"), col("freq"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
 
     val steps = (1 to merges).map { step =>
       val pairs = words
@@ -62,7 +62,7 @@ object Bpe {
         .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
       val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
         .select(col("pair"), col("c"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
       // an empty best would crossJoin `words` to empty and silently
       // truncate every later round — fail fast instead
       if (best.isEmpty) throw new IllegalStateException(
@@ -76,7 +76,7 @@ object Bpe {
         .withColumn("repr",
           (1 to 3).foldLeft(col("repr"))((r, _) => replace(r, search, merged)))
         .select(col("repr"), col("freq"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
 
       best.select(lit(step).cast("int").as("step"), col("pair"),
         regexp_replace(col("pair"), " ", "").as("merged"),

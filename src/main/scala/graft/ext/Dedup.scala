@@ -634,7 +634,7 @@ object Dedup {
       .distinct().cache()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -643,7 +643,7 @@ object Dedup {
         .select(col("a").as("id"), col("lbl"))
       val next = labels.union(neigh)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
       labels = next

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * Scale shape: each iteration is one equi-join of the rank vector
   * (O(nodes)) against the edge list plus one groupBy(dst) — the
   * standard Pregel-as-dataframes formulation. Lineage is cut per
-  * iteration (localCheckpoint) so the plan doesn't grow unboundedly.
+  * iteration ([[Iter.pin]] — localCheckpoint by default, reliable
+  * checkpoint() under `spark.graft.reliableCheckpoint` for clusters
+  * where executor loss is routine) so the plan doesn't grow
+  * unboundedly.
   * Dangling-node mass is dropped (the simple PageRank variant),
   * documented rather than redistributed. Fixed-point headroom: total
   * mass ≤ 1e12 ≪ 2^53, so BIGINT sums convert to double exactly.
@@ -48,7 +51,7 @@ object Graph {
 
     var ranks = nodes
       .withColumn("pr", floor(lit(Scale) / lit(n)).cast("bigint"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
@@ -62,7 +65,7 @@ object Graph {
           floor((lit(1.0) - lit(damping)) * lit(Scale) / lit(n) +
             lit(damping) * coalesce(col("sc"), lit(0L)).cast("double"))
             .cast("bigint").as("pr"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     e.unpersist()
     nodes.unpersist()
@@ -93,7 +96,7 @@ object Graph {
       .join(seeds.select(col(seedCol).as("node")).distinct()
         .withColumn("_s", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     val seedN = nodesS.filter(col("is_seed")).count().toDouble
     require(seedN > 0, "no seed is present in the graph")
 
@@ -103,7 +106,7 @@ object Graph {
     var ranks = nodesS
       .withColumn("pr", when(col("is_seed"),
         floor(lit(Scale) / lit(seedN))).otherwise(lit(0L)).cast("bigint"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks, e("src") === ranks("node"))
@@ -117,7 +120,7 @@ object Graph {
           floor(teleport +
             lit(damping) * coalesce(col("sc"), lit(0L)).cast("double"))
             .cast("bigint").as("pr"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     e.unpersist()
     ranks.select(col("node"),
@@ -151,7 +154,7 @@ object Graph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().cache()
     var labels = nodes.withColumn("lbl", col("node"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to rounds) {
       val best = e.join(labels, e("src") === labels("node"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
@@ -162,7 +165,7 @@ object Graph {
         .select(col("dst"), (-col("w.neg")).as("newLbl"))
       labels = labels.join(best, labels("node") === best("dst"), "left")
         .select(col("node"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     e.unpersist()
     nodes.unpersist()
@@ -193,7 +196,7 @@ object Graph {
     val Unreached = Long.MaxValue
     var dist = nodes.join(s0.withColumn("z", lit(0L)), Seq("node"), "left")
       .select(col("node"), coalesce(col("z"), lit(Unreached)).as("d"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to rounds) {
       val relaxed = e.join(dist, e("src") === dist("node"))
         .filter(col("d") =!= Unreached) // don't relax from unreached
@@ -201,7 +204,7 @@ object Graph {
       dist = dist.join(relaxed, dist("node") === relaxed("dst"), "left")
         .select(col("node"), least(col("d"), coalesce(col("nd"),
           lit(Unreached))).as("d"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     e.unpersist()
     nodes.unpersist()
@@ -391,29 +394,30 @@ object Graph {
     * against the live-node set plus one degree groupBy — O(E) per
     * round, `rounds` a small constant (peeling cascades are shallow on
     * real graphs). Unlike the Lloyd/FPS unrolls, the per-round state
-    * is pinned with an EAGER localCheckpoint: the live set feeds BOTH
+    * is pinned EAGERLY via [[Iter.pin]]: the live set feeds BOTH
     * semi-joins of the next round, so lazy lineage doubles per round
     * and the 6-round plan measurably collapses the optimizer (>9 min
     * at 9 k edges before the pin, seconds after). The pinned state is
-    * O(live nodes) per round — at cluster scale use reliable
-    * checkpointing, same trade.
+    * O(live nodes) per round — at cluster scale set
+    * `spark.graft.reliableCheckpoint` + a checkpoint dir and the same
+    * pins survive executor loss.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
       rounds: Int = 6): DataFrame = {
     val ue = edges.select(col(srcCol).cast("bigint").as("src"),
         col(dstCol).cast("bigint").as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     def induced(alive: DataFrame): DataFrame = ue
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
     var alive = ue.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to rounds) {
       alive = induced(alive).groupBy(col("src").as("node"))
         .agg(count(lit(1)).cast("bigint").as("degree"))
         .filter(col("degree") >= k).select(col("node"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     // degrees must be RECOMPUTED on the final induced subgraph: the
     // loop's last filter used pre-peel degrees, so min ≥ k over those

@@ -1020,4 +1020,282 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  // ---- perceptual-codec METADATA (honest extraction, no fake decode)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 0/15 invalid. */
+  private val Mp3BitrateKbps =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+      320, 0)
+  /** MPEG-1 sample-rate table (Hz), index 3 invalid. */
+  private val Mp3SampleRate = Array(44100, 48000, 32000, 0)
+
+  /** Deterministic synthetic MPEG-1 Layer III stream: `nFrames`
+    * well-formed frame headers (sync/version/layer/bitrate-idx/
+    * samplerate-idx) each followed by the spec-exact frame length of
+    * filler (`144000·kbps/rate` bytes incl. header, padding 0). The
+    * filler bytes are `(seed·31 + i) mod 251` — never 0xFF, so no
+    * false sync. The frames carry NO encoded audio (decode stays an
+    * honest stub); what's real is the container-level structure a
+    * frame-header walk extracts.
+    */
+  def syntheticMp3(bitrateIdx: Int, srIdx: Int, nFrames: Int,
+      seed: Long): Array[Byte] = {
+    require(bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen =
+      144000 * Mp3BitrateKbps(bitrateIdx) / Mp3SampleRate(srIdx)
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff)
+      out.write(0xfb) // sync 111, MPEG1 (11), Layer III (01), no CRC
+      out.write((bitrateIdx << 4) | (srIdx << 2)) // padding 0, priv 0
+      out.write(0x00) // stereo
+      var i = 4
+      while (i < frameLen) {
+        out.write(((seed * 31 + i) % 251).toInt)
+        i += 1
+      }
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** MPEG audio frame-header walk — the metadata a curation pipeline
+    * actually filters compressed audio on (bitrate, sample rate,
+    * duration), extracted WITHOUT decoding (the Layer III synthesis
+    * filterbank stays an honest stub; see [[fakeAudioDecode]]).
+    * Returns (bitrate_kbps, sample_rate, n_frames, duration_ms) for
+    * MPEG-1 Layer III streams; None when no valid header is found.
+    * duration = frames · 1152 samples / rate, integer-exact.
+    */
+  def mp3Meta(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+    var i = 0
+    while (i + 4 <= bytes.length &&
+        !((bytes(i) & 0xff) == 0xff && (bytes(i + 1) & 0xe0) == 0xe0))
+      i += 1
+    if (i + 4 > bytes.length) return None
+    val b1 = bytes(i + 1) & 0xff
+    if (((b1 >> 3) & 3) != 3 || ((b1 >> 1) & 3) != 1) return None
+    val b2 = bytes(i + 2) & 0xff
+    val (brIdx, srIdx) = ((b2 >> 4) & 0xf, (b2 >> 2) & 3)
+    if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+    val (br, sr) = (Mp3BitrateKbps(brIdx), Mp3SampleRate(srIdx))
+    var (frames, pos) = (0L, i)
+    var ok = true
+    while (ok && pos + 4 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
+      val fb2 = bytes(pos + 2) & 0xff
+      val (fbr, fsr) = ((fb2 >> 4) & 0xf, (fb2 >> 2) & 3)
+      if (fbr == 0 || fbr == 15 || fsr == 3) ok = false
+      else {
+        frames += 1
+        pos += 144000 * Mp3BitrateKbps(fbr) / Mp3SampleRate(fsr) +
+          ((fb2 >> 1) & 1)
+      }
+    }
+    Some((br, sr, frames, frames * 1152000L / sr))
+  }
+
+  /** Per-row synthetic mp3 payloads with id-derived parameters —
+    * `bitrateIdx = 1 + id mod 14`, `srIdx = id mod 3`,
+    * `frames = 3 + id mod 6` — so the oracle predicts every header
+    * field and the frame count from the id alone.
+    */
+  def withSyntheticMp3(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticMp3(1 + math.floorMod(id, 14L).toInt,
+          math.floorMod(id, 3L).toInt,
+          3 + math.floorMod(id, 6L).toInt, id))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-parallel [[mp3Meta]] over (id, payload) rows. */
+  def mp3MetaExtract(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("bitrate_kbps", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType)))
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          mp3Meta(r.getAs[Array[Byte]](1)).map { case (br, sr, nf, dur) =>
+            Row(r.getLong(0), br, sr, nf, dur)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Exp-Golomb/bit writer for the synthetic SPS. */
+  private final class BitWriter {
+    private val buf = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nBits = 0
+    def bit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nBits += 1
+      if (nBits == 8) { buf.write(cur); cur = 0; nBits = 0 }
+    }
+    def bits(v: Int, n: Int): Unit =
+      (n - 1 to 0 by -1).foreach(i => bit((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      val x = v + 1
+      val len = 32 - Integer.numberOfLeadingZeros(x)
+      (0 until len - 1).foreach(_ => bit(0))
+      bits(x, len)
+    }
+    def rbspTrailing(): Unit = { bit(1); while (nBits != 0) bit(0) }
+    def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** Deterministic synthetic H.264 Annex-B SPS NAL (Baseline,
+    * profile_idc 66): start code + NAL header 0x67 + a spec-exact SPS
+    * RBSP (Exp-Golomb-coded ids, frame_num/POC config,
+    * width/height in macroblocks, frame_mbs_only = 1, no cropping, no
+    * VUI). No slice data — inter-frame DECODE stays an honest stub;
+    * the SPS structure a dimension/profile filter reads is real.
+    */
+  def syntheticH264Sps(levelIdc: Int, widthMbs: Int,
+      heightMbs: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.bits(66, 8)       // profile_idc: Baseline
+    w.bits(0, 8)        // constraint flags + reserved
+    w.bits(levelIdc, 8)
+    w.ue(0)             // seq_parameter_set_id
+    w.ue(0)             // log2_max_frame_num_minus4
+    w.ue(0)             // pic_order_cnt_type
+    w.ue(0)             // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)             // max_num_ref_frames
+    w.bit(0)            // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1)  // pic_width_in_mbs_minus1
+    w.ue(heightMbs - 1) // pic_height_in_map_units_minus1
+    w.bit(1)            // frame_mbs_only_flag
+    w.bit(0)            // direct_8x8_inference
+    w.bit(0)            // frame_cropping_flag
+    w.bit(0)            // vui_parameters_present
+    w.rbspTrailing()
+    Array[Byte](0, 0, 0, 1, 0x67.toByte) ++ w.toBytes
+  }
+
+  /** H.264 SPS parse — profile/level/dimensions from the sequence
+    * parameter set, the fields a video-curation filter reads, WITHOUT
+    * decoding any slice (inter-frame decode remains an honest stub).
+    * Handles the Annex-B start code, the emulation-prevention
+    * de-escape (00 00 03 → 00 00), and Baseline/Main/Extended SPS
+    * layouts (profile_idc < 100: no chroma_format block). Returns
+    * (profile_idc, level_idc, width_px, height_px).
+    */
+  def h264SpsMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    // find the start code and an SPS NAL (type 7)
+    var i = 0
+    var spsAt = -1
+    while (spsAt < 0 && i + 4 < bytes.length) {
+      if (bytes(i) == 0 && bytes(i + 1) == 0 &&
+          ((bytes(i + 2) == 1 && (bytes(i + 3) & 0x1f) == 7) ||
+            (bytes(i + 2) == 0 && i + 5 < bytes.length &&
+              bytes(i + 3) == 1 && (bytes(i + 4) & 0x1f) == 7)))
+        spsAt = i + (if (bytes(i + 2) == 1) 4 else 5)
+      else i += 1
+    }
+    if (spsAt < 0) return None
+    // de-escape emulation prevention inside the RBSP
+    val rbsp = new java.io.ByteArrayOutputStream()
+    var j = spsAt
+    var zeros = 0
+    while (j < bytes.length &&
+        !(zeros >= 2 && (bytes(j) == 0 || bytes(j) == 1))) {
+      if (zeros >= 2 && bytes(j) == 3) zeros = 0 // drop escape byte
+      else {
+        rbsp.write(bytes(j))
+        zeros = if (bytes(j) == 0) zeros + 1 else 0
+      }
+      j += 1
+    }
+    val b = rbsp.toByteArray
+    var bitPos = 0
+    def u(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) {
+        v = (v << 1) |
+          ((b(bitPos >> 3) >> (7 - (bitPos & 7))) & 1)
+        bitPos += 1; k += 1
+      }
+      v
+    }
+    def ue(): Int = {
+      var lz = 0
+      while (u(1) == 0 && lz < 32) lz += 1
+      if (lz == 0) 0 else ((1 << lz) | u(lz)) - 1
+    }
+    try {
+      val profile = u(8)
+      u(8) // constraints + reserved
+      val level = u(8)
+      ue() // sps id
+      if (profile >= 100) return None // chroma block: out of scope
+      ue() // log2_max_frame_num_minus4
+      val poc = ue()
+      if (poc == 0) { ue(); () } // log2_max_pic_order_cnt_lsb_minus4
+      else if (poc == 1) return None // delta-POC list: out of scope
+      ue() // max_num_ref_frames
+      u(1) // gaps allowed
+      val wMbs = ue() + 1
+      val hMap = ue() + 1
+      val frameMbsOnly = u(1)
+      val hMbs = (2 - frameMbsOnly) * hMap
+      Some((profile, level, wMbs * 16, hMbs * 16))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Per-row synthetic SPS payloads with id-derived parameters —
+    * `level ∈ {10,20,30,31,40,41,42,50}[id mod 8]`,
+    * `widthMbs = 2 + id mod 8`, `heightMbs = 2 + id mod 6`.
+    */
+  def withSyntheticH264(docs: DataFrame, idCol: String): DataFrame = {
+    val levels = Array(10, 20, 30, 31, 40, 41, 42, 50)
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("payload", BinaryType)))
+    val rdd = docs.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        Row(id, syntheticH264Sps(levels(math.floorMod(id, 8L).toInt),
+          2 + math.floorMod(id, 8L).toInt, 2 + math.floorMod(id, 6L).toInt))
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Partition-parallel [[h264SpsMeta]] over (id, payload) rows. */
+  def h264MetaExtract(withPayload: DataFrame, idCol: String): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("profile_idc", IntegerType),
+      StructField("level_idc", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val rdd = withPayload.select(col(idCol).cast("long"), col("payload"))
+      .rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          h264SpsMeta(r.getAs[Array[Byte]](1)).map {
+            case (p, l, w, h) => Row(r.getLong(0), p, l, w, h)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
 }

@@ -247,7 +247,7 @@ object Sampling {
     var st = domains.select(col(domainCol).as("domain"),
         col(capCol).cast("long").as("cap"), col(wCol).cast("long").as("w"))
       .withColumn("sat", lit(false))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     def agg(s: DataFrame) = s.agg(
       sum(when(col("sat"), col("cap")).otherwise(0L)).cast("long").as("used"),
       sum(when(!col("sat"), col("w")).otherwise(0L)).cast("long").as("wsum"))
@@ -265,7 +265,7 @@ object Sampling {
         .withColumn("wtotal", lit(total))
         .withColumn("sat", col("sat") || tentative >= col("cap"))
         .select(col("domain"), col("cap"), col("w"), col("sat"))
-        .localCheckpoint(true)
+        .transform(Iter.pin)
     }
     st.crossJoin(broadcast(agg(st)))
       .withColumn("wtotal", lit(total))
@@ -298,8 +298,13 @@ object Sampling {
     * O(nlist) rows; the per-cluster rank is a window over the bucket
     * key — the only data-sized exchange.
     */
+  /** `release = false` returns the LAZY plan and leaves the assignment
+    * cache to the caller (the plan-gate / compose-further surface);
+    * the default eagerly checkpoints the (narrow, O(n)-row) result and
+    * unpersists the cache so nothing lingers in the CacheManager.
+    */
   def diversitySample(emb: DataFrame, idCol: String, vecCol: String,
-      total: Long, nlist: Int = 16): DataFrame = {
+      total: Long, nlist: Int = 16, release: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", Similarity.norm(col("nv")))
@@ -327,10 +332,18 @@ object Sampling {
       .select(col("bucket").as("qb"), col("nc"), col("quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("csim").desc, col("nid"))
-    assigned.withColumn("rank", row_number().over(w).cast("bigint"))
+    // eager checkpoint (O(n) narrow rows) so the assignment cache is
+    // released on return instead of lingering for the session lifetime
+    val out0 = assigned.withColumn("rank", row_number().over(w).cast("bigint"))
       .join(broadcast(quotas), col("bucket") === col("qb"))
       .select(col("nid").as("vec_id"), col("bucket"), col("nc"),
         col("quota"), col("rank"), (col("rank") <= col("quota")).as("kept"))
+    if (!release) out0
+    else {
+      val out = out0.localCheckpoint(true)
+      assigned.unpersist()
+      out
+    }
   }
 
   /** Neyman-allocation stratified sampling (Neyman 1934): a fixed
@@ -438,12 +451,16 @@ object Sampling {
         .select(col("id"), col("v"), col("nrm"),
           lit(round).as("pick_rank"), col("pmind").as("mind"))
       picks = picks.unionByName(pick)
+      // per-round pin (Iter.pin: reliable checkpoint() under the
+      // session flag) — without it the k broadcast joins nest into one
+      // exponential lineage
       if (round < k) cand = cand
         .crossJoin(broadcast(pick.select(col("v").as("pv"), col("nrm").as("pn"),
           col("id").as("pid"))))
         .filter(col("id") =!= col("pid"))
         .select(col("id"), col("v"), col("nrm"),
           least(col("mind"), distTo(col("pv"), col("pn"))).as("mind"))
+        .transform(Iter.pin)
     }
     picks.select(col("pick_rank"), col("id"),
       when(col("pick_rank") === 1, lit(null).cast("double"))

@@ -192,10 +192,10 @@ object Similarity {
       .select(col(idCol).as("nid"), toDoubleVec(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v"))).filter(col("nrm") > 0)
       .select(col("nid"), transform(col("v"), x => x / col("nrm")).as("uv"))
-      .localCheckpoint(true) // scanned every round; cut lineage once
+      .transform(Iter.pin) // scanned every round; cut lineage once
     var cent = u.orderBy(col("nid")).limit(nlist)
       .select(col("nid").as("cid"), col("uv").as("cv"))
-      .localCheckpoint(true)
+      .transform(Iter.pin)
     for (_ <- 1 to rounds) {
       val wA = Window.partitionBy(col("nid"))
         .orderBy(col("sim").desc, col("cid"))
@@ -218,7 +218,7 @@ object Similarity {
           transform(col("sv"), x => x / col("sn")).as("ncv"))
       cent = cent.join(sums, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .localCheckpoint(true) // cut per-round lineage (PageRank lesson)
+        .transform(Iter.pin) // cut per-round lineage (PageRank lesson)
     }
     cent
   }
@@ -694,7 +694,8 @@ object Similarity {
     * cross-batch banded probe against accumulated state with exact-
     * cosine verification (state stores the vectors — fixed-width
     * payload, so unlike text the exactness costs only dim·4 bytes per
-    * accepted row), survivors appended to state, `batchTag` redelivery
+    * accepted row, or dim·1 with `int8Scale` — see below), survivors
+    * appended to state, `batchTag` redelivery
     * protocol (a replayed batch first drops its own earlier append, so
     * re-processing is idempotent). Returns the surviving new rows.
     *
@@ -706,11 +707,29 @@ object Similarity {
   def cosineLshIncremental(newEmb: DataFrame, idCol: String,
       vecCol: String, statePath: String, threshold: Double,
       nBits: Int = 256, bands: Int = 32, seed: Long = 7L,
-      batchTag: Option[Long] = None): DataFrame = {
+      batchTag: Option[Long] = None,
+      int8Scale: Option[Double] = None): DataFrame = {
     val spark = newEmb.sparkSession
     val state = Dedup.readStateOrEmpty(spark, statePath)
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
+    // int8 state: accepted vectors are stored as symmetric int8 codes
+    // (code = clamp(round(x·s), ±127), the [[Quant]] recipe with a
+    // caller-fixed scale so every batch encodes identically) and
+    // dequantized (code/s) for signatures + exact-cosine verify — the
+    // 4× state cut that matters when state is billions of vectors.
+    // The verify is EXACT over the dequantized values: quantization
+    // moves each coordinate by ≤ 1/(2s), it never makes the cosine
+    // test approximate w.r.t. the stored representation.
     val hist = state match {
+      case Some(st) if int8Scale.isDefined =>
+        val s = int8Scale.get
+        // array<float> to match the float-state path's schema (the
+        // signature kernel's encoder reads Seq[Float]); the float
+        // rounding of code/s (≤ 2⁻²⁴ relative) is noise next to the
+        // quantization step itself (1/2s per coordinate)
+        st.select(col("id").as(idCol),
+          transform(col("q"), c => c.cast("double") / lit(s))
+            .cast("array<float>").as(vecCol))
       case Some(st) => st.select(col("id").as(idCol), col("v").as(vecCol))
       case None =>
         import org.apache.spark.sql.types._
@@ -726,8 +745,17 @@ object Similarity {
     // every row as its own duplicate
     val survivors = flags.filter(col("survived")).select(col("id"))
       .localCheckpoint(true)
-    newEmb.select(col(idCol).cast("long").as("id"),
-        toDoubleVec(col(vecCol)).cast("array<float>").as("v"))
+    val payload = int8Scale match {
+      case Some(s) =>
+        newEmb.select(col(idCol).cast("long").as("id"),
+          transform(toDoubleVec(col(vecCol)), x =>
+            least(greatest(round(x * lit(s)), lit(-127.0)), lit(127.0))
+              .cast("tinyint")).as("q"))
+      case None =>
+        newEmb.select(col(idCol).cast("long").as("id"),
+          toDoubleVec(col(vecCol)).cast("array<float>").as("v"))
+    }
+    payload
       .join(survivors, Seq("id"))
       .withColumn("batch", lit(batchTag.getOrElse(-1L)))
       .write.mode("append").parquet(statePath)

@@ -32,18 +32,34 @@ object AnomalyStream {
     * counts — identical to running the batch detector over all events
     * seen so far.
     */
+  /** `horizonDays`, when set, compacts state to the trailing
+    * `horizonDays` days behind the global max day (the [[CusumStream]]
+    * watermark discipline). Choose `horizonDays ≥ win + late-data
+    * horizon`: flags for days at least `win` days inside the retained
+    * window are identical to the unbounded run (the trailing-window
+    * detector only looks back `win` days), while days within `win` of
+    * the cut see a truncated baseline — the standard cold-start edge,
+    * now at the compaction boundary. `None` keeps every day.
+    */
   def applyBatch(batch: DataFrame, statePath: String, groupCol: String,
-      tsCol: String, win: Int = 7, k: Int = 3): DataFrame = {
+      tsCol: String, win: Int = 7, k: Int = 3,
+      horizonDays: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val prior = StateDir.readPrior(spark, statePath)
     val inc = batch
       .groupBy(col(groupCol).as("grp"),
         date_format(col(tsCol), "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val merged = prior.fold(inc)(p => p.unionByName(inc))
+    val summed = prior.fold(inc)(p => p.unionByName(inc))
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("cnt")).as("cnt"))
-      .localCheckpoint(true)
+    val aged = horizonDays.fold(summed) { h =>
+      summed
+        .crossJoin(broadcast(summed.agg(max(col("day")).as("_maxd"))))
+        .filter(datediff(to_date(col("_maxd")), to_date(col("day"))) < h)
+        .drop("_maxd")
+    }
+    val merged = aged.localCheckpoint(true)
     StateDir.atomicOverwrite(merged, statePath)
     Stats.rollingAnomaliesFromDaily(merged, win, k)
   }

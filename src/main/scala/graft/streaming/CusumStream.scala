@@ -31,9 +31,19 @@ object CusumStream {
     * series — identical to running [[graft.ext.TimeSeries.cusum]]
     * over all events seen so far.
     */
+  /** `horizonDays`, when set, compacts state to the trailing
+    * `horizonDays` calendar days behind the max day seen ACROSS ALL
+    * groups (global watermark — a group that stops emitting ages out
+    * instead of pinning its days forever). The statistic then monitors
+    * the horizon window rather than all history: alarms for retained
+    * days are exact w.r.t. that window (CUSUM is mean-relative, so a
+    * truncated baseline is a DIFFERENT, deliberately-chosen reference
+    * — the "monitoring horizon" a production deployment wants anyway).
+    * `None` keeps every day (the prior behavior).
+    */
   def applyBatch(batch: DataFrame, statePath: String, groupCol: String,
       tsCol: String, valueCol: String, slack: BigDecimal,
-      threshold: BigDecimal): DataFrame = {
+      threshold: BigDecimal, horizonDays: Option[Int] = None): DataFrame = {
     val spark = batch.sparkSession
     val prior = StateDir.readPrior(spark, statePath)
     val inc = batch
@@ -41,10 +51,16 @@ object CusumStream {
         date_format(col(tsCol), "yyyy-MM-dd").as("day"))
       .agg(sum(col(valueCol).cast("decimal(10,2)")).cast("decimal(12,2)")
         .as("x"))
-    val merged = prior.fold(inc)(p => p.unionByName(inc))
+    val summed = prior.fold(inc)(p => p.unionByName(inc))
       .groupBy(col("grp"), col("day"))
       .agg(sum(col("x")).cast("decimal(12,2)").as("x"))
-      .localCheckpoint(true)
+    val aged = horizonDays.fold(summed) { h =>
+      summed
+        .crossJoin(broadcast(summed.agg(max(col("day")).as("_maxd"))))
+        .filter(datediff(to_date(col("_maxd")), to_date(col("day"))) < h)
+        .drop("_maxd")
+    }
+    val merged = aged.localCheckpoint(true)
     StateDir.atomicOverwrite(merged, statePath)
     TimeSeries.cusumFromDaily(merged, slack, threshold)
   }

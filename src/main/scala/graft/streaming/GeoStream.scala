@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.ext.Geo
 
 /** Continuous proximity monitoring — the streaming face of
@@ -16,31 +17,56 @@ import graft.ext.Geo
   *
   * Scale shape: per batch, the neighbor-cell equi-join of the batch
   * against state; the history leg ships only the cells the batch's
-  * probe keys touch. State grows by the batch's points; production
-  * buckets the stored history by cell id (probes co-locate without
-  * reshuffling) and ages out points beyond the alert horizon.
+  * probe keys touch. With `ageHorizon` set, state is bounded by the
+  * points seen within the horizon (the alert window) instead of
+  * growing forever; production additionally buckets the stored
+  * history by cell id so probes co-locate without reshuffling.
   */
 object GeoStream {
 
   /** Report the pairs this point micro-batch introduces, then fold the
     * batch into the state at `statePath` (crash-safe replace-by-
-    * rename). Input schema: (id, lat_micro, lon_micro).
+    * rename). Input schema: (id, lat_micro, lon_micro[, ts]).
+    *
+    * `ageHorizon`, when set, requires a `ts` column (event time, any
+    * monotone numeric unit — epoch seconds, millis, a batch epoch) and
+    * drops state points with `ts < max(ts in merged state) − horizon`
+    * after each merge — the watermark discipline: a point older than
+    * the alert horizon can never participate in a new alert, so
+    * keeping it only grows the join's history leg. `None` keeps every
+    * point (the prior behavior; safe when the feed is bounded).
     */
   def applyBatch(batch: DataFrame, statePath: String,
-      radiusMicro: Long): DataFrame = {
+      radiusMicro: Long, ageHorizon: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val pts = batch.select("id", "lat_micro", "lon_micro")
+    val hasTs = batch.columns.contains("ts")
+    require(ageHorizon.isEmpty || hasTs,
+      "ageHorizon requires a ts column on the batch")
+    val keep =
+      if (hasTs) Seq("id", "lat_micro", "lon_micro", "ts")
+      else Seq("id", "lat_micro", "lon_micro")
+    val pts = batch.select(keep.map(col): _*)
     val prior = StateDir.readPrior(spark, statePath)
-      .map(_.select("id", "lat_micro", "lon_micro"))
+      .map(_.select(keep.map(col): _*))
     val pairs = Geo.radiusPairsAgainstHistory(
-      pts, prior.getOrElse(pts.limit(0)), radiusMicro)
+      pts.select("id", "lat_micro", "lon_micro"),
+      prior.getOrElse(pts.limit(0))
+        .select("id", "lat_micro", "lon_micro"),
+      radiusMicro)
       .localCheckpoint(true) // pin BEFORE the state write (the
                              // incremental-dedup lesson: a lazy plan
                              // read later would see its own batch in
                              // state and double-report)
-    StateDir.atomicOverwrite(
-      prior.fold(pts)(p => p.unionByName(pts)).localCheckpoint(true),
-      statePath)
+    val merged = prior.fold(pts)(p => p.unionByName(pts))
+    // age-out AFTER pairing: a point expiring in this batch still
+    // paired against the batch (it was within horizon when it mattered)
+    val aged = ageHorizon.fold(merged) { h =>
+      merged
+        .crossJoin(broadcast(merged.agg(max(col("ts")).as("_maxt"))))
+        .filter(col("ts") >= col("_maxt") - h)
+        .drop("_maxt")
+    }
+    StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)
     pairs
   }
 }

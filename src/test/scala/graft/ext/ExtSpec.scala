@@ -233,6 +233,48 @@ class ExtSpec extends SparkSuite {
     assert(flags(11L) == ((false, false, true)), s"11 should survive: $flags")
   }
 
+  test("incremental embedding LSH with int8 state: same decisions, 4x smaller rows") {
+    import spark.implicits._
+    def v(xs: Float*): Seq[Float] = xs
+    val e1 = v(1f, 0.01f, 0f, 0f)
+    val e1b = v(0.99f, 0.05f, 0.01f, 0f)
+    val e2 = v(0f, 1f, 0f, 0f)
+    val b1 = Seq(1L -> e1, 2L -> e1b, 3L -> e2).toDF("vec_id", "embedding")
+    val b2 = Seq(10L -> v(0.98f, 0.02f, 0.05f, 0f),
+      11L -> v(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    // coordinates are in [−1, 1] (normalized-embedding regime), so the
+    // full int8 range is scale = 127; quantization moves each coord by
+    // ≤ 1/254 — far inside the 0.9-threshold margin of this corpus
+    val scale = Some(127.0)
+    val state = java.nio.file.Files.createTempDirectory("lshint8")
+      .resolve("state").toString
+    val s1 = Similarity.cosineLshIncremental(b1, "vec_id", "embedding",
+        state, threshold = 0.9, int8Scale = scale)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == Set(1L, 3L), s"int8 in-batch decisions diverged: $s1")
+    val s2 = Similarity.cosineLshIncremental(b2, "vec_id", "embedding",
+        state, threshold = 0.9, int8Scale = scale)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(11L), s"int8 cross-batch decisions diverged: $s2")
+    // state schema is int8 codes, not float vectors
+    val st = spark.read.parquet(state)
+    assert(st.schema("q").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType),
+      st.schema.treeString)
+    assert(!st.columns.contains("v"))
+    // codes dequantize to within half a quantization step
+    val err = st.select(col("id"),
+        transform(col("q"), c => c.cast("double") / lit(127.0)).as("dq"))
+      .join(b1.unionByName(b2).select(col("vec_id").as("id"),
+        col("embedding")), Seq("id"))
+      .select(aggregate(zip_with(col("dq"), col("embedding"),
+        (a, b) => abs(a - b.cast("double"))), lit(0.0),
+        (acc, x) => greatest(acc, x)).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(err <= 0.5 / 127.0 + 1e-9, s"dequantization error $err")
+  }
+
   test("decode stub is deterministic and total") {
     val out = Multimodal.decode(
       Multimodal.withBinary(docs, "text", "doc_id"), "doc_id")
@@ -360,6 +402,34 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.realAudioDecode("not audio".getBytes).isEmpty)
     val fake1 = Multimodal.fakeAudioDecode("not audio".getBytes)
     assert(fake1 == Multimodal.fakeAudioDecode("not audio".getBytes))
+  }
+
+  test("mp3 frame-header walk extracts what the generator encoded") {
+    // 128 kbps (idx 9), 44100 Hz (idx 0), 5 frames
+    val m = Multimodal.syntheticMp3(9, 0, 5, seed = 3L)
+    assert(Multimodal.mp3Meta(m) === Some((128, 44100, 5L, 130L)),
+      "duration = 5·1152000/44100 = 130 ms")
+    // leading garbage before the first sync is scanned past
+    assert(Multimodal.mp3Meta(Array[Byte](1, 2, 3) ++ m) ===
+      Some((128, 44100, 5L, 130L)))
+    // 320 kbps / 32000 Hz / 2 frames: a different stride per frame
+    val m2 = Multimodal.syntheticMp3(14, 2, 2, seed = 9L)
+    assert(Multimodal.mp3Meta(m2) === Some((320, 32000, 2L, 72L)))
+    assert(Multimodal.mp3Meta("not audio at all".getBytes).isEmpty)
+  }
+
+  test("h264 SPS parse: Exp-Golomb fields, dimensions, de-escape") {
+    assert(Multimodal.h264SpsMeta(Multimodal.syntheticH264Sps(31, 5, 4))
+      === Some((66, 31, 80, 64)))
+    // level 0 puts a 00 00 pair in the SPS header; inserting an
+    // emulation-prevention 03 after it is a conforming escaped stream
+    // the parser must de-escape back to the same fields
+    val raw = Multimodal.syntheticH264Sps(0, 6, 5)
+    assert(Multimodal.h264SpsMeta(raw) === Some((66, 0, 96, 80)))
+    val escaped = raw.take(8) ++ Array(3.toByte) ++ raw.drop(8)
+    assert(Multimodal.h264SpsMeta(escaped) === Some((66, 0, 96, 80)),
+      "emulation-prevention byte must be dropped")
+    assert(Multimodal.h264SpsMeta("not a NAL".getBytes).isEmpty)
   }
 
   test("audio features: Σs², RMS, and channel-0-only zero crossings") {

@@ -150,6 +150,27 @@ class GraphSpec extends SparkSuite {
       .select("assortativity").as[Option[Double]].head().isEmpty)
   }
 
+  test("reliable checkpoint() yields results identical to localCheckpoint") {
+    // opt-in path (spark.graft.reliableCheckpoint + a checkpoint dir):
+    // only the pin's storage medium changes — pageRank (per-iteration
+    // pin) and kCore (live-set pin) must be bit-identical
+    val edges = ((1L to 5L).map(i => (0L, i, 1.0)) ++
+      (1L to 5L).map(i => (i, 0L, 1.0)) ++
+      Seq((1L, 2L, 2.0), (2L, 3L, 1.0))).toDF("src", "dst", "w")
+    def pr() = Graph.pageRank(edges, "src", "dst", "w").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    def kc() = Graph.kCore(edges.select("src", "dst"), "src", "dst", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (prLocal, kcLocal) = (pr(), kc())
+    val dir = java.nio.file.Files.createTempDirectory("reliableckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set(Iter.ReliableFlag, "true")
+    try {
+      assert(pr() === prLocal, "pageRank diverged under reliable checkpoint")
+      assert(kc() === kcLocal, "kCore diverged under reliable checkpoint")
+    } finally spark.conf.set(Iter.ReliableFlag, "false")
+  }
+
   test("kCore keeps the triangle, peels the pendant chain, certifies") {
     import spark.implicits._
     // triangle 1-2-3 plus chain 3-4-5: for k=2 the chain peels off

@@ -441,4 +441,103 @@ class StreamingSpec extends SparkSuite {
     assert(canon.toSet === full,
       "three-batch streamed pairs must equal the one-shot pair set")
   }
+
+  test("geo state ages out beyond the alert horizon; retained history still pairs") {
+    import graft.streaming.{GeoStream, StateDir}
+    import spark.implicits._
+    val state = Files.createTempDirectory("geoage")
+      .resolve("state").toString
+    val horizon = 100L
+    // batch epochs 0 / 150 / 300: with horizon 100, batch-1 points are
+    // aged out of state before batch 3 arrives, batch-2 points are not
+    def b(ids: Seq[Long], ts: Long) = ids.map(i =>
+        (i, 40500000L + i * 3, -73500000L, ts))
+      .toDF("id", "lat_micro", "lon_micro", "ts")
+    GeoStream.applyBatch(b(Seq(1L, 2L), 0L), state, 10000L, Some(horizon))
+    GeoStream.applyBatch(b(Seq(100L, 101L), 150L), state, 10000L,
+      Some(horizon))
+    // after batch 2 the merged max ts is 150 — batch-1 points (ts 0)
+    // are beyond the horizon and must be gone from state
+    val ids2 = StateDir.readPrior(spark, state).get
+      .select("id").as[Long].collect().toSet
+    assert(ids2 === Set(100L, 101L),
+      s"batch-1 points must be aged out, state has $ids2")
+    // batch 3 sits within radius of EVERYTHING — it must alert against
+    // the retained batch-2 points only
+    val pairs3 = GeoStream.applyBatch(b(Seq(200L), 300L), state, 10000L,
+        Some(horizon))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs3 === Set((200L, 100L), (200L, 101L)),
+      s"alerts must cover retained history only, got $pairs3")
+    val ids3 = StateDir.readPrior(spark, state).get
+      .select("id").as[Long].collect().toSet
+    assert(ids3 === Set(200L), s"state must keep only in-horizon points: $ids3")
+  }
+
+  test("anomaly day-state compacts to the horizon and matches the windowed one-shot") {
+    import graft.streaming.{AnomalyStream, StateDir}
+    import graft.ext.Stats
+    val ev = eventsDf
+    val state = Files.createTempDirectory("anomage")
+      .resolve("state").toString
+    val h = 45
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) p")
+      .collect()(0).getDouble(0).toLong
+    val b1 = ev.filter(unix_micros(col("ts")) <= cut)
+    val b2 = ev.filter(unix_micros(col("ts")) > cut)
+    AnomalyStream.applyBatch(b1, state, "event_type", "ts",
+      horizonDays = Some(h))
+    val streamed = AnomalyStream.applyBatch(b2, state, "event_type", "ts",
+      horizonDays = Some(h))
+    // state is bounded by the horizon
+    val days = StateDir.readPrior(spark, state).get
+      .select("day").distinct().count()
+    assert(days <= h, s"state holds $days days > horizon $h")
+    // the detector over retained days == the one-shot over the same
+    // trailing window of the raw feed (all state derives from daily
+    // counts, so equality is exact on every retained day)
+    val maxDay = ev.agg(max(date_format(col("ts"), "yyyy-MM-dd")))
+      .collect()(0).getString(0)
+    val windowed = ev.filter(
+      datediff(lit(maxDay), to_date(date_format(col("ts"), "yyyy-MM-dd")))
+        < h)
+    val oneShot = Stats.rollingAnomalies(windowed, col("event_type"),
+      col("ts"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "compacted incremental flags must equal the windowed one-shot")
+  }
+
+  test("CUSUM day-state compacts to the horizon and matches the windowed one-shot") {
+    import graft.streaming.{CusumStream, StateDir}
+    import graft.ext.TimeSeries
+    val ev = eventsDf
+    val state = Files.createTempDirectory("cusumage")
+      .resolve("state").toString
+    val h = 45
+    val cut = ev.selectExpr("percentile(unix_micros(ts), 0.5) p")
+      .collect()(0).getDouble(0).toLong
+    val b1 = ev.filter(unix_micros(col("ts")) <= cut)
+    val b2 = ev.filter(unix_micros(col("ts")) > cut)
+    val (k, thr) = (BigDecimal("10.00"), BigDecimal("50.00"))
+    CusumStream.applyBatch(b1, state, "event_type", "ts", "value", k, thr,
+      horizonDays = Some(h))
+    val streamed = CusumStream.applyBatch(b2, state, "event_type", "ts",
+      "value", k, thr, horizonDays = Some(h))
+    val days = StateDir.readPrior(spark, state).get
+      .select("day").distinct().count()
+    assert(days <= h, s"state holds $days days > horizon $h")
+    val maxDay = ev.agg(max(date_format(col("ts"), "yyyy-MM-dd")))
+      .collect()(0).getString(0)
+    val windowed = ev.filter(
+      datediff(lit(maxDay), to_date(date_format(col("ts"), "yyyy-MM-dd")))
+        < h)
+    val oneShot = TimeSeries.cusum(windowed, col("event_type"), col("ts"),
+      col("value"), k, thr)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(oneShot).isEmpty &&
+      oneShot.exceptAll(streamed).isEmpty,
+      "compacted incremental CUSUM must equal the windowed one-shot")
+  }
 }
