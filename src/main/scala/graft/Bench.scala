@@ -91,7 +91,15 @@ object Bench {
     val loads = results.map { case (k, l, _) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"loadavg_at_query":$loads}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"loadavg_at_query":$loads}"""
+    println(json)
+    // the stdout line is very long and the driver's capture has clipped
+    // it (BENCH_r08.json arrived truncated mid-number) — persist the
+    // same payload to a file so the artifact survives stdout buffering
+    val out = java.nio.file.Paths.get("target", "bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.write(out,
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // all outputs are flushed/written; drop Hadoop's shutdown hooks so
     // they don't race sbt's (unforked) classloader/temp-jar cleanup

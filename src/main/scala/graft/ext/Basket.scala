@@ -174,8 +174,13 @@ object Basket {
         col("n_abc").cast("bigint").as("n_abc"),
         (col("n_abc").cast("double") / col("n_txn").cast("double"))
           .as("support"),
-        ((col("n_abc") * col("n_txn") * col("n_txn")).cast("double") /
-          (col("n_a") * col("n_b") * col("n_c")).cast("double"))
+        // multiply in DOUBLE, not BIGINT: n_txn² passes Long.MaxValue
+        // near 1e9 transactions and non-ANSI Spark would wrap silently
+        // (DuckDB errors) — a cross-engine divergence at 100 TB scale
+        (col("n_abc").cast("double") * col("n_txn").cast("double") *
+          col("n_txn").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            col("n_c").cast("double")))
           .as("lift3"))
   }
 }

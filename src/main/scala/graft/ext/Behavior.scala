@@ -230,7 +230,11 @@ object Behavior {
       .select(col("type_a"), col("type_b"), col("n_ab"),
         col("n_a").cast("bigint").as("n_a"),
         col("n_b").cast("bigint").as("n_b"),
-        ((col("n_ab") * col("t_slots")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        // double operands before multiplying — the bigint product
+        // n_ab·t_slots wraps silently under non-ANSI Spark at ~1e9
+        // slots while DuckDB errors (same fix as Basket.lift3)
+        (col("n_ab").cast("double") * col("t_slots").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
   }
 }

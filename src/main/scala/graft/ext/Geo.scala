@@ -58,19 +58,24 @@ object Geo {
     * of side `radiusMicro`, candidates from the 3×3 neighbor-cell
     * equi-join, exact integer verify `Δlat² + Δlon² ≤ r²`. Each point
     * occupies ONE cell, so a pair meets on exactly one (dx, dy) offset
-    * — no post-join dedup needed. Longitude is shifted positive before
-    * the cell division so truncating integer division IS floor
-    * division on both engines.
+    * — no post-join dedup needed. Both axes are shifted positive
+    * before the cell division so truncating integer division IS floor
+    * division on both engines (also for southern-hemisphere /
+    * western-hemisphere inputs).
     *
     * Returns (id_a, id_b, dist2, dist_deg) with id_a < id_b;
     * `dist_deg` = √dist2 / 1e6 (one correctly-rounded sqrt of an exact
     * integer — bit-identical cross-engine).
     */
   // `div`, not `/`: Spark's / is double division, and a
-  // correctly-rounded-up quotient would land points in the wrong cell
+  // correctly-rounded-up quotient would land points in the wrong cell.
+  // BOTH axes are shifted positive before the truncating div —
+  // truncation toward zero is floor division only on non-negatives;
+  // an unshifted southern-hemisphere lat would make cell 0 span
+  // (−r, r), double-width, silently inflating candidates.
   private def cellify(points: DataFrame, radiusMicro: Long): DataFrame =
     points.select(col("id"), col("lat_micro"), col("lon_micro"),
-      expr(s"lat_micro div ${radiusMicro}L").as("cx"),
+      expr(s"(lat_micro + 90000000L) div ${radiusMicro}L").as("cx"),
       expr(s"(lon_micro + 180000000L) div ${radiusMicro}L").as("cy"))
 
   /** The 9-offset probe side: each point re-keyed to every neighbor
@@ -120,9 +125,12 @@ object Geo {
     val inBatch = radiusPairs(newPts, radiusMicro)
       .select(col("id_a"), col("id_b"), col("dist2"), col("dist_deg"),
         lit("batch").as("origin"))
+    // the id != id_b guard: at-least-once delivery can re-deliver a
+    // point id already in history; without it the point pairs with its
+    // own historical copy at distance 0 — a spurious proximity alert
     val vsHist = cellify(newPts, radiusMicro)
       .join(probeSide(histPts, radiusMicro), Seq("cx", "cy"))
-      .filter(d2 <= r * r)
+      .filter(col("id") =!= col("id_b") && d2 <= r * r)
       .select(col("id").as("id_a"), col("id_b"), d2.as("dist2"),
         (sqrt(d2.cast("double")) / lit(1000000.0)).as("dist_deg"),
         lit("history").as("origin"))
@@ -155,8 +163,109 @@ object Geo {
     */
   def cellDensity(points: DataFrame, cellMicro: Long): DataFrame =
     points.groupBy(
-        expr(s"lat_micro div ${cellMicro}L").as("cx"),
+        expr(s"(lat_micro + 90000000L) div ${cellMicro}L").as("cx"),
         expr(s"(lon_micro + 180000000L) div ${cellMicro}L").as("cy"))
       .agg(count(lit(1)).cast("bigint").as("n_points"),
         min(col("id")).cast("bigint").as("min_id"))
+
+  // ---- geodesic face -----------------------------------------------
+
+  /** Mean-sphere Earth radius in meters (the haversine convention). */
+  val EarthRadiusM = 6371000.0
+  private val DegToRad = math.Pi / 180.0
+
+  /** The EWMA-pow canonicalization: every transcendental output is
+    * rounded to DECIMAL(20,12) (shortest-string semantics on the Spark
+    * side, VARCHAR roundtrip in the oracle) so a ≤1-ulp sin/cos/asin
+    * difference between the JVM and DuckDB's libm can never flip a
+    * pair decision.
+    */
+  private def canon(c: Column): Column =
+    c.cast("decimal(20,12)").cast("double")
+
+  /** Geodesic cell sizing: the exact degree spans a great-circle
+    * radius `radiusMeters` can cover, conservatively, anywhere with
+    * |lat| ≤ `maxAbsLatMicro`.
+    *
+    *  - latitude: Δφ_rad ≤ r/R exactly, so the lat cell is
+    *    ceil(r·180/(π·R) · 1e6) micro-degrees;
+    *  - longitude: from haversine, sin(d/2R) ≥ cos(φmax)·sin(Δλ/2),
+    *    so Δλ ≤ 2·asin(sin(r/2R)/cos(φmax)) — the EXACT bound (no
+    *    small-angle approximation), degenerating to a single
+    *    360°-wide cell when the band reaches the pole.
+    *
+    * cos(lat)-scaled cells are what make the grid correct at high
+    * latitude: at 60° a fixed-degree cell is 2× too wide east-west.
+    */
+  private[ext] def geodesicCells(radiusMeters: Double,
+      maxAbsLatMicro: Long): (Long, Long) = {
+    require(radiusMeters > 0, "radius must be positive")
+    require(maxAbsLatMicro > 0 && maxAbsLatMicro < 90000000L,
+      "maxAbsLatMicro must be in (0, 90 deg)")
+    val latCell = math.ceil(radiusMeters / (DegToRad * EarthRadiusM) * 1e6)
+      .toLong.max(1L)
+    val s = math.sin(radiusMeters / (2.0 * EarthRadiusM)) /
+      math.cos(maxAbsLatMicro / 1e6 * DegToRad)
+    val lonCell =
+      if (s >= 1.0) 360000000L
+      else math.ceil(2.0 * math.asin(s) / DegToRad * 1e6).toLong.max(1L)
+    (latCell, lonCell)
+  }
+
+  private def cellifyGeo(points: DataFrame, latCell: Long,
+      lonCell: Long): DataFrame =
+    points.select(col("id"), col("lat_micro"), col("lon_micro"),
+      expr(s"(lat_micro + 90000000L) div ${latCell}L").as("cx"),
+      expr(s"(lon_micro + 180000000L) div ${lonCell}L").as("cy"))
+
+  /** Canonicalized haversine distance in meters between micro-degree
+    * coordinate pairs. Every step is a fixed sequence of IEEE double
+    * ops on canonicalized transcendentals, so both engines compute
+    * bit-identical distances — the pair decision `dist ≤ r` replays.
+    */
+  private[ext] def haversineM(latA: Column, lonA: Column,
+      latB: Column, lonB: Column): Column = {
+    def rad(c: Column) =
+      c.cast("double") / lit(1000000.0) * lit(DegToRad)
+    val sdLat = canon(sin((rad(latA) - rad(latB)) / lit(2.0)))
+    val sdLon = canon(sin((rad(lonA) - rad(lonB)) / lit(2.0)))
+    val h = sdLat * sdLat +
+      canon(cos(rad(latA))) * canon(cos(rad(latB))) * sdLon * sdLon
+    lit(2.0 * EarthRadiusM) * canon(asin(sqrt(h)))
+  }
+
+  /** All pairs within `radiusMeters` great-circle meters — the
+    * geodesic face of [[radiusPairs]]: identical 3×3 neighbor-cell
+    * equi-join shape, but cells sized per-axis by [[geodesicCells]]
+    * (cos(lat)-shrunk longitude span at the declared band limit) and
+    * the verify is the canonicalized haversine instead of planar
+    * integer distance.
+    *
+    * `maxAbsLatMicro` declares the data's latitude band; points
+    * beyond it would break the longitude-span guarantee, so they are
+    * excluded from the join (a real pipeline routes polar points to a
+    * dedicated coarse band — at |lat| ≥ 66° the lon cell is already
+    * ≥2.5× the lat cell).
+    *
+    * Returns (id_a, id_b, dist_m) with id_a < id_b.
+    */
+  def radiusPairsGeodesic(points: DataFrame, radiusMeters: Double,
+      maxAbsLatMicro: Long = 66000000L): DataFrame = {
+    val (latCell, lonCell) = geodesicCells(radiusMeters, maxAbsLatMicro)
+    val inBand = points.filter(
+      abs(col("lat_micro")) <= lit(maxAbsLatMicro))
+    val offsets = points.sparkSession.range(0, 9)
+      .select(expr("id div 3 - 1").as("dx"), expr("id % 3 - 1").as("dy"))
+    val probe = cellifyGeo(inBand, latCell, lonCell)
+      .crossJoin(broadcast(offsets))
+      .select(col("id").as("id_b"), col("lat_micro").as("lat_b"),
+        col("lon_micro").as("lon_b"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    val dist = haversineM(col("lat_micro"), col("lon_micro"),
+      col("lat_b"), col("lon_b"))
+    cellifyGeo(inBand, latCell, lonCell)
+      .join(probe, Seq("cx", "cy"))
+      .filter(col("id") < col("id_b") && dist <= lit(radiusMeters))
+      .select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
+  }
 }

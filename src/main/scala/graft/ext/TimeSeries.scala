@@ -204,11 +204,30 @@ object TimeSeries {
     * Scale shape: the pair join is per-group O(days²) — bounded by
     * SERIES LENGTH, never corpus size (30 days → 435 pairs; cap the
     * monitored window at cluster scale). One join, two aggregates,
-    * one slope-rank window.
+    * one slope-rank window. The pair fan-out (Σ n_g(n_g−1)/2 rows) is
+    * measured up front from the tiny per-group day counts, and the
+    * pair stages are repartitioned to `≈ pairs / maxPairsPerTask`
+    * tasks — the ScaleBench sizing rule (≈2–3M pair rows per task)
+    * moved INTO the operator, so a 10k-group × 365-day panel sorts
+    * 664M slope rows across ~221 tasks instead of OOMing the default
+    * partition count.
     */
   def trendTest(df: DataFrame, group: Column, ts: Column,
-      value: Column): DataFrame = {
+      value: Column, maxPairsPerTask: Long = 3000000L): DataFrame = {
+    require(maxPairsPerTask > 0, "maxPairsPerTask must be positive")
     val daily = dailySum(df, Seq("grp" -> group), ts, value)
+    // O(groups) aggregate, ONE scalar to the driver — the same bounded
+    // collect class as the range-partition counts in Rank.globalRank
+    val totalPairs = daily.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) div 2"))).head().get(0) match {
+        case null => 0L
+        case v: Long => v
+      }
+    val spark = df.sparkSession
+    val parts = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      (totalPairs / maxPairsPerTask).toInt + 1)
     val idx = Window.partitionBy(col("grp")).orderBy(col("day"))
     val series = daily.select(col("grp"),
       (row_number().over(idx) - 1).cast("bigint").as("i"), col("x"))
@@ -220,6 +239,11 @@ object TimeSeries {
           .as("sgn"),
         ((col("b.x") - col("a.x")).cast("double") /
           (col("b.i") - col("a.i")).cast("double")).as("slope"))
+      // hash-partition the exploded pairs by grp at the pair-sized
+      // task count: the slope-rank window requires exactly this
+      // distribution, so it reuses the exchange instead of re-sorting
+      // an under-partitioned one
+      .repartition(parts, col("grp"))
     val sAgg = pairs.groupBy(col("grp")).agg(
       sum(col("sgn")).cast("bigint").as("s_stat"),
       count(lit(1)).cast("bigint").as("npairs"))
@@ -286,24 +310,31 @@ object TimeSeries {
     */
   def cusumFromDaily(daily: DataFrame, slack: BigDecimal,
       threshold: BigDecimal): DataFrame = {
+    // widths sized for the 100 TB target, not the test SF: x is
+    // decimal(12,2) (10 integer digits) and n can reach 10 digits, so
+    // x·n needs 20+ integer digits — the old decimal(20,2) casts (18
+    // integer digits) would NULL silently under non-ANSI Spark on
+    // long/high-volume series, zeroing the statistic. All values are
+    // exact decimals, so widening is value-preserving (the oracle
+    // widens in lockstep).
     val tot = daily.groupBy(col("grp")).agg(
       count(lit(1)).cast("bigint").as("n"),
-      sum(col("x")).cast("decimal(20,2)").as("s"))
+      sum(col("x")).cast("decimal(30,2)").as("s"))
     val k = lit(slack.bigDecimal).cast("decimal(10,2)")
     val h = lit(threshold.bigDecimal).cast("decimal(10,2)")
-    val xn = (col("x") * dec0(col("n"))).cast("decimal(20,2)")
-    val nk = (dec0(col("n")) * k).cast("decimal(20,2)")
+    val xn = (col("x") * dec0(col("n"))).cast("decimal(32,2)")
+    val nk = (dec0(col("n")) * k).cast("decimal(30,2)")
     val base = daily.join(tot, "grp").select(
       col("grp"), col("day"), col("n"),
-      (xn - col("s") - nk).cast("decimal(30,2)").as("yv"),
-      (xn - col("s") + nk).cast("decimal(30,2)").as("zv"),
+      (xn - col("s") - nk).cast("decimal(38,2)").as("yv"),
+      (xn - col("s") + nk).cast("decimal(38,2)").as("zv"),
       (dec0(col("n")) * h).cast("decimal(30,2)").as("nh"))
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val zero = lit(BigDecimal(0).bigDecimal).cast("decimal(30,2)")
+    val zero = lit(BigDecimal(0).bigDecimal).cast("decimal(38,2)")
     val pq = base.select(col("grp"), col("day"), col("n"), col("nh"),
-      sum(col("yv")).over(w).cast("decimal(30,2)").as("p"),
-      sum(col("zv")).over(w).cast("decimal(30,2)").as("q"))
+      sum(col("yv")).over(w).cast("decimal(38,2)").as("p"),
+      sum(col("zv")).over(w).cast("decimal(38,2)").as("q"))
     val m = pq.select(col("grp"), col("day"), col("n"), col("nh"),
       col("p"), col("q"),
       least(zero, min(col("p")).over(w)).as("minp"),

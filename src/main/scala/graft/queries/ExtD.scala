@@ -1731,10 +1731,19 @@ object ExtD {
         rounds = 4)
       val nd = clean.groupBy(col("source").as("domain"))
         .agg(count(lit(1)).cast("bigint").as("n_docs"))
-      alloc.join(nd, "domain")
+      // materialize the (tiny, per-source) result eagerly so the three
+      // caches can be dropped HERE instead of lingering in the
+      // CacheManager across the whole 300-query verify run / bench
+      // suite (the r08 bench-creep suspect) — the pageRank pattern
+      val out = alloc.join(nd, "domain")
         .select(col("domain"), col("n_docs"), col("cap"),
           col("saturated"), col("alloc"))
         .orderBy(col("domain"))
+        .localCheckpoint(true)
+      quality.unpersist()
+      corpus.unpersist()
+      clean.unpersist()
+      out
     },
     Some("""WITH RECURSIVE d AS (SELECT doc_id, source, n_chars,
         string_split(text, ' ') AS tks FROM documents),

@@ -123,37 +123,37 @@ object ExtF {
         CAST(SUM(CAST(value AS DECIMAL(10,2))) AS DECIMAL(12,2)) AS x
       FROM events GROUP BY 1, 2),
       tot AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
-          CAST(SUM(x) AS DECIMAL(20,2)) AS s
+          CAST(SUM(x) AS DECIMAL(30,2)) AS s
         FROM daily GROUP BY 1),
       base AS (SELECT d.grp, d.day, t.n,
-          CAST(CAST(d.x * CAST(t.n AS DECIMAL(10,0)) AS DECIMAL(20,2))
+          CAST(CAST(d.x * CAST(t.n AS DECIMAL(10,0)) AS DECIMAL(32,2))
             - t.s
             - CAST(CAST(t.n AS DECIMAL(10,0))
-                * CAST(300.00 AS DECIMAL(10,2)) AS DECIMAL(20,2))
-            AS DECIMAL(30,2)) AS yv,
-          CAST(CAST(d.x * CAST(t.n AS DECIMAL(10,0)) AS DECIMAL(20,2))
+                * CAST(300.00 AS DECIMAL(10,2)) AS DECIMAL(30,2))
+            AS DECIMAL(38,2)) AS yv,
+          CAST(CAST(d.x * CAST(t.n AS DECIMAL(10,0)) AS DECIMAL(32,2))
             - t.s
             + CAST(CAST(t.n AS DECIMAL(10,0))
-                * CAST(300.00 AS DECIMAL(10,2)) AS DECIMAL(20,2))
-            AS DECIMAL(30,2)) AS zv,
+                * CAST(300.00 AS DECIMAL(10,2)) AS DECIMAL(30,2))
+            AS DECIMAL(38,2)) AS zv,
           CAST(CAST(t.n AS DECIMAL(10,0))
             * CAST(1500.00 AS DECIMAL(10,2)) AS DECIMAL(30,2)) AS nh
         FROM daily d JOIN tot t USING (grp)),
       pq AS (SELECT grp, day, n, nh,
-          CAST(SUM(yv) OVER win AS DECIMAL(30,2)) AS p,
-          CAST(SUM(zv) OVER win AS DECIMAL(30,2)) AS q
+          CAST(SUM(yv) OVER win AS DECIMAL(38,2)) AS p,
+          CAST(SUM(zv) OVER win AS DECIMAL(38,2)) AS q
         FROM base WINDOW win AS (PARTITION BY grp ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
       /* LEAST/GREATEST would promote DECIMAL to DOUBLE in DuckDB
          (losing the exactness the whole construction is built on), so
          the clamp against 0 is a CASE */
       m AS (SELECT grp, day, n, nh, p, q,
-          CAST(CASE WHEN MIN(p) OVER win < CAST(0 AS DECIMAL(30,2))
-            THEN MIN(p) OVER win ELSE CAST(0 AS DECIMAL(30,2)) END
-            AS DECIMAL(30,2)) AS minp,
-          CAST(CASE WHEN MAX(q) OVER win > CAST(0 AS DECIMAL(30,2))
-            THEN MAX(q) OVER win ELSE CAST(0 AS DECIMAL(30,2)) END
-            AS DECIMAL(30,2)) AS maxq
+          CAST(CASE WHEN MIN(p) OVER win < CAST(0 AS DECIMAL(38,2))
+            THEN MIN(p) OVER win ELSE CAST(0 AS DECIMAL(38,2)) END
+            AS DECIMAL(38,2)) AS minp,
+          CAST(CASE WHEN MAX(q) OVER win > CAST(0 AS DECIMAL(38,2))
+            THEN MAX(q) OVER win ELSE CAST(0 AS DECIMAL(38,2)) END
+            AS DECIMAL(38,2)) AS maxq
         FROM pq WINDOW win AS (PARTITION BY grp ORDER BY day
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
       SELECT grp, day,
@@ -249,7 +249,7 @@ object ExtF {
         cellMicro = 50000L)
       .orderBy(col("cx"), col("cy")),
     Some(s"""WITH $geoPtsCte
-      SELECT lat // 50000 AS cx, (lon + 180000000) // 50000 AS cy,
+      SELECT (lat + 90000000) // 50000 AS cx, (lon + 180000000) // 50000 AS cy,
         CAST(COUNT(*) AS BIGINT) AS n_points,
         CAST(MIN(id) AS BIGINT) AS min_id
       FROM pts GROUP BY 1, 2 ORDER BY cx, cy"""))
@@ -456,6 +456,48 @@ object ExtF {
     * pairs, each reported exactly once across any batch split. The
     * oracle again takes the naive quadratic path for both legs.
     */
+  /** The VARCHAR-roundtrip canonicalization every geodesic
+    * transcendental routes through (the EWMA pow idiom).
+    */
+  private def cn(e: String): String =
+    s"CAST(CAST(CAST($e AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)"
+
+  /** Geodesic radius pairs ([[graft.ext.Geo.radiusPairsGeodesic]],
+    * r = 1 km, band limit 66°): the engine runs the per-axis-sized
+    * neighbor-cell equi-join (cos(lat)-shrunk longitude cells); the
+    * oracle runs the NAIVE quadratic haversine join — an independent
+    * implementation, so a hash hit proves the geodesic bucketing
+    * loses no pair and invents none. Every trig output is
+    * canonicalized to DECIMAL(20,12) on both engines, so each pair's
+    * `dist ≤ r` decision is bit-replayable despite JVM-vs-libm
+    * last-ulp differences.
+    */
+  val xGeoRadiusPairsGeodesic = Q(
+    "x_geo_radius_pairs_geodesic",
+    (s, dir) => Geo.radiusPairsGeodesic(
+        Geo.syntheticPoints(t(s, dir, "customer"), "c_custkey"),
+        radiusMeters = 1000.0, maxAbsLatMicro = 66000000L)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""WITH $geoPtsCte,
+      rp AS (SELECT id,
+          (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS phi,
+          (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS lam
+        FROM pts),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+          ${cn("sin((a.phi - b.phi) / 2.0)")} AS sdlat,
+          ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
+          ${cn("cos(a.phi)")} AS ca,
+          ${cn("cos(b.phi)")} AS cb
+        FROM rp a JOIN rp b ON a.id < b.id),
+      d AS (SELECT id_a, id_b, 12742000.0 *
+          ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
+            AS dist_m
+        FROM cand)
+      SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 1000.0
+      ORDER BY id_a, id_b"""))
+
   val xGeoIncremental = Q(
     "x_geo_pairs_incremental",
     (s, dir) => {
@@ -701,8 +743,10 @@ object ExtF {
         GROUP BY 1, 2, 3 HAVING COUNT(*) >= 3)
       SELECT item_a, item_b, item_c, n_abc,
         CAST(n_abc AS DOUBLE) / CAST(n_txn AS DOUBLE) AS support,
-        CAST(n_abc * n_txn * n_txn AS DOUBLE)
-          / CAST(ia.n_item * ib.n_item * ic2.n_item AS DOUBLE) AS lift3
+        CAST(n_abc AS DOUBLE) * CAST(n_txn AS DOUBLE)
+            * CAST(n_txn AS DOUBLE)
+          / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)
+            * CAST(ic2.n_item AS DOUBLE)) AS lift3
       FROM tr JOIN ic ia ON ia.item = tr.item_a
       JOIN ic ib ON ib.item = tr.item_b
       JOIN ic ic2 ON ic2.item = tr.item_c
@@ -734,8 +778,8 @@ object ExtF {
       ab AS (SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_ab
         FROM pairs GROUP BY 1, 2)
       SELECT ab.type_a, ab.type_b, ab.n_ab, ac.n_a, bc.n_b,
-        CAST(ab.n_ab * t.t_slots AS DOUBLE)
-          / CAST(ac.n_a * bc.n_b AS DOUBLE) AS lift
+        CAST(ab.n_ab AS DOUBLE) * CAST(t.t_slots AS DOUBLE)
+          / (CAST(ac.n_a AS DOUBLE) * CAST(bc.n_b AS DOUBLE)) AS lift
       FROM ab JOIN ac USING (type_a) JOIN bc USING (type_b)
       CROSS JOIN tot t
       ORDER BY type_a, type_b"""))
@@ -759,11 +803,16 @@ object ExtF {
           CAST(SUM(x) AS DECIMAL(38,2)) AS s,
           CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss
         FROM base GROUP BY 1),
+      /* VARCHAR roundtrip (the hbos lnC idiom): Spark's double-to-
+         decimal cast rounds the shortest string repr; DuckDB's direct
+         cast rounds the binary double — they diverge once the weight
+         magnitude pushes 12 fractional digits past double's 17
+         significant digits (w ~ sqrt(n_h*Sum(x^2)) at larger SFs) */
       wtab AS (SELECT h, n_h,
-          CAST(sqrt(GREATEST(CAST(0 AS DOUBLE),
+          CAST(CAST(sqrt(GREATEST(CAST(0 AS DOUBLE),
             CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
-            AS DECIMAL(20,12)) AS w
+            AS VARCHAR) AS DECIMAL(20,12)) AS w
         FROM stats),
       ws AS (SELECT CAST(SUM(w) AS DECIMAL(38,12)) AS wsd FROM wtab),
       quotas AS (SELECT h, n_h, CAST(w AS DOUBLE) AS w_h,
@@ -887,5 +936,6 @@ object ExtF {
     xSeqPatterns, xSampleNeyman, xAssortativity, xItemNeighbors,
     xMultimodalAudioFeatures,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
+    xGeoRadiusPairsGeodesic,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

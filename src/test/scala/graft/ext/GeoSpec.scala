@@ -104,6 +104,100 @@ class GeoSpec extends SparkSuite {
     assert(second.exists(_._3 == "history") && second.exists(_._3 == "batch"))
   }
 
+  test("radiusPairs southern/western hemisphere: cell 0 is not double-width") {
+    // regression for the truncating-div bug: before the lat shift,
+    // southern-hemisphere cell 0 spanned (−r, r) and cell semantics
+    // were asymmetric vs the north — parity vs naive proves the grid
+    // is sound below the equator too
+    val rnd = new Random(17)
+    val rows = (0L until 250L).map(i =>
+      (i, -40500000L + rnd.nextInt(1000001),
+        -74000000L + rnd.nextInt(1000001)))
+    val r = 15000L
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d2 = (a._2 - b._2) * (a._2 - b._2) + (a._3 - b._3) * (a._3 - b._3)
+      if d2 <= r * r
+    } yield (a._1, b._1)).toSet
+    val got = Geo.radiusPairs(pts(rows: _*), r)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "no pairs — not probative")
+    assert(got === naive)
+  }
+
+  test("radiusPairsGeodesic matches the naive haversine join at high latitude") {
+    // 74.5°N: cos(lat) ≈ 0.267, so a fixed-degree lon cell would be
+    // ~3.7× too wide — this is exactly the regime the cos(lat) sizing
+    // exists for. The naive reference recomputes haversine from
+    // scratch (plain doubles, no canonicalization) and compares pair
+    // SETS with a guard band around the radius so canonicalization
+    // rounding (±1e-12 on trig outputs ⇒ sub-micrometer in distance)
+    // cannot flip set membership.
+    val rnd = new Random(23)
+    val rows = (0L until 250L).map(i =>
+      (i, 74000000L + rnd.nextInt(1000001),
+        10000000L + rnd.nextInt(1000001)))
+    val rM = 2000.0
+    def hav(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      val toRad = math.Pi / 180 / 1e6
+      val (p1, l1) = (a._2 * toRad, a._3 * toRad)
+      val (p2, l2) = (b._2 * toRad, b._3 * toRad)
+      val sp = math.sin((p1 - p2) / 2)
+      val sl = math.sin((l1 - l2) / 2)
+      2 * Geo.EarthRadiusM * math.asin(math.sqrt(
+        sp * sp + math.cos(p1) * math.cos(p2) * sl * sl))
+    }
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1 if hav(a, b) <= rM
+    } yield (a._1, b._1)).toSet
+    val got = Geo.radiusPairsGeodesic(pts(rows: _*), rM,
+        maxAbsLatMicro = 76000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.size > 20, s"only ${naive.size} pairs — not probative")
+    val boundary = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d = hav(a, b) if math.abs(d - rM) < 1e-3
+    } yield (a._1, b._1)).toSet
+    assert((got -- boundary) === (naive -- boundary))
+  }
+
+  test("radiusPairsGeodesic southern hemisphere parity") {
+    val rnd = new Random(41)
+    val rows = (0L until 200L).map(i =>
+      (i, -60900000L + rnd.nextInt(800001),
+        -70000000L + rnd.nextInt(800001)))
+    val rM = 3000.0
+    def hav(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      val toRad = math.Pi / 180 / 1e6
+      val sp = math.sin((a._2 - b._2) * toRad / 2)
+      val sl = math.sin((a._3 - b._3) * toRad / 2)
+      2 * Geo.EarthRadiusM * math.asin(math.sqrt(
+        sp * sp + math.cos(a._2 * toRad) * math.cos(b._2 * toRad) * sl * sl))
+    }
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1 if hav(a, b) <= rM
+    } yield (a._1, b._1)).toSet
+    val got = Geo.radiusPairsGeodesic(pts(rows: _*), rM,
+        maxAbsLatMicro = 66000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty, "no pairs — not probative")
+    assert(got === naive)
+  }
+
+  test("geodesicCells: lon cells widen with the band limit, exactly bounded") {
+    val (lat1, lon1) = Geo.geodesicCells(1000.0, 1000000L)   // ~equator
+    val (lat2, lon2) = Geo.geodesicCells(1000.0, 66000000L)  // 66°
+    val (lat3, lon3) = Geo.geodesicCells(1000.0, 85000000L)  // near-polar
+    assert(lat1 === lat2 && lat2 === lat3) // lat span is band-independent
+    assert(lon1 < lon2 && lon2 < lon3)
+    // at 66° the shrink factor is 1/cos(66°) ≈ 2.46
+    assert(lon2 > (lat2 * 2.4).toLong && lon2 < (lat2 * 2.6).toLong)
+    // a band reaching the pole degenerates to one global lon cell —
+    // use a radius big enough that sin(r/2R)/cos(lat) ≥ 1
+    val (_, lonPolar) = Geo.geodesicCells(500000.0, 89999999L)
+    assert(lonPolar === 360000000L)
+  }
+
   test("cellDensity counts every point exactly once") {
     val df = Geo.syntheticPoints(
       spark.range(0, 400).toDF("c_custkey"), "c_custkey")

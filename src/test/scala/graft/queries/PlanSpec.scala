@@ -306,14 +306,24 @@ class PlanSpec extends SparkSuite {
     // diversity sample: the only nested-loop joins are the nlist-row
     // centroid assignment crossJoin (cached, but its subtree prints
     // once per cache reference) and the 1-row wsum quota crossJoin —
-    // each a bounded broadcast, never data×data
-    val p = plan("x_sample_diversity")
+    // each a bounded broadcast, never data×data. Since r09 the public
+    // face eagerly checkpoints (cache-lifecycle hygiene), so the gate
+    // inspects the LAZY plan via release = false
+    val p = graft.ext.Sampling.diversitySample(
+        graft.queries.H.t(spark, dir, "embeddings"),
+        "vec_id", "embedding", total = 100L, nlist = 16, release = false)
+      .orderBy(org.apache.spark.sql.functions.col("vec_id"))
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), s"diversity went cartesian:\n$p")
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 4, s"$bnlj nested-loop joins (expected <=4 bounded " +
       s"broadcasts):\n$p")
     assert(p.contains("vec_dot"), s"assignment lost the codegen'd kernel:\n$p")
-    // curate v3: two chained span-dedup passes — equi-joins only
+    // curate v3: two chained span-dedup passes — equi-joins only.
+    // The registered query eagerly checkpoints since r09, so the
+    // SUBSTANTIVE join-shape gates live on the component tests
+    // (spanDedupHashed / intraDocDedupHashed above); this remains as
+    // a smoke check that the final report assembly stays non-cartesian
     val p3 = plan("x_pipeline_curate_v3")
     assert(!p3.contains("CartesianProduct") &&
       !p3.contains("BroadcastNestedLoopJoin"),
