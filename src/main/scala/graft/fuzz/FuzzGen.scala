@@ -87,13 +87,18 @@ object FuzzGen {
     * `SUM(CASE WHEN (col % k) = r THEN col % k2 ELSE -1 END)` (ck
     * carries (k, r, k2)): CASE inside an aggregate exercises the
     * expression-under-agg path both planners constant-fold and
-    * null-propagate differently than bare columns.
+    * null-propagate differently than bare columns — and "sumd"
+    * (round 9): `SUM(DISTINCT col)`, which over an FK join measures
+    * whether dedup-under-aggregate survives join fan-out identically
+    * in both planners (Spark expands it to a two-phase
+    * distinct-then-sum; DuckDB hashes inline).
     */
   final case class Agg(alias: String, kind: String, colName: String,
       ck: Option[(Int, Int, Int)] = None) {
     def sql: String = kind match {
       case "count" => s"CAST(COUNT(*) AS BIGINT) AS $alias"
       case "sum" => s"CAST(SUM($colName) AS BIGINT) AS $alias"
+      case "sumd" => s"CAST(SUM(DISTINCT $colName) AS BIGINT) AS $alias"
       case "min" => s"MIN($colName) AS $alias"
       case "max" => s"MAX($colName) AS $alias"
       case "cntd" => s"CAST(COUNT(DISTINCT $colName) AS BIGINT) AS $alias"
@@ -106,6 +111,7 @@ object FuzzGen {
     def df: Column = (kind match {
       case "count" => count(lit(1)).cast("bigint")
       case "sum" => sum(col(colName)).cast("bigint")
+      case "sumd" => sum_distinct(col(colName)).cast("bigint")
       case "min" => min(col(colName))
       case "max" => max(col(colName))
       case "cntd" => countDistinct(col(colName)).cast("bigint")
@@ -146,10 +152,14 @@ object FuzzGen {
   /** Set operation between two mod-projections of the SAME table under
     * different predicates: UNION ALL keeps bag semantics, INTERSECT /
     * EXCEPT are set-distinct in BOTH engines — the convention under
-    * test.
+    * test. `withRn` (round 9) layers a global ROW_NUMBER window OVER
+    * the set-op result — the window-over-set-op composition: tied `v`
+    * values receive consecutive rns in some order, but the (v, rn)
+    * pair MULTISET is deterministic (equal rows are interchangeable),
+    * which is exactly the property the differential checks.
     */
   final case class SetShape(colName: String, mod: Int, op: String,
-      predA: Pred, predB: Pred) extends Shape
+      predA: Pred, predB: Pred, withRn: Boolean = false) extends Shape
 
   /** Uncorrelated scalar subquery in the WHERE clause:
     * `parentCol op (SELECT MAX(childCol) FROM tbl WHERE pred)` —
@@ -208,13 +218,23 @@ object FuzzGen {
     * unscoped parent-side NOT EXISTS is vacuously empty — the
     * child-side predicate makes both directions substantive).
     */
+  /** `havingSub` (round 9): an uncorrelated scalar subquery as the
+    * HAVING threshold — `HAVING COUNT(*) > (SELECT MIN(col % 4)
+    * FROM tbl WHERE pred)` — usually threshold 0 (every non-empty
+    * group passes), which is the point: the construct tests the
+    * filter-after-aggregate DECORRELATION PATH, not row attrition. The subquery lives in the
+    * filter-after-aggregate position, a decorrelation path distinct
+    * from the WHERE-clause [[ScalarSub]]; an empty child makes the
+    * threshold NULL and drops EVERY group (the convention under test).
+    */
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
       join: Option[(String, String, String, String)], joinKind: String,
       join2: Option[(String, String, String, String)],
       subPred: Option[Pred], preds: Seq[Pred], shape: Shape,
       scalarSub: Option[ScalarSub] = None,
       corrSub: Option[CorrSub] = None,
-      inSub: Option[InSub] = None) {
+      inSub: Option[InSub] = None,
+      havingSub: Option[(String, String, Pred)] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -257,7 +277,12 @@ object FuzzGen {
           case "cube" => s"CUBE ($grpList)"
           case _ => grpList
         }
-        val hav = having.fold("")(c => s" HAVING COUNT(*) > $c")
+        val havConds = having.map(c => s"COUNT(*) > $c").toSeq ++
+          havingSub.map { case (t, hc, p) =>
+            s"COUNT(*) > (SELECT MIN($hc % 4) FROM $t WHERE ${p.sql})"
+          }
+        val hav = if (havConds.isEmpty) ""
+          else havConds.mkString(" HAVING ", " AND ", "")
         val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
           .map(a => s"$a ASC NULLS FIRST").mkString(", ")
         s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav ORDER BY $ord"
@@ -299,12 +324,19 @@ object FuzzGen {
            |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev
            |  FROM $fromSql$whereSql) t
            |ORDER BY $outerOrd""".stripMargin
-      case SetShape(c, m, op, pa, pb) =>
+      case SetShape(c, m, op, pa, pb, withRn) =>
         val t = fromSql
         val side = (p: Pred) =>
           s"SELECT CAST($c % $m AS BIGINT) AS v FROM $t$whereSql" +
             (if (whereSql.isEmpty) " WHERE " else " AND ") + p.sql
-        s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v ASC NULLS FIRST"
+        if (!withRn)
+          s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v ASC NULLS FIRST"
+        else
+          s"""SELECT v, rn FROM (
+             |  SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST)
+             |    AS INTEGER) AS rn
+             |  FROM (${side(pa)} $op ${side(pb)}) u) w
+             |ORDER BY v ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
     }
 
     def run(s: SparkSession, dir: String): DataFrame = {
@@ -379,9 +411,19 @@ object FuzzGen {
             case _ => base.groupBy(keys.map(_.df): _*)
           }
           val g = grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
-          val h = having.fold(g)(c =>
-            g.filter(col(aggs.find(_.kind == "count").get.alias) > c))
-          h.orderBy((keys.map(k => col(k.alias)) ++
+          val cntAlias = aggs.find(_.kind == "count").get.alias
+          val h = having.fold(g)(c => g.filter(col(cntAlias) > c))
+          // scalar-subquery HAVING threshold: decorrelated by hand the
+          // way Catalyst does — 1-row aggregate, broadcast, filter
+          // after the aggregation (NULL threshold drops every group)
+          val h2 = havingSub.fold(h) { case (t, hc, p) =>
+            val sc = H.t(s, dir, t).filter(p.df)
+              .agg(min(col(hc) % 4).as("_hs"))
+            h.crossJoin(broadcast(sc))
+              .filter(col(cntAlias) > col("_hs"))
+              .drop("_hs")
+          }
+          h2.orderBy((keys.map(k => col(k.alias)) ++
             aggs.map(a => col(a.alias))): _*)
         case WinShape(pk, ordCol, desc, ids, topK, fn) =>
           val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
@@ -417,7 +459,7 @@ object FuzzGen {
             .withColumn("prev", lag(col(ordCol), 1, -1).over(lagWin).cast("bigint"))
             .select(outCols: _*)
             .orderBy(outCols: _*)
-        case SetShape(c, m, op, pa, pb) =>
+        case SetShape(c, m, op, pa, pb, withRn) =>
           val side = (p: Pred) => base.filter(p.df)
             .select((col(c) % m).cast("bigint").as("v"))
           val combined = op match {
@@ -425,7 +467,11 @@ object FuzzGen {
             case "INTERSECT" => side(pa).intersect(side(pb))
             case "EXCEPT" => side(pa).except(side(pb))
           }
-          combined.orderBy(col("v"))
+          if (!withRn) combined.orderBy(col("v"))
+          else combined
+            .withColumn("rn", row_number()
+              .over(Window.orderBy(col("v").asc)).cast("int"))
+            .orderBy(col("v"), col("rn"))
       }
     }
   }
@@ -594,8 +640,27 @@ object FuzzGen {
         w.copy(fn = pick(rnd3, Seq("rank", "dense_rank")))
       case other => other
     }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape3,
-      scalarSub, corrSub, inSub)
+    // round-9 wave rides its own stream (the rnd2/rnd3 rule):
+    // SUM(DISTINCT) under join fan-out, ROW_NUMBER over set-ops, and
+    // scalar-subquery HAVING thresholds
+    val rnd4 = new Random(seed * 0xC2B2AE3DL + 41)
+    val shape4 = shape3 match {
+      case a: AggShape if join.isDefined && rnd4.nextInt(2) == 0 =>
+        a.copy(aggs = a.aggs :+ Agg("sd", "sumd", pick(rnd4, intCols)))
+      case st: SetShape if rnd4.nextInt(2) == 0 => st.copy(withRn = true)
+      case other => other
+    }
+    val havingSub = shape4 match {
+      case _: AggShape if rnd4.nextInt(3) == 0 =>
+        val tbl = pick(rnd4, tables)
+        val k = pick(rnd4, Seq(2, 3, 5))
+        Some((tbl.name, pick(rnd4, tbl.intCols),
+          Pred(pick(rnd4, tbl.intCols), k, rnd4.nextInt(k),
+            pick(rnd4, Seq("=", "<>")))))
+      case _ => None
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape4,
+      scalarSub, corrSub, inSub, havingSub)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -615,8 +680,13 @@ object FuzzGen {
     * CORRELATED scalar subqueries. The round-8 IN/CASE wave emptied
     * previous picks 1/3/68/124 (an empty fixed differential only
     * adjudicates the schema) — replaced by 272/90/173/81, same
-    * coverage, non-empty.
+    * coverage, non-empty. Round-9 wave additions: 6 (CUBE over a LEFT
+    * join carrying SUM(DISTINCT), a correlated scalar subquery AND a
+    * scalar-subquery HAVING threshold), 12 (EXISTS + SUM(DISTINCT) +
+    * HAVING subquery), 20 (ROW_NUMBER over a UNION ALL set-op + WHERE
+    * scalar subquery) — all verified non-empty at the driver SF
+    * (sf0.01).
     */
-  val driverSeeds: Seq[Int] = Seq(8, 22, 25, 32, 34, 48, 55, 81, 90, 102,
-    103, 104, 105, 107, 108, 109, 110, 118, 146, 173, 272)
+  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 20, 22, 25, 32, 34, 48, 55,
+    81, 90, 102, 103, 104, 105, 107, 108, 109, 110, 118, 146, 173, 272)
 }

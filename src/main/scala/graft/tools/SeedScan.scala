@@ -8,7 +8,7 @@ object SeedScan {
         case AggShape(_, _, h, g) => s"agg($g${h.fold("")(_ => ",having")})"
         case WinShape(_, _, _, _, _, fn) => s"win($fn)"
         case FrameShape(_, _, _, _, f, _) => s"frame($f)"
-        case SetShape(_, _, op, _, _) => s"set($op)"
+        case SetShape(_, _, op, _, _, rn) => s"set($op${if (rn) ",rn" else ""})"
       }
       val in = c.inSub.fold("")(i =>
         s"/in${if (i.neg) "-not" else ""}${if (i.nullR.isDefined) "-null" else ""}")
@@ -16,7 +16,12 @@ object SeedScan {
         case AggShape(_, aggs, _, _) if aggs.exists(_.kind == "csum") => "/case"
         case _ => ""
       }
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs $desc")
+      val sd = c.shape match {
+        case AggShape(_, aggs, _, _) if aggs.exists(_.kind == "sumd") => "/sumd"
+        case _ => ""
+      }
+      val hs = if (c.havingSub.isDefined) "/havsub" else ""
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs $desc")
     }
   }
 }

@@ -92,5 +92,16 @@ class FuzzSpec extends SparkSuite {
         case FuzzGen.WinShape(_, _, _, _, _, f) => f == fn
         case _ => false
       }), s"no $fn window case")
+    // round-9 wave
+    assert(cases.exists(c => c.shape match {
+      case FuzzGen.AggShape(_, aggs, _, _) => aggs.exists(_.kind == "sumd")
+      case _ => false
+    }), "no SUM(DISTINCT) case")
+    assert(cases.exists(c => c.shape match {
+      case s: FuzzGen.SetShape => s.withRn
+      case _ => false
+    }), "no window-over-set-op case")
+    assert(cases.exists(_.havingSub.isDefined),
+      "no scalar-subquery-HAVING case")
   }
 }
