@@ -466,4 +466,116 @@ object Sampling {
       when(col("pick_rank") === 1, lit(null).cast("double"))
         .otherwise(col("mind")).as("sel_dist"))
   }
+
+  /** DSIR-style importance resampling (Xie et al., NeurIPS 2023 —
+    * "Data Selection for Language Models via Importance Resampling",
+    * the hashed-n-gram method behind domain-targeted pretraining-data
+    * selection): each document is scored by the log-likelihood ratio
+    * of a TARGET bucket model vs the RAW corpus model over hashed
+    * BIGRAM features,
+    *
+    *   w(d) = Σ_{g ∈ bigrams(d)} [ln p̂_T(b(g)) − ln p̂_R(b(g))]
+    *
+    * with add-1 smoothing over `buckets` hash buckets, and the top-k
+    * selection uses GUMBEL keys (weight + Gumbel noise), which is
+    * exactly sampling-without-replacement ∝ exp(w) — the paper's
+    * resampling step. The Gumbel noise is −ln(−ln u) of the LCG
+    * uniform of the doc id (the [[weightedSample]] RNG discipline), so
+    * the draw is a pure function of (id, corpus): reproducible across
+    * runs/partitionings and SQL-replayable.
+    *
+    * Determinism: bucket log-ratios are differences of canonicalized
+    * lns of EXACT integers; per-doc sums ride DECIMAL(30,14) (order-
+    * free); both ln layers of the Gumbel are canonicalized.
+    *
+    * Scale shape: one gram explode (narrow), two bucket aggregates
+    * whose key space is `buckets` (broadcast-sized), one broadcast
+    * join back, one map-side-combinable per-doc sum, and a distributed
+    * TakeOrdered top-k. Nothing data-sized is ever broadcast.
+    *
+    * Returns the k selected docs: (doc_id, n_grams, weight, key,
+    * sel_rank).
+    */
+  def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
+      isTarget: Column, k: Int, buckets: Int = 256): DataFrame = {
+    require(k > 0 && buckets > 1)
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    def lnC(c: Column) = canon(log(c.cast("double")))
+    val toks = Text.tokens(col(textCol))
+    val grams = docs.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.as("tgt"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(split(" + textCol +
+            ", ' ')) - 1, 0)), i -> concat(split(" + textCol +
+            ", ' ')[i - 1], ' ', split(" + textCol + ", ' ')[i]))"))
+          .as("gram"))
+      .withColumn("bucket", pmod(Text.fingerprint(col("gram")), lit(buckets)))
+      .select(col("doc_id"), col("tgt"), col("bucket"))
+    val tCnt = grams.filter(col("tgt")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("ct"))
+    val rCnt = grams.filter(!col("tgt")).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"))
+    val nT = grams.filter(col("tgt")).count()
+    val nR = grams.filter(!col("tgt")).count()
+    // per-bucket smoothed log-ratio: all four ln arguments are exact
+    // integers, so every term replays
+    val ratio = tCnt.join(rCnt, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (lnC(coalesce(col("ct"), lit(0L)) + lit(1L)) -
+          lnC(coalesce(col("cr"), lit(0L)) + lit(1L)) +
+          lnC(lit(nR + buckets)) - lnC(lit(nT + buckets))).as("delta"))
+    val perDoc = grams.filter(!col("tgt"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(ratio), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_grams"),
+        sum((col("cnt").cast("double") * col("delta"))
+          .cast("decimal(30,14)")).cast("decimal(38,14)")
+          .cast("double").as("weight"))
+    val m = lit(2147483648L)
+    val r = pmod(pmod(col("doc_id"), m) * lit(1103515245L) + lit(12345L), m)
+    val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
+    val gumbel = -canon(log((-canon(log(u))).cast("double")))
+    perDoc
+      .withColumn("key", col("weight") + gumbel)
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy(col("key").desc, col("doc_id"))).cast("bigint"))
+      .select(col("doc_id"), col("n_grams"), col("weight"), col("key"),
+        col("sel_rank"))
+  }
+
+  /** Token-balanced training-shard assignment: documents ranked by
+    * (token weight DESC, id) and dealt round-robin across `nShards` —
+    * the deterministic longest-processing-time approximation that
+    * keeps every shard's token mass within one max-document of the
+    * mean (exactly replayable, unlike hash assignment which balances
+    * only in expectation, or greedy best-fit whose state isn't a
+    * window function). Returns one row per shard: doc count, token
+    * sum, and the shard's share of the total.
+    *
+    * Scale shape: one global ordered rank — executed as a range-
+    * partitioned sort (no single-partition window: uses
+    * [[graft.ext.Rank.globalRowNumber]]) — then an O(nShards)
+    * aggregate.
+    */
+  def shardAssign(docs: DataFrame, id: Column, tokens: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val base = docs.select(id.cast("long").as("id"),
+      tokens.cast("long").as("toks"))
+    val ranked = Rank.globalRowNumber(base, Seq(col("toks").desc, col("id").asc))
+    ranked
+      .withColumn("shard", pmod(col("rn") - 1, lit(nShards.toLong)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("toks")).cast("bigint").as("token_sum"))
+      .crossJoin(broadcast(base.agg(sum(col("toks")).cast("bigint")
+        .as("total"))))
+      .select(col("shard"), col("n_docs"), col("token_sum"),
+        (col("token_sum").cast("double") / col("total").cast("double"))
+          .as("share"))
+  }
 }

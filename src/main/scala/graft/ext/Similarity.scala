@@ -849,4 +849,115 @@ object Similarity {
       .map(w => bit_count(element_at(col("a.sig"), w + 1)
         .bitwiseXOR(element_at(col("b.sig"), w + 1))))
       .reduce(_ + _)
+
+  /** Margin-based bitext/pair mining (Artetxe & Schwenk 2019, the
+    * CCMatrix/LASER margin criterion — the standard parallel-corpus
+    * miner for multilingual training data): for sides A and B (e.g.
+    * two languages' sentence embeddings), score every candidate pair
+    * by its cosine RATIO-NORMALIZED against both endpoints' k-NN
+    * neighborhoods —
+    *
+    *   margin(x, y) = cos(x, y) / ((avgₖ(x) + avgₖ(y)) / 2)
+    *
+    * — which suppresses hubs (vectors close to everything score high
+    * raw cosine but low margin), then keeps MUTUAL-best pairs above a
+    * margin threshold. This exact formulation is the brute-force
+    * baseline; [[marginPairsIvf]] is the bucketed scale path.
+    *
+    * Determinism: each cosine is canonicalized to DECIMAL(20,12); the
+    * k-NN average sums canonicalized cosines as exact decimals (order-
+    * free) and divides once — so margins, ranks, and the mutual-best
+    * decision replay in SQL bit-for-bit. Ties break by neighbor id.
+    *
+    * Returns (id_a, id_b, cos, margin) for mutual-best pairs with
+    * margin ≥ threshold.
+    */
+  def marginPairs(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, threshold: Double = 1.0): DataFrame = {
+    graft.plans.GraftExtensions.ensure(a.sparkSession)
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    val ea = a.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+      .withColumn("na", norm(col("va")))
+    val eb = b.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val pairs = ea.crossJoin(broadcast(eb))
+      .withColumn("cosC",
+        canon(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .select(col("id_a"), col("id_b"), col("cosC"))
+    marginFromCandidates(pairs, k, threshold)
+  }
+
+  /** IVF-bucketed margin mining — the corpus-scale path: candidates
+    * come from the probed-bucket join (the [[hardNegativesIvf]]
+    * shape: side B bucketed by nearest centroid, side A probing its
+    * `nprobe` nearest buckets), and the k-NN averages are computed
+    * over the CANDIDATE set — the standard approximation (neighbors
+    * outside probed buckets are invisible to both the average and the
+    * pair pool; the recall twin quantifies the cost). Same output
+    * contract as [[marginPairs]].
+    */
+  def marginPairsIvf(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4, threshold: Double = 1.0,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.ensure(a.sparkSession)
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    val base = b.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val centroidDf = base.orderBy(col("nid")).limit(nlist)
+      .select(col("nid").as("cid"), col("nv").as("cv"))
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+    val assigned = assignToCentroids(base, centroidDf)
+    val q = a.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(centroidDf))
+      .withColumn("psim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("cid").as("bucket"))
+    val pairs = probes.join(assigned, "bucket")
+      .withColumn("cosC",
+        canon(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
+      .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cosC"))
+    marginFromCandidates(pairs, k, threshold)
+  }
+
+  /** Shared margin machinery over a candidate (id_a, id_b, cosC) set:
+    * per-endpoint k-NN averages (exact decimal sums of canonicalized
+    * cosines over each endpoint's top-min(k, n) candidates), the
+    * margin ratio, and the mutual-best + threshold filter.
+    */
+  private def marginFromCandidates(pairs: DataFrame, k: Int,
+      threshold: Double): DataFrame = {
+    val wa = Window.partitionBy(col("id_a"))
+      .orderBy(col("cosC").desc, col("id_b"))
+    val wb = Window.partitionBy(col("id_b"))
+      .orderBy(col("cosC").desc, col("id_a"))
+    val ranked = pairs
+      .withColumn("ra", row_number().over(wa))
+      .withColumn("rb", row_number().over(wb))
+    val avgA = ranked.filter(col("ra") <= k).groupBy(col("id_a"))
+      .agg((sum(col("cosC").cast("decimal(20,12)"))
+        .cast("decimal(38,12)").cast("double") /
+        count(lit(1)).cast("double")).as("avg_a"))
+    val avgB = ranked.filter(col("rb") <= k).groupBy(col("id_b"))
+      .agg((sum(col("cosC").cast("decimal(20,12)"))
+        .cast("decimal(38,12)").cast("double") /
+        count(lit(1)).cast("double")).as("avg_b"))
+    val margined = pairs.join(avgA, "id_a").join(avgB, "id_b")
+      .withColumn("margin",
+        col("cosC") / ((col("avg_a") + col("avg_b")) / lit(2.0)))
+    val wfa = Window.partitionBy(col("id_a"))
+      .orderBy(col("margin").desc, col("id_b"))
+    val wfb = Window.partitionBy(col("id_b"))
+      .orderBy(col("margin").desc, col("id_a"))
+    margined
+      .withColumn("fa", row_number().over(wfa))
+      .withColumn("fb", row_number().over(wfb))
+      .filter(col("fa") === 1 && col("fb") === 1 &&
+        col("margin") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosC").as("cos"),
+        col("margin"))
+  }
 }

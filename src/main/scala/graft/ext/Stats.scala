@@ -658,4 +658,23 @@ object Stats {
     df.groupBy(qids: _*)
       .agg(count(lit(1)).cast("bigint").as("n"))
       .filter(col("n") < k)
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006 — the
+    * standard strengthening of k-anonymity): a quasi-identifier group
+    * can be large yet still leak if every member shares the SAME
+    * sensitive value, so each group must carry at least `l` DISTINCT
+    * sensitive values. Returns the violating groups with their row
+    * count and distinct-sensitive count — the release screen run
+    * alongside [[kAnonymityAudit]] before a table ships as training
+    * data.
+    *
+    * Scale shape: one exact distinct aggregate on the QI key — the
+    * same single-shuffle shape as the k-anonymity audit.
+    */
+  def lDiversityAudit(df: DataFrame, qids: Seq[Column],
+      sensitive: Column, l: Long): DataFrame =
+    df.groupBy(qids: _*)
+      .agg(count(lit(1)).cast("bigint").as("n"),
+        countDistinct(sensitive).cast("bigint").as("n_sensitive"))
+      .filter(col("n_sensitive") < l)
 }

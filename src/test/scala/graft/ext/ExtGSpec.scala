@@ -1,0 +1,127 @@
+package graft.ext
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Round-9 second-wave operators: margin mining, DSIR selection,
+  * shard assignment, l-diversity.
+  */
+class ExtGSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("marginPairs matches a naive reference and suppresses hubs") {
+    val rnd = new Random(7)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    // a hub on side B: highly similar to EVERYTHING on side A (a
+    // centroid-ish vector) — raw-cosine best for several A vectors,
+    // but its k-NN average is also high, so margin demotes it
+    val aRows = (0L until 20L by 2).map(i => (i, vec()))
+    val hub = Seq.fill(8)(0.5f)
+    val bRows = (1L until 20L by 2).map(i => (i, vec())) :+ (99L, hub.toSeq)
+    val a = aRows.toDF("vec_id", "embedding")
+    val b = bRows.toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(a, b, "vec_id", "embedding",
+        k = 3, threshold = 0.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // naive reference
+    def canon(x: Double) =
+      BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val d = x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      val nx = math.sqrt(x.map(p => p.toDouble * p.toDouble).sum)
+      val ny = math.sqrt(y.map(p => p.toDouble * p.toDouble).sum)
+      canon(d / (nx * ny))
+    }
+    val allPairs = for { (ia, va) <- aRows; (ib, vb) <- bRows }
+      yield (ia, ib, cos(va, vb))
+    def avgTop(byKey: Map[Long, Seq[Double]], k: Int): Map[Long, Double] =
+      byKey.map { case (id, cs) =>
+        val top = cs.sorted.reverse.take(k)
+        id -> top.sum / top.size
+      }
+    val avgA = avgTop(allPairs.groupBy(_._1).view
+      .mapValues(_.map(_._3).toSeq).toMap, 3)
+    val avgB = avgTop(allPairs.groupBy(_._2).view
+      .mapValues(_.map(_._3).toSeq).toMap, 3)
+    val margins = allPairs.map { case (ia, ib, c) =>
+      (ia, ib, c / ((avgA(ia) + avgB(ib)) / 2.0))
+    }
+    val bestA = margins.groupBy(_._1).view.mapValues(ps =>
+      ps.maxBy(p => (p._3, -p._2))._2).toMap
+    val bestB = margins.groupBy(_._2).view.mapValues(ps =>
+      ps.maxBy(p => (p._3, -p._1))._1).toMap
+    val naive = margins.collect {
+      case (ia, ib, _) if bestA(ia) == ib && bestB(ib) == ia => (ia, ib)
+    }.toSet
+    assert(naive.nonEmpty, "no mutual-best pairs — not probative")
+    assert(got === naive)
+    // the hub can win at most ONE mutual-best slot by construction
+    assert(got.count(_._2 == 99L) <= 1)
+  }
+
+  test("marginPairsIvf agrees with the exact miner when every bucket is probed") {
+    val rnd = new Random(11)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextGaussian().toFloat)
+    val a = (0L until 30L by 2).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val b = (1L until 30L by 2).map(i => (i, vec())).toDF("vec_id", "embedding")
+    // nprobe = nlist ⇒ every candidate pair exists ⇒ identical output
+    val exact = Similarity.marginPairs(a, b, "vec_id", "embedding",
+      k = 3, threshold = 1.0).collect().toSet
+    val ivf = Similarity.marginPairsIvf(a, b, "vec_id", "embedding",
+      k = 3, threshold = 1.0, nlist = 4, nprobe = 4).collect().toSet
+    assert(exact === ivf)
+  }
+
+  test("dsirSelect upweights target-like documents") {
+    // target docs speak "alpha beta"; half the raw docs mimic them,
+    // the other half speak "gamma delta" — DSIR weights must separate
+    // the mimics from the rest (that IS the method)
+    val docs = ((0L until 10L).map(i => (i, "alpha beta alpha beta alpha", true)) ++
+      (10L until 20L).map(i => (i, "alpha beta alpha beta gamma", false)) ++
+      (20L until 30L).map(i => (i, "gamma delta gamma delta gamma", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val sel = Sampling.dsirSelect(docs, "text", "doc_id", col("is_tgt"),
+      k = 20, buckets = 64)
+    val w = sel.select("doc_id", "weight").as[(Long, Double)]
+      .collect().toMap
+    val mimics = (10L until 20L).map(w)
+    val offs = (20L until 30L).map(w)
+    assert(mimics.min > offs.max,
+      s"target-like docs must outweigh off-domain docs: $w")
+    // target docs never appear in the selection pool
+    assert(!w.keys.exists(_ < 10L))
+  }
+
+  test("shardAssign balances token mass within one max-document") {
+    val rnd = new Random(3)
+    val docs = (0L until 200L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(50))("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Sampling.shardAssign(docs, col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), nShards = 7)
+      .collect()
+    assert(out.length === 7)
+    assert(out.map(_.getAs[Long]("n_docs")).sum === 200L)
+    val sums = out.map(_.getAs[Long]("token_sum"))
+    assert(sums.max - sums.min <= 50L,
+      s"round-robin LPT must balance within one max doc: ${sums.toSeq}")
+    val shares = out.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+  }
+
+  test("lDiversityAudit flags homogeneous groups, passes diverse ones") {
+    val rows = Seq(
+      ("g1", "x", 1L), ("g1", "x", 1L), ("g1", "x", 1L), // 1 distinct
+      ("g2", "x", 1L), ("g2", "x", 2L), ("g2", "x", 3L)) // 3 distinct
+      .toDF("qa", "qb", "sens")
+    val out = Stats.lDiversityAudit(rows, Seq(col("qa"), col("qb")),
+      col("sens"), l = 3).collect()
+    assert(out.length === 1)
+    assert(out(0).getString(0) === "g1")
+    assert(out(0).getAs[Long]("n") === 3L &&
+      out(0).getAs[Long]("n_sensitive") === 1L)
+  }
+}
