@@ -69,4 +69,26 @@ object GeoStream {
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)
     pairs
   }
+
+  /** The readStream runner — [[graft.streaming.DedupStream]]'s
+    * foreachBatch wiring on the proximity modality: each micro-batch's
+    * alerts land in a per-batch output partition (overwrite = replay-
+    * idempotent writes), the batch folds into the aged point state.
+    */
+  def proximityStream(points: org.apache.spark.sql.DataFrame,
+      statePath: String, outPath: String, checkpoint: String,
+      radiusMicro: Long, ageHorizon: Option[Long] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    points.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val alerts = applyBatch(batch, statePath, radiusMicro, ageHorizon)
+          alerts.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          ()
+      }
+      .start()
 }

@@ -40,6 +40,35 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming session windows equal the batch sessions") {
+    // event-time session_window under a watermark: merged sessions in
+    // the stream must equal the one-shot batch sessionization — the
+    // stateful-merge semantics (sessions GROW as events arrive and
+    // only emit once the watermark passes their gap) are exactly what
+    // AvailableNow + complete-mode flushes deterministically
+    val dir = Files.createTempDirectory("sessstream")
+    val src = dir.resolve("src").toString
+    eventsDf.write.parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema)
+      .parquet(src)
+    val agg = EventStream.sessionCounts(
+      stream.withWatermark("ts", "10 minutes"), "5 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("session_test")
+      .outputMode("complete")
+      .option("checkpointLocation", dir.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM session_test")
+    val batch = EventStream.sessionCounts(eventsDf, "5 minutes")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "streamed sessions must equal the batch sessionization")
+  }
+
   test("flatMapGroupsWithState accumulates per-user state across batches") {
     val dir = Files.createTempDirectory("state")
     val src = dir.resolve("src").toString
@@ -440,6 +469,63 @@ class StreamingSpec extends SparkSuite {
     assert(canon.length === canon.toSet.size, "a pair reported twice")
     assert(canon.toSet === full,
       "three-batch streamed pairs must equal the one-shot pair set")
+  }
+
+  test("proximity alert stream: readStream micro-batches, aged state, idempotent output") {
+    import graft.streaming.{GeoStream, StateDir}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("geostream")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    val (state, out, ckpt) = (dir.resolve("state").toString,
+      dir.resolve("out").toString, dir.resolve("ckpt").toString)
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lat_micro",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("lon_micro",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("ts",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(src.toString)
+      val q = GeoStream.proximityStream(stream, state, out, ckpt,
+        radiusMicro = 10000L, ageHorizon = Some(100L))
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+    // batch 1: two nearby points at ts 0 → one batch-internal alert
+    Seq((1L, 40500000L, -73500000L, 0L), (2L, 40500100L, -73500000L, 0L))
+      .toDF("id", "lat_micro", "lon_micro", "ts")
+      .write.mode("append").parquet(src.toString)
+    run()
+    val a1 = spark.read.parquet(out).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(a1 === Set((1L, 2L)), s"batch-1 alerts: $a1")
+    // batch 2 at ts 150: within radius of batch 1's points — but those
+    // are now beyond the horizon (aged out after batch 2's merge they
+    // are dropped; they were still state DURING batch 2's pairing, so
+    // alerts against them fire this one last time)
+    Seq((10L, 40500050L, -73500000L, 150L))
+      .toDF("id", "lat_micro", "lon_micro", "ts")
+      .write.mode("append").parquet(src.toString)
+    run()
+    // batch 3 at ts 300: same spot — batch-1 points are gone from
+    // state, only id 10 remains to alert against
+    Seq((20L, 40500060L, -73500000L, 300L))
+      .toDF("id", "lat_micro", "lon_micro", "ts")
+      .write.mode("append").parquet(src.toString)
+    run()
+    val all = spark.read.parquet(out).select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    assert(all.contains((20L, 10L)) && !all.contains((20L, 1L)) &&
+      !all.contains((20L, 2L)),
+      s"batch-3 must alert only against in-horizon history: $all")
+    val stateIds = StateDir.readPrior(spark, state).get
+      .select("id").as[Long].collect().toSet
+    assert(stateIds === Set(20L), s"state must be horizon-bounded: $stateIds")
   }
 
   test("geo state ages out beyond the alert horizon; retained history still pairs") {
