@@ -873,7 +873,8 @@ object Similarity {
     * margin ≥ threshold.
     */
   def marginPairs(a: DataFrame, b: DataFrame, idCol: String,
-      vecCol: String, k: Int = 4, threshold: Double = 1.0): DataFrame = {
+      vecCol: String, k: Int = 4, threshold: Double = 1.0,
+      release: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensure(a.sparkSession)
     def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
     val ea = a.select(col(idCol).as("id_a"), col(vecCol).as("va"))
@@ -884,7 +885,7 @@ object Similarity {
       .withColumn("cosC",
         canon(dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .select(col("id_a"), col("id_b"), col("cosC"))
-    marginFromCandidates(pairs, k, threshold)
+    marginFromCandidates(pairs, k, threshold, release)
   }
 
   /** IVF-bucketed margin mining — the corpus-scale path: candidates
@@ -898,7 +899,8 @@ object Similarity {
     */
   def marginPairsIvf(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, threshold: Double = 1.0,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4,
+      release: Boolean = true): DataFrame = {
     graft.plans.GraftExtensions.ensure(a.sparkSession)
     def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
     val base = b.select(col(idCol).as("nid"), col(vecCol).as("nv"))
@@ -920,7 +922,7 @@ object Similarity {
       .withColumn("cosC",
         canon(dot(col("qv"), col("nv")) / (col("qn") * col("nn"))))
       .select(col("qid").as("id_a"), col("nid").as("id_b"), col("cosC"))
-    marginFromCandidates(pairs, k, threshold)
+    marginFromCandidates(pairs, k, threshold, release)
   }
 
   /** Shared margin machinery over a candidate (id_a, id_b, cosC) set:
@@ -928,8 +930,13 @@ object Similarity {
     * cosines over each endpoint's top-min(k, n) candidates), the
     * margin ratio, and the mutual-best + threshold filter.
     */
-  private def marginFromCandidates(pairs: DataFrame, k: Int,
-      threshold: Double): DataFrame = {
+  private def marginFromCandidates(pairs0: DataFrame, k: Int,
+      threshold: Double, release: Boolean): DataFrame = {
+    // the candidate set fans out three ways (both k-NN averages + the
+    // margin join) — cache it for the computation, release on return
+    // (eager checkpoint of the small mutual-best result, the curate-v2
+    // lifecycle pattern)
+    val pairs = pairs0.cache()
     val wa = Window.partitionBy(col("id_a"))
       .orderBy(col("cosC").desc, col("id_b"))
     val wb = Window.partitionBy(col("id_b"))
@@ -952,12 +959,20 @@ object Similarity {
       .orderBy(col("margin").desc, col("id_b"))
     val wfb = Window.partitionBy(col("id_b"))
       .orderBy(col("margin").desc, col("id_a"))
-    margined
+    val out0 = margined
       .withColumn("fa", row_number().over(wfa))
       .withColumn("fb", row_number().over(wfb))
       .filter(col("fa") === 1 && col("fb") === 1 &&
         col("margin") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosC").as("cos"),
         col("margin"))
+    // release = false keeps the LAZY plan and hands the cache to the
+    // caller (the plan-gate surface, the diversitySample convention)
+    if (!release) out0
+    else {
+      val out = out0.localCheckpoint(true)
+      pairs.unpersist()
+      out
+    }
   }
 }

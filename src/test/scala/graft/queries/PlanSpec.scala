@@ -357,6 +357,45 @@ class PlanSpec extends SparkSuite {
     assert(!pm.contains("CartesianProduct"), s"mmr went cartesian:\n$pm")
   }
 
+  test("round-9 operators keep their scale shapes") {
+    // IVF margin mining: candidates come from the bucket equi-join;
+    // the only nested-loop joins are the two nlist-row centroid
+    // broadcasts (assignment + probing), each printed once per cache
+    // reference of the fanned-out candidate set — never data×data.
+    // The public face eagerly checkpoints, so the gate inspects the
+    // LAZY plan via release = false
+    val embT = graft.queries.H.t(spark, dir, "embeddings")
+    val pm = graft.ext.Similarity.marginPairsIvf(
+        embT.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+        embT.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, threshold = 1.0, release = false)
+      .queryExecution.executedPlan.toString
+    assert(!pm.contains("CartesianProduct"),
+      s"margin IVF went cartesian:\n$pm")
+    val bnlj = pm.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 6, s"$bnlj nested-loop joins (expected <=6: two " +
+      s"centroid broadcasts x up-to-3 cache-subtree prints):\n$pm")
+    assert(pm.contains("vec_dot"), s"margin IVF lost the kernel:\n$pm")
+    // DSIR: the bucket ratio table joins back BROADCAST (its key space
+    // is `buckets`), the top-k is distributed TakeOrdered, and nothing
+    // data-sized is nested-looped
+    val pd = plan("x_dsir_select")
+    assert(pd.contains("TakeOrderedAndProject"),
+      s"dsir top-k is not TakeOrdered:\n$pd")
+    assert(pd.contains("BroadcastHashJoin"),
+      s"dsir lost the broadcast ratio join:\n$pd")
+    assert(!pd.contains("CartesianProduct"), s"dsir went cartesian:\n$pd")
+    // geodesic radius pairs: same neighbor-cell equi-join discipline
+    // as the planar face — hash join on cell ids, no cartesian, the
+    // single nested-loop is the 9-row offset dimension
+    val pg = plan("x_geo_radius_pairs_geodesic")
+    assert(!pg.contains("CartesianProduct"), s"geodesic went cartesian:\n$pg")
+    assert(pg.contains("BroadcastHashJoin [cx"),
+      s"geodesic lost the cell equi-join:\n$pg")
+    assert(pg.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loops:\n$pg")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
