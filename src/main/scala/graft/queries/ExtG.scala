@@ -132,7 +132,8 @@ object ExtG {
         "vec_id", "embedding", k = 4, threshold = 1.0)
         .orderBy(col("id_a"))
     },
-    Some(s"""WITH ${ivfCandCtes(16, 4)},
+    bench = true,
+    oracle = Some(s"""WITH ${ivfCandCtes(16, 4)},
       ${marginTailCtes(4, "1.0")}
       SELECT id_a, id_b, cos, margin FROM mres ORDER BY id_a"""))
 
