@@ -632,4 +632,52 @@ object Text {
           col("s").cast("double") / col("n_tokens").cast("double"))
           .cast("decimal(20,12)").cast("double").as("token_entropy"))
   }
+
+  /** Mixed-language document segmentation: the token stream is cut
+    * into fixed `window`-token blocks, each block classified by the
+    * [[langId]] marker heuristic, and CONSECUTIVE same-language blocks
+    * merge into segments (gaps-and-islands: block index minus the
+    * per-(doc, lang) rank is constant within an island) — the
+    * curation primitive behind "split this crawl page into its English
+    * body and embedded French quotes" that document-level language ID
+    * by construction cannot express. Integer marker scores make every
+    * block label, island id, and segment boundary SQL-replayable.
+    *
+    * Returns (doc_id, seg_idx, lang, start_token, n_tokens): segments
+    * in stream order, start_token the 0-based offset of the segment's
+    * first token.
+    *
+    * Scale shape: the block explode is ≤ len/window rows per doc
+    * (narrow arithmetic on the token array — the window text never
+    * leaves its row group); islands + segment ranks are per-doc
+    * windows over O(blocks) rows.
+    */
+  def langSegments(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 20): DataFrame = {
+    require(window > 0)
+    import org.apache.spark.sql.expressions.Window
+    val blocks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokens(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0),
+          expr(s"(size(w) - 1) div $window"))).as("b"))
+      .select(col("doc_id"), col("b"),
+        least(size(col("w")) - col("b") * window, lit(window))
+          .cast("bigint").as("btoks"),
+        langId(concat_ws(" ",
+          slice(col("w"), col("b") * window + 1, lit(window)))).as("blang"))
+    val wIsl = Window.partitionBy(col("doc_id"), col("blang"))
+      .orderBy(col("b"))
+    val wSeg = Window.partitionBy(col("doc_id"))
+      .orderBy(col("start_token"))
+    blocks
+      .withColumn("isl", col("b") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("blang").as("lang"), col("isl"))
+      .agg((min(col("b")) * window).cast("bigint").as("start_token"),
+        sum(col("btoks")).cast("bigint").as("n_tokens"))
+      .withColumn("seg_idx", row_number().over(wSeg).cast("bigint"))
+      .select(col("doc_id"), col("seg_idx"), col("lang"),
+        col("start_token"), col("n_tokens"))
+  }
 }

@@ -322,6 +322,57 @@ object ExtG {
       HAVING COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) < 7
       ORDER BY c_nationkey, c_mktsegment"""))
 
+  /** Mixed-language segmentation ([[graft.ext.Text.langSegments]],
+    * 20-token blocks): consecutive same-language blocks merged into
+    * segments via gaps-and-islands — the within-document face of
+    * language ID. The oracle replays block slicing, the integer marker
+    * scores, the island arithmetic, and the segment ranks.
+    */
+  val xTextLangSegments = Q(
+    "x_text_lang_segments",
+    (s, dir) => Text.langSegments(t(s, dir, "documents"), "text",
+        "doc_id", window = 20)
+      .orderBy(col("doc_id"), col("seg_idx")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      blk AS (SELECT doc_id, w,
+          unnest(range(0, ((len(w) - 1) // 20) + 1)) AS b
+        FROM d),
+      bt AS (SELECT doc_id, b,
+          CAST(LEAST(len(w) - b * 20, 20) AS BIGINT) AS btoks,
+          array_to_string(w[b * 20 + 1 : b * 20 + 20], ' ') AS btxt
+        FROM blk),
+      sc AS (SELECT doc_id, b, btoks,
+          len(regexp_extract_all(btxt, '[^\x00-\x7f]'))*10 + 5 AS s_zh,
+          len(list_filter(string_split(btxt,' '),
+            t -> list_contains(['the','a','of','and'], t)))*10 + 4 AS s_en,
+          len(list_filter(string_split(btxt,' '),
+            t -> list_contains(['der','die','das','und'], t)))*10 + 3 AS s_de,
+          len(list_filter(string_split(btxt,' '),
+            t -> list_contains(['le','la','les','et'], t)))*10 + 2 AS s_fr,
+          len(list_filter(string_split(btxt,' '),
+            t -> list_contains(['el','los','las','y'], t)))*10 + 1 AS s_es
+        FROM bt),
+      lab AS (SELECT doc_id, b, btoks,
+          CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+            WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de'
+            WHEN 2 THEN 'fr' ELSE 'es' END AS blang
+        FROM sc),
+      isl AS (SELECT doc_id, blang, btoks, b,
+          b - row_number() OVER (PARTITION BY doc_id, blang ORDER BY b)
+            AS isl
+        FROM lab),
+      seg AS (SELECT doc_id, blang AS lang, isl,
+          CAST(MIN(b) * 20 AS BIGINT) AS start_token,
+          CAST(SUM(btoks) AS BIGINT) AS n_tokens
+        FROM isl GROUP BY 1, 2, 3)
+      SELECT doc_id,
+        CAST(row_number() OVER (PARTITION BY doc_id
+          ORDER BY start_token) AS BIGINT) AS seg_idx,
+        lang, start_token, n_tokens
+      FROM seg ORDER BY doc_id, seg_idx"""))
+
   val queries: Seq[Q] = Seq(xMarginMining, xMarginMiningIvf,
-    xMarginMiningRecall, xDsirSelect, xShardAssign, xLDiversity)
+    xMarginMiningRecall, xDsirSelect, xShardAssign, xLDiversity,
+    xTextLangSegments)
 }

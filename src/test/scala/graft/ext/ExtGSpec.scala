@@ -112,6 +112,27 @@ class ExtGSpec extends SparkSuite {
     assert(math.abs(shares.sum - 1.0) < 1e-9)
   }
 
+  test("langSegments splits a mixed-language document at block boundaries") {
+    val en = Seq.fill(5)("the quick fox of and").mkString(" ") // 25 tokens
+    val de = Seq.fill(4)("der hund und die katze").mkString(" ") // 20
+    val doc = s"$en $de $en" // en(25) + de(20) + en(25) = 70 tokens
+    // with 5-token blocks the language flips exactly at blocks 5 and 9
+    val out = Text.langSegments(
+        Seq((1L, doc)).toDF("doc_id", "text"), "text", "doc_id",
+        window = 5)
+      .orderBy(col("seg_idx"))
+      .select("seg_idx", "lang", "start_token", "n_tokens")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, "en", 0L, 25L), (2L, "de", 25L, 20L),
+      (3L, "en", 45L, 25L)), s"segments: $out")
+    // single-language doc → one segment covering everything
+    val one = Text.langSegments(
+        Seq((2L, en)).toDF("doc_id", "text"), "text", "doc_id",
+        window = 5)
+      .select("lang", "n_tokens").as[(String, Long)].collect().toSeq
+    assert(one === Seq(("en", 25L)))
+  }
+
   test("lDiversityAudit flags homogeneous groups, passes diverse ones") {
     val rows = Seq(
       ("g1", "x", 1L), ("g1", "x", 1L), ("g1", "x", 1L), // 1 distinct
