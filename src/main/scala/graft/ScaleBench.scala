@@ -342,6 +342,25 @@ object ScaleBench {
       }
     }
 
+    // margin mining (round 9): exact-clone replication is again the
+    // hot-bucket worst case — every clone of a B-side vector lands in
+    // the same IVF bucket and ties for the same mutual-best slots.
+    // The IVF face's candidate volume must track probed buckets
+    // (~nprobe/nlist of B per anchor), not |A|x|B|.
+    if (sec("margin")) for (k <- Seq(2, 4, 8)) {
+      val rep = embSc
+        .crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("vec_id") * 64 + col("rep")).as("vec_id"),
+          col("embedding"))
+        .repartition(cpus.toInt)
+      timeShuffle(s"marginPairsIvf x$k (${nEmb * k} vecs)") {
+        graft.ext.Similarity.marginPairsIvf(
+          rep.filter(col("vec_id") % 2 === 0),
+          rep.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, threshold = 1.0).count()
+      }
+    }
+
     // int8 embedding-dedup state (round 9): the SAME batch folded into
     // a float32 state vs an int8-quantized state (scale 127 — the
     // normalized-embedding regime). The claim is the ~4× state-size
