@@ -501,7 +501,9 @@ object Sampling {
     require(k > 0 && buckets > 1)
     def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
     def lnC(c: Column) = canon(log(c.cast("double")))
-    val toks = Text.tokens(col(textCol))
+    // the bucketed gram table fans out five ways (two bucket models,
+    // two gram totals, the per-doc sums) — cache for the computation,
+    // release before returning the (k-row, eagerly-selected) result
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("tgt"),
         explode(expr(
@@ -511,6 +513,7 @@ object Sampling {
           .as("gram"))
       .withColumn("bucket", pmod(Text.fingerprint(col("gram")), lit(buckets)))
       .select(col("doc_id"), col("tgt"), col("bucket"))
+      .cache()
     val tCnt = grams.filter(col("tgt")).groupBy(col("bucket"))
       .agg(count(lit(1)).as("ct"))
     val rCnt = grams.filter(!col("tgt")).groupBy(col("bucket"))
@@ -537,7 +540,7 @@ object Sampling {
     val r = pmod(pmod(col("doc_id"), m) * lit(1103515245L) + lit(12345L), m)
     val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
     val gumbel = -canon(log((-canon(log(u))).cast("double")))
-    perDoc
+    val out = perDoc
       .withColumn("key", col("weight") + gumbel)
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
@@ -545,6 +548,9 @@ object Sampling {
         Window.orderBy(col("key").desc, col("doc_id"))).cast("bigint"))
       .select(col("doc_id"), col("n_grams"), col("weight"), col("key"),
         col("sel_rank"))
+      .localCheckpoint(true)
+    grams.unpersist()
+    out
   }
 
   /** Token-balanced training-shard assignment: documents ranked by

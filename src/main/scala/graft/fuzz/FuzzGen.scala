@@ -148,7 +148,8 @@ object FuzzGen {
     * include peers, which keeps the peer-group sum deterministic.
     */
   final case class FrameShape(pk: Key, ordCol: String, desc: Boolean,
-      ids: Seq[String], frame: String, prec: Int) extends Shape
+      ids: Seq[String], frame: String, prec: Int,
+      sym: Boolean = false) extends Shape
   /** Set operation between two mod-projections of the SAME table under
     * different predicates: UNION ALL keeps bag semantics, INTERSECT /
     * EXCEPT are set-distinct in BOTH engines — the convention under
@@ -234,7 +235,8 @@ object FuzzGen {
       scalarSub: Option[ScalarSub] = None,
       corrSub: Option[CorrSub] = None,
       inSub: Option[InSub] = None,
-      havingSub: Option[(String, String, Pred)] = None) {
+      havingSub: Option[(String, String, Pred)] = None,
+      lateralAgg: Option[CorrSub] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -249,8 +251,19 @@ object FuzzGen {
           s"$lt FULL JOIN $rt ON $lc = $rc"
         case Some((lt, _, _, _)) => lt
       }
-      join2.fold(base) { case (_, rt2, lc2, rc2) =>
+      val base2 = join2.fold(base) { case (_, rt2, lc2, rc2) =>
         s"$base JOIN $rt2 ON $lc2 = $rc2"
+      }
+      // round-9 wave 5: a correlated AGGREGATE subquery in the FROM
+      // clause — comma-LATERAL. Planner-wise this is a LateralJoin in
+      // Spark (a different decorrelation entry than the WHERE-clause
+      // CorrSub); semantically the aggregate subquery always yields
+      // exactly one row (MAX over empty = NULL), so childless parents
+      // survive the lateral and die on the NULL comparison in WHERE.
+      lateralAgg.fold(base2) { la =>
+        s"$base2, LATERAL (SELECT MAX(${la.childCol}) AS mx " +
+          s"FROM ${la.tbl} WHERE ${la.fkChild} = ${la.fkParent} " +
+          s"AND ${la.pred.sql}) lsub"
       }
     }
 
@@ -264,7 +277,8 @@ object FuzzGen {
         case _ => Seq()
       }
       val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
-        corrSub.map(_.sql) ++ inSub.map(_.sql)
+        corrSub.map(_.sql) ++ inSub.map(_.sql) ++
+        lateralAgg.map(la => s"${la.parentCol} ${la.op} lsub.mx")
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
@@ -304,7 +318,7 @@ object FuzzGen {
            |      ORDER BY $winOrd) AS INTEGER) AS rn
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
-      case FrameShape(pk, ordCol, desc, ids, frame, prec) =>
+      case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
         val frameOrd = frame match {
@@ -312,6 +326,7 @@ object FuzzGen {
           case _ => s"$ordCol$dir" // RANGE: single ordering expression
         }
         val frameKw = if (frame == "rows") "ROWS" else "RANGE"
+        val frameEnd = if (sym) s"$prec FOLLOWING" else "CURRENT ROW"
         val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).mkString(", ")
         val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev"))
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
@@ -319,7 +334,7 @@ object FuzzGen {
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(SUM($ordCol) OVER (PARTITION BY ${pk.sqlExpr}
            |      ORDER BY $frameOrd
-           |      $frameKw BETWEEN $prec PRECEDING AND CURRENT ROW) AS BIGINT) AS wsum,
+           |      $frameKw BETWEEN $prec PRECEDING AND $frameEnd) AS BIGINT) AS wsum,
            |    CAST(LAG($ordCol, 1, -1) OVER (PARTITION BY ${pk.sqlExpr}
            |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev
            |  FROM $fromSql$whereSql) t
@@ -378,7 +393,21 @@ object FuzzGen {
         df.join(agg, col(cs.fkParent) === col("_ck"), "left")
           .filter(cond).drop("_ck", "_cmax")
       }
-      val base = inSub.foldLeft(base4) { (df, is) =>
+      val base5 = lateralAgg.foldLeft(base4) { (df, la) =>
+        // identical hand-decorrelation to corrSub: the lateral's
+        // one-row aggregate is a per-fk MAX left-joined back; the WHERE
+        // on a NULL mx drops childless parents
+        val agg = H.t(s, dir, la.tbl).filter(la.pred.df)
+          .groupBy(col(la.fkChild).as("_lk"))
+          .agg(max(col(la.childCol)).as("_lmx"))
+        val cond = la.op match {
+          case "<=" => col(la.parentCol) <= col("_lmx")
+          case _ => col(la.parentCol) >= col("_lmx")
+        }
+        df.join(agg, col(la.fkParent) === col("_lk"), "left")
+          .filter(cond).drop("_lk", "_lmx")
+      }
+      val base = inSub.foldLeft(base5) { (df, is) =>
         val raw = (col(is.childCol) % is.m)
         val iv = is.nullR
           .fold(raw)(r => when(raw === r, lit(null)).otherwise(raw))
@@ -443,15 +472,16 @@ object FuzzGen {
             .filter(col("rn") <= topK)
             .select(outCols: _*)
             .orderBy(outCols: _*)
-        case FrameShape(pk, ordCol, desc, ids, frame, prec) =>
+        case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
           val ordSort = if (desc) col(ordCol).desc else col(ordCol).asc
           val tieSorts = ids.map(col(_).asc)
           val lagWin = Window.partitionBy(col("pk"))
             .orderBy(ordSort +: tieSorts: _*)
+          val frameEnd = if (sym) prec.toLong else 0L
           val sumWin = frame match {
-            case "rows" => lagWin.rowsBetween(-prec, 0)
+            case "rows" => lagWin.rowsBetween(-prec, frameEnd)
             case _ => Window.partitionBy(col("pk")).orderBy(ordSort)
-              .rangeBetween(-prec, 0)
+              .rangeBetween(-prec, frameEnd)
           }
           val outCols = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).map(col)
           base.withColumn("pk", pk.df)
@@ -659,8 +689,31 @@ object FuzzGen {
             pick(rnd4, Seq("=", "<>")))))
       case _ => None
     }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape4,
-      scalarSub, corrSub, inSub, havingSub)
+    // round-9 wave 5 rides a fifth independent stream: symmetric
+    // (PRECEDING..FOLLOWING) ROWS frames and LATERAL aggregate
+    // subqueries in FROM
+    val rnd5 = new Random(seed * 0x27220A95L + 57)
+    val shape5 = shape4 match {
+      case f: FrameShape if f.frame == "rows" && rnd5.nextInt(3) == 0 =>
+        f.copy(sym = true)
+      case other => other
+    }
+    val lateralAgg =
+      // 1/6: LATERAL's NULL-drop on childless parents legitimately
+      // empties cases, and the sweep's >=50/80 non-emptiness floor is
+      // a hard teeth-guard (measured 48/80 at 1/4)
+      if (corrEdges.nonEmpty && rnd5.nextInt(6) == 0) {
+        val (ct, _, cfk, pk2) = pick(rnd5, corrEdges)
+        val child = byName(ct)
+        val k = pick(rnd5, Seq(2, 3, 5))
+        Some(CorrSub(pick(rnd5, intCols), ct,
+          pick(rnd5, child.intCols), pick(rnd5, Seq("<=", ">=", ">=")),
+          cfk, pk2,
+          Pred(pick(rnd5, child.intCols), k, rnd5.nextInt(k),
+            pick(rnd5, Seq("=", "<>")))))
+      } else None
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape5,
+      scalarSub, corrSub, inSub, havingSub, lateralAgg)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -685,7 +738,10 @@ object FuzzGen {
     * scalar-subquery HAVING threshold), 12 (EXISTS + SUM(DISTINCT) +
     * HAVING subquery), 20 (ROW_NUMBER over a UNION ALL set-op + WHERE
     * scalar subquery) — all verified non-empty at the driver SF
-    * (sf0.01).
+    * (sf0.01). Wave 5 (LATERAL aggregate subqueries in FROM +
+    * symmetric PRECEDING..FOLLOWING ROWS frames) is carried by
+    * existing picks 105 (chained-join agg + LATERAL) and 118
+    * (ROWS-sym frame under a positive IN) — both still non-empty.
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 20, 22, 25, 32, 34, 48, 55,
     81, 90, 102, 103, 104, 105, 107, 108, 109, 110, 118, 146, 173, 272)

@@ -14,7 +14,7 @@ object EmptyScan {
     for (seed <- (1 to 80) ++ graft.fuzz.FuzzGen.driverSeeds.filter(_ > 80)) {
       val fc = graft.fuzz.FuzzGen.gen(seed)
       val c = fc.run(spark, dir).count()
-      if (c == 0) println(s"EMPTY seed=$seed having=${fc.havingSub.isDefined} kind=${fc.joinKind} shape=${fc.shape.getClass.getSimpleName}")
+      if (c == 0) println(s"EMPTY seed=$seed having=${fc.havingSub.isDefined} lateral=${fc.lateralAgg.isDefined} kind=${fc.joinKind} shape=${fc.shape.getClass.getSimpleName}")
       else n += 1
     }
     println(s"nonEmpty=$n")

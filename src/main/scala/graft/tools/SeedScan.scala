@@ -7,7 +7,7 @@ object SeedScan {
       val desc = c.shape match {
         case AggShape(_, _, h, g) => s"agg($g${h.fold("")(_ => ",having")})"
         case WinShape(_, _, _, _, _, fn) => s"win($fn)"
-        case FrameShape(_, _, _, _, f, _) => s"frame($f)"
+        case FrameShape(_, _, _, _, f, _, sym) => s"frame($f${if (sym) ",sym" else ""})"
         case SetShape(_, _, op, _, _, rn) => s"set($op${if (rn) ",rn" else ""})"
       }
       val in = c.inSub.fold("")(i =>
@@ -21,7 +21,7 @@ object SeedScan {
         case _ => ""
       }
       val hs = if (c.havingSub.isDefined) "/havsub" else ""
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs $desc")
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs${if (c.lateralAgg.isDefined) "/lateral" else ""} $desc")
     }
   }
 }

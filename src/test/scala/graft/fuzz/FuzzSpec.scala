@@ -52,12 +52,12 @@ class FuzzSpec extends SparkSuite {
       "no window-frame case")
     assert(cases.exists {
       case c => c.shape match {
-        case FuzzGen.FrameShape(_, _, _, _, "rows", _) => true; case _ => false
+        case FuzzGen.FrameShape(_, _, _, _, "rows", _, _) => true; case _ => false
       }
     }, "no ROWS frame case")
     assert(cases.exists {
       case c => c.shape match {
-        case FuzzGen.FrameShape(_, _, _, _, "range", _) => true; case _ => false
+        case FuzzGen.FrameShape(_, _, _, _, "range", _, _) => true; case _ => false
       }
     }, "no RANGE frame case")
     assert(cases.exists {
@@ -103,5 +103,12 @@ class FuzzSpec extends SparkSuite {
     }), "no window-over-set-op case")
     assert(cases.exists(_.havingSub.isDefined),
       "no scalar-subquery-HAVING case")
+    // round-9 wave 5
+    assert(cases.exists(_.lateralAgg.isDefined),
+      "no LATERAL-aggregate case")
+    assert(cases.exists(c => c.shape match {
+      case f: FuzzGen.FrameShape => f.sym
+      case _ => false
+    }), "no symmetric (PRECEDING..FOLLOWING) frame case")
   }
 }
