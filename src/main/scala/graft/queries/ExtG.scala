@@ -220,23 +220,12 @@ object ExtG {
         CAST((SELECT COUNT(*) FROM ivfres i JOIN exres USING (id_a, id_b))
           AS DOUBLE) / (SELECT COUNT(*) FROM exres) AS recall"""))
 
-  /** DSIR importance resampling
-    * ([[graft.ext.Sampling.dsirSelect]], target = sources src0/src1,
-    * 256 hash buckets, k = 50): hashed-bigram log-likelihood-ratio
-    * weights + Gumbel top-k selection. The oracle replays bigram
-    * construction, the rolling-fingerprint bucket hash, both bucket
-    * models with add-1 smoothing (canonicalized lns of exact
-    * integers), the exact-decimal per-doc sums, the LCG-derived Gumbel
-    * noise, and the global rank — every selected doc, weight, and key
-    * adjudicates.
+  /** The DSIR pipeline as reusable CTEs ending in
+    * `keyed(doc_id, n_grams, weight, key)` — shared by the standalone
+    * query and the selection-to-packing capstone.
     */
-  val xDsirSelect = Q(
-    "x_dsir_select",
-    (s, dir) => Sampling.dsirSelect(t(s, dir, "documents"), "text",
-        "doc_id", col("source").isin("src0", "src1"), k = 50,
-        buckets = 256)
-      .orderBy(col("sel_rank")),
-    Some(s"""WITH d AS (SELECT doc_id,
+  private def dsirCtes: String =
+    s"""d AS (SELECT doc_id,
         source IN ('src0', 'src1') AS tgt,
         string_split(text, ' ') AS w FROM documents),
       g AS (SELECT doc_id, tgt,
@@ -270,7 +259,25 @@ object ExtG {
             "ln(-(" + cn("ln(CAST(((doc_id % 2147483648) * 1103515245" +
               " + 12345) % 2147483648 + 1 AS DOUBLE)" +
               " / 2147483649.0)") + "))")}) AS key
-        FROM per)
+        FROM per)"""
+
+  /** DSIR importance resampling
+    * ([[graft.ext.Sampling.dsirSelect]], target = sources src0/src1,
+    * 256 hash buckets, k = 50): hashed-bigram log-likelihood-ratio
+    * weights + Gumbel top-k selection. The oracle replays bigram
+    * construction, the rolling-fingerprint bucket hash, both bucket
+    * models with add-1 smoothing (canonicalized lns of exact
+    * integers), the exact-decimal per-doc sums, the LCG-derived Gumbel
+    * noise, and the global rank — every selected doc, weight, and key
+    * adjudicates.
+    */
+  val xDsirSelect = Q(
+    "x_dsir_select",
+    (s, dir) => Sampling.dsirSelect(t(s, dir, "documents"), "text",
+        "doc_id", col("source").isin("src0", "src1"), k = 50,
+        buckets = 256)
+      .orderBy(col("sel_rank")),
+    Some(s"""WITH $dsirCtes
       SELECT doc_id, n_grams, weight, key,
         CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
           AS sel_rank
@@ -372,7 +379,43 @@ object ExtG {
         lang, start_token, n_tokens
       FROM seg ORDER BY doc_id, seg_idx"""))
 
+  /** Selection-to-packing capstone: the DSIR top-50 feeds the
+    * token-balanced shard dealer — "pick the target-domain-closest
+    * documents, then lay them out in balanced training shards"
+    * composed end to end. The oracle CHAINS the full DSIR replay into
+    * the global-rank shard arithmetic, so a drift anywhere in either
+    * stage cascades into every shard total.
+    */
+  val xPipelineSelectPack = Q(
+    "x_pipeline_select_pack",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sel = Sampling.dsirSelect(docs, "text", "doc_id",
+        col("source").isin("src0", "src1"), k = 50, buckets = 256)
+        .select(col("doc_id"))
+      Sampling.shardAssign(docs.join(sel, "doc_id"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long"), nShards = 4)
+        .orderBy(col("shard"))
+    },
+    Some(s"""WITH $dsirCtes,
+      dsel AS (SELECT doc_id FROM keyed
+        ORDER BY key DESC, doc_id LIMIT 50),
+      dt AS (SELECT d0.doc_id AS id,
+          CAST(len(string_split(d0.text, ' ')) AS BIGINT) AS toks
+        FROM documents d0 JOIN dsel USING (doc_id)),
+      r2 AS (SELECT id, toks,
+          CAST(row_number() OVER (ORDER BY toks DESC, id) AS BIGINT)
+            AS rn FROM dt),
+      ag2 AS (SELECT (rn - 1) % 4 AS shard,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS token_sum
+        FROM r2 GROUP BY 1),
+      tot2 AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM dt)
+      SELECT shard, n_docs, token_sum,
+        CAST(token_sum AS DOUBLE) / CAST(total AS DOUBLE) AS share
+      FROM ag2, tot2 ORDER BY shard"""))
+
   val queries: Seq[Q] = Seq(xMarginMining, xMarginMiningIvf,
     xMarginMiningRecall, xDsirSelect, xShardAssign, xLDiversity,
-    xTextLangSegments)
+    xTextLangSegments, xPipelineSelectPack)
 }
