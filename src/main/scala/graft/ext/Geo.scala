@@ -247,6 +247,13 @@ object Geo {
     * dedicated coarse band — at |lat| ≥ 66° the lon cell is already
     * ≥2.5× the lat cell).
     *
+    * Limitation (deliberate): cells do not WRAP at the antimeridian —
+    * a pair straddling ±180° longitude lands in non-adjacent cells
+    * and is not joined. Production either duplicates a guard band of
+    * width `lonCell` from each side with shifted cell ids, or rotates
+    * the frame so the data avoids the seam; both compose with this
+    * join unchanged.
+    *
     * Returns (id_a, id_b, dist_m) with id_a < id_b.
     */
   def radiusPairsGeodesic(points: DataFrame, radiusMeters: Double,

@@ -497,7 +497,8 @@ object Sampling {
     * sel_rank).
     */
   def dsirSelect(docs: DataFrame, textCol: String, idCol: String,
-      isTarget: Column, k: Int, buckets: Int = 256): DataFrame = {
+      isTarget: Column, k: Int, buckets: Int = 256,
+      release: Boolean = true): DataFrame = {
     require(k > 0 && buckets > 1)
     def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
     def lnC(c: Column) = canon(log(c.cast("double")))
@@ -540,7 +541,7 @@ object Sampling {
     val r = pmod(pmod(col("doc_id"), m) * lit(1103515245L) + lit(12345L), m)
     val u = (r + lit(1L)).cast("double") / (m + lit(1L)).cast("double")
     val gumbel = -canon(log((-canon(log(u))).cast("double")))
-    val out = perDoc
+    val out0 = perDoc
       .withColumn("key", col("weight") + gumbel)
       .orderBy(col("key").desc, col("doc_id"))
       .limit(k)
@@ -548,9 +549,14 @@ object Sampling {
         Window.orderBy(col("key").desc, col("doc_id"))).cast("bigint"))
       .select(col("doc_id"), col("n_grams"), col("weight"), col("key"),
         col("sel_rank"))
-      .localCheckpoint(true)
-    grams.unpersist()
-    out
+    // release = false keeps the lazy plan, cache to the caller (the
+    // plan-gate surface — the diversitySample convention)
+    if (!release) out0
+    else {
+      val out = out0.localCheckpoint(true)
+      grams.unpersist()
+      out
+    }
   }
 
   /** Token-balanced training-shard assignment: documents ranked by

@@ -378,8 +378,13 @@ class PlanSpec extends SparkSuite {
     assert(pm.contains("vec_dot"), s"margin IVF lost the kernel:\n$pm")
     // DSIR: the bucket ratio table joins back BROADCAST (its key space
     // is `buckets`), the top-k is distributed TakeOrdered, and nothing
-    // data-sized is nested-looped
-    val pd = plan("x_dsir_select")
+    // data-sized is nested-looped. The public face eagerly checkpoints
+    // (cache lifecycle), so the gate inspects the LAZY plan
+    val pd = graft.ext.Sampling.dsirSelect(
+        graft.queries.H.t(spark, dir, "documents"), "text", "doc_id",
+        org.apache.spark.sql.functions.col("source")
+          .isin("src0", "src1"), k = 50, buckets = 256, release = false)
+      .queryExecution.executedPlan.toString
     assert(pd.contains("TakeOrderedAndProject"),
       s"dsir top-k is not TakeOrdered:\n$pd")
     assert(pd.contains("BroadcastHashJoin"),
