@@ -975,4 +975,42 @@ object Similarity {
       out
     }
   }
+
+  /** Per-dimension whitening statistics — the standard embedding
+    * post-processing step (mean-centering + per-dimension variance
+    * scaling; the diagonal case of Su et al.'s whitening /
+    * "All-but-the-top" family, public) that repairs anisotropic
+    * embedding spaces before cosine retrieval. Returns one row per
+    * dimension: (pos, n, mean, std). Apply as (x − mean)/std with the
+    * O(dim)-collect-to-literal move [[Quant.quantizeInt8]] uses.
+    *
+    * Determinism: each coordinate is canonicalized to DECIMAL(20,12)
+    * (shortest-string semantics both engines share), squares to
+    * DECIMAL(30,20); sums are exact decimals (order-free); mean/std
+    * assemble from those exact sums in fixed double arithmetic, the
+    * final std canonicalized — every row replays in SQL.
+    *
+    * Scale shape: one posexplode (narrow) + one aggregate whose key
+    * space is `dim` — the [[Quant.calibrate]] shape with power sums.
+    */
+  def whitenStats(emb: DataFrame, vecCol: String): DataFrame = {
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    val cells = emb
+      .select(posexplode(toDoubleVec(col(vecCol))).as(Seq("pos", "x")))
+      .select(col("pos"), col("x").cast("decimal(20,12)").as("xd"))
+      .withColumn("x2",
+        (col("xd").cast("double") * col("xd").cast("double"))
+          .cast("decimal(30,20)"))
+    cells.groupBy(col("pos")).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        sum(col("xd")).cast("decimal(38,12)").as("s"),
+        sum(col("x2")).cast("decimal(38,20)").as("ss"))
+      .select(col("pos"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        canon(sqrt(greatest(lit(0.0),
+          (col("n").cast("double") * col("ss").cast("double") -
+            col("s").cast("double") * col("s").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double")))))
+          .as("std"))
+  }
 }

@@ -415,7 +415,42 @@ object ExtG {
         CAST(token_sum AS DOUBLE) / CAST(total AS DOUBLE) AS share
       FROM ag2, tot2 ORDER BY shard"""))
 
+  /** Per-dimension whitening statistics
+    * ([[graft.ext.Similarity.whitenStats]]) over the embeddings table —
+    * the anisotropy audit + (mean, std) table a whitening projection
+    * consumes; exact-decimal power sums make every mean and std
+    * bit-replayable.
+    */
+  val xEmbedWhitenStats = Q(
+    "x_embed_whiten_stats",
+    (s, dir) => Similarity.whitenStats(t(s, dir, "embeddings"),
+        "embedding")
+      .orderBy(col("pos")),
+    Some(s"""WITH t AS (SELECT
+        unnest(range(len(embedding))) AS pos,
+        unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x
+      FROM embeddings),
+      cells AS (SELECT pos,
+          CAST(CAST(CAST(x AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)
+            AS xdd
+        FROM t),
+      c2 AS (SELECT pos, CAST(xdd AS DECIMAL(20,12)) AS xd,
+          CAST(CAST(CAST(xdd * xdd AS VARCHAR) AS DECIMAL(30,20))
+            AS DECIMAL(30,20)) AS x2
+        FROM cells),
+      g AS (SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(xd) AS DECIMAL(38,12)) AS s,
+          CAST(SUM(x2) AS DECIMAL(38,20)) AS ss
+        FROM c2 GROUP BY 1)
+      SELECT CAST(pos AS INTEGER) AS pos, n,
+        CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        ${cn("sqrt(GREATEST(CAST(0 AS DOUBLE)," +
+          " (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)" +
+          " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))")} AS std
+      FROM g ORDER BY pos"""))
+
   val queries: Seq[Q] = Seq(xMarginMining, xMarginMiningIvf,
     xMarginMiningRecall, xDsirSelect, xShardAssign, xLDiversity,
-    xTextLangSegments, xPipelineSelectPack)
+    xTextLangSegments, xPipelineSelectPack, xEmbedWhitenStats)
 }

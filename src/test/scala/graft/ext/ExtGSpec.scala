@@ -133,6 +133,23 @@ class ExtGSpec extends SparkSuite {
     assert(one === Seq(("en", 25L)))
   }
 
+  test("whitenStats matches hand-computed per-dimension moments") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(3.0f, 10.0f)),
+      (3L, Seq(5.0f, 10.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.whitenStats(vecs, "embedding")
+      .orderBy(col("pos"))
+      .select("pos", "n", "mean", "std")
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    // dim 0: mean 3, population std sqrt(8/3); dim 1: constant → std 0
+    assert(out.map(_._1) === Seq(0, 1) && out.forall(_._2 == 3L))
+    assert(math.abs(out(0)._3 - 3.0) < 1e-9)
+    assert(math.abs(out(0)._4 - math.sqrt(8.0 / 3.0)) < 1e-9)
+    assert(out(1)._3 === 10.0 && out(1)._4 === 0.0)
+  }
+
   test("lDiversityAudit flags homogeneous groups, passes diverse ones") {
     val rows = Seq(
       ("g1", "x", 1L), ("g1", "x", 1L), ("g1", "x", 1L), // 1 distinct
