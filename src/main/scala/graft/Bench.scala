@@ -86,16 +86,23 @@ object Bench {
     val load0 = loadAvg()
     val results = headline.map(q => (q.name, loadAvg(), exec(q.name)))
     val load1 = loadAvg()
+    // stdout line: COMPACT — the driver keeps only the last 2000 chars
+    // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
+    // mid-number when the full-precision line outgrew that window), so
+    // timings here are rounded to 1 ms and the per-query loadavg map
+    // stays file-only; the full-precision payload goes to
+    // target/bench.json, which the driver also collects as a fallback
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qs3 = results.map { case (k, _, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val loads = results.map { case (k, l, _) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"loadavg_at_query":$loads}"""
-    println(json)
-    // the stdout line is very long and the driver's capture has clipped
-    // it (BENCH_r08.json arrived truncated mid-number) — persist the
-    // same payload to a file so the artifact survives stdout buffering
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"full":"target/bench.json"}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

@@ -73,6 +73,11 @@ object Basket {
     * with per-basket fan-out (the [[associationRules]] trade), counts
     * broadcast back, and the top-k is a per-item rank window over
     * pairs with co-count ≥ `minCo` — output-bound.
+    *
+    * r10 decimal-width audit: the Jaccard denominator n_i + n_j − n_ab
+    * is ADDITIVE in row counts (≤ 3·rows « 2⁶³) — unlike the lift
+    * family there is no integer product on this path, so the BIGINT
+    * ride is safe at any corpus size.
     */
   def itemNeighbors(df: DataFrame, txnCol: Column, itemCol: Column,
       minCo: Long, k: Int): DataFrame = {

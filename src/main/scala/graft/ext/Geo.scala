@@ -212,11 +212,28 @@ object Geo {
     (latCell, lonCell)
   }
 
+  /** Number of EQUAL longitude cells on the full 360° ring, each at
+    * least `lonCellMicro` wide: floor(360°/span). Equal widths are
+    * what make the ±180° wrap sound — with a truncating `div` by the
+    * span, the LAST cell before the seam is narrower than the rest,
+    * so two points < span apart could straddle TWO cell boundaries
+    * and the ±1 probe would miss them; dividing the ring into nLon
+    * equal (rational-width ≥ span) cells restores the "adjacent cells
+    * or same cell" guarantee everywhere, including across the seam.
+    */
+  private[ext] def nLonCells(lonCellMicro: Long): Long =
+    if (lonCellMicro >= 360000000L) 1L else 360000000L / lonCellMicro
+
+  // cy = floor((lon + 180°) · nLon / 360°) mod nLon: the ring id in
+  // [0, nLon). The multiply stays exact BIGINT (≤ 3.6e8 · 3.6e8 ≈
+  // 1.3e17 < 2^63); the outer pmod folds lon = +180° (cy = nLon) onto
+  // cy = 0, which IS the same meridian.
   private def cellifyGeo(points: DataFrame, latCell: Long,
-      lonCell: Long): DataFrame =
+      nLon: Long): DataFrame =
     points.select(col("id"), col("lat_micro"), col("lon_micro"),
       expr(s"(lat_micro + 90000000L) div ${latCell}L").as("cx"),
-      expr(s"(lon_micro + 180000000L) div ${lonCell}L").as("cy"))
+      pmod(expr(s"((lon_micro + 180000000L) * ${nLon}L) div 360000000L"),
+        lit(nLon)).as("cy"))
 
   /** Canonicalized haversine distance in meters between micro-degree
     * coordinate pairs. Every step is a fixed sequence of IEEE double
@@ -247,30 +264,37 @@ object Geo {
     * dedicated coarse band — at |lat| ≥ 66° the lon cell is already
     * ≥2.5× the lat cell).
     *
-    * Limitation (deliberate): cells do not WRAP at the antimeridian —
-    * a pair straddling ±180° longitude lands in non-adjacent cells
-    * and is not joined. Production either duplicates a guard band of
-    * width `lonCell` from each side with shifted cell ids, or rotates
-    * the frame so the data avoids the seam; both compose with this
-    * join unchanged.
+    * Longitude cells WRAP at the antimeridian: the ring is divided
+    * into [[nLonCells]] equal cells and probe offsets are taken
+    * modulo that count, so a pair straddling ±180° meets in the
+    * wrapped neighbor cell like any other pair (haversine itself is
+    * periodic — sin(Δλ/2) already measures the short way around).
+    * The probe's wrapped lon offsets are DEDUPLICATED before the
+    * join: at nLon ≤ 2 the −1 and +1 offsets alias the same ring
+    * cell, which would otherwise emit each seam pair twice.
     *
     * Returns (id_a, id_b, dist_m) with id_a < id_b.
     */
   def radiusPairsGeodesic(points: DataFrame, radiusMeters: Double,
       maxAbsLatMicro: Long = 66000000L): DataFrame = {
     val (latCell, lonCell) = geodesicCells(radiusMeters, maxAbsLatMicro)
+    val nLon = nLonCells(lonCell)
     val inBand = points.filter(
       abs(col("lat_micro")) <= lit(maxAbsLatMicro))
-    val offsets = points.sparkSession.range(0, 9)
-      .select(expr("id div 3 - 1").as("dx"), expr("id % 3 - 1").as("dy"))
-    val probe = cellifyGeo(inBand, latCell, lonCell)
+    val dySet = Seq(-1L, 0L, 1L).map(d => ((d % nLon) + nLon) % nLon).distinct
+    val offsets = points.sparkSession.range(0, 3L * dySet.length)
+      .select(expr(s"id div ${dySet.length} - 1").as("dx"),
+        element_at(array(dySet.map(lit): _*),
+          (expr(s"id % ${dySet.length}") + 1).cast("int")).as("dy"))
+    val probe = cellifyGeo(inBand, latCell, nLon)
       .crossJoin(broadcast(offsets))
       .select(col("id").as("id_b"), col("lat_micro").as("lat_b"),
         col("lon_micro").as("lon_b"),
-        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+        (col("cx") + col("dx")).as("cx"),
+        pmod(col("cy") + col("dy"), lit(nLon)).as("cy"))
     val dist = haversineM(col("lat_micro"), col("lon_micro"),
       col("lat_b"), col("lon_b"))
-    cellifyGeo(inBand, latCell, lonCell)
+    cellifyGeo(inBand, latCell, nLon)
       .join(probe, Seq("cx", "cy"))
       .filter(col("id") < col("id_b") && dist <= lit(radiusMeters))
       .select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond the connected-components labeler
@@ -362,18 +362,32 @@ object Graph {
     val joined = ue
       .join(deg.select(col("node").as("src"), col("d").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("d").as("dy")), "dst")
+    // r10 decimal-width audit: dx·dy summed as BIGINT wraps SILENTLY
+    // past 2⁶³ (non-ANSI long arithmetic) — at 10⁹ edges with hub
+    // degrees ~10⁶ the product sum is ~10²¹. The power sums now ride
+    // DECIMAL(19,0)→(38,0) exactly (the DuckDB-HUGEINT twin: its
+    // oracle sums 128-bit and errors loudly); the n·Σxy − ΣxΣy
+    // closed form stays in DECIMAL(38,0) and only the final statistic
+    // drops to double. The displayed sx/sy/sxy keep their BIGINT
+    // contract — past 2⁶³ they null out (detectable) instead of
+    // wrapping, while `assortativity` stays exact.
+    def d19(c: Column) = c.cast("decimal(19,0)")
     val sums = joined.agg(
       count(lit(1)).cast("bigint").as("n"),
-      sum(col("dx")).cast("bigint").as("sx"),
-      sum(col("dy")).cast("bigint").as("sy"),
-      sum(col("dx") * col("dy")).cast("bigint").as("sxy"),
-      sum(col("dx") * col("dx")).cast("bigint").as("sxx"),
-      sum(col("dy") * col("dy")).cast("bigint").as("syy"))
-    val varx = col("n") * col("sxx") - col("sx") * col("sx")
-    val vary = col("n") * col("syy") - col("sy") * col("sy")
-    sums.select(col("n"), col("sx"), col("sy"), col("sxy"),
+      sum(d19(col("dx"))).cast("decimal(38,0)").as("sxd"),
+      sum(d19(col("dy"))).cast("decimal(38,0)").as("syd"),
+      sum(d19(col("dx")) * d19(col("dy"))).cast("decimal(38,0)").as("sxyd"),
+      sum(d19(col("dx")) * d19(col("dx"))).cast("decimal(38,0)").as("sxxd"),
+      sum(d19(col("dy")) * d19(col("dy"))).cast("decimal(38,0)").as("syyd"))
+    val nd = d19(col("n"))
+    val varx = nd * col("sxxd") - col("sxd") * col("sxd")
+    val vary = nd * col("syyd") - col("syd") * col("syd")
+    sums.select(col("n"),
+      col("sxd").cast("bigint").as("sx"),
+      col("syd").cast("bigint").as("sy"),
+      col("sxyd").cast("bigint").as("sxy"),
       when(varx > 0 && vary > 0,
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (nd * col("sxyd") - col("sxd") * col("syd")).cast("double") /
           sqrt(varx.cast("double") * vary.cast("double")))
         .otherwise(lit(null).cast("double")).as("assortativity"))
   }

@@ -121,6 +121,76 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Best-fit-decreasing sequence packing — the whole-document
+    * alternative to [[packSequences]]: documents are NOT split across
+    * training sequences; instead each group's docs are packed into
+    * `seqLen`-capacity bins by the classic BFD heuristic (docs in
+    * (tokens DESC, id) order; each goes to the fitting bin with the
+    * SMALLEST remaining capacity, ties to the lowest bin index; no fit
+    * opens a new bin). BFD trades padding for zero cross-document
+    * splits — the "attention waste" axis concat-and-chunk ignores —
+    * and is within 11/9·OPT + 1 bins of optimal (Johnson's classic
+    * bound, public).
+    *
+    * Oversize docs (tokens > seqLen) cannot be packed whole no matter
+    * the packer: each gets ceil(tokens/seqLen) DEDICATED bins appended
+    * after the group's BFD bins (again (tokens DESC, id) order), so
+    * its splits are the unavoidable minimum and the bin-id space stays
+    * deterministic.
+    *
+    * Determinism: the assignment is a pure function of the sorted doc
+    * list — reproducible across partitionings and replayable step by
+    * step by a recursive-CTE oracle.
+    *
+    * Scale shape: one shuffle on `group`, then a per-group in-memory
+    * BFD at O(n log n) via a TreeSet of (remaining, bin) — the
+    * sequential stream a real packer runs per OUTPUT SHARD. A group
+    * here is a packer shard, not a language: compose with
+    * [[shardAssign]] (deal docs into worker-sized shards first, pack
+    * each shard) so no group outgrows one task — the same contract as
+    * any sort-within-group operator.
+    *
+    * Returns one row per doc: (group, doc_id, toks, bin, n_bins) —
+    * `bin` the doc's first (for oversize: starting) 0-based bin in
+    * the group, `n_bins` how many bins the doc occupies (1 unless
+    * oversize).
+    */
+  def packBestFit(docs: DataFrame, group: Column, id: Column,
+      tokens: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(group.cast("string").as("group"),
+        id.cast("long").as("id"), tokens.cast("long").as("toks"))
+      .as[(String, Long, Long)]
+    base.groupByKey(_._1).flatMapGroups { (g, it) =>
+      val ds = it.toArray.sortBy(d => (-d._3, d._2))
+      val (small, big) = ds.partition(_._3 <= seqLen)
+      // TreeSet of (remaining, binIdx): rangeFrom((t, MinValue)).head
+      // = the fitting bin with least remaining, ties → lowest index
+      val bins = scala.collection.mutable.TreeSet.empty[(Long, Int)]
+      var nBins = 0
+      val packed = small.map { case (_, docId, t) =>
+        val fit = bins.rangeFrom((t, Int.MinValue)).headOption
+        val idx = fit match {
+          case Some(b @ (r, i)) =>
+            bins.remove(b); bins.add((r - t, i)); i
+          case None =>
+            nBins += 1; bins.add((seqLen - t, nBins - 1)); nBins - 1
+        }
+        (g, docId, t, idx.toLong, 1L)
+      }
+      var next = nBins.toLong
+      val over = big.map { case (_, docId, t) =>
+        val n = (t + seqLen - 1) / seqLen
+        val row = (g, docId, t, next, n)
+        next += n
+        row
+      }
+      (packed ++ over).iterator
+    }.toDF("group", "doc_id", "toks", "bin", "n_bins")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006, "A-ES"): each row gets key = ln(u)/w for a uniform
     * u ∈ (0,1); the k largest keys are the sample, and the inclusion
@@ -505,12 +575,19 @@ object Sampling {
     // the bucketed gram table fans out five ways (two bucket models,
     // two gram totals, the per-doc sums) — cache for the computation,
     // release before returning the (k-row, eagerly-selected) result
+    // the >= 2 guard matters: sequence(1, 0) is the DESCENDING array
+    // [1, 0] in Spark (step defaults to -1 when start > stop), so an
+    // unguarded single-token doc would emit two null "bigrams" that
+    // inflate both gram totals and land in a spurious null bucket —
+    // while the oracle's range(1, len(w)) is empty for the same doc
     val grams = docs.select(col(idCol).cast("long").as("doc_id"),
         isTarget.as("tgt"),
         explode(expr(
-          "transform(sequence(1, greatest(size(split(" + textCol +
-            ", ' ')) - 1, 0)), i -> concat(split(" + textCol +
-            ", ' ')[i - 1], ' ', split(" + textCol + ", ' ')[i]))"))
+          "case when size(split(" + textCol + ", ' ')) >= 2 then " +
+            "transform(sequence(1, size(split(" + textCol +
+            ", ' ')) - 1), i -> concat(split(" + textCol +
+            ", ' ')[i - 1], ' ', split(" + textCol + ", ' ')[i])) " +
+            "else array() end"))
           .as("gram"))
       .withColumn("bucket", pmod(Text.fingerprint(col("gram")), lit(buckets)))
       .select(col("doc_id"), col("tgt"), col("bucket"))

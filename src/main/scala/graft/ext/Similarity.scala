@@ -862,7 +862,11 @@ object Similarity {
     * — which suppresses hubs (vectors close to everything score high
     * raw cosine but low margin), then keeps MUTUAL-best pairs above a
     * margin threshold. This exact formulation is the brute-force
-    * baseline; [[marginPairsIvf]] is the bucketed scale path.
+    * baseline; [[marginPairsIvf]] is the bucketed scale path. Like
+    * [[graft.ext.Dedup.embeddingCosinePairs]], the brute face is
+    * OPT-IN (`acceptBroadcastBaseline = true`): it broadcasts the
+    * whole B corpus, which is exactly the wrong shape at the corpus
+    * sizes the operator is named for.
     *
     * Determinism: each cosine is canonicalized to DECIMAL(20,12); the
     * k-NN average sums canonicalized cosines as exact decimals (order-
@@ -874,7 +878,17 @@ object Similarity {
     */
   def marginPairs(a: DataFrame, b: DataFrame, idCol: String,
       vecCol: String, k: Int = 4, threshold: Double = 1.0,
-      release: Boolean = true): DataFrame = {
+      release: Boolean = true,
+      acceptBroadcastBaseline: Boolean = false): DataFrame = {
+    require(acceptBroadcastBaseline,
+      "marginPairs is the exact brute-force BASELINE: it crossJoin-" +
+        "broadcasts the ENTIRE B side to every task, and for bitext " +
+        "mining B is a full other-language corpus — a data-sized " +
+        "broadcast that fails at scale. For production margin mining " +
+        "use marginPairsIvf (bucketed candidates, identical output " +
+        "contract); pass acceptBroadcastBaseline = true only for " +
+        "oracle-anchor or recall-measurement runs where you know B is " +
+        "query-sized.")
     graft.plans.GraftExtensions.ensure(a.sparkSession)
     def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
     val ea = a.select(col(idCol).as("id_a"), col(vecCol).as("va"))
@@ -952,7 +966,16 @@ object Similarity {
       .agg((sum(col("cosC").cast("decimal(20,12)"))
         .cast("decimal(38,12)").cast("double") /
         count(lit(1)).cast("double")).as("avg_b"))
+    // denominator sign guard: in sparse IVF buckets an endpoint's few
+    // candidates can ALL have negative/near-zero cosines, making the
+    // averaged denominator ≤ 0 — where the ratio flips sign (a
+    // strongly anti-correlated pair would score a large POSITIVE
+    // margin) or divides by zero. A non-positive neighborhood average
+    // means there is no meaningful "how much better than your
+    // neighbors" signal, so those candidates are excluded before the
+    // ratio (mirrored in every margin oracle's `mg` CTE)
     val margined = pairs.join(avgA, "id_a").join(avgB, "id_b")
+      .filter(col("avg_a") + col("avg_b") > lit(0.0))
       .withColumn("margin",
         col("cosC") / ((col("avg_a") + col("avg_b")) / lit(2.0)))
     val wfa = Window.partitionBy(col("id_a"))
@@ -1012,5 +1035,53 @@ object Similarity {
             col("s").cast("double") * col("s").cast("double")) /
           (col("n").cast("double") * col("n").cast("double")))))
           .as("std"))
+  }
+
+  /** Apply the [[whitenStats]] transform: each coordinate becomes
+    * (x − mean(pos)) / std(pos) — diagonal whitening, the anisotropy
+    * repair the stats table exists for (hub dimensions with large
+    * variance stop dominating every cosine; near-constant dimensions
+    * stop contributing spurious agreement). A zero-variance dimension
+    * maps to 0.0 exactly: its centered value is 0 for every training
+    * vector, and for unseen vectors a constant dimension carries no
+    * ranking information either.
+    *
+    * `stats` is the (pos, mean, std) table — O(dim) rows — collected
+    * to literal arrays and inlined into one codegen'd `transform`
+    * expression (the [[Quant.quantizeInt8]] collect-to-literal move:
+    * no join, no shuffle, the vectors never leave their partitions).
+    * Each whitened coordinate is canonicalized to DECIMAL(20,12) so
+    * downstream cosine/LSH decisions replay in SQL.
+    *
+    * Returns the input with `whitened` (array<double>) appended.
+    */
+  def whitenApply(emb: DataFrame, vecCol: String,
+      stats: DataFrame): DataFrame = {
+    def canon(c: Column) = c.cast("decimal(20,12)").cast("double")
+    val st = stats.select(col("pos").cast("int"),
+        col("mean").cast("double"), col("std").cast("double"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(st.nonEmpty, "whitenApply: empty stats table")
+    require(st.map(_._1).toSeq == (0 until st.length),
+      "whitenApply: stats must cover positions 0..dim-1 exactly")
+    val means = array(st.map(s => lit(s._2._1)): _*)
+    val stds = array(st.map(s => lit(s._2._2)): _*)
+    val vec = toDoubleVec(col(vecCol))
+    emb.withColumn("whitened",
+      // dim guard at eval time: zip_with pads the shorter side with
+      // nulls, so a vector longer/shorter than the stats table would
+      // otherwise SILENTLY zero-fill its tail — fail loudly instead
+      when(size(vec) =!= lit(st.length),
+        raise_error(concat(lit("whitenApply: vector dim "),
+          size(vec).cast("string"),
+          lit(s" != stats dim ${st.length}"))))
+        .otherwise(zip_with(vec,
+          sequence(lit(0), lit(st.length - 1)),
+          (x, i) => {
+            val sd = element_at(stds, i + 1)
+            when(sd > 0.0, canon((x - element_at(means, i + 1)) / sd))
+              .otherwise(lit(0.0))
+          })))
   }
 }

@@ -86,11 +86,18 @@ object Stats {
       .crossJoin(n1)
       .select((col("r2x") - col("np1")).as("cx"),
         (col("r2y") - col("np1")).as("cy"))
+    // r10 decimal-width audit: cx·cy ≤ 4n² summed over n rows is
+    // ~4n³ — a silent BIGINT wrap from n ≈ 1.3·10⁶ rows(!). The
+    // centered-rank power sums ride DECIMAL(19,0)→(38,0) exact
+    // (safe to n ≈ 10¹¹); only the final ratio drops to double.
     ranked
       .agg(count(lit(1)).cast("bigint").as("n"),
-        sum(col("cx") * col("cy")).as("sxy"),
-        sum(col("cx") * col("cx")).as("sxx"),
-        sum(col("cy") * col("cy")).as("syy"))
+        sum(col("cx").cast("decimal(19,0)") * col("cy").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxy"),
+        sum(col("cx").cast("decimal(19,0)") * col("cx").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("sxx"),
+        sum(col("cy").cast("decimal(19,0)") * col("cy").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("syy"))
       .select(col("n"),
         (col("sxy").cast("double") /
           (sqrt(col("sxx").cast("double")) * sqrt(col("syy").cast("double"))))
@@ -108,6 +115,12 @@ object Stats {
     * the *entities* (O(#groups), not O(#rows)); at extreme entity
     * cardinality the drop-in replacement is a bucketed Lorenz curve
     * over equi-depth bins ([[Bins.equiDepth]]).
+    *
+    * r10 decimal-width audit: no silent BIGINT product here — Σ i·xᵢ
+    * rides DECIMAL(25,2) (bound ~10²³: i ≤ 10⁹ entities × per-entity
+    * sums ≤ 10¹⁴), and past that bound decimal overflow fails LOUDLY
+    * on both engines rather than wrapping; widths stay ≤ 38 so the
+    * DuckDB width-additive multiplies replay.
     */
   def gini(df: DataFrame, entity: Column, measure: Column): DataFrame = {
     val per = df.groupBy(entity.as("e"))
@@ -163,18 +176,29 @@ object Stats {
       k: Int): DataFrame = {
     val w = Window.partitionBy(col("grp")).orderBy(col("day"))
       .rowsBetween(-win, -1)
+    // r10 decimal-width audit: at 10⁹-events/day groups, cnt² and the
+    // cleared-denominator decision terms (n·x − S)² / n·Q − S² reach
+    // ~5·10¹⁹ > 2⁶³ — a silent BIGINT wrap that FLIPS anomaly
+    // decisions. Both the windowed power sum and the decision ride
+    // DECIMAL(19,0)→(38,0) exact; displayed cnt/n_win/s_win keep
+    // their BIGINT contract (additive, safe).
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val devN = (d19(col("n_win")) * d19(col("cnt")) -
+      col("s_win").cast("decimal(38,0)"))
     daily
       .withColumn("n_win", count(lit(1)).over(w))
       .withColumn("s_win", coalesce(sum(col("cnt")).over(w), lit(0L)))
-      .withColumn("q_win", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+      .withColumn("q_win", coalesce(sum(d19(col("cnt")) * d19(col("cnt")))
+        .over(w).cast("decimal(38,0)"), lit(0L).cast("decimal(38,0)")))
       .select(col("grp"), col("day"), col("cnt").cast("bigint").as("cnt"),
         col("n_win").cast("bigint").as("n_win"),
         col("s_win").cast("bigint").as("s_win"),
         (col("n_win") === win &&
-          (col("n_win") * col("cnt") - col("s_win")) *
-            (col("n_win") * col("cnt") - col("s_win")) >
-            lit(k.toLong * k) * (col("n_win") * col("q_win") -
-              col("s_win") * col("s_win"))).as("anomaly"))
+          devN * devN >
+            lit(k.toLong * k).cast("decimal(19,0)") *
+              (d19(col("n_win")) * col("q_win") -
+                col("s_win").cast("decimal(38,0)") *
+                  col("s_win").cast("decimal(38,0)"))).as("anomaly"))
   }
 
   /** Two-sample Kolmogorov–Smirnov statistic between the `valA` and
@@ -620,13 +644,17 @@ object Stats {
       .groupBy(group.as("grp"), date_format(ts, "yyyy-MM-dd").as("day"))
       .agg(count(lit(1)).as("x"))
       .withColumn("dow", dayofweek(to_date(col("day"))).cast("long"))
+    // r10 decimal-width audit: Σx² over 10⁹-events/day counts reaches
+    // 10²² — the quadratic power sum rides DECIMAL(19,0)→(38,0); the
+    // additive n/s sums stay BIGINT (safe).
     val byDow = daily.groupBy(col("grp"), col("dow"))
       .agg(count(lit(1)).as("nd"), sum(col("x")).as("sd"),
-        sum(col("x") * col("x")).as("qd"))
+        sum(col("x").cast("decimal(19,0)") * col("x").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("qd"))
     val tot = byDow.groupBy(col("grp"))
       .agg(sum(col("nd")).cast("bigint").as("n"),
         sum(col("sd")).cast("bigint").as("s"),
-        sum(col("qd")).cast("bigint").as("q"))
+        sum(col("qd")).cast("decimal(38,0)").as("q"))
     val nD = col("n").cast("double")
     val mean = col("s").cast("double") / nD
     // SS_between = Σ_d nd·(mean_d − mean)²; SS_total = Q − n·mean²

@@ -253,6 +253,10 @@ object TimeSeries {
       .agg(count(lit(1)).cast("bigint").as("t"))
       .filter(col("t") > 1)
       .groupBy(col("grp"))
+      // r10 decimal-width audit: t ≤ days-per-group (calendar-bounded
+      // ~10⁵ even for 300-year series), so 2t³ ≤ 2·10¹⁵ « 2⁶³ — the
+      // BIGINT ride is safe by the same bound that keeps varS's
+      // n(n−1)(2n+5) ≤ ~10¹⁶ exact in the double below
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
         .cast("bigint").as("tie_term"))
     val wSlope = Window.partitionBy(col("grp")).orderBy(col("slope"))

@@ -498,6 +498,51 @@ object ExtF {
       SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 1000.0
       ORDER BY id_a, id_b"""))
 
+  /** Antimeridian-straddling geodesic pairs: the synthetic box shifted
+    * onto the ±180° seam (lon ∈ [179.6°, 180°] ∪ (−180°, −179.4°]),
+    * same r = 1 km mining. The engine's ring-wrapped cells must find
+    * every cross-seam pair; the NAIVE oracle needs no special-casing
+    * because haversine's sin(Δλ/2) is periodic — an independent
+    * implementation of the wrap, so a hash hit proves the seam
+    * handling loses no pair and invents none.
+    */
+  val xGeoRadiusPairsAntimeridian = Q(
+    "x_geo_radius_pairs_antimeridian",
+    (s, dir) => {
+      val base = Geo.syntheticPoints(t(s, dir, "customer"), "c_custkey")
+      val shifted = base.select(col("id"), col("lat_micro"),
+        when(col("lon_micro") + lit(253600000L) > lit(180000000L),
+            col("lon_micro") + lit(253600000L) - lit(360000000L))
+          .otherwise(col("lon_micro") + lit(253600000L)).as("lon_micro"))
+      Geo.radiusPairsGeodesic(shifted, radiusMeters = 1000.0,
+          maxAbsLatMicro = 66000000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $geoPtsCte,
+      sp AS (SELECT id, lat,
+          CASE WHEN lon + 253600000 > 180000000
+            THEN lon + 253600000 - 360000000
+            ELSE lon + 253600000 END AS lon
+        FROM pts),
+      rp AS (SELECT id,
+          (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS phi,
+          (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS lam
+        FROM sp),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+          ${cn("sin((a.phi - b.phi) / 2.0)")} AS sdlat,
+          ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
+          ${cn("cos(a.phi)")} AS ca,
+          ${cn("cos(b.phi)")} AS cb
+        FROM rp a JOIN rp b ON a.id < b.id),
+      d AS (SELECT id_a, id_b, 12742000.0 *
+          ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
+            AS dist_m
+        FROM cand)
+      SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 1000.0
+      ORDER BY id_a, id_b"""))
+
   val xGeoIncremental = Q(
     "x_geo_pairs_incremental",
     (s, dir) => {
@@ -936,6 +981,6 @@ object ExtF {
     xSeqPatterns, xSampleNeyman, xAssortativity, xItemNeighbors,
     xMultimodalAudioFeatures,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
-    xGeoRadiusPairsGeodesic,
+    xGeoRadiusPairsGeodesic, xGeoRadiusPairsAntimeridian,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

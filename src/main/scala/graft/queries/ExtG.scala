@@ -39,7 +39,8 @@ object ExtG {
         FROM rb WHERE rb <= $k GROUP BY id_b),
       mg AS (SELECT p.id_a, p.id_b, p.cosc,
           p.cosc / ((avg_a + avg_b) / 2.0) AS margin
-        FROM p JOIN avga USING (id_a) JOIN avgb USING (id_b)),
+        FROM p JOIN avga USING (id_a) JOIN avgb USING (id_b)
+        WHERE (avg_a + avg_b) > 0),
       fa AS (SELECT id_a, id_b, cosc, margin,
           row_number() OVER (PARTITION BY id_a
             ORDER BY margin DESC, id_b) AS fa
@@ -108,7 +109,10 @@ object ExtG {
       Similarity.marginPairs(
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, threshold = 1.0)
+        "vec_id", "embedding", k = 4, threshold = 1.0,
+        // oracle-anchor run on the bounded test corpus — the opt-in
+        // the brute face requires ([[marginPairsIvf]] is production)
+        acceptBroadcastBaseline = true)
         .orderBy(col("id_a"))
     },
     Some(s"""WITH $exactCandCtes,
@@ -150,7 +154,8 @@ object ExtG {
       val a = emb.filter(col("vec_id") % 2 === 0)
       val b = emb.filter(col("vec_id") % 2 === 1)
       val exact = Similarity.marginPairs(a, b, "vec_id", "embedding",
-        k = 4, threshold = 1.0).select(col("id_a"), col("id_b"))
+        k = 4, threshold = 1.0, acceptBroadcastBaseline = true)
+        .select(col("id_a"), col("id_b"))
       val ivf = Similarity.marginPairsIvf(a, b, "vec_id", "embedding",
         k = 4, threshold = 1.0).select(col("id_a"), col("id_b"))
       exact.agg(count(lit(1)).as("n_exact"))
@@ -201,7 +206,8 @@ object ExtG {
         FROM rb2 WHERE rb <= 4 GROUP BY id_b),
       mg2 AS (SELECT p2.id_a, p2.id_b,
           p2.cosc / ((avg_a + avg_b) / 2.0) AS margin
-        FROM p2 JOIN avga2 USING (id_a) JOIN avgb2 USING (id_b)),
+        FROM p2 JOIN avga2 USING (id_a) JOIN avgb2 USING (id_b)
+        WHERE (avg_a + avg_b) > 0),
       fa2 AS (SELECT id_a, id_b, margin,
           row_number() OVER (PARTITION BY id_a
             ORDER BY margin DESC, id_b) AS fa

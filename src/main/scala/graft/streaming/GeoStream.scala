@@ -35,6 +35,11 @@ object GeoStream {
     * the alert horizon can never participate in a new alert, so
     * keeping it only grows the join's history leg. `None` keeps every
     * point (the prior behavior; safe when the feed is bounded).
+    *
+    * State-schema migration: a state directory written before aging
+    * was enabled (no `ts` column) is accepted — its rows get a null
+    * `ts` and age as if first seen in the current batch; and a state
+    * that HAS `ts` keeps it even when a later batch omits the column.
     */
   def applyBatch(batch: DataFrame, statePath: String,
       radiusMicro: Long, ageHorizon: Option[Long] = None): DataFrame = {
@@ -46,8 +51,25 @@ object GeoStream {
       if (hasTs) Seq("id", "lat_micro", "lon_micro", "ts")
       else Seq("id", "lat_micro", "lon_micro")
     val pts = batch.select(keep.map(col): _*)
-    val prior = StateDir.readPrior(spark, statePath)
-      .map(_.select(keep.map(col): _*))
+    // reconcile the PRIOR state's schema to the batch's instead of
+    // blind-selecting the batch columns: a pre-aging state directory
+    // (written without ts) would make select("ts") throw when aging is
+    // enabled later, and a ts-less batch against ts-bearing state
+    // would silently strip ts from the persisted state, permanently
+    // disabling aging. Migration rule: prior rows missing ts get a
+    // null ts (aged as current — see coalesce below); prior ts is
+    // PRESERVED even when the batch lacks the column (batch rows then
+    // carry null ts, also aged as current).
+    val prior0 = StateDir.readPrior(spark, statePath)
+    val keepAll =
+      if (hasTs) keep
+      else Seq("id", "lat_micro", "lon_micro") ++
+        (if (prior0.exists(_.columns.contains("ts"))) Seq("ts") else Nil)
+    def conform(df: DataFrame): DataFrame =
+      df.select(keepAll.map(c =>
+        if (df.columns.contains(c)) col(c)
+        else lit(null).cast("long").as(c)): _*)
+    val prior = prior0.map(conform)
     val pairs = Geo.radiusPairsAgainstHistory(
       pts.select("id", "lat_micro", "lon_micro"),
       prior.getOrElse(pts.limit(0))
@@ -57,13 +79,18 @@ object GeoStream {
                              // incremental-dedup lesson: a lazy plan
                              // read later would see its own batch in
                              // state and double-report)
-    val merged = prior.fold(pts)(p => p.unionByName(pts))
+    val merged = prior.fold(conform(pts))(p => p.unionByName(conform(pts)))
     // age-out AFTER pairing: a point expiring in this batch still
-    // paired against the batch (it was within horizon when it mattered)
+    // paired against the batch (it was within horizon when it mattered).
+    // coalesce(ts, _maxt): a migrated pre-aging state row (null ts) is
+    // aged as if seen NOW — it survives one full horizon from the
+    // batch that enabled aging, then expires unless re-sighted; the
+    // alternative (expire-immediately) would silently drop the whole
+    // migrated history in the first aged batch
     val aged = ageHorizon.fold(merged) { h =>
       merged
         .crossJoin(broadcast(merged.agg(max(col("ts")).as("_maxt"))))
-        .filter(col("ts") >= col("_maxt") - h)
+        .filter(coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
         .drop("_maxt")
     }
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)

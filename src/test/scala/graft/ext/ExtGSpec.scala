@@ -24,7 +24,7 @@ class ExtGSpec extends SparkSuite {
     val a = aRows.toDF("vec_id", "embedding")
     val b = bRows.toDF("vec_id", "embedding")
     val got = Similarity.marginPairs(a, b, "vec_id", "embedding",
-        k = 3, threshold = 0.0)
+        k = 3, threshold = 0.0, acceptBroadcastBaseline = true)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // naive reference
     def canon(x: Double) =
@@ -69,10 +69,34 @@ class ExtGSpec extends SparkSuite {
     val b = (1L until 30L by 2).map(i => (i, vec())).toDF("vec_id", "embedding")
     // nprobe = nlist ⇒ every candidate pair exists ⇒ identical output
     val exact = Similarity.marginPairs(a, b, "vec_id", "embedding",
-      k = 3, threshold = 1.0).collect().toSet
+      k = 3, threshold = 1.0, acceptBroadcastBaseline = true)
+      .collect().toSet
     val ivf = Similarity.marginPairsIvf(a, b, "vec_id", "embedding",
       k = 3, threshold = 1.0, nlist = 4, nprobe = 4).collect().toSet
     assert(exact === ivf)
+  }
+
+  test("marginPairs brute face requires the broadcast opt-in") {
+    val a = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.marginPairs(a, b, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("marginPairsIvf"))
+  }
+
+  test("margin guard drops candidates with a non-positive neighborhood average") {
+    // every B vector is anti-correlated with every A vector, so each
+    // endpoint's k-NN average is NEGATIVE — without the denominator
+    // guard the strongly negative cosines would flip into large
+    // positive margins and be "mined" as mutual-best pairs
+    val a = Seq((0L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(-1f, 0f)), (3L, Seq(-0.9f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.marginPairs(a, b, "vec_id", "embedding",
+      k = 2, threshold = 1.0, acceptBroadcastBaseline = true)
+    assert(got.count() === 0L)
   }
 
   test("dsirSelect upweights target-like documents") {
@@ -93,6 +117,32 @@ class ExtGSpec extends SparkSuite {
       s"target-like docs must outweigh off-domain docs: $w")
     // target docs never appear in the selection pool
     assert(!w.keys.exists(_ < 10L))
+  }
+
+  test("dsirSelect: single-token docs emit no bigrams and distort nothing") {
+    // sequence(1, 0) in Spark is the DESCENDING [1, 0] — before the
+    // >= 2 guard a 1-token doc emitted two null "bigrams", inflating
+    // the nT/nR totals (shifting EVERY doc's smoothed weight) and
+    // populating a null hash bucket the oracle never sees
+    val base = ((0L until 5L).map(i => (i, "alpha beta alpha", true)) ++
+      (10L until 16L).map(i => (i, "alpha beta gamma", false)))
+      .toDF("doc_id", "text", "is_tgt")
+    val withSingles = base.unionByName(Seq(
+        (50L, "lone", false), (51L, "solo", true))
+      .toDF("doc_id", "text", "is_tgt"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirSelect(df, "text", "doc_id", col("is_tgt"),
+          k = 20, buckets = 64)
+        .select("doc_id", "n_grams", "weight")
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    val without = run(base)
+    val wSingle = run(withSingles)
+    // the 1-token raw doc contributes zero grams: it is absent from
+    // the pool, and no other doc's (n_grams, weight) moves
+    assert(!wSingle.contains(50L) && !wSingle.contains(51L))
+    assert(wSingle === without,
+      s"single-token docs must not shift any weight: $wSingle vs $without")
   }
 
   test("shardAssign balances token mass within one max-document") {

@@ -184,6 +184,63 @@ class GeoSpec extends SparkSuite {
     assert(got === naive)
   }
 
+  test("radiusPairsGeodesic wraps the antimeridian at several latitudes") {
+    // points straddling ±180°: lon drawn from [179.9°, 180.1°] and
+    // values past 180° wrapped to (−180°, −179.9°] — before the ring
+    // wrap these landed in cells 0 and nLon−1 (maximally NON-adjacent
+    // ids) and every cross-seam pair was silently missed. The naive
+    // haversine reference needs no special-casing: sin(Δλ/2) is
+    // periodic, sin(359.8°/2) = sin(0.1°).
+    def hav(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      val toRad = math.Pi / 180 / 1e6
+      val sp = math.sin((a._2 - b._2) * toRad / 2)
+      val sl = math.sin((a._3 - b._3) * toRad / 2)
+      2 * Geo.EarthRadiusM * math.asin(math.sqrt(
+        sp * sp + math.cos(a._2 * toRad) * math.cos(b._2 * toRad) * sl * sl))
+    }
+    for ((latBase, seed) <- Seq((0L, 51), (59500000L, 53), (-45500000L, 57))) {
+      val rnd = new Random(seed)
+      val rows = (0L until 200L).map { i =>
+        val lonRaw = 179900000L + rnd.nextInt(200001)
+        val lon = if (lonRaw > 180000000L) lonRaw - 360000000L else lonRaw
+        (i, latBase + rnd.nextInt(400001), lon)
+      }
+      val rM = 3000.0
+      val naive = (for {
+        a <- rows; b <- rows if a._1 < b._1 if hav(a, b) <= rM
+      } yield (a._1, b._1)).toSet
+      val crossSeam = naive.filter { case (ia, ib) =>
+        val la = rows(ia.toInt)._3; val lb = rows(ib.toInt)._3
+        math.abs(la - lb) > 180000000L
+      }
+      assert(crossSeam.nonEmpty, s"lat $latBase: no seam pairs — not probative")
+      val got = Geo.radiusPairsGeodesic(pts(rows: _*), rM,
+          maxAbsLatMicro = 66000000L)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // exclude knife-edge pairs where canonicalization rounding could
+      // flip the ≤ r decision (the high-latitude test's guard band)
+      val boundary = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        d = hav(a, b) if math.abs(d - rM) < 1e-3
+      } yield (a._1, b._1)).toSet
+      assert((got -- boundary) === (naive -- boundary),
+        s"lat $latBase: seam pairs mismatch")
+    }
+  }
+
+  test("radiusPairsGeodesic emits no duplicates when lon offsets alias (tiny ring)") {
+    // a 10000 km radius at a 66° band forces nLon = 2, where the −1
+    // and +1 ring offsets alias the same cell — the offset dedup in
+    // the probe side must keep each pair single
+    val rows = Seq((0L, 100000L, 179990000L), (1L, 200000L, -179990000L),
+      (2L, 0L, 100000000L))
+    val got = Geo.radiusPairsGeodesic(pts(rows: _*), 10000000.0,
+        maxAbsLatMicro = 66000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got.size === got.toSet.size, s"duplicate pairs: $got")
+    assert(got.toSet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+  }
+
   test("geodesicCells: lon cells widen with the band limit, exactly bounded") {
     val (lat1, lon1) = Geo.geodesicCells(1000.0, 1000000L)   // ~equator
     val (lat2, lon2) = Geo.geodesicCells(1000.0, 66000000L)  // 66°

@@ -471,6 +471,86 @@ class StreamingSpec extends SparkSuite {
       "three-batch streamed pairs must equal the one-shot pair set")
   }
 
+  test("geo state migrates between ts-less and ts-bearing schemas") {
+    import graft.streaming.{GeoStream, StateDir}
+    import spark.implicits._
+    val state = Files.createTempDirectory("geomig")
+      .resolve("state").toString
+    // batch 1: pre-aging schema (no ts) seeds the state
+    GeoStream.applyBatch(
+      Seq((1L, 40000000L, -74000000L)).toDF("id", "lat_micro", "lon_micro"),
+      state, 10000L)
+    // batch 2: aging enabled against the ts-less prior — before the
+    // migration this threw AnalysisException on select("ts"); now the
+    // prior rows get a null ts (aged as current) and survive
+    val alerts = GeoStream.applyBatch(
+      Seq((2L, 40001000L, -74000000L, 100L))
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(50L))
+    assert(alerts.select("id_a", "id_b").as[(Long, Long)].collect()
+      .toSet === Set((2L, 1L)), "migrated history must still pair")
+    val st2 = StateDir.readPrior(spark, state).get
+    assert(st2.columns.contains("ts"))
+    assert(st2.count() === 2L, "null-ts migrated row must survive aging")
+    // batch 3: a ts-LESS batch against ts-bearing state must not strip
+    // ts from the persisted state (that would disable aging forever)
+    GeoStream.applyBatch(
+      Seq((3L, 40500000L, -74000000L)).toDF("id", "lat_micro", "lon_micro"),
+      state, 10000L)
+    val st3 = StateDir.readPrior(spark, state).get
+    assert(st3.columns.contains("ts"),
+      "ts column must survive a ts-less batch")
+    assert(st3.count() === 3L)
+  }
+
+  test("incremental shard deal composes across batches and stays balanced") {
+    import graft.streaming.{ShardStream, StateDir}
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val rows = (0L until 400L).map(i => (i, 1L + rnd.nextInt(200)))
+    val state = Files.createTempDirectory("shardstate")
+      .resolve("state").toString
+    val placed = (0 until 4).flatMap { b =>
+      ShardStream.applyBatch(
+        rows.filter(_._1 % 4 == b).toDF("doc_id", "toks"),
+        state, col("doc_id"), col("toks"), nShards = 5)
+        .select("id", "toks", "shard").as[(Long, Long, Long)].collect()
+    }
+    // every doc placed exactly once, nothing moved
+    assert(placed.map(_._1).sorted === rows.map(_._1).toArray)
+    // state totals equal the placements' totals (composition)
+    val st = StateDir.readPrior(spark, state).get
+      .select("shard", "n_docs", "token_sum")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byShard = placed.groupBy(_._3).view
+      .mapValues(ps => (ps.size.toLong, ps.map(_._2).sum)).toMap
+    for ((sh, n, ts) <- st)
+      assert(byShard(sh) === ((n, ts)), s"shard $sh totals drifted")
+    // balance: each batch deals within one doc of B/n per shard and
+    // sends the biggest docs to the emptiest shards — after four
+    // comparable batches the gap stays within ~2 max docs
+    val sums = st.map(_._3)
+    assert(sums.max - sums.min <= 400L,
+      s"shard token gap too wide: ${sums.toSeq}")
+    // determinism: replaying the same batches into a fresh state
+    // yields identical placements
+    val state2 = Files.createTempDirectory("shardstate2")
+      .resolve("state").toString
+    val placed2 = (0 until 4).flatMap { b =>
+      ShardStream.applyBatch(
+        rows.filter(_._1 % 4 == b).toDF("doc_id", "toks"),
+        state2, col("doc_id"), col("toks"), nShards = 5)
+        .select("id", "toks", "shard").as[(Long, Long, Long)].collect()
+    }
+    assert(placed.toSet === placed2.toSet)
+    // a wrong shard count against existing state fails loudly
+    val e = intercept[IllegalArgumentException] {
+      ShardStream.applyBatch(Seq((999L, 5L)).toDF("doc_id", "toks"),
+        state, col("doc_id"), col("toks"), nShards = 3)
+    }
+    assert(e.getMessage.contains("shards"))
+  }
+
   test("proximity alert stream: readStream micro-batches, aged state, idempotent output") {
     import graft.streaming.{GeoStream, StateDir}
     import spark.implicits._
