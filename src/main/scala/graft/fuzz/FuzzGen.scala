@@ -77,9 +77,13 @@ object FuzzGen {
     def sqlExpr: String =
       mod.fold(colName)(m => s"CAST($colName % $m AS BIGINT)")
     def sqlAliased: String = s"$sqlExpr AS $alias"
-    def df: Column =
+    /** Bare expression (no alias) — groupingSets' set lists must match
+      * the grouping columns STRUCTURALLY, and an Alias wrapper defeats
+      * the match (every key came back NULL).
+      */
+    def dfExpr: Column =
       mod.fold(col(colName))(m => (col(colName) % m).cast("bigint"))
-        .as(alias)
+    def df: Column = dfExpr.as(alias)
   }
 
   /** One aggregate: kind ∈ count, sum, min, max, cntd, minstr, plus
@@ -124,9 +128,14 @@ object FuzzGen {
   }
 
   sealed trait Shape
-  /** gmode ∈ plain | rollup | cube — ROLLUP/CUBE subtotal rows carry
-    * NULL keys in both engines (SQL-standard grouping sets); the
-    * NULLS FIRST total order makes them adjudicable.
+  /** gmode ∈ plain | rollup | cube | gsets — ROLLUP/CUBE subtotal rows
+    * carry NULL keys in both engines (SQL-standard grouping sets); the
+    * NULLS FIRST total order makes them adjudicable. "gsets"
+    * (round 10) is an EXPLICIT GROUPING SETS list derived
+    * deterministically from the keys — ((k0,k1),(k0),()) for two keys,
+    * ((k0),()) for one — the partial-subtotal shape ROLLUP/CUBE never
+    * emit (a set list that skips levels), exercising the expand-node
+    * planning path with a hand-picked set lattice.
     */
   final case class AggShape(keys: Seq[Key], aggs: Seq[Agg],
       having: Option[Int], gmode: String) extends Shape
@@ -157,10 +166,16 @@ object FuzzGen {
     * the set-op result — the window-over-set-op composition: tied `v`
     * values receive consecutive rns in some order, but the (v, rn)
     * pair MULTISET is deterministic (equal rows are interchangeable),
-    * which is exactly the property the differential checks.
+    * which is exactly the property the differential checks. `withAgg`
+    * (round 10) instead collapses the set-op result under DISTINCT
+    * aggregates — COUNT(DISTINCT v) + SUM(DISTINCT v) — the
+    * dedup-under-aggregate path fed by a set operation whose own
+    * distinctness convention (bag UNION ALL vs set INTERSECT/EXCEPT)
+    * must NOT leak into the aggregate's dedup.
     */
   final case class SetShape(colName: String, mod: Int, op: String,
-      predA: Pred, predB: Pred, withRn: Boolean = false) extends Shape
+      predA: Pred, predB: Pred, withRn: Boolean = false,
+      withAgg: Boolean = false) extends Shape
 
   /** Uncorrelated scalar subquery in the WHERE clause:
     * `parentCol op (SELECT MAX(childCol) FROM tbl WHERE pred)` —
@@ -228,6 +243,21 @@ object FuzzGen {
     * from the WHERE-clause [[ScalarSub]]; an empty child makes the
     * threshold NULL and drops EVERY group (the convention under test).
     */
+  /** `havingExists` (round 10): a CORRELATED [NOT] EXISTS filtering
+    * the AGGREGATE's output — the HAVING-EXISTS semantics, correlated
+    * on the FIRST grouping key (an int-modulo key, so both sides share
+    * the modulus domain). The literal `HAVING EXISTS` spelling is not
+    * dual-dialect (Spark resolves only the select-list alias there,
+    * which DuckDB rejects inside a correlated HAVING subquery), so the
+    * SQL wraps the grouped query and applies the EXISTS in the outer
+    * WHERE — same plan: the filter-after-aggregate SEMI/ANTI
+    * decorrelation path, distinct from the scalar `havingSub`. The
+    * DataFrame rendering mirrors Catalyst: a distinct child key set
+    * left_semi/left_anti-joined onto the aggregated result.
+    * Grouping-set NULL keys ride the standard convention: a NULL key
+    * never equals anything, so EXISTS drops the subtotal row and NOT
+    * EXISTS keeps it.
+    */
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
       join: Option[(String, String, String, String)], joinKind: String,
       join2: Option[(String, String, String, String)],
@@ -236,7 +266,8 @@ object FuzzGen {
       corrSub: Option[CorrSub] = None,
       inSub: Option[InSub] = None,
       havingSub: Option[(String, String, Pred)] = None,
-      lateralAgg: Option[CorrSub] = None) {
+      lateralAgg: Option[CorrSub] = None,
+      havingExists: Option[(String, String, Boolean, Pred)] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -289,6 +320,12 @@ object FuzzGen {
         val grp = gmode match {
           case "rollup" => s"ROLLUP ($grpList)"
           case "cube" => s"CUBE ($grpList)"
+          case "gsets" =>
+            val sets = (Seq(keys.map(_.sqlExpr)) ++
+              (if (keys.length > 1) Seq(keys.take(1).map(_.sqlExpr))
+               else Seq()) :+ Seq.empty[String])
+              .map(_.mkString("(", ", ", ")"))
+            s"GROUPING SETS (${sets.mkString(", ")})"
           case _ => grpList
         }
         val havConds = having.map(c => s"COUNT(*) > $c").toSeq ++
@@ -299,7 +336,22 @@ object FuzzGen {
           else havConds.mkString(" HAVING ", " AND ", "")
         val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
           .map(a => s"$a ASC NULLS FIRST").mkString(", ")
-        s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav ORDER BY $ord"
+        val core = s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav"
+        // correlated [NOT] EXISTS over the aggregate's output: neither
+        // engine accepts the other's literal HAVING-EXISTS spelling
+        // (Spark demands the select-list alias, which DuckDB forbids in
+        // a correlated HAVING subquery), so the generator emits the
+        // equivalent filter-over-aggregate wrapper BOTH accept — the
+        // plan is the same semi/anti decorrelation above the Aggregate
+        val he = havingExists.collect {
+          case (t, hc, neg, p) if keys.nonEmpty && keys.head.mod.isDefined =>
+            val m = keys.head.mod.get
+            s"${if (neg) "NOT " else ""}EXISTS (SELECT 1 FROM $t " +
+              s"WHERE CAST($hc % $m AS BIGINT) = ${keys.head.alias} " +
+              s"AND ${p.sql})"
+        }
+        he.fold(s"$core ORDER BY $ord")(cond =>
+          s"SELECT * FROM ($core) gouter WHERE $cond ORDER BY $ord")
       case WinShape(pk, ordCol, desc, ids, topK, fn) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
@@ -339,12 +391,16 @@ object FuzzGen {
            |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev
            |  FROM $fromSql$whereSql) t
            |ORDER BY $outerOrd""".stripMargin
-      case SetShape(c, m, op, pa, pb, withRn) =>
+      case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
         val t = fromSql
         val side = (p: Pred) =>
           s"SELECT CAST($c % $m AS BIGINT) AS v FROM $t$whereSql" +
             (if (whereSql.isEmpty) " WHERE " else " AND ") + p.sql
-        if (!withRn)
+        if (withAgg)
+          s"SELECT CAST(COUNT(DISTINCT v) AS BIGINT) AS cd, " +
+            s"CAST(SUM(DISTINCT v) AS BIGINT) AS sd " +
+            s"FROM (${side(pa)} $op ${side(pb)}) u"
+        else if (!withRn)
           s"SELECT v FROM (${side(pa)} $op ${side(pb)}) u ORDER BY v ASC NULLS FIRST"
         else
           s"""SELECT v, rn FROM (
@@ -434,12 +490,26 @@ object FuzzGen {
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
-          val grouped = gmode match {
-            case "rollup" => base.rollup(keys.map(_.df): _*)
-            case "cube" => base.cube(keys.map(_.df): _*)
-            case _ => base.groupBy(keys.map(_.df): _*)
+          val g = gmode match {
+            case "gsets" =>
+              // groupingSets matches set entries to grouping columns
+              // STRUCTURALLY — an Alias wrapper on either side defeats
+              // the match and nulls every key (GsetProbe-verified), so
+              // group on bare expressions and re-alias after the agg
+              val sets: Seq[Seq[Column]] = Seq(keys.map(_.dfExpr)) ++
+                (if (keys.length > 1) Seq(Seq(keys.head.dfExpr)) else Nil) :+
+                Seq.empty[Column]
+              base.groupingSets(sets, keys.map(_.dfExpr): _*)
+                .agg(aggs.head.df, aggs.tail.map(_.df): _*)
+                .toDF((keys.map(_.alias) ++ aggs.map(_.alias)): _*)
+            case _ =>
+              val grouped = gmode match {
+                case "rollup" => base.rollup(keys.map(_.df): _*)
+                case "cube" => base.cube(keys.map(_.df): _*)
+                case _ => base.groupBy(keys.map(_.df): _*)
+              }
+              grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
           }
-          val g = grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
           val cntAlias = aggs.find(_.kind == "count").get.alias
           val h = having.fold(g)(c => g.filter(col(cntAlias) > c))
           // scalar-subquery HAVING threshold: decorrelated by hand the
@@ -452,7 +522,21 @@ object FuzzGen {
               .filter(col(cntAlias) > col("_hs"))
               .drop("_hs")
           }
-          h2.orderBy((keys.map(k => col(k.alias)) ++
+          // correlated HAVING [NOT] EXISTS: semi/anti against the
+          // DISTINCT child key set, joined on the first group key —
+          // the filter-after-aggregate semi-join decorrelation. A NULL
+          // group key (grouping-set subtotal) never matches: semi
+          // drops it, anti keeps it — the convention under test.
+          val h3 = (havingExists, keys.headOption.flatMap(k =>
+            k.mod.map((k, _)))) match {
+            case (Some((t, hc, neg, p)), Some((k0, m))) =>
+              val sub = H.t(s, dir, t).filter(p.df)
+                .select((col(hc) % m).cast("bigint").as("_he")).distinct()
+              h2.join(sub, col(k0.alias) === col("_he"),
+                if (neg) "left_anti" else "left_semi")
+            case _ => h2
+          }
+          h3.orderBy((keys.map(k => col(k.alias)) ++
             aggs.map(a => col(a.alias))): _*)
         case WinShape(pk, ordCol, desc, ids, topK, fn) =>
           val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
@@ -489,7 +573,7 @@ object FuzzGen {
             .withColumn("prev", lag(col(ordCol), 1, -1).over(lagWin).cast("bigint"))
             .select(outCols: _*)
             .orderBy(outCols: _*)
-        case SetShape(c, m, op, pa, pb, withRn) =>
+        case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
           val side = (p: Pred) => base.filter(p.df)
             .select((col(c) % m).cast("bigint").as("v"))
           val combined = op match {
@@ -497,7 +581,10 @@ object FuzzGen {
             case "INTERSECT" => side(pa).intersect(side(pb))
             case "EXCEPT" => side(pa).except(side(pb))
           }
-          if (!withRn) combined.orderBy(col("v"))
+          if (withAgg) combined
+            .agg(countDistinct(col("v")).cast("bigint").as("cd"),
+              sum_distinct(col("v")).cast("bigint").as("sd"))
+          else if (!withRn) combined.orderBy(col("v"))
           else combined
             .withColumn("rn", row_number()
               .over(Window.orderBy(col("v").asc)).cast("int"))
@@ -712,8 +799,32 @@ object FuzzGen {
           Pred(pick(rnd5, child.intCols), k, rnd5.nextInt(k),
             pick(rnd5, Seq("=", "<>")))))
       } else None
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape5,
-      scalarSub, corrSub, inSub, havingSub, lateralAgg)
+    // round-10 wave 6 rides a sixth independent stream (the rnd2..rnd5
+    // rule: layering new grammar must not shift earlier streams):
+    // explicit GROUPING SETS lists, DISTINCT aggregates over set-ops,
+    // and correlated [NOT] EXISTS in HAVING
+    val rnd6 = new Random(seed * 0x165667B1L + 71)
+    val shape6 = shape5 match {
+      case a: AggShape if a.gmode == "plain" && a.keys.nonEmpty &&
+          rnd6.nextInt(3) == 0 =>
+        a.copy(gmode = "gsets")
+      case st: SetShape if !st.withRn && rnd6.nextInt(3) == 0 =>
+        st.copy(withAgg = true)
+      case other => other
+    }
+    val havingExists = shape6 match {
+      case a: AggShape if a.keys.headOption.exists(_.mod.isDefined) &&
+          rnd6.nextInt(3) == 0 =>
+        val tbl = pick(rnd6, tables)
+        val k = pick(rnd6, Seq(2, 3, 5))
+        Some((tbl.name, pick(rnd6, tbl.intCols),
+          rnd6.nextInt(2) == 1,
+          Pred(pick(rnd6, tbl.intCols), k, rnd6.nextInt(k),
+            pick(rnd6, Seq("=", "<>")))))
+      case _ => None
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape6,
+      scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -742,7 +853,17 @@ object FuzzGen {
     * symmetric PRECEDING..FOLLOWING ROWS frames) is carried by
     * existing picks 105 (chained-join agg + LATERAL) and 118
     * (ROWS-sym frame under a positive IN) — both still non-empty.
+    * Round-10 wave 6 additions: 42 (ROLLUP with a correlated EXISTS
+    * over the aggregate + scalar WHERE subquery + CASE aggregate + a
+    * scalar-subquery HAVING threshold, 13 rows), 49 (COUNT/
+    * SUM(DISTINCT) over a UNION ALL whose WHERE carries a
+    * NULLIF-poisoned NOT IN, 1 row), 117 (correlated NOT EXISTS over
+    * a plain agg with a COUNT(*) threshold, 2 rows) — all non-empty
+    * at the driver SF; earlier picks can also gain wave-6 layers on
+    * the independent rnd6 stream (105's agg is now an explicit
+    * GROUPING SETS list).
     */
-  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 20, 22, 25, 32, 34, 48, 55,
-    81, 90, 102, 103, 104, 105, 107, 108, 109, 110, 118, 146, 173, 272)
+  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 20, 22, 25, 32, 34, 42, 48,
+    49, 55, 81, 90, 102, 103, 104, 105, 107, 108, 109, 110, 117, 118,
+    146, 173, 272)
 }

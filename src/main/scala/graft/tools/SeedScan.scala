@@ -8,7 +8,8 @@ object SeedScan {
         case AggShape(_, _, h, g) => s"agg($g${h.fold("")(_ => ",having")})"
         case WinShape(_, _, _, _, _, fn) => s"win($fn)"
         case FrameShape(_, _, _, _, f, _, sym) => s"frame($f${if (sym) ",sym" else ""})"
-        case SetShape(_, _, op, _, _, rn) => s"set($op${if (rn) ",rn" else ""})"
+        case SetShape(_, _, op, _, _, rn, wa) =>
+          s"set($op${if (rn) ",rn" else ""}${if (wa) ",agg" else ""})"
       }
       val in = c.inSub.fold("")(i =>
         s"/in${if (i.neg) "-not" else ""}${if (i.nullR.isDefined) "-null" else ""}")
@@ -21,7 +22,17 @@ object SeedScan {
         case _ => ""
       }
       val hs = if (c.havingSub.isDefined) "/havsub" else ""
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs${if (c.lateralAgg.isDefined) "/lateral" else ""} $desc")
+      val he = c.havingExists.fold("") { case (_, _, neg, _) =>
+        // only substantive when the SQL actually renders it (needs an
+        // int-modulo first key)
+        c.shape match {
+          case AggShape(keys, _, _, _)
+              if keys.headOption.exists(_.mod.isDefined) =>
+            if (neg) "/havnex" else "/havex"
+          case _ => ""
+        }
+      }
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""} $desc")
     }
   }
 }

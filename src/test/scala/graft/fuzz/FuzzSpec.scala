@@ -110,5 +110,29 @@ class FuzzSpec extends SparkSuite {
       case f: FuzzGen.FrameShape => f.sym
       case _ => false
     }), "no symmetric (PRECEDING..FOLLOWING) frame case")
+    // round-10 wave 6
+    assert(cases.exists(c => c.shape match {
+      case FuzzGen.AggShape(_, _, _, "gsets") => true
+      case _ => false
+    }), "no explicit GROUPING SETS case")
+    assert(cases.exists(c => c.shape match {
+      case s: FuzzGen.SetShape => s.withAgg
+      case _ => false
+    }), "no DISTINCT-aggregate-over-set-op case")
+    // havingExists only renders when the first key is an int-modulo
+    // key — the coverage claim must be about RENDERED SQL, not the
+    // latent field
+    assert(cases.exists(c => c.havingExists.exists(_._3 == false) &&
+      (c.shape match {
+        case FuzzGen.AggShape(keys, _, _, _) =>
+          keys.headOption.exists(_.mod.isDefined)
+        case _ => false
+      })), "no correlated EXISTS-in-HAVING case")
+    assert(cases.exists(c => c.havingExists.exists(_._3 == true) &&
+      (c.shape match {
+        case FuzzGen.AggShape(keys, _, _, _) =>
+          keys.headOption.exists(_.mod.isDefined)
+        case _ => false
+      })), "no correlated NOT-EXISTS-in-HAVING case")
   }
 }
