@@ -395,6 +395,38 @@ object ScaleBench {
         f"(survivors $fSurv vs $qSurv)")
     }
 
+    // selection operators (round 10): clone replication again — the
+    // r09 scale-note claims under measurement: dsirSelect's two bucket
+    // models aggregate into a key space of `buckets` (256, broadcast-
+    // sized) so wall time must track the NARROW gram explode (linear
+    // in corpus), never the model size; shardAssign is one range-
+    // partitioned global rank (the exchange IS the cost — everything
+    // after is O(nShards)); langSegments is a narrow per-doc block
+    // explode + per-doc windows; packBestFit (r10) sorts within each
+    // source shard — shuffle is one partition-by-group exchange.
+    if (sec("select")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      timeShuffle(s"dsirSelect x$k (${nDocs * k} docs)") {
+        graft.ext.Sampling.dsirSelect(rep, "text", "doc_id",
+          col("source").isin("src0", "src1"), k = 50,
+          buckets = 256).count()
+      }
+      timeShuffle(s"shardAssign x$k (${nDocs * k} docs)") {
+        graft.ext.Sampling.shardAssign(rep, col("doc_id"),
+          size(split(col("text"), " ")).cast("long"), nShards = 64)
+          .count()
+      }
+      timeShuffle(s"langSegments x$k (${nDocs * k} docs)") {
+        graft.ext.Text.langSegments(rep, "text", "doc_id",
+          window = 20).count()
+      }
+      timeShuffle(s"packBestFit x$k (${nDocs * k} docs)") {
+        graft.ext.Sampling.packBestFit(rep, col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long"), seqLen = 2048)
+          .count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }
