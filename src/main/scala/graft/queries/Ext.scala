@@ -1368,64 +1368,75 @@ object Ext {
     * via popcounts: |a|+|b|−2·a·b on the 0/1 signature lists), and the
     * exact-cosine verify. `lsh` is the final pair set.
     */
-  private val lshReplayCtes: String =
-    """WITH n AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings),
-      e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
-        FROM n),
-      dm AS (SELECT MAX(len(v)) AS dim FROM n),
-      pidx AS (SELECT i, d
+  /** Same block, name-PREFIXED and source-pluggable (round 10): `P`
+    * prefixes every CTE name so two replays (raw + whitened inputs)
+    * can coexist in one WITH; the `${P}n(vec_id, v)` source relation
+    * is supplied by the caller. `lshReplayCtes` keeps the historical
+    * unprefixed embeddings-sourced form byte-compatible for the
+    * existing oracles.
+    */
+  private[queries] def lshReplayTail(P: String): String =
+    s"""${P}e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
+        FROM ${P}n),
+      ${P}dm AS (SELECT MAX(len(v)) AS dim FROM ${P}n),
+      ${P}pidx AS (SELECT i, d
         FROM (SELECT unnest(range(256)) AS i),
-             (SELECT unnest(range((SELECT dim FROM dm))) AS d)),
-      pz0 AS (SELECT i, d,
-          (CAST(7 + i * (SELECT dim FROM dm) + d AS HUGEINT)
+             (SELECT unnest(range((SELECT dim FROM ${P}dm))) AS d)),
+      ${P}pz0 AS (SELECT i, d,
+          (CAST(7 + i * (SELECT dim FROM ${P}dm) + d AS HUGEINT)
             + 11400714819323198485) % 18446744073709551616 AS z
-        FROM pidx),
+        FROM ${P}pidx),
       /* 64x64-bit multiplies mod 2^64 overflow signed INT128, so each
          runs in 32-bit limbs: a*C = ((ah*cl + al*ch mod 2^32)*2^32
          + al*cl) mod 2^64, with C split hi/lo as constants. */
-      px1 AS (SELECT i, d, xor(z, z // 1073741824) AS a FROM pz0),
-      pz1 AS (SELECT i, d,
+      ${P}px1 AS (SELECT i, d, xor(z, z // 1073741824) AS a FROM ${P}pz0),
+      ${P}pz1 AS (SELECT i, d,
           ((((a % 4294967296) * 3210233709
              + (a // 4294967296) * 484763065) % 4294967296) * 4294967296
            + (a % 4294967296) * 484763065) % 18446744073709551616 AS z
-        FROM px1),
-      px2 AS (SELECT i, d, xor(z, z // 134217728) AS a FROM pz1),
-      pz2 AS (SELECT i, d,
+        FROM ${P}px1),
+      ${P}px2 AS (SELECT i, d, xor(z, z // 134217728) AS a FROM ${P}pz1),
+      ${P}pz2 AS (SELECT i, d,
           ((((a % 4294967296) * 2496678331
              + (a // 4294967296) * 321982955) % 4294967296) * 4294967296
            + (a % 4294967296) * 321982955) % 18446744073709551616 AS z
-        FROM px2),
-      pz3 AS (SELECT i, d, xor(z, z // 2147483648) AS z FROM pz2),
-      planes AS (SELECT i,
+        FROM ${P}px2),
+      ${P}pz3 AS (SELECT i, d, xor(z, z // 2147483648) AS z FROM ${P}pz2),
+      ${P}planes AS (SELECT i,
           list(CASE WHEN z >= 9223372036854775808
             THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END
             ORDER BY d) AS p
-        FROM pz3 GROUP BY i),
-      bits AS (SELECT e.id, pl.i,
+        FROM ${P}pz3 GROUP BY i),
+      ${P}bits AS (SELECT e.id, pl.i,
           CASE WHEN list_dot_product(e.v, pl.p) >= 0 THEN 1 ELSE 0 END AS b
-        FROM e CROSS JOIN planes pl),
-      bands AS (SELECT id, i // 8 AS band,
+        FROM ${P}e e CROSS JOIN ${P}planes pl),
+      ${P}bands AS (SELECT id, i // 8 AS band,
           SUM(b * (1 << CAST(i % 8 AS INTEGER))) AS bucket
-        FROM bits GROUP BY id, band),
-      sig AS (SELECT id, list(CAST(b AS DOUBLE) ORDER BY i) AS s,
-          CAST(SUM(b) AS BIGINT) AS pc FROM bits GROUP BY id),
-      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM bands a JOIN bands b
+        FROM ${P}bits GROUP BY id, band),
+      ${P}sig AS (SELECT id, list(CAST(b AS DOUBLE) ORDER BY i) AS s,
+          CAST(SUM(b) AS BIGINT) AS pc FROM ${P}bits GROUP BY id),
+      ${P}cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM ${P}bands a JOIN ${P}bands b
           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-      hm AS (SELECT CEIL(256 * (acos(0.45) / pi()) +
+      ${P}hm AS (SELECT CEIL(256 * (acos(0.45) / pi()) +
           4 * sqrt(256 * (acos(0.45) / pi()) * (1 - acos(0.45) / pi())))
           AS hmax),
-      ham AS (SELECT c.id_a, c.id_b,
+      ${P}ham AS (SELECT c.id_a, c.id_b,
           sa.pc + sb.pc - 2 * CAST(list_dot_product(sa.s, sb.s) AS BIGINT)
             AS hd
-        FROM cand c JOIN sig sa ON sa.id = c.id_a
-          JOIN sig sb ON sb.id = c.id_b),
-      lsh AS (SELECT h.id_a, h.id_b
-        FROM ham h JOIN e a ON a.id = h.id_a JOIN e b ON b.id = h.id_b, hm
+        FROM ${P}cand c JOIN ${P}sig sa ON sa.id = c.id_a
+          JOIN ${P}sig sb ON sb.id = c.id_b),
+      ${P}lsh AS (SELECT h.id_a, h.id_b
+        FROM ${P}ham h JOIN ${P}e a ON a.id = h.id_a
+          JOIN ${P}e b ON b.id = h.id_b, ${P}hm hm
         WHERE h.hd <= hm.hmax
           AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45)"""
+
+  private val lshReplayCtes: String =
+    s"""WITH n AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ${lshReplayTail("")}"""
 
   /** Hyperplane-LSH cosine near-dup — the bucketed scale path for
     * x_dedup_embedding. Since round 7 the ±1 LCG hyperplanes make the

@@ -83,6 +83,20 @@ object ExtH {
     * Both pipelines replay in SQL: cosines canonicalized to
     * DECIMAL(20,12), ranks broken by neighbor id.
     */
+  /** The whitened-vector relation as CTEs ending in `wl(id, v)` —
+    * the stats chain replayed into per-vector whitened coordinate
+    * lists; shared by the recall twin and the whitened-LSH replays.
+    */
+  private val whitenedVecCtes: String =
+    s"""$whitenCtes,
+      wv AS (SELECT t0.vec_id, t0.pos,
+          CASE WHEN wst.std > 0
+            THEN ${cn("(t0.x - wst.mean) / wst.std")}
+            ELSE CAST(0.0 AS DOUBLE) END AS w
+        FROM t0 JOIN wst ON t0.pos = wst.pos),
+      wl AS (SELECT vec_id AS id, list(w ORDER BY pos) AS v FROM wv
+        GROUP BY 1)"""
+
   val xEmbedWhitenRecall = Q(
     "x_embed_whiten_recall",
     (s, dir) => {
@@ -116,15 +130,8 @@ object ExtH {
           (col("n_same_top1").cast("double") /
             col("n_vecs").cast("double")).as("agreement"))
     },
-    Some(s"""WITH $whitenCtes,
-      wv AS (SELECT t0.vec_id, t0.pos,
-          CASE WHEN wst.std > 0
-            THEN ${cn("(t0.x - wst.mean) / wst.std")}
-            ELSE CAST(0.0 AS DOUBLE) END AS w
-        FROM t0 JOIN wst ON t0.pos = wst.pos),
-      wl AS (SELECT vec_id AS id, list(w ORDER BY pos) AS v FROM wv
-        GROUP BY 1),
-      we AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM wl),
+    Some(s"""WITH $whitenedVecCtes,
+      wte AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM wl),
       rl AS (SELECT vec_id AS id,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         FROM embeddings),
@@ -140,7 +147,7 @@ object ExtH {
             row_number() OVER (PARTITION BY a.id ORDER BY
               ${cn("list_dot_product(a.v, b.v) / (a.nrm * b.nrm)")}
                 DESC, b.id) AS rk
-          FROM we a JOIN we b ON a.id <> b.id) WHERE rk = 1)
+          FROM wte a JOIN wte b ON a.id <> b.id) WHERE rk = 1)
       SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
         CAST(SUM(CASE WHEN rt.nid = wt.nid THEN 1 ELSE 0 END) AS BIGINT)
           AS n_same_top1,
@@ -192,7 +199,8 @@ object ExtH {
           col("n_splits_chunk"))
         .orderBy(col("grp"), col("doc_id"))
     },
-    Some(packBestFitOracle(64)))
+    bench = true,
+    oracle = Some(packBestFitOracle(64)))
 
   /** The recursive-CTE BFD replay: `st` steps each group's
     * remaining-capacity list one (tokens DESC, id)-ordered doc at a
@@ -270,6 +278,86 @@ object ExtH {
       ORDER BY a.grp, a.doc_id"""
   }
 
+  /** Hyperplane-LSH near-dup over WHITENED vectors — the anisotropy
+    * repair actually driving the dedup decision (the SemDeDup/SimCSE
+    * motivation for computing the stats at all): whitenApply's output
+    * is cast to float32 (the LSH kernel's input type; DuckDB mirrors
+    * with CAST(... AS REAL)) and fed through the UNCHANGED
+    * [[graft.ext.Similarity.cosineLshPairs]] pipeline. The oracle
+    * chains the full whitening replay into the full splitmix64-plane
+    * LSH replay — stats → transform → planes → signatures → bands →
+    * Hamming prefilter → exact-cosine verify, every surviving pair
+    * adjudicated end to end.
+    */
+  val xDedupEmbeddingWhitened = Q(
+    "x_dedup_embedding_whitened",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = Similarity.whitenApply(emb, "embedding",
+          Similarity.whitenStats(emb, "embedding"))
+        .select(col("vec_id"),
+          col("whitened").cast("array<float>").as("embedding"))
+      Similarity.cosineLshPairs(wh, "vec_id", "embedding",
+          threshold = 0.45)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $whitenedVecCtes,
+      n AS (SELECT id AS vec_id,
+          list_transform(v, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS v
+        FROM wl),
+      ${Ext.lshReplayTail("")}
+      SELECT id_a, id_b FROM lsh ORDER BY id_a, id_b"""))
+
+  /** Raw-vs-whitened LSH survivor comparison — the decision-impact
+    * summary for the dedup face: both full pipelines run and the one
+    * output row carries the pair counts and their Jaccard overlap.
+    * The oracle runs BOTH complete replays side by side (the
+    * name-prefixed [[Ext.lshReplayTail]] lets two plane/signature/
+    * band/verify chains share one WITH), so a drift in either
+    * pipeline, or in the whitening feeding the second, shifts the
+    * adjudicated counts.
+    */
+  val xDedupEmbeddingWhitenedDiff = Q(
+    "x_dedup_embedding_whitened_diff",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val wh = Similarity.whitenApply(emb, "embedding",
+          Similarity.whitenStats(emb, "embedding"))
+        .select(col("vec_id"),
+          col("whitened").cast("array<float>").as("embedding"))
+      val raw = Similarity.cosineLshPairs(emb, "vec_id", "embedding",
+        threshold = 0.45)
+      val whp = Similarity.cosineLshPairs(wh, "vec_id", "embedding",
+        threshold = 0.45)
+      raw.agg(count(lit(1)).cast("bigint").as("n_raw"))
+        .crossJoin(whp.agg(count(lit(1)).cast("bigint").as("n_whitened")))
+        .crossJoin(raw.join(whp, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).cast("bigint").as("n_common")))
+        .select(col("n_raw"), col("n_whitened"), col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_raw") + col("n_whitened") - col("n_common"))
+              .cast("double")).as("jaccard"))
+    },
+    Some(s"""WITH $whitenedVecCtes,
+      rn AS (SELECT vec_id,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings),
+      ${Ext.lshReplayTail("r")},
+      wn AS (SELECT id AS vec_id,
+          list_transform(v, x -> CAST(CAST(x AS REAL) AS DOUBLE)) AS v
+        FROM wl),
+      ${Ext.lshReplayTail("w")},
+      cmn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM rlsh JOIN wlsh USING (id_a, id_b))
+      SELECT
+        CAST((SELECT COUNT(*) FROM rlsh) AS BIGINT) AS n_raw,
+        CAST((SELECT COUNT(*) FROM wlsh) AS BIGINT) AS n_whitened,
+        n_common,
+        CAST(n_common AS DOUBLE) /
+          CAST((SELECT COUNT(*) FROM rlsh)
+            + (SELECT COUNT(*) FROM wlsh) - n_common AS DOUBLE) AS jaccard
+      FROM cmn"""))
+
   /** One oracle batch step of the incremental shard deal: from state
     * `s{b}` (shard, n, ts), rank batch `doc_id % 3 = b` docs
     * (toks DESC, id), deal rank r to the shard at load-order position
@@ -337,5 +425,6 @@ object ExtH {
       FROM s3 ORDER BY shard"""))
 
   val queries: Seq[Q] = Seq(xEmbedWhitenApply, xEmbedWhitenRecall,
+    xDedupEmbeddingWhitened, xDedupEmbeddingWhitenedDiff,
     xPackBestFit, xShardAssignIncremental)
 }

@@ -401,6 +401,40 @@ class PlanSpec extends SparkSuite {
       s"unexpected nested-loops:\n$pg")
   }
 
+  test("round-10 operators keep their scale shapes") {
+    import org.apache.spark.sql.functions.{col, size, split}
+    // antimeridian face: wrapping the ring must not cost the equi-join
+    // shape — hash join on cell ids, no cartesian, the single
+    // nested-loop is the ≤9-row offset dimension
+    val pa = plan("x_geo_radius_pairs_antimeridian")
+    assert(!pa.contains("CartesianProduct"),
+      s"antimeridian went cartesian:\n$pa")
+    assert(pa.contains("BroadcastHashJoin [cx"),
+      s"antimeridian lost the cell equi-join:\n$pa")
+    assert(pa.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loops:\n$pa")
+    // whitenApply: the transform is collect-to-literal — the applied
+    // plan must be a pure narrow map (no exchange, no join; the only
+    // shuffle-bearing piece is the separate stats AGGREGATE)
+    val embT = graft.queries.H.t(spark, dir, "embeddings")
+    val stats = graft.ext.Similarity.whitenStats(embT, "embedding")
+    val pw = graft.ext.Similarity.whitenApply(embT, "embedding", stats)
+      .queryExecution.executedPlan.toString
+    assert(!pw.contains("Exchange") && !pw.contains("Join"),
+      s"whitenApply is not a narrow map:\n$pw")
+    // packBestFit: exactly the one partition-by-group exchange feeding
+    // the per-group sequential packer — no join, no extra shuffle
+    val pp = graft.ext.Sampling.packBestFit(
+        graft.queries.H.t(spark, dir, "documents"),
+        col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), seqLen = 64)
+      .queryExecution.executedPlan.toString
+    assert(pp.contains("MapGroups"), s"packer lost its group stream:\n$pp")
+    assert(pp.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"packer shuffles more than the group exchange:\n$pp")
+    assert(!pp.contains("Join"), s"packer grew a join:\n$pp")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
