@@ -650,14 +650,28 @@ object Sampling {
     * [[graft.ext.Rank.globalRowNumber]]) — then an O(nShards)
     * aggregate.
     */
+  /** Per-document face of [[shardAssign]]: the same deterministic
+    * (tokens DESC, id)-ranked round-robin deal, returning each doc's
+    * placement (id, toks, shard) instead of the per-shard totals —
+    * the form downstream per-shard operators ([[packBestFit]], the
+    * writer) compose with.
+    */
+  def shardAssignDocs(docs: DataFrame, id: Column, tokens: Column,
+      nShards: Int): DataFrame = {
+    require(nShards > 0)
+    val base = docs.select(id.cast("long").as("id"),
+      tokens.cast("long").as("toks"))
+    Rank.globalRowNumber(base, Seq(col("toks").desc, col("id").asc))
+      .withColumn("shard", pmod(col("rn") - 1, lit(nShards.toLong)))
+      .select(col("id"), col("toks"), col("shard"))
+  }
+
   def shardAssign(docs: DataFrame, id: Column, tokens: Column,
       nShards: Int): DataFrame = {
     require(nShards > 0)
     val base = docs.select(id.cast("long").as("id"),
       tokens.cast("long").as("toks"))
-    val ranked = Rank.globalRowNumber(base, Seq(col("toks").desc, col("id").asc))
-    ranked
-      .withColumn("shard", pmod(col("rn") - 1, lit(nShards.toLong)))
+    shardAssignDocs(docs, id, tokens, nShards)
       .groupBy(col("shard"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(col("toks")).cast("bigint").as("token_sum"))

@@ -209,12 +209,16 @@ object ExtH {
     * the engine assigns is re-derived by an independent sequential
     * implementation.
     */
-  private def packBestFitOracle(S: Long): String = {
+  /** The BFD replay core: from a caller-supplied `d(grp, doc_id,
+    * toks)` CTE to `asg(grp, doc_id, toks, bin, n_bins)` + `summ`
+    * (per-group bins/tokens/splits) — shared by the standalone packing
+    * query (which adds the chunk-baseline comparison) and the
+    * shard-then-pack capstone (which chains the deal replay in as
+    * `d`).
+    */
+  private def packBfdCoreCtes(S: Long, dCte: String): String = {
     val fits = "list_min(list_filter(st.rem, x -> x >= s.toks))"
-    s"""WITH RECURSIVE d AS (
-      SELECT source AS grp, doc_id,
-        CAST(len(string_split(text,' ')) AS BIGINT) AS toks
-      FROM documents),
+    s"""$dCte,
       small AS (SELECT grp, doc_id, toks,
           CAST(row_number() OVER (PARTITION BY grp
             ORDER BY toks DESC, doc_id) AS INTEGER) AS rn
@@ -257,7 +261,15 @@ object ExtH {
           CAST(MAX(bin + n_bins) AS BIGINT) AS n_bins_bfd,
           CAST(SUM(toks) AS BIGINT) AS grp_toks,
           CAST(SUM(n_bins - 1) AS BIGINT) AS n_splits_bfd
-        FROM asg GROUP BY 1),
+        FROM asg GROUP BY 1)"""
+  }
+
+  private def packBestFitOracle(S: Long): String = {
+    val dCte = """d AS (
+      SELECT source AS grp, doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS toks
+      FROM documents)"""
+    s"""WITH RECURSIVE ${packBfdCoreCtes(S, dCte)},
       ch AS (SELECT grp, toks,
           SUM(toks) OVER (PARTITION BY grp ORDER BY toks DESC, doc_id
             ROWS UNBOUNDED PRECEDING) AS cum
@@ -424,7 +436,58 @@ object ExtH {
           AS share
       FROM s3 ORDER BY shard"""))
 
+  /** Shard-then-pack capstone: the documents corpus dealt into 4
+    * token-balanced shards ([[graft.ext.Sampling.shardAssignDocs]] —
+    * the per-doc face), then EACH SHARD packed whole-document by BFD
+    * ([[graft.ext.Sampling.packBestFit]], seqLen 64) — "lay the corpus
+    * out in balanced shards, then pack each shard's sequences" composed
+    * end to end, the layout a continuously-ingesting training pipeline
+    * ships ([[graft.streaming.ShardStream]] is the same deal rule per
+    * batch). The oracle CHAINS the global-rank deal replay into the
+    * per-shard recursive-CTE BFD replay, so a drift in either stage
+    * cascades into every bin id and shard total it adjudicates.
+    */
+  val xPipelinePackShards = Q(
+    "x_pipeline_pack_shards",
+    (s, dir) => {
+      val S = 64L
+      val docs = t(s, dir, "documents")
+      val dealt = Sampling.shardAssignDocs(docs, col("doc_id"),
+        size(split(col("text"), " ")).cast("long"), nShards = 4)
+      val asg = Sampling.packBestFit(dealt, col("shard"), col("id"),
+          col("toks"), seqLen = S)
+        .withColumnRenamed("group", "grp")
+      val summ = asg.groupBy("grp").agg(
+        max(col("bin") + col("n_bins")).cast("bigint").as("n_bins_bfd"),
+        sum(col("toks")).cast("bigint").as("grp_toks"),
+        sum(col("n_bins") - 1).cast("bigint").as("n_splits_bfd"))
+      asg.join(summ, "grp")
+        .select(col("grp"), col("doc_id"), col("toks"), col("bin"),
+          col("n_bins"), col("n_bins_bfd"),
+          (col("n_bins_bfd") * S - col("grp_toks")).cast("bigint")
+            .as("padding_bfd"),
+          col("n_splits_bfd"))
+        .orderBy(col("grp"), col("doc_id"))
+    },
+    Some {
+      val dealCte = """d AS (SELECT CAST(shard AS VARCHAR) AS grp,
+          id AS doc_id, toks
+        FROM (SELECT doc_id AS id, toks,
+            (CAST(row_number() OVER (ORDER BY toks DESC, doc_id)
+              AS BIGINT) - 1) % 4 AS shard
+          FROM (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+            FROM documents)))"""
+      s"""WITH RECURSIVE ${packBfdCoreCtes(64, dealCte)}
+      SELECT a.grp, a.doc_id, a.toks, a.bin, a.n_bins,
+        s.n_bins_bfd,
+        CAST(s.n_bins_bfd * 64 - s.grp_toks AS BIGINT) AS padding_bfd,
+        s.n_splits_bfd
+      FROM asg a JOIN summ s ON s.grp = a.grp
+      ORDER BY a.grp, a.doc_id"""
+    })
+
   val queries: Seq[Q] = Seq(xEmbedWhitenApply, xEmbedWhitenRecall,
     xDedupEmbeddingWhitened, xDedupEmbeddingWhitenedDiff,
-    xPackBestFit, xShardAssignIncremental)
+    xPackBestFit, xShardAssignIncremental, xPipelinePackShards)
 }
