@@ -487,7 +487,112 @@ object ExtH {
       ORDER BY a.grp, a.doc_id"""
     })
 
+  /** One oracle batch step of the incremental packer: batch `bt = b`
+    * docs continue the BFD from `fin{b−1}`'s remaining-capacity list
+    * (list positions ARE bin ids — full and dedicated bins stay as
+    * zero entries so the id space never shifts); small docs step the
+    * recursive state, oversize docs take dedicated trailing ids, and
+    * the batch's final list (with dedicated zeros appended) seeds the
+    * next batch.
+    */
+  private def packBatchCtes(b: Int, S: Long): String = {
+    val fits = "list_min(list_filter(st.rem, x -> x >= s.toks))"
+    val seed =
+      if (b == 0) "SELECT grp, CAST([] AS BIGINT[]) AS rem FROM grps"
+      else s"SELECT grp, rem FROM fin${b - 1}"
+    s"""small$b AS (SELECT grp, doc_id, toks,
+        CAST(row_number() OVER (PARTITION BY grp
+          ORDER BY toks DESC, doc_id) AS INTEGER) AS rn
+      FROM d WHERE bt = $b AND toks <= $S),
+      st$b AS (
+        SELECT grp, 0 AS i, rem,
+            CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+          FROM ($seed)
+        UNION ALL
+        SELECT s.grp, st.i + 1,
+          CASE WHEN $fits IS NULL
+            THEN list_append(st.rem, $S - s.toks)
+            ELSE st.rem[1:list_position(st.rem, $fits) - 1]
+              || [$fits - s.toks]
+              || st.rem[list_position(st.rem, $fits) + 1:] END,
+          s.doc_id,
+          CAST(CASE WHEN $fits IS NULL THEN len(st.rem)
+            ELSE list_position(st.rem, $fits) - 1 END AS BIGINT)
+        FROM st$b st JOIN small$b s ON s.grp = st.grp AND s.rn = st.i + 1),
+      sfin$b AS (SELECT grp, rem FROM (
+          SELECT grp, rem, row_number() OVER (PARTITION BY grp
+            ORDER BY i DESC) AS r FROM st$b) WHERE r = 1),
+      big$b AS (SELECT grp, doc_id, toks,
+          row_number() OVER (PARTITION BY grp
+            ORDER BY toks DESC, doc_id) AS brn,
+          CAST((toks + $S - 1) // $S AS BIGINT) AS nb_doc
+        FROM d WHERE bt = $b AND toks > $S),
+      bigasg$b AS (SELECT big$b.grp, doc_id, toks,
+          CAST(len(sf.rem) AS BIGINT) + COALESCE(SUM(nb_doc) OVER (
+            PARTITION BY big$b.grp ORDER BY brn
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin,
+          nb_doc AS n_bins
+        FROM big$b JOIN sfin$b sf ON sf.grp = big$b.grp),
+      fin$b AS (SELECT sf.grp,
+          sf.rem || COALESCE(z.zs, CAST([] AS BIGINT[])) AS rem
+        FROM sfin$b sf LEFT JOIN (
+          SELECT grp, list_transform(range(CAST(SUM(nb_doc) AS BIGINT)),
+            x -> CAST(0 AS BIGINT)) AS zs
+          FROM big$b GROUP BY grp) z ON z.grp = sf.grp),
+      asg$b AS (SELECT grp, doc_id, bin, CAST(1 AS BIGINT) AS n_bins,
+          CAST($b AS BIGINT) AS batch
+        FROM st$b WHERE i > 0
+        UNION ALL
+        SELECT grp, doc_id, bin, n_bins, CAST($b AS BIGINT) AS batch
+        FROM bigasg$b)"""
+  }
+
+  /** Incremental packing ([[graft.streaming.PackStream.applyBatch]],
+    * seqLen 64, group = source, the documents table arriving as three
+    * `doc_id mod 3` micro-batches against a fresh crash-safe bin
+    * state): placed docs never move and full bins never reopen — each
+    * batch continues the BFD from the persisted open bins. The oracle
+    * replays all three batches as CHAINED recursive CTEs (each batch's
+    * final remaining-capacity list, dedicated zeros appended, seeds
+    * the next), so every placement across the whole stream
+    * adjudicates, including the cross-batch refills of inherited open
+    * bins.
+    */
+  val xPackIncremental = Q(
+    "x_pack_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_pack_state").toString + "/state"
+      (0 until 3).map { b =>
+        graft.streaming.PackStream.applyBatch(
+            docs.filter(pmod(col("doc_id"), lit(3)) === b),
+            statePath, col("source"), col("doc_id"), col("toks"),
+            seqLen = 64)
+          .withColumn("batch", lit(b.toLong))
+      }.reduce(_.unionByName(_))
+        .select(col("group").as("grp"), col("doc_id"), col("toks"),
+          col("bin"), col("n_bins"), col("batch"))
+        .orderBy(col("grp"), col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE d AS (SELECT source AS grp, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        doc_id % 3 AS bt
+      FROM documents),
+      grps AS (SELECT DISTINCT grp FROM d),
+      ${packBatchCtes(0, 64)},
+      ${packBatchCtes(1, 64)},
+      ${packBatchCtes(2, 64)},
+      au AS (SELECT * FROM asg0 UNION ALL SELECT * FROM asg1
+        UNION ALL SELECT * FROM asg2)
+      SELECT a.grp, a.doc_id, d.toks, a.bin, a.n_bins, a.batch
+      FROM au a JOIN d ON d.grp = a.grp AND d.doc_id = a.doc_id
+      ORDER BY a.grp, a.doc_id"""))
+
   val queries: Seq[Q] = Seq(xEmbedWhitenApply, xEmbedWhitenRecall,
     xDedupEmbeddingWhitened, xDedupEmbeddingWhitenedDiff,
-    xPackBestFit, xShardAssignIncremental, xPipelinePackShards)
+    xPackBestFit, xShardAssignIncremental, xPipelinePackShards,
+    xPackIncremental)
 }

@@ -98,6 +98,45 @@ class ExtHSpec extends SparkSuite {
       0L -> (2L, 3L), 2L -> (5L, 2L)))
   }
 
+  test("packBestFit matches an independent BFD simulation on random fixtures") {
+    // naive reference: same policy, different implementation (linear
+    // scan over a plain array instead of the TreeSet ceiling query)
+    def naive(docs: Seq[(Long, Long)], s: Long): Map[Long, (Long, Long)] = {
+      val sorted = docs.sortBy(d => (-d._2, d._1))
+      val (small, big) = sorted.partition(_._2 <= s)
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      for ((id, t) <- small) {
+        val fits = rem.zipWithIndex.filter(_._1 >= t)
+        val idx =
+          if (fits.isEmpty) { rem += s - t; rem.length - 1 }
+          else {
+            val best = fits.map(_._1).min
+            val i = fits.filter(_._1 == best).map(_._2).min
+            rem(i) -= t; i
+          }
+        out(id) = (idx.toLong, 1L)
+      }
+      var next = rem.length.toLong
+      for ((id, t) <- big) {
+        val n = (t + s - 1) / s
+        out(id) = (next, n); next += n
+      }
+      out.toMap
+    }
+    for (seed <- Seq(5, 17, 101)) {
+      val rnd = new scala.util.Random(seed)
+      val s = 20L + rnd.nextInt(80)
+      val docs = (0L until 150L).map(i => (i, 1L + rnd.nextInt(2 * s.toInt)))
+      val got = Sampling.packBestFit(
+          docs.toDF("doc_id", "toks").withColumn("g", lit("z")),
+          col("g"), col("doc_id"), col("toks"), seqLen = s)
+        .select("doc_id", "bin", "n_bins").as[(Long, Long, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(got === naive(docs, s), s"seed $seed (seqLen $s) diverged")
+    }
+  }
+
   test("packBestFit is invariant under input partitioning and order") {
     val rnd = new scala.util.Random(13)
     val rows = (0L until 300L).map(i =>

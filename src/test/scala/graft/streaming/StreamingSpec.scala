@@ -551,6 +551,68 @@ class StreamingSpec extends SparkSuite {
     assert(e.getMessage.contains("shards"))
   }
 
+  test("incremental packing continues BFD from open bins across batches") {
+    import graft.streaming.{PackStream, StateDir}
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val S = 100L
+    val rows = (0L until 240L).map(i =>
+      (s"g${i % 2}", i, 1L + rnd.nextInt(150))) // ~1/3 oversize
+    val state = Files.createTempDirectory("packstate")
+      .resolve("state").toString
+    val placed = (0 until 3).flatMap { b =>
+      PackStream.applyBatch(
+        rows.filter(_._2 % 3 == b).toDF("g", "doc_id", "toks"),
+        state, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        .select("group", "doc_id", "toks", "bin", "n_bins")
+        .as[(String, Long, Long, Long, Long)].collect()
+    }
+    // every doc placed exactly once
+    assert(placed.map(_._2).sorted === rows.map(_._2).sorted.toArray)
+    // capacity respected ACROSS batches (a full bin reopening, or an
+    // open bin over-filled, would break this cumulative check)
+    val binLoad = placed.filter(_._5 == 1L)
+      .groupBy(p => (p._1, p._4)).view.mapValues(_.map(_._3).sum)
+    assert(binLoad.values.forall(_ <= S),
+      s"overfull bins: ${binLoad.filter(_._2 > S)}")
+    // dedicated oversize ids never collide with small bins or each other
+    val spans = placed.map(p => (p._1, p._4, p._4 + p._5)).sortBy(x => (x._1, x._2))
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sliding(2).foreach {
+        case Seq(a, b) =>
+          // disjoint, or the SAME shared small bin (identical span)
+          assert(a._3 <= b._2 || (a._2 == b._2 && a._3 == b._3),
+            s"bin span overlap: $a vs $b")
+        case _ =>
+      }
+    }
+    // state holds only OPEN bins (+1 counter row per group) — full
+    // bins leave immediately, so state is bounded by open capacity
+    val st = StateDir.readPrior(spark, state).get
+      .select("g", "bin", "remaining", "kind")
+      .as[(String, Long, Long, String)].collect()
+    assert(st.filter(_._4 == "open").forall(_._3 > 0L))
+    assert(st.count(_._4 == "ctr") === 2)
+    val openBins = st.filter(_._4 == "open").map(r => (r._1, r._2)).toSet
+    // an open bin's recorded remaining must equal S − its placed load
+    for ((g, bin) <- openBins) {
+      val rec = st.find(r => r._1 == g && r._2 == bin).get._3
+      assert(rec === S - binLoad.getOrElse((g, bin), 0L),
+        s"state remaining drifted for ($g, $bin)")
+    }
+    // deterministic replay into a fresh state
+    val state2 = Files.createTempDirectory("packstate2")
+      .resolve("state").toString
+    val placed2 = (0 until 3).flatMap { b =>
+      PackStream.applyBatch(
+        rows.filter(_._2 % 3 == b).toDF("g", "doc_id", "toks"),
+        state2, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        .select("group", "doc_id", "toks", "bin", "n_bins")
+        .as[(String, Long, Long, Long, Long)].collect()
+    }
+    assert(placed.toSet === placed2.toSet)
+  }
+
   test("proximity alert stream: readStream micro-batches, aged state, idempotent output") {
     import graft.streaming.{GeoStream, StateDir}
     import spark.implicits._
