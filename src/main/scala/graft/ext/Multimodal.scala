@@ -1237,11 +1237,11 @@ object Multimodal {
     def ue(): Int = {
       var lz = 0
       while (u(1) == 0 && lz < 32) lz += 1
-      // lz reaching the cap means a 32+ zero run — no valid SPS field
-      // is that wide; (1 << 32) would silently wrap to 1 under JVM int
-      // shift semantics and decode garbage, so treat it as malformed
-      // (the catch below maps it to None)
-      if (lz >= 32) throw new ArrayIndexOutOfBoundsException("exp-golomb run")
+      // lz reaching the cap means an over-wide zero run — no valid SPS
+      // field is that wide; at lz == 31, (1 << 31) is already
+      // Int.MinValue (negative garbage), and at 32 it wraps to 1 — so
+      // malformed starts at 31 (the catch below maps it to None)
+      if (lz >= 31) throw new ArrayIndexOutOfBoundsException("exp-golomb run")
       if (lz == 0) 0 else ((1 << lz) | u(lz)) - 1
     }
     try {

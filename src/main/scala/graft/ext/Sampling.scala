@@ -155,6 +155,43 @@ object Sampling {
     * the group, `n_bins` how many bins the doc occupies (1 unless
     * oversize).
     */
+  /** One group's BFD placement pass — THE shared policy kernel for the
+    * batch face ([[packBestFit]]: empty seed) and the streaming face
+    * ([[graft.streaming.PackStream]]: persisted open bins + counter),
+    * so the two can never drift on sort key, tightest-fit rule,
+    * tie-break, or oversize handling. Docs are placed in (tokens DESC,
+    * id) order: each ≤ seqLen doc takes the open bin with the smallest
+    * remaining ≥ tokens (ties → lowest bin id) or opens a new bin at
+    * the next id; oversize docs take ceil(t/seqLen) dedicated trailing
+    * ids. Returns (doc id, toks, bin, n_bins) per doc.
+    */
+  private[graft] def bfdPlace(docs: Array[(Long, Long)], seqLen: Long,
+      openBins: Iterable[(Long, Long)],
+      next0: Long): Array[(Long, Long, Long, Long)] = {
+    val sorted = docs.sortBy(d => (-d._2, d._1))
+    val (small, big) = sorted.partition(_._2 <= seqLen)
+    // TreeSet of (remaining, bin): rangeFrom((t, MinValue)).head = the
+    // fitting bin with least remaining, ties → lowest bin id
+    val bins = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+    openBins.foreach(bins.add)
+    var next = next0
+    val packed = small.map { case (docId, t) =>
+      val binId = bins.rangeFrom((t, Long.MinValue)).headOption match {
+        case Some(b @ (r, i)) => bins.remove(b); bins.add((r - t, i)); i
+        case None =>
+          val i = next; next += 1; bins.add((seqLen - t, i)); i
+      }
+      (docId, t, binId, 1L)
+    }
+    val over = big.map { case (docId, t) =>
+      val n = (t + seqLen - 1) / seqLen
+      val row = (docId, t, next, n)
+      next += n
+      row
+    }
+    packed ++ over
+  }
+
   def packBestFit(docs: DataFrame, group: Column, id: Column,
       tokens: Column, seqLen: Long): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
@@ -164,30 +201,8 @@ object Sampling {
         id.cast("long").as("id"), tokens.cast("long").as("toks"))
       .as[(String, Long, Long)]
     base.groupByKey(_._1).flatMapGroups { (g, it) =>
-      val ds = it.toArray.sortBy(d => (-d._3, d._2))
-      val (small, big) = ds.partition(_._3 <= seqLen)
-      // TreeSet of (remaining, binIdx): rangeFrom((t, MinValue)).head
-      // = the fitting bin with least remaining, ties → lowest index
-      val bins = scala.collection.mutable.TreeSet.empty[(Long, Int)]
-      var nBins = 0
-      val packed = small.map { case (_, docId, t) =>
-        val fit = bins.rangeFrom((t, Int.MinValue)).headOption
-        val idx = fit match {
-          case Some(b @ (r, i)) =>
-            bins.remove(b); bins.add((r - t, i)); i
-          case None =>
-            nBins += 1; bins.add((seqLen - t, nBins - 1)); nBins - 1
-        }
-        (g, docId, t, idx.toLong, 1L)
-      }
-      var next = nBins.toLong
-      val over = big.map { case (_, docId, t) =>
-        val n = (t + seqLen - 1) / seqLen
-        val row = (g, docId, t, next, n)
-        next += n
-        row
-      }
-      (packed ++ over).iterator
+      bfdPlace(it.map(d => (d._2, d._3)).toArray, seqLen, Nil, 0L)
+        .iterator.map { case (docId, t, bin, n) => (g, docId, t, bin, n) }
     }.toDF("group", "doc_id", "toks", "bin", "n_bins")
   }
 

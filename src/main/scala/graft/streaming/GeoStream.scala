@@ -87,10 +87,16 @@ object GeoStream {
     // batch that enabled aging, then expires unless re-sighted; the
     // alternative (expire-immediately) would silently drop the whole
     // migrated history in the first aged batch
+    // _maxt.isNull guard: if EVERY row's ts is null (migrated pre-aging
+    // state + an empty or ts-less first aged batch), max(ts) is NULL
+    // and the >= comparison would be NULL for every row — silently
+    // wiping the whole migrated history. No observed event time means
+    // nothing can be declared stale: keep everything.
     val aged = ageHorizon.fold(merged) { h =>
       merged
         .crossJoin(broadcast(merged.agg(max(col("ts")).as("_maxt"))))
-        .filter(coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
+        .filter(col("_maxt").isNull ||
+          coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
         .drop("_maxt")
     }
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)

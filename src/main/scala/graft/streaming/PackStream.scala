@@ -63,30 +63,16 @@ object PackStream {
       .as[(String, Int, Long, Long)]
     val placed = tagged.groupByKey(_._1).flatMapGroups { (g, it) =>
       val items = it.toArray
-      val bins = scala.collection.mutable.TreeSet.empty[(Long, Long)]
-      items.iterator.filter(_._2 == 0)
-        .foreach(r => bins.add((r._4, r._3))) // (remaining, bin)
-      var next = items.iterator.filter(_._2 == 1)
+      val open = items.iterator.filter(_._2 == 0)
+        .map(r => (r._4, r._3)).toSeq // (remaining, bin)
+      val next = items.iterator.filter(_._2 == 1)
         .map(_._4).foldLeft(0L)(math.max)
       val ds = items.filter(_._2 == 2).map(r => (r._3, r._4))
-        .sortBy(d => (-d._2, d._1))
-      val (small, big) = ds.partition(_._2 <= seqLen)
-      val placedSmall = small.map { case (docId, t) =>
-        val fit = bins.rangeFrom((t, Long.MinValue)).headOption
-        val binId = fit match {
-          case Some(b @ (r, i)) => bins.remove(b); bins.add((r - t, i)); i
-          case None =>
-            val i = next; next += 1; bins.add((seqLen - t, i)); i
-        }
-        (g, docId, t, binId, 1L)
-      }
-      val placedBig = big.map { case (docId, t) =>
-        val n = (t + seqLen - 1) / seqLen
-        val row = (g, docId, t, next, n)
-        next += n
-        row
-      }
-      (placedSmall ++ placedBig).iterator
+      // the SHARED policy kernel (Sampling.bfdPlace) — the stream is
+      // exact BFD within the batch given the inherited bins, provably
+      // in lockstep with the batch face
+      graft.ext.Sampling.bfdPlace(ds, seqLen, open, next)
+        .iterator.map { case (docId, t, bin, n) => (g, docId, t, bin, n) }
     }.toDF("g", "doc_id", "toks", "bin", "n_bins")
       .localCheckpoint(true) // pin BEFORE the state write (the
                              // incremental-dedup lesson)
@@ -95,16 +81,23 @@ object PackStream {
     // for a new bin) − Σ placed tokens; full bins (remaining' = 0)
     // leave state; dedicated oversize bins never enter it; the
     // counter advances to max(bin + n_bins)
+    // null-safe (<=>) state-fold joins: a NULL group key is a legal
+    // group to groupByKey, but a plain equi-join would never match its
+    // prior and placed rows, duplicating the bin's state with
+    // inconsistent capacities (and over-filling it next batch)
     val placedPerBin = placed.filter(col("n_bins") === 1L)
       .groupBy(col("g"), col("bin"))
       .agg(sum(col("toks")).as("placed"))
     val priorOpen = priorDf.filter(col("kind") === OpenKind)
       .select(col("g"), col("bin"), col("remaining"))
-    val opens = priorOpen
-      .join(placedPerBin, Seq("g", "bin"), "full_outer")
-      .select(col("g"), col("bin"),
-        (coalesce(col("remaining"), lit(seqLen)) -
-          coalesce(col("placed"), lit(0L))).as("remaining"))
+    val opens = priorOpen.as("p")
+      .join(placedPerBin.as("q"),
+        col("p.g") <=> col("q.g") && col("p.bin") <=> col("q.bin"),
+        "full_outer")
+      .select(coalesce(col("p.g"), col("q.g")).as("g"),
+        coalesce(col("p.bin"), col("q.bin")).as("bin"),
+        (coalesce(col("p.remaining"), lit(seqLen)) -
+          coalesce(col("q.placed"), lit(0L))).as("remaining"))
       .filter(col("remaining") > 0L)
       .select(col("g"), col("bin"), col("remaining"),
         lit(OpenKind).as("kind"))
@@ -113,8 +106,10 @@ object PackStream {
     val ctr = placed
       .groupBy(col("g"))
       .agg(max(col("bin") + col("n_bins")).as("c1"))
-      .join(priorCtr, Seq("g"), "full_outer")
-      .select(col("g"), lit(-1L).as("bin"),
+      .as("n")
+      .join(priorCtr.as("p"), col("n.g") <=> col("p.g"), "full_outer")
+      .select(coalesce(col("n.g"), col("p.g")).as("g"),
+        lit(-1L).as("bin"),
         greatest(coalesce(col("c0"), lit(0L)),
           coalesce(col("c1"), lit(0L))).as("remaining"),
         lit(CtrKind).as("kind"))

@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ext.Rank
 
@@ -42,18 +41,23 @@ object ShardStream {
     val spark = batch.sparkSession
     val base = batch.select(id.cast("long").as("id"),
       tokens.cast("long").as("toks"))
-    val prior = StateDir.readPrior(spark, statePath)
-      .getOrElse(spark.range(nShards)
-        .select(col("id").cast("long").as("shard"),
-          lit(0L).as("n_docs"), lit(0L).as("token_sum")))
-    // a state dir written for a different shard count cannot be dealt
-    // into consistently — fail loudly instead of silently rebalancing
-    require(prior.count() == nShards.toLong,
+    val prior0 = StateDir.readPrior(spark, statePath)
+    val prior = prior0.getOrElse(spark.range(nShards)
+      .select(col("id").cast("long").as("shard"),
+        lit(0L).as("n_docs"), lit(0L).as("token_sum")))
+    // the shard load order is O(nShards) — collect it ONCE and rank
+    // driver-side (no unpartitioned window, no extra count job), and
+    // validate the shard count on the same collected rows: a state dir
+    // written for a different shard count cannot be dealt into
+    // consistently — fail loudly instead of silently rebalancing
+    val loads = prior.select(col("shard"), col("token_sum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(prior0.isEmpty || loads.length == nShards,
       s"state at $statePath does not hold exactly $nShards shards")
-    // O(nShards) rows: the unpartitioned window is bounded by design
-    val order = prior.select(col("shard"),
-      row_number().over(
-        Window.orderBy(col("token_sum").asc, col("shard").asc)).as("pos"))
+    import spark.implicits._
+    val order = loads.sortBy { case (sh, ts) => (ts, sh) }.zipWithIndex
+      .map { case ((sh, _), i) => (sh, i + 1) }.toSeq
+      .toDF("shard", "pos")
     val ranked = Rank.globalRowNumber(base,
       Seq(col("toks").desc, col("id").asc))
     val assigned = ranked

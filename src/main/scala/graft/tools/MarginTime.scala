@@ -25,7 +25,10 @@ object MarginTime {
       val m = graft.ext.Similarity.marginPairs(
         emb.filter(col("vec_id") % 2 === 0),
         emb.filter(col("vec_id") % 2 === 1),
-        "vec_id", "embedding", k = 4, threshold = 1.0).count()
+        "vec_id", "embedding", k = 4, threshold = 1.0,
+        // dev timing harness on the bounded test corpus — the brute
+        // face's opt-in applies here by definition
+        acceptBroadcastBaseline = true).count()
       println(f"[mt] rep$rep exact: ${(System.nanoTime()-t1)/1e9}%.2f s ($m pairs)")
       spark.catalog.clearCache()
     }

@@ -430,6 +430,14 @@ class ExtSpec extends SparkSuite {
     assert(Multimodal.h264SpsMeta(escaped) === Some((66, 0, 96, 80)),
       "emulation-prevention byte must be dropped")
     assert(Multimodal.h264SpsMeta("not a NAL".getBytes).isEmpty)
+    // a conforming-ESCAPED SPS whose first ue() field opens with a
+    // 31-zero bit run (00 00 03 00 01 de-escapes to 00 00 00 01):
+    // (1 << 31) is Int.MinValue, so an unguarded reader would return
+    // Some(negative garbage) — the run cap must map it to None
+    val overrun = Array[Byte](0, 0, 1, 0x67, 0x42, 0x00, 0x1f,
+      0x00, 0x00, 0x03, 0x00, 0x01, 0xff.toByte, 0xff.toByte)
+    assert(Multimodal.h264SpsMeta(overrun).isEmpty,
+      "a 31+ zero Exp-Golomb run is malformed, not garbage dims")
   }
 
   test("audio features: Σs², RMS, and channel-0-only zero crossings") {

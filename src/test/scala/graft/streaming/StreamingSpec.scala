@@ -503,6 +503,27 @@ class StreamingSpec extends SparkSuite {
     assert(st3.count() === 3L)
   }
 
+  test("geo aging with no observed event time keeps the migrated state") {
+    import graft.streaming.{GeoStream, StateDir}
+    import spark.implicits._
+    val state = Files.createTempDirectory("geoempty")
+      .resolve("state").toString
+    // ts-less history, then aging enabled by an EMPTY ts-bearing batch
+    // (the common first micro-batch after a restart): max(ts) is NULL,
+    // and an unguarded age filter would silently wipe every migrated
+    // row
+    GeoStream.applyBatch(
+      Seq((1L, 40000000L, -74000000L), (2L, 40500000L, -74000000L))
+        .toDF("id", "lat_micro", "lon_micro"),
+      state, 10000L)
+    GeoStream.applyBatch(
+      Seq.empty[(Long, Long, Long, Long)]
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(50L))
+    assert(StateDir.readPrior(spark, state).get.count() === 2L,
+      "no observed event time means nothing can be declared stale")
+  }
+
   test("incremental shard deal composes across batches and stays balanced") {
     import graft.streaming.{ShardStream, StateDir}
     import spark.implicits._
@@ -611,6 +632,30 @@ class StreamingSpec extends SparkSuite {
         .as[(String, Long, Long, Long, Long)].collect()
     }
     assert(placed.toSet === placed2.toSet)
+  }
+
+  test("incremental packing: a NULL group folds state consistently") {
+    import graft.streaming.{PackStream, StateDir}
+    import spark.implicits._
+    val S = 10L
+    val state = Files.createTempDirectory("packnull")
+      .resolve("state").toString
+    // two batches into the null group: batch 2 must REFILL batch 1's
+    // open bin — a plain (non-null-safe) state-fold join would leave
+    // two inconsistent rows for bin 0 and over-fill it
+    def b(rows: Seq[(Option[String], Long, Long)]) =
+      PackStream.applyBatch(rows.toDF("g", "doc_id", "toks"),
+        state, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    val p1 = b(Seq((None, 1L, 6L)))
+    val p2 = b(Seq((None, 2L, 4L), (None, 3L, 3L)))
+    assert(p1(1L) === 0L)
+    assert(p2(2L) === 0L, "the 4-token doc must refill bin 0 (rem 4)")
+    assert(p2(3L) === 1L, "the 3-token doc no longer fits bin 0")
+    val st = StateDir.readPrior(spark, state).get
+      .filter(col("kind") === "open")
+      .select("bin", "remaining").as[(Long, Long)].collect().toMap
+    assert(st === Map(1L -> 7L), s"open-bin state drifted: $st")
   }
 
   test("proximity alert stream: readStream micro-batches, aged state, idempotent output") {
