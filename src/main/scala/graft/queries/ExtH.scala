@@ -342,10 +342,13 @@ object ExtH {
           Similarity.whitenStats(emb, "embedding"))
         .select(col("vec_id"),
           col("whitened").cast("array<float>").as("embedding"))
+      // each lazy LSH plan is consumed twice (its count + the common-
+      // pairs join) — cache both so each full pipeline runs ONCE (the
+      // xPackBestFit fan-out convention)
       val raw = Similarity.cosineLshPairs(emb, "vec_id", "embedding",
-        threshold = 0.45)
+        threshold = 0.45).cache()
       val whp = Similarity.cosineLshPairs(wh, "vec_id", "embedding",
-        threshold = 0.45)
+        threshold = 0.45).cache()
       raw.agg(count(lit(1)).cast("bigint").as("n_raw"))
         .crossJoin(whp.agg(count(lit(1)).cast("bigint").as("n_whitened")))
         .crossJoin(raw.join(whp, Seq("id_a", "id_b"))
@@ -418,9 +421,10 @@ object ExtH {
       (0 until 3).foreach { b =>
         graft.streaming.ShardStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === b),
-          statePath, col("doc_id"), col("toks"), nShards = 4)
+          statePath, col("doc_id"), col("toks"), nShards = 4,
+          batchId = b)
       }
-      val st = graft.streaming.StateDir.readPrior(s, statePath).get
+      val st = graft.streaming.StateDir.readGenBefore(s, statePath, 3L).get
       st.crossJoin(broadcast(
           st.agg(sum(col("token_sum")).cast("bigint").as("total"))))
         .select(col("shard"), col("n_docs"), col("token_sum"),
@@ -577,7 +581,7 @@ object ExtH {
         graft.streaming.PackStream.applyBatch(
             docs.filter(pmod(col("doc_id"), lit(3)) === b),
             statePath, col("source"), col("doc_id"), col("toks"),
-            seqLen = 64)
+            seqLen = 64, batchId = b)
           .withColumn("batch", lit(b.toLong))
       }.reduce(_.unionByName(_))
         .select(col("group").as("grp"), col("doc_id"), col("toks"),

@@ -79,7 +79,13 @@ object GeoStream {
                              // incremental-dedup lesson: a lazy plan
                              // read later would see its own batch in
                              // state and double-report)
+    // dropDuplicates over the full row: an at-least-once REDELIVERED
+    // batch re-unions identical point rows, and each state copy would
+    // pair (and alert) separately against every future batch; exact
+    // duplicates carry no information, while a genuinely moved point
+    // (same id, new coords/ts) still keeps its full position history
     val merged = prior.fold(conform(pts))(p => p.unionByName(conform(pts)))
+      .dropDuplicates(keepAll)
     // age-out AFTER pairing: a point expiring in this batch still
     // paired against the batch (it was within horizon when it mattered).
     // coalesce(ts, _maxt): a migrated pre-aging state row (null ts) is
@@ -92,11 +98,17 @@ object GeoStream {
     // and the >= comparison would be NULL for every row — silently
     // wiping the whole migrated history. No observed event time means
     // nothing can be declared stale: keep everything.
+    // null-ts rows are aged as seen NOW — and that anchor is
+    // MATERIALIZED (ts := max observed ts) before the state write:
+    // leaving ts null would re-anchor the row to the advancing max on
+    // every later batch, so migrated history would never expire and
+    // state would grow without bound
     val aged = ageHorizon.fold(merged) { h =>
       merged
         .crossJoin(broadcast(merged.agg(max(col("ts")).as("_maxt"))))
         .filter(col("_maxt").isNull ||
           coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
+        .withColumn("ts", coalesce(col("ts"), col("_maxt")))
         .drop("_maxt")
     }
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)

@@ -42,13 +42,14 @@ object PackStream {
     * (group, doc_id, toks, bin, n_bins).
     */
   def applyBatch(batch: DataFrame, statePath: String, group: Column,
-      id: Column, tokens: Column, seqLen: Long): DataFrame = {
+      id: Column, tokens: Column, seqLen: Long,
+      batchId: Long = 0L): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val spark = batch.sparkSession
     import spark.implicits._
     val docs = batch.select(group.cast("string").as("g"),
       id.cast("long").as("id"), tokens.cast("long").as("toks"))
-    val prior = StateDir.readPrior(spark, statePath)
+    val prior = StateDir.readGenBefore(spark, statePath, batchId)
     val priorDf = prior.getOrElse(
       Seq.empty[(String, Long, Long, String)]
         .toDF("g", "bin", "remaining", "kind"))
@@ -113,8 +114,8 @@ object PackStream {
         greatest(coalesce(col("c0"), lit(0L)),
           coalesce(col("c1"), lit(0L))).as("remaining"),
         lit(CtrKind).as("kind"))
-    StateDir.atomicOverwrite(
-      opens.unionByName(ctr).localCheckpoint(true), statePath)
+    StateDir.writeGen(
+      opens.unionByName(ctr).localCheckpoint(true), statePath, batchId)
     placed.select(col("g").as("group"), col("doc_id"), col("toks"),
       col("bin"), col("n_bins"))
   }
@@ -134,7 +135,8 @@ object PackStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val placed = applyBatch(batch, statePath, group, id, tokens, seqLen)
+        val placed = applyBatch(batch, statePath, group, id, tokens,
+          seqLen, batchId)
         placed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }

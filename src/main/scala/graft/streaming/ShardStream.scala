@@ -34,14 +34,20 @@ object ShardStream {
   /** Deal one document micro-batch into the shard state at
     * `statePath`; returns this batch's per-doc placements
     * (id, toks, shard). State rows: (shard, n_docs, token_sum).
+    *
+    * `batchId` (the foreachBatch id) addresses the state GENERATION:
+    * the capacity fold is neither idempotent nor commutative, so a
+    * crash-replayed batch must see the PRE-batch totals — it reads the
+    * newest generation `< batchId`, recomputes the identical deal, and
+    * overwrites its own generation ([[StateDir.readGenBefore]]).
     */
   def applyBatch(batch: DataFrame, statePath: String, id: Column,
-      tokens: Column, nShards: Int): DataFrame = {
+      tokens: Column, nShards: Int, batchId: Long = 0L): DataFrame = {
     require(nShards > 0, "nShards must be positive")
     val spark = batch.sparkSession
     val base = batch.select(id.cast("long").as("id"),
       tokens.cast("long").as("toks"))
-    val prior0 = StateDir.readPrior(spark, statePath)
+    val prior0 = StateDir.readGenBefore(spark, statePath, batchId)
     val prior = prior0.getOrElse(spark.range(nShards)
       .select(col("id").cast("long").as("shard"),
         lit(0L).as("n_docs"), lit(0L).as("token_sum")))
@@ -73,7 +79,7 @@ object ShardStream {
     val merged = prior.unionByName(delta).groupBy(col("shard"))
       .agg(sum(col("n_docs")).cast("bigint").as("n_docs"),
         sum(col("token_sum")).cast("bigint").as("token_sum"))
-    StateDir.atomicOverwrite(merged.localCheckpoint(true), statePath)
+    StateDir.writeGen(merged.localCheckpoint(true), statePath, batchId)
     assigned
   }
 
@@ -91,7 +97,8 @@ object ShardStream {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val placed = applyBatch(batch, statePath, id, tokens, nShards)
+        val placed = applyBatch(batch, statePath, id, tokens, nShards,
+          batchId)
         placed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }

@@ -31,6 +31,57 @@ object StateDir {
     if (f.exists(live)) Some(spark.read.parquet(path)) else None
   }
 
+  /** GENERATION-addressed state for folds that are neither idempotent
+    * nor commutative (the [[ShardStream]]/[[PackStream]] capacity
+    * folds — unlike [[CdcStream]]'s max-merge or the dedup streams'
+    * append-only tagged rows, applying a batch twice corrupts the
+    * capacities): batch `b` READS the newest generation `< b` and
+    * WRITES generation `b`, so a crash-replayed batch re-reads the
+    * untouched pre-batch generation, recomputes the identical
+    * placements, and idempotently overwrites its own generation.
+    * Generations older than the one batch `b` read from are pruned
+    * after the write (two live generations at any instant).
+    */
+  def readGenBefore(spark: SparkSession, base: String,
+      batchId: Long): Option[DataFrame] =
+    latestGenBefore(spark, base, batchId)
+      .map(g => spark.read.parquet(s"$base/g$g"))
+
+  private def genIds(spark: SparkSession, base: String): Seq[Long] = {
+    val b = new org.apache.hadoop.fs.Path(base)
+    val f = fs(spark, b)
+    if (!f.exists(b)) Seq.empty
+    else f.listStatus(b).toSeq.map(_.getPath.getName)
+      .filter(_.matches("g\\d+")).map(_.drop(1).toLong)
+  }
+
+  private def latestGenBefore(spark: SparkSession, base: String,
+      batchId: Long): Option[Long] = {
+    // a generation >= batchId with nothing older means batchIds went
+    // BACKWARDS (a new stream against an old state dir) — fail loudly
+    // rather than silently starting from scratch
+    val ids = genIds(spark, base)
+    val prior = ids.filter(_ < batchId)
+    require(prior.nonEmpty || ids.isEmpty || ids.forall(_ == batchId),
+      s"state at $base holds generations ${ids.sorted.mkString(",")} " +
+        s"not before batch $batchId — batch ids must be monotone")
+    prior.sorted.lastOption
+  }
+
+  /** Write generation `batchId` (idempotent: a replay overwrites its
+    * own generation) and prune generations older than the one it read.
+    */
+  def writeGen(df: DataFrame, base: String, batchId: Long): Unit = {
+    val spark = df.sparkSession
+    atomicOverwrite(df, s"$base/g$batchId")
+    val keep = latestGenBefore(spark, base, batchId)
+    val b = new org.apache.hadoop.fs.Path(base)
+    val f = fs(spark, b)
+    genIds(spark, base)
+      .filter(g => g != batchId && !keep.contains(g))
+      .foreach(g => f.delete(new org.apache.hadoop.fs.Path(s"$base/g$g"), true))
+  }
+
   /** Atomically replace the state at `path` with `df`. The caller must
     * have pinned `df` (localCheckpoint) if its plan reads `path`.
     */
@@ -50,5 +101,12 @@ object StateDir {
       throw new java.io.IOException(s"state: cannot swap in new $path")
     }
     f.delete(bak, true)
+    // replace-by-RENAME bypasses the write paths Spark hooks to
+    // invalidate cached plans/listings over this path (a caller-cached
+    // DataFrame would keep resolving the deleted part files —
+    // FAILED_READ_FILE.FILE_NOT_EXIST). Invalidate explicitly; plans
+    // the CALLER still holds from before the swap must be pinned
+    // (localCheckpoint) before calling, as documented above.
+    spark.catalog.refreshByPath(path)
   }
 }

@@ -492,6 +492,12 @@ class StreamingSpec extends SparkSuite {
     val st2 = StateDir.readPrior(spark, state).get
     assert(st2.columns.contains("ts"))
     assert(st2.count() === 2L, "null-ts migrated row must survive aging")
+    // migrated rows got ts MATERIALIZED to the anchor (100), not left
+    // null — a null ts would re-anchor to the advancing max forever.
+    // (Asserted HERE: st2's lazy plan reads files the next batch's
+    // state swap deletes.)
+    assert(st2.filter(col("ts") === 100L).count() === 2L,
+      "aging must materialize the null-ts anchor")
     // batch 3: a ts-LESS batch against ts-bearing state must not strip
     // ts from the persisted state (that would disable aging forever)
     GeoStream.applyBatch(
@@ -501,6 +507,16 @@ class StreamingSpec extends SparkSuite {
     assert(st3.columns.contains("ts"),
       "ts column must survive a ts-less batch")
     assert(st3.count() === 3L)
+    // one horizon later the migrated history actually EXPIRES: ts=200
+    // batch with horizon 50 drops the ts=100 rows and the batch-3 row
+    // (null ts, re-anchored to 200) survives
+    GeoStream.applyBatch(
+      Seq((4L, 41000000L, -74000000L, 200L))
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(50L))
+    val st4 = StateDir.readPrior(spark, state).get
+    assert(st4.select("id").as[Long].collect().toSet === Set(3L, 4L),
+      "migrated rows must expire one horizon after their anchor")
   }
 
   test("geo aging with no observed event time keeps the migrated state") {
@@ -534,13 +550,13 @@ class StreamingSpec extends SparkSuite {
     val placed = (0 until 4).flatMap { b =>
       ShardStream.applyBatch(
         rows.filter(_._1 % 4 == b).toDF("doc_id", "toks"),
-        state, col("doc_id"), col("toks"), nShards = 5)
+        state, col("doc_id"), col("toks"), nShards = 5, batchId = b)
         .select("id", "toks", "shard").as[(Long, Long, Long)].collect()
     }
     // every doc placed exactly once, nothing moved
     assert(placed.map(_._1).sorted === rows.map(_._1).toArray)
     // state totals equal the placements' totals (composition)
-    val st = StateDir.readPrior(spark, state).get
+    val st = StateDir.readGenBefore(spark, state, 4L).get
       .select("shard", "n_docs", "token_sum")
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     val byShard = placed.groupBy(_._3).view
@@ -560,14 +576,14 @@ class StreamingSpec extends SparkSuite {
     val placed2 = (0 until 4).flatMap { b =>
       ShardStream.applyBatch(
         rows.filter(_._1 % 4 == b).toDF("doc_id", "toks"),
-        state2, col("doc_id"), col("toks"), nShards = 5)
+        state2, col("doc_id"), col("toks"), nShards = 5, batchId = b)
         .select("id", "toks", "shard").as[(Long, Long, Long)].collect()
     }
     assert(placed.toSet === placed2.toSet)
     // a wrong shard count against existing state fails loudly
     val e = intercept[IllegalArgumentException] {
       ShardStream.applyBatch(Seq((999L, 5L)).toDF("doc_id", "toks"),
-        state, col("doc_id"), col("toks"), nShards = 3)
+        state, col("doc_id"), col("toks"), nShards = 3, batchId = 4L)
     }
     assert(e.getMessage.contains("shards"))
   }
@@ -584,7 +600,8 @@ class StreamingSpec extends SparkSuite {
     val placed = (0 until 3).flatMap { b =>
       PackStream.applyBatch(
         rows.filter(_._2 % 3 == b).toDF("g", "doc_id", "toks"),
-        state, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        state, col("g"), col("doc_id"), col("toks"), seqLen = S,
+        batchId = b)
         .select("group", "doc_id", "toks", "bin", "n_bins")
         .as[(String, Long, Long, Long, Long)].collect()
     }
@@ -609,7 +626,7 @@ class StreamingSpec extends SparkSuite {
     }
     // state holds only OPEN bins (+1 counter row per group) — full
     // bins leave immediately, so state is bounded by open capacity
-    val st = StateDir.readPrior(spark, state).get
+    val st = StateDir.readGenBefore(spark, state, 3L).get
       .select("g", "bin", "remaining", "kind")
       .as[(String, Long, Long, String)].collect()
     assert(st.filter(_._4 == "open").forall(_._3 > 0L))
@@ -627,11 +644,56 @@ class StreamingSpec extends SparkSuite {
     val placed2 = (0 until 3).flatMap { b =>
       PackStream.applyBatch(
         rows.filter(_._2 % 3 == b).toDF("g", "doc_id", "toks"),
-        state2, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        state2, col("g"), col("doc_id"), col("toks"), seqLen = S,
+        batchId = b)
         .select("group", "doc_id", "toks", "bin", "n_bins")
         .as[(String, Long, Long, Long, Long)].collect()
     }
     assert(placed.toSet === placed2.toSet)
+  }
+
+  test("crash-replayed micro-batches are idempotent for the capacity folds") {
+    import graft.streaming.{PackStream, ShardStream, StateDir}
+    import spark.implicits._
+    // the shard/pack folds are neither idempotent nor commutative, so
+    // replay safety comes from GENERATION-addressed state: a replayed
+    // batch re-reads the untouched pre-batch generation and recomputes
+    // the identical result — the foreachBatch redelivery window
+    // (crash between state write and checkpoint commit)
+    val sState = Files.createTempDirectory("shardreplay")
+      .resolve("state").toString
+    def shardBatch(b: Int) = ShardStream.applyBatch(
+      (0L until 50L).filter(_ % 2 == b % 2).map(i => (i, 10L + i))
+        .toDF("doc_id", "toks"),
+      sState, col("doc_id"), col("toks"), nShards = 3, batchId = b)
+      .select("id", "shard").as[(Long, Long)].collect().toSet
+    val s0 = shardBatch(0)
+    val s1 = shardBatch(1)
+    val s1replay = shardBatch(1) // redelivery of batch 1
+    assert(s1replay === s1, "replayed deal must be identical")
+    val totals = StateDir.readGenBefore(spark, sState, 2L).get
+      .select("token_sum").as[Long].collect().sum
+    assert(totals === (0L until 50L).map(10L + _).sum,
+      "replay must not double-count token mass")
+
+    val pState = Files.createTempDirectory("packreplay")
+      .resolve("state").toString
+    def packBatch(b: Int) = PackStream.applyBatch(
+      (0L until 30L).filter(_ % 2 == b % 2).map(i => ("g", i, 3L + i % 7))
+        .toDF("g", "doc_id", "toks"),
+      pState, col("g"), col("doc_id"), col("toks"), seqLen = 20L,
+      batchId = b)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toSet
+    val p0 = packBatch(0)
+    val p1 = packBatch(1)
+    assert(packBatch(1) === p1, "replayed packing must be identical")
+    val load = (p0 ++ p1).toSeq
+      .map(_._2).groupBy(identity).view.mapValues(_.size)
+    val open = StateDir.readGenBefore(spark, pState, 2L).get
+      .filter(col("kind") === "open")
+      .select("bin", "remaining").as[(Long, Long)].collect().toMap
+    assert(open.values.forall(r => r > 0 && r < 20L),
+      s"replay corrupted open-bin capacities: $open; loads $load")
   }
 
   test("incremental packing: a NULL group folds state consistently") {
@@ -643,16 +705,17 @@ class StreamingSpec extends SparkSuite {
     // two batches into the null group: batch 2 must REFILL batch 1's
     // open bin — a plain (non-null-safe) state-fold join would leave
     // two inconsistent rows for bin 0 and over-fill it
-    def b(rows: Seq[(Option[String], Long, Long)]) =
+    def b(bid: Long, rows: Seq[(Option[String], Long, Long)]) =
       PackStream.applyBatch(rows.toDF("g", "doc_id", "toks"),
-        state, col("g"), col("doc_id"), col("toks"), seqLen = S)
+        state, col("g"), col("doc_id"), col("toks"), seqLen = S,
+        batchId = bid)
         .select("doc_id", "bin").as[(Long, Long)].collect().toMap
-    val p1 = b(Seq((None, 1L, 6L)))
-    val p2 = b(Seq((None, 2L, 4L), (None, 3L, 3L)))
+    val p1 = b(0L, Seq((None, 1L, 6L)))
+    val p2 = b(1L, Seq((None, 2L, 4L), (None, 3L, 3L)))
     assert(p1(1L) === 0L)
     assert(p2(2L) === 0L, "the 4-token doc must refill bin 0 (rem 4)")
     assert(p2(3L) === 1L, "the 3-token doc no longer fits bin 0")
-    val st = StateDir.readPrior(spark, state).get
+    val st = StateDir.readGenBefore(spark, state, 2L).get
       .filter(col("kind") === "open")
       .select("bin", "remaining").as[(Long, Long)].collect().toMap
     assert(st === Map(1L -> 7L), s"open-bin state drifted: $st")
