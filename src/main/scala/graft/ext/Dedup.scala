@@ -333,16 +333,14 @@ object Dedup {
       .toDF("id", "n", "ss", "buckets", "sig")
   }
 
-  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
-      k: Int, threshold: Double,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    // self-contained: the verification step resolves arr_jaccard even
-    // when the caller's session was built without spark.sql.extensions
-    graft.plans.GraftExtensions.ensure(docs.sparkSession)
-    val profiles = minhashProfiles(docs, textCol, idCol, k, numHashes, bands)
-      .drop("sig")
-      .cache() // consumed by both band-join sides + both verify joins
-
+  /** Band-join + exact-Jaccard verify over PRECOMPUTED minhash
+    * profiles — shared by [[minhashLshPairs]] (which builds the
+    * profiles itself) and [[minhashDedupIncremental]] (which reuses
+    * one profile pass for the in-batch pairs AND the cross-batch
+    * probe, halving its dominant per-batch cost).
+    */
+  private def minhashPairsFromProfiles(profiles: DataFrame,
+      threshold: Double): DataFrame = {
     val bandEntries = profiles
       .select(col("id"), posexplode(col("buckets")).as(Seq("band", "bucket")))
 
@@ -364,6 +362,18 @@ object Dedup {
       .withColumn("jaccard", call_function("arr_jaccard", col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, threshold: Double,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    // self-contained: the verification step resolves arr_jaccard even
+    // when the caller's session was built without spark.sql.extensions
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val profiles = minhashProfiles(docs, textCol, idCol, k, numHashes, bands)
+      .drop("sig")
+      .cache() // consumed by both band-join sides + both verify joins
+    minhashPairsFromProfiles(profiles, threshold)
   }
 
   /** Incremental near-dup dedup for continuous ingestion — the batch
@@ -406,13 +416,19 @@ object Dedup {
     graft.plans.GraftExtensions.ensure(newDocs.sparkSession)
     val spark = newDocs.sparkSession
 
+    // ONE profile pass (shingling + 128 universal hashes — the
+    // dominant per-batch cost) serves BOTH the in-batch pair set and
+    // the cross-batch probe; previously minhashLshPairs recomputed it
+    // internally, doubling the heaviest stage every micro-batch
+    val profAll = minhashProfiles(newDocs, textCol, idCol, k, numHashes,
+      bands).cache()
+
     // (1) in-batch exact dedup: greedy min-id survivor over the verified
     // pair set (any doc that is the GREATER side of a pair is dropped)
-    val inBatchDrops = minhashLshPairs(newDocs, textCol, idCol, k,
-      threshold, numHashes, bands)
+    val inBatchDrops = minhashPairsFromProfiles(profAll, threshold)
       .select(col("doc_b").as("id")).distinct()
 
-    val prof = minhashProfiles(newDocs, textCol, idCol, k, numHashes, bands)
+    val prof = profAll
       .select(col("id"), col("buckets"), col("sig"))
       .join(inBatchDrops, Seq("id"), "left_anti")
       .cache()
@@ -455,6 +471,12 @@ object Dedup {
       .select(col("id"), col("buckets"), col("sig"),
         lit(batchTag.getOrElse(-1L)).as("batch"))
       .write.mode("append").parquet(statePath)
+
+    // survivors are pinned and the state append is done — release the
+    // per-batch caches (a foreachBatch caller would otherwise leak two
+    // CacheManager entries per micro-batch until eviction thrash)
+    prof.unpersist()
+    profAll.unpersist()
 
     newDocs.join(survivors.withColumnRenamed("id", "__sid"),
         col(idCol).cast("long") === col("__sid"), "left_semi")
@@ -587,8 +609,13 @@ object Dedup {
       }
       .toDF("id", "sim")
 
+    // chunkBits == 64 (hammingMax = 0, "exact signature" banding):
+    // (1L << 64) wraps to 1 under JVM shift-mod-64, making the mask 0
+    // and collapsing EVERY doc into one bucket — a silent O(n²)
+    // self-join; the full-width mask is -1L
+    val chunkMask = if (chunkBits >= 64) -1L else (1L << chunkBits) - 1
     val chunkVals = array((0 until nChunks).map(j =>
-      shiftright(col("sim"), j * chunkBits).bitwiseAND((1L << chunkBits) - 1)): _*)
+      shiftright(col("sim"), j * chunkBits).bitwiseAND(chunkMask)): _*)
     val allChunks = sigs.select(col("id"), col("sim"),
       posexplode(chunkVals).as(Seq("chunk", "cv")))
     val chunks = maxBucketFreq match {
@@ -627,7 +654,7 @@ object Dedup {
     * min-label propagation; see [[nearDupClusters]] for the scale
     * notes). Returns (id, lbl) for every id appearing in a pair.
     */
-  def nearDupLabels(pairs: DataFrame): DataFrame = {
+  def nearDupLabels(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("doc_a").cast("long").as("a"),
         col("doc_b").cast("long").as("b"))
       .union(pairs.select(col("doc_b").cast("long"), col("doc_a").cast("long")))
@@ -637,11 +664,21 @@ object Dedup {
       .transform(Iter.pin)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 25) {
+    while (changed > 0 && iter < maxIters) {
       val neigh = edges.join(labels.withColumnRenamed("id", "nid"),
           col("b") === col("nid"))
         .select(col("a").as("id"), col("lbl"))
-      val next = labels.union(neigh)
+      // pointer jumping (the large-star move): besides the one-hop
+      // neighbor labels, each node also adopts its LABEL's label —
+      // effective diameter halves per round, so convergence is
+      // O(log diameter) instead of O(diameter) and a 30-link chain no
+      // longer exhausts the round budget (every lbl value is a node id
+      // present in `labels`, so the self-join is total)
+      val jump = labels.as("l1")
+        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+          col("l1.lbl") === col("jid"))
+        .select(col("l1.id").as("id"), col("jlbl").as("lbl"))
+      val next = labels.union(neigh).union(jump)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .transform(Iter.pin)
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
@@ -650,6 +687,16 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent early exit would split one true cluster into several
+    // labels — leakageSafeSplit would then put near-duplicates on both
+    // sides of a train/test boundary (the exact leak it exists to
+    // prevent) and qualitySurvivors would keep several "survivors" per
+    // cluster. With pointer jumping, maxIters = 25 covers diameters up
+    // to ~2^25, so this fires only on genuinely pathological inputs —
+    // loudly, never wrongly.
+    require(changed == 0,
+      s"nearDupLabels did not converge within $maxIters rounds " +
+        s"($changed labels still moving) — raise maxIters")
     labels
   }
 
@@ -697,8 +744,12 @@ object Dedup {
   def qualitySurvivors(docs: DataFrame, idCol: String, pairs: DataFrame,
       score: Column): DataFrame = {
     val labels = nearDupLabels(pairs).select(col("id").as("_lid"), col("lbl"))
+    // nanvl: Spark's struct max orders NaN above every double, so a
+    // corrupt NaN score would be crowned "highest quality" — treat NaN
+    // as -Inf (never wins; reported as -Inf only if EVERY member is NaN)
     docs
-      .select(col(idCol).cast("long").as("doc"), score.cast("double").as("q"))
+      .select(col(idCol).cast("long").as("doc"),
+        nanvl(score.cast("double"), lit(Double.NegativeInfinity)).as("q"))
       .join(labels, col("doc") === col("_lid"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col("doc")))
       .groupBy(col("cluster_id"))
@@ -723,7 +774,13 @@ object Dedup {
       trainPerMille: Int = 800, valPerMille: Int = 100): DataFrame = {
     val labels = nearDupLabels(pairs)
       .select(col("id").as("_lid"), col("lbl"))
-    val key = pmod(col("cluster_id") * 2654435761L, lit(1000))
+    // reduce into 31 bits BEFORE the multiply (the weightedSample
+    // discipline): cluster_id beyond ~3.47e9 would otherwise wrap the
+    // Long product — silent split drift vs a checked-arithmetic
+    // engine, ArithmeticException under ANSI. Identical keys for ids
+    // < 2^31.
+    val key = pmod(pmod(col("cluster_id"), lit(2147483648L)) *
+      lit(2654435761L), lit(1000))
     docs.join(labels, col(idCol).cast("long") === col("_lid"), "left")
       .withColumn("cluster_id", coalesce(col("lbl"), col(idCol).cast("long")))
       .drop("_lid", "lbl")
@@ -758,8 +815,13 @@ object Dedup {
         "acceptQuadraticBaseline = true only for oracle-anchor or " +
         "recall-measurement runs on a corpus you know is small.")
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    // zero-norm vectors (padding/failure artifacts) make the cosine
+    // 0/0 = NaN, and Spark orders NaN ABOVE every number — NaN >=
+    // threshold passes, pairing the zero vector with everything. A
+    // zero vector has no direction: excluded from cosine dedup.
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Similarity.norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .withColumn("cosine",
         Similarity.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
@@ -819,8 +881,12 @@ object Dedup {
       threshold: Double, nlist: Int = 16,
       centroids: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
+    // zero-norm guard: same NaN-passes-threshold hazard as
+    // [[embeddingCosinePairs]] — a zero vector would kill every
+    // higher-id member of its bucket
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("nn", Similarity.norm(col("nv")))
+      .filter(col("nn") > 0)
     val centroidDf = centroids.getOrElse(
       base.orderBy(col("nid")).limit(nlist)
         .select(col("nid").as("cid"), col("nv").as("cv")))
@@ -1097,7 +1163,13 @@ object Dedup {
       val spark = toks.sparkSession
       import spark.implicits._
       val sp = span
-      toks.select(col("doc_id"), col("tk")).as[(Long, Seq[String])]
+      // explicit cast: the family contract is long-castable ids (every
+      // sibling — shingleIndex, simhashCore, qualitySurvivors — casts
+      // idCol to long); without it the typed encoder REJECTS e.g. an
+      // int doc_id column the text-keyed variant above accepts,
+      // breaking the documented parity between the two variants
+      toks.select(col("doc_id").cast("long").as("doc_id"), col("tk"))
+        .as[(Long, Seq[String])]
         .mapPartitions { it =>
           var bpow = 1L // 31^(span-1), wrapping
           var j = 1

@@ -771,8 +771,14 @@ object Similarity {
     require(nBits % bands == 0, "nBits must divide into bands")
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val bitsPerBand = nBits / bands
+    // zero-norm guard (mirrored in the lshReplayTail oracle's `e`
+    // CTE): a zero vector's verify cosine is 0/0 = NaN, which Spark
+    // orders ABOVE the threshold — it would survive banding (its
+    // signature is all sign(0) bits) and "verify" against everything
+    // it collides with. No direction ⇒ excluded from cosine LSH.
     val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       norm(col(vecCol)).as("nrm"))
+      .filter(col("nrm") > 0)
 
     // fixed ±1 hyperplanes sized to the embedding dim (driver reads
     // ONE row for the dim — O(1), not O(rows); an EMPTY input — the

@@ -1377,7 +1377,7 @@ object Ext {
     */
   private[queries] def lshReplayTail(P: String): String =
     s"""${P}e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm
-        FROM ${P}n),
+        FROM ${P}n WHERE list_dot_product(v, v) > 0),
       ${P}dm AS (SELECT MAX(len(v)) AS dim FROM ${P}n),
       ${P}pidx AS (SELECT i, d
         FROM (SELECT unnest(range(256)) AS i),

@@ -385,6 +385,69 @@ class ExtSpec extends SparkSuite {
     assert(out(9L) == ((1L, 9L, 1.0)), "singleton survives itself")
   }
 
+  test("NaN guards: zero vectors and NaN scores never win dedup decisions") {
+    import spark.implicits._
+    // a zero vector's cosine is 0/0 = NaN, which Spark orders ABOVE
+    // every threshold — ungated it pairs with everything / kills its
+    // whole bucket; the norm guard excludes it from all cosine dedup
+    val vecs = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.1f)),
+      (7L, Seq(0f, 0f))) // the zero vector
+      .toDF("vec_id", "embedding")
+    val brute = Dedup.embeddingCosinePairs(vecs, "vec_id", "embedding",
+      threshold = 0.9, acceptQuadraticBaseline = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute === Set((1L, 2L)), s"zero vector must pair with nothing: $brute")
+    val sem = Dedup.semanticDedup(vecs, "vec_id", "embedding",
+      threshold = 0.9, nlist = 1)
+      .filter(col("dropped")).select("vec_id").as[Long].collect().toSet
+    assert(sem === Set(2L), s"zero vector must kill nothing: $sem")
+    val lsh = graft.ext.Similarity.cosineLshPairs(vecs, "vec_id",
+      "embedding", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!lsh.exists(p => p._1 == 7L || p._2 == 7L),
+      s"zero vector must not survive LSH verify: $lsh")
+    // a NaN quality score must never be crowned survivor
+    val d = Seq((1L, 10.0), (2L, Double.NaN), (3L, 20.0))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.qualitySurvivors(d, "doc_id", pairs, col("q"))
+      .collect().map(r => r.getAs[Long]("survivor_id")).toSet
+    assert(out === Set(3L), s"NaN must lose to every real score: $out")
+  }
+
+  test("simhashPairsXxh64 hammingMax=0: exact-signature pairs only") {
+    import spark.implicits._
+    // hammingMax = 0 makes chunkBits = 64, where the old (1L << 64)
+    // mask wrapped to 0 and collapsed every doc into one bucket (a
+    // silent O(n²) candidate join). With the full-width mask the path
+    // is exercised end-to-end: only identical texts (identical
+    // signatures) pair, at hamming 0.
+    val base = docs.limit(30).select(col("doc_id"), col("text"))
+    val dup = base.filter(col("doc_id") === base.select(min("doc_id"))
+        .as[Long].head())
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val out = Dedup.simhashPairsXxh64(base.unionByName(dup), "text",
+        "doc_id", hammingMax = 0)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall(_._3 == 0L), s"non-exact pair reported: ${out.toSeq}")
+    assert(out.length === 1 && out.head._2 == out.head._1 + 100000L,
+      s"exactly the planted duplicate must pair: ${out.toSeq}")
+  }
+
+  test("nearDupLabels converges on deep chains via pointer jumping") {
+    import spark.implicits._
+    // a 60-link chain needs 59 one-hop rounds — far past the 25-round
+    // budget; pointer jumping converges in O(log n) and the loud
+    // non-convergence require never fires
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val lbl = Dedup.nearDupLabels(chain)
+      .select("lbl").distinct().as[Long].collect()
+    assert(lbl.toSeq === Seq(0L), "one chain must collapse to one label")
+  }
+
   test("WAV decode reads back exactly what the synthetic generator wrote") {
     // real javax.sound.sampled path: format fields and integer PCM
     // stats must match the generator's closed-form sample function
