@@ -673,12 +673,24 @@ object Dedup {
       // effective diameter halves per round, so convergence is
       // O(log diameter) instead of O(diameter) and a 30-link chain no
       // longer exhausts the round budget (every lbl value is a node id
-      // present in `labels`, so the self-join is total)
-      val jump = labels.as("l1")
-        .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
-          col("l1.lbl") === col("jid"))
-        .select(col("l1.id").as("id"), col("jlbl").as("lbl"))
-      val next = labels.union(neigh).union(jump)
+      // present in `labels`, so the self-join is total). Engaged only
+      // from round 3 onward: near-dup clusters are overwhelmingly
+      // shallow (diameter ≤ ~3), where plain propagation already
+      // converges and the labels⋈labels self-join would double every
+      // round's join work for nothing — jumping pays exactly when two
+      // plain rounds were NOT enough (adjudicated r11: the always-on
+      // jump cost curate_v2/train_prep ~20% at sf0.1).
+      val next0 = labels.union(neigh)
+      val next1 =
+        if (iter < 2) next0
+        else {
+          val jump = labels.as("l1")
+            .join(labels.select(col("id").as("jid"), col("lbl").as("jlbl")),
+              col("l1.lbl") === col("jid"))
+            .select(col("l1.id").as("id"), col("jlbl").as("lbl"))
+          next0.union(jump)
+        }
+      val next = next1
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .transform(Iter.pin)
       changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
@@ -691,9 +703,9 @@ object Dedup {
     // labels — leakageSafeSplit would then put near-duplicates on both
     // sides of a train/test boundary (the exact leak it exists to
     // prevent) and qualitySurvivors would keep several "survivors" per
-    // cluster. With pointer jumping, maxIters = 25 covers diameters up
-    // to ~2^25, so this fires only on genuinely pathological inputs —
-    // loudly, never wrongly.
+    // cluster. With pointer jumping from round 3, maxIters = 25 covers
+    // diameters up to ~2^23, so this fires only on genuinely
+    // pathological inputs — loudly, never wrongly.
     require(changed == 0,
       s"nearDupLabels did not converge within $maxIters rounds " +
         s"($changed labels still moving) — raise maxIters")

@@ -168,6 +168,17 @@ object Sampling {
   private[graft] def bfdPlace(docs: Array[(Long, Long)], seqLen: Long,
       openBins: Iterable[(Long, Long)],
       next0: Long): Array[(Long, Long, Long, Long)] = {
+    // non-positive token counts break the engine/oracle lockstep both
+    // faces promise: a negative count INCREASES a bin's remaining past
+    // seqLen, and a zero-token doc fits prior full bins in the SQL
+    // replay but not in this TreeSet (full bins leave the set). Fail
+    // loudly (the seqLen > 0 / nShards > 0 discipline) rather than
+    // place it differently than the oracle would.
+    docs.find(_._2 < 1).foreach { case (docId, t) =>
+      throw new IllegalArgumentException(
+        s"bfdPlace: doc $docId has non-positive token count $t — " +
+          "token counts must be >= 1 (filter or fix upstream)")
+    }
     val sorted = docs.sortBy(d => (-d._2, d._1))
     val (small, big) = sorted.partition(_._2 <= seqLen)
     // TreeSet of (remaining, bin): rangeFrom((t, MinValue)).head = the
@@ -193,15 +204,32 @@ object Sampling {
   }
 
   def packBestFit(docs: DataFrame, group: Column, id: Column,
-      tokens: Column, seqLen: Long): DataFrame = {
+      tokens: Column, seqLen: Long,
+      maxDocsPerGroup: Long = 8000000L): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
+    require(maxDocsPerGroup > 0, "maxDocsPerGroup must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(group.cast("string").as("group"),
         id.cast("long").as("id"), tokens.cast("long").as("toks"))
       .as[(String, Long, Long)]
     base.groupByKey(_._1).flatMapGroups { (g, it) =>
-      bfdPlace(it.map(d => (d._2, d._3)).toArray, seqLen, Nil, 0L)
+      // a group IS a packer shard and is materialized in one task
+      // (BFD is inherently sequential within a shard) — a caller who
+      // skips the shard-assignment composer and feeds one hot group
+      // would otherwise hit a silent executor OOM at scale. Stream the
+      // iterator into the array with a loud cap instead.
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      it.foreach { d =>
+        require(buf.length < maxDocsPerGroup,
+          s"packBestFit: group '$g' exceeds maxDocsPerGroup=" +
+            s"$maxDocsPerGroup docs — one group is packed as a single " +
+            "in-task array; pre-split the corpus into packer shards " +
+            "with Sampling.shardAssignDocs (the intended composer) or " +
+            "raise maxDocsPerGroup if the task memory truly allows it")
+        buf += ((d._2, d._3))
+      }
+      bfdPlace(buf.toArray, seqLen, Nil, 0L)
         .iterator.map { case (docId, t, bin, n) => (g, docId, t, bin, n) }
     }.toDF("group", "doc_id", "toks", "bin", "n_bins")
   }
@@ -457,20 +485,29 @@ object Sampling {
       sum(col("x")).cast("decimal(38,2)").as("s"),
       sum((col("x") * col("x")).cast("decimal(38,4)")).cast("decimal(38,4)")
         .as("ss"))
+    // Every decimal→double crossing goes through the VARCHAR roundtrip
+    // (CAST(CAST(d AS VARCHAR) AS DOUBLE)): both engines parse the same
+    // exact decimal text to the correctly-rounded nearest double,
+    // whereas DuckDB's direct decimal→double (int128→double, then
+    // /10^scale) double-rounds once the scaled integer exceeds 2^53 —
+    // w's 12-digit scale crosses that at any realistic corpus. With
+    // identical doubles in, the products, sqrt, and floor are plain
+    // IEEE ops — bit-identical on both engines.
+    def d2d(c: Column) = c.cast("string").cast("double")
     // greatest(0, ·): a near-constant stratum can go epsilon-negative
     // in double rounding, and sqrt(−ε) = NaN would null the weight
     val w = sqrt(greatest(lit(0.0),
-      col("n_h").cast("double") * col("ss").cast("double") -
-        col("s").cast("double") * col("s").cast("double")))
+      col("n_h").cast("double") * d2d(col("ss")) -
+        d2d(col("s")) * d2d(col("s"))))
       .cast("decimal(20,12)")
     val weighted = stats.withColumn("w", w)
     val wsum = weighted.agg(sum(col("w")).cast("decimal(38,12)").as("ws"))
     val quotas = weighted.crossJoin(broadcast(wsum))
       .select(col("h"), col("n_h"),
-        col("w").cast("double").as("w_h"),
+        d2d(col("w")).as("w_h"),
         least(col("n_h"),
-          floor(lit(budget).cast("double") * col("w").cast("double") /
-            col("ws").cast("double")).cast("bigint")).as("quota"))
+          floor(lit(budget).cast("double") * d2d(col("w")) /
+            d2d(col("ws"))).cast("bigint")).as("quota"))
     val mix = {
       val v1 = (col("id") * lit(2654435761L) + lit(97L)) % lit(2147483648L)
       val x1 = v1.bitwiseXOR(shiftright(v1, 13))

@@ -56,9 +56,24 @@ object Similarity {
     * Brute-force formulation (the exactness baseline, like
     * [[bruteForceTopK]]); [[hardNegativesIvf]] is the drop-in corpus-
     * scale path — same output schema, IVF-bucketed candidates.
+    *
+    * Like [[marginPairs]] and [[graft.ext.Dedup.embeddingCosinePairs]],
+    * the brute face is OPT-IN (`acceptBroadcastBaseline = true`): every
+    * vector is an anchor, so the crossJoin broadcasts the ENTIRE corpus
+    * to every task — exactly the wrong shape at the training-corpus
+    * sizes the operator is named for.
     */
   def hardNegatives(emb: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, k: Int): DataFrame = {
+      labelCol: String, k: Int,
+      acceptBroadcastBaseline: Boolean = false): DataFrame = {
+    require(acceptBroadcastBaseline,
+      "hardNegatives is the exact brute-force BASELINE: it crossJoin-" +
+        "broadcasts the ENTIRE embedding table to every task (every " +
+        "vector is an anchor), a data-sized broadcast that fails at " +
+        "corpus scale. For production mining use hardNegativesIvf " +
+        "(bucketed candidates, identical output contract); pass " +
+        "acceptBroadcastBaseline = true only for oracle-anchor or " +
+        "recall-measurement runs where you know the corpus is small.")
     graft.plans.GraftExtensions.ensure(emb.sparkSession) // vec_dot
     val base = emb.select(col(idCol).as("nid"), col(vecCol).as("nv"),
         col(labelCol).as("nl"))

@@ -1371,9 +1371,12 @@ object Ext {
   /** Same block, name-PREFIXED and source-pluggable (round 10): `P`
     * prefixes every CTE name so two replays (raw + whitened inputs)
     * can coexist in one WITH; the `${P}n(vec_id, v)` source relation
-    * is supplied by the caller. `lshReplayCtes` keeps the historical
-    * unprefixed embeddings-sourced form byte-compatible for the
-    * existing oracles.
+    * is supplied by the caller. `lshReplayCtes` preserves the
+    * historical unprefixed embeddings-sourced form modulo one
+    * deliberate change: the zero-norm `WHERE list_dot_product(v,v)>0`
+    * guard in the shared `e` CTE, added in lockstep with
+    * cosineLshPairs' `nrm > 0` filter so engine and oracle agree on
+    * dropping degenerate vectors.
     */
   private[queries] def lshReplayTail(P: String): String =
     s"""${P}e AS (SELECT vec_id AS id, v, sqrt(list_dot_product(v, v)) AS nrm

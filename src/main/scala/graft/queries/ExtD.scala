@@ -1516,7 +1516,8 @@ object ExtD {
   val xHardNegatives = Q(
     "x_hard_negatives",
     (s, dir) => graft.ext.Similarity.hardNegatives(
-      t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5)
+      t(s, dir, "embeddings"), "vec_id", "embedding", "label", k = 5,
+      acceptBroadcastBaseline = true) // oracle-anchor run on test SF
       .orderBy(col("qid"), col("rank")),
     Some("""WITH e AS (SELECT vec_id, label,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -78,7 +78,8 @@ object ExtE {
     (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val bf = Similarity.hardNegatives(emb, "vec_id", "embedding",
-        "label", k = 5).select(col("qid"), col("nid"))
+        "label", k = 5, acceptBroadcastBaseline = true) // recall anchor
+        .select(col("qid"), col("nid"))
       val ivf = Similarity.hardNegativesIvf(emb, "vec_id", "embedding",
         "label", k = 5).select(col("qid"), col("nid"))
       val nA = emb.agg(countDistinct(col("vec_id")).as("n_anchors"))

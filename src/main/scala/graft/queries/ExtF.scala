@@ -848,21 +848,25 @@ object ExtF {
           CAST(SUM(x) AS DECIMAL(38,2)) AS s,
           CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS ss
         FROM base GROUP BY 1),
-      /* VARCHAR roundtrip (the hbos lnC idiom): Spark's double-to-
-         decimal cast rounds the shortest string repr; DuckDB's direct
-         cast rounds the binary double — they diverge once the weight
-         magnitude pushes 12 fractional digits past double's 17
-         significant digits (w ~ sqrt(n_h*Sum(x^2)) at larger SFs) */
+      /* VARCHAR roundtrip (the hbos lnC idiom) on EVERY decimal→double
+         crossing, not just the sqrt output: DuckDB's direct
+         decimal→double (int128→double, then /10^scale) double-rounds
+         once the scaled integer exceeds 2^53, while the JVM's is
+         correctly rounded — parsing the same exact decimal TEXT is
+         correctly rounded on both, so the doubles (and every IEEE op
+         after them) are bit-identical */
       wtab AS (SELECT h, n_h,
           CAST(CAST(sqrt(GREATEST(CAST(0 AS DOUBLE),
-            CAST(n_h AS DOUBLE) * CAST(ss AS DOUBLE)
-              - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)))
+            CAST(n_h AS DOUBLE) * CAST(CAST(ss AS VARCHAR) AS DOUBLE)
+              - CAST(CAST(s AS VARCHAR) AS DOUBLE)
+                * CAST(CAST(s AS VARCHAR) AS DOUBLE)))
             AS VARCHAR) AS DECIMAL(20,12)) AS w
         FROM stats),
       ws AS (SELECT CAST(SUM(w) AS DECIMAL(38,12)) AS wsd FROM wtab),
-      quotas AS (SELECT h, n_h, CAST(w AS DOUBLE) AS w_h,
-          LEAST(n_h, CAST(floor(CAST(2000 AS DOUBLE) * CAST(w AS DOUBLE)
-            / CAST(wsd AS DOUBLE)) AS BIGINT)) AS quota
+      quotas AS (SELECT h, n_h, CAST(CAST(w AS VARCHAR) AS DOUBLE) AS w_h,
+          LEAST(n_h, CAST(floor(CAST(2000 AS DOUBLE)
+            * CAST(CAST(w AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(wsd AS VARCHAR) AS DOUBLE)) AS BIGINT)) AS quota
         FROM wtab CROSS JOIN ws),
       mixed AS (SELECT h, id,
           xor((xor(v1, v1 // 8192) * 1103515245) % 2147483648,

@@ -83,7 +83,11 @@ object GeoStream {
     // batch re-unions identical point rows, and each state copy would
     // pair (and alert) separately against every future batch; exact
     // duplicates carry no information, while a genuinely moved point
-    // (same id, new coords/ts) still keeps its full position history
+    // (same id, new coords/ts) still keeps its full position history.
+    // (Deduped AGAIN after the aging fold below: under aging a
+    // redelivered ts-less row is null-ts here but identical to its
+    // anchored state copy once ts := coalesce(ts, _maxt) materializes
+    // — deduping only pre-anchor would leave both.)
     val merged = prior.fold(conform(pts))(p => p.unionByName(conform(pts)))
       .dropDuplicates(keepAll)
     // age-out AFTER pairing: a point expiring in this batch still
@@ -110,6 +114,12 @@ object GeoStream {
           coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
         .withColumn("ts", coalesce(col("ts"), col("_maxt")))
         .drop("_maxt")
+        // second dedup, POST-anchor: a redelivered ts-less row enters
+        // the merge with null ts (≠ its anchored state copy) and only
+        // becomes row-identical once ts is materialized here — without
+        // this, each redelivery would leave a second state row that
+        // pairs (and alerts) separately against every future batch
+        .dropDuplicates(keepAll)
     }
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)
     pairs

@@ -85,6 +85,15 @@ class ExtGSpec extends SparkSuite {
     assert(e.getMessage.contains("marginPairsIvf"))
   }
 
+  test("hardNegatives brute face requires the broadcast opt-in") {
+    val df = Seq((0L, Seq(1f, 0f), "a"), (1L, Seq(0f, 1f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(df, "vec_id", "embedding", "label", 2)
+    }
+    assert(e.getMessage.contains("hardNegativesIvf"))
+  }
+
   test("margin guard drops candidates with a non-positive neighborhood average") {
     // every B vector is anti-correlated with every A vector, so each
     // endpoint's k-NN average is NEGATIVE — without the denominator

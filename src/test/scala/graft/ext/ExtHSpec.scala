@@ -69,6 +69,37 @@ class ExtHSpec extends SparkSuite {
       3L -> (0L, 1L), 4L -> (2L, 1L), 5L -> (2L, 1L)))
   }
 
+  test("packBestFit rejects non-positive token counts loudly") {
+    // a negative count would INCREASE a bin's remaining past seqLen
+    // and a zero-token doc diverges from the SQL oracle's replay —
+    // both faces share bfdPlace, so the guard covers the stream too
+    val docs = Seq((0L, 5L), (1L, 0L))
+      .toDF("doc_id", "toks").withColumn("g", lit("a"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.packBestFit(docs, col("g"), col("doc_id"),
+        col("toks"), seqLen = 10).collect()
+    }
+    assert(e.getMessage.contains("non-positive token count") ||
+      Option(e.getCause).exists(_.getMessage != null) &&
+        e.getCause.getMessage.contains("non-positive token count"))
+  }
+
+  test("packBestFit caps the per-group doc count loudly") {
+    // a group is packed as one in-task array; a caller who skips the
+    // shardAssignDocs composer must get a loud require, not a silent
+    // executor OOM on a hot group
+    val docs = spark.range(0, 100)
+      .select(col("id").as("doc_id"), lit(3L).as("toks"),
+        lit("hot").as("g"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Sampling.packBestFit(docs, col("g"), col("doc_id"),
+        col("toks"), seqLen = 10, maxDocsPerGroup = 50).collect()
+    }
+    val msg = e.getMessage +
+      Option(e.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("shardAssignDocs"), msg.take(400))
+  }
+
   test("packBestFit picks the TIGHTEST fitting bin, not the first") {
     // the BFD-vs-FFD discriminator (brute-force-searched): tokens
     // [12,12,8,5,1,1] at seqLen 15 → b0 rem 3, b1 rem 3, b2=[8,5]

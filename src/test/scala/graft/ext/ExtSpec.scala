@@ -78,7 +78,8 @@ class ExtSpec extends SparkSuite {
   }
 
   test("IVF hard negatives: same contract as brute force, sane recall") {
-    val bf = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 5)
+    val bf = Similarity.hardNegatives(emb, "vec_id", "embedding", "label", 5,
+      acceptBroadcastBaseline = true)
     val ivf = Similarity.hardNegativesIvf(emb, "vec_id", "embedding", "label", 5)
     assert(ivf.columns.toSeq == bf.columns.toSeq)
     val bfSet = bf.select("qid", "nid").collect()
@@ -327,7 +328,8 @@ class ExtSpec extends SparkSuite {
       (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(0.9f, 0.1f), 0),
       (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.5f, 0.8f), 1))
       .toDF("vec_id", "embedding", "label")
-    val r = Similarity.hardNegatives(df, "vec_id", "embedding", "label", 2)
+    val r = Similarity.hardNegatives(df, "vec_id", "embedding", "label", 2,
+      acceptBroadcastBaseline = true)
       .collect()
     assert(r.forall(x =>
       x.getAs[Int]("anchor_label") != x.getAs[Int]("negative_label")),

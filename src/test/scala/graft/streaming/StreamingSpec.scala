@@ -519,6 +519,35 @@ class StreamingSpec extends SparkSuite {
       "migrated rows must expire one horizon after their anchor")
   }
 
+  test("geo redelivered ts-less batch collapses with its anchored copy") {
+    import graft.streaming.{GeoStream, StateDir}
+    import spark.implicits._
+    val state = Files.createTempDirectory("georedeliver")
+      .resolve("state").toString
+    // batch 1 (ts-bearing) seeds state and enables aging
+    GeoStream.applyBatch(
+      Seq((1L, 40000000L, -74000000L, 100L))
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(1000L))
+    // batch 2: a null-ts row (ts column present, value null — the
+    // migrated/ts-less shape) — it anchors to the observed max
+    val b2 = Seq((2L, 40001000L, -74000000L, Option.empty[Long]))
+      .toDF("id", "lat_micro", "lon_micro", "ts")
+    GeoStream.applyBatch(b2, state, 10000L, ageHorizon = Some(1000L))
+    assert(StateDir.readPrior(spark, state).get.count() === 2L)
+    // batch 2 REDELIVERED (at-least-once): the redelivered row enters
+    // the merge with NULL ts — only after the anchor materializes is
+    // it row-identical to its state copy (whose ts was anchored to the
+    // max on first delivery), so the post-aging dedup must collapse
+    // them. Before the fix this left TWO state rows for id 2 (each
+    // pairing and alerting separately against future batches).
+    GeoStream.applyBatch(b2, state, 10000L, ageHorizon = Some(1000L))
+    val st = StateDir.readPrior(spark, state).get
+    val rows = st.select("id").as[Long].collect().toSeq
+    assert(rows.sorted === Seq(1L, 2L),
+      s"redelivered ts-less row must not duplicate state: $rows")
+  }
+
   test("geo aging with no observed event time keeps the migrated state") {
     import graft.streaming.{GeoStream, StateDir}
     import spark.implicits._
