@@ -258,11 +258,19 @@ object Geo {
     * the verify is the canonicalized haversine instead of planar
     * integer distance.
     *
-    * `maxAbsLatMicro` declares the data's latitude band; points
-    * beyond it would break the longitude-span guarantee, so they are
-    * excluded from the join (a real pipeline routes polar points to a
-    * dedicated coarse band — at |lat| ≥ 66° the lon cell is already
-    * ≥2.5× the lat cell).
+    * `maxAbsLatMicro` declares the band where cos(lat)-sized lon
+    * cells are sound; points BEYOND it (the polar caps) are routed to
+    * a dedicated coarse band: one lon-spanning cell per lat ring
+    * (keyed by cx alone). Any true pair has |Δlat| ≤ latCell, hence
+    * |Δcx| ≤ 1, so probing rings cx−1..cx+1 against the polar build
+    * side covers every pair with a polar member — trans-band pairs
+    * included. Only points with |lat| ≥ band − latCell can partner a
+    * polar point, so the probe leg is filtered to that collar and the
+    * whole polar leg is empty (and free) for mid-latitude data. The
+    * cap ring is deliberately coarse (at |lat| > 66° a full ring is
+    * ≤ 0.41× the equator; cap data is sparse in practice) — candidate
+    * count within a cap ring is quadratic in that ring's population,
+    * never in the corpus.
     *
     * Longitude cells WRAP at the antimeridian: the ring is divided
     * into [[nLonCells]] equal cells and probe offsets are taken
@@ -294,9 +302,42 @@ object Geo {
         pmod(col("cy") + col("dy"), lit(nLon)).as("cy"))
     val dist = haversineM(col("lat_micro"), col("lon_micro"),
       col("lat_b"), col("lon_b"))
-    cellifyGeo(inBand, latCell, nLon)
+    val inBandPairs = cellifyGeo(inBand, latCell, nLon)
       .join(probe, Seq("cx", "cy"))
       .filter(col("id") < col("id_b") && dist <= lit(radiusMeters))
       .select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
+    // ---- polar leg: one lon-spanning cell per lat ring beyond the
+    // band. Build side = polar points keyed by cx; probe side = every
+    // point within one latCell of the band edge (the only points that
+    // can partner a polar point), probing rings cx−1..cx+1. A
+    // polar×in-band pair appears exactly once (build must be polar);
+    // a polar×polar pair appears in both orientations, so those keep
+    // pid < id_b. Disjoint from the in-band leg (which requires BOTH
+    // members in band), so the union is exact and dedup-free.
+    val polar = points.filter(abs(col("lat_micro")) > lit(maxAbsLatMicro))
+    val polarBuild = polar.select(col("id").as("pid"),
+      col("lat_micro").as("lat_p"), col("lon_micro").as("lon_p"),
+      expr(s"(lat_micro + 90000000L) div ${latCell}L").as("cx"))
+    val collar = points.filter(
+      abs(col("lat_micro")) >= lit(maxAbsLatMicro - latCell))
+    val capProbe = collar.select(col("id").as("id_b"),
+        col("lat_micro").as("lat_b"), col("lon_micro").as("lon_b"),
+        expr(s"(lat_micro + 90000000L) div ${latCell}L").as("cx0"),
+        (abs(col("lat_micro")) <= lit(maxAbsLatMicro)).as("b_in_band"))
+      // explode, not a 3-row crossJoin: stays a generator inside
+      // codegen and keeps the plan's single nested-loop budget for the
+      // in-band offsets broadcast
+      .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .select(col("id_b"), col("lat_b"), col("lon_b"),
+        (col("cx0") + col("dx")).as("cx"), col("b_in_band"))
+    val pDist = haversineM(col("lat_p"), col("lon_p"),
+      col("lat_b"), col("lon_b"))
+    val polarPairs = polarBuild.join(capProbe, Seq("cx"))
+      .filter(col("pid") =!= col("id_b"))
+      .filter(col("b_in_band") || col("pid") < col("id_b"))
+      .filter(pDist <= lit(radiusMeters))
+      .select(least(col("pid"), col("id_b")).as("id_a"),
+        greatest(col("pid"), col("id_b")).as("id_b"), pDist.as("dist_m"))
+    inBandPairs.unionByName(polarPairs)
   }
 }

@@ -543,6 +543,47 @@ object ExtF {
       SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 1000.0
       ORDER BY id_a, id_b"""))
 
+  /** Polar-band geodesic pairs: the synthetic box shifted UP onto the
+    * 66° band limit (lat ∈ [65.5°, 66.5°]) so roughly half the points
+    * land beyond the band — the engine must route them through the
+    * dedicated coarse polar ring (one lon-spanning cell per lat ring)
+    * and still find every polar×polar and trans-band pair. The NAIVE
+    * quadratic oracle has no band concept at all, so a hash hit proves
+    * the cap routing loses no pair and invents none (before r11 these
+    * points were silently DROPPED from the pair set).
+    */
+  val xGeoRadiusPairsPolar = Q(
+    "x_geo_radius_pairs_polar",
+    (s, dir) => {
+      val base = Geo.syntheticPoints(t(s, dir, "customer"), "c_custkey")
+      val shifted = base.select(col("id"),
+        (col("lat_micro") + lit(25500000L)).as("lat_micro"),
+        col("lon_micro"))
+      Geo.radiusPairsGeodesic(shifted, radiusMeters = 1000.0,
+          maxAbsLatMicro = 66000000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some(s"""WITH $geoPtsCte,
+      sp AS (SELECT id, lat + 25500000 AS lat, lon FROM pts),
+      rp AS (SELECT id,
+          (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS phi,
+          (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
+            AS lam
+        FROM sp),
+      cand AS (SELECT a.id AS id_a, b.id AS id_b,
+          ${cn("sin((a.phi - b.phi) / 2.0)")} AS sdlat,
+          ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
+          ${cn("cos(a.phi)")} AS ca,
+          ${cn("cos(b.phi)")} AS cb
+        FROM rp a JOIN rp b ON a.id < b.id),
+      d AS (SELECT id_a, id_b, 12742000.0 *
+          ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
+            AS dist_m
+        FROM cand)
+      SELECT id_a, id_b, dist_m FROM d WHERE dist_m <= 1000.0
+      ORDER BY id_a, id_b"""))
+
   val xGeoIncremental = Q(
     "x_geo_pairs_incremental",
     (s, dir) => {
@@ -986,5 +1027,6 @@ object ExtF {
     xMultimodalAudioFeatures,
     xGeoRadiusPairs, xGeoNearest, xGeoCellDensity, xGeoIncremental,
     xGeoRadiusPairsGeodesic, xGeoRadiusPairsAntimeridian,
+    xGeoRadiusPairsPolar,
     xMmrRerank, xFpsSample, xHbosOutliers, xKCore)
 }

@@ -184,6 +184,88 @@ class GeoSpec extends SparkSuite {
     assert(got === naive)
   }
 
+  test("radiusPairsGeodesic routes polar points through the coarse cap band") {
+    // points straddling the 66° band limit in BOTH hemispheres: before
+    // r11 everything beyond |66°| was silently dropped from the pair
+    // set — now trans-band (one member in band, one beyond) and
+    // polar×polar pairs must all surface via the one-lon-cell cap ring
+    val rnd = new Random(67)
+    val north = (0L until 150L).map(i =>
+      (i, 65800000L + rnd.nextInt(400001),
+        10000000L + rnd.nextInt(400001)))
+    val south = (150L until 300L).map(i =>
+      (i, -65800000L - rnd.nextInt(400001),
+        -120000000L + rnd.nextInt(400001)))
+    val rows = north ++ south
+    val rM = 2000.0
+    def hav(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      val toRad = math.Pi / 180 / 1e6
+      val sp = math.sin((a._2 - b._2) * toRad / 2)
+      val sl = math.sin((a._3 - b._3) * toRad / 2)
+      2 * Geo.EarthRadiusM * math.asin(math.sqrt(
+        sp * sp + math.cos(a._2 * toRad) * math.cos(b._2 * toRad) * sl * sl))
+    }
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1 if hav(a, b) <= rM
+    } yield (a._1, b._1)).toSet
+    val transBand = naive.filter { case (i, j) =>
+      val la = math.abs(rows(i.toInt)._2); val lb = math.abs(rows(j.toInt)._2)
+      (la > 66000000L) != (lb > 66000000L)
+    }
+    val polarPolar = naive.filter { case (i, j) =>
+      math.abs(rows(i.toInt)._2) > 66000000L &&
+        math.abs(rows(j.toInt)._2) > 66000000L
+    }
+    assert(transBand.size > 5 && polarPolar.size > 5,
+      s"fixture not probative: ${transBand.size} trans-band, " +
+        s"${polarPolar.size} polar pairs")
+    val got = Geo.radiusPairsGeodesic(pts(rows: _*), rM,
+        maxAbsLatMicro = 66000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    val boundary = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d = hav(a, b) if math.abs(d - rM) < 1e-3
+    } yield (a._1, b._1)).toSet
+    assert((got.toSet -- boundary) === (naive -- boundary))
+  }
+
+  test("radiusPairsGeodesic finds near-pole pairs across all longitudes") {
+    // within 0.05° of the north pole every meridian converges: two
+    // points with lons 180° apart can sit a few hundred meters from
+    // each other. The cap ring (one lon-spanning cell per lat ring)
+    // must pair them even though any in-band lon bucketing would put
+    // them maximally far apart.
+    val rnd = new Random(89)
+    val rows = (0L until 200L).map(i =>
+      (i, 89950000L + rnd.nextInt(50001),
+        -180000000L + rnd.nextInt(360000001)))
+    val rM = 3000.0
+    def hav(a: (Long, Long, Long), b: (Long, Long, Long)): Double = {
+      val toRad = math.Pi / 180 / 1e6
+      val sp = math.sin((a._2 - b._2) * toRad / 2)
+      val sl = math.sin((a._3 - b._3) * toRad / 2)
+      2 * Geo.EarthRadiusM * math.asin(math.sqrt(
+        sp * sp + math.cos(a._2 * toRad) * math.cos(b._2 * toRad) * sl * sl))
+    }
+    val naive = (for {
+      a <- rows; b <- rows if a._1 < b._1 if hav(a, b) <= rM
+    } yield (a._1, b._1)).toSet
+    val farLon = naive.filter { case (i, j) =>
+      math.abs(rows(i.toInt)._3 - rows(j.toInt)._3) > 90000000L }
+    assert(naive.size > 20 && farLon.size > 3,
+      s"fixture not probative: ${naive.size} pairs, ${farLon.size} far-lon")
+    val got = Geo.radiusPairsGeodesic(pts(rows: _*), rM,
+        maxAbsLatMicro = 66000000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    val boundary = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      d = hav(a, b) if math.abs(d - rM) < 1e-3
+    } yield (a._1, b._1)).toSet
+    assert((got.toSet -- boundary) === (naive -- boundary))
+  }
+
   test("radiusPairsGeodesic wraps the antimeridian at several latitudes") {
     // points straddling ±180°: lon drawn from [179.9°, 180.1°] and
     // values past 180° wrapped to (−180°, −179.9°] — before the ring

@@ -435,6 +435,23 @@ class PlanSpec extends SparkSuite {
     assert(!pp.contains("Join"), s"packer grew a join:\n$pp")
   }
 
+  test("round-11 polar cap keeps the geodesic scale shape") {
+    // polar face: routing the caps through the one-lon-cell ring must
+    // not cost the equi-join shape — the polar leg joins on the lat
+    // ring (cx) hash key, its ±1 ring probe is an EXPLODE (a generator,
+    // not a join), so the plan's single nested-loop stays the in-band
+    // offsets broadcast
+    val pp = plan("x_geo_radius_pairs_polar")
+    assert(!pp.contains("CartesianProduct"),
+      s"polar face went cartesian:\n$pp")
+    assert(pp.contains("BroadcastHashJoin [cx"),
+      s"polar face lost the cell equi-join:\n$pp")
+    assert(pp.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"unexpected nested-loops:\n$pp")
+    assert(pp.contains("Generate explode"),
+      s"polar ring probe should be an explode generator:\n$pp")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
