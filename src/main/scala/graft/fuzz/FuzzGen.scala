@@ -226,6 +226,33 @@ object FuzzGen {
         s"(SELECT $inner FROM $tbl WHERE ${pred.sql})"
   }
 
+  /** Round-11 wave 7: [NOT] IN whose list is a SET OPERATION —
+    * `(parentCol % m) [NOT] IN (SELECT a % m FROM t WHERE pA
+    *  UNION ALL|INTERSECT|EXCEPT SELECT b % m FROM t WHERE pB)`.
+    * IN only tests MEMBERSHIP, so UNION ALL's bag vs INTERSECT/
+    * EXCEPT's set-distinct must NOT change the decision — but the
+    * set-op's NULL convention (set ops group NULLs as equal in both
+    * engines, so INTERSECT can emit a NULL that poisons a NOT IN,
+    * and EXCEPT can REMOVE the NULL that would have) flows straight
+    * into the three-valued IN logic. nullR's NULLIF rides the FIRST
+    * branch only, so EXCEPT's right side can cancel poison and
+    * INTERSECT can require it on both. DataFrame rendering: the same
+    * hand-built null-aware semi/anti as [[InSub]] over the composed
+    * set-op child (both branches cast to BIGINT — the set-op's own
+    * type unification — before composition).
+    */
+  final case class InSetSub(parentCol: String, m: Int, tbl: String,
+      colA: String, colB: String, setOp: String, nullR: Option[Int],
+      neg: Boolean, predA: Pred, predB: Pred) {
+    private def innerA: String =
+      nullR.fold(s"CAST($colA % $m AS BIGINT)")(r =>
+        s"CAST(NULLIF($colA % $m, $r) AS BIGINT)")
+    def sql: String =
+      s"($parentCol % $m) ${if (neg) "NOT " else ""}IN " +
+        s"(SELECT $innerA FROM $tbl WHERE ${predA.sql} $setOp " +
+        s"SELECT CAST($colB % $m AS BIGINT) FROM $tbl WHERE ${predB.sql})"
+  }
+
   /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
     * EXISTS / NOT EXISTS against the right table (decorrelated to
     * left_semi / left_anti in the DataFrame rendering) — only the left
@@ -258,6 +285,25 @@ object FuzzGen {
     * never equals anything, so EXISTS drops the subtotal row and NOT
     * EXISTS keeps it.
     */
+  /** Round-11 wave 7 fields (rnd7 stream):
+    *  - `selectSub` — a CORRELATED scalar subquery in the SELECT list
+    *    of a window shape: unlike the WHERE-clause [[CorrSub]] (whose
+    *    NULL comparison DROPS childless parents), the select-list
+    *    position NULL-EXTENDS — the row survives with sq = NULL. The
+    *    DataFrame rendering decorrelates to the per-FK aggregate LEFT
+    *    join with NO filter, exactly Catalyst's select-list path. The
+    *    CorrSub `op` field is unused here.
+    *  - `inSetSub` — [[InSetSub]], [NOT] IN over a set-op child.
+    *  - `winOverAgg` — a running windowed aggregate OVER the GROUPED
+    *    result: `SUM(n) OVER (ORDER BY keys ROWS UNBOUNDED
+    *    PRECEDING..CURRENT ROW)` wrapped around a plain GROUP BY —
+    *    window-above-Aggregate, a planner path none of the earlier
+    *    window shapes reach (they window over base rows). Group keys
+    *    are unique per row, so the ROWS running sum is a deterministic
+    *    function of the key order; plain gmode only (grouping-set
+    *    subtotals could collide with genuine NULL keys in the total
+    *    order).
+    */
   final case class FuzzCase(seed: Int, fromTables: Seq[TableMeta],
       join: Option[(String, String, String, String)], joinKind: String,
       join2: Option[(String, String, String, String)],
@@ -267,7 +313,10 @@ object FuzzGen {
       inSub: Option[InSub] = None,
       havingSub: Option[(String, String, Pred)] = None,
       lateralAgg: Option[CorrSub] = None,
-      havingExists: Option[(String, String, Boolean, Pred)] = None) {
+      havingExists: Option[(String, String, Boolean, Pred)] = None,
+      selectSub: Option[CorrSub] = None,
+      inSetSub: Option[InSetSub] = None,
+      winOverAgg: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -308,7 +357,7 @@ object FuzzGen {
         case _ => Seq()
       }
       val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
-        corrSub.map(_.sql) ++ inSub.map(_.sql) ++
+        corrSub.map(_.sql) ++ inSub.map(_.sql) ++ inSetSub.map(_.sql) ++
         lateralAgg.map(la => s"${la.parentCol} ${la.op} lsub.mx")
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
@@ -350,8 +399,22 @@ object FuzzGen {
               s"WHERE CAST($hc % $m AS BIGINT) = ${keys.head.alias} " +
               s"AND ${p.sql})"
         }
-        he.fold(s"$core ORDER BY $ord")(cond =>
-          s"SELECT * FROM ($core) gouter WHERE $cond ORDER BY $ord")
+        val withHe = he.fold(core)(cond =>
+          s"SELECT * FROM ($core) gouter WHERE $cond")
+        // wave 7: running SUM(n) over the grouped (and HAVING/EXISTS-
+        // filtered) result — keys are unique per row, so the ROWS
+        // running sum under the key order is deterministic
+        if (winOverAgg && keys.nonEmpty && gmode == "plain") {
+          val cols = keys.map(_.alias) ++ aggs.map(_.alias)
+          val keyOrd = keys.map(k => s"${k.alias} ASC NULLS FIRST")
+            .mkString(", ")
+          val ordR = (cols :+ "rsum")
+            .map(a => s"$a ASC NULLS FIRST").mkString(", ")
+          s"SELECT ${cols.mkString(", ")}, CAST(SUM(n) OVER (" +
+            s"ORDER BY $keyOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            s"CURRENT ROW) AS BIGINT) AS rsum FROM ($withHe) wagg " +
+            s"ORDER BY $ordR"
+        } else s"$withHe ORDER BY $ord"
       case WinShape(pk, ordCol, desc, ids, topK, fn) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
@@ -361,13 +424,21 @@ object FuzzGen {
           case "row_number" => s"$ordCol$dir, $tie"
           case _ => s"$ordCol$dir"
         }
-        val outer = (Seq("pk") ++ ids ++ Seq("rn")).mkString(", ")
-        val outerOrd = (Seq("pk") ++ ids ++ Seq("rn"))
+        // wave 7: a correlated scalar subquery in the SELECT list —
+        // NULL-extends (childless parents keep the row, sq = NULL),
+        // unlike the WHERE-clause CorrSub which drops them
+        val sqSel = selectSub.fold("") { ss =>
+          s",\n    (SELECT MAX(${ss.childCol}) FROM ${ss.tbl} " +
+            s"WHERE ${ss.fkChild} = ${ss.fkParent} AND ${ss.pred.sql}) AS sq"
+        }
+        val sqCol = selectSub.map(_ => "sq").toSeq
+        val outer = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol).mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol)
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
         s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $winOrd) AS INTEGER) AS rn
+           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
@@ -463,7 +534,7 @@ object FuzzGen {
         df.join(agg, col(la.fkParent) === col("_lk"), "left")
           .filter(cond).drop("_lk", "_lmx")
       }
-      val base = inSub.foldLeft(base5) { (df, is) =>
+      val base6 = inSub.foldLeft(base5) { (df, is) =>
         val raw = (col(is.childCol) % is.m)
         val iv = is.nullR
           .fold(raw)(r => when(raw === r, lit(null)).otherwise(raw))
@@ -487,6 +558,42 @@ object FuzzGen {
             .drop("_hasnull", "_cnt")
             .join(sub, pv === col("_iv"), "left_anti")
         }
+      }
+      // wave 7: [NOT] IN over a set-op child — compose the list from
+      // the two branches (both cast BIGINT, the set-op's own type
+      // unification), then the identical null-aware semi/anti as inSub
+      val base7 = inSetSub.foldLeft(base6) { (df, is) =>
+        val t = H.t(s, dir, is.tbl)
+        val rawA = (col(is.colA) % is.m).cast("bigint")
+        val ivA = is.nullR
+          .fold(rawA)(r => when(rawA === r, lit(null)).otherwise(rawA))
+        val sideA = t.filter(is.predA.df).select(ivA.as("_iv"))
+        val sideB = t.filter(is.predB.df)
+          .select((col(is.colB) % is.m).cast("bigint").as("_iv"))
+        val sub = is.setOp match {
+          case "UNION ALL" => sideA.union(sideB)
+          case "INTERSECT" => sideA.intersect(sideB)
+          case "EXCEPT" => sideA.except(sideB)
+        }
+        val pv = col(is.parentCol) % is.m
+        if (!is.neg) df.join(sub, pv === col("_iv"), "left_semi")
+        else {
+          val flag = sub.agg(max(col("_iv").isNull).as("_hasnull"),
+            count(lit(1)).as("_cnt"))
+          df.crossJoin(broadcast(flag))
+            .filter(!coalesce(col("_hasnull"), lit(false)) &&
+              (pv.isNotNull || col("_cnt") === 0))
+            .drop("_hasnull", "_cnt")
+            .join(sub, pv === col("_iv"), "left_anti")
+        }
+      }
+      // wave 7: select-list correlated scalar — per-FK MAX aggregate
+      // LEFT-joined with NO filter (NULL-extension, not row attrition)
+      val base = selectSub.foldLeft(base7) { (df, ss) =>
+        val agg = H.t(s, dir, ss.tbl).filter(ss.pred.df)
+          .groupBy(col(ss.fkChild).as("_sk"))
+          .agg(max(col(ss.childCol)).as("sq"))
+        df.join(agg, col(ss.fkParent) === col("_sk"), "left").drop("_sk")
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
@@ -536,7 +643,17 @@ object FuzzGen {
                 if (neg) "left_anti" else "left_semi")
             case _ => h2
           }
-          h3.orderBy((keys.map(k => col(k.alias)) ++
+          if (winOverAgg && keys.nonEmpty && gmode == "plain") {
+            // running SUM(n) above the Aggregate: a global ROWS window
+            // in key order (keys are unique per grouped row, so the
+            // running sum is deterministic; single-partition is fine —
+            // the grouped result is #groups rows, not data-sized)
+            val w = Window.orderBy(keys.map(k => col(k.alias).asc): _*)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            h3.withColumn("rsum", sum(col("n")).over(w).cast("bigint"))
+              .orderBy((keys.map(k => col(k.alias)) ++
+                aggs.map(a => col(a.alias)) :+ col("rsum")): _*)
+          } else h3.orderBy((keys.map(k => col(k.alias)) ++
             aggs.map(a => col(a.alias))): _*)
         case WinShape(pk, ordCol, desc, ids, topK, fn) =>
           val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
@@ -549,7 +666,8 @@ object FuzzGen {
             case "rank" => rank()
             case "dense_rank" => dense_rank()
           }
-          val outCols = (Seq("pk") ++ ids ++ Seq("rn")).map(col)
+          val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
+            selectSub.map(_ => "sq").toSeq).map(col)
           base.withColumn("pk", pk.df)
             .withColumn("rn", rankFn.over(
               Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
@@ -823,8 +941,58 @@ object FuzzGen {
             pick(rnd6, Seq("=", "<>")))))
       case _ => None
     }
+    // round-11 wave 7 rides a seventh independent stream (the
+    // rnd2..rnd6 rule): select-list correlated scalars on window
+    // shapes, [NOT] IN over set-op children, and running windowed
+    // aggregates over grouped results
+    val rnd7 = new Random(seed * 0x94D049BBL + 83)
+    val selectSub = shape6 match {
+      case _: WinShape if corrEdges.nonEmpty && rnd7.nextInt(3) == 0 =>
+        val (ct, _, cfk, pk2) = pick(rnd7, corrEdges)
+        val child = byName(ct)
+        val k = pick(rnd7, Seq(2, 3, 5))
+        // op is unused in the select-list position (NULL-extension,
+        // no comparison) — carried as "sel" for the spec's coverage
+        // accounting
+        Some(CorrSub("", ct, pick(rnd7, child.intCols), "sel",
+          cfk, pk2,
+          Pred(pick(rnd7, child.intCols), k, rnd7.nextInt(k),
+            pick(rnd7, Seq("=", "<>")))))
+      case _ => None
+    }
+    val inSetSub =
+      // 1/6 like lateralAgg: NOT IN over EXCEPT/poisoned children
+      // legitimately empties cases, and the sweep's >=50/80
+      // non-emptiness floor is a hard teeth-guard (measured 47/80
+      // at 1/4)
+      if (rnd7.nextInt(6) == 0) {
+        val tbl = pick(rnd7, tables)
+        val m = pick(rnd7, Seq(4, 7, 9))
+        val kA = pick(rnd7, Seq(2, 3, 5))
+        val kB = pick(rnd7, Seq(2, 3, 5))
+        val nullR = if (rnd7.nextInt(3) == 0) Some(rnd7.nextInt(m)) else None
+        // UNION ALL weighted 2×: an IN over an INTERSECT/EXCEPT of two
+        // DIFFERENT mod-projections is often an IN over the empty set
+        // (sweep-measured), and the >=50/80 non-emptiness floor is a
+        // hard teeth-guard — the set-distinct ops stay reachable, just
+        // rarer
+        Some(InSetSub(pick(rnd7, intCols), m, tbl.name,
+          pick(rnd7, tbl.intCols), pick(rnd7, tbl.intCols),
+          pick(rnd7, Seq("UNION ALL", "UNION ALL", "INTERSECT", "EXCEPT")),
+          nullR, neg = rnd7.nextInt(2) == 1,
+          Pred(pick(rnd7, tbl.intCols), kA, rnd7.nextInt(kA),
+            pick(rnd7, Seq("=", "<>"))),
+          Pred(pick(rnd7, tbl.intCols), kB, rnd7.nextInt(kB),
+            pick(rnd7, Seq("=", "<>")))))
+      } else None
+    val winOverAgg = shape6 match {
+      case a: AggShape if a.gmode == "plain" && a.keys.nonEmpty &&
+          rnd7.nextInt(3) == 0 => true
+      case _ => false
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape6,
-      scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists)
+      scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
+      selectSub, inSetSub, winOverAgg)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -862,8 +1030,24 @@ object FuzzGen {
     * at the driver SF; earlier picks can also gain wave-6 layers on
     * the independent rnd6 stream (105's agg is now an explicit
     * GROUPING SETS list).
+    * Round-11 wave 7 additions (rnd7 stream: select-list correlated
+    * scalars on window shapes, [NOT] IN over set-op children, running
+    * SUM(n) over grouped results): 13 (running SUM over a plain GROUP
+    * BY, 25 rows), 15 (select-list correlated scalar NULL-extension on
+    * a row_number shape, 50 rows), 17 (NOT IN over an INTERSECT child
+    * under CUBE, 7 rows), 62 (IN over a NULLIF-poisoned UNION ALL
+    * under ROLLUP, 17 rows) — all non-empty at the driver SF; existing
+    * picks also gained wave-7 layers on the independent stream (25 now
+    * stacks a poisoned UNION ALL IN on its RANGE-frame positive IN; 8
+    * an INTERSECT IN; 90/117 running sums; 102/108/130-style shapes
+    * select-list scalars). The set-op pick is UNION-ALL-weighted 2×
+    * and NOT IN rides 1/2 — measured to hold the sweep's 50/80
+    * non-emptiness floor exactly. Former pick 118 (the symmetric-frame
+    * + positive-IN carrier) emptied under its new wave-7 layer and is
+    * replaced by 349 — the same sym-ROWS-frame-over-positive-IN
+    * construct, 8674 rows.
     */
-  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 20, 22, 25, 32, 34, 42, 48,
-    49, 55, 81, 90, 102, 103, 104, 105, 107, 108, 109, 110, 117, 118,
-    146, 173, 272)
+  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 20, 22, 25, 32,
+    34, 42, 48, 49, 55, 62, 81, 90, 102, 103, 104, 105, 107, 108, 109,
+    110, 117, 146, 173, 272, 349)
 }

@@ -134,5 +134,18 @@ class FuzzSpec extends SparkSuite {
           keys.headOption.exists(_.mod.isDefined)
         case _ => false
       })), "no correlated NOT-EXISTS-in-HAVING case")
+    // round-11 wave 7
+    assert(cases.exists(_.selectSub.isDefined),
+      "no select-list correlated-scalar case")
+    assert(cases.exists(c => c.inSetSub.exists(!_.neg)),
+      "no IN-over-set-op case")
+    assert(cases.exists(c => c.inSetSub.exists(_.neg)),
+      "no NOT-IN-over-set-op case")
+    assert(cases.exists(c => c.inSetSub.exists(_.nullR.isDefined)),
+      "no NULLIF-poisoned set-op IN case")
+    assert(cases.exists(c => c.winOverAgg && (c.shape match {
+      case FuzzGen.AggShape(keys, _, _, "plain") => keys.nonEmpty
+      case _ => false
+    })), "no window-over-grouped-result case")
   }
 }
