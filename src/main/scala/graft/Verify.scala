@@ -29,11 +29,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // per-query wall time on stderr: when a driver gate runs against
+      // a time budget, this is the profile that says WHICH query to
+      // trim (r10's correctness artifact came back empty — never again
+      // without a trace)
+      System.err.println(f"[verify] $name ${
+        (System.nanoTime() - t0) / 1e9}%.1fs")
       // operators that cache intermediates (LSH profiles, curate
       // fan-outs, diversity assignment) must not accumulate across the
       // 265-query run — executor memory is shared with the next query

@@ -509,6 +509,41 @@ object Text {
     array_sort(array_distinct(mins))
   }
 
+  /** [[winnowPrints]] with the intermediate arrays STAGED as real
+    * columns — the form every query should use. The single-Column
+    * formulation above embeds `gramHashes` (itself re-evaluating `hs`
+    * per gram) inside every window lambda: array subexpressions
+    * referenced inside a higher-order function are re-evaluated on
+    * every lambda invocation (no CSE inside lambda bodies), so its
+    * per-doc cost is O(n_windows × n_grams × n_tokens) — measured
+    * 80 s for 500×54-token docs at sf0.01, i.e. the tree, not the
+    * algorithm. Staging each array as a column evaluates it once per
+    * row (CollapseProject keeps multi-referenced non-cheap projections
+    * apart), restoring the algorithm's O(n·(k+w)): measured ~1 s on
+    * the same input. Output is identical — WinnowSpec asserts parity
+    * with the single-Column reference on every fixture.
+    */
+  def withWinnowPrints(df: DataFrame, textCol: String, out: String,
+      k: Int, w: Int): DataFrame = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    val hsC = s"_winnow_hs_$out"
+    val ghC = s"_winnow_gh_$out"
+    val gh = col(ghC)
+    val windows = transform(
+      sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
+      i => array_min(slice(gh, i, lit(w))))
+    val mins = when(size(col(hsC)) < k, array().cast("array<bigint>"))
+      .otherwise(when(size(gh) < w, array(array_min(gh)))
+        .otherwise(windows))
+    df.withColumn(hsC, transform(tokens(col(textCol)), wordHash(_)))
+      .withColumn(ghC, transform(
+        sequence(lit(1), greatest(size(col(hsC)) - (k - 1), lit(1))),
+        i => aggregate(slice(col(hsC), i, lit(k)), lit(0L),
+          (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L))))
+      .withColumn(out, array_sort(array_distinct(mins)))
+      .drop(hsC, ghC)
+  }
+
   /** Top-`topN` vocabulary with dense frequency-ranked ids (ties broken
     * by token, so ids are stable across runs and partitionings). The
     * count is the classic map-side-combined wordcount; top-N is a

@@ -106,10 +106,10 @@ object Ext {
     (s, dir) => {
       val nw = Text.wordCount(col("text"))
       val nGrams = when(nw < 3, lit(0L)).otherwise((nw - 2).cast("long"))
-      t(s, dir, "documents")
+      Text.withWinnowPrints(t(s, dir, "documents"), "text", "_prints",
+          k = 3, w = 4)
         .select(col("doc_id"), nGrams.as("n_grams"),
-          size(Text.winnowPrints(col("text"), k = 3, w = 4)).cast("bigint")
-            .as("n_prints"))
+          size(col("_prints")).cast("bigint").as("n_prints"))
         .withColumn("print_density",
           when(col("n_grams") > 0,
             col("n_prints").cast("double") / col("n_grams").cast("double"))
@@ -138,9 +138,18 @@ object Ext {
   val xDedupWinnow = Q(
     "x_dedup_winnow",
     (s, dir) => {
-      val prints = t(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(Text.winnowPrints(col("text"), k = 3, w = 4)).as("p"))
+      // explode_OUTER + isNotNull, not plain explode: explode makes
+      // InferFiltersFromGenerate add a size(arr) > 0 filter that
+      // PushDownPredicates then sinks BELOW the staged projections,
+      // re-inlining the full winnow tree into a per-row Filter — the
+      // exact O(n_windows x n_grams x n_tokens) re-evaluation the
+      // staging exists to kill (measured: 80 s vs 1 s at sf0.01).
+      // explode_outer infers nothing; the null row an empty print set
+      // produces is dropped by the cheap isNotNull above the Generate.
+      val prints = Text.withWinnowPrints(t(s, dir, "documents"), "text",
+          "_prints", k = 3, w = 4)
+        .select(col("doc_id"), explode_outer(col("_prints")).as("p"))
+        .filter(col("p").isNotNull)
       prints.as("a").join(prints.as("b"),
           col("a.p") === col("b.p") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -35,6 +35,28 @@ class WinnowSpec extends SparkSuite {
     assert(exactK.size === 1)
   }
 
+  test("staged withWinnowPrints is value-identical to the single-Column form") {
+    // the staged form exists purely to kill the O(n_windows x n_grams
+    // x n_tokens) lambda re-evaluation — same algorithm, same output,
+    // on boundary cases (short docs) and a real corpus slice alike
+    val fixtures = Seq("a b", "a b c", "a b c d",
+      (1 to 200).map(i => s"w${i % 37}").mkString(" "),
+      "one two three four five six seven eight")
+    val reference = prints(fixtures)
+    val staged = Text.withWinnowPrints(fixtures.toDF("text"), "text",
+        "p", k = 3, w = 4)
+      .select("p").collect().map(_.getSeq[Long](0).toSet)
+    assert(staged.toSeq === reference.toSeq)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val refCorpus = docs
+      .select(col("doc_id"), Text.winnowPrints(col("text"), 3, 4).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val stagedCorpus = Text.withWinnowPrints(docs, "text", "p", 3, 4)
+      .select("doc_id", "p")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(stagedCorpus === refCorpus)
+  }
+
   test("digest-keyed exact dedup matches text-keyed survivors") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val byText = Dedup.exact(docs, "text", "doc_id")

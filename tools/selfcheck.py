@@ -29,6 +29,7 @@ the engine.
 import json
 import math
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -119,7 +120,13 @@ def main():
             print(f"ERROR: query filter matched nothing: {sorted(unknown)}")
             sys.exit(2)
         names = [n for n in names if n in only]
+    times = {}
+    _lap = [None, 0.0]
     for name in names:
+        _now = time.monotonic()
+        if _lap[0] is not None:
+            times[_lap[0]] = _now - _lap[1]
+        _lap = [name, _now]
         if name in orphan_oracles:
             results[name] = "ORACLE-WITHOUT-QUERY (oracle_sql key not in registry)"
             continue
@@ -179,6 +186,9 @@ def main():
         else:
             results[name] = f"OK tolerance-only rows={len(grows)} (float fuzz — tighten!)"
 
+    if _lap[0] is not None:
+        times[_lap[0]] = time.monotonic() - _lap[1]
+
     width = max(len(n) for n in results) if results else 0
     fails = 0
     rows_only = 0
@@ -188,11 +198,18 @@ def main():
             fails += 1
         if r.startswith("rows-only"):
             rows_only += 1
-        print(f"{n:<{width}}  {r}")
+        # per-query oracle cost: when the driver gate runs against a
+        # wall-clock budget, this is the profile that says WHICH oracle
+        # to trim (only worth printing once it is material)
+        t = times.get(n, 0.0)
+        suffix = f"  [{t:.1f}s]" if t >= 2.0 else ""
+        print(f"{n:<{width}}  {r}{suffix}")
     # rows_only is printed so an accidentally-dropped oracle entry is
     # visible as a count change even when nothing "fails"
+    total_t = sum(times.values())
     print(f"\n{len(results)} checked, {len(results) - rows_only - fails} "
-          f"oracle-backed OK, {rows_only} rows-only, {fails} failing")
+          f"oracle-backed OK, {rows_only} rows-only, {fails} failing "
+          f"({total_t:.0f}s compare)")
     sys.exit(1 if fails else 0)
 
 
