@@ -297,6 +297,57 @@ object ScaleBench {
       }
     }
 
+    // geodesic polar cap (round 11): three regimes of the cap-band
+    // design. (1) mid-latitude corpus — the polar leg's collar filter
+    // must make it FREE (no polar points, no candidates); (2) a corpus
+    // straddling the 66° band limit — trans-band + polar pairs must
+    // stay output-bound; (3) near-pole all-longitude rings — the
+    // deliberately-coarse one-lon-cell cap makes candidates QUADRATIC
+    // in each ring's own population (the documented trade: cap data is
+    // sparse in practice, and the ring is tiny in ground area), so the
+    // measurement pins the constant rather than pretending it away.
+    if (sec("geopolar")) {
+      def pts(n: Long): DataFrame = graft.ext.Geo.syntheticPoints(
+        spark.range(n).select(col("id").as("c_custkey")), "c_custkey")
+      for (n <- Seq(400000L, 1000000L)) {
+        val p = pts(n).repartition(cpus.toInt)
+        timeShuffle(s"geoPolar mid-lat $n pts r=100m (cap EMPTY)") {
+          graft.ext.Geo.radiusPairsGeodesic(p, 100.0).count()
+        }
+      }
+      for (n <- Seq(100000L, 400000L)) {
+        val p = pts(n).select(col("id"),
+          (col("lat_micro") + lit(25500000L)).as("lat_micro"),
+          col("lon_micro")).repartition(cpus.toInt)
+        timeShuffle(s"geoPolar band-straddling $n pts r=200m (~half polar)") {
+          graft.ext.Geo.radiusPairsGeodesic(p, 200.0).count()
+        }
+        // the sizing-rule counterpart: the SAME dense 65.5–66.5° corpus
+        // with the band declared at 70° — nothing lands in the cap, the
+        // cos-sized lon cells (≈1.17× wider than a 66° band's) carry
+        // everything, and the ring-quadratic cost disappears. This pair
+        // of rows IS the documented knob: dense high-lat data belongs
+        // INSIDE the declared band; the cap holds sparse residue.
+        timeShuffle(s"geoPolar band-straddling $n pts r=200m (band at 70)") {
+          graft.ext.Geo.radiusPairsGeodesic(p, 200.0,
+            maxAbsLatMicro = 70000000L).count()
+        }
+      }
+      for (n <- Seq(20000L, 50000L)) {
+        // lat ∈ [89.9°, 90°], lon spread over the full circle: every
+        // meridian converges, so far-lon pairs are real and the ring
+        // cell must span all longitudes
+        val p = pts(n).select(col("id"),
+          (lit(89900000L) + (col("lat_micro") - lit(40000000L)) / lit(10))
+            .cast("long").as("lat_micro"),
+          ((col("lon_micro") + lit(74000000L)) * lit(360) - lit(180000000L))
+            .cast("long").as("lon_micro")).repartition(cpus.toInt)
+        timeShuffle(s"geoPolar near-pole $n pts r=50m (ring-quadratic)") {
+          graft.ext.Geo.radiusPairsGeodesic(p, 50.0).count()
+        }
+      }
+    }
+
     // time-series detectors over synthetic (group × day) panels: group
     // count grows 10x at fixed series length — per-group windows and
     // the O(days²) trend pair-join must scale linearly in GROUPS. The

@@ -270,7 +270,13 @@ object Geo {
     * cap ring is deliberately coarse (at |lat| > 66° a full ring is
     * ≤ 0.41× the equator; cap data is sparse in practice) — candidate
     * count within a cap ring is quadratic in that ring's population,
-    * never in the corpus.
+    * never in the corpus. Sizing rule for DENSE high-latitude
+    * corpora: raise `maxAbsLatMicro` (cos-sized lon cells stay sound
+    * at any declared band; ScaleBench's `geopolar` section measures
+    * the trade) — the band limit widens every ring's lon cells by
+    * 1/cos(bandLimit), so it is a corpus-level knob: set it just
+    * above the data's dense latitude range and let the cap band hold
+    * the sparse residue.
     *
     * Longitude cells WRAP at the antimeridian: the ring is divided
     * into [[nLonCells]] equal cells and probe offsets are taken
