@@ -117,21 +117,26 @@ object Bpe {
   }
 
   /** Shared CTE block (w0 + per-round p/b/w) for the unrolled oracles. */
+  /* MATERIALIZED hints throughout: DuckDB re-inlines plain CTEs per
+   * reference, and w$i references w${i-1} TWICE (directly and via
+   * b$i -> p$i) — an unrolled 8-merge chain re-evaluated the base
+   * representation 2^8 times (x_bpe_encode measured 183 s at sf0.01;
+   * materialized: ~2 s, identical output). */
   private def cteSql(merges: Int): String = {
-    val head = """WITH w0 AS (
+    val head = """WITH w0 AS MATERIALIZED (
         SELECT ' ' || array_to_string(list_transform(range(1, length(w) + 1),
             i -> w[i]), ' ') || ' ' AS repr,
           COUNT(*) AS freq
         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
         WHERE length(w) > 0 GROUP BY w)"""
     val rounds = (1 to merges).map { i =>
-      s"""p$i AS (SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
+      s"""p$i AS MATERIALIZED (SELECT pair, CAST(SUM(freq) AS BIGINT) AS c FROM (
           SELECT freq, unnest(list_transform(range(1, len(sp)),
             k -> sp[k] || ' ' || sp[k + 1])) AS pair
           FROM (SELECT string_split(trim(repr), ' ') AS sp, freq FROM w${i - 1}))
         GROUP BY pair),
-      b$i AS (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
-      w$i AS (SELECT replace(replace(replace(repr,
+      b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+      w$i AS MATERIALIZED (SELECT replace(replace(replace(repr,
             ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
             ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' '),
             ' ' || b.pair || ' ', ' ' || replace(b.pair, ' ', '') || ' ')

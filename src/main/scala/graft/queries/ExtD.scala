@@ -1746,7 +1746,7 @@ object ExtD {
       clean.unpersist()
       out
     },
-    Some("""WITH RECURSIVE d AS (SELECT doc_id, source, n_chars,
+    Some("""WITH RECURSIVE d AS MATERIALIZED (SELECT doc_id, source, n_chars,
         string_split(text, ' ') AS tks FROM documents),
       tok AS (SELECT doc_id, unnest(tks) AS tk FROM d),
       tf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM tok
@@ -1788,8 +1788,8 @@ object ExtD {
           row_number() OVER (PARTITION BY cluster_id
             ORDER BY qs DESC, doc_id) AS rn
         FROM withc),
-      surv AS (SELECT doc_id FROM rk WHERE rn = 1),
-      g5 AS (SELECT DISTINCT doc_id,
+      surv AS MATERIALIZED (SELECT doc_id FROM rk WHERE rn = 1),
+      g5 AS MATERIALIZED (SELECT DISTINCT doc_id,
         unnest(list_transform(range(1, len(tks) - 3),
           i -> tks[i] || ' ' || tks[i+1] || ' ' || tks[i+2] || ' '
             || tks[i+3] || ' ' || tks[i+4])) AS gram
@@ -1797,14 +1797,20 @@ object ExtD {
       eg AS (SELECT DISTINCT gram FROM g5 WHERE doc_id < 20),
       cont AS (SELECT DISTINCT g5.doc_id FROM g5
         JOIN eg USING (gram) WHERE g5.doc_id >= 20),
-      clean AS (SELECT s.doc_id FROM surv s
+      /* MATERIALIZED hints (DuckDB re-inlines plain CTEs per
+         reference): the water-fill rounds reference s3/s2/s1 TWICE
+         each (2^4 expansion) and every (SELECT total FROM tt) re-ran
+         the whole shingle-join + transitive-closure chain — 240 s at
+         sf0.01; materializing the chain's midpoints makes it 0.4 s
+         with identical output */
+      clean AS MATERIALIZED (SELECT s.doc_id FROM surv s
         WHERE s.doc_id >= 20
           AND s.doc_id NOT IN (SELECT doc_id FROM cont)),
-      caps AS (SELECT d.source AS domain,
+      caps AS MATERIALIZED (SELECT d.source AS domain,
           CAST(SUM(len(d.tks)) AS BIGINT) AS cap,
           CAST(50 AS BIGINT) AS wt
         FROM d JOIN clean c ON c.doc_id = d.doc_id GROUP BY 1),
-      tt AS (SELECT CAST((SUM(cap) * 9) // 10 AS BIGINT) AS total
+      tt AS MATERIALIZED (SELECT CAST((SUM(cap) * 9) // 10 AS BIGINT) AS total
         FROM caps),
       s0 AS (SELECT domain, cap, wt, false AS sat FROM caps),
       a1 AS (SELECT

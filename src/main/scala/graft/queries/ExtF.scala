@@ -479,7 +479,7 @@ object ExtF {
         radiusMeters = 1000.0, maxAbsLatMicro = 66000000L)
       .orderBy(col("id_a"), col("id_b")),
     Some(s"""WITH $geoPtsCte,
-      rp AS (SELECT id,
+      rp AS (SELECT id, lat, lon,
           (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
             AS phi,
           (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
@@ -490,7 +490,17 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        FROM rp a JOIN rp b ON a.id < b.id),
+        /* conservative integer bounding box BEFORE the canonicalized
+           trig — pure pruning, decides nothing: at r = 1 km any true
+           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
+           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
+           bounds below carry >2x margin, and the lon delta is folded
+           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
+           before the expensive VARCHAR-roundtrip trig. */
+        FROM rp a JOIN rp b ON a.id < b.id
+          AND abs(a.lat - b.lat) <= 20000
+          AND least(abs(a.lon - b.lon),
+            360000000 - abs(a.lon - b.lon)) <= 50000),
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m
@@ -524,7 +534,7 @@ object ExtF {
             THEN lon + 253600000 - 360000000
             ELSE lon + 253600000 END AS lon
         FROM pts),
-      rp AS (SELECT id,
+      rp AS (SELECT id, lat, lon,
           (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
             AS phi,
           (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
@@ -535,7 +545,17 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        FROM rp a JOIN rp b ON a.id < b.id),
+        /* conservative integer bounding box BEFORE the canonicalized
+           trig — pure pruning, decides nothing: at r = 1 km any true
+           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
+           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
+           bounds below carry >2x margin, and the lon delta is folded
+           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
+           before the expensive VARCHAR-roundtrip trig. */
+        FROM rp a JOIN rp b ON a.id < b.id
+          AND abs(a.lat - b.lat) <= 20000
+          AND least(abs(a.lon - b.lon),
+            360000000 - abs(a.lon - b.lon)) <= 50000),
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m
@@ -565,7 +585,7 @@ object ExtF {
     },
     Some(s"""WITH $geoPtsCte,
       sp AS (SELECT id, lat + 25500000 AS lat, lon FROM pts),
-      rp AS (SELECT id,
+      rp AS (SELECT id, lat, lon,
           (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
             AS phi,
           (CAST(lon AS DOUBLE) / 1000000.0) * 0.017453292519943295
@@ -576,7 +596,17 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        FROM rp a JOIN rp b ON a.id < b.id),
+        /* conservative integer bounding box BEFORE the canonicalized
+           trig — pure pruning, decides nothing: at r = 1 km any true
+           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
+           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
+           bounds below carry >2x margin, and the lon delta is folded
+           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
+           before the expensive VARCHAR-roundtrip trig. */
+        FROM rp a JOIN rp b ON a.id < b.id
+          AND abs(a.lat - b.lat) <= 20000
+          AND least(abs(a.lon - b.lon),
+            360000000 - abs(a.lon - b.lon)) <= 50000),
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m
