@@ -488,25 +488,34 @@ object Text {
     * replays in SQL. Fewer grams than w → one window over all grams
     * (the guarantee's boundary case); fewer tokens than k → empty.
     */
-  def winnowPrints(text: Column, k: Int, w: Int): Column = {
-    require(k > 0 && w > 0, "need k > 0 and w > 0")
-    val t = tokens(text)
-    val hs = transform(t, wordHash(_))
-    // sequence bounds clamped to ≥1 so the expressions stay valid even
-    // when a branch's result is discarded by the guards below (CSE may
-    // evaluate subtrees eagerly; sequence(1, n<1) would count DOWN and
-    // slice would reject its positions)
-    val gramHashes = transform(
-      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+  // the three shared winnow expression builders — ONE definition of
+  // the hash/window/guard scheme, composed by both the single-Column
+  // reference form and the staged query form so they can never drift.
+  // sequence bounds clamped to ≥1 so the expressions stay valid even
+  // when a branch's result is discarded by the guards (CSE may
+  // evaluate subtrees eagerly; sequence(1, n<1) would count DOWN and
+  // slice would reject its positions)
+  private def winnowGramHashes(hs: Column, k: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(hs) - (k - 1), lit(1))),
       i => aggregate(slice(hs, i, lit(k)), lit(0L),
         (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L)))
+
+  private def winnowMins(hs: Column, gramHashes: Column, k: Int,
+      w: Int): Column = {
     val windows = transform(
       sequence(lit(1), greatest(size(gramHashes) - (w - 1), lit(1))),
       i => array_min(slice(gramHashes, i, lit(w))))
-    val mins = when(size(t) < k, array().cast("array<bigint>"))
+    val mins = when(size(hs) < k, array().cast("array<bigint>"))
       .otherwise(when(size(gramHashes) < w, array(array_min(gramHashes)))
         .otherwise(windows))
     array_sort(array_distinct(mins))
+  }
+
+  def winnowPrints(text: Column, k: Int, w: Int): Column = {
+    require(k > 0 && w > 0, "need k > 0 and w > 0")
+    val hs = transform(tokens(text), wordHash(_))
+    winnowMins(hs, winnowGramHashes(hs, k), k, w)
   }
 
   /** [[winnowPrints]] with the intermediate arrays STAGED as real
@@ -528,19 +537,9 @@ object Text {
     require(k > 0 && w > 0, "need k > 0 and w > 0")
     val hsC = s"_winnow_hs_$out"
     val ghC = s"_winnow_gh_$out"
-    val gh = col(ghC)
-    val windows = transform(
-      sequence(lit(1), greatest(size(gh) - (w - 1), lit(1))),
-      i => array_min(slice(gh, i, lit(w))))
-    val mins = when(size(col(hsC)) < k, array().cast("array<bigint>"))
-      .otherwise(when(size(gh) < w, array(array_min(gh)))
-        .otherwise(windows))
     df.withColumn(hsC, transform(tokens(col(textCol)), wordHash(_)))
-      .withColumn(ghC, transform(
-        sequence(lit(1), greatest(size(col(hsC)) - (k - 1), lit(1))),
-        i => aggregate(slice(col(hsC), i, lit(k)), lit(0L),
-          (acc, x) => (acc * lit(1000003L) + x) % lit(2147483647L))))
-      .withColumn(out, array_sort(array_distinct(mins)))
+      .withColumn(ghC, winnowGramHashes(col(hsC), k))
+      .withColumn(out, winnowMins(col(hsC), col(ghC), k, w))
       .drop(hsC, ghC)
   }
 

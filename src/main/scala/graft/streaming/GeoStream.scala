@@ -84,12 +84,27 @@ object GeoStream {
     // pair (and alert) separately against every future batch; exact
     // duplicates carry no information, while a genuinely moved point
     // (same id, new coords/ts) still keeps its full position history.
-    // (Deduped AGAIN after the aging fold below: under aging a
-    // redelivered ts-less row is null-ts here but identical to its
-    // anchored state copy once ts := coalesce(ts, _maxt) materializes
-    // — deduping only pre-anchor would leave both.)
-    val merged = prior.fold(conform(pts))(p => p.unionByName(conform(pts)))
+    val merged0 = prior.fold(conform(pts))(p => p.unionByName(conform(pts)))
       .dropDuplicates(keepAll)
+    // a NULL-ts row whose (id, coords) already has a ts-bearing copy
+    // is content-free: it is either an at-least-once REDELIVERY of a
+    // row the aging fold already anchored (possibly several batches
+    // ago — by now anchored to an OLDER max ts than today's, so no
+    // row-level dedup can ever collapse the pair), or a ts-less
+    // re-sighting that adds no event time. Anti-joining it out keeps
+    // state at one row per (id, coords, ts) and stops the duplicate
+    // from pairing/alerting separately and silently extending the
+    // point's expiry. A genuinely NEW ts-less point (no ts-bearing
+    // coords match) survives and anchors as before.
+    val merged =
+      if (!keepAll.contains("ts")) merged0
+      else {
+        val tsful = merged0.filter(col("ts").isNotNull)
+        val tsless = merged0.filter(col("ts").isNull)
+          .join(tsful.select("id", "lat_micro", "lon_micro").distinct(),
+            Seq("id", "lat_micro", "lon_micro"), "left_anti")
+        tsful.unionByName(tsless)
+      }
     // age-out AFTER pairing: a point expiring in this batch still
     // paired against the batch (it was within horizon when it mattered).
     // coalesce(ts, _maxt): a migrated pre-aging state row (null ts) is
@@ -114,12 +129,10 @@ object GeoStream {
           coalesce(col("ts"), col("_maxt")) >= col("_maxt") - h)
         .withColumn("ts", coalesce(col("ts"), col("_maxt")))
         .drop("_maxt")
-        // second dedup, POST-anchor: a redelivered ts-less row enters
-        // the merge with null ts (≠ its anchored state copy) and only
-        // becomes row-identical once ts is materialized here — without
-        // this, each redelivery would leave a second state row that
-        // pairs (and alerts) separately against every future batch
-        .dropDuplicates(keepAll)
+      // no post-anchor dedup needed: the null-ts anti-join above
+      // already removed every row that could become identical to a
+      // ts-bearing copy once anchored (and surviving null-ts rows have
+      // no ts-bearing (id, coords) twin BY CONSTRUCTION)
     }
     StateDir.atomicOverwrite(aged.localCheckpoint(true), statePath)
     pairs

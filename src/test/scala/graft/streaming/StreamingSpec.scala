@@ -546,6 +546,24 @@ class StreamingSpec extends SparkSuite {
     val rows = st.select("id").as[Long].collect().toSeq
     assert(rows.sorted === Seq(1L, 2L),
       s"redelivered ts-less row must not duplicate state: $rows")
+    // a NEWER event advances max ts, then batch 2 is redelivered AGAIN:
+    // the stale null-ts copy would now anchor to the NEW max (500), so
+    // no row-level dedup could ever collapse it with the original
+    // anchor (100) — only the null-ts-with-ts-bearing-twin anti-join
+    // keeps state at one row per point here
+    GeoStream.applyBatch(
+      Seq((3L, 40500000L, -74000000L, 500L))
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(1000L))
+    GeoStream.applyBatch(b2, state, 10000L, ageHorizon = Some(1000L))
+    val st2 = StateDir.readPrior(spark, state).get
+    val byId = st2.select("id", "ts").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(byId.keySet === Set(1L, 2L, 3L) &&
+      byId.forall(_._2.size == 1),
+      s"late redelivery must not duplicate or re-anchor state: $byId")
+    assert(byId(2L) === Seq(100L),
+      s"id 2 must keep its ORIGINAL anchor, got ${byId(2L)}")
   }
 
   test("geo aging with no observed event time keeps the migrated state") {
