@@ -291,6 +291,38 @@ object Text {
         col("sum_logprob") / col("n_bigrams").cast("double"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
+    * literature — the standard head/middle/tail corpus-quality split):
+    * every scoreable document is ranked by its interpolated-bigram-LM
+    * mean log-prob ([[bigramLogProb]]; most fluent first, ties by id)
+    * and the ranked corpus is cut into `nBuckets` equal-size groups —
+    * bucket = floor((rank−1)·nBuckets / N), exact integer arithmetic
+    * on both engines. Bucket 0 is the "head" a curation pipeline
+    * up-samples; the last bucket is the "tail" it drops or down-weights.
+    * Documents with fewer than 2 tokens have no bigrams, are not
+    * scoreable, and are excluded (the oracle's bigram CTE excludes
+    * them identically).
+    *
+    * Scale shape: the LM scoring inherits [[bigramLogProb]]'s joins;
+    * the ranking is [[graft.ext.Rank.globalRowNumber]] — a
+    * range-partitioned exchange, NEVER a single-partition global
+    * window — and the bucket cut is an O(1) broadcast of the corpus
+    * count. Returns (doc_id, n_bigrams, mean_logprob, rn, bucket).
+    */
+  def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 3, lambda: Double = 0.7): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val lp = bigramLogProb(docs, textCol, idCol, lambda)
+      .select(col("doc_id"), col("n_bigrams"), col("mean_logprob"))
+    val ranked = graft.ext.Rank.globalRowNumber(lp,
+      Seq(col("mean_logprob").desc, col("doc_id").asc))
+    val n = lp.agg(count(lit(1)).cast("bigint").as("_n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("bucket",
+        expr(s"CAST(((rn - 1) * $nBuckets) div _n AS INT)"))
+      .drop("_n")
+  }
+
   /** Word n-grams of a token array as a (possibly empty) string array:
     * ["a b", "b c", ...]. Guarded so short documents yield [] rather
     * than a descending `sequence` blowup. Narrow, codegen'd.

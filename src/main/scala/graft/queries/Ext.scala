@@ -996,13 +996,13 @@ object Ext {
     * Scala computes for 1.0 − 0.7 (0.30000000000000004), per the
     * cross-engine constant discipline.
     */
-  val xTextBigramLogprob = Q(
-    "x_text_bigram_logprob",
-    (s, dir) => Text.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
-      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
-        col("mean_logprob"))
-      .orderBy(col("doc_id")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The interpolated-bigram-LM per-doc scoring chain, shared by the
+    * fluency oracle and the perplexity-bucket oracle (one definition —
+    * the two can never drift). Ends at `lpq(doc_id, n_bigrams,
+    * sum_logprob, mean_logprob)`.
+    */
+  private val bigramLmCtes: String =
+    """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(w)),
             i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
@@ -1020,12 +1020,43 @@ object Ext {
           AS DECIMAL(20,12)) AS contrib
         FROM bi JOIN bic USING (gram)
         JOIN uni u1 ON u1.term = string_split(bi.gram, ' ')[1]
-        JOIN uni u2 ON u2.term = string_split(bi.gram, ' ')[-1], tot)
-      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        JOIN uni u2 ON u2.term = string_split(bi.gram, ' ')[-1], tot),
+      lpq AS (SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
         CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
         CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
           / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
-      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+      FROM j GROUP BY doc_id)"""
+
+  val xTextBigramLogprob = Q(
+    "x_text_bigram_logprob",
+    (s, dir) => Text.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+        col("mean_logprob"))
+      .orderBy(col("doc_id")),
+    Some(s"""$bigramLmCtes
+      SELECT doc_id, n_bigrams, sum_logprob, mean_logprob
+      FROM lpq ORDER BY doc_id"""))
+
+  /** CCNet-style perplexity buckets ([[Text.perplexityBuckets]],
+    * 3 buckets): every scoreable doc's global fluency rank and
+    * head/middle/tail bucket adjudicate exactly — the oracle replays
+    * the LM chain, the (mean_logprob DESC, doc_id) row_number, and the
+    * floor((rn−1)·3/N) cut in integer arithmetic.
+    */
+  val xQualityPerplexityBuckets = Q(
+    "x_quality_perplexity_buckets",
+    (s, dir) => Text.perplexityBuckets(t(s, dir, "documents"), "text",
+        "doc_id", nBuckets = 3)
+      .orderBy(col("rn")),
+    Some(s"""$bigramLmCtes,
+      rk AS (SELECT doc_id, n_bigrams, mean_logprob,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lpq)
+      SELECT doc_id, n_bigrams, mean_logprob, rn,
+        CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+      FROM rk ORDER BY rn"""))
 
   /** Token-window chunking with overlap (see Text.chunk) — verified on
     * the first 50 docs (10-token chunks, 2 overlap).
@@ -1726,7 +1757,8 @@ object Ext {
     xDedupEmbeddingLshIncremental, xDedupEmbeddingClusters, xAnnTopk, xAnnPq,
     xAnnIvfPq, xAnnIvf,
     xAnnIvfKmeans, xAnnIvfRecall, xTextQuality, xTextLangid, xTextLangidEval,
-    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob, xTextChunk,
+    xTextTokens, xTextTfidf, xTextBm25, xTextUnigramLogprob, xTextBigramLogprob,
+    xQualityPerplexityBuckets, xTextChunk,
     xTextFingerprint,
     xPipelineQualityFilter, xPipelineTrainPrep, xSampleContentHash,
     xSampleStratified,

@@ -24,6 +24,31 @@ class ExtPropertySpec extends SparkSuite {
     Gen.chooseNum(minLen, maxLen)
       .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
 
+  test("perplexityBuckets: equal-size cut in rank order, short docs excluded") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val short = Seq((100000L, "solo")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", lit(4L))
+    val r = Text.perplexityBuckets(
+        docs.unionByName(short), "text", "doc_id", nBuckets = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(2), x.getLong(3),
+        x.getInt(4)))
+    // the 1-token doc has no bigrams: not scoreable, excluded
+    assert(!r.exists(_._1 == 100000L), "short doc must be excluded")
+    val n = r.length
+    // bucket = floor((rn-1)*3/n): sizes differ by at most 1, and every
+    // doc in a lower bucket is at least as fluent as any doc below it
+    val sizes = r.groupBy(_._4).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set(0, 1, 2))
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    val byRank = r.sortBy(_._3)
+    assert(byRank.sliding(2).forall(p => p(0)._2 >= p(1)._2 ||
+      (p(0)._2 == p(1)._2 && p(0)._1 < p(1)._1)),
+      "rank order must follow (mean_logprob DESC, doc_id)")
+    assert(byRank.map(_._4).toSeq == byRank.map(_._4).toSeq.sorted,
+      "buckets must be monotone in rank")
+  }
+
   test("winnowing guarantee holds for random docs with a planted shared run") {
     // any shared k+w-1 = 6-token run must yield a shared print
     val gen = for {
