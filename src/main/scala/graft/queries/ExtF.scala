@@ -422,21 +422,26 @@ object ExtF {
     */
   val xKCore: Q = {
     val (k, rounds) = (5, 6)
+    // MATERIALIZED on ue and every alive_i: DuckDB re-inlines plain
+    // CTEs per reference, and each e_i references alive_{i-1} TWICE
+    // (both join legs) — the unrolled peel otherwise re-evaluates the
+    // whole upstream chain 2^rounds times (10 s -> sub-second at
+    // sf0.01, identical output)
     val peels = (1 to rounds).map { i =>
       val prev = s"alive${i - 1}"
       s"""e$i AS (SELECT u.src, u.dst FROM ue u
           JOIN $prev a ON a.node = u.src JOIN $prev b ON b.node = u.dst),
       deg$i AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
         FROM e$i GROUP BY 1),
-      alive$i AS (SELECT node FROM deg$i WHERE d >= $k)"""
+      alive$i AS MATERIALIZED (SELECT node FROM deg$i WHERE d >= $k)"""
     }.mkString(",\n      ")
     Q("x_kcore",
       (s, dir) => Graph.kCore(ExtC.syntheticGraph(s, dir), "src", "dst",
           k = k, rounds = rounds)
         .orderBy(col("node")),
       Some(s"""${ExtC.graphCtes},
-      ue AS (SELECT DISTINCT src, dst FROM edges),
-      alive0 AS (SELECT DISTINCT src AS node FROM ue),
+      ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges),
+      alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM ue),
       $peels,
       ef AS (SELECT u.src, u.dst FROM ue u
         JOIN alive$rounds a ON a.node = u.src

@@ -450,6 +450,15 @@ class PlanSpec extends SparkSuite {
       s"unexpected nested-loops:\n$pp")
     assert(pp.contains("Generate explode"),
       s"polar ring probe should be an explode generator:\n$pp")
+    // perplexity buckets: the global fluency ranking must be the
+    // range-partitioned globalRowNumber exchange, never a
+    // single-partition Window (the 100 TB killer); the bucket cut is
+    // an O(1) broadcast of the count
+    val pb = plan("x_quality_perplexity_buckets")
+    assert(!pb.contains("Window"),
+      s"perplexity ranking fell back to a Window:\n$pb")
+    assert(pb.contains("rangepartitioning"),
+      s"perplexity ranking lost the range exchange:\n$pb")
   }
 
   test("whole-stage codegen covers the q1 pipeline") {
