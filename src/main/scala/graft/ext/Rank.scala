@@ -46,7 +46,17 @@ object Rank {
     * counter — so the real bound is the sort's spill behavior).
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column],
-      out: String = "rn", numParts: Int = 0): DataFrame = {
+      out: String = "rn", numParts: Int = 0): DataFrame =
+    globalRowNumberWithTotal(df, order, out, numParts)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count, which job 1's
+    * per-partition counts already computed — callers that need N for
+    * a cut (e.g. quantile/bucket boundaries) get it for free instead
+    * of paying a separate pass over the (possibly expensive) input
+    * plan.
+    */
+  def globalRowNumberWithTotal(df: DataFrame, order: Seq[Column],
+      out: String = "rn", numParts: Int = 0): (DataFrame, Long) = {
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
@@ -77,7 +87,7 @@ object Rank {
       var rn = bc.value(pi)
       it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
     }
-    spark.createDataFrame(numbered, schema)
+    (spark.createDataFrame(numbered, schema), offsets.last)
   }
 
   /** Typed bounded top-k Aggregator: per group, keep only the k

@@ -314,13 +314,13 @@ object Text {
     require(nBuckets > 0, "nBuckets must be positive")
     val lp = bigramLogProb(docs, textCol, idCol, lambda)
       .select(col("doc_id"), col("n_bigrams"), col("mean_logprob"))
-    val ranked = graft.ext.Rank.globalRowNumber(lp,
+    // N comes from the rank's own per-partition prefix sums — a
+    // separate lp.count() would re-execute the whole LM scoring chain
+    // a second time just for one long
+    val (ranked, n) = graft.ext.Rank.globalRowNumberWithTotal(lp,
       Seq(col("mean_logprob").desc, col("doc_id").asc))
-    val n = lp.agg(count(lit(1)).cast("bigint").as("_n"))
-    ranked.crossJoin(broadcast(n))
-      .withColumn("bucket",
-        expr(s"CAST(((rn - 1) * $nBuckets) div _n AS INT)"))
-      .drop("_n")
+    ranked.withColumn("bucket",
+      expr(s"CAST(((rn - 1) * $nBuckets) div ${n}L AS INT)"))
   }
 
   /** Word n-grams of a token array as a (possibly empty) string array:

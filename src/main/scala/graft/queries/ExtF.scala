@@ -467,6 +467,31 @@ object ExtF {
   private def cn(e: String): String =
     s"CAST(CAST(CAST($e AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE)"
 
+  /** Conservative integer bounding-box join for the naive geo oracles
+    * — PURE pruning ahead of the expensive VARCHAR-roundtrip trig, it
+    * decides nothing: the bounds are DERIVED from the radius and the
+    * oracle corpus's max |lat| with a 2x safety factor (dlat <= r/R;
+    * dlon <= 2*asin(sin(r/2R)/cos(latMax)), exact — no small-angle
+    * shortcut), and the lon delta is folded across the antimeridian.
+    * One definition for all three oracles, so a future radius or
+    * latitude-shift change cannot silently turn the "independent
+    * naive oracle" into one that prunes true pairs.
+    */
+  private def geoBoxJoin(radiusM: Double, maxAbsLatDeg: Double): String = {
+    val latBound = 2L * math.ceil(
+      radiusM / graft.ext.Geo.EarthRadiusM / math.Pi * 180 * 1e6).toLong
+    val halfSin = math.sin(radiusM / (2.0 * graft.ext.Geo.EarthRadiusM)) /
+      math.cos(maxAbsLatDeg * math.Pi / 180)
+    val lonBound =
+      if (halfSin >= 1.0) 360000000L
+      else 2L * math.ceil(
+        2.0 * math.asin(halfSin) / math.Pi * 180 * 1e6).toLong
+    s"""FROM rp a JOIN rp b ON a.id < b.id
+          AND abs(a.lat - b.lat) <= $latBound
+          AND least(abs(a.lon - b.lon),
+            360000000 - abs(a.lon - b.lon)) <= $lonBound),"""
+  }
+
   /** Geodesic radius pairs ([[graft.ext.Geo.radiusPairsGeodesic]],
     * r = 1 km, band limit 66°): the engine runs the per-axis-sized
     * neighbor-cell equi-join (cos(lat)-shrunk longitude cells); the
@@ -495,17 +520,7 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        /* conservative integer bounding box BEFORE the canonicalized
-           trig — pure pruning, decides nothing: at r = 1 km any true
-           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
-           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
-           bounds below carry >2x margin, and the lon delta is folded
-           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
-           before the expensive VARCHAR-roundtrip trig. */
-        FROM rp a JOIN rp b ON a.id < b.id
-          AND abs(a.lat - b.lat) <= 20000
-          AND least(abs(a.lon - b.lon),
-            360000000 - abs(a.lon - b.lon)) <= 50000),
+        ${geoBoxJoin(radiusM = 1000.0, maxAbsLatDeg = 66.5)}
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m
@@ -550,17 +565,7 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        /* conservative integer bounding box BEFORE the canonicalized
-           trig — pure pruning, decides nothing: at r = 1 km any true
-           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
-           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
-           bounds below carry >2x margin, and the lon delta is folded
-           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
-           before the expensive VARCHAR-roundtrip trig. */
-        FROM rp a JOIN rp b ON a.id < b.id
-          AND abs(a.lat - b.lat) <= 20000
-          AND least(abs(a.lon - b.lon),
-            360000000 - abs(a.lon - b.lon)) <= 50000),
+        ${geoBoxJoin(radiusM = 1000.0, maxAbsLatDeg = 66.5)}
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m
@@ -601,17 +606,7 @@ object ExtF {
           ${cn("sin((a.lam - b.lam) / 2.0)")} AS sdlon,
           ${cn("cos(a.phi)")} AS ca,
           ${cn("cos(b.phi)")} AS cb
-        /* conservative integer bounding box BEFORE the canonicalized
-           trig — pure pruning, decides nothing: at r = 1 km any true
-           pair has dlat <= r/R = 8,993 u-deg and (at lat <= 66.5 deg)
-           dlon <= 2*asin(sin(r/2R)/cos(66.5)) = 22,560 u-deg; the
-           bounds below carry >2x margin, and the lon delta is folded
-           across the antimeridian. Cuts the 1.1M-pair cross join ~20x
-           before the expensive VARCHAR-roundtrip trig. */
-        FROM rp a JOIN rp b ON a.id < b.id
-          AND abs(a.lat - b.lat) <= 20000
-          AND least(abs(a.lon - b.lon),
-            360000000 - abs(a.lon - b.lon)) <= 50000),
+        ${geoBoxJoin(radiusM = 1000.0, maxAbsLatDeg = 66.5)}
       d AS (SELECT id_a, id_b, 12742000.0 *
           ${cn("asin(sqrt(sdlat * sdlat + ca * cb * sdlon * sdlon))")}
             AS dist_m

@@ -100,8 +100,22 @@ object GeoStream {
       if (!keepAll.contains("ts")) merged0
       else {
         val tsful = merged0.filter(col("ts").isNotNull)
+        // only twins that will SURVIVE this batch's aging cut count:
+        // if the sole ts-bearing copy is about to expire, the null-ts
+        // observation is the point's liveness ("aged as seen NOW") and
+        // must be kept to re-anchor — anti-joining against the raw
+        // twin set would vanish the point in the same batch it was
+        // observed. Without aging nothing expires, so any twin makes
+        // the null row content-free.
+        val twins = ageHorizon match {
+          case Some(h) => tsful
+            .crossJoin(broadcast(merged0.agg(max(col("ts")).as("_mx"))))
+            .filter(col("_mx").isNull || col("ts") >= col("_mx") - h)
+            .select("id", "lat_micro", "lon_micro")
+          case None => tsful.select("id", "lat_micro", "lon_micro")
+        }
         val tsless = merged0.filter(col("ts").isNull)
-          .join(tsful.select("id", "lat_micro", "lon_micro").distinct(),
+          .join(twins.distinct(),
             Seq("id", "lat_micro", "lon_micro"), "left_anti")
         tsful.unionByName(tsless)
       }

@@ -451,14 +451,21 @@ class PlanSpec extends SparkSuite {
     assert(pp.contains("Generate explode"),
       s"polar ring probe should be an explode generator:\n$pp")
     // perplexity buckets: the global fluency ranking must be the
-    // range-partitioned globalRowNumber exchange, never a
-    // single-partition Window (the 100 TB killer); the bucket cut is
-    // an O(1) broadcast of the count
+    // range-partitioned globalRowNumber bridge — never a Window, a
+    // single-partition exchange, or a coalesce(1) (each a 100 TB
+    // killer). The trailing orderBy contributes a rangepartitioning
+    // line regardless, so the POSITIVE marker is the rank's RDD
+    // bridge (Scan ExistingRDD) and the gate's teeth are the three
+    // negative assertions.
     val pb = plan("x_quality_perplexity_buckets")
     assert(!pb.contains("Window"),
       s"perplexity ranking fell back to a Window:\n$pb")
-    assert(pb.contains("rangepartitioning"),
-      s"perplexity ranking lost the range exchange:\n$pb")
+    assert(!pb.contains("SinglePartition"),
+      s"perplexity plan has a single-partition exchange:\n$pb")
+    assert(!pb.contains("Coalesce"),
+      s"perplexity plan coalesces partitions:\n$pb")
+    assert(pb.contains("ExistingRDD"),
+      s"perplexity ranking lost the globalRowNumber bridge:\n$pb")
   }
 
   test("whole-stage codegen covers the q1 pipeline") {

@@ -564,6 +564,21 @@ class StreamingSpec extends SparkSuite {
       s"late redelivery must not duplicate or re-anchor state: $byId")
     assert(byId(2L) === Seq(100L),
       s"id 2 must keep its ORIGINAL anchor, got ${byId(2L)}")
+    // expiring-twin edge: a ts-less RE-SIGHTING whose only ts-bearing
+    // copy expires in this very batch must keep the point alive
+    // (anchored to the new max) — an anti-join against the raw twin
+    // set would vanish the point in the same batch it was observed
+    GeoStream.applyBatch(
+      Seq((2L, 40001000L, -74000000L, Option.empty[Long]),
+          (9L, 44000000L, -74000000L, Option(2000L)))
+        .toDF("id", "lat_micro", "lon_micro", "ts"),
+      state, 10000L, ageHorizon = Some(1000L))
+    val st3 = StateDir.readPrior(spark, state).get
+    val after = st3.select("id", "ts").as[(Long, Long)].collect().toMap
+    assert(after.contains(2L),
+      s"re-sighted point must survive its twin's expiry: $after")
+    assert(after(2L) === 2000L,
+      s"surviving re-sighting must anchor to the new max: $after")
   }
 
   test("geo aging with no observed event time keeps the migrated state") {
