@@ -26,14 +26,58 @@ object Verify {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
     new java.io.File(outDir).mkdirs()
+    // per-query watchdog: one pathological query must cost at most its
+    // timeout, never the whole artifact (the r10 driver gate recorded
+    // {} — whatever the cause, a hang must degrade to ONE red row).
+    // The worst single query measures ~10 s at sf0.01; 300 s is 30×.
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT", "300").toLong
+    // daemon threads + a FRESH executor after every timeout: the
+    // cancelled task's thread can linger while Spark unwinds its jobs,
+    // and the next query must not queue behind it (a cascade of
+    // spurious timeouts) or block JVM exit
+    val daemonFactory = new java.util.concurrent.ThreadFactory {
+      def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "verify-worker"); t.setDaemon(true); t
+      }
+    }
+    def freshPool() =
+      java.util.concurrent.Executors.newSingleThreadExecutor(daemonFactory)
+    var pool = freshPool()
+    var nOk, nFail = 0
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          // job group set INSIDE the worker thread (thread-local) so a
+          // timeout can cancel exactly this query's jobs
+          spark.sparkContext.setJobGroup(s"verify-$name",
+            s"verify $name", interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try { task.get(timeoutSec, java.util.concurrent.TimeUnit.SECONDS); nOk += 1 }
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          nFail += 1
+          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          task.cancel(true)
+          pool.shutdownNow()
+          pool = freshPool()
+          System.err.println(
+            s"[verify] $name TIMED OUT after ${timeoutSec}s — " +
+              "jobs cancelled, continuing with the next query")
+        case e: java.util.concurrent.ExecutionException =>
+          nFail += 1
+          val c = Option(e.getCause).getOrElse(e)
+          System.err.println(s"[verify] $name failed: ${c.getMessage}")
+        case e: Throwable =>
+          nFail += 1
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query wall time on stderr: when a driver gate runs against
       // a time budget, this is the profile that says WHICH query to
@@ -46,6 +90,8 @@ object Verify {
       // 265-query run — executor memory is shared with the next query
       spark.catalog.clearCache()
     }
+    pool.shutdownNow()
+    System.err.println(s"[verify] DONE ok=$nOk failed=$nFail")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
