@@ -55,8 +55,13 @@ object Basket {
           .as("conf_a_to_b"),
         (col("n_ab").cast("double") / col("n_b").cast("double"))
           .as("conf_b_to_a"),
-        ((col("n_ab") * col("n_txn")).cast("double") /
-          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+        // multiply in DOUBLE, not BIGINT (the lift3 fix, applied to
+        // the 2-way lift it was copied from): n_ab*n_txn wraps
+        // silently past ~3e9 transactions under non-ANSI Spark while
+        // DuckDB errors — a cross-engine divergence at corpus scale
+        (col("n_ab").cast("double") * col("n_txn").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("lift"))
   }
 
   /** Item-item neighborhood model (Sarwar et al., WWW'01): for every

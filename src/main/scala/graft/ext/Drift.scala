@@ -68,9 +68,10 @@ object Drift {
     * or a shifted corpus shows up as per-label cosine < 1 long before
     * downstream metrics move). Directions use the deterministic
     * fixed-point trick from the Lloyd trainer: unit vectors, per-
-    * dimension BIGINT sums of floor(x·1e12) — partition-invariant and
-    * SQL-replayable; the cosine then divides exact-decimal dot/norm
-    * aggregates of those integer sums.
+    * dimension DECIMAL(25,0) sums of floor(x·1e12) — partition-
+    * invariant, SQL-replayable, wrap-free to 10^13 rows per label;
+    * the cosine then divides exact-decimal dot/norm aggregates of
+    * those integer sums.
     *
     * Scale shape: one (label, dimension) sum per side (map-side
     * combinable), joined on O(#labels·dim) rows.
@@ -85,7 +86,13 @@ object Drift {
         .select(col("label"),
           posexplode(transform(col("_v"), x => x / col("_n"))))
         .groupBy(col("label"), col("pos"))
-        .agg(sum(floor(col("col") * lit(1e12)).cast("long")).as(s"s_$tag"))
+        // decimal, not long: the long sum wraps SILENTLY at ~9.2M
+        // rows per label (n·1e12 past 2^63) while the DuckDB oracle's
+        // hugeint sum stays exact — the decimal ride is exact to 1e25
+        // and past that nulls DETECTABLY on both engines (r10
+        // decimal-width-audit convention)
+        .agg(sum(floor(col("col") * lit(1e12)).cast("decimal(25,0)"))
+          .cast("decimal(25,0)").as(s"s_$tag"))
     }
     val o = dirs(oldEmb, "o")
     val n = dirs(newEmb, "n")

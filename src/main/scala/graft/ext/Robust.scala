@@ -57,8 +57,12 @@ object Robust {
       .groupBy(col("grp"))
       .agg(count(lit(1)).cast("bigint").as("n"),
         max(col("lo")).as("lo"), max(col("hi")).as("hi"),
-        // decimal-exact sum so the mean is partitioning-independent
-        (sum(col("w").cast("decimal(20,6)")).cast("double") / count(lit(1)))
+        // decimal-exact sum so the mean is partitioning-independent;
+        // (30,6), not (20,6): 14 integer digits silently nulled
+        // large-magnitude values out of the sum under non-ANSI casts
+        // (the r10 decimal-width-audit class) — 24 digits covers any
+        // realistic magnitude, and past that the sum nulls DETECTABLY
+        (sum(col("w").cast("decimal(30,6)")).cast("double") / count(lit(1)))
           .as("winsorized_mean"))
   }
 

@@ -229,7 +229,7 @@ object ExtC {
       SELECT base.grp, CAST(COUNT(*) AS BIGINT) AS n,
         max(bounds.lo) AS lo, max(bounds.hi) AS hi,
         CAST(SUM(CAST(least(greatest(v, bounds.lo), bounds.hi)
-          AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+          AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
       FROM base JOIN bounds ON base.grp = bounds.grp
       GROUP BY base.grp ORDER BY base.grp"""))
 

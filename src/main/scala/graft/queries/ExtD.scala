@@ -633,8 +633,8 @@ object ExtD {
         CAST(n_ab AS DOUBLE) / CAST(n_txn AS DOUBLE) AS support,
         CAST(n_ab AS DOUBLE) / CAST(ia.n_item AS DOUBLE) AS conf_a_to_b,
         CAST(n_ab AS DOUBLE) / CAST(ib.n_item AS DOUBLE) AS conf_b_to_a,
-        CAST(n_ab * n_txn AS DOUBLE)
-          / CAST(ia.n_item * ib.n_item AS DOUBLE) AS lift
+        CAST(n_ab AS DOUBLE) * CAST(n_txn AS DOUBLE)
+          / (CAST(ia.n_item AS DOUBLE) * CAST(ib.n_item AS DOUBLE)) AS lift
       FROM pr JOIN ic ia ON ia.item = pr.item_a
       JOIN ic ib ON ib.item = pr.item_b CROSS JOIN tot
       ORDER BY item_a, item_b"""))
@@ -1410,11 +1410,15 @@ object ExtD {
       uw AS (SELECT label, list_transform(v, x -> x / nrm) AS uv
         FROM un WHERE nrm > 0 AND vec_id % 2 = 1),
       pp AS (SELECT unnest(range(1, 65)) AS p),
+      /* sums as DECIMAL(25,0), not BIGINT: Spark's long sum wraps
+         SILENTLY at ~9.2M rows per label while DuckDB's hugeint sum
+         is exact — a cross-engine divergence; the decimal ride is
+         exact to 1e25 and overflows detectably on both engines */
       so AS (SELECT label, p,
-          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS BIGINT) AS s
+          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS DECIMAL(25,0)) AS s
         FROM uo CROSS JOIN pp GROUP BY 1, 2),
       sn AS (SELECT label, p,
-          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS BIGINT) AS s
+          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS DECIMAL(25,0)) AS s
         FROM uw CROSS JOIN pp GROUP BY 1, 2),
       j AS (SELECT so.label, so.s AS so_s, sn.s AS sn_s
         FROM so JOIN sn ON sn.label = so.label AND sn.p = so.p),
