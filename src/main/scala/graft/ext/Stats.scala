@@ -45,15 +45,24 @@ object Stats {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     // min rank of the tie group = cumc − c + 1, so
     // 2·avgrank = 2(cumc − c + 1) + (c − 1) = 2·cumc − c + 1
+    // rank-sum products ride DECIMAL, not BIGINT: p·(2·cumc−c+1) and
+    // pos·(pos+1) are O(n²) and wrap silently past n ≈ 2·10⁹ rows
+    // under non-ANSI Spark while the DuckDB oracle stays exact — the
+    // decimal ride is exact to 10³⁸ and nulls detectably beyond
+    // (r10 decimal-width-audit convention)
+    def d19(c: Column) = c.cast("decimal(19,0)")
     val sums = cum
-      .select((col("p") * (lit(2) * col("cumc") - col("c") + 1)).as("r2"),
+      .select((d19(col("p")) * d19(lit(2) * col("cumc") - col("c") + 1))
+          .cast("decimal(38,0)").as("r2"),
         col("p"), col("c"))
-      .agg(sum(col("r2")).as("sum2r"), sum(col("p")).as("pos"),
-        sum(col("c")).as("n"))
+      .agg(sum(col("r2")).cast("decimal(38,0)").as("sum2r"),
+        sum(col("p")).as("pos"), sum(col("c")).as("n"))
     sums.select(
       col("pos").cast("bigint").as("n_pos"),
       (col("n") - col("pos")).cast("bigint").as("n_neg"),
-      ((col("sum2r") - col("pos") * (col("pos") + 1)).cast("double") /
+      ((col("sum2r") -
+          (d19(col("pos")) * d19(col("pos") + 1)).cast("decimal(38,0)"))
+        .cast("double") /
         (lit(2).cast("double") * col("pos").cast("double") *
           (col("n") - col("pos")).cast("double"))).as("auc"))
   }
@@ -225,15 +234,21 @@ object Stats {
       .withColumn("cuma", sum(col("ca")).over(w))
       .withColumn("cumb", sum(col("cb")).over(w))
     val tot = merged.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // cum·n cross-products ride DECIMAL (silent BIGINT wrap past
+    // na·nb ≈ 2⁶³ — a few 10⁹ rows per side) and the final denominator
+    // multiplies doubles, both mirrored in the oracle's hugeint ride
+    def dk(c: Column) = c.cast("decimal(19,0)")
     cum.crossJoin(tot)
-      .select(abs(col("cuma") * col("nb") - col("cumb") * col("na")).as("d"),
+      .select(abs((dk(col("cuma")) * dk(col("nb"))).cast("decimal(38,0)") -
+          (dk(col("cumb")) * dk(col("na"))).cast("decimal(38,0)")).as("d"),
         col("na"), col("nb"))
       .groupBy(col("na"), col("nb"))
       .agg(max(col("d")).as("dnum"))
       .select(col("na").cast("bigint").as("n_a"),
         col("nb").cast("bigint").as("n_b"),
         (col("dnum").cast("double") /
-          (col("na") * col("nb")).cast("double")).as("ks_d"))
+          (col("na").cast("double") * col("nb").cast("double")))
+          .as("ks_d"))
   }
 
   /** Reliability-diagram bins for a score against a boolean outcome:

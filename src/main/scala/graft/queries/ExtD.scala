@@ -33,12 +33,13 @@ object ExtD {
             AS cumc
         FROM g),
       sums AS (SELECT
-          CAST(SUM(p * (2 * cumc - c + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(CAST(p AS HUGEINT) * (2 * CAST(cumc AS HUGEINT) - c + 1))
+            AS HUGEINT) AS sum2r,
           CAST(SUM(p) AS BIGINT) AS pos,
           CAST(SUM(c) AS BIGINT) AS n
         FROM cum)
       SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
-        CAST(sum2r - pos * (pos + 1) AS DOUBLE)
+        CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS DOUBLE)
           / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
              * CAST(n - pos AS DOUBLE)) AS auc
       FROM sums"""))
@@ -232,8 +233,11 @@ object ExtD {
       tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
           CAST(SUM(cb) AS BIGINT) AS nb FROM m)
       SELECT na AS n_a, nb AS n_b,
-        CAST(MAX(abs(cuma * nb - cumb * na)) AS DOUBLE)
-          / CAST(na * nb AS DOUBLE) AS ks_d
+        /* hugeint cross-products, double denominator — mirrors the
+           engine's decimal ride (bigint wrapped at na*nb ~ 2^63) */
+        CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
+            - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+          / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
       FROM cum CROSS JOIN tot GROUP BY na, nb"""))
 
   /** Reliability-diagram bins ([[graft.ext.Stats.calibrationBins]])
@@ -850,12 +854,13 @@ object ExtD {
             AS cumc
         FROM g),
       sums AS (SELECT
-          CAST(SUM(p * (2 * cumc - c + 1)) AS BIGINT) AS sum2r,
+          CAST(SUM(CAST(p AS HUGEINT) * (2 * CAST(cumc AS HUGEINT) - c + 1))
+            AS HUGEINT) AS sum2r,
           CAST(SUM(p) AS BIGINT) AS pos,
           CAST(SUM(c) AS BIGINT) AS n
         FROM cum)
       SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
-        CAST(sum2r - pos * (pos + 1) AS DOUBLE)
+        CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS DOUBLE)
           / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
              * CAST(n - pos AS DOUBLE)) AS auc
       FROM sums"""))
