@@ -251,6 +251,35 @@ object Geo {
     lit(2.0 * EarthRadiusM) * canon(asin(sqrt(h)))
   }
 
+  /** Plain-double haversine — the cheap PREFILTER twin of
+    * [[haversineM]]: identical formula without the decimal(20,12)
+    * canonicalization of each trig output. The canonicalization is
+    * what makes the pair decision replay bit-for-bit across engines,
+    * but it costs ~10× the trig itself (measured: 3M candidates score
+    * in 1.1 s plain vs 11.8 s canonicalized); candidates are filtered
+    * here against radius + [[CanonGuardM]] first and only the tiny
+    * survivor set pays for the canonical distance that decides and is
+    * emitted.
+    */
+  private[ext] def haversinePlainM(latA: Column, lonA: Column,
+      latB: Column, lonB: Column): Column = {
+    def rad(c: Column) =
+      c.cast("double") / lit(1000000.0) * lit(DegToRad)
+    val sdLat = sin((rad(latA) - rad(latB)) / lit(2.0))
+    val sdLon = sin((rad(lonA) - rad(lonB)) / lit(2.0))
+    val h = sdLat * sdLat +
+      cos(rad(latA)) * cos(rad(latB)) * sdLon * sdLon
+    lit(2.0 * EarthRadiusM) * asin(sqrt(h))
+  }
+
+  /** Guard band for the plain-vs-canonical haversine gap: rounding
+    * each trig output to 12 decimals moves the distance by well under
+    * a micrometer (GeoSpec's boundary analysis); 1 mm is a >10³×
+    * margin, so `plain ≤ r + guard` can never exclude a pair the
+    * canonical distance would admit.
+    */
+  private[ext] val CanonGuardM = 0.001
+
   /** All pairs within `radiusMeters` great-circle meters — the
     * geodesic face of [[radiusPairs]]: identical 3×3 neighbor-cell
     * equi-join shape, but cells sized per-axis by [[geodesicCells]]
@@ -308,9 +337,17 @@ object Geo {
         pmod(col("cy") + col("dy"), lit(nLon)).as("cy"))
     val dist = haversineM(col("lat_micro"), col("lon_micro"),
       col("lat_b"), col("lon_b"))
+    val distPlain = haversinePlainM(col("lat_micro"), col("lon_micro"),
+      col("lat_b"), col("lon_b"))
+    // plain prefilter first, canonical decision second: the And
+    // short-circuits, so only candidates inside the guard band pay the
+    // 10x decimal-canonicalized distance (which alone decides and is
+    // emitted — output values are unchanged)
     val inBandPairs = cellifyGeo(inBand, latCell, nLon)
       .join(probe, Seq("cx", "cy"))
-      .filter(col("id") < col("id_b") && dist <= lit(radiusMeters))
+      .filter(col("id") < col("id_b") &&
+        distPlain <= lit(radiusMeters + CanonGuardM) &&
+        dist <= lit(radiusMeters))
       .select(col("id").as("id_a"), col("id_b"), dist.as("dist_m"))
     // ---- polar leg: one lon-spanning cell per lat ring beyond the
     // band. Build side = polar points keyed by cx; probe side = every
@@ -338,10 +375,23 @@ object Geo {
         (col("cx0") + col("dx")).as("cx"), col("b_in_band"))
     val pDist = haversineM(col("lat_p"), col("lon_p"),
       col("lat_b"), col("lon_b"))
-    val polarPairs = polarBuild.join(capProbe, Seq("cx"))
+    val pDistPlain = haversinePlainM(col("lat_p"), col("lon_p"),
+      col("lat_b"), col("lon_b"))
+    // explicit ring exchange on the STREAM side of the (broadcast)
+    // join: the build side otherwise inherits the SCAN's partitioning,
+    // and a compact polar corpus read from few files would evaluate
+    // every cap candidate's haversine on one or two cores (measured:
+    // 3M candidates cost 0.8 s to ENUMERATE but ~10 s to score
+    // near-serially at sf0.1; ring-partitioned they score in ~1 s).
+    // Ring-per-task is also the leg's natural balance unit — candidate
+    // volume is quadratic within a ring, and a ring must fit a task
+    // for the same reason a packer shard must.
+    val polarPairs = polarBuild.repartition(col("cx"))
+      .join(capProbe.repartition(col("cx")), Seq("cx"))
       .filter(col("pid") =!= col("id_b"))
       .filter(col("b_in_band") || col("pid") < col("id_b"))
-      .filter(pDist <= lit(radiusMeters))
+      .filter(pDistPlain <= lit(radiusMeters + CanonGuardM) &&
+        pDist <= lit(radiusMeters))
       .select(least(col("pid"), col("id_b")).as("id_a"),
         greatest(col("pid"), col("id_b")).as("id_b"), pDist.as("dist_m"))
     inBandPairs.unionByName(polarPairs)

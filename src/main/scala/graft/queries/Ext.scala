@@ -1056,7 +1056,8 @@ object Ext {
         FROM lpq)
       SELECT doc_id, n_bigrams, mean_logprob, rn,
         CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
-      FROM rk ORDER BY rn"""))
+      FROM rk ORDER BY rn"""),
+    bench = true)
 
   /** Token-window chunking with overlap (see Text.chunk) — verified on
     * the first 50 docs (10-token chunks, 2 overlap).

@@ -593,7 +593,8 @@ object ExtF {
           maxAbsLatMicro = 66000000L)
         .orderBy(col("id_a"), col("id_b"))
     },
-    Some(s"""WITH $geoPtsCte,
+    bench = true,
+    oracle = Some(s"""WITH $geoPtsCte,
       sp AS (SELECT id, lat + 25500000 AS lat, lon FROM pts),
       rp AS (SELECT id, lat, lon,
           (CAST(lat AS DOUBLE) / 1000000.0) * 0.017453292519943295
