@@ -64,7 +64,12 @@ object Verify {
       catch {
         case _: java.util.concurrent.TimeoutException =>
           nFail += 1
-          spark.sparkContext.cancelJobGroup(s"verify-$name")
+          // AndFutureJobs (Spark 4): a query timing out in DRIVER-side
+          // planning has no active jobs yet — a plain cancelJobGroup
+          // would miss the jobs it submits right after, and they would
+          // run to completion on the shared executor behind every
+          // subsequent query
+          spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
           task.cancel(true)
           pool.shutdownNow()
           pool = freshPool()

@@ -68,10 +68,14 @@ object Drift {
     * or a shifted corpus shows up as per-label cosine < 1 long before
     * downstream metrics move). Directions use the deterministic
     * fixed-point trick from the Lloyd trainer: unit vectors, per-
-    * dimension DECIMAL(25,0) sums of floor(x·1e12) — partition-
-    * invariant, SQL-replayable, wrap-free to 10^13 rows per label;
-    * the cosine then divides exact-decimal dot/norm aggregates of
-    * those integer sums.
+    * dimension DECIMAL(25,0) sums of floor(x·1e9) — partition-
+    * invariant and SQL-replayable. 1e9, not the Lloyd 1e12: the
+    * dot/norm aggregates SQUARE these sums, and the failure ORDER
+    * must put the detectable cliff first — at 1e9 the (38,0) product
+    * sum overflows (whole aggregate nulls, detectable) at ~10⁹ rows
+    * per label, BEFORE any per-product null could be silently skipped
+    * (~10¹⁰); at 1e12 the silent skip came first (~10⁷). The oracle's
+    * hugeint ride errors loudly at the same magnitudes.
     *
     * Scale shape: one (label, dimension) sum per side (map-side
     * combinable), joined on O(#labels·dim) rows.
@@ -86,12 +90,10 @@ object Drift {
         .select(col("label"),
           posexplode(transform(col("_v"), x => x / col("_n"))))
         .groupBy(col("label"), col("pos"))
-        // decimal, not long: the long sum wraps SILENTLY at ~9.2M
-        // rows per label (n·1e12 past 2^63) while the DuckDB oracle's
-        // hugeint sum stays exact — the decimal ride is exact to 1e25
-        // and past that nulls DETECTABLY on both engines (r10
-        // decimal-width-audit convention)
-        .agg(sum(floor(col("col") * lit(1e12)).cast("decimal(25,0)"))
+        // decimal, not long: the long sum wrapped SILENTLY at ~9.2M
+        // rows per label; see the scaladoc for the 1e9 scale choice
+        // (failure order: detectable sum-overflow before silent skip)
+        .agg(sum(floor(col("col") * lit(1e9)).cast("decimal(25,0)"))
           .cast("decimal(25,0)").as(s"s_$tag"))
     }
     val o = dirs(oldEmb, "o")

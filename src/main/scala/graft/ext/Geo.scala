@@ -240,16 +240,24 @@ object Geo {
     * ops on canonicalized transcendentals, so both engines compute
     * bit-identical distances — the pair decision `dist ≤ r` replays.
     */
-  private[ext] def haversineM(latA: Column, lonA: Column,
-      latB: Column, lonB: Column): Column = {
+  // ONE formula for both haversine variants, parameterized by the
+  // per-trig transform (canon vs identity) — the winnowPrints shared-
+  // builder rule: the guard-band soundness argument below requires the
+  // twins to never drift, so there is nothing to keep in sync.
+  private def haversineWith(f: Column => Column)(
+      latA: Column, lonA: Column, latB: Column, lonB: Column): Column = {
     def rad(c: Column) =
       c.cast("double") / lit(1000000.0) * lit(DegToRad)
-    val sdLat = canon(sin((rad(latA) - rad(latB)) / lit(2.0)))
-    val sdLon = canon(sin((rad(lonA) - rad(lonB)) / lit(2.0)))
+    val sdLat = f(sin((rad(latA) - rad(latB)) / lit(2.0)))
+    val sdLon = f(sin((rad(lonA) - rad(lonB)) / lit(2.0)))
     val h = sdLat * sdLat +
-      canon(cos(rad(latA))) * canon(cos(rad(latB))) * sdLon * sdLon
-    lit(2.0 * EarthRadiusM) * canon(asin(sqrt(h)))
+      f(cos(rad(latA))) * f(cos(rad(latB))) * sdLon * sdLon
+    lit(2.0 * EarthRadiusM) * f(asin(sqrt(h)))
   }
+
+  private[ext] def haversineM(latA: Column, lonA: Column,
+      latB: Column, lonB: Column): Column =
+    haversineWith(canon)(latA, lonA, latB, lonB)
 
   /** Plain-double haversine — the cheap PREFILTER twin of
     * [[haversineM]]: identical formula without the decimal(20,12)
@@ -262,15 +270,8 @@ object Geo {
     * emitted.
     */
   private[ext] def haversinePlainM(latA: Column, lonA: Column,
-      latB: Column, lonB: Column): Column = {
-    def rad(c: Column) =
-      c.cast("double") / lit(1000000.0) * lit(DegToRad)
-    val sdLat = sin((rad(latA) - rad(latB)) / lit(2.0))
-    val sdLon = sin((rad(lonA) - rad(lonB)) / lit(2.0))
-    val h = sdLat * sdLat +
-      cos(rad(latA)) * cos(rad(latB)) * sdLon * sdLon
-    lit(2.0 * EarthRadiusM) * asin(sqrt(h))
-  }
+      latB: Column, lonB: Column): Column =
+    haversineWith(identity)(latA, lonA, latB, lonB)
 
   /** Guard band for the plain-vs-canonical haversine gap: rounding
     * each trig output to 12 decimals moves the distance by well under
@@ -387,7 +388,7 @@ object Geo {
     // volume is quadratic within a ring, and a ring must fit a task
     // for the same reason a packer shard must.
     val polarPairs = polarBuild.repartition(col("cx"))
-      .join(capProbe.repartition(col("cx")), Seq("cx"))
+      .join(capProbe, Seq("cx"))
       .filter(col("pid") =!= col("id_b"))
       .filter(col("b_in_band") || col("pid") < col("id_b"))
       .filter(pDistPlain <= lit(radiusMeters + CanonGuardM) &&

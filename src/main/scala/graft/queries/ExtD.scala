@@ -1415,15 +1415,17 @@ object ExtD {
       uw AS (SELECT label, list_transform(v, x -> x / nrm) AS uv
         FROM un WHERE nrm > 0 AND vec_id % 2 = 1),
       pp AS (SELECT unnest(range(1, 65)) AS p),
-      /* sums as DECIMAL(25,0), not BIGINT: Spark's long sum wraps
-         SILENTLY at ~9.2M rows per label while DuckDB's hugeint sum
-         is exact — a cross-engine divergence; the decimal ride is
-         exact to 1e25 and overflows detectably on both engines */
+      /* sums as DECIMAL(25,0) of floor(x*1e9), not BIGINT of 1e12:
+         Spark's long sum wrapped silently at ~9.2M rows/label, and at
+         1e12 the squared-sum products nulled silently before any
+         detectable overflow — at 1e9 the engine's first cliff is the
+         whole-aggregate null (~1e9 rows/label) and this hugeint ride
+         errors loudly at the same magnitudes */
       so AS (SELECT label, p,
-          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS DECIMAL(25,0)) AS s
+          CAST(SUM(CAST(floor(uv[p] * 1e9) AS BIGINT)) AS DECIMAL(25,0)) AS s
         FROM uo CROSS JOIN pp GROUP BY 1, 2),
       sn AS (SELECT label, p,
-          CAST(SUM(CAST(floor(uv[p] * 1e12) AS BIGINT)) AS DECIMAL(25,0)) AS s
+          CAST(SUM(CAST(floor(uv[p] * 1e9) AS BIGINT)) AS DECIMAL(25,0)) AS s
         FROM uw CROSS JOIN pp GROUP BY 1, 2),
       j AS (SELECT so.label, so.s AS so_s, sn.s AS sn_s
         FROM so JOIN sn ON sn.label = so.label AND sn.p = so.p),
