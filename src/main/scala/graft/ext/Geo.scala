@@ -378,16 +378,15 @@ object Geo {
       col("lat_b"), col("lon_b"))
     val pDistPlain = haversinePlainM(col("lat_p"), col("lon_p"),
       col("lat_b"), col("lon_b"))
-    // explicit ring exchange on the STREAM side of the (broadcast)
-    // join: the build side otherwise inherits the SCAN's partitioning,
-    // and a compact polar corpus read from few files would evaluate
-    // every cap candidate's haversine on one or two cores (measured:
-    // 3M candidates cost 0.8 s to ENUMERATE but ~10 s to score
-    // near-serially at sf0.1; ring-partitioned they score in ~1 s).
-    // Ring-per-task is also the leg's natural balance unit — candidate
-    // volume is quadratic within a ring, and a ring must fit a task
-    // for the same reason a packer shard must.
-    val polarPairs = polarBuild.repartition(col("cx"))
+    // NO forced ring exchange: an explicit repartition(col("cx")) here
+    // measured 3-50x SLOWER — the by-ring shuffle is byte-tiny, so AQE
+    // coalesces it to ~one partition and the (plain-prefiltered)
+    // candidate scoring runs near-serially. The leg inherits the
+    // input's partitioning instead; the per-ring quadratic candidate
+    // fan-out happens INSIDE the broadcast-join match loop, so any
+    // reasonably partitioned corpus parallelizes it, and the plain
+    // prefilter (below) keeps the per-candidate cost at raw-trig level.
+    val polarPairs = polarBuild
       .join(capProbe, Seq("cx"))
       .filter(col("pid") =!= col("id_b"))
       .filter(col("b_in_band") || col("pid") < col("id_b"))
