@@ -478,6 +478,26 @@ object ScaleBench {
       }
     }
 
+    // perplexity/rank path (round 12): perplexityBuckets rides
+    // globalRowNumber — a RANGE-partitioned total order (sample →
+    // range exchange → per-partition row_number + offset), never a
+    // single-partition Window. The rank exchange is the one data-sized
+    // move in the operator; this measures it (plus the bigram-LM
+    // aggregations underneath, which scale with the same corpus) at
+    // clone replication with shuffle accounting.
+    if (sec("rank")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      timeShuffle(s"perplexityBuckets x$k (${nDocs * k} docs)") {
+        graft.ext.Text.perplexityBuckets(rep, "text", "doc_id",
+          nBuckets = 3).count()
+      }
+      timeShuffle(s"globalRowNumber x$k (${nDocs * k} docs, rank only)") {
+        graft.ext.Rank.globalRowNumber(
+          rep.select(col("doc_id"), size(split(col("text"), " ")).as("nw")),
+          Seq(col("nw").desc, col("doc_id").asc)).count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

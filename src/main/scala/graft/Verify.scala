@@ -25,6 +25,17 @@ object Verify {
     // results are long since written by then — silence that logger
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.hadoop.conf.Configuration", org.apache.logging.log4j.Level.OFF)
+    // fresh-dir semantics on a FULL run: a renamed/retired query from a
+    // previous run into the same folder must never leave a ghost parquet
+    // that a downstream compare counts as current (r11 judge hit a stale
+    // x_fuzz_118 dir exactly this way). Targeted dev runs (extra args)
+    // keep the rest of the dir so selfcheck over the named queries works.
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(rmTree)
+      f.delete(); ()
+    }
+    if (only.isEmpty) rmTree(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     // per-query watchdog: one pathological query must cost at most its
     // timeout, never the whole artifact (the r10 driver gate recorded
@@ -73,15 +84,23 @@ object Verify {
           task.cancel(true)
           pool.shutdownNow()
           pool = freshPool()
+          // the worker may have been cancelled BEFORE its own
+          // mode("overwrite") delete ran — a previous run's parquet for
+          // this query would then survive and a compare over a reused
+          // outDir would read it as current. Remove it so the query
+          // deterministically surfaces as MISSING-OUTPUT.
+          rmTree(new java.io.File(s"$outDir/$name"))
           System.err.println(
             s"[verify] $name TIMED OUT after ${timeoutSec}s — " +
               "jobs cancelled, continuing with the next query")
         case e: java.util.concurrent.ExecutionException =>
           nFail += 1
+          rmTree(new java.io.File(s"$outDir/$name"))
           val c = Option(e.getCause).getOrElse(e)
           System.err.println(s"[verify] $name failed: ${c.getMessage}")
         case e: Throwable =>
           nFail += 1
+          rmTree(new java.io.File(s"$outDir/$name"))
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query wall time on stderr: when a driver gate runs against

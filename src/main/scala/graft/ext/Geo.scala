@@ -273,11 +273,16 @@ object Geo {
       latB: Column, lonB: Column): Column =
     haversineWith(identity)(latA, lonA, latB, lonB)
 
-  /** Guard band for the plain-vs-canonical haversine gap: rounding
-    * each trig output to 12 decimals moves the distance by well under
-    * a micrometer (GeoSpec's boundary analysis); 1 mm is a >10³×
-    * margin, so `plain ≤ r + guard` can never exclude a pair the
-    * canonical distance would admit.
+  /** Guard band for the plain-vs-canonical haversine gap. Worst-case
+    * bound: rounding the asin output alone to 12 decimals shifts the
+    * distance by up to 2R·5e-13 ≈ 6.4 µm, and propagating the h-term
+    * rounding through sqrt(h) (amplified at small h) contributes a
+    * comparable amount — so the true gap bound is ~1e-5 m, a ~100×
+    * margin under the 1 mm guard (NOT the >10³× a naive "rounding is
+    * 5e-13 relative" reading suggests). Still comfortably sound:
+    * `plain ≤ r + guard` can never exclude a pair the canonical
+    * distance would admit. Any future radius/precision change must be
+    * justified against the ~1e-5 m figure, not the optimistic one.
     */
   private[ext] val CanonGuardM = 0.001
 

@@ -746,4 +746,83 @@ object Text {
       .select(col("doc_id"), col("seg_idx"), col("lang"),
         col("start_token"), col("n_tokens"))
   }
+
+  /** Compression-ratio repetition signal (Gopher/RefinedWeb-standard
+    * quality filter; Rae et al. 2021 — public literature): per-doc
+    * `deflate_bytes / raw_utf8_bytes` under a fixed raw-DEFLATE
+    * configuration ([[graft.plans.DeflateLen]]). Boilerplate and
+    * template spam land well below natural prose; near-random text
+    * approaches (or exceeds) 1. Complements [[repetitionSignals]]:
+    * n-gram fractions see short-range repeats, deflate's 32 KiB window
+    * catches long-range copies inside one document.
+    *
+    * Narrow zero-shuffle per-row pass, whole-stage-codegen'd (native
+    * expression, not a UDF). `is_repetitive` flags ratio < `threshold`
+    * among docs long enough for the ratio to mean anything (deflate
+    * overhead dominates tiny inputs, so docs under `minBytes` are
+    * never flagged).
+    *
+    * Spec-adjudicated (golden fixtures + ordering invariants), not
+    * DuckDB-oracled: compressed SIZE is zlib-build-specific — see the
+    * determinism note on [[graft.plans.DeflateLen]].
+    */
+  def compressionRatio(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.4, minBytes: Int = 64): DataFrame = {
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val txt = col(textCol).cast("string")
+    docs
+      .select(col(idCol).as("doc_id"),
+        octet_length(txt).cast("bigint").as("n_bytes"),
+        call_function("deflate_len", txt).cast("bigint")
+          .as("n_deflate_bytes"))
+      .withColumn("compression_ratio",
+        when(col("n_bytes") > 0,
+          col("n_deflate_bytes").cast("double") / col("n_bytes").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("is_repetitive",
+        col("n_bytes") >= minBytes && col("compression_ratio") < threshold)
+  }
+
+  /** Encoding-garbage quality signals — the first filter every crawl
+    * pipeline runs (CCNet/RefinedWeb preprocessing; public literature):
+    * per-doc counts and fractions of
+    *  - U+FFFD REPLACEMENT CHARACTER — the decoder's own damage marker.
+    *    Invalid bytes AND unpaired surrogates become exactly this (or
+    *    are dropped) at the UTF-8 decode boundary, so post-decode this
+    *    column IS the invalid-byte/invalid-surrogate signal: a lone
+    *    surrogate is unrepresentable in well-formed UTF-8 (RFC 3629),
+    *    hence in a parquet string or a Spark UTF8String — there is no
+    *    post-decode row where a direct surrogate count could be nonzero;
+    *  - C0 control characters (except \t\n\r) plus DEL — binary spill;
+    *  - C1 controls U+0080–U+009F — the mojibake signature of
+    *    latin-1/cp1252 text mis-decoded or double-decoded as UTF-8.
+    *
+    * Pure per-row expressions (narrow, zero shuffle, codegen'd:
+    * `replace`-length deltas and two RE2/Java-common regex classes).
+    * `is_clean` = zero garbage codepoints of any class. Counts are
+    * codepoints; fractions divide by the doc's codepoint length
+    * (0.0 for empty docs). SQL-replayable on both engines.
+    */
+  def encodingQuality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val txt = col(textCol).cast("string")
+    val nChars = length(txt).cast("bigint")
+    def cnt(stripped: Column): Column =
+      (length(txt) - length(stripped)).cast("bigint")
+    val nRepl = cnt(replace(txt, lit("\uFFFD"), lit("")))
+    val nCtrl = cnt(regexp_replace(txt,
+      lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"), lit("")))
+    val nC1 = cnt(regexp_replace(txt, lit("[\\x80-\\x9F]"), lit("")))
+    def frac(n: Column): Column =
+      when(col("n_chars") > 0,
+        n.cast("double") / col("n_chars").cast("double")).otherwise(lit(0.0))
+    docs
+      .select(col(idCol).as("doc_id"), nChars.as("n_chars"),
+        nRepl.as("n_replacement"), nCtrl.as("n_control"), nC1.as("n_c1"))
+      .withColumn("frac_replacement", frac(col("n_replacement")))
+      .withColumn("frac_bad", frac(
+        col("n_replacement") + col("n_control") + col("n_c1")))
+      .withColumn("is_clean",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_c1") === 0)
+  }
 }

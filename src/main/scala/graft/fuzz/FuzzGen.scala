@@ -253,6 +253,26 @@ object FuzzGen {
         s"SELECT CAST($colB % $m AS BIGINT) FROM $tbl WHERE ${predB.sql})"
   }
 
+  /** Round-12 wave 8: correlated [NOT] EXISTS under OR with another
+    * predicate — DISJUNCTIVE decorrelation. Conjunctive EXISTS (the
+    * joinKind semi/anti path) decorrelates to a semi/anti join; under
+    * OR neither join kind can express the row-keeping disjunction, so
+    * Catalyst plans an ExistenceJoin (a LEFT join producing a boolean
+    * witness column the OR then consumes) — a planner path none of the
+    * earlier EXISTS shapes reach. The DataFrame rendering builds that
+    * witness by hand: distinct child keys LEFT-joined, `coalesce(flag,
+    * false)`, OR'd with the plain predicate. NULL-key convention: a
+    * NULL parent key never matches, so EXISTS contributes false (row
+    * lives or dies on the other disjunct) and NOT EXISTS contributes
+    * true (row always kept) — identical in both engines.
+    */
+  final case class OrExists(orPred: Pred, tbl: String, fkChild: String,
+      fkParent: String, neg: Boolean, pred: Pred) {
+    def sql: String =
+      s"(${orPred.sql} OR ${if (neg) "NOT " else ""}EXISTS " +
+        s"(SELECT 1 FROM $tbl WHERE $fkChild = $fkParent AND ${pred.sql}))"
+  }
+
   /** joinKind: "inner" renders a JOIN; "semi"/"anti" render
     * EXISTS / NOT EXISTS against the right table (decorrelated to
     * left_semi / left_anti in the DataFrame rendering) — only the left
@@ -316,7 +336,9 @@ object FuzzGen {
       havingExists: Option[(String, String, Boolean, Pred)] = None,
       selectSub: Option[CorrSub] = None,
       inSetSub: Option[InSetSub] = None,
-      winOverAgg: Boolean = false) {
+      winOverAgg: Boolean = false,
+      orExists: Option[OrExists] = None,
+      aggOverWin: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -358,6 +380,7 @@ object FuzzGen {
       }
       val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
         corrSub.map(_.sql) ++ inSub.map(_.sql) ++ inSetSub.map(_.sql) ++
+        orExists.map(_.sql) ++
         lateralAgg.map(la => s"${la.parentCol} ${la.op} lsub.mx")
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
@@ -435,7 +458,21 @@ object FuzzGen {
         val outer = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol).mkString(", ")
         val outerOrd = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol)
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
-        s"""SELECT $outer FROM (
+        // wave 8: GROUP BY over the window-function result — the
+        // inverse composition of wave 7's window-above-Aggregate.
+        // Deterministic because each base row's rn is (row_number:
+        // fully tie-broken; rank/dense_rank: peers share), so the row
+        // set behind each rn group is a function of the data alone
+        if (aggOverWin)
+          s"""SELECT rn, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(${ids.head}) AS BIGINT) AS sid FROM (
+             |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
+             |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
+             |      ORDER BY $winOrd) AS INTEGER) AS rn
+             |  FROM $fromSql$whereSql) t
+             |WHERE rn <= $topK GROUP BY rn
+             |ORDER BY rn ASC NULLS FIRST""".stripMargin
+        else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
            |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel
@@ -587,9 +624,23 @@ object FuzzGen {
             .join(sub, pv === col("_iv"), "left_anti")
         }
       }
+      // wave 8: disjunctive [NOT] EXISTS — the hand-built ExistenceJoin:
+      // distinct child keys LEFT-joined as a boolean witness, the OR
+      // evaluated over (predicate, witness). A semi/anti join could not
+      // express this (the other disjunct must be able to keep the row)
+      val base7b = orExists.foldLeft(base7) { (df, oe) =>
+        val sub = H.t(s, dir, oe.tbl).filter(oe.pred.df)
+          .select(col(oe.fkChild).as("_ek")).distinct()
+          .withColumn("_ex", lit(true))
+        val witness = coalesce(col("_ex"), lit(false))
+        val cond =
+          if (oe.neg) oe.orPred.df || !witness else oe.orPred.df || witness
+        df.join(sub, col(oe.fkParent) === col("_ek"), "left")
+          .filter(cond).drop("_ek", "_ex")
+      }
       // wave 7: select-list correlated scalar — per-FK MAX aggregate
       // LEFT-joined with NO filter (NULL-extension, not row attrition)
-      val base = selectSub.foldLeft(base7) { (df, ss) =>
+      val base = selectSub.foldLeft(base7b) { (df, ss) =>
         val agg = H.t(s, dir, ss.tbl).filter(ss.pred.df)
           .groupBy(col(ss.fkChild).as("_sk"))
           .agg(max(col(ss.childCol)).as("sq"))
@@ -668,12 +719,18 @@ object FuzzGen {
           }
           val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
             selectSub.map(_ => "sq").toSeq).map(col)
-          base.withColumn("pk", pk.df)
+          val ranked = base.withColumn("pk", pk.df)
             .withColumn("rn", rankFn.over(
               Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
             .filter(col("rn") <= topK)
-            .select(outCols: _*)
-            .orderBy(outCols: _*)
+          // wave 8: aggregate ABOVE the window — group the top-k rows
+          // by their rank value
+          if (aggOverWin)
+            ranked.groupBy(col("rn"))
+              .agg(count(lit(1)).cast("bigint").as("n"),
+                sum(col(ids.head)).cast("bigint").as("sid"))
+              .orderBy(col("rn"))
+          else ranked.select(outCols: _*).orderBy(outCols: _*)
         case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
           val ordSort = if (desc) col(ordCol).desc else col(ordCol).asc
           val tieSorts = ids.map(col(_).asc)
@@ -698,6 +755,10 @@ object FuzzGen {
             case "UNION ALL" => side(pa).union(side(pb))
             case "INTERSECT" => side(pa).intersect(side(pb))
             case "EXCEPT" => side(pa).except(side(pb))
+            // wave 8: multiset semantics — duplicates survive by
+            // min(countA, countB) / countA − countB in both engines
+            case "INTERSECT ALL" => side(pa).intersectAll(side(pb))
+            case "EXCEPT ALL" => side(pa).exceptAll(side(pb))
           }
           if (withAgg) combined
             .agg(countDistinct(col("v")).cast("bigint").as("cd"),
@@ -990,9 +1051,41 @@ object FuzzGen {
           rnd7.nextInt(3) == 0 => true
       case _ => false
     }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape6,
+    // round-12 wave 8 rides an eighth independent stream (the
+    // rnd2..rnd7 rule): INTERSECT ALL / EXCEPT ALL multiset set-ops,
+    // GROUP BY over a window-function result, and correlated [NOT]
+    // EXISTS under OR. None of the three can EMPTY a case (OR widens,
+    // ALL keeps at least the distinct rows, grouping a non-empty
+    // result is non-empty), so the sweep's non-emptiness floor is
+    // structurally safe from this wave.
+    val rnd8 = new Random(seed * 0xFF51AFD7L + 97)
+    val shape7 = shape6 match {
+      case st: SetShape if (st.op == "INTERSECT" || st.op == "EXCEPT") &&
+          rnd8.nextInt(2) == 0 =>
+        st.copy(op = st.op + " ALL")
+      case other => other
+    }
+    val orExists =
+      if (corrEdges.nonEmpty && rnd8.nextInt(4) == 0) {
+        val (ct, _, cfk, pk2) = pick(rnd8, corrEdges)
+        val child = byName(ct)
+        val kO = pick(rnd8, Seq(2, 3, 5))
+        val kS = pick(rnd8, Seq(2, 3, 5))
+        Some(OrExists(
+          Pred(pick(rnd8, intCols), kO, rnd8.nextInt(kO),
+            pick(rnd8, Seq("=", "<>"))),
+          ct, cfk, pk2, neg = rnd8.nextInt(2) == 1,
+          Pred(pick(rnd8, child.intCols), kS, rnd8.nextInt(kS),
+            pick(rnd8, Seq("=", "<>")))))
+      } else None
+    val aggOverWin = shape7 match {
+      case w: WinShape if selectSub.isEmpty && w.ids.nonEmpty &&
+          rnd8.nextInt(3) == 0 => true
+      case _ => false
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape7,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
-      selectSub, inSetSub, winOverAgg)
+      selectSub, inSetSub, winOverAgg, orExists, aggOverWin)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine

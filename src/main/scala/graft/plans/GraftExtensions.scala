@@ -33,7 +33,10 @@ object GraftExtensions {
     (new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (children: Seq[Expression]) =>
-        JaroWinkler(children(0), children(1)): Expression))
+        JaroWinkler(children(0), children(1)): Expression),
+    (new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children(0)): Expression))
 
   /** Idempotent per-session registration fallback: lets the functions
     * resolve even in a session built WITHOUT spark.sql.extensions (e.g.

@@ -960,8 +960,8 @@ object ExtB {
         quantile_cont(v, 0.95) AS hi FROM base GROUP BY grp)
       SELECT base.grp, CAST(COUNT(*) AS BIGINT) AS n,
         max(bounds.lo) AS lo, max(bounds.hi) AS hi,
-        CAST(SUM(CAST(least(greatest(v, bounds.lo), bounds.hi)
-          AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS winsorized_mean
+        CAST(CAST(SUM(CAST(least(greatest(v, bounds.lo), bounds.hi)
+          AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS winsorized_mean
       FROM base JOIN bounds ON base.grp = bounds.grp
       GROUP BY base.grp ORDER BY base.grp"""))
 

@@ -39,7 +39,9 @@ object ExtD {
           CAST(SUM(c) AS BIGINT) AS n
         FROM cum)
       SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
-        CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS DOUBLE)
+        /* VARCHAR roundtrip: hugeint→double is not guaranteed correctly
+           rounded past 2^53; hugeint→varchar→double is (r11 d2d idiom) */
+        CAST(CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS VARCHAR) AS DOUBLE)
           / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
              * CAST(n - pos AS DOUBLE)) AS auc
       FROM sums"""))
@@ -234,9 +236,10 @@ object ExtD {
           CAST(SUM(cb) AS BIGINT) AS nb FROM m)
       SELECT na AS n_a, nb AS n_b,
         /* hugeint cross-products, double denominator — mirrors the
-           engine's decimal ride (bigint wrapped at na*nb ~ 2^63) */
-        CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
-            - CAST(cumb AS HUGEINT) * na)) AS DOUBLE)
+           engine's decimal ride (bigint wrapped at na*nb ~ 2^63);
+           VARCHAR roundtrip for a correctly-rounded double past 2^53 */
+        CAST(CAST(MAX(abs(CAST(cuma AS HUGEINT) * nb
+            - CAST(cumb AS HUGEINT) * na)) AS VARCHAR) AS DOUBLE)
           / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) AS ks_d
       FROM cum CROSS JOIN tot GROUP BY na, nb"""))
 
@@ -404,7 +407,12 @@ object ExtD {
         FROM chunks a JOIN chunks b ON a.j = b.j AND a.id < b.id
         GROUP BY a.id, b.id)
       SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
-      ORDER BY id_a, id_b"""))
+      ORDER BY id_a, id_b"""),
+    // r12: the decode path was the only major operator family with no
+    // cross-round perf trace in BENCH artifacts — this query exercises
+    // the full pipeline (synthetic PNG bytes → ImageIO decode → dHash
+    // → banded pigeonhole pairs), so it's the representative headliner
+    bench = true)
 
   /** Cross-video duplicate-frame detection (round 8) — the full video
     * half of perceptual dedup, end-to-end REAL: keyed LOSSLESS
@@ -860,7 +868,9 @@ object ExtD {
           CAST(SUM(c) AS BIGINT) AS n
         FROM cum)
       SELECT pos AS n_pos, CAST(n - pos AS BIGINT) AS n_neg,
-        CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS DOUBLE)
+        /* VARCHAR roundtrip: hugeint→double is not guaranteed correctly
+           rounded past 2^53; hugeint→varchar→double is (r11 d2d idiom) */
+        CAST(CAST(sum2r - CAST(pos AS HUGEINT) * (pos + 1) AS VARCHAR) AS DOUBLE)
           / (CAST(2 AS DOUBLE) * CAST(pos AS DOUBLE)
              * CAST(n - pos AS DOUBLE)) AS auc
       FROM sums"""))

@@ -32,7 +32,15 @@ object SeedScan {
           case _ => ""
         }
       }
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""} $desc")
+      val w8 = c.orExists.fold("")(o =>
+        if (o.neg) "/ornex" else "/orex") +
+        (if (c.aggOverWin) "/aggwin" else "") +
+        (c.shape match {
+          case s: SetShape if s.op == "INTERSECT ALL" => "/iall"
+          case s: SetShape if s.op == "EXCEPT ALL" => "/eall"
+          case _ => ""
+        })
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""}$w8 $desc")
     }
   }
 }

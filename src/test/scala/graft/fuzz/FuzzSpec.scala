@@ -147,5 +147,17 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.AggShape(keys, _, _, "plain") => keys.nonEmpty
       case _ => false
     })), "no window-over-grouped-result case")
+    // round-12 wave 8
+    assert(cases.exists(c => c.shape match {
+      case s: FuzzGen.SetShape => s.op.endsWith(" ALL") && s.op != "UNION ALL"
+      case _ => false
+    }), "no INTERSECT ALL / EXCEPT ALL case")
+    assert(cases.exists(c => c.orExists.exists(!_.neg)),
+      "no EXISTS-under-OR case")
+    assert(cases.exists(c => c.orExists.exists(_.neg)),
+      "no NOT-EXISTS-under-OR case")
+    assert(cases.exists(c => c.aggOverWin &&
+      c.shape.isInstanceOf[FuzzGen.WinShape]),
+      "no GROUP-BY-over-window case")
   }
 }
