@@ -1139,8 +1139,23 @@ object FuzzGen {
     * + positive-IN carrier) emptied under its new wave-7 layer and is
     * replaced by 349 — the same sym-ROWS-frame-over-positive-IN
     * construct, 8674 rows.
+    * Round-12 wave 8 additions (rnd8 stream: INTERSECT ALL / EXCEPT
+    * ALL, GROUP BY over a window result, [NOT] EXISTS under OR): 18
+    * (GROUP BY over row_number on a LEFT join carrying scalar +
+    * correlated + LATERAL subqueries, 5 rows), 101 (INTERSECT ALL
+    * under DISTINCT aggregates + a NULLIF-poisoned NOT IN — the
+    * multiset's duplicates must be ERASED by the distinct collapse,
+    * 1 row), 172 (EXCEPT ALL under ROW_NUMBER — the multiset's
+    * duplicates must SURVIVE into the rn wrap, 181 rows), 357
+    * (INTERSECT ALL + NOT EXISTS under OR on a LEFT join, 114 rows) —
+    * all non-empty at the driver SF; existing picks also gained
+    * wave-8 layers on the independent stream (6 EXISTS-under-OR;
+    * 8/32/48/90/105 NOT-EXISTS-under-OR). Wave 8 cannot EMPTY a case
+    * (OR widens, ALL ⊇ distinct, grouping non-empty stays non-empty),
+    * so every prior pick's documented non-emptiness is preserved by
+    * construction.
     */
-  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 20, 22, 25, 32,
-    34, 42, 48, 49, 55, 62, 81, 90, 102, 103, 104, 105, 107, 108, 109,
-    110, 117, 146, 173, 272, 349)
+  val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
+    32, 34, 42, 48, 49, 55, 62, 81, 90, 101, 102, 103, 104, 105, 107,
+    108, 109, 110, 117, 146, 172, 173, 272, 349, 357)
 }
