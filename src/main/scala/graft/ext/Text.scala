@@ -747,6 +747,69 @@ object Text {
         col("start_token"), col("n_tokens"))
   }
 
+  /** Gopher-rules composite quality filter (Rae et al. 2021 Table A1 —
+    * public literature; the rule bundle every Gopher-reproduction
+    * pipeline applies before dedup), adapted to whitespace tokens:
+    *
+    *  - `r_words`:   minWords ≤ word count ≤ maxWords (Gopher: 50–100k)
+    *  - `r_wordlen`: mean word length in [minMeanLen, maxMeanLen] (3–10)
+    *  - `r_symbol`:  symbol-to-word ratio ≤ maxSymbolRatio (0.1;
+    *                 symbols = '#' and '...' per the paper)
+    *  - `r_alpha`:   fraction of words containing ≥1 alphabetic char
+    *                 ≥ minAlphaFrac (0.80)
+    *  - `r_stop`:    ≥ minStopwords stopword hits (2) — the "contains
+    *                 real English glue" screen
+    *
+    * The paper's line-based rules (bullet-start / ellipsis-end
+    * fractions) need newline structure this corpus doesn't carry; on
+    * newline-delimited text they'd ride the same shape (split on \n,
+    * two more fraction columns). Emits raw signals, per-rule booleans,
+    * the composite `pass`, and `fail_reasons` (comma-joined rule names
+    * in fixed order — both engines' concat_ws skips the NULL arms, so
+    * the string replays exactly).
+    *
+    * Pure per-row expressions — narrow, zero shuffle, codegen'd; mean
+    * word length is the exact integer-sum / count double division, so
+    * every boolean replays bit-for-bit cross-engine.
+    */
+  def gopherRules(docs: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): DataFrame = {
+    val txt = col(textCol)
+    val base = docs.select(col(idCol).as("doc_id"),
+      wordCount(txt).cast("bigint").as("n_words"),
+      meanWordLen(txt).as("mean_word_len"),
+      regexp_count(txt, lit("#|\\.\\.\\.")).cast("bigint").as("n_symbols"),
+      size(filter(tokens(txt), w => w.rlike("[a-zA-Z]")))
+        .cast("bigint").as("n_alpha_words"),
+      stopwordCount(txt).cast("bigint").as("n_stopwords"))
+    val rules = base
+      .withColumn("r_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_wordlen",
+        col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen)
+      .withColumn("r_symbol",
+        col("n_symbols").cast("double") / col("n_words").cast("double")
+          <= maxSymbolRatio)
+      .withColumn("r_alpha",
+        col("n_alpha_words").cast("double") / col("n_words").cast("double")
+          >= minAlphaFrac)
+      .withColumn("r_stop", col("n_stopwords") >= minStopwords)
+    rules
+      .withColumn("pass",
+        col("r_words") && col("r_wordlen") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .withColumn("fail_reasons", concat_ws(",",
+        when(!col("r_words"), lit("words")),
+        when(!col("r_wordlen"), lit("wordlen")),
+        when(!col("r_symbol"), lit("symbol")),
+        when(!col("r_alpha"), lit("alpha")),
+        when(!col("r_stop"), lit("stop"))))
+  }
+
   /** Compression-ratio repetition signal (Gopher/RefinedWeb-standard
     * quality filter; Rae et al. 2021 — public literature): per-doc
     * `deflate_bytes / raw_utf8_bytes` under a fixed raw-DEFLATE

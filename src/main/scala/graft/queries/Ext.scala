@@ -1001,7 +1001,9 @@ object Ext {
     * the two can never drift). Ends at `lpq(doc_id, n_bigrams,
     * sum_logprob, mean_logprob)`.
     */
-  private val bigramLmCtes: String =
+  // private[queries]: the r12 quality-funnel capstone (ExtI) chains the
+  // SAME LM replay so the two oracles can never drift
+  private[queries] val bigramLmCtes: String =
     """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
           SELECT doc_id, unnest(list_transform(range(1, len(w)),

@@ -39,16 +39,8 @@ object ExtI {
   val xTextEncodingQuality = Q(
     "x_text_encoding_quality",
     (s, dir) => {
-      val g = concat(
-        when(col("doc_id") % 7 === 0,
-          expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 === 0, lit("\u0007\u0001\u007F"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
-          .otherwise(lit("")))
       val injected = t(s, dir, "documents")
-        .select(col("doc_id"), concat(col("text"), g).as("text"))
+        .select(col("doc_id"), concat(col("text"), encGarbage).as("text"))
       Text.encodingQuality(injected, "text", "doc_id").orderBy(col("doc_id"))
     },
     Some("""WITH inj AS (SELECT doc_id, text ||
@@ -129,6 +121,157 @@ object ExtI {
         CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
       FROM rep GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** The doc_id-keyed garbage constructions shared by the encoding /
+    * gopher / funnel queries — Scala (engine) and SQL (oracle) halves
+    * of the SAME deterministic injection, kept adjacent so they can't
+    * drift. Encoding garbage (U+FFFD runs, C0, C1) attaches to the last
+    * word; the gopher bait adds three non-alphabetic tokens (4 symbol
+    * matches: '#'×3 + '...') that push short docs over the symbol-ratio
+    * and under the alpha-fraction thresholds while long docs absorb it.
+    */
+  private def encGarbage = concat(
+    when(col("doc_id") % 7 === 0,
+      expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("\u0007\u0001\u007F"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
+      .otherwise(lit("")))
+  private def gopherBait =
+    when(col("doc_id") % 13 === 0, lit(" ### ... 123")).otherwise(lit(""))
+  private val encGarbageSql = """
+        CASE WHEN doc_id % 7 = 0
+          THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT)) ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN chr(7) || chr(1) || chr(127) ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+          THEN chr(133) || chr(150) ELSE '' END"""
+  private val gopherBaitSql =
+    """CASE WHEN doc_id % 13 = 0 THEN ' ### ... 123' ELSE '' END"""
+
+  /** Gopher-signals replay over a text column `t` in relation `inj`,
+    * ending in `gr(doc_id, …signals…, r_* booleans, pass)`.
+    */
+  private val gopherCtesSql = """
+      sig AS (SELECT doc_id,
+        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(string_split(t, ' '),
+          w -> len(w))) AS DOUBLE) / len(string_split(t, ' '))
+          AS mean_word_len,
+        CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        CAST(len(list_filter(string_split(t, ' '),
+          w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        CAST(len(list_filter(string_split(t, ' '),
+          w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
+          AS BIGINT) AS n_stopwords
+      FROM inj),
+      gr AS (SELECT *,
+        (n_words >= 50 AND n_words <= 100000) AS r_words,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
+        (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+        (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+        (n_stopwords >= 2) AS r_stop,
+        ((n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+          AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+          AND (n_stopwords >= 2)) AS pass
+      FROM sig)"""
+
+  /** Gopher-rules composite filter ([[Text.gopherRules]], Rae et al.
+    * 2021 Table A1 defaults): per-doc raw signals, per-rule booleans,
+    * composite pass, and the comma-joined fail_reasons string. The
+    * gopher bait (three non-alphabetic tokens, four symbol matches)
+    * rides doc_id % 13 so the symbol and alpha rules fire on short
+    * baited docs and pass on long ones; the word-count (50) and
+    * stopword (≥2) rules split the raw corpus on their own. Hash-exact:
+    * integer signals, one exact int/int double division per ratio.
+    */
+  val xQualityGopherRules = Q(
+    "x_quality_gopher_rules",
+    (s, dir) => {
+      val injected = t(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"), gopherBait).as("text"))
+      Text.gopherRules(injected, "text", "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text || $gopherBaitSql AS t
+        FROM documents),
+      $gopherCtesSql
+      SELECT doc_id, n_words, mean_word_len, n_symbols, n_alpha_words,
+        n_stopwords, r_words, r_wordlen, r_symbol, r_alpha, r_stop, pass,
+        concat_ws(',',
+          CASE WHEN NOT r_words THEN 'words' END,
+          CASE WHEN NOT r_wordlen THEN 'wordlen' END,
+          CASE WHEN NOT r_symbol THEN 'symbol' END,
+          CASE WHEN NOT r_alpha THEN 'alpha' END,
+          CASE WHEN NOT r_stop THEN 'stop' END) AS fail_reasons
+      FROM gr ORDER BY doc_id"""))
+
+  /** Quality-funnel capstone: the attrition report every curation run
+    * opens with — encoding-garbage screen → Gopher rules → CCNet
+    * fluency cut, sequentially AND-composed. The raw-bytes filters
+    * (encoding, gopher) see the garbage-injected text; the LM scores
+    * the CLEAN text (real pipelines strip garbage before perplexity
+    * scoring), riding the SAME bigram-LM replay as the fluency/bucket
+    * oracles via the shared CTE block. One hash-exact row: stage
+    * counts + final survival fraction.
+    */
+  val xPipelineQualityFunnel = Q(
+    "x_pipeline_quality_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"), encGarbage, gopherBait).as("text"))
+      val enc = Text.encodingQuality(injected, "text", "doc_id")
+        .select(col("doc_id"), col("is_clean"))
+      val gph = Text.gopherRules(injected, "text", "doc_id")
+        .select(col("doc_id"), col("pass"))
+      val ppl = Text.perplexityBuckets(docs, "text", "doc_id", nBuckets = 3)
+        .select(col("doc_id"), col("bucket"))
+      enc.join(gph, "doc_id").join(ppl, Seq("doc_id"), "left")
+        .agg(
+          count(lit(1)).cast("bigint").as("n_all"),
+          sum(when(col("is_clean"), 1).otherwise(0)).cast("bigint")
+            .as("n_encoding_clean"),
+          sum(when(col("is_clean") && col("pass"), 1).otherwise(0))
+            .cast("bigint").as("n_gopher_pass"),
+          sum(when(col("is_clean") && col("pass") && col("bucket") < 2, 1)
+            .otherwise(0)).cast("bigint").as("n_fluent"))
+        .withColumn("survival_frac",
+          col("n_fluent").cast("double") / col("n_all").cast("double"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      rk AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lpq),
+      bk AS (SELECT doc_id, CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM rk),
+      inj AS (SELECT doc_id, text || $encGarbageSql
+          || $gopherBaitSql AS t
+        FROM documents),
+      enc AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM inj),
+      $gopherCtesSql,
+      fl AS (SELECT e.doc_id, e.is_clean, g.pass, bk.bucket
+        FROM enc e JOIN gr g USING (doc_id) LEFT JOIN bk USING (doc_id))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all,
+        CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_encoding_clean,
+        CAST(SUM(CASE WHEN is_clean AND pass THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_gopher_pass,
+        CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_fluent,
+        CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2 THEN 1 ELSE 0 END)
+          AS DOUBLE) / COUNT(*) AS survival_frac
+      FROM fl"""))
+
   val queries: Seq[Q] = Seq(xTextCompressionRatio, xTextEncodingQuality,
-    xPipelineParagraphDedup)
+    xPipelineParagraphDedup, xQualityGopherRules, xPipelineQualityFunnel)
 }

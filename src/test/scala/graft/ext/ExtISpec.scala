@@ -111,6 +111,38 @@ class ExtISpec extends SparkSuite {
     assert(out(4).getAs[Boolean]("is_clean"))
   }
 
+  // ---- gopher rules -------------------------------------------------------
+
+  test("gopherRules: each rule fires alone and pass composes") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val df = Seq(
+      // 50 alphabetic ~6-char words + 2 stopwords = 52 words, all pass
+      (1L, s"$fifty the a"),
+      // under the word floor, everything else fine
+      (2L, s"the a ${(1 to 10).map(i => s"word$i").mkString(" ")}"),
+      // no stopwords
+      (3L, fifty),
+      // symbol spam: 10 '###' tokens → 30 '#' matches / 62 words =
+      // 0.484 > 0.1, while alpha 52/62 = 0.839 stays above the floor
+      (4L, s"$fifty the a ${Seq.fill(10)("###").mkString(" ")}"),
+      // short words: mean length (2·50+3+1)/52 = 2.0 < 3
+      (5L, s"${(1 to 50).map(_ => "ab").mkString(" ")} the a"))
+      .toDF("doc_id", "text")
+    val out = Text.gopherRules(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    def reasons(i: Int) = out(i).getAs[String]("fail_reasons")
+    assert(out(0).getAs[Boolean]("pass") && reasons(0) === "")
+    assert(reasons(1) === "words")
+    assert(reasons(2) === "stop")
+    assert(reasons(3) === "symbol")
+    assert(reasons(4) === "wordlen")
+    assert(out.map(_.getAs[Boolean]("pass")).toSeq ===
+      Seq(true, false, false, false, false))
+    // raw signals: '###' is three '#' matches per token, 10 tokens
+    assert(out(3).getAs[Long]("n_symbols") === 30L)
+    assert(out(3).getAs[Long]("n_alpha_words") === 52L)
+  }
+
   // ---- paragraph dedup ----------------------------------------------------
 
   test("paragraphDedup removes later near-dup paragraphs, keeps first") {
