@@ -1,0 +1,25 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: print the executed plan of named registry queries at
+  * sf0.001 — the ".explain and iterate" loop for PlanSpec gates.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args) {
+      println(s"===== $n =====")
+      println(graft.queries.Registry.byName(n)
+        .run(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString)
+    }
+    spark.stop()
+    org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
+  }
+}

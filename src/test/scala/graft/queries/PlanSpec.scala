@@ -468,6 +468,35 @@ class PlanSpec extends SparkSuite {
       s"perplexity ranking lost the globalRowNumber bridge:\n$pb")
   }
 
+  test("round-12 operators keep their scale shapes") {
+    // the three per-row quality signals must stay narrow: no joins, no
+    // shuffle beyond the registration's own orderBy range exchange,
+    // and a 2-column pruned scan
+    for (q <- Seq("x_text_compression_ratio", "x_text_encoding_quality",
+        "x_quality_gopher_rules")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q grew a join:\n$p")
+      assert(p.linesIterator.count(_.contains("Exchange")) <= 1,
+        s"$q shuffles beyond its orderBy:\n$p")
+      val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!rs.contains("lang") && !rs.contains("source"),
+        s"$q scans unneeded columns: $rs")
+    }
+    // paragraph dedup: the near-dup candidates must stay a band
+    // equi-join (never all-pairs), and the per-doc damage report must
+    // aggregate partially (map-side) before the doc_id shuffle
+    val pd = plan("x_pipeline_paragraph_dedup")
+    assert(!pd.contains("CartesianProduct"),
+      s"paragraph dedup went cartesian:\n$pd")
+    assert(!pd.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup grew a nested loop:\n$pd")
+    assert(pd.contains("partial_collect_list") ||
+      pd.contains("partial_count"),
+      s"damage report lost partial aggregation:\n$pd")
+    assert(!pd.contains("Window"),
+      s"paragraph dedup fell back to a window:\n$pd")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
