@@ -30,12 +30,26 @@ object Verify {
     // that a downstream compare counts as current (r11 judge hit a stale
     // x_fuzz_118 dir exactly this way). Targeted dev runs (extra args)
     // keep the rest of the dir so selfcheck over the named queries works.
-    def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-        .foreach(rmTree)
-      f.delete(); ()
+    // returns false if anything survived the sweep — a silent residue
+    // here is exactly the ghost-artifact class this hygiene exists to
+    // kill, so callers must WARN loudly on false
+    def rmTree(f: java.io.File): Boolean = {
+      val childrenOk =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .forall(rmTree)
+        else true
+      childrenOk && (f.delete() || !f.exists())
     }
-    if (only.isEmpty) rmTree(new java.io.File(outDir))
+    def rmQueryOut(name: String): Unit = {
+      val d = new java.io.File(s"$outDir/$name")
+      if (!rmTree(d) || d.exists())
+        System.err.println(s"[verify] WARNING: could not fully remove " +
+          s"$outDir/$name — a stale artifact may survive; treat this " +
+          "query's compare as suspect")
+    }
+    if (only.isEmpty && !rmTree(new java.io.File(outDir)))
+      System.err.println(s"[verify] WARNING: could not fully clear " +
+        s"$outDir — stale artifacts may survive")
     new java.io.File(outDir).mkdirs()
     // per-query watchdog: one pathological query must cost at most its
     // timeout, never the whole artifact (the r10 driver gate recorded
@@ -83,24 +97,35 @@ object Verify {
           spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify-$name")
           task.cancel(true)
           pool.shutdownNow()
-          pool = freshPool()
           // the worker may have been cancelled BEFORE its own
           // mode("overwrite") delete ran — a previous run's parquet for
           // this query would then survive and a compare over a reused
           // outDir would read it as current. Remove it so the query
-          // deterministically surfaces as MISSING-OUTPUT.
-          rmTree(new java.io.File(s"$outDir/$name"))
+          // deterministically surfaces as MISSING-OUTPUT — but only
+          // after giving the cancelled thread a bounded window to die:
+          // an in-flight parquet commit racing the delete could
+          // re-create the dir AFTER the sweep. If the thread outlives
+          // the window (a truly hung query, far from any commit),
+          // delete anyway and say so.
+          val dead = pool.awaitTermination(15,
+            java.util.concurrent.TimeUnit.SECONDS)
+          if (!dead) System.err.println(s"[verify] $name worker still " +
+            "alive after cancel — removing output anyway; if a late " +
+            "commit re-creates the dir, its mtime will postdate this line")
+          pool = freshPool()
+          rmQueryOut(name)
           System.err.println(
             s"[verify] $name TIMED OUT after ${timeoutSec}s — " +
               "jobs cancelled, continuing with the next query")
         case e: java.util.concurrent.ExecutionException =>
           nFail += 1
-          rmTree(new java.io.File(s"$outDir/$name"))
+          // the worker COMPLETED (exceptionally) — no write race here
+          rmQueryOut(name)
           val c = Option(e.getCause).getOrElse(e)
           System.err.println(s"[verify] $name failed: ${c.getMessage}")
         case e: Throwable =>
           nFail += 1
-          rmTree(new java.io.File(s"$outDir/$name"))
+          rmQueryOut(name)
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // per-query wall time on stderr: when a driver gate runs against

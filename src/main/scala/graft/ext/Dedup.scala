@@ -165,9 +165,24 @@ object Dedup {
       paraTokens: Int = 20, minTokens: Int = 5, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(minTokens >= 3, "paragraphs need >= 3 tokens for 3-gram shingles")
+    // pid key-space guard (the r11 audit discipline: a silent cliff
+    // must fail LOUDLY, never corrupt): chunk_idx >= 1e6 (a 20M-token
+    // doc at the default paraTokens) would collide into doc_id+1's key
+    // range, and doc_id beyond Long.MaxValue/1e6 would overflow the
+    // multiply — both mark the WRONG paragraphs as removed with no
+    // error. raise_error stays inside codegen and costs one branch.
+    val maxDocId = Long.MaxValue / 1000000L - 1L
     val ch = Text.chunk(docs, textCol, idCol, paraTokens, overlap = 0)
       .withColumn("pid",
-        col("doc_id").cast("long") * 1000000L + col("chunk_idx"))
+        when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
+            col("doc_id") > maxDocId,
+          raise_error(concat(
+            lit("paragraphDedup: pid key space exceeded (doc_id="),
+            col("doc_id").cast("string"),
+            lit(", chunk_idx="), col("chunk_idx").cast("string"),
+            lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
+              "re-key the corpus or use a struct paragraph key"))))
+          .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
     val removed = minhashLshPairs(paras, "chunk_text", "pid",
         k = 3, threshold, numHashes, bands)

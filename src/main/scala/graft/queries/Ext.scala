@@ -1029,6 +1029,22 @@ object Ext {
           / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
       FROM j GROUP BY doc_id)"""
 
+  /** Global fluency rank + 3-bucket cut over the LM chain's `lpq` —
+    * shared by the perplexity-buckets oracle and the r12 quality-funnel
+    * capstone (ExtI) so the rank tie-break and the floor cut can never
+    * drift between the two. Ends in
+    * `bk(doc_id, n_bigrams, mean_logprob, rn, bucket)`.
+    */
+  private[queries] val rankBucketCtes: String =
+    """rk AS (SELECT doc_id, n_bigrams, mean_logprob,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM lpq),
+      bk AS (SELECT doc_id, n_bigrams, mean_logprob, rn,
+          CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM rk)"""
+
   val xTextBigramLogprob = Q(
     "x_text_bigram_logprob",
     (s, dir) => Text.bigramLogProb(t(s, dir, "documents"), "text", "doc_id")
@@ -1051,14 +1067,9 @@ object Ext {
         "doc_id", nBuckets = 3)
       .orderBy(col("rn")),
     Some(s"""$bigramLmCtes,
-      rk AS (SELECT doc_id, n_bigrams, mean_logprob,
-          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
-            AS BIGINT) AS rn,
-          CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM lpq)
-      SELECT doc_id, n_bigrams, mean_logprob, rn,
-        CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
-      FROM rk ORDER BY rn"""),
+      $rankBucketCtes
+      SELECT doc_id, n_bigrams, mean_logprob, rn, bucket
+      FROM bk ORDER BY rn"""),
     bench = true)
 
   /** Token-window chunking with overlap (see Text.chunk) — verified on

@@ -12,6 +12,64 @@ import H.t
   */
 object ExtI {
 
+  /** The doc_id-keyed garbage constructions shared by the encoding /
+    * gopher / funnel queries — Scala (engine) and SQL (oracle) halves
+    * of the SAME deterministic injection, kept adjacent so they can't
+    * drift. Encoding garbage (U+FFFD runs, C0, C1) attaches to the last
+    * word; the gopher bait adds three non-alphabetic tokens (4 symbol
+    * matches: '#'×3 + '...') that push short docs over the symbol-ratio
+    * and under the alpha-fraction thresholds while long docs absorb it.
+    */
+  private def encGarbage = concat(
+    when(col("doc_id") % 7 === 0,
+      expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("\u0007\u0001\u007F"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
+      .otherwise(lit("")))
+  private def gopherBait =
+    when(col("doc_id") % 13 === 0, lit(" ### ... 123")).otherwise(lit(""))
+  private val encGarbageSql = """
+        CASE WHEN doc_id % 7 = 0
+          THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT)) ELSE '' END ||
+        CASE WHEN doc_id % 5 = 0
+          THEN chr(7) || chr(1) || chr(127) ELSE '' END ||
+        CASE WHEN doc_id % 11 = 0
+          THEN chr(133) || chr(150) ELSE '' END"""
+  private val gopherBaitSql =
+    """CASE WHEN doc_id % 13 = 0 THEN ' ### ... 123' ELSE '' END"""
+
+  /** Gopher-signals replay over a text column `t` in relation `inj`,
+    * ending in `gr(doc_id, …signals…, r_* booleans, pass)`.
+    */
+  private val gopherCtesSql = """
+      sig AS (SELECT doc_id,
+        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
+        CAST(list_sum(list_transform(string_split(t, ' '),
+          w -> len(w))) AS DOUBLE) / len(string_split(t, ' '))
+          AS mean_word_len,
+        CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        CAST(len(list_filter(string_split(t, ' '),
+          w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+        CAST(len(list_filter(string_split(t, ' '),
+          w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
+          AS BIGINT) AS n_stopwords
+      FROM inj),
+      gr AS (SELECT *,
+        (n_words >= 50 AND n_words <= 100000) AS r_words,
+        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
+        (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
+        (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
+        (n_stopwords >= 2) AS r_stop,
+        ((n_words >= 50 AND n_words <= 100000)
+          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+          AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
+          AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
+          AND (n_stopwords >= 2)) AS pass
+      FROM sig)"""
+
+
   /** Compression-ratio repetition signal ([[Text.compressionRatio]],
     * raw DEFLATE level 6 via the codegen'd `deflate_len` expression).
     * Rows-only by the contract's omission rule: compressed SIZE is a
@@ -43,22 +101,16 @@ object ExtI {
         .select(col("doc_id"), concat(col("text"), encGarbage).as("text"))
       Text.encodingQuality(injected, "text", "doc_id").orderBy(col("doc_id"))
     },
-    Some("""WITH inj AS (SELECT doc_id, text ||
-        CASE WHEN doc_id % 7 = 0
-          THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT)) ELSE '' END ||
-        CASE WHEN doc_id % 5 = 0
-          THEN chr(7) || chr(1) || chr(127) ELSE '' END ||
-        CASE WHEN doc_id % 11 = 0
-          THEN chr(133) || chr(150) ELSE '' END AS t
+    Some(s"""WITH inj AS (SELECT doc_id, text || $encGarbageSql AS t
       FROM documents),
       m AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_chars,
         CAST(length(t) - length(replace(t, chr(65533), '')) AS BIGINT)
           AS n_replacement,
         CAST(length(t) - length(regexp_replace(t,
-          '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS BIGINT)
+          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS BIGINT)
           AS n_control,
         CAST(length(t) - length(regexp_replace(t,
-          '[\x80-\x9F]', '', 'g')) AS BIGINT) AS n_c1
+          '[\\x80-\\x9F]', '', 'g')) AS BIGINT) AS n_c1
       FROM inj)
       SELECT doc_id, n_chars, n_replacement, n_control, n_c1,
         CASE WHEN n_chars > 0
@@ -120,63 +172,6 @@ object ExtI {
           ORDER BY chunk_idx), '') AS deduped_text,
         CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
       FROM rep GROUP BY doc_id ORDER BY doc_id"""))
-
-  /** The doc_id-keyed garbage constructions shared by the encoding /
-    * gopher / funnel queries — Scala (engine) and SQL (oracle) halves
-    * of the SAME deterministic injection, kept adjacent so they can't
-    * drift. Encoding garbage (U+FFFD runs, C0, C1) attaches to the last
-    * word; the gopher bait adds three non-alphabetic tokens (4 symbol
-    * matches: '#'×3 + '...') that push short docs over the symbol-ratio
-    * and under the alpha-fraction thresholds while long docs absorb it.
-    */
-  private def encGarbage = concat(
-    when(col("doc_id") % 7 === 0,
-      expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
-      .otherwise(lit("")),
-    when(col("doc_id") % 5 === 0, lit("\u0007\u0001\u007F"))
-      .otherwise(lit("")),
-    when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
-      .otherwise(lit("")))
-  private def gopherBait =
-    when(col("doc_id") % 13 === 0, lit(" ### ... 123")).otherwise(lit(""))
-  private val encGarbageSql = """
-        CASE WHEN doc_id % 7 = 0
-          THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT)) ELSE '' END ||
-        CASE WHEN doc_id % 5 = 0
-          THEN chr(7) || chr(1) || chr(127) ELSE '' END ||
-        CASE WHEN doc_id % 11 = 0
-          THEN chr(133) || chr(150) ELSE '' END"""
-  private val gopherBaitSql =
-    """CASE WHEN doc_id % 13 = 0 THEN ' ### ... 123' ELSE '' END"""
-
-  /** Gopher-signals replay over a text column `t` in relation `inj`,
-    * ending in `gr(doc_id, …signals…, r_* booleans, pass)`.
-    */
-  private val gopherCtesSql = """
-      sig AS (SELECT doc_id,
-        CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
-        CAST(list_sum(list_transform(string_split(t, ' '),
-          w -> len(w))) AS DOUBLE) / len(string_split(t, ' '))
-          AS mean_word_len,
-        CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS n_symbols,
-        CAST(len(list_filter(string_split(t, ' '),
-          w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
-        CAST(len(list_filter(string_split(t, ' '),
-          w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
-          AS BIGINT) AS n_stopwords
-      FROM inj),
-      gr AS (SELECT *,
-        (n_words >= 50 AND n_words <= 100000) AS r_words,
-        (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
-        (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
-        (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
-        (n_stopwords >= 2) AS r_stop,
-        ((n_words >= 50 AND n_words <= 100000)
-          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-          AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
-          AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
-          AND (n_stopwords >= 2)) AS pass
-      FROM sig)"""
 
   /** Gopher-rules composite filter ([[Text.gopherRules]], Rae et al.
     * 2021 Table A1 defaults): per-doc raw signals, per-rule booleans,
@@ -241,13 +236,7 @@ object ExtI {
           col("n_fluent").cast("double") / col("n_all").cast("double"))
     },
     Some(s"""${Ext.bigramLmCtes},
-      rk AS (SELECT doc_id,
-          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
-            AS BIGINT) AS rn,
-          CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM lpq),
-      bk AS (SELECT doc_id, CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
-        FROM rk),
+      ${Ext.rankBucketCtes},
       inj AS (SELECT doc_id, text || $encGarbageSql
           || $gopherBaitSql AS t
         FROM documents),
