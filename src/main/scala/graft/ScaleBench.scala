@@ -17,12 +17,21 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // diagnostic knob: SPARK_GRAFT_NO_BROADCAST=1 forces every join to
+    // sort-merge (both the static and the AQE-runtime broadcast
+    // thresholds) — isolates "runaway broadcast build" from genuine
+    // shuffle volume when a section OOMs
+    val noBcast = sys.env.get("SPARK_GRAFT_NO_BROADCAST").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (noBcast) "-1" else "10485760")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        if (noBcast) "-1" else "10485760")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -475,6 +484,27 @@ object ScaleBench {
         graft.ext.Sampling.packBestFit(rep, col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long"), seqLen = 2048)
           .count()
+      }
+    }
+
+    // paragraph dedup (round 12): clone replication is the WORST case —
+    // every paragraph gains k−1 exact twins, so the band join's bucket
+    // keys go maximally hot and the removal set is ~the whole corpus
+    // minus one copy per paragraph. The shape claim under test: band
+    // equi-join candidates stay output-bound (duplicate GROUPS grow as
+    // k·groups, candidate pairs per bucket as k², but k² pairs of
+    // k-sized clone groups is exactly the true-pair volume — no
+    // wasted candidates), and the damage report aggregates partially.
+    // NOT .count(): the damage left-join is row-preserving (removed is
+    // pid-distinct), so Catalyst ELIMINATES the whole LSH subtree from
+    // a bare count — sum(n_removed) forces the real computation and its
+    // value doubles as a correctness invariant (every clone's
+    // paragraphs minus the one surviving copy per group)
+    if (sec("paradedup")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      timeShuffle(s"paragraphDedup x$k (${nDocs * k} docs, rows=removed)") {
+        graft.ext.Dedup.paragraphDedup(rep, "text", "doc_id")
+          .agg(sum(col("n_removed"))).collect()(0).getLong(0)
       }
     }
 

@@ -184,10 +184,35 @@ object Dedup {
               "re-key the corpus or use a struct paragraph key"))))
           .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
-    val removed = minhashLshPairs(paras, "chunk_text", "pid",
+    // EXACT-FIRST composition (the production ordering — Dolma/
+    // RefinedWeb run the hash pass before MinHash): collapse identical
+    // paragraph texts to their first-occurrence representative and run
+    // LSH on REPRESENTATIVES only. Provably verdict-equivalent to the
+    // pairwise rule on all paragraphs: (i) a non-min member always has
+    // its group min as an earlier j=1 partner → removed either way;
+    // (ii) a representative is removed iff some earlier paragraph
+    // near-dups it, and since jaccard depends only on TEXT, that
+    // earlier paragraph's own representative (pid ≤ it < rep) carries
+    // the identical pair — so rep-level pairs decide exactly. The
+    // scale payoff: the LSH stage is CLONE-INVARIANT — an adversarial
+    // k×-duplicated corpus costs the same near-dup work as its
+    // distinct content (measured in ScaleBench `paradedup`: the
+    // member-level formulation OOM'd a 48 GB JVM at 40× clones on the
+    // 32·Σk² band-candidate blowup; this one is flat).
+    val reps = paras.groupBy(col("chunk_text"))
+      .agg(min(col("pid")).as("pid"))
+    val removedReps = minhashLshPairs(reps, "chunk_text", "pid",
         k = 3, threshold, numHashes, bands)
-      .select(col("doc_b").as("pid")).distinct()
-    ch.join(removed.withColumn("removed", lit(true)), Seq("pid"), "left")
+      .select(col("doc_b").as("rpid")).distinct()
+    val verdicts = paras.select(col("pid"), col("chunk_text"))
+      .join(reps.select(col("chunk_text"), col("pid").as("rep_pid")),
+        "chunk_text")
+      .join(removedReps.withColumn("rep_removed", lit(true)),
+        col("rep_pid") === col("rpid"), "left")
+      .select(col("pid"),
+        (col("pid") =!= col("rep_pid") ||
+          coalesce(col("rep_removed"), lit(false))).as("removed"))
+    ch.join(verdicts, Seq("pid"), "left")
       .withColumn("keep", coalesce(!col("removed"), lit(true)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_paragraphs"),
