@@ -34,11 +34,14 @@ object Verify {
     // here is exactly the ghost-artifact class this hygiene exists to
     // kill, so callers must WARN loudly on false
     def rmTree(f: java.io.File): Boolean = {
+      // map-then-forall, NOT a short-circuiting forall: one undeletable
+      // child must not abandon the sweep of its siblings (best-effort
+      // like the original foreach, but with the failure surfaced)
       val childrenOk =
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
-          .forall(rmTree)
+          .map(rmTree).forall(identity)
         else true
-      childrenOk && (f.delete() || !f.exists())
+      (f.delete() || !f.exists()) && childrenOk
     }
     def rmQueryOut(name: String): Unit = {
       val d = new java.io.File(s"$outDir/$name")

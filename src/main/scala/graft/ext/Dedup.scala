@@ -172,6 +172,11 @@ object Dedup {
     // multiply — both mark the WRONG paragraphs as removed with no
     // error. raise_error stays inside codegen and costs one branch.
     val maxDocId = Long.MaxValue / 1000000L - 1L
+    // cached: the segmentation feeds FOUR plan branches (reps groupBy,
+    // verdicts member side, the LSH profiles via paras, and the final
+    // damage join) — without the cache each branch re-runs the corpus
+    // scan + split + posexplode (same pattern as minhashLshPairs's
+    // profiles cache; Verify clears caches per query)
     val ch = Text.chunk(docs, textCol, idCol, paraTokens, overlap = 0)
       .withColumn("pid",
         when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
@@ -183,6 +188,7 @@ object Dedup {
             lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
               "re-key the corpus or use a struct paragraph key"))))
           .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
+      .cache()
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
     // EXACT-FIRST composition (the production ordering — Dolma/
     // RefinedWeb run the hash pass before MinHash): collapse identical

@@ -62,11 +62,7 @@ object ExtI {
         (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
         (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
         (n_stopwords >= 2) AS r_stop,
-        ((n_words >= 50 AND n_words <= 100000)
-          AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
-          AND (CAST(n_symbols AS DOUBLE) / n_words <= 0.1)
-          AND (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8)
-          AND (n_stopwords >= 2)) AS pass
+        (r_words AND r_wordlen AND r_symbol AND r_alpha AND r_stop) AS pass
       FROM sig)"""
 
 

@@ -13,10 +13,11 @@ object PlanDump {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     for (n <- args) {
       println(s"===== $n =====")
       println(graft.queries.Registry.byName(n)
-        .run(spark, "/root/testdata/sf0.001")
+        .run(spark, dir)
         .queryExecution.executedPlan.toString)
     }
     spark.stop()
