@@ -171,24 +171,12 @@ object Dedup {
     // range, and doc_id beyond Long.MaxValue/1e6 would overflow the
     // multiply — both mark the WRONG paragraphs as removed with no
     // error. raise_error stays inside codegen and costs one branch.
-    val maxDocId = Long.MaxValue / 1000000L - 1L
     // cached: the segmentation feeds FOUR plan branches (reps groupBy,
     // verdicts member side, the LSH profiles via paras, and the final
     // damage join) — without the cache each branch re-runs the corpus
     // scan + split + posexplode (same pattern as minhashLshPairs's
     // profiles cache; Verify clears caches per query)
-    val ch = Text.chunk(docs, textCol, idCol, paraTokens, overlap = 0)
-      .withColumn("pid",
-        when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
-            col("doc_id") > maxDocId,
-          raise_error(concat(
-            lit("paragraphDedup: pid key space exceeded (doc_id="),
-            col("doc_id").cast("string"),
-            lit(", chunk_idx="), col("chunk_idx").cast("string"),
-            lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
-              "re-key the corpus or use a struct paragraph key"))))
-          .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
-      .cache()
+    val ch = paragraphChunks(docs, textCol, idCol, paraTokens).cache()
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
     // EXACT-FIRST composition (the production ordering — Dolma/
     // RefinedWeb run the hash pass before MinHash): collapse identical
@@ -218,6 +206,36 @@ object Dedup {
       .select(col("pid"),
         (col("pid") =!= col("rep_pid") ||
           coalesce(col("rep_removed"), lit(false))).as("removed"))
+    paragraphReport(ch, verdicts)
+  }
+
+  /** Guarded fixed-window segmentation shared by the batch and
+    * streaming paragraph faces: [[Text.chunk]] plus the order-preserving
+    * pid key with the loud key-space guard.
+    */
+  private[graft] def paragraphChunks(docs: DataFrame, textCol: String,
+      idCol: String, paraTokens: Int): DataFrame = {
+    val maxDocId = Long.MaxValue / 1000000L - 1L
+    Text.chunk(docs, textCol, idCol, paraTokens, overlap = 0)
+      .withColumn("pid",
+        when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
+            col("doc_id") > maxDocId,
+          raise_error(concat(
+            lit("paragraphDedup: pid key space exceeded (doc_id="),
+            col("doc_id").cast("string"),
+            lit(", chunk_idx="), col("chunk_idx").cast("string"),
+            lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
+              "re-key the corpus or use a struct paragraph key"))))
+          .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
+  }
+
+  /** Per-doc damage report shared by the batch and streaming paragraph
+    * faces: all chunks LEFT-joined with (pid, removed) verdicts (absent
+    * pid — a short exempt segment — means kept), re-assembled in chunk
+    * order.
+    */
+  private[graft] def paragraphReport(ch: DataFrame,
+      verdicts: DataFrame): DataFrame =
     ch.join(verdicts, Seq("pid"), "left")
       .withColumn("keep", coalesce(!col("removed"), lit(true)))
       .groupBy(col("doc_id"))
@@ -229,6 +247,48 @@ object Dedup {
           x => x.getField("chunk_text"))).as("deduped_text"))
       .withColumn("dup_frac",
         col("n_removed").cast("double") / col("n_paragraphs").cast("double"))
+
+  /** Streaming/incremental face of [[paragraphDedup]] — paragraph-level
+    * near-dup dedup of a batch AGAINST THE ACCUMULATED CORPUS: the same
+    * exact-first composition (in-batch exact clones collapse to their
+    * min-pid representative), then the representatives ride
+    * [[minhashDedupIncremental]] — in-batch min-pid survivor over the
+    * verified pair set, cross-batch check against the signature state
+    * at `statePath`, survivors' signatures appended. Emits the per-doc
+    * damage report for THIS batch's documents.
+    *
+    * Semantics note (the doc-level incremental convention): state holds
+    * SURVIVOR signatures only, so a paragraph near-dupping ONLY a
+    * removed historical paragraph survives — the batch face, which sees
+    * all of history pairwise, would remove it. Exact duplicates are
+    * unaffected (their survivor is in state by construction). Replay
+    * idempotence via `batchTag` is inherited from
+    * [[minhashDedupIncremental]]: a redelivered micro-batch recomputes
+    * the identical report.
+    */
+  def paragraphDedupIncremental(newDocs: DataFrame, textCol: String,
+      idCol: String, statePath: String, paraTokens: Int = 20,
+      minTokens: Int = 5, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32,
+      batchTag: Option[Long] = None): DataFrame = {
+    require(minTokens >= 3, "paragraphs need >= 3 tokens for 3-gram shingles")
+    val ch = paragraphChunks(newDocs, textCol, idCol, paraTokens).cache()
+    val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
+    val reps = paras.groupBy(col("chunk_text"))
+      .agg(min(col("pid")).as("pid"))
+    val survReps = minhashDedupIncremental(
+      reps.select(col("pid"), col("chunk_text")), "chunk_text", "pid",
+      statePath, k = 3, threshold, numHashes, bands, batchTag)
+      .select(col("pid").as("srpid"))
+    val verdicts = paras.select(col("pid"), col("chunk_text"))
+      .join(reps.select(col("chunk_text"), col("pid").as("rep_pid")),
+        "chunk_text")
+      .join(survReps.withColumn("rep_kept", lit(true)),
+        col("rep_pid") === col("srpid"), "left")
+      .select(col("pid"),
+        (col("pid") =!= col("rep_pid") ||
+          !coalesce(col("rep_kept"), lit(false))).as("removed"))
+    paragraphReport(ch, verdicts)
   }
 
   /** Exploded (id, shingle) inverted index; optional df-cutoff drops

@@ -39,6 +39,33 @@ object DedupStream {
       }
       .start()
 
+  /** Paragraph-granularity sibling (round 12): a document stream is
+    * deduplicated at SUB-document granularity against the accumulated
+    * paragraph-signature state
+    * ([[graft.ext.Dedup.paragraphDedupIncremental]] — exact-first
+    * representatives, in-batch min-pid survivor, cross-batch signature
+    * check), and each batch's per-doc DAMAGE REPORT (paragraph counts,
+    * removed count, re-assembled text) lands in its output partition —
+    * the streaming face of the Dolma-style paragraph pass. Same
+    * exactly-once shape: batch-tagged state for idempotent replay,
+    * overwrite-into-`batch=<id>` sink.
+    */
+  def paragraphDedupStream(docs: DataFrame, textCol: String, idCol: String,
+      statePath: String, outPath: String, checkpoint: String,
+      paraTokens: Int = 20, minTokens: Int = 5, threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val report = graft.ext.Dedup.paragraphDedupIncremental(
+          batch, textCol, idCol, statePath, paraTokens, minTokens,
+          threshold, batchTag = Some(batchId))
+        report.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+
   /** The embedding-modality sibling (round 8): a vector stream is
     * deduplicated per micro-batch against accumulated hyperplane-LSH
     * state ([[graft.ext.Similarity.cosineLshIncremental]] — exact-

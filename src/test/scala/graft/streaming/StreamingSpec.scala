@@ -146,6 +146,63 @@ class StreamingSpec extends SparkSuite {
     assert(after2 == Set(1L, 3L, 11L), s"batch 2 survivors wrong: $after2")
   }
 
+  test("streaming paragraph dedup: per-batch damage reports against state") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("paradedupstream")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val pA = "alpha beta gamma delta epsilon zeta"
+    val pB = "one two three four five six"
+    val pC = "red orange yellow green blue indigo"
+    val pD = "cat dog bird fish horse sheep"
+    // j(pAnear, pA) = 0.6 < 0.8 — must SURVIVE the cross-batch check
+    val pAnear = "alpha beta gamma delta epsilon eta"
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(src.toString)
+      val q = DedupStream.paragraphDedupStream(stream, "text", "doc_id",
+        state, out, ckpt, paraTokens = 6, minTokens = 3, threshold = 0.8)
+      q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+    }
+
+    // batch 1: doc 1 all-new; doc 2's first paragraph duplicates doc
+    // 1's SECOND (earlier pid) in-batch
+    Seq(1L -> s"$pA $pB", 2L -> s"$pB $pC")
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id", "n_paragraphs", "n_removed", "deduped_text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(b0(1L) === ((2L, 0L, s"$pA $pB")))
+    assert(b0(2L) === ((2L, 1L, pC)))
+
+    // batch 2: doc 3 loses pA to STATE (doc 1's survivor); doc 4 loses
+    // pD in-batch to doc 3 but keeps its short exempt tail; doc 5's
+    // near-miss (j = 0.6) survives while its pC copy falls to doc 2's
+    // surviving paragraph in state
+    Seq(3L -> s"$pA $pD", 4L -> s"$pD tail", 5L -> s"$pAnear $pC")
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id", "n_paragraphs", "n_removed", "deduped_text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(b1(3L) === ((2L, 1L, pD)))
+    assert(b1(4L) === ((2L, 1L, "tail")))
+    assert(b1(5L) === ((2L, 1L, pAnear)))
+  }
+
   test("streaming embedding near-dup dedup: micro-batches against LSH state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("embdedupstream")
