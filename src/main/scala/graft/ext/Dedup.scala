@@ -198,7 +198,17 @@ object Dedup {
     val removedReps = minhashLshPairs(reps, "chunk_text", "pid",
         k = 3, threshold, numHashes, bands)
       .select(col("doc_b").as("rpid")).distinct()
-    val verdicts = paras.select(col("pid"), col("chunk_text"))
+    paragraphReport(ch, paragraphVerdicts(paras, reps, removedReps))
+  }
+
+  /** Member verdicts shared by the batch and streaming paragraph faces
+    * (ONE polarity, one place): a paragraph is removed iff it is not
+    * its text group's first occurrence, or its representative fell at
+    * the near-dup stage (`removedReps(rpid)`).
+    */
+  private def paragraphVerdicts(paras: DataFrame, reps: DataFrame,
+      removedReps: DataFrame): DataFrame =
+    paras.select(col("pid"), col("chunk_text"))
       .join(reps.select(col("chunk_text"), col("pid").as("rep_pid")),
         "chunk_text")
       .join(removedReps.withColumn("rep_removed", lit(true)),
@@ -206,8 +216,6 @@ object Dedup {
       .select(col("pid"),
         (col("pid") =!= col("rep_pid") ||
           coalesce(col("rep_removed"), lit(false))).as("removed"))
-    paragraphReport(ch, verdicts)
-  }
 
   /** Guarded fixed-window segmentation shared by the batch and
     * streaming paragraph faces: [[Text.chunk]] plus the order-preserving
@@ -280,15 +288,20 @@ object Dedup {
       reps.select(col("pid"), col("chunk_text")), "chunk_text", "pid",
       statePath, k = 3, threshold, numHashes, bands, batchTag)
       .select(col("pid").as("srpid"))
-    val verdicts = paras.select(col("pid"), col("chunk_text"))
-      .join(reps.select(col("chunk_text"), col("pid").as("rep_pid")),
-        "chunk_text")
-      .join(survReps.withColumn("rep_kept", lit(true)),
-        col("rep_pid") === col("srpid"), "left")
-      .select(col("pid"),
-        (col("pid") =!= col("rep_pid") ||
-          !coalesce(col("rep_kept"), lit(false))).as("removed"))
-    paragraphReport(ch, verdicts)
+    // removed reps = reps that did NOT survive — same shape (rpid) and
+    // polarity as the batch face, so both ride ONE verdict kernel
+    val removedReps = reps
+      .join(survReps, col("pid") === col("srpid"), "left_anti")
+      .select(col("pid").as("rpid"))
+    // the report is one row per batch doc — pin it EAGERLY so the
+    // per-batch segmentation cache can be released here instead of
+    // leaking one text-sized CacheManager entry per micro-batch (the
+    // minhashDedupIncremental idiom; the lazy report would otherwise
+    // hold the cache reference forever)
+    val report = paragraphReport(ch,
+      paragraphVerdicts(paras, reps, removedReps)).localCheckpoint(true)
+    ch.unpersist()
+    report
   }
 
   /** Exploded (id, shingle) inverted index; optional df-cutoff drops

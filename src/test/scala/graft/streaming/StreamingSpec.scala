@@ -171,8 +171,9 @@ class StreamingSpec extends SparkSuite {
         .parquet(src.toString)
       val q = DedupStream.paragraphDedupStream(stream, "text", "doc_id",
         state, out, ckpt, paraTokens = 6, minTokens = 3, threshold = 0.8)
-      q.awaitTermination(120000)
+      val finished = q.awaitTermination(120000)
       q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+      assert(finished, "paragraph dedup stream still running after 120s")
     }
 
     // batch 1: doc 1 all-new; doc 2's first paragraph duplicates doc
