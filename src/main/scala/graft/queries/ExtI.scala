@@ -167,7 +167,11 @@ object ExtI {
         COALESCE(string_agg(CASE WHEN removed = 0 THEN chunk_text END, ' '
           ORDER BY chunk_idx), '') AS deduped_text,
         CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
-      FROM rep GROUP BY doc_id ORDER BY doc_id"""))
+      FROM rep GROUP BY doc_id ORDER BY doc_id"""),
+    // r12: the round's flagship new family — benched so the paragraph
+    // pass gets a cross-round perf trace from day one (the same gap the
+    // r11 verdict flagged for the multimodal decode path)
+    bench = true)
 
   /** Gopher-rules composite filter ([[Text.gopherRules]], Rae et al.
     * 2021 Table A1 defaults): per-doc raw signals, per-rule booleans,
