@@ -198,7 +198,14 @@ object Dedup {
     val removedReps = minhashLshPairs(reps, "chunk_text", "pid",
         k = 3, threshold, numHashes, bands)
       .select(col("doc_b").as("rpid")).distinct()
-    paragraphReport(ch, paragraphVerdicts(paras, reps, removedReps))
+    // the report is one row per doc — pin it EAGERLY so the segmentation
+    // cache is released HERE rather than leaking one text-sized
+    // CacheManager entry per library call (the incremental face's
+    // idiom; Verify clears caches per query, library callers don't)
+    val report = paragraphReport(ch,
+      paragraphVerdicts(paras, reps, removedReps)).localCheckpoint(true)
+    ch.unpersist()
+    report
   }
 
   /** Member verdicts shared by the batch and streaming paragraph faces

@@ -204,6 +204,61 @@ class StreamingSpec extends SparkSuite {
     assert(b1(5L) === ((2L, 1L, pAnear)))
   }
 
+  test("streaming paragraph dedup: near-dup of a REMOVED historical " +
+      "paragraph survives (state holds survivor signatures only)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("paradedupremoved")
+    val src = dir.resolve("src")
+    Files.createDirectories(src)
+    val state = dir.resolve("state").toString
+    val out = dir.resolve("out").toString
+    val ckpt = dir.resolve("ckpt").toString
+    // 6-token paragraphs, 4 shingles each at k=3; threshold 0.5 so a
+    // one-token edit (j = 3/5 = 0.6) near-dups while a two-token edit
+    // (j = 2/6 = 1/3) does not
+    val pX = "alpha beta gamma delta epsilon zeta"   // batch-1 survivor
+    val pXn = "alpha beta gamma delta epsilon eta"   // removed by pX (0.6)
+    val pYn = "omega beta gamma delta epsilon eta"   // 0.6 vs pXn, 1/3 vs pX
+
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .parquet(src.toString)
+      val q = DedupStream.paragraphDedupStream(stream, "text", "doc_id",
+        state, out, ckpt, paraTokens = 6, minTokens = 3, threshold = 0.5)
+      val finished = q.awaitTermination(120000)
+      q.exception.foreach(e => fail(s"stream failed: ${e.cause}", e))
+      assert(finished, "paragraph dedup stream still running after 120s")
+    }
+
+    // batch 1: pXn falls to pX (j = 0.6 >= 0.5); state keeps pX only
+    Seq(1L -> pX, 2L -> pXn)
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val b0 = spark.read.parquet(s"$out/batch=0")
+      .select("doc_id", "n_removed").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b0 === Map(1L -> 0L, 2L -> 1L), s"batch 1 wrong: $b0")
+
+    // batch 2: pYn near-dups ONLY the REMOVED pXn — the batch face
+    // (all history pairwise) would remove it; the incremental
+    // convention (survivor signatures only) must KEEP it. This pins
+    // the documented divergence in paragraphDedupIncremental's
+    // scaladoc against silent refactors in either direction.
+    Seq(3L -> pYn)
+      .toDF("doc_id", "text").write.mode("append").parquet(src.toString)
+    run()
+    val b1 = spark.read.parquet(s"$out/batch=1")
+      .select("doc_id", "n_removed", "deduped_text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(b1 === Map(3L -> ((0L, pYn))),
+      s"dup-of-removed-historical paragraph must survive: $b1")
+  }
+
   test("streaming embedding near-dup dedup: micro-batches against LSH state") {
     import spark.implicits._
     val dir = Files.createTempDirectory("embdedupstream")
