@@ -28,7 +28,8 @@ object Registry {
       Extra.queries ++ Traps.queries ++ TpcH.queries ++ Events.queries ++
       BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ ExtB.queries ++
       ExtC.queries ++ ExtD.queries ++ ExtE.queries ++ ExtF.queries ++
-      ExtG.queries ++ ExtH.queries ++ ExtI.queries ++ Curate.queries
+      ExtG.queries ++ ExtH.queries ++ ExtI.queries ++ ExtJ.queries ++
+      Curate.queries
 
   lazy val byName: Map[String, Q] = {
     // a duplicate name would silently shadow a query in SparkEntry's

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Round-13 operators: checksum-validated PII (Luhn / IBAN mod-97) on
+  * golden fixtures — validity in both directions, word-boundary
+  * candidate extraction, and validated-only redaction.
+  */
+class ExtJSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- PII wave 2: Luhn + IBAN checksums --------------------------------
+
+  test("luhnValid and ibanValid agree with the reference checksums") {
+    val cards = Seq(
+      ("4111111111111111", true), ("4111111111111112", false),
+      ("5500005555555559", true), ("4532015112830366", true),
+      ("1234567890123456", false))
+    val ibans = Seq(
+      ("DE89370400440532013000", true), ("DE89370400440532013001", false),
+      ("AT611904300234573201", true), ("AT611904300234573202", false),
+      ("PL61109010140000071219812874", true))
+    val got = cards.map(_._1).toDF("c")
+      .select(col("c"), Text.luhnValid(col("c")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    cards.foreach { case (c, exp) =>
+      assert(got(c) == exp, s"luhn($c) = ${got(c)}, expected $exp") }
+    val gotI = ibans.map(_._1).toDF("c")
+      .select(col("c"), Text.ibanValid(col("c")).as("v"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    ibans.foreach { case (c, exp) =>
+      assert(gotI(c) == exp, s"iban($c) = ${gotI(c)}, expected $exp") }
+  }
+
+  test("piiChecksums: boundary extraction, both verdicts, validated-only redaction") {
+    val df = Seq(
+      // valid card + invalid card + valid IBAN: only valid ones redact
+      (1L, "pay 4111111111111111 not 4111111111111112 " +
+        "to DE89370400440532013000 today"),
+      // 20-digit run: word-bounded 16-digit pattern must NOT fire
+      (2L, "serial 41111111111111112222 is not a card"),
+      // invalid IBAN: candidate counted, never redacted
+      (3L, "acct AT611904300234573202 pending"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = Text.piiChecksums(df, "text", "doc_id").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getLong(1) == 2 && out(1L).getLong(2) == 1, "card counts")
+    assert(out(1L).getLong(3) == 1 && out(1L).getLong(4) == 1, "iban counts")
+    assert(out(1L).getBoolean(5))
+    assert(out(1L).getString(6) ==
+      "pay <PAN> not 4111111111111112 to <IBAN> today",
+      s"redaction wrong: ${out(1L).getString(6)}")
+
+    assert(out(2L).getLong(1) == 0, "20-digit run must not be a candidate")
+    assert(!out(2L).getBoolean(5))
+
+    assert(out(3L).getLong(3) == 1 && out(3L).getLong(4) == 0,
+      "invalid IBAN is candidate-only")
+    assert(out(3L).getString(6).contains("AT611904300234573202"),
+      "invalid candidate must be left in place")
+
+    assert(out(4L).getLong(1) == 0 && out(4L).getLong(3) == 0 &&
+      !out(4L).getBoolean(5))
+    assert(out(4L).getString(6) == "clean text with no identifiers at all")
+  }
+}
