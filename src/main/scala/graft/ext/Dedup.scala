@@ -177,22 +177,51 @@ object Dedup {
     // scan + split + posexplode (same pattern as minhashLshPairs's
     // profiles cache; Verify clears caches per query)
     val ch = paragraphChunks(docs, textCol, idCol, paraTokens).cache()
+    paragraphDedupFromChunks(ch, minTokens, threshold, numHashes, bands,
+      sep = " ")
+  }
+
+  /** [[paragraphDedup]] on REAL newline paragraphs: the segmentation is
+    * `split(text, "\n")` (one paragraph per line, positions preserved —
+    * the shape the fixed-window face's scaladoc promised for
+    * newline-delimited text), everything downstream — exact-first
+    * representative collapse, MinHash+LSH at `threshold`,
+    * earlier-occurrence-wins removal, per-doc damage report — is the
+    * SAME kernel chain, and the document re-assembles with "\n" so the
+    * surviving text round-trips byte-for-byte.
+    */
+  def paragraphDedupLines(docs: DataFrame, textCol: String, idCol: String,
+      minTokens: Int = 5, threshold: Double = 0.8,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(minTokens >= 3, "paragraphs need >= 3 tokens for 3-gram shingles")
+    val ch = paragraphChunksLines(docs, textCol, idCol).cache()
+    paragraphDedupFromChunks(ch, minTokens, threshold, numHashes, bands,
+      sep = "\n")
+  }
+
+  /** Shared batch-face tail: exact-first representative collapse →
+    * rep-level LSH → verdicts → eager report → cache release.
+    *
+    * EXACT-FIRST composition (the production ordering — Dolma/
+    * RefinedWeb run the hash pass before MinHash): collapse identical
+    * paragraph texts to their first-occurrence representative and run
+    * LSH on REPRESENTATIVES only. Provably verdict-equivalent to the
+    * pairwise rule on all paragraphs: (i) a non-min member always has
+    * its group min as an earlier j=1 partner → removed either way;
+    * (ii) a representative is removed iff some earlier paragraph
+    * near-dups it, and since jaccard depends only on TEXT, that
+    * earlier paragraph's own representative (pid ≤ it < rep) carries
+    * the identical pair — so rep-level pairs decide exactly. The
+    * scale payoff: the LSH stage is CLONE-INVARIANT — an adversarial
+    * k×-duplicated corpus costs the same near-dup work as its
+    * distinct content (measured in ScaleBench `paradedup`: the
+    * member-level formulation OOM'd a 48 GB JVM at 40× clones on the
+    * 32·Σk² band-candidate blowup; this one is flat).
+    */
+  private def paragraphDedupFromChunks(ch: DataFrame, minTokens: Int,
+      threshold: Double, numHashes: Int, bands: Int,
+      sep: String): DataFrame = {
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
-    // EXACT-FIRST composition (the production ordering — Dolma/
-    // RefinedWeb run the hash pass before MinHash): collapse identical
-    // paragraph texts to their first-occurrence representative and run
-    // LSH on REPRESENTATIVES only. Provably verdict-equivalent to the
-    // pairwise rule on all paragraphs: (i) a non-min member always has
-    // its group min as an earlier j=1 partner → removed either way;
-    // (ii) a representative is removed iff some earlier paragraph
-    // near-dups it, and since jaccard depends only on TEXT, that
-    // earlier paragraph's own representative (pid ≤ it < rep) carries
-    // the identical pair — so rep-level pairs decide exactly. The
-    // scale payoff: the LSH stage is CLONE-INVARIANT — an adversarial
-    // k×-duplicated corpus costs the same near-dup work as its
-    // distinct content (measured in ScaleBench `paradedup`: the
-    // member-level formulation OOM'd a 48 GB JVM at 40× clones on the
-    // 32·Σk² band-candidate blowup; this one is flat).
     val reps = paras.groupBy(col("chunk_text"))
       .agg(min(col("pid")).as("pid"))
     val removedReps = minhashLshPairs(reps, "chunk_text", "pid",
@@ -203,7 +232,7 @@ object Dedup {
     // CacheManager entry per library call (the incremental face's
     // idiom; Verify clears caches per query, library callers don't)
     val report = paragraphReport(ch,
-      paragraphVerdicts(paras, reps, removedReps)).localCheckpoint(true)
+      paragraphVerdicts(paras, reps, removedReps), sep).localCheckpoint(true)
     ch.unpersist()
     report
   }
@@ -229,19 +258,36 @@ object Dedup {
     * pid key with the loud key-space guard.
     */
   private[graft] def paragraphChunks(docs: DataFrame, textCol: String,
-      idCol: String, paraTokens: Int): DataFrame = {
-    val maxDocId = Long.MaxValue / 1000000L - 1L
+      idCol: String, paraTokens: Int): DataFrame =
     Text.chunk(docs, textCol, idCol, paraTokens, overlap = 0)
-      .withColumn("pid",
-        when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
-            col("doc_id") > maxDocId,
-          raise_error(concat(
-            lit("paragraphDedup: pid key space exceeded (doc_id="),
-            col("doc_id").cast("string"),
-            lit(", chunk_idx="), col("chunk_idx").cast("string"),
-            lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
-              "re-key the corpus or use a struct paragraph key"))))
-          .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx")))
+      .withColumn("pid", paragraphPid)
+
+  /** Newline segmentation twin of [[paragraphChunks]]: one chunk per
+    * line of `split(text, "\n")`, positions preserved (empty lines
+    * included — they are part of the document and must survive
+    * re-assembly), token counts off the same whitespace tokenizer.
+    */
+  private[graft] def paragraphChunksLines(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(split(col("chunk_text"), " ")))
+      .withColumn("pid", paragraphPid)
+
+  /** The order-preserving pid key with the loud key-space guard, off
+    * columns (doc_id, chunk_idx).
+    */
+  private def paragraphPid: Column = {
+    val maxDocId = Long.MaxValue / 1000000L - 1L
+    when(col("chunk_idx") >= 1000000 || col("doc_id") < 0 ||
+        col("doc_id") > maxDocId,
+      raise_error(concat(
+        lit("paragraphDedup: pid key space exceeded (doc_id="),
+        col("doc_id").cast("string"),
+        lit(", chunk_idx="), col("chunk_idx").cast("string"),
+        lit(") — ids must be in [0, 9.2e12] with <1e6 paragraphs/doc; " +
+          "re-key the corpus or use a struct paragraph key"))))
+      .otherwise(col("doc_id").cast("long") * 1000000L + col("chunk_idx"))
   }
 
   /** Per-doc damage report shared by the batch and streaming paragraph
@@ -250,13 +296,13 @@ object Dedup {
     * order.
     */
   private[graft] def paragraphReport(ch: DataFrame,
-      verdicts: DataFrame): DataFrame =
+      verdicts: DataFrame, sep: String = " "): DataFrame =
     ch.join(verdicts, Seq("pid"), "left")
       .withColumn("keep", coalesce(!col("removed"), lit(true)))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_paragraphs"),
         sum(when(col("keep"), 0).otherwise(1)).cast("bigint").as("n_removed"),
-        concat_ws(" ", transform(
+        concat_ws(sep, transform(
           array_sort(collect_list(
             when(col("keep"), struct(col("chunk_idx"), col("chunk_text"))))),
           x => x.getField("chunk_text"))).as("deduped_text"))

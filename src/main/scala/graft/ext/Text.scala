@@ -886,6 +886,38 @@ object Text {
         when(!col("r_stop"), lit("stop"))))
   }
 
+  /** Gopher's LINE-level quality rules (Rae et al. 2021 Table A1 —
+    * public literature; the two rules [[gopherRules]] documented as
+    * untestable on a newline-free corpus): remove documents where more
+    * than `maxBulletFrac` of lines start with a bullet marker ("- " or
+    * "* ") or more than `maxEllipsisFrac` end with an ellipsis ("...").
+    * Emits per-doc line counts, both fractions, per-rule booleans, and
+    * the composite `pass`.
+    *
+    * Pure per-row expressions over `split(text, "\n")` — narrow, zero
+    * shuffle, codegen'd; fractions are single int/int double divisions,
+    * so every boolean replays bit-for-bit cross-engine.
+    */
+  def gopherLineRules(docs: DataFrame, textCol: String, idCol: String,
+      maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), "\n").as("_lines"))
+      .select(col("doc_id"),
+        size(col("_lines")).cast("bigint").as("n_lines"),
+        size(filter(col("_lines"),
+          l => l.startsWith("- ") || l.startsWith("* ")))
+          .cast("bigint").as("n_bullet_lines"),
+        size(filter(col("_lines"), l => l.endsWith("...")))
+          .cast("bigint").as("n_ellipsis_lines"))
+      .withColumn("bullet_frac",
+        col("n_bullet_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("ellipsis_frac",
+        col("n_ellipsis_lines").cast("double") / col("n_lines").cast("double"))
+      .withColumn("r_bullet", col("bullet_frac") <= maxBulletFrac)
+      .withColumn("r_ellipsis", col("ellipsis_frac") <= maxEllipsisFrac)
+      .withColumn("pass", col("r_bullet") && col("r_ellipsis"))
+
   /** Compression-ratio repetition signal (Gopher/RefinedWeb-standard
     * quality filter; Rae et al. 2021 — public literature): per-doc
     * `deflate_bytes / raw_utf8_bytes` under a fixed raw-DEFLATE

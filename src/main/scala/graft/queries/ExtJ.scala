@@ -101,5 +101,141 @@ object ExtJ {
           (acc, x) -> replace(acc, x, '<IBAN>')) AS redacted_text
       FROM v ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(xTextPii2)
+  /** Deterministic newline injection shared by the line-level queries
+    * (the corpus carries no newlines — SURVEY/r12 scaladocs document
+    * the line rules as untestable without it): each document is
+    * rebuilt with a newline after every 12th token — the SAME
+    * range-indexed construction on both engines, so the injected text
+    * is byte-identical. Output column: `nl`.
+    */
+  private def withNewlines(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1), size(col("w"))), i =>
+          concat(element_at(col("w"), i),
+            when(i === size(col("w")), lit(""))
+              .when(i % 12 === 0, lit("\n"))
+              .otherwise(lit(" ")))), "").as("nl"))
+  private val nlCtesSql = """
+      sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      nl AS (SELECT doc_id, array_to_string(list_transform(
+          range(1, len(w) + 1),
+          i -> w[i] || CASE WHEN i = len(w) THEN ''
+            WHEN i % 12 = 0 THEN chr(10) ELSE ' ' END), '') AS nlt
+        FROM sp)"""
+
+  /** Gopher's line-level rules ([[Text.gopherLineRules]]) on the
+    * newline-injected corpus at the paper's own thresholds: docs
+    * doc_id%23==0 are prefixed with 150 bullet lines (bullet_frac
+    * ≈ 0.95 on typical docs — over the 0.9 cut unless the doc itself
+    * is long), docs doc_id%21==0 gain three trailing ellipsis lines
+    * (≈ 0.375 > 0.3 on short docs); everyone else adjudicates the
+    * false-positive direction. Hash-exact: line counts + one int/int
+    * division per fraction.
+    */
+  val xQualityGopherLines = Q(
+    "x_quality_gopher_lines",
+    (s, dir) => {
+      val injected = withNewlines(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(
+          when(col("doc_id") % 23 === 0, repeat(lit("- item\n"), 150))
+            .otherwise(lit("")),
+          col("nl"),
+          when(col("doc_id") % 21 === 0,
+            repeat(lit("\nto be continued..."), 3)).otherwise(lit("")))
+          .as("text"))
+      Text.gopherLineRules(injected, "text", "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $nlCtesSql,
+      inj AS (SELECT doc_id,
+        CASE WHEN doc_id % 23 = 0
+          THEN repeat('- item' || chr(10), 150) ELSE '' END || nlt ||
+        CASE WHEN doc_id % 21 = 0
+          THEN repeat(chr(10) || 'to be continued...', 3) ELSE '' END AS t
+        FROM nl),
+      ln AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM inj),
+      sig AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+          AS BIGINT) AS n_bullet_lines,
+        CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+          AS n_ellipsis_lines
+        FROM ln)
+      SELECT doc_id, n_lines, n_bullet_lines, n_ellipsis_lines,
+        CAST(n_bullet_lines AS DOUBLE) / n_lines AS bullet_frac,
+        CAST(n_ellipsis_lines AS DOUBLE) / n_lines AS ellipsis_frac,
+        (CAST(n_bullet_lines AS DOUBLE) / n_lines <= 0.9) AS r_bullet,
+        (CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.3) AS r_ellipsis,
+        (CAST(n_bullet_lines AS DOUBLE) / n_lines <= 0.9 AND
+         CAST(n_ellipsis_lines AS DOUBLE) / n_lines <= 0.3) AS pass
+      FROM sig ORDER BY doc_id"""))
+
+  // CCNet-style boilerplate paragraphs: 22 tokens → 20 3-gram
+  // shingles; the variant changes ONLY the last token, so the rep pair
+  // sits at j = 19/21 ≈ 0.905 ≥ 0.8 — a true NEAR-dup (not exact)
+  private val cookie = "this website uses cookies to improve your " +
+    "browsing experience and by continuing to browse this site you " +
+    "agree to our cookie policy"
+  private val cookieVar = cookie.stripSuffix("policy") + "terms"
+
+  /** Paragraph dedup on REAL newline paragraphs
+    * ([[Dedup.paragraphDedupLines]]): the newline-injected corpus plus
+    * a planted boilerplate line — docs doc_id%6==0 share an exact
+    * cookie-banner line, docs doc_id%6==3 its one-token near-variant
+    * (j ≈ 0.905) — so the earliest occurrence (doc 0) keeps its banner
+    * and every other copy/variant is removed, exactly the CCNet
+    * line-dedup behavior. The oracle replays the chain — newline
+    * segmentation, ordered pid keys, exhaustive exact-Jaccard pairs,
+    * removal, newline re-assembly — byte-for-byte (the r12 fixed-window
+    * oracle with `split(t, chr(10))` segmentation).
+    */
+  val xDedupParagraphNewline = Q(
+    "x_dedup_paragraph_newline",
+    (s, dir) => {
+      val injected = withNewlines(t(s, dir, "documents"))
+        .select(col("doc_id"), concat(col("nl"),
+          when(col("doc_id") % 6 === 0, lit("\n" + cookie))
+            .when(col("doc_id") % 6 === 3, lit("\n" + cookieVar))
+            .otherwise(lit(""))).as("text"))
+      Dedup.paragraphDedupLines(injected, "text", "doc_id",
+        minTokens = 5, threshold = 0.8).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $nlCtesSql,
+      inj AS (SELECT doc_id, nlt ||
+        CASE WHEN doc_id % 6 = 0 THEN chr(10) || '$cookie'
+          WHEN doc_id % 6 = 3 THEN chr(10) || '$cookieVar'
+          ELSE '' END AS t
+        FROM nl),
+      ch AS MATERIALIZED (SELECT doc_id,
+          generate_subscripts(string_split(t, chr(10)), 1) - 1 AS chunk_idx,
+          unnest(string_split(t, chr(10))) AS chunk_text
+        FROM inj),
+      cx AS MATERIALIZED (SELECT doc_id, chunk_idx, chunk_text,
+          len(string_split(chunk_text, ' ')) AS n_toks
+        FROM ch),
+      pw AS MATERIALIZED (SELECT doc_id * 1000000 + chunk_idx AS pid,
+          string_split(chunk_text, ' ') AS w
+        FROM cx WHERE n_toks >= 5),
+      sh AS MATERIALIZED (SELECT DISTINCT pid,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM pw),
+      cnt AS MATERIALIZED (SELECT pid, count(*) AS n FROM sh GROUP BY pid),
+      inter AS (SELECT a.pid AS pa, b.pid AS pb, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.pid < b.pid GROUP BY pa, pb),
+      rm AS MATERIALIZED (SELECT DISTINCT pb AS pid FROM inter
+        JOIN cnt ca ON ca.pid = pa JOIN cnt cb ON cb.pid = pb
+        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8),
+      rep AS (SELECT cx.doc_id, cx.chunk_idx, cx.chunk_text,
+          CASE WHEN rm.pid IS NOT NULL THEN 1 ELSE 0 END AS removed
+        FROM cx LEFT JOIN rm
+          ON cx.doc_id * 1000000 + cx.chunk_idx = rm.pid)
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+        CAST(SUM(removed) AS BIGINT) AS n_removed,
+        COALESCE(string_agg(CASE WHEN removed = 0 THEN chunk_text END,
+          chr(10) ORDER BY chunk_idx), '') AS deduped_text,
+        CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
+      FROM rep GROUP BY doc_id ORDER BY doc_id"""))
+
+  val queries: Seq[Q] = Seq(xTextPii2, xQualityGopherLines,
+    xDedupParagraphNewline)
 }

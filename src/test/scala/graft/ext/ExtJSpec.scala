@@ -66,4 +66,48 @@ class ExtJSpec extends SparkSuite {
       !out(4L).getBoolean(5))
     assert(out(4L).getString(6) == "clean text with no identifiers at all")
   }
+
+  // ---- line-level Gopher rules -------------------------------------------
+
+  test("gopherLineRules: bullet and ellipsis fractions fire per the paper") {
+    val df = Seq(
+      (1L, "- one\n- two\n- three\n* four\nbody line here"), // 4/5 bullets
+      (2L, "intro\nwait for it...\nmore to come...\nend"),   // 2/4 ellipsis
+      (3L, "plain first line\nplain second line")            // clean
+    ).toDF("doc_id", "text")
+    val out = Text.gopherLineRules(df, "text", "doc_id",
+      maxBulletFrac = 0.5, maxEllipsisFrac = 0.3)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_lines") == 5 &&
+      out(0).getAs[Long]("n_bullet_lines") == 4)
+    assert(!out(0).getAs[Boolean]("r_bullet") &&
+      !out(0).getAs[Boolean]("pass"))
+    assert(out(1).getAs[Long]("n_ellipsis_lines") == 2 &&
+      !out(1).getAs[Boolean]("r_ellipsis"))
+    assert(out(2).getAs[Boolean]("pass"))
+  }
+
+  test("paragraphDedupLines: newline segmentation, near-dup removal, " +
+      "newline re-assembly, short-line exemption") {
+    val pA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu"                                   // 12 tokens
+    val pAnear = pA.stripSuffix("mu") + "nu"        // j = 9/11 ≈ 0.82 >= 0.8
+    val pB = "one two three four five six seven"
+    val pC = "eight nine ten eleven twelve thirteen fourteen" // doc-3 only
+    val out = Dedup.paragraphDedupLines(Seq(
+        (1L, s"$pA\n$pB"),
+        (2L, s"$pAnear\nshort tail"),               // near-dup + exempt line
+        (3L, s"$pC\n$pC")                           // exact in-doc dup
+      ).toDF("doc_id", "text"), "text", "doc_id",
+      minTokens = 5, threshold = 0.8)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_removed") == 0 &&
+      out(0).getAs[String]("deduped_text") == s"$pA\n$pB")
+    assert(out(1).getAs[Long]("n_removed") == 1 &&
+      out(1).getAs[String]("deduped_text") == "short tail",
+      s"near-dup line must fall, exempt short line must stay: " +
+        out(1).getAs[String]("deduped_text"))
+    assert(out(2).getAs[Long]("n_removed") == 1 &&
+      out(2).getAs[String]("deduped_text") == pC)
+  }
 }
