@@ -97,7 +97,7 @@ object Text {
     * rounded (JVM vs DuckDB differ by 1 ulp on some inputs), so round
     * to 12 decimals — same trick as the q32 battery.
     */
-  private def lnStable(c: Column): Column =
+  private[ext] def lnStable(c: Column): Column =
     log(c).cast("decimal(20,12)").cast("double")
 
   /** Long-form term frequencies: one row per (doc, term), whitespace

@@ -43,7 +43,7 @@ object ExtI {
   /** Gopher-signals replay over a text column `t` in relation `inj`,
     * ending in `gr(doc_id, …signals…, r_* booleans, pass)`.
     */
-  private val gopherCtesSql = """
+  private[queries] val gopherCtesSql = """
       sig AS (SELECT doc_id,
         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
         CAST(list_sum(list_transform(string_split(t, ' '),

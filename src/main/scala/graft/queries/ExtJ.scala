@@ -236,6 +236,99 @@ object ExtJ {
         CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
       FROM rep GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Shared label + NB-training CTE chain for the model-filter pair:
+    * Gopher-rules pass on the RAW corpus as the corpus-derived label
+    * (264/236 at sf0.01 — driven by the word-count and stopword rules),
+    * then the add-1-smoothed token model. Engine and oracle derive the
+    * model from the SAME counts; every ln is DECIMAL(20,12)-canonical.
+    */
+  private val nbCtesSql = s"""inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      lab AS (SELECT doc_id, pass AS label FROM gr),
+      tk AS (SELECT d.doc_id, token, label FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents) d
+        JOIN lab USING (doc_id) WHERE length(token) > 0),
+      cnts AS (SELECT token,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+          CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
+        FROM tk GROUP BY token),
+      tot AS (SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt_neg) AS BIGINT) AS n_neg,
+          CAST(COUNT(*) AS BIGINT) AS v FROM cnts),
+      model AS (SELECT token, cnt_pos, cnt_neg,
+          CAST(CAST(ln(CAST(cnt_pos + 1 AS DOUBLE) /
+            CAST(n_pos + v AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS lp_pos,
+          CAST(CAST(ln(CAST(cnt_neg + 1 AS DOUBLE) /
+            CAST(n_neg + v AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE) AS lp_neg
+        FROM cnts, tot)"""
+
+  /** NB model table ([[Model.naiveBayesModel]]): per-token class
+    * counts, smoothed log-likelihoods, and the log-likelihood ratio.
+    * The oracle re-derives the MODEL itself from the label CTEs (the
+    * bpeTrain discipline) — training is adjudicated, not just applied.
+    */
+  val xQualityModelTrain = Q(
+    "x_quality_model_train",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      Model.naiveBayesModel(labeled, "text", "doc_id", "label")
+        .orderBy(col("token"))
+    },
+    Some(s"""WITH $nbCtesSql
+      SELECT token, cnt_pos, cnt_neg, lp_pos, lp_neg,
+        lp_pos - lp_neg AS llr
+      FROM model ORDER BY token"""))
+
+  /** Model-based quality filter ([[Model.naiveBayesFilter]]): every
+    * document scored under both classes (log prior + Σ tf·lp, decimal-
+    * summed), the argmax verdict, the training label, and agreement.
+    * Hash-exact end-to-end: the oracle replays training AND scoring
+    * from the same counts, so a single perturbed count anywhere in the
+    * chain flips the hash.
+    */
+  val xQualityModelFilter = Q(
+    "x_quality_model_filter",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      Model.naiveBayesFilter(labeled, "text", "doc_id", "label")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $nbCtesSql,
+      tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tk GROUP BY doc_id, token),
+      sums AS (SELECT doc_id,
+          CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp_pos AS DECIMAL(30,14)))
+            AS DOUBLE) AS s_pos,
+          CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp_neg AS DECIMAL(30,14)))
+            AS DOUBLE) AS s_neg
+        FROM tf JOIN model USING (token) GROUP BY doc_id),
+      pri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos_docs FROM lab),
+      pr AS (SELECT
+          CAST(CAST(ln(CAST(n_pos_docs AS DOUBLE) / CAST(n_docs AS DOUBLE))
+            AS DECIMAL(20,12)) AS DOUBLE) AS lprior_pos,
+          CAST(CAST(ln(CAST(n_docs - n_pos_docs AS DOUBLE) /
+            CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS lprior_neg FROM pri),
+      sc AS (SELECT l.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+          COALESCE(s_pos, 0.0) + lprior_pos AS score_pos,
+          COALESCE(s_neg, 0.0) + lprior_neg AS score_neg,
+          label
+        FROM lab l LEFT JOIN sums USING (doc_id), pr)
+      SELECT doc_id, n_tokens, score_pos, score_neg, label,
+        (score_pos > score_neg) AS predicted,
+        ((score_pos > score_neg) = label) AS correct
+      FROM sc ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextPii2, xQualityGopherLines,
-    xDedupParagraphNewline)
+    xDedupParagraphNewline, xQualityModelTrain, xQualityModelFilter)
 }

@@ -110,4 +110,49 @@ class ExtJSpec extends SparkSuite {
     assert(out(2).getAs[Long]("n_removed") == 1 &&
       out(2).getAs[String]("deduped_text") == pC)
   }
+
+  // ---- Naive Bayes model filter ------------------------------------------
+
+  test("naiveBayes: counts, smoothed log-probs, verdicts on a hand fixture") {
+    val df = Seq(
+      (1L, "good good fine", true),
+      (2L, "good nice", true),
+      (3L, "bad bad awful", false),
+      (4L, "bad sad", false),
+      (5L, "good good bad", true),    // mixed, label pos
+      (6L, "", false)                 // zero tokens → priors only
+    ).toDF("doc_id", "text", "label")
+
+    val model = Model.naiveBayesModel(df, "text", "doc_id", "label")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // class token totals: pos = 8, neg = 5; vocab = 7 tokens... recount:
+    // tokens pos: good×2,fine | good,nice | good×2,bad → good 5, fine 1,
+    // nice 1, bad 1 (n_pos = 8); neg: bad×2,awful | bad,sad → bad 3,
+    // awful 1, sad 1 (n_neg = 5); vocab = {good,fine,nice,bad,awful,sad}
+    // (6; the empty doc contributes nothing)
+    assert(model("good")._1 == 5 && model("good")._2 == 0)
+    assert(model("bad")._1 == 1 && model("bad")._2 == 3)
+    assert(model.size == 6)
+    def lnCanon(x: Double): Double =
+      BigDecimal(math.log(x)).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    assert(model("good")._3 == lnCanon(6.0 / 14.0), "lp_pos(good)")
+    assert(model("good")._4 == lnCanon(1.0 / 11.0), "lp_neg(good)")
+
+    val out = Model.naiveBayesFilter(df, "text", "doc_id", "label")
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("predicted") &&
+      byId(1L).getAs[Boolean]("correct"))
+    assert(!byId(3L).getAs[Boolean]("predicted") &&
+      byId(3L).getAs[Boolean]("correct"))
+    // doc 5: good dominates (5 pos occurrences vs bad's 3 neg) → pos
+    assert(byId(5L).getAs[Boolean]("predicted"))
+    // empty doc: scores are the priors alone (3 pos of 6 docs = ln 0.5)
+    assert(byId(6L).getAs[Long]("n_tokens") == 0L)
+    assert(byId(6L).getAs[Double]("score_pos") == lnCanon(0.5))
+    assert(!byId(6L).getAs[Boolean]("predicted"),
+      "prior tie must predict negative (conservative)")
+  }
 }
