@@ -329,6 +329,31 @@ object ExtJ {
         ((score_pos > score_neg) = label) AS correct
       FROM sc ORDER BY doc_id"""))
 
+  /** Unigram-LM tokenizer training ([[Unigram.train]]): the final
+    * model table after 2 hard-EM rounds over the word-frequency table
+    * — piece, final-round Viterbi count, smoothed canonical log-prob.
+    * The oracle unrolls BOTH rounds — seed substring counts, each DP
+    * cell, the backpointer walk, the weighted re-count, the smoothing
+    * — from the same constants (maxPiece=4, maxN=12).
+    */
+  val xUnigramTrain = Q(
+    "x_unigram_train",
+    (s, dir) => Unigram.train(t(s, dir, "documents"), "text",
+      maxPiece = 4, maxN = 12, rounds = 2).orderBy(col("piece")),
+    Some(Unigram.trainSql(maxPiece = 4, maxN = 12, rounds = 2)))
+
+  /** Unigram-LM encoding ([[Unigram.encode]]): Viterbi segmentation of
+    * every corpus word under the trained model, rolled up per document
+    * — token/char/piece counts and chars-per-piece fertility. The
+    * oracle re-derives the model itself and replays the encode pass.
+    */
+  val xUnigramEncode = Q(
+    "x_unigram_encode",
+    (s, dir) => Unigram.encode(t(s, dir, "documents"), "text", "doc_id",
+      maxPiece = 4, maxN = 12, rounds = 2).orderBy(col("doc_id")),
+    Some(Unigram.encodeSql(maxPiece = 4, maxN = 12, rounds = 2)))
+
   val queries: Seq[Q] = Seq(xTextPii2, xQualityGopherLines,
-    xDedupParagraphNewline, xQualityModelTrain, xQualityModelFilter)
+    xDedupParagraphNewline, xQualityModelTrain, xQualityModelFilter,
+    xUnigramTrain, xUnigramEncode)
 }
