@@ -163,7 +163,8 @@ object Dedup {
     */
   def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
       paraTokens: Int = 20, minTokens: Int = 5, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      eager: Boolean = true): DataFrame = {
     require(minTokens >= 3, "paragraphs need >= 3 tokens for 3-gram shingles")
     // pid key-space guard (the r11 audit discipline: a silent cliff
     // must fail LOUDLY, never corrupt): chunk_idx >= 1e6 (a 20M-token
@@ -178,7 +179,7 @@ object Dedup {
     // profiles cache; Verify clears caches per query)
     val ch = paragraphChunks(docs, textCol, idCol, paraTokens).cache()
     paragraphDedupFromChunks(ch, minTokens, threshold, numHashes, bands,
-      sep = " ")
+      sep = " ", eager)
   }
 
   /** [[paragraphDedup]] on REAL newline paragraphs: the segmentation is
@@ -192,11 +193,12 @@ object Dedup {
     */
   def paragraphDedupLines(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 5, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      eager: Boolean = true): DataFrame = {
     require(minTokens >= 3, "paragraphs need >= 3 tokens for 3-gram shingles")
     val ch = paragraphChunksLines(docs, textCol, idCol).cache()
     paragraphDedupFromChunks(ch, minTokens, threshold, numHashes, bands,
-      sep = "\n")
+      sep = "\n", eager)
   }
 
   /** Shared batch-face tail: exact-first representative collapse →
@@ -220,21 +222,28 @@ object Dedup {
     */
   private def paragraphDedupFromChunks(ch: DataFrame, minTokens: Int,
       threshold: Double, numHashes: Int, bands: Int,
-      sep: String): DataFrame = {
+      sep: String, eager: Boolean): DataFrame = {
     val paras = ch.filter(col("n_chunk_tokens") >= minTokens)
     val reps = paras.groupBy(col("chunk_text"))
       .agg(min(col("pid")).as("pid"))
     val removedReps = minhashLshPairs(reps, "chunk_text", "pid",
         k = 3, threshold, numHashes, bands)
       .select(col("doc_b").as("rpid")).distinct()
-    // the report is one row per doc — pin it EAGERLY so the segmentation
-    // cache is released HERE rather than leaking one text-sized
-    // CacheManager entry per library call (the incremental face's
-    // idiom; Verify clears caches per query, library callers don't)
     val report = paragraphReport(ch,
-      paragraphVerdicts(paras, reps, removedReps), sep).localCheckpoint(true)
-    ch.unpersist()
-    report
+      paragraphVerdicts(paras, reps, removedReps), sep)
+    // TWO cache-lifecycle faces (r13 verdict: one face can't serve
+    // both masters). eager=true (library default): the report is one
+    // row per doc — pin it and release the segmentation cache HERE,
+    // so library callers don't leak one text-sized CacheManager entry
+    // per call. eager=false (registered queries / plan inspection):
+    // return the LAZY plan — the harnesses clearCache per query, and
+    // an eager pin would both hide the plan shape behind a
+    // Scan ExistingRDD and execute the dedup at registration time.
+    if (eager) {
+      val pinned = report.localCheckpoint(true)
+      ch.unpersist()
+      pinned
+    } else report
   }
 
   /** Member verdicts shared by the batch and streaming paragraph faces

@@ -469,10 +469,20 @@ object Text {
         size(col("_vibans")).cast("bigint").as("n_iban_valid"),
         (size(col("_vcards")) > 0 || size(col("_vibans")) > 0)
           .as("has_valid_pii"),
+        // boundary-aware redaction (r13 advice): a validated PAN can
+        // also occur INSIDE a longer digit run that the word-bounded
+        // candidate regex correctly rejected — plain substring replace
+        // would mangle it ('4111…1111' inside '4111…11112222' →
+        // '<PAN>2222'). \b-anchor the validated value instead; the
+        // candidates are [0-9A-Z]-only, so interpolating them into a
+        // pattern is metacharacter-safe.
         aggregate(col("_vibans"),
           aggregate(col("_vcards"), col(textCol),
-            (acc, x) => replace(acc, x, lit("<PAN>"))),
-          (acc, x) => replace(acc, x, lit("<IBAN>"))).as("redacted_text"))
+            (acc, x) => regexp_replace(acc,
+              concat(lit("\\b"), x, lit("\\b")), lit("<PAN>"))),
+          (acc, x) => regexp_replace(acc,
+            concat(lit("\\b"), x, lit("\\b")), lit("<IBAN>")))
+          .as("redacted_text"))
 
   /** Redact PII in place with typed placeholders. Email first (its
     * local part may contain digit runs a later pass would mangle),

@@ -90,6 +90,10 @@ object Unigram {
     */
   def viterbiPass(wq: DataFrame, probs: DataFrame, maxPiece: Int,
       maxN: Int): DataFrame = {
+    // the score-map key is j*100+i — maxN >= 100 would silently
+    // collide keys and mis-segment rather than error (r13 advice)
+    require(maxN < 100,
+      s"unigram: maxN=$maxN collides the j*100+i score-map key space")
     val NEG = lit(-1e9)
     // per-word candidate score map: key j*100 + i for the piece
     // spanning (j, i]; ONE broadcast equi-join for all lookups
@@ -159,6 +163,8 @@ object Unigram {
   def train(docs: DataFrame, textCol: String, maxPiece: Int = 4,
       maxN: Int = 12, rounds: Int = 2): DataFrame = {
     require(rounds >= 1 && maxPiece >= 1 && maxN >= maxPiece)
+    require(maxN < 100,
+      s"unigram: maxN=$maxN collides the j*100+i score-map key space")
     val wq = wordFreqs(docs, textCol).transform(Iter.pin)
     val seed = seedCounts(wq, maxPiece).transform(Iter.pin)
     var probs = smoothedProbs(seed,
@@ -200,14 +206,25 @@ object Unigram {
   // ---- DuckDB oracle generators (unrolled, from the same constants) ----
 
   /** One DP + walk + segmentation pass reading probs from `vt`,
-    * emitting CTEs scm$t / dp$t / wk$t / seg$t. The candidate scores
+    * emitting CTEs scm$t / dp$t_* / wk$t / seg$t. The candidate scores
     * are pre-joined into WIDE COLUMNS (s{j}_{i}) by one equi-join of
     * the exploded (word, j, len) candidates against the prob table —
     * the engine's score-map formulation exactly, and a necessity here:
     * DuckDB cannot re-reference a lateral alias whose expression
-    * contains a subquery, so the DP must be subquery-free. Lateral
-    * aliases then chain the cells exactly like the engine's staged
-    * columns.
+    * contains a subquery, so the DP must be subquery-free.
+    *
+    * STAGING (the r13 red-gate fix): every DP cell and every
+    * backpointer-walk step is its OWN MATERIALIZED CTE — the r12
+    * lateral-alias formulation chained b_i → b_{i−1} → … inside one
+    * SELECT, and DuckDB re-inlines lateral aliases per reference, so
+    * the expression tree grew ~maxPiece^maxN-fold (measured: the walk
+    * CTE alone exceeded 60 s on a 31-word vocabulary and the full
+    * oracle never finished — the driver's compare hung and the round's
+    * correctness artifact came back empty). Here each stage reads only
+    * MATERIALIZED columns of the previous stage, so every cell is
+    * computed once — the exact mirror of the engine's staged-column /
+    * Iter.pin discipline, and the same fix the curate oracles use for
+    * DuckDB's plain-CTE re-inlining.
     */
   private def passSql(t: Int, vt: String, maxPiece: Int, maxN: Int): String = {
     val pairs = for {
@@ -216,23 +233,28 @@ object Unigram {
     val scCols = pairs.map { case (j, i) =>
       s"          MAX(CASE WHEN j = $j AND j + l = $i THEN lp END) AS s${j}_$i"
     }.mkString(",\n")
-    val cells = (1 to maxN).map { i =>
+    // one MATERIALIZED CTE per DP cell: b_i/p_i from stage i-1's
+    // materialized columns only (expanded GREATEST per CASE arm — no
+    // lateral aliases anywhere, so nothing can re-inline)
+    val dpStages = (1 to maxN).map { i =>
       val js = math.max(0, i - maxPiece) until i
-      val aliases = js.map(j =>
-        s"b$j + COALESCE(s${j}_$i, -1000000000.0) AS c${i}_$j")
-        .mkString(",\n          ")
+      val cands = js.map(j => s"(b$j + COALESCE(s${j}_$i, -1000000000.0))")
       val bExpr =
-        if (js.size == 1) s"c${i}_${js.head}"
-        else js.map(j => s"c${i}_$j").mkString("GREATEST(", ", ", ")")
-      val pExpr = ("CASE " + js.map(j =>
-        s"WHEN c${i}_$j = b$i THEN $j").mkString(" ") + " END")
-      s"""          $aliases,
-          $bExpr AS b$i,
-          $pExpr AS p$i"""
+        if (cands.size == 1) cands.head
+        else cands.mkString("GREATEST(", ", ", ")")
+      // first j (ascending) achieving the max = longest last piece wins
+      val pExpr = "CASE " + js.zip(cands).map { case (j, c) =>
+        s"WHEN $c = $bExpr THEN $j" }.mkString(" ") + " END"
+      val prev = if (i == 1) s"dp${t}_0" else s"dp${t}_${i - 1}"
+      s"""      dp${t}_$i AS MATERIALIZED (SELECT *, $bExpr AS b$i,
+          $pExpr AS p$i FROM $prev)"""
     }.mkString(",\n")
-    val eChain = (0 until maxN).map { k =>
+    // one MATERIALIZED CTE per walk step: e_{k+1} = ptr[e_k]
+    val wkStages = (0 until maxN).map { k =>
       val cases = (1 to maxN).map(i => s"WHEN $i THEN p$i").mkString(" ")
-      s"          CASE e$k $cases ELSE 0 END AS e${k + 1}"
+      val prev = if (k == 0) s"wk${t}_0" else s"wk${t}_$k"
+      s"""      wk${t}_${k + 1} AS MATERIALIZED (SELECT *,
+          CASE e$k $cases ELSE 0 END AS e${k + 1} FROM $prev)"""
     }.mkString(",\n")
     val pcs = (0 until maxN).map { k =>
       s"          CASE WHEN e$k > 0 THEN substr(w, e${k + 1} + 1, e$k - e${k + 1}) END AS pc$k"
@@ -247,14 +269,14 @@ $scCols
             ON v.piece = substr(w, CAST(j AS INT) + 1, CAST(l AS INT))
           WHERE j < length(w) AND j + l <= length(w))
         GROUP BY w, freq),
-      dp$t AS MATERIALIZED (SELECT w, freq, length(w) AS n,
-          CAST(0.0 AS DOUBLE) AS b0,
-$cells
-        FROM scm$t),
-      wk$t AS MATERIALIZED (SELECT w, freq, n, n AS e0,
-$eChain,
+      dp${t}_0 AS (SELECT *, length(w) AS n,
+          CAST(0.0 AS DOUBLE) AS b0 FROM scm$t),
+$dpStages,
+      wk${t}_0 AS (SELECT *, n AS e0 FROM dp${t}_$maxN),
+$wkStages,
+      wk$t AS MATERIALIZED (SELECT *,
 $pcs
-        FROM dp$t),
+        FROM wk${t}_$maxN),
       seg$t AS (SELECT w, freq,
           unnest(list_filter($pcList, x -> x IS NOT NULL)) AS piece
         FROM wk$t)"""

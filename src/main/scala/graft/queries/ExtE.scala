@@ -318,7 +318,7 @@ object ExtE {
     * intra-pass output into the global pass); the result relation is
     * `${pfx}res(doc_id, n_tokens, n_kept_tokens, deduped_text)`.
     */
-  private def spanDedupCtes(pfx: String, src: String, span: Int,
+  private[queries] def spanDedupCtes(pfx: String, src: String, span: Int,
       perDoc: Boolean): String = {
     val part = if (perDoc) "doc_id, sp" else "sp"
     s"""${pfx}d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM $src),

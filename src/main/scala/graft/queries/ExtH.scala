@@ -221,7 +221,7 @@ object ExtH {
     * shard-then-pack capstone (which chains the deal replay in as
     * `d`).
     */
-  private def packBfdCoreCtes(S: Long, dCte: String): String = {
+  private[queries] def packBfdCoreCtes(S: Long, dCte: String): String = {
     val fits = "list_min(list_filter(st.rem, x -> x >= s.toks))"
     s"""$dCte,
       small AS (SELECT grp, doc_id, toks,

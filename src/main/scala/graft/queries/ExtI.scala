@@ -20,7 +20,7 @@ object ExtI {
     * matches: '#'×3 + '...') that push short docs over the symbol-ratio
     * and under the alpha-fraction thresholds while long docs absorb it.
     */
-  private def encGarbage = concat(
+  private[queries] def encGarbage = concat(
     when(col("doc_id") % 7 === 0,
       expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
       .otherwise(lit("")),
@@ -28,16 +28,16 @@ object ExtI {
       .otherwise(lit("")),
     when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
       .otherwise(lit("")))
-  private def gopherBait =
+  private[queries] def gopherBait =
     when(col("doc_id") % 13 === 0, lit(" ### ... 123")).otherwise(lit(""))
-  private val encGarbageSql = """
+  private[queries] val encGarbageSql = """
         CASE WHEN doc_id % 7 = 0
           THEN repeat(chr(65533), CAST(doc_id % 4 + 1 AS INT)) ELSE '' END ||
         CASE WHEN doc_id % 5 = 0
           THEN chr(7) || chr(1) || chr(127) ELSE '' END ||
         CASE WHEN doc_id % 11 = 0
           THEN chr(133) || chr(150) ELSE '' END"""
-  private val gopherBaitSql =
+  private[queries] val gopherBaitSql =
     """CASE WHEN doc_id % 13 = 0 THEN ' ### ... 123' ELSE '' END"""
 
   /** Gopher-signals replay over a text column `t` in relation `inj`,
@@ -118,56 +118,71 @@ object ExtI {
         (n_replacement = 0 AND n_control = 0 AND n_c1 = 0) AS is_clean
       FROM m ORDER BY doc_id"""))
 
+  /** Paragraph-dedup replay over `src(doc_id, text)` — segmentation
+    * into 20-token windows, ordered pid keys, the exhaustive
+    * exact-Jaccard pair set at j ≥ 0.8 (LSH must find every true pair:
+    * P(miss) ≤ 4.7e-8 each at 128 hashes / 32 bands),
+    * earlier-occurrence-wins removal, and ordered re-assembly —
+    * parameterized by CTE prefix and source relation so the standalone
+    * paragraph query and the r14 master-recipe capstone (ExtK) replay
+    * the SAME text and can never drift. Multi-referenced CTEs are
+    * MATERIALIZED (sh self-joins; DuckDB re-inlines plain CTEs per
+    * reference). Ends in `${pfx}out(doc_id, n_paragraphs, n_removed,
+    * deduped_text, dup_frac)`.
+    */
+  private[queries] def paraDedupCtes(pfx: String, src: String): String =
+    s"""${pfx}d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM $src),
+      ${pfx}ch AS MATERIALIZED (SELECT doc_id,
+          generate_subscripts(range(0, greatest(len(toks), 1), 20), 1) - 1
+            AS chunk_idx,
+          unnest(range(0, greatest(len(toks), 1), 20)) AS start, toks
+        FROM ${pfx}d),
+      ${pfx}cx AS MATERIALIZED (SELECT doc_id, chunk_idx,
+          array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text,
+          least(len(toks) - start, 20) AS n_toks
+        FROM ${pfx}ch),
+      ${pfx}pw AS MATERIALIZED (SELECT doc_id * 1000000 + chunk_idx AS pid,
+          string_split(chunk_text, ' ') AS w
+        FROM ${pfx}cx WHERE n_toks >= 5),
+      ${pfx}sh AS MATERIALIZED (SELECT DISTINCT pid,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM ${pfx}pw),
+      ${pfx}cnt AS MATERIALIZED (SELECT pid, count(*) AS n FROM ${pfx}sh
+        GROUP BY pid),
+      ${pfx}inter AS (SELECT a.pid AS pa, b.pid AS pb, count(*) AS ix
+        FROM ${pfx}sh a JOIN ${pfx}sh b ON a.s = b.s AND a.pid < b.pid
+        GROUP BY pa, pb),
+      ${pfx}rm AS MATERIALIZED (SELECT DISTINCT pb AS pid FROM ${pfx}inter
+        JOIN ${pfx}cnt ca ON ca.pid = pa JOIN ${pfx}cnt cb ON cb.pid = pb
+        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8),
+      ${pfx}rep AS (SELECT cx.doc_id, cx.chunk_idx, cx.chunk_text,
+          CASE WHEN rm.pid IS NOT NULL THEN 1 ELSE 0 END AS removed
+        FROM ${pfx}cx cx LEFT JOIN ${pfx}rm rm
+          ON cx.doc_id * 1000000 + cx.chunk_idx = rm.pid),
+      ${pfx}out AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+          CAST(SUM(removed) AS BIGINT) AS n_removed,
+          COALESCE(string_agg(CASE WHEN removed = 0 THEN chunk_text END, ' '
+            ORDER BY chunk_idx), '') AS deduped_text,
+          CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
+        FROM ${pfx}rep GROUP BY doc_id)"""
+
   /** Dolma-style paragraph-level near-dup capstone
     * ([[Dedup.paragraphDedup]]): 20-token segments, paragraph-keyed
     * MinHash+LSH at j ≥ 0.8, earlier-occurrence-wins removal, per-doc
     * damage report with the re-assembled text adjudicated
-    * byte-for-byte. The oracle replays the CHAIN — segmentation, the
-    * ordered pid key, the exhaustive exact-Jaccard pair set (LSH must
-    * find every true pair: P(miss) ≤ 4.7e-8 each at 128 hashes / 32
-    * bands), removal, and ordered re-assembly. Multi-referenced CTEs
-    * are MATERIALIZED (sh self-joins; DuckDB re-inlines plain CTEs per
-    * reference).
+    * byte-for-byte. The oracle replays the CHAIN via [[paraDedupCtes]].
     */
   val xPipelineParagraphDedup = Q(
     "x_pipeline_paragraph_dedup",
     (s, dir) => Dedup.paragraphDedup(t(s, dir, "documents"), "text", "doc_id",
-      paraTokens = 20, minTokens = 5, threshold = 0.8)
+      paraTokens = 20, minTokens = 5, threshold = 0.8, eager = false)
       .orderBy(col("doc_id")),
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
-        FROM documents),
-      ch AS MATERIALIZED (SELECT doc_id,
-          generate_subscripts(range(0, greatest(len(toks), 1), 20), 1) - 1
-            AS chunk_idx,
-          unnest(range(0, greatest(len(toks), 1), 20)) AS start, toks
-        FROM d),
-      cx AS MATERIALIZED (SELECT doc_id, chunk_idx,
-          array_to_string(toks[start + 1 : start + 20], ' ') AS chunk_text,
-          least(len(toks) - start, 20) AS n_toks
-        FROM ch),
-      pw AS MATERIALIZED (SELECT doc_id * 1000000 + chunk_idx AS pid,
-          string_split(chunk_text, ' ') AS w
-        FROM cx WHERE n_toks >= 5),
-      sh AS MATERIALIZED (SELECT DISTINCT pid,
-          unnest(list_transform(range(1, len(w) - 1),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-        FROM pw),
-      cnt AS MATERIALIZED (SELECT pid, count(*) AS n FROM sh GROUP BY pid),
-      inter AS (SELECT a.pid AS pa, b.pid AS pb, count(*) AS ix
-        FROM sh a JOIN sh b ON a.s = b.s AND a.pid < b.pid GROUP BY pa, pb),
-      rm AS MATERIALIZED (SELECT DISTINCT pb AS pid FROM inter
-        JOIN cnt ca ON ca.pid = pa JOIN cnt cb ON cb.pid = pb
-        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.8),
-      rep AS (SELECT cx.doc_id, cx.chunk_idx, cx.chunk_text,
-          CASE WHEN rm.pid IS NOT NULL THEN 1 ELSE 0 END AS removed
-        FROM cx LEFT JOIN rm
-          ON cx.doc_id * 1000000 + cx.chunk_idx = rm.pid)
-      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
-        CAST(SUM(removed) AS BIGINT) AS n_removed,
-        COALESCE(string_agg(CASE WHEN removed = 0 THEN chunk_text END, ' '
-          ORDER BY chunk_idx), '') AS deduped_text,
-        CAST(SUM(removed) AS DOUBLE) / COUNT(*) AS dup_frac
-      FROM rep GROUP BY doc_id ORDER BY doc_id"""),
+    Some(s"""WITH ${paraDedupCtes("", "documents")}
+      SELECT doc_id, n_paragraphs, n_removed, deduped_text, dup_frac
+      FROM out ORDER BY doc_id"""),
     // r12: the round's flagship new family — benched so the paragraph
     // pass gets a cross-round perf trace from day one (the same gap the
     // r11 verdict flagged for the multimodal decode path)

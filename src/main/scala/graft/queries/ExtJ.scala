@@ -96,9 +96,11 @@ object ExtJ {
         (len(vcards) > 0 OR len(vibans) > 0) AS has_valid_pii,
         list_reduce(list_prepend(
             list_reduce(list_prepend(t, vcards),
-              (acc, x) -> replace(acc, x, '<PAN>')),
+              (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b',
+                '<PAN>', 'g')),
             vibans),
-          (acc, x) -> replace(acc, x, '<IBAN>')) AS redacted_text
+          (acc, x) -> regexp_replace(acc, '\\b' || x || '\\b',
+            '<IBAN>', 'g')) AS redacted_text
       FROM v ORDER BY doc_id"""))
 
   /** Deterministic newline injection shared by the line-level queries
@@ -197,7 +199,7 @@ object ExtJ {
             .when(col("doc_id") % 6 === 3, lit("\n" + cookieVar))
             .otherwise(lit(""))).as("text"))
       Dedup.paragraphDedupLines(injected, "text", "doc_id",
-        minTokens = 5, threshold = 0.8).orderBy(col("doc_id"))
+        minTokens = 5, threshold = 0.8, eager = false).orderBy(col("doc_id"))
     },
     Some(s"""WITH $nlCtesSql,
       inj AS (SELECT doc_id, nlt ||

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext._
+import H.t
+
+/** Round-14 operators: the master-recipe curation capstone — the full
+  * FineWeb/Dolma production chain as ONE adjudicated attrition table —
+  * plus this round's gate-repair work recorded in ExtI/ExtJ (paragraph
+  * faces' `eager` flag, the per-stage MATERIALIZED unigram oracle).
+  */
+object ExtK {
+
+  private def ntoks(c: Column): Column =
+    size(split(c, " ")).cast("long")
+
+  /** The deterministic synthetic URL of `x_url_domain` (ExtB) — the
+    * corpus carries no URL column, so the construction is the shared
+    * engine/oracle injection, reused verbatim.
+    */
+  private def urlCol: Column = concat(
+    lit("https://"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
+    col("source"), lit("-site."),
+    when(col("lang") === "en", lit("com")).otherwise(lit("org")),
+    lit("/docs/"), col("doc_id"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?ref="), col("source"))).otherwise(lit("")))
+
+  /** Blocklisted registered domains for the URL-filter stage (two bad
+    * sources, both TLD variants — the UT1/Blacklists-style domain cut
+    * every crawl pipeline opens with).
+    */
+  private val blockedDomains = Seq(
+    "src3-site.com", "src3-site.org", "src7-site.com", "src7-site.org")
+
+  /** Master-recipe curation capstone: the COMPLETE production chain in
+    * FineWeb/Dolma order, each stage the already-adjudicated operator,
+    * emitting the per-stage attrition table every curation run is
+    * judged by. Docs 0–19 are the stand-in eval benchmark (the
+    * x_decontaminate convention); the corpus is doc_id ≥ 20.
+    *
+    *  0. corpus           — raw docs + whitespace-token count
+    *  1. url_filter       — synthetic URL (x_url_domain construction),
+    *                        registered-domain blocklist cut
+    *  2. encoding         — U+FFFD/C0/C1 screen on the injected "crawl
+    *                        bytes" (encGarbage — the raw corpus is
+    *                        clean); the clean text enters the pipeline
+    *  3. gopher           — Rae et al. Table A1 composite on the same
+    *                        injected text
+    *  4. fluency          — CCNet bucket < 2 under the corpus-trained
+    *                        bigram LM + full-corpus rank buckets (CCNet
+    *                        scores against a reference LM and global
+    *                        thresholds, so the shared bigramLmCtes /
+    *                        rankBucketCtes replay is reused VERBATIM)
+    *  5. intra_dedup      — within-doc 3-token span removal (RefinedWeb)
+    *  6. paragraph_dedup  — 20-token paragraph MinHash at j ≥ 0.8 (Dolma)
+    *  7. whole_doc_dedup  — exact 3-gram Jaccard ≥ 0.5,
+    *                        earlier-occurrence-wins document removal
+    *  8. span_dedup       — corpus-wide 10-token span excision (C4/Lee
+    *                        et al.) + the < 20-surviving-tokens drop
+    *  9. decontaminate    — 5-gram overlap vs the eval set, any hit drops
+    * 10. mixture          — per-source balance: each source capped at
+    *                        120% of the equal share (pure integer
+    *                        arithmetic: (12N + 10k − 1) div 10k)
+    * 11. pack             — per-source BFD into 64-token sequences; the
+    *                        row reports sequences produced (n_docs) and
+    *                        the padded token budget (n_tokens = bins·64)
+    *
+    * Every row is (stage_idx, stage, n_docs, n_tokens) — n_tokens is
+    * the surviving whitespace-token volume (the spanDedup stages use
+    * their own n_kept_tokens, which the oracle replays identically).
+    * The oracle chains the SHARED stage replays — gopherCtesSql,
+    * bigramLmCtes + rankBucketCtes, spanDedupCtes ×2, paraDedupCtes,
+    * the cluster-oracle Jaccard CTEs, the decontaminate gram join, and
+    * packBfdCoreCtes — so any drift in ANY stage cascades into every
+    * later row.
+    *
+    * Scale shape (100 TB): the chain is exactly the audited operators
+    * in sequence — no stage adds a new shuffle class. Filters (1–4)
+    * are narrow flag joins; the dedup ladder carries the clone-
+    * invariant exact-first paragraph pass and fingerprint-keyed span
+    * passes; decontaminate broadcasts the (bounded) eval-gram set;
+    * mixture is one per-source window over survivors; packing runs
+    * per-source BFD groups (shard composer available for hot groups).
+    */
+  val xPipelineMaster = Q(
+    "x_pipeline_master",
+    (s, dir) => {
+      val S = 64L
+      val all = t(s, dir, "documents")
+      val evalSet = all.filter(col("doc_id") < 20)
+      val corpus = all.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        .cache()
+
+      // 1. URL filter on the synthetic URL's registered domain
+      val s1 = Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
+        .filter(!col("url_domain").isin(blockedDomains: _*))
+        .select(col("doc_id"), col("text"))
+
+      // 2–3. byte-level filters see the injected "crawl bytes"; the
+      // clean text enters the dedup ladder (the funnel discipline)
+      val inj = s1.select(col("doc_id"),
+        concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+      val encOk = Text.encodingQuality(inj, "tinj", "doc_id")
+        .filter(col("is_clean")).select("doc_id")
+      val s2 = s1.join(encOk, "doc_id")
+      val gphOk = Text.gopherRules(inj, "tinj", "doc_id")
+        .filter(col("pass")).select("doc_id")
+      val s3 = s2.join(gphOk, "doc_id")
+
+      // 4. CCNet fluency cut: LM + buckets over the FULL raw corpus
+      val pplOk = Text.perplexityBuckets(all, "text", "doc_id", nBuckets = 3)
+        .filter(col("bucket") < 2).select("doc_id")
+      val s4 = s3.join(pplOk, "doc_id").cache()
+
+      // 5. intra-doc span dedup (rewrites text)
+      val intra = Dedup.intraDocDedupHashed(s4, "text", "doc_id", span = 3)
+        .cache()
+      // each cached stage is materialized SEQUENTIALLY (count over the
+      // cached frame scans the InMemoryRelation, so nothing is pruned):
+      // letting the final 12-branch union materialize them lazily makes
+      // concurrent branches race-compute the same cache partitions
+      // (BlockManager "already exists" storms — measured 31.8 s vs
+      // ~14 s at sf0.01 for the identical plan)
+      intra.count()
+      val t5 = intra.select(col("doc_id"), col("deduped_text").as("text"))
+
+      // 6. paragraph dedup (rewrites text; eager face — the report is
+      // pinned and the segmentation cache released inside the call)
+      val para = Dedup.paragraphDedup(t5, "text", "doc_id",
+        paraTokens = 20, minTokens = 5, threshold = 0.8)
+      val t6 = para.select(col("doc_id"), col("deduped_text").as("text"))
+
+      // 7. whole-doc near-dup removal (exact Jaccard, earlier wins)
+      val dupDocs = Dedup.ngramJaccardPairs(t6, "text", "doc_id",
+          k = 3, threshold = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val s7 = t6.join(dupDocs, Seq("doc_id"), "left_anti").cache()
+      s7.count()
+
+      // 8. corpus-wide span dedup + post-dedup length floor
+      val g = Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10).cache()
+      g.count()
+      val s8 = g.filter(col("n_kept_tokens") >= 20)
+        .select(col("doc_id"), col("deduped_text").as("text"),
+          col("n_kept_tokens"))
+
+      // 9. benchmark decontamination (any 5-gram hit drops the doc)
+      val contam = Text.contamination(s8, evalSet, "text", "doc_id", n = 5)
+        .filter(col("contaminated")).select("doc_id")
+      val s9 = s8.join(contam, Seq("doc_id"), "left_anti").cache()
+      s9.count()
+
+      // 10. mixture balance: cap every source at 120% of equal share
+      val src9 = s9.join(corpus.select(col("doc_id"), col("source")),
+        "doc_id")
+      val mstat = src9.agg(count(lit(1)).cast("long").as("_n"),
+        countDistinct(col("source")).cast("long").as("_k"))
+      val s10 = src9
+        .withColumn("_rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .crossJoin(broadcast(mstat))
+        .filter(col("_rn") <= expr("(_n * 12 + _k * 10 - 1) div (_k * 10)"))
+        .select(col("doc_id"), col("text"), col("n_kept_tokens"),
+          col("source"))
+        .cache()
+      s10.count()
+
+      // 11. per-source BFD packing into S-token sequences
+      val bins = Sampling.packBestFit(s10, col("source"), col("doc_id"),
+          ntoks(col("text")), seqLen = S)
+        .groupBy(col("group"))
+        .agg(max(col("bin") + col("n_bins")).as("gbins"))
+        .agg(coalesce(sum(col("gbins")), lit(0L)).cast("long").as("nb"))
+
+      def row(idx: Int, name: String, df: DataFrame, tok: Column) =
+        df.agg(count(lit(1)).cast("bigint").as("n_docs"),
+            coalesce(sum(tok), lit(0L)).cast("bigint").as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+
+      val rows = Seq(
+        row(0, "corpus", corpus, ntoks(col("text"))),
+        row(1, "url_filter", s1, ntoks(col("text"))),
+        row(2, "encoding", s2, ntoks(col("text"))),
+        row(3, "gopher", s3, ntoks(col("text"))),
+        row(4, "fluency", s4, ntoks(col("text"))),
+        row(5, "intra_dedup", intra, col("n_kept_tokens")),
+        row(6, "paragraph_dedup", t6, ntoks(col("text"))),
+        row(7, "whole_doc_dedup", s7, ntoks(col("text"))),
+        row(8, "span_dedup", s8, col("n_kept_tokens")),
+        row(9, "decontaminate", s9, col("n_kept_tokens")),
+        row(10, "mixture", s10, col("n_kept_tokens")),
+        bins.select(lit(11).as("stage_idx"), lit("pack").as("stage"),
+          col("nb").as("n_docs"), (col("nb") * S).cast("bigint")
+            .as("n_tokens")))
+      // 12-row report: pin it eagerly so every stage cache is released
+      // now (the curate-v2/v3 capstone idiom)
+      val out = rows.reduce(_.union(_)).orderBy(col("stage_idx"))
+        .localCheckpoint(true)
+      Seq(corpus, s4, intra, s7, g, s9, s10).foreach(_.unpersist())
+      out
+    },
+    Some(s"""WITH RECURSIVE ${Ext.bigramLmCtes.stripPrefix("WITH ")},
+      ${Ext.rankBucketCtes},
+      corpus AS MATERIALIZED (SELECT doc_id, text, source, lang
+        FROM documents WHERE doc_id >= 20),
+      uu AS (SELECT doc_id, text, source,
+          lower(regexp_extract(
+            'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+              || source || '-site.'
+              || (CASE WHEN lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || doc_id
+              || (CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)) AS url_host
+        FROM corpus),
+      c1 AS MATERIALIZED (SELECT doc_id, text FROM uu
+        WHERE regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1) NOT IN
+          ('src3-site.com', 'src3-site.org',
+           'src7-site.com', 'src7-site.org')),
+      inj AS (SELECT doc_id, text || ${ExtI.encGarbageSql}
+          || ${ExtI.gopherBaitSql} AS t
+        FROM c1),
+      enc AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM inj),
+      c2 AS (SELECT c1.* FROM c1 JOIN enc USING (doc_id) WHERE is_clean),
+      ${ExtI.gopherCtesSql},
+      c3 AS MATERIALIZED (SELECT c2.* FROM c2 JOIN gr USING (doc_id)
+        WHERE pass),
+      c4 AS MATERIALIZED (SELECT c3.* FROM c3 JOIN bk USING (doc_id)
+        WHERE bucket < 2),
+      ${ExtE.spanDedupCtes("mi", "c4", 3, perDoc = true)},
+      c5 AS MATERIALIZED (SELECT doc_id, deduped_text AS text FROM mires),
+      ${ExtI.paraDedupCtes("mp", "c5")},
+      c6 AS MATERIALIZED (SELECT doc_id, deduped_text AS text FROM mpout),
+      wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM c6),
+      wsh AS MATERIALIZED (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        FROM wd),
+      wcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM wsh
+        GROUP BY doc_id),
+      winter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM wsh a JOIN wsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      wrm AS MATERIALIZED (SELECT DISTINCT db AS doc_id FROM winter
+        JOIN wcnt ca ON ca.doc_id = da JOIN wcnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5),
+      c7 AS MATERIALIZED (SELECT * FROM c6
+        WHERE doc_id NOT IN (SELECT doc_id FROM wrm)),
+      ${ExtE.spanDedupCtes("mg", "c7", 10, perDoc = false)},
+      c8 AS MATERIALIZED (SELECT doc_id, deduped_text AS text,
+          n_kept_tokens
+        FROM mgres WHERE n_kept_tokens >= 20),
+      eg AS MATERIALIZED (SELECT DISTINCT
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE doc_id < 20)),
+      cg AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM c8)),
+      contam AS (SELECT DISTINCT doc_id FROM cg JOIN eg USING (gram)),
+      c9 AS MATERIALIZED (SELECT * FROM c8
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      src9 AS (SELECT c9.*, corpus.source FROM c9
+        JOIN corpus USING (doc_id)),
+      mstat AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS k
+        FROM src9),
+      mrk AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY doc_id) AS rn
+        FROM src9),
+      c10 AS MATERIALIZED (SELECT doc_id, text, n_kept_tokens, source
+        FROM mrk, mstat
+        WHERE rn <= (n * 12 + k * 10 - 1) // (k * 10)),
+      ${ExtH.packBfdCoreCtes(64L,
+        """d AS (SELECT source AS grp, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM c10)""")},
+      nbins AS (SELECT CAST(COALESCE(SUM(n_bins_bfd), 0) AS BIGINT) AS nb
+        FROM summ)
+      SELECT * FROM (
+        SELECT CAST(0 AS INTEGER) AS stage_idx, 'corpus' AS stage,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+            AS n_tokens FROM corpus
+        UNION ALL SELECT 1, 'url_filter', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c1
+        UNION ALL SELECT 2, 'encoding', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c2
+        UNION ALL SELECT 3, 'gopher', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c3
+        UNION ALL SELECT 4, 'fluency', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c4
+        UNION ALL SELECT 5, 'intra_dedup', COUNT(*),
+          CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM mires
+        UNION ALL SELECT 6, 'paragraph_dedup', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c6
+        UNION ALL SELECT 7, 'whole_doc_dedup', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM c7
+        UNION ALL SELECT 8, 'span_dedup', COUNT(*),
+          CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM c8
+        UNION ALL SELECT 9, 'decontaminate', COUNT(*),
+          CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM c9
+        UNION ALL SELECT 10, 'mixture', COUNT(*),
+          CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM c10
+        UNION ALL SELECT 11, 'pack', nb, nb * 64 FROM nbins
+      ) ORDER BY stage_idx"""),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(xPipelineMaster)
+}

@@ -42,7 +42,11 @@ class ExtJSpec extends SparkSuite {
       (2L, "serial 41111111111111112222 is not a card"),
       // invalid IBAN: candidate counted, never redacted
       (3L, "acct AT611904300234573202 pending"),
-      (4L, "clean text with no identifiers at all")
+      (4L, "clean text with no identifiers at all"),
+      // r13 advice scenario: a VALID card co-occurring with a longer
+      // digit run that embeds it — redaction must be boundary-aware
+      // and leave the 20-digit serial byte-identical
+      (5L, "pay 4111111111111111 serial 41111111111111112222 end")
     ).toDF("doc_id", "text")
     val out = Text.piiChecksums(df, "text", "doc_id").orderBy("doc_id")
       .collect().map(r => r.getLong(0) -> r).toMap
@@ -65,6 +69,12 @@ class ExtJSpec extends SparkSuite {
     assert(out(4L).getLong(1) == 0 && out(4L).getLong(3) == 0 &&
       !out(4L).getBoolean(5))
     assert(out(4L).getString(6) == "clean text with no identifiers at all")
+
+    assert(out(5L).getLong(1) == 1 && out(5L).getLong(2) == 1,
+      "only the word-bounded 16-digit run is a candidate")
+    assert(out(5L).getString(6) ==
+      "pay <PAN> serial 41111111111111112222 end",
+      s"boundary-aware redaction wrong: ${out(5L).getString(6)}")
   }
 
   // ---- line-level Gopher rules -------------------------------------------
