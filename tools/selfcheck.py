@@ -28,11 +28,20 @@ the engine.
 """
 import json
 import math
+import os
 import sys
+import threading
 import time
 from pathlib import Path
 
 import duckdb
+
+# Hard per-oracle wall-clock ceiling (seconds). An intractable oracle
+# must FAIL LOUDLY naming the query, never hang the driver compare (the
+# r13 failure mode: one exponential CTE emptied the whole artifact).
+# The full 350-query compare runs ~1 min at sf0.01, so 30 s for a
+# single oracle is already pathological. Override for tests via env.
+LAP_CEILING = float(os.environ.get("GRAFT_ORACLE_LAP_CEILING", "30"))
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -90,6 +99,38 @@ def fetch_sorted(con, sql):
     out = sorted((tuple(canon(r[i]) for i in order) for r in rows),
                  key=sort_key)
     return cols_sorted, types_sorted, out
+
+
+class OracleTimeout(Exception):
+    pass
+
+
+def fetch_sorted_deadline(con, sql, ceiling):
+    """fetch_sorted with a hard wall-clock ceiling: a watchdog thread
+    interrupts the running DuckDB query at the deadline (duckdb releases
+    the GIL while executing, so the watchdog runs; interrupt() aborts
+    the query and leaves the connection usable for the next oracle)."""
+    timed_out = threading.Event()
+
+    def watchdog():
+        if not done.wait(ceiling):
+            timed_out.set()
+            con.interrupt()
+
+    done = threading.Event()
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        return fetch_sorted(con, sql)
+    except Exception:
+        if timed_out.is_set():
+            raise OracleTimeout()
+        raise
+    finally:
+        done.set()
+        w.join()
+        if timed_out.is_set():
+            raise OracleTimeout()
 
 
 def main():
@@ -152,8 +193,16 @@ def main():
             else:
                 results[name] = f"rows-only rows={len(grows)} OK"
             continue
+        _t_oracle = time.monotonic()
         try:
-            ocols, otypes, orows = fetch_sorted(con, oracle[name])
+            ocols, otypes, orows = fetch_sorted_deadline(
+                con, oracle[name], LAP_CEILING)
+        except OracleTimeout:
+            results[name] = (
+                f"ORACLE-TOO-SLOW aborted at "
+                f"{time.monotonic() - _t_oracle:.0f}s "
+                f"(ceiling {LAP_CEILING:.0f}s) — trim this oracle")
+            continue
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL {e}"
             continue
