@@ -65,10 +65,24 @@ object Model {
     * label, and whether they agree. Docs with zero tokens score on the
     * priors alone. Ties (score_pos == score_neg) predict negative —
     * the conservative direction for a quality filter.
+    *
+    * Broadcast guard: the model is O(vocabulary) rows and broadcasts
+    * only while `vocab ≤ maxBroadcastVocab` (default 8M tokens ≈
+    * low-hundreds of MB — comfortably inside a production executor's
+    * broadcast budget). A web-scale vocabulary auto-degrades to a
+    * shuffle equi-join on `token` — same result (the per-token decimal
+    * contributions commute exactly), one extra corpus-sized exchange.
+    * The model is pinned once (localCheckpoint) so the guard's count
+    * and the scoring probe share a single training pass.
     */
   def naiveBayesFilter(docs: DataFrame, textCol: String, idCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
     val model = naiveBayesModel(docs, textCol, idCol, labelCol)
+      .localCheckpoint(true)
+    val vocab = model.count()
+    val modelSide =
+      if (vocab <= maxBroadcastVocab) broadcast(model) else model
     val priors = docs.agg(
         count(lit(1)).cast("bigint").as("n_docs"),
         sum(when(col(labelCol), 1L).otherwise(0L)).cast("bigint")
@@ -83,7 +97,7 @@ object Model {
       .filter(length(col("token")) > 0)
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).cast("bigint").as("tf"))
-    val sums = tf.join(broadcast(model), "token")
+    val sums = tf.join(modelSide, "token")
       .withColumn("c_pos",
         (col("tf").cast("double") * col("lp_pos")).cast("decimal(30,14)"))
       .withColumn("c_neg",

@@ -165,4 +165,37 @@ class ExtJSpec extends SparkSuite {
     assert(!byId(6L).getAs[Boolean]("predicted"),
       "prior tie must predict negative (conservative)")
   }
+
+  test("naiveBayes: vocab broadcast guard degrades to a shuffle join with identical scores") {
+    val df = Seq(
+      (1L, "good good fine", true),
+      (2L, "good nice", true),
+      (3L, "bad bad awful", false),
+      (4L, "bad sad", false),
+      (5L, "good good bad", true)
+    ).toDF("doc_id", "text", "label")
+
+    // vocab = 6 tokens: default bound broadcasts, bound 1 must NOT
+    val bcast = Model.naiveBayesFilter(df, "text", "doc_id", "label")
+    val shuffled = Model.naiveBayesFilter(df, "text", "doc_id", "label",
+      maxBroadcastVocab = 1L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+    assert(bcast.orderBy("doc_id").collect().map(key).toSeq ==
+      shuffled.orderBy("doc_id").collect().map(key).toSeq,
+      "guarded shuffle join must score identically to the broadcast path")
+
+    // plan shape: the contract under test is the HINT — the guard must
+    // not FORCE a broadcast of an above-bound model (a tiny test model
+    // may still auto-broadcast on size; production vocab won't). The
+    // priors' own 1-row broadcast hint is always present, so assert the
+    // model hint as the count DELTA between the two faces.
+    def hintCount(d: org.apache.spark.sql.DataFrame): Int =
+      "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).length
+    val guarded = Model.naiveBayesFilter(df, "text", "doc_id", "label",
+      maxBroadcastVocab = 0L)
+    assert(hintCount(bcast) == hintCount(guarded) + 1,
+      "above-bound vocab must drop exactly the model's broadcast hint")
+  }
 }
