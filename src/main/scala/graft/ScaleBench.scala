@@ -508,6 +508,52 @@ object ScaleBench {
       }
     }
 
+    // master-recipe capstone (round 15): the FULL x_pipeline_master
+    // chain — the SAME shared builder the registered query runs
+    // (ExtK.masterStages) — per-stage wall-clock + shuffle volume at
+    // clone replication. Clone replication exercises the ladder's
+    // self-protection: paragraph dedup (stage 6) excises every clone's
+    // paragraphs corpus-wide (earlier-occurrence-wins), so clones reach
+    // stage 7 as EMPTY texts and the whole-doc pass sees ~the original
+    // corpus — the quadratic-output worst case for whole-doc dedup is
+    // structurally absorbed by the stage before it. Stages 0–6 carry
+    // the ×k volume and must scale like their standalone sections
+    // (rank, span, paradedup). lapShuffle ≠ timeShuffle: stage caches
+    // must SURVIVE until the chain ends, so the cache clear happens
+    // once per k. Stage 7 is additionally measured on BOTH faces over
+    // the same paragraph-deduped input: exact AllPairs (inside the
+    // chain) vs the minhashLshPairs production face (after it).
+    def lapShuffle(label: String)(f: => Long): Unit = {
+      Thread.sleep(500); shuffleBytes.set(0)
+      val t0 = System.nanoTime(); val rows = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[scale] $label: $secs%.2f s ($rows rows, " +
+        f"${shuffleBytes.get / 1048576.0}%.1f MiB shuffled)")
+    }
+    if (sec("master")) for (k <- Seq(10, 40, 100)) {
+      val allK = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"), col("lang"))
+        .crossJoin(spark.range(k).select(col("id").as("rep")))
+        .select((col("doc_id") * 1000 + col("rep")).as("doc_id"),
+          col("text"), col("source"), col("lang"))
+        .repartition(cpus.toInt).cache()
+      allK.count()
+      val (stages, bins) = graft.queries.ExtK.masterStages(allK,
+        lshWholeDoc = false,
+        (name, df) => {
+          var c: DataFrame = null
+          lapShuffle(s"master x$k $name") { c = df.cache(); c.count() }
+          c
+        })
+      lapShuffle(s"master x$k pack") { bins.collect()(0).getLong(0) }
+      val t6 = stages.find(_.name == "paragraph_dedup").get.df
+      lapShuffle(s"master x$k wholedoc LSH face (vs exact above)") {
+        Dedup.minhashLshPairs(t6, "text", "doc_id", 3, 0.5).count()
+      }
+      spark.catalog.clearCache()
+    }
+
     // perplexity/rank path (round 12): perplexityBuckets rides
     // globalRowNumber — a RANGE-partitioned total order (sample →
     // range exchange → per-partition row_number + offset), never a

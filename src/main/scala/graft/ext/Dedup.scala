@@ -160,6 +160,15 @@ object Dedup {
     * with P ≥ 1 − (1 − 0.8⁴)³² = 1 − 4.7e-8; the arr_jaccard verify is
     * exact, so the oracle can replay the semantics with the exhaustive
     * quadratic pair set.
+    *
+    * Cache lifecycle: with the default `eager = true` the per-doc
+    * report is pinned (localCheckpoint) and the internal segmentation
+    * cache is released before returning — no caller bookkeeping. With
+    * `eager = false` the LAZY plan is returned for inspection and the
+    * segmentation cache entry stays registered until the CALLER clears
+    * it (`spark.catalog.clearCache()`, which the Verify/Bench harnesses
+    * do per query) — a library caller passing `eager = false` owns that
+    * cleanup or leaks one text-sized CacheManager entry per call.
     */
   def paragraphDedup(docs: DataFrame, textCol: String, idCol: String,
       paraTokens: Int = 20, minTokens: Int = 5, threshold: Double = 0.8,
@@ -189,7 +198,10 @@ object Dedup {
     * representative collapse, MinHash+LSH at `threshold`,
     * earlier-occurrence-wins removal, per-doc damage report — is the
     * SAME kernel chain, and the document re-assembles with "\n" so the
-    * surviving text round-trips byte-for-byte.
+    * surviving text round-trips byte-for-byte. Cache lifecycle of
+    * `eager` as documented on [[paragraphDedup]]: `eager = false`
+    * callers own the segmentation-cache cleanup
+    * (`spark.catalog.clearCache()`).
     */
   def paragraphDedupLines(docs: DataFrame, textCol: String, idCol: String,
       minTokens: Int = 5, threshold: Double = 0.8,

@@ -20,7 +20,7 @@ object ExtI {
     * matches: '#'×3 + '...') that push short docs over the symbol-ratio
     * and under the alpha-fraction thresholds while long docs absorb it.
     */
-  private[queries] def encGarbage = concat(
+  private[graft] def encGarbage = concat(
     when(col("doc_id") % 7 === 0,
       expr("repeat('\uFFFD', cast(doc_id % 4 + 1 as int))"))
       .otherwise(lit("")),
@@ -28,7 +28,7 @@ object ExtI {
       .otherwise(lit("")),
     when(col("doc_id") % 11 === 0, lit("\u0085\u0096"))
       .otherwise(lit("")))
-  private[queries] def gopherBait =
+  private[graft] def gopherBait =
     when(col("doc_id") % 13 === 0, lit(" ### ... 123")).otherwise(lit(""))
   private[queries] val encGarbageSql = """
         CASE WHEN doc_id % 7 = 0

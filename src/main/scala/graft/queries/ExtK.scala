@@ -18,9 +18,11 @@ object ExtK {
 
   /** The deterministic synthetic URL of `x_url_domain` (ExtB) — the
     * corpus carries no URL column, so the construction is the shared
-    * engine/oracle injection, reused verbatim.
+    * engine/oracle injection, reused verbatim. private[graft] so the
+    * MasterTime stage profiler measures the SAME construction (never a
+    * re-inlined copy that could drift).
     */
-  private def urlCol: Column = concat(
+  private[graft] def urlCol: Column = concat(
     lit("https://"),
     when(pmod(col("doc_id"), lit(3)) === 0, lit("www.")).otherwise(lit("")),
     col("source"), lit("-site."),
@@ -31,9 +33,10 @@ object ExtK {
 
   /** Blocklisted registered domains for the URL-filter stage (two bad
     * sources, both TLD variants — the UT1/Blacklists-style domain cut
-    * every crawl pipeline opens with).
+    * every crawl pipeline opens with). private[graft]: shared with the
+    * MasterTime profiler.
     */
-  private val blockedDomains = Seq(
+  private[graft] val blockedDomains = Seq(
     "src3-site.com", "src3-site.org", "src7-site.com", "src7-site.org")
 
   /** Master-recipe curation capstone: the COMPLETE production chain in
@@ -86,126 +89,183 @@ object ExtK {
     * mixture is one per-source window over survivors; packing runs
     * per-source BFD groups (shard composer available for hot groups).
     */
-  val xPipelineMaster = Q(
-    "x_pipeline_master",
-    (s, dir) => {
-      val S = 64L
-      val all = t(s, dir, "documents")
-      val evalSet = all.filter(col("doc_id") < 20)
-      val corpus = all.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), col("text"), col("source"), col("lang"))
-        .cache()
+  /** Sequence length of the pack stage. */
+  private[graft] val masterSeqLen = 64L
 
-      // 1. URL filter on the synthetic URL's registered domain
-      val s1 = Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
+  /** One materialized stage of the master chain, as handed to the
+    * caller's `pin` callback and returned in the attrition list.
+    */
+  private[graft] final case class MasterStage(idx: Int, name: String,
+      df: DataFrame, tok: Column)
+
+  /** The master chain, built ONCE for every consumer — the registered
+    * queries (exact and LSH whole-doc faces), the MasterTime stage
+    * profiler, and the ScaleBench master section — so no copy can
+    * drift from the adjudicated chain (the shared-CTE discipline,
+    * applied to the engine side).
+    *
+    * `pin(name, df)` is called in CHAIN ORDER on every intermediate the
+    * chain reuses or reports; the caller decides persistence (the
+    * capstone caches + counts the heavy stages SEQUENTIALLY — letting
+    * the final 12-branch union materialize them lazily makes
+    * concurrent branches race-compute the same cache partitions:
+    * BlockManager "already exists" storms, measured 31.8 s vs ~14 s at
+    * sf0.01 for the identical plan — a profiler laps each pin). The
+    * chain continues from pin's RETURN value.
+    *
+    * `lshWholeDoc` selects stage 7's face: exact AllPairs 3-gram
+    * Jaccard ([[Dedup.ngramJaccardPairs]]) or the 100 TB production
+    * face, MinHash+LSH band join ([[Dedup.minhashLshPairs]], 128
+    * hashes / 32 bands). Verification is exact Jaccard either way (no
+    * false positives); the LSH face can only deterministically MISS a
+    * band for a true pair — P ≈ (1−j⁴)³² per pair (~1.3e-1 at j=0.50
+    * exactly, 1.2e-2 at j=0.6, 1.5e-4 at j=0.7, 5e-8 at j=0.8) — so
+    * the twin query adjudicates it against the SAME exhaustive exact
+    * replay, and a miss fails the gate loudly instead of hiding.
+    *
+    * Returns the 11 attrition stages (idx 0–10) plus the pack-bins
+    * 1-row aggregate (`nb`).
+    */
+  private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
+      pin: (String, DataFrame) => DataFrame)
+      : (Seq[MasterStage], DataFrame) = {
+    val evalSet = all.filter(col("doc_id") < 20)
+    val corpus = pin("corpus", all.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), col("text"), col("source"), col("lang")))
+
+    // 1. URL filter on the synthetic URL's registered domain
+    val s1 = pin("url_filter",
+      Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
         .filter(!col("url_domain").isin(blockedDomains: _*))
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"), col("text")))
 
-      // 2–3. byte-level filters see the injected "crawl bytes"; the
-      // clean text enters the dedup ladder (the funnel discipline)
-      val inj = s1.select(col("doc_id"),
-        concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
-      val encOk = Text.encodingQuality(inj, "tinj", "doc_id")
-        .filter(col("is_clean")).select("doc_id")
-      val s2 = s1.join(encOk, "doc_id")
-      val gphOk = Text.gopherRules(inj, "tinj", "doc_id")
-        .filter(col("pass")).select("doc_id")
-      val s3 = s2.join(gphOk, "doc_id")
+    // 2–3. byte-level filters see the injected "crawl bytes"; the
+    // clean text enters the dedup ladder (the funnel discipline)
+    val inj = s1.select(col("doc_id"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val encOk = Text.encodingQuality(inj, "tinj", "doc_id")
+      .filter(col("is_clean")).select("doc_id")
+    val s2 = pin("encoding", s1.join(encOk, "doc_id"))
+    val gphOk = Text.gopherRules(inj, "tinj", "doc_id")
+      .filter(col("pass")).select("doc_id")
+    val s3 = pin("gopher", s2.join(gphOk, "doc_id"))
 
-      // 4. CCNet fluency cut: LM + buckets over the FULL raw corpus
-      val pplOk = Text.perplexityBuckets(all, "text", "doc_id", nBuckets = 3)
-        .filter(col("bucket") < 2).select("doc_id")
-      val s4 = s3.join(pplOk, "doc_id").cache()
+    // 4. CCNet fluency cut: LM + buckets over the FULL raw corpus
+    val pplOk = Text.perplexityBuckets(all, "text", "doc_id", nBuckets = 3)
+      .filter(col("bucket") < 2).select("doc_id")
+    val s4 = pin("fluency", s3.join(pplOk, "doc_id"))
 
-      // 5. intra-doc span dedup (rewrites text)
-      val intra = Dedup.intraDocDedupHashed(s4, "text", "doc_id", span = 3)
-        .cache()
-      // each cached stage is materialized SEQUENTIALLY (count over the
-      // cached frame scans the InMemoryRelation, so nothing is pruned):
-      // letting the final 12-branch union materialize them lazily makes
-      // concurrent branches race-compute the same cache partitions
-      // (BlockManager "already exists" storms — measured 31.8 s vs
-      // ~14 s at sf0.01 for the identical plan)
-      intra.count()
-      val t5 = intra.select(col("doc_id"), col("deduped_text").as("text"))
+    // 5. intra-doc span dedup (rewrites text)
+    val intra = pin("intra_dedup",
+      Dedup.intraDocDedupHashed(s4, "text", "doc_id", span = 3))
+    val t5 = intra.select(col("doc_id"), col("deduped_text").as("text"))
 
-      // 6. paragraph dedup (rewrites text; eager face — the report is
-      // pinned and the segmentation cache released inside the call)
-      val para = Dedup.paragraphDedup(t5, "text", "doc_id",
-        paraTokens = 20, minTokens = 5, threshold = 0.8)
-      val t6 = para.select(col("doc_id"), col("deduped_text").as("text"))
+    // 6. paragraph dedup (rewrites text; eager face — the report is
+    // pinned and the segmentation cache released inside the call)
+    val para = Dedup.paragraphDedup(t5, "text", "doc_id",
+      paraTokens = 20, minTokens = 5, threshold = 0.8)
+    val t6 = pin("paragraph_dedup",
+      para.select(col("doc_id"), col("deduped_text").as("text")))
 
-      // 7. whole-doc near-dup removal (exact Jaccard, earlier wins)
-      val dupDocs = Dedup.ngramJaccardPairs(t6, "text", "doc_id",
-          k = 3, threshold = 0.5)
-        .select(col("doc_b").as("doc_id")).distinct()
-      val s7 = t6.join(dupDocs, Seq("doc_id"), "left_anti").cache()
-      s7.count()
+    // 7. whole-doc near-dup removal (threshold 0.5, earlier wins)
+    val pairs =
+      if (lshWholeDoc)
+        Dedup.minhashLshPairs(t6, "text", "doc_id", k = 3, threshold = 0.5)
+      else
+        Dedup.ngramJaccardPairs(t6, "text", "doc_id", k = 3, threshold = 0.5)
+    val dupDocs = pairs.select(col("doc_b").as("doc_id")).distinct()
+    val s7 = pin("whole_doc_dedup", t6.join(dupDocs, Seq("doc_id"), "left_anti"))
 
-      // 8. corpus-wide span dedup + post-dedup length floor
-      val g = Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10).cache()
-      g.count()
-      val s8 = g.filter(col("n_kept_tokens") >= 20)
-        .select(col("doc_id"), col("deduped_text").as("text"),
-          col("n_kept_tokens"))
+    // 8. corpus-wide span dedup + post-dedup length floor
+    val g = pin("span_dedup_full",
+      Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10))
+    val s8 = g.filter(col("n_kept_tokens") >= 20)
+      .select(col("doc_id"), col("deduped_text").as("text"),
+        col("n_kept_tokens"))
 
-      // 9. benchmark decontamination (any 5-gram hit drops the doc)
-      val contam = Text.contamination(s8, evalSet, "text", "doc_id", n = 5)
-        .filter(col("contaminated")).select("doc_id")
-      val s9 = s8.join(contam, Seq("doc_id"), "left_anti").cache()
-      s9.count()
+    // 9. benchmark decontamination (any 5-gram hit drops the doc)
+    val contam = Text.contamination(s8, evalSet, "text", "doc_id", n = 5)
+      .filter(col("contaminated")).select("doc_id")
+    val s9 = pin("decontaminate", s8.join(contam, Seq("doc_id"), "left_anti"))
 
-      // 10. mixture balance: cap every source at 120% of equal share
-      val src9 = s9.join(corpus.select(col("doc_id"), col("source")),
-        "doc_id")
-      val mstat = src9.agg(count(lit(1)).cast("long").as("_n"),
-        countDistinct(col("source")).cast("long").as("_k"))
-      val s10 = src9
-        .withColumn("_rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-        .crossJoin(broadcast(mstat))
-        .filter(col("_rn") <= expr("(_n * 12 + _k * 10 - 1) div (_k * 10)"))
-        .select(col("doc_id"), col("text"), col("n_kept_tokens"),
-          col("source"))
-        .cache()
-      s10.count()
+    // 10. mixture balance: cap every source at 120% of equal share
+    val src9 = s9.join(corpus.select(col("doc_id"), col("source")), "doc_id")
+    val mstat = src9.agg(count(lit(1)).cast("long").as("_n"),
+      countDistinct(col("source")).cast("long").as("_k"))
+    val s10 = pin("mixture", src9
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(mstat))
+      .filter(col("_rn") <= expr("(_n * 12 + _k * 10 - 1) div (_k * 10)"))
+      .select(col("doc_id"), col("text"), col("n_kept_tokens"),
+        col("source")))
 
-      // 11. per-source BFD packing into S-token sequences
-      val bins = Sampling.packBestFit(s10, col("source"), col("doc_id"),
-          ntoks(col("text")), seqLen = S)
-        .groupBy(col("group"))
-        .agg(max(col("bin") + col("n_bins")).as("gbins"))
-        .agg(coalesce(sum(col("gbins")), lit(0L)).cast("long").as("nb"))
+    // 11. per-source BFD packing into S-token sequences
+    val bins = Sampling.packBestFit(s10, col("source"), col("doc_id"),
+        ntoks(col("text")), seqLen = masterSeqLen)
+      .groupBy(col("group"))
+      .agg(max(col("bin") + col("n_bins")).as("gbins"))
+      .agg(coalesce(sum(col("gbins")), lit(0L)).cast("long").as("nb"))
 
-      def row(idx: Int, name: String, df: DataFrame, tok: Column) =
-        df.agg(count(lit(1)).cast("bigint").as("n_docs"),
-            coalesce(sum(tok), lit(0L)).cast("bigint").as("n_tokens"))
-          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
-            col("n_docs"), col("n_tokens"))
+    val stages = Seq(
+      MasterStage(0, "corpus", corpus, ntoks(col("text"))),
+      MasterStage(1, "url_filter", s1, ntoks(col("text"))),
+      MasterStage(2, "encoding", s2, ntoks(col("text"))),
+      MasterStage(3, "gopher", s3, ntoks(col("text"))),
+      MasterStage(4, "fluency", s4, ntoks(col("text"))),
+      MasterStage(5, "intra_dedup", intra, col("n_kept_tokens")),
+      MasterStage(6, "paragraph_dedup", t6, ntoks(col("text"))),
+      MasterStage(7, "whole_doc_dedup", s7, ntoks(col("text"))),
+      MasterStage(8, "span_dedup", s8, col("n_kept_tokens")),
+      MasterStage(9, "decontaminate", s9, col("n_kept_tokens")),
+      MasterStage(10, "mixture", s10, col("n_kept_tokens")))
+    (stages, bins)
+  }
 
-      val rows = Seq(
-        row(0, "corpus", corpus, ntoks(col("text"))),
-        row(1, "url_filter", s1, ntoks(col("text"))),
-        row(2, "encoding", s2, ntoks(col("text"))),
-        row(3, "gopher", s3, ntoks(col("text"))),
-        row(4, "fluency", s4, ntoks(col("text"))),
-        row(5, "intra_dedup", intra, col("n_kept_tokens")),
-        row(6, "paragraph_dedup", t6, ntoks(col("text"))),
-        row(7, "whole_doc_dedup", s7, ntoks(col("text"))),
-        row(8, "span_dedup", s8, col("n_kept_tokens")),
-        row(9, "decontaminate", s9, col("n_kept_tokens")),
-        row(10, "mixture", s10, col("n_kept_tokens")),
-        bins.select(lit(11).as("stage_idx"), lit("pack").as("stage"),
-          col("nb").as("n_docs"), (col("nb") * S).cast("bigint")
-            .as("n_tokens")))
-      // 12-row report: pin it eagerly so every stage cache is released
-      // now (the curate-v2/v3 capstone idiom)
-      val out = rows.reduce(_.union(_)).orderBy(col("stage_idx"))
-        .localCheckpoint(true)
-      Seq(corpus, s4, intra, s7, g, s9, s10).foreach(_.unpersist())
-      out
-    },
-    Some(s"""WITH RECURSIVE ${Ext.bigramLmCtes.stripPrefix("WITH ")},
+  /** Stages the capstone caches + counts sequentially (the heavy
+    * multi-consumer intermediates; the rest are narrow projections of
+    * their cached parent).
+    */
+  private val masterCached = Set("corpus", "fluency", "intra_dedup",
+    "whole_doc_dedup", "span_dedup_full", "decontaminate", "mixture")
+
+  /** Runs the chain and emits the 12-row attrition report (the shared
+    * body of both registered faces).
+    */
+  private def runMaster(s: org.apache.spark.sql.SparkSession, dir: String,
+      lshWholeDoc: Boolean): DataFrame = {
+    val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val (stages, bins) = masterStages(t(s, dir, "documents"), lshWholeDoc,
+      (name, df) =>
+        if (masterCached(name)) {
+          val c = df.cache(); c.count(); caches += c; c
+        } else df)
+    def row(st: MasterStage) =
+      st.df.agg(count(lit(1)).cast("bigint").as("n_docs"),
+          coalesce(sum(st.tok), lit(0L)).cast("bigint").as("n_tokens"))
+        .select(lit(st.idx).as("stage_idx"), lit(st.name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val rows = stages.map(row) :+
+      bins.select(lit(11).as("stage_idx"), lit("pack").as("stage"),
+        col("nb").as("n_docs"),
+        (col("nb") * masterSeqLen).cast("bigint").as("n_tokens"))
+    // 12-row report: pin it eagerly so every stage cache is released
+    // now (the curate-v2/v3 capstone idiom)
+    val out = rows.reduce(_.union(_)).orderBy(col("stage_idx"))
+      .localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** The chained replay of every stage — shared VERBATIM by both
+    * registered faces: the exact face matches it by construction; the
+    * LSH face matches it iff the band join found every true pair
+    * (exact-Jaccard verification admits no false positives), so any
+    * deterministic band miss fails the driver gate loudly — the
+    * recall-oracle convention, applied to the whole chain.
+    */
+  private val masterOracleSql: String =
+    s"""WITH RECURSIVE ${Ext.bigramLmCtes.stripPrefix("WITH ")},
       ${Ext.rankBucketCtes},
       corpus AS MATERIALIZED (SELECT doc_id, text, source, lang
         FROM documents WHERE doc_id >= 20),
@@ -325,8 +385,28 @@ object ExtK {
         UNION ALL SELECT 10, 'mixture', COUNT(*),
           CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM c10
         UNION ALL SELECT 11, 'pack', nb, nb * 64 FROM nbins
-      ) ORDER BY stage_idx"""),
+      ) ORDER BY stage_idx"""
+
+  val xPipelineMaster = Q(
+    "x_pipeline_master",
+    (s, dir) => runMaster(s, dir, lshWholeDoc = false),
+    Some(masterOracleSql),
     bench = true)
 
-  val queries: Seq[Q] = Seq(xPipelineMaster)
+  /** The master chain with stage 7 on the engine's 100 TB-credible
+    * whole-doc face — [[Dedup.minhashLshPairs]] band join (what
+    * FineWeb/Dolma actually run at scale) instead of exact AllPairs.
+    * Adjudicated against the SAME exhaustive exact replay
+    * ([[masterOracleSql]]): the twin is hash-exact iff LSH recall is
+    * 1.0 on this corpus (per-pair deterministic miss odds quantified
+    * at [[masterStages]]); a recall regression cascades into rows
+    * 7–11 and fails the gate by construction.
+    */
+  val xPipelineMasterLsh = Q(
+    "x_pipeline_master_lsh",
+    (s, dir) => runMaster(s, dir, lshWholeDoc = true),
+    Some(masterOracleSql),
+    bench = true)
+
+  val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh)
 }
