@@ -338,9 +338,26 @@ object FuzzGen {
       inSetSub: Option[InSetSub] = None,
       winOverAgg: Boolean = false,
       orExists: Option[OrExists] = None,
-      aggOverWin: Boolean = false) {
+      aggOverWin: Boolean = false,
+      filterAgg: Option[(Pred, String, Int)] = None,
+      orderedAgg: Option[String] = None,
+      groupingSel: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
+
+    /** Wave-9 select-list extras on agg shapes, in output order:
+      * FILTER (WHERE) sum, ordered string aggregation, GROUPING /
+      * GROUPING_ID over grouping-set shapes. All three are additions
+      * to the select list — they can never change the row SET, so
+      * every fixed seed's documented non-emptiness is preserved by
+      * construction.
+      */
+    private def extraAliases(keys: Seq[Key]): Seq[String] =
+      filterAgg.map(_ => "fsum").toSeq ++
+        orderedAgg.map(_ => "oagg").toSeq ++
+        (if (groupingSel && keys.nonEmpty)
+           Seq("g0") ++ (if (keys.length > 1) Seq("gid") else Nil)
+         else Nil)
 
     private def fromSql: String = {
       val base = join match {
@@ -385,9 +402,42 @@ object FuzzGen {
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
-    def sql: String = shape match {
+    /** The Spark-SQL text (FuzzSpec's DF-vs-SQL differential). */
+    def sql: String = sqlText(duck = false)
+
+    /** The DuckDB text (the driver oracle). IDENTICAL to [[sql]] except
+      * the one construct with NO shared spelling: the ordered string
+      * aggregate (probed: Spark accepts only `listagg(e, ',') WITHIN
+      * GROUP (ORDER BY e)`, DuckDB only `string_agg(e, ',' ORDER BY
+      * e)`). Both spellings pin the same SQL-standard semantics —
+      * sorted-multiset concatenation — so the cross-engine
+      * differential still adjudicates the clause; every other
+      * character of the two texts is shared (the havingExists
+      * wrapper precedent).
+      */
+    def duckSql: String = sqlText(duck = true)
+
+    private def sqlText(duck: Boolean): String = shape match {
       case AggShape(keys, aggs, having, gmode) =>
-        val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql)).mkString(", ")
+        val oaExpr = orderedAgg.map(c => s"COALESCE($c, '~')")
+        val extraSql =
+          filterAgg.map { case (p, c, k2) =>
+            s"CAST(SUM($c % $k2) FILTER (WHERE ${p.sql}) AS BIGINT) AS fsum"
+          }.toSeq ++
+          oaExpr.map { e =>
+            if (duck) s"string_agg($e, ',' ORDER BY $e) AS oagg"
+            else s"listagg($e, ',') WITHIN GROUP (ORDER BY $e) AS oagg"
+          }.toSeq ++
+          (if (groupingSel && keys.nonEmpty)
+             Seq(s"CAST(GROUPING(${keys.head.sqlExpr}) AS INTEGER) AS g0") ++
+               (if (keys.length > 1)
+                  Seq("CAST(GROUPING_ID(" +
+                    keys.map(_.sqlExpr).mkString(", ") +
+                    ") AS INTEGER) AS gid")
+                else Nil)
+           else Nil)
+        val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql) ++ extraSql)
+          .mkString(", ")
         val grpList = keys.map(_.sqlExpr).mkString(", ")
         val grp = gmode match {
           case "rollup" => s"ROLLUP ($grpList)"
@@ -406,7 +456,8 @@ object FuzzGen {
           }
         val hav = if (havConds.isEmpty) ""
           else havConds.mkString(" HAVING ", " AND ", "")
-        val ord = (keys.map(_.alias) ++ aggs.map(_.alias))
+        val ord = (keys.map(_.alias) ++ aggs.map(_.alias) ++
+            extraAliases(keys))
           .map(a => s"$a ASC NULLS FIRST").mkString(", ")
         val core = s"SELECT $sel FROM $fromSql$whereSql GROUP BY $grp$hav"
         // correlated [NOT] EXISTS over the aggregate's output: neither
@@ -428,7 +479,8 @@ object FuzzGen {
         // filtered) result — keys are unique per row, so the ROWS
         // running sum under the key order is deterministic
         if (winOverAgg && keys.nonEmpty && gmode == "plain") {
-          val cols = keys.map(_.alias) ++ aggs.map(_.alias)
+          val cols = keys.map(_.alias) ++ aggs.map(_.alias) ++
+            extraAliases(keys)
           val keyOrd = keys.map(k => s"${k.alias} ASC NULLS FIRST")
             .mkString(", ")
           val ordR = (cols :+ "rsum")
@@ -648,6 +700,31 @@ object FuzzGen {
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
+          // wave 9 select-list extras: FILTER (WHERE) sum rendered as
+          // the equivalent conditional aggregate (SUM over the matching
+          // subset; no matches ⇒ NULL — both engines' FILTER
+          // convention), ordered string agg as sorted-concat (COALESCE
+          // removed the NULLs, so collect_list can't diverge from
+          // listagg's null-skipping), GROUPING/GROUPING_ID over the
+          // BARE grouping expressions (the analyzer matches grouping
+          // columns structurally — an Alias defeats it, the
+          // gsets/GsetProbe lesson)
+          val extraDf: Seq[Column] =
+            filterAgg.map { case (p, c, k2) =>
+              sum(when(p.df, col(c) % k2)).cast("bigint").as("fsum")
+            }.toSeq ++
+            orderedAgg.map { c =>
+              array_join(array_sort(collect_list(
+                coalesce(col(c), lit("~")))), ",").as("oagg")
+            }.toSeq ++
+            (if (groupingSel && keys.nonEmpty)
+               Seq(grouping(keys.head.dfExpr).cast("int").as("g0")) ++
+                 (if (keys.length > 1)
+                    Seq(grouping_id(keys.map(_.dfExpr): _*).cast("int")
+                      .as("gid"))
+                  else Nil)
+             else Nil)
+          val aggList = aggs.map(_.df) ++ extraDf
           val g = gmode match {
             case "gsets" =>
               // groupingSets matches set entries to grouping columns
@@ -658,15 +735,26 @@ object FuzzGen {
                 (if (keys.length > 1) Seq(Seq(keys.head.dfExpr)) else Nil) :+
                 Seq.empty[Column]
               base.groupingSets(sets, keys.map(_.dfExpr): _*)
-                .agg(aggs.head.df, aggs.tail.map(_.df): _*)
-                .toDF((keys.map(_.alias) ++ aggs.map(_.alias)): _*)
+                .agg(aggList.head, aggList.tail: _*)
+                .toDF((keys.map(_.alias) ++ aggs.map(_.alias) ++
+                  extraAliases(keys)): _*)
+            case ("rollup" | "cube") if groupingSel =>
+              // grouping()/grouping_id() need the grouping columns
+              // BARE too — same structural-match rule — so this path
+              // groups on dfExpr and re-aliases after the agg
+              val grouped =
+                if (gmode == "rollup") base.rollup(keys.map(_.dfExpr): _*)
+                else base.cube(keys.map(_.dfExpr): _*)
+              grouped.agg(aggList.head, aggList.tail: _*)
+                .toDF((keys.map(_.alias) ++ aggs.map(_.alias) ++
+                  extraAliases(keys)): _*)
             case _ =>
               val grouped = gmode match {
                 case "rollup" => base.rollup(keys.map(_.df): _*)
                 case "cube" => base.cube(keys.map(_.df): _*)
                 case _ => base.groupBy(keys.map(_.df): _*)
               }
-              grouped.agg(aggs.head.df, aggs.tail.map(_.df): _*)
+              grouped.agg(aggList.head, aggList.tail: _*)
           }
           val cntAlias = aggs.find(_.kind == "count").get.alias
           val h = having.fold(g)(c => g.filter(col(cntAlias) > c))
@@ -703,9 +791,11 @@ object FuzzGen {
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             h3.withColumn("rsum", sum(col("n")).over(w).cast("bigint"))
               .orderBy((keys.map(k => col(k.alias)) ++
-                aggs.map(a => col(a.alias)) :+ col("rsum")): _*)
+                aggs.map(a => col(a.alias)) ++
+                extraAliases(keys).map(col) :+ col("rsum")): _*)
           } else h3.orderBy((keys.map(k => col(k.alias)) ++
-            aggs.map(a => col(a.alias))): _*)
+            aggs.map(a => col(a.alias)) ++
+            extraAliases(keys).map(col)): _*)
         case WinShape(pk, ordCol, desc, ids, topK, fn) =>
           val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
           val ordSorts = fn match {
@@ -1083,9 +1173,42 @@ object FuzzGen {
           rnd8.nextInt(3) == 0 => true
       case _ => false
     }
+    // round-15 wave 9 rides a ninth independent stream (the rnd2..rnd8
+    // rule): FILTER (WHERE) aggregates, ordered string aggregation
+    // (listagg WITHIN GROUP / string_agg ORDER BY — the one dual-
+    // spelled construct, see FuzzCase.duckSql), and GROUPING() /
+    // GROUPING_ID() over ROLLUP/CUBE/GROUPING SETS. All three are
+    // select-list additions — none can EMPTY a case, so the sweep's
+    // non-emptiness floor is structurally safe from this wave.
+    val rnd9 = new Random(seed * 0x6C62272EL + 109)
+    val (filterAgg, orderedAgg, groupingSel) = shape7 match {
+      case a: AggShape =>
+        val fa = if (rnd9.nextInt(3) == 0) {
+          val k = pick(rnd9, Seq(2, 3, 5))
+          Some((Pred(pick(rnd9, intCols), k, rnd9.nextInt(k),
+            pick(rnd9, Seq("=", "<>"))), pick(rnd9, intCols),
+            pick(rnd9, Seq(4, 9, 13))))
+        } else None
+        // listagg is barred next to TWO+ distinct-aggregate groups:
+        // Spark 4.1's RewriteDistinctAggregates Expand path rebuilds
+        // ListAgg children positionally and dies on the SortOrder slot
+        // (probed: ClassCastException AttributeReference→SortOrder in
+        // ListAgg.withNewChildrenInternal; one distinct group is fine)
+        val nDistinctGroups = a.aggs
+          .filter(ag => ag.kind == "cntd" || ag.kind == "sumd")
+          .map(_.colName).distinct.size
+        val oa = if (strCols.nonEmpty && nDistinctGroups < 2 &&
+            rnd9.nextInt(3) == 0)
+          Some(pick(rnd9, strCols)) else None
+        val gs = a.keys.nonEmpty && a.gmode != "plain" &&
+          rnd9.nextInt(2) == 0
+        (fa, oa, gs)
+      case _ => (None, None, false)
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape7,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
-      selectSub, inSetSub, winOverAgg, orExists, aggOverWin)
+      selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
+      filterAgg, orderedAgg, groupingSel)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1154,8 +1277,25 @@ object FuzzGen {
     * (OR widens, ALL ⊇ distinct, grouping non-empty stays non-empty),
     * so every prior pick's documented non-emptiness is preserved by
     * construction.
+    * Round-15 wave 9 additions (rnd9 stream: FILTER (WHERE)
+    * aggregates, ordered string aggregation — listagg WITHIN GROUP on
+    * Spark / string_agg ORDER BY on DuckDB, the one dual-spelled
+    * construct (duckSql) — and GROUPING()/GROUPING_ID() over
+    * ROLLUP/CUBE): 30 (FILTER sum + GROUPING + GROUPING_ID over a
+    * two-key grouping shape, 16 rows), 67 (FILTER sum + ordered
+    * string agg side by side, 2 rows), 116 (ordered string agg +
+    * GROUPING over a grouping-set shape, 2 rows) — all non-empty at
+    * the driver SF; existing picks also gained wave-9 layers on the
+    * independent stream (6/12/13/42/104/105/110 FILTER sums;
+    * 55/90/117 ordered aggs; 6/42 GROUPING columns). Wave 9 cannot
+    * EMPTY a case (all three are select-list additions), so every
+    * prior pick's documented non-emptiness is preserved by
+    * construction. listagg is structurally barred next to two+
+    * distinct-aggregate groups (Spark 4.1 RewriteDistinctAggregates
+    * rebuilds ListAgg children positionally and dies on the SortOrder
+    * slot — probed, upstream defect, not a semantics gap).
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
-    32, 34, 42, 48, 49, 55, 62, 81, 90, 101, 102, 103, 104, 105, 107,
-    108, 109, 110, 117, 146, 172, 173, 272, 349, 357)
+    30, 32, 34, 42, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103, 104, 105,
+    107, 108, 109, 110, 116, 117, 146, 172, 173, 272, 349, 357)
 }

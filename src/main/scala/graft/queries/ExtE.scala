@@ -304,7 +304,9 @@ object ExtE {
     */
   val fuzzQueries: Seq[Q] = graft.fuzz.FuzzGen.driverSeeds.map { seed =>
     val fc = graft.fuzz.FuzzGen.gen(seed)
-    Q(fc.name, (s, dir) => fc.run(s, dir), Some(fc.sql))
+    // duckSql == sql except wave 9's ordered string aggregate — the one
+    // construct with NO spelling both parsers accept (FuzzGen.duckSql)
+    Q(fc.name, (s, dir) => fc.run(s, dir), Some(fc.duckSql))
   }
 
   /** Shared oracle CTE block for the span-dedup family: replays

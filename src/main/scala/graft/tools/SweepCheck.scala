@@ -24,6 +24,13 @@ object SweepCheck {
       try {
         val viaDf = fc.run(spark, dir).collect().toSeq
         val viaSql = spark.sql(fc.sql).collect().toSeq
+        // wave-9 candidate scan: which seeds carry the new constructs
+        if (sys.env.contains("SPARK_GRAFT_SWEEP_W9") &&
+            (fc.filterAgg.isDefined || fc.orderedAgg.isDefined ||
+              fc.groupingSel))
+          println(s"W9 seed=$seed rows=${viaDf.size} " +
+            s"fa=${fc.filterAgg.isDefined} oa=${fc.orderedAgg.isDefined} " +
+            s"gs=${fc.groupingSel}")
         if (viaDf != viaSql) {
           bad += 1
           println(s"DIVERGED seed=$seed df=${viaDf.size} sql=${viaSql.size}")
@@ -32,6 +39,8 @@ object SweepCheck {
       } catch { case e: Throwable =>
         bad += 1
         println(s"ERROR seed=$seed: ${e.getMessage.take(200)}")
+        println(fc.sql)
+        e.getStackTrace.take(8).foreach(f => println(s"  at $f"))
       }
       if (seed % 50 == 0) println(s"...$seed done")
     }

@@ -159,5 +159,32 @@ class FuzzSpec extends SparkSuite {
     assert(cases.exists(c => c.aggOverWin &&
       c.shape.isInstanceOf[FuzzGen.WinShape]),
       "no GROUP-BY-over-window case")
+    // round-15 wave 9
+    assert(cases.exists(_.filterAgg.isDefined),
+      "no FILTER (WHERE) aggregate case")
+    assert(cases.exists(_.orderedAgg.isDefined),
+      "no ordered string-aggregation case")
+    assert(cases.exists(c => c.groupingSel && (c.shape match {
+      case FuzzGen.AggShape(keys, _, _, g) => keys.nonEmpty && g != "plain"
+      case _ => false
+    })), "no GROUPING()-over-grouping-sets case")
+    assert(cases.exists(c => c.groupingSel && (c.shape match {
+      case FuzzGen.AggShape(keys, _, _, g) => keys.length > 1 && g != "plain"
+      case _ => false
+    })), "no GROUPING_ID case (needs a two-key grouping shape)")
+    // the dual spelling exists ONLY for the ordered aggregate — every
+    // other byte of the two dialect texts must stay identical
+    for (c <- cases) {
+      if (c.orderedAgg.isEmpty)
+        assert(c.sql == c.duckSql, s"seed ${c.seed}: dialect texts differ " +
+          "without an ordered aggregate")
+      else {
+        assert(c.sql != c.duckSql, s"seed ${c.seed}: ordered agg present " +
+          "but texts identical")
+        assert(c.sql.contains("WITHIN GROUP") &&
+          c.duckSql.contains("string_agg"),
+          s"seed ${c.seed}: wrong per-engine spelling")
+      }
+    }
   }
 }
