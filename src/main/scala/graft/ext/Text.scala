@@ -263,15 +263,45 @@ object Text {
   }
 
   def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
-      lambda: Double = 0.7): DataFrame = {
+      lambda: Double = 0.7): DataFrame =
+    bigramLogProbUnder(docs, docs, textCol, idCol, lambda)
+
+  /** Score `docs` under the interpolated bigram LM trained on
+    * `modelDocs` — the CCNet reference-model split (Wenzek et al.
+    * 2020: production pipelines score against a PRETRAINED LM, they
+    * don't retrain per batch). With `modelDocs eq docs` this is
+    * exactly the self-trained face ([[bigramLogProb]]) — same plan,
+    * same values. Out-of-vocabulary restriction: bigrams whose
+    * bigram/unigram statistics are absent from the model corpus are
+    * EXCLUDED from the score (inner joins against the model tables),
+    * so a doc's `n_bigrams` counts its in-vocabulary bigrams; for any
+    * subset of the model corpus every bigram is in-vocabulary and the
+    * scores are bit-identical to the one-shot run (exact decimal
+    * contribution sums — partitioning can't perturb them), which is
+    * what makes the streaming funnel's batch splits compose exactly
+    * ([[graft.streaming.FunnelStream]]).
+    *
+    * Scale shape: the model tables are O(model vocabulary) and
+    * broadcast; at a 100 TB corpus the caller persists them once
+    * (they are plain DataFrames) instead of re-aggregating per call.
+    */
+  def bigramLogProbUnder(docs: DataFrame, modelDocs: DataFrame,
+      textCol: String, idCol: String, lambda: Double = 0.7): DataFrame = {
     val bi = docs.select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
-    val tf = termFreqs(docs, textCol, idCol)
+    val tf = termFreqs(modelDocs, textCol, idCol)
     val totals = tf.agg(sum(col("tf")).cast("double").as("n_tokens_corpus"))
     val uni = tf.groupBy(col("term")).agg(sum(col("tf")).cast("double").as("cnt"))
-    val biCorpus = bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("double").as("bcnt"))
+    // self-face: reuse the per-doc counts (one explode, the original
+    // bigramLogProb plan); split face: corpus counts from the model
+    val biCorpus =
+      if (modelDocs eq docs)
+        bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("double").as("bcnt"))
+      else modelDocs
+        .select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("bcnt"))
     bi
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))

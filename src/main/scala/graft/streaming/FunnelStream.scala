@@ -1,0 +1,134 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.Text
+
+/** Streaming quality funnel — the per-micro-batch face of the batch
+  * attrition capstone (`x_pipeline_quality_funnel`): each arriving
+  * batch is screened by the SAME three stages — encoding-garbage
+  * screen → Gopher rules → CCNet fluency cut — against a STATIC
+  * reference model. CCNet scores against a pretrained LM and fixed
+  * thresholds (Wenzek et al. 2020); the batch capstone's self-trained
+  * rank cut is replayed here as the boundary (score, id) threshold
+  * ([[fluencyCutoff]]), so reference-corpus members keep their
+  * one-shot verdicts EXACTLY and unseen documents get the standard
+  * fixed-threshold semantics. Emits one report row per batch:
+  * per-batch stage counts, cumulative counts, cumulative survival.
+  *
+  * State discipline: the cumulative counts are a SUM fold — neither
+  * idempotent nor commutative under redelivery — so they ride the
+  * generation-addressed convention ([[StateDir.readGenBefore]] /
+  * [[StateDir.writeGen]], the ShardStream/PackStream rule): a
+  * crash-replayed micro-batch re-reads the untouched pre-batch
+  * generation, recomputes the identical counts, and idempotently
+  * overwrites its own generation — the report row reproduces exactly.
+  *
+  * Composition contract (FunnelStreamSpec): for ANY split of the
+  * reference corpus into batches, the per-batch counts SUM to the
+  * one-shot funnel row and the final cumulative row equals it —
+  * every stage verdict is a pure per-document function of the static
+  * model (the encoding/Gopher signals trivially; fluency because
+  * [[Text.bigramLogProbUnder]]'s per-doc scores are bit-identical
+  * for model-corpus subsets).
+  *
+  * Scale shape (100 TB): every stage is a narrow per-row pass over
+  * the batch plus broadcast joins against the O(vocabulary) model
+  * tables; the state is ONE row per generation. Nothing in the fold
+  * grows with the stream.
+  */
+object FunnelStream {
+
+  /** The fluency cut of the reference corpus replayed as a threshold:
+    * the boundary (mean_logprob, doc_id) of the LAST row with
+    * bucket < keepBuckets under [[Text.perplexityBuckets]]'s total
+    * order (score desc, id asc). A doc is fluent iff its (score, id)
+    * precedes that boundary — for reference-corpus members this is
+    * EXACTLY bucket < keepBuckets (the rank order is total, so the
+    * rank cut and the lexicographic threshold agree even when tied
+    * scores straddle the bucket boundary). O(1) driver collect.
+    */
+  def fluencyCutoff(modelDocs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 3, keepBuckets: Int = 2): (Double, Long) = {
+    val b = Text.perplexityBuckets(modelDocs, textCol, idCol, nBuckets)
+      .filter(col("bucket") < keepBuckets)
+      .orderBy(col("rn").desc).limit(1)
+      .select(col("mean_logprob"), col("doc_id")).collect()
+    require(b.nonEmpty, "fluency cutoff: no scoreable reference docs")
+    (b(0).getDouble(0), b(0).getLong(1))
+  }
+
+  /** Screen one micro-batch and fold the cumulative attrition counts.
+    * `bytesCol` is the raw "crawl bytes" text the byte-level filters
+    * (encoding, Gopher) see; `rawCol` is the clean text the LM scores
+    * — the funnel discipline of the batch capstone. Returns the
+    * 1-row report (batch_id, per-batch counts, cumulative counts,
+    * cumulative survival_frac).
+    */
+  def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
+      modelDocs: DataFrame, cutLp: Double, cutId: Long,
+      rawCol: String, bytesCol: String, idCol: String): DataFrame = {
+    val spark = batch.sparkSession
+    val enc = Text.encodingQuality(batch, bytesCol, idCol)
+      .select(col("doc_id"), col("is_clean"))
+    val gph = Text.gopherRules(batch, bytesCol, idCol)
+      .select(col("doc_id"), col("pass"))
+    val lp = Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol)
+      .select(col("doc_id"), col("mean_logprob"))
+    val fluent = col("mean_logprob").isNotNull &&
+      (col("mean_logprob") > cutLp ||
+        (col("mean_logprob") === cutLp && col("doc_id") <= cutId))
+    val agg = enc.join(gph, "doc_id").join(lp, Seq("doc_id"), "left")
+      .agg(count(lit(1)).cast("bigint").as("n_all"),
+        sum(when(col("is_clean"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_encoding_clean"),
+        sum(when(col("is_clean") && col("pass"), 1L).otherwise(0L))
+          .cast("bigint").as("n_gopher_pass"),
+        sum(when(col("is_clean") && col("pass") && fluent, 1L)
+          .otherwise(0L)).cast("bigint").as("n_fluent"))
+      .head()
+    val (bAll, bEnc, bGph, bFlu) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    // O(1)-row state: read the pre-batch generation, fold, overwrite
+    // own generation (replay-idempotent by construction)
+    val prior = StateDir.readGenBefore(spark, statePath, batchId)
+      .map(_.select(col("c_all"), col("c_encoding_clean"),
+        col("c_gopher_pass"), col("c_fluent")).head())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .getOrElse((0L, 0L, 0L, 0L))
+    val (cAll, cEnc, cGph, cFlu) =
+      (prior._1 + bAll, prior._2 + bEnc, prior._3 + bGph, prior._4 + bFlu)
+    import spark.implicits._
+    StateDir.writeGen(
+      Seq((cAll, cEnc, cGph, cFlu))
+        .toDF("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent"),
+      statePath, batchId)
+    Seq((batchId, bAll, bEnc, bGph, bFlu, cAll, cEnc, cGph, cFlu,
+        cFlu.toDouble / cAll.toDouble))
+      .toDF("batch_id", "n_all", "n_encoding_clean", "n_gopher_pass",
+        "n_fluent", "c_all", "c_encoding_clean", "c_gopher_pass",
+        "c_fluent", "survival_frac")
+  }
+
+  /** The readStream runner — foreachBatch wiring on the funnel
+    * modality: per-batch report rows land in a per-batch output
+    * partition (overwrite = replay-idempotent), the cumulative counts
+    * fold into the generation-addressed state.
+    */
+  def funnelStream(docs: DataFrame, statePath: String, outPath: String,
+      checkpoint: String, modelDocs: DataFrame, cutLp: Double, cutId: Long,
+      rawCol: String, bytesCol: String, idCol: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, statePath, batchId, modelDocs, cutLp, cutId,
+          rawCol, bytesCol, idCol)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{ExtI, H}
+
+/** Composition proof for the streaming quality funnel: driving the
+  * corpus through in batches must SUM, stage by stage, to the one-shot
+  * `x_pipeline_quality_funnel` row — and the replayed latest batch
+  * must reproduce its report exactly (generation-addressed state).
+  */
+class FunnelStreamSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("funnel batches sum to the one-shot row; latest-batch replay is exact") {
+    val docs = H.t(spark, dir, "documents")
+    // the SAME injection the batch capstone screens (shared constants)
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val state = java.nio.file.Files.createTempDirectory("funnelst").toString
+
+    def batchDf(b: Int) = injected.filter(pmod(col("doc_id"), lit(3)) === b)
+    val reports = (0 to 2).map { b =>
+      FunnelStream.applyBatch(batchDf(b), state, b.toLong, docs,
+        cutLp, cutId, "text", "tinj", "doc_id").head()
+    }
+
+    val oneShot = ExtI.xPipelineQualityFunnel.run(spark, dir).head()
+    def os(c: String): Long = oneShot.getAs[Long](c)
+    // per-batch stage counts sum to the one-shot funnel row
+    for ((c, i) <- Seq("n_all" -> 1, "n_encoding_clean" -> 2,
+        "n_gopher_pass" -> 3, "n_fluent" -> 4))
+      assert(reports.map(_.getLong(i)).sum == os(c),
+        s"$c: batch splits do not sum to the one-shot row")
+    // the final cumulative row IS the one-shot row
+    val last = reports.last
+    assert(last.getAs[Long]("c_all") == os("n_all"))
+    assert(last.getAs[Long]("c_encoding_clean") == os("n_encoding_clean"))
+    assert(last.getAs[Long]("c_gopher_pass") == os("n_gopher_pass"))
+    assert(last.getAs[Long]("c_fluent") == os("n_fluent"))
+    assert(last.getAs[Double]("survival_frac") ==
+      oneShot.getAs[Double]("survival_frac"),
+      "cumulative survival must equal the one-shot fraction exactly")
+
+    // redelivery: replaying the LATEST batch re-reads the pre-batch
+    // generation and reproduces the identical report row
+    val replay = FunnelStream.applyBatch(batchDf(2), state, 2L, docs,
+      cutLp, cutId, "text", "tinj", "doc_id").head()
+    assert(replay == last, "replayed latest batch must reproduce its report")
+
+    // fluency thresholding is the rank cut: member verdicts match the
+    // bucket<2 set exactly (tie-straddle safe via the id tiebreak)
+    val bucketSet = graft.ext.Text
+      .perplexityBuckets(docs, "text", "doc_id", nBuckets = 3)
+      .filter(col("bucket") < 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val thresholdSet = graft.ext.Text
+      .bigramLogProbUnder(injected, docs, "text", "doc_id")
+      .filter(col("mean_logprob") > cutLp ||
+        (col("mean_logprob") === cutLp && col("doc_id") <= cutId))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(thresholdSet == bucketSet,
+      "threshold replay must equal the rank-bucket verdict set")
+  }
+}
