@@ -329,7 +329,10 @@ object ExtJ {
       SELECT doc_id, n_tokens, score_pos, score_neg, label,
         (score_pos > score_neg) AS predicted,
         ((score_pos > score_neg) = label) AS correct
-      FROM sc ORDER BY doc_id"""))
+      FROM sc ORDER BY doc_id"""),
+    // r15: benched (r13 ask #9) — the NB train+score chain gets a
+    // cross-round perf trace
+    bench = true)
 
   /** Unigram-LM tokenizer training ([[Unigram.train]]): the final
     * model table after 2 hard-EM rounds over the word-frequency table
@@ -342,7 +345,10 @@ object ExtJ {
     "x_unigram_train",
     (s, dir) => Unigram.train(t(s, dir, "documents"), "text",
       maxPiece = 4, maxN = 12, rounds = 2).orderBy(col("piece")),
-    Some(Unigram.trainSql(maxPiece = 4, maxN = 12, rounds = 2)))
+    Some(Unigram.trainSql(maxPiece = 4, maxN = 12, rounds = 2)),
+    // r15: benched (r13 ask #9) — the hard-EM tokenizer training gets
+    // a cross-round perf trace
+    bench = true)
 
   /** Unigram-LM encoding ([[Unigram.encode]]): Viterbi segmentation of
     * every corpus word under the trained model, rolled up per document
