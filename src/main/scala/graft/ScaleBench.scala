@@ -32,6 +32,11 @@ object ScaleBench {
         if (noBcast) "-1" else "10485760")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         if (noBcast) "-1" else "10485760")
+      // AQE re-renders the EXPLAIN string on every plan update; a
+      // deep chain whose cached stages nest (each InMemoryRelation
+      // prints its full cached tree, multiplying) OOM'd the master
+      // section in explainString — cap the string, not the plan
+      .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -539,17 +544,36 @@ object ScaleBench {
           col("text"), col("source"), col("lang"))
         .repartition(cpus.toInt).cache()
       allK.count()
+      // the eager paragraph excision runs BETWEEN pins (during stage
+      // construction), so each lap also reports the build gap since
+      // the previous pin ended — that gap IS the paragraph cost on
+      // the paragraph_dedup row
+      var lastPinEnd = System.nanoTime()
       val (stages, bins) = graft.queries.ExtK.masterStages(allK,
         lshWholeDoc = false,
         (name, df) => {
+          val gap = (System.nanoTime() - lastPinEnd) / 1e9
           var c: DataFrame = null
-          lapShuffle(s"master x$k $name") { c = df.cache(); c.count() }
+          lapShuffle(s"master x$k $name" +
+              (if (gap > 1) f" (+$gap%.1f s build)" else "")) {
+            c = df.cache(); c.count()
+          }
+          lastPinEnd = System.nanoTime()
           c
         })
       lapShuffle(s"master x$k pack") { bins.collect()(0).getLong(0) }
-      val t6 = stages.find(_.name == "paragraph_dedup").get.df
-      lapShuffle(s"master x$k wholedoc LSH face (vs exact above)") {
-        Dedup.minhashLshPairs(t6, "text", "doc_id", 3, 0.5).count()
+      // stage-7 face comparison on the SAME representative set the
+      // chain dedups (exact-first collapse — identical-text clones
+      // are one rep each, so both faces see distinct content only)
+      val reps = graft.queries.ExtK
+        .wholeDocReps(stages.find(_.name == "paragraph_dedup").get.df)
+        .cache()
+      val nReps = reps.count()
+      lapShuffle(s"master x$k wholedoc exact pairs ($nReps reps)") {
+        Dedup.ngramJaccardPairs(reps, "text", "doc_id", 3, 0.5).count()
+      }
+      lapShuffle(s"master x$k wholedoc LSH pairs ($nReps reps)") {
+        Dedup.minhashLshPairs(reps, "text", "doc_id", 3, 0.5).count()
       }
       spark.catalog.clearCache()
     }

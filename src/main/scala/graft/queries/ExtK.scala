@@ -60,8 +60,13 @@ object ExtK {
     *                        rankBucketCtes replay is reused VERBATIM)
     *  5. intra_dedup      — within-doc 3-token span removal (RefinedWeb)
     *  6. paragraph_dedup  — 20-token paragraph MinHash at j ≥ 0.8 (Dolma)
-    *  7. whole_doc_dedup  — exact 3-gram Jaccard ≥ 0.5,
-    *                        earlier-occurrence-wins document removal
+    *  7. whole_doc_dedup  — 3-gram Jaccard ≥ 0.5, earlier-occurrence-
+    *                        wins document removal; TWO registered
+    *                        faces: exact AllPairs (x_pipeline_master)
+    *                        and the MinHash+LSH band join the
+    *                        production pipelines run at 100 TB
+    *                        (x_pipeline_master_lsh) — both adjudicated
+    *                        against the same exhaustive exact replay
     *  8. span_dedup       — corpus-wide 10-token span excision (C4/Lee
     *                        et al.) + the < 20-surviving-tokens drop
     *  9. decontaminate    — 5-gram overlap vs the eval set, any hit drops
@@ -85,7 +90,12 @@ object ExtK {
     * in sequence — no stage adds a new shuffle class. Filters (1–4)
     * are narrow flag joins; the dedup ladder carries the clone-
     * invariant exact-first paragraph pass and fingerprint-keyed span
-    * passes; decontaminate broadcasts the (bounded) eval-gram set;
+    * passes; stage 7's exact AllPairs face is prefix-filtered but
+    * still pair-verification-bound — at 100 TB the production choice
+    * is the LSH face (the twin), whose band join is bucketed and whose
+    * ladder position structurally protects it (paragraph dedup has
+    * already excised clone mass by stage 7 — measured in ScaleBench
+    * `master`); decontaminate broadcasts the (bounded) eval-gram set;
     * mixture is one per-source window over survivors; packing runs
     * per-source BFD groups (shard composer available for hot groups).
     */
@@ -126,6 +136,17 @@ object ExtK {
     * Returns the 11 attrition stages (idx 0–10) plus the pack-bins
     * 1-row aggregate (`nb`).
     */
+  /** Stage-7 representative set: one min-id representative per
+    * distinct text — shared by the chain and the ScaleBench face
+    * comparison. No eligibility filter: [[Dedup.shingleIndex]] gives a
+    * sub-k-token doc its WHOLE TEXT as a single shingle, so even two
+    * identical short (or empty) texts share an identical non-empty
+    * shingle set and pair at j = 1 under the raw faces — every
+    * identical-text group collapses.
+    */
+  private[graft] def wholeDocReps(t6: DataFrame): DataFrame =
+    t6.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+
   private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
       pin: (String, DataFrame) => DataFrame)
       : (Seq[MasterStage], DataFrame) = {
@@ -160,20 +181,46 @@ object ExtK {
       Dedup.intraDocDedupHashed(s4, "text", "doc_id", span = 3))
     val t5 = intra.select(col("doc_id"), col("deduped_text").as("text"))
 
-    // 6. paragraph dedup (rewrites text; eager face — the report is
-    // pinned and the segmentation cache released inside the call)
+    // 6. paragraph dedup (rewrites text), ALWAYS the eager face: the
+    // checkpoint pin is load-bearing for the whole downstream chain,
+    // not just cache hygiene — with the lazy face (even cached by the
+    // caller) the un-severed lineage made every later stage pay a
+    // 60–280× planning penalty (measured at ×10 clones: span 202 s vs
+    // 3.4 s, decontaminate 764 s vs 2.7 s on identical cached inputs)
+    // and AQE's explain-string re-render OOM'd on the nested trees
     val para = Dedup.paragraphDedup(t5, "text", "doc_id",
       paraTokens = 20, minTokens = 5, threshold = 0.8)
     val t6 = pin("paragraph_dedup",
       para.select(col("doc_id"), col("deduped_text").as("text")))
 
-    // 7. whole-doc near-dup removal (threshold 0.5, earlier wins)
+    // 7. whole-doc near-dup removal (threshold 0.5, earlier wins),
+    // EXACT-FIRST representative collapse (the paragraphDedup argument
+    // lifted to documents — clone-invariant, verdict-equivalent):
+    // paragraph dedup leaves every post-dedup clone the SAME residual
+    // text (often just the short exempt tail chunk), so identical
+    // texts collapse to their min-id representative and the pair face
+    // runs on representatives only. Equivalence to the pairwise rule:
+    // a non-min member always has its group min as an earlier j=1
+    // partner (identical non-empty shingle sets) → removed either
+    // way; a representative is removed iff some earlier doc near-dups
+    // it, and jaccard depends only on TEXT, so that doc's own
+    // representative (≤ it, < rep) carries the identical pair. Short
+    // docs participate too: shingleIndex's whole-text fallback shingle
+    // makes identical sub-k-token (even empty) texts j=1 pairs, so
+    // the member argument covers every identical-text group.
+    val reps7 = wholeDocReps(t6)
     val pairs =
       if (lshWholeDoc)
-        Dedup.minhashLshPairs(t6, "text", "doc_id", k = 3, threshold = 0.5)
+        Dedup.minhashLshPairs(reps7, "text", "doc_id", k = 3, threshold = 0.5)
       else
-        Dedup.ngramJaccardPairs(t6, "text", "doc_id", k = 3, threshold = 0.5)
-    val dupDocs = pairs.select(col("doc_b").as("doc_id")).distinct()
+        Dedup.ngramJaccardPairs(reps7, "text", "doc_id", k = 3, threshold = 0.5)
+    val removedReps = pairs.select(col("doc_b").as("rep_id")).distinct()
+    val members = t6.select(col("doc_id"), col("text"))
+      .join(reps7.select(col("text"), col("doc_id").as("rep_id")), "text")
+    val dupDocs = members.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"))
+      .unionByName(removedReps.select(col("rep_id").as("doc_id")))
+      .distinct()
     val s7 = pin("whole_doc_dedup", t6.join(dupDocs, Seq("doc_id"), "left_anti"))
 
     // 8. corpus-wide span dedup + post-dedup length floor

@@ -20,6 +20,9 @@ object MasterTime {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // cap AQE's explain-string re-render (nested cached stages
+      // multiply the plan text — the ScaleBench master OOM)
+      .config("spark.sql.maxPlanStringLength", "100000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,6 +32,9 @@ object MasterTime {
       println(f"[master] $name%-18s ${(t1 - t0) / 1e9}%6.2f s")
       t0 = t1
     }
+    // laps are start-to-start, so the eager paragraph excision (which
+    // runs while the builder constructs the stage, before the pin) is
+    // charged to the paragraph_dedup lap correctly
     val (stages, bins) = ExtK.masterStages(H.t(spark, dir, "documents"),
       lshWholeDoc = lsh,
       (name, df) => { val c = df.cache(); c.count(); lap(name); c })
