@@ -321,6 +321,50 @@ object Text {
         col("sum_logprob") / col("n_bigrams").cast("double"))
   }
 
+  /** CCNet-style contrastive domain selection (Wenzek et al. 2020;
+    * Moore–Lewis 2010 cross-entropy difference — public literature):
+    * every scoreable document is scored under TWO interpolated bigram
+    * LMs — the GENERAL model (trained on the full corpus) and an
+    * IN-DOMAIN model (trained on `domainDocs`) — and selected when its
+    * per-bigram log-prob advantage `delta = lp_domain − lp_general`
+    * exceeds `minDelta`. This is the actual selection signal
+    * domain-targeted curation runs: "keep what the in-domain LM finds
+    * more fluent than the general LM does".
+    *
+    * OOV restriction (documented on [[bigramLogProbUnder]]): a doc
+    * whose bigrams never hit the domain model's vocabulary has no
+    * domain score — `lp_domain`/`delta` are NULL and the doc is NOT
+    * selected (the conservative direction). Note the vocabulary
+    * ASYMMETRY this implies: `lp_domain` averages over the doc's
+    * domain-vocab bigrams only while `lp_general` averages over all of
+    * them, which biases `delta` upward for docs with rare bigrams —
+    * calibrate `minDelta` under the restriction (the emitted
+    * `n_bigrams` / `n_bigrams_domain` pair quantifies it per doc)
+    * rather than treating 0.0 as a neutral point.
+    * Determinism: both scores are the exact-decimal contribution sums
+    * divided once; the delta is one double subtraction of identical
+    * operands on both engines.
+    *
+    * Scale shape: two broadcast-model scoring passes over the same
+    * token stream ([[bigramLogProbUnder]]'s shape — the model tables
+    * are O(vocabulary)); one equi-join on doc id. Nothing iterative.
+    */
+  def domainLmSelect(docs: DataFrame, domainDocs: DataFrame,
+      textCol: String, idCol: String, minDelta: Double = 0.0,
+      lambda: Double = 0.7): DataFrame = {
+    val gen = bigramLogProb(docs, textCol, idCol, lambda)
+      .select(col("doc_id"), col("n_bigrams"),
+        col("mean_logprob").as("lp_general"))
+    val dom = bigramLogProbUnder(docs, domainDocs, textCol, idCol, lambda)
+      .select(col("doc_id"),
+        col("n_bigrams").as("n_bigrams_domain"),
+        col("mean_logprob").as("lp_domain"))
+    gen.join(dom, Seq("doc_id"), "left")
+      .withColumn("delta", col("lp_domain") - col("lp_general"))
+      .withColumn("selected",
+        coalesce(col("delta") > minDelta, lit(false)))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020, public
     * literature — the standard head/middle/tail corpus-quality split):
     * every scoreable document is ranked by its interpolated-bigram-LM

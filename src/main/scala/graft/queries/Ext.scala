@@ -1029,6 +1029,53 @@ object Ext {
           / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
       FROM j GROUP BY doc_id)"""
 
+  /** Parameterized TWO-CORPUS LM replay (the r15 `bigramLogProbUnder`
+    * split): per-doc mean log-prob of `scoreRel(doc_id, text)` under
+    * the interpolated bigram LM trained on `modelRel(doc_id, text)`,
+    * INCLUDING the OOV restriction (inner joins against the model
+    * gram/unigram tables — bigrams outside the model vocabulary are
+    * excluded from the score, exactly the engine's convention). Same
+    * formulation and canonicalization as [[bigramLmCtes]] (which stays
+    * verbatim for the self-trained oracles — its `lpq` name anchors
+    * [[rankBucketCtes]] and the funnel/master chains). Ends in
+    * `${pfx}lpq(doc_id, n_bigrams, sum_logprob, mean_logprob)`.
+    */
+  private[queries] def bigramLmCtesUnder(pfx: String, scoreRel: String,
+      modelRel: String): String =
+    s"""${pfx}stk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM $scoreRel),
+      ${pfx}mtk AS (SELECT string_split(text, ' ') AS w FROM $modelRel),
+      ${pfx}bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM ${pfx}stk)
+        GROUP BY 1, 2),
+      ${pfx}mbi AS MATERIALIZED (SELECT gram,
+          CAST(count(*) AS DOUBLE) AS bcnt FROM (
+          SELECT unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM ${pfx}mtk)
+        GROUP BY 1),
+      ${pfx}uni AS MATERIALIZED (SELECT term,
+          CAST(count(*) AS DOUBLE) AS cnt FROM (
+          SELECT unnest(w) AS term FROM ${pfx}mtk) GROUP BY 1),
+      ${pfx}tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_tokens_corpus
+        FROM ${pfx}uni),
+      ${pfx}j AS (SELECT bi.doc_id, bi.bf,
+          CAST(CAST(bi.bf AS DOUBLE) *
+            CAST(CAST(ln(CAST(0.7 AS DOUBLE) * (mbi.bcnt / u1.cnt)
+              + CAST(0.30000000000000004 AS DOUBLE)
+                * (u2.cnt / tot.n_tokens_corpus))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM ${pfx}bi bi JOIN ${pfx}mbi mbi USING (gram)
+        JOIN ${pfx}uni u1 ON u1.term = string_split(bi.gram, ' ')[1]
+        JOIN ${pfx}uni u2 ON u2.term = string_split(bi.gram, ' ')[-1],
+        ${pfx}tot tot),
+      ${pfx}lpq AS (SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+          / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
+      FROM ${pfx}j GROUP BY doc_id)"""
+
   /** Global fluency rank + 3-bucket cut over the LM chain's `lpq` —
     * shared by the perplexity-buckets oracle and the r12 quality-funnel
     * capstone (ExtI) so the rank tie-break and the floor cut can never
