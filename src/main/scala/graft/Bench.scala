@@ -21,6 +21,14 @@ import graft.queries.Registry
   *    (plus per-query) so a reader can separate machine-load drift from
   *    real regressions — r07's +5-20% uniform drift was unattributable
   *    precisely because load wasn't in the artifact.
+  *  - the load rule is ENFORCED, not just recorded (r16): a bounded
+  *    spin-wait (SPARK_GRAFT_BENCH_LOADWAIT_SEC, default 600 s) holds
+  *    the suite until the 1-min loadavg drops below 2; if it never
+  *    does, the artifact stamps load_contaminated=true.
+  *  - isolated-median appendix (r16): the 5 most expensive headliners
+  *    are re-measured at the end (median-of-5, after System.gc() and a
+  *    fresh quiet-load check) into isolated_median5, so cross-round
+  *    comparison of the heavy queries reads one artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -76,16 +84,45 @@ object Bench {
       dt
     }
 
-    def exec(name: String): Double = {
-      val samples = (1 to reps).map(_ => execOnce(name)).sorted
+    def exec(name: String, n: Int = reps): Double = {
+      val samples = (1 to n).map(_ => execOnce(name)).sorted
       samples(samples.length / 2) // median (upper-median for even n)
     }
+
+    // enforce the artifact's own load rule: three of the four r12–r15
+    // driver artifacts arrived with loadavg_start 4–7 and were unusable
+    // for cross-round comparison. Bounded spin-wait until the 1-min
+    // loadavg drops below 2; if it never does, the artifact says so
+    // (load_contaminated) instead of masquerading as comparable.
+    def waitForQuietLoad(maxWaitSec: Int): Boolean = {
+      val deadline = System.nanoTime() + maxWaitSec * 1000000000L
+      var l = loadAvg()
+      while (l >= 2.0 && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] loadavg $l%.2f >= 2 - waiting for quiet")
+        Thread.sleep(15000)
+        l = loadAvg()
+      }
+      l < 2.0
+    }
+    val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT_SEC", "600").toInt
+    val quietStart = waitForQuietLoad(quietWait)
 
     execOnce(headline.head.name) // warmup, not recorded
 
     val load0 = loadAvg()
     val results = headline.map(q => (q.name, loadAvg(), exec(q.name)))
     val load1 = loadAvg()
+
+    // isolated-median appendix: mid-suite numbers swing with suite
+    // context (GC debt, page cache) and machine load — re-measure the
+    // N most expensive headliners at the end, median-of-5 after a GC
+    // and a fresh quiet-load check, so cross-round comparison reads
+    // ONE artifact instead of needing a judge re-run.
+    val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "5").toInt
+    val isoTop = results.sortBy(-_._3).take(isoN).map(_._1)
+    System.gc()
+    val quietIso = isoTop.nonEmpty && waitForQuietLoad(120)
+    val iso = isoTop.map(name => (name, loadAvg(), exec(name, 5)))
     // stdout line: COMPACT — the driver keeps only the last 2000 chars
     // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
     // mid-number when the full-precision line outgrew that window), so
@@ -101,8 +138,15 @@ object Bench {
     val loads = results.map { case (k, l, _) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"loadavg_at_query":$loads}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"full":"target/bench.json"}""")
+    val contaminated = !(quietStart && quietIso)
+    val isoQs = iso.map { case (k, _, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val isoQs3 = iso.map { case (k, _, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val isoLoads = iso.map { case (k, l, _) => "\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"loadavg_at_query":$loads}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

@@ -537,11 +537,20 @@ object ScaleBench {
         f"${shuffleBytes.get / 1048576.0}%.1f MiB shuffled)")
     }
     if (sec("master")) for (k <- Seq(10, 40, 100)) {
-      val allK = spark.read.parquet(s"$sfDir/documents.parquet")
+      // clone only the CORPUS slice (doc_id >= 20); the eval set keeps
+      // its original ids. The earlier doc_id*1000+rep remap over ALL
+      // docs left only doc 0's first 20 clones under masterStages'
+      // eval threshold and leaked the other eval docs' clones into the
+      // training corpus, so the benched decontaminate stage ran
+      // against a 20-identical-doc eval set instead of the one-shot
+      // shape. Corpus ids *1000 start at 20000, safely above 20.
+      val baseK = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"), col("lang"))
-        .crossJoin(spark.range(k).select(col("id").as("rep")))
-        .select((col("doc_id") * 1000 + col("rep")).as("doc_id"),
-          col("text"), col("source"), col("lang"))
+      val allK = baseK.filter(col("doc_id") < 20)
+        .unionByName(baseK.filter(col("doc_id") >= 20)
+          .crossJoin(spark.range(k).select(col("id").as("rep")))
+          .select((col("doc_id") * 1000 + col("rep")).as("doc_id"),
+            col("text"), col("source"), col("lang")))
         .repartition(cpus.toInt).cache()
       allK.count()
       // the eager paragraph excision runs BETWEEN pins (during stage

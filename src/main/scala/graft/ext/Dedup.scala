@@ -628,6 +628,66 @@ object Dedup {
     minhashPairsFromProfiles(profiles, threshold)
   }
 
+  /** Digest-keyed exact collapse to one min-id representative per
+    * distinct text: (text_digest, idCol, textCol), one row per
+    * distinct text. Keyed on sha2-256 — the collapse exchange and any
+    * member re-join hash/compare 64 hex chars per row regardless of
+    * document size (the [[exactByDigest]] doctrine); digest equality
+    * stands in for text equality under the standard 2⁻¹²⁸ collision
+    * assumption every content-addressed dedup here already makes.
+    */
+  def wholeDocReps(docs: DataFrame, textCol: String, idCol: String)
+      : DataFrame =
+    docs.select(col(idCol), col(textCol),
+        sha2(col(textCol).cast("binary"), 256).as("text_digest"))
+      .groupBy(col("text_digest"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+
+  /** Whole-document near-dup REMOVAL verdict with exact-first collapse
+    * — the clone-invariant face callers should run on document-level
+    * text (lifted from the master chain's stage 7, where ScaleBench
+    * caught the raw pair faces' output-quadratic clone behavior:
+    * c identical copies are c(c−1)/2 pairs under
+    * [[ngramJaccardPairs]]/[[minhashLshPairs]] but ONE representative
+    * here). Identical texts collapse to their min-id representative
+    * (digest-keyed, [[wholeDocReps]]); the chosen pair face runs on
+    * representatives only; the verdict expands back to members through
+    * a digest equi-join. Returns the ids REMOVED under the
+    * earlier-occurrence-wins rule (j ≥ threshold ⇒ the larger id of
+    * the pair drops), one column named `idCol`.
+    *
+    * Equivalence to the pairwise rule on the full input: a non-min
+    * member always has its group min as an earlier j=1 partner
+    * (identical — for sub-k-token docs via [[shingleIndex]]'s
+    * whole-text fallback shingle) → removed either way; a
+    * representative is removed iff some earlier doc near-dups it, and
+    * Jaccard depends only on TEXT, so that doc's own representative
+    * (≤ it, < rep) carries the identical pair.
+    *
+    * `lsh = false` runs the exact AllPairs face (the oracle anchor);
+    * `lsh = true` the MinHash+LSH band join — the 100 TB production
+    * face (recall odds quantified at
+    * [[graft.queries.ExtK.masterStages]], which consumes THIS face for
+    * the registered capstones).
+    */
+  def nearDupDropExactFirst(docs: DataFrame, textCol: String,
+      idCol: String, k: Int, threshold: Double,
+      lsh: Boolean = false): DataFrame = {
+    val reps = wholeDocReps(docs, textCol, idCol)
+    val pairs =
+      if (lsh) minhashLshPairs(reps, textCol, idCol, k, threshold)
+      else ngramJaccardPairs(reps, textCol, idCol, k, threshold)
+    val removedReps = pairs.select(col("doc_b").as("rep_id")).distinct()
+    val members = docs
+      .select(col(idCol), sha2(col(textCol).cast("binary"), 256)
+        .as("text_digest"))
+      .join(reps.select(col("text_digest"), col(idCol).as("rep_id")),
+        "text_digest")
+    members.filter(col(idCol) =!= col("rep_id")).select(col(idCol))
+      .unionByName(removedReps.select(col("rep_id").as(idCol)))
+      .distinct()
+  }
+
   /** Incremental near-dup dedup for continuous ingestion — the batch
     * face of "dedup the firehose": each incoming batch is (1) deduped
     * in-batch exactly (band join + arr_jaccard verify, min-id

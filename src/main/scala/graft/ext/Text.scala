@@ -281,33 +281,54 @@ object Text {
     * what makes the streaming funnel's batch splits compose exactly
     * ([[graft.streaming.FunnelStream]]).
     *
-    * Scale shape: the model tables are O(model vocabulary) and
-    * broadcast; at a 100 TB corpus the caller persists them once
-    * (they are plain DataFrames) instead of re-aggregating per call.
+    * Scale shape: the model tables are O(model vocabulary). On the
+    * split face they are pinned once (localCheckpoint — training runs
+    * a single time however many joins consume them) and broadcast
+    * only while the bigram table stays within `maxBroadcastVocab`
+    * rows (the [[graft.ext.Model.naiveBayesFilter]] guard, same
+    * default ≈ low-hundreds of MB); a web-scale model corpus
+    * auto-degrades to shuffle equi-joins — identical values (the
+    * per-bigram decimal contributions commute exactly), one extra
+    * doc-bigram exchange. The self face keeps the single-plan lazy
+    * broadcast: its "model" IS the corpus being scored, so a guard
+    * count would re-aggregate that corpus eagerly per call — there
+    * the 100 TB contract is the caller persisting the tables once.
     */
   def bigramLogProbUnder(docs: DataFrame, modelDocs: DataFrame,
-      textCol: String, idCol: String, lambda: Double = 0.7): DataFrame = {
+      textCol: String, idCol: String, lambda: Double = 0.7,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
     val bi = docs.select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
     val tf = termFreqs(modelDocs, textCol, idCol)
     val totals = tf.agg(sum(col("tf")).cast("double").as("n_tokens_corpus"))
-    val uni = tf.groupBy(col("term")).agg(sum(col("tf")).cast("double").as("cnt"))
+    val uniRaw = tf.groupBy(col("term")).agg(sum(col("tf")).cast("double").as("cnt"))
     // self-face: reuse the per-doc counts (one explode, the original
-    // bigramLogProb plan); split face: corpus counts from the model
-    val biCorpus =
-      if (modelDocs eq docs)
+    // bigramLogProb plan); split face: corpus counts from the model,
+    // pinned + size-guarded (scaladoc above)
+    val selfFace = modelDocs eq docs
+    val biCorpusRaw =
+      if (selfFace)
         bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("double").as("bcnt"))
       else modelDocs
         .select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("bcnt"))
+    val (biCorpus, uni, bcast) =
+      if (selfFace) (biCorpusRaw, uniRaw, true)
+      else {
+        val biPin = biCorpusRaw.localCheckpoint(true)
+        val uniPin = uniRaw.localCheckpoint(true)
+        (biPin, uniPin, biPin.count() <= maxBroadcastVocab)
+      }
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     bi
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(broadcast(biCorpus), "bigram")
-      .join(broadcast(uni.select(col("term").as("w1"), col("cnt").as("c1"))), "w1")
-      .join(broadcast(uni.select(col("term").as("w2"), col("cnt").as("c2"))), "w2")
+      .join(side(biCorpus), "bigram")
+      .join(side(uni.select(col("term").as("w1"), col("cnt").as("c1"))), "w1")
+      .join(side(uni.select(col("term").as("w2"), col("cnt").as("c2"))), "w2")
       .crossJoin(broadcast(totals))
       .withColumn("contrib",
         (col("bf").cast("double") * lnStable(

@@ -136,16 +136,17 @@ object ExtK {
     * Returns the 11 attrition stages (idx 0–10) plus the pack-bins
     * 1-row aggregate (`nb`).
     */
-  /** Stage-7 representative set: one min-id representative per
-    * distinct text — shared by the chain and the ScaleBench face
-    * comparison. No eligibility filter: [[Dedup.shingleIndex]] gives a
-    * sub-k-token doc its WHOLE TEXT as a single shingle, so even two
+  /** Stage-7 representative set — [[Dedup.wholeDocReps]] on the
+    * chain's columns (digest-keyed exact collapse; shared by the chain
+    * via [[Dedup.nearDupDropExactFirst]] and by the ScaleBench face
+    * comparison). No eligibility filter: [[Dedup.shingleIndex]] gives
+    * a sub-k-token doc its WHOLE TEXT as a single shingle, so even two
     * identical short (or empty) texts share an identical non-empty
     * shingle set and pair at j = 1 under the raw faces — every
     * identical-text group collapses.
     */
   private[graft] def wholeDocReps(t6: DataFrame): DataFrame =
-    t6.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    Dedup.wholeDocReps(t6, "text", "doc_id")
 
   private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
       pin: (String, DataFrame) => DataFrame)
@@ -193,34 +194,16 @@ object ExtK {
     val t6 = pin("paragraph_dedup",
       para.select(col("doc_id"), col("deduped_text").as("text")))
 
-    // 7. whole-doc near-dup removal (threshold 0.5, earlier wins),
-    // EXACT-FIRST representative collapse (the paragraphDedup argument
-    // lifted to documents — clone-invariant, verdict-equivalent):
+    // 7. whole-doc near-dup removal (threshold 0.5, earlier wins) via
+    // the library's exact-first collapse face — clone-invariant,
+    // verdict-equivalent to the raw pairwise rule (the equivalence
+    // argument lives on [[Dedup.nearDupDropExactFirst]]; the collapse
+    // and member re-join are keyed on sha2 digests, never raw text —
     // paragraph dedup leaves every post-dedup clone the SAME residual
-    // text (often just the short exempt tail chunk), so identical
-    // texts collapse to their min-id representative and the pair face
-    // runs on representatives only. Equivalence to the pairwise rule:
-    // a non-min member always has its group min as an earlier j=1
-    // partner (identical non-empty shingle sets) → removed either
-    // way; a representative is removed iff some earlier doc near-dups
-    // it, and jaccard depends only on TEXT, so that doc's own
-    // representative (≤ it, < rep) carries the identical pair. Short
-    // docs participate too: shingleIndex's whole-text fallback shingle
-    // makes identical sub-k-token (even empty) texts j=1 pairs, so
-    // the member argument covers every identical-text group.
-    val reps7 = wholeDocReps(t6)
-    val pairs =
-      if (lshWholeDoc)
-        Dedup.minhashLshPairs(reps7, "text", "doc_id", k = 3, threshold = 0.5)
-      else
-        Dedup.ngramJaccardPairs(reps7, "text", "doc_id", k = 3, threshold = 0.5)
-    val removedReps = pairs.select(col("doc_b").as("rep_id")).distinct()
-    val members = t6.select(col("doc_id"), col("text"))
-      .join(reps7.select(col("text"), col("doc_id").as("rep_id")), "text")
-    val dupDocs = members.filter(col("doc_id") =!= col("rep_id"))
-      .select(col("doc_id"))
-      .unionByName(removedReps.select(col("rep_id").as("doc_id")))
-      .distinct()
+    // text, so clones collapse to one representative and the pair
+    // face sees distinct content only)
+    val dupDocs = Dedup.nearDupDropExactFirst(t6, "text", "doc_id",
+      k = 3, threshold = 0.5, lsh = lshWholeDoc)
     val s7 = pin("whole_doc_dedup", t6.join(dupDocs, Seq("doc_id"), "left_anti"))
 
     // 8. corpus-wide span dedup + post-dedup length floor
@@ -350,11 +333,18 @@ object ExtK {
       c5 AS MATERIALIZED (SELECT doc_id, deduped_text AS text FROM mires),
       ${ExtI.paraDedupCtes("mp", "c5")},
       c6 AS MATERIALIZED (SELECT doc_id, deduped_text AS text FROM mpout),
-      wd AS (SELECT doc_id, string_split(text, ' ') AS w FROM c6),
-      wsh AS MATERIALIZED (SELECT DISTINCT doc_id,
-          unnest(list_transform(range(1, len(w) - 1),
-            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-        FROM wd),
+      wd AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM c6),
+      -- shingleIndex's sub-k fallback, mirrored: a doc with < 3 tokens
+      -- contributes its WHOLE TEXT as its single shingle, so identical
+      -- short (even empty) residuals pair at j = 1 exactly as the
+      -- engine faces see them
+      wsh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM wd WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, text AS s FROM wd WHERE len(w) < 3),
       wcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM wsh
         GROUP BY doc_id),
       winter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix

@@ -103,8 +103,10 @@ object FunnelStream {
       Seq((cAll, cEnc, cGph, cFlu))
         .toDF("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent"),
       statePath, batchId)
+    // zero guard: an empty first micro-batch has c_all = 0 — report
+    // 0.0 survival (nothing has survived yet), never NaN
     Seq((batchId, bAll, bEnc, bGph, bFlu, cAll, cEnc, cGph, cFlu,
-        cFlu.toDouble / cAll.toDouble))
+        if (cAll == 0L) 0.0 else cFlu.toDouble / cAll.toDouble))
       .toDF("batch_id", "n_all", "n_encoding_clean", "n_gopher_pass",
         "n_fluent", "c_all", "c_encoding_clean", "c_gopher_pass",
         "c_fluent", "survival_frac")

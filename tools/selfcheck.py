@@ -120,8 +120,11 @@ def fetch_sorted_deadline(con, sql, ceiling):
     done = threading.Event()
     w = threading.Thread(target=watchdog, daemon=True)
     w.start()
+    completed = False
     try:
-        return fetch_sorted(con, sql)
+        result = fetch_sorted(con, sql)
+        completed = True
+        return result
     except Exception:
         if timed_out.is_set():
             raise OracleTimeout()
@@ -129,7 +132,9 @@ def fetch_sorted_deadline(con, sql, ceiling):
     finally:
         done.set()
         w.join()
-        if timed_out.is_set():
+        # a query finishing exactly AT the ceiling keeps its valid
+        # result; only an actually-aborted fetch reports ORACLE-TOO-SLOW
+        if timed_out.is_set() and not completed:
             raise OracleTimeout()
 
 
