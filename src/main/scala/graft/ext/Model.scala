@@ -117,4 +117,114 @@ object Model {
       .withColumn("predicted", col("score_pos") > col("score_neg"))
       .withColumn("correct", col("predicted") === col("label"))
   }
+
+  /** Multiclass character-n-gram Naive Bayes language identifier —
+    * the fastText-supervised shape (Joulin et al. 2016, "Bag of Tricks
+    * for Efficient Text Classification" — public literature; fastText
+    * classifies languages from char n-gram bags) on
+    * [[naiveBayesModel]]'s replay discipline: training is two count
+    * aggregations over (class, gram); parameters are single
+    * canonicalized ln's of integer ratios (add-1 smoothing — an
+    * unseen (class, gram) contributes ln(1/(N_c + V))); scoring is
+    * one (doc, gram) tf pass fanned over the O(classes) class table;
+    * the verdict is the deterministic argmax (score DESC, class ASC).
+    *
+    * Returns one row per input doc: (doc_id, pred_lang, score_best) —
+    * the predicted class and its log posterior.
+    *
+    * The model parameters are DEFINED as 6-decimal quantized
+    * log-likelihoods (DECIMAL(20,6) — the int8-quantization move
+    * fastText itself ships, in decimal): a char-gram vocabulary is
+    * tens of thousands of distinct ln calls, and at 12-decimal
+    * canonicalization the residual 1-ulp libm disagreements between
+    * engines land on a rounding boundary with near-certainty
+    * (measured: 440/500 docs off by ~5e-12 at sf0.01). At 6 decimals
+    * the boundary odds drop to ~1e-4 per corpus while the quantization
+    * error (≤5e-7/gram) is ~8 orders below the inter-class margins;
+    * every product/sum/prior-add then runs in EXACT decimal
+    * arithmetic, so the whole train+score chain replays hash-exact in
+    * SQL (with the oracle's VARCHAR-roundtrip ln casts).
+    *
+    * Scale shape (100 TB): gram extraction is a compiled flatMap (the
+    * shingleIndex rationale — interpreted array HOFs dominate at
+    * corpus scale); training aggregates are map-side combinable keyed
+    * by (class, gram); the model is O(classes × vocab) rows, pinned
+    * once and broadcast only under `maxBroadcastVocab` (the
+    * [[naiveBayesFilter]] guard — a web-scale gram vocabulary
+    * auto-degrades to a shuffle equi-join on gram); scoring shuffles
+    * the corpus once on (doc, gram). Chars are UTF-16 code units on
+    * the engine side and Unicode code points in the SQL replay —
+    * identical for BMP text (keep supplementary-plane characters out
+    * of marker fixtures).
+    */
+  def naiveBayesLangId(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, n: Int = 3,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
+    require(n > 0, "gram size must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long"),
+        col(labelCol).cast("string"), col(textCol).cast("string"))
+      .as[(Long, String, String)]
+    val grams = base.flatMap { case (id, y, t) =>
+      if (t == null || t.length < n) Iterator.empty
+      else (0 to t.length - n).iterator.map(i => (id, y, t.substring(i, i + n)))
+    }.toDF("doc_id", "_y", "gram")
+    val tf = grams.groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    // class-gram counts: pinned once — consumed by the totals, the
+    // vocab probe (which doubles as the broadcast guard), and scoring
+    val cg = grams.groupBy(col("_y"), col("gram"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+      .localCheckpoint(true)
+    val v = cg.select(col("gram")).distinct().count()
+    val cgSide =
+      if (cg.count() <= maxBroadcastVocab) broadcast(cg) else cg
+    val nGramsC = cg.groupBy(col("_y"))
+      .agg(sum(col("cnt")).cast("bigint").as("n_grams"))
+    // class table: doc-count priors + per-class gram totals (a class
+    // whose docs are all shorter than n grams still scores on its
+    // prior — left join, zero totals)
+    val cls = docs.groupBy(col(labelCol).cast("string").as("_y"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .join(nGramsC, Seq("_y"), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+    // EXACT-DECIMAL score path (not the tf·lp double-multiply idiom of
+    // naiveBayesFilter): at per-class score magnitudes ~1e3 the double
+    // product's binary residue lands inside the decimal cast's
+    // precision and the two engines' double→decimal rounding rules
+    // (shortest-string vs binary value) disagree on the last digit —
+    // measured 172/500 rows off by ~1e-11. An integer tf times a
+    // 12-decimal canonical ln is EXACTLY a 12-decimal value, so the
+    // whole chain (product, sum, prior add) runs in decimal and both
+    // engines surface the identical double at the very end.
+    val pri = cls.crossJoin(broadcast(
+        cls.agg(sum(col("n_docs")).cast("bigint").as("_n"))))
+      .select(col("_y"),
+        log(col("n_docs").cast("double") / col("_n").cast("double"))
+          .cast("decimal(20,6)").as("lprior"),
+        col("n_grams"))
+      .localCheckpoint(true) // O(classes) rows; pins the prior pass
+    val sums = tf.crossJoin(broadcast(pri.select(col("_y"), col("n_grams"))))
+      .join(cgSide, Seq("_y", "gram"), "left")
+      .withColumn("lp", log(
+        (coalesce(col("cnt"), lit(0L)) + 1L).cast("double") /
+          (col("n_grams") + lit(v)).cast("double")).cast("decimal(20,6)"))
+      .withColumn("contrib", col("tf").cast("decimal(12,0)") * col("lp"))
+      .groupBy(col("doc_id"), col("_y"))
+      .agg(sum(col("contrib")).cast("decimal(38,6)").as("s"))
+    val scores = docs.select(col(idCol).cast("long").as("doc_id"))
+      .crossJoin(broadcast(pri.select(col("_y"), col("lprior"))))
+      .join(sums, Seq("doc_id", "_y"), "left")
+      .select(col("doc_id"), col("_y"),
+        (coalesce(col("s"), lit(0.0).cast("decimal(38,6)")) +
+          col("lprior")).cast("double").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("_y").asc)
+    scores.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("_y").as("pred_lang"),
+        col("score").as("score_best"))
+  }
 }

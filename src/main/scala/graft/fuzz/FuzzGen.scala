@@ -341,7 +341,10 @@ object FuzzGen {
       aggOverWin: Boolean = false,
       filterAgg: Option[(Pred, String, Int)] = None,
       orderedAgg: Option[String] = None,
-      groupingSel: Boolean = false) {
+      groupingSel: Boolean = false,
+      qualifyExt: Boolean = false,
+      winNulls: Option[(Int, Int)] = None,
+      multiWin: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -491,13 +494,22 @@ object FuzzGen {
             s"ORDER BY $ordR"
         } else s"$withHe ORDER BY $ord"
       case WinShape(pk, ordCol, desc, ids, topK, fn) =>
-        val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
+        // wave 10: a NULLIF-poisoned window ordering expression with
+        // the NON-default null placement spelled explicitly (ASC NULLS
+        // LAST / DESC NULLS FIRST — both engines default to the
+        // opposite pairing, so the explicit clause is load-bearing)
+        val ordExpr = winNulls
+          .fold(ordCol) { case (k, r) => s"NULLIF($ordCol % $k, $r)" }
+        val dir =
+          if (winNulls.isDefined)
+            (if (desc) " DESC NULLS FIRST" else " ASC NULLS LAST")
+          else if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
         // rank/dense_rank deliberately order by ordCol ALONE — ties
         // keep the output a deterministic SET (peers share the rank)
         val winOrd = fn match {
-          case "row_number" => s"$ordCol$dir, $tie"
-          case _ => s"$ordCol$dir"
+          case "row_number" => s"$ordExpr$dir, $tie"
+          case _ => s"$ordExpr$dir"
         }
         // wave 7: a correlated scalar subquery in the SELECT list —
         // NULL-extends (childless parents keep the row, sq = NULL),
@@ -507,8 +519,33 @@ object FuzzGen {
             s"WHERE ${ss.fkChild} = ${ss.fkParent} AND ${ss.pred.sql}) AS sq"
         }
         val sqCol = selectSub.map(_ => "sq").toSeq
-        val outer = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol).mkString(", ")
-        val outerOrd = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol)
+        // wave 10: a SECOND window function in the same SELECT — the
+        // partition extreme (MIN under ASC / MAX under DESC, so the
+        // rn=1 row always achieves it) for the QUALIFY-style filter,
+        // and/or a fully-tie-broken running sum (row_number cases
+        // only: its winOrd is the total order the ROWS frame needs)
+        val ext = if (desc) "MAX" else "MIN"
+        val qSel = if (qualifyExt)
+          s",\n    CAST($ordCol AS BIGINT) AS ov, " +
+            s"CAST($ext($ordCol) OVER (PARTITION BY ${pk.sqlExpr}) " +
+            "AS BIGINT) AS ext"
+          else ""
+        val mwSel = if (multiWin)
+          s",\n    CAST(SUM($ordCol) OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "CURRENT ROW) AS BIGINT) AS rsum2"
+          else ""
+        val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
+          (if (multiWin) Seq("rsum2") else Nil)
+        // QUALIFY-style filter on the second window's result, rendered
+        // as the subquery both engines accept; `OR rn = 1` keeps the
+        // case structurally non-empty (the rank-1 peers achieve the
+        // partition extreme under the UNPOISONED order, but not
+        // necessarily under a wave-10 poisoned one)
+        val qWhere = if (qualifyExt) " AND (ov = ext OR rn = 1)" else ""
+        val outer = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol ++ qCols)
+          .mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("rn") ++ sqCol ++ qCols)
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
         // wave 8: GROUP BY over the window-function result — the
         // inverse composition of wave 7's window-above-Aggregate.
@@ -527,9 +564,9 @@ object FuzzGen {
         else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel
+           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel
            |  FROM $fromSql$whereSql) t
-           |WHERE rn <= $topK ORDER BY $outerOrd""".stripMargin
+           |WHERE rn <= $topK$qWhere ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
@@ -797,7 +834,18 @@ object FuzzGen {
             aggs.map(a => col(a.alias)) ++
             extraAliases(keys).map(col)): _*)
         case WinShape(pk, ordCol, desc, ids, topK, fn) =>
-          val ordBase = if (desc) col(ordCol).desc else col(ordCol).asc
+          // wave 10: NULLIF-poisoned ordering expression + the
+          // explicit NON-default null placement (mirrors the SQL text)
+          val ordColExpr = winNulls.fold(col(ordCol)) { case (k, r) =>
+            when((col(ordCol) % k) === r, lit(null))
+              .otherwise(col(ordCol) % k)
+          }
+          val ordBase =
+            if (winNulls.isDefined)
+              (if (desc) ordColExpr.desc_nulls_first
+               else ordColExpr.asc_nulls_last)
+            else if (desc) ordColExpr.desc
+            else ordColExpr.asc
           val ordSorts = fn match {
             case "row_number" => ordBase +: ids.map(col(_).asc)
             case _ => Seq(ordBase)
@@ -807,12 +855,30 @@ object FuzzGen {
             case "rank" => rank()
             case "dense_rank" => dense_rank()
           }
+          val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
+            (if (multiWin) Seq("rsum2") else Nil)
           val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
-            selectSub.map(_ => "sq").toSeq).map(col)
-          val ranked = base.withColumn("pk", pk.df)
-            .withColumn("rn", rankFn.over(
-              Window.partitionBy(col("pk")).orderBy(ordSorts: _*)))
-            .filter(col("rn") <= topK)
+            selectSub.map(_ => "sq").toSeq ++ qCols).map(col)
+          val winSpec = Window.partitionBy(col("pk")).orderBy(ordSorts: _*)
+          val withPk = base.withColumn("pk", pk.df)
+            .withColumn("rn", rankFn.over(winSpec))
+          // wave 10: second window functions in the same select —
+          // partition extreme (whole-partition default frame) and the
+          // tie-broken running sum (row_number cases only)
+          val withQ = if (qualifyExt) {
+            val extFn = if (desc) max(col(ordCol)) else min(col(ordCol))
+            withPk.withColumn("ov", col(ordCol).cast("bigint"))
+              .withColumn("ext", extFn.over(
+                Window.partitionBy(col("pk"))).cast("bigint"))
+          } else withPk
+          val withMw = if (multiWin)
+            withQ.withColumn("rsum2", sum(col(ordCol)).over(
+              winSpec.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("bigint"))
+          else withQ
+          val ranked = withMw.filter(col("rn") <= topK &&
+            (if (qualifyExt) col("ov") === col("ext") || col("rn") === 1
+             else lit(true)))
           // wave 8: aggregate ABOVE the window — group the top-k rows
           // by their rank value
           if (aggOverWin)
@@ -1205,10 +1271,31 @@ object FuzzGen {
         (fa, oa, gs)
       case _ => (None, None, false)
     }
+    // round-16 wave 10 rides a tenth independent stream (the
+    // rnd2..rnd9 rule): QUALIFY-style filtered windows (a partition-
+    // extreme second window function qualifying the kept rows,
+    // rendered as the subquery both engines accept), NULLIF-poisoned
+    // window ORDER BY with the explicit NON-default null placement
+    // (ASC NULLS LAST / DESC NULLS FIRST), and multi-window-function
+    // single-SELECT shapes (the tie-broken running sum beside the
+    // rank). None can EMPTY a case: the qualify filter keeps rn = 1
+    // structurally, the other two are ordering/select-list additions.
+    val rnd10 = new Random(seed * 0x9E3779B1L + 127)
+    val (qualifyExt, winNulls, multiWin) = shape7 match {
+      case w: WinShape if !aggOverWin =>
+        val q = rnd10.nextInt(3) == 0
+        val nf = if (rnd10.nextInt(3) == 0) {
+          val k = pick(rnd10, Seq(2, 3, 5))
+          Some((k, rnd10.nextInt(k))) // r < k: the poison genuinely fires
+        } else None
+        val mw = w.fn == "row_number" && rnd10.nextInt(3) == 0
+        (q, nf, mw)
+      case _ => (false, None, false)
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape7,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
       selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
-      filterAgg, orderedAgg, groupingSel)
+      filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1294,8 +1381,25 @@ object FuzzGen {
     * distinct-aggregate groups (Spark 4.1 RewriteDistinctAggregates
     * rebuilds ListAgg children positionally and dies on the SortOrder
     * slot — probed, upstream defect, not a semantics gap).
+    * Round-16 wave 10 additions (rnd10 stream: QUALIFY-style filtered
+    * windows — a partition-extreme second window function qualifying
+    * the kept rows, rendered as the subquery both engines accept;
+    * NULLIF-poisoned window ORDER BY with the explicit NON-default
+    * null placement, ASC NULLS LAST / DESC NULLS FIRST; and
+    * multi-window-function single-SELECT shapes — the tie-broken
+    * running sum beside the rank): 38 (qualify + poisoned NULLS on a
+    * RANK shape under EXISTS-under-OR, 23 rows), 208 (poisoned NULLS
+    * + running sum on a row_number LEFT join, 23 rows), 235 (qualify
+    * + running sum on a chained-join row_number, 20 rows) — all
+    * non-empty at the driver SF; existing picks also gained wave-10
+    * layers on the independent stream (15 running sum; 32 qualify;
+    * 48/102 poisoned NULLS). Wave 10 cannot EMPTY a case (the qualify
+    * filter structurally keeps rn = 1; the other two are ordering /
+    * select-list additions), so every prior pick's documented
+    * non-emptiness is preserved by construction.
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
-    30, 32, 34, 42, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103, 104, 105,
-    107, 108, 109, 110, 116, 117, 146, 172, 173, 272, 349, 357)
+    30, 32, 34, 38, 42, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103, 104,
+    105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208, 235, 272,
+    349, 357)
 }

@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Model, Text}
+import H.t
+
+/** Round-16 operators: the continuous-curation streaming capstone's
+  * order-free-prefix replay (the chained-CTE adjudication of the
+  * [[graft.streaming.FunnelStream]] state fold the
+  * [[graft.streaming.CurateStream]] driver opens with), and the
+  * trained char-n-gram Naive Bayes language identifier that replaces
+  * the marker heuristic ([[Text.langId]]) with a real
+  * fastText-supervised classifier (Joulin et al. 2016).
+  */
+object ExtM {
+
+  /** Deterministic per-language marker tail (appended ONCE), the
+    * shared engine/oracle injection (the gopherBait / urlCol
+    * convention): the corpus carries a `lang` LABEL but its text is
+    * language-neutral by construction, so the fixture gives each class
+    * the faint character signal a real multilingual crawl has. ONE
+    * four-word tail against ~500 words of shared vocabulary is the
+    * point of the fixture: the trained model classifies every doc from
+    * it (500/500 at sf0.01 — ~15 class-exclusive grams × ~4–10 nats
+    * each dwarf the near-zero log-odds of the shared mass), while the
+    * marker heuristic — whose en markers also occur in the shared
+    * vocabulary — loses ~18% of the corpus to marker-count ties the
+    * tail cannot overcome. zh is BMP CJK, so the engine's UTF-16 grams
+    * and the oracle's code-point grams agree.
+    */
+  private[graft] def langTail =
+    when(col("lang") === "en", lit(" the of and a"))
+      .when(col("lang") === "de", lit(" der die das und"))
+      .when(col("lang") === "fr", lit(" le la les et"))
+      .when(col("lang") === "es", lit(" el los las y"))
+      .otherwise(lit(" 查询引擎数据分析"))
+
+  private val langTailSql = """CASE lang
+      WHEN 'en' THEN ' the of and a'
+      WHEN 'de' THEN ' der die das und'
+      WHEN 'fr' THEN ' le la les et'
+      WHEN 'es' THEN ' el los las y'
+      ELSE ' 查询引擎数据分析' END"""
+
+  /** The full NB-langid train + score replay: model counts, smoothed
+    * canonical log-likelihoods (add-1; unseen (class, gram) pairs via
+    * the COALESCE arm), per-(doc, class) decimal contribution sums,
+    * and the (score DESC, class ASC) argmax — mirroring
+    * [[Model.naiveBayesLangId]] term by term (the nbCtesSql
+    * discipline, lifted to multiclass char grams).
+    */
+  private val langIdNbCtes = s"""li AS MATERIALIZED (
+        SELECT doc_id, lang, text || $langTailSql AS t FROM documents),
+      lig AS (SELECT doc_id, lang, unnest(list_transform(
+          range(1, length(t) - 1), i -> substr(t, i, 3))) AS gram
+        FROM li WHERE length(t) >= 3),
+      litf AS MATERIALIZED (SELECT doc_id, gram,
+          CAST(COUNT(*) AS BIGINT) AS tf
+        FROM lig GROUP BY doc_id, gram),
+      licg AS MATERIALIZED (SELECT lang AS y, gram,
+          CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lig GROUP BY y, gram),
+      linc AS MATERIALIZED (SELECT y,
+          CAST(SUM(cnt) AS BIGINT) AS n_grams FROM licg GROUP BY y),
+      liv AS MATERIALIZED (SELECT CAST(COUNT(DISTINCT gram) AS BIGINT)
+          AS v FROM licg),
+      licls AS MATERIALIZED (SELECT lang AS y,
+          CAST(COUNT(*) AS BIGINT) AS n_docs FROM li GROUP BY y),
+      lipri AS MATERIALIZED (SELECT y,
+          CAST(CAST(ln(CAST(n_docs AS DOUBLE) /
+            CAST((SELECT SUM(n_docs) FROM licls) AS DOUBLE))
+            AS VARCHAR) AS DECIMAL(20,6)) AS lprior,
+          COALESCE((SELECT n_grams FROM linc WHERE linc.y = licls.y), 0)
+            AS n_grams
+        FROM licls),
+      lisum AS MATERIALIZED (SELECT tf.doc_id, p.y,
+          CAST(SUM(CAST(tf.tf AS DECIMAL(12,0)) *
+            CAST(CAST(ln(CAST(COALESCE(cg.cnt, 0) + 1 AS DOUBLE) /
+              CAST(p.n_grams + (SELECT v FROM liv) AS DOUBLE))
+              AS VARCHAR) AS DECIMAL(20,6))) AS DECIMAL(38,6)) AS s
+        FROM litf tf CROSS JOIN lipri p
+        LEFT JOIN licg cg ON cg.y = p.y AND cg.gram = tf.gram
+        GROUP BY tf.doc_id, p.y),
+      lisc AS MATERIALIZED (SELECT li.doc_id, li.lang, p.y,
+          CAST(p.lprior + COALESCE(s.s, 0) AS DOUBLE) AS score
+        FROM li CROSS JOIN lipri p
+        LEFT JOIN lisum s ON s.doc_id = li.doc_id AND s.y = p.y),
+      lipred AS MATERIALIZED (SELECT doc_id, lang, y AS pred_lang,
+          score AS score_best
+        FROM lisc
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, y ASC) = 1)"""
+
+  /** Trained language ID ([[Model.naiveBayesLangId]], char 3-grams)
+    * on the marker-tailed corpus: per-doc true label, argmax
+    * prediction, and winning log posterior — training and scoring
+    * both replayed, so one perturbed count anywhere flips the hash.
+    */
+  val xTextLangidModel = Q(
+    "x_text_langid_model",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inj = docs.select(col("doc_id"), col("lang"),
+        concat(col("text"), langTail).as("t"))
+      Model.naiveBayesLangId(inj, "t", "doc_id", "lang", n = 3)
+        .join(inj.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred_lang"),
+          col("score_best"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $langIdNbCtes
+      SELECT doc_id, lang, pred_lang, score_best
+      FROM lipred ORDER BY doc_id"""))
+
+  /** Confusion matrix of the TRAINED identifier against the marker
+    * HEURISTIC on the same tailed corpus — the measurement the r16
+    * upgrade is judged by: at sf0.01 the trained model is exactly
+    * diagonal (500/500) while the heuristic misroutes ~18% of docs to
+    * `en` (its markers also live in the shared vocabulary, so base-text
+    * marker counts out-vote the single 4-word tail) — the classic
+    * heuristic-vs-learned gap, adjudicated hash-exact.
+    */
+  val xTextLangidModelEval = Q(
+    "x_text_langid_model_eval",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inj = docs.select(col("doc_id"), col("lang"),
+        concat(col("text"), langTail).as("t"))
+      Model.naiveBayesLangId(inj, "t", "doc_id", "lang", n = 3)
+        .join(inj.select(col("doc_id"), col("lang"),
+          Text.langId(col("t")).as("pred_heuristic")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"), col("pred_heuristic"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .orderBy(col("lang"), col("pred_lang"), col("pred_heuristic"))
+    },
+    Some(s"""WITH $langIdNbCtes,
+      hsc AS (SELECT doc_id,
+        len(regexp_extract_all(t, '[^\\x00-\\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(t,' '),
+          w -> list_contains(['the','a','of','and'], w)))*10 + 4 AS s_en,
+        len(list_filter(string_split(t,' '),
+          w -> list_contains(['der','die','das','und'], w)))*10 + 3 AS s_de,
+        len(list_filter(string_split(t,' '),
+          w -> list_contains(['le','la','les','et'], w)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(t,' '),
+          w -> list_contains(['el','los','las','y'], w)))*10 + 1 AS s_es
+        FROM li),
+      hpred AS (SELECT doc_id,
+          CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+            WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de'
+            WHEN 2 THEN 'fr' ELSE 'es' END AS pred_heuristic
+        FROM hsc)
+      SELECT p.lang, p.pred_lang, h.pred_heuristic,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lipred p JOIN hpred h USING (doc_id)
+      GROUP BY p.lang, p.pred_lang, h.pred_heuristic
+      ORDER BY p.lang, p.pred_lang, h.pred_heuristic"""))
+
+  /** The continuous-curation driver's order-free prefix, adjudicated
+    * through the REAL streaming state machinery: the documents corpus
+    * arrives as three `doc_id mod 3` micro-batches and each runs
+    * [[graft.streaming.FunnelStream.applyBatch]] — encoding → Gopher →
+    * CCNet fluency against the corpus-trained static model, cumulative
+    * counts folded through the generation-addressed state dir. The
+    * oracle computes every per-doc verdict ONCE (they are pure
+    * per-document functions of the static model — the order-free
+    * property), groups them by batch, and replays the cumulative fold
+    * as a running window — so the engine's state reads/writes must
+    * reproduce plain prefix sums exactly, batch by batch.
+    */
+  val xCurateStreamFunnel = Q(
+    "x_curate_stream_funnel",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (cutLp, cutId) =
+        graft.streaming.FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+      val inj = docs.select(col("doc_id"), col("text"),
+        concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_curate_funnel").toString + "/state"
+      (0 until 3).map { b =>
+        graft.streaming.FunnelStream.applyBatch(
+          inj.filter(pmod(col("doc_id"), lit(3)) === b),
+          statePath, b.toLong, docs, cutLp, cutId,
+          "text", "tinj", "doc_id")
+      }.reduce(_.unionByName(_)).orderBy(col("batch_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      inj AS (SELECT doc_id, text || ${ExtI.encGarbageSql}
+          || ${ExtI.gopherBaitSql} AS t
+        FROM documents),
+      enc AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM inj),
+      ${ExtI.gopherCtesSql},
+      fl AS (SELECT e.doc_id, CAST(e.doc_id % 3 AS BIGINT) AS batch_id,
+          e.is_clean, g.pass, bk.bucket
+        FROM enc e JOIN gr g USING (doc_id) LEFT JOIN bk USING (doc_id)),
+      pb AS (SELECT batch_id,
+          CAST(COUNT(*) AS BIGINT) AS n_all,
+          CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_encoding_clean,
+          CAST(SUM(CASE WHEN is_clean AND pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gopher_pass,
+          CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
+        FROM fl GROUP BY batch_id)
+      SELECT batch_id, n_all, n_encoding_clean, n_gopher_pass, n_fluent,
+        CAST(SUM(n_all) OVER w AS BIGINT) AS c_all,
+        CAST(SUM(n_encoding_clean) OVER w AS BIGINT) AS c_encoding_clean,
+        CAST(SUM(n_gopher_pass) OVER w AS BIGINT) AS c_gopher_pass,
+        CAST(SUM(n_fluent) OVER w AS BIGINT) AS c_fluent,
+        CAST(SUM(n_fluent) OVER w AS DOUBLE) /
+          CAST(SUM(n_all) OVER w AS DOUBLE) AS survival_frac
+      FROM pb
+      WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
+      ORDER BY batch_id"""))
+
+  val queries: Seq[Q] = Seq(xTextLangidModel, xTextLangidModelEval,
+    xCurateStreamFunnel)
+}

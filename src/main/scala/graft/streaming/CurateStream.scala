@@ -1,0 +1,169 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Text}
+
+/** Continuous-curation master — the streaming composition of the batch
+  * master chain (`x_pipeline_master`, queries/ExtK.scala): every
+  * micro-batch runs the quality funnel (encoding → Gopher → CCNet
+  * fluency against a STATIC reference model), then the STATEFUL dedup
+  * ladder against the accumulated corpus (paragraph-level
+  * [[graft.ext.Dedup.paragraphDedupIncremental]], whole-doc
+  * [[graft.ext.Dedup.minhashDedupIncremental]]), then benchmark
+  * decontamination against a static eval set, and the survivors are
+  * dealt into token-balanced shards ([[ShardStream.applyBatch]]) and
+  * BFD-packed into training sequences ([[PackStream.applyBatch]]) —
+  * raw crawl in, packed training layout out, one batch at a time.
+  *
+  * Composition semantics, stage by stage (CurateStreamSpec proves each):
+  *  - funnel + decontamination verdicts are pure per-document functions
+  *    of the static model/eval set, so ANY batch split reproduces the
+  *    one-shot verdicts exactly (the [[FunnelStream]] contract; the
+  *    registered `x_curate_stream_funnel` replay adjudicates the
+  *    cumulative fold in chained SQL);
+  *  - the dedup ladder honors ARRIVAL order (earlier batch wins, the
+  *    incremental faces' documented convention) — for id-ordered
+  *    splits this is the batch chain's earlier-occurrence-wins rule,
+  *    with the state-survivor caveat on
+  *    [[graft.ext.Dedup.paragraphDedupIncremental]];
+  *  - shard dealing and BFD packing are deterministic per batch given
+  *    the inherited state but NOT equivalent to one-shot layout over
+  *    the union — BFD is order-sensitive and placed docs never move
+  *    (the [[PackStream]] price of never repacking). Bin validity and
+  *    token conservation hold at any split.
+  *
+  * Crash story: every stage is generation-addressed on the SAME
+  * foreachBatch id ([[StateDir]]; `batchTag` for the signature
+  * states), so a replayed micro-batch re-reads each stage's pre-batch
+  * generation and recomputes the IDENTICAL placements and report —
+  * paired with the overwrite-per-batch sink the whole driver is
+  * exactly-once end to end, whichever stage the failure interrupted.
+  *
+  * Scale shape (100 TB, continuous): funnel = narrow per-row passes +
+  * O(vocab) model broadcasts; dedup states are signature-sized (never
+  * text); shard/pack states are O(nShards + open bins). Nothing the
+  * driver holds grows with the corpus, so the stream runs forever.
+  */
+object CurateStream {
+
+  /** Curate one micro-batch end to end. Returns (packed placements —
+    * doc_id, toks, shard, bin, n_bins — for THIS batch's survivors,
+    * 10-column attrition report row). `bytesCol` is the raw "crawl
+    * bytes" text the byte-level filters see; `rawCol` the clean text
+    * that is scored, deduped, and packed (the funnel discipline).
+    */
+  def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
+      modelDocs: DataFrame, cutLp: Double, cutId: Long,
+      evalDocs: DataFrame, rawCol: String, bytesCol: String,
+      idCol: String, paraTokens: Int = 20, minTokens: Int = 5,
+      paraThreshold: Double = 0.8, wholeK: Int = 3,
+      wholeThreshold: Double = 0.5, decontamN: Int = 5,
+      nShards: Int = 4, seqLen: Long = 64L): (DataFrame, DataFrame) = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+
+    // 1–3. quality funnel: per-doc pure verdicts vs the static model
+    val enc = Text.encodingQuality(batch, bytesCol, idCol)
+      .select(col("doc_id"), col("is_clean"))
+    val gph = Text.gopherRules(batch, bytesCol, idCol)
+      .select(col("doc_id"), col("pass"))
+    val lp = Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol)
+      .select(col("doc_id"), col("mean_logprob"))
+    val fluent = col("mean_logprob").isNotNull &&
+      (col("mean_logprob") > cutLp ||
+        (col("mean_logprob") === cutLp && col("doc_id") <= cutId))
+    val keep = enc.join(gph, "doc_id").join(lp, Seq("doc_id"), "left")
+      .filter(col("is_clean") && col("pass") && fluent)
+      .select(col("doc_id"))
+    val screened = batch
+      .select(col(idCol).cast("long").as("doc_id"),
+        col(rawCol).cast("string").as("text"))
+      .join(keep, "doc_id")
+
+    // 4. paragraph dedup vs the accumulated paragraph-signature state
+    val para = Dedup.paragraphDedupIncremental(screened, "text", "doc_id",
+      s"$statePath/para", paraTokens, minTokens, paraThreshold,
+      batchTag = Some(batchId))
+    val t2 = para.select(col("doc_id"), col("deduped_text").as("text"))
+
+    // 5. whole-doc near-dup vs the accumulated doc-signature state
+    val t3 = Dedup.minhashDedupIncremental(t2, "text", "doc_id",
+      s"$statePath/whole", wholeK, wholeThreshold,
+      batchTag = Some(batchId))
+
+    // 6. benchmark decontamination (static eval set, any n-gram hit
+    // drops the doc — per-doc pure, like the funnel)
+    val contam = Text.contamination(t3, evalDocs, "text", "doc_id",
+        n = decontamN)
+      .filter(col("contaminated")).select("doc_id")
+    val t4 = t3.join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      // pin: consumed by the shard deal AND the report counts, and the
+      // deal must see a FIXED input (the incremental-state lesson)
+      .localCheckpoint(true)
+
+    // 7–8. continuous training layout: LPT shard deal, per-shard BFD
+    val placed = ShardStream.applyBatch(t4, s"$statePath/shards",
+      col("doc_id"), col("toks"), nShards, batchId)
+    val packed = PackStream.applyBatch(placed, s"$statePath/bins",
+      col("shard"), col("id"), col("toks"), seqLen, batchId)
+      .select(col("doc_id"), col("toks"),
+        col("group").cast("long").as("shard"), col("bin"), col("n_bins"))
+      .localCheckpoint(true) // pin before the report state write
+
+    // attrition report: per-batch stage counts + generation-addressed
+    // cumulative fold (the FunnelStream state discipline)
+    val cnt = screened.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val bAll = batch.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val whole = t3.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val pk = packed.agg(count(lit(1)).cast("bigint").as("n"),
+      coalesce(sum(col("toks")), lit(0L)).cast("bigint").as("tk")).head()
+    val (bDecon, bToks) = (pk.getLong(0), pk.getLong(1))
+    val prior = StateDir.readGenBefore(spark, s"$statePath/report", batchId)
+      .map(_.select(col("c_arrived"), col("c_screened"),
+        col("c_whole_doc"), col("c_curated"), col("c_tokens")).head())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .getOrElse((0L, 0L, 0L, 0L, 0L))
+    val c = (prior._1 + bAll, prior._2 + cnt, prior._3 + whole,
+      prior._4 + bDecon, prior._5 + bToks)
+    StateDir.writeGen(
+      Seq(c).toDF("c_arrived", "c_screened", "c_whole_doc", "c_curated",
+        "c_tokens"),
+      s"$statePath/report", batchId)
+    val report = Seq((batchId, bAll, cnt, whole, bDecon, bToks,
+        c._1, c._2, c._3, c._4, c._5))
+      .toDF("batch_id", "n_arrived", "n_screened", "n_whole_doc",
+        "n_curated", "n_tokens", "c_arrived", "c_screened",
+        "c_whole_doc", "c_curated", "c_tokens")
+    (packed, report)
+  }
+
+  /** The readStream runner — foreachBatch wiring on the full curation
+    * modality: packed placements and the report row land in per-batch
+    * output partitions (overwrite = replay-idempotent); all stage
+    * states fold under `statePath`.
+    */
+  def curateStream(docs: DataFrame, statePath: String, outPath: String,
+      checkpoint: String, modelDocs: DataFrame, cutLp: Double,
+      cutId: Long, evalDocs: DataFrame, rawCol: String, bytesCol: String,
+      idCol: String, nShards: Int = 4, seqLen: Long = 64L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val (packed, report) = applyBatch(batch, statePath, batchId,
+          modelDocs, cutLp, cutId, evalDocs, rawCol, bytesCol, idCol,
+          nShards = nShards, seqLen = seqLen)
+        packed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        report.write.mode("overwrite")
+          .parquet(s"$outPath/report/batch=$batchId")
+        ()
+      }
+      .start()
+}

@@ -40,7 +40,10 @@ object SeedScan {
           case s: SetShape if s.op == "EXCEPT ALL" => "/eall"
           case _ => ""
         })
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""}$w8 $desc")
+      val w10 = (if (c.qualifyExt) "/qual" else "") +
+        (if (c.winNulls.isDefined) "/wnulls" else "") +
+        (if (c.multiWin) "/mwin" else "")
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""}$w8$w10 $desc")
     }
   }
 }

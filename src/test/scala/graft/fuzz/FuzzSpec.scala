@@ -172,6 +172,17 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.AggShape(keys, _, _, g) => keys.length > 1 && g != "plain"
       case _ => false
     })), "no GROUPING_ID case (needs a two-key grouping shape)")
+    // round-16 wave 10
+    assert(cases.exists(_.qualifyExt),
+      "no QUALIFY-style filtered-window case")
+    assert(cases.exists(_.winNulls.isDefined),
+      "no poisoned NULLS FIRST/LAST window-order case")
+    assert(cases.exists(_.multiWin),
+      "no multi-window-function single-SELECT case")
+    assert(cases.exists(c => c.qualifyExt && (c.shape match {
+      case FuzzGen.WinShape(_, _, _, _, _, fn) => fn != "row_number"
+      case _ => false
+    })), "no qualify-over-RANK/DENSE_RANK case (tie semantics)")
     // the dual spelling exists ONLY for the ordered aggregate — every
     // other byte of the two dialect texts must stay identical
     for (c <- cases) {

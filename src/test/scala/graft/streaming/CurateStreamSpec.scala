@@ -1,0 +1,105 @@
+package graft.streaming
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+import graft.queries.{ExtI, H}
+
+/** Composition proofs for the continuous-curation master
+  * ([[CurateStream]] — funnel → paragraph dedup → whole-doc dedup →
+  * decontaminate → shard → pack, all states generation-addressed):
+  *
+  *  1. arrival-order composition: the corpus driven through in three
+  *     id-ordered micro-batches curates the SAME document set, token
+  *     volume, and cumulative attrition as the single-batch run (the
+  *     dedup ladder honors arrival order; id-ordered arrival IS the
+  *     batch chain's earlier-occurrence-wins order) — while the BIN
+  *     LAYOUT may differ (BFD is order-sensitive and placed docs never
+  *     move, the documented [[PackStream]] divergence); bin validity
+  *     and token conservation hold at any split;
+  *  2. crash redelivery: replaying the last micro-batch reproduces its
+  *     packed placements and report row exactly.
+  */
+class CurateStreamSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val seqLen = 64L
+
+  private def freshState() =
+    java.nio.file.Files.createTempDirectory("curatest").toString
+
+  test("id-ordered batch splits curate the same corpus; replay is exact") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val arrivals = injected.filter(col("doc_id") >= 20)
+    val nDocs = arrivals.count()
+
+    def run(splits: Seq[org.apache.spark.sql.DataFrame])
+        : (Seq[org.apache.spark.sql.Row], Seq[org.apache.spark.sql.Row],
+           String) = {
+      val state = freshState()
+      val out = splits.zipWithIndex.map { case (b, i) =>
+        CurateStream.applyBatch(b, state, i.toLong, docs, cutLp, cutId,
+          evalDocs, "text", "tinj", "doc_id", seqLen = seqLen)
+      }
+      (out.flatMap(_._1.collect()), out.map(_._2.head()), state)
+    }
+
+    // one-shot vs three id-ordered range batches (arrival order = id
+    // order, the batch chain's earlier-occurrence-wins order)
+    val (packed1, reports1, _) = run(Seq(arrivals))
+    val cut1 = 20 + nDocs / 3
+    val cut2 = 20 + 2 * nDocs / 3
+    val (packed3, reports3, state3) = run(Seq(
+      arrivals.filter(col("doc_id") < cut1),
+      arrivals.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      arrivals.filter(col("doc_id") >= cut2)))
+
+    // same curated document set and token volume
+    val set1 = packed1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val set3 = packed3.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(set1 === set3,
+      "id-ordered splits must curate the identical (doc, toks) set")
+    // same cumulative attrition (the report's c_* columns)
+    val last1 = reports1.last
+    val last3 = reports3.last
+    for (c <- Seq("c_arrived", "c_screened", "c_whole_doc", "c_curated",
+        "c_tokens"))
+      assert(last3.getAs[Long](c) === last1.getAs[Long](c),
+        s"$c must match the one-shot run")
+    // per-batch counts sum to the cumulative row
+    assert(reports3.map(_.getAs[Long]("n_curated")).sum ===
+      last3.getAs[Long]("c_curated"))
+
+    // bin validity at any split: small-doc bins never exceed seqLen;
+    // oversize docs take ceil(toks/seqLen) dedicated bins
+    def checkBins(packed: Seq[org.apache.spark.sql.Row]): Unit = {
+      val rows = packed.map(r => (r.getLong(2), r.getLong(3), r.getLong(1),
+        r.getLong(4))) // (shard, bin, toks, n_bins)
+      rows.filter(_._3 > seqLen).foreach { case (_, _, tk, nb) =>
+        assert(nb === (tk + seqLen - 1) / seqLen) }
+      rows.filter(_._4 == 1L).groupBy(t => (t._1, t._2))
+        .foreach { case (_, g) => assert(g.map(_._3).sum <= seqLen) }
+    }
+    checkBins(packed1); checkBins(packed3)
+    // BFD arrival-order divergence is allowed but bounded: same docs,
+    // same tokens, possibly different layout — never lost or duplicated
+    assert(packed1.map(_.getLong(0)).distinct.length === set1.size)
+    assert(packed3.map(_.getLong(0)).distinct.length === set3.size)
+
+    // crash redelivery: replaying the LAST micro-batch against its
+    // generation-addressed states reproduces placements + report
+    val (packedR, reportR) = CurateStream.applyBatch(
+      arrivals.filter(col("doc_id") >= cut2), state3, 2L, docs, cutLp,
+      cutId, evalDocs, "text", "tinj", "doc_id", seqLen = seqLen)
+    val lastBatchPacked = packed3.drop(
+      packed3.length - packedR.collect().length)
+    assert(packedR.collect().map(_.toString).sorted.toSeq ===
+      lastBatchPacked.map(_.toString).sorted.toSeq,
+      "replayed batch must reproduce its packed placements")
+    assert(reportR.head() === reports3.last,
+      "replayed batch must reproduce its report row")
+  }
+}
