@@ -221,6 +221,37 @@ object ExtM {
       WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
       ORDER BY batch_id"""))
 
+  /** The r16 library face adjudicated standalone (not only inside the
+    * master chain): digest-keyed exact-first collapse + pair face +
+    * member expansion ([[graft.ext.Dedup.nearDupDropExactFirst]]) on
+    * the raw documents table. The oracle replays the RAW pairwise
+    * earlier-occurrence-wins rule — the verdict the collapse face is
+    * provably equivalent to — including [[graft.ext.Dedup.shingleIndex]]'s
+    * sub-3-token whole-text fallback branch.
+    */
+  val xDedupDropExactFirst = Q(
+    "x_dedup_drop_exact_first",
+    (s, dir) => graft.ext.Dedup.nearDupDropExactFirst(
+      t(s, dir, "documents"), "text", "doc_id", k = 3, threshold = 0.5)
+      .orderBy(col("doc_id")),
+    Some("""WITH wd AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM wd WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, text AS s FROM wd WHERE len(w) < 3),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db)
+      SELECT DISTINCT db AS doc_id FROM inter
+      JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+      WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5
+      ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextLangidModel, xTextLangidModelEval,
-    xCurateStreamFunnel)
+    xCurateStreamFunnel, xDedupDropExactFirst)
 }
