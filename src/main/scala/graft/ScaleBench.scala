@@ -536,7 +536,13 @@ object ScaleBench {
       println(f"[scale] $label: $secs%.2f s ($rows rows, " +
         f"${shuffleBytes.get / 1048576.0}%.1f MiB shuffled)")
     }
-    if (sec("master")) for (k <- Seq(10, 40, 100)) {
+    // optional k filter for the master section (dev iteration — one
+    // replication factor per invocation fits a bounded runner window):
+    // SPARK_GRAFT_SCALE_MASTER_KS=100 or 10,40
+    val masterKs = sys.env.get("SPARK_GRAFT_SCALE_MASTER_KS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(10, 40, 100))
+    if (sec("master")) for (k <- masterKs) {
       // clone only the CORPUS slice (doc_id >= 20); the eval set keeps
       // its original ids. The earlier doc_id*1000+rep remap over ALL
       // docs left only doc 0's first 20 clones under masterStages'
@@ -583,6 +589,53 @@ object ScaleBench {
       }
       lapShuffle(s"master x$k wholedoc LSH pairs ($nReps reps)") {
         Dedup.minhashLshPairs(reps, "text", "doc_id", 3, 0.5).count()
+      }
+      // stage-7 key-representation comparison (r16): the digest-keyed
+      // collapse + member re-join vs the raw-text-keyed shape it
+      // replaced (the r15 verdict's one `weak` — both exchanges used
+      // to carry the document BODY as the shuffle key)
+      val t6k = stages.find(_.name == "paragraph_dedup").get.df
+      lapShuffle(s"master x$k stage7 collapse+members DIGEST keys") {
+        val r = Dedup.wholeDocReps(t6k, "text", "doc_id")
+        t6k.select(col("doc_id"),
+            sha2(col("text").cast("binary"), 256).as("text_digest"))
+          .join(r.select(col("text_digest"), col("doc_id").as("rep_id")),
+            "text_digest")
+          .filter(col("doc_id") =!= col("rep_id")).count()
+      }
+      lapShuffle(s"master x$k stage7 collapse+members RAW-TEXT keys") {
+        val r = t6k.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+        t6k.select(col("doc_id"), col("text")).join(r, "text")
+          .filter(col("doc_id") =!= col("rep_id")).count()
+      }
+      spark.catalog.clearCache()
+    }
+
+    // digest- vs raw-text-keyed collapse on LONG documents (r16): the
+    // master-chain probe above runs AFTER paragraph dedup has already
+    // collapsed clone mass to short residuals, so both key shapes look
+    // cheap there — this section measures the same collapse + member
+    // re-join on the RAW cloned corpus (full-length texts), which is
+    // what stage 7 would see WITHOUT the ladder's protection and what
+    // any library caller of nearDupDropExactFirst sees on arbitrary
+    // input. The raw face ships the document BODY as both exchanges'
+    // key; the digest face ships 64 hex chars + ids on the member side.
+    if (sec("digestkeys")) for (k <- Seq(10, 100)) {
+      val rep = cloned(k).select(col("doc_id"), col("text"))
+        .repartition(cpus.toInt).cache()
+      val n = rep.count()
+      lapShuffle(s"digestkeys x$k DIGEST collapse+members ($n docs)") {
+        val r = Dedup.wholeDocReps(rep, "text", "doc_id")
+        rep.select(col("doc_id"),
+            sha2(col("text").cast("binary"), 256).as("text_digest"))
+          .join(r.select(col("text_digest"), col("doc_id").as("rep_id")),
+            "text_digest")
+          .filter(col("doc_id") =!= col("rep_id")).count()
+      }
+      lapShuffle(s"digestkeys x$k RAW-TEXT collapse+members ($n docs)") {
+        val r = rep.groupBy(col("text")).agg(min(col("doc_id")).as("rep_id"))
+        rep.select(col("doc_id"), col("text")).join(r, "text")
+          .filter(col("doc_id") =!= col("rep_id")).count()
       }
       spark.catalog.clearCache()
     }
