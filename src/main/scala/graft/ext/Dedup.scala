@@ -360,7 +360,8 @@ object Dedup {
       .agg(min(col("pid")).as("pid"))
     val survReps = minhashDedupIncremental(
       reps.select(col("pid"), col("chunk_text")), "chunk_text", "pid",
-      statePath, k = 3, threshold, numHashes, bands, batchTag)
+      statePath, k = 3, threshold, numHashes, bands, batchTag,
+      collapseExact = false) // reps are already distinct-by-text
       .select(col("pid").as("srpid"))
     // removed reps = reps that did NOT survive — same shape (rpid) and
     // polarity as the batch face, so both ride ONE verdict kernel
@@ -689,7 +690,10 @@ object Dedup {
   }
 
   /** Incremental near-dup dedup for continuous ingestion — the batch
-    * face of "dedup the firehose": each incoming batch is (1) deduped
+    * face of "dedup the firehose": each incoming batch is (0) collapsed
+    * exact-first to digest-keyed min-id representatives
+    * ([[wholeDocReps]] — r16; skip via `collapseExact = false` when the
+    * input is already distinct-by-text), (1) deduped
     * in-batch exactly (band join + arr_jaccard verify, min-id
     * survivor), (2) checked against the ACCUMULATED signature state at
     * `statePath` via band-bucket candidates and the unbiased MinHash
@@ -724,15 +728,34 @@ object Dedup {
   def minhashDedupIncremental(newDocs: DataFrame, textCol: String,
       idCol: String, statePath: String, k: Int, threshold: Double,
       numHashes: Int = 128, bands: Int = 32,
-      batchTag: Option[Long] = None): DataFrame = {
+      batchTag: Option[Long] = None,
+      collapseExact: Boolean = true): DataFrame = {
+    require(threshold <= 1.0,
+      "threshold must be <= 1.0 (exact duplicates are j = 1 pairs — " +
+        "the exact-first collapse assumes they qualify)")
     graft.plans.GraftExtensions.ensure(newDocs.sparkSession)
     val spark = newDocs.sparkSession
+
+    // r16: exact-first collapse BEFORE profiling (the paragraph-face
+    // move, doc-level — [[wholeDocReps]], digest-keyed): a clone burst
+    // inside one micro-batch costs ONE profile per distinct text and
+    // zero extra band candidates instead of quadratic j=1 pairs.
+    // Verdict-equivalent to profiling every row: a non-min member
+    // always has its group min as an earlier identical partner
+    // (identical shingle sets ⇒ identical signatures ⇒ a verified
+    // j = 1 pair), so it drops in-batch under the pairwise rule either
+    // way; its cross-batch verdict equals its representative's (same
+    // signature); and members never survive, so the state append set
+    // is unchanged.
+    val reps =
+      if (collapseExact) wholeDocReps(newDocs, textCol, idCol)
+      else newDocs
 
     // ONE profile pass (shingling + 128 universal hashes — the
     // dominant per-batch cost) serves BOTH the in-batch pair set and
     // the cross-batch probe; previously minhashLshPairs recomputed it
     // internally, doubling the heaviest stage every micro-batch
-    val profAll = minhashProfiles(newDocs, textCol, idCol, k, numHashes,
+    val profAll = minhashProfiles(reps, textCol, idCol, k, numHashes,
       bands).cache()
 
     // (1) in-batch exact dedup: greedy min-id survivor over the verified

@@ -71,6 +71,35 @@ class ExactFirstSpec extends SparkSuite {
     assert(lsh === exact)
   }
 
+  test("incremental face: in-batch clone burst collapses, verdicts unchanged") {
+    def run(collapse: Boolean): Set[Long] = {
+      val state = java.nio.file.Files
+        .createTempDirectory("exfirst_inc").toString + "/st"
+      // batch 0: originals; batch 1: a x5 clone burst of batch 0's
+      // survivors plus one fresh doc — clones must drop cross-batch,
+      // the fresh doc must survive, with or without the collapse
+      val b0 = base.toDF("doc_id", "text")
+      Dedup.minhashDedupIncremental(b0, "text", "doc_id", state,
+        k = 3, threshold = 0.5, batchTag = Some(0L),
+        collapseExact = collapse)
+      val b1 = base.flatMap { case (id, t) =>
+        (1 to 5).map(r => (1000 + id * 10 + r, t))
+      }.toDF("doc_id", "text")
+        .unionByName(Seq(9999L ->
+          "an entirely fresh document about streaming state generations")
+          .toDF("doc_id", "text"))
+      Dedup.minhashDedupIncremental(b1, "text", "doc_id", state,
+        k = 3, threshold = 0.5, batchTag = Some(1L),
+        collapseExact = collapse)
+        .select(col("doc_id")).as[Long].collect().toSet
+    }
+    val withCollapse = run(collapse = true)
+    assert(withCollapse === Set(9999L),
+      "every clone of an earlier survivor must drop; the fresh doc survives")
+    assert(run(collapse = false) === withCollapse,
+      "exact-first collapse must not change the incremental verdict")
+  }
+
   test("identical sub-k and empty texts dedup via the fallback shingle") {
     val df = Seq(1L -> "", 2L -> "", 7L -> "hi", 8L -> "hi", 9L -> "yo")
       .toDF("doc_id", "text")
