@@ -121,7 +121,9 @@ object Bench {
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "5").toInt
     val isoTop = results.sortBy(-_._3).take(isoN).map(_._1)
     System.gc()
-    val quietIso = isoTop.nonEmpty && waitForQuietLoad(120)
+    // an empty appendix (SPARK_GRAFT_BENCH_ISOLATED=0) has no load to
+    // check — only a non-empty one can contaminate the artifact
+    val quietIso = isoTop.isEmpty || waitForQuietLoad(120)
     val iso = isoTop.map(name => (name, loadAvg(), exec(name, 5)))
     // stdout line: COMPACT — the driver keeps only the last 2000 chars
     // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
