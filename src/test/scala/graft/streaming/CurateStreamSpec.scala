@@ -102,4 +102,35 @@ class CurateStreamSpec extends SparkSuite {
     assert(reportR.head() === reports3.last,
       "replayed batch must reproduce its report row")
   }
+
+  test("curateStream runner: readStream wiring matches applyBatch") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val arrivals = injected.filter(col("doc_id") >= 20)
+
+    val base = java.nio.file.Files.createTempDirectory("curaterun")
+    val src = base.resolve("src").toString
+    arrivals.write.parquet(s"$src/b0")
+    val out = base.resolve("out").toString
+    val q = CurateStream.curateStream(
+      spark.readStream.schema(arrivals.schema).parquet(s"$src/*"),
+      base.resolve("state").toString, out,
+      base.resolve("ckpt").toString, docs, cutLp, cutId, evalDocs,
+      "text", "tinj", "doc_id")
+    q.awaitTermination(180000)
+
+    val (refPacked, refReport) = CurateStream.applyBatch(arrivals,
+      freshState(), 0L, docs, cutLp, cutId, evalDocs,
+      "text", "tinj", "doc_id")
+    val gotPacked = spark.read.parquet(s"$out/batch=0")
+      .collect().map(_.toString).sorted.toSeq
+    assert(gotPacked === refPacked.collect().map(_.toString).sorted.toSeq,
+      "runner's per-batch packed output must equal applyBatch")
+    val gotReport = spark.read.parquet(s"$out/report/batch=0").head()
+    assert(gotReport === refReport.head(),
+      "runner's report row must equal applyBatch")
+  }
 }
