@@ -76,14 +76,34 @@ object Model {
     * and the scoring probe share a single training pass.
     */
   def naiveBayesFilter(docs: DataFrame, textCol: String, idCol: String,
-      labelCol: String, maxBroadcastVocab: Long = 8000000L): DataFrame = {
+      labelCol: String, maxBroadcastVocab: Long = 8000000L): DataFrame =
+    naiveBayesFilterUnder(docs, docs, textCol, idCol, labelCol,
+      maxBroadcastVocab)
+
+  /** Train/score split of [[naiveBayesFilter]] — the production shape
+    * (FineWeb-Edu trains the quality classifier on a curated SEED and
+    * applies it to the crawl; Penedo et al. 2024): the model and the
+    * class priors come from `modelDocs`, every row of `docs` is
+    * scored and compared against its own (held-out) label. With
+    * `modelDocs eq docs` this is exactly [[naiveBayesFilter]] — same
+    * plan, same values.
+    *
+    * Out-of-vocabulary restriction (the [[Text.bigramLogProbUnder]]
+    * convention): tokens absent from the MODEL vocabulary are
+    * EXCLUDED from the score (inner join against the model table), so
+    * a scored doc's `n_tokens` counts its in-vocabulary tokens; a doc
+    * with no in-vocabulary token scores on the priors alone.
+    */
+  def naiveBayesFilterUnder(docs: DataFrame, modelDocs: DataFrame,
+      textCol: String, idCol: String, labelCol: String,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
     require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
-    val model = naiveBayesModel(docs, textCol, idCol, labelCol)
+    val model = naiveBayesModel(modelDocs, textCol, idCol, labelCol)
       .localCheckpoint(true)
     val vocab = model.count()
     val modelSide =
       if (vocab <= maxBroadcastVocab) broadcast(model) else model
-    val priors = docs.agg(
+    val priors = modelDocs.agg(
         count(lit(1)).cast("bigint").as("n_docs"),
         sum(when(col(labelCol), 1L).otherwise(0L)).cast("bigint")
           .as("n_pos_docs"))

@@ -252,6 +252,81 @@ object ExtM {
       WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5
       ORDER BY doc_id"""))
 
+  /** Held-out NB quality filtering ([[Model.naiveBayesFilterUnder]]):
+    * the production classifier shape — train on the even-doc_id seed
+    * split (gopher-pass weak labels, the x_quality_model_filter
+    * convention), score the odd-doc_id held-out docs against their
+    * own labels. OOV tokens are excluded from scores (the
+    * bigramLogProbUnder restriction); the oracle replays the split
+    * training AND the held-out scoring, so train/score leakage in
+    * either direction flips the hash.
+    */
+  val xQualityModelHoldout = Q(
+    "x_quality_model_holdout",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      Model.naiveBayesFilterUnder(
+        labeled.filter(pmod(col("doc_id"), lit(2)) === 1),
+        labeled.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "text", "doc_id", "label")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      lab AS (SELECT doc_id, pass AS label FROM gr),
+      tk AS (SELECT d.doc_id, token, label FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           FROM documents) d
+        JOIN lab USING (doc_id) WHERE length(token) > 0),
+      cnts AS (SELECT token,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS cnt_pos,
+          CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT)
+            AS cnt_neg
+        FROM tk WHERE doc_id % 2 = 0 GROUP BY token),
+      tot AS (SELECT CAST(SUM(cnt_pos) AS BIGINT) AS n_pos,
+          CAST(SUM(cnt_neg) AS BIGINT) AS n_neg,
+          CAST(COUNT(*) AS BIGINT) AS v FROM cnts),
+      model AS (SELECT token,
+          CAST(CAST(ln(CAST(cnt_pos + 1 AS DOUBLE) /
+            CAST(n_pos + v AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS lp_pos,
+          CAST(CAST(ln(CAST(cnt_neg + 1 AS DOUBLE) /
+            CAST(n_neg + v AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS lp_neg
+        FROM cnts, tot),
+      htf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tk WHERE doc_id % 2 = 1 GROUP BY doc_id, token),
+      hsums AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+          CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp_pos AS DECIMAL(30,14)))
+            AS DOUBLE) AS s_pos,
+          CAST(SUM(CAST(CAST(tf AS DOUBLE) * lp_neg AS DECIMAL(30,14)))
+            AS DOUBLE) AS s_neg
+        FROM htf JOIN model USING (token) GROUP BY doc_id),
+      hpri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_pos_docs
+        FROM lab WHERE doc_id % 2 = 0),
+      hpr AS (SELECT
+          CAST(CAST(ln(CAST(n_pos_docs AS DOUBLE) /
+            CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS lprior_pos,
+          CAST(CAST(ln(CAST(n_docs - n_pos_docs AS DOUBLE) /
+            CAST(n_docs AS DOUBLE)) AS DECIMAL(20,12)) AS DOUBLE)
+            AS lprior_neg FROM hpri),
+      hsc AS (SELECT l.doc_id, COALESCE(n_tokens, 0) AS n_tokens,
+          COALESCE(s_pos, 0.0) + lprior_pos AS score_pos,
+          COALESCE(s_neg, 0.0) + lprior_neg AS score_neg, label
+        FROM (SELECT * FROM lab WHERE doc_id % 2 = 1) l
+        LEFT JOIN hsums USING (doc_id), hpr)
+      SELECT doc_id, n_tokens, score_pos, score_neg, label,
+        (score_pos > score_neg) AS predicted,
+        ((score_pos > score_neg) = label) AS correct
+      FROM hsc ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextLangidModel, xTextLangidModelEval,
-    xCurateStreamFunnel, xDedupDropExactFirst)
+    xCurateStreamFunnel, xDedupDropExactFirst, xQualityModelHoldout)
 }
