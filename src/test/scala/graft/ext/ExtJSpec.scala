@@ -198,4 +198,42 @@ class ExtJSpec extends SparkSuite {
     assert(hintCount(bcast) == hintCount(guarded) + 1,
       "above-bound vocab must drop exactly the model's broadcast hint")
   }
+
+  private def hints(d: org.apache.spark.sql.DataFrame): Int =
+    "ResolvedHint".r.findAllIn(d.queryExecution.analyzed.toString).length
+
+  test("langid: gram-vocab broadcast guard degrades with identical verdicts") {
+    val df = Seq((1L, "aaa bbb", "x"), (2L, "aab bba", "x"),
+      (3L, "ccc ddd", "y"), (4L, "ccd dde", "y")).toDF("doc_id", "t", "y")
+    val bcast = Model.naiveBayesLangId(df, "t", "doc_id", "y")
+    val shuffled = Model.naiveBayesLangId(df, "t", "doc_id", "y",
+      maxBroadcastVocab = 1L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getDouble(2))
+    assert(bcast.orderBy("doc_id").collect().map(key).toSeq ==
+      shuffled.orderBy("doc_id").collect().map(key).toSeq,
+      "guarded shuffle join must score identically to the broadcast path")
+    // the guard drops exactly the class-gram model's hint (the class
+    // table's O(classes) broadcasts stay on both faces)
+    assert(hints(bcast) == hints(shuffled) + 1,
+      "above-bound gram vocab must drop exactly the model's hint")
+  }
+
+  test("bigram split-face model guard degrades with identical scores") {
+    val docs = Seq(1L -> "a b c d", 2L -> "b c d e").toDF("doc_id", "text")
+    val model = Seq(10L -> "a b c d e a b", 11L -> "b c a d")
+      .toDF("doc_id", "text")
+    val bcast = Text.bigramLogProbUnder(docs, model, "text", "doc_id")
+    val shuffled = Text.bigramLogProbUnder(docs, model, "text", "doc_id",
+      maxBroadcastVocab = 0L)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(bcast.orderBy("doc_id").collect().map(key).toSeq ==
+      shuffled.orderBy("doc_id").collect().map(key).toSeq,
+      "guarded shuffle joins must score identically to the broadcast path")
+    // three model-table hints drop (bigram table + both unigram sides);
+    // the 1-row totals broadcast stays on both faces
+    assert(hints(bcast) == hints(shuffled) + 3,
+      "above-bound model vocab must drop exactly the three model hints")
+  }
 }
