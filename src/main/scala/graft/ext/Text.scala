@@ -863,6 +863,80 @@ object Text {
     * combinable) and one per-doc aggregate — both exchanges are keyed
     * by doc id, so the second collapses into the first's partitioning.
     */
+  /** The quality-signals TABLE — the RedPajama-V2 artifact shape
+    * (Weber et al. 2024, "RedPajama: an Open Dataset for Training
+    * Large Language Models" — the V2 release ships a per-document
+    * quality_signals parquet beside the text so downstream users
+    * filter without recomputing): ONE wide row per document bundling
+    * the engine's audited signals —
+    *
+    *  - size/shape: n_chars, n_words, mean_word_len, stopword_frac
+    *  - lexical diversity: frac_unique_words (1-gram stats),
+    *    top_gram_frac + dup_gram_frac (2-gram repetition, Rae et al.)
+    *  - information density: token_entropy
+    *  - language: pred_lang (the marker heuristic — swap in
+    *    [[graft.ext.Model.naiveBayesLangId]] when a labeled corpus is
+    *    available)
+    *  - rule filter: gopher_pass
+    *  - fluency: mean_logprob + ppl_bucket (CCNet buckets under the
+    *    corpus-trained LM)
+    *  - leakage: contaminated (any 5-gram hit against `evalDocs`)
+    *
+    * Null conventions: docs too short for a signal carry NULL
+    * (sub-2-token docs for the 2-gram fractions, unscoreable docs for
+    * mean_logprob/ppl_bucket); `contaminated` is false when the doc
+    * has no 5-gram at all.
+    *
+    * Scale shape: the per-row signals are one narrow codegen'd pass
+    * (gram_stats is the native expression — zero shuffle); entropy and
+    * the LM ride their audited aggregations; the final assembly is
+    * doc-id equi-joins that AQE plans against the same key. At 100 TB
+    * this is the "write the signals parquet next to the corpus" job —
+    * one read of the text column, signal-sized output.
+    */
+  def qualitySignals(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    graft.plans.GraftExtensions.ensure(docs.sparkSession)
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("_t"))
+    val row = base.select(col("doc_id"),
+        length(col("_t")).cast("int").as("n_chars"),
+        wordCount(col("_t")).cast("int").as("n_words"),
+        meanWordLen(col("_t")).as("mean_word_len"),
+        (stopwordCount(col("_t")).cast("double") /
+          wordCount(col("_t"))).as("stopword_frac"),
+        call_function("gram_stats", tokens(col("_t")), lit(1)).as("g1"),
+        call_function("gram_stats", tokens(col("_t")), lit(2)).as("g2"),
+        langId(col("_t")).as("pred_lang"))
+      .select(col("doc_id"), col("n_chars"), col("n_words"),
+        col("mean_word_len"), col("stopword_frac"),
+        when(col("g1.n_grams") > 0,
+          col("g1.distinct_grams").cast("double") /
+            col("g1.n_grams").cast("double")).as("frac_unique_words"),
+        when(col("g2.n_grams") > 0,
+          col("g2.top_count").cast("double") /
+            col("g2.n_grams").cast("double")).as("top_gram_frac"),
+        when(col("g2.n_grams") > 0,
+          lit(1.0) - col("g2.distinct_grams").cast("double") /
+            col("g2.n_grams").cast("double")).as("dup_gram_frac"),
+        col("pred_lang"))
+    val gph = gopherRules(docs, textCol, idCol)
+      .select(col("doc_id"), col("pass").as("gopher_pass"))
+    val ent = tokenEntropy(docs, textCol, idCol)
+      .select(col(idCol).as("doc_id"), col("token_entropy"))
+    val ppl = perplexityBuckets(docs, textCol, idCol, nBuckets = 3)
+      .select(col("doc_id"), col("mean_logprob"),
+        col("bucket").as("ppl_bucket"))
+    val contam = contamination(docs, evalDocs, textCol, idCol, n = 5)
+      .select(col("doc_id"), col("contaminated"))
+    row.join(gph, "doc_id")
+      .join(ent, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("contaminated",
+        coalesce(col("contaminated"), lit(false)))
+  }
+
   def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))

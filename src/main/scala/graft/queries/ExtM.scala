@@ -327,6 +327,114 @@ object ExtM {
         ((score_pos > score_neg) = label) AS correct
       FROM hsc ORDER BY doc_id"""))
 
+  /** The RedPajama-V2-style quality-signals table
+    * ([[Text.qualitySignals]]): ONE wide row per document bundling the
+    * audited signals — size/shape, lexical diversity, repetition,
+    * entropy, language, Gopher verdict, CCNet fluency, leakage — the
+    * per-doc parquet a curation pipeline writes beside the corpus so
+    * downstream users filter without recomputing. The oracle joins the
+    * SHARED signal replays (LM + rank buckets, gopher, entropy,
+    * repetition, langid, contamination) into the same wide row, so
+    * drift in ANY signal flips the hash.
+    */
+  val xQualitySignals = Q(
+    "x_quality_signals",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.qualitySignals(docs, docs.filter(col("doc_id") < 20),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      qrow AS (SELECT doc_id,
+          CAST(length(text) AS INTEGER) AS n_chars,
+          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+          CAST(list_sum(list_transform(string_split(text, ' '),
+            w -> len(w))) AS DOUBLE) / len(string_split(text, ' '))
+            AS mean_word_len,
+          CAST(len(list_filter(string_split(text, ' '),
+            w -> list_contains(['the','a','an','of','and','or','to',
+              'in','is','it'], w))) AS DOUBLE)
+            / len(string_split(text, ' ')) AS stopword_frac,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+            len(string_split(text, ' ')) AS frac_unique_words
+        FROM documents),
+      qg AS (SELECT doc_id, unnest(list_transform(range(1, len(w)),
+          i -> w[i] || ' ' || w[i+1])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents)),
+      qc AS (SELECT doc_id, gram, count(*) AS c FROM qg GROUP BY 1, 2),
+      qa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n2,
+          CAST(COUNT(*) AS BIGINT) AS d2, CAST(MAX(c) AS BIGINT) AS t2
+        FROM qc GROUP BY 1),
+      qh AS (SELECT doc_id,
+        len(regexp_extract_all(text, '[^\\x00-\\x7f]'))*10 + 5 AS s_zh,
+        len(list_filter(string_split(text,' '),
+          w -> list_contains(['the','a','of','and'], w)))*10 + 4 AS s_en,
+        len(list_filter(string_split(text,' '),
+          w -> list_contains(['der','die','das','und'], w)))*10 + 3 AS s_de,
+        len(list_filter(string_split(text,' '),
+          w -> list_contains(['le','la','les','et'], w)))*10 + 2 AS s_fr,
+        len(list_filter(string_split(text,' '),
+          w -> list_contains(['el','los','las','y'], w)))*10 + 1 AS s_es
+        FROM documents),
+      qlang AS (SELECT doc_id,
+          CASE greatest(s_zh, s_en, s_de, s_fr, s_es) % 10
+            WHEN 5 THEN 'zh' WHEN 4 THEN 'en' WHEN 3 THEN 'de'
+            WHEN 2 THEN 'fr' ELSE 'es' END AS pred_lang
+        FROM qh),
+      qtok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+        FROM documents),
+      qtf AS (SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM qtok
+        WHERE len(tk) > 0 GROUP BY doc_id, tk),
+      qent0 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          SUM(CAST(CAST(c AS DOUBLE)
+            * CAST(CAST(CAST(ln(CAST(c AS DOUBLE)) AS VARCHAR)
+                AS DECIMAL(20,12)) AS DOUBLE)
+            AS DECIMAL(30,14))) AS s
+        FROM qtf GROUP BY doc_id),
+      qent AS (SELECT doc_id,
+          CAST(CAST(CAST(
+            CAST(CAST(CAST(ln(CAST(n_tokens AS DOUBLE)) AS VARCHAR)
+              AS DECIMAL(20,12)) AS DOUBLE)
+            - CAST(s AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+            AS VARCHAR) AS DECIMAL(20,12)) AS DOUBLE) AS token_entropy
+        FROM qent0),
+      qeg AS (SELECT DISTINCT
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE doc_id < 20)),
+      qcg AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents)),
+      qcont AS (SELECT DISTINCT doc_id, TRUE AS c
+        FROM qcg JOIN qeg USING (gram))
+      SELECT q.doc_id, q.n_chars, q.n_words, q.mean_word_len,
+        q.stopword_frac, q.frac_unique_words,
+        CAST(a.t2 AS DOUBLE) / CAST(a.n2 AS DOUBLE) AS top_gram_frac,
+        1.0 - CAST(a.d2 AS DOUBLE) / CAST(a.n2 AS DOUBLE)
+          AS dup_gram_frac,
+        ql.pred_lang, gr.pass AS gopher_pass, e.token_entropy,
+        bk.mean_logprob, bk.bucket AS ppl_bucket,
+        COALESCE(ct.c, FALSE) AS contaminated
+      FROM qrow q
+      JOIN qlang ql USING (doc_id)
+      JOIN gr USING (doc_id)
+      LEFT JOIN qa a USING (doc_id)
+      LEFT JOIN qent e USING (doc_id)
+      LEFT JOIN bk USING (doc_id)
+      LEFT JOIN qcont ct USING (doc_id)
+      ORDER BY q.doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextLangidModel, xTextLangidModelEval,
-    xCurateStreamFunnel, xDedupDropExactFirst, xQualityModelHoldout)
+    xCurateStreamFunnel, xDedupDropExactFirst, xQualityModelHoldout,
+    xQualitySignals)
 }
