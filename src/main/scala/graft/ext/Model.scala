@@ -2,19 +2,22 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import java.math.{BigDecimal => JBigDecimal}
 
 /** Model-based quality scoring — the FineWeb-Edu/CCNet "classifier
   * filter" stage (Penedo et al. 2024, Wenzek et al. 2020 — public
   * literature): train a lightweight classifier on corpus-derived
   * labels, score every document, filter on the verdict.
   *
-  * The classifier is multinomial Naive Bayes with add-1 smoothing —
-  * chosen over logistic regression because its training IS a pair of
-  * count aggregations: sufficient statistics are exact integers, the
-  * learned parameters are single ln's of integer ratios, and both
-  * train and inference replay in ANSI SQL (the bpeTrain/lloydCentroids
-  * oracle discipline — the DuckDB oracle re-derives the model itself,
-  * not just the scores).
+  * Two classifier families: multinomial Naive Bayes with add-1
+  * smoothing — its training IS a pair of count aggregations:
+  * sufficient statistics are exact integers, the learned parameters
+  * single ln's of integer ratios — and (r16) hashing-trick logistic
+  * regression trained by full-batch gradient descent
+  * ([[logRegFilter]]), whose every weight update is exact decimal
+  * arithmetic. Both train AND inference replay in ANSI SQL (the
+  * bpeTrain/lloydCentroids oracle discipline — the DuckDB oracle
+  * re-derives the model itself, not just the scores).
   *
   * Determinism: every ln goes through DECIMAL(20,12) canonicalization
   * ([[Text.lnStable]]); per-token contributions tf·ln p are rounded to
@@ -246,5 +249,141 @@ object Model {
       .filter(col("_rn") === 1)
       .select(col("doc_id"), col("_y").as("pred_lang"),
         col("score").as("score_best"))
+  }
+
+  /** Hashing-trick logistic regression trained by full-batch gradient
+    * descent — the ACTUALLY-ITERATIVE classifier face beside
+    * [[naiveBayesFilter]]'s closed-form counts (fastText's linear
+    * classifier is trained exactly this way: hashed bag-of-words
+    * features, gradient steps — Joulin et al. 2016; Weinberger et al.
+    * 2009 for the hashing trick — public literature). Features are
+    * token counts hashed into `dims` buckets (bucket = first 60 bits
+    * of sha-256 mod dims — the engine's replayable-hash idiom) plus a
+    * constant bias feature at bucket id `dims`; the model is the
+    * (dims+1)-row weight vector after `iters` full-batch steps
+    *
+    *   w ← w − step · Σ_i (σ(xᵢ·w) − yᵢ) xᵢ
+    *
+    * (sum-of-errors gradient; the conventional 1/n mean is folded into
+    * `step`, which keeps the update EXACT — see below).
+    *
+    * Determinism — the whole train loop replays hash-exact in SQL:
+    * weights live at scale 12, features are integers, so every logit
+    * z = x·w is EXACT decimal; the one nonlinearity per (doc, iter) —
+    * σ(z) computed in double — is immediately quantized to
+    * DECIMAL(20,6) (the [[naiveBayesLangId]] move; the oracle's
+    * VARCHAR-roundtrip cast mirrors Spark's shortest-string rounding);
+    * residuals (σ−y), gradients Σ(σ−y)·x, and the update step·g (step
+    * is an exact scale-6 decimal, so step·g lands exactly on scale 12)
+    * are then all EXACT decimal arithmetic — partitioning cannot
+    * perturb a weight, and both engines walk the identical parameter
+    * trajectory. Logit-to-double casts are exact-deterministic while
+    * |z| < 2⁵³/10¹² ≈ 9·10³ (far beyond σ's saturation).
+    *
+    * Scale shape (100 TB): the model is O(dims) — INDEPENDENT of
+    * vocabulary (the hashing trick's point, vs the NB model's O(vocab)
+    * rows) and broadcasts at any corpus size with no guard needed;
+    * each iteration is two corpus passes (logits keyed by doc,
+    * gradient keyed by bucket — both map-side combinable) over the
+    * PINNED feature table (hash once, iterate on integers); the only
+    * driver-side state is the (dims+1)-element weight vector
+    * (bounded by dims, never by data — the lshPlaneEntry collect
+    * budget).
+    */
+  private def logRegTrain(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, dims: Int, iters: Int, step: String)
+      : (DataFrame, IndexedSeq[JBigDecimal]) = {
+    require(dims > 0, "dims must be positive")
+    require(iters >= 0, "iters must be >= 0")
+    val stepDec = new JBigDecimal(step).setScale(6)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val lab = docs.select(col(idCol).as("doc_id"),
+      when(col(labelCol), 1).otherwise(0).cast("decimal(2,0)").as("y"))
+    val hashed = docs.select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b",
+        conv(substring(sha2(col("token").cast("binary"), 256), 1, 15),
+          16, 10).cast("long") % dims) // 60-bit value: non-negative
+      .groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).cast("bigint").as("tf"))
+    // bias feature for every doc (covers zero-token docs too); the
+    // label rides along so the gradient pass needs no extra join
+    val feat = hashed.unionByName(
+        lab.select(col("doc_id"), lit(dims.toLong).as("b"), lit(1L).as("tf")))
+      .join(lab, "doc_id")
+      .localCheckpoint(true) // hash once, iterate on integers
+    val zero12 = JBigDecimal.ZERO.setScale(12)
+    val zero6 = JBigDecimal.ZERO.setScale(6)
+    var w: IndexedSeq[JBigDecimal] = Vector.fill(dims + 1)(zero12)
+    for (_ <- 1 to iters) {
+      val wDf = w.zipWithIndex
+        .map { case (wj, j) => (j.toLong, scala.math.BigDecimal(wj)) }
+        .toDF("b", "w")
+        .select(col("b"), col("w").cast("decimal(20,12)").as("w"))
+      val p = feat.join(broadcast(wDf), "b")
+        .withColumn("zc", col("tf").cast("decimal(10,0)") * col("w"))
+        .groupBy(col("doc_id"), col("y"))
+        .agg(sum(col("zc")).cast("decimal(38,12)").as("z"))
+        .withColumn("p", (lit(1.0) /
+          (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(20,6)"))
+      val g = feat.join(p.select(col("doc_id"), col("p")), "doc_id")
+        .withColumn("gc",
+          (col("p") - col("y")) * col("tf").cast("decimal(10,0)"))
+        .groupBy(col("b"))
+        .agg(sum(col("gc")).cast("decimal(18,6)").as("g"))
+        .collect() // O(dims) rows — bounded by dims, never by data
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      w = w.indices.map(j =>
+        w(j).subtract(stepDec.multiply(g.getOrElse(j.toLong, zero6))))
+    }
+    (feat, w)
+  }
+
+  /** The trained weight vector of [[logRegFilter]]'s model: one row
+    * per bucket (bias at bucket id `dims`), weight after `iters`
+    * full-batch steps. The oracle re-derives the whole gradient
+    * trajectory, so this adjudicates TRAINING (the bpeTrain
+    * discipline applied to iterative optimization).
+    */
+  def logRegModel(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, dims: Int = 64, iters: Int = 30,
+      step: String = "0.000200"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, w) = logRegTrain(docs, textCol, idCol, labelCol, dims, iters, step)
+    w.zipWithIndex.map { case (wj, j) => (j.toLong, wj.doubleValue) }
+      .toDF("bucket", "weight")
+  }
+
+  /** Score every document under the gradient-trained model: per doc,
+    * token count, the exact-decimal logit (as double), the quantized
+    * sigmoid, the verdict z > 0, the training label, and agreement.
+    */
+  def logRegFilter(docs: DataFrame, textCol: String, idCol: String,
+      labelCol: String, dims: Int = 64, iters: Int = 30,
+      step: String = "0.000200"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (feat, w) = logRegTrain(docs, textCol, idCol, labelCol, dims, iters, step)
+    val wDf = w.zipWithIndex
+      .map { case (wj, j) => (j.toLong, scala.math.BigDecimal(wj)) }
+      .toDF("b", "w")
+      .select(col("b"), col("w").cast("decimal(20,12)").as("w"))
+    feat.join(broadcast(wDf), "b")
+      .withColumn("zc", col("tf").cast("decimal(10,0)") * col("w"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sum(when(col("b") < dims, col("tf")).otherwise(0L))
+          .cast("bigint").as("n_tokens"),
+        sum(col("zc")).cast("decimal(38,12)").as("z"))
+      .withColumn("p", (lit(1.0) /
+        (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(20,6)"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("z").cast("double").as("score"),
+        col("p").cast("double").as("p"),
+        (col("y") === lit(1)).as("label"),
+        (col("z") > lit(0)).as("predicted"))
+      .withColumn("correct", col("predicted") === col("label"))
   }
 }

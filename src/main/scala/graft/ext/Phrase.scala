@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-phrase tagging — the Dolma-style tagger/blocklist stage
+  * (Soldaini et al. 2024 tag documents with phrase-list hits;
+  * UT1-style blocklists and toxicity word lists are the production
+  * instances — public literature): count, per document, every
+  * occurrence of every phrase from a (possibly large) phrase list,
+  * matches at TOKEN boundaries, overlapping occurrences included.
+  *
+  * The engine face is a token-level Aho–Corasick automaton (Aho &
+  * Corasick 1975 — public literature): the phrase list compiles ONCE
+  * into a goto/fail trie (broadcast to executors), and every document
+  * is scanned in ONE token pass emitting all phrase hits of ALL
+  * lengths simultaneously — vs the compositional alternative of one
+  * n-gram equi-join per distinct phrase length (which re-shuffles the
+  * corpus per length). This is the mapPartitions-justified case: the
+  * automaton is a compiled kernel (per-token hash-map transitions +
+  * fail links) that no Column-expression composition expresses in one
+  * pass; [[phraseMatchJoin]] IS that composition, kept as the
+  * plan-auditable twin and the spec cross-check.
+  *
+  * Scale shape (100 TB): the automaton is O(Σ phrase tokens) and
+  * broadcasts (blocklists are thousands of phrases — KBs); the scan is
+  * partition-parallel, shuffle-free, and emits only positive counts
+  * (sparse); the output aggregation is already per-(doc, phrase) local
+  * to the scan, so the operator adds ZERO exchanges to a pipeline.
+  * Matching is exact token equality — normalization (casefold etc.) is
+  * the caller's upstream transform.
+  */
+object Phrase {
+
+  /** Token-level Aho–Corasick: states are phrase-token-sequence
+    * prefixes; `goto` maps (state, token) → state; `fail` is the
+    * longest proper suffix that is also a prefix; `out` carries every
+    * phrase id ENDING at the state (own + inherited via fail), so one
+    * forward pass counts all (overlapping, nested) occurrences.
+    */
+  private[ext] final class TokenAc(phrases: Array[Array[String]])
+      extends Serializable {
+    private val goto =
+      scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.HashMap.empty[String, Int])
+    private val outOwn =
+      scala.collection.mutable.ArrayBuffer(List.empty[Int])
+    // trie
+    for (pid <- phrases.indices) {
+      var s = 0
+      for (tok <- phrases(pid)) {
+        s = goto(s).getOrElseUpdate(tok, {
+          goto += scala.collection.mutable.HashMap.empty[String, Int]
+          outOwn += Nil
+          goto.size - 1
+        })
+      }
+      outOwn(s) = pid :: outOwn(s)
+    }
+    private val fail = Array.fill(goto.size)(0)
+    private val out = Array.fill(goto.size)(List.empty[Int])
+    // BFS fail links; out = own ++ out(fail)
+    locally {
+      val q = scala.collection.mutable.Queue.empty[Int]
+      out(0) = outOwn(0)
+      for ((_, s) <- goto(0)) { fail(s) = 0; out(s) = outOwn(s); q += s }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        for ((tok, v) <- goto(u)) {
+          var f = fail(u)
+          while (f != 0 && !goto(f).contains(tok)) f = fail(f)
+          fail(v) = goto(f).get(tok).filter(_ != v).getOrElse(0)
+          out(v) = outOwn(v) ++ out(fail(v))
+          q += v
+        }
+      }
+    }
+
+    /** phrase id → occurrence count over one token sequence. */
+    def count(toks: Array[String]): scala.collection.Map[Int, Long] = {
+      val acc = scala.collection.mutable.HashMap.empty[Int, Long]
+      var s = 0
+      var i = 0
+      while (i < toks.length) {
+        val tok = toks(i)
+        while (s != 0 && !goto(s).contains(tok)) s = fail(s)
+        s = goto(s).getOrElse(tok, 0)
+        var hits = out(s)
+        while (hits.nonEmpty) {
+          val pid = hits.head
+          acc.update(pid, acc.getOrElse(pid, 0L) + 1L)
+          hits = hits.tail
+        }
+        i += 1
+      }
+      acc
+    }
+  }
+
+  /** One-pass Aho–Corasick tagging: (doc_id, phrase, n_matches) for
+    * every phrase with ≥ 1 token-boundary occurrence in the doc
+    * (overlaps and nested phrases all counted). Zero shuffles.
+    */
+  def phraseMatch(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    require(phrases.forall(_.trim.nonEmpty), "phrases must be non-empty")
+    require(phrases.distinct.size == phrases.size,
+      "phrase list must be duplicate-free")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val phraseArr = phrases.toArray
+    val bc = spark.sparkContext.broadcast(
+      phraseArr.map(_.split(" ").filter(_.nonEmpty)))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // compile ONCE per partition from the broadcast phrase list
+        val ac = new TokenAc(bc.value)
+        val local = phraseArr // stable ids → phrase strings
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = text.split(" ").filter(_.nonEmpty)
+            ac.count(toks).iterator.map { case (pid, n) =>
+              (id, local(pid), n)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "phrase", "n_matches")
+  }
+
+  /** The compositional twin: one n-gram equi-join per DISTINCT phrase
+    * length (grams built narrowly, joined against the broadcast phrase
+    * table). Same result set as [[phraseMatch]]; costs one corpus
+    * n-gram pass per distinct length — the shape the automaton
+    * collapses into one pass. Kept as the plan-auditable baseline and
+    * the spec cross-check.
+    */
+  def phraseMatchJoin(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ph = phrases.map(p => (p, p.split(" ").count(_.nonEmpty)))
+    val lens = ph.map(_._2).distinct.sorted
+    val phDf = broadcast(ph.toDF("phrase", "len"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      Text.tokens(col(textCol)).as("_w"))
+    val grams = lens.map(l =>
+        toks.select(col("doc_id"),
+          explode(Text.ngramArray(col("_w"), l)).as("phrase"),
+          lit(l).as("len")))
+      .reduce(_.unionByName(_))
+    grams.join(phDf, Seq("phrase", "len"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).cast("bigint").as("n_matches"))
+  }
+}

@@ -342,6 +342,87 @@ object Text {
         col("sum_logprob") / col("n_bigrams").cast("double"))
   }
 
+  /** Interpolated Kneser–Ney bigram log-probability per document —
+    * the smoothing CCNet's actual reference LM uses (KenLM defaults to
+    * modified Kneser–Ney; Kneser & Ney 1995, Chen & Goodman 1999 —
+    * public literature), the rung above [[bigramLogProb]]'s
+    * Jelinek–Mercer mix: instead of backing off to RAW unigram
+    * frequency, KN backs off to the CONTINUATION probability — how
+    * many distinct contexts a word follows — which stops
+    * high-frequency-but-context-bound words ("Francisco") from
+    * inflating unseen-bigram scores.
+    *
+    * Per scored bigram (w₁,w₂), with corpus bigram count c, context
+    * total c(w₁·) = Σ_w c(w₁,w), fan-out N₁₊(w₁·) = |{w : c(w₁,w)>0}|,
+    * fan-in N₁₊(·w₂) = |{w : c(w,w₂)>0}|, and B = total distinct
+    * bigram types:
+    *
+    *   P_KN(w₂|w₁) = max(c − d, 0)/c(w₁·)
+    *               + (d·N₁₊(w₁·)/c(w₁·)) · (N₁₊(·w₂)/B)
+    *
+    * with absolute discount d (default 0.75, the textbook value — an
+    * EXACT binary double, so the discount subtraction is exact). The
+    * self-scored face means every scored bigram is observed (c ≥ 1),
+    * so the max() arm never clips here; it is kept (and mirrored in
+    * the oracle) because the formula is what a train/score split would
+    * reuse.
+    *
+    * Determinism: every input to P_KN is an exact integer count cast
+    * to double (counts < 2⁵³) or the exact constant d; the probability
+    * is a fixed tree of IEEE divisions/multiplies/adds mirrored
+    * operation-for-operation in the oracle SQL, so both engines
+    * compute the identical double; ln goes through the 12-decimal
+    * canonicalization and per-position contributions are
+    * decimal-summed ([[bigramLogProb]]'s discipline).
+    *
+    * Scale shape: all four statistics tables are aggregations OF the
+    * bigram-type table (O(bigram types), map-side combinable) — the
+    * fan-out/context totals fold into ONE groupBy(w₁) pass and the
+    * fan-in into one groupBy(w₂) pass; they broadcast at this corpus
+    * scale (the [[bigramLogProb]] self-face contract: at web scale the
+    * caller persists the tables once and the probes degrade to
+    * shuffle equi-joins, never all-pairs).
+    */
+  def bigramKneserNey(docs: DataFrame, textCol: String, idCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount <= 1.0,
+      "discount must be in (0, 1]")
+    val bi = docs.select(col(idCol).as("doc_id"),
+        explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("bf"))
+    val bic = bi.groupBy(col("bigram"))
+      .agg(sum(col("bf")).cast("bigint").as("bcnt"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    // context totals + fan-out in ONE pass over the type table
+    val ctx = bic.groupBy(col("w1"))
+      .agg(sum(col("bcnt")).cast("double").as("ctot"),
+        count(lit(1)).cast("double").as("n1_fwd"))
+    val cont = bic.groupBy(col("w2"))
+      .agg(count(lit(1)).cast("double").as("n1_bwd"))
+    val nbt = bic.agg(count(lit(1)).cast("double").as("n_bigram_types"))
+    bi
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(broadcast(bic.select(col("bigram"), col("bcnt"))), "bigram")
+      .join(broadcast(ctx), "w1")
+      .join(broadcast(cont), "w2")
+      .crossJoin(broadcast(nbt))
+      .withColumn("contrib",
+        (col("bf").cast("double") * lnStable(
+          greatest(col("bcnt").cast("double") - lit(discount), lit(0.0)) /
+            col("ctot") +
+            (lit(discount) * col("n1_fwd") / col("ctot")) *
+              (col("n1_bwd") / col("n_bigram_types"))))
+          .cast("decimal(20,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).cast("bigint").as("n_bigrams"),
+        sum(col("contrib")).cast("decimal(38,12)").cast("double").as("sum_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_logprob") / col("n_bigrams").cast("double"))
+  }
+
   /** CCNet-style contrastive domain selection (Wenzek et al. 2020;
     * Moore–Lewis 2010 cross-entropy difference — public literature):
     * every scoreable document is scored under TWO interpolated bigram

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Model, Text}
+import H.t
+
+/** Round-16 wave 2: the iteratively-TRAINED classifier face — hashing-
+  * trick logistic regression by full-batch gradient descent, its whole
+  * parameter trajectory replayed in unrolled SQL — and Kneser–Ney
+  * smoothing for the fluency LM family (the smoothing CCNet's actual
+  * KenLM reference models use).
+  */
+object ExtN {
+
+  /** Kneser–Ney bigram fluency ([[Text.bigramKneserNey]], d = 0.75):
+    * per-doc sum/mean log-prob under interpolated KN — backoff to
+    * CONTINUATION probability (distinct-context fan-in), not raw
+    * unigram frequency. The oracle re-derives all four statistics
+    * tables (bigram counts, context totals + fan-out, fan-in, type
+    * count) and mirrors the probability's IEEE operation tree
+    * term-for-term, so a single drifted count or a reassociated
+    * multiply flips the hash.
+    */
+  val xTextBigramKn = Q(
+    "x_text_bigram_kn",
+    (s, dir) => Text.bigramKneserNey(t(s, dir, "documents"), "text", "doc_id")
+      .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+        col("mean_logprob"))
+      .orderBy(col("doc_id")),
+    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
+        GROUP BY 1, 2),
+      bic AS MATERIALIZED (SELECT gram, CAST(SUM(bf) AS BIGINT) AS bcnt,
+          string_split(gram, ' ')[1] AS w1,
+          string_split(gram, ' ')[-1] AS w2
+        FROM bi GROUP BY 1),
+      ctx AS MATERIALIZED (SELECT w1, CAST(SUM(bcnt) AS DOUBLE) AS ctot,
+          CAST(COUNT(*) AS DOUBLE) AS n1_fwd
+        FROM bic GROUP BY 1),
+      cont AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1_bwd
+        FROM bic GROUP BY 1),
+      nbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bic),
+      j AS (SELECT bi.doc_id, bi.bf,
+          CAST(CAST(bi.bf AS DOUBLE) *
+            CAST(CAST(ln(
+              GREATEST(CAST(bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / ctot
+              + (CAST(0.75 AS DOUBLE) * n1_fwd / ctot)
+                * (n1_bwd / n_bigram_types))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM bi JOIN bic USING (gram)
+        JOIN ctx ON ctx.w1 = bic.w1
+        JOIN cont ON cont.w2 = bic.w2, nbt)
+      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+          / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
+      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** [[Model.logRegFilter]]'s registered configuration: 64 hash
+    * buckets, 30 full-batch steps at 2e-4 — reaches 75.2% train
+    * accuracy on the Gopher-pass label at sf0.01 (base rate 52.8%;
+    * the label is length-driven, so the learned solution is a
+    * near-uniform positive token mass against a negative bias — the
+    * signal a bag-of-counts linear model CAN represent). Larger steps
+    * oscillate (measured: 3e-4 diverges to 48.8%), more steps keep
+    * converging slowly (50 → 79.0%) — 30 balances the adjudicated
+    * trajectory length against the two-pass-per-iteration cost.
+    */
+  private val lrDims = 64
+  private val lrIters = 30
+  private val lrStep = "0.000200"
+
+  /** The unrolled gradient-descent replay: label + hashed-feature base
+    * CTEs, then per iteration t the exact-decimal logits `lz{t}` under
+    * the previous weights, the VARCHAR-roundtrip-quantized sigmoids
+    * `lp{t}`, the exact-decimal gradient `lg{t}`, and the exact update
+    * `lw{t}` — the lloydCentroids unrolling applied to a parameter
+    * vector. Ends with `lw{iters}` (the final weights) and `lzf`/`lpf`
+    * (logits/sigmoids UNDER the final weights, for the filter face).
+    */
+  private def logRegCtes(dims: Int, iters: Int, step: String): String = {
+    val base = s"""inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      llab AS (SELECT doc_id, pass AS label FROM gr),
+      lfeat AS MATERIALIZED (
+        SELECT doc_id,
+            CAST(CAST(concat('0x', substring(sha256(token), 1, 15))
+              AS BIGINT) % $dims AS BIGINT) AS b,
+            CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+          WHERE length(token) > 0 GROUP BY 1, 2
+        UNION ALL
+        SELECT doc_id, CAST($dims AS BIGINT), CAST(1 AS BIGINT) FROM llab),
+      ly AS (SELECT doc_id, CAST(CASE WHEN label THEN 1 ELSE 0 END
+          AS DECIMAL(2,0)) AS y FROM llab),
+      lw0 AS (SELECT CAST(b AS BIGINT) AS b,
+          CAST(0 AS DECIMAL(20,12)) AS w
+        FROM range(${dims + 1}) t(b))"""
+    val steps = (1 to iters).map { i =>
+      s"""lz$i AS MATERIALIZED (SELECT f.doc_id,
+          CAST(SUM(CAST(f.tf AS DECIMAL(10,0)) * w.w) AS DECIMAL(38,12))
+            AS z
+        FROM lfeat f JOIN lw${i - 1} w USING (b) GROUP BY 1),
+      lp$i AS MATERIALIZED (SELECT doc_id,
+          CAST(CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+            + exp(-(CAST(z AS DOUBLE)))) AS VARCHAR) AS DECIMAL(20,6))
+            AS p
+        FROM lz$i),
+      lg$i AS MATERIALIZED (SELECT f.b,
+          CAST(SUM((p.p - y.y) * CAST(f.tf AS DECIMAL(10,0)))
+            AS DECIMAL(18,6)) AS g
+        FROM lfeat f JOIN lp$i p USING (doc_id) JOIN ly y USING (doc_id)
+        GROUP BY 1),
+      lw$i AS MATERIALIZED (SELECT w.b,
+          CAST(w.w - CAST('$step' AS DECIMAL(8,6))
+            * COALESCE(g.g, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(20,12))
+            AS w
+        FROM lw${i - 1} w LEFT JOIN lg$i g USING (b))"""
+    }.mkString(",\n      ")
+    val fin = s"""lzf AS MATERIALIZED (SELECT f.doc_id, f.y,
+          CAST(SUM(CASE WHEN f.b < $dims THEN f.tf ELSE 0 END) AS BIGINT)
+            AS n_tokens,
+          CAST(SUM(CAST(f.tf AS DECIMAL(10,0)) * w.w) AS DECIMAL(38,12))
+            AS z
+        FROM (SELECT lfeat.*, ly.y FROM lfeat JOIN ly USING (doc_id)) f
+        JOIN lw$iters w USING (b) GROUP BY 1, 2),
+      lpf AS (SELECT doc_id, y, n_tokens, z,
+          CAST(CAST(CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+            + exp(-(CAST(z AS DOUBLE)))) AS VARCHAR) AS DECIMAL(20,6))
+            AS p
+        FROM lzf)"""
+    s"$base,\n      $steps,\n      $fin"
+  }
+
+  /** Gradient-descent-trained weights ([[Model.logRegModel]], 64
+    * hash buckets + bias, 5 full-batch steps): the final weight
+    * vector. The oracle unrolls ALL FIVE iterations — logits,
+    * quantized sigmoids, gradients, exact-decimal updates — so this
+    * adjudicates the TRAINING TRAJECTORY itself: a perturbed count,
+    * a reordered update, or a drifted quantization in any iteration
+    * flips every later weight and the hash.
+    */
+  val xQualityLogregTrain = Q(
+    "x_quality_logreg_train",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      Model.logRegModel(labeled, "text", "doc_id", "label",
+          dims = lrDims, iters = lrIters, step = lrStep)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH ${logRegCtes(lrDims, lrIters, lrStep)}
+      SELECT b AS bucket, CAST(w AS DOUBLE) AS weight
+      FROM lw$lrIters ORDER BY bucket"""))
+
+  /** Gradient-trained quality filter ([[Model.logRegFilter]]): every
+    * doc's exact-decimal logit under the final weights, quantized
+    * sigmoid, z > 0 verdict, label, agreement — scored through the
+    * SAME unrolled-training replay as the train face, so train and
+    * inference adjudicate as one chain.
+    */
+  val xQualityLogregFilter = Q(
+    "x_quality_logreg_filter",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+        Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      Model.logRegFilter(labeled, "text", "doc_id", "label",
+          dims = lrDims, iters = lrIters, step = lrStep)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${logRegCtes(lrDims, lrIters, lrStep)}
+      SELECT doc_id, n_tokens, CAST(z AS DOUBLE) AS score,
+        CAST(p AS DOUBLE) AS p, label,
+        (z > CAST(0 AS DECIMAL(2,0))) AS predicted,
+        ((z > CAST(0 AS DECIMAL(2,0))) = label) AS correct
+      FROM lpf JOIN llab USING (doc_id) ORDER BY doc_id"""),
+    // the engine's one iteratively-trained loop: a cross-round perf
+    // trace for the 30-step × 2-pass GD pattern
+    bench = true)
+
+  /** The registered tagger phrase list — drawn from the corpus
+    * vocabulary so every length class actually fires at sf0.01:
+    * singles, bigrams (incl. the self-overlapping "a a" / "batch
+    * batch"), and a trigram. Shared verbatim with the oracle's VALUES
+    * list (the blockedDomains convention).
+    */
+  private val tagPhrases = Seq("batch batch", "batch batch batch",
+    "table scan", "join order", "hash join", "spark", "the fast",
+    "group query", "a a")
+
+  /** Aho–Corasick multi-phrase tagger ([[graft.ext.Phrase.phraseMatch]]):
+    * per (doc, phrase) occurrence counts at token boundaries, overlaps
+    * and nested phrases included, ONE token pass for all phrases of
+    * all lengths. The oracle is the compositional shape the automaton
+    * collapses — one n-gram join per distinct phrase length — so the
+    * single-pass kernel adjudicates against the join semantics
+    * position-for-position.
+    */
+  val xTextPhraseTags = Q(
+    "x_text_phrase_tags",
+    (s, dir) => graft.ext.Phrase.phraseMatch(
+        t(s, dir, "documents"), "text", "doc_id", tagPhrases)
+      .orderBy(col("doc_id"), col("phrase")),
+    Some(s"""WITH ph AS (SELECT * FROM (VALUES
+        ${tagPhrases.map(p => s"('$p')").mkString(", ")}) t(phrase)),
+      phl AS (SELECT phrase,
+          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l FROM ph),
+      tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      lens AS (SELECT DISTINCT l FROM phl),
+      dg AS (SELECT doc_id, l,
+          unnest(list_transform(range(1, len(w) - l + 2),
+            i -> array_to_string(w[i:i+l-1], ' '))) AS gram
+        FROM tk JOIN lens ON len(w) >= l)
+      SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM dg JOIN phl ON dg.l = phl.l AND dg.gram = phl.phrase
+      GROUP BY 1, 2 ORDER BY doc_id, phrase"""))
+
+  val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
+    xQualityLogregFilter, xTextPhraseTags)
+}

@@ -29,7 +29,8 @@ object Registry {
       BehaviorQ.queries ++ Cleaning.queries ++ Ext.queries ++ ExtB.queries ++
       ExtC.queries ++ ExtD.queries ++ ExtE.queries ++ ExtF.queries ++
       ExtG.queries ++ ExtH.queries ++ ExtI.queries ++ ExtJ.queries ++
-      ExtK.queries ++ ExtL.queries ++ ExtM.queries ++ Curate.queries
+      ExtK.queries ++ ExtL.queries ++ ExtM.queries ++ ExtN.queries ++
+      Curate.queries
 
   lazy val byName: Map[String, Q] = {
     // a duplicate name would silently shadow a query in SparkEntry's
