@@ -225,6 +225,103 @@ object ExtN {
       FROM dg JOIN phl ON dg.l = phl.l AND dg.gram = phl.phrase
       GROUP BY 1, 2 ORDER BY doc_id, phrase"""))
 
+  /** The shared prefix-doubling replay: globally numbered positions
+    * (sentinels between docs), rank₁ = MIN(p) per token, then five
+    * doubling rounds — each a self-join at offset L and a window MIN
+    * over the (rank, partner) pair, COALESCE(−p) for off-corpus
+    * partners — mirroring [[graft.ext.Suffix.dyadicRanks]] round for
+    * round. Ends at `srk32`.
+    */
+  private val suffixCtes = """sraw AS (SELECT doc_id,
+        CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    spos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)
+        AS p, tok FROM (
+      SELECT * FROM sraw WHERE length(tok) > 0
+      UNION ALL SELECT doc_id, 9223372036854775807,
+        ' ' || CAST(doc_id AS VARCHAR) AS tok FROM documents)),
+    srk1 AS MATERIALIZED (SELECT p, MIN(p) OVER (PARTITION BY tok)
+        AS rank FROM spos),
+    srk2 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM srk1 a LEFT JOIN srk1 b ON b.p = a.p + 1),
+    srk4 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM srk2 a LEFT JOIN srk2 b ON b.p = a.p + 2),
+    srk8 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM srk4 a LEFT JOIN srk4 b ON b.p = a.p + 4),
+    srk16 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM srk8 a LEFT JOIN srk8 b ON b.p = a.p + 8),
+    srk32 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM srk16 a LEFT JOIN srk16 b ON b.p = a.p + 16)"""
+
+  /** Dyadic duplication profile ([[graft.ext.Suffix.dupProfile]]):
+    * duplicate-group and duplicate-position counts at span lengths
+    * 1–32, via suffix-array prefix doubling — exact (no hashing), one
+    * 16-byte join key at every length. Every doubling round is
+    * replayed, so a wrong rank anywhere cascades into every longer
+    * level's row.
+    */
+  val xDedupSuffixProfile = Q(
+    "x_dedup_suffix_profile",
+    (s, dir) => graft.ext.Suffix.dupProfile(
+        t(s, dir, "documents"), "text", "doc_id", maxLen = 32)
+      .orderBy(col("span_len")),
+    Some(s"""WITH $suffixCtes
+      SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS span_len,
+            CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+            CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_dup_positions
+          FROM (SELECT rank, COUNT(*) AS n FROM srk1 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+        UNION ALL SELECT 2, COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT rank, COUNT(*) AS n FROM srk2 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+        UNION ALL SELECT 4, COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT rank, COUNT(*) AS n FROM srk4 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+        UNION ALL SELECT 8, COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT rank, COUNT(*) AS n FROM srk8 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+        UNION ALL SELECT 16, COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT rank, COUNT(*) AS n FROM srk16 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+        UNION ALL SELECT 32, COUNT(*), CAST(COALESCE(SUM(n), 0) AS BIGINT)
+          FROM (SELECT rank, COUNT(*) AS n FROM srk32 GROUP BY 1
+            HAVING COUNT(*) >= 2)
+      ) ORDER BY span_len"""),
+    // the heavy face: 5 doubling rounds over the corpus position
+    // table — a cross-round perf trace for the join+window ladder
+    bench = true)
+
+  /** Top duplicated 32-token spans ([[graft.ext.Suffix.topDupSpans]]):
+    * occurrence count, first position (the group id), reconstructed
+    * text. At sf0.01 the top spans occur 3× — near-identical docs the
+    * corpus generator plants — and the reconstruction is verified by
+    * the oracle slicing the SAME numbered position table.
+    */
+  val xDedupSuffixSpans = Q(
+    "x_dedup_suffix_spans",
+    (s, dir) => graft.ext.Suffix.topDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", spanLen = 32, k = 20)
+      .orderBy(col("rnk")),
+    Some(s"""WITH $suffixCtes,
+      sg AS (SELECT rank AS first_pos,
+          CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM srk32 GROUP BY 1 HAVING COUNT(*) >= 2),
+      stop AS (SELECT first_pos, n_occurrences,
+          CAST(row_number() OVER (ORDER BY n_occurrences DESC, first_pos)
+            AS INTEGER) AS rnk
+        FROM sg QUALIFY rnk <= 20)
+      SELECT rnk, n_occurrences, first_pos,
+        (SELECT array_to_string(list(tok ORDER BY p), ' ') FROM spos
+          WHERE p >= first_pos AND p < first_pos + 32) AS span_text
+      FROM stop ORDER BY rnk"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
-    xQualityLogregFilter, xTextPhraseTags)
+    xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
+    xDedupSuffixSpans)
 }

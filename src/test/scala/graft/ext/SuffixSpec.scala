@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Suffix-array prefix doubling: hand-walked rank ladder, equality of
+  * every dyadic level with direct n-gram group counts, boundary
+  * sentinels, partition independence.
+  */
+class SuffixSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dupProfile: hand-walked two-doc fixture") {
+    val docs = Seq((1L, "a b a b"), (2L, "x a b y")).toDF("doc_id", "text")
+    val prof = Suffix.dupProfile(docs, "text", "doc_id", maxLen = 4)
+      .orderBy("span_len").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // len 1: a×3, b×3 duplicate; len 2: "a b"×3 (two in doc 1, one in
+    // doc 2); len 4: nothing repeats
+    assert(prof == Seq((1, 2L, 6L), (2, 1L, 3L), (4, 0L, 0L)))
+  }
+
+  test("topDupSpans reconstructs the duplicated window") {
+    val docs = Seq((1L, "a b a b"), (2L, "x a b y")).toDF("doc_id", "text")
+    val top = Suffix.topDupSpans(docs, "text", "doc_id", spanLen = 2, k = 5)
+      .orderBy("rnk").collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("n_occurrences") == 3L)
+    assert(top(0).getAs[Long]("first_pos") == 1L)
+    assert(top(0).getAs[String]("span_text") == "a b")
+  }
+
+  test("sentinels stop windows at document boundaries") {
+    // "b | c" (end of doc 1 + start of doc 2) repeats inside doc 3 as
+    // the literal bigram "b c" — the cross-boundary window must NOT
+    // pair with it
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "b c b c"))
+      .toDF("doc_id", "text")
+    val prof = Suffix.dupProfile(docs, "text", "doc_id", maxLen = 2)
+      .orderBy("span_len").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // len 2 duplicates: only "b c" at doc-3 positions (×2 would need
+    // overlap: "b c b c" has "b c" at offsets 1 and 3 → one group of 2)
+    assert(prof(1) == ((2, 1L, 2L)))
+  }
+
+  test("every dyadic level equals direct n-gram duplicate counts") {
+    val docs = (0L until 60L).map { i =>
+      val toks = (0 until 20).map(j => s"w${(i * 13 + j * j * 7) % 6}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val prof = Suffix.dupProfile(docs, "text", "doc_id", maxLen = 16)
+      .orderBy("span_len").collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (l <- Seq(1, 2, 4, 8, 16)) {
+      val direct = docs
+        .select(explode(Text.ngramArray(Text.tokens(col("text")), l)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .agg(count(lit(1)).cast("bigint").as("groups"),
+          coalesce(sum(col("n")), lit(0L)).cast("bigint").as("positions"))
+        .collect()(0)
+      assert(prof(l) == ((direct.getLong(0), direct.getLong(1))),
+        s"level $l must match direct $l-gram dup counts")
+    }
+  }
+
+  test("dupProfile is partition-independent") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"t${i % 4} t${(i * 3) % 5} t${i % 4} t${i % 2} t${i % 4}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) =
+      Suffix.dupProfile(docs.repartition(parts), "text", "doc_id", maxLen = 8)
+        .orderBy("span_len").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) == run(7))
+  }
+}
