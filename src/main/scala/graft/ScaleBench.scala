@@ -660,6 +660,37 @@ object ScaleBench {
       }
     }
 
+    // suffix-array prefix doubling (round 16): log₂(32) = 5 rounds of
+    // narrow 8-byte-key join + (rank, partner) window over the token
+    // table. Clone replication multiplies every duplicate group's
+    // size k× — the hot-group worst case for the window MIN — while
+    // the distinct-window count stays fixed; this measures whether the
+    // rank ladder's cost stays linear in positions (it should: both
+    // exchanges are keyed moves of 2-long rows, no driver state).
+    if (sec("suffix")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      timeShuffle(s"suffixDupProfile x$k (${nDocs * k} docs, maxLen 32)") {
+        graft.ext.Suffix.dupProfile(rep, "text", "doc_id", maxLen = 32)
+          .count()
+      }
+    }
+
+    // gradient-descent logistic regression (round 16): 30 full-batch
+    // iterations, each two map-side-combinable passes over the PINNED
+    // integer feature table; the model is O(dims) and the driver holds
+    // only the (dims+1)-vector, so cost must be iters × linear-in-
+    // corpus with flat driver memory.
+    if (sec("logreg")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      val labeled = rep.join(
+        graft.ext.Text.gopherRules(rep, "text", "doc_id")
+          .select(col("doc_id"), col("pass").as("label")), "doc_id")
+      timeShuffle(s"logRegFilter x$k (${nDocs * k} docs, 30 iters)") {
+        graft.ext.Model.logRegFilter(labeled, "text", "doc_id", "label",
+          dims = 64, iters = 30, step = "0.000200").count()
+      }
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

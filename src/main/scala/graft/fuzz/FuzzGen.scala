@@ -344,23 +344,27 @@ object FuzzGen {
       groupingSel: Boolean = false,
       qualifyExt: Boolean = false,
       winNulls: Option[(Int, Int)] = None,
-      multiWin: Boolean = false) {
+      multiWin: Boolean = false,
+      lagNulls: Option[(Int, Int)] = None,
+      argExt: Option[(String, Int, Boolean)] = None,
+      nthVal: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
 
-    /** Wave-9 select-list extras on agg shapes, in output order:
+    /** Wave-9/-11 select-list extras on agg shapes, in output order:
       * FILTER (WHERE) sum, ordered string aggregation, GROUPING /
-      * GROUPING_ID over grouping-set shapes. All three are additions
-      * to the select list — they can never change the row SET, so
-      * every fixed seed's documented non-emptiness is preserved by
-      * construction.
+      * GROUPING_ID over grouping-set shapes, and the wave-11
+      * MAX_BY/MIN_BY arg-extreme. All are additions to the select
+      * list — they can never change the row SET, so every fixed
+      * seed's documented non-emptiness is preserved by construction.
       */
     private def extraAliases(keys: Seq[Key]): Seq[String] =
       filterAgg.map(_ => "fsum").toSeq ++
         orderedAgg.map(_ => "oagg").toSeq ++
         (if (groupingSel && keys.nonEmpty)
            Seq("g0") ++ (if (keys.length > 1) Seq("gid") else Nil)
-         else Nil)
+         else Nil) ++
+        argExt.map(_ => "aext").toSeq
 
     private def fromSql: String = {
       val base = join match {
@@ -438,7 +442,16 @@ object FuzzGen {
                     keys.map(_.sqlExpr).mkString(", ") +
                     ") AS INTEGER) AS gid")
                 else Nil)
-           else Nil)
+           else Nil) ++
+          // wave 11: MAX_BY/MIN_BY — tie-safe by construction: the
+          // VALUE is a function of the ORDERING KEY, so however the
+          // engine breaks a key tie the surfaced value is identical;
+          // COALESCE(-1) keeps outer-join NULL keys deterministic too
+          argExt.map { case (c, m, isMax) =>
+            val fn = if (isMax) "MAX_BY" else "MIN_BY"
+            s"CAST($fn(COALESCE($c, -1) % $m, COALESCE($c, -1)) " +
+              s"AS BIGINT) AS aext"
+          }.toSeq
         val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql) ++ extraSql)
           .mkString(", ")
         val grpList = keys.map(_.sqlExpr).mkString(", ")
@@ -535,8 +548,17 @@ object FuzzGen {
             s"ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
             "CURRENT ROW) AS BIGINT) AS rsum2"
           else ""
+        // wave 11: NTH_VALUE over the running ROWS frame — the frame-
+        // navigation function class (row_number cases only: winOrd is
+        // the total order that makes "the 2nd row so far" well-defined)
+        val nvSel = if (nthVal)
+          s",\n    CAST(NTH_VALUE($ordCol, 2) OVER (PARTITION BY " +
+            s"${pk.sqlExpr} ORDER BY $winOrd ROWS BETWEEN UNBOUNDED " +
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS nv2"
+          else ""
         val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
-          (if (multiWin) Seq("rsum2") else Nil)
+          (if (multiWin) Seq("rsum2") else Nil) ++
+          (if (nthVal) Seq("nv2") else Nil)
         // QUALIFY-style filter on the second window's result, rendered
         // as the subquery both engines accept; `OR rn = 1` keeps the
         // case structurally non-empty (the rank-1 peers achieve the
@@ -564,7 +586,7 @@ object FuzzGen {
         else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel
+           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel$nvSel
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK$qWhere ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
@@ -576,8 +598,24 @@ object FuzzGen {
         }
         val frameKw = if (frame == "rows") "ROWS" else "RANGE"
         val frameEnd = if (sym) s"$prec FOLLOWING" else "CURRENT ROW"
-        val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).mkString(", ")
-        val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev"))
+        // wave 11: LAG … IGNORE NULLS over a NULLIF-poisoned argument
+        // (the poison guarantees nulls genuinely flow through the
+        // skip) — the SECOND dual-spelled construct (probed: Spark
+        // accepts only `LAG(e, 1, -1) IGNORE NULLS OVER`, DuckDB only
+        // `LAG(e, 1, -1 IGNORE NULLS) OVER`; both pin the same
+        // SQL-standard null-skipping semantics). Total order via the
+        // id tiebreak, so the skipped-to row is deterministic.
+        val lnSel = lagNulls.fold("") { case (k, r) =>
+          val arg = s"NULLIF($ordCol % $k, $r)"
+          val fnTxt = if (duck) s"LAG($arg, 1, -1 IGNORE NULLS)"
+            else s"LAG($arg, 1, -1) IGNORE NULLS"
+          s",\n    CAST($fnTxt OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prevnn"
+        }
+        val lnCols = lagNulls.map(_ => "prevnn").toSeq
+        val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols)
+          .mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols)
           .map(c => s"$c ASC NULLS FIRST").mkString(", ")
         s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
@@ -585,7 +623,7 @@ object FuzzGen {
            |      ORDER BY $frameOrd
            |      $frameKw BETWEEN $prec PRECEDING AND $frameEnd) AS BIGINT) AS wsum,
            |    CAST(LAG($ordCol, 1, -1) OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev
+           |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev$lnSel
            |  FROM $fromSql$whereSql) t
            |ORDER BY $outerOrd""".stripMargin
       case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
@@ -760,7 +798,14 @@ object FuzzGen {
                     Seq(grouping_id(keys.map(_.dfExpr): _*).cast("int")
                       .as("gid"))
                   else Nil)
-             else Nil)
+             else Nil) ++
+            // wave 11: arg-extreme (value = f(key) ⇒ key ties can't
+            // surface different values)
+            argExt.map { case (c, m, isMax) =>
+              val key = coalesce(col(c), lit(-1))
+              val fn = if (isMax) max_by(key % m, key) else min_by(key % m, key)
+              fn.cast("bigint").as("aext")
+            }.toSeq
           val aggList = aggs.map(_.df) ++ extraDf
           val g = gmode match {
             case "gsets" =>
@@ -856,7 +901,8 @@ object FuzzGen {
             case "dense_rank" => dense_rank()
           }
           val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
-            (if (multiWin) Seq("rsum2") else Nil)
+            (if (multiWin) Seq("rsum2") else Nil) ++
+            (if (nthVal) Seq("nv2") else Nil)
           val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
             selectSub.map(_ => "sq").toSeq ++ qCols).map(col)
           val winSpec = Window.partitionBy(col("pk")).orderBy(ordSorts: _*)
@@ -876,7 +922,13 @@ object FuzzGen {
               winSpec.rowsBetween(Window.unboundedPreceding,
                 Window.currentRow)).cast("bigint"))
           else withQ
-          val ranked = withMw.filter(col("rn") <= topK &&
+          // wave 11: NTH_VALUE over the running total-order ROWS frame
+          val withNv = if (nthVal)
+            withMw.withColumn("nv2", nth_value(col(ordCol), 2).over(
+              winSpec.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("bigint"))
+          else withMw
+          val ranked = withNv.filter(col("rn") <= topK &&
             (if (qualifyExt) col("ov") === col("ext") || col("rn") === 1
              else lit(true)))
           // wave 8: aggregate ABOVE the window — group the top-k rows
@@ -898,11 +950,19 @@ object FuzzGen {
             case _ => Window.partitionBy(col("pk")).orderBy(ordSort)
               .rangeBetween(-prec, frameEnd)
           }
-          val outCols = (Seq("pk") ++ ids ++ Seq("wsum", "prev")).map(col)
-          base.withColumn("pk", pk.df)
+          val outCols = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++
+            lagNulls.map(_ => "prevnn").toSeq).map(col)
+          val withLag = base.withColumn("pk", pk.df)
             .withColumn("wsum", sum(col(ordCol)).over(sumWin).cast("bigint"))
             .withColumn("prev", lag(col(ordCol), 1, -1).over(lagWin).cast("bigint"))
-            .select(outCols: _*)
+          // wave 11: LAG … IGNORE NULLS over the poisoned argument
+          val withLn = lagNulls.fold(withLag) { case (k, r) =>
+            val arg = when((col(ordCol) % k) === r, lit(null))
+              .otherwise(col(ordCol) % k)
+            withLag.withColumn("prevnn",
+              lag(arg, 1, -1, ignoreNulls = true).over(lagWin).cast("bigint"))
+          }
+          withLn.select(outCols: _*)
             .orderBy(outCols: _*)
         case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
           val side = (p: Pred) => base.filter(p.df)
@@ -1292,10 +1352,37 @@ object FuzzGen {
         (q, nf, mw)
       case _ => (false, None, false)
     }
+    // round-16 wave 11 rides an eleventh independent stream (the
+    // rnd2..rnd10 rule): LAG … IGNORE NULLS over a NULLIF-poisoned
+    // argument (frame shapes — the second dual-spelled construct, see
+    // the FrameShape renderer), MAX_BY/MIN_BY arg-extremes whose value
+    // is a function of the ordering key (tie-safe by construction),
+    // and NTH_VALUE over the running total-order ROWS frame
+    // (row_number window cases). All three are select-list additions —
+    // none can EMPTY a case.
+    val rnd11 = new Random(seed * 0xC2B2AE35L + 131)
+    val (lagNulls, argExt, nthVal) = shape7 match {
+      case _: FrameShape =>
+        val ln = if (rnd11.nextInt(3) == 0) {
+          val k = pick(rnd11, Seq(2, 3, 5))
+          Some((k, rnd11.nextInt(k))) // r < k: the poison genuinely fires
+        } else None
+        (ln, None, false)
+      case _: AggShape =>
+        val ae = if (rnd11.nextInt(3) == 0)
+          Some((pick(rnd11, intCols), pick(rnd11, Seq(5, 7, 11)),
+            rnd11.nextBoolean()))
+        else None
+        (None, ae, false)
+      case w: WinShape if !aggOverWin =>
+        (None, None, w.fn == "row_number" && rnd11.nextInt(3) == 0)
+      case _ => (None, None, false)
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape7,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
       selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
-      filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin)
+      filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin,
+      lagNulls, argExt, nthVal)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1397,9 +1484,26 @@ object FuzzGen {
     * filter structurally keeps rn = 1; the other two are ordering /
     * select-list additions), so every prior pick's documented
     * non-emptiness is preserved by construction.
+    * Round-16 wave 11 additions (rnd11 stream: LAG … IGNORE NULLS over
+    * a NULLIF-poisoned argument — the SECOND dual-spelled construct,
+    * Spark `LAG(e, 1, -1) IGNORE NULLS OVER` vs DuckDB
+    * `LAG(e, 1, -1 IGNORE NULLS) OVER`, probed; MAX_BY/MIN_BY
+    * arg-extremes whose VALUE is a function of the ordering key so key
+    * ties cannot surface different values, COALESCE(-1) for outer-join
+    * NULL keys; NTH_VALUE(ord, 2) over the running total-order ROWS
+    * frame on row_number shapes): 43 (MAX_BY under ROLLUP + HAVING
+    * with a NULLIF-poisoned IN and SUM(DISTINCT), 17 rows), 301
+    * (IGNORE-NULLS lag beside a symmetric ROWS frame with a correlated
+    * subquery, 89 rows), 340 (poisoned-NULLS window ORDER BY + nth
+    * value on a row_number shape, 80 rows) — all non-empty at the
+    * driver SF; existing picks also gained wave-11 layers on the
+    * independent stream (22/107/109 IGNORE-NULLS lags; 6/12/30/42/90
+    * arg-extremes; 15 nth value). Wave 11 cannot EMPTY a case (all
+    * three are select-list additions), so every prior pick's
+    * documented non-emptiness is preserved by construction.
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
-    30, 32, 34, 38, 42, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103, 104,
-    105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208, 235, 272,
-    349, 357)
+    30, 32, 34, 38, 42, 43, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103,
+    104, 105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208, 235,
+    272, 301, 340, 349, 357)
 }

@@ -43,7 +43,11 @@ object SeedScan {
       val w10 = (if (c.qualifyExt) "/qual" else "") +
         (if (c.winNulls.isDefined) "/wnulls" else "") +
         (if (c.multiWin) "/mwin" else "")
-      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""}$w8$w10 $desc")
+      val w11 = (if (c.lagNulls.isDefined) "/lagnn" else "") +
+        (if (c.argExt.isDefined)
+           (if (c.argExt.get._3) "/maxby" else "/minby") else "") +
+        (if (c.nthVal) "/nth" else "")
+      println(s"$seed ${c.joinKind}${if (c.join.isEmpty) "/nojoin" else ""}${if (c.join2.isDefined) "/chain" else ""}${if (c.scalarSub.isDefined) "/scalar" else ""}${if (c.corrSub.isDefined) "/corr" else ""}$in$cs$sd$hs$he${if (c.lateralAgg.isDefined) "/lateral" else ""}$w8$w10$w11 $desc")
     }
   }
 }

@@ -183,18 +183,34 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.WinShape(_, _, _, _, _, fn) => fn != "row_number"
       case _ => false
     })), "no qualify-over-RANK/DENSE_RANK case (tie semantics)")
-    // the dual spelling exists ONLY for the ordered aggregate — every
-    // other byte of the two dialect texts must stay identical
+    // round-16 wave 11
+    assert(cases.exists(_.lagNulls.isDefined),
+      "no LAG … IGNORE NULLS case")
+    assert(cases.exists(c => c.argExt.exists(_._3)), "no MAX_BY case")
+    assert(cases.exists(c => c.argExt.exists(!_._3)), "no MIN_BY case")
+    assert(cases.exists(_.nthVal), "no NTH_VALUE case")
+    assert(cases.exists(c => c.lagNulls.isDefined && (c.shape match {
+      case FuzzGen.FrameShape(_, _, _, _, _, _, sym) => sym
+      case _ => false
+    })), "no IGNORE-NULLS-beside-symmetric-frame case")
+    // dual spellings exist ONLY for the ordered aggregate and the
+    // IGNORE-NULLS lag — every other byte of the two dialect texts
+    // must stay identical
     for (c <- cases) {
-      if (c.orderedAgg.isEmpty)
+      if (c.orderedAgg.isEmpty && c.lagNulls.isEmpty)
         assert(c.sql == c.duckSql, s"seed ${c.seed}: dialect texts differ " +
-          "without an ordered aggregate")
+          "without a dual-spelled construct")
       else {
-        assert(c.sql != c.duckSql, s"seed ${c.seed}: ordered agg present " +
-          "but texts identical")
-        assert(c.sql.contains("WITHIN GROUP") &&
-          c.duckSql.contains("string_agg"),
-          s"seed ${c.seed}: wrong per-engine spelling")
+        assert(c.sql != c.duckSql, s"seed ${c.seed}: dual-spelled " +
+          "construct present but texts identical")
+        if (c.orderedAgg.isDefined)
+          assert(c.sql.contains("WITHIN GROUP") &&
+            c.duckSql.contains("string_agg"),
+            s"seed ${c.seed}: wrong per-engine ordered-agg spelling")
+        if (c.lagNulls.isDefined)
+          assert(c.sql.contains(") IGNORE NULLS OVER") &&
+            c.duckSql.contains(" IGNORE NULLS) OVER"),
+            s"seed ${c.seed}: wrong per-engine IGNORE NULLS spelling")
       }
     }
   }
