@@ -384,35 +384,77 @@ object Text {
     * shuffle equi-joins, never all-pairs).
     */
   def bigramKneserNey(docs: DataFrame, textCol: String, idCol: String,
-      discount: Double = 0.75): DataFrame = {
+      discount: Double = 0.75): DataFrame =
+    bigramKneserNeyUnder(docs, docs, textCol, idCol, discount)
+
+  /** Score `docs` under the Kneser–Ney bigram LM trained on
+    * `modelDocs` — the CCNet pretrained-reference-model split
+    * ([[bigramLogProbUnder]]'s shape). This is where KN's backoff arm
+    * actually FIRES: a scored bigram ABSENT from the model corpus
+    * (c = 0, the max() clips the first term to zero) scores purely on
+    * the continuation product — the smoothing's point, which the
+    * self-trained face never exercises (every self-scored bigram is
+    * observed).
+    *
+    * OOV restriction (weaker than [[bigramLogProbUnder]]'s, by
+    * design): a scored bigram needs only its CONTEXT w₁ (as a bigram
+    * opener) and its TARGET w₂ (as a bigram closer) in the model —
+    * the bigram itself may be unseen (LEFT join, count 0). Bigrams
+    * failing either unigram-level condition are excluded (inner
+    * joins), and `n_bigrams` counts the scoreable ones.
+    *
+    * With `modelDocs eq docs` the LEFT join is total and this is
+    * exactly the self face — same plan shape, same values.
+    *
+    * Scale/broadcast: self face keeps the lazy broadcast (its model IS
+    * the corpus — the [[bigramLogProbUnder]] self-face contract);
+    * the split face pins the three model tables once
+    * (localCheckpoint) and broadcasts only within `maxBroadcastVocab`
+    * bigram types, auto-degrading to shuffle equi-joins — identical
+    * values (exact-decimal contribution sums commute).
+    */
+  def bigramKneserNeyUnder(docs: DataFrame, modelDocs: DataFrame,
+      textCol: String, idCol: String, discount: Double = 0.75,
+      maxBroadcastVocab: Long = 8000000L): DataFrame = {
     require(discount > 0.0 && discount <= 1.0,
       "discount must be in (0, 1]")
+    require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
+    val selfFace = modelDocs eq docs
     val bi = docs.select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
-    val bic = bi.groupBy(col("bigram"))
-      .agg(sum(col("bf")).cast("bigint").as("bcnt"))
+    val bicRaw = (if (selfFace)
+        bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("bigint").as("bcnt"))
+      else modelDocs
+        .select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).cast("bigint").as("bcnt")))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val bic = if (selfFace) bicRaw else bicRaw.localCheckpoint(true)
     // context totals + fan-out in ONE pass over the type table
-    val ctx = bic.groupBy(col("w1"))
+    val ctxRaw = bic.groupBy(col("w1"))
       .agg(sum(col("bcnt")).cast("double").as("ctot"),
         count(lit(1)).cast("double").as("n1_fwd"))
-    val cont = bic.groupBy(col("w2"))
+    val contRaw = bic.groupBy(col("w2"))
       .agg(count(lit(1)).cast("double").as("n1_bwd"))
+    val (ctx, cont, bcast) =
+      if (selfFace) (ctxRaw, contRaw, true)
+      else (ctxRaw.localCheckpoint(true), contRaw.localCheckpoint(true),
+        bic.count() <= maxBroadcastVocab)
+    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
     val nbt = bic.agg(count(lit(1)).cast("double").as("n_bigram_types"))
     bi
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(broadcast(bic.select(col("bigram"), col("bcnt"))), "bigram")
-      .join(broadcast(ctx), "w1")
-      .join(broadcast(cont), "w2")
+      .join(side(bic.select(col("bigram"), col("bcnt"))), Seq("bigram"), "left")
+      .join(side(ctx), "w1")
+      .join(side(cont), "w2")
       .crossJoin(broadcast(nbt))
       .withColumn("contrib",
         (col("bf").cast("double") * lnStable(
-          greatest(col("bcnt").cast("double") - lit(discount), lit(0.0)) /
-            col("ctot") +
+          greatest(coalesce(col("bcnt"), lit(0L)).cast("double") -
+            lit(discount), lit(0.0)) / col("ctot") +
             (lit(discount) * col("n1_fwd") / col("ctot")) *
               (col("n1_bwd") / col("n_bigram_types"))))
           .cast("decimal(20,12)"))

@@ -321,7 +321,68 @@ object ExtN {
           WHERE p >= first_pos AND p < first_pos + 32) AS span_text
       FROM stop ORDER BY rnk"""))
 
+  /** Kneser–Ney under a train/score split
+    * ([[Text.bigramKneserNeyUnder]], model = even doc_ids, scored =
+    * odd) — the face where KN's backoff arm actually FIRES: scored
+    * bigrams absent from the model corpus (plentiful across the
+    * split) take max(c−d, 0) = 0 and score purely on the continuation
+    * product, which the self face never exercises. The oracle
+    * replays the split training, the LEFT bigram join with the
+    * clipped-to-zero first term, and the unigram-level OOV inner
+    * joins.
+    */
+  val xTextBigramKnSplit = Q(
+    "x_text_bigram_kn_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.bigramKneserNeyUnder(
+          docs.filter(col("doc_id") % 2 === 1),
+          docs.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id")
+        .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
+          col("mean_logprob"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH kmt AS (SELECT string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 2 = 0),
+      kst AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id % 2 = 1),
+      kbi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM kst)
+        GROUP BY 1, 2),
+      kbic AS MATERIALIZED (SELECT gram, CAST(count(*) AS BIGINT) AS bcnt,
+          string_split(gram, ' ')[1] AS w1,
+          string_split(gram, ' ')[-1] AS w2
+        FROM (SELECT unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM kmt)
+        GROUP BY 1),
+      kctx AS MATERIALIZED (SELECT w1, CAST(SUM(bcnt) AS DOUBLE) AS ctot,
+          CAST(COUNT(*) AS DOUBLE) AS n1_fwd
+        FROM kbic GROUP BY 1),
+      kcont AS MATERIALIZED (SELECT w2,
+          CAST(COUNT(*) AS DOUBLE) AS n1_bwd FROM kbic GROUP BY 1),
+      knbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types
+        FROM kbic),
+      kj AS (SELECT kbi.doc_id, kbi.bf,
+          CAST(CAST(kbi.bf AS DOUBLE) *
+            CAST(CAST(ln(
+              GREATEST(CAST(COALESCE(kbic.bcnt, 0) AS DOUBLE)
+                - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / ctot
+              + (CAST(0.75 AS DOUBLE) * n1_fwd / ctot)
+                * (n1_bwd / n_bigram_types))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM kbi LEFT JOIN kbic USING (gram)
+        JOIN kctx ON kctx.w1 = string_split(kbi.gram, ' ')[1]
+        JOIN kcont ON kcont.w2 = string_split(kbi.gram, ' ')[-1], knbt)
+      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
+        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+          / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
+      FROM kj GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
-    xDedupSuffixSpans)
+    xDedupSuffixSpans, xTextBigramKnSplit)
 }

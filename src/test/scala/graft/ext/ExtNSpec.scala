@@ -46,6 +46,37 @@ class ExtNSpec extends SparkSuite {
     assert(pAB < (2.0 - 0.75) / 3.0 + (0.75 * 2.0 / 3.0) * (2.0 / 5.0))
   }
 
+  test("bigramKneserNeyUnder: unseen bigrams score on pure continuation") {
+    // model: "a b a c" → bigrams "a b", "b a", "a c"; B = 3
+    //   ctx a: ctot 2, fan-out 2; ctx b: ctot 1, fan-out 1
+    //   fan-in: b←1, a←1, c←1
+    val model = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq((1L, "a b b a"), (3L, "c a z")).toDF("doc_id", "text")
+    val out = Text.bigramKneserNeyUnder(score, model, "text", "doc_id")
+      .orderBy("doc_id").collect()
+    // doc 3: "c a" fails the context check (c never opens a model
+    // bigram), "a z" fails the fan-in check (z never closes one) —
+    // no scoreable bigram, doc absent
+    assert(out.length == 1 && out(0).getLong(0) == 1L)
+    val pAB = (1.0 - 0.75) / 2.0 + (0.75 * 2.0 / 2.0) * (1.0 / 3.0)
+    val pBB = 0.0 / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0) // UNSEEN: c clips to 0
+    val pBA = (1.0 - 0.75) / 1.0 + (0.75 * 1.0 / 1.0) * (1.0 / 3.0)
+    assert(out(0).getAs[Long]("n_bigrams") == 3L)
+    assert(out(0).getAs[Double]("sum_logprob") ==
+      (contrib(1L, pAB) + contrib(1L, pBB) + contrib(1L, pBA)).toDouble)
+  }
+
+  test("bigramKneserNeyUnder self face equals bigramKneserNey") {
+    val docs = (0L until 30L)
+      .map(i => (i, s"w${i % 5} w${(i * 7) % 4} w${i % 5} w${i % 3}"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Text.bigramKneserNey(docs, "text", "doc_id")) ==
+      rows(Text.bigramKneserNeyUnder(docs, docs, "text", "doc_id")))
+  }
+
   test("bigramKneserNey is partition-independent (exact decimal sums)") {
     val docs = (0L until 40L)
       .map(i => (i, s"w${i % 7} w${(i * 3) % 5} w${i % 7} w${(i + 1) % 11} w${i % 3}"))
