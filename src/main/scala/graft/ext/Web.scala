@@ -51,4 +51,37 @@ object Web {
       .withColumn("url_query", query(u))
       .withColumn("url_norm", normalize(u))
   }
+
+  /** Domain-level quality rollup — the FineWeb stage that drops WHOLE
+    * registered domains whose per-document quality rate is poor
+    * (Penedo et al. 2024 filter at URL/domain granularity before
+    * per-doc passes: a domain where most pages fail is spam/SEO mass
+    * and its passing pages are suspect too — public literature).
+    * Input rows carry a URL and a boolean per-doc quality verdict;
+    * output is one row per registered domain: doc count, passing
+    * count, the pass fraction, and `blocked` (pass_frac < minPassFrac
+    * — strict, so a domain AT the threshold survives).
+    *
+    * Determinism: counts are exact integers; pass_frac is ONE double
+    * division of exact integers (identical in any engine); the block
+    * verdict compares that double to the caller's threshold.
+    *
+    * Scale shape (100 TB): one map-side-combinable aggregation keyed
+    * by registered domain (O(domains) output ≪ corpus). To FILTER the
+    * corpus, join docs against the blocked slice — O(blocked domains)
+    * rows, a broadcast in any real crawl.
+    */
+  def domainQuality(docs: DataFrame, urlCol: String, passCol: String,
+      minPassFrac: Double): DataFrame = {
+    require(minPassFrac >= 0.0 && minPassFrac <= 1.0,
+      "minPassFrac must be in [0, 1]")
+    withUrlParts(docs, urlCol)
+      .groupBy(col("url_domain"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col(passCol), 1L).otherwise(0L)).cast("bigint")
+          .as("n_pass"))
+      .withColumn("pass_frac",
+        col("n_pass").cast("double") / col("n_docs").cast("double"))
+      .withColumn("blocked", col("pass_frac") < minPassFrac)
+  }
 }

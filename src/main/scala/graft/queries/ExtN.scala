@@ -382,7 +382,49 @@ object ExtN {
           / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
       FROM kj GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Domain-level quality rollup ([[graft.ext.Web.domainQuality]],
+    * threshold 0.5): per registered domain of the synthetic URL
+    * (the x_url_domain construction), doc count, Gopher-pass count,
+    * the pass fraction, and the block verdict — the FineWeb
+    * drop-whole-bad-domains stage. Oracle rebuilds the URL, both
+    * host/domain regexes, the label, and the rollup.
+    */
+  val xWebDomainQuality = Q(
+    "x_web_domain_quality",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+          Text.gopherRules(docs, "text", "doc_id")
+            .select(col("doc_id"), col("pass")), "doc_id")
+        .withColumn("url", ExtK.urlCol)
+      graft.ext.Web.domainQuality(labeled, "url", "pass",
+          minPassFrac = 0.5)
+        .orderBy(col("url_domain"))
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      du AS (SELECT d.doc_id, gr.pass,
+          lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)) AS url_host
+        FROM documents d JOIN gr USING (doc_id)),
+      dd AS (SELECT regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1)
+          AS url_domain, pass FROM du)
+      SELECT url_domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS pass_frac,
+        (CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) < 0.5) AS blocked
+      FROM dd GROUP BY 1 ORDER BY url_domain"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
-    xDedupSuffixSpans, xTextBigramKnSplit)
+    xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality)
 }

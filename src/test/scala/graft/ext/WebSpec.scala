@@ -40,4 +40,22 @@ class WebSpec extends SparkSuite {
       .select("url_domain").distinct().collect().map(_.getString(0)).toSeq
     assert(doms == Seq("x-site.com"))
   }
+
+  test("domainQuality rolls up pass fractions and blocks below threshold") {
+    val rows = Seq(
+      ("https://www.good.com/1", true), ("https://good.com/2", true),
+      ("https://good.com/3", false),   // 2/3 pass → kept
+      ("https://spam.org/a", false), ("https://spam.org/b", true),
+      ("https://spam.org/c", false), ("https://spam.org/d", false),
+      ("https://edge.net/x", true), ("https://edge.net/y", false)
+    ).toDF("url", "ok")
+    val out = Web.domainQuality(rows, "url", "ok", minPassFrac = 0.5)
+      .orderBy("url_domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("edge.net", 2L, 1L, 0.5, false), // AT the threshold survives
+      ("good.com", 3L, 2L, 2.0 / 3.0, false),
+      ("spam.org", 4L, 1L, 0.25, true)))
+  }
 }
