@@ -424,7 +424,133 @@ object ExtN {
           / CAST(COUNT(*) AS DOUBLE) < 0.5) AS blocked
       FROM dd GROUP BY 1 ORDER BY url_domain"""))
 
+  /** Quality-signals v2 — the RedPajama-V2 wide-row artifact
+    * (x_quality_signals, ExtM) extended with THIS round's signals,
+    * one row per doc: the Kneser–Ney mean log-prob, the
+    * gradient-trained classifier's logit and verdict, total phrase-tag
+    * hits, and the doc's registered domain with its rollup verdict.
+    * The oracle chains the full KN replay, the complete 30-iteration
+    * GD replay, the per-length phrase-join replay, and the domain
+    * rollup into ONE wide row — drift in ANY of the four new operator
+    * families flips the hash.
+    *
+    * Scale shape: each signal is its audited operator; assembly is
+    * doc_id equi-joins plus one O(domains) broadcast — the "write the
+    * signals parquet beside the corpus" job.
+    */
+  val xQualitySignalsV2 = Q(
+    "x_quality_signals_v2",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gop = Text.gopherRules(docs, "text", "doc_id")
+        .select(col("doc_id"), col("pass"))
+      val labeled = docs.join(gop.withColumnRenamed("pass", "label"), "doc_id")
+      val kn = Text.bigramKneserNey(docs, "text", "doc_id")
+        .select(col("doc_id"), col("mean_logprob").as("kn_mean_logprob"))
+      val lr = Model.logRegFilter(labeled, "text", "doc_id", "label",
+          dims = lrDims, iters = lrIters, step = lrStep)
+        .select(col("doc_id"), col("score").as("lr_score"),
+          col("predicted").as("lr_pass"))
+      val tags = graft.ext.Phrase.phraseMatch(docs, "text", "doc_id",
+          tagPhrases)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_matches")).cast("bigint").as("n_tag_hits"))
+      val withUrl = docs.withColumn("url", ExtK.urlCol)
+      val docDom = graft.ext.Web.withUrlParts(withUrl, "url")
+        .select(col("doc_id"), col("url_domain"))
+      val dom = graft.ext.Web.domainQuality(
+          withUrl.join(gop, "doc_id"), "url", "pass", minPassFrac = 0.5)
+        .select(col("url_domain"), col("pass_frac").as("domain_pass_frac"),
+          col("blocked").as("domain_blocked"))
+      docs.select(col("doc_id"))
+        .join(kn, Seq("doc_id"), "left")
+        .join(lr, Seq("doc_id"), "left")
+        .join(tags, Seq("doc_id"), "left")
+        .join(docDom, "doc_id")
+        .join(broadcast(dom), "url_domain")
+        .select(col("doc_id"), col("kn_mean_logprob"), col("lr_score"),
+          col("lr_pass"), coalesce(col("n_tag_hits"), lit(0L)).as("n_tag_hits"),
+          col("url_domain"), col("domain_pass_frac"), col("domain_blocked"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ${logRegCtes(lrDims, lrIters, lrStep)},
+      tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
+        GROUP BY 1, 2),
+      bic AS MATERIALIZED (SELECT gram, CAST(SUM(bf) AS BIGINT) AS bcnt,
+          string_split(gram, ' ')[1] AS w1,
+          string_split(gram, ' ')[-1] AS w2
+        FROM bi GROUP BY 1),
+      ctx AS MATERIALIZED (SELECT w1, CAST(SUM(bcnt) AS DOUBLE) AS ctot,
+          CAST(COUNT(*) AS DOUBLE) AS n1_fwd
+        FROM bic GROUP BY 1),
+      cont AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1_bwd
+        FROM bic GROUP BY 1),
+      nbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bic),
+      knj AS (SELECT bi.doc_id, bi.bf,
+          CAST(CAST(bi.bf AS DOUBLE) *
+            CAST(CAST(ln(
+              GREATEST(CAST(bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / ctot
+              + (CAST(0.75 AS DOUBLE) * n1_fwd / ctot)
+                * (n1_bwd / n_bigram_types))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM bi JOIN bic USING (gram)
+        JOIN ctx ON ctx.w1 = bic.w1
+        JOIN cont ON cont.w2 = bic.w2, nbt),
+      knq AS (SELECT doc_id,
+          CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+            / CAST(SUM(bf) AS DOUBLE) AS kn_mean_logprob
+        FROM knj GROUP BY doc_id),
+      ph AS (SELECT * FROM (VALUES
+        ${tagPhrases.map(p => s"('$p')").mkString(", ")}) t(phrase)),
+      phl AS (SELECT phrase,
+          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l FROM ph),
+      plens AS (SELECT DISTINCT l FROM phl),
+      pdg AS (SELECT doc_id, l,
+          unnest(list_transform(range(1, len(w) - l + 2),
+            i -> array_to_string(w[i:i+l-1], ' '))) AS gram
+        FROM tk JOIN plens ON len(w) >= l),
+      ptags AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tag_hits
+        FROM pdg JOIN phl ON pdg.l = phl.l AND pdg.gram = phl.phrase
+        GROUP BY 1),
+      du AS (SELECT d.doc_id, gr.pass,
+          lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)) AS url_host
+        FROM documents d JOIN gr USING (doc_id)),
+      dd AS (SELECT doc_id, regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1)
+          AS url_domain, pass FROM du),
+      ddom AS (SELECT url_domain,
+          CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS domain_pass_frac,
+          (CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) < 0.5) AS domain_blocked
+        FROM dd GROUP BY 1)
+      SELECT d.doc_id, knq.kn_mean_logprob,
+        CAST(lpf.z AS DOUBLE) AS lr_score,
+        (lpf.z > CAST(0 AS DECIMAL(2,0))) AS lr_pass,
+        COALESCE(ptags.n_tag_hits, 0) AS n_tag_hits,
+        dd.url_domain, ddom.domain_pass_frac, ddom.domain_blocked
+      FROM documents d
+      LEFT JOIN knq USING (doc_id)
+      LEFT JOIN lpf USING (doc_id)
+      LEFT JOIN ptags USING (doc_id)
+      JOIN dd USING (doc_id)
+      JOIN ddom USING (url_domain)
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
-    xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality)
+    xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
+    xQualitySignalsV2)
 }
