@@ -139,8 +139,8 @@ object ExtN {
   }
 
   /** Gradient-descent-trained weights ([[Model.logRegModel]], 64
-    * hash buckets + bias, 5 full-batch steps): the final weight
-    * vector. The oracle unrolls ALL FIVE iterations — logits,
+    * hash buckets + bias, 30 full-batch steps): the final weight
+    * vector. The oracle unrolls ALL 30 ITERATIONS — logits,
     * quantized sigmoids, gradients, exact-decimal updates — so this
     * adjudicates the TRAINING TRAJECTORY itself: a perturbed count,
     * a reordered update, or a drifted quantization in any iteration
@@ -236,7 +236,7 @@ object ExtN {
         CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
     spos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)
-        AS p, tok FROM (
+        AS p, doc_id, i, tok FROM (
       SELECT * FROM sraw WHERE length(tok) > 0
       UNION ALL SELECT doc_id, 9223372036854775807,
         ' ' || CAST(doc_id AS VARCHAR) AS tok FROM documents)),
@@ -549,8 +549,38 @@ object ExtN {
       JOIN ddom USING (url_domain)
       ORDER BY d.doc_id"""))
 
+  /** Exact duplicated-span excision
+    * ([[graft.ext.Suffix.exciseDupSpans]], spanLen 32) — the Lee et
+    * al. dedup ACTION on the rank ladder: every non-first occurrence
+    * of a duplicated 32-token window kills its positions; docs
+    * rebuild from the kept tokens. The oracle replays the ladder, the
+    * p ≠ rank mark, the offsets explode, the anti-join, and the
+    * per-doc rebuild — and the whole chain rides the SAME shared
+    * suffixCtes as the profile/spans queries, so the three can never
+    * drift.
+    */
+  val xDedupSuffixExcise = Q(
+    "x_dedup_suffix_excise",
+    (s, dir) => graft.ext.Suffix.exciseDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", spanLen = 32)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $suffixCtes,
+      smark AS (SELECT p FROM srk32 WHERE p != rank),
+      skill AS (SELECT DISTINCT smark.p + js.o AS p
+        FROM smark CROSS JOIN (SELECT unnest(range(0, 32)) AS o) js),
+      skept AS (SELECT s.doc_id, s.p, s.tok FROM spos s
+        LEFT JOIN skill k ON s.p = k.p
+        WHERE k.p IS NULL AND s.i != 9223372036854775807),
+      sagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+          array_to_string(list(tok ORDER BY p), ' ') AS deduped_text
+        FROM skept GROUP BY 1)
+      SELECT d.doc_id, COALESCE(sagg.deduped_text, '') AS deduped_text,
+        COALESCE(sagg.n_kept_tokens, 0) AS n_kept_tokens
+      FROM documents d LEFT JOIN sagg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
     xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
-    xQualitySignalsV2)
+    xQualitySignalsV2, xDedupSuffixExcise)
 }

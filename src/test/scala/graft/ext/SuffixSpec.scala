@@ -64,6 +64,21 @@ class SuffixSpec extends SparkSuite {
     }
   }
 
+  test("exciseDupSpans removes later occurrences, keeps the first") {
+    val docs = Seq((1L, "a b c d"), (2L, "x a b y"), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Suffix.exciseDupSpans(docs, "text", "doc_id", spanLen = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // "a b" occurs at global positions 1 (doc 1), 7 (doc 2), 11
+    // (doc 3): the first occurrence survives, the later two kill
+    // their 2-token windows
+    assert(out == Seq(
+      (1L, "a b c d", 4L),
+      (2L, "x y", 2L),
+      (3L, "", 0L)))
+  }
+
   test("dupProfile is partition-independent") {
     val docs = (0L until 30L)
       .map(i => (i, s"t${i % 4} t${(i * 3) % 5} t${i % 4} t${i % 2} t${i % 4}"))
