@@ -579,8 +579,74 @@ object ExtN {
       FROM documents d LEFT JOIN sagg USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** Incremental domain rollup through the REAL streaming state
+    * machinery ([[graft.streaming.DomainStream.applyBatch]], the
+    * corpus arriving as three `doc_id mod 3` micro-batches against a
+    * fresh generation-addressed state dir): the final cumulative
+    * rollup. The oracle replays the three batch folds as chained
+    * full-join CTEs (per-batch domain counts merged into the running
+    * totals, batch by batch — the x_shard_assign_incremental
+    * convention), so the engine's generation reads/writes must
+    * reproduce plain running sums.
+    */
+  val xWebDomainQualityIncremental = Q(
+    "x_web_domain_quality_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs.join(
+          Text.gopherRules(docs, "text", "doc_id")
+            .select(col("doc_id"), col("pass")), "doc_id")
+        .withColumn("url", ExtK.urlCol)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_domain_state").toString + "/state"
+      (0 until 2).foreach { b =>
+        graft.streaming.DomainStream.applyBatch(
+          labeled.filter(pmod(col("doc_id"), lit(3)) === b),
+          statePath, "url", "pass", minPassFrac = 0.5, batchId = b)
+      }
+      graft.streaming.DomainStream.applyBatch(
+          labeled.filter(pmod(col("doc_id"), lit(3)) === 2),
+          statePath, "url", "pass", minPassFrac = 0.5, batchId = 2)
+        .orderBy(col("url_domain"))
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      idd AS (SELECT d.doc_id,
+          regexp_extract(lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)), '([^.]+\\.[^.]+)$$', 1)
+            AS url_domain, gr.pass
+        FROM documents d JOIN gr USING (doc_id)),
+      itb0 AS (SELECT url_domain, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM idd WHERE doc_id % 3 = 0 GROUP BY 1),
+      itb1 AS (SELECT url_domain, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM idd WHERE doc_id % 3 = 1 GROUP BY 1),
+      itb2 AS (SELECT url_domain, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS np
+        FROM idd WHERE doc_id % 3 = 2 GROUP BY 1),
+      ifs2 AS (SELECT COALESCE(a.url_domain, b.url_domain) AS url_domain,
+          COALESCE(a.n, 0) + COALESCE(b.n, 0) AS n,
+          COALESCE(a.np, 0) + COALESCE(b.np, 0) AS np
+        FROM itb0 a FULL JOIN itb1 b USING (url_domain)),
+      ifs3 AS (SELECT COALESCE(a.url_domain, b.url_domain) AS url_domain,
+          CAST(COALESCE(a.n, 0) + COALESCE(b.n, 0) AS BIGINT) AS n_docs,
+          CAST(COALESCE(a.np, 0) + COALESCE(b.np, 0) AS BIGINT) AS n_pass
+        FROM ifs2 a FULL JOIN itb2 b USING (url_domain))
+      SELECT url_domain, n_docs, n_pass,
+        CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) AS pass_frac,
+        (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5) AS blocked
+      FROM ifs3 ORDER BY url_domain"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
     xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
-    xQualitySignalsV2, xDedupSuffixExcise)
+    xQualitySignalsV2, xDedupSuffixExcise, xWebDomainQualityIncremental)
 }
