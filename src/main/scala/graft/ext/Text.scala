@@ -465,6 +465,67 @@ object Text {
         col("sum_logprob") / col("n_bigrams").cast("double"))
   }
 
+  /** Degenerate-repetition loop tagger — the "model stuck in a loop"
+    * detector (repetition is the signature failure mode of neural
+    * text generation — Holtzman et al. 2020 — and Dolma-class
+    * pipelines tag repeated-tail documents; public literature). Per
+    * document, over whitespace tokens w (n = |w|):
+    *
+    *  - `min_period`: the smallest p ≤ maxPeriod with p < n and
+    *    w[1..n−p] = w[p+1..n] — FULL-text periodicity (the whole doc
+    *    is one repeating block); NULL when none.
+    *  - `tail_period`: the smallest p ≤ maxPeriod with 2p ≤ n whose
+    *    last two p-blocks are equal — the trailing generation loop;
+    *    NULL when none.
+    *  - `tail_repeats`: for that p, how many consecutive trailing
+    *    p-blocks equal the last one (incl. itself), capped at
+    *    `maxRepeats` — the loop length the tagger thresholds on.
+    *
+    * Pure per-row array-slice comparisons — narrow, codegen'd,
+    * shuffle-free, and replayed in SQL as list-slice equality (both
+    * engines compare lists elementwise). The when-cascades test
+    * smaller periods/counts first, so the emitted values are the
+    * minima/maxima they claim to be.
+    */
+  def repetitionLoop(docs: DataFrame, textCol: String, idCol: String,
+      maxPeriod: Int = 4, maxRepeats: Int = 8): DataFrame = {
+    require(maxPeriod >= 1, "maxPeriod must be >= 1")
+    require(maxRepeats >= 2, "maxRepeats must be >= 2")
+    val w = tokens(col(textCol))
+    val n = size(w)
+    // every slice is TOTAL (starts clamped to 1, lengths to >= 0) so
+    // the guards stay pure boolean logic — no reliance on && skipping
+    // an out-of-range slice
+    def seg(start: Column, len: Column): Column =
+      slice(w, greatest(start, lit(1)), greatest(len, lit(0)))
+    def fullPeriodic(p: Int): Column =
+      (n > p) && (seg(lit(1), n - p) === seg(lit(p + 1), n - p))
+    def lastBlock(p: Int): Column = seg(n - (p - 1), lit(p))
+    // the k-th p-block from the end (k = 1 is the one BEFORE the last)
+    def blockMatches(k: Int, p: Int): Column =
+      (n >= (k + 1) * p) &&
+        (seg(n - ((k + 1) * p - 1), lit(p)) === lastBlock(p))
+    val minPeriod = (1 to maxPeriod)
+      .foldLeft(when(lit(false), 1)) { (acc, p) =>
+        acc.when(fullPeriodic(p), p)
+      }.otherwise(lit(null)).cast("int")
+    val tailPeriod = (1 to maxPeriod)
+      .foldLeft(when(lit(false), 1)) { (acc, p) =>
+        acc.when(blockMatches(1, p), p)
+      }.otherwise(lit(null)).cast("int")
+    def repeatsFor(p: Int): Column = (1 until maxRepeats)
+      .foldLeft(when(lit(false), 1)) { (acc, k) =>
+        acc.when(!blockMatches(k, p), k)
+      }.otherwise(lit(maxRepeats)).cast("int")
+    val tailRepeats = (1 to maxPeriod)
+      .foldLeft(when(lit(false), 1)) { (acc, p) =>
+        acc.when(tailPeriod === p, repeatsFor(p))
+      }.otherwise(lit(null)).cast("int")
+    docs.select(col(idCol).as("doc_id"), n.cast("bigint").as("n_words"),
+      minPeriod.as("min_period"), tailPeriod.as("tail_period"),
+      tailRepeats.as("tail_repeats"))
+  }
+
   /** CCNet-style contrastive domain selection (Wenzek et al. 2020;
     * Moore–Lewis 2010 cross-entropy difference — public literature):
     * every scoreable document is scored under TWO interpolated bigram

@@ -645,8 +645,73 @@ object ExtN {
         (CAST(n_pass AS DOUBLE) / CAST(n_docs AS DOUBLE) < 0.5) AS blocked
       FROM ifs3 ORDER BY url_domain"""))
 
+  /** The loop-tail injection (the encGarbage convention — shared
+    * engine/oracle constants): docs ≡ 0 mod 6 gain a period-1 tail of
+    * four repeats, docs ≡ 3 mod 6 a period-2 tail of two repeats; the
+    * rest keep whatever period-1 tails the corpus naturally has
+    * (adjacent equal tokens).
+    */
+  private def loopTail = concat(
+    when(pmod(col("doc_id"), lit(6)) === 0, lit(" ha ha ha ha"))
+      .otherwise(lit("")),
+    when(pmod(col("doc_id"), lit(6)) === 3, lit(" la di la di"))
+      .otherwise(lit("")))
+
+  private val loopTailSql = """CASE WHEN doc_id % 6 = 0
+        THEN ' ha ha ha ha' ELSE '' END ||
+      CASE WHEN doc_id % 6 = 3 THEN ' la di la di' ELSE '' END"""
+
+  /** The full/tail-period cascade, mirrored: list-slice equality with
+    * clamped bounds, smaller periods and counts tested first.
+    */
+  private def loopCaseSql(maxPeriod: Int, maxRepeats: Int): String = {
+    def fp(p: Int) =
+      s"(n > $p AND w[1:n-$p] = w[${p + 1}:n])"
+    def last(p: Int) = s"w[n-${p - 1}:n]"
+    def m(k: Int, p: Int) =
+      s"(n >= ${(k + 1) * p} AND w[n-${(k + 1) * p - 1}:n-${k * p}] = ${last(p)})"
+    val minP = (1 to maxPeriod)
+      .map(p => s"WHEN ${fp(p)} THEN $p").mkString(" ")
+    val tailP = (1 to maxPeriod)
+      .map(p => s"WHEN ${m(1, p)} THEN $p").mkString(" ")
+    val reps = (1 to maxPeriod).map { p =>
+      val ks = (1 until maxRepeats)
+        .map(k => s"WHEN NOT ${m(k, p)} THEN $k").mkString(" ")
+      s"WHEN tail_period = $p THEN (CASE $ks ELSE $maxRepeats END)"
+    }.mkString(" ")
+    s"""lcq AS (SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+        CAST(CASE $minP ELSE NULL END AS INTEGER) AS min_period,
+        CAST(CASE $tailP ELSE NULL END AS INTEGER) AS tail_period
+      FROM (SELECT doc_id, w, len(w) AS n FROM ltk)),
+      lcr AS (SELECT lcq.doc_id, n_words, min_period, tail_period,
+        CAST(CASE $reps ELSE NULL END AS INTEGER) AS tail_repeats
+      FROM lcq JOIN (SELECT doc_id, w, len(w) AS n FROM ltk) t
+        ON t.doc_id = lcq.doc_id)"""
+  }
+
+  /** Degenerate-repetition loop tagger ([[Text.repetitionLoop]], over
+    * the loop-tail injection): full-text minimal period, trailing
+    * loop period, and trailing repeat count per doc — the
+    * "generation stuck in a loop" detector. The oracle mirrors every
+    * clamped slice comparison and both minimality cascades.
+    */
+  val xTextRepetitionLoop = Q(
+    "x_text_repetition_loop",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val inj = docs.select(col("doc_id"),
+        concat(col("text"), loopTail).as("t"))
+      Text.repetitionLoop(inj, "t", "doc_id").orderBy(col("doc_id"))
+    },
+    Some(s"""WITH ltk AS (SELECT doc_id,
+        string_split(text || $loopTailSql, ' ') AS w FROM documents),
+      ${loopCaseSql(4, 8)}
+      SELECT doc_id, n_words, min_period, tail_period, tail_repeats
+      FROM lcr ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
     xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
-    xQualitySignalsV2, xDedupSuffixExcise, xWebDomainQualityIncremental)
+    xQualitySignalsV2, xDedupSuffixExcise, xWebDomainQualityIncremental,
+    xTextRepetitionLoop)
 }

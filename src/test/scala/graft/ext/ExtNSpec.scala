@@ -88,6 +88,24 @@ class ExtNSpec extends SparkSuite {
     assert(run(1) == run(13))
   }
 
+  test("repetitionLoop: hand-checked periods, repeats, and the cap") {
+    val docs = Seq(
+      (1L, "a b a b a b"),   // fully 2-periodic; 3 trailing blocks
+      (2L, "x x x x x x x x x x"), // 1-periodic, repeats cap at 8
+      (3L, "a b c"),          // nothing
+      (4L, "c d la di la di") // trailing loop only, not full-periodic
+    ).toDF("doc_id", "text")
+    val out = Text.repetitionLoop(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)), Option(r.get(3)), Option(r.get(4)))).toSeq
+    assert(out == Seq(
+      (1L, 6L, Some(2), Some(2), Some(3)),
+      (2L, 10L, Some(1), Some(1), Some(8)), // capped at maxRepeats
+      (3L, 3L, None, None, None),
+      (4L, 6L, None, Some(2), Some(2))))
+  }
+
   // the engine's replayable token hash, replicated for hand-walks
   private def bucket(tok: String, dims: Int): Long = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
