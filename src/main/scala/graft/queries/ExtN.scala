@@ -4,11 +4,15 @@ import org.apache.spark.sql.functions._
 import graft.ext.{Model, Text}
 import H.t
 
-/** Round-16 wave 2: the iteratively-TRAINED classifier face — hashing-
-  * trick logistic regression by full-batch gradient descent, its whole
-  * parameter trajectory replayed in unrolled SQL — and Kneser–Ney
-  * smoothing for the fluency LM family (the smoothing CCNet's actual
-  * KenLM reference models use).
+/** Round-16 wave 2 operators: the iteratively-TRAINED classifier face
+  * (hashing-trick logistic regression by full-batch gradient descent,
+  * the whole parameter trajectory replayed in unrolled SQL),
+  * Kneser–Ney smoothing for the fluency LM family (+ the train/score
+  * split where the backoff arm fires), the Aho–Corasick multi-phrase
+  * tagger, suffix-array prefix doubling (profile / top spans / the
+  * excision action), the FineWeb domain-quality rollup (batch +
+  * incremental-stream faces), the degenerate-repetition loop tagger,
+  * and the quality-signals-v2 wide row bundling the wave's signals.
   */
 object ExtN {
 
