@@ -674,6 +674,17 @@ object ScaleBench {
           .count()
       }
     }
+    // the excision ACTION under clones: every clone makes each original
+    // 32-window a duplicate, so the marked set approaches ALL positions
+    // — the offsets-explode worst case (O(dup positions × 32)); the
+    // measure is whether the explode+anti-join stays linear in k
+    if (sec("excise")) for (k <- Seq(10, 40)) {
+      val rep = cloned(k)
+      timeShuffle(s"suffixExcise x$k (${nDocs * k} docs, spanLen 32)") {
+        graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 32)
+          .count()
+      }
+    }
 
     // gradient-descent logistic regression (round 16): 30 full-batch
     // iterations, each two map-side-combinable passes over the PINNED

@@ -104,14 +104,20 @@ object Phrase {
   def phraseMatch(docs: DataFrame, textCol: String, idCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrase list must be non-empty")
-    require(phrases.forall(_.trim.nonEmpty), "phrases must be non-empty")
+    // RAW whitespace split on BOTH sides (docs and phrases): an empty
+    // token from a doubled space is a token like any other, so the
+    // automaton, the join twin, and the SQL replay see the identical
+    // position sequence — a phrase with leading/trailing/doubled
+    // spaces would silently never match, so reject it instead
+    require(phrases.forall(p => p.split(" ", -1).forall(_.nonEmpty)),
+      "phrases must be space-separated non-empty tokens")
     require(phrases.distinct.size == phrases.size,
       "phrase list must be duplicate-free")
     val spark = docs.sparkSession
     import spark.implicits._
     val phraseArr = phrases.toArray
     val bc = spark.sparkContext.broadcast(
-      phraseArr.map(_.split(" ").filter(_.nonEmpty)))
+      phraseArr.map(_.split(" ")))
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -121,7 +127,9 @@ object Phrase {
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {
-            val toks = text.split(" ").filter(_.nonEmpty)
+            // raw split, -1 limit: trailing empties are positions too
+            // (mirrors split()/string_split in the twin and oracle)
+            val toks = text.split(" ", -1)
             ac.count(toks).iterator.map { case (pid, n) =>
               (id, local(pid), n)
             }
@@ -143,7 +151,7 @@ object Phrase {
     require(phrases.nonEmpty, "phrase list must be non-empty")
     val spark = docs.sparkSession
     import spark.implicits._
-    val ph = phrases.map(p => (p, p.split(" ").count(_.nonEmpty)))
+    val ph = phrases.map(p => (p, p.split(" ", -1).length))
     val lens = ph.map(_._2).distinct.sorted
     val phDf = broadcast(ph.toDF("phrase", "len"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),

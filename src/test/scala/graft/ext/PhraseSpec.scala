@@ -20,7 +20,11 @@ class PhraseSpec extends SparkSuite {
       (2L, "a b c d"),      // nested: "a b" and "a b c" both hit
       (3L, "x a a b y"),    // fail-link: tracking "a a b" must still
                             // surface the suffix hit of "a b"
-      (4L, "")              // nothing
+      (4L, ""),             // nothing
+      (5L, "a  b")          // doubled space: the empty token between
+                            // a and b is a POSITION, so "a b" must NOT
+                            // match (raw-split alignment with the SQL
+                            // replay's string_split)
     ).toDF("doc_id", "text")
     val out = collectTags(Phrase.phraseMatch(docs, "text", "doc_id",
       Seq("a a", "a b", "a b c", "a a b")))
