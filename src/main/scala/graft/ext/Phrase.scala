@@ -76,6 +76,31 @@ object Phrase {
       }
     }
 
+    private val plen = phrases.map(_.length)
+
+    /** Mark every token covered by ANY phrase occurrence (overlaps
+      * union): one forward pass, same transitions as [[count]], each
+      * hit at end position i flagging [i − len + 1, i].
+      */
+    def markMatches(toks: Array[String]): Array[Boolean] = {
+      val killed = new Array[Boolean](toks.length)
+      var s = 0
+      var i = 0
+      while (i < toks.length) {
+        val tok = toks(i)
+        while (s != 0 && !goto(s).contains(tok)) s = fail(s)
+        s = goto(s).getOrElse(tok, 0)
+        var hits = out(s)
+        while (hits.nonEmpty) {
+          var j = i - plen(hits.head) + 1
+          while (j <= i) { killed(j) = true; j += 1 }
+          hits = hits.tail
+        }
+        i += 1
+      }
+      killed
+    }
+
     /** phrase id → occurrence count over one token sequence. */
     def count(toks: Array[String]): scala.collection.Map[Int, Long] = {
       val acc = scala.collection.mutable.HashMap.empty[Int, Long]
@@ -137,6 +162,57 @@ object Phrase {
         }
       }
       .toDF("doc_id", "phrase", "n_matches")
+  }
+
+  /** Blocklist REDACTION — the action face of [[phraseMatch]] (Dolma
+    * taggers feed removal passes; UT1-style blocklist hits get cut):
+    * every token covered by ANY phrase occurrence is removed (overlap
+    * union — deterministic and order-free), the document rebuilt from
+    * the survivors. Same automaton, same single shuffle-free token
+    * pass; output (doc_id, redacted_text, n_removed_tokens) for EVERY
+    * input doc.
+    */
+  def phraseRedact(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase list must be non-empty")
+    require(phrases.forall(p => p.split(" ", -1).forall(_.nonEmpty)),
+      "phrases must be space-separated non-empty tokens")
+    require(phrases.distinct.size == phrases.size,
+      "phrase list must be duplicate-free")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      phrases.toArray.map(_.split(" ")))
+    docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ac = new TokenAc(bc.value)
+        it.map { case (id, text) =>
+          if (text == null) (id, "", 0L)
+          else {
+            val toks = text.split(" ", -1)
+            val killed = ac.markMatches(toks)
+            val sb = new StringBuilder
+            var removed = 0L
+            var first = true
+            var i = 0
+            while (i < toks.length) {
+              if (killed(i)) removed += 1L
+              else {
+                // separator by POSITION, not by buffer emptiness — a
+                // kept EMPTY token still takes its separator slot
+                // (array_to_string semantics in the oracle)
+                if (!first) sb.append(' ')
+                sb.append(toks(i))
+                first = false
+              }
+              i += 1
+            }
+            (id, sb.toString, removed)
+          }
+        }
+      }
+      .toDF("doc_id", "redacted_text", "n_removed_tokens")
   }
 
   /** The compositional twin: one n-gram equi-join per DISTINCT phrase

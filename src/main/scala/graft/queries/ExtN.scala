@@ -713,9 +713,54 @@ object ExtN {
       SELECT doc_id, n_words, min_period, tail_period, tail_repeats
       FROM lcr ORDER BY doc_id"""))
 
+  /** Blocklist redaction ([[graft.ext.Phrase.phraseRedact]], same
+    * phrase list as the tagger): every token covered by any phrase
+    * occurrence removed (overlap union), docs rebuilt. The oracle
+    * re-finds every occurrence per length (lateral position grams),
+    * explodes the covered positions, anti-joins, and rebuilds —
+    * the excise-oracle shape on the tagger's match set.
+    */
+  val xTextPhraseRedact = Q(
+    "x_text_phrase_redact",
+    (s, dir) => graft.ext.Phrase.phraseRedact(
+        t(s, dir, "documents"), "text", "doc_id", tagPhrases)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH ph AS (SELECT * FROM (VALUES
+        ${tagPhrases.map(p => s"('$p')").mkString(", ")}) t(phrase)),
+      phl AS (SELECT phrase,
+          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l FROM ph),
+      rtk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      rlen AS (SELECT DISTINCT l FROM phl),
+      rg AS (SELECT t.doc_id, CAST(u.i AS BIGINT) AS start, r.l,
+          array_to_string(t.w[u.i:u.i+r.l-1], ' ') AS gram
+        FROM rtk t JOIN rlen r ON len(t.w) >= r.l,
+          unnest(range(1, len(t.w) - r.l + 2)) u(i)),
+      rmark AS (SELECT rg.doc_id, rg.start, rg.l
+        FROM rg JOIN phl ON rg.l = phl.l AND rg.gram = phl.phrase),
+      rm AS (SELECT DISTINCT m.doc_id, m.start + u.o AS pos
+        FROM rmark m, unnest(range(0, m.l)) u(o)),
+      rpos AS (SELECT doc_id,
+          CAST(generate_subscripts(w, 1) AS BIGINT) AS pos,
+          unnest(w) AS tok
+        FROM rtk),
+      rkept AS (SELECT p.doc_id, p.pos, p.tok FROM rpos p
+        LEFT JOIN rm ON rm.doc_id = p.doc_id AND rm.pos = p.pos
+        WHERE rm.pos IS NULL),
+      ragg AS (SELECT doc_id,
+          CAST(COUNT(*) AS BIGINT) AS n_kept,
+          array_to_string(list(tok ORDER BY pos), ' ') AS redacted_text
+        FROM rkept GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(ragg.redacted_text, '') AS redacted_text,
+        CAST(len(string_split(d.text, ' ')) - COALESCE(ragg.n_kept, 0)
+          AS BIGINT) AS n_removed_tokens
+      FROM documents d LEFT JOIN ragg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
     xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
     xQualitySignalsV2, xDedupSuffixExcise, xWebDomainQualityIncremental,
-    xTextRepetitionLoop)
+    xTextRepetitionLoop, xTextPhraseRedact)
 }

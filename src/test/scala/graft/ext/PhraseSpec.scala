@@ -61,6 +61,21 @@ class PhraseSpec extends SparkSuite {
       "the tagger must add no shuffle to a pipeline")
   }
 
+  test("phraseRedact removes the overlap union and round-trips raw splits") {
+    val docs = Seq(
+      (1L, "x a b c y"), // "a b" and "b c" overlap on b → union a,b,c
+      (2L, "a b"),       // fully redacted → empty survivor
+      (3L, "q  r")       // untouched, doubled space preserved
+    ).toDF("doc_id", "text")
+    val out = Phrase.phraseRedact(docs, "text", "doc_id", Seq("a b", "b c"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "x y", 3L),
+      (2L, "", 2L),
+      (3L, "q  r", 0L)))
+  }
+
   test("phraseMatch rejects duplicate and blank phrases") {
     val docs = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
