@@ -758,9 +758,37 @@ object ExtN {
       FROM documents d LEFT JOIN ragg USING (doc_id)
       ORDER BY d.doc_id"""))
 
+  /** EXACT longest duplicated span ([[graft.ext.Suffix.maxDupSpan]],
+    * base 32, ext cap 160): the Lee et al. headline statistic, not
+    * dyadic-capped — 93 tokens at sf0.01 (a near-whole-doc
+    * duplicate). The oracle replays the ladder, the in-group pair
+    * set, and every pair's token-by-token extension to its first
+    * mismatch.
+    */
+  val xDedupSuffixMaxlen = Q(
+    "x_dedup_suffix_maxlen",
+    (s, dir) => graft.ext.Suffix.maxDupSpan(
+      t(s, dir, "documents"), "text", "doc_id", baseLen = 32,
+      maxExt = 160),
+    Some(s"""WITH $suffixCtes,
+      mprs AS (SELECT a.p AS pa, b.p AS pb FROM srk32 a
+        JOIN srk32 b ON a.rank = b.rank AND a.p < b.p),
+      mext AS (SELECT pa, pb,
+          COALESCE((SELECT CAST(MIN(u.o) AS BIGINT)
+            FROM unnest(range(32, 160)) u(o)
+            JOIN spos x ON x.p = mprs.pa + u.o
+            JOIN spos y ON y.p = mprs.pb + u.o
+            WHERE x.tok != y.tok), 160) AS lcp
+        FROM mprs)
+      SELECT CAST(MAX(lcp) AS BIGINT) AS max_dup_len,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(CASE WHEN lcp = (SELECT MAX(lcp) FROM mext)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_at_max
+      FROM mext"""))
+
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,
     xQualityLogregFilter, xTextPhraseTags, xDedupSuffixProfile,
     xDedupSuffixSpans, xTextBigramKnSplit, xWebDomainQuality,
     xQualitySignalsV2, xDedupSuffixExcise, xWebDomainQualityIncremental,
-    xTextRepetitionLoop, xTextPhraseRedact)
+    xTextRepetitionLoop, xTextPhraseRedact, xDedupSuffixMaxlen)
 }

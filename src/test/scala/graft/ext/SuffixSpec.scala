@@ -79,6 +79,28 @@ class SuffixSpec extends SparkSuite {
       (3L, "", 0L)))
   }
 
+  test("maxDupSpan finds the exact non-dyadic longest duplicate") {
+    // shared 6-token run "a b c d e f" inside different contexts: the
+    // level-4 groups pair its windows, the extension walks past the
+    // dyadic boundary to the exact length 6
+    val docs = Seq((1L, "q a b c d e f x"), (2L, "z a b c d e f y"))
+      .toDF("doc_id", "text")
+    val out = Suffix.maxDupSpan(docs, "text", "doc_id",
+      baseLen = 4, maxExt = 32).collect()(0)
+    assert(out.getAs[Long]("max_dup_len") == 6L)
+    // three window pairs ("a b c d", "b c d e", "c d e f"), one
+    // achieves the max
+    assert(out.getAs[Long]("n_pairs") == 3L)
+    assert(out.getAs[Long]("n_pairs_at_max") == 1L)
+  }
+
+  test("maxDupSpan on a duplicate-free corpus is the NULL/0 row") {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val out = Suffix.maxDupSpan(docs, "text", "doc_id",
+      baseLen = 2, maxExt = 8).collect()(0)
+    assert(out.isNullAt(0) && out.getAs[Long]("n_pairs") == 0L)
+  }
+
   test("dupProfile is partition-independent") {
     val docs = (0L until 30L)
       .map(i => (i, s"t${i % 4} t${(i * 3) % 5} t${i % 4} t${i % 2} t${i % 4}"))
