@@ -686,6 +686,25 @@ object ScaleBench {
       }
     }
 
+    // exact longest-duplicate (round 16): the pair set is quadratic
+    // in duplicate MULTIPLICITY, so clones are its worst case — and
+    // the exact-first collapse (wholeDocReps) is the documented cure:
+    // identical docs collapse to one representative before the
+    // ladder, making multiplicities content-bound again
+    if (sec("maxlen")) {
+      val k = 10
+      val rep = cloned(k)
+      timeShuffle(s"maxDupSpan RAW x$k (${nDocs * k} docs)") {
+        graft.ext.Suffix.maxDupSpan(rep, "text", "doc_id",
+          baseLen = 32, maxExt = 160).count()
+      }
+      timeShuffle(s"maxDupSpan EXACT-FIRST x$k (reps of ${nDocs * k} docs)") {
+        val reps = Dedup.wholeDocReps(rep, "text", "doc_id")
+        graft.ext.Suffix.maxDupSpan(reps, "text", "doc_id",
+          baseLen = 32, maxExt = 160).count()
+      }
+    }
+
     // gradient-descent logistic regression (round 16): 30 full-batch
     // iterations, each two map-side-combinable passes over the PINNED
     // integer feature table; the model is O(dims) and the driver holds
