@@ -6,7 +6,10 @@ import graft.ext.{Dedup, Text}
 
 /** Continuous-curation master — the streaming composition of the batch
   * master chain (`x_pipeline_master`, queries/ExtK.scala): every
-  * micro-batch runs the quality funnel (encoding → Gopher → CCNet
+  * micro-batch optionally opens with the batch master's URL/domain
+  * blocklist cut (stage 0, per-doc pure — off unless a urlCol and
+  * blocklist are passed), then runs the quality funnel (encoding →
+  * Gopher → CCNet
   * fluency against a STATIC reference model), then the STATEFUL dedup
   * ladder against the accumulated corpus (paragraph-level
   * [[graft.ext.Dedup.paragraphDedupIncremental]], whole-doc
@@ -59,16 +62,32 @@ object CurateStream {
       idCol: String, paraTokens: Int = 20, minTokens: Int = 5,
       paraThreshold: Double = 0.8, wholeK: Int = 3,
       wholeThreshold: Double = 0.5, decontamN: Int = 5,
-      nShards: Int = 4, seqLen: Long = 64L): (DataFrame, DataFrame) = {
+      nShards: Int = 4, seqLen: Long = 64L,
+      urlCol: Option[String] = None,
+      blockedDomains: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
+    // 0. URL/domain blocklist — the stage the BATCH master opens with
+    // (its stage 1), per-doc pure like the funnel verdicts, so every
+    // composition property below is untouched; blocked docs never
+    // reach any state. Off unless a urlCol + blocklist are given
+    // (existing callers unchanged).
+    val inUrl = urlCol match {
+      case Some(u) if blockedDomains.nonEmpty =>
+        graft.ext.Web.withUrlParts(batch, u)
+          .filter(!col("url_domain").isin(blockedDomains: _*))
+          .drop("url_host", "url_domain", "url_path", "url_query",
+            "url_norm")
+      case _ => batch
+    }
+
     // 1–3. quality funnel: per-doc pure verdicts vs the static model
-    val enc = Text.encodingQuality(batch, bytesCol, idCol)
+    val enc = Text.encodingQuality(inUrl, bytesCol, idCol)
       .select(col("doc_id"), col("is_clean"))
-    val gph = Text.gopherRules(batch, bytesCol, idCol)
+    val gph = Text.gopherRules(inUrl, bytesCol, idCol)
       .select(col("doc_id"), col("pass"))
-    val lp = Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol)
+    val lp = Text.bigramLogProbUnder(inUrl, modelDocs, rawCol, idCol)
       .select(col("doc_id"), col("mean_logprob"))
     val fluent = col("mean_logprob").isNotNull &&
       (col("mean_logprob") > cutLp ||
@@ -76,7 +95,7 @@ object CurateStream {
     val keep = enc.join(gph, "doc_id").join(lp, Seq("doc_id"), "left")
       .filter(col("is_clean") && col("pass") && fluent)
       .select(col("doc_id"))
-    val screened = batch
+    val screened = inUrl
       .select(col(idCol).cast("long").as("doc_id"),
         col(rawCol).cast("string").as("text"))
       .join(keep, "doc_id")

@@ -103,6 +103,43 @@ class CurateStreamSpec extends SparkSuite {
       "replayed batch must reproduce its report row")
   }
 
+  test("URL blocklist stage 0 equals pre-filtering the arrivals") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val withUrl = injected.withColumn("url", concat(lit("https://"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("bad-site.org"))
+        .otherwise(lit("good-site.com")),
+      lit("/d/"), col("doc_id")))
+    val arrivals = withUrl.filter(col("doc_id") >= 20)
+
+    // A: the stream applies the blocklist as stage 0
+    val (packedA, reportA) = CurateStream.applyBatch(arrivals,
+      freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
+      "doc_id", seqLen = seqLen, urlCol = Some("url"),
+      blockedDomains = Seq("bad-site.org"))
+    // B: the caller pre-filtered the same domain cut; no URL stage
+    val (packedB, reportB) = CurateStream.applyBatch(
+      arrivals.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+      freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
+      "doc_id", seqLen = seqLen)
+
+    val setA = packedA.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val setB = packedB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setA === setB,
+      "stage-0 blocklist must curate exactly the pre-filtered corpus")
+    val ra = reportA.head(); val rb = reportB.head()
+    for (c <- Seq("c_screened", "c_whole_doc", "c_curated", "c_tokens"))
+      assert(ra.getAs[Long](c) === rb.getAs[Long](c), s"$c must match")
+    // arrivals are counted BEFORE the cut (the attrition convention:
+    // n_arrived is what reached the pipeline, blocked included)
+    assert(ra.getAs[Long]("n_arrived") > rb.getAs[Long]("n_arrived"))
+    // and a doc from the blocked domain never reaches the output
+    assert(!packedA.collect().map(_.getLong(0)).exists(_ % 4 == 0))
+  }
+
   test("curateStream runner: readStream wiring matches applyBatch") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),
