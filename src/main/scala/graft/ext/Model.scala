@@ -331,8 +331,11 @@ object Model {
       val g = feat.join(p.select(col("doc_id"), col("p")), "doc_id")
         .withColumn("gc",
           (col("p") - col("y")) * col("tf").cast("decimal(10,0)"))
+        // DECIMAL(32,6): |g| is bounded by the label class's total
+        // token count — 18,6 (max ~10^12) would overflow to null on a
+        // 100 TB corpus and NPE the driver-side update mid-training
         .groupBy(col("b"))
-        .agg(sum(col("gc")).cast("decimal(18,6)").as("g"))
+        .agg(sum(col("gc")).cast("decimal(32,6)").as("g"))
         .collect() // O(dims) rows — bounded by dims, never by data
         .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
       w = w.indices.map(j =>

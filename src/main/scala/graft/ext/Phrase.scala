@@ -141,14 +141,18 @@ object Phrase {
     val spark = docs.sparkSession
     import spark.implicits._
     val phraseArr = phrases.toArray
+    // ONE broadcast carrying both the raw strings (id → phrase) and
+    // the split token arrays — nothing phrase-sized rides the task
+    // closure, so a large blocklist ships once per executor, not once
+    // per task
     val bc = spark.sparkContext.broadcast(
-      phraseArr.map(_.split(" ")))
+      (phraseArr, phraseArr.map(_.split(" "))))
     docs.select(col(idCol).cast("long"), col(textCol).cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         // compile ONCE per partition from the broadcast phrase list
-        val ac = new TokenAc(bc.value)
-        val local = phraseArr // stable ids → phrase strings
+        val ac = new TokenAc(bc.value._2)
+        val local = bc.value._1 // stable ids → phrase strings
         it.flatMap { case (id, text) =>
           if (text == null) Iterator.empty
           else {

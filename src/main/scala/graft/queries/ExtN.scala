@@ -118,12 +118,12 @@ object ExtN {
         FROM lz$i),
       lg$i AS MATERIALIZED (SELECT f.b,
           CAST(SUM((p.p - y.y) * CAST(f.tf AS DECIMAL(10,0)))
-            AS DECIMAL(18,6)) AS g
+            AS DECIMAL(32,6)) AS g
         FROM lfeat f JOIN lp$i p USING (doc_id) JOIN ly y USING (doc_id)
         GROUP BY 1),
       lw$i AS MATERIALIZED (SELECT w.b,
           CAST(w.w - CAST('$step' AS DECIMAL(8,6))
-            * COALESCE(g.g, CAST(0 AS DECIMAL(18,6))) AS DECIMAL(20,12))
+            * COALESCE(g.g, CAST(0 AS DECIMAL(32,6))) AS DECIMAL(20,12))
             AS w
         FROM lw${i - 1} w LEFT JOIN lg$i g USING (b))"""
     }.mkString(",\n      ")
@@ -783,7 +783,8 @@ object ExtN {
       SELECT CAST(MAX(lcp) AS BIGINT) AS max_dup_len,
         CAST(COUNT(*) AS BIGINT) AS n_pairs,
         CAST(SUM(CASE WHEN lcp = (SELECT MAX(lcp) FROM mext)
-          THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_at_max
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs_at_max,
+        COALESCE(MAX(lcp) = 160, FALSE) AS saturated
       FROM mext"""))
 
   val queries: Seq[Q] = Seq(xTextBigramKn, xQualityLogregTrain,

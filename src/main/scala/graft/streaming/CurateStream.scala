@@ -73,12 +73,13 @@ object CurateStream {
     // composition property below is untouched; blocked docs never
     // reach any state. Off unless a urlCol + blocklist are given
     // (existing callers unchanged).
+    // the domain is computed as a filter EXPRESSION, never a named
+    // column — a batch already carrying url_host/url_domain/... keeps
+    // its own columns untouched (no reserved names to clobber)
     val inUrl = urlCol match {
       case Some(u) if blockedDomains.nonEmpty =>
-        graft.ext.Web.withUrlParts(batch, u)
-          .filter(!col("url_domain").isin(blockedDomains: _*))
-          .drop("url_host", "url_domain", "url_path", "url_query",
-            "url_norm")
+        batch.filter(!graft.ext.Web.registeredDomain(
+          graft.ext.Web.host(col(u))).isin(blockedDomains: _*))
       case _ => batch
     }
 

@@ -92,6 +92,24 @@ class SuffixSpec extends SparkSuite {
     // achieves the max
     assert(out.getAs[Long]("n_pairs") == 3L)
     assert(out.getAs[Long]("n_pairs_at_max") == 1L)
+    assert(!out.getAs[Boolean]("saturated"))
+  }
+
+  test("maxDupSpan flags saturation when a pair hits the maxExt cap") {
+    // two identical 12-token docs, cap 8 < 12: every extension runs
+    // out of budget before the sentinel mismatch — the statistic is
+    // understated and the row must say so
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val out = Suffix.maxDupSpan(docs, "text", "doc_id",
+      baseLen = 4, maxExt = 8).collect()(0)
+    assert(out.getAs[Long]("max_dup_len") == 8L)
+    assert(out.getAs[Boolean]("saturated"))
+    // a cap past the doc length reports the exact answer, unsaturated
+    val ok = Suffix.maxDupSpan(docs, "text", "doc_id",
+      baseLen = 4, maxExt = 16).collect()(0)
+    assert(ok.getAs[Long]("max_dup_len") == 12L)
+    assert(!ok.getAs[Boolean]("saturated"))
   }
 
   test("maxDupSpan on a duplicate-free corpus is the NULL/0 row") {
@@ -99,6 +117,7 @@ class SuffixSpec extends SparkSuite {
     val out = Suffix.maxDupSpan(docs, "text", "doc_id",
       baseLen = 2, maxExt = 8).collect()(0)
     assert(out.isNullAt(0) && out.getAs[Long]("n_pairs") == 0L)
+    assert(!out.getAs[Boolean]("saturated"))
   }
 
   test("dupProfile is partition-independent") {
