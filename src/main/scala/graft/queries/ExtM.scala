@@ -160,11 +160,15 @@ object ExtM {
     * through the REAL streaming state machinery: the documents corpus
     * arrives as three `doc_id mod 3` micro-batches and each runs
     * [[graft.streaming.FunnelStream.applyBatch]] — encoding → Gopher →
-    * CCNet fluency against the corpus-trained static model, cumulative
+    * CCNet fluency against the corpus-trained static model, plus the
+    * intra-document span-dedup stage over the fluent survivors (the
+    * streaming master's stage 5, per-doc pure so it joins the
+    * order-free prefix — r17), cumulative
     * counts folded through the generation-addressed state dir. The
     * oracle computes every per-doc verdict ONCE (they are pure
     * per-document functions of the static model — the order-free
-    * property), groups them by batch, and replays the cumulative fold
+    * property; the intra stage via the shared spanDedupCtes per-doc
+    * replay), groups them by batch, and replays the cumulative fold
     * as a running window — so the engine's state reads/writes must
     * reproduce plain prefix sums exactly, batch by batch.
     */
@@ -201,6 +205,10 @@ object ExtM {
       fl AS (SELECT e.doc_id, CAST(e.doc_id % 3 AS BIGINT) AS batch_id,
           e.is_clean, g.pass, bk.bucket
         FROM enc e JOIN gr g USING (doc_id) LEFT JOIN bk USING (doc_id)),
+      flsrc AS (SELECT d.doc_id, d.text FROM documents d
+        JOIN fl ON fl.doc_id = d.doc_id
+        WHERE fl.is_clean AND fl.pass AND fl.bucket < 2),
+      ${ExtE.spanDedupCtes("fi", "flsrc", 3, perDoc = true)},
       pb AS (SELECT batch_id,
           CAST(COUNT(*) AS BIGINT) AS n_all,
           CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
@@ -208,13 +216,18 @@ object ExtM {
           CAST(SUM(CASE WHEN is_clean AND pass THEN 1 ELSE 0 END)
             AS BIGINT) AS n_gopher_pass,
           CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2
-            THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent
-        FROM fl GROUP BY batch_id)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent,
+          CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2
+            THEN COALESCE(fi.n_kept_tokens, 0) ELSE 0 END) AS BIGINT)
+            AS n_intra_tokens
+        FROM fl LEFT JOIN fires fi USING (doc_id) GROUP BY batch_id)
       SELECT batch_id, n_all, n_encoding_clean, n_gopher_pass, n_fluent,
+        n_intra_tokens,
         CAST(SUM(n_all) OVER w AS BIGINT) AS c_all,
         CAST(SUM(n_encoding_clean) OVER w AS BIGINT) AS c_encoding_clean,
         CAST(SUM(n_gopher_pass) OVER w AS BIGINT) AS c_gopher_pass,
         CAST(SUM(n_fluent) OVER w AS BIGINT) AS c_fluent,
+        CAST(SUM(n_intra_tokens) OVER w AS BIGINT) AS c_intra_tokens,
         CAST(SUM(n_fluent) OVER w AS DOUBLE) /
           CAST(SUM(n_all) OVER w AS DOUBLE) AS survival_frac
       FROM pb

@@ -10,26 +10,40 @@ import graft.ext.{Dedup, Text}
   * blocklist cut (stage 0, per-doc pure — off unless a urlCol and
   * blocklist are passed), then runs the quality funnel (encoding →
   * Gopher → CCNet
-  * fluency against a STATIC reference model), then the STATEFUL dedup
-  * ladder against the accumulated corpus (paragraph-level
+  * fluency against a STATIC reference model), then the FULL dedup
+  * ladder of the batch master: intra-document span removal
+  * ([[graft.ext.Dedup.intraDocDedupHashed]], per-doc pure — the batch
+  * chain's stage 5), the STATEFUL passes against the accumulated
+  * corpus (paragraph-level
   * [[graft.ext.Dedup.paragraphDedupIncremental]], whole-doc
-  * [[graft.ext.Dedup.minhashDedupIncremental]]), then benchmark
-  * decontamination against a static eval set, and the survivors are
-  * dealt into token-balanced shards ([[ShardStream.applyBatch]]) and
-  * BFD-packed into training sequences ([[PackStream.applyBatch]]) —
-  * raw crawl in, packed training layout out, one batch at a time.
+  * [[graft.ext.Dedup.minhashDedupIncremental]], corpus-wide span
+  * excision [[graft.ext.Dedup.spanDedupIncremental]] + the
+  * post-dedup length floor — the batch chain's stage 8), then
+  * benchmark decontamination against a static eval set, and the
+  * survivors are dealt into token-balanced shards
+  * ([[ShardStream.applyBatch]]) and BFD-packed into training
+  * sequences ([[PackStream.applyBatch]]) — raw crawl in, packed
+  * training layout out, one batch at a time. The stage list now
+  * matches the batch master's 0–11 chain stage for stage (shard
+  * dealing replacing the batch chain's one-shot mixture balance —
+  * the documented continuous-vs-batch divergence).
   *
   * Composition semantics, stage by stage (CurateStreamSpec proves each):
-  *  - funnel + decontamination verdicts are pure per-document functions
+  *  - funnel + intra-doc dedup + decontamination verdicts are pure
+  *    per-document functions
   *    of the static model/eval set, so ANY batch split reproduces the
   *    one-shot verdicts exactly (the [[FunnelStream]] contract; the
   *    registered `x_curate_stream_funnel` replay adjudicates the
-  *    cumulative fold in chained SQL);
+  *    cumulative fold — intra-doc token attrition included — in
+  *    chained SQL);
   *  - the dedup ladder honors ARRIVAL order (earlier batch wins, the
   *    incremental faces' documented convention) — for id-ordered
   *    splits this is the batch chain's earlier-occurrence-wins rule,
   *    with the state-survivor caveat on
-  *    [[graft.ext.Dedup.paragraphDedupIncremental]];
+  *    [[graft.ext.Dedup.paragraphDedupIncremental]]; the span stage
+  *    rides [[graft.ext.Dedup.spanDedupIncremental]]'s proven
+  *    batch-composition equivalence (id-ordered batches reproduce the
+  *    one-shot [[graft.ext.Dedup.spanDedup]] exactly);
   *  - shard dealing and BFD packing are deterministic per batch given
   *    the inherited state but NOT equivalent to one-shot layout over
   *    the union — BFD is order-sensitive and placed docs never move
@@ -52,9 +66,13 @@ object CurateStream {
 
   /** Curate one micro-batch end to end. Returns (packed placements —
     * doc_id, toks, shard, bin, n_bins — for THIS batch's survivors,
-    * 10-column attrition report row). `bytesCol` is the raw "crawl
+    * the attrition report row: per-batch and cumulative counts for
+    * every doc-dropping stage plus the intra-doc and span stages'
+    * token attrition). `bytesCol` is the raw "crawl
     * bytes" text the byte-level filters see; `rawCol` the clean text
     * that is scored, deduped, and packed (the funnel discipline).
+    * `intraSpan`/`spanLen`/`minKeptTokens` are the batch master's
+    * stage-5/8 parameters (3 / 10 / 20 there).
     */
   def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
       modelDocs: DataFrame, cutLp: Double, cutId: Long,
@@ -64,7 +82,9 @@ object CurateStream {
       wholeThreshold: Double = 0.5, decontamN: Int = 5,
       nShards: Int = 4, seqLen: Long = 64L,
       urlCol: Option[String] = None,
-      blockedDomains: Seq[String] = Nil): (DataFrame, DataFrame) = {
+      blockedDomains: Seq[String] = Nil,
+      intraSpan: Int = 3, spanLen: Int = 10,
+      minKeptTokens: Int = 20): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -101,30 +121,49 @@ object CurateStream {
         col(rawCol).cast("string").as("text"))
       .join(keep, "doc_id")
 
-    // 4. paragraph dedup vs the accumulated paragraph-signature state
-    val para = Dedup.paragraphDedupIncremental(screened, "text", "doc_id",
+    // 4. intra-document span removal (the batch master's stage 5 —
+    // per-doc pure, so it joins the order-free funnel prefix); pinned:
+    // feeds the paragraph state pass AND its own report token sum
+    val intra = Dedup.intraDocDedupHashed(screened, "text", "doc_id",
+        span = intraSpan)
+      .select(col("doc_id"), col("deduped_text").as("text"),
+        col("n_kept_tokens"))
+      .localCheckpoint(true)
+
+    // 5. paragraph dedup vs the accumulated paragraph-signature state
+    val para = Dedup.paragraphDedupIncremental(intra, "text", "doc_id",
       s"$statePath/para", paraTokens, minTokens, paraThreshold,
       batchTag = Some(batchId))
     val t2 = para.select(col("doc_id"), col("deduped_text").as("text"))
 
-    // 5. whole-doc near-dup vs the accumulated doc-signature state
+    // 6. whole-doc near-dup vs the accumulated doc-signature state
     val t3 = Dedup.minhashDedupIncremental(t2, "text", "doc_id",
       s"$statePath/whole", wholeK, wholeThreshold,
       batchTag = Some(batchId))
 
-    // 6. benchmark decontamination (static eval set, any n-gram hit
+    // 7. corpus-wide span excision vs the accumulated window state +
+    // the post-dedup length floor (the batch master's stage 8);
+    // 8-byte fingerprint state keys — the 100 TB shape. The
+    // incremental face pins its own output before the state append.
+    val spanned = Dedup.spanDedupIncremental(t3, "text", "doc_id",
+        spanLen, s"$statePath/span", batchTag = Some(batchId),
+        hashedState = true)
+      .filter(col("n_kept_tokens") >= minKeptTokens)
+      .select(col("doc_id"), col("deduped_text").as("text"),
+        col("n_kept_tokens"))
+
+    // 8. benchmark decontamination (static eval set, any n-gram hit
     // drops the doc — per-doc pure, like the funnel)
-    val contam = Text.contamination(t3, evalDocs, "text", "doc_id",
+    val contam = Text.contamination(spanned, evalDocs, "text", "doc_id",
         n = decontamN)
       .filter(col("contaminated")).select("doc_id")
-    val t4 = t3.join(contam, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("toks"))
+    val t4 = spanned.join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_kept_tokens").as("toks"))
       // pin: consumed by the shard deal AND the report counts, and the
       // deal must see a FIXED input (the incremental-state lesson)
       .localCheckpoint(true)
 
-    // 7–8. continuous training layout: LPT shard deal, per-shard BFD
+    // 9–10. continuous training layout: LPT shard deal, per-shard BFD
     val placed = ShardStream.applyBatch(t4, s"$statePath/shards",
       col("doc_id"), col("toks"), nShards, batchId)
     val packed = PackStream.applyBatch(placed, s"$statePath/bins",
@@ -135,29 +174,36 @@ object CurateStream {
 
     // attrition report: per-batch stage counts + generation-addressed
     // cumulative fold (the FunnelStream state discipline)
-    val cnt = screened.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val sc = intra.agg(count(lit(1)).cast("bigint").as("n"),
+      coalesce(sum(col("n_kept_tokens")), lit(0L)).cast("bigint")
+        .as("tk")).head()
+    val (cnt, bIntraToks) = (sc.getLong(0), sc.getLong(1))
     val bAll = batch.agg(count(lit(1)).cast("bigint")).head().getLong(0)
     val whole = t3.agg(count(lit(1)).cast("bigint")).head().getLong(0)
+    val bSpan = spanned.agg(count(lit(1)).cast("bigint")).head().getLong(0)
     val pk = packed.agg(count(lit(1)).cast("bigint").as("n"),
       coalesce(sum(col("toks")), lit(0L)).cast("bigint").as("tk")).head()
     val (bDecon, bToks) = (pk.getLong(0), pk.getLong(1))
     val prior = StateDir.readGenBefore(spark, s"$statePath/report", batchId)
       .map(_.select(col("c_arrived"), col("c_screened"),
-        col("c_whole_doc"), col("c_curated"), col("c_tokens")).head())
+        col("c_intra_tokens"), col("c_whole_doc"), col("c_span"),
+        col("c_curated"), col("c_tokens")).head())
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4)))
-      .getOrElse((0L, 0L, 0L, 0L, 0L))
-    val c = (prior._1 + bAll, prior._2 + cnt, prior._3 + whole,
-      prior._4 + bDecon, prior._5 + bToks)
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .getOrElse((0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    val c = (prior._1 + bAll, prior._2 + cnt, prior._3 + bIntraToks,
+      prior._4 + whole, prior._5 + bSpan, prior._6 + bDecon,
+      prior._7 + bToks)
     StateDir.writeGen(
-      Seq(c).toDF("c_arrived", "c_screened", "c_whole_doc", "c_curated",
-        "c_tokens"),
+      Seq(c).toDF("c_arrived", "c_screened", "c_intra_tokens",
+        "c_whole_doc", "c_span", "c_curated", "c_tokens"),
       s"$statePath/report", batchId)
-    val report = Seq((batchId, bAll, cnt, whole, bDecon, bToks,
-        c._1, c._2, c._3, c._4, c._5))
-      .toDF("batch_id", "n_arrived", "n_screened", "n_whole_doc",
-        "n_curated", "n_tokens", "c_arrived", "c_screened",
-        "c_whole_doc", "c_curated", "c_tokens")
+    val report = Seq((batchId, bAll, cnt, bIntraToks, whole, bSpan,
+        bDecon, bToks, c._1, c._2, c._3, c._4, c._5, c._6, c._7))
+      .toDF("batch_id", "n_arrived", "n_screened", "n_intra_tokens",
+        "n_whole_doc", "n_span", "n_curated", "n_tokens", "c_arrived",
+        "c_screened", "c_intra_tokens", "c_whole_doc", "c_span",
+        "c_curated", "c_tokens")
     (packed, report)
   }
 

@@ -61,13 +61,19 @@ object FunnelStream {
   /** Screen one micro-batch and fold the cumulative attrition counts.
     * `bytesCol` is the raw "crawl bytes" text the byte-level filters
     * (encoding, Gopher) see; `rawCol` is the clean text the LM scores
-    * — the funnel discipline of the batch capstone. Returns the
-    * 1-row report (batch_id, per-batch counts, cumulative counts,
-    * cumulative survival_frac).
+    * — the funnel discipline of the batch capstone. The funnel's
+    * fluent survivors additionally run the intra-document span-dedup
+    * stage ([[graft.ext.Dedup.intraDocDedupHashed]] at `intraSpan` —
+    * the batch master's stage 5, per-doc pure like every other funnel
+    * verdict, so it joins the order-free composition contract) and
+    * the report carries its surviving-token volume. Returns the
+    * 1-row report (batch_id, per-batch counts + intra-kept tokens,
+    * cumulative counts, cumulative survival_frac).
     */
   def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
       modelDocs: DataFrame, cutLp: Double, cutId: Long,
-      rawCol: String, bytesCol: String, idCol: String): DataFrame = {
+      rawCol: String, bytesCol: String, idCol: String,
+      intraSpan: Int = 3): DataFrame = {
     val spark = batch.sparkSession
     val enc = Text.encodingQuality(batch, bytesCol, idCol)
       .select(col("doc_id"), col("is_clean"))
@@ -78,38 +84,55 @@ object FunnelStream {
     val fluent = col("mean_logprob").isNotNull &&
       (col("mean_logprob") > cutLp ||
         (col("mean_logprob") === cutLp && col("doc_id") <= cutId))
-    val agg = enc.join(gph, "doc_id").join(lp, Seq("doc_id"), "left")
+    // pinned: the verdicts feed the count aggregate AND the fluent-set
+    // join below — without the pin the LM scoring chain runs twice
+    val verdicts = enc.join(gph, "doc_id").join(lp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("is_clean"), col("pass"),
+        (col("is_clean") && col("pass") && fluent).as("_fl"))
+      .localCheckpoint(true)
+    val agg = verdicts
       .agg(count(lit(1)).cast("bigint").as("n_all"),
         sum(when(col("is_clean"), 1L).otherwise(0L)).cast("bigint")
           .as("n_encoding_clean"),
         sum(when(col("is_clean") && col("pass"), 1L).otherwise(0L))
           .cast("bigint").as("n_gopher_pass"),
-        sum(when(col("is_clean") && col("pass") && fluent, 1L)
-          .otherwise(0L)).cast("bigint").as("n_fluent"))
+        sum(when(col("_fl"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_fluent"))
       .head()
     val (bAll, bEnc, bGph, bFlu) =
       (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    val bIntra = graft.ext.Dedup.intraDocDedupHashed(
+        batch.select(col(idCol).cast("long").as("doc_id"),
+            col(rawCol).cast("string").as("text"))
+          .join(verdicts.filter(col("_fl")).select("doc_id"), "doc_id"),
+        "text", "doc_id", span = intraSpan)
+      .agg(coalesce(sum(col("n_kept_tokens")), lit(0L)).cast("bigint"))
+      .head().getLong(0)
     // O(1)-row state: read the pre-batch generation, fold, overwrite
     // own generation (replay-idempotent by construction)
     val prior = StateDir.readGenBefore(spark, statePath, batchId)
       .map(_.select(col("c_all"), col("c_encoding_clean"),
-        col("c_gopher_pass"), col("c_fluent")).head())
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-      .getOrElse((0L, 0L, 0L, 0L))
-    val (cAll, cEnc, cGph, cFlu) =
-      (prior._1 + bAll, prior._2 + bEnc, prior._3 + bGph, prior._4 + bFlu)
+        col("c_gopher_pass"), col("c_fluent"), col("c_intra_tokens"))
+        .head())
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .getOrElse((0L, 0L, 0L, 0L, 0L))
+    val (cAll, cEnc, cGph, cFlu, cIntra) =
+      (prior._1 + bAll, prior._2 + bEnc, prior._3 + bGph,
+        prior._4 + bFlu, prior._5 + bIntra)
     import spark.implicits._
     StateDir.writeGen(
-      Seq((cAll, cEnc, cGph, cFlu))
-        .toDF("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent"),
+      Seq((cAll, cEnc, cGph, cFlu, cIntra))
+        .toDF("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent",
+          "c_intra_tokens"),
       statePath, batchId)
     // zero guard: an empty first micro-batch has c_all = 0 — report
     // 0.0 survival (nothing has survived yet), never NaN
-    Seq((batchId, bAll, bEnc, bGph, bFlu, cAll, cEnc, cGph, cFlu,
-        if (cAll == 0L) 0.0 else cFlu.toDouble / cAll.toDouble))
+    Seq((batchId, bAll, bEnc, bGph, bFlu, bIntra, cAll, cEnc, cGph, cFlu,
+        cIntra, if (cAll == 0L) 0.0 else cFlu.toDouble / cAll.toDouble))
       .toDF("batch_id", "n_all", "n_encoding_clean", "n_gopher_pass",
-        "n_fluent", "c_all", "c_encoding_clean", "c_gopher_pass",
-        "c_fluent", "survival_frac")
+        "n_fluent", "n_intra_tokens", "c_all", "c_encoding_clean",
+        "c_gopher_pass", "c_fluent", "c_intra_tokens", "survival_frac")
   }
 
   /** The readStream runner — foreachBatch wiring on the funnel

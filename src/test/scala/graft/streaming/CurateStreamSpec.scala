@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.queries.{ExtI, H}
 
 /** Composition proofs for the continuous-curation master
-  * ([[CurateStream]] — funnel → paragraph dedup → whole-doc dedup →
+  * ([[CurateStream]] — funnel → intra-doc span dedup → paragraph
+  * dedup → whole-doc dedup → corpus-wide span dedup + length floor →
   * decontaminate → shard → pack, all states generation-addressed):
   *
   *  1. arrival-order composition: the corpus driven through in three
@@ -62,16 +63,26 @@ class CurateStreamSpec extends SparkSuite {
     val set3 = packed3.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(set1 === set3,
       "id-ordered splits must curate the identical (doc, toks) set")
-    // same cumulative attrition (the report's c_* columns)
+    // same cumulative attrition (the report's c_* columns, the new
+    // intra-doc token and span-stage rows included)
     val last1 = reports1.last
     val last3 = reports3.last
-    for (c <- Seq("c_arrived", "c_screened", "c_whole_doc", "c_curated",
-        "c_tokens"))
+    for (c <- Seq("c_arrived", "c_screened", "c_intra_tokens",
+        "c_whole_doc", "c_span", "c_curated", "c_tokens"))
       assert(last3.getAs[Long](c) === last1.getAs[Long](c),
         s"$c must match the one-shot run")
     // per-batch counts sum to the cumulative row
     assert(reports3.map(_.getAs[Long]("n_curated")).sum ===
       last3.getAs[Long]("c_curated"))
+    assert(reports3.map(_.getAs[Long]("n_intra_tokens")).sum ===
+      last3.getAs[Long]("c_intra_tokens"))
+    // the new stages are not vacuous at this SF: the final token
+    // volume sits below the intra-stage volume (corpus-wide spans were
+    // excised and/or decontamination fired); the span doc count can
+    // only shrink from the whole-doc stage
+    assert(last1.getAs[Long]("c_span") <= last1.getAs[Long]("c_whole_doc"))
+    assert(last1.getAs[Long]("c_tokens") < last1.getAs[Long]("c_intra_tokens"),
+      "span excision + floor + decontamination must remove tokens at this SF")
 
     // bin validity at any split: small-doc bins never exceed seqLen;
     // oversize docs take ceil(toks/seqLen) dedicated bins
@@ -131,7 +142,8 @@ class CurateStreamSpec extends SparkSuite {
     assert(setA === setB,
       "stage-0 blocklist must curate exactly the pre-filtered corpus")
     val ra = reportA.head(); val rb = reportB.head()
-    for (c <- Seq("c_screened", "c_whole_doc", "c_curated", "c_tokens"))
+    for (c <- Seq("c_screened", "c_intra_tokens", "c_whole_doc",
+        "c_span", "c_curated", "c_tokens"))
       assert(ra.getAs[Long](c) === rb.getAs[Long](c), s"$c must match")
     // arrivals are counted BEFORE the cut (the attrition convention:
     // n_arrived is what reached the pipeline, blocked included)

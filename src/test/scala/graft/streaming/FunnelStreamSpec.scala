@@ -44,6 +44,27 @@ class FunnelStreamSpec extends SparkSuite {
       oneShot.getAs[Double]("survival_frac"),
       "cumulative survival must equal the one-shot fraction exactly")
 
+    // the intra-doc stage (r17) is per-doc pure, so its per-batch kept
+    // token sums must also fold order-free to the one-shot pass over
+    // the full fluent survivor set
+    val encOk = graft.ext.Text.encodingQuality(injected, "tinj", "doc_id")
+      .filter(col("is_clean")).select("doc_id")
+    val gphOk = graft.ext.Text.gopherRules(injected, "tinj", "doc_id")
+      .filter(col("pass")).select("doc_id")
+    val bkOk = graft.ext.Text
+      .perplexityBuckets(docs, "text", "doc_id", nBuckets = 3)
+      .filter(col("bucket") < 2).select("doc_id")
+    val oneIntra = graft.ext.Dedup.intraDocDedupHashed(
+        docs.select(col("doc_id"), col("text"))
+          .join(encOk, "doc_id").join(gphOk, "doc_id").join(bkOk, "doc_id"),
+        "text", "doc_id", span = 3)
+      .agg(coalesce(sum(col("n_kept_tokens")), lit(0L)).cast("bigint"))
+      .head().getLong(0)
+    assert(oneIntra > 0L, "intra stage must be non-vacuous at this SF")
+    assert(reports.map(_.getAs[Long]("n_intra_tokens")).sum == oneIntra,
+      "per-batch intra-kept token sums must fold to the one-shot pass")
+    assert(last.getAs[Long]("c_intra_tokens") == oneIntra)
+
     // redelivery: replaying the LATEST batch re-reads the pre-batch
     // generation and reproduces the identical report row
     val replay = FunnelStream.applyBatch(batchDf(2), state, 2L, docs,
