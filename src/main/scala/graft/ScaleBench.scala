@@ -678,12 +678,79 @@ object ScaleBench {
     // 32-window a duplicate, so the marked set approaches ALL positions
     // — the offsets-explode worst case (O(dup positions × 32)); the
     // measure is whether the explode+anti-join stays linear in k
+    // NB (r17): these probes SUM n_kept_tokens rather than count() —
+    // the output is a left join against a by-doc_id aggregate, so a
+    // bare count() lets Catalyst ELIMINATE the join (at-most-one row
+    // per key) and the excision never runs; the sum forces the full
+    // rebuild on both faces.
+    def keptTokens(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("n_kept_tokens")), lit(0L)).cast("bigint"))
+        .head().getLong(0)
     if (sec("excise")) for (k <- Seq(10, 40)) {
       val rep = cloned(k)
       timeShuffle(s"suffixExcise x$k (${nDocs * k} docs, spanLen 32)") {
-        graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 32)
-          .count()
+        keptTokens(
+          graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 32))
       }
+    }
+
+    // stage-8 face comparison (round 17): the master's corpus-wide
+    // span excision at span 10 — fingerprint-keyed sliding windows
+    // (one window row per position, 8-byte keys, collision-admitting)
+    // vs the exact suffix ladder (log₂10 → 3 doubling rounds + one
+    // overlap combine, 16-byte rank keys, collision-free). Same
+    // semantics (x_pipeline_master_suffix adjudicates byte parity);
+    // this measures what exactness costs at clone replication.
+    if (sec("suffixstage")) for (k <- Seq(10, 40)) {
+      val rep = cloned(k)
+      timeShuffle(s"stage8 spanDedupHashed x$k (${nDocs * k} docs, span 10)") {
+        keptTokens(Dedup.spanDedupHashed(rep, "text", "doc_id", span = 10))
+      }
+      timeShuffle(s"stage8 suffixExcise x$k (${nDocs * k} docs, span 10)") {
+        keptTokens(
+          graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 10))
+      }
+    }
+
+    // continuous-curation master under clone bursts (round 17): drive
+    // the ×k corpus through CurateStream.applyBatch as three
+    // micro-batches, recording per-batch wall-clock and the size of
+    // every accumulated state — the "state never grows with the
+    // stream" claim made measurable: paragraph/whole-doc/span
+    // signature states are DISTINCT-CONTENT-bound (clones collapse —
+    // collapseExact in the paragraph face, signature identity in the
+    // others), so state growth across batches must track new content,
+    // not arrival volume, and batch wall-clock must stay flat.
+    if (sec("curatestream")) for (k <- Seq(10, 40)) {
+      val model = docs
+      val (cutLp, cutId) = graft.streaming.FunnelStream
+        .fluencyCutoff(model, "text", "doc_id")
+      val evalDocs = model.filter(col("doc_id") < 20)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("scale_curatestream").toString + "/state"
+      def stateRows(p: String): Long =
+        try spark.read.parquet(p).count()
+        catch { case _: Exception => 0L }
+      for (b <- 0 until 3) {
+        val batch = cloned(k)
+          .filter(pmod(col("doc_id"), lit(3)) === b)
+          .select(col("doc_id"), col("text"),
+            col("text").as("tinj"))
+        timeShuffle(s"curatestream x$k batch $b (~${nDocs * k / 3} docs)") {
+          val (packed, report) = graft.streaming.CurateStream.applyBatch(
+            batch, statePath, b.toLong, model, cutLp, cutId, evalDocs,
+            "text", "tinj", "doc_id")
+          report.head()
+          packed.count()
+        }
+        println(f"[scale] curatestream x$k batch $b state rows: " +
+          f"para=${stateRows(s"$statePath/para")} " +
+          f"whole=${stateRows(s"$statePath/whole")} " +
+          f"span=${stateRows(s"$statePath/span")} " +
+          f"bins=${stateRows(s"$statePath/bins/g$b")} " +
+          f"shards=${stateRows(s"$statePath/shards/g$b")}")
+      }
+      spark.catalog.clearCache()
     }
 
     // exact longest-duplicate (round 16): the pair set is quadratic

@@ -148,8 +148,22 @@ object ExtK {
   private[graft] def wholeDocReps(t6: DataFrame): DataFrame =
     Dedup.wholeDocReps(t6, "text", "doc_id")
 
+  /** `suffixSpan8` selects stage 8's face: the fingerprint-keyed
+    * sliding-window excision ([[Dedup.spanDedupHashed]], 8-byte
+    * rolling-fold keys — admits 64-bit collisions) or the EXACT
+    * suffix-array excision ([[graft.ext.Suffix.exciseDupSpans]],
+    * rank-identity keys, collision-free at any span length). Both
+    * rank every window by its minimal (doc, start) occurrence and
+    * kill covered positions of later occurrences, so against the
+    * text-keyed exact oracle the twin is a deterministic
+    * hash-collision audit: a fingerprint collision (or any drift in
+    * either keying) breaks exactly one face's hash. The measured
+    * trade lives on the [[graft.ext.Suffix]] scaladoc and ScaleBench
+    * `suffixstage`.
+    */
   private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
-      pin: (String, DataFrame) => DataFrame)
+      pin: (String, DataFrame) => DataFrame,
+      suffixSpan8: Boolean = false)
       : (Seq[MasterStage], DataFrame) = {
     val evalSet = all.filter(col("doc_id") < 20)
     val corpus = pin("corpus", all.filter(col("doc_id") >= 20)
@@ -208,7 +222,9 @@ object ExtK {
 
     // 8. corpus-wide span dedup + post-dedup length floor
     val g = pin("span_dedup_full",
-      Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10))
+      if (suffixSpan8) Suffix.exciseDupSpans(s7, "text", "doc_id",
+        spanLen = 10)
+      else Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10))
     val s8 = g.filter(col("n_kept_tokens") >= 20)
       .select(col("doc_id"), col("deduped_text").as("text"),
         col("n_kept_tokens"))
@@ -263,13 +279,14 @@ object ExtK {
     * body of both registered faces).
     */
   private def runMaster(s: org.apache.spark.sql.SparkSession, dir: String,
-      lshWholeDoc: Boolean): DataFrame = {
+      lshWholeDoc: Boolean, suffixSpan8: Boolean = false): DataFrame = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (stages, bins) = masterStages(t(s, dir, "documents"), lshWholeDoc,
       (name, df) =>
         if (masterCached(name)) {
           val c = df.cache(); c.count(); caches += c; c
-        } else df)
+        } else df,
+      suffixSpan8 = suffixSpan8)
     def row(st: MasterStage) =
       st.df.agg(count(lit(1)).cast("bigint").as("n_docs"),
           coalesce(sum(st.tok), lit(0L)).cast("bigint").as("n_tokens"))
@@ -445,5 +462,24 @@ object ExtK {
     Some(masterOracleSql),
     bench = true)
 
-  val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh)
+  /** The master chain with stage 8 on the EXACT suffix-array excision
+    * ([[graft.ext.Suffix.exciseDupSpans]] at the master's span 10 —
+    * [[graft.ext.Suffix.ranksAt]]'s overlap combine handles the
+    * non-dyadic length) and stage 7 on the LSH face — the most
+    * 100 TB-credible combination of faces the engine has. Adjudicated
+    * against the SAME text-keyed exhaustive replay
+    * ([[masterOracleSql]]) as both fingerprint-keyed twins: the three
+    * registered masters agree iff the 64-bit span fingerprints are
+    * collision-free AND the rank-identity excision reproduces the
+    * sliding-window semantics position for position — a standing
+    * deterministic hash-collision audit, rows 8–11 failing loudly on
+    * any divergence.
+    */
+  val xPipelineMasterSuffix = Q(
+    "x_pipeline_master_suffix",
+    (s, dir) => runMaster(s, dir, lshWholeDoc = true, suffixSpan8 = true),
+    Some(masterOracleSql))
+
+  val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh,
+    xPipelineMasterSuffix)
 }

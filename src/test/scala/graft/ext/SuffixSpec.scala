@@ -79,6 +79,50 @@ class SuffixSpec extends SparkSuite {
       (3L, "", 0L)))
   }
 
+  test("ranksAt: non-dyadic lengths equal direct n-gram duplicate counts") {
+    val docs = (0L until 50L).map { i =>
+      val toks = (0 until 17).map(j => s"w${(i * 11 + j * j * 5) % 7}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (l <- Seq(3, 5, 10, 12)) {
+      val (_, rank) = Suffix.ranksAt(docs, "text", "doc_id", l)
+      val got = rank.groupBy(col("rank"))
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .agg(count(lit(1)).cast("bigint"),
+          coalesce(sum(col("n")), lit(0L)).cast("bigint"))
+        .collect()(0)
+      val direct = docs
+        .select(explode(Text.ngramArray(Text.tokens(col("text")), l)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+        .agg(count(lit(1)).cast("bigint"),
+          coalesce(sum(col("n")), lit(0L)).cast("bigint"))
+        .collect()(0)
+      assert((got.getLong(0), got.getLong(1)) ==
+        ((direct.getLong(0), direct.getLong(1))),
+        s"length-$l window ranks must match direct $l-gram dup counts")
+    }
+  }
+
+  test("exciseDupSpans equals spanDedup at the master's non-dyadic span") {
+    // the registered twin's contract in miniature: collision-free
+    // fingerprints + exact ranks must produce byte-identical excision
+    val docs = (0L until 80L).map { i =>
+      val toks = (0 until 30).map { j =>
+        if (i % 7 == 2 && j >= 10 && j < 22) s"shared${j}"
+        else s"w${(i * 13 + j * 3) % 23}_$i"
+      }
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = Suffix.exciseDupSpans(docs, "text", "doc_id", spanLen = 10)
+      .select(col("doc_id"), col("deduped_text"), col("n_kept_tokens"))
+      .orderBy("doc_id").collect().toSeq
+    val sliding = Dedup.spanDedup(docs, "text", "doc_id", span = 10)
+      .select(col("doc_id"), col("deduped_text"), col("n_kept_tokens"))
+      .orderBy("doc_id").collect().toSeq
+    assert(exact === sliding,
+      "rank-identity excision must reproduce sliding-window dedup")
+  }
+
   test("maxDupSpan finds the exact non-dyadic longest duplicate") {
     // shared 6-token run "a b c d e f" inside different contexts: the
     // level-4 groups pair its windows, the extension walks past the
