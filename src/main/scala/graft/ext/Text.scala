@@ -589,10 +589,29 @@ object Text {
     * count. Returns (doc_id, n_bigrams, mean_logprob, rn, bucket).
     */
   def perplexityBuckets(docs: DataFrame, textCol: String, idCol: String,
-      nBuckets: Int = 3, lambda: Double = 0.7): DataFrame = {
+      nBuckets: Int = 3, lambda: Double = 0.7): DataFrame =
+    rankBuckets(bigramLogProb(docs, textCol, idCol, lambda), nBuckets)
+
+  /** [[perplexityBuckets]] with the Kneser–Ney LM ([[bigramKneserNey]])
+    * as the scorer — CCNet's actual reference models are KN-smoothed
+    * (Wenzek et al. 2020 score under KenLM, which is modified KN —
+    * public literature), so this is the fluency-cut face a faithful
+    * CCNet reproduction runs; the interpolated-JM face stays as the
+    * cheaper twin. Identical rank/cut semantics, only the score
+    * changes; `x_quality_ppl_bucket_agreement` measures how often the
+    * two LMs bucket a document identically.
+    */
+  def perplexityBucketsKn(docs: DataFrame, textCol: String, idCol: String,
+      nBuckets: Int = 3, discount: Double = 0.75): DataFrame =
+    rankBuckets(bigramKneserNey(docs, textCol, idCol, discount), nBuckets)
+
+  /** Shared CCNet bucket cut: rank by (mean_logprob DESC, doc_id),
+    * bucket = floor((rank−1)·nBuckets / N) in exact integer arithmetic.
+    */
+  private def rankBuckets(scored: DataFrame, nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val lp = bigramLogProb(docs, textCol, idCol, lambda)
-      .select(col("doc_id"), col("n_bigrams"), col("mean_logprob"))
+    val lp = scored.select(col("doc_id"), col("n_bigrams"),
+      col("mean_logprob"))
     // N comes from the rank's own per-partition prefix sums — a
     // separate lp.count() would re-execute the whole LM scoring chain
     // a second time just for one long

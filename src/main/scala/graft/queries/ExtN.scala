@@ -16,12 +16,62 @@ import H.t
   */
 object ExtN {
 
+  /** The self-trained Kneser–Ney LM replay, prefixable so it can
+    * coexist with the JM [[Ext.bigramLmCtes]] block in one oracle (the
+    * r17 bucket-agreement query chains BOTH LMs): all four statistics
+    * tables (bigram counts, context totals + fan-out, fan-in, type
+    * count) and the per-doc probability sum, mirroring
+    * [[Text.bigramKneserNey]]'s IEEE operation tree term-for-term.
+    * Ends in `${pfx}knlpq(doc_id, n_bigrams, sum_logprob,
+    * mean_logprob)`.
+    */
+  private[queries] def knLmCtes(pfx: String): String =
+    s"""${pfx}ktk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      ${pfx}kbi AS (SELECT doc_id, gram, count(*) AS bf FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)),
+            i -> w[i] || ' ' || w[i+1])) AS gram FROM ${pfx}ktk)
+        GROUP BY 1, 2),
+      ${pfx}kbic AS MATERIALIZED (SELECT gram,
+          CAST(SUM(bf) AS BIGINT) AS bcnt,
+          string_split(gram, ' ')[1] AS w1,
+          string_split(gram, ' ')[-1] AS w2
+        FROM ${pfx}kbi GROUP BY 1),
+      ${pfx}kctx AS MATERIALIZED (SELECT w1,
+          CAST(SUM(bcnt) AS DOUBLE) AS ctot,
+          CAST(COUNT(*) AS DOUBLE) AS n1_fwd
+        FROM ${pfx}kbic GROUP BY 1),
+      ${pfx}kcont AS MATERIALIZED (SELECT w2,
+          CAST(COUNT(*) AS DOUBLE) AS n1_bwd
+        FROM ${pfx}kbic GROUP BY 1),
+      ${pfx}knbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types
+        FROM ${pfx}kbic),
+      ${pfx}kj AS (SELECT bi.doc_id, bi.bf,
+          CAST(CAST(bi.bf AS DOUBLE) *
+            CAST(CAST(ln(
+              GREATEST(CAST(bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                CAST(0 AS DOUBLE)) / ctot
+              + (CAST(0.75 AS DOUBLE) * n1_fwd / ctot)
+                * (n1_bwd / n_bigram_types))
+            AS DECIMAL(20,12)) AS DOUBLE)
+          AS DECIMAL(20,12)) AS contrib
+        FROM ${pfx}kbi bi JOIN ${pfx}kbic bic USING (gram)
+        JOIN ${pfx}kctx ctx ON ctx.w1 = bic.w1
+        JOIN ${pfx}kcont cont ON cont.w2 = bic.w2, ${pfx}knbt),
+      ${pfx}knlpq AS (SELECT doc_id,
+          CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+          CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+            AS sum_logprob,
+          CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
+            / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
+        FROM ${pfx}kj GROUP BY doc_id)"""
+
   /** Kneser–Ney bigram fluency ([[Text.bigramKneserNey]], d = 0.75):
     * per-doc sum/mean log-prob under interpolated KN — backoff to
     * CONTINUATION probability (distinct-context fan-in), not raw
     * unigram frequency. The oracle re-derives all four statistics
-    * tables (bigram counts, context totals + fan-out, fan-in, type
-    * count) and mirrors the probability's IEEE operation tree
+    * tables (via the shared [[knLmCtes]] replay) and mirrors the
+    * probability's IEEE operation tree
     * term-for-term, so a single drifted count or a reassociated
     * multiply flips the hash.
     */
@@ -31,39 +81,9 @@ object ExtN {
       .select(col("doc_id"), col("n_bigrams"), col("sum_logprob"),
         col("mean_logprob"))
       .orderBy(col("doc_id")),
-    Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS w
-        FROM documents),
-      bi AS (SELECT doc_id, gram, count(*) AS bf FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(w)),
-            i -> w[i] || ' ' || w[i+1])) AS gram FROM tk)
-        GROUP BY 1, 2),
-      bic AS MATERIALIZED (SELECT gram, CAST(SUM(bf) AS BIGINT) AS bcnt,
-          string_split(gram, ' ')[1] AS w1,
-          string_split(gram, ' ')[-1] AS w2
-        FROM bi GROUP BY 1),
-      ctx AS MATERIALIZED (SELECT w1, CAST(SUM(bcnt) AS DOUBLE) AS ctot,
-          CAST(COUNT(*) AS DOUBLE) AS n1_fwd
-        FROM bic GROUP BY 1),
-      cont AS MATERIALIZED (SELECT w2, CAST(COUNT(*) AS DOUBLE) AS n1_bwd
-        FROM bic GROUP BY 1),
-      nbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bic),
-      j AS (SELECT bi.doc_id, bi.bf,
-          CAST(CAST(bi.bf AS DOUBLE) *
-            CAST(CAST(ln(
-              GREATEST(CAST(bcnt AS DOUBLE) - CAST(0.75 AS DOUBLE),
-                CAST(0 AS DOUBLE)) / ctot
-              + (CAST(0.75 AS DOUBLE) * n1_fwd / ctot)
-                * (n1_bwd / n_bigram_types))
-            AS DECIMAL(20,12)) AS DOUBLE)
-          AS DECIMAL(20,12)) AS contrib
-        FROM bi JOIN bic USING (gram)
-        JOIN ctx ON ctx.w1 = bic.w1
-        JOIN cont ON cont.w2 = bic.w2, nbt)
-      SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
-        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE) AS sum_logprob,
-        CAST(CAST(SUM(contrib) AS DECIMAL(38,12)) AS DOUBLE)
-          / CAST(SUM(bf) AS DOUBLE) AS mean_logprob
-      FROM j GROUP BY doc_id ORDER BY doc_id"""))
+    Some(s"""WITH ${knLmCtes("")}
+      SELECT doc_id, n_bigrams, sum_logprob, mean_logprob
+      FROM knlpq ORDER BY doc_id"""))
 
   /** [[Model.logRegFilter]]'s registered configuration: 64 hash
     * buckets, 30 full-batch steps at 2e-4 — reaches 75.2% train

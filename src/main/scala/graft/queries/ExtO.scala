@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Text, Web}
+import H.t
+
+/** Round-17 operators: Kneser–Ney fluency-bucket twins for the CCNet
+  * cut (CCNet's reference models are KN-smoothed — Wenzek et al. 2020
+  * score under KenLM; the engine's JM face stays as the cheaper twin,
+  * with the bucket agreement rate measured and adjudicated), and the
+  * LEARNED domain blocklist — the actual FineWeb move (Penedo et al.
+  * 2024): derive the blocked-domain list from the corpus's own
+  * per-domain quality rollup instead of a static list, then cut the
+  * blocked domains' documents.
+  */
+object ExtO {
+
+  /** CCNet perplexity buckets under the Kneser–Ney LM
+    * ([[Text.perplexityBucketsKn]], d = 0.75, 3 buckets): every
+    * scoreable doc's rank and head/middle/tail bucket under the
+    * KN-smoothed reference model. The oracle chains the shared KN
+    * replay ([[ExtN.knLmCtes]]) into the same rank + integer floor cut
+    * as the JM face — the two bucket faces ride ONE LM definition
+    * each, so drift in either LM or either cut flips a hash.
+    */
+  val xQualityPplBucketsKn = Q(
+    "x_quality_ppl_buckets_kn",
+    (s, dir) => Text.perplexityBucketsKn(t(s, dir, "documents"), "text",
+        "doc_id", nBuckets = 3)
+      .orderBy(col("rn")),
+    Some(s"""WITH ${ExtN.knLmCtes("")},
+      knrk AS (SELECT doc_id, n_bigrams, mean_logprob,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM knlpq),
+      knbk AS (SELECT doc_id, n_bigrams, mean_logprob, rn,
+          CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM knrk)
+      SELECT doc_id, n_bigrams, mean_logprob, rn, bucket
+      FROM knbk ORDER BY rn"""))
+
+  /** JM-vs-KN bucket agreement — the measured column the KN upgrade
+    * is judged by (the x_embed_whiten_recall convention): ONE row with
+    * the scoreable doc count, how many land in the SAME head/middle/
+    * tail bucket under both LMs, and the agreement fraction (a single
+    * IEEE division of exact integers). The oracle chains BOTH full LM
+    * replays — the JM [[Ext.bigramLmCtes]] + rank cut and the KN
+    * [[ExtN.knLmCtes]] + rank cut — into one query, so a drifted count
+    * in either model flips the hash.
+    */
+  val xQualityPplBucketAgreement = Q(
+    "x_quality_ppl_bucket_agreement",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val jm = Text.perplexityBuckets(docs, "text", "doc_id", nBuckets = 3)
+        .select(col("doc_id"), col("bucket").as("b_jm"))
+      val kn = Text.perplexityBucketsKn(docs, "text", "doc_id",
+          nBuckets = 3)
+        .select(col("doc_id"), col("bucket").as("b_kn"))
+      jm.join(kn, "doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(when(col("b_jm") === col("b_kn"), 1L).otherwise(0L))
+            .cast("bigint").as("n_agree"))
+        .select(col("n_docs"), col("n_agree"),
+          (col("n_agree").cast("double") / col("n_docs").cast("double"))
+            .as("agreement_frac"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      ${ExtN.knLmCtes("kq")},
+      kqrk AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM kqknlpq),
+      kqbk AS (SELECT doc_id,
+          CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM kqrk),
+      agr AS (SELECT bk.doc_id, bk.bucket AS b_jm, kqbk.bucket AS b_kn
+        FROM bk JOIN kqbk USING (doc_id))
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN b_jm = b_kn THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_agree,
+        CAST(SUM(CASE WHEN b_jm = b_kn THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS agreement_frac
+      FROM agr"""))
+
+  /** LEARNED domain blocklist — the FineWeb move on the engine's own
+    * rollup: per-domain Gopher pass fractions ([[Web.domainQuality]],
+    * τ = 0.5) derive the blocked set FROM THE CORPUS, and blocked
+    * domains' documents are cut wholesale (a failing domain's passing
+    * pages are suspect too). Emitted as the 2-row attrition table
+    * (the master-chain convention), so the oracle chains the full
+    * rollup replay — Gopher verdicts, URL construction, both regexes,
+    * the per-domain fold, the strict-< verdict — into the attrition
+    * row: a drifted verdict anywhere moves row 1.
+    *
+    * Scale shape (100 TB): the rollup is one map-side-combinable
+    * aggregation keyed by registered domain (O(domains) output); the
+    * cut is a LEFT ANTI join against the BLOCKED slice only —
+    * O(blocked domains) rows, broadcast here and in any real crawl.
+    */
+  val xPipelineLearnedBlocklist = Q(
+    "x_pipeline_learned_blocklist",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val withUrl = docs.withColumn("url", ExtK.urlCol)
+      val gop = Text.gopherRules(docs, "text", "doc_id")
+        .select(col("doc_id"), col("pass"))
+      val blocked = Web.domainQuality(withUrl.join(gop, "doc_id"),
+          "url", "pass", minPassFrac = 0.5)
+        .filter(col("blocked")).select(col("url_domain"))
+      val kept = Web.withUrlParts(withUrl, "url")
+        .select(col("doc_id"), col("text"), col("url_domain"))
+        .join(broadcast(blocked), Seq("url_domain"), "left_anti")
+      def row(idx: Int, name: String,
+          df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).cast("bigint").as("n_docs"),
+            coalesce(sum(size(split(col("text"), " ")).cast("long")),
+              lit(0L)).cast("bigint").as("n_tokens"))
+          .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      row(0, "corpus", docs).union(row(1, "learned_domain_filter", kept))
+        .orderBy(col("stage_idx"))
+    },
+    Some(s"""WITH inj AS (SELECT doc_id, text AS t FROM documents),
+      ${ExtI.gopherCtesSql},
+      ldd AS (SELECT d.doc_id, d.text,
+          regexp_extract(lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)), '([^.]+\\.[^.]+)$$', 1)
+            AS url_domain, gr.pass
+        FROM documents d JOIN gr USING (doc_id)),
+      lblk AS (SELECT url_domain FROM ldd GROUP BY url_domain
+        HAVING CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) < 0.5),
+      lkept AS (SELECT doc_id, text FROM ldd
+        WHERE url_domain NOT IN (SELECT url_domain FROM lblk))
+      SELECT * FROM (
+        SELECT CAST(0 AS INTEGER) AS stage_idx, 'corpus' AS stage,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+            AS n_tokens FROM documents
+        UNION ALL SELECT 1, 'learned_domain_filter', COUNT(*),
+          CAST(COALESCE(SUM(len(string_split(text, ' '))), 0) AS BIGINT)
+          FROM lkept
+      ) ORDER BY stage_idx"""))
+
+  val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
+    xQualityPplBucketAgreement, xPipelineLearnedBlocklist)
+}

@@ -84,7 +84,9 @@ object CurateStream {
       urlCol: Option[String] = None,
       blockedDomains: Seq[String] = Nil,
       intraSpan: Int = 3, spanLen: Int = 10,
-      minKeptTokens: Int = 20): (DataFrame, DataFrame) = {
+      minKeptTokens: Int = 20,
+      domainStatePath: Option[String] = None,
+      domainMinPassFrac: Double = 0.5): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -96,11 +98,38 @@ object CurateStream {
     // the domain is computed as a filter EXPRESSION, never a named
     // column — a batch already carrying url_host/url_domain/... keeps
     // its own columns untouched (no reserved names to clobber)
-    val inUrl = urlCol match {
+    val inStatic = urlCol match {
       case Some(u) if blockedDomains.nonEmpty =>
         batch.filter(!graft.ext.Web.registeredDomain(
           graft.ext.Web.host(col(u))).isin(blockedDomains: _*))
       case _ => batch
+    }
+    // LEARNED blocklist (the FineWeb move): when `domainStatePath`
+    // names a [[DomainStream]] state, stage 0 also cuts every domain
+    // whose ACCUMULATED pass fraction sits below `domainMinPassFrac`.
+    // The read is generation-addressed at THIS batch id, so the
+    // composed driver (DomainStream.applyBatch then applyBatch, SAME
+    // batch ids) has each curation batch judged by the rollup of
+    // strictly earlier batches — deterministic under crash replay
+    // (batch b's own domain write never feeds its own verdict), with
+    // batch 0 seeing no rollup yet. The cut is a LEFT ANTI join
+    // against the O(blocked domains) slice — broadcast-sized in any
+    // real crawl, never a driver collect.
+    val inUrl = (urlCol, domainStatePath) match {
+      case (Some(u), Some(p)) =>
+        StateDir.readGenBefore(spark, p, batchId) match {
+          case Some(st) =>
+            val blocked = st.filter(
+                col("n_pass").cast("double") / col("n_docs").cast("double")
+                  < domainMinPassFrac)
+              .select(col("url_domain").as("_graft_blk_domain"))
+            inStatic.join(broadcast(blocked),
+              graft.ext.Web.registeredDomain(graft.ext.Web.host(col(u)))
+                === col("_graft_blk_domain"),
+              "left_anti")
+          case None => inStatic
+        }
+      case _ => inStatic
     }
 
     // 1–3. quality funnel: per-doc pure verdicts vs the static model

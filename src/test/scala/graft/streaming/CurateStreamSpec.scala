@@ -152,6 +152,59 @@ class CurateStreamSpec extends SparkSuite {
     assert(!packedA.collect().map(_.getLong(0)).exists(_ % 4 == 0))
   }
 
+  test("learned blocklist: stage 0 fed from DomainStream's rollup") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val withUrl = injected.withColumn("url", concat(lit("https://"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("spam-farm.org"))
+        .otherwise(lit("good-site.com")),
+      lit("/d/"), col("doc_id")))
+    val arrivals = withUrl.filter(col("doc_id") >= 20)
+
+    // batch 0 of the composed driver: the domain rollup learns that
+    // spam-farm.org fails quality while good-site.com passes
+    val domState = freshState() + "/dom"
+    val seed = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        concat(lit("https://"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("spam-farm.org"))
+            .otherwise(lit("good-site.com")),
+          lit("/s/"), col("doc_id")).as("url"),
+        (pmod(col("doc_id"), lit(2)) =!= 0).as("pass"))
+    val roll = DomainStream.applyBatch(seed, domState, "url", "pass",
+      minPassFrac = 0.5, batchId = 0L).collect()
+    assert(roll.exists(r => r.getString(0) == "spam-farm.org" &&
+      r.getAs[Boolean]("blocked")))
+
+    // A: curation batch 1 reads the accumulated rollup as stage 0
+    val (packedA, _) = CurateStream.applyBatch(arrivals, freshState(), 1L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen, urlCol = Some("url"),
+      domainStatePath = Some(domState))
+    // B: the caller pre-filtered the learned verdict by hand
+    val (packedB, _) = CurateStream.applyBatch(
+      arrivals.filter(pmod(col("doc_id"), lit(4)) =!= 0), freshState(), 1L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen)
+    val setA = packedA.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val setB = packedB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(setA === setB,
+      "the learned stage-0 cut must curate exactly the pre-filtered corpus")
+    assert(!packedA.collect().map(_.getLong(0)).exists(_ % 4 == 0))
+
+    // batch 0 of the composed driver sees NO rollup yet (generation-
+    // addressed read before its own id) — the cut is off, not an error
+    val (packed0, _) = CurateStream.applyBatch(arrivals, freshState(), 0L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen, urlCol = Some("url"),
+      domainStatePath = Some(domState))
+    assert(packed0.collect().map(_.getLong(0)).exists(_ % 4 == 0),
+      "batch 0 must run un-cut: no earlier-generation rollup exists")
+  }
+
   test("curateStream runner: readStream wiring matches applyBatch") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),
