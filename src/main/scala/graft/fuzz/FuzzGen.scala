@@ -347,7 +347,9 @@ object FuzzGen {
       multiWin: Boolean = false,
       lagNulls: Option[(Int, Int)] = None,
       argExt: Option[(String, Int, Boolean)] = None,
-      nthVal: Boolean = false) {
+      nthVal: Boolean = false,
+      fvNulls: Option[(Int, Int)] = None,
+      nullSideSum: Option[String] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -556,9 +558,20 @@ object FuzzGen {
             s"${pk.sqlExpr} ORDER BY $winOrd ROWS BETWEEN UNBOUNDED " +
             "PRECEDING AND CURRENT ROW) AS BIGINT) AS nv2"
           else ""
+        // wave 12: a running SUM whose ARGUMENT comes from the
+        // null-extended side of a LEFT/FULL join (row_number cases
+        // only: winOrd is the total order the ROWS frame needs) —
+        // SUM skips the null-extended rows' NULLs identically in both
+        // engines, and an all-NULL prefix yields NULL, not 0
+        val nsSel = nullSideSum.fold("") { c =>
+          s",\n    CAST(SUM($c) OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "CURRENT ROW) AS BIGINT) AS nssum"
+        }
         val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
           (if (multiWin) Seq("rsum2") else Nil) ++
-          (if (nthVal) Seq("nv2") else Nil)
+          (if (nthVal) Seq("nv2") else Nil) ++
+          nullSideSum.map(_ => "nssum").toSeq
         // QUALIFY-style filter on the second window's result, rendered
         // as the subquery both engines accept; `OR rn = 1` keeps the
         // case structurally non-empty (the rank-1 peers achieve the
@@ -586,7 +599,7 @@ object FuzzGen {
         else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel$nvSel
+           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel$nvSel$nsSel
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK$qWhere ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
@@ -613,17 +626,33 @@ object FuzzGen {
             s"ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prevnn"
         }
         val lnCols = lagNulls.map(_ => "prevnn").toSeq
-        val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols)
-          .mkString(", ")
-        val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols)
-          .map(c => s"$c ASC NULLS FIRST").mkString(", ")
+        // wave 12: FIRST_VALUE / LAST_VALUE over EXPLICIT asymmetric
+        // ROWS frames with a NULLIF-poisoned ARGUMENT — the default
+        // RESPECT NULLS must surface the poison identically in both
+        // engines (a NULL first/last value stays NULL, never skipped);
+        // the frames ride the fully tie-broken order, so the selected
+        // row is deterministic even though the argument varies per row
+        val fvSel = fvNulls.fold("") { case (k, r) =>
+          val arg = s"NULLIF($ordCol % $k, $r)"
+          s",\n    CAST(FIRST_VALUE($arg) OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $ordCol$dir, $tie ROWS BETWEEN 1 PRECEDING AND " +
+            "CURRENT ROW) AS BIGINT) AS fval" +
+            s",\n    CAST(LAST_VALUE($arg) OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $ordCol$dir, $tie ROWS BETWEEN CURRENT ROW AND " +
+            "2 FOLLOWING) AS BIGINT) AS lval"
+        }
+        val fvCols = fvNulls.map(_ => Seq("fval", "lval")).toSeq.flatten
+        val outer = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols ++
+          fvCols).mkString(", ")
+        val outerOrd = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++ lnCols ++
+          fvCols).map(c => s"$c ASC NULLS FIRST").mkString(", ")
         s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(SUM($ordCol) OVER (PARTITION BY ${pk.sqlExpr}
            |      ORDER BY $frameOrd
            |      $frameKw BETWEEN $prec PRECEDING AND $frameEnd) AS BIGINT) AS wsum,
            |    CAST(LAG($ordCol, 1, -1) OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev$lnSel
+           |      ORDER BY $ordCol$dir, $tie) AS BIGINT) AS prev$lnSel$fvSel
            |  FROM $fromSql$whereSql) t
            |ORDER BY $outerOrd""".stripMargin
       case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
@@ -902,7 +931,8 @@ object FuzzGen {
           }
           val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
             (if (multiWin) Seq("rsum2") else Nil) ++
-            (if (nthVal) Seq("nv2") else Nil)
+            (if (nthVal) Seq("nv2") else Nil) ++
+            nullSideSum.map(_ => "nssum").toSeq
           val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
             selectSub.map(_ => "sq").toSeq ++ qCols).map(col)
           val winSpec = Window.partitionBy(col("pk")).orderBy(ordSorts: _*)
@@ -928,7 +958,12 @@ object FuzzGen {
               winSpec.rowsBetween(Window.unboundedPreceding,
                 Window.currentRow)).cast("bigint"))
           else withMw
-          val ranked = withNv.filter(col("rn") <= topK &&
+          // wave 12: running SUM over a null-extended-side argument
+          val withNs = nullSideSum.fold(withNv)(c =>
+            withNv.withColumn("nssum", sum(col(c)).over(
+              winSpec.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)).cast("bigint")))
+          val ranked = withNs.filter(col("rn") <= topK &&
             (if (qualifyExt) col("ov") === col("ext") || col("rn") === 1
              else lit(true)))
           // wave 8: aggregate ABOVE the window — group the top-k rows
@@ -951,7 +986,8 @@ object FuzzGen {
               .rangeBetween(-prec, frameEnd)
           }
           val outCols = (Seq("pk") ++ ids ++ Seq("wsum", "prev") ++
-            lagNulls.map(_ => "prevnn").toSeq).map(col)
+            lagNulls.map(_ => "prevnn").toSeq ++
+            fvNulls.map(_ => Seq("fval", "lval")).toSeq.flatten).map(col)
           val withLag = base.withColumn("pk", pk.df)
             .withColumn("wsum", sum(col(ordCol)).over(sumWin).cast("bigint"))
             .withColumn("prev", lag(col(ordCol), 1, -1).over(lagWin).cast("bigint"))
@@ -962,7 +998,18 @@ object FuzzGen {
             withLag.withColumn("prevnn",
               lag(arg, 1, -1, ignoreNulls = true).over(lagWin).cast("bigint"))
           }
-          withLn.select(outCols: _*)
+          // wave 12: FIRST/LAST_VALUE over explicit asymmetric ROWS
+          // frames with the poisoned argument (RESPECT NULLS default)
+          val withFv = fvNulls.fold(withLn) { case (k, r) =>
+            val arg = when((col(ordCol) % k) === r, lit(null))
+              .otherwise(col(ordCol) % k)
+            withLn
+              .withColumn("fval", first(arg).over(
+                lagWin.rowsBetween(-1, Window.currentRow)).cast("bigint"))
+              .withColumn("lval", last(arg).over(
+                lagWin.rowsBetween(Window.currentRow, 2)).cast("bigint"))
+          }
+          withFv.select(outCols: _*)
             .orderBy(outCols: _*)
         case SetShape(c, m, op, pa, pb, withRn, withAgg) =>
           val side = (p: Pred) => base.filter(p.df)
@@ -1378,11 +1425,42 @@ object FuzzGen {
         (None, None, w.fn == "row_number" && rnd11.nextInt(3) == 0)
       case _ => (None, None, false)
     }
-    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape7,
+    // round-17 wave 12 rides a twelfth independent stream (the
+    // rnd2..rnd11 rule): symmetric NUMERIC RANGE frames (RANGE BETWEEN
+    // n PRECEDING AND n FOLLOWING — a value-window over the ordering
+    // expression, peers included on BOTH ends; deterministic because
+    // the frame is a function of the VALUE alone), FIRST_VALUE /
+    // LAST_VALUE over explicit asymmetric ROWS frames with a
+    // NULLIF-poisoned argument (RESPECT NULLS default — the poison
+    // must surface, never be skipped), and running sums whose argument
+    // comes from the NULL-EXTENDED side of a LEFT/FULL join. None can
+    // EMPTY a case: the first is a frame-bound change, the other two
+    // are select-list additions.
+    val rnd12 = new Random(seed * 0x2545F491L + 149)
+    val shape8 = shape7 match {
+      case f: FrameShape if f.frame == "range" && !f.sym &&
+          rnd12.nextInt(3) == 0 =>
+        f.copy(sym = true)
+      case other => other
+    }
+    val fvNulls = shape8 match {
+      case _: FrameShape if rnd12.nextInt(3) == 0 =>
+        val k = pick(rnd12, Seq(2, 3, 5))
+        Some((k, rnd12.nextInt(k))) // r < k: the poison genuinely fires
+      case _ => None
+    }
+    val nullSideSum = shape8 match {
+      case w: WinShape if w.fn == "row_number" && !aggOverWin &&
+          join.isDefined && (joinKind == "left" || joinKind == "full") &&
+          rnd12.nextInt(2) == 0 =>
+        Some(pick(rnd12, byName(join.get._2).intCols))
+      case _ => None
+    }
+    FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape8,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
       selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
       filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin,
-      lagNulls, argExt, nthVal)
+      lagNulls, argExt, nthVal, fvNulls, nullSideSum)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1501,9 +1579,28 @@ object FuzzGen {
     * arg-extremes; 15 nth value). Wave 11 cannot EMPTY a case (all
     * three are select-list additions), so every prior pick's
     * documented non-emptiness is preserved by construction.
+    * Round-17 wave 12 additions (rnd12 stream: symmetric NUMERIC RANGE
+    * frames — RANGE BETWEEN n PRECEDING AND n FOLLOWING, a value-window
+    * including peers on both ends; FIRST_VALUE/LAST_VALUE over explicit
+    * asymmetric ROWS frames with a NULLIF-poisoned argument — RESPECT
+    * NULLS default, the poison must SURFACE, never be skipped; and
+    * running sums whose argument comes from the NULL-EXTENDED side of
+    * a LEFT/FULL join — SUM skips the extension NULLs, an all-NULL
+    * prefix is NULL not 0): 51 (poisoned FIRST/LAST_VALUE frames
+    * beside a LAG default on a chained-join ROWS shape, 23 rows), 228
+    * (null-side running sum over a FULL join, 6 rows), 282 (symmetric
+    * numeric RANGE frame, 14 rows) — all non-empty at the driver SF
+    * (candidates 344/385 generated the constructs but emptied under
+    * their carried predicates and were not registered); existing
+    * picks also gained wave-12 layers on the independent stream
+    * (25/109 symmetric RANGE; 107/301 FIRST/LAST_VALUE; 32 full-join
+    * and 102/208 left-join null-side sums). Wave 12 cannot EMPTY a
+    * case (a frame-bound change plus select-list additions), so every
+    * prior pick's documented non-emptiness is preserved by
+    * construction.
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
-    30, 32, 34, 38, 42, 43, 48, 49, 55, 62, 67, 81, 90, 101, 102, 103,
-    104, 105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208, 235,
-    272, 301, 340, 349, 357)
+    30, 32, 34, 38, 42, 43, 48, 49, 51, 55, 62, 67, 81, 90, 101, 102,
+    103, 104, 105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208,
+    228, 235, 272, 282, 301, 340, 349, 357)
 }

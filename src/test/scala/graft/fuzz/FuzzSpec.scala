@@ -193,6 +193,17 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.FrameShape(_, _, _, _, _, _, sym) => sym
       case _ => false
     })), "no IGNORE-NULLS-beside-symmetric-frame case")
+    // round-17 wave 12
+    assert(cases.exists(c => c.shape match {
+      case FuzzGen.FrameShape(_, _, _, _, "range", _, sym) => sym
+      case _ => false
+    }), "no symmetric numeric RANGE frame case")
+    assert(cases.exists(_.fvNulls.isDefined),
+      "no FIRST/LAST_VALUE explicit-frame poisoned-argument case")
+    assert(cases.exists(c => c.nullSideSum.isDefined && c.joinKind == "left"),
+      "no null-extended-side windowed sum over a LEFT join")
+    assert(cases.exists(c => c.nullSideSum.isDefined && c.joinKind == "full"),
+      "no null-extended-side windowed sum over a FULL join")
     // dual spellings exist ONLY for the ordered aggregate and the
     // IGNORE-NULLS lag — every other byte of the two dialect texts
     // must stay identical
