@@ -1140,6 +1140,43 @@ object Text {
         coalesce(col("contaminated"), lit(false)))
   }
 
+  /** Quality-signals v3 — [[qualitySignals]] (the v1 row) widened with
+    * the remaining adjudicated per-doc signals so ONE pass over the
+    * corpus writes the complete RedPajama-V2-style sidecar:
+    * degenerate-repetition loop tags ([[repetitionLoop]] — full-text
+    * minimal period, trailing loop period + repeat count),
+    * encoding-garbage counts ([[encodingQuality]] — replacement/C0/C1
+    * codepoints and the clean verdict), and the deflate compression
+    * ratio ([[compressionRatio]]). The model-derived signals (KN
+    * log-prob, trained-classifier verdicts, phrase tags, domain
+    * rollup) live in the v2 row (`x_quality_signals_v2`) — the full
+    * sidecar is v3 ⋈ v2 on doc_id.
+    *
+    * `compression_ratio` is the one column DuckDB cannot replay (zlib
+    * output size is not a cross-engine contract — the
+    * `x_text_compression_ratio` rows-only precedent), so the
+    * REGISTERED v3 query drops it and stays hash-exact; the column is
+    * spec-adjudicated (ExtISpec's deflate checks + TextSpec).
+    *
+    * Scale shape: every added signal is a narrow per-row pass
+    * (codegen'd expressions; the deflate is the audited DeflateLen
+    * native expression), assembled by doc_id equi-joins — the same
+    * "write the signals parquet beside the corpus" job as v1.
+    */
+  def qualitySignalsV3(docs: DataFrame, evalDocs: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val v1 = qualitySignals(docs, evalDocs, textCol, idCol)
+    val loops = repetitionLoop(docs, textCol, idCol)
+      .select(col("doc_id"), col("min_period"), col("tail_period"),
+        col("tail_repeats"))
+    val enc = encodingQuality(docs, textCol, idCol)
+      .select(col("doc_id"), col("n_replacement"), col("n_control"),
+        col("n_c1"), col("is_clean").as("encoding_clean"))
+    val comp = compressionRatio(docs, textCol, idCol)
+      .select(col("doc_id"), col("compression_ratio"))
+    v1.join(loops, "doc_id").join(enc, "doc_id").join(comp, "doc_id")
+  }
+
   def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))

@@ -340,27 +340,14 @@ object ExtM {
         ((score_pos > score_neg) = label) AS correct
       FROM hsc ORDER BY doc_id"""))
 
-  /** The RedPajama-V2-style quality-signals table
-    * ([[Text.qualitySignals]]): ONE wide row per document bundling the
-    * audited signals — size/shape, lexical diversity, repetition,
-    * entropy, language, Gopher verdict, CCNet fluency, leakage — the
-    * per-doc parquet a curation pipeline writes beside the corpus so
-    * downstream users filter without recomputing. The oracle joins the
-    * SHARED signal replays (LM + rank buckets, gopher, entropy,
-    * repetition, langid, contamination) into the same wide row, so
-    * drift in ANY signal flips the hash.
+  /** The v1 signal replay, factored so the v3 wide row (ExtO) chains
+    * the IDENTICAL CTEs — the shared-CTE discipline: the two signal
+    * generations can never drift. Expects `lpq`/`bk` (the JM LM + rank
+    * chain) already in scope; ends with every v1 signal CTE through
+    * `qcont`.
     */
-  val xQualitySignals = Q(
-    "x_quality_signals",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-      Text.qualitySignals(docs, docs.filter(col("doc_id") < 20),
-        "text", "doc_id")
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""${Ext.bigramLmCtes},
-      ${Ext.rankBucketCtes},
-      inj AS (SELECT doc_id, text AS t FROM documents),
+  private[queries] val signalsV1Ctes: String =
+    s"""inj AS (SELECT doc_id, text AS t FROM documents),
       ${ExtI.gopherCtesSql},
       qrow AS (SELECT doc_id,
           CAST(length(text) AS INTEGER) AS n_chars,
@@ -429,23 +416,52 @@ object ExtM {
         FROM (SELECT doc_id, string_split(text, ' ') AS w
           FROM documents)),
       qcont AS (SELECT DISTINCT doc_id, TRUE AS c
-        FROM qcg JOIN qeg USING (gram))
-      SELECT q.doc_id, q.n_chars, q.n_words, q.mean_word_len,
+        FROM qcg JOIN qeg USING (gram))"""
+
+  /** The v1 select list + joins, shared with the v3 row for the same
+    * no-drift reason. `extraCols`/`extraJoins` splice the v3 additions.
+    */
+  private[queries] def signalsV1Select(extraCols: String = "",
+      extraJoins: String = ""): String =
+    s"""SELECT q.doc_id, q.n_chars, q.n_words, q.mean_word_len,
         q.stopword_frac, q.frac_unique_words,
         CAST(a.t2 AS DOUBLE) / CAST(a.n2 AS DOUBLE) AS top_gram_frac,
         1.0 - CAST(a.d2 AS DOUBLE) / CAST(a.n2 AS DOUBLE)
           AS dup_gram_frac,
         ql.pred_lang, gr.pass AS gopher_pass, e.token_entropy,
         bk.mean_logprob, bk.bucket AS ppl_bucket,
-        COALESCE(ct.c, FALSE) AS contaminated
+        COALESCE(ct.c, FALSE) AS contaminated$extraCols
       FROM qrow q
       JOIN qlang ql USING (doc_id)
       JOIN gr USING (doc_id)
       LEFT JOIN qa a USING (doc_id)
       LEFT JOIN qent e USING (doc_id)
       LEFT JOIN bk USING (doc_id)
-      LEFT JOIN qcont ct USING (doc_id)
-      ORDER BY q.doc_id"""))
+      LEFT JOIN qcont ct USING (doc_id)$extraJoins
+      ORDER BY q.doc_id"""
+
+  /** The RedPajama-V2-style quality-signals table
+    * ([[Text.qualitySignals]]): ONE wide row per document bundling the
+    * audited signals — size/shape, lexical diversity, repetition,
+    * entropy, language, Gopher verdict, CCNet fluency, leakage — the
+    * per-doc parquet a curation pipeline writes beside the corpus so
+    * downstream users filter without recomputing. The oracle joins the
+    * SHARED signal replays (LM + rank buckets, gopher, entropy,
+    * repetition, langid, contamination) into the same wide row, so
+    * drift in ANY signal flips the hash.
+    */
+  val xQualitySignals = Q(
+    "x_quality_signals",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.qualitySignals(docs, docs.filter(col("doc_id") < 20),
+        "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      $signalsV1Ctes
+      ${signalsV1Select()}"""))
 
   val queries: Seq[Q] = Seq(xTextLangidModel, xTextLangidModelEval,
     xCurateStreamFunnel, xDedupDropExactFirst, xQualityModelHoldout,

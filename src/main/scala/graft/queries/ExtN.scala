@@ -688,7 +688,7 @@ object ExtN {
   /** The full/tail-period cascade, mirrored: list-slice equality with
     * clamped bounds, smaller periods and counts tested first.
     */
-  private def loopCaseSql(maxPeriod: Int, maxRepeats: Int): String = {
+  private[queries] def loopCaseSql(maxPeriod: Int, maxRepeats: Int): String = {
     def fp(p: Int) =
       s"(n > $p AND w[1:n-$p] = w[${p + 1}:n])"
     def last(p: Int) = s"w[n-${p - 1}:n]"

@@ -153,6 +153,57 @@ object ExtO {
           FROM lkept
       ) ORDER BY stage_idx"""))
 
+  /** Quality-signals v3 ([[Text.qualitySignalsV3]]): the v1 wide row
+    * plus the remaining adjudicated per-doc signals — repetition-loop
+    * tags (min/tail period, tail repeats), encoding-garbage counts
+    * (replacement/C0/C1 + the clean verdict) — one corpus pass
+    * producing the complete RedPajama-V2-style sidecar (the
+    * model-derived signals live in `x_quality_signals_v2`; the full
+    * sidecar is v3 ⋈ v2). The REGISTERED face drops the one
+    * non-oracle-expressible column, `compression_ratio` (zlib output
+    * size is not a cross-engine contract — the
+    * `x_text_compression_ratio` rows-only precedent; the library face
+    * carries it, spec-adjudicated), so every emitted column is
+    * hash-exact. The oracle chains the SHARED v1 CTEs
+    * ([[ExtM.signalsV1Ctes]]), the clamped-slice loop cascade
+    * ([[ExtN.loopCaseSql]]), and the master chain's encoding regexes
+    * into one row — drift in ANY signal flips the hash.
+    */
+  val xQualitySignalsV3 = Q(
+    "x_quality_signals_v3",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Text.qualitySignalsV3(docs, docs.filter(col("doc_id") < 20),
+          "text", "doc_id")
+        .drop("compression_ratio")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      ${ExtM.signalsV1Ctes},
+      ltk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      ${ExtN.loopCaseSql(4, 8)},
+      qenc AS (SELECT doc_id,
+          CAST(length(text) - length(replace(text, chr(65533), ''))
+            AS BIGINT) AS n_replacement,
+          CAST(length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+            AS BIGINT) AS n_control,
+          CAST(length(text) - length(regexp_replace(text,
+            '[\\x80-\\x9F]', '', 'g')) AS BIGINT) AS n_c1
+        FROM documents)
+      ${ExtM.signalsV1Select(
+        extraCols = """,
+        lcr.min_period, lcr.tail_period, lcr.tail_repeats,
+        qenc.n_replacement, qenc.n_control, qenc.n_c1,
+        (qenc.n_replacement = 0 AND qenc.n_control = 0 AND qenc.n_c1 = 0)
+          AS encoding_clean""",
+        extraJoins = """
+      JOIN lcr USING (doc_id)
+      JOIN qenc USING (doc_id)""")}"""))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
-    xQualityPplBucketAgreement, xPipelineLearnedBlocklist)
+    xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
+    xQualitySignalsV3)
 }
