@@ -203,7 +203,127 @@ object ExtO {
       JOIN lcr USING (doc_id)
       JOIN qenc USING (doc_id)""")}"""))
 
+  /** The continuous-curation master adjudicated END TO END — one
+    * micro-batch (the whole corpus, fresh state) through the REAL
+    * [[graft.streaming.CurateStream.applyBatch]] driver, its complete
+    * attrition report against ONE chained oracle. With a fresh state
+    * every incremental face reduces to its one-shot twin (the empty
+    * history makes the state probes no-ops), so the oracle composes
+    * the already-shared stage replays: funnel verdicts (LM + rank
+    * buckets + Gopher + encoding), the per-doc intra span pass, the
+    * exhaustive paragraph pair set ([[ExtI.paraDedupCtes]] — the
+    * batch face the incremental provably equals on one batch), the
+    * whole-doc exact-Jaccard pairwise rule with the sub-3-token
+    * fallback (the master chain's stage-7 replay — the engine's
+    * MinHash faces verify candidates by exact Jaccard, so band
+    * recall < 1.0 fails THIS hash loudly, the
+    * x_pipeline_master_lsh convention), the corpus-wide span pass +
+    * length floor, and the 5-gram decontamination — every report
+    * column, cumulative fold included, adjudicated. This puts the
+    * DRIVER ITSELF (not just its stage library) under the oracle
+    * gate; the multi-batch composition on top of it is
+    * CurateStreamSpec's split-equality proof.
+    */
+  val xCurateStreamMaster = Q(
+    "x_curate_stream_master",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (cutLp, cutId) = graft.streaming.FunnelStream
+        .fluencyCutoff(docs, "text", "doc_id")
+      val inj = docs.select(col("doc_id"), col("text"),
+        concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+      val evalDocs = docs.filter(col("doc_id") < 20)
+      val arrivals = inj.filter(col("doc_id") >= 20)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_curate_master").toString + "/state"
+      val (_, report) = graft.streaming.CurateStream.applyBatch(arrivals,
+        statePath, 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
+        "doc_id")
+      report
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      csmc AS MATERIALIZED (SELECT doc_id, text FROM documents
+        WHERE doc_id >= 20),
+      inj AS (SELECT doc_id, text || ${ExtI.encGarbageSql}
+          || ${ExtI.gopherBaitSql} AS t
+        FROM csmc),
+      enc AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM inj),
+      ${ExtI.gopherCtesSql},
+      csms AS MATERIALIZED (SELECT c.doc_id, c.text FROM csmc c
+        JOIN enc e ON e.doc_id = c.doc_id
+        JOIN gr g ON g.doc_id = c.doc_id
+        JOIN bk ON bk.doc_id = c.doc_id
+        WHERE e.is_clean AND g.pass AND bk.bucket < 2),
+      ${ExtE.spanDedupCtes("ci", "csms", 3, perDoc = true)},
+      c5 AS MATERIALIZED (SELECT doc_id, deduped_text AS text
+        FROM cires),
+      ${ExtI.paraDedupCtes("cp", "c5")},
+      c6 AS MATERIALIZED (SELECT doc_id, deduped_text AS text
+        FROM cpout),
+      cwd AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM c6),
+      cwsh AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM cwd WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, text AS s FROM cwd WHERE len(w) < 3),
+      cwcnt AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM cwsh
+        GROUP BY doc_id),
+      cwinter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM cwsh a JOIN cwsh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      cwrm AS MATERIALIZED (SELECT DISTINCT db AS doc_id FROM cwinter
+        JOIN cwcnt ca ON ca.doc_id = da JOIN cwcnt cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5),
+      c7 AS MATERIALIZED (SELECT * FROM c6
+        WHERE doc_id NOT IN (SELECT doc_id FROM cwrm)),
+      ${ExtE.spanDedupCtes("cg", "c7", 10, perDoc = false)},
+      c8 AS MATERIALIZED (SELECT doc_id, deduped_text AS text,
+          n_kept_tokens
+        FROM cgres WHERE n_kept_tokens >= 20),
+      ceg AS MATERIALIZED (SELECT DISTINCT
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE doc_id < 20)),
+      ccg AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM c8)),
+      ccont AS (SELECT DISTINCT doc_id FROM ccg JOIN ceg USING (gram)),
+      c9 AS MATERIALIZED (SELECT * FROM c8
+        WHERE doc_id NOT IN (SELECT doc_id FROM ccont))
+      SELECT CAST(0 AS BIGINT) AS batch_id,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM csmc) AS n_arrived,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM csms) AS n_screened,
+        (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+          FROM cires) AS n_intra_tokens,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c7) AS n_whole_doc,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c8) AS n_span,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c9) AS n_curated,
+        (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+          FROM c9) AS n_tokens,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM csmc) AS c_arrived,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM csms) AS c_screened,
+        (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+          FROM cires) AS c_intra_tokens,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c7) AS c_whole_doc,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c8) AS c_span,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM c9) AS c_curated,
+        (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+          FROM c9) AS c_tokens"""))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
     xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
-    xQualitySignalsV3)
+    xQualitySignalsV3, xCurateStreamMaster)
 }
