@@ -251,6 +251,68 @@ object Suffix {
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
   }
 
+  /** Cross-corpus contamination DEPTH — the overlap-audit statistic of
+    * the GPT-3/Pile decontamination reports (Brown et al. 2020 audit
+    * 13-gram collisions; Lee et al. 2021 measure longest shared
+    * substrings — public literature): for every non-eval document, the
+    * EXACT length of its longest token span that also appears anywhere
+    * in the eval slice, plus how many base windows collide. Fixed-n
+    * decontamination ([[Text.contamination]]) answers "is there a
+    * 5-gram hit"; this answers "HOW DEEP is the leak" — the signal an
+    * audit ranks documents by.
+    *
+    * `evalPred` marks the eval rows of `docs` (one table, one position
+    * numbering — SQL-replayable). Pairs = (corpus position, eval
+    * position) sharing a level-`baseLen` rank ([[ranksAt]] — any
+    * baseLen ≥ 1); each extends token-by-token to its first mismatch
+    * (the [[maxDupSpan]] machinery), and the per-doc MAX is reported:
+    * (doc_id, max_shared_span, n_base_hits, saturated) for docs with
+    * ≥ 1 collision — `saturated` true when some pair hit `maxExt`
+    * without mismatching (the span is understated; rerun with a larger
+    * cap).
+    *
+    * Scale: pair volume is the CONTAMINATION volume (corpus windows ×
+    * colliding eval windows — output-bound; the eval slice is small by
+    * construction), never corpus-quadratic; extension is one bounded
+    * offsets explode + two keyed joins; the per-doc MAX is map-side
+    * combinable.
+    */
+  def contaminationSpanDepth(docs: DataFrame, textCol: String,
+      idCol: String, evalPred: Column, baseLen: Int = 4,
+      maxExt: Int = 160): DataFrame = {
+    require(maxExt > baseLen, "maxExt must exceed baseLen")
+    val (pos, rank) = ranksAt(docs, textCol, idCol, baseLen)
+    val pd = pos.filter(col("_i") =!= Long.MaxValue)
+      .select(col("p"), col("_doc"))
+    val mem = docs.select(col(idCol).cast("long").as("_doc"),
+      evalPred.as("_ev"))
+    val ranked = rank.join(pd, "p").join(mem, "_doc")
+    val a = ranked.filter(!col("_ev"))
+      .select(col("rank"), col("p").as("pa"), col("_doc").as("doc_id"))
+    val b = ranked.filter(col("_ev"))
+      .select(col("rank"), col("p").as("pb"))
+    val pairs = a.join(b, "rank")
+      .select(col("doc_id"), col("pa"), col("pb"))
+      .localCheckpoint(true) // two consumers: extension + the final lcp
+    val offs = pairs.select(col("doc_id"), col("pa"), col("pb"),
+      explode(sequence(lit(baseLen), lit(maxExt - 1))).as("o"))
+    val mism = offs
+      .join(pos.select(col("p").as("_xa"), col("tok").as("_ta")),
+        col("pa") + col("o") === col("_xa"))
+      .join(pos.select(col("p").as("_xb"), col("tok").as("_tb")),
+        col("pb") + col("o") === col("_xb"))
+      .filter(col("_ta") =!= col("_tb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(min(col("o")).cast("bigint").as("_mo"))
+    pairs.join(mism, Seq("pa", "pb"), "left")
+      .withColumn("lcp", coalesce(col("_mo"), lit(maxExt.toLong)))
+      .groupBy(col("doc_id"))
+      .agg(max(col("lcp")).cast("bigint").as("max_shared_span"),
+        count(lit(1)).cast("bigint").as("n_base_hits"),
+        coalesce(max(col("lcp")) === lit(maxExt.toLong), lit(false))
+          .as("saturated"))
+  }
+
   /** EXACT longest duplicated token span — the Lee et al. headline
     * statistic ("the longest substring occurring twice"), not capped
     * at a dyadic length: every pair inside a level-`baseLen` duplicate

@@ -323,7 +323,66 @@ object ExtO {
         (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
           FROM c9) AS c_tokens"""))
 
+  /** The cross-set prefix-doubling replay to level `baseLen` = 4:
+    * positions + sentinels over ALL documents (one numbering for both
+    * sets), two doubling rounds, position→doc mapping — the ExtN
+    * suffixCtes construction truncated at the level this query needs.
+    */
+  private val xspanCtes = """xraw AS (SELECT doc_id,
+        CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+    xpos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)
+        AS p, doc_id, i, tok FROM (
+      SELECT * FROM xraw WHERE length(tok) > 0
+      UNION ALL SELECT doc_id, 9223372036854775807,
+        ' ' || CAST(doc_id AS VARCHAR) AS tok FROM documents)),
+    xrk1 AS MATERIALIZED (SELECT p, MIN(p) OVER (PARTITION BY tok)
+        AS rank FROM xpos),
+    xrk2 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM xrk1 a LEFT JOIN xrk1 b ON b.p = a.p + 1),
+    xrk4 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+        a.rank, COALESCE(b.rank, -a.p)) AS rank
+      FROM xrk2 a LEFT JOIN xrk2 b ON b.p = a.p + 2),
+    xpd AS MATERIALIZED (SELECT p, doc_id FROM xpos
+      WHERE i != 9223372036854775807)"""
+
+  /** Cross-corpus contamination depth
+    * ([[graft.ext.Suffix.contaminationSpanDepth]], base 4, cap 160):
+    * per corpus doc (doc_id ≥ 20), the EXACT length of its longest
+    * token span also present in the eval slice (doc_id < 20), the
+    * number of colliding base windows, and the saturation flag — the
+    * overlap-audit ranking fixed-n decontamination can't produce. The
+    * oracle replays the shared position numbering, both doubling
+    * rounds, the cross-set pair join, and every pair's token-by-token
+    * extension to first mismatch.
+    */
+  val xDecontaminateSpanDepth = Q(
+    "x_decontaminate_span_depth",
+    (s, dir) => graft.ext.Suffix.contaminationSpanDepth(
+        t(s, dir, "documents"), "text", "doc_id",
+        evalPred = col("doc_id") < 20, baseLen = 4, maxExt = 160)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $xspanCtes,
+      xa AS (SELECT r.rank, r.p AS pa, d.doc_id FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id >= 20),
+      xb AS (SELECT r.rank, r.p AS pb FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id < 20),
+      xprs AS MATERIALIZED (SELECT doc_id, pa, pb
+        FROM xa JOIN xb USING (rank)),
+      xext AS (SELECT doc_id, pa, pb,
+          COALESCE((SELECT CAST(MIN(u.o) AS BIGINT)
+            FROM unnest(range(4, 160)) u(o)
+            JOIN xpos x ON x.p = xprs.pa + u.o
+            JOIN xpos y ON y.p = xprs.pb + u.o
+            WHERE x.tok != y.tok), 160) AS lcp
+        FROM xprs)
+      SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS max_shared_span,
+        CAST(COUNT(*) AS BIGINT) AS n_base_hits,
+        COALESCE(MAX(lcp) = 160, FALSE) AS saturated
+      FROM xext GROUP BY doc_id ORDER BY doc_id"""))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
     xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
-    xQualitySignalsV3, xCurateStreamMaster)
+    xQualitySignalsV3, xCurateStreamMaster, xDecontaminateSpanDepth)
 }

@@ -164,6 +164,41 @@ class SuffixSpec extends SparkSuite {
     assert(!out.getAs[Boolean]("saturated"))
   }
 
+  test("contaminationSpanDepth: exact shared-span lengths, cross-set only") {
+    // eval doc 1 carries "q w e r t"; corpus doc 10 shares exactly
+    // those 5 tokens; doc 12 is a clone of doc 10 (corpus-corpus
+    // duplication must NOT pair); doc 11 shares nothing
+    val docs = Seq(
+      (1L, "q w e r t y u i"),
+      (2L, "m n o p m n o p"),
+      (10L, "a b q w e r t z"),
+      (11L, "f g h j k l zz xx"),
+      (12L, "a b q w e r t z")).toDF("doc_id", "text")
+    val out = Suffix.contaminationSpanDepth(docs, "text", "doc_id",
+        evalPred = col("doc_id") < 10, baseLen = 4, maxExt = 16)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // two colliding base windows each ("q w e r" extends to 5,
+    // "w e r t" to 4); doc 11 absent; eval docs never appear
+    assert(out == Seq((10L, 5L, 2L, false), (12L, 5L, 2L, false)))
+  }
+
+  test("contaminationSpanDepth flags saturation at the cap") {
+    val shared = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq((1L, shared), (20L, shared)).toDF("doc_id", "text")
+    val out = Suffix.contaminationSpanDepth(docs, "text", "doc_id",
+        evalPred = col("doc_id") < 10, baseLen = 4, maxExt = 8)
+      .collect()(0)
+    assert(out.getAs[Long]("max_shared_span") == 8L)
+    assert(out.getAs[Boolean]("saturated"))
+    val ok = Suffix.contaminationSpanDepth(docs, "text", "doc_id",
+        evalPred = col("doc_id") < 10, baseLen = 4, maxExt = 16)
+      .collect()(0)
+    assert(ok.getAs[Long]("max_shared_span") == 12L)
+    assert(!ok.getAs[Boolean]("saturated"))
+  }
+
   test("dupProfile is partition-independent") {
     val docs = (0L until 30L)
       .map(i => (i, s"t${i % 4} t${(i * 3) % 5} t${i % 4} t${i % 2} t${i % 4}"))
