@@ -694,6 +694,21 @@ object ScaleBench {
       }
     }
 
+    // cross-corpus contamination depth (round 17): the eval slice is
+    // FIXED (the rep-0 copies of base ids < 2000) while the corpus
+    // side clones k× — pair volume is contamination-bound (colliding
+    // windows grow linearly with the clone count), so cost must scale
+    // ~linearly in k, never corpus × corpus
+    if (sec("contamdepth")) for (k <- Seq(10, 40)) {
+      val rep = cloned(k)
+      timeShuffle(s"contaminationSpanDepth x$k (${nDocs * k} docs)") {
+        graft.ext.Suffix.contaminationSpanDepth(rep, "text", "doc_id",
+          evalPred = pmod(col("doc_id"), lit(1000)) === 0 &&
+            col("doc_id") < 2000000L,
+          baseLen = 4, maxExt = 160).count()
+      }
+    }
+
     // stage-8 face comparison (round 17): the master's corpus-wide
     // span excision at span 10 — fingerprint-keyed sliding windows
     // (one window row per position, 8-byte keys, collision-admitting)

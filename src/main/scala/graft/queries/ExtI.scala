@@ -40,30 +40,35 @@ object ExtI {
   private[queries] val gopherBaitSql =
     """CASE WHEN doc_id % 13 = 0 THEN ' ### ... 123' ELSE '' END"""
 
-  /** Gopher-signals replay over a text column `t` in relation `inj`,
-    * ending in `gr(doc_id, …signals…, r_* booleans, pass)`.
+  /** Gopher-signals replay over a text column `t` in relation `src`,
+    * ending in `${pfx}gr(doc_id, …signals…, r_* booleans, pass)` —
+    * prefixable so one oracle can carry TWO gopher chains (the r17
+    * learned-blocklist master face labels the domain rollup on RAW
+    * text while stage 3 screens the injected text).
     */
-  private[queries] val gopherCtesSql = """
-      sig AS (SELECT doc_id,
+  private[queries] def gopherCtes(pfx: String, src: String): String = s"""
+      ${pfx}sig AS (SELECT doc_id,
         CAST(len(string_split(t, ' ')) AS BIGINT) AS n_words,
         CAST(list_sum(list_transform(string_split(t, ' '),
           w -> len(w))) AS DOUBLE) / len(string_split(t, ' '))
           AS mean_word_len,
-        CAST(len(regexp_extract_all(t, '#|\.\.\.')) AS BIGINT) AS n_symbols,
+        CAST(len(regexp_extract_all(t, '#|\\.\\.\\.')) AS BIGINT) AS n_symbols,
         CAST(len(list_filter(string_split(t, ' '),
           w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
         CAST(len(list_filter(string_split(t, ' '),
           w -> list_contains(['the','a','an','of','and','or','to','in','is','it'], w)))
           AS BIGINT) AS n_stopwords
-      FROM inj),
-      gr AS (SELECT *,
+      FROM $src),
+      ${pfx}gr AS (SELECT *,
         (n_words >= 50 AND n_words <= 100000) AS r_words,
         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS r_wordlen,
         (CAST(n_symbols AS DOUBLE) / n_words <= 0.1) AS r_symbol,
         (CAST(n_alpha_words AS DOUBLE) / n_words >= 0.8) AS r_alpha,
         (n_stopwords >= 2) AS r_stop,
         (r_words AND r_wordlen AND r_symbol AND r_alpha AND r_stop) AS pass
-      FROM sig)"""
+      FROM ${pfx}sig)"""
+
+  private[queries] val gopherCtesSql = gopherCtes("", "inj")
 
 
   /** Compression-ratio repetition signal ([[Text.compressionRatio]],

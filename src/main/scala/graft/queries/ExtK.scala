@@ -161,19 +161,39 @@ object ExtK {
     * trade lives on the [[graft.ext.Suffix]] scaladoc and ScaleBench
     * `suffixstage`.
     */
+  /** `learnedBlocklist` adds the FineWeb learned cut to stage 1: the
+    * corpus's own per-domain Gopher-pass rollup (RAW text — the labels
+    * a crawl pipeline has before injection; [[Web.domainQuality]],
+    * τ = 0.5) derives the blocked set, and blocked domains' docs are
+    * cut on top of the static list. The cut is a broadcast LEFT ANTI
+    * join against the O(blocked domains) slice.
+    */
   private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
       pin: (String, DataFrame) => DataFrame,
-      suffixSpan8: Boolean = false)
+      suffixSpan8: Boolean = false,
+      learnedBlocklist: Boolean = false)
       : (Seq[MasterStage], DataFrame) = {
     val evalSet = all.filter(col("doc_id") < 20)
     val corpus = pin("corpus", all.filter(col("doc_id") >= 20)
       .select(col("doc_id"), col("text"), col("source"), col("lang")))
 
-    // 1. URL filter on the synthetic URL's registered domain
+    // 1. URL filter on the synthetic URL's registered domain —
+    // static blocklist, plus the LEARNED rollup verdict when asked
+    val s1static = Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
+      .filter(!col("url_domain").isin(blockedDomains: _*))
     val s1 = pin("url_filter",
-      Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
-        .filter(!col("url_domain").isin(blockedDomains: _*))
-        .select(col("doc_id"), col("text")))
+      (if (!learnedBlocklist) s1static
+       else {
+         val gop = Text.gopherRules(corpus, "text", "doc_id")
+           .select(col("doc_id"), col("pass"))
+         val learned = Web.domainQuality(
+             corpus.withColumn("url", urlCol).join(gop, "doc_id"),
+             "url", "pass", minPassFrac = 0.5)
+           .filter(col("blocked"))
+           .select(col("url_domain").as("_lblk_domain"))
+         s1static.join(broadcast(learned),
+           col("url_domain") === col("_lblk_domain"), "left_anti")
+       }).select(col("doc_id"), col("text")))
 
     // 2–3. byte-level filters see the injected "crawl bytes"; the
     // clean text enters the dedup ladder (the funnel discipline)
@@ -279,14 +299,15 @@ object ExtK {
     * body of both registered faces).
     */
   private def runMaster(s: org.apache.spark.sql.SparkSession, dir: String,
-      lshWholeDoc: Boolean, suffixSpan8: Boolean = false): DataFrame = {
+      lshWholeDoc: Boolean, suffixSpan8: Boolean = false,
+      learnedBlocklist: Boolean = false): DataFrame = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (stages, bins) = masterStages(t(s, dir, "documents"), lshWholeDoc,
       (name, df) =>
         if (masterCached(name)) {
           val c = df.cache(); c.count(); caches += c; c
         } else df,
-      suffixSpan8 = suffixSpan8)
+      suffixSpan8 = suffixSpan8, learnedBlocklist = learnedBlocklist)
     def row(st: MasterStage) =
       st.df.agg(count(lit(1)).cast("bigint").as("n_docs"),
           coalesce(sum(st.tok), lit(0L)).cast("bigint").as("n_tokens"))
@@ -311,7 +332,24 @@ object ExtK {
     * deterministic band miss fails the driver gate loudly — the
     * recall-oracle convention, applied to the whole chain.
     */
-  private val masterOracleSql: String =
+  private def masterOracle(learned: Boolean): String = {
+    // the learned-blocklist CTEs (r17): gopher on the RAW corpus text
+    // (a second, lg-prefixed gopher chain beside stage 3's injected
+    // one), the per-domain rollup, the strict-< blocked set
+    val learnedCtes = if (!learned) "" else s"""
+      lginj AS (SELECT doc_id, text AS t FROM corpus),
+      ${ExtI.gopherCtes("lg", "lginj")},
+      lgdd AS (SELECT uu.doc_id,
+          regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1) AS url_domain,
+          lggr.pass
+        FROM uu JOIN lggr ON lggr.doc_id = uu.doc_id),
+      lgblk AS MATERIALIZED (SELECT url_domain FROM lgdd
+        GROUP BY url_domain
+        HAVING CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) < 0.5),"""
+    val learnedCut = if (!learned) "" else s"""
+          AND regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1) NOT IN
+            (SELECT url_domain FROM lgblk)"""
     s"""WITH RECURSIVE ${Ext.bigramLmCtes.stripPrefix("WITH ")},
       ${Ext.rankBucketCtes},
       corpus AS MATERIALIZED (SELECT doc_id, text, source, lang
@@ -325,11 +363,11 @@ object ExtK {
               || (CASE WHEN doc_id % 2 = 0 THEN '?ref=' || source
                   ELSE '' END),
             '^https?://([^/:?#]+)', 1)) AS url_host
-        FROM corpus),
+        FROM corpus),$learnedCtes
       c1 AS MATERIALIZED (SELECT doc_id, text FROM uu
         WHERE regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1) NOT IN
           ('src3-site.com', 'src3-site.org',
-           'src7-site.com', 'src7-site.org')),
+           'src7-site.com', 'src7-site.org')$learnedCut),
       inj AS (SELECT doc_id, text || ${ExtI.encGarbageSql}
           || ${ExtI.gopherBaitSql} AS t
         FROM c1),
@@ -440,6 +478,9 @@ object ExtK {
           CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT) FROM c10
         UNION ALL SELECT 11, 'pack', nb, nb * 64 FROM nbins
       ) ORDER BY stage_idx"""
+  }
+
+  private val masterOracleSql: String = masterOracle(learned = false)
 
   val xPipelineMaster = Q(
     "x_pipeline_master",
@@ -480,6 +521,22 @@ object ExtK {
     (s, dir) => runMaster(s, dir, lshWholeDoc = true, suffixSpan8 = true),
     Some(masterOracleSql))
 
+  /** The master chain with stage 1 carrying the LEARNED domain
+    * blocklist on top of the static one (the actual FineWeb move —
+    * Penedo et al. 2024 derive the blocked set from the corpus's own
+    * per-domain quality rollup) and stage 7 on the LSH face: the
+    * production stage-1 + stage-7 stack. The oracle chains a SECOND
+    * (raw-text) gopher replay, the per-domain rollup, and the
+    * strict-< blocked set into the stage-1 cut — the learned verdict
+    * cascades through every later attrition row, so a drifted rollup
+    * anywhere moves rows 1–11.
+    */
+  val xPipelineMasterLearned = Q(
+    "x_pipeline_master_learned",
+    (s, dir) => runMaster(s, dir, lshWholeDoc = true,
+      learnedBlocklist = true),
+    Some(masterOracle(learned = true)))
+
   val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh,
-    xPipelineMasterSuffix)
+    xPipelineMasterSuffix, xPipelineMasterLearned)
 }
