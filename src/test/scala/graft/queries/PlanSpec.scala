@@ -497,6 +497,31 @@ class PlanSpec extends SparkSuite {
       s"paragraph dedup fell back to a window:\n$pd")
   }
 
+  test("round-17 operators keep their scale shapes") {
+    // contamination depth: cross-set pairs come from a rank EQUI-join
+    // (16-byte keys), extension from two position equi-joins — never a
+    // cartesian, and the per-doc MAX aggregates partially
+    val cd = plan("x_decontaminate_span_depth")
+    assert(!cd.contains("CartesianProduct"),
+      s"contamination depth went cartesian:\n$cd")
+    assert(cd.contains("partial_max") || cd.contains("partial_"),
+      s"contamination depth lost partial aggregation:\n$cd")
+    // learned blocklist: the blocked-domain cut is a BROADCAST anti
+    // join against the O(blocked) slice, never a shuffle of the corpus
+    // on the domain key
+    val lb = plan("x_pipeline_learned_blocklist")
+    assert(lb.contains("BroadcastHashJoin") && lb.contains("LeftAnti"),
+      s"learned blocklist cut is not a broadcast anti join:\n$lb")
+    assert(!lb.contains("CartesianProduct"),
+      s"learned blocklist went cartesian:\n$lb")
+    // KN bucket agreement: two rank chains joined on doc_id — no
+    // cartesian, no single-partition global window (the rank rides
+    // globalRowNumber's range exchange)
+    val ag = plan("x_quality_ppl_bucket_agreement")
+    assert(!ag.contains("CartesianProduct"),
+      s"bucket agreement went cartesian:\n$ag")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
