@@ -256,7 +256,7 @@ object ExtN {
     * partners — mirroring [[graft.ext.Suffix.dyadicRanks]] round for
     * round. Ends at `srk32`.
     */
-  private val suffixCtes = """sraw AS (SELECT doc_id,
+  private[queries] val suffixCtes = """sraw AS (SELECT doc_id,
         CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
     spos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)

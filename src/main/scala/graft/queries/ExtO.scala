@@ -382,7 +382,123 @@ object ExtO {
         COALESCE(MAX(lcp) = 160, FALSE) AS saturated
       FROM xext GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Exact span excision at Lee et al.'s OWN parameter — 50 tokens,
+    * a NON-dyadic length ([[graft.ext.Suffix.exciseDupSpans]] via
+    * [[graft.ext.Suffix.ranksAt]]'s overlap combine: ladder to 32,
+    * one extra round at offset 18 — two overlapping 32-windows cover
+    * [p, p+50) exactly). The oracle extends the shared five-round
+    * suffixCtes replay with the SAME combine (srk50) and replays the
+    * excision — the overlap-combine construction itself is
+    * oracle-adjudicated, not only spec-checked. At sf0.01 the corpus
+    * carries a 93-token duplicate, so 50-token excision is
+    * non-vacuous.
+    */
+  val xDedupSuffixExcise50 = Q(
+    "x_dedup_suffix_excise50",
+    (s, dir) => graft.ext.Suffix.exciseDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", spanLen = 50)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH ${ExtN.suffixCtes},
+      srk50 AS MATERIALIZED (SELECT a.p, MIN(a.p) OVER (PARTITION BY
+          a.rank, COALESCE(b.rank, -a.p)) AS rank
+        FROM srk32 a LEFT JOIN srk32 b ON b.p = a.p + 18),
+      smark AS (SELECT p FROM srk50 WHERE p != rank),
+      skill AS (SELECT DISTINCT smark.p + js.o AS p
+        FROM smark CROSS JOIN (SELECT unnest(range(0, 50)) AS o) js),
+      skept AS (SELECT s.doc_id, s.p, s.tok FROM spos s
+        LEFT JOIN skill k ON s.p = k.p
+        WHERE k.p IS NULL AND s.i != 9223372036854775807),
+      sagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+          array_to_string(list(tok ORDER BY p), ' ') AS deduped_text
+        FROM skept GROUP BY 1)
+      SELECT d.doc_id, COALESCE(sagg.deduped_text, '') AS deduped_text,
+        COALESCE(sagg.n_kept_tokens, 0) AS n_kept_tokens
+      FROM documents d LEFT JOIN sagg USING (doc_id)
+      ORDER BY d.doc_id"""))
+
+  /** The streaming quality funnel under the Kneser–Ney reference
+    * model ([[graft.streaming.FunnelStream.applyBatch]] with
+    * `kn = true` — the CCNet-faithful fluency face, since KenLM is
+    * modified KN): the same three-batch order-free-prefix fold as
+    * `x_curate_stream_funnel`, with the cutoff and every per-doc
+    * fluency verdict riding the KN LM + its rank cut. The oracle
+    * swaps ONLY the LM block (the shared [[ExtN.knLmCtes]] + the KN
+    * rank cut in place of the JM chain) — encoding, Gopher, the
+    * intra-doc stage, and the cumulative fold replay identically, so
+    * the twin isolates the LM exchange.
+    */
+  val xCurateStreamFunnelKn = Q(
+    "x_curate_stream_funnel_kn",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (cutLp, cutId) = graft.streaming.FunnelStream
+        .fluencyCutoff(docs, "text", "doc_id", kn = true)
+      val inj = docs.select(col("doc_id"), col("text"),
+        concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft_funnel_kn").toString + "/state"
+      (0 until 3).map { b =>
+        graft.streaming.FunnelStream.applyBatch(
+          inj.filter(pmod(col("doc_id"), lit(3)) === b),
+          statePath, b.toLong, docs, cutLp, cutId,
+          "text", "tinj", "doc_id", kn = true)
+      }.reduce(_.unionByName(_)).orderBy(col("batch_id"))
+    },
+    Some(s"""WITH ${ExtN.knLmCtes("")},
+      knrk AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM knlpq),
+      knbk AS (SELECT doc_id,
+          CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM knrk),
+      inj AS (SELECT doc_id, text || ${ExtI.encGarbageSql}
+          || ${ExtI.gopherBaitSql} AS t
+        FROM documents),
+      enc AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM inj),
+      ${ExtI.gopherCtesSql},
+      fl AS (SELECT e.doc_id, CAST(e.doc_id % 3 AS BIGINT) AS batch_id,
+          e.is_clean, g.pass, knbk.bucket
+        FROM enc e JOIN gr g USING (doc_id)
+        LEFT JOIN knbk USING (doc_id)),
+      flsrc AS (SELECT d.doc_id, d.text FROM documents d
+        JOIN fl ON fl.doc_id = d.doc_id
+        WHERE fl.is_clean AND fl.pass AND fl.bucket < 2),
+      ${ExtE.spanDedupCtes("fi", "flsrc", 3, perDoc = true)},
+      pb AS (SELECT batch_id,
+          CAST(COUNT(*) AS BIGINT) AS n_all,
+          CAST(SUM(CASE WHEN is_clean THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_encoding_clean,
+          CAST(SUM(CASE WHEN is_clean AND pass THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_gopher_pass,
+          CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_fluent,
+          CAST(SUM(CASE WHEN is_clean AND pass AND bucket < 2
+            THEN COALESCE(fi.n_kept_tokens, 0) ELSE 0 END) AS BIGINT)
+            AS n_intra_tokens
+        FROM fl LEFT JOIN fires fi USING (doc_id) GROUP BY batch_id)
+      SELECT batch_id, n_all, n_encoding_clean, n_gopher_pass, n_fluent,
+        n_intra_tokens,
+        CAST(SUM(n_all) OVER w AS BIGINT) AS c_all,
+        CAST(SUM(n_encoding_clean) OVER w AS BIGINT) AS c_encoding_clean,
+        CAST(SUM(n_gopher_pass) OVER w AS BIGINT) AS c_gopher_pass,
+        CAST(SUM(n_fluent) OVER w AS BIGINT) AS c_fluent,
+        CAST(SUM(n_intra_tokens) OVER w AS BIGINT) AS c_intra_tokens,
+        CAST(SUM(n_fluent) OVER w AS DOUBLE) /
+          CAST(SUM(n_all) OVER w AS DOUBLE) AS survival_frac
+      FROM pb
+      WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
+      ORDER BY batch_id"""))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
     xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
-    xQualitySignalsV3, xCurateStreamMaster, xDecontaminateSpanDepth)
+    xQualitySignalsV3, xCurateStreamMaster, xDecontaminateSpanDepth,
+    xDedupSuffixExcise50, xCurateStreamFunnelKn)
 }

@@ -49,8 +49,12 @@ object FunnelStream {
     * scores straddle the bucket boundary). O(1) driver collect.
     */
   def fluencyCutoff(modelDocs: DataFrame, textCol: String, idCol: String,
-      nBuckets: Int = 3, keepBuckets: Int = 2): (Double, Long) = {
-    val b = Text.perplexityBuckets(modelDocs, textCol, idCol, nBuckets)
+      nBuckets: Int = 3, keepBuckets: Int = 2,
+      kn: Boolean = false): (Double, Long) = {
+    val buckets =
+      if (kn) Text.perplexityBucketsKn(modelDocs, textCol, idCol, nBuckets)
+      else Text.perplexityBuckets(modelDocs, textCol, idCol, nBuckets)
+    val b = buckets
       .filter(col("bucket") < keepBuckets)
       .orderBy(col("rn").desc).limit(1)
       .select(col("mean_logprob"), col("doc_id")).collect()
@@ -70,16 +74,25 @@ object FunnelStream {
     * 1-row report (batch_id, per-batch counts + intra-kept tokens,
     * cumulative counts, cumulative survival_frac).
     */
+  /** `kn = true` scores fluency under the Kneser–Ney reference model
+    * ([[Text.bigramKneserNeyUnder]]) instead of the interpolated JM LM
+    * — the CCNet-faithful face (KenLM is modified KN); the caller's
+    * `cutLp`/`cutId` must come from [[fluencyCutoff]] with the SAME
+    * `kn` flag. The composition contract is unchanged: scored docs ⊂
+    * model corpus score bit-identically under either LM's split face.
+    */
   def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
       modelDocs: DataFrame, cutLp: Double, cutId: Long,
       rawCol: String, bytesCol: String, idCol: String,
-      intraSpan: Int = 3): DataFrame = {
+      intraSpan: Int = 3, kn: Boolean = false): DataFrame = {
     val spark = batch.sparkSession
     val enc = Text.encodingQuality(batch, bytesCol, idCol)
       .select(col("doc_id"), col("is_clean"))
     val gph = Text.gopherRules(batch, bytesCol, idCol)
       .select(col("doc_id"), col("pass"))
-    val lp = Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol)
+    val lp = (if (kn)
+        Text.bigramKneserNeyUnder(batch, modelDocs, rawCol, idCol)
+      else Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol))
       .select(col("doc_id"), col("mean_logprob"))
     val fluent = col("mean_logprob").isNotNull &&
       (col("mean_logprob") > cutLp ||

@@ -85,4 +85,36 @@ class FunnelStreamSpec extends SparkSuite {
     assert(thresholdSet == bucketSet,
       "threshold replay must equal the rank-bucket verdict set")
   }
+
+  test("KN fluency face: the threshold replay equals the KN rank cut") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id",
+      kn = true)
+    val knBucketSet = graft.ext.Text
+      .perplexityBucketsKn(docs, "text", "doc_id", nBuckets = 3)
+      .filter(col("bucket") < 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val knThresholdSet = graft.ext.Text
+      .bigramKneserNeyUnder(injected, docs, "text", "doc_id")
+      .filter(col("mean_logprob") > cutLp ||
+        (col("mean_logprob") === cutLp && col("doc_id") <= cutId))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(knThresholdSet == knBucketSet,
+      "KN threshold replay must equal the KN rank-bucket verdict set")
+    // and the one-batch fold under kn=true reports exactly that set
+    val state = java.nio.file.Files
+      .createTempDirectory("funnelkn").toString
+    val row = FunnelStream.applyBatch(injected, state, 0L, docs,
+      cutLp, cutId, "text", "tinj", "doc_id", kn = true).head()
+    val encOk = graft.ext.Text.encodingQuality(injected, "tinj", "doc_id")
+      .filter(col("is_clean")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val gphOk = graft.ext.Text.gopherRules(injected, "tinj", "doc_id")
+      .filter(col("pass")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(row.getAs[Long]("n_fluent") ==
+      (knBucketSet & encOk & gphOk).size.toLong)
+  }
 }
