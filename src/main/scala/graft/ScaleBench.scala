@@ -725,6 +725,14 @@ object ScaleBench {
         keptTokens(
           graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 10))
       }
+      // the cure (r17): exact-first collapse + closed-form member
+      // reconstruction — the ladder runs on distinct content only, so
+      // cost must be content-bound (flat in k) while staying
+      // byte-equal to the raw face (x_dedup_suffix_excise_first)
+      timeShuffle(s"stage8 suffixExcise EXACT-FIRST x$k (${nDocs * k} docs)") {
+        keptTokens(graft.ext.Suffix.exciseDupSpansExactFirst(
+          rep, "text", "doc_id", spanLen = 10))
+      }
     }
 
     // continuous-curation master under clone bursts (round 17): drive

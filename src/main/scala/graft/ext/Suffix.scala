@@ -220,15 +220,18 @@ object Suffix {
     * groups by doc.
     *
     * The measured trade vs the fingerprint face (ScaleBench
-    * `suffixstage`, span 10, kept-token sums identical on both faces
+    * `suffixstage`, span 10, kept-token sums identical on all faces
     * at every scale): ×10 clones — hashed 7.5 s / 171 MiB shuffled,
-    * exact 12.1 s / 498 MiB; ×40 — hashed 6.9 s / 589 MiB, exact
-    * 47.0 s / 1872 MiB. The exact ladder degrades with clone
+    * raw exact 12.1 s / 498 MiB; ×40 — hashed 6.9 s / 589 MiB, raw
+    * exact 47.0 s / 1872 MiB. The raw ladder degrades with clone
     * multiplicity (its per-round window MIN buffers whole duplicate
-    * groups), so the production default stays [[Dedup.spanDedupHashed]]
-    * and THIS face is the collision-free audit/decontamination-grade
-    * pass — on clone-heavy corpora compose it exact-first
-    * ([[Dedup.wholeDocReps]], the [[maxDupSpan]] doctrine).
+    * groups) — and [[exciseDupSpansExactFirst]] is the measured CURE:
+    * ×10 7.8 s / 95 MiB, ×40 8.2 s / 225 MiB — content-bound (flat in
+    * k), byte-equal to this face by construction
+    * (`x_dedup_suffix_excise_first` rides the same oracle), and
+    * BELOW the fingerprint face's shuffle volume at ×40. On
+    * clone-bearing corpora the exact-first face is the production
+    * choice; this raw face remains the oracle anchor.
     */
   def exciseDupSpans(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int = 32): DataFrame = {
@@ -249,6 +252,59 @@ object Suffix {
       .select(col("doc_id"),
         coalesce(col("deduped_text"), lit("")).as("deduped_text"),
         coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"))
+  }
+
+  /** [[exciseDupSpans]] behind the exact-first collapse — the
+    * clone-robust face (the [[maxDupSpan]] doctrine applied to the
+    * ACTION): identical texts collapse to their min-id representative
+    * ([[Dedup.wholeDocReps]], digest keys), the ladder runs on
+    * representatives only, and members are reconstructed CLOSED-FORM —
+    * provably equal to the raw run:
+    *
+    *  - a non-rep member M is an exact clone of its rep R (earlier
+    *    id ⇒ every position of R precedes every position of M in the
+    *    global order), so every ≥`spanLen`-token window of M is a
+    *    non-first duplicate and M's positions are fully covered —
+    *    M emits ("", 0) when it has ≥ spanLen tokens, and its intact
+    *    text when shorter (no windows exist to mark);
+    *  - a rep's verdict is unchanged by dropping members: a window
+    *    shared with a member is shared with its (identical) rep, and
+    *    ranks are min-position — member positions are never anyone's
+    *    first occurrence.
+    *
+    * Adjudicated by construction against the SAME text-keyed oracle
+    * as the raw face (`x_dedup_suffix_excise_first`); ScaleBench
+    * `suffixstage` measures the cure: the raw exact face degrades
+    * with clone multiplicity (its per-round window MIN buffers whole
+    * duplicate groups), the collapsed face is content-bound.
+    */
+  def exciseDupSpansExactFirst(docs: DataFrame, textCol: String,
+      idCol: String, spanLen: Int = 32): DataFrame = {
+    val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).cast("string").as("text"))
+    val reps = Dedup.wholeDocReps(keyed, "text", "doc_id")
+    val repOut = exciseDupSpans(reps, "text", "doc_id", spanLen)
+      .withColumnRenamed("doc_id", "_rep_id")
+    val members = keyed
+      .select(col("doc_id"),
+        sha2(col("text").cast("binary"), 256).as("text_digest"),
+        col("text"))
+      .join(reps.select(col("text_digest"),
+        col("doc_id").as("_rep_id")), "text_digest")
+    // non-empty tokens, mirroring the ladder's positions() filter and
+    // the rebuild's separator convention (a short member with doubled
+    // spaces round-trips through the same join-by-single-space)
+    val toks = filter(split(col("text"), " "),
+      t => length(t) > lit(0))
+    members.join(repOut, "_rep_id")
+      .select(col("doc_id"),
+        when(col("doc_id") === col("_rep_id"), col("deduped_text"))
+          .when(size(toks) >= spanLen, lit(""))
+          .otherwise(concat_ws(" ", toks)).as("deduped_text"),
+        when(col("doc_id") === col("_rep_id"), col("n_kept_tokens"))
+          .when(size(toks) >= spanLen, lit(0L))
+          .otherwise(size(toks).cast("long"))
+          .as("n_kept_tokens"))
   }
 
   /** Cross-corpus contamination DEPTH — the overlap-audit statistic of

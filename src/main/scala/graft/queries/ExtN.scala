@@ -583,12 +583,13 @@ object ExtN {
     * suffixCtes as the profile/spans queries, so the three can never
     * drift.
     */
-  val xDedupSuffixExcise = Q(
-    "x_dedup_suffix_excise",
-    (s, dir) => graft.ext.Suffix.exciseDupSpans(
-        t(s, dir, "documents"), "text", "doc_id", spanLen = 32)
-      .orderBy(col("doc_id")),
-    Some(s"""WITH $suffixCtes,
+  /** The span-32 excision replay — shared verbatim by the raw face
+    * and the r17 exact-first-collapse face (`x_dedup_suffix_excise_first`,
+    * ExtO): one oracle, two engine faces, byte-identical outputs
+    * required.
+    */
+  private[queries] val suffixExciseOracleSql: String =
+    s"""WITH $suffixCtes,
       smark AS (SELECT p FROM srk32 WHERE p != rank),
       skill AS (SELECT DISTINCT smark.p + js.o AS p
         FROM smark CROSS JOIN (SELECT unnest(range(0, 32)) AS o) js),
@@ -601,7 +602,14 @@ object ExtN {
       SELECT d.doc_id, COALESCE(sagg.deduped_text, '') AS deduped_text,
         COALESCE(sagg.n_kept_tokens, 0) AS n_kept_tokens
       FROM documents d LEFT JOIN sagg USING (doc_id)
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""
+
+  val xDedupSuffixExcise = Q(
+    "x_dedup_suffix_excise",
+    (s, dir) => graft.ext.Suffix.exciseDupSpans(
+        t(s, dir, "documents"), "text", "doc_id", spanLen = 32)
+      .orderBy(col("doc_id")),
+    Some(suffixExciseOracleSql))
 
   /** Incremental domain rollup through the REAL streaming state
     * machinery ([[graft.streaming.DomainStream.applyBatch]], the

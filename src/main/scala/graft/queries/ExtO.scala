@@ -497,8 +497,23 @@ object ExtO {
       WINDOW w AS (ORDER BY batch_id ROWS UNBOUNDED PRECEDING)
       ORDER BY batch_id"""))
 
+  /** The exact-first-collapse excision face
+    * ([[graft.ext.Suffix.exciseDupSpansExactFirst]], span 32) against
+    * the SAME text-keyed replay as the raw ladder face — byte
+    * equality certifies the closed-form member reconstruction (a
+    * clone with ≥ span tokens is fully excised; a shorter one is
+    * intact) and the rep-verdict invariance under member removal,
+    * the equivalence argued on the scaladoc.
+    */
+  val xDedupSuffixExciseFirst = Q(
+    "x_dedup_suffix_excise_first",
+    (s, dir) => graft.ext.Suffix.exciseDupSpansExactFirst(
+        t(s, dir, "documents"), "text", "doc_id", spanLen = 32)
+      .orderBy(col("doc_id")),
+    Some(ExtN.suffixExciseOracleSql))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
     xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
     xQualitySignalsV3, xCurateStreamMaster, xDecontaminateSpanDepth,
-    xDedupSuffixExcise50, xCurateStreamFunnelKn)
+    xDedupSuffixExcise50, xCurateStreamFunnelKn, xDedupSuffixExciseFirst)
 }

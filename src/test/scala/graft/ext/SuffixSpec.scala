@@ -164,6 +164,28 @@ class SuffixSpec extends SparkSuite {
     assert(!out.getAs[Boolean]("saturated"))
   }
 
+  test("exciseDupSpansExactFirst equals the raw face under heavy cloning") {
+    // clones of long docs (fully excised members), clones of SHORT
+    // docs (< span tokens — intact members), an empty-text pair, and
+    // unrelated docs sharing a span with a clone group
+    val long = (1 to 6).map(i => s"L$i").mkString(" ")
+    val docs = (Seq(
+      (1L, long), (2L, long), (3L, long),      // long clone group
+      (4L, "a b"), (9L, "a b"),                // short clone group
+      (5L, ""), (6L, ""),                      // empty pair
+      (7L, s"x y $long"),                      // shares the span, not a clone
+      (8L, "p q r s t u v w")))                // clean
+      .toDF("doc_id", "text")
+    for (span <- Seq(3, 4)) {
+      val raw = Suffix.exciseDupSpans(docs, "text", "doc_id", span)
+        .orderBy("doc_id").collect().toSeq
+      val first = Suffix.exciseDupSpansExactFirst(docs, "text", "doc_id", span)
+        .orderBy("doc_id").collect().toSeq
+      assert(first === raw,
+        s"exact-first excision must equal the raw face at span $span")
+    }
+  }
+
   test("contaminationSpanDepth: exact shared-span lengths, cross-set only") {
     // eval doc 1 carries "q w e r t"; corpus doc 10 shares exactly
     // those 5 tokens; doc 12 is a clone of doc 10 (corpus-corpus
