@@ -240,10 +240,14 @@ object ExtK {
       k = 3, threshold = 0.5, lsh = lshWholeDoc)
     val s7 = pin("whole_doc_dedup", t6.join(dupDocs, Seq("doc_id"), "left_anti"))
 
-    // 8. corpus-wide span dedup + post-dedup length floor
+    // 8. corpus-wide span dedup + post-dedup length floor; the suffix
+    // face rides the exact-first collapse (r17 — byte-equal to the raw
+    // ladder by construction and content-bound under clones, the
+    // measured §6 cure), so the registered exact face is the
+    // production-credible one
     val g = pin("span_dedup_full",
-      if (suffixSpan8) Suffix.exciseDupSpans(s7, "text", "doc_id",
-        spanLen = 10)
+      if (suffixSpan8) Suffix.exciseDupSpansExactFirst(s7, "text",
+        "doc_id", spanLen = 10)
       else Dedup.spanDedupHashed(s7, "text", "doc_id", span = 10))
     val s8 = g.filter(col("n_kept_tokens") >= 20)
       .select(col("doc_id"), col("deduped_text").as("text"),
