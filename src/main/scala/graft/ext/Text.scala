@@ -1158,13 +1158,22 @@ object Text {
     * REGISTERED v3 query drops it and stays hash-exact; the column is
     * spec-adjudicated (ExtISpec's deflate checks + TextSpec).
     *
+    * `evalPred` (optional) additionally attaches `leak_depth` — the
+    * EXACT longest token span each non-eval doc shares with the eval
+    * rows ([[graft.ext.Suffix.contaminationSpanDepth]], base 4) — the
+    * overlap-audit DEPTH beside the fixed-n `contaminated` boolean
+    * (NULL for clean docs and for the eval rows themselves).
+    *
     * Scale shape: every added signal is a narrow per-row pass
     * (codegen'd expressions; the deflate is the audited DeflateLen
-    * native expression), assembled by doc_id equi-joins — the same
-    * "write the signals parquet beside the corpus" job as v1.
+    * native expression) except the optional depth (the audited
+    * cross-set ladder — contamination-bound), assembled by doc_id
+    * equi-joins — the same "write the signals parquet beside the
+    * corpus" job as v1.
     */
   def qualitySignalsV3(docs: DataFrame, evalDocs: DataFrame,
-      textCol: String, idCol: String): DataFrame = {
+      textCol: String, idCol: String,
+      evalPred: Option[Column] = None): DataFrame = {
     val v1 = qualitySignals(docs, evalDocs, textCol, idCol)
     val loops = repetitionLoop(docs, textCol, idCol)
       .select(col("doc_id"), col("min_period"), col("tail_period"),
@@ -1174,7 +1183,14 @@ object Text {
         col("n_c1"), col("is_clean").as("encoding_clean"))
     val comp = compressionRatio(docs, textCol, idCol)
       .select(col("doc_id"), col("compression_ratio"))
-    v1.join(loops, "doc_id").join(enc, "doc_id").join(comp, "doc_id")
+    val base = v1.join(loops, "doc_id").join(enc, "doc_id")
+      .join(comp, "doc_id")
+    evalPred.fold(base) { p =>
+      val depth = graft.ext.Suffix
+        .contaminationSpanDepth(docs, textCol, idCol, p, baseLen = 4)
+        .select(col("doc_id"), col("max_shared_span").as("leak_depth"))
+      base.join(depth, Seq("doc_id"), "left")
+    }
   }
 
   def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

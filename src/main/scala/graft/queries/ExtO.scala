@@ -174,7 +174,7 @@ object ExtO {
     (s, dir) => {
       val docs = t(s, dir, "documents")
       Text.qualitySignalsV3(docs, docs.filter(col("doc_id") < 20),
-          "text", "doc_id")
+          "text", "doc_id", evalPred = Some(col("doc_id") < 20))
         .drop("compression_ratio")
         .orderBy(col("doc_id"))
     },
@@ -192,16 +192,33 @@ object ExtO {
             AS BIGINT) AS n_control,
           CAST(length(text) - length(regexp_replace(text,
             '[\\x80-\\x9F]', '', 'g')) AS BIGINT) AS n_c1
-        FROM documents)
+        FROM documents),
+      $xspanCtes,
+      xa AS (SELECT r.rank, r.p AS pa, d.doc_id FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id >= 20),
+      xb AS (SELECT r.rank, r.p AS pb FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id < 20),
+      xprs AS MATERIALIZED (SELECT doc_id, pa, pb
+        FROM xa JOIN xb USING (rank)),
+      xext AS (SELECT doc_id, pa, pb,
+          COALESCE((SELECT CAST(MIN(u.o) AS BIGINT)
+            FROM unnest(range(4, 160)) u(o)
+            JOIN xpos x ON x.p = xprs.pa + u.o
+            JOIN xpos y ON y.p = xprs.pb + u.o
+            WHERE x.tok != y.tok), 160) AS lcp
+        FROM xprs),
+      xdep AS (SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS leak_depth
+        FROM xext GROUP BY doc_id)
       ${ExtM.signalsV1Select(
         extraCols = """,
         lcr.min_period, lcr.tail_period, lcr.tail_repeats,
         qenc.n_replacement, qenc.n_control, qenc.n_c1,
         (qenc.n_replacement = 0 AND qenc.n_control = 0 AND qenc.n_c1 = 0)
-          AS encoding_clean""",
+          AS encoding_clean, xdep.leak_depth""",
         extraJoins = """
       JOIN lcr USING (doc_id)
-      JOIN qenc USING (doc_id)""")}"""))
+      JOIN qenc USING (doc_id)
+      LEFT JOIN xdep USING (doc_id)""")}"""))
 
   /** The continuous-curation master adjudicated END TO END — one
     * micro-batch (the whole corpus, fresh state) through the REAL
@@ -328,7 +345,9 @@ object ExtO {
     * sets), two doubling rounds, position→doc mapping — the ExtN
     * suffixCtes construction truncated at the level this query needs.
     */
-  private val xspanCtes = """xraw AS (SELECT doc_id,
+  // def, not val: referenced by queries declared ABOVE this point in
+  // the object (a val would interpolate as null during initialization)
+  private def xspanCtes: String = """xraw AS (SELECT doc_id,
         CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
     xpos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)

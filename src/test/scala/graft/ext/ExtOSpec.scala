@@ -78,5 +78,20 @@ class ExtOSpec extends SparkSuite {
       byId(22L).getAs[Double]("compression_ratio"))
     // one row per input doc, no fan-out from the joins
     assert(v3.count() == docs.count())
+
+    // the optional leak-depth face: a doc splicing >= 4 eval tokens
+    // reports the exact shared length; everyone else (and the eval
+    // rows) stay NULL
+    val leaky = docs.unionByName(
+      Seq((23L, "zz alpha bravo c0 delta e0 yy")).toDF("doc_id", "text"))
+    val withDepth = Text.qualitySignalsV3(leaky,
+        leaky.filter(col("doc_id") < 2), "text", "doc_id",
+        evalPred = Some(col("doc_id") < 2))
+      .select(col("doc_id"), col("leak_depth")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(withDepth(23L) == Some(5L),
+      "the spliced doc must report its exact 5-token leak")
+    assert(withDepth(22L).isEmpty && withDepth(0L).isEmpty)
   }
 }
