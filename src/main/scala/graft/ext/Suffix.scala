@@ -369,6 +369,54 @@ object Suffix {
           .as("saturated"))
   }
 
+  /** Top LEAKED spans — the per-span view of the overlap audit
+    * ([[contaminationSpanDepth]] is the per-doc view): the k
+    * `spanLen`-token windows present in BOTH the eval slice and the
+    * corpus, ranked by corpus occurrence count — "which benchmark
+    * passages leaked the most", with the reconstructed span text.
+    * Output: (rnk, n_corpus_occurrences, n_corpus_docs, first_pos,
+    * span_text), ties broken by first position.
+    *
+    * Scale: the rank groups are the [[ranksAt]] ladder's output
+    * (16-byte identities at any length); the leaderboard is one
+    * map-side-combinable aggregate over cross-set groups + a bounded
+    * top-k ([[topDupSpans]]'s TakeOrdered + broadcast-reconstruction
+    * shape).
+    */
+  def topLeakedSpans(docs: DataFrame, textCol: String, idCol: String,
+      evalPred: Column, spanLen: Int = 4, k: Int = 20): DataFrame = {
+    require(k > 0, "k must be positive")
+    val (pos, rank) = ranksAt(docs, textCol, idCol, spanLen)
+    val pd = pos.filter(col("_i") =!= Long.MaxValue)
+      .select(col("p"), col("_doc"))
+    val mem = docs.select(col(idCol).cast("long").as("_doc"),
+      evalPred.as("_ev"))
+    val g = rank.join(pd, "p").join(mem, "_doc")
+      .groupBy(col("rank"))
+      .agg(sum(when(col("_ev"), 1L).otherwise(0L)).as("_ne"),
+        sum(when(!col("_ev"), 1L).otherwise(0L)).cast("bigint")
+          .as("n_corpus_occurrences"),
+        countDistinct(when(!col("_ev"), col("_doc"))).cast("bigint")
+          .as("n_corpus_docs"))
+      .filter(col("_ne") > 0 && col("n_corpus_occurrences") > 0)
+    val top = g.select(col("rank").as("first_pos"),
+        col("n_corpus_occurrences"), col("n_corpus_docs"))
+      .orderBy(col("n_corpus_occurrences").desc, col("first_pos"))
+      .limit(k) // TakeOrdered — never a global sort
+      .withColumn("rnk", row_number().over(Window.orderBy(
+        col("n_corpus_occurrences").desc, col("first_pos")))) // k rows
+    broadcast(top)
+      .join(pos, pos("p") >= top("first_pos") &&
+        pos("p") < top("first_pos") + spanLen)
+      .groupBy(col("rnk"), col("n_corpus_occurrences"),
+        col("n_corpus_docs"), col("first_pos"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok")), " ").as("span_text"))
+      .select(col("rnk"), col("n_corpus_occurrences"),
+        col("n_corpus_docs"), col("first_pos"), col("span_text"))
+  }
+
   /** EXACT longest duplicated token span — the Lee et al. headline
     * statistic ("the longest substring occurring twice"), not capped
     * at a dyadic length: every pair inside a level-`baseLen` duplicate

@@ -531,8 +531,42 @@ object ExtO {
       .orderBy(col("doc_id")),
     Some(ExtN.suffixExciseOracleSql))
 
+  /** Top leaked spans ([[graft.ext.Suffix.topLeakedSpans]], span 4,
+    * k = 20): the per-SPAN leaderboard of the overlap audit — which
+    * eval passages appear most across the corpus, with occurrence and
+    * distinct-doc counts and the reconstructed text. The oracle rides
+    * the same cross-set ladder CTEs as the depth query and replays
+    * the leaderboard + the position-table reconstruction (the
+    * topDupSpans convention).
+    */
+  val xDecontaminateTopSpans = Q(
+    "x_decontaminate_top_spans",
+    (s, dir) => graft.ext.Suffix.topLeakedSpans(
+        t(s, dir, "documents"), "text", "doc_id",
+        evalPred = col("doc_id") < 20, spanLen = 4, k = 20)
+      .orderBy(col("rnk")),
+    Some(s"""WITH $xspanCtes,
+      lsg AS (SELECT r.rank,
+          SUM(CASE WHEN d.doc_id < 20 THEN 1 ELSE 0 END) AS ne,
+          CAST(SUM(CASE WHEN d.doc_id >= 20 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_corpus_occurrences,
+          CAST(COUNT(DISTINCT CASE WHEN d.doc_id >= 20
+            THEN d.doc_id END) AS BIGINT) AS n_corpus_docs
+        FROM xrk4 r JOIN xpd d USING (p) GROUP BY r.rank
+        HAVING ne > 0 AND n_corpus_occurrences > 0),
+      ltop AS (SELECT rank AS first_pos, n_corpus_occurrences,
+          n_corpus_docs,
+          CAST(row_number() OVER (ORDER BY n_corpus_occurrences DESC,
+            rank) AS INTEGER) AS rnk
+        FROM lsg QUALIFY rnk <= 20)
+      SELECT rnk, n_corpus_occurrences, n_corpus_docs, first_pos,
+        (SELECT array_to_string(list(tok ORDER BY p), ' ') FROM xpos
+          WHERE p >= first_pos AND p < first_pos + 4) AS span_text
+      FROM ltop ORDER BY rnk"""))
+
   val queries: Seq[Q] = Seq(xQualityPplBucketsKn,
     xQualityPplBucketAgreement, xPipelineLearnedBlocklist,
     xQualitySignalsV3, xCurateStreamMaster, xDecontaminateSpanDepth,
-    xDedupSuffixExcise50, xCurateStreamFunnelKn, xDedupSuffixExciseFirst)
+    xDedupSuffixExcise50, xCurateStreamFunnelKn, xDedupSuffixExciseFirst,
+    xDecontaminateTopSpans)
 }

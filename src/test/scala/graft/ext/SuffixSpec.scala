@@ -206,6 +206,27 @@ class SuffixSpec extends SparkSuite {
     assert(out == Seq((10L, 5L, 2L, false), (12L, 5L, 2L, false)))
   }
 
+  test("topLeakedSpans ranks eval windows by corpus occurrences") {
+    // eval doc 1 carries "q w e r"; it appears twice in doc 10 and
+    // once in doc 12 → 3 corpus occurrences over 2 docs; "w e r t"
+    // appears only in doc 12 → 1/1; corpus-only dup spans (doc 11 ↔
+    // 13) must NOT appear
+    val docs = Seq(
+      (1L, "q w e r t"),
+      (10L, "q w e r x q w e r y"),
+      (11L, "k l m n o p"),
+      (12L, "z q w e r t z"),
+      (13L, "k l m n o p")).toDF("doc_id", "text")
+    val out = Suffix.topLeakedSpans(docs, "text", "doc_id",
+        evalPred = col("doc_id") < 10, spanLen = 4, k = 10)
+      .orderBy("rnk").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(4))).toSeq
+    assert(out == Seq(
+      (1, 3L, 2L, "q w e r"),
+      (2, 1L, 1L, "w e r t")))
+  }
+
   test("contaminationSpanDepth flags saturation at the cap") {
     val shared = (1 to 12).map(i => s"s$i").mkString(" ")
     val docs = Seq((1L, shared), (20L, shared)).toDF("doc_id", "text")
