@@ -280,8 +280,16 @@ object Suffix {
     */
   def exciseDupSpansExactFirst(docs: DataFrame, textCol: String,
       idCol: String, spanLen: Int = 32): DataFrame = {
+    // NULL text coalesces to '' BEFORE digesting: sha2(NULL) is NULL
+    // and an equi-join on a NULL digest matches nothing, so a NULL-text
+    // doc would silently VANISH from the output — a parity break with
+    // the raw face, which emits (doc_id, '', 0) for it. Under the
+    // coalesce the doc rides the ''-digest group and reconstructs to
+    // exactly that row (split('', ' ') = [''], filtered empty, the
+    // short-member branch emits ('', 0)) — byte-equal to the raw face
+    // on every input, NULLs included.
     val keyed = docs.select(col(idCol).cast("long").as("doc_id"),
-      col(textCol).cast("string").as("text"))
+      coalesce(col(textCol).cast("string"), lit("")).as("text"))
     val reps = Dedup.wholeDocReps(keyed, "text", "doc_id")
     val repOut = exciseDupSpans(reps, "text", "doc_id", spanLen)
       .withColumnRenamed("doc_id", "_rep_id")
@@ -323,7 +331,12 @@ object Suffix {
     * baseLen ≥ 1); each extends token-by-token to its first mismatch
     * (the [[maxDupSpan]] machinery), and the per-doc MAX is reported:
     * (doc_id, max_shared_span, n_base_hits, saturated) for docs with
-    * ≥ 1 collision — `saturated` true when some pair hit `maxExt`
+    * ≥ 1 collision — `n_base_hits` counts the doc's DISTINCT colliding
+    * base windows (an eval passage repeated m times in the eval slice
+    * still counts its corpus window once — the aggregate is
+    * COUNT(DISTINCT pa) over the pair set, r18: the pair COUNT(*)
+    * inflated with eval-side multiplicity against this documented
+    * semantic), and `saturated` is true when some pair hit `maxExt`
     * without mismatching (the span is understated; rerun with a larger
     * cap).
     *
@@ -364,7 +377,7 @@ object Suffix {
       .withColumn("lcp", coalesce(col("_mo"), lit(maxExt.toLong)))
       .groupBy(col("doc_id"))
       .agg(max(col("lcp")).cast("bigint").as("max_shared_span"),
-        count(lit(1)).cast("bigint").as("n_base_hits"),
+        countDistinct(col("pa")).cast("bigint").as("n_base_hits"),
         coalesce(max(col("lcp")) === lit(maxExt.toLong), lit(false))
           .as("saturated"))
   }

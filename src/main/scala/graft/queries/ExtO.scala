@@ -370,7 +370,8 @@ object ExtO {
     * ([[graft.ext.Suffix.contaminationSpanDepth]], base 4, cap 160):
     * per corpus doc (doc_id ≥ 20), the EXACT length of its longest
     * token span also present in the eval slice (doc_id < 20), the
-    * number of colliding base windows, and the saturation flag — the
+    * number of DISTINCT colliding base windows (COUNT(DISTINCT pa) —
+    * eval-side repetition never inflates it), and the saturation flag — the
     * overlap-audit ranking fixed-n decontamination can't produce. The
     * oracle replays the shared position numbering, both doubling
     * rounds, the cross-set pair join, and every pair's token-by-token
@@ -397,7 +398,7 @@ object ExtO {
             WHERE x.tok != y.tok), 160) AS lcp
         FROM xprs)
       SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS max_shared_span,
-        CAST(COUNT(*) AS BIGINT) AS n_base_hits,
+        CAST(COUNT(DISTINCT pa) AS BIGINT) AS n_base_hits,
         COALESCE(MAX(lcp) = 160, FALSE) AS saturated
       FROM xext GROUP BY doc_id ORDER BY doc_id"""))
 

@@ -97,11 +97,20 @@ object CurateStream {
     // (existing callers unchanged).
     // the domain is computed as a filter EXPRESSION, never a named
     // column — a batch already carrying url_host/url_domain/... keeps
-    // its own columns untouched (no reserved names to clobber)
+    // its own columns untouched (no reserved names to clobber).
+    // NULL/unparseable urls normalize to '' BEFORE either cut (r18):
+    // the static filter's NULL predicate used to DROP such a doc while
+    // the learned anti-join's never-matching NULL key KEPT it — the
+    // same malformed arrival must survive or die independently of
+    // which blocklist is configured. '' is not a registrable domain,
+    // so under the normalization both cuts KEEP it (a blocklist can
+    // only remove known-bad domains).
+    def domainOf(u: String): org.apache.spark.sql.Column =
+      coalesce(graft.ext.Web.registeredDomain(
+        graft.ext.Web.host(col(u))), lit(""))
     val inStatic = urlCol match {
       case Some(u) if blockedDomains.nonEmpty =>
-        batch.filter(!graft.ext.Web.registeredDomain(
-          graft.ext.Web.host(col(u))).isin(blockedDomains: _*))
+        batch.filter(!domainOf(u).isin(blockedDomains: _*))
       case _ => batch
     }
     // LEARNED blocklist (the FineWeb move): when `domainStatePath`
@@ -124,8 +133,7 @@ object CurateStream {
                   < domainMinPassFrac)
               .select(col("url_domain").as("_graft_blk_domain"))
             inStatic.join(broadcast(blocked),
-              graft.ext.Web.registeredDomain(graft.ext.Web.host(col(u)))
-                === col("_graft_blk_domain"),
+              domainOf(u) === col("_graft_blk_domain"),
               "left_anti")
           case None => inStatic
         }
@@ -213,10 +221,13 @@ object CurateStream {
     val pk = packed.agg(count(lit(1)).cast("bigint").as("n"),
       coalesce(sum(col("toks")), lit(0L)).cast("bigint").as("tk")).head()
     val (bDecon, bToks) = (pk.getLong(0), pk.getLong(1))
+    // selectCountersOrZero: a pre-r17 state generation lacks
+    // c_intra_tokens/c_span — fold them from 0 instead of throwing
+    // (StateDir's widened-schema migration rule)
     val prior = StateDir.readGenBefore(spark, s"$statePath/report", batchId)
-      .map(_.select(col("c_arrived"), col("c_screened"),
-        col("c_intra_tokens"), col("c_whole_doc"), col("c_span"),
-        col("c_curated"), col("c_tokens")).head())
+      .map(st => StateDir.selectCountersOrZero(st,
+        Seq("c_arrived", "c_screened", "c_intra_tokens", "c_whole_doc",
+          "c_span", "c_curated", "c_tokens")).head())
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))
       .getOrElse((0L, 0L, 0L, 0L, 0L, 0L, 0L))

@@ -123,10 +123,13 @@ object FunnelStream {
       .head().getLong(0)
     // O(1)-row state: read the pre-batch generation, fold, overwrite
     // own generation (replay-idempotent by construction)
+    // selectCountersOrZero: a pre-r17 state generation lacks
+    // c_intra_tokens — fold it from 0 instead of throwing (StateDir's
+    // widened-schema migration rule)
     val prior = StateDir.readGenBefore(spark, statePath, batchId)
-      .map(_.select(col("c_all"), col("c_encoding_clean"),
-        col("c_gopher_pass"), col("c_fluent"), col("c_intra_tokens"))
-        .head())
+      .map(st => StateDir.selectCountersOrZero(st,
+        Seq("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent",
+          "c_intra_tokens")).head())
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
       .getOrElse((0L, 0L, 0L, 0L, 0L))

@@ -68,6 +68,23 @@ object StateDir {
     prior.sorted.lastOption
   }
 
+  /** Schema migration for widened report states: select `cols` from a
+    * prior generation, defaulting any column the OLD generation lacks
+    * to 0L. A report-state schema that gains a cumulative counter
+    * (c_intra_tokens in r17's FunnelStream; c_intra_tokens/c_span in
+    * CurateStream) must still resume against a state directory written
+    * by the pre-widening code — without this, the resume threw an
+    * unresolved-column AnalysisException instead of folding the new
+    * counter from 0 (its true pre-widening value: the stage's counts
+    * were never accumulated before the stage existed).
+    */
+  def selectCountersOrZero(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val have = df.columns.toSet
+    df.select(cols.map(c =>
+      if (have(c)) org.apache.spark.sql.functions.col(c)
+      else org.apache.spark.sql.functions.lit(0L).as(c)): _*)
+  }
+
   /** Write generation `batchId` (idempotent: a replay overwrites its
     * own generation) and prune generations older than the one it read.
     */

@@ -186,13 +186,32 @@ class SuffixSpec extends SparkSuite {
     }
   }
 
+  test("exciseDupSpansExactFirst keeps NULL-text docs (raw-face parity)") {
+    // sha2(NULL) is NULL — before the r18 coalesce the digest join
+    // silently DROPPED a NULL-text doc; the raw face emits ('', 0) for
+    // it, and the collapsed face must too
+    val long = (1 to 6).map(i => s"L$i").mkString(" ")
+    val docs = Seq((1L, long), (2L, long), (3L, null.asInstanceOf[String]),
+        (4L, ""), (5L, "p q r"))
+      .toDF("doc_id", "text")
+    val raw = Suffix.exciseDupSpans(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").collect().toSeq
+    val first = Suffix.exciseDupSpansExactFirst(docs, "text", "doc_id", 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(first.map(_.getLong(0)) === Seq(1L, 2L, 3L, 4L, 5L),
+      "every doc, NULL text included, must appear exactly once")
+    assert(first === raw, "NULL-text docs must reconstruct like the raw face")
+  }
+
   test("contaminationSpanDepth: exact shared-span lengths, cross-set only") {
-    // eval doc 1 carries "q w e r t"; corpus doc 10 shares exactly
-    // those 5 tokens; doc 12 is a clone of doc 10 (corpus-corpus
-    // duplication must NOT pair); doc 11 shares nothing
+    // eval doc 1 carries "q w e r t"; eval doc 2 carries it TWICE
+    // (n_base_hits counts DISTINCT corpus windows, so the eval-side
+    // repetition must NOT inflate it — the r18 semantic); corpus doc
+    // 10 shares exactly those 5 tokens; doc 12 is a clone of doc 10
+    // (corpus-corpus duplication must NOT pair); doc 11 shares nothing
     val docs = Seq(
       (1L, "q w e r t y u i"),
-      (2L, "m n o p m n o p"),
+      (2L, "mm q w e r t nn q w e r t"),
       (10L, "a b q w e r t z"),
       (11L, "f g h j k l zz xx"),
       (12L, "a b q w e r t z")).toDF("doc_id", "text")
@@ -201,8 +220,9 @@ class SuffixSpec extends SparkSuite {
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getBoolean(3))).toSeq
-    // two colliding base windows each ("q w e r" extends to 5,
-    // "w e r t" to 4); doc 11 absent; eval docs never appear
+    // two DISTINCT colliding base windows each ("q w e r" extends to
+    // 5, "w e r t" to 4) even though each pairs with three eval
+    // positions; doc 11 absent; eval docs never appear
     assert(out == Seq((10L, 5L, 2L, false), (12L, 5L, 2L, false)))
   }
 

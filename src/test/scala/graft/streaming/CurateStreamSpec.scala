@@ -205,6 +205,53 @@ class CurateStreamSpec extends SparkSuite {
       "batch 0 must run un-cut: no earlier-generation rollup exists")
   }
 
+  test("NULL urls survive stage 0 identically under both blocklist cuts") {
+    // before r18 the static filter's NULL predicate DROPPED a NULL-url
+    // doc while the learned anti-join KEPT it; both cuts now normalize
+    // the domain to '' and KEEP it (a blocklist only removes known-bad
+    // domains)
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    // EVERY arrival carries a NULL url — under the pre-r18 static cut
+    // the whole batch died on the NULL predicate, so survival at all
+    // is the fix's signature
+    val withUrl = injected.withColumn("url",
+      when(lit(true), lit(null).cast("string")))
+    val arrivals = withUrl.filter(col("doc_id") >= 20)
+
+    // static cut (no domain actually blocked here beyond an unrelated
+    // name — the NULL-url docs must pass through)
+    val (packedS, _) = CurateStream.applyBatch(arrivals, freshState(), 0L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen, urlCol = Some("url"),
+      blockedDomains = Seq("bad-site.org"))
+    // learned cut fed a rollup that blocks an unrelated domain
+    val domState = freshState() + "/dom"
+    val seed = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"),
+        lit("https://spam-farm.org/s/1").as("url"), lit(false).as("pass"))
+    DomainStream.applyBatch(seed, domState, "url", "pass",
+      minPassFrac = 0.5, batchId = 0L).collect()
+    val (packedL, _) = CurateStream.applyBatch(arrivals, freshState(), 1L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen, urlCol = Some("url"),
+      domainStatePath = Some(domState))
+    // the no-url-stage baseline: what survival SHOULD look like
+    val (packedB, _) = CurateStream.applyBatch(arrivals, freshState(), 0L,
+      docs, cutLp, cutId, evalDocs, "text", "tinj", "doc_id",
+      seqLen = seqLen)
+    val base = packedB.collect().map(_.getLong(0)).toSet
+    val setS = packedS.collect().map(_.getLong(0)).toSet
+    val setL = packedL.collect().map(_.getLong(0)).toSet
+    assert(setS === base, "static cut must keep NULL-url docs")
+    assert(setL === base, "learned cut must keep NULL-url docs")
+    assert(base.nonEmpty,
+      "some doc must survive curation for the test to bite")
+  }
+
   test("curateStream runner: readStream wiring matches applyBatch") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),

@@ -86,6 +86,41 @@ class FunnelStreamSpec extends SparkSuite {
       "threshold replay must equal the rank-bucket verdict set")
   }
 
+  test("pre-widening state generations resume: missing counters fold from 0") {
+    // r17 widened the report state (c_intra_tokens); a stream resumed
+    // against a state directory written by the pre-widening code must
+    // fold the new counter from 0, not throw unresolved-column
+    // (StateDir.selectCountersOrZero — the versioning rule)
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val state = java.nio.file.Files.createTempDirectory("funnelmig").toString
+
+    def batchDf(b: Int) = injected.filter(pmod(col("doc_id"), lit(3)) === b)
+    // run batch 0 with TODAY's code, then narrow its state generation
+    // to the pre-r17 schema in place
+    val r0 = FunnelStream.applyBatch(batchDf(0), state, 0L, docs,
+      cutLp, cutId, "text", "tinj", "doc_id").head()
+    val narrowed = spark.read.parquet(s"$state/g0")
+      .select("c_all", "c_encoding_clean", "c_gopher_pass", "c_fluent")
+      .localCheckpoint(true)
+    StateDir.atomicOverwrite(narrowed, s"$state/g0")
+
+    val r1 = FunnelStream.applyBatch(batchDf(1), state, 1L, docs,
+      cutLp, cutId, "text", "tinj", "doc_id").head()
+    // pre-existing counters folded from the old generation...
+    assert(r1.getAs[Long]("c_all") ==
+      r0.getAs[Long]("c_all") + r1.getAs[Long]("n_all"))
+    assert(r1.getAs[Long]("c_fluent") ==
+      r0.getAs[Long]("c_fluent") + r1.getAs[Long]("n_fluent"))
+    // ...and the widened counter restarted from 0 (its pre-widening
+    // value: nothing was ever accumulated under the old schema)
+    assert(r1.getAs[Long]("c_intra_tokens") ==
+      r1.getAs[Long]("n_intra_tokens"),
+      "missing c_intra_tokens must default to 0, not fail the resume")
+  }
+
   test("KN fluency face: the threshold replay equals the KN rank cut") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),
