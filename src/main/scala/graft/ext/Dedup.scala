@@ -1382,6 +1382,99 @@ object Dedup {
     out
   }
 
+  /** [[spanDedupIncremental]] behind the exact-first collapse — the
+    * incremental counterpart of
+    * [[graft.ext.Suffix.exciseDupSpansExactFirst]] (the clone-robust
+    * doctrine applied to the STREAMING excision): each batch's
+    * identical texts collapse to their min-id representative
+    * (digest-keyed; NULL text rides its own sentinel key so it is
+    * never conflated with ''), the in-batch dedup + history probe +
+    * state append run on REPRESENTATIVES only, and members are
+    * reconstructed CLOSED-FORM. Output is provably byte-equal to
+    * running the raw incremental face on the full batch:
+    *
+    *  - a non-rep member M clones its rep R (R's id is the group min,
+    *    so min-struct(doc, start) can never elect (M, s) while (R, s)
+    *    exists) — every window of M is a non-first duplicate, M's
+    *    positions are fully covered, and M emits ('', 0 kept) when it
+    *    has ≥ `span` tokens and its intact text when shorter (no
+    *    windows exist to mark, and history probes windows only);
+    *  - a rep's verdict is unchanged by dropping members: member
+    *    windows duplicate the rep's at identical starts, so no wkey's
+    *    first occurrence moves and no history verdict changes;
+    *  - the state evolves IDENTICALLY: members contribute no new
+    *    distinct window keys, so the appended first-occurrence set is
+    *    the same — the face inherits [[spanDedupIncremental]]'s
+    *    id-ordered batch-composition equivalence to the one-shot
+    *    [[spanDedup]] (CurateStreamSpec proves the composed chain).
+    *
+    * `stateKeys` picks the state/exchange key representation:
+    * "sha256" (default) content-addresses the window text — EXACT
+    * under the [[exactByDigest]] assumption, fixed 64-hex rows at any
+    * span length, no 64-bit birthday bound — the 100 TB production
+    * shape; "fp64" is [[spanDedupHashed]]'s 8-byte rolling fingerprint
+    * (collision-admitting — the registered twin audits it); "text"
+    * stores the literal window (the SQL-adjudicable anchor). The
+    * three key domains are not interchangeable; pick one per state
+    * directory. Redelivery rides the same `batchTag` protocol as the
+    * raw face.
+    */
+  def spanDedupIncrementalExactFirst(newDocs: DataFrame, textCol: String,
+      idCol: String, span: Int, statePath: String,
+      batchTag: Option[Long] = None,
+      stateKeys: String = "sha256"): DataFrame = {
+    require(span >= 1, s"span must be >= 1, got $span")
+    val (fp64, sha) = stateKeys match {
+      case "text" => (false, false)
+      case "fp64" => (true, false)
+      case "sha256" => (false, true)
+      case other => throw new IllegalArgumentException(
+        s"stateKeys must be text|fp64|sha256, got '$other'")
+    }
+    val spark = newDocs.sparkSession
+    // space-prefixed NULL sentinel (the Suffix sentinel convention):
+    // sha2 output is hex, so ' NULL' cannot collide with any digest —
+    // NULL-text docs group together and NEVER with ''-text docs (the
+    // two differ through split/size, so conflating them would break
+    // raw-face byte parity)
+    val keyed = newDocs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).cast("string").as("text"))
+      .withColumn("_tdig", when(col("text").isNull, lit(" NULL"))
+        .otherwise(sha2(col("text").cast("binary"), 256)))
+    val reps = keyed.groupBy(col("_tdig"))
+      .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
+      .localCheckpoint(true) // consumed by the core AND the member map
+    val state = readStateOrEmpty(spark, statePath)
+      .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
+    val histKeys = state.map(_.select(col("wkey")).distinct())
+    val (repOut0, newWindows) = spanDedupBatchCore(
+      reps.select(col("doc_id"), col("text")), "text", "doc_id", span,
+      histKeys, hashedKeys = fp64, sha256Keys = sha)
+    // pinned EAGERLY before the state append (the raw face's rule)
+    val repOut = repOut0.localCheckpoint(true)
+    newWindows
+      .select(col("wkey"), lit(batchTag.getOrElse(-1L)).as("batch"))
+      .write.mode("append").parquet(statePath)
+    // closed-form member reconstruction: every expression mirrors the
+    // raw core's (size(split(...)), the split-join identity), so NULL
+    // and empty texts propagate bit-identically
+    val repIds = reps.select(col("_tdig"), col("doc_id").as("_rep_id"))
+    val repRows = repOut.select(col("doc_id").as("_rep_id"),
+      col("n_kept_tokens").as("_r_nk"), col("deduped_text").as("_r_dt"))
+    val nTok = size(split(col("text"), " ")).cast("bigint")
+    val isRep = col("doc_id") === col("_rep_id")
+    val kept = when(isRep, col("_r_nk"))
+      .when(nTok >= span, lit(0L))
+      .otherwise(when(col("text").isNull, lit(0L)).otherwise(nTok))
+    keyed.join(repIds, "_tdig").join(repRows, "_rep_id")
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        kept.as("n_kept_tokens"),
+        (nTok - kept).cast("bigint").as("n_removed"),
+        when(isRep, col("_r_dt"))
+          .when(nTok >= span, lit(""))
+          .otherwise(coalesce(col("text"), lit(""))).as("deduped_text"))
+  }
+
   /** History-relative span dedup without mutable state: `history` is a
     * document corpus whose windows are authoritative; the batch is
     * span-deduped in-batch AND every batch occurrence of a historical
@@ -1407,11 +1500,21 @@ object Dedup {
     */
   private def spanDedupBatchCore(newDocs: DataFrame, textCol: String,
       idCol: String, span: Int, histKeys: Option[DataFrame],
-      hashedKeys: Boolean): (DataFrame, DataFrame) = {
+      hashedKeys: Boolean, sha256Keys: Boolean = false): (DataFrame, DataFrame) = {
     require(span >= 1, s"span must be >= 1, got $span")
+    require(!(hashedKeys && sha256Keys),
+      "sha256Keys digests the TEXT key — exclusive with hashedKeys")
     val toks = newDocs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-    val windows = spanWindows(toks, span, hashedKeys)
+    // sha256Keys: content-address the window text (the exactByDigest
+    // doctrine) — grouping/probing on the digest is injective under
+    // the standard 2⁻¹²⁸ assumption, every state row and exchange key
+    // is a fixed 64 hex chars at ANY span length, and unlike the
+    // 64-bit fingerprint there is no birthday bound at 10^12 windows
+    val windows0 = spanWindows(toks, span, hashedKeys)
+    val windows = if (sha256Keys)
+      windows0.withColumn("wkey", sha2(col("wkey").cast("binary"), 256))
+    else windows0
     val histDup = histKeys match {
       case Some(h) => windows.join(h, Seq("wkey"), "left_semi")
       case None => windows.limit(0)
@@ -1523,7 +1626,12 @@ object Dedup {
           while (j < sp) { bpow *= 31L; j += 1 }
           val bp = bpow
           it.flatMap { case (id, tk) =>
-            val n = tk.length
+            // NULL text (split(NULL) = NULL array) emits no windows —
+            // mirroring the text-keyed branch's when(size(tk) >= span)
+            // guard, which nulls out on NULL and falls to empty (r18:
+            // the kernel NPE'd here, crashing every fp64 face on a
+            // corpus with a single NULL document)
+            val n = if (tk == null) 0 else tk.length
             if (n < sp) Iterator.empty
             else {
               val hs = new Array[Long](n)

@@ -86,7 +86,8 @@ object CurateStream {
       intraSpan: Int = 3, spanLen: Int = 10,
       minKeptTokens: Int = 20,
       domainStatePath: Option[String] = None,
-      domainMinPassFrac: Double = 0.5): (DataFrame, DataFrame) = {
+      domainMinPassFrac: Double = 0.5,
+      exactSpanState: Boolean = false): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -179,12 +180,20 @@ object CurateStream {
       batchTag = Some(batchId))
 
     // 7. corpus-wide span excision vs the accumulated window state +
-    // the post-dedup length floor (the batch master's stage 8);
-    // 8-byte fingerprint state keys — the 100 TB shape. The
-    // incremental face pins its own output before the state append.
-    val spanned = Dedup.spanDedupIncremental(t3, "text", "doc_id",
+    // the post-dedup length floor (the batch master's stage 8).
+    // `exactSpanState = true` routes through the r18 EXACT-FIRST
+    // incremental face (per-batch digest collapse + closed-form member
+    // reconstruction, sha-256 content-addressed state keys — exact at
+    // any span length, no 64-bit birthday bound, clone-bursts
+    // content-bound); default stays the 8-byte fingerprint state (the
+    // two key domains are not interchangeable — pick one per state
+    // directory). Either face pins its own output before the append.
+    val spanned = (if (exactSpanState)
+        Dedup.spanDedupIncrementalExactFirst(t3, "text", "doc_id",
+          spanLen, s"$statePath/span", batchTag = Some(batchId))
+      else Dedup.spanDedupIncremental(t3, "text", "doc_id",
         spanLen, s"$statePath/span", batchTag = Some(batchId),
-        hashedState = true)
+        hashedState = true))
       .filter(col("n_kept_tokens") >= minKeptTokens)
       .select(col("doc_id"), col("deduped_text").as("text"),
         col("n_kept_tokens"))

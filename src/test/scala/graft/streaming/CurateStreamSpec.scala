@@ -21,6 +21,7 @@ import graft.queries.{ExtI, H}
   *     packed placements and report row exactly.
   */
 class CurateStreamSpec extends SparkSuite {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private val seqLen = 64L
@@ -203,6 +204,77 @@ class CurateStreamSpec extends SparkSuite {
       domainStatePath = Some(domState))
     assert(packed0.collect().map(_.getLong(0)).exists(_ % 4 == 0),
       "batch 0 must run un-cut: no earlier-generation rollup exists")
+  }
+
+  test("exact-first incremental excision: batch composition equals one-shot") {
+    // the r18 face: per-batch digest collapse + closed-form member
+    // reconstruction over the stateful span excision. Id-ordered
+    // batches must reproduce the ONE-SHOT Dedup.spanDedup byte for
+    // byte — under heavy cloning (members both across and within
+    // batches), short docs, empty and NULL texts — in every state-key
+    // mode; and a replayed latest batch must reproduce its rows.
+    import graft.ext.Dedup
+    val long = (1 to 9).map(i => s"W$i").mkString(" ")
+    val other = (1 to 9).map(i => s"V$i").mkString(" ")
+    val docs = (Seq(
+      (20L, long), (21L, long), (22L, long),        // clones in batch 0
+      (23L, s"pre $long post"),                      // shares the span
+      (24L, "a b"), (25L, "a b"),                    // short clones
+      (26L, ""), (27L, null.asInstanceOf[String]),   // degenerate texts
+      (40L, long), (41L, other), (42L, other),       // batch-1 clones +
+      (43L, "a b"),                                  // cross-batch clones
+      (44L, s"x $other y"), (45L, "fresh words only here")))
+      .toDF("doc_id", "text")
+    val oneShot = Dedup.spanDedup(docs, "text", "doc_id", 4)
+      .orderBy("doc_id").collect().toSeq
+    for (mode <- Seq("sha256", "fp64", "text")) {
+      val state = freshState() + s"/span_$mode"
+      val out = Seq(docs.filter(col("doc_id") < 40),
+          docs.filter(col("doc_id") >= 40)).zipWithIndex.map {
+        case (b, i) => Dedup.spanDedupIncrementalExactFirst(b, "text",
+          "doc_id", 4, state, batchTag = Some(i.toLong), stateKeys = mode)
+      }
+      val got = out.flatMap(_.orderBy("doc_id").collect()).sortBy(_.getLong(0))
+      assert(got === oneShot,
+        s"id-ordered exact-first incremental ($mode) must equal one-shot")
+      // crash redelivery: same batch tag, same rows
+      val replay = Dedup.spanDedupIncrementalExactFirst(
+          docs.filter(col("doc_id") >= 40), "text", "doc_id", 4, state,
+          batchTag = Some(1L), stateKeys = mode)
+        .orderBy("doc_id").collect().toSeq
+      assert(replay === out(1).orderBy("doc_id").collect().toSeq,
+        s"replayed batch ($mode) must reproduce its output")
+    }
+    // and the fingerprint RAW incremental face agrees on the same split
+    // (the audit the registered twin runs at corpus scale)
+    val stateRaw = freshState() + "/span_raw"
+    val raw = Seq(docs.filter(col("doc_id") < 40),
+        docs.filter(col("doc_id") >= 40)).zipWithIndex.flatMap {
+      case (b, i) => Dedup.spanDedupIncremental(b, "text", "doc_id", 4,
+        stateRaw, batchTag = Some(i.toLong), hashedState = true)
+        .orderBy("doc_id").collect()
+    }.sortBy(_.getLong(0))
+    assert(raw === oneShot, "fingerprint incremental face must also agree")
+  }
+
+  test("CurateStream exactSpanState face curates the identical corpus") {
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val arrivals = injected.filter(col("doc_id") >= 20)
+    val (packedA, reportA) = CurateStream.applyBatch(arrivals,
+      freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
+      "doc_id", seqLen = seqLen)
+    val (packedB, reportB) = CurateStream.applyBatch(arrivals,
+      freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
+      "doc_id", seqLen = seqLen, exactSpanState = true)
+    assert(packedB.collect().map(_.toString).sorted.toSeq ===
+      packedA.collect().map(_.toString).sorted.toSeq,
+      "the exact-first span state must place the identical corpus")
+    assert(reportB.head() === reportA.head(),
+      "the exact-first span state must report the identical attrition")
   }
 
   test("NULL urls survive stage 0 identically under both blocklist cuts") {
