@@ -168,10 +168,19 @@ object ExtK {
     * cut on top of the static list. The cut is a broadcast LEFT ANTI
     * join against the O(blocked domains) slice.
     */
+  /** `knFluency` swaps stage 4's reference LM: the CCNet-faithful face
+    * scores under the Kneser–Ney model ([[Text.perplexityBucketsKn]] —
+    * KenLM is modified KN, Wenzek et al. 2020) instead of the
+    * interpolated JM LM; the rank + integer-floor bucket cut is shared
+    * ([[Text]]'s rankBuckets), so the two faces differ ONLY in the LM,
+    * and the measured bucket agreement
+    * (`x_quality_ppl_bucket_agreement`) predicts the attrition delta.
+    */
   private[graft] def masterStages(all: DataFrame, lshWholeDoc: Boolean,
       pin: (String, DataFrame) => DataFrame,
       suffixSpan8: Boolean = false,
-      learnedBlocklist: Boolean = false)
+      learnedBlocklist: Boolean = false,
+      knFluency: Boolean = false)
       : (Seq[MasterStage], DataFrame) = {
     val evalSet = all.filter(col("doc_id") < 20)
     val corpus = pin("corpus", all.filter(col("doc_id") >= 20)
@@ -207,7 +216,11 @@ object ExtK {
     val s3 = pin("gopher", s2.join(gphOk, "doc_id"))
 
     // 4. CCNet fluency cut: LM + buckets over the FULL raw corpus
-    val pplOk = Text.perplexityBuckets(all, "text", "doc_id", nBuckets = 3)
+    // (JM by default; KN — the CCNet-faithful reference — under the
+    // knFluency switch)
+    val pplOk = (if (knFluency)
+        Text.perplexityBucketsKn(all, "text", "doc_id", nBuckets = 3)
+      else Text.perplexityBuckets(all, "text", "doc_id", nBuckets = 3))
       .filter(col("bucket") < 2).select("doc_id")
     val s4 = pin("fluency", s3.join(pplOk, "doc_id"))
 
@@ -304,14 +317,16 @@ object ExtK {
     */
   private def runMaster(s: org.apache.spark.sql.SparkSession, dir: String,
       lshWholeDoc: Boolean, suffixSpan8: Boolean = false,
-      learnedBlocklist: Boolean = false): DataFrame = {
+      learnedBlocklist: Boolean = false,
+      knFluency: Boolean = false): DataFrame = {
     val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val (stages, bins) = masterStages(t(s, dir, "documents"), lshWholeDoc,
       (name, df) =>
         if (masterCached(name)) {
           val c = df.cache(); c.count(); caches += c; c
         } else df,
-      suffixSpan8 = suffixSpan8, learnedBlocklist = learnedBlocklist)
+      suffixSpan8 = suffixSpan8, learnedBlocklist = learnedBlocklist,
+      knFluency = knFluency)
     def row(st: MasterStage) =
       st.df.agg(count(lit(1)).cast("bigint").as("n_docs"),
           coalesce(sum(st.tok), lit(0L)).cast("bigint").as("n_tokens"))
@@ -336,7 +351,23 @@ object ExtK {
     * deterministic band miss fails the driver gate loudly — the
     * recall-oracle convention, applied to the whole chain.
     */
-  private def masterOracle(learned: Boolean): String = {
+  private def masterOracle(learned: Boolean, kn: Boolean = false): String = {
+    // the stage-4 LM block: the JM chain + shared rank buckets, or —
+    // for the KN face — the shared KN replay with the SAME rank +
+    // integer-floor cut, its bucket relation aliased `bk` so every
+    // later CTE reads verbatim (the two faces differ ONLY here)
+    val lmBlock =
+      if (!kn) s"""${Ext.bigramLmCtes.stripPrefix("WITH ")},
+      ${Ext.rankBucketCtes}"""
+      else s"""${ExtN.knLmCtes("")},
+      knrk AS (SELECT doc_id, n_bigrams, mean_logprob,
+          CAST(row_number() OVER (ORDER BY mean_logprob DESC, doc_id)
+            AS BIGINT) AS rn,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM knlpq),
+      bk AS (SELECT doc_id, n_bigrams, mean_logprob, rn,
+          CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket
+        FROM knrk)"""
     // the learned-blocklist CTEs (r17): gopher on the RAW corpus text
     // (a second, lg-prefixed gopher chain beside stage 3's injected
     // one), the per-domain rollup, the strict-< blocked set
@@ -354,8 +385,7 @@ object ExtK {
     val learnedCut = if (!learned) "" else s"""
           AND regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1) NOT IN
             (SELECT url_domain FROM lgblk)"""
-    s"""WITH RECURSIVE ${Ext.bigramLmCtes.stripPrefix("WITH ")},
-      ${Ext.rankBucketCtes},
+    s"""WITH RECURSIVE $lmBlock,
       corpus AS MATERIALIZED (SELECT doc_id, text, source, lang
         FROM documents WHERE doc_id >= 20),
       uu AS (SELECT doc_id, text, source,
@@ -541,6 +571,23 @@ object ExtK {
       learnedBlocklist = true),
     Some(masterOracle(learned = true)))
 
+  /** The master chain with stage 4 scoring fluency under the
+    * KNESER–NEY reference LM (the CCNet-faithful master — CCNet's
+    * reference models are KenLM, i.e. modified KN) and stage 7 on the
+    * LSH face. The oracle swaps ONLY the LM block — the shared KN
+    * replay ([[ExtN.knLmCtes]]) feeding the SAME rank + integer-floor
+    * bucket cut, aliased into `bk` so rows 4–11 read verbatim — so the
+    * twin isolates the LM exchange, and the fluency row's delta vs
+    * `x_pipeline_master` is exactly the bucket disagreement the
+    * measured `x_quality_ppl_bucket_agreement` rate predicts
+    * (agreement < 1 ⇒ different docs in the head/middle buckets ⇒ a
+    * different survivor set cascading through every later stage).
+    */
+  val xPipelineMasterKn = Q(
+    "x_pipeline_master_kn",
+    (s, dir) => runMaster(s, dir, lshWholeDoc = true, knFluency = true),
+    Some(masterOracle(learned = false, kn = true)))
+
   val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh,
-    xPipelineMasterSuffix, xPipelineMasterLearned)
+    xPipelineMasterSuffix, xPipelineMasterLearned, xPipelineMasterKn)
 }
