@@ -61,5 +61,224 @@ object ExtP {
         deduped_text, TRUE AS agrees_hashed
       FROM sires ORDER BY doc_id"""))
 
-  val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst)
+  /** One micro-batch's full curate-chain replay (funnel → intra →
+    * paragraph → whole-doc → span + floor → decontaminate), prefixed
+    * so the composed-driver oracle can carry one chain PER BATCH.
+    * `arrRel(doc_id, text)` is the post-stage-0 arrival set; `injExpr`
+    * the batch's "crawl bytes" construction over alias `a`. Reuses the
+    * shared stage replays verbatim (gopherCtes / spanDedupCtes /
+    * paraDedupCtes, the global `bk` fluency cut, the shared `ceg`
+    * eval-gram set) — the x_curate_stream_master chain, made
+    * instantiable.
+    */
+  private def curateChainCtes(p: String, arrRel: String,
+      injExpr: String): String = s"""
+      ${p}i AS (SELECT a.doc_id, $injExpr AS t FROM $arrRel a),
+      ${p}e AS (SELECT doc_id,
+          ((length(t) - length(replace(t, chr(65533), ''))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))) = 0 AND
+           (length(t) - length(regexp_replace(t,
+             '[\\x80-\\x9F]', '', 'g'))) = 0) AS is_clean
+        FROM ${p}i),
+      ${ExtI.gopherCtes(p + "g", p + "i")},
+      ${p}s AS MATERIALIZED (SELECT a.doc_id, a.text FROM $arrRel a
+        JOIN ${p}e e ON e.doc_id = a.doc_id
+        JOIN ${p}ggr g ON g.doc_id = a.doc_id
+        JOIN bk ON bk.doc_id = a.doc_id
+        WHERE e.is_clean AND g.pass AND bk.bucket < 2),
+      ${ExtE.spanDedupCtes(p + "x", p + "s", 3, perDoc = true)},
+      ${p}c5 AS MATERIALIZED (SELECT doc_id, deduped_text AS text
+        FROM ${p}xres),
+      ${ExtI.paraDedupCtes(p + "p", p + "c5")},
+      ${p}c6 AS MATERIALIZED (SELECT doc_id, deduped_text AS text
+        FROM ${p}pout),
+      ${p}wd AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        FROM ${p}c6),
+      ${p}ws AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+            unnest(list_transform(range(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+          FROM ${p}wd WHERE len(w) >= 3
+        UNION ALL
+        SELECT doc_id, text AS s FROM ${p}wd WHERE len(w) < 3),
+      ${p}wc AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ${p}ws
+        GROUP BY doc_id),
+      ${p}wi AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ix
+        FROM ${p}ws a JOIN ${p}ws b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY da, db),
+      ${p}wr AS MATERIALIZED (SELECT DISTINCT db AS doc_id FROM ${p}wi
+        JOIN ${p}wc ca ON ca.doc_id = da JOIN ${p}wc cb ON cb.doc_id = db
+        WHERE CAST(ix AS DOUBLE) / (ca.n + cb.n - ix) >= 0.5),
+      ${p}c7 AS MATERIALIZED (SELECT * FROM ${p}c6
+        WHERE doc_id NOT IN (SELECT doc_id FROM ${p}wr)),
+      ${ExtE.spanDedupCtes(p + "z", p + "c7", 10, perDoc = false)},
+      ${p}c8 AS MATERIALIZED (SELECT doc_id, deduped_text AS text,
+          n_kept_tokens
+        FROM ${p}zres WHERE n_kept_tokens >= 20),
+      ${p}cg AS (SELECT DISTINCT doc_id,
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM ${p}c8)),
+      ${p}ct AS (SELECT DISTINCT doc_id FROM ${p}cg JOIN ceg USING (gram)),
+      ${p}c9 AS MATERIALIZED (SELECT * FROM ${p}c8
+        WHERE doc_id NOT IN (SELECT doc_id FROM ${p}ct))"""
+
+  /** The synthetic-URL registered-domain expression over `documents`
+    * alias `d` — the shared x_url_domain construction, as SQL.
+    */
+  private val urlDomainSql: String = """regexp_extract(lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)), '([^.]+\.[^.]+)$', 1)"""
+
+  /** The learned-blocklist STREAMING composition adjudicated end to
+    * end: TWO micro-batches through the REAL composed driver —
+    * [[graft.streaming.DomainStream.applyBatch]] folding the
+    * per-domain quality rollup, then
+    * [[graft.streaming.CurateStream.applyBatch]] at the SAME batch id
+    * reading the generation BEFORE its own — so batch 0 runs un-cut
+    * (no earlier rollup exists) and batch 1 is cut by exactly the
+    * batch-0 rollup; both full attrition reports land under ONE
+    * chained oracle.
+    *
+    * Replay design: batch 0's "crawl bytes" carry an unconditional
+    * U+FFFD, so its arrivals are all screened at the encoding stage —
+    * the oracle DERIVES that from the same enc replay (nothing is
+    * hard-coded) — and the dedup states batch 0 leaves behind are
+    * empty, which makes batch 1's incremental stages equal their
+    * one-shot twins (the fresh-state equivalence the single-batch
+    * master query already rides; the multi-batch DEDUP-state
+    * composition is CurateStreamSpec's split-equality proof and is
+    * deliberately kept out of this oracle). What this query uniquely
+    * adjudicates is the DOMAIN-state composition: the oracle chains
+    * batch 0's raw-text gopher labels → per-domain fold → strict-<
+    * blocked set → batch 1's NOT IN cut → batch 1's full chain → both
+    * reports' cumulative sums, so a drifted rollup, a wrong
+    * generation read, or a leaked batch-1 self-verdict moves row 1
+    * and fails the hash.
+    */
+  val xCurateStreamMasterLearned = Q(
+    "x_curate_stream_master_learned",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val (cutLp, cutId) = graft.streaming.FunnelStream
+        .fluencyCutoff(docs, "text", "doc_id")
+      val evalDocs = docs.filter(col("doc_id") < 20)
+      val withUrl = docs.withColumn("url", ExtK.urlCol)
+      val labels = withUrl.join(
+        graft.ext.Text.gopherRules(docs, "text", "doc_id")
+          .select(col("doc_id"), col("pass")), "doc_id")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_curate_learned").toString
+      val domState = s"$base/dom"
+      val state = s"$base/state"
+      val reports = Seq((20L, 250L), (250L, Long.MaxValue)).zipWithIndex
+        .map { case ((lo, hi), b) =>
+          val in = col("doc_id") >= lo && col("doc_id") < hi
+          // the composed driver: domain fold FIRST, same batch id —
+          // the curation read is generation-addressed BEFORE b, so
+          // batch b is judged only by strictly earlier batches
+          graft.streaming.DomainStream.applyBatch(labels.filter(in),
+            domState, "url", "pass", minPassFrac = 0.5,
+            batchId = b.toLong)
+          val tinj = if (b == 0) concat(col("text"), lit("\uFFFD"))
+            else concat(col("text"), ExtI.encGarbage, ExtI.gopherBait)
+          val arr = withUrl.filter(in).select(col("doc_id"), col("text"),
+            col("url"), tinj.as("tinj"))
+          val (_, report) = graft.streaming.CurateStream.applyBatch(arr,
+            state, b.toLong, docs, cutLp, cutId, evalDocs, "text",
+            "tinj", "doc_id", urlCol = Some("url"),
+            domainStatePath = Some(domState))
+          report
+        }
+      reports.reduce(_.unionByName(_)).orderBy(col("batch_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      ca0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+        WHERE doc_id >= 20 AND doc_id < 250),
+      ca1 AS MATERIALIZED (SELECT doc_id, text FROM documents
+        WHERE doc_id >= 250),
+      ceg AS MATERIALIZED (SELECT DISTINCT
+          unnest(list_transform(range(1, len(w) - 3),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+              || w[i+3] || ' ' || w[i+4])) AS gram
+        FROM (SELECT string_split(text, ' ') AS w FROM documents
+          WHERE doc_id < 20)),
+      lgi AS (SELECT doc_id, text AS t FROM ca0),
+      ${ExtI.gopherCtes("lg", "lgi")},
+      lgd AS (SELECT d.doc_id, $urlDomainSql AS url_domain, lggr.pass
+        FROM documents d JOIN lggr ON lggr.doc_id = d.doc_id),
+      lgblk AS MATERIALIZED (SELECT url_domain FROM lgd
+        GROUP BY url_domain
+        HAVING CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) < 0.5),
+      kb1 AS MATERIALIZED (SELECT u.doc_id, u.text FROM (
+          SELECT d.doc_id, d.text, $urlDomainSql AS url_domain
+          FROM documents d WHERE d.doc_id >= 250) u
+        WHERE u.url_domain NOT IN (SELECT url_domain FROM lgblk)),
+      ${curateChainCtes("da", "ca0", "a.text || chr(65533)")},
+      ${curateChainCtes("db", "kb1",
+        s"a.text || ${ExtI.encGarbageSql} || ${ExtI.gopherBaitSql}")}
+      SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS batch_id,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ca0) AS n_arrived,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM das) AS n_screened,
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM daxres) AS n_intra_tokens,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac7) AS n_whole_doc,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac8) AS n_span,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac9) AS n_curated,
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM dac9) AS n_tokens,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ca0) AS c_arrived,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM das) AS c_screened,
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM daxres) AS c_intra_tokens,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac7) AS c_whole_doc,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac8) AS c_span,
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac9) AS c_curated,
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM dac9) AS c_tokens
+        UNION ALL
+        SELECT CAST(1 AS BIGINT),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ca1),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dbs),
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM dbxres),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc7),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc8),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc9),
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM dbc9),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM ca0)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM ca1),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM das)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM dbs),
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM daxres)
+            + (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+              FROM dbxres),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac7)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc7),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac8)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc8),
+          (SELECT CAST(COUNT(*) AS BIGINT) FROM dac9)
+            + (SELECT CAST(COUNT(*) AS BIGINT) FROM dbc9),
+          (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+            FROM dac9)
+            + (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
+              FROM dbc9)
+      ) ORDER BY batch_id"""))
+
+  val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst,
+    xCurateStreamMasterLearned)
 }
+
