@@ -811,6 +811,51 @@ object ScaleBench {
       }
     }
 
+    // full quality sidecar (round 18): the registered v3 ⋈ v2 assembly
+    // timed at the bench SF, with its corpus-SCAN count COUNTED from
+    // the executed plan (FileSourceScan leaves over documents.parquet,
+    // recursing through AQE stages, cached relations, and subqueries)
+    // — the "how many passes does the whole sidecar cost" claim
+    // measured, not asserted. The probe sums a real payload column
+    // (the count-join-elimination rule).
+    if (sec("signalsfull")) {
+      def countDocScans(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val self = p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec
+              if f.relation.location.rootPaths
+                .exists(_.toString.contains("documents")) => 1
+          case _ => 0
+        }
+        val kids: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            Seq(i.relation.cachedPlan)
+          case other => other.children
+        }
+        self + kids.map(countDocScans).sum +
+          p.subqueries.map(countDocScans).sum
+      }
+      // the probe hashes EVERY output column into the aggregate —
+      // summing one column would let Catalyst ELIMINATE the unused
+      // left-join-to-aggregate signal chains (measured: 1.75 s with
+      // the LM/GD/ladder chains pruned vs the real full-sidecar cost)
+      // — and the ASSEMBLY runs inside the timed block too: the GD
+      // training loop executes its iterations at construction time
+      var probe: DataFrame = null
+      timeShuffle(s"signalsFull v3 JOIN v2 ($sfDir)") {
+        val full = graft.queries.ExtP.xQualitySignalsFull.run(spark, sfDir)
+        probe = full.agg(
+          coalesce(sum(xxhash64(struct(full.columns.map(col): _*))),
+            lit(0L)).cast("bigint").as("s"))
+        probe.head(); 500L
+      }
+      println(s"[scale] signalsFull corpus scans in executed plan: " +
+        s"${countDocScans(probe.queryExecution.executedPlan)}")
+    }
+
     spark.stop()
     org.apache.hadoop.util.ShutdownHookManager.get().clearShutdownHooks()
   }

@@ -95,9 +95,9 @@ object ExtN {
     * converging slowly (50 → 79.0%) — 30 balances the adjudicated
     * trajectory length against the two-pass-per-iteration cost.
     */
-  private val lrDims = 64
-  private val lrIters = 30
-  private val lrStep = "0.000200"
+  private[queries] val lrDims = 64
+  private[queries] val lrIters = 30
+  private[queries] val lrStep = "0.000200"
 
   /** The unrolled gradient-descent replay: label + hashed-feature base
     * CTEs, then per iteration t the exact-decimal logits `lz{t}` under
@@ -107,10 +107,19 @@ object ExtN {
     * vector. Ends with `lw{iters}` (the final weights) and `lzf`/`lpf`
     * (logits/sigmoids UNDER the final weights, for the filter face).
     */
-  private def logRegCtes(dims: Int, iters: Int, step: String): String = {
-    val base = s"""inj AS (SELECT doc_id, text AS t FROM documents),
+  private def logRegCtes(dims: Int, iters: Int, step: String): String =
+    s"""inj AS (SELECT doc_id, text AS t FROM documents),
       ${ExtI.gopherCtesSql},
-      llab AS (SELECT doc_id, pass AS label FROM gr),
+      ${logRegCoreCtes(dims, iters, step)}"""
+
+  /** [[logRegCtes]] without the inj/gopher preamble — for oracles that
+    * already carry the `gr` verdict chain (the v3 ⋈ v2 full sidecar
+    * composes this beside the v1 signal CTEs, whose gopher block is
+    * byte-identical to the preamble dropped here).
+    */
+  private[queries] def logRegCoreCtes(dims: Int, iters: Int,
+      step: String): String = {
+    val base = s"""llab AS (SELECT doc_id, pass AS label FROM gr),
       lfeat AS MATERIALIZED (
         SELECT doc_id,
             CAST(CAST(concat('0x', substring(sha256(token), 1, 15))
@@ -218,7 +227,7 @@ object ExtN {
     * batch"), and a trigram. Shared verbatim with the oracle's VALUES
     * list (the blockedDomains convention).
     */
-  private val tagPhrases = Seq("batch batch", "batch batch batch",
+  private[queries] val tagPhrases = Seq("batch batch", "batch batch batch",
     "table scan", "join order", "hash join", "spark", "the fast",
     "group query", "a a")
 
@@ -462,9 +471,12 @@ object ExtN {
     * doc_id equi-joins plus one O(domains) broadcast — the "write the
     * signals parquet beside the corpus" job.
     */
-  val xQualitySignalsV2 = Q(
-    "x_quality_signals_v2",
-    (s, dir) => {
+  /** The v2 wide-row assembly, factored so the full sidecar
+    * (`x_quality_signals_full`, v3 ⋈ v2) rides the IDENTICAL engine
+    * chain — the shared-CTE discipline on the engine side.
+    */
+  private[queries] def signalsV2Df(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
       val docs = t(s, dir, "documents")
       val gop = Text.gopherRules(docs, "text", "doc_id")
         .select(col("doc_id"), col("pass"))
@@ -495,8 +507,11 @@ object ExtN {
         .select(col("doc_id"), col("kn_mean_logprob"), col("lr_score"),
           col("lr_pass"), coalesce(col("n_tag_hits"), lit(0L)).as("n_tag_hits"),
           col("url_domain"), col("domain_pass_frac"), col("domain_blocked"))
-        .orderBy(col("doc_id"))
-    },
+  }
+
+  val xQualitySignalsV2 = Q(
+    "x_quality_signals_v2",
+    (s, dir) => signalsV2Df(s, dir).orderBy(col("doc_id")),
     Some(s"""WITH ${logRegCtes(lrDims, lrIters, lrStep)},
       tk AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       bi AS (SELECT doc_id, gram, count(*) AS bf FROM (

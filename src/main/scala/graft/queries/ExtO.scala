@@ -347,7 +347,7 @@ object ExtO {
     */
   // def, not val: referenced by queries declared ABOVE this point in
   // the object (a val would interpolate as null during initialization)
-  private def xspanCtes: String = """xraw AS (SELECT doc_id,
+  private[queries] def xspanCtes: String = """xraw AS (SELECT doc_id,
         CAST(generate_subscripts(w, 1) AS BIGINT) AS i, unnest(w) AS tok
       FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
     xpos AS MATERIALIZED (SELECT row_number() OVER (ORDER BY doc_id, i)

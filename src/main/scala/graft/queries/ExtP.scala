@@ -278,7 +278,122 @@ object ExtP {
               FROM dbc9)
       ) ORDER BY batch_id"""))
 
+  /** The FULL quality sidecar — v3 ⋈ v2, one row per doc with every
+    * adjudicated per-doc signal the engine computes (structural +
+    * repetition-loop + encoding + leak-depth from v3; the
+    * model-derived KN log-prob, GD-classifier logit/verdict,
+    * phrase-tag hits, and domain rollup from v2) minus the
+    * documented-rows-only `compression_ratio`. The engine rides the
+    * IDENTICAL factored assemblies ([[graft.ext.Text.qualitySignalsV3]]
+    * and [[ExtN.signalsV2Df]]) joined on doc_id; the oracle chains
+    * EVERY replay into one query — the JM LM + rank buckets, the v1
+    * signal CTEs, the loop cascade, the encoding counts, the
+    * cross-set ladder's leak depth, the full 30-iteration GD
+    * trajectory ([[ExtN.logRegCoreCtes]], consuming the v1 chain's
+    * own `gr`), the prefixed KN replay, the per-length phrase join,
+    * and the domain rollup — so drift in ANY of the ~25 signals flips
+    * the hash. This is the "write the signals parquet beside the
+    * corpus" job, whole; ScaleBench's `signalsfull` section measures
+    * its corpus-scan count.
+    */
+  val xQualitySignalsFull = Q(
+    "x_quality_signals_full",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ext.Text.qualitySignalsV3(docs,
+          docs.filter(col("doc_id") < 20), "text", "doc_id",
+          evalPred = Some(col("doc_id") < 20))
+        .drop("compression_ratio")
+        .join(ExtN.signalsV2Df(s, dir), "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${Ext.bigramLmCtes},
+      ${Ext.rankBucketCtes},
+      ${ExtM.signalsV1Ctes},
+      ltk AS (SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents),
+      ${ExtN.loopCaseSql(4, 8)},
+      qenc AS (SELECT doc_id,
+          CAST(length(text) - length(replace(text, chr(65533), ''))
+            AS BIGINT) AS n_replacement,
+          CAST(length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'))
+            AS BIGINT) AS n_control,
+          CAST(length(text) - length(regexp_replace(text,
+            '[\\x80-\\x9F]', '', 'g')) AS BIGINT) AS n_c1
+        FROM documents),
+      ${ExtO.xspanCtes},
+      xa AS (SELECT r.rank, r.p AS pa, d.doc_id FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id >= 20),
+      xb AS (SELECT r.rank, r.p AS pb FROM xrk4 r
+        JOIN xpd d USING (p) WHERE d.doc_id < 20),
+      xprs AS MATERIALIZED (SELECT doc_id, pa, pb
+        FROM xa JOIN xb USING (rank)),
+      xext AS (SELECT doc_id, pa, pb,
+          COALESCE((SELECT CAST(MIN(u.o) AS BIGINT)
+            FROM unnest(range(4, 160)) u(o)
+            JOIN xpos x ON x.p = xprs.pa + u.o
+            JOIN xpos y ON y.p = xprs.pb + u.o
+            WHERE x.tok != y.tok), 160) AS lcp
+        FROM xprs),
+      xdep AS (SELECT doc_id, CAST(MAX(lcp) AS BIGINT) AS leak_depth
+        FROM xext GROUP BY doc_id),
+      ${ExtN.logRegCoreCtes(ExtN.lrDims, ExtN.lrIters, ExtN.lrStep)},
+      ${ExtN.knLmCtes("fs")},
+      ph AS (SELECT * FROM (VALUES
+        ${ExtN.tagPhrases.map(p => s"('$p')").mkString(", ")}) t(phrase)),
+      phl AS (SELECT phrase,
+          CAST(len(string_split(phrase, ' ')) AS BIGINT) AS l FROM ph),
+      plens AS (SELECT DISTINCT l FROM phl),
+      pdg AS (SELECT doc_id, l,
+          unnest(list_transform(range(1, len(w) - l + 2),
+            i -> array_to_string(w[i:i+l-1], ' '))) AS gram
+        FROM tk JOIN plens ON len(w) >= l),
+      ptags AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tag_hits
+        FROM pdg JOIN phl ON pdg.l = phl.l AND pdg.gram = phl.phrase
+        GROUP BY 1),
+      du AS (SELECT d.doc_id, gr.pass,
+          lower(regexp_extract(
+            'https://' || (CASE WHEN d.doc_id % 3 = 0 THEN 'www.'
+              ELSE '' END)
+              || d.source || '-site.'
+              || (CASE WHEN d.lang = 'en' THEN 'com' ELSE 'org' END)
+              || '/docs/' || d.doc_id
+              || (CASE WHEN d.doc_id % 2 = 0 THEN '?ref=' || d.source
+                  ELSE '' END),
+            '^https?://([^/:?#]+)', 1)) AS url_host
+        FROM documents d JOIN gr USING (doc_id)),
+      dd AS (SELECT doc_id,
+          regexp_extract(url_host, '([^.]+\\.[^.]+)$$', 1)
+          AS url_domain, pass FROM du),
+      ddom AS (SELECT url_domain,
+          CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) AS domain_pass_frac,
+          (CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE) < 0.5) AS domain_blocked
+        FROM dd GROUP BY 1)
+      ${ExtM.signalsV1Select(
+        extraCols = """,
+        lcr.min_period, lcr.tail_period, lcr.tail_repeats,
+        qenc.n_replacement, qenc.n_control, qenc.n_c1,
+        (qenc.n_replacement = 0 AND qenc.n_control = 0 AND qenc.n_c1 = 0)
+          AS encoding_clean, xdep.leak_depth,
+        fsknlpq.mean_logprob AS kn_mean_logprob,
+        CAST(lpf.z AS DOUBLE) AS lr_score,
+        (lpf.z > CAST(0 AS DECIMAL(2,0))) AS lr_pass,
+        COALESCE(ptags.n_tag_hits, 0) AS n_tag_hits,
+        dd.url_domain, ddom.domain_pass_frac, ddom.domain_blocked""",
+        extraJoins = """
+      JOIN lcr USING (doc_id)
+      JOIN qenc USING (doc_id)
+      LEFT JOIN xdep USING (doc_id)
+      LEFT JOIN fsknlpq USING (doc_id)
+      LEFT JOIN lpf USING (doc_id)
+      LEFT JOIN ptags USING (doc_id)
+      JOIN dd USING (doc_id)
+      JOIN ddom USING (url_domain)""")}"""))
+
   val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst,
-    xCurateStreamMasterLearned)
+    xCurateStreamMasterLearned, xQualitySignalsFull)
 }
 
