@@ -66,4 +66,55 @@ object Layout {
   def quantizeSql(v: String, lo: Double, hi: Double, bits: Int): String =
     s"least(greatest(CAST(floor((CAST($v AS DOUBLE) - $lo) / ${hi - lo} " +
       s"* ${1L << bits}) AS BIGINT), 0), ${(1L << bits) - 1})"
+
+  /** Deterministic EPOCH-ORDER shuffle over packed training sequences
+    * — the reproducible global permutation every data-parallel
+    * training run needs between packing and consumption (sequences
+    * are written in packer order, which is length-sorted and
+    * group-clustered — consuming them in that order would feed each
+    * epoch long-docs-first, one source at a time):
+    *
+    *  - each sequence (one per (group, bin)) gets a SEEDED HASH
+    *    permutation key, pure arithmetic over (group index, bin,
+    *    seed) — the [[Sampling.weightedSample]] 31-bit LCG discipline,
+    *    so the order is a function of content + seed alone:
+    *    reproducible across runs, partitionings, cluster sizes, and
+    *    engines (SQL-replayable, unlike a hashed-string or RNG key);
+    *  - the epoch position is [[Rank.globalRowNumber]] over
+    *    (key, group, bin) — ONE range exchange on the permuted key +
+    *    the two narrow numbering jobs, never a driver sort and never
+    *    a single-partition window (the 100 TB shape: consumers then
+    *    read position ranges, i.e. the range partitioning IS the
+    *    epoch sharding); LCG collisions are broken by (group, bin),
+    *    so the order is total and the permutation exact;
+    *  - the group index itself rides a [[Rank.globalRowNumber]] over
+    *    the DISTINCT groups (O(groups) rows) and joins back broadcast
+    *    — group names never hash engine-specifically.
+    *
+    * Returns the input columns + `shuffle_key` + `epoch_pos`
+    * (1-based). A new epoch = a new seed; nothing is re-packed.
+    */
+  def epochOrder(seqs: DataFrame, groupCol: String, binCol: String,
+      seed: Long): DataFrame = {
+    require(seed >= 0, "seed must be non-negative (the LCG domain)")
+    val groups = Rank.globalRowNumber(
+      seqs.select(col(groupCol).cast("string").as("_g")).distinct(),
+      Seq(col("_g")), out = "_gi")
+    val m = lit(2147483648L) // 2^31
+    // sid packs (group index, bin) into one integer; collisions past
+    // 2^20 bins per group only merge LCG keys, never break the total
+    // order (the (group, bin) tiebreak below)
+    val sid = col("_gi") * lit(1048576L) + col(binCol).cast("long")
+    // reduce mod 2^31 BEFORE the multiply: the product then tops out
+    // at 2^31·1103515245 < Long.MaxValue (the weightedSample bound)
+    val pk = pmod(pmod(sid + lit(seed), m) * lit(1103515245L)
+      + lit(12345L), m)
+    val keyed = seqs
+      .join(broadcast(groups), col(groupCol).cast("string") === col("_g"))
+      .withColumn("shuffle_key", pk.cast("long"))
+      .drop("_g", "_gi")
+    Rank.globalRowNumber(keyed,
+      Seq(col("shuffle_key"), col(groupCol), col(binCol)),
+      out = "epoch_pos")
+  }
 }

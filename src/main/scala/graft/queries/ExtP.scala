@@ -393,7 +393,75 @@ object ExtP {
       JOIN dd USING (doc_id)
       JOIN ddom USING (url_domain)""")}"""))
 
+  /** Deterministic epoch-order shuffle over packed sequences
+    * ([[graft.ext.Layout.epochOrder]], seed 42): the BFD-packed
+    * training sequences (one per (source, bin) — the x_pack_best_fit
+    * layout) receive a seeded LCG permutation key and a GLOBAL epoch
+    * position via the range-partitioned [[graft.ext.Rank]] numbering —
+    * the reproducible between-epochs shuffle a 100 TB run needs
+    * without a driver sort or single-partition window. The oracle
+    * replays the BFD state machine (the shared recursive packing
+    * CTEs), derives every sequence's per-bin starting-doc stats, and
+    * replays the PERMUTATION FORMULA exactly — group index by sorted
+    * name, sid = gi·2²⁰ + bin, key = ((sid + 42) mod 2³¹ · 1103515245
+    * + 12345) mod 2³¹, position = row_number over (key, group, bin) —
+    * so a drifted bin, a reordered tie, or any deviation from the
+    * documented permutation flips the hash. PlanSpec gates the shape
+    * (no Window, no single-partition exchange, the RDD numbering
+    * bridge present).
+    */
+  val xPackEpochOrder = Q(
+    "x_pack_epoch_order",
+    (s, dir) => {
+      val S = 64L
+      val docs = t(s, dir, "documents")
+      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          seqLen = S)
+        .withColumnRenamed("group", "grp")
+        .cache() // feeds the bin range AND the per-bin stats
+      val nb = asg.groupBy(col("grp"))
+        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
+      val seqs = nb.select(col("grp"),
+          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
+        .join(asg.groupBy(col("grp"), col("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("toks")).cast("bigint").as("n_toks")),
+          Seq("grp", "bin"), "left")
+        .select(col("grp"), col("bin"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L)
+        .orderBy(col("epoch_pos"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
+        """d AS (SELECT source AS grp, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents)""")},
+      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
+        FROM summ),
+      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS n_toks
+        FROM asg GROUP BY 1, 2),
+      eseq AS (SELECT b.grp, b.bin,
+          COALESCE(s.n_docs, 0) AS n_docs,
+          COALESCE(s.n_toks, 0) AS n_toks
+        FROM ebins b LEFT JOIN estat s
+          ON s.grp = b.grp AND s.bin = b.bin),
+      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
+          AS BIGINT) AS gi
+        FROM (SELECT DISTINCT grp FROM eseq)),
+      ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
+          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS shuffle_key
+        FROM eseq e JOIN egi ON egi.grp = e.grp)
+      SELECT e.grp, CAST(e.bin AS BIGINT) AS bin, e.n_docs, e.n_toks,
+        CAST(e.shuffle_key AS BIGINT) AS shuffle_key,
+        CAST(row_number() OVER (ORDER BY e.shuffle_key, e.grp, e.bin)
+          AS BIGINT) AS epoch_pos
+      FROM ekey e ORDER BY epoch_pos"""))
+
   val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst,
-    xCurateStreamMasterLearned, xQualitySignalsFull)
+    xCurateStreamMasterLearned, xQualitySignalsFull, xPackEpochOrder)
 }
 

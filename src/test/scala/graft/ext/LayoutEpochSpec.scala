@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The deterministic epoch-order shuffle ([[Layout.epochOrder]]):
+  * exact permutation semantics, the documented LCG formula, partition
+  * independence, and seed sensitivity.
+  */
+class LayoutEpochSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fixture = (for {
+    g <- Seq("alpha", "beta", "gamma")
+    b <- 0L until 40L
+  } yield (g, b, b % 7, b * 3 + g.length)).toDF("grp", "bin", "n_docs", "n_toks")
+
+  /** The scaladoc formula, computed locally. */
+  private def reference(rows: Seq[(String, Long)], seed: Long)
+      : Seq[(String, Long, Long)] = {
+    val gi = rows.map(_._1).distinct.sorted.zipWithIndex
+      .map { case (g, i) => g -> (i + 1L) }.toMap
+    val m = 2147483648L
+    rows.map { case (g, b) =>
+      val sid = gi(g) * 1048576L + b
+      val pk = (((sid + seed) % m) * 1103515245L + 12345L) % m
+      (g, b, pk)
+    }.sortBy { case (g, b, pk) => (pk, g, b) }
+      .map { case (g, b, pk) => (g, b, pk) }
+  }
+
+  test("epochOrder matches the documented LCG permutation exactly") {
+    val out = Layout.epochOrder(fixture, "grp", "bin", seed = 42L)
+      .orderBy(col("epoch_pos"))
+      .select("grp", "bin", "shuffle_key", "epoch_pos")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = reference(out.map(r => (r._1, r._2)).sortBy(identity).toSeq, 42L)
+    assert(out.map(_._4).toSeq == (1L to out.length).toSeq,
+      "epoch positions must be dense 1..N")
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == ref,
+      "order and keys must equal the documented formula")
+    // the permutation genuinely shuffles: not the (grp, bin) order
+    assert(out.map(r => (r._1, r._2)).toSeq !=
+      out.map(r => (r._1, r._2)).sortBy(identity).toSeq)
+  }
+
+  test("epochOrder is partition-independent and seed-sensitive") {
+    def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
+      Layout.epochOrder(df, "grp", "bin", seed).orderBy(col("epoch_pos"))
+        .select("grp", "bin").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = run(fixture, 42L)
+    val b = run(fixture.repartition(7, col("n_toks")), 42L)
+    assert(a == b, "the epoch order must not depend on partitioning")
+    val c = run(fixture, 43L)
+    assert(a != c, "a new seed must produce a different epoch order")
+    assert(a.sorted == c.sorted, "every seed is a permutation of the same set")
+  }
+}

@@ -522,6 +522,41 @@ class PlanSpec extends SparkSuite {
       s"bucket agreement went cartesian:\n$ag")
   }
 
+  test("round-18 operators keep their scale shapes") {
+    // epoch-order shuffle: the global position must ride the
+    // range-partitioned globalRowNumber bridge — never a Window, a
+    // single-partition exchange, or a coalesce(1). The trailing
+    // orderBy contributes a rangepartitioning line regardless, so the
+    // POSITIVE marker is the rank's RDD bridge (the perplexity-gate
+    // convention).
+    val eo = plan("x_pack_epoch_order")
+    assert(!eo.contains("Window"),
+      s"epoch order fell back to a Window:\n$eo")
+    assert(!eo.contains("SinglePartition"),
+      s"epoch order has a single-partition exchange:\n$eo")
+    assert(!eo.contains("Coalesce"),
+      s"epoch order coalesces partitions:\n$eo")
+    assert(eo.contains("ExistingRDD"),
+      s"epoch order lost the globalRowNumber bridge:\n$eo")
+    // exact-first incremental excision: the registered face's visible
+    // plan is the post-pin assembly (each incremental batch is
+    // localCheckpoint-pinned inside the operator, the state-append
+    // rule), so the gate here is the ASSEMBLY shape — the agreement
+    // join must broadcast on the 8-byte doc key, never cartesian; the
+    // inner per-batch shape (window-state equi-joins + partial
+    // aggregation) is the already-gated spanDedup family plan
+    val se = plan("x_dedup_span_incremental_exact_first")
+    assert(!se.contains("CartesianProduct"),
+      s"exact-first incremental went cartesian:\n$se")
+    assert(se.contains("BroadcastHashJoin"),
+      s"the agreement join lost its broadcast:\n$se")
+    // the full sidecar assembles by doc_id equi-joins + an O(domains)
+    // broadcast — no cartesian anywhere in ~25 signals
+    val sf = plan("x_quality_signals_full")
+    assert(!sf.contains("CartesianProduct"),
+      s"full sidecar went cartesian:\n$sf")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
