@@ -716,15 +716,20 @@ object ScaleBench {
     // overlap combine, 16-byte rank keys, collision-free). Same
     // semantics (x_pipeline_master_suffix adjudicates byte parity);
     // this measures what exactness costs at clone replication.
-    if (sec("suffixstage")) for (k <- Seq(10, 40)) {
+    // r18 adds the ×100 decision row (the stage-8 default flip gate):
+    // hashed vs exact-first only at ×100 — the raw ladder is the
+    // oracle anchor, not a production candidate, and its clone
+    // degradation is already measured (47 s / 1872 MiB at ×40)
+    if (sec("suffixstage")) for (k <- Seq(10, 40, 100)) {
       val rep = cloned(k)
       timeShuffle(s"stage8 spanDedupHashed x$k (${nDocs * k} docs, span 10)") {
         keptTokens(Dedup.spanDedupHashed(rep, "text", "doc_id", span = 10))
       }
-      timeShuffle(s"stage8 suffixExcise x$k (${nDocs * k} docs, span 10)") {
-        keptTokens(
-          graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 10))
-      }
+      if (k <= 40)
+        timeShuffle(s"stage8 suffixExcise x$k (${nDocs * k} docs, span 10)") {
+          keptTokens(
+            graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 10))
+        }
       // the cure (r17): exact-first collapse + closed-form member
       // reconstruction — the ladder runs on distinct content only, so
       // cost must be content-bound (flat in k) while staying
@@ -732,6 +737,31 @@ object ScaleBench {
       timeShuffle(s"stage8 suffixExcise EXACT-FIRST x$k (${nDocs * k} docs)") {
         keptTokens(graft.ext.Suffix.exciseDupSpansExactFirst(
           rep, "text", "doc_id", spanLen = 10))
+      }
+    }
+    // the exact-first INCREMENTAL face (r18) under the same clone
+    // regime: three id-ordered batches of the ×k corpus through real
+    // accumulated state, vs the fingerprint incremental face — state
+    // rows must stay DISTINCT-CONTENT-bound and per-batch wall-clock
+    // flat in k for the collapse to hold streaming-side too
+    if (sec("spanincr")) for (k <- Seq(10, 40)) {
+      val rep = cloned(k).localCheckpoint(true)
+      for ((face, tag) <- Seq("exact-first" -> "ef", "fingerprint" -> "fp")) {
+        val state = java.nio.file.Files
+          .createTempDirectory(s"scale_spanincr_$tag").toString + "/span"
+        for (b <- 0 until 3) {
+          val batch = rep.filter(pmod(col("doc_id"), lit(3)) === b)
+          timeShuffle(s"spanIncr $face x$k batch $b") {
+            keptTokens(
+              if (tag == "ef")
+                Dedup.spanDedupIncrementalExactFirst(batch, "text",
+                  "doc_id", 10, state, batchTag = Some(b.toLong))
+              else Dedup.spanDedupIncremental(batch, "text", "doc_id",
+                10, state, batchTag = Some(b.toLong), hashedState = true))
+          }
+        }
+        println(s"[scale] spanIncr $face x$k state rows: " +
+          spark.read.parquet(state).count())
       }
     }
 

@@ -349,7 +349,10 @@ object FuzzGen {
       argExt: Option[(String, Int, Boolean)] = None,
       nthVal: Boolean = false,
       fvNulls: Option[(Int, Int)] = None,
-      nullSideSum: Option[String] = None) {
+      nullSideSum: Option[String] = None,
+      groupByAll: Boolean = false,
+      lateralCnt: Option[CorrSub] = None,
+      distinctRanks: Boolean = false) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -388,10 +391,22 @@ object FuzzGen {
       // CorrSub); semantically the aggregate subquery always yields
       // exactly one row (MAX over empty = NULL), so childless parents
       // survive the lateral and die on the NULL comparison in WHERE.
-      lateralAgg.fold(base2) { la =>
+      val base3 = lateralAgg.fold(base2) { la =>
         s"$base2, LATERAL (SELECT MAX(${la.childCol}) AS mx " +
           s"FROM ${la.tbl} WHERE ${la.fkChild} = ${la.fkParent} " +
           s"AND ${la.pred.sql}) lsub"
+      }
+      // wave 13: a MULTI-COLUMN correlated table subquery in FROM —
+      // the lateral aggregate row carries (MAX, COUNT(*)) together,
+      // and the WHERE consumes BOTH: COUNT over an empty correlated
+      // group is 0 (one row always exists), unlike MAX's NULL — so
+      // `... OR lsub2.lc = 0` KEEPS childless parents, the exact
+      // asymmetry wave 5's scalar lateral drops them on
+      lateralCnt.fold(base3) { lc =>
+        s"$base3, LATERAL (SELECT MAX(${lc.childCol}) AS mx2, " +
+          s"CAST(COUNT(*) AS BIGINT) AS lc FROM ${lc.tbl} " +
+          s"WHERE ${lc.fkChild} = ${lc.fkParent} " +
+          s"AND ${lc.pred.sql}) lsub2"
       }
     }
 
@@ -407,7 +422,9 @@ object FuzzGen {
       val conds = existsCond ++ preds.map(_.sql) ++ scalarSub.map(_.sql) ++
         corrSub.map(_.sql) ++ inSub.map(_.sql) ++ inSetSub.map(_.sql) ++
         orExists.map(_.sql) ++
-        lateralAgg.map(la => s"${la.parentCol} ${la.op} lsub.mx")
+        lateralAgg.map(la => s"${la.parentCol} ${la.op} lsub.mx") ++
+        lateralCnt.map(lc =>
+          s"(${lc.parentCol} ${lc.op} lsub2.mx2 OR lsub2.lc = 0)")
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     }
 
@@ -457,7 +474,13 @@ object FuzzGen {
         val sel = (keys.map(_.sqlAliased) ++ aggs.map(_.sql) ++ extraSql)
           .mkString(", ")
         val grpList = keys.map(_.sqlExpr).mkString(", ")
-        val grp = gmode match {
+        // wave 13: GROUP BY ALL — the resolver sugar both engines
+        // accept (Spark 3.4+/DuckDB): group by every non-aggregate
+        // select item. Plain gmode only; the DataFrame rendering keeps
+        // the explicit groupBy, so the differential adjudicates the
+        // SQL-side resolution of ALL against the hand-listed keys
+        val grp = if (groupByAll && gmode == "plain") "ALL"
+        else gmode match {
           case "rollup" => s"ROLLUP ($grpList)"
           case "cube" => s"CUBE ($grpList)"
           case "gsets" =>
@@ -596,6 +619,19 @@ object FuzzGen {
              |  FROM $fromSql$whereSql) t
              |WHERE rn <= $topK GROUP BY rn
              |ORDER BY rn ASC NULLS FIRST""".stripMargin
+        // wave 13: SELECT DISTINCT over the window result — rank /
+        // dense_rank peers share a rank, so projecting (pk, rn) under
+        // DISTINCT must COLLAPSE the peer rows identically in both
+        // engines (the dedup-over-window-result composition; the row
+        // SET is deterministic because peers are interchangeable)
+        else if (distinctRanks)
+          s"""SELECT DISTINCT pk, rn FROM (
+             |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
+             |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
+             |      ORDER BY $winOrd) AS INTEGER) AS rn
+             |  FROM $fromSql$whereSql) t
+             |WHERE rn <= $topK
+             |ORDER BY pk ASC NULLS FIRST, rn ASC NULLS FIRST""".stripMargin
         else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
@@ -727,7 +763,24 @@ object FuzzGen {
         df.join(agg, col(la.fkParent) === col("_lk"), "left")
           .filter(cond).drop("_lk", "_lmx")
       }
-      val base6 = inSub.foldLeft(base5) { (df, is) =>
+      // wave 13: the multi-column lateral — per-FK (MAX, COUNT) LEFT-
+      // joined; COUNT of a missing group is 0 (the lateral aggregate
+      // always yields one row), so `OR coalesce(cnt, 0) = 0` KEEPS
+      // childless parents, unlike the scalar lateral's NULL-drop
+      val base5b = lateralCnt.foldLeft(base5) { (df, lc) =>
+        val agg = H.t(s, dir, lc.tbl).filter(lc.pred.df)
+          .groupBy(col(lc.fkChild).as("_l2k"))
+          .agg(max(col(lc.childCol)).as("_l2mx"),
+            count(lit(1)).as("_l2c"))
+        val cond0 = lc.op match {
+          case "<=" => col(lc.parentCol) <= col("_l2mx")
+          case _ => col(lc.parentCol) >= col("_l2mx")
+        }
+        df.join(agg, col(lc.fkParent) === col("_l2k"), "left")
+          .filter(cond0 || coalesce(col("_l2c"), lit(0L)) === 0)
+          .drop("_l2k", "_l2mx", "_l2c")
+      }
+      val base6 = inSub.foldLeft(base5b) { (df, is) =>
         val raw = (col(is.childCol) % is.m)
         val iv = is.nullR
           .fold(raw)(r => when(raw === r, lit(null)).otherwise(raw))
@@ -973,6 +1026,11 @@ object FuzzGen {
               .agg(count(lit(1)).cast("bigint").as("n"),
                 sum(col(ids.head)).cast("bigint").as("sid"))
               .orderBy(col("rn"))
+          // wave 13: DISTINCT over the (pk, rn) window projection —
+          // rank peers collapse to one row
+          else if (distinctRanks)
+            ranked.select(col("pk"), col("rn")).distinct()
+              .orderBy(col("pk"), col("rn"))
           else ranked.select(outCols: _*).orderBy(outCols: _*)
         case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
           val ordSort = if (desc) col(ordCol).desc else col(ordCol).asc
@@ -1456,11 +1514,51 @@ object FuzzGen {
         Some(pick(rnd12, byName(join.get._2).intCols))
       case _ => None
     }
+    // round-18 wave 13 rides a thirteenth independent stream (the
+    // rnd2..rnd12 rule): GROUP BY ALL (the resolver sugar — plain agg
+    // shapes only; the DF rendering keeps explicit keys so the
+    // differential adjudicates ALL's resolution), multi-column
+    // correlated LATERAL table subqueries whose (MAX, COUNT(*)) row
+    // feeds a disjunctive WHERE (COUNT over an empty correlated group
+    // is 0 while MAX is NULL — `OR lc = 0` keeps childless parents,
+    // the asymmetry vs wave 5's scalar lateral), and SELECT DISTINCT
+    // over rank/dense_rank window results (peers share a rank and
+    // must collapse identically — probed: COUNT(DISTINCT) OVER is
+    // unsupported by Spark, so the DISTINCT-over-window-result
+    // composition is the shared-dialect face of "distinct windowed
+    // aggregation"). GROUP BY ALL and the DISTINCT projection cannot
+    // EMPTY a case; the lateral's OR-widened predicate can, so it
+    // rides 1/8 (measured: 1/6 left the sweep at 49/80 non-empty —
+    // one under the hard teeth-guard floor).
+    val rnd13 = new Random(seed * 0xB5297A4DL + 167)
+    val groupByAll = shape8 match {
+      case a: AggShape if a.gmode == "plain" && a.keys.nonEmpty &&
+          rnd13.nextInt(3) == 0 => true
+      case _ => false
+    }
+    val lateralCnt =
+      if (corrEdges.nonEmpty && rnd13.nextInt(8) == 0) {
+        val (ct, _, cfk, pk2) = pick(rnd13, corrEdges)
+        val child = byName(ct)
+        val k = pick(rnd13, Seq(2, 3, 5))
+        Some(CorrSub(pick(rnd13, intCols), ct,
+          pick(rnd13, child.intCols), pick(rnd13, Seq("<=", ">=")),
+          cfk, pk2,
+          Pred(pick(rnd13, child.intCols), k, rnd13.nextInt(k),
+            pick(rnd13, Seq("=", "<>")))))
+      } else None
+    val distinctRanks = shape8 match {
+      case w: WinShape if (w.fn == "rank" || w.fn == "dense_rank") &&
+          !aggOverWin && selectSub.isEmpty && !qualifyExt && !multiWin &&
+          !nthVal && nullSideSum.isEmpty && rnd13.nextInt(3) == 0 => true
+      case _ => false
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape8,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
       selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
       filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin,
-      lagNulls, argExt, nthVal, fvNulls, nullSideSum)
+      lagNulls, argExt, nthVal, fvNulls, nullSideSum,
+      groupByAll, lateralCnt, distinctRanks)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1598,9 +1696,33 @@ object FuzzGen {
     * case (a frame-bound change plus select-list additions), so every
     * prior pick's documented non-emptiness is preserved by
     * construction.
+    * Round-18 wave 13 additions (rnd13 stream: GROUP BY ALL — the
+    * resolver sugar, SQL-side only so the differential adjudicates
+    * ALL's resolution against the DataFrame's explicit keys;
+    * multi-column correlated LATERAL table subqueries whose
+    * (MAX, COUNT(*)) row feeds a disjunctive WHERE — COUNT over an
+    * empty correlated group is 0 while MAX is NULL, so `OR lc = 0`
+    * keeps childless parents, the asymmetry vs wave 5's scalar
+    * lateral; and SELECT DISTINCT over rank/dense_rank window results
+    * — peers share a rank and must collapse identically; probed:
+    * `COUNT(DISTINCT) OVER` is unsupported by Spark, so this
+    * composition is the shared-dialect face of distinct windowed
+    * aggregation): 369 (GROUP BY ALL + multi-column LATERAL + MIN_BY
+    * + running SUM over the grouped result + scalar-subquery HAVING,
+    * 66 rows), 455 (DISTINCT over RANK with a poisoned NULLS-FIRST
+    * order on a LEFT join + correlated scalar, 4 rows), 459 (DISTINCT
+    * over DENSE_RANK, 6 rows) — all non-empty at the driver SF;
+    * existing picks also gained wave-13 layers on the independent
+    * stream (48 DISTINCT-over-rank; 55/104 GROUP BY ALL; 103 GROUP BY
+    * ALL + the multi-column lateral on a semi join; 173/272 the
+    * lateral). The lateral rides 1/8 (measured: 1/6 put the sweep at
+    * 49/80 non-empty, one under the hard floor); the other two
+    * constructs cannot EMPTY a case, so every prior pick's documented
+    * non-emptiness is preserved (re-probed: all 47 non-empty at
+    * sf0.01).
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
     30, 32, 34, 38, 42, 43, 48, 49, 51, 55, 62, 67, 81, 90, 101, 102,
     103, 104, 105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208,
-    228, 235, 272, 282, 301, 340, 349, 357)
+    228, 235, 272, 282, 301, 340, 349, 357, 369, 455, 459)
 }

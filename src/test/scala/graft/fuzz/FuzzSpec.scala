@@ -204,6 +204,21 @@ class FuzzSpec extends SparkSuite {
       "no null-extended-side windowed sum over a LEFT join")
     assert(cases.exists(c => c.nullSideSum.isDefined && c.joinKind == "full"),
       "no null-extended-side windowed sum over a FULL join")
+    // round-18 wave 13
+    assert(cases.exists(c => c.groupByAll && (c.shape match {
+      case FuzzGen.AggShape(keys, _, _, "plain") => keys.nonEmpty
+      case _ => false
+    })), "no GROUP BY ALL case")
+    assert(cases.exists(_.lateralCnt.isDefined),
+      "no multi-column-LATERAL case")
+    assert(cases.exists(c => c.distinctRanks && (c.shape match {
+      case FuzzGen.WinShape(_, _, _, _, _, fn) => fn == "rank"
+      case _ => false
+    })), "no DISTINCT-over-RANK case")
+    assert(cases.exists(c => c.distinctRanks && (c.shape match {
+      case FuzzGen.WinShape(_, _, _, _, _, fn) => fn == "dense_rank"
+      case _ => false
+    })), "no DISTINCT-over-DENSE_RANK case")
     // dual spellings exist ONLY for the ordered aggregate and the
     // IGNORE-NULLS lag — every other byte of the two dialect texts
     // must stay identical
