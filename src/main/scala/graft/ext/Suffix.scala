@@ -229,9 +229,13 @@ object Suffix {
     * ×10 7.8 s / 95 MiB, ×40 8.2 s / 225 MiB — content-bound (flat in
     * k), byte-equal to this face by construction
     * (`x_dedup_suffix_excise_first` rides the same oracle), and
-    * BELOW the fingerprint face's shuffle volume at ×40. On
-    * clone-bearing corpora the exact-first face is the production
-    * choice; this raw face remains the oracle anchor.
+    * BELOW the fingerprint face's shuffle volume at ×40. The r18
+    * ×100 decision row settled the wall-time trade too: exact-first
+    * 9.5 s / 445 MiB vs the fingerprint face's 11.7 s / 1311 MiB —
+    * exactness is strictly cheaper at scale, and the master chain's
+    * stage-8 DEFAULT flipped to the exact-first face
+    * (`x_pipeline_master`, r18). This raw face remains the oracle
+    * anchor.
     */
   def exciseDupSpans(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int = 32): DataFrame = {

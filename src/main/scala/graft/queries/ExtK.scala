@@ -516,9 +516,20 @@ object ExtK {
 
   private val masterOracleSql: String = masterOracle(learned = false)
 
+  /** r18 default flip: stage 8 now runs the EXACT-FIRST suffix
+    * excision ([[graft.ext.Suffix.exciseDupSpansExactFirst]]) — the
+    * ×100 ScaleBench row settled the r17 trade: at ×100 clones the
+    * exact face is faster in WALL TIME too (9.5 s / 445 MiB shuffled
+    * vs the fingerprint face's 11.7 s / 1311 MiB) and content-bound
+    * across ×10/×40/×100 (7.0 → 7.9 → 9.5 s), so exactness costs
+    * nothing at scale and removes the 64-bit collision caveat from
+    * the flagship chain. The fingerprint face stays REGISTERED on
+    * `x_pipeline_master_lsh`/`_learned`/`_kn` (the standing
+    * collision audit — all faces ride the same text-keyed replay).
+    */
   val xPipelineMaster = Q(
     "x_pipeline_master",
-    (s, dir) => runMaster(s, dir, lshWholeDoc = false),
+    (s, dir) => runMaster(s, dir, lshWholeDoc = false, suffixSpan8 = true),
     Some(masterOracleSql),
     bench = true)
 

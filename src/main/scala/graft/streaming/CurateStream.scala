@@ -184,10 +184,15 @@ object CurateStream {
     // `exactSpanState = true` routes through the r18 EXACT-FIRST
     // incremental face (per-batch digest collapse + closed-form member
     // reconstruction, sha-256 content-addressed state keys — exact at
-    // any span length, no 64-bit birthday bound, clone-bursts
-    // content-bound); default stays the 8-byte fingerprint state (the
-    // two key domains are not interchangeable — pick one per state
-    // directory). Either face pins its own output before the append.
+    // any span length, no 64-bit birthday bound; measured ScaleBench
+    // `spanincr`: content-bound ~3.5 s / ~120 MiB per batch at ×10 AND
+    // ×40 clones while the fingerprint face's shuffle grows
+    // arrival-bound 64 → 239 MiB, state rows identical 215182 on both
+    // faces). The DEFAULT stays the fingerprint state for STATE
+    // COMPATIBILITY only: the two key domains are not interchangeable,
+    // so a resumed stream must never switch faces silently — new state
+    // directories should prefer the exact-first face. Either face pins
+    // its own output before the append.
     val spanned = (if (exactSpanState)
         Dedup.spanDedupIncrementalExactFirst(t3, "text", "doc_id",
           spanLen, s"$statePath/span", batchTag = Some(batchId))
