@@ -24,16 +24,23 @@ import graft.queries.Registry
   *  - the load rule is ENFORCED, not just recorded (r16), and since
   *    r18 it is enforced PER QUERY: a bounded spin-wait
   *    (SPARK_GRAFT_BENCH_LOADWAIT_SEC, default 600 s) holds the suite
-  *    start, a shorter gate (SPARK_GRAFT_BENCH_QUERY_LOADWAIT_SEC,
-  *    default 120 s) re-checks before EVERY query, each query's
-  *    recorded loadavg is the MAX observed across its reps (a
-  *    mid-run spike can no longer hide between two quiet endpoints —
-  *    the r17 artifact stamped load_contaminated=false while its own
-  *    per-query map showed 2.0-3.6 mid-run), any query whose window
-  *    still saw loadavg >= 2 is re-gated and re-run once, and the
-  *    artifact stamps load_contaminated=true iff ANY surviving
-  *    measurement (start gate, any query window, the isolated pass)
-  *    was taken under load >= 2.
+  *    start and a shorter gate (SPARK_GRAFT_BENCH_QUERY_LOADWAIT_SEC,
+  *    default 120 s) re-checks before EVERY query — the r17 hole was
+  *    a start-only gate: a mid-run background spike polluted queries
+  *    unflagged while the artifact stamped load_contaminated=false.
+  *    loadavg_at_query is each query's GATED pre-query sample (the
+  *    background proxy: the suite is idle at that instant, so the
+  *    1-min figure reads other processes plus its own decaying tail);
+  *    a query whose gate timed out (sample >= 2) is re-gated with the
+  *    long wait and re-run once, and the artifact stamps
+  *    load_contaminated=true iff ANY surviving gated sample (start,
+  *    any query, the isolated pass) was >= 2. A separate file-only
+  *    loadavg_peak map records the MAX loadavg observed right after
+  *    each rep — that figure INCLUDES the suite's own work (a 15-s
+  *    32-thread query alone pushes the 1-min average past 2), so it
+  *    is transparency for spotting mid-QUERY background spikes by
+  *    cross-round comparison of equal-cost queries, never a
+  *    contamination criterion.
   *  - isolated-median appendix (r16): the 5 most expensive headliners
   *    are re-measured at the end (median-of-5, after System.gc() and a
   *    fresh quiet-load check) into isolated_median5, so cross-round
@@ -98,12 +105,10 @@ object Bench {
       samples(samples.length / 2) // median (upper-median for even n)
     }
 
-    // median + the MAX 1-min loadavg observed across the reps' window
-    // (sampled before the first rep and after every rep — the honest
-    // per-query load figure; the pre-query sample alone let a mid-rep
-    // spike through unrecorded)
+    // median + the MAX 1-min loadavg observed right after each rep
+    // (the self-load-inclusive transparency figure — see the header)
     def execMeasured(name: String, n: Int): (Double, Double) = {
-      var lmax = loadAvg()
+      var lmax = 0.0
       val samples = (1 to n).map { _ =>
         val dt = execOnce(name)
         lmax = math.max(lmax, loadAvg())
@@ -135,18 +140,21 @@ object Bench {
     val perQueryWait =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_LOADWAIT_SEC", "120").toInt
     val load0 = loadAvg()
-    // gate before EVERY query; re-gate + re-run once any query whose
-    // window still saw load >= 2 (not just the isolated top-5)
+    // gate before EVERY query (loadavg_at_query = the gated sample);
+    // re-gate with the LONG wait + re-run once any query whose gate
+    // timed out (not just the isolated top-5)
     val results = headline.map { q =>
       waitForQuietLoad(perQueryWait)
-      val (med, l) = execMeasured(q.name, reps)
-      if (l < 2.0) (q.name, l, med)
+      val l0 = loadAvg()
+      val (med, lpeak) = execMeasured(q.name, reps)
+      if (l0 < 2.0) (q.name, l0, med, lpeak)
       else {
-        System.err.println(f"[bench] ${q.name} window contaminated " +
-          f"(loadavg $l%.2f) - re-gating and re-running")
+        System.err.println(f"[bench] ${q.name} gate timed out " +
+          f"(loadavg $l0%.2f) - re-gating and re-running")
         waitForQuietLoad(quietWait)
-        val (med2, l2) = execMeasured(q.name, reps)
-        (q.name, l2, med2)
+        val l1 = loadAvg()
+        val (med2, lpeak2) = execMeasured(q.name, reps)
+        (q.name, l1, med2, lpeak2)
       }
     }
     val load1 = loadAvg()
@@ -164,8 +172,9 @@ object Bench {
     val quietIso = isoTop.isEmpty || waitForQuietLoad(120)
     val iso = isoTop.map { name =>
       waitForQuietLoad(perQueryWait)
-      val (med, l) = execMeasured(name, 5)
-      (name, l, med)
+      val l0 = loadAvg()
+      val (med, _) = execMeasured(name, 5)
+      (name, l0, med)
     }
     // stdout line: COMPACT — the driver keeps only the last 2000 chars
     // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
@@ -175,16 +184,19 @@ object Bench {
     // target/bench.json, which the driver also collects as a fallback
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, _, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val qs3 = results.map { case (k, _, v) => "\"" + k + "\":" + r3(v) }
+    val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val loads = results.map { case (k, l, _) => "\"" + k + "\":" + l }
+    val loads = results.map { case (k, l, _, _) => "\"" + k + "\":" + l }
+      .mkString("{", ",", "}")
+    val peaks = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }
       .mkString("{", ",", "}")
     val total = results.map(_._3).sum
-    // honest stamp: ANY surviving measurement window under load >= 2
-    // contaminates the artifact — the start/iso gates alone let
-    // mid-run spikes through unlabeled (the r17 lesson)
+    // honest stamp: ANY surviving gated sample >= 2 contaminates the
+    // artifact — the start/iso gates alone let mid-run spikes through
+    // unlabeled (the r17 lesson); loadavg_peak is transparency, not a
+    // criterion (it includes the suite's own work)
     val contaminated = !(quietStart && quietIso) ||
       results.exists(_._2 >= 2.0) || iso.exists(_._2 >= 2.0)
     val isoQs = iso.map { case (k, _, v) => "\"" + k + "\":" + v }
@@ -193,7 +205,7 @@ object Bench {
       .mkString("{", ",", "}")
     val isoLoads = iso.map { case (k, l, _) => "\"" + k + "\":" + l }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"loadavg_at_query":$loads}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"loadavg_at_query":$loads,"loadavg_peak":$peaks}"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
