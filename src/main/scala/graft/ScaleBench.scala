@@ -564,6 +564,8 @@ object ScaleBench {
       // the previous pin ended — that gap IS the paragraph cost on
       // the paragraph_dedup row
       var lastPinEnd = System.nanoTime()
+      // suffixSpan8 = true mirrors the registered flagship since the
+      // r18 default flip (stage 8 = the exact-first suffix excision)
       val (stages, bins) = graft.queries.ExtK.masterStages(allK,
         lshWholeDoc = false,
         (name, df) => {
@@ -575,7 +577,8 @@ object ScaleBench {
           }
           lastPinEnd = System.nanoTime()
           c
-        })
+        },
+        suffixSpan8 = true)
       lapShuffle(s"master x$k pack") { bins.collect()(0).getLong(0) }
       // stage-7 face comparison on the SAME representative set the
       // chain dedups (exact-first collapse — identical-text clones

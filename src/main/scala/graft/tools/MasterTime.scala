@@ -35,9 +35,12 @@ object MasterTime {
     // laps are start-to-start, so the eager paragraph excision (which
     // runs while the builder constructs the stage, before the pin) is
     // charged to the paragraph_dedup lap correctly
+    // suffixSpan8 = true mirrors the registered flagship since the r18
+    // default flip (stage 8 = the exact-first suffix excision)
     val (stages, bins) = ExtK.masterStages(H.t(spark, dir, "documents"),
       lshWholeDoc = lsh,
-      (name, df) => { val c = df.cache(); c.count(); lap(name); c })
+      (name, df) => { val c = df.cache(); c.count(); lap(name); c },
+      suffixSpan8 = true)
     bins.collect(); lap("pack")
     // the attrition rows themselves are near-free over the cached
     // stages, but run them so the profile covers the FULL query
