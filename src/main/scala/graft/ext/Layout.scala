@@ -94,6 +94,42 @@ object Layout {
     * Returns the input columns + `shuffle_key` + `epoch_pos`
     * (1-based). A new epoch = a new seed; nothing is re-packed.
     */
+  /** Consumer assignment over an [[epochOrder]] result — the epoch
+    * SHARDING claim made executable: data-parallel consumer `c` of
+    * `nConsumers` reads the contiguous position range it is assigned
+    * by the balanced closed form
+    * `consumer = ((epoch_pos − 1) · nConsumers) div N` (block sizes
+    * differ by at most one sequence; pure integer arithmetic, so the
+    * assignment is a function of (position, N, nConsumers) alone —
+    * reproducible and SQL-replayable). Emits one row per consumer:
+    * (consumer, n_seqs, first_pos, last_pos, n_docs, n_toks) — the
+    * manifest a training launcher hands each rank.
+    *
+    * Scale: one map-side-combinable aggregate over the ordered
+    * sequences; no new shuffle class — and because [[epochOrder]]
+    * range-partitioned BY the permuted key, each consumer's block is
+    * physically contiguous in the written layout (the "range
+    * partitioning IS the epoch sharding" property).
+    */
+  def epochShards(ordered: DataFrame, nConsumers: Int,
+      nDocsCol: String = "n_docs", nToksCol: String = "n_toks")
+      : DataFrame = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    // N rides a broadcast 1-row aggregate, never a driver count; the
+    // assignment is INTEGER division (`div` — Spark's `/` on longs
+    // would go through doubles and break the closed form)
+    val total = ordered.agg(count(lit(1)).cast("long").as("_n"))
+    ordered.crossJoin(broadcast(total))
+      .withColumn("consumer",
+        expr(s"((epoch_pos - 1) * $nConsumers) div _n").cast("long"))
+      .groupBy(col("consumer"))
+      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        min(col("epoch_pos")).cast("bigint").as("first_pos"),
+        max(col("epoch_pos")).cast("bigint").as("last_pos"),
+        sum(col(nDocsCol)).cast("bigint").as("n_docs"),
+        sum(col(nToksCol)).cast("bigint").as("n_toks"))
+  }
+
   def epochOrder(seqs: DataFrame, groupCol: String, binCol: String,
       seed: Long): DataFrame = {
     require(seed >= 0, "seed must be non-negative (the LCG domain)")

@@ -461,7 +461,79 @@ object ExtP {
           AS BIGINT) AS epoch_pos
       FROM ekey e ORDER BY epoch_pos"""))
 
+  /** Epoch sharding ([[graft.ext.Layout.epochShards]], 8 consumers
+    * over the seed-42 epoch order): each data-parallel consumer's
+    * contiguous position range and its sequence/doc/token manifest —
+    * the launcher-facing face of the epoch shuffle, via the balanced
+    * integer closed form consumer = ((pos − 1)·C) div N (block sizes
+    * differ by ≤ 1). The oracle chains the FULL epoch-order replay
+    * (BFD packing → per-bin stats → the LCG permutation →
+    * row_number) and re-derives the assignment with the same integer
+    * division, so a drifted position anywhere moves a consumer
+    * boundary and flips the hash.
+    */
+  val xPackEpochShards = Q(
+    "x_pack_epoch_shards",
+    (s, dir) => {
+      val S = 64L
+      val docs = t(s, dir, "documents")
+      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          seqLen = S)
+        .withColumnRenamed("group", "grp")
+        .cache()
+      val nb = asg.groupBy(col("grp"))
+        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
+      val seqs = nb.select(col("grp"),
+          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
+        .join(asg.groupBy(col("grp"), col("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("toks")).cast("bigint").as("n_toks")),
+          Seq("grp", "bin"), "left")
+        .select(col("grp"), col("bin"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      graft.ext.Layout.epochShards(
+          graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L),
+          nConsumers = 8)
+        .orderBy(col("consumer"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
+        """d AS (SELECT source AS grp, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents)""")},
+      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
+        FROM summ),
+      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS n_toks
+        FROM asg GROUP BY 1, 2),
+      eseq AS (SELECT b.grp, b.bin,
+          COALESCE(s.n_docs, 0) AS n_docs,
+          COALESCE(s.n_toks, 0) AS n_toks
+        FROM ebins b LEFT JOIN estat s
+          ON s.grp = b.grp AND s.bin = b.bin),
+      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
+          AS BIGINT) AS gi
+        FROM (SELECT DISTINCT grp FROM eseq)),
+      ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
+          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS shuffle_key
+        FROM eseq e JOIN egi ON egi.grp = e.grp),
+      epos AS (SELECT n_docs, n_toks,
+          CAST(row_number() OVER (ORDER BY shuffle_key, grp, bin)
+            AS BIGINT) AS epoch_pos,
+          CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM ekey)
+      SELECT CAST(((epoch_pos - 1) * 8) // n AS BIGINT) AS consumer,
+        CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+        CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
+        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        CAST(SUM(n_toks) AS BIGINT) AS n_toks
+      FROM epos GROUP BY 1 ORDER BY consumer"""))
+
   val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst,
-    xCurateStreamMasterLearned, xQualitySignalsFull, xPackEpochOrder)
+    xCurateStreamMasterLearned, xQualitySignalsFull, xPackEpochOrder,
+    xPackEpochShards)
 }
 

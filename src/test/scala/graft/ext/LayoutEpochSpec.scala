@@ -45,6 +45,30 @@ class LayoutEpochSpec extends SparkSuite {
       out.map(r => (r._1, r._2)).sortBy(identity).toSeq)
   }
 
+  test("epochShards: contiguous balanced cover conserving docs and tokens") {
+    val ordered = Layout.epochOrder(fixture, "grp", "bin", seed = 42L)
+    for (c <- Seq(1, 7, 8)) {
+      val sh = Layout.epochShards(ordered, c).orderBy(col("consumer"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))
+      assert(sh.map(_._1).toSeq == (0L until c).toSeq,
+        s"every consumer 0..${c - 1} must receive a block")
+      // balanced: block sizes differ by at most one sequence
+      assert(sh.map(_._2).max - sh.map(_._2).min <= 1, s"unbalanced at $c")
+      // contiguous, gap-free cover of 1..N in consumer order
+      val n = 120L
+      assert(sh.head._3 == 1L && sh.last._4 == n)
+      sh.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1)._3 == w(0)._4 + 1, "consumer ranges must be contiguous") }
+      sh.foreach { case (_, ns, f, l, _, _) => assert(l - f + 1 == ns) }
+      // conservation: docs and tokens sum to the corpus totals
+      assert(sh.map(_._5).sum ==
+        fixture.agg(sum(col("n_docs"))).head().getLong(0))
+      assert(sh.map(_._6).sum ==
+        fixture.agg(sum(col("n_toks"))).head().getLong(0))
+    }
+  }
+
   test("epochOrder is partition-independent and seed-sensitive") {
     def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
       Layout.epochOrder(df, "grp", "bin", seed).orderBy(col("epoch_pos"))
