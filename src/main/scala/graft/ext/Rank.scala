@@ -90,6 +90,52 @@ object Rank {
     (spark.createDataFrame(numbered, schema), offsets.last)
   }
 
+  /** Global INCLUSIVE running sum of a long column in `order` — the
+    * distributed prefix sum: `SUM(v) OVER (ORDER BY …)` with no
+    * PARTITION BY is the same 100 TB trap as the global row_number
+    * (one partition swallows the corpus), and the same range-partition
+    * fix applies — after a range exchange on the order key, a row's
+    * prefix sum = (sum of earlier partitions) + (its running sum
+    * within its own partition). Job 1 collects P partial sums to the
+    * driver; job 2 is a narrow accumulation pass over the SAME
+    * shuffled RDD (exchange executed once, the [[globalRowNumber]]
+    * machinery with SUM offsets instead of COUNT offsets).
+    *
+    * `order` must be a total order for deterministic output; `value`
+    * is read as a non-null long (nulls would make "inclusive prefix"
+    * engine-convention-dependent — coalesce upstream).
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column],
+      value: Column, out: String = "cum", numParts: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val p = if (numParts > 0) numParts
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withV = df.withColumn("_grs_v", value.cast("long"))
+    val parted = withV.repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+    val rows = parted.rdd
+    val vIdx = parted.schema.fieldIndex("_grs_v")
+    // job 1: per-partition sums — P longs to the driver
+    val sums = rows.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      while (it.hasNext) s += it.next().getLong(vIdx)
+      Iterator((i, s))
+    }.collect().sortBy(_._1)
+    val offsets = new Array[Long](sums.length + 1)
+    sums.foreach { case (i, s) => offsets(i + 1) = s }
+    var i = 1
+    while (i < offsets.length) { offsets(i) += offsets(i - 1); i += 1 }
+    val bc = spark.sparkContext.broadcast(offsets)
+    // job 2: narrow accumulation (shuffle output reused)
+    val schema = withV.schema.add(out, LongType, nullable = false)
+    val summed = rows.mapPartitionsWithIndex { (pi, it) =>
+      var acc = bc.value(pi)
+      it.map { r => acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    spark.createDataFrame(summed, schema).drop(col("_grs_v"))
+  }
+
   /** Typed bounded top-k Aggregator: per group, keep only the k
     * largest (value, id) pairs in the aggregation buffer. The scale
     * point vs `row_number() OVER (PARTITION BY g ORDER BY v)`: the

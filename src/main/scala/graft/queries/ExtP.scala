@@ -532,8 +532,91 @@ object ExtP {
         CAST(SUM(n_toks) AS BIGINT) AS n_toks
       FROM epos GROUP BY 1 ORDER BY consumer"""))
 
+  /** Token-budget epoch prefix ([[graft.ext.Rank.globalRunningSum]]
+    * over the epoch order): every sequence's INCLUSIVE cumulative
+    * token count in epoch order and its kept-verdict under a
+    * 60%-of-corpus budget ((total·3) div 5 — integer, replayable) —
+    * "train on the first B tokens of this epoch" as a deterministic
+    * distributed cut. The running sum is the global-window trap done
+    * right: a range exchange on the order key + P partial sums to the
+    * driver + one narrow accumulation pass (the globalRowNumber
+    * machinery with SUM offsets), never `SUM() OVER (ORDER BY)` on a
+    * single partition. The oracle chains the full epoch replay and
+    * re-derives the prefix sums with the window DuckDB can afford at
+    * oracle scale — so every cumulative value and every boundary
+    * verdict adjudicates exactly.
+    */
+  val xPackEpochBudget = Q(
+    "x_pack_epoch_budget",
+    (s, dir) => {
+      val S = 64L
+      val docs = t(s, dir, "documents")
+      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          seqLen = S)
+        .withColumnRenamed("group", "grp")
+        .cache()
+      val nb = asg.groupBy(col("grp"))
+        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
+      val seqs = nb.select(col("grp"),
+          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
+        .join(asg.groupBy(col("grp"), col("bin"))
+          .agg(count(lit(1)).cast("bigint").as("n_docs"),
+            sum(col("toks")).cast("bigint").as("n_toks")),
+          Seq("grp", "bin"), "left")
+        .select(col("grp"), col("bin"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+      val ordered = graft.ext.Layout.epochOrder(seqs, "grp", "bin",
+        seed = 42L)
+      val cum = graft.ext.Rank.globalRunningSum(ordered,
+        Seq(col("epoch_pos")), col("n_toks"), out = "cum_toks")
+      val budget = seqs.agg(
+        expr("(sum(n_toks) * 3) div 5").cast("long").as("_budget"))
+      cum.crossJoin(broadcast(budget))
+        .select(col("epoch_pos"), col("grp"), col("bin"), col("n_toks"),
+          col("cum_toks"),
+          (col("cum_toks") <= col("_budget")).as("kept"))
+        .orderBy(col("epoch_pos"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
+        """d AS (SELECT source AS grp, doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents)""")},
+      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
+        FROM summ),
+      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(toks) AS BIGINT) AS n_toks
+        FROM asg GROUP BY 1, 2),
+      eseq AS (SELECT b.grp, b.bin,
+          COALESCE(s.n_docs, 0) AS n_docs,
+          COALESCE(s.n_toks, 0) AS n_toks
+        FROM ebins b LEFT JOIN estat s
+          ON s.grp = b.grp AND s.bin = b.bin),
+      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
+          AS BIGINT) AS gi
+        FROM (SELECT DISTINCT grp FROM eseq)),
+      ekey AS (SELECT e.grp, e.bin, e.n_toks,
+          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
+            * 1103515245 + 12345) % 2147483648 AS shuffle_key
+        FROM eseq e JOIN egi ON egi.grp = e.grp),
+      epos AS (SELECT grp, bin, n_toks,
+          CAST(row_number() OVER (ORDER BY shuffle_key, grp, bin)
+            AS BIGINT) AS epoch_pos
+        FROM ekey),
+      ecum AS (SELECT epoch_pos, grp, CAST(bin AS BIGINT) AS bin,
+          n_toks,
+          CAST(SUM(n_toks) OVER (ORDER BY epoch_pos
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        FROM epos),
+      ebud AS (SELECT CAST((SUM(n_toks) * 3) // 5 AS BIGINT) AS b
+        FROM eseq)
+      SELECT epoch_pos, grp, bin, n_toks, cum_toks,
+        cum_toks <= (SELECT b FROM ebud) AS kept
+      FROM ecum ORDER BY epoch_pos"""))
+
   val queries: Seq[Q] = Seq(xDedupSpanIncrementalExactFirst,
     xCurateStreamMasterLearned, xQualitySignalsFull, xPackEpochOrder,
-    xPackEpochShards)
+    xPackEpochShards, xPackEpochBudget)
 }
 

@@ -41,6 +41,33 @@ class RankSpec extends SparkSuite {
     assert(rns === (1L to 100L).toArray)
   }
 
+  test("globalRunningSum matches the single-partition window reference") {
+    val df = Seq.tabulate(97)(i =>
+        (i.toLong, ((i * 13) % 11).toDouble, ((i * 7) % 23 + 1).toLong))
+      .toDF("id", "v", "tok")
+    def run(parts: Int) = Rank.globalRunningSum(df,
+        Seq(col("v"), col("id")), col("tok"), out = "cum",
+        numParts = parts)
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"), col("id"))
+      .rowsBetween(Long.MinValue, 0)
+    val want = df.select(col("id"),
+        sum(col("tok")).over(w).cast("long").as("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(4) === want, "prefix sums must equal the window reference")
+    assert(run(9) === want, "the partition count must not change sums")
+    // more partitions than rows: empty ranges contribute zero offsets
+    val tiny = Seq((1L, 2.0, 5L), (2L, 1.0, 7L), (3L, 3.0, 11L))
+      .toDF("id", "v", "tok")
+    val got = Rank.globalRunningSum(tiny, Seq(col("v"), col("id")),
+        col("tok"), out = "cum", numParts = 8)
+      .select(col("id"), col("cum"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(2L -> 7L, 1L -> 12L, 3L -> 23L))
+  }
+
   test("globalRowNumber plan has no single-partition exchange") {
     val df = Seq.tabulate(50)(i => (i.toLong, (i * 13 % 11).toDouble))
       .toDF("id", "v")
