@@ -777,7 +777,13 @@ object ScaleBench {
     // collapseExact in the paragraph face, signature identity in the
     // others), so state growth across batches must track new content,
     // not arrival volume, and batch wall-clock must stay flat.
-    if (sec("curatestream")) for (k <- Seq(10, 40)) {
+    // r18: the section runs BOTH span-state faces — the fingerprint
+    // default and the exact-first incremental (exactSpanState) — so
+    // the streaming master's end-to-end cost under the exact face is
+    // measured, not inferred from the standalone spanincr wave
+    if (sec("curatestream")) for (k <- Seq(10, 40);
+        exact <- Seq(false, true)) {
+      val face = if (exact) "EXACT-FIRST" else "fingerprint"
       val model = docs
       val (cutLp, cutId) = graft.streaming.FunnelStream
         .fluencyCutoff(model, "text", "doc_id")
@@ -792,14 +798,14 @@ object ScaleBench {
           .filter(pmod(col("doc_id"), lit(3)) === b)
           .select(col("doc_id"), col("text"),
             col("text").as("tinj"))
-        timeShuffle(s"curatestream x$k batch $b (~${nDocs * k / 3} docs)") {
+        timeShuffle(s"curatestream $face x$k batch $b (~${nDocs * k / 3} docs)") {
           val (packed, report) = graft.streaming.CurateStream.applyBatch(
             batch, statePath, b.toLong, model, cutLp, cutId, evalDocs,
-            "text", "tinj", "doc_id")
+            "text", "tinj", "doc_id", exactSpanState = exact)
           report.head()
           packed.count()
         }
-        println(f"[scale] curatestream x$k batch $b state rows: " +
+        println(f"[scale] curatestream $face x$k batch $b state rows: " +
           f"para=${stateRows(s"$statePath/para")} " +
           f"whole=${stateRows(s"$statePath/whole")} " +
           f"span=${stateRows(s"$statePath/span")} " +
