@@ -145,8 +145,12 @@ object Layout {
     // at 2^31·1103515245 < Long.MaxValue (the weightedSample bound)
     val pk = pmod(pmod(sid + lit(seed), m) * lit(1103515245L)
       + lit(12345L), m)
+    // null-safe equality: a NULL group name must keep its sequences
+    // (an equi-join would silently DROP them — the stage-0 NULL-url
+    // lesson); the distinct table carries the NULL row and the order
+    // columns sort it NULLS FIRST deterministically
     val keyed = seqs
-      .join(broadcast(groups), col(groupCol).cast("string") === col("_g"))
+      .join(broadcast(groups), col(groupCol).cast("string") <=> col("_g"))
       .withColumn("shuffle_key", pk.cast("long"))
       .drop("_g", "_gi")
     Rank.globalRowNumber(keyed,

@@ -102,16 +102,21 @@ object Rank {
     * machinery with SUM offsets instead of COUNT offsets).
     *
     * `order` must be a total order for deterministic output; `value`
-    * is read as a non-null long (nulls would make "inclusive prefix"
-    * engine-convention-dependent — coalesce upstream).
+    * must be a non-null long (nulls would make "inclusive prefix"
+    * engine-convention-dependent) — a NULL value FAILS LOUDLY instead
+    * of silently folding as 0 (JVM unboxing of a null Long is 0L, so
+    * without the guard a null would corrupt every later prefix).
     */
   def globalRunningSum(df: DataFrame, order: Seq[Column],
       value: Column, out: String = "cum", numParts: Int = 0): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     val spark = df.sparkSession
     val p = if (numParts > 0) numParts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val withV = df.withColumn("_grs_v", value.cast("long"))
+    val withV = df.withColumn("_grs_v",
+      when(value.isNull, raise_error(lit(
+        "globalRunningSum: NULL value column — coalesce upstream")))
+        .otherwise(value.cast("long")))
     val parted = withV.repartitionByRange(p, order: _*)
       .sortWithinPartitions(order: _*)
     val rows = parted.rdd

@@ -69,6 +69,18 @@ class LayoutEpochSpec extends SparkSuite {
     }
   }
 
+  test("epochOrder keeps NULL group names (null-safe group join)") {
+    val docs = Seq((null.asInstanceOf[String], 0L, 1L, 10L),
+        (null.asInstanceOf[String], 1L, 1L, 11L),
+        ("alpha", 0L, 1L, 12L), ("alpha", 1L, 1L, 13L))
+      .toDF("grp", "bin", "n_docs", "n_toks")
+    val out = Layout.epochOrder(docs, "grp", "bin", seed = 7L)
+      .orderBy(col("epoch_pos")).collect()
+    assert(out.length == 4, "NULL-group sequences must not vanish")
+    assert(out.map(_.getLong(out.head.fieldIndex("epoch_pos"))).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("epochOrder is partition-independent and seed-sensitive") {
     def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
       Layout.epochOrder(df, "grp", "bin", seed).orderBy(col("epoch_pos"))

@@ -68,6 +68,20 @@ class RankSpec extends SparkSuite {
     assert(got === Map(2L -> 7L, 1L -> 12L, 3L -> 23L))
   }
 
+  test("globalRunningSum fails loudly on NULL values (never folds 0)") {
+    val df = Seq((1L, 1.0, java.lang.Long.valueOf(5L)),
+        (2L, 2.0, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "v", "tok")
+    val e = intercept[Exception] {
+      Rank.globalRunningSum(df, Seq(col("v"), col("id")), col("tok"))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq() else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL value column")),
+      s"expected the loud NULL guard, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("globalRowNumber plan has no single-partition exchange") {
     val df = Seq.tabulate(50)(i => (i.toLong, (i * 13 % 11).toDouble))
       .toDF("id", "v")
