@@ -31,8 +31,9 @@ import graft.queries.Registry
   *    loadavg_at_query is each query's GATED pre-query sample (the
   *    background proxy: the suite is idle at that instant, so the
   *    1-min figure reads other processes plus its own decaying tail);
-  *    a query whose gate timed out (sample >= 2) is re-gated with the
-  *    long wait and re-run once, and the artifact stamps
+  *    a short-gate timeout ESCALATES to the long gate BEFORE the
+  *    first rep runs (never measure-and-discard), and the artifact
+  *    stamps
   *    load_contaminated=true iff ANY surviving gated sample (start,
   *    any query, the isolated pass) was >= 2. A separate file-only
   *    loadavg_peak map records the MAX loadavg observed right after
@@ -100,11 +101,6 @@ object Bench {
       dt
     }
 
-    def exec(name: String, n: Int = reps): Double = {
-      val samples = (1 to n).map(_ => execOnce(name)).sorted
-      samples(samples.length / 2) // median (upper-median for even n)
-    }
-
     // median + the MAX 1-min loadavg observed right after each rep
     // (the self-load-inclusive transparency figure — see the header)
     def execMeasured(name: String, n: Int): (Double, Double) = {
@@ -144,18 +140,22 @@ object Bench {
     // re-gate with the LONG wait + re-run once any query whose gate
     // timed out (not just the isolated top-5)
     val results = headline.map { q =>
+      // escalate the gate BEFORE measuring — the first cut measured
+      // reps under known-contaminated load only to discard them (and
+      // kept the box hot going into the long re-gate)
       waitForQuietLoad(perQueryWait)
-      val l0 = loadAvg()
-      val (med, lpeak) = execMeasured(q.name, reps)
-      if (l0 < 2.0) (q.name, l0, med, lpeak)
-      else {
-        System.err.println(f"[bench] ${q.name} gate timed out " +
-          f"(loadavg $l0%.2f) - re-gating and re-running")
-        waitForQuietLoad(quietWait)
-        val l1 = loadAvg()
-        val (med2, lpeak2) = execMeasured(q.name, reps)
-        (q.name, l1, med2, lpeak2)
+      val l0 = {
+        val l = loadAvg()
+        if (l < 2.0) l
+        else {
+          System.err.println(f"[bench] ${q.name} gate timed out " +
+            f"(loadavg $l%.2f) - escalating to the long gate")
+          waitForQuietLoad(quietWait)
+          loadAvg()
+        }
       }
+      val (med, lpeak) = execMeasured(q.name, reps)
+      (q.name, l0, med, lpeak)
     }
     val load1 = loadAvg()
 

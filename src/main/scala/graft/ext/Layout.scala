@@ -93,6 +93,12 @@ object Layout {
     *
     * Returns the input columns + `shuffle_key` + `epoch_pos`
     * (1-based). A new epoch = a new seed; nothing is re-packed.
+    *
+    * NULL group names are kept (null-safe group join) and sort NULLS
+    * FIRST — Spark's ascending default. A SQL replay must spell
+    * `ORDER BY grp NULLS FIRST` explicitly (DuckDB defaults ascending
+    * NULLs LAST, which would silently re-index every group and
+    * diverge the whole permutation); the registered oracles do.
     */
   /** Consumer assignment over an [[epochOrder]] result — the epoch
     * SHARDING claim made executable: data-parallel consumer `c` of

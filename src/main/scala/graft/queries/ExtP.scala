@@ -393,73 +393,103 @@ object ExtP {
       JOIN dd USING (doc_id)
       JOIN ddom USING (url_domain)""")}"""))
 
-  /** Deterministic epoch-order shuffle over packed sequences
-    * ([[graft.ext.Layout.epochOrder]], seed 42): the BFD-packed
-    * training sequences (one per (source, bin) — the x_pack_best_fit
-    * layout) receive a seeded LCG permutation key and a GLOBAL epoch
-    * position via the range-partitioned [[graft.ext.Rank]] numbering —
-    * the reproducible between-epochs shuffle a 100 TB run needs
-    * without a driver sort or single-partition window. The oracle
-    * replays the BFD state machine (the shared recursive packing
-    * CTEs), derives every sequence's per-bin starting-doc stats, and
-    * replays the PERMUTATION FORMULA exactly — group index by sorted
-    * name, sid = gi·2²⁰ + bin, key = ((sid + 42) mod 2³¹ · 1103515245
-    * + 12345) mod 2³¹, position = row_number over (key, group, bin) —
-    * so a drifted bin, a reordered tie, or any deviation from the
-    * documented permutation flips the hash. PlanSpec gates the shape
-    * (no Window, no single-partition exchange, the RDD numbering
-    * bridge present).
+  /** The packed-sequence table all three epoch queries share — ONE
+    * row per (source-group, bin) with the sequence's doc/token load.
+    * An OVERSIZED doc (> seqLen tokens) spans ceil(t/seqLen) bins:
+    * its tokens are spread seqLen-per-bin with the remainder in the
+    * last (r18 review fix — crediting the whole doc to its starting
+    * bin made continuation bins read as 0-token sequences, so shard
+    * manifests and the budget cut misstated per-sequence volume);
+    * n_docs counts docs STARTING in the bin. Every bin id in
+    * [0, group total) is covered by construction (small bins open on
+    * placement; oversize spans cover their own), so no range-fill
+    * join is needed. Factored (with [[epochBaseCtes]]) so the three
+    * registered faces can never drift — the shared-CTE discipline,
+    * engine side.
     */
-  val xPackEpochOrder = Q(
-    "x_pack_epoch_order",
-    (s, dir) => {
-      val S = 64L
-      val docs = t(s, dir, "documents")
-      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
-          col("doc_id"), size(split(col("text"), " ")).cast("long"),
-          seqLen = S)
-        .withColumnRenamed("group", "grp")
-        .cache() // feeds the bin range AND the per-bin stats
-      val nb = asg.groupBy(col("grp"))
-        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
-      val seqs = nb.select(col("grp"),
-          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
-        .join(asg.groupBy(col("grp"), col("bin"))
-          .agg(count(lit(1)).cast("bigint").as("n_docs"),
-            sum(col("toks")).cast("bigint").as("n_toks")),
-          Seq("grp", "bin"), "left")
-        .select(col("grp"), col("bin"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
-      graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L)
-        .orderBy(col("epoch_pos"))
-    },
-    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
-        """d AS (SELECT source AS grp, doc_id,
+  private val epochSeqLen = 64L
+
+  private def epochSeqs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val docs = t(s, dir, "documents")
+    val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
+      col("doc_id"), size(split(col("text"), " ")).cast("long"),
+      seqLen = epochSeqLen)
+    asg.select(col("group").as("grp"), col("bin"), col("toks"),
+        col("n_bins"),
+        explode(sequence(lit(0L), col("n_bins") - 1)).as("_i"))
+      .select(col("grp"), (col("bin") + col("_i")).as("bin"),
+        when(col("_i") === 0, 1L).otherwise(0L).as("_d"),
+        when(col("_i") < col("n_bins") - 1, lit(epochSeqLen))
+          .otherwise(col("toks") - (col("n_bins") - 1) * epochSeqLen)
+          .as("_t"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("_d")).cast("bigint").as("n_docs"),
+        sum(col("_t")).cast("bigint").as("n_toks"))
+  }
+
+  /** The oracle half of [[epochSeqs]] + the permutation replay: the
+    * recursive BFD CTEs, the oversize span spread, the per-bin stats,
+    * the NULLS-FIRST group index (pinned explicitly — DuckDB defaults
+    * ASC to NULLS LAST while Spark defaults to NULLS FIRST, so a NULL
+    * group name would silently diverge the whole permutation), the
+    * LCG key, and the global position. Ends in
+    * `epos(grp, bin, n_docs, n_toks, shuffle_key, epoch_pos)`.
+    */
+  private def epochBaseCtes: String = s"""${ExtH.packBfdCoreCtes(
+      epochSeqLen,
+      """d AS (SELECT source AS grp, doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
         FROM documents)""")},
-      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
-        FROM summ),
-      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(toks) AS BIGINT) AS n_toks
-        FROM asg GROUP BY 1, 2),
-      eseq AS (SELECT b.grp, b.bin,
-          COALESCE(s.n_docs, 0) AS n_docs,
-          COALESCE(s.n_toks, 0) AS n_toks
-        FROM ebins b LEFT JOIN estat s
-          ON s.grp = b.grp AND s.bin = b.bin),
-      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
-          AS BIGINT) AS gi
+      espan0 AS (SELECT grp, bin, toks, n_bins,
+          unnest(range(0, n_bins)) AS i
+        FROM asg),
+      espan AS (SELECT grp, bin + i AS bin,
+          CASE WHEN i = 0 THEN 1 ELSE 0 END AS d,
+          CASE WHEN i < n_bins - 1 THEN $epochSeqLen
+            ELSE toks - (n_bins - 1) * $epochSeqLen END AS t
+        FROM espan0),
+      eseq AS (SELECT grp, CAST(bin AS BIGINT) AS bin,
+          CAST(SUM(d) AS BIGINT) AS n_docs,
+          CAST(SUM(t) AS BIGINT) AS n_toks
+        FROM espan GROUP BY 1, 2),
+      egi AS (SELECT grp, CAST(row_number()
+            OVER (ORDER BY grp NULLS FIRST) AS BIGINT) AS gi
         FROM (SELECT DISTINCT grp FROM eseq)),
       ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
           ((((gi * 1048576 + e.bin) + 42) % 2147483648)
             * 1103515245 + 12345) % 2147483648 AS shuffle_key
-        FROM eseq e JOIN egi ON egi.grp = e.grp)
-      SELECT e.grp, CAST(e.bin AS BIGINT) AS bin, e.n_docs, e.n_toks,
-        CAST(e.shuffle_key AS BIGINT) AS shuffle_key,
-        CAST(row_number() OVER (ORDER BY e.shuffle_key, e.grp, e.bin)
-          AS BIGINT) AS epoch_pos
-      FROM ekey e ORDER BY epoch_pos"""))
+        FROM eseq e JOIN egi ON egi.grp = e.grp),
+      epos AS (SELECT grp, bin, n_docs, n_toks,
+          CAST(shuffle_key AS BIGINT) AS shuffle_key,
+          CAST(row_number() OVER (ORDER BY shuffle_key,
+            grp NULLS FIRST, bin) AS BIGINT) AS epoch_pos
+        FROM ekey)"""
+
+  /** Deterministic epoch-order shuffle over packed sequences
+    * ([[graft.ext.Layout.epochOrder]], seed 42): the BFD-packed
+    * training sequences receive a seeded LCG permutation key and a
+    * GLOBAL epoch position via the range-partitioned
+    * [[graft.ext.Rank]] numbering — the reproducible between-epochs
+    * shuffle a 100 TB run needs without a driver sort or
+    * single-partition window. The oracle replays the BFD state
+    * machine (the shared recursive packing CTEs), the oversize span
+    * spread, and the PERMUTATION FORMULA exactly — group index by
+    * sorted name (NULLS FIRST pinned on both sides), sid = gi*2^20 +
+    * bin, key = ((sid + 42) mod 2^31 * 1103515245 + 12345) mod 2^31,
+    * position = row_number over (key, group, bin) — so a drifted bin,
+    * a reordered tie, or any deviation from the documented
+    * permutation flips the hash. PlanSpec gates the shape (no Window,
+    * no single-partition exchange, the RDD numbering bridge present).
+    */
+  val xPackEpochOrder = Q(
+    "x_pack_epoch_order",
+    (s, dir) => graft.ext.Layout.epochOrder(epochSeqs(s, dir),
+        "grp", "bin", seed = 42L)
+      .orderBy(col("epoch_pos")),
+    Some(s"""WITH RECURSIVE $epochBaseCtes
+      SELECT grp, bin, n_docs, n_toks, shuffle_key, epoch_pos
+      FROM epos ORDER BY epoch_pos"""))
 
   /** Epoch sharding ([[graft.ext.Layout.epochShards]], 8 consumers
     * over the seed-42 epoch order): each data-parallel consumer's
@@ -467,64 +497,21 @@ object ExtP {
     * the launcher-facing face of the epoch shuffle, via the balanced
     * integer closed form consumer = ((pos − 1)·C) div N (block sizes
     * differ by ≤ 1). The oracle chains the FULL epoch-order replay
-    * (BFD packing → per-bin stats → the LCG permutation →
-    * row_number) and re-derives the assignment with the same integer
-    * division, so a drifted position anywhere moves a consumer
-    * boundary and flips the hash.
+    * and re-derives the assignment with the same integer division, so
+    * a drifted position anywhere moves a consumer boundary and flips
+    * the hash.
     */
   val xPackEpochShards = Q(
     "x_pack_epoch_shards",
-    (s, dir) => {
-      val S = 64L
-      val docs = t(s, dir, "documents")
-      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
-          col("doc_id"), size(split(col("text"), " ")).cast("long"),
-          seqLen = S)
-        .withColumnRenamed("group", "grp")
-        .cache()
-      val nb = asg.groupBy(col("grp"))
-        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
-      val seqs = nb.select(col("grp"),
-          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
-        .join(asg.groupBy(col("grp"), col("bin"))
-          .agg(count(lit(1)).cast("bigint").as("n_docs"),
-            sum(col("toks")).cast("bigint").as("n_toks")),
-          Seq("grp", "bin"), "left")
-        .select(col("grp"), col("bin"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
-      graft.ext.Layout.epochShards(
-          graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L),
-          nConsumers = 8)
-        .orderBy(col("consumer"))
-    },
-    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
-        """d AS (SELECT source AS grp, doc_id,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        FROM documents)""")},
-      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
-        FROM summ),
-      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(toks) AS BIGINT) AS n_toks
-        FROM asg GROUP BY 1, 2),
-      eseq AS (SELECT b.grp, b.bin,
-          COALESCE(s.n_docs, 0) AS n_docs,
-          COALESCE(s.n_toks, 0) AS n_toks
-        FROM ebins b LEFT JOIN estat s
-          ON s.grp = b.grp AND s.bin = b.bin),
-      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
-          AS BIGINT) AS gi
-        FROM (SELECT DISTINCT grp FROM eseq)),
-      ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
-          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
-            * 1103515245 + 12345) % 2147483648 AS shuffle_key
-        FROM eseq e JOIN egi ON egi.grp = e.grp),
-      epos AS (SELECT n_docs, n_toks,
-          CAST(row_number() OVER (ORDER BY shuffle_key, grp, bin)
-            AS BIGINT) AS epoch_pos,
-          CAST(COUNT(*) OVER () AS BIGINT) AS n
-        FROM ekey)
-      SELECT CAST(((epoch_pos - 1) * 8) // n AS BIGINT) AS consumer,
+    (s, dir) => graft.ext.Layout.epochShards(
+        graft.ext.Layout.epochOrder(epochSeqs(s, dir), "grp", "bin",
+          seed = 42L),
+        nConsumers = 8)
+      .orderBy(col("consumer")),
+    Some(s"""WITH RECURSIVE $epochBaseCtes,
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos)
+      SELECT CAST(((epoch_pos - 1) * 8) // (SELECT n FROM en) AS BIGINT)
+          AS consumer,
         CAST(COUNT(*) AS BIGINT) AS n_seqs,
         CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
         CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
@@ -549,27 +536,9 @@ object ExtP {
   val xPackEpochBudget = Q(
     "x_pack_epoch_budget",
     (s, dir) => {
-      val S = 64L
-      val docs = t(s, dir, "documents")
-      val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
-          col("doc_id"), size(split(col("text"), " ")).cast("long"),
-          seqLen = S)
-        .withColumnRenamed("group", "grp")
-        .cache()
-      val nb = asg.groupBy(col("grp"))
-        .agg(max(col("bin") + col("n_bins")).cast("long").as("_nb"))
-      val seqs = nb.select(col("grp"),
-          explode(sequence(lit(0L), col("_nb") - 1)).as("bin"))
-        .join(asg.groupBy(col("grp"), col("bin"))
-          .agg(count(lit(1)).cast("bigint").as("n_docs"),
-            sum(col("toks")).cast("bigint").as("n_toks")),
-          Seq("grp", "bin"), "left")
-        .select(col("grp"), col("bin"),
-          coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-          coalesce(col("n_toks"), lit(0L)).as("n_toks"))
-      val ordered = graft.ext.Layout.epochOrder(seqs, "grp", "bin",
-        seed = 42L)
-      val cum = graft.ext.Rank.globalRunningSum(ordered,
+      val seqs = epochSeqs(s, dir)
+      val cum = graft.ext.Rank.globalRunningSum(
+        graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L),
         Seq(col("epoch_pos")), col("n_toks"), out = "cum_toks")
       val budget = seqs.agg(
         expr("(sum(n_toks) * 3) div 5").cast("long").as("_budget"))
@@ -579,33 +548,8 @@ object ExtP {
           (col("cum_toks") <= col("_budget")).as("kept"))
         .orderBy(col("epoch_pos"))
     },
-    Some(s"""WITH RECURSIVE ${ExtH.packBfdCoreCtes(64L,
-        """d AS (SELECT source AS grp, doc_id,
-          CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        FROM documents)""")},
-      ebins AS (SELECT grp, unnest(range(0, n_bins_bfd)) AS bin
-        FROM summ),
-      estat AS (SELECT grp, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-          CAST(SUM(toks) AS BIGINT) AS n_toks
-        FROM asg GROUP BY 1, 2),
-      eseq AS (SELECT b.grp, b.bin,
-          COALESCE(s.n_docs, 0) AS n_docs,
-          COALESCE(s.n_toks, 0) AS n_toks
-        FROM ebins b LEFT JOIN estat s
-          ON s.grp = b.grp AND s.bin = b.bin),
-      egi AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp)
-          AS BIGINT) AS gi
-        FROM (SELECT DISTINCT grp FROM eseq)),
-      ekey AS (SELECT e.grp, e.bin, e.n_toks,
-          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
-            * 1103515245 + 12345) % 2147483648 AS shuffle_key
-        FROM eseq e JOIN egi ON egi.grp = e.grp),
-      epos AS (SELECT grp, bin, n_toks,
-          CAST(row_number() OVER (ORDER BY shuffle_key, grp, bin)
-            AS BIGINT) AS epoch_pos
-        FROM ekey),
-      ecum AS (SELECT epoch_pos, grp, CAST(bin AS BIGINT) AS bin,
-          n_toks,
+    Some(s"""WITH RECURSIVE $epochBaseCtes,
+      ecum AS (SELECT epoch_pos, grp, bin, n_toks,
           CAST(SUM(n_toks) OVER (ORDER BY epoch_pos
             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
         FROM epos),
@@ -619,4 +563,3 @@ object ExtP {
     xCurateStreamMasterLearned, xQualitySignalsFull, xPackEpochOrder,
     xPackEpochShards, xPackEpochBudget)
 }
-
