@@ -139,21 +139,22 @@ object Bench {
     // gate before EVERY query (loadavg_at_query = the gated sample);
     // re-gate with the LONG wait + re-run once any query whose gate
     // timed out (not just the isolated top-5)
-    val results = headline.map { q =>
-      // escalate the gate BEFORE measuring — the first cut measured
-      // reps under known-contaminated load only to discard them (and
-      // kept the box hot going into the long re-gate)
+    // the per-query gate: short wait, ESCALATING to the long wait
+    // before the first rep runs (never measure-and-discard); returns
+    // the gated sample that becomes loadavg_at_query
+    def gatedSample(tag: String): Double = {
       waitForQuietLoad(perQueryWait)
-      val l0 = {
-        val l = loadAvg()
-        if (l < 2.0) l
-        else {
-          System.err.println(f"[bench] ${q.name} gate timed out " +
-            f"(loadavg $l%.2f) - escalating to the long gate")
-          waitForQuietLoad(quietWait)
-          loadAvg()
-        }
+      val l = loadAvg()
+      if (l < 2.0) l
+      else {
+        System.err.println(f"[bench] $tag gate timed out " +
+          f"(loadavg $l%.2f) - escalating to the long gate")
+        waitForQuietLoad(quietWait)
+        loadAvg()
       }
+    }
+    val results = headline.map { q =>
+      val l0 = gatedSample(q.name)
       val (med, lpeak) = execMeasured(q.name, reps)
       (q.name, l0, med, lpeak)
     }
@@ -170,9 +171,11 @@ object Bench {
     // an empty appendix (SPARK_GRAFT_BENCH_ISOLATED=0) has no load to
     // check — only a non-empty one can contaminate the artifact
     val quietIso = isoTop.isEmpty || waitForQuietLoad(120)
+    // the isolated pass rides the SAME escalating gate as the
+    // headline pass (an iso median taken right after a short-gate
+    // timeout would be measured under known load yet only flagged)
     val iso = isoTop.map { name =>
-      waitForQuietLoad(perQueryWait)
-      val l0 = loadAvg()
+      val l0 = gatedSample(s"isolated $name")
       val (med, _) = execMeasured(name, 5)
       (name, l0, med)
     }

@@ -1366,7 +1366,10 @@ object Dedup {
       batchTag: Option[Long] = None,
       hashedState: Boolean = false): DataFrame = {
     val spark = newDocs.sparkSession
-    val state = readStateOrEmpty(spark, statePath)
+    val expected = if (hashedState) "fp64" else "text"
+    val state0 = readStateOrEmpty(spark, statePath)
+    val legacy = spanStateModeGuard(state0, statePath, expected)
+    val state = state0
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
     val histKeys = state.map(_.select(col("wkey")).distinct())
     val (out0, newWindows) =
@@ -1376,11 +1379,52 @@ object Dedup {
     // the caller afterwards would read this batch's own windows back
     // out of state and excise every document (the minhash lesson)
     val out = out0.localCheckpoint(true)
-    newWindows
+    val rows = newWindows
       .select(col("wkey"), lit(batchTag.getOrElse(-1L)).as("batch"))
+    (if (legacy) rows else rows.withColumn("kmode", lit(expected)))
       .write.mode("append").parquet(statePath)
     out
   }
+
+  /** Key-mode guard for the span-dedup state directories: the three
+    * key domains (text / fp64 / sha256) are NOT interchangeable — a
+    * probe against the wrong domain matches nothing and silently
+    * skips every historical excision (under-deduplication, i.e. data
+    * corruption), and a mixed append corrupts the state schema. New
+    * states stamp a `kmode` column; resuming with a different mode
+    * fails loudly. Pre-guard (legacy) states lack the stamp — there a
+    * TYPE flip (fp64's long keys vs the string modes) still fails
+    * loudly, while text-vs-sha256 is indistinguishable by type (both
+    * strings; documented residual risk, closed for every state
+    * written from r18 on). Returns whether the directory is legacy
+    * (appends then stay stampless, keeping the dir schema
+    * homogeneous).
+    */
+  private def spanStateModeGuard(state: Option[DataFrame],
+      statePath: String, expected: String): Boolean =
+    state match {
+      case None => false
+      case Some(st) if st.columns.contains("kmode") =>
+        st.select(col("kmode")).head(1).headOption.foreach { r =>
+          require(r.getString(0) == expected,
+            s"span state at $statePath was written with key mode " +
+              s"'${r.getString(0)}' but this run uses '$expected' — " +
+              "key domains are not interchangeable (a mismatched " +
+              "probe silently skips history excision); pick one mode " +
+              "per state directory")
+        }
+        false
+      case Some(st) =>
+        val dt = st.schema("wkey").dataType
+        val ok = if (expected == "fp64")
+          dt == org.apache.spark.sql.types.LongType
+        else dt.isInstanceOf[org.apache.spark.sql.types.StringType]
+        require(ok, s"span state at $statePath holds " +
+          s"${dt.simpleString} keys — incompatible with key mode " +
+          s"'$expected'; key domains are not interchangeable per " +
+          "state directory")
+        true
+    }
 
   /** [[spanDedupIncremental]] behind the exact-first collapse — the
     * incremental counterpart of
@@ -1415,9 +1459,11 @@ object Dedup {
     * shape; "fp64" is [[spanDedupHashed]]'s 8-byte rolling fingerprint
     * (collision-admitting — the registered twin audits it); "text"
     * stores the literal window (the SQL-adjudicable anchor). The
-    * three key domains are not interchangeable; pick one per state
-    * directory. Redelivery rides the same `batchTag` protocol as the
-    * raw face.
+    * three key domains are not interchangeable — ENFORCED: state rows
+    * are `kmode`-stamped and a resume under a different mode (or
+    * against a type-incompatible legacy state) fails loudly instead
+    * of silently matching zero history keys. Redelivery rides the
+    * same `batchTag` protocol as the raw face.
     */
   def spanDedupIncrementalExactFirst(newDocs: DataFrame, textCol: String,
       idCol: String, span: Int, statePath: String,
@@ -1444,7 +1490,9 @@ object Dedup {
     val reps = keyed.groupBy(col("_tdig"))
       .agg(min(col("doc_id")).as("doc_id"), first(col("text")).as("text"))
       .localCheckpoint(true) // consumed by the core AND the member map
-    val state = readStateOrEmpty(spark, statePath)
+    val state0 = readStateOrEmpty(spark, statePath)
+    val legacy = spanStateModeGuard(state0, statePath, stateKeys)
+    val state = state0
       .map(st => batchTag.fold(st)(t => st.filter(col("batch") =!= t)))
     val histKeys = state.map(_.select(col("wkey")).distinct())
     val (repOut0, newWindows) = spanDedupBatchCore(
@@ -1452,8 +1500,9 @@ object Dedup {
       histKeys, hashedKeys = fp64, sha256Keys = sha)
     // pinned EAGERLY before the state append (the raw face's rule)
     val repOut = repOut0.localCheckpoint(true)
-    newWindows
+    val stRows = newWindows
       .select(col("wkey"), lit(batchTag.getOrElse(-1L)).as("batch"))
+    (if (legacy) stRows else stRows.withColumn("kmode", lit(stateKeys)))
       .write.mode("append").parquet(statePath)
     // closed-form member reconstruction: every expression mirrors the
     // raw core's (size(split(...)), the split-join identity), so NULL

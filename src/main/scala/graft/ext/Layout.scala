@@ -100,44 +100,19 @@ object Layout {
     * NULLs LAST, which would silently re-index every group and
     * diverge the whole permutation); the registered oracles do.
     */
-  /** Consumer assignment over an [[epochOrder]] result — the epoch
-    * SHARDING claim made executable: data-parallel consumer `c` of
-    * `nConsumers` reads the contiguous position range it is assigned
-    * by the balanced closed form
-    * `consumer = ((epoch_pos − 1) · nConsumers) div N` (block sizes
-    * differ by at most one sequence; pure integer arithmetic, so the
-    * assignment is a function of (position, N, nConsumers) alone —
-    * reproducible and SQL-replayable). Emits one row per consumer:
-    * (consumer, n_seqs, first_pos, last_pos, n_docs, n_toks) — the
-    * manifest a training launcher hands each rank.
-    *
-    * Scale: one map-side-combinable aggregate over the ordered
-    * sequences; no new shuffle class — and because [[epochOrder]]
-    * range-partitioned BY the permuted key, each consumer's block is
-    * physically contiguous in the written layout (the "range
-    * partitioning IS the epoch sharding" property).
-    */
-  def epochShards(ordered: DataFrame, nConsumers: Int,
-      nDocsCol: String = "n_docs", nToksCol: String = "n_toks")
-      : DataFrame = {
-    require(nConsumers > 0, "nConsumers must be positive")
-    // N rides a broadcast 1-row aggregate, never a driver count; the
-    // assignment is INTEGER division (`div` — Spark's `/` on longs
-    // would go through doubles and break the closed form)
-    val total = ordered.agg(count(lit(1)).cast("long").as("_n"))
-    ordered.crossJoin(broadcast(total))
-      .withColumn("consumer",
-        expr(s"((epoch_pos - 1) * $nConsumers) div _n").cast("long"))
-      .groupBy(col("consumer"))
-      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
-        min(col("epoch_pos")).cast("bigint").as("first_pos"),
-        max(col("epoch_pos")).cast("bigint").as("last_pos"),
-        sum(col(nDocsCol)).cast("bigint").as("n_docs"),
-        sum(col(nToksCol)).cast("bigint").as("n_toks"))
-  }
-
   def epochOrder(seqs: DataFrame, groupCol: String, binCol: String,
-      seed: Long): DataFrame = {
+      seed: Long): DataFrame =
+    epochOrderWithTotal(seqs, groupCol, binCol, seed)._1
+
+  /** [[epochOrder]] plus the TOTAL sequence count, which the rank
+    * pass's per-partition counts already computed — callers that need
+    * N for a cut ([[epochShards]]' consumer division, a budget
+    * boundary) get it for free instead of paying a second pass over
+    * the (possibly expensive) packed-sequence plan (the
+    * [[Rank.globalRowNumberWithTotal]] doctrine).
+    */
+  def epochOrderWithTotal(seqs: DataFrame, groupCol: String,
+      binCol: String, seed: Long): (DataFrame, Long) = {
     require(seed >= 0, "seed must be non-negative (the LCG domain)")
     val groups = Rank.globalRowNumber(
       seqs.select(col(groupCol).cast("string").as("_g")).distinct(),
@@ -159,8 +134,58 @@ object Layout {
       .join(broadcast(groups), col(groupCol).cast("string") <=> col("_g"))
       .withColumn("shuffle_key", pk.cast("long"))
       .drop("_g", "_gi")
-    Rank.globalRowNumber(keyed,
+    Rank.globalRowNumberWithTotal(keyed,
       Seq(col("shuffle_key"), col(groupCol), col(binCol)),
       out = "epoch_pos")
+  }
+
+  /** Consumer assignment over an [[epochOrder]] result — the epoch
+    * SHARDING claim made executable: data-parallel consumer `c` of
+    * `nConsumers` reads the contiguous position range it is assigned
+    * by the balanced closed form
+    * `consumer = ((epoch_pos − 1) · nConsumers) div N` (block sizes
+    * differ by at most one sequence; pure integer arithmetic, so the
+    * assignment is a function of (position, N, nConsumers) alone —
+    * reproducible and SQL-replayable). Emits one row per consumer
+    * 0..nConsumers−1 — INCLUDING consumers left empty when N <
+    * nConsumers (n_seqs 0, NULL first/last positions, zero sums): a
+    * launcher iterating ranks must find every rank's manifest row
+    * (r18 review fix — empty consumers previously emitted nothing).
+    * Columns: (consumer, n_seqs, first_pos, last_pos, n_docs,
+    * n_toks).
+    *
+    * `total` is the N the division uses — pass the count
+    * [[epochOrderWithTotal]] already computed; deriving it here would
+    * re-execute the whole ordered plan for one long.
+    *
+    * Scale: one map-side-combinable aggregate over the ordered
+    * sequences + a broadcast O(nConsumers) dimension join; no new
+    * shuffle class — and because [[epochOrder]] range-partitioned BY
+    * the permuted key, each consumer's block is physically contiguous
+    * in the written layout (the "range partitioning IS the epoch
+    * sharding" property).
+    */
+  def epochShards(ordered: DataFrame, total: Long, nConsumers: Int,
+      nDocsCol: String = "n_docs", nToksCol: String = "n_toks")
+      : DataFrame = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    require(total > 0, "total must be positive (an empty epoch has no shards)")
+    val spark = ordered.sparkSession
+    val filled = ordered
+      .withColumn("consumer",
+        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .groupBy(col("consumer"))
+      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        min(col("epoch_pos")).cast("bigint").as("first_pos"),
+        max(col("epoch_pos")).cast("bigint").as("last_pos"),
+        sum(col(nDocsCol)).cast("bigint").as("n_docs"),
+        sum(col(nToksCol)).cast("bigint").as("n_toks"))
+    spark.range(nConsumers).select(col("id").as("consumer"))
+      .join(broadcast(filled), Seq("consumer"), "left")
+      .select(col("consumer"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        col("first_pos"), col("last_pos"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"))
   }
 }

@@ -187,9 +187,16 @@ object ExtK {
       .select(col("doc_id"), col("text"), col("source"), col("lang")))
 
     // 1. URL filter on the synthetic URL's registered domain —
-    // static blocklist, plus the LEARNED rollup verdict when asked
+    // static blocklist, plus the LEARNED rollup verdict when asked.
+    // NULL domains (unparseable url — e.g. a NULL source nulls the
+    // whole concat) coalesce to '' and are KEPT, matching the r18
+    // CurateStream stage-0 rule: a blocklist only removes KNOWN-bad
+    // domains, and the batch and streaming twins of the same pipeline
+    // must agree on malformed arrivals (unreachable with the
+    // synthetic fixture urls, so no oracle moves)
     val s1static = Web.withUrlParts(corpus.withColumn("url", urlCol), "url")
-      .filter(!col("url_domain").isin(blockedDomains: _*))
+      .filter(!coalesce(col("url_domain"), lit(""))
+        .isin(blockedDomains: _*))
     val s1 = pin("url_filter",
       (if (!learnedBlocklist) s1static
        else {

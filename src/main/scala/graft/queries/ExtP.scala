@@ -503,21 +503,29 @@ object ExtP {
     */
   val xPackEpochShards = Q(
     "x_pack_epoch_shards",
-    (s, dir) => graft.ext.Layout.epochShards(
-        graft.ext.Layout.epochOrder(epochSeqs(s, dir), "grp", "bin",
-          seed = 42L),
-        nConsumers = 8)
-      .orderBy(col("consumer")),
+    (s, dir) => {
+      val (ordered, n) = graft.ext.Layout.epochOrderWithTotal(
+        epochSeqs(s, dir), "grp", "bin", seed = 42L)
+      graft.ext.Layout.epochShards(ordered, n, nConsumers = 8)
+        .orderBy(col("consumer"))
+    },
     Some(s"""WITH RECURSIVE $epochBaseCtes,
-      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos)
-      SELECT CAST(((epoch_pos - 1) * 8) // (SELECT n FROM en) AS BIGINT)
-          AS consumer,
-        CAST(COUNT(*) AS BIGINT) AS n_seqs,
-        CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
-        CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
-        CAST(SUM(n_docs) AS BIGINT) AS n_docs,
-        CAST(SUM(n_toks) AS BIGINT) AS n_toks
-      FROM epos GROUP BY 1 ORDER BY consumer"""))
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos),
+      efill AS (SELECT CAST(((epoch_pos - 1) * 8)
+            // (SELECT n FROM en) AS BIGINT) AS consumer,
+          CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+          CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
+          CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          CAST(SUM(n_toks) AS BIGINT) AS n_toks
+        FROM epos GROUP BY 1)
+      SELECT c.consumer, COALESCE(f.n_seqs, 0) AS n_seqs,
+        f.first_pos, f.last_pos,
+        COALESCE(f.n_docs, 0) AS n_docs,
+        COALESCE(f.n_toks, 0) AS n_toks
+      FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS consumer) c
+      LEFT JOIN efill f ON f.consumer = c.consumer
+      ORDER BY c.consumer"""))
 
   /** Token-budget epoch prefix ([[graft.ext.Rank.globalRunningSum]]
     * over the epoch order): every sequence's INCLUSIVE cumulative
@@ -536,7 +544,10 @@ object ExtP {
   val xPackEpochBudget = Q(
     "x_pack_epoch_budget",
     (s, dir) => {
-      val seqs = epochSeqs(s, dir)
+      // cached: the assembly (a full BFD pack) feeds BOTH the epoch
+      // chain and the budget scalar — without the pin the pack runs
+      // twice (the r18 review's redundant-job finding)
+      val seqs = epochSeqs(s, dir).cache()
       val cum = graft.ext.Rank.globalRunningSum(
         graft.ext.Layout.epochOrder(seqs, "grp", "bin", seed = 42L),
         Seq(col("epoch_pos")), col("n_toks"), out = "cum_toks")

@@ -46,9 +46,11 @@ class LayoutEpochSpec extends SparkSuite {
   }
 
   test("epochShards: contiguous balanced cover conserving docs and tokens") {
-    val ordered = Layout.epochOrder(fixture, "grp", "bin", seed = 42L)
+    val (ordered, total) = Layout.epochOrderWithTotal(fixture, "grp",
+      "bin", seed = 42L)
+    assert(total == 120L, "the rank pass must hand back the total for free")
     for (c <- Seq(1, 7, 8)) {
-      val sh = Layout.epochShards(ordered, c).orderBy(col("consumer"))
+      val sh = Layout.epochShards(ordered, total, c).orderBy(col("consumer"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
           r.getLong(3), r.getLong(4), r.getLong(5)))
       assert(sh.map(_._1).toSeq == (0L until c).toSeq,
@@ -66,6 +68,27 @@ class LayoutEpochSpec extends SparkSuite {
         fixture.agg(sum(col("n_docs"))).head().getLong(0))
       assert(sh.map(_._6).sum ==
         fixture.agg(sum(col("n_toks"))).head().getLong(0))
+    }
+  }
+
+  test("epochShards emits EVERY consumer's row when N < nConsumers") {
+    // 3 sequences, 8 consumers: a launcher iterating ranks 0..7 must
+    // find a manifest row for each — empties carry n_seqs 0, NULL
+    // range bounds, zero sums (the r18 review fix: empty consumers
+    // previously emitted nothing and non-empty ids looked sparse)
+    val tiny = Seq(("a", 0L, 1L, 10L), ("a", 1L, 1L, 11L),
+        ("b", 0L, 1L, 12L)).toDF("grp", "bin", "n_docs", "n_toks")
+    val (ordered, n) = Layout.epochOrderWithTotal(tiny, "grp", "bin", 5L)
+    val sh = Layout.epochShards(ordered, n, 8).orderBy(col("consumer"))
+      .collect()
+    assert(sh.map(_.getLong(0)).toSeq == (0L until 8L).toSeq,
+      "all 8 consumers must have a manifest row")
+    assert(sh.map(_.getLong(1)).sum == 3L, "3 sequences distributed")
+    val empties = sh.filter(_.getLong(1) == 0L)
+    assert(empties.length == 5)
+    empties.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3), "empty range bounds are NULL")
+      assert(r.getLong(4) == 0L && r.getLong(5) == 0L)
     }
   }
 

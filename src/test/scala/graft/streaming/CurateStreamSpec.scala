@@ -257,6 +257,34 @@ class CurateStreamSpec extends SparkSuite {
     assert(raw === oneShot, "fingerprint incremental face must also agree")
   }
 
+  test("span-state key modes are guarded: a face flip fails loudly") {
+    // the r18 review finding: resuming a span state written by one key
+    // domain under another silently matched ZERO history keys
+    // (under-deduplication) and mixed the state schema — the kmode
+    // stamp now fails the batch instead
+    import graft.ext.Dedup
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val state = freshState() + "/span_guard"
+    Dedup.spanDedupIncremental(docs, "text", "doc_id", 3, state,
+      batchTag = Some(0L), hashedState = true).collect()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.spanDedupIncrementalExactFirst(docs, "text", "doc_id", 3,
+        state, batchTag = Some(1L), stateKeys = "sha256").collect()
+    }
+    assert(e.getMessage.contains("key mode"),
+      s"expected the key-mode guard, got: ${e.getMessage}")
+    // and the raw face's own text/fp64 flip is caught too
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.spanDedupIncremental(docs, "text", "doc_id", 3, state,
+        batchTag = Some(1L), hashedState = false).collect()
+    }
+    assert(e2.getMessage.contains("key mode"))
+    // the SAME mode resumes fine
+    Dedup.spanDedupIncremental(docs, "text", "doc_id", 3, state,
+      batchTag = Some(1L), hashedState = true).collect()
+  }
+
   test("CurateStream exactSpanState face curates the identical corpus") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),
