@@ -888,8 +888,9 @@ object ScaleBench {
         val full = graft.queries.ExtP.xQualitySignalsFull.run(spark, sfDir)
         probe = full.agg(
           coalesce(sum(xxhash64(struct(full.columns.map(col): _*))),
-            lit(0L)).cast("bigint").as("s"))
-        probe.head(); 500L
+            lit(0L)).cast("bigint").as("s"),
+          count(lit(1)).cast("bigint").as("n"))
+        probe.head().getLong(1) // the real per-doc row count
       }
       println(s"[scale] signalsFull corpus scans in executed plan: " +
         s"${countDocScans(probe.queryExecution.executedPlan)}")
