@@ -42,10 +42,28 @@ import graft.queries.Registry
   *    is transparency for spotting mid-QUERY background spikes by
   *    cross-round comparison of equal-cost queries, never a
   *    contamination criterion.
-  *  - isolated-median appendix (r16): the 5 most expensive headliners
-  *    are re-measured at the end (median-of-5, after System.gc() and a
-  *    fresh quiet-load check) into isolated_median5, so cross-round
-  *    comparison of the heavy queries reads one artifact.
+  *  - isolated-median appendix (r16, reworked r19): the 5 most
+  *    expensive CORE headliners are re-measured at the end into
+  *    isolated_median5. Since r19 the 5 samples per query come from 5
+  *    suite-order-ROTATED rounds (round r visits the top-5 starting at
+  *    index r, one execution each) instead of 5 consecutive runs — two
+  *    same-code r18 artifacts showed ±16% isolated-median swings, and
+  *    consecutive sampling pins each query to ONE JVM/page-cache
+  *    context; rotation spreads every query's samples across the same
+  *    five contexts, so the median compares like with like. Each
+  *    execution is individually load-gated (its gated sample feeds
+  *    load_contaminated; isolated_loadavg = per-query max), and
+  *    isolated_loadavg_peak records the self-load-inclusive post-rep
+  *    max per query (transparency, never a criterion).
+  *  - FLAGSHIP group (r19): queries flagged bench2 — the engine's
+  *    heaviest end-to-end compositions (the full quality sidecar, the
+  *    KN master face, the streaming curation master, the epoch
+  *    permutation) — run under the SAME per-query gate and reps after
+  *    the core pass, reported as total_flagship/queries_flagship
+  *    beside the frozen 41-query core total so the core series stays
+  *    cross-round comparable. The flagship pass is excluded from the
+  *    isolated top-5 selection (it would displace the core heavies the
+  *    appendix exists to track).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -78,6 +96,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     val headline = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name)))
+    val flagship = Registry.all.filter(_.bench2)
       .filter(q => only.forall(_.contains(q.name)))
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -130,12 +150,18 @@ object Bench {
     }
     val quietWait = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT_SEC", "600").toInt
     val quietStart = waitForQuietLoad(quietWait)
+    // loadavg_start is the PRE-WARMUP gated sample (r19 ADVICE): the
+    // r18 artifact sampled it after the unrecorded warmup query, so it
+    // read self-load-inclusive (3.03) beside load_contaminated=false —
+    // now the start figure matches the contamination criterion it
+    // feeds
+    val load0 = loadAvg()
 
-    execOnce(headline.head.name) // warmup, not recorded
+    (headline ++ flagship).headOption
+      .foreach(q => execOnce(q.name)) // warmup, not recorded
 
     val perQueryWait =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_LOADWAIT_SEC", "120").toInt
-    val load0 = loadAvg()
     // gate before EVERY query (loadavg_at_query = the gated sample);
     // re-gate with the LONG wait + re-run once any query whose gate
     // timed out (not just the isolated top-5)
@@ -153,31 +179,52 @@ object Bench {
         loadAvg()
       }
     }
-    val results = headline.map { q =>
+    def measureGroup(qs: Seq[graft.queries.Q])
+        : Seq[(String, Double, Double, Double)] = qs.map { q =>
       val l0 = gatedSample(q.name)
       val (med, lpeak) = execMeasured(q.name, reps)
       (q.name, l0, med, lpeak)
     }
+    val results = measureGroup(headline)
+    // the FLAGSHIP group, same gate and reps, separate totals (the
+    // r18 verdict's "What's missing #1": the heaviest queries ran only
+    // under CORRECTNESS/ScaleBench, never the wall-clock gate)
+    val results2 = measureGroup(flagship)
     val load1 = loadAvg()
 
     // isolated-median appendix: mid-suite numbers swing with suite
     // context (GC debt, page cache) and machine load — re-measure the
-    // N most expensive headliners at the end, median-of-5 after a GC
-    // and a fresh quiet-load check, so cross-round comparison reads
-    // ONE artifact instead of needing a judge re-run.
+    // N most expensive CORE headliners at the end (flagships excluded:
+    // they'd displace the core heavies this series has tracked since
+    // r16), median of 5 suite-order-ROTATED single executions.
     val isoN = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISOLATED", "5").toInt
     val isoTop = results.sortBy(-_._3).take(isoN).map(_._1)
     System.gc()
     // an empty appendix (SPARK_GRAFT_BENCH_ISOLATED=0) has no load to
     // check — only a non-empty one can contaminate the artifact
     val quietIso = isoTop.isEmpty || waitForQuietLoad(120)
-    // the isolated pass rides the SAME escalating gate as the
-    // headline pass (an iso median taken right after a short-gate
-    // timeout would be measured under known load yet only flagged)
-    val iso = isoTop.map { name =>
+    // rotated rounds: round r executes each top-N query once, starting
+    // at index r — every query's 5 samples then span the same five
+    // JVM/page-cache contexts instead of one (the r18 ±16% same-code
+    // isolated swing was context, not load: every gated sample was
+    // < 2). Each execution rides the SAME escalating gate as the
+    // headline pass; the post-exec loadavg feeds the per-query
+    // isolated_loadavg_peak transparency map (self-load-inclusive,
+    // never a criterion).
+    val isoRounds = 5
+    val isoRuns = for {
+      r <- 0 until (if (isoTop.isEmpty) 0 else isoRounds)
+      j <- isoTop.indices
+    } yield {
+      val name = isoTop((r + j) % isoTop.size)
       val l0 = gatedSample(s"isolated $name")
-      val (med, _) = execMeasured(name, 5)
-      (name, l0, med)
+      val dt = execOnce(name)
+      (name, l0, dt, loadAvg())
+    }
+    val iso = isoTop.map { name =>
+      val mine = isoRuns.filter(_._1 == name)
+      val med = mine.map(_._3).sorted.apply(mine.size / 2)
+      (name, mine.map(_._2).max, med, mine.map(_._4).max)
     }
     // stdout line: COMPACT — the driver keeps only the last 2000 chars
     // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
@@ -187,29 +234,34 @@ object Bench {
     // target/bench.json, which the driver also collects as a fallback
     def r3(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, _, v, _) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val qs3 = results.map { case (k, _, v, _) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val loads = results.map { case (k, l, _, _) => "\"" + k + "\":" + l }
-      .mkString("{", ",", "}")
-    val peaks = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }
-      .mkString("{", ",", "}")
+    def jmap(rows: Seq[(String, Double)], f: Double => String): String =
+      rows.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    val raw = (v: Double) => v.toString
+    val qs = jmap(results.map(r => (r._1, r._3)), raw)
+    val qs3 = jmap(results.map(r => (r._1, r._3)), r3)
+    val loads = jmap(results.map(r => (r._1, r._2)), raw)
+    val peaks = jmap(results.map(r => (r._1, r._4)), raw)
+    val qs2 = jmap(results2.map(r => (r._1, r._3)), raw)
+    val qs2r3 = jmap(results2.map(r => (r._1, r._3)), r3)
+    val loads2 = jmap(results2.map(r => (r._1, r._2)), raw)
+    val peaks2 = jmap(results2.map(r => (r._1, r._4)), raw)
     val total = results.map(_._3).sum
+    val total2 = results2.map(_._3).sum
     // honest stamp: ANY surviving gated sample >= 2 contaminates the
     // artifact — the start/iso gates alone let mid-run spikes through
     // unlabeled (the r17 lesson); loadavg_peak is transparency, not a
-    // criterion (it includes the suite's own work)
-    val contaminated = !(quietStart && quietIso) ||
-      results.exists(_._2 >= 2.0) || iso.exists(_._2 >= 2.0)
-    val isoQs = iso.map { case (k, _, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val isoQs3 = iso.map { case (k, _, v) => "\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
-    val isoLoads = iso.map { case (k, l, _) => "\"" + k + "\":" + l }
-      .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"loadavg_at_query":$loads,"loadavg_peak":$peaks}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
+    // criterion (it includes the suite's own work). Every isolated
+    // EXECUTION's gated sample counts, not just a per-query roll-up.
+    val contaminated = !(quietStart && quietIso) || load0 >= 2.0 ||
+      results.exists(_._2 >= 2.0) || results2.exists(_._2 >= 2.0) ||
+      isoRuns.exists(_._2 >= 2.0)
+    val isoQs = jmap(iso.map(r => (r._1, r._3)), raw)
+    val isoQs3 = jmap(iso.map(r => (r._1, r._3)), r3)
+    val isoLoads = jmap(iso.map(r => (r._1, r._2)), raw)
+    val isoPeaks = jmap(iso.map(r => (r._1, r._4)), raw)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_flagship":$total2,"queries_flagship":$qs2,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"isolated_loadavg_peak":$isoPeaks,"loadavg_at_query":$loads,"loadavg_peak":$peaks,"loadavg_at_query_flagship":$loads2,"loadavg_peak_flagship":$peaks2}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"total_flagship":${r3(total2)},"queries_flagship":$qs2r3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

@@ -55,6 +55,22 @@ object ScaleBench {
       spark.catalog.clearCache()
     }
 
+    // THE shared full-result probe (r19, after two in-round r18 probe
+    // bugs): one aggregate that hashes EVERY output column of every
+    // row — sum(xxhash64(struct(cols*))) — plus a count. A bare
+    // count() (or a single-column sum) lets Catalyst ELIMINATE
+    // unreferenced left-join-to-aggregate chains and unique-key joins
+    // (measured: a 1.75 s fake vs the real 19.6 s on the full
+    // sidecar), so every section routes through this instead of
+    // hand-rolling its own probe aggregate. Returns the row count;
+    // the hash column exists purely to force full evaluation.
+    def probeDf(df: DataFrame): DataFrame =
+      df.agg(
+        coalesce(sum(xxhash64(struct(df.columns.map(col): _*))), lit(0L))
+          .cast("bigint").as("s"),
+        count(lit(1)).cast("bigint").as("n"))
+    def probeAll(df: DataFrame): Long = probeDf(df).head().getLong(1)
+
     // shuffle-write accounting for the span-dedup key-representation
     // comparison: a listener sums bytesWritten per completed stage.
     // Listener delivery is async — the short drain sleep is fine for a
@@ -237,19 +253,15 @@ object ScaleBench {
     // first-occurrence shuffle shrunk from window TEXT to 8-byte keys.
     // NOT .count(): a bare count lets Catalyst eliminate the final
     // unique-key left join AND prune the re-assembly aggregate — the
-    // r07 span row measured that pruned plan, not the operator. The
-    // length-sum checksum forces every column of every row.
-    def spanChecksum(out: org.apache.spark.sql.DataFrame): Long =
-      out.agg(sum(col("n_removed") +
-        length(col("deduped_text")).cast("bigint")))
-        .head().getLong(0)
+    // r07 span row measured that pruned plan, not the operator.
+    // probeAll forces every column of every row.
     if (sec("span")) for (k <- Seq(10, 40, 100)) {
       val n = nDocs * k
       timeShuffle(s"spanDedup TEXT keys ${n} docs (x$k clones)") {
-        spanChecksum(Dedup.spanDedup(cloned(k), "text", "doc_id", 10))
+        probeAll(Dedup.spanDedup(cloned(k), "text", "doc_id", 10))
       }
       timeShuffle(s"spanDedup FP keys ${n} docs (x$k clones)") {
-        spanChecksum(Dedup.spanDedupHashed(cloned(k), "text", "doc_id", 10))
+        probeAll(Dedup.spanDedupHashed(cloned(k), "text", "doc_id", 10))
       }
     }
 
@@ -507,9 +519,8 @@ object ScaleBench {
     // paragraphs minus the one surviving copy per group)
     if (sec("paradedup")) for (k <- Seq(10, 40, 100)) {
       val rep = cloned(k)
-      timeShuffle(s"paragraphDedup x$k (${nDocs * k} docs, rows=removed)") {
-        graft.ext.Dedup.paragraphDedup(rep, "text", "doc_id")
-          .agg(sum(col("n_removed"))).collect()(0).getLong(0)
+      timeShuffle(s"paragraphDedup x$k (${nDocs * k} docs)") {
+        probeAll(graft.ext.Dedup.paragraphDedup(rep, "text", "doc_id"))
       }
     }
 
@@ -680,19 +691,14 @@ object ScaleBench {
     // the excision ACTION under clones: every clone makes each original
     // 32-window a duplicate, so the marked set approaches ALL positions
     // — the offsets-explode worst case (O(dup positions × 32)); the
-    // measure is whether the explode+anti-join stays linear in k
-    // NB (r17): these probes SUM n_kept_tokens rather than count() —
-    // the output is a left join against a by-doc_id aggregate, so a
-    // bare count() lets Catalyst ELIMINATE the join (at-most-one row
-    // per key) and the excision never runs; the sum forces the full
-    // rebuild on both faces.
-    def keptTokens(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("n_kept_tokens")), lit(0L)).cast("bigint"))
-        .head().getLong(0)
+    // measure is whether the explode+anti-join stays linear in k.
+    // probeAll (not count()): the output is a left join against a
+    // by-doc_id aggregate, so a bare count() lets Catalyst ELIMINATE
+    // the join (at-most-one row per key) and the excision never runs.
     if (sec("excise")) for (k <- Seq(10, 40)) {
       val rep = cloned(k)
       timeShuffle(s"suffixExcise x$k (${nDocs * k} docs, spanLen 32)") {
-        keptTokens(
+        probeAll(
           graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 32))
       }
     }
@@ -726,11 +732,11 @@ object ScaleBench {
     if (sec("suffixstage")) for (k <- Seq(10, 40, 100)) {
       val rep = cloned(k)
       timeShuffle(s"stage8 spanDedupHashed x$k (${nDocs * k} docs, span 10)") {
-        keptTokens(Dedup.spanDedupHashed(rep, "text", "doc_id", span = 10))
+        probeAll(Dedup.spanDedupHashed(rep, "text", "doc_id", span = 10))
       }
       if (k <= 40)
         timeShuffle(s"stage8 suffixExcise x$k (${nDocs * k} docs, span 10)") {
-          keptTokens(
+          probeAll(
             graft.ext.Suffix.exciseDupSpans(rep, "text", "doc_id", spanLen = 10))
         }
       // the cure (r17): exact-first collapse + closed-form member
@@ -738,7 +744,7 @@ object ScaleBench {
       // cost must be content-bound (flat in k) while staying
       // byte-equal to the raw face (x_dedup_suffix_excise_first)
       timeShuffle(s"stage8 suffixExcise EXACT-FIRST x$k (${nDocs * k} docs)") {
-        keptTokens(graft.ext.Suffix.exciseDupSpansExactFirst(
+        probeAll(graft.ext.Suffix.exciseDupSpansExactFirst(
           rep, "text", "doc_id", spanLen = 10))
       }
     }
@@ -755,7 +761,7 @@ object ScaleBench {
         for (b <- 0 until 3) {
           val batch = rep.filter(pmod(col("doc_id"), lit(3)) === b)
           timeShuffle(s"spanIncr $face x$k batch $b") {
-            keptTokens(
+            probeAll(
               if (tag == "ef")
                 Dedup.spanDedupIncrementalExactFirst(batch, "text",
                   "doc_id", 10, state, batchTag = Some(b.toLong))
@@ -885,11 +891,8 @@ object ScaleBench {
       // training loop executes its iterations at construction time
       var probe: DataFrame = null
       timeShuffle(s"signalsFull v3 JOIN v2 ($sfDir)") {
-        val full = graft.queries.ExtP.xQualitySignalsFull.run(spark, sfDir)
-        probe = full.agg(
-          coalesce(sum(xxhash64(struct(full.columns.map(col): _*))),
-            lit(0L)).cast("bigint").as("s"),
-          count(lit(1)).cast("bigint").as("n"))
+        probe = probeDf(
+          graft.queries.ExtP.xQualitySignalsFull.run(spark, sfDir))
         probe.head().getLong(1) // the real per-doc row count
       }
       println(s"[scale] signalsFull corpus scans in executed plan: " +

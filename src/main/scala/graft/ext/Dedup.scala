@@ -1394,11 +1394,16 @@ object Dedup {
     * states stamp a `kmode` column; resuming with a different mode
     * fails loudly. Pre-guard (legacy) states lack the stamp — there a
     * TYPE flip (fp64's long keys vs the string modes) still fails
-    * loudly, while text-vs-sha256 is indistinguishable by type (both
-    * strings; documented residual risk, closed for every state
-    * written from r18 on). Returns whether the directory is legacy
-    * (appends then stay stampless, keeping the dir schema
-    * homogeneous).
+    * loudly; text-vs-sha256 (both strings) is adjudicated by a VALUE
+    * heuristic (r19, closing the r18 residual): a sample of stored
+    * keys that is uniformly 64 lowercase-hex chars reads as sha256,
+    * anything else as text — a sha256 state can never hold a
+    * non-hex row, and a span window (space-joined tokens) collides
+    * with the 64-hex shape only for pathological single-token
+    * corpora, where the guard fails LOUDLY (the safe direction: a
+    * false reject names itself; a silent wrong-domain probe
+    * under-dedups). Returns whether the directory is legacy (appends
+    * then stay stampless, keeping the dir schema homogeneous).
     */
   private def spanStateModeGuard(state: Option[DataFrame],
       statePath: String, expected: String): Boolean =
@@ -1423,6 +1428,25 @@ object Dedup {
           s"${dt.simpleString} keys — incompatible with key mode " +
           s"'$expected'; key domains are not interchangeable per " +
           "state directory")
+        if (expected != "fp64") {
+          // string-vs-string: sample a bounded slice of keys (O(100)
+          // strings to the driver — a guard, not a scan) and apply the
+          // hex heuristic
+          val sample = st.select(col("wkey")).filter(col("wkey").isNotNull)
+            .head(100)
+          if (sample.nonEmpty) {
+            val allHex = sample.forall(
+              _.getString(0).matches("[0-9a-f]{64}"))
+            val inferred = if (allHex) "sha256" else "text"
+            require(inferred == expected,
+              s"span state at $statePath is legacy (no kmode stamp) " +
+                s"and its stored keys read as '$inferred' by the " +
+                s"64-lowercase-hex heuristic, but this run uses " +
+                s"'$expected' — key domains are not interchangeable " +
+                "(a mismatched probe silently skips history " +
+                "excision); pick one mode per state directory")
+          }
+        }
         true
     }
 

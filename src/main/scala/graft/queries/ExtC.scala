@@ -191,8 +191,7 @@ object ExtC {
         .unionByName(o.filter(col("pk") % 9 === 0)
           .select(col("pk"), lit(4L).as("version"), lit("update").as("op"),
             (col("price") + 200.0).as("price")))
-      val state = java.nio.file.Files.createTempDirectory("cdctrap")
-        .resolve("state").toString
+      val state = H.tempStateDir("cdctrap") + "/state"
       CdcStream.applyBatch(b1, state, "pk", "version", "op")
       CdcStream.applyBatch(b2, state, "pk", "version", "op")
         .orderBy(col("pk"))

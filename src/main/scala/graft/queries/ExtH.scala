@@ -416,8 +416,7 @@ object ExtH {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("toks"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_shard_state").toString + "/state"
+      val statePath = H.tempStateDir("graft_shard_state") + "/state"
       (0 until 3).foreach { b =>
         graft.streaming.ShardStream.applyBatch(
           docs.filter(pmod(col("doc_id"), lit(3)) === b),
@@ -575,8 +574,7 @@ object ExtH {
       val docs = t(s, dir, "documents")
         .select(col("source"), col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("toks"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_pack_state").toString + "/state"
+      val statePath = H.tempStateDir("graft_pack_state") + "/state"
       (0 until 3).map { b =>
         graft.streaming.PackStream.applyBatch(
             docs.filter(pmod(col("doc_id"), lit(3)) === b),

@@ -604,7 +604,7 @@ object ExtK {
   val xPipelineMasterKn = Q(
     "x_pipeline_master_kn",
     (s, dir) => runMaster(s, dir, lshWholeDoc = true, knFluency = true),
-    Some(masterOracle(learned = false, kn = true)))
+    Some(masterOracle(learned = false, kn = true)), bench2 = true)
 
   val queries: Seq[Q] = Seq(xPipelineMaster, xPipelineMasterLsh,
     xPipelineMasterSuffix, xPipelineMasterLearned, xPipelineMasterKn)

@@ -180,8 +180,7 @@ object ExtM {
         graft.streaming.FunnelStream.fluencyCutoff(docs, "text", "doc_id")
       val inj = docs.select(col("doc_id"), col("text"),
         concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_curate_funnel").toString + "/state"
+      val statePath = H.tempStateDir("graft_curate_funnel") + "/state"
       (0 until 3).map { b =>
         graft.streaming.FunnelStream.applyBatch(
           inj.filter(pmod(col("doc_id"), lit(3)) === b),

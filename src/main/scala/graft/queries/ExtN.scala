@@ -644,8 +644,7 @@ object ExtN {
           Text.gopherRules(docs, "text", "doc_id")
             .select(col("doc_id"), col("pass")), "doc_id")
         .withColumn("url", ExtK.urlCol)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_domain_state").toString + "/state"
+      val statePath = H.tempStateDir("graft_domain_state") + "/state"
       (0 until 2).foreach { b =>
         graft.streaming.DomainStream.applyBatch(
           labeled.filter(pmod(col("doc_id"), lit(3)) === b),

@@ -251,8 +251,7 @@ object ExtO {
         concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
       val evalDocs = docs.filter(col("doc_id") < 20)
       val arrivals = inj.filter(col("doc_id") >= 20)
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_curate_master").toString + "/state"
+      val statePath = H.tempStateDir("graft_curate_master") + "/state"
       val (_, report) = graft.streaming.CurateStream.applyBatch(arrivals,
         statePath, 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
         "doc_id")
@@ -338,7 +337,8 @@ object ExtO {
         (SELECT CAST(COUNT(*) AS BIGINT) FROM c8) AS c_span,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM c9) AS c_curated,
         (SELECT CAST(COALESCE(SUM(n_kept_tokens), 0) AS BIGINT)
-          FROM c9) AS c_tokens"""))
+          FROM c9) AS c_tokens"""),
+    bench2 = true)
 
   /** The cross-set prefix-doubling replay to level `baseLen` = 4:
     * positions + sentinels over ALL documents (one numbering for both
@@ -455,8 +455,7 @@ object ExtO {
         .fluencyCutoff(docs, "text", "doc_id", kn = true)
       val inj = docs.select(col("doc_id"), col("text"),
         concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
-      val statePath = java.nio.file.Files
-        .createTempDirectory("graft_funnel_kn").toString + "/state"
+      val statePath = H.tempStateDir("graft_funnel_kn") + "/state"
       (0 until 3).map { b =>
         graft.streaming.FunnelStream.applyBatch(
           inj.filter(pmod(col("doc_id"), lit(3)) === b),

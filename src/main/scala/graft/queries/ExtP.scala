@@ -34,8 +34,7 @@ object ExtP {
     "x_dedup_span_incremental_exact_first",
     (s, dir) => {
       val d = t(s, dir, "documents")
-      val state = java.nio.file.Files
-        .createTempDirectory("graft_span_incr_ef").toString
+      val state = H.tempStateDir("graft_span_incr_ef")
       val batches = Seq(d.filter(col("doc_id") < 250),
         d.filter(col("doc_id") >= 250))
       val ef = batches.zipWithIndex.map { case (b, i) =>
@@ -175,8 +174,7 @@ object ExtP {
       val labels = withUrl.join(
         graft.ext.Text.gopherRules(docs, "text", "doc_id")
           .select(col("doc_id"), col("pass")), "doc_id")
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_curate_learned").toString
+      val base = H.tempStateDir("graft_curate_learned")
       val domState = s"$base/dom"
       val state = s"$base/state"
       val reports = Seq((20L, 250L), (250L, Long.MaxValue)).zipWithIndex
@@ -391,7 +389,8 @@ object ExtP {
       LEFT JOIN lpf USING (doc_id)
       LEFT JOIN ptags USING (doc_id)
       JOIN dd USING (doc_id)
-      JOIN ddom USING (url_domain)""")}"""))
+      JOIN ddom USING (url_domain)""")}"""),
+    bench2 = true)
 
   /** The packed-sequence table all three epoch queries share — ONE
     * row per (source-group, bin) with the sequence's doc/token load.
@@ -489,7 +488,8 @@ object ExtP {
       .orderBy(col("epoch_pos")),
     Some(s"""WITH RECURSIVE $epochBaseCtes
       SELECT grp, bin, n_docs, n_toks, shuffle_key, epoch_pos
-      FROM epos ORDER BY epoch_pos"""))
+      FROM epos ORDER BY epoch_pos"""),
+    bench2 = true)
 
   /** Epoch sharding ([[graft.ext.Layout.epochShards]], 8 consumers
     * over the seed-42 epoch order): each data-parallel consumer's

@@ -83,4 +83,31 @@ object H {
       }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
+
+  // one JVM-wide cleanup hook draining a queue of paths — per-call
+  // hooks would add a thread per rep (Bench runs each stateful query
+  // reps× plus warmup)
+  private val tmpDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val tmpHook: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      var p = tmpDirs.poll()
+      while (p != null) { del(p.toFile); p = tmpDirs.poll() }
+    }))
+
+  /** Temp state directory for stateful registered queries, deleted
+    * recursively when the JVM exits — every `run()` invocation creates
+    * fresh state (the queries adjudicate a from-empty composition), so
+    * repeated Verify/Bench reps would otherwise leak parquet state
+    * under /tmp for the life of the box (r19 ADVICE).
+    */
+  def tempStateDir(prefix: String): String = {
+    tmpHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tmpDirs.add(p)
+    p.toString
+  }
 }

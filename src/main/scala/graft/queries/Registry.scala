@@ -11,13 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * @param oracle equivalent ANSI SQL for DuckDB over the same parquet
   *               tables; None for non-SQL-expressible operators (driver
   *               then records a rows-only check).
-  * @param bench  include in the headline Bench set.
+  * @param bench  include in the headline Bench set (the CORE group —
+  *               frozen at 41 queries since r16 for cross-round
+  *               comparability; do not add to it).
+  * @param bench2 include in the FLAGSHIP bench group (r19): the
+  *               engine's heaviest end-to-end compositions, reported
+  *               as a separate total beside the frozen core so the
+  *               core series stays comparable while the flagships are
+  *               still wall-clock-gated every round.
   */
 final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    bench2: Boolean = false)
 
 /** Central registry: every operator SURVEY.md §2 declares done has an
   * entry here (and, when SQL-expressible, an oracle).
