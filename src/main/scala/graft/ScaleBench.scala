@@ -807,7 +807,7 @@ object ScaleBench {
         timeShuffle(s"curatestream $face x$k batch $b (~${nDocs * k / 3} docs)") {
           val (packed, report) = graft.streaming.CurateStream.applyBatch(
             batch, statePath, b.toLong, model, cutLp, cutId, evalDocs,
-            "text", "tinj", "doc_id", exactSpanState = exact)
+            "text", "tinj", "doc_id", exactSpanState = Some(exact))
           report.head()
           packed.count()
         }
@@ -897,6 +897,54 @@ object ScaleBench {
       }
       println(s"[scale] signalsFull corpus scans in executed plan: " +
         s"${countDocScans(probe.queryExecution.executedPlan)}")
+    }
+
+    // epoch layout (round 19): the composed permutation + manifest +
+    // PHYSICAL write over BFD-packed sequences of the ×k cloned corpus
+    // (the registered x_pack_epoch_* construction at scale). Sequence
+    // count grows ~linearly in k (clones pack into their own bins), so
+    // both rows must scale ~linearly. Row 1 = epochOrderWithTotal +
+    // epochShards (the one range exchange + two O(P)/O(groups)
+    // numbering jobs + the manifest aggregate); row 2 = the physical
+    // partitionBy(consumer) write from the PINNED order — isolating
+    // the write proves the no-new-exchange claim (consumer is monotone
+    // in epoch_pos, so the already-range-partitioned order streams
+    // into at most 2 directories per task; shuffle MiB on this row
+    // must be ~0).
+    if (sec("epoch")) for (k <- Seq(10, 40, 100)) {
+      val rep = cloned(k)
+      val asg = graft.ext.Sampling.packBestFit(rep, col("source"),
+        col("doc_id"), size(split(col("text"), " ")).cast("long"),
+        seqLen = 64L)
+      val seqs = asg.select(col("group").as("grp"), col("bin"),
+          col("toks"), col("n_bins"),
+          explode(sequence(lit(0L), col("n_bins") - 1)).as("_i"))
+        .select(col("grp"), (col("bin") + col("_i")).as("bin"),
+          when(col("_i") === 0, 1L).otherwise(0L).as("_d"),
+          when(col("_i") < col("n_bins") - 1, lit(64L))
+            .otherwise(col("toks") - (col("n_bins") - 1) * 64L).as("_t"))
+        .groupBy(col("grp"), col("bin"))
+        .agg(sum(col("_d")).cast("bigint").as("n_docs"),
+          sum(col("_t")).cast("bigint").as("n_toks"))
+        .localCheckpoint(true) // pin: measure the epoch machinery, not the packer
+      var ordered: DataFrame = null
+      var n = 0L
+      timeShuffle(s"epoch order+shards x$k (packed seqs of ${nDocs * k} docs)") {
+        val (o, total) = graft.ext.Layout.epochOrderWithTotal(seqs,
+          "grp", "bin", seed = 42L)
+        // pin the order so the write row below isolates write cost;
+        // localCheckpoint preserves the range partitioning the
+        // no-shuffle write claim rides on
+        ordered = o.localCheckpoint(true)
+        n = total
+        probeAll(graft.ext.Layout.epochShards(ordered, n, nConsumers = 8))
+      }
+      val out = java.nio.file.Files.createTempDirectory("scale_epoch")
+        .toString + "/layout"
+      timeShuffle(s"epoch physical write x$k ($n seqs, 8 consumers)") {
+        graft.ext.Layout.writeEpochLayout(ordered, n, nConsumers = 8, out)
+        n
+      }
     }
 
     spark.stop()

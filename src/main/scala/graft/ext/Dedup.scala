@@ -1386,6 +1386,41 @@ object Dedup {
     out
   }
 
+  /** The key mode of an EXISTING span-dedup state directory — the
+    * resume-side dual of [[spanStateModeGuard]]: None when no state
+    * has been written yet (a fresh stream), otherwise the stamped
+    * `kmode` of the first row; for legacy (pre-stamp) or zero-row
+    * dirs, the inferred mode — long keys are fp64, string keys go
+    * through the 64-lowercase-hex sample heuristic (the guard's), and
+    * a zero-row string dir reads as sha256 (with no history rows any
+    * string mode is semantically safe — nothing can match — and the
+    * schemas are identical, so the content-addressed default is the
+    * right forward choice). Drivers use this to auto-select the span
+    * face: fresh dir → the exact sha-256 face, existing dir → whatever
+    * it was written with ([[graft.streaming.CurateStream]] r19); the
+    * write-side guard still fails loudly if a caller forces a
+    * mismatched mode.
+    */
+  def spanStateKeyMode(spark: org.apache.spark.sql.SparkSession,
+      statePath: String): Option[String] =
+    readStateOrEmpty(spark, statePath).map { st =>
+      val stamped = if (st.columns.contains("kmode"))
+        st.select(col("kmode")).head(1).headOption.map(_.getString(0))
+      else None
+      stamped.getOrElse {
+        if (st.schema("wkey").dataType ==
+            org.apache.spark.sql.types.LongType) "fp64"
+        else {
+          val sample = st.select(col("wkey"))
+            .filter(col("wkey").isNotNull).head(100)
+          if (sample.isEmpty ||
+              sample.forall(_.getString(0).matches("[0-9a-f]{64}")))
+            "sha256"
+          else "text"
+        }
+      }
+    }
+
   /** Key-mode guard for the span-dedup state directories: the three
     * key domains (text / fp64 / sha256) are NOT interchangeable — a
     * probe against the wrong domain matches nothing and silently

@@ -188,4 +188,130 @@ object Layout {
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_toks"), lit(0L)).as("n_toks"))
   }
+
+  /** Materialize an [[epochOrder]] result as the loader-facing
+    * PHYSICAL layout (r19 — the "range partitioning IS the epoch
+    * sharding" claim written to disk, not just held as a DataFrame
+    * property): one parquet directory per consumer
+    * (`consumer=c/`), each holding exactly that consumer's contiguous
+    * [[epochShards]] position block, rows in epoch order within each
+    * file.
+    *
+    * Scale shape — deliberately NO new exchange: `consumer` is a
+    * MONOTONE function of `epoch_pos` (the balanced integer division),
+    * and [[epochOrder]]'s output is already range-partitioned and
+    * sorted by the permutation key (= epoch order), so every task's
+    * rows land in at most TWO consumer directories and arrive
+    * pre-sorted; the dynamic-partition write needs no shuffle and no
+    * per-task sort of substance. A repartition-by-consumer here would
+    * add a full exchange of the corpus for nothing.
+    *
+    * The written artifact is gated (LayoutEpochSpec): per consumer
+    * directory the read-back positions must be exactly the gap-free
+    * range [first_pos, last_pos] of the consumer's manifest row, and
+    * the union over directories must be every sequence exactly once.
+    *
+    * Returns the [[epochShards]] manifest the layout was written
+    * against (the launcher reads it to find each rank's directory and
+    * expected range).
+    */
+  def writeEpochLayout(ordered: DataFrame, total: Long, nConsumers: Int,
+      path: String, nDocsCol: String = "n_docs",
+      nToksCol: String = "n_toks"): DataFrame = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    require(total > 0, "total must be positive")
+    ordered
+      .withColumn("consumer",
+        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .write.mode("overwrite").partitionBy("consumer").parquet(path)
+    epochShards(ordered, total, nConsumers, nDocsCol, nToksCol)
+  }
+
+  /** Mid-epoch RESUME cursor (r19) — the deterministic restart
+    * contract a crashed data-parallel training job needs: for each
+    * requested (consumer c, K), "skip the first K sequences of
+    * consumer c's epoch block and resume at the next one", with the
+    * per-consumer cumulative token positions that make a token-budget
+    * resume ("skip the first B tokens") the same lookup.
+    *
+    * Everything composes from machinery this family already pays for:
+    *  - the global inclusive prefix sum over the epoch order
+    *    ([[Rank.globalRunningSum]] — one range exchange, never a
+    *    single-partition window);
+    *  - the per-consumer manifest (one map-side-combinable aggregate,
+    *    O(nConsumers) rows) plus an O(nConsumers) window for each
+    *    consumer's token OFFSET (tokens of all earlier consumers), so
+    *    consumer-local cumulative tokens = global cum − offset;
+    *  - the resume row itself: consumer c's block is the contiguous
+    *    position range starting at its manifest `first_pos`, so the
+    *    (K+1)-th sequence is simply position `first_pos + K` — an
+    *    equi-join of the O(#skips) request table against the summed
+    *    order (broadcast, no new shuffle class).
+    *
+    * `ordered` must be an [[epochOrder]]-shaped frame (carries
+    * `epoch_pos`, `groupCol`, `binCol`, `nToksCol`); `total` is the N
+    * the division used (from [[epochOrderWithTotal]]). A skip past
+    * the consumer's block (K ≥ its n_seqs) is EXHAUSTED: the resume
+    * columns come back NULL, skipped_toks = the consumer's whole
+    * token load, remaining 0 — adjudicated, not an error (a launcher
+    * replaying "skip everything consumed" on a finished shard must
+    * get a clean terminal answer).
+    *
+    * Returns one row per requested (consumer, skip_k):
+    * (consumer, skip_k, n_seqs, resume_pos, resume_grp, resume_bin,
+    * resume_toks, skipped_toks, remaining_seqs, remaining_toks).
+    */
+  def epochResumeCursor(ordered: DataFrame, total: Long, nConsumers: Int,
+      skips: Seq[(Long, Long)], groupCol: String = "grp",
+      binCol: String = "bin", nToksCol: String = "n_toks"): DataFrame = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    require(total > 0, "total must be positive")
+    require(skips.nonEmpty, "need at least one (consumer, skip) request")
+    require(skips.forall { case (c, k) => c >= 0 && c < nConsumers && k >= 0 },
+      s"every request needs 0 <= consumer < $nConsumers and skip_k >= 0")
+    val spark = ordered.sparkSession
+    import spark.implicits._
+    val cum = Rank.globalRunningSum(ordered, Seq(col("epoch_pos")),
+        col(nToksCol), out = "_gcum")
+      .withColumn("consumer",
+        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+    // O(nConsumers) manifest + exclusive token offsets; the window is
+    // over the BOUNDED consumer dimension, not the corpus (the
+    // single-partition exchange it implies moves nConsumers rows)
+    val man = cum.groupBy(col("consumer"))
+      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        min(col("epoch_pos")).cast("bigint").as("_first"),
+        sum(col(nToksCol)).cast("bigint").as("_ctoks"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy(col("consumer"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val manOff = man
+      .withColumn("_off", coalesce(sum(col("_ctoks")).over(wc), lit(0L)))
+    val req = skips.toDF("consumer", "skip_k")
+      .join(broadcast(manOff), Seq("consumer"))
+    // probe shape: the corpus-sized summed order is scanned ONCE with
+    // the O(#skips) request table BROADCAST against it (an inner join
+    // can build the tiny side; a left-outer here would force the
+    // corpus through a join exchange just to carry the exhausted
+    // requests) — exhausted requests are re-attached by a second,
+    // O(#skips)-vs-O(#skips) left join
+    val hits = cum.join(broadcast(req),
+        cum("consumer") === req("consumer") &&
+          col("epoch_pos") === col("_first") + col("skip_k"))
+      .select(req("consumer"), col("skip_k"),
+        col("epoch_pos").as("resume_pos"),
+        col(groupCol).as("resume_grp"), col(binCol).as("resume_bin"),
+        col(nToksCol).cast("long").as("resume_toks"), col("_gcum"))
+    req.join(hits, Seq("consumer", "skip_k"), "left")
+      .select(col("consumer"), col("skip_k"), col("n_seqs"),
+        col("resume_pos"),
+        col("resume_grp"), col("resume_bin"), col("resume_toks"),
+        coalesce(col("_gcum") - col("resume_toks") - col("_off"),
+          col("_ctoks")).as("skipped_toks"),
+        greatest(lit(0L), col("n_seqs") - col("skip_k"))
+          .as("remaining_seqs"),
+        (col("_ctoks") - coalesce(
+          col("_gcum") - col("resume_toks") - col("_off"),
+          col("_ctoks"))).as("remaining_toks"))
+  }
 }

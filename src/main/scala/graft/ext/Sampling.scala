@@ -121,6 +121,63 @@ object Sampling {
       .drop("_cum")
   }
 
+  /** Per-SEQUENCE provenance manifest over the [[packSequences]]
+    * layout — the training-loader contract [[packSequences]]' per-DOC
+    * view doesn't give: one row per (group, sequence, document) span,
+    * i.e. exactly which token range of sequence `seq` came from which
+    * document. A loader needs this view to place attention-mask
+    * boundaries (no cross-document attention inside a packed
+    * sequence) and to attribute a training example back to its source
+    * docs.
+    *
+    * Everything is CLOSED FORM on the same ordered prefix sums: a doc
+    * with running sum `cum` occupies stream positions [cum − t, cum),
+    * so within sequence `seq` (covering [seq·L, (seq+1)·L)) its span
+    * is `start_off = max(0, cum − t − seq·L)`,
+    * `end_off = min(L, cum − seq·L)` (0-based, end-exclusive, in-
+    * sequence offsets). The explode is bounded: a doc emits
+    * `n_splits + 1` rows (its [[packSequences]] split count + 1), so
+    * output volume is O(docs + total_tokens/L) — no new shuffle class
+    * beyond the one per-group ordered window both packers already
+    * pay.
+    *
+    * Token conservation holds by construction — non-tail sequences'
+    * spans sum to exactly `seqLen` because the group's stream
+    * positions are covered gap-free — and is therefore adjudicable:
+    * the registered query emits per-sequence sums and tail flags so
+    * any drift in the arithmetic flips a value, not just a row count.
+    *
+    * Same unique-`order` requirement as [[tokenBudget]]; token counts
+    * must be ≥ 1 — a 0-token doc occupies no positions (its
+    * seq_last = seq_first − 1 would make the span explode
+    * ill-defined), so the guard FAILS LOUDLY (the [[bfdPlace]]
+    * discipline) instead of emitting an engine-specific row.
+    *
+    * Returns (grp, seq, doc_id, start_off, end_off, span_toks).
+    */
+  def packManifest(docs: DataFrame, group: Column, id: Column,
+      tokens: Column, order: Column, seqLen: Long): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val t0 = tokens.cast("long")
+    val t = when(t0.isNull || t0 < 1, raise_error(concat(
+        lit("packManifest: doc "), id.cast("string"),
+        lit(" has non-positive token count — token counts must be >= 1"))))
+      .otherwise(t0)
+    val w = Window.partitionBy(group).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(group.as("grp"), id.cast("long").as("doc_id"),
+        t.as("_t"), sum(t).over(w).as("_cum"))
+      .withColumn("seq", explode(sequence(
+        floor((col("_cum") - col("_t")) / seqLen),
+        floor((col("_cum") - 1) / seqLen))))
+      .select(col("grp"), col("seq").cast("long").as("seq"), col("doc_id"),
+        greatest(lit(0L), col("_cum") - col("_t") - col("seq") * seqLen)
+          .cast("long").as("start_off"),
+        least(lit(seqLen), col("_cum") - col("seq") * seqLen)
+          .cast("long").as("end_off"))
+      .withColumn("span_toks", col("end_off") - col("start_off"))
+  }
+
   /** Best-fit-decreasing sequence packing — the whole-document
     * alternative to [[packSequences]]: documents are NOT split across
     * training sequences; instead each group's docs are packed into

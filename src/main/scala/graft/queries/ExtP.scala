@@ -406,9 +406,9 @@ object ExtP {
     * registered faces can never drift — the shared-CTE discipline,
     * engine side.
     */
-  private val epochSeqLen = 64L
+  private[queries] val epochSeqLen = 64L
 
-  private def epochSeqs(s: org.apache.spark.sql.SparkSession,
+  private[queries] def epochSeqs(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val docs = t(s, dir, "documents")
     val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
@@ -435,7 +435,7 @@ object ExtP {
     * LCG key, and the global position. Ends in
     * `epos(grp, bin, n_docs, n_toks, shuffle_key, epoch_pos)`.
     */
-  private def epochBaseCtes: String = s"""${ExtH.packBfdCoreCtes(
+  private[queries] def epochBaseCtes: String = s"""${ExtH.packBfdCoreCtes(
       epochSeqLen,
       """d AS (SELECT source AS grp, doc_id,
           CAST(len(string_split(text, ' ')) AS BIGINT) AS toks

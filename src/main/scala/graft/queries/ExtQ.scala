@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import H.t
+
+/** Round-19 operators: the per-SEQUENCE provenance manifest over the
+  * concat-and-chunk packing (the attention-mask/attribution contract)
+  * and the mid-epoch resume cursor over the epoch-order family (the
+  * deterministic restart contract).
+  */
+object ExtQ {
+
+  /** Per-sequence provenance manifest
+    * ([[graft.ext.Sampling.packManifest]], seqLen 64, grouped by
+    * source, doc_id order): one row per (group, sequence, document)
+    * span — which token range of each packed training sequence came
+    * from which document, 0-based in-sequence offsets, end-exclusive.
+    * This is the view a training loader needs to place attention-mask
+    * boundaries and attribute an example back to its sources;
+    * [[graft.ext.Sampling.packSequences]]' per-DOC seq_first/seq_last
+    * cannot answer "what is inside sequence s" without it.
+    *
+    * Token conservation is adjudicated, not asserted: every row
+    * carries its sequence's span SUM (`seq_toks`), the tail flag, and
+    * `conserved` = (seq_toks = 64 OR tail) — non-tail sequences must
+    * be exactly full because the group's stream positions are covered
+    * gap-free, so any drift in the prefix-sum arithmetic flips a
+    * value the hash sees. The oracle re-derives every span from the
+    * same cumulative arithmetic (window sum → span explode → offset
+    * clamps → per-sequence re-aggregation).
+    *
+    * Scale: one per-group ordered window (the packer's own shuffle) +
+    * a bounded explode (n_splits + 1 rows per doc) + one
+    * map-side-combinable per-(group, seq) aggregate joined back on
+    * the explode's own key — no new shuffle class.
+    */
+  val xPackManifest = Q(
+    "x_pack_manifest",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = graft.ext.Sampling.packManifest(docs, col("source"),
+        col("doc_id"), size(split(col("text"), " ")).cast("long"),
+        col("doc_id"), seqLen = 64L)
+      val per = m.groupBy(col("grp"), col("seq"))
+        .agg(sum(col("span_toks")).cast("bigint").as("seq_toks"))
+      val mx = m.groupBy(col("grp"))
+        .agg(max(col("seq")).cast("bigint").as("_mx"))
+      m.join(per, Seq("grp", "seq")).join(mx, "grp")
+        .select(col("grp"), col("seq"), col("doc_id"),
+          col("start_off"), col("end_off"), col("span_toks"),
+          col("seq_toks"), (col("seq") === col("_mx")).as("is_tail"),
+          (col("seq_toks") === lit(64L) || col("seq") === col("_mx"))
+            .as("conserved"))
+        .orderBy(col("grp"), col("seq"), col("doc_id"))
+    },
+    Some("""WITH md AS (SELECT source AS grp, doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS t
+      FROM documents),
+      mc AS (SELECT grp, doc_id, t,
+          CAST(SUM(t) OVER (PARTITION BY grp ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM md),
+      ms AS (SELECT grp, doc_id, t, cum,
+          CAST(unnest(range((cum - t) // 64, (cum - 1) // 64 + 1))
+            AS BIGINT) AS seq
+        FROM mc),
+      mm AS (SELECT grp, seq, doc_id,
+          CAST(greatest(0, cum - t - seq * 64) AS BIGINT) AS start_off,
+          CAST(least(64, cum - seq * 64) AS BIGINT) AS end_off
+        FROM ms),
+      mp AS (SELECT grp, seq,
+          CAST(SUM(end_off - start_off) AS BIGINT) AS seq_toks
+        FROM mm GROUP BY 1, 2),
+      mt AS (SELECT grp, CAST(MAX(seq) AS BIGINT) AS mx
+        FROM mm GROUP BY 1)
+      SELECT mm.grp, mm.seq, mm.doc_id, mm.start_off, mm.end_off,
+        CAST(mm.end_off - mm.start_off AS BIGINT) AS span_toks,
+        mp.seq_toks, (mm.seq = mt.mx) AS is_tail,
+        (mp.seq_toks = 64 OR mm.seq = mt.mx) AS conserved
+      FROM mm JOIN mp USING (grp, seq) JOIN mt USING (grp)
+      ORDER BY mm.grp, mm.seq, mm.doc_id"""))
+
+  /** Mid-epoch resume cursor ([[graft.ext.Layout.epochResumeCursor]],
+    * 8 consumers over the seed-42 epoch order): for each requested
+    * (consumer, K), the exact sequence a crashed training rank
+    * resumes at after consuming K sequences of its block, plus the
+    * consumer-local cumulative token positions (skipped / remaining)
+    * that make a token-budget resume the same lookup. The four
+    * requests cover a mid-block skip, a zero skip (resume = the
+    * block's first sequence), a near-tail skip, and an EXHAUSTED skip
+    * (K past the block: NULL resume columns, all tokens skipped) — so
+    * the boundary verdicts adjudicate, not just the happy path. The
+    * oracle chains the FULL epoch-order replay, the global prefix
+    * sums, the per-consumer manifest + token offsets, and the
+    * first_pos + K lookup, so a drifted position, offset, or
+    * cumulative sum anywhere moves a resume boundary and flips the
+    * hash.
+    */
+  val xPackEpochResume = Q(
+    "x_pack_epoch_resume",
+    (s, dir) => {
+      val (ordered, n) = graft.ext.Layout.epochOrderWithTotal(
+        ExtP.epochSeqs(s, dir), "grp", "bin", seed = 42L)
+      graft.ext.Layout.epochResumeCursor(ordered, n, nConsumers = 8,
+          skips = Seq((2L, 10L), (5L, 0L), (7L, 70L), (1L, 100000L)))
+        .orderBy(col("consumer"), col("skip_k"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtP.epochBaseCtes},
+      ecum AS (SELECT epoch_pos, grp, bin, n_toks,
+          CAST(SUM(n_toks) OVER (ORDER BY epoch_pos
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS gcum
+        FROM epos),
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos),
+      ecc AS (SELECT e.*, CAST(((epoch_pos - 1) * 8)
+            // (SELECT n FROM en) AS BIGINT) AS consumer
+        FROM ecum e),
+      eman AS (SELECT consumer, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+          CAST(SUM(n_toks) AS BIGINT) AS ctoks
+        FROM ecc GROUP BY 1),
+      eoff AS (SELECT consumer, n_seqs, first_pos, ctoks,
+          CAST(COALESCE(SUM(ctoks) OVER (ORDER BY consumer
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS toff
+        FROM eman),
+      ereq AS (SELECT CAST(c AS BIGINT) AS consumer,
+          CAST(k AS BIGINT) AS skip_k
+        FROM (VALUES (2, 10), (5, 0), (7, 70), (1, 100000)) t(c, k)),
+      ehit AS (SELECT r.consumer, r.skip_k,
+          e.epoch_pos AS resume_pos, e.grp AS resume_grp,
+          e.bin AS resume_bin, CAST(e.n_toks AS BIGINT) AS resume_toks,
+          e.gcum
+        FROM ereq r JOIN eoff m USING (consumer)
+        JOIN ecc e ON e.consumer = r.consumer
+          AND e.epoch_pos = m.first_pos + r.skip_k)
+      SELECT r.consumer, r.skip_k, m.n_seqs, h.resume_pos,
+        h.resume_grp, h.resume_bin, h.resume_toks,
+        CAST(COALESCE(h.gcum - h.resume_toks - m.toff, m.ctoks)
+          AS BIGINT) AS skipped_toks,
+        CAST(greatest(0, m.n_seqs - r.skip_k) AS BIGINT)
+          AS remaining_seqs,
+        CAST(m.ctoks - COALESCE(h.gcum - h.resume_toks - m.toff,
+          m.ctoks) AS BIGINT) AS remaining_toks
+      FROM ereq r JOIN eoff m USING (consumer)
+      LEFT JOIN ehit h ON h.consumer = r.consumer
+        AND h.skip_k = r.skip_k
+      ORDER BY r.consumer, r.skip_k"""))
+
+  val queries: Seq[Q] = Seq(xPackManifest, xPackEpochResume)
+}

@@ -38,7 +38,7 @@ object Registry {
       ExtC.queries ++ ExtD.queries ++ ExtE.queries ++ ExtF.queries ++
       ExtG.queries ++ ExtH.queries ++ ExtI.queries ++ ExtJ.queries ++
       ExtK.queries ++ ExtL.queries ++ ExtM.queries ++ ExtN.queries ++
-      ExtO.queries ++ ExtP.queries ++ Curate.queries
+      ExtO.queries ++ ExtP.queries ++ ExtQ.queries ++ Curate.queries
 
   lazy val byName: Map[String, Q] = {
     // a duplicate name would silently shadow a query in SparkEntry's

@@ -87,7 +87,7 @@ object CurateStream {
       minKeptTokens: Int = 20,
       domainStatePath: Option[String] = None,
       domainMinPassFrac: Double = 0.5,
-      exactSpanState: Boolean = false): (DataFrame, DataFrame) = {
+      exactSpanState: Option[Boolean] = None): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -181,19 +181,30 @@ object CurateStream {
 
     // 7. corpus-wide span excision vs the accumulated window state +
     // the post-dedup length floor (the batch master's stage 8).
-    // `exactSpanState = true` routes through the r18 EXACT-FIRST
+    // `exactSpanState = Some(true)` routes through the r18 EXACT-FIRST
     // incremental face (per-batch digest collapse + closed-form member
     // reconstruction, sha-256 content-addressed state keys — exact at
     // any span length, no 64-bit birthday bound; measured ScaleBench
     // `spanincr`: content-bound ~3.5 s / ~120 MiB per batch at ×10 AND
     // ×40 clones while the fingerprint face's shuffle grows
     // arrival-bound 64 → 239 MiB, state rows identical 215182 on both
-    // faces). The DEFAULT stays the fingerprint state for STATE
-    // COMPATIBILITY only: the two key domains are not interchangeable,
-    // so a resumed stream must never switch faces silently — new state
-    // directories should prefer the exact-first face. Either face pins
-    // its own output before the append.
-    val spanned = (if (exactSpanState)
+    // faces); `Some(false)` forces the fingerprint face. The DEFAULT
+    // (None, r19) AUTO-SELECTS: a FRESH state directory gets the
+    // exact-first sha-256 face (the production-shape choice — the
+    // kmode stamp makes a later mismatched resume fail loudly, so
+    // auto-selecting on empty state is safe), while an EXISTING
+    // directory keeps the face it was written with (a resumed fp64
+    // stream stays fp64 — the two key domains are not
+    // interchangeable, and a silent face switch would skip every
+    // historical excision). Either face pins its own output before
+    // the append.
+    val spanExact = exactSpanState.getOrElse(
+      Dedup.spanStateKeyMode(spark, s"$statePath/span") match {
+        case None => true            // fresh state → exact sha-256
+        case Some("sha256") => true
+        case _ => false              // fp64 (or legacy long) → fingerprint
+      })
+    val spanned = (if (spanExact)
         Dedup.spanDedupIncrementalExactFirst(t3, "text", "doc_id",
           spanLen, s"$statePath/span", batchTag = Some(batchId))
       else Dedup.spanDedupIncremental(t3, "text", "doc_id",

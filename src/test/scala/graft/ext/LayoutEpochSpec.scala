@@ -104,6 +104,76 @@ class LayoutEpochSpec extends SparkSuite {
       Seq(1L, 2L, 3L, 4L))
   }
 
+  test("writeEpochLayout: per-consumer dirs hold exactly the manifest's " +
+      "gap-free ranges") {
+    val (ordered, total) = Layout.epochOrderWithTotal(fixture, "grp",
+      "bin", seed = 42L)
+    val out = java.nio.file.Files.createTempDirectory("layout_epoch")
+      .toString + "/epoch"
+    val manifest = Layout.writeEpochLayout(ordered, total, nConsumers = 8,
+        out).orderBy(col("consumer")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var seen = 0L
+    manifest.foreach { case (c, nSeqs, first, last) =>
+      val dir = s"$out/consumer=$c"
+      val pos = spark.read.parquet(dir).select(col("epoch_pos"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(pos == (first to last).toSeq,
+        s"consumer $c directory must hold exactly its contiguous " +
+          s"manifest range [$first, $last], gap-free")
+      assert(pos.length == nSeqs)
+      seen += nSeqs
+    }
+    assert(seen == total, "the union over directories is every sequence " +
+      "exactly once")
+    // the read-back layout carries the full epoch row (a loader needs
+    // the sequence identity and load, not just positions)
+    val cols = spark.read.parquet(out).columns.toSet
+    assert(Set("grp", "bin", "n_docs", "n_toks", "shuffle_key",
+      "epoch_pos", "consumer").subsetOf(cols))
+  }
+
+  test("epochResumeCursor matches a collected per-consumer reference, " +
+      "including the exhausted case") {
+    val (ordered, total) = Layout.epochOrderWithTotal(fixture, "grp",
+      "bin", seed = 42L)
+    val nC = 8
+    // reference: collect the order, derive each consumer's block and
+    // local cumulative tokens with plain Scala
+    val rows = ordered.orderBy(col("epoch_pos"))
+      .select("epoch_pos", "grp", "bin", "n_toks").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byC = rows.groupBy { case (p, _, _, _) => (p - 1) * nC / total }
+    val skips = Seq((0L, 0L), (3L, 7L), (6L, 14L), (2L, 999L))
+    val got = Layout.epochResumeCursor(ordered, total, nC, skips)
+      .orderBy(col("consumer"), col("skip_k")).collect()
+    assert(got.length == skips.length)
+    got.foreach { r =>
+      val c = r.getLong(0); val k = r.getLong(1)
+      val block = byC(c).sortBy(_._1)
+      assert(r.getLong(2) == block.length, "n_seqs")
+      if (k < block.length) {
+        val (pos, g, b, t) = block(k.toInt)
+        assert(r.getLong(r.fieldIndex("resume_pos")) == pos)
+        assert(r.getString(r.fieldIndex("resume_grp")) == g)
+        assert(r.getLong(r.fieldIndex("resume_bin")) == b)
+        assert(r.getLong(r.fieldIndex("resume_toks")) == t)
+        assert(r.getLong(r.fieldIndex("skipped_toks")) ==
+          block.take(k.toInt).map(_._4).sum)
+        assert(r.getLong(r.fieldIndex("remaining_seqs")) == block.length - k)
+        assert(r.getLong(r.fieldIndex("remaining_toks")) ==
+          block.drop(k.toInt).map(_._4).sum)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("resume_pos")), "exhausted = NULL")
+        assert(r.isNullAt(r.fieldIndex("resume_grp")))
+        assert(r.getLong(r.fieldIndex("skipped_toks")) ==
+          block.map(_._4).sum, "exhausted skips the whole block")
+        assert(r.getLong(r.fieldIndex("remaining_seqs")) == 0L)
+        assert(r.getLong(r.fieldIndex("remaining_toks")) == 0L)
+      }
+    }
+  }
+
   test("epochOrder is partition-independent and seed-sensitive") {
     def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
       Layout.epochOrder(df, "grp", "bin", seed).orderBy(col("epoch_pos"))

@@ -285,6 +285,42 @@ class CurateStreamSpec extends SparkSuite {
       batchTag = Some(1L), hashedState = true).collect()
   }
 
+  test("legacy stampless STRING states are adjudicated by the 64-hex " +
+      "value heuristic") {
+    // the r18 residual: a pre-kmode state's text-vs-sha256 flip was
+    // indistinguishable by type (both strings) and silently matched
+    // zero history keys — the value heuristic now fails it loudly
+    import graft.ext.Dedup
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    // fabricated legacy TEXT state (no kmode column, space-bearing keys)
+    val stateT = freshState() + "/span_legacy_text"
+    Seq(("a b c", -1L)).toDF("wkey", "batch").write.parquet(stateT)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.spanDedupIncrementalExactFirst(docs, "text", "doc_id", 3,
+        stateT, batchTag = Some(1L), stateKeys = "sha256").collect()
+    }
+    assert(e.getMessage.contains("heuristic"),
+      s"expected the hex heuristic to fire, got: ${e.getMessage}")
+    // the matching mode still resumes a legacy dir (appends stampless)
+    Dedup.spanDedupIncremental(docs, "text", "doc_id", 3, stateT,
+      batchTag = Some(1L), hashedState = false).collect()
+    assert(!spark.read.parquet(stateT).columns.contains("kmode"),
+      "legacy dirs stay stampless (homogeneous schema)")
+    // fabricated legacy SHA-256-shaped state: uniform 64-hex keys
+    val stateS = freshState() + "/span_legacy_sha"
+    Seq(("a" * 64, -1L)).toDF("wkey", "batch").write.parquet(stateS)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.spanDedupIncremental(docs, "text", "doc_id", 3, stateS,
+        batchTag = Some(1L), hashedState = false).collect()
+    }
+    assert(e2.getMessage.contains("heuristic"))
+    // the resume-side probe reads the same inference
+    assert(Dedup.spanStateKeyMode(spark, stateT).contains("text"))
+    assert(Dedup.spanStateKeyMode(spark, stateS).contains("sha256"))
+    assert(Dedup.spanStateKeyMode(spark,
+      freshState() + "/never_written").isEmpty)
+  }
+
   test("CurateStream exactSpanState face curates the identical corpus") {
     val docs = H.t(spark, dir, "documents")
     val injected = docs.select(col("doc_id"), col("text"),
@@ -292,17 +328,72 @@ class CurateStreamSpec extends SparkSuite {
     val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
     val evalDocs = docs.filter(col("doc_id") < 20)
     val arrivals = injected.filter(col("doc_id") >= 20)
+    // Some(false) pins the fingerprint face explicitly — the r19 auto
+    // default would otherwise pick the exact face on BOTH sides and
+    // this equality would stop adjudicating anything
     val (packedA, reportA) = CurateStream.applyBatch(arrivals,
       freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
-      "doc_id", seqLen = seqLen)
+      "doc_id", seqLen = seqLen, exactSpanState = Some(false))
     val (packedB, reportB) = CurateStream.applyBatch(arrivals,
       freshState(), 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
-      "doc_id", seqLen = seqLen, exactSpanState = true)
+      "doc_id", seqLen = seqLen, exactSpanState = Some(true))
     assert(packedB.collect().map(_.toString).sorted.toSeq ===
       packedA.collect().map(_.toString).sorted.toSeq,
       "the exact-first span state must place the identical corpus")
     assert(reportB.head() === reportA.head(),
       "the exact-first span state must report the identical attrition")
+  }
+
+  test("span-state default auto-selects: fresh dir lands sha-256, a " +
+      "resumed fp64 dir stays fp64, a forced flip still fails") {
+    import graft.ext.Dedup
+    val docs = H.t(spark, dir, "documents")
+    val injected = docs.select(col("doc_id"), col("text"),
+      concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
+    val (cutLp, cutId) = FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val b0 = injected.filter(col("doc_id") >= 20 && col("doc_id") < 250)
+    val b1 = injected.filter(col("doc_id") >= 250)
+
+    // fresh state under the DEFAULT → the exact sha-256 face, and the
+    // next default batch RESUMES it as sha-256 (auto matches the dir)
+    val sFresh = freshState()
+    CurateStream.applyBatch(b0, sFresh, 0L, docs, cutLp, cutId,
+      evalDocs, "text", "tinj", "doc_id", seqLen = seqLen)._2.head()
+    assert(Dedup.spanStateKeyMode(spark, s"$sFresh/span")
+      .contains("sha256"), "a fresh dir must land sha-256 keys")
+    val st = spark.read.parquet(s"$sFresh/span")
+    assert(st.select(col("kmode")).distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("sha256"))
+    assert(st.filter(!col("wkey").rlike("^[0-9a-f]{64}$")).count() == 0L,
+      "sha-256 state keys are 64 lowercase hex chars")
+    CurateStream.applyBatch(b1, sFresh, 1L, docs, cutLp, cutId,
+      evalDocs, "text", "tinj", "doc_id", seqLen = seqLen)._2.head()
+    assert(spark.read.parquet(s"$sFresh/span").select(col("kmode"))
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("sha256"),
+      "the resumed default must stay sha-256")
+
+    // a dir seeded FINGERPRINT stays fp64 under the default (no silent
+    // face switch, no error)
+    val sFp = freshState()
+    CurateStream.applyBatch(b0, sFp, 0L, docs, cutLp, cutId, evalDocs,
+      "text", "tinj", "doc_id", seqLen = seqLen,
+      exactSpanState = Some(false))._2.head()
+    assert(Dedup.spanStateKeyMode(spark, s"$sFp/span").contains("fp64"))
+    CurateStream.applyBatch(b1, sFp, 1L, docs, cutLp, cutId, evalDocs,
+      "text", "tinj", "doc_id", seqLen = seqLen)._2.head()
+    assert(spark.read.parquet(s"$sFp/span").select(col("kmode"))
+      .distinct().collect().map(_.getString(0)).toSeq == Seq("fp64"),
+      "a resumed fp64 dir must stay fp64 under the default")
+
+    // forcing the exact face onto the fp64 dir still fails loudly —
+    // auto-selection removes no teeth from the kmode guard
+    val e = intercept[IllegalArgumentException] {
+      CurateStream.applyBatch(b1, sFp, 2L, docs, cutLp, cutId, evalDocs,
+        "text", "tinj", "doc_id", seqLen = seqLen,
+        exactSpanState = Some(true))._2.head()
+    }
+    assert(e.getMessage.contains("key mode"))
   }
 
   test("NULL urls survive stage 0 identically under both blocklist cuts") {
