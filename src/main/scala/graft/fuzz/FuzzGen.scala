@@ -205,6 +205,29 @@ object FuzzGen {
       s"WHERE $fkChild = $fkParent AND ${pred.sql})"
   }
 
+  /** Round-19 wave 14: correlated [NOT] EXISTS inside a CASE-WHEN
+    * SELECT expression —
+    * `CASE WHEN [NOT] EXISTS (SELECT 1 FROM tbl WHERE fk = pk AND
+    *  pred) THEN parentCol % m ELSE -1 END AS cex` — the EXISTS
+    * predicate in a PROJECTION (not WHERE/HAVING): neither a semi nor
+    * an anti join can express it (both CASE branches must survive), so
+    * Catalyst plans an ExistenceJoin witness consumed by the CASE —
+    * the select-list sibling of wave 8's disjunctive OrExists. NULL
+    * conventions: a NULL correlation key never matches (EXISTS false
+    * → the ELSE branch; NOT EXISTS true → the THEN branch), and a
+    * NULL `parentCol` surfaces a NULL THEN value — identical in both
+    * engines. The DataFrame rendering builds the witness by hand:
+    * distinct child keys LEFT-joined, `coalesce(flag, false)`, CASE
+    * via when/otherwise.
+    */
+  final case class CaseExists(parentCol: String, m: Int, tbl: String,
+      fkChild: String, fkParent: String, neg: Boolean, pred: Pred) {
+    def sql: String =
+      s"CAST(CASE WHEN ${if (neg) "NOT " else ""}EXISTS " +
+        s"(SELECT 1 FROM $tbl WHERE $fkChild = $fkParent AND " +
+        s"${pred.sql}) THEN $parentCol % $m ELSE -1 END AS BIGINT) AS cex"
+  }
+
   /** [NOT] IN subquery in the WHERE clause:
     * `(parentCol % m) [NOT] IN (SELECT maybe-NULLIF(childCol % m, r)
     *  FROM tbl WHERE pred)` — the three-valued-logic minefield. With
@@ -352,7 +375,10 @@ object FuzzGen {
       nullSideSum: Option[String] = None,
       groupByAll: Boolean = false,
       lateralCnt: Option[CorrSub] = None,
-      distinctRanks: Boolean = false) {
+      distinctRanks: Boolean = false,
+      caseExists: Option[CaseExists] = None,
+      latWin: Boolean = false,
+      frameExprOrd: Option[Int] = None) {
 
     def name: String = s"x_fuzz_$seed"
 
@@ -591,10 +617,26 @@ object FuzzGen {
             s"ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
             "CURRENT ROW) AS BIGINT) AS nssum"
         }
+        // wave 14: EXISTS inside a CASE-WHEN select expression (the
+        // projection-position ExistenceJoin — see [[CaseExists]])
+        val ceSel = caseExists.fold("")(ce => s",\n    ${ce.sql}")
+        // wave 14: a window function over the LATERAL's result — the
+        // lateral subquery's output column feeds a running SUM under
+        // the row_number total order (window-over-lateral: the frame
+        // argument comes from a LateralJoin output, a source no
+        // earlier window shape reads)
+        val lwSel = if (latWin) {
+          val src = if (lateralCnt.isDefined) "lsub2.lc" else "lsub.mx"
+          s",\n    CAST(SUM($src) OVER (PARTITION BY ${pk.sqlExpr} " +
+            s"ORDER BY $winOrd ROWS BETWEEN UNBOUNDED PRECEDING AND " +
+            "CURRENT ROW) AS BIGINT) AS lwsum"
+        } else ""
         val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
           (if (multiWin) Seq("rsum2") else Nil) ++
           (if (nthVal) Seq("nv2") else Nil) ++
-          nullSideSum.map(_ => "nssum").toSeq
+          nullSideSum.map(_ => "nssum").toSeq ++
+          caseExists.map(_ => "cex").toSeq ++
+          (if (latWin) Seq("lwsum") else Nil)
         // QUALIFY-style filter on the second window's result, rendered
         // as the subquery both engines accept; `OR rn = 1` keeps the
         // case structurally non-empty (the rank-1 peers achieve the
@@ -635,14 +677,30 @@ object FuzzGen {
         else s"""SELECT $outer FROM (
            |  SELECT ${pk.sqlExpr} AS pk, ${ids.mkString(", ")},
            |    CAST(${fn.toUpperCase}() OVER (PARTITION BY ${pk.sqlExpr}
-           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel$nvSel$nsSel
+           |      ORDER BY $winOrd) AS INTEGER) AS rn$sqSel$qSel$mwSel$nvSel$nsSel$ceSel$lwSel
            |  FROM $fromSql$whereSql) t
            |WHERE rn <= $topK$qWhere ORDER BY $outerOrd""".stripMargin
       case FrameShape(pk, ordCol, desc, ids, frame, prec, sym) =>
         val dir = if (desc) " DESC NULLS LAST" else " ASC NULLS FIRST"
         val tie = ids.map(i => s"$i ASC NULLS FIRST").mkString(", ")
-        val frameOrd = frame match {
-          case "rows" => s"$ordCol$dir, $tie"
+        // wave 14: the ROWS frame ORDERS BY an EXPRESSION, not a bare
+        // column — `(ordCol % k + 1)` collapses the order into k
+        // buckets (genuine expression evaluation inside the window
+        // ORDER BY, plus real ties for the id tiebreak to break), so
+        // the running sum walks a genuinely computed order in both
+        // engines. ROWS only: a RANGE frame's value-window over a
+        // rewritten expression would change peer semantics, not just
+        // the ordering.
+        // the bare ordCol stays as a tiebreak AFTER the expression:
+        // the fixture ids alone are NOT unique (the driver data carries
+        // duplicate (l_orderkey, l_linenumber) pairs), so the pre-wave
+        // (ordCol, ids) order was total only because ordCol itself
+        // broke those ties — dropping it would make the frame contents
+        // engine-dependent (caught: 12 wsum mismatches at sf0.01)
+        val frameOrd = (frame, frameExprOrd) match {
+          case ("rows", Some(k)) =>
+            s"($ordCol % $k + 1)$dir, $ordCol$dir, $tie"
+          case ("rows", None) => s"$ordCol$dir, $tie"
           case _ => s"$ordCol$dir" // RANGE: single ordering expression
         }
         val frameKw = if (frame == "rows") "ROWS" else "RANGE"
@@ -760,8 +818,13 @@ object FuzzGen {
           case "<=" => col(la.parentCol) <= col("_lmx")
           case _ => col(la.parentCol) >= col("_lmx")
         }
-        df.join(agg, col(la.fkParent) === col("_lk"), "left")
-          .filter(cond).drop("_lk", "_lmx")
+        val joined = df.join(agg, col(la.fkParent) === col("_lk"), "left")
+          .filter(cond)
+        // wave 14: the window-over-lateral reads the lateral's output
+        // column — carry it as lmxv instead of dropping it
+        if (latWin && lateralCnt.isEmpty)
+          joined.withColumnRenamed("_lmx", "lmxv").drop("_lk")
+        else joined.drop("_lk", "_lmx")
       }
       // wave 13: the multi-column lateral — per-FK (MAX, COUNT) LEFT-
       // joined; COUNT of a missing group is 0 (the lateral aggregate
@@ -776,8 +839,16 @@ object FuzzGen {
           case "<=" => col(lc.parentCol) <= col("_l2mx")
           case _ => col(lc.parentCol) >= col("_l2mx")
         }
-        df.join(agg, col(lc.fkParent) === col("_l2k"), "left")
+        val joined = df.join(agg, col(lc.fkParent) === col("_l2k"), "left")
           .filter(cond0 || coalesce(col("_l2c"), lit(0L)) === 0)
+        // wave 14: carry the lateral count for the window-over-lateral
+        // (coalesced to 0 — SQL's LATERAL COUNT row is 0 for childless
+        // parents where the hand-built left join reads NULL; SUM skips
+        // NULL and adding 0 is identity, but the carried column should
+        // hold the SQL value)
+        (if (latWin) joined.withColumn("lcv",
+            coalesce(col("_l2c"), lit(0L)))
+         else joined)
           .drop("_l2k", "_l2mx", "_l2c")
       }
       val base6 = inSub.foldLeft(base5b) { (df, is) =>
@@ -849,11 +920,28 @@ object FuzzGen {
       }
       // wave 7: select-list correlated scalar — per-FK MAX aggregate
       // LEFT-joined with NO filter (NULL-extension, not row attrition)
-      val base = selectSub.foldLeft(base7b) { (df, ss) =>
+      val base8 = selectSub.foldLeft(base7b) { (df, ss) =>
         val agg = H.t(s, dir, ss.tbl).filter(ss.pred.df)
           .groupBy(col(ss.fkChild).as("_sk"))
           .agg(max(col(ss.childCol)).as("sq"))
         df.join(agg, col(ss.fkParent) === col("_sk"), "left").drop("_sk")
+      }
+      // wave 14: CASE-WHEN [NOT] EXISTS in the select list — the
+      // hand-built ExistenceJoin witness (the OrExists machinery) with
+      // the CASE consuming it: distinct child keys LEFT-joined, the
+      // witness coalesced, when/otherwise for the two branches. A NULL
+      // correlation key never matches (witness false); a NULL
+      // parentCol surfaces a NULL THEN value — both conventions shared
+      val base = caseExists.foldLeft(base8) { (df, ce) =>
+        val sub = H.t(s, dir, ce.tbl).filter(ce.pred.df)
+          .select(col(ce.fkChild).as("_cek")).distinct()
+          .withColumn("_cew", lit(true))
+        val witness = coalesce(col("_cew"), lit(false))
+        val cond = if (ce.neg) !witness else witness
+        df.join(sub, col(ce.fkParent) === col("_cek"), "left")
+          .withColumn("cex", when(cond, col(ce.parentCol) % ce.m)
+            .otherwise(lit(-1)).cast("bigint"))
+          .drop("_cek", "_cew")
       }
       shape match {
         case AggShape(keys, aggs, having, gmode) =>
@@ -985,7 +1073,9 @@ object FuzzGen {
           val qCols = (if (qualifyExt) Seq("ov", "ext") else Nil) ++
             (if (multiWin) Seq("rsum2") else Nil) ++
             (if (nthVal) Seq("nv2") else Nil) ++
-            nullSideSum.map(_ => "nssum").toSeq
+            nullSideSum.map(_ => "nssum").toSeq ++
+            caseExists.map(_ => "cex").toSeq ++
+            (if (latWin) Seq("lwsum") else Nil)
           val outCols = (Seq("pk") ++ ids ++ Seq("rn") ++
             selectSub.map(_ => "sq").toSeq ++ qCols).map(col)
           val winSpec = Window.partitionBy(col("pk")).orderBy(ordSorts: _*)
@@ -1016,7 +1106,14 @@ object FuzzGen {
             withNv.withColumn("nssum", sum(col(c)).over(
               winSpec.rowsBetween(Window.unboundedPreceding,
                 Window.currentRow)).cast("bigint")))
-          val ranked = withNs.filter(col("rn") <= topK &&
+          // wave 14: running SUM over the LATERAL's output column
+          val withLw = if (latWin)
+            withNs.withColumn("lwsum",
+              sum(col(if (lateralCnt.isDefined) "lcv" else "lmxv")).over(
+                winSpec.rowsBetween(Window.unboundedPreceding,
+                  Window.currentRow)).cast("bigint"))
+          else withNs
+          val ranked = withLw.filter(col("rn") <= topK &&
             (if (qualifyExt) col("ov") === col("ext") || col("rn") === 1
              else lit(true)))
           // wave 8: aggregate ABOVE the window — group the top-k rows
@@ -1038,8 +1135,16 @@ object FuzzGen {
           val lagWin = Window.partitionBy(col("pk"))
             .orderBy(ordSort +: tieSorts: _*)
           val frameEnd = if (sym) prec.toLong else 0L
-          val sumWin = frame match {
-            case "rows" => lagWin.rowsBetween(-prec, frameEnd)
+          // wave 14: the ROWS frame orders by the EXPRESSION
+          // (ordCol % k + 1) + the id tiebreak — mirrors the SQL text
+          val sumWin = (frame, frameExprOrd) match {
+            case ("rows", Some(k)) =>
+              val e = col(ordCol) % k + 1
+              Window.partitionBy(col("pk"))
+                .orderBy(Seq(if (desc) e.desc else e.asc, ordSort) ++
+                  tieSorts: _*)
+                .rowsBetween(-prec, frameEnd)
+            case ("rows", None) => lagWin.rowsBetween(-prec, frameEnd)
             case _ => Window.partitionBy(col("pk")).orderBy(ordSort)
               .rangeBetween(-prec, frameEnd)
           }
@@ -1553,12 +1658,48 @@ object FuzzGen {
           !nthVal && nullSideSum.isEmpty && rnd13.nextInt(3) == 0 => true
       case _ => false
     }
+    // round-19 wave 14 rides a fourteenth independent stream (the
+    // rnd2..rnd13 rule): window functions over LATERAL results (a
+    // running SUM whose argument is the lateral subquery's output
+    // column — row_number shapes only, the total order the ROWS frame
+    // needs; rides whichever lateral the case already carries),
+    // correlated [NOT] EXISTS inside a CASE-WHEN select expression
+    // (the projection-position ExistenceJoin — [[CaseExists]]), and
+    // ROWS-frame window ORDER BY over an EXPRESSION (ordCol % k + 1 —
+    // computed ordering + genuine ties for the id tiebreak) instead
+    // of a bare column. None can EMPTY a case: all three are
+    // select-list additions or ordering rewrites, never row attrition.
+    val rnd14 = new Random(seed * 0x6C62272EL + 181)
+    val latWin = shape8 match {
+      case w: WinShape if w.fn == "row_number" && !aggOverWin &&
+          !distinctRanks && (lateralAgg.isDefined || lateralCnt.isDefined) &&
+          rnd14.nextInt(2) == 0 => true
+      case _ => false
+    }
+    val caseExists = shape8 match {
+      case _: WinShape if !aggOverWin && !distinctRanks &&
+          corrEdges.nonEmpty && rnd14.nextInt(3) == 0 =>
+        val (ct, _, cfk, pk2) = pick(rnd14, corrEdges)
+        val child = byName(ct)
+        val k = pick(rnd14, Seq(2, 3, 5))
+        Some(CaseExists(pick(rnd14, intCols), pick(rnd14, Seq(5, 7, 9)),
+          ct, cfk, pk2, rnd14.nextInt(3) == 0,
+          Pred(pick(rnd14, child.intCols), k, rnd14.nextInt(k),
+            pick(rnd14, Seq("=", "<>")))))
+      case _ => None
+    }
+    val frameExprOrd = shape8 match {
+      case f: FrameShape if f.frame == "rows" && rnd14.nextInt(3) == 0 =>
+        Some(pick(rnd14, Seq(3, 5, 7)))
+      case _ => None
+    }
     FuzzCase(seed, fromTables2, join, joinKind, join2, subPred, preds, shape8,
       scalarSub, corrSub, inSub, havingSub, lateralAgg, havingExists,
       selectSub, inSetSub, winOverAgg, orExists, aggOverWin,
       filterAgg, orderedAgg, groupingSel, qualifyExt, winNulls, multiWin,
       lagNulls, argExt, nthVal, fvNulls, nullSideSum,
-      groupByAll, lateralCnt, distinctRanks)
+      groupByAll, lateralCnt, distinctRanks,
+      caseExists, latWin, frameExprOrd)
   }
 
   /** The fixed seeds registered as driver queries (cross-engine
@@ -1720,9 +1861,27 @@ object FuzzGen {
     * constructs cannot EMPTY a case, so every prior pick's documented
     * non-emptiness is preserved (re-probed: all 47 non-empty at
     * sf0.01).
+    * Round-19 wave 14 additions (rnd14 stream: window functions over
+    * LATERAL results — a running SUM whose argument is the lateral
+    * subquery's output column, the LateralJoin-feeds-Window
+    * composition; correlated [NOT] EXISTS inside a CASE-WHEN select
+    * expression — the projection-position ExistenceJoin, probed
+    * dual-dialect; and ROWS-frame window ORDER BY over an EXPRESSION
+    * `(ordCol % k + 1)` instead of a bare column — computed ordering
+    * plus genuine ties for the id tiebreak): 136 (expression-ordered
+    * ROWS frame, 55 rows), 378 (CASE-WHEN EXISTS on a row_number
+    * shape, 91 rows), 392 (running SUM over the scalar lateral's MAX
+    * on a row_number shape, 39 rows) — all non-empty at the driver
+    * SF; existing picks also gained wave-14 layers on the independent
+    * stream (228 CASE-WHEN NOT EXISTS; 349 the expression-ordered
+    * frame). None of the three can EMPTY a case (select-list
+    * additions / an ordering rewrite), so every prior pick's
+    * documented non-emptiness is preserved by construction; 1–1200
+    * sweep re-run clean with the wave live.
     */
   val driverSeeds: Seq[Int] = Seq(6, 8, 12, 13, 15, 17, 18, 20, 22, 25,
     30, 32, 34, 38, 42, 43, 48, 49, 51, 55, 62, 67, 81, 90, 101, 102,
-    103, 104, 105, 107, 108, 109, 110, 116, 117, 146, 172, 173, 208,
-    228, 235, 272, 282, 301, 340, 349, 357, 369, 455, 459)
+    103, 104, 105, 107, 108, 109, 110, 116, 117, 136, 146, 172, 173,
+    208, 228, 235, 272, 282, 301, 340, 349, 357, 369, 378, 392, 455,
+    459)
 }

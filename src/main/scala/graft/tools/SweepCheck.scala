@@ -31,6 +31,13 @@ object SweepCheck {
           println(s"W9 seed=$seed rows=${viaDf.size} " +
             s"fa=${fc.filterAgg.isDefined} oa=${fc.orderedAgg.isDefined} " +
             s"gs=${fc.groupingSel}")
+        // wave-14 candidate scan
+        if (sys.env.contains("SPARK_GRAFT_SWEEP_W14") &&
+            (fc.latWin || fc.caseExists.isDefined ||
+              fc.frameExprOrd.isDefined))
+          println(s"W14 seed=$seed rows=${viaDf.size} " +
+            s"lw=${fc.latWin} ce=${fc.caseExists.isDefined} " +
+            s"fe=${fc.frameExprOrd.isDefined}")
         if (viaDf != viaSql) {
           bad += 1
           println(s"DIVERGED seed=$seed df=${viaDf.size} sql=${viaSql.size}")

@@ -219,6 +219,18 @@ class FuzzSpec extends SparkSuite {
       case FuzzGen.WinShape(_, _, _, _, _, fn) => fn == "dense_rank"
       case _ => false
     })), "no DISTINCT-over-DENSE_RANK case")
+    // round-19 wave 14
+    assert(cases.exists(c => c.latWin &&
+      (c.lateralAgg.isDefined || c.lateralCnt.isDefined)),
+      "no window-over-LATERAL case")
+    assert(cases.exists(c => c.caseExists.exists(!_.neg)),
+      "no CASE-WHEN-EXISTS select case")
+    assert(cases.exists(c => c.caseExists.exists(_.neg)),
+      "no CASE-WHEN-NOT-EXISTS select case")
+    assert(cases.exists(c => c.frameExprOrd.isDefined && (c.shape match {
+      case f: FuzzGen.FrameShape => f.frame == "rows"
+      case _ => false
+    })), "no expression-ordered ROWS frame case")
     // dual spellings exist ONLY for the ordered aggregate and the
     // IGNORE-NULLS lag — every other byte of the two dialect texts
     // must stay identical
