@@ -913,19 +913,12 @@ object ScaleBench {
     // must be ~0).
     if (sec("epoch")) for (k <- Seq(10, 40, 100)) {
       val rep = cloned(k)
-      val asg = graft.ext.Sampling.packBestFit(rep, col("source"),
-        col("doc_id"), size(split(col("text"), " ")).cast("long"),
-        seqLen = 64L)
-      val seqs = asg.select(col("group").as("grp"), col("bin"),
-          col("toks"), col("n_bins"),
-          explode(sequence(lit(0L), col("n_bins") - 1)).as("_i"))
-        .select(col("grp"), (col("bin") + col("_i")).as("bin"),
-          when(col("_i") === 0, 1L).otherwise(0L).as("_d"),
-          when(col("_i") < col("n_bins") - 1, lit(64L))
-            .otherwise(col("toks") - (col("n_bins") - 1) * 64L).as("_t"))
-        .groupBy(col("grp"), col("bin"))
-        .agg(sum(col("_d")).cast("bigint").as("n_docs"),
-          sum(col("_t")).cast("bigint").as("n_toks"))
+      // the SHARED packed-seq construction (Sampling.packedBinStats)
+      // — the same code path the registered x_pack_epoch_* queries
+      // run, so these rows measure exactly that construction at scale
+      val seqs = graft.ext.Sampling.packedBinStats(rep, col("source"),
+          col("doc_id"), size(split(col("text"), " ")).cast("long"),
+          seqLen = 64L)
         .localCheckpoint(true) // pin: measure the epoch machinery, not the packer
       var ordered: DataFrame = null
       var n = 0L

@@ -1410,16 +1410,31 @@ object Dedup {
       stamped.getOrElse {
         if (st.schema("wkey").dataType ==
             org.apache.spark.sql.types.LongType) "fp64"
-        else {
-          val sample = st.select(col("wkey"))
-            .filter(col("wkey").isNotNull).head(100)
-          if (sample.isEmpty ||
-              sample.forall(_.getString(0).matches("[0-9a-f]{64}")))
-            "sha256"
-          else "text"
-        }
+        // a zero-row string dir reads as sha256: with no history rows
+        // any string mode is semantically safe (nothing can match) and
+        // the schemas are identical, so the content-addressed default
+        // is the right forward choice
+        else sampledStringKeyMode(st).getOrElse("sha256")
       }
     }
+
+  /** THE 64-lowercase-hex value heuristic over a legacy string-keyed
+    * state — ONE implementation shared by the write-side guard
+    * ([[spanStateModeGuard]]) and the resume-side probe
+    * ([[spanStateKeyMode]]) so the two can never disagree about a
+    * directory (r19 review fix). Samples a bounded O(100) slice of
+    * non-null keys; None when the sample is empty (the callers pick
+    * their own empty-dir policy — the guard has nothing to protect,
+    * the probe defaults forward to sha256).
+    */
+  private def sampledStringKeyMode(st: DataFrame): Option[String] = {
+    val sample = st.select(col("wkey"))
+      .filter(col("wkey").isNotNull).head(100)
+    if (sample.isEmpty) None
+    else if (sample.forall(_.getString(0).matches("[0-9a-f]{64}")))
+      Some("sha256")
+    else Some("text")
+  }
 
   /** Key-mode guard for the span-dedup state directories: the three
     * key domains (text / fp64 / sha256) are NOT interchangeable — a
@@ -1464,15 +1479,11 @@ object Dedup {
           s"'$expected'; key domains are not interchangeable per " +
           "state directory")
         if (expected != "fp64") {
-          // string-vs-string: sample a bounded slice of keys (O(100)
-          // strings to the driver — a guard, not a scan) and apply the
-          // hex heuristic
-          val sample = st.select(col("wkey")).filter(col("wkey").isNotNull)
-            .head(100)
-          if (sample.nonEmpty) {
-            val allHex = sample.forall(
-              _.getString(0).matches("[0-9a-f]{64}"))
-            val inferred = if (allHex) "sha256" else "text"
+          // string-vs-string: the shared bounded-sample hex heuristic
+          // (same implementation the resume-side probe uses, so the
+          // two verdicts cannot diverge); an empty sample has nothing
+          // to protect — the appends proceed
+          sampledStringKeyMode(st).foreach { inferred =>
             require(inferred == expected,
               s"span state at $statePath is legacy (no kmode stamp) " +
                 s"and its stored keys read as '$inferred' by the " +

@@ -224,7 +224,15 @@ object Layout {
       .withColumn("consumer",
         expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
       .write.mode("overwrite").partitionBy("consumer").parquet(path)
-    epochShards(ordered, total, nConsumers, nDocsCol, nToksCol)
+    // the manifest aggregates the JUST-WRITTEN parquet, not `ordered` —
+    // running epochShards over the input would re-execute the entire
+    // upstream plan (packer + range exchange + numbering jobs) a
+    // second time for a nConsumers-row summary (the no-second-pass
+    // doctrine epochOrderWithTotal exists for); the written layout is
+    // a cheap columnar scan and is BY DEFINITION what the manifest
+    // must describe
+    epochShards(ordered.sparkSession.read.parquet(path), total,
+      nConsumers, nDocsCol, nToksCol)
   }
 
   /** Mid-epoch RESUME cursor (r19) — the deterministic restart
@@ -277,11 +285,23 @@ object Layout {
         expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
     // O(nConsumers) manifest + exclusive token offsets; the window is
     // over the BOUNDED consumer dimension, not the corpus (the
-    // single-partition exchange it implies moves nConsumers rows)
-    val man = cum.groupBy(col("consumer"))
-      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
-        min(col("epoch_pos")).cast("bigint").as("_first"),
-        sum(col(nToksCol)).cast("bigint").as("_ctoks"))
+    // single-partition exchange it implies moves nConsumers rows).
+    // RANGE-FILLED like epochShards: when N < nConsumers some
+    // consumers own no sequences, and a request against one must
+    // still answer with the documented exhausted terminal (n_seqs 0,
+    // NULL resume, zero tokens) — an aggregate-only manifest would
+    // silently DROP the request at the join (the r18 empty-consumer
+    // lesson, applied to the cursor)
+    val man = spark.range(nConsumers).select(col("id").as("consumer"))
+      .join(broadcast(cum.groupBy(col("consumer"))
+        .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+          min(col("epoch_pos")).cast("bigint").as("_first"),
+          sum(col(nToksCol)).cast("bigint").as("_ctoks"))),
+        Seq("consumer"), "left")
+      .select(col("consumer"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        col("_first"),
+        coalesce(col("_ctoks"), lit(0L)).as("_ctoks"))
     val wc = org.apache.spark.sql.expressions.Window
       .orderBy(col("consumer"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -178,6 +178,38 @@ object Sampling {
       .withColumn("span_toks", col("end_off") - col("start_off"))
   }
 
+  /** Per-(group, bin) SEQUENCE stats over a [[packBestFit]] layout —
+    * one row per training sequence with its doc/token load: the input
+    * every epoch-layer operator consumes (`Layout.epochOrder` /
+    * `epochShards` / `writeEpochLayout`, the registered x_pack_epoch_*
+    * family, AND ScaleBench's epoch section — factored ONCE so the
+    * scale rows can never drift from the registered construction; the
+    * shared-CTE discipline, engine side). An OVERSIZED doc
+    * (> seqLen tokens) spans ceil(t/seqLen) bins: its tokens spread
+    * seqLen-per-bin with the remainder in the LAST (the r18 review
+    * fix — crediting the whole doc to its starting bin made
+    * continuation bins read as 0-token sequences and misstated every
+    * manifest); `n_docs` counts docs STARTING in the bin. Every bin id
+    * in [0, group total) is covered by construction (small bins open
+    * on placement; oversize spans cover their own), so no range-fill
+    * join is needed. Returns (grp, bin, n_docs, n_toks).
+    */
+  def packedBinStats(docs: DataFrame, group: Column, id: Column,
+      tokens: Column, seqLen: Long): DataFrame = {
+    val asg = packBestFit(docs, group, id, tokens, seqLen)
+    asg.select(col("group").as("grp"), col("bin"), col("toks"),
+        col("n_bins"),
+        explode(sequence(lit(0L), col("n_bins") - 1)).as("_i"))
+      .select(col("grp"), (col("bin") + col("_i")).as("bin"),
+        when(col("_i") === 0, 1L).otherwise(0L).as("_d"),
+        when(col("_i") < col("n_bins") - 1, lit(seqLen))
+          .otherwise(col("toks") - (col("n_bins") - 1) * seqLen)
+          .as("_t"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("_d")).cast("bigint").as("n_docs"),
+        sum(col("_t")).cast("bigint").as("n_toks"))
+  }
+
   /** Best-fit-decreasing sequence packing — the whole-document
     * alternative to [[packSequences]]: documents are NOT split across
     * training sequences; instead each group's docs are packed into

@@ -409,23 +409,10 @@ object ExtP {
   private[queries] val epochSeqLen = 64L
 
   private[queries] def epochSeqs(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val docs = t(s, dir, "documents")
-    val asg = graft.ext.Sampling.packBestFit(docs, col("source"),
-      col("doc_id"), size(split(col("text"), " ")).cast("long"),
-      seqLen = epochSeqLen)
-    asg.select(col("group").as("grp"), col("bin"), col("toks"),
-        col("n_bins"),
-        explode(sequence(lit(0L), col("n_bins") - 1)).as("_i"))
-      .select(col("grp"), (col("bin") + col("_i")).as("bin"),
-        when(col("_i") === 0, 1L).otherwise(0L).as("_d"),
-        when(col("_i") < col("n_bins") - 1, lit(epochSeqLen))
-          .otherwise(col("toks") - (col("n_bins") - 1) * epochSeqLen)
-          .as("_t"))
-      .groupBy(col("grp"), col("bin"))
-      .agg(sum(col("_d")).cast("bigint").as("n_docs"),
-        sum(col("_t")).cast("bigint").as("n_toks"))
-  }
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.ext.Sampling.packedBinStats(t(s, dir, "documents"),
+      col("source"), col("doc_id"),
+      size(split(col("text"), " ")).cast("long"), seqLen = epochSeqLen)
 
   /** The oracle half of [[epochSeqs]] + the permutation replay: the
     * recursive BFD CTEs, the oversize span spread, the per-bin stats,

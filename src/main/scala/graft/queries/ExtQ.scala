@@ -41,11 +41,18 @@ object ExtQ {
       val m = graft.ext.Sampling.packManifest(docs, col("source"),
         col("doc_id"), size(split(col("text"), " ")).cast("long"),
         col("doc_id"), seqLen = 64L)
-      val per = m.groupBy(col("grp"), col("seq"))
-        .agg(sum(col("span_toks")).cast("bigint").as("seq_toks"))
-      val mx = m.groupBy(col("grp"))
-        .agg(max(col("seq")).cast("bigint").as("_mx"))
-      m.join(per, Seq("grp", "seq")).join(mx, "grp")
+      // conservation columns via WINDOWS, not equi-joins: window
+      // PARTITION BY treats a NULL group as its own partition in both
+      // engines, while a join on grp would silently DROP every
+      // NULL-group doc's manifest rows from the adjudicated output
+      // (the Layout.epochOrder null-safe-group lesson; r19 review
+      // fix — PackManifestSpec pins the NULL-group case)
+      import org.apache.spark.sql.expressions.Window
+      val wSeq = Window.partitionBy(col("grp"), col("seq"))
+      val wGrp = Window.partitionBy(col("grp"))
+      m.withColumn("seq_toks",
+          sum(col("span_toks")).over(wSeq).cast("bigint"))
+        .withColumn("_mx", max(col("seq")).over(wGrp))
         .select(col("grp"), col("seq"), col("doc_id"),
           col("start_off"), col("end_off"), col("span_toks"),
           col("seq_toks"), (col("seq") === col("_mx")).as("is_tail"),
@@ -68,17 +75,17 @@ object ExtQ {
           CAST(greatest(0, cum - t - seq * 64) AS BIGINT) AS start_off,
           CAST(least(64, cum - seq * 64) AS BIGINT) AS end_off
         FROM ms),
-      mp AS (SELECT grp, seq,
-          CAST(SUM(end_off - start_off) AS BIGINT) AS seq_toks
-        FROM mm GROUP BY 1, 2),
-      mt AS (SELECT grp, CAST(MAX(seq) AS BIGINT) AS mx
-        FROM mm GROUP BY 1)
-      SELECT mm.grp, mm.seq, mm.doc_id, mm.start_off, mm.end_off,
-        CAST(mm.end_off - mm.start_off AS BIGINT) AS span_toks,
-        mp.seq_toks, (mm.seq = mt.mx) AS is_tail,
-        (mp.seq_toks = 64 OR mm.seq = mt.mx) AS conserved
-      FROM mm JOIN mp USING (grp, seq) JOIN mt USING (grp)
-      ORDER BY mm.grp, mm.seq, mm.doc_id"""))
+      mw AS (SELECT grp, seq, doc_id, start_off, end_off,
+          CAST(SUM(end_off - start_off)
+            OVER (PARTITION BY grp, seq) AS BIGINT) AS seq_toks,
+          CAST(MAX(seq) OVER (PARTITION BY grp) AS BIGINT) AS mx
+        FROM mm)
+      SELECT grp, seq, doc_id, start_off, end_off,
+        CAST(end_off - start_off AS BIGINT) AS span_toks,
+        seq_toks, (seq = mx) AS is_tail,
+        (seq_toks = 64 OR seq = mx) AS conserved
+      FROM mw
+      ORDER BY grp ASC NULLS FIRST, seq, doc_id"""))
 
   /** Mid-epoch resume cursor ([[graft.ext.Layout.epochResumeCursor]],
     * 8 consumers over the seed-42 epoch order): for each requested
@@ -118,11 +125,15 @@ object ExtQ {
           CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
           CAST(SUM(n_toks) AS BIGINT) AS ctoks
         FROM ecc GROUP BY 1),
+      emanf AS (SELECT c.consumer, COALESCE(m.n_seqs, 0) AS n_seqs,
+          m.first_pos, COALESCE(m.ctoks, 0) AS ctoks
+        FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS consumer) c
+        LEFT JOIN eman m ON m.consumer = c.consumer),
       eoff AS (SELECT consumer, n_seqs, first_pos, ctoks,
           CAST(COALESCE(SUM(ctoks) OVER (ORDER BY consumer
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS toff
-        FROM eman),
+        FROM emanf),
       ereq AS (SELECT CAST(c AS BIGINT) AS consumer,
           CAST(k AS BIGINT) AS skip_k
         FROM (VALUES (2, 10), (5, 0), (7, 70), (1, 100000)) t(c, k)),

@@ -174,6 +174,33 @@ class LayoutEpochSpec extends SparkSuite {
     }
   }
 
+  test("epochResumeCursor answers requests against EMPTY consumers " +
+      "with the terminal row (N < nConsumers)") {
+    // 3 sequences over 8 consumers: only 3 consumers own a block; a
+    // rank whose consumer is empty must still get its row (n_seqs 0,
+    // NULL resume, zero tokens) — an aggregate-only manifest silently
+    // DROPPED the request at the join (r19 review fix)
+    val tiny = Seq(("a", 0L, 1L, 10L), ("a", 1L, 1L, 11L),
+        ("b", 0L, 1L, 12L)).toDF("grp", "bin", "n_docs", "n_toks")
+    val (ordered, n) = Layout.epochOrderWithTotal(tiny, "grp", "bin", 5L)
+    val nonEmpty = Layout.epochShards(ordered, n, 8)
+      .filter(col("n_seqs") > 0).select(col("consumer"))
+      .collect().map(_.getLong(0)).toSet
+    val emptyC = (0L until 8L).find(!nonEmpty(_)).get
+    val out = Layout.epochResumeCursor(ordered, n, 8,
+        Seq((emptyC, 0L), (nonEmpty.head, 0L)))
+      .orderBy(col("consumer"), col("skip_k")).collect()
+    assert(out.length == 2, "every request must answer, empty consumers too")
+    val er = out.find(_.getLong(0) == emptyC).get
+    assert(er.getLong(er.fieldIndex("n_seqs")) == 0L)
+    assert(er.isNullAt(er.fieldIndex("resume_pos")))
+    assert(er.getLong(er.fieldIndex("skipped_toks")) == 0L)
+    assert(er.getLong(er.fieldIndex("remaining_seqs")) == 0L)
+    assert(er.getLong(er.fieldIndex("remaining_toks")) == 0L)
+    val nr = out.find(_.getLong(0) == nonEmpty.head).get
+    assert(!nr.isNullAt(nr.fieldIndex("resume_pos")))
+  }
+
   test("epochOrder is partition-independent and seed-sensitive") {
     def run(df: org.apache.spark.sql.DataFrame, seed: Long) =
       Layout.epochOrder(df, "grp", "bin", seed).orderBy(col("epoch_pos"))

@@ -76,6 +76,34 @@ class PackManifestSpec extends SparkSuite {
     }
   }
 
+  test("NULL group names keep their spans and their own numbering") {
+    // the Layout.epochOrder null-safe-group doctrine applies here too:
+    // a NULL group is a real group (window PARTITION BY treats NULL as
+    // its own partition), never silently dropped by an equi-join —
+    // the registered query's conservation columns ride windows for
+    // exactly this reason (r19 review fix)
+    val docs = Seq((null.asInstanceOf[String], 1L, 20L),
+        (null.asInstanceOf[String], 2L, 12L),
+        ("a", 3L, 5L)).toDF("g", "id", "t")
+    val m = Sampling.packManifest(docs, col("g"), col("id"), col("t"),
+      col("id"), seqLen = 16L)
+    val nullRows = m.filter(col("grp").isNull)
+      .orderBy(col("seq"), col("doc_id")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // NULL group stream: doc1 [0,20) → seq0 (0,16) + seq1 (0,4);
+    // doc2 [20,32) → seq1 (4,16)
+    assert(nullRows.toSeq == Seq((0L, 1L, 0L, 16L), (1L, 1L, 0L, 4L),
+      (1L, 2L, 4L, 16L)))
+    // and the window-based conservation assembly sees the NULL group:
+    // its non-tail sequence (seq 0) is exactly full
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy(col("grp"), col("seq"))
+    val conserved = m.withColumn("s", sum(col("span_toks")).over(wSeq))
+      .filter(col("grp").isNull && col("seq") === 0L)
+      .select(col("s")).distinct().collect()
+    assert(conserved.map(_.getLong(0)).toSeq == Seq(16L))
+  }
+
   test("a non-positive token count fails loudly, not engine-specifically") {
     val bad = Seq(("a", 1L, 10L), ("a", 2L, 0L)).toDF("g", "id", "t")
     val e = intercept[Exception] {
