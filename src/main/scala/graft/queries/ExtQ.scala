@@ -157,5 +157,40 @@ object ExtQ {
         AND h.skip_k = r.skip_k
       ORDER BY r.consumer, r.skip_k"""))
 
-  val queries: Seq[Q] = Seq(xPackManifest, xPackEpochResume)
+  /** The PHYSICAL epoch layout under the oracle gate
+    * ([[graft.ext.Layout.writeEpochLayout]], 8 consumers, seed 42):
+    * the query WRITES the per-consumer parquet layout, reads it back
+    * FROM DISK, and adjudicates the read-back content — every
+    * sequence's consumer directory, epoch position, identity, and
+    * load — against the pure SQL replay of the permutation + the
+    * consumer division. This is a strictly stronger gate than the
+    * LayoutEpochSpec range check: a wrong row routed to the right
+    * directory, a dropped column, or a partition-column type drift
+    * (the read-back `consumer` is re-cast to BIGINT — partition
+    * inference yields INT) all flip the hash, and the adjudicated
+    * bytes provably survived a disk round-trip through the layout a
+    * training loader would read.
+    */
+  val xPackEpochLayout = Q(
+    "x_pack_epoch_layout",
+    (s, dir) => {
+      val (ordered, n) = graft.ext.Layout.epochOrderWithTotal(
+        ExtP.epochSeqs(s, dir), "grp", "bin", seed = 42L)
+      val out = H.tempStateDir("graft_epoch_layout") + "/epoch"
+      graft.ext.Layout.writeEpochLayout(ordered, n, nConsumers = 8, out)
+      s.read.parquet(out)
+        .select(col("consumer").cast("bigint").as("consumer"),
+          col("epoch_pos"), col("grp"), col("bin"), col("n_docs"),
+          col("n_toks"), col("shuffle_key"))
+        .orderBy(col("epoch_pos"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtP.epochBaseCtes},
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos)
+      SELECT CAST(((epoch_pos - 1) * 8) // (SELECT n FROM en) AS BIGINT)
+          AS consumer,
+        epoch_pos, grp, bin, n_docs, n_toks, shuffle_key
+      FROM epos ORDER BY epoch_pos"""))
+
+  val queries: Seq[Q] = Seq(xPackManifest, xPackEpochResume,
+    xPackEpochLayout)
 }
