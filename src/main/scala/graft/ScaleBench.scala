@@ -938,6 +938,16 @@ object ScaleBench {
         graft.ext.Layout.writeEpochLayout(ordered, n, nConsumers = 8, out)
         n
       }
+      // row 3 (r19): the integrity instruments over the pinned order —
+      // the shuffle-quality audit (successor/predecessor equi-joins +
+      // the prefix-sum segments) and the per-consumer block digests
+      // (closed-form projection + one partial aggregate); both must
+      // stay sequence-linear like row 1
+      timeShuffle(s"epoch audit+digests x$k ($n seqs)") {
+        probeAll(graft.ext.Layout.epochOrderAudit(ordered, n)) +
+          probeAll(graft.ext.Layout.epochBlockDigests(ordered, n,
+            nConsumers = 8, blockLen = 1024L))
+      }
     }
 
     spark.stop()

@@ -79,7 +79,16 @@ object Layout {
     *    seed) — the [[Sampling.weightedSample]] 31-bit LCG discipline,
     *    so the order is a function of content + seed alone:
     *    reproducible across runs, partitionings, cluster sizes, and
-    *    engines (SQL-replayable, unlike a hashed-string or RNG key);
+    *    engines (SQL-replayable, unlike a hashed-string or RNG key).
+    *    The seed enters MULTIPLICATIVELY, not additively (r19): the
+    *    key is `(mult(seed) · lcg(sid) + off(seed)) mod 2^31` with
+    *    `mult` an odd seed-derived multiplier — an additive seed
+    *    (`lcg(sid + seed)`) makes any two seeds' keys differ by a
+    *    CONSTANT, so "epoch 2" was exactly "epoch 1 rotated" and
+    *    adjacent pairs survived across epochs 598/599 (caught by the
+    *    [[epochOrderAudit]] family's preserved-adjacency statistic;
+    *    the multiplier breaks the shared lattice — 0/599 preserved,
+    *    displacement at the uniform-random N²/3);
     *  - the epoch position is [[Rank.globalRowNumber]] over
     *    (key, group, bin) — ONE range exchange on the permuted key +
     *    the two narrow numbering jobs, never a driver sort and never
@@ -117,15 +126,25 @@ object Layout {
     val groups = Rank.globalRowNumber(
       seqs.select(col(groupCol).cast("string").as("_g")).distinct(),
       Seq(col("_g")), out = "_gi")
-    val m = lit(2147483648L) // 2^31
+    val M = 2147483648L // 2^31
+    val m = lit(M)
     // sid packs (group index, bin) into one integer; collisions past
     // 2^20 bins per group only merge LCG keys, never break the total
     // order (the (group, bin) tiebreak below)
     val sid = col("_gi") * lit(1048576L) + col(binCol).cast("long")
-    // reduce mod 2^31 BEFORE the multiply: the product then tops out
-    // at 2^31·1103515245 < Long.MaxValue (the weightedSample bound)
-    val pk = pmod(pmod(sid + lit(seed), m) * lit(1103515245L)
-      + lit(12345L), m)
+    // seed-derived constants, computed ONCE on the driver: s1/s2 are
+    // two LCG advances of the seed, mult = 2·(s1 mod 2^30)+1 is an ODD
+    // multiplier < 2^31 (odd ⇒ invertible mod 2^31, so distinct seeds
+    // give genuinely different lattices — the r19 rotation fix; an
+    // additive-only seed shifted every key by the same constant and
+    // epoch orders were rotations of each other)
+    val s1 = ((seed % M) * 1103515245L + 12345L) % M
+    val s2 = (s1 * 1103515245L + 12345L) % M
+    val mult = 2L * (s1 % 1073741824L) + 1L
+    // reduce mod 2^31 BEFORE each multiply: every product tops out at
+    // 2^31·1103515245 < Long.MaxValue (the weightedSample bound)
+    val inner = pmod(pmod(sid, m) * lit(1103515245L) + lit(12345L), m)
+    val pk = pmod(lit(mult) * inner + lit(s2), m)
     // null-safe equality: a NULL group name must keep its sequences
     // (an equi-join would silently DROP them — the stage-0 NULL-url
     // lesson); the distinct table carries the NULL row and the order
@@ -269,6 +288,131 @@ object Layout {
     * (consumer, skip_k, n_seqs, resume_pos, resume_grp, resume_bin,
     * resume_toks, skipped_toks, remaining_seqs, remaining_toks).
     */
+  /** Shuffle-QUALITY audit over an [[epochOrder]] result (r19) — the
+    * measured answer to "did the seeded LCG permutation actually mix
+    * the sources?", which a training run needs certified before it
+    * trusts the epoch order (a clustered order feeds each step a
+    * correlated batch and quietly biases gradients):
+    *
+    *  - `observed_same` counts adjacent position pairs (p, p+1) whose
+    *    sequences share a group — via an equi-join on the successor
+    *    position (a hash shuffle on a long key), never a corpus-wide
+    *    window;
+    *  - `expected_num` = Σ_g n_g·(n_g−1) is the EXACT numerator of the
+    *    uniform-permutation expectation: under a uniform random order
+    *    E[observed_same] = Σ n_g(n_g−1)/N (each of the N−1 adjacent
+    *    slots is a uniform ordered pair), so `expected_floor` =
+    *    expected_num div N is the integer baseline to read
+    *    `observed_same` against, exactly — no floating point anywhere;
+    *  - run structure: `n_runs` / `max_run` over maximal same-group
+    *    intervals — boundary flags from the predecessor join, segment
+    *    ids via [[Rank.globalRunningSum]] (the distributed inclusive
+    *    prefix sum — one range exchange, never a single-partition
+    *    window), run lengths by a map-side-combinable count per
+    *    segment;
+    *  - `mixed_ok` is the 2× verdict `observed_same · N ≤
+    *    2 · expected_num`, compared in DECIMAL(38,0) so the products
+    *    stay exact at any corpus size (at 10^9 sequences the bigint
+    *    product would overflow).
+    *
+    * NULL group names participate as their own group (null-safe
+    * comparisons throughout — the epoch family's standing NULL-group
+    * discipline). Returns ONE row:
+    * (n_seqs, n_groups, n_adjacent, observed_same, expected_num,
+    * expected_floor, n_runs, max_run, mixed_ok).
+    */
+  def epochOrderAudit(ordered: DataFrame, total: Long,
+      groupCol: String = "grp"): DataFrame = {
+    require(total > 0, "total must be positive")
+    val g = col(groupCol)
+    // Σ n_g(n_g−1): one map-side-combinable aggregate over O(groups)
+    val exp = ordered.groupBy(g.as("_ag"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(count(lit(1)).cast("bigint").as("n_groups"),
+        coalesce(sum(col("_n") * (col("_n") - 1)), lit(0L))
+          .cast("bigint").as("expected_num"))
+    val a = ordered.select(col("epoch_pos").as("_p"), g.as("_ga"))
+    // successor pairs: row at position p+1 re-keyed to p
+    val succ = ordered.select((col("epoch_pos") - 1).as("_p"), g.as("_gs"))
+    val obs = a.join(succ, Seq("_p"))
+      .agg(count(lit(1)).cast("bigint").as("n_adjacent"),
+        coalesce(sum(when(col("_ga") <=> col("_gs"), 1L).otherwise(0L)),
+          lit(0L)).cast("bigint").as("observed_same"))
+    // predecessor pairs → boundary flags → prefix-sum segment ids
+    val prev = ordered.select((col("epoch_pos") + 1).as("_p"), g.as("_gp"))
+    val flags = a.join(prev, Seq("_p"), "left")
+      .withColumn("_flag",
+        when(col("_p") === 1L, 1L)
+          .otherwise(when(col("_ga") <=> col("_gp"), 0L).otherwise(1L)))
+    val runs = Rank.globalRunningSum(flags, Seq(col("_p")), col("_flag"),
+        out = "_seg")
+      .groupBy(col("_seg")).agg(count(lit(1)).as("_len"))
+      .agg(count(lit(1)).cast("bigint").as("n_runs"),
+        max(col("_len")).cast("bigint").as("max_run"))
+    exp.crossJoin(obs).crossJoin(runs)
+      .select(lit(total).cast("bigint").as("n_seqs"), col("n_groups"),
+        col("n_adjacent"), col("observed_same"), col("expected_num"),
+        expr(s"expected_num div $total").cast("bigint")
+          .as("expected_floor"),
+        col("n_runs"), col("max_run"),
+        (col("observed_same").cast("decimal(38,0)") * lit(total) <=
+          col("expected_num").cast("decimal(38,0)") * lit(2L))
+          .as("mixed_ok"))
+  }
+
+  /** Per-consumer BLOCK digests over an [[epochOrder]] result (r19) —
+    * the order-integrity checksum that completes the
+    * [[epochResumeCursor]] restart contract: the cursor tells a
+    * resumed rank WHERE to continue; the digest lets it VERIFY it is
+    * reading the same bytes in the same order as the run that crashed
+    * (a re-shuffled corpus, a drifted seed, or a misrouted consumer
+    * directory all change some block's digest).
+    *
+    * Consumer and block are CLOSED FORM in the position — consumer
+    * `c` starts at position ⌈c·N/nConsumers⌉+1 (the inverse of the
+    * balanced division), so the block id needs no manifest join and
+    * no window: one projection + one map-side-combinable aggregate
+    * per (consumer, block). The digest term MULTIPLIES the position
+    * into the content — `(pos mod 2^31) · ((key·97 + toks·31 + 1)
+    * mod 2^31), mod 2^31` — because an additive mix
+    * (`pos·A + key·B + …`) is order-INVARIANT under content swaps:
+    * position and content contributions separate additively mod 2^31,
+    * so swapping two sequences' content across positions leaves the
+    * block sum unchanged (caught by the order-sensitivity spec). With
+    * the product term a swap changes `p₁c₁ + p₂c₂` to `p₁c₂ + p₂c₁`,
+    * which differ unless the contents collide. Pure 64-bit-safe
+    * integer arithmetic throughout — engine-reproducible and
+    * SQL-replayable; sums stay exact: each term < 2^31 and
+    * `blockLen` ≤ 2^20 keeps a block's sum < 2^51.
+    *
+    * Returns one row per (consumer, block):
+    * (consumer, block, n_seqs, first_pos, last_pos, n_toks, digest).
+    */
+  def epochBlockDigests(ordered: DataFrame, total: Long, nConsumers: Int,
+      blockLen: Long, nToksCol: String = "n_toks"): DataFrame = {
+    require(nConsumers > 0, "nConsumers must be positive")
+    require(total > 0, "total must be positive")
+    require(blockLen > 0 && blockLen <= (1L << 20),
+      "need 0 < blockLen <= 2^20 (the exact-sum bound)")
+    val m = lit(2147483648L) // 2^31
+    ordered
+      .withColumn("consumer",
+        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .withColumn("_local", col("epoch_pos") - lit(1L) -
+        expr(s"(consumer * $total + ${nConsumers - 1}) div $nConsumers"))
+      .withColumn("block", expr(s"_local div $blockLen").cast("long"))
+      .withColumn("_term",
+        pmod(pmod(col("epoch_pos"), m) *
+          pmod(col("shuffle_key") * lit(97L)
+            + col(nToksCol).cast("long") * lit(31L) + lit(1L), m), m))
+      .groupBy(col("consumer"), col("block"))
+      .agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        min(col("epoch_pos")).cast("bigint").as("first_pos"),
+        max(col("epoch_pos")).cast("bigint").as("last_pos"),
+        sum(col(nToksCol)).cast("bigint").as("n_toks"),
+        pmod(sum(col("_term")), m).cast("bigint").as("digest"))
+  }
+
   def epochResumeCursor(ordered: DataFrame, total: Long, nConsumers: Int,
       skips: Seq[(Long, Long)], groupCol: String = "grp",
       binCol: String = "bin", nToksCol: String = "n_toks"): DataFrame = {

@@ -442,9 +442,16 @@ object ExtP {
       egi AS (SELECT grp, CAST(row_number()
             OVER (ORDER BY grp NULLS FIRST) AS BIGINT) AS gi
         FROM (SELECT DISTINCT grp FROM eseq)),
+      eseed AS (SELECT ((42 % 2147483648) * 1103515245 + 12345)
+          % 2147483648 AS s1),
+      eseed2 AS (SELECT (s1 * 1103515245 + 12345) % 2147483648 AS s2,
+          2 * (s1 % 1073741824) + 1 AS mult
+        FROM eseed),
       ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
-          ((((gi * 1048576 + e.bin) + 42) % 2147483648)
-            * 1103515245 + 12345) % 2147483648 AS shuffle_key
+          ((SELECT mult FROM eseed2)
+            * ((((gi * 1048576 + e.bin) % 2147483648)
+              * 1103515245 + 12345) % 2147483648)
+            + (SELECT s2 FROM eseed2)) % 2147483648 AS shuffle_key
         FROM eseq e JOIN egi ON egi.grp = e.grp),
       epos AS (SELECT grp, bin, n_docs, n_toks,
           CAST(shuffle_key AS BIGINT) AS shuffle_key,
@@ -462,7 +469,11 @@ object ExtP {
     * machine (the shared recursive packing CTEs), the oversize span
     * spread, and the PERMUTATION FORMULA exactly — group index by
     * sorted name (NULLS FIRST pinned on both sides), sid = gi*2^20 +
-    * bin, key = ((sid + 42) mod 2^31 * 1103515245 + 12345) mod 2^31,
+    * bin, key = (mult(42)·lcg(sid) + off(42)) mod 2^31 with the
+    * seed-derived odd multiplier (the r19 rotation fix — the seed
+    * enters multiplicatively, so distinct epochs are no longer
+    * rotations of each other; both the multiplier and offset CTEs are
+    * replayed from the literal seed),
     * position = row_number over (key, group, bin) — so a drifted bin,
     * a reordered tie, or any deviation from the documented
     * permutation flips the hash. PlanSpec gates the shape (no Window,

@@ -191,6 +191,193 @@ object ExtQ {
         epoch_pos, grp, bin, n_docs, n_toks, shuffle_key
       FROM epos ORDER BY epoch_pos"""))
 
+  /** Shuffle-quality audit of the epoch order
+    * ([[graft.ext.Layout.epochOrderAudit]], seed 42): the measured
+    * "did the LCG permutation actually mix the sources?" verdict — the
+    * observed adjacent same-group pair count against the EXACT
+    * uniform-permutation expectation numerator Σ n_g(n_g−1) (E[same] =
+    * that over N), plus the run structure (n_runs / max_run over
+    * maximal same-group intervals) and the decimal-exact 2× verdict.
+    * All integer arithmetic, so the whole audit is hash-exact; the
+    * oracle re-derives adjacency via lag() and the segments via a
+    * window prefix sum over the SAME epoch replay, while the engine
+    * side uses successor/predecessor position equi-joins + the
+    * distributed prefix sum (no corpus-wide window — PlanSpec-gated).
+    */
+  val xPackEpochAudit = Q(
+    "x_pack_epoch_audit",
+    (s, dir) => {
+      val (ordered, n) = graft.ext.Layout.epochOrderWithTotal(
+        ExtP.epochSeqs(s, dir), "grp", "bin", seed = 42L)
+      graft.ext.Layout.epochOrderAudit(ordered, n)
+    },
+    Some(s"""WITH RECURSIVE ${ExtP.epochBaseCtes},
+      gn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs FROM epos),
+      ga AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n
+        FROM epos GROUP BY 1),
+      ge AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+          CAST(COALESCE(SUM(n * (n - 1)), 0) AS BIGINT) AS expected_num
+        FROM ga),
+      gl AS (SELECT epoch_pos, grp,
+          lag(grp) OVER (ORDER BY epoch_pos) AS pg
+        FROM epos),
+      gobs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_adjacent,
+          CAST(COALESCE(SUM(CASE WHEN grp IS NOT DISTINCT FROM pg
+            THEN 1 ELSE 0 END), 0) AS BIGINT) AS observed_same
+        FROM gl WHERE epoch_pos > 1),
+      gf AS (SELECT epoch_pos,
+          CASE WHEN epoch_pos = 1 THEN 1
+            WHEN grp IS NOT DISTINCT FROM pg THEN 0 ELSE 1 END AS flag
+        FROM gl),
+      gs AS (SELECT epoch_pos,
+          SUM(flag) OVER (ORDER BY epoch_pos
+            ROWS UNBOUNDED PRECEDING) AS seg
+        FROM gf),
+      gruns AS (SELECT seg, COUNT(*) AS len FROM gs GROUP BY 1),
+      gr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_runs,
+          CAST(MAX(len) AS BIGINT) AS max_run
+        FROM gruns)
+      SELECT n_seqs, n_groups, n_adjacent, observed_same, expected_num,
+        CAST(expected_num // n_seqs AS BIGINT) AS expected_floor,
+        n_runs, max_run,
+        (CAST(observed_same AS DECIMAL(38,0)) * n_seqs <=
+          CAST(expected_num AS DECIMAL(38,0)) * 2) AS mixed_ok
+      FROM gn, ge, gobs, gr"""))
+
+  /** Per-consumer block digests over the epoch order
+    * ([[graft.ext.Layout.epochBlockDigests]], 8 consumers, blocks of
+    * 16): the order-integrity checksum completing the resume-cursor
+    * restart contract — the cursor computes WHERE to resume, the
+    * digest lets the resumed rank VERIFY it reads the same sequences
+    * in the same order (position is inside every digest term, so
+    * swapping two adjacent sequences flips a value the hash sees).
+    * Consumer and block are closed-form in the position (consumer c
+    * starts at ⌈c·N/8⌉+1), so the oracle replays the whole thing —
+    * permutation, division inverse, digest mix — as pure integer
+    * arithmetic over the shared epoch CTEs.
+    */
+  val xPackEpochDigest = Q(
+    "x_pack_epoch_digest",
+    (s, dir) => {
+      val (ordered, n) = graft.ext.Layout.epochOrderWithTotal(
+        ExtP.epochSeqs(s, dir), "grp", "bin", seed = 42L)
+      graft.ext.Layout.epochBlockDigests(ordered, n, nConsumers = 8,
+          blockLen = 16L)
+        .orderBy(col("consumer"), col("block"))
+    },
+    Some(s"""WITH RECURSIVE ${ExtP.epochBaseCtes},
+      en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM epos),
+      dd AS (SELECT epoch_pos, n_toks, shuffle_key,
+          CAST(((epoch_pos - 1) * 8) // (SELECT n FROM en) AS BIGINT)
+            AS consumer
+        FROM epos),
+      db AS (SELECT *, (epoch_pos - 1) -
+          ((consumer * (SELECT n FROM en) + 7) // 8) AS local
+        FROM dd),
+      dt AS (SELECT consumer, CAST(local // 16 AS BIGINT) AS block,
+          epoch_pos, n_toks,
+          ((epoch_pos % 2147483648)
+            * ((shuffle_key * 97 + n_toks * 31 + 1) % 2147483648))
+            % 2147483648 AS term
+        FROM db)
+      SELECT consumer, block, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+        CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+        CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
+        CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+        CAST(SUM(term) % 2147483648 AS BIGINT) AS digest
+      FROM dt GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Multi-epoch distinctness audit: the "a new epoch = a new seed"
+    * claim adjudicated — the SAME packed corpus under seeds 42 and 43,
+    * joined per sequence (null-safe on (grp, bin)), with the fixed
+    * point count, total/max displacement, the PRESERVED-ADJACENCY
+    * count (epoch-42 neighbor pairs still neighbors under epoch 43 —
+    * the statistic that CAUGHT the r19 rotation flaw: under the
+    * original additive-seed LCG every pair of seeds produced keys
+    * differing by one constant, so "a new epoch" was the old epoch
+    * ROTATED and 598/599 adjacent pairs survived; under the fixed
+    * multiplicative-seed key 0 survive and the displacement sits at
+    * the uniform-random N²/3), the `decorrelated` 10% verdict, and
+    * the completeness verdicts (both orders are dense permutations of
+    * the same set). The oracle derives the second permutation by
+    * appending the seed-43 multiplier/offset CTEs to the SAME shared
+    * epoch replay — one drifted tie-break or seed constant anywhere
+    * moves a displacement and flips the hash.
+    */
+  val xPackEpochMulti = Q(
+    "x_pack_epoch_multi",
+    (s, dir) => {
+      val seqs = ExtP.epochSeqs(s, dir).cache()
+      val (o42, n) = graft.ext.Layout.epochOrderWithTotal(
+        seqs, "grp", "bin", seed = 42L)
+      val o43 = graft.ext.Layout.epochOrder(seqs, "grp", "bin",
+        seed = 43L)
+      val a = o42.select(col("grp").as("_ga"), col("bin").as("_ba"),
+        col("epoch_pos").as("pa"))
+      val b = o43.select(col("grp").as("_gb"), col("bin").as("_bb"),
+        col("epoch_pos").as("pb"))
+      // the per-sequence (position-in-42, position-in-43) map feeds
+      // BOTH aggregates (global displacement + the successor join for
+      // preserved adjacency) — pinned like the budget face's seqs
+      val em = a.join(b,
+          col("_ga") <=> col("_gb") && col("_ba") === col("_bb"))
+        .select(col("pa"), col("pb")).cache()
+      val agg = em.agg(count(lit(1)).cast("bigint").as("n_seqs"),
+        sum(when(col("pa") === col("pb"), 1L).otherwise(0L))
+          .cast("bigint").as("n_fixed"),
+        sum(abs(col("pa") - col("pb"))).cast("bigint").as("sum_disp"),
+        max(abs(col("pa") - col("pb"))).cast("bigint").as("max_disp"),
+        (max(col("pa")) === lit(n) && max(col("pb")) === lit(n) &&
+          count(lit(1)) === lit(n)).as("complete_both"),
+        (sum(abs(col("pa") - col("pb"))) > 0).as("distinct_orders"))
+      // epoch-42 successor pairs re-keyed to the predecessor position
+      // (the epochOrderAudit join shape — never a corpus-wide window)
+      val succ = em.select((col("pa") - 1).as("pa"),
+        col("pb").as("_pbn"))
+      val pre = em.join(succ, Seq("pa"))
+        .agg(coalesce(sum(when(abs(col("_pbn") - col("pb")) === 1L, 1L)
+          .otherwise(0L)), lit(0L)).cast("bigint").as("preserved_adj"))
+      agg.crossJoin(pre)
+        .withColumn("decorrelated",
+          col("preserved_adj") * lit(10L) <= col("n_seqs") - 1)
+    },
+    Some(s"""WITH RECURSIVE ${ExtP.epochBaseCtes},
+      fseed AS (SELECT ((43 % 2147483648) * 1103515245 + 12345)
+          % 2147483648 AS s1),
+      fseed2 AS (SELECT (s1 * 1103515245 + 12345) % 2147483648 AS s2,
+          2 * (s1 % 1073741824) + 1 AS mult
+        FROM fseed),
+      ekey43 AS (SELECT e.grp, e.bin,
+          ((SELECT mult FROM fseed2)
+            * ((((gi * 1048576 + e.bin) % 2147483648)
+              * 1103515245 + 12345) % 2147483648)
+            + (SELECT s2 FROM fseed2)) % 2147483648 AS k43
+        FROM eseq e JOIN egi ON egi.grp IS NOT DISTINCT FROM e.grp),
+      epos43 AS (SELECT grp, bin,
+          CAST(row_number() OVER (ORDER BY k43, grp NULLS FIRST, bin)
+            AS BIGINT) AS pb
+        FROM ekey43),
+      em AS (SELECT a.epoch_pos AS pa, b.pb
+        FROM epos a JOIN epos43 b
+          ON a.grp IS NOT DISTINCT FROM b.grp AND a.bin = b.bin),
+      emagg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seqs,
+          CAST(SUM(CASE WHEN pa = pb THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_fixed,
+          CAST(SUM(ABS(pa - pb)) AS BIGINT) AS sum_disp,
+          CAST(MAX(ABS(pa - pb)) AS BIGINT) AS max_disp,
+          (MAX(pa) = COUNT(*) AND MAX(pb) = COUNT(*)
+            AND COUNT(*) = (SELECT COUNT(*) FROM epos))
+            AS complete_both,
+          (SUM(ABS(pa - pb)) > 0) AS distinct_orders
+        FROM em),
+      epre AS (SELECT CAST(COALESCE(SUM(CASE
+            WHEN ABS(y.pb - x.pb) = 1 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS preserved_adj
+        FROM em x JOIN em y ON y.pa = x.pa + 1)
+      SELECT a.*, p.preserved_adj,
+        (p.preserved_adj * 10 <= a.n_seqs - 1) AS decorrelated
+      FROM emagg a, epre p"""))
+
   val queries: Seq[Q] = Seq(xPackManifest, xPackEpochResume,
-    xPackEpochLayout)
+    xPackEpochLayout, xPackEpochAudit, xPackEpochDigest, xPackEpochMulti)
 }

@@ -15,15 +15,22 @@ class LayoutEpochSpec extends SparkSuite {
     b <- 0L until 40L
   } yield (g, b, b % 7, b * 3 + g.length)).toDF("grp", "bin", "n_docs", "n_toks")
 
-  /** The scaladoc formula, computed locally. */
+  /** The scaladoc formula, computed locally — the r19
+    * multiplicative-seed key: mult(seed)·lcg(sid) + off(seed), mod
+    * 2^31, with mult the odd seed-derived multiplier.
+    */
   private def reference(rows: Seq[(String, Long)], seed: Long)
       : Seq[(String, Long, Long)] = {
     val gi = rows.map(_._1).distinct.sorted.zipWithIndex
       .map { case (g, i) => g -> (i + 1L) }.toMap
     val m = 2147483648L
+    val s1 = ((seed % m) * 1103515245L + 12345L) % m
+    val s2 = (s1 * 1103515245L + 12345L) % m
+    val mult = 2L * (s1 % 1073741824L) + 1L
     rows.map { case (g, b) =>
       val sid = gi(g) * 1048576L + b
-      val pk = (((sid + seed) % m) * 1103515245L + 12345L) % m
+      val inner = ((sid % m) * 1103515245L + 12345L) % m
+      val pk = (mult * inner + s2) % m
       (g, b, pk)
     }.sortBy { case (g, b, pk) => (pk, g, b) }
       .map { case (g, b, pk) => (g, b, pk) }
@@ -199,6 +206,102 @@ class LayoutEpochSpec extends SparkSuite {
     assert(er.getLong(er.fieldIndex("remaining_toks")) == 0L)
     val nr = out.find(_.getLong(0) == nonEmpty.head).get
     assert(!nr.isNullAt(nr.fieldIndex("resume_pos")))
+  }
+
+  test("epochOrderAudit matches hand-computed adjacency, expectation " +
+      "and run structure") {
+    val ord = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "a"), (5L, "b"),
+      (6L, "b")).toDF("epoch_pos", "grp")
+    val r = Layout.epochOrderAudit(ord, 6L).collect().head
+    assert(r.getLong(r.fieldIndex("n_seqs")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_groups")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_adjacent")) == 5L)
+    // same-group adjacent pairs: (1,2)=a,a and (5,6)=b,b
+    assert(r.getLong(r.fieldIndex("observed_same")) == 2L)
+    // Σ n_g(n_g−1) = 3·2 + 3·2
+    assert(r.getLong(r.fieldIndex("expected_num")) == 12L)
+    assert(r.getLong(r.fieldIndex("expected_floor")) == 2L)
+    // runs: aa | b | a | bb
+    assert(r.getLong(r.fieldIndex("n_runs")) == 4L)
+    assert(r.getLong(r.fieldIndex("max_run")) == 2L)
+    assert(r.getBoolean(r.fieldIndex("mixed_ok")), "2·6 <= 2·12")
+  }
+
+  test("epochOrderAudit treats a NULL group as its own group") {
+    val ord = Seq((1L, "a"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String])).toDF("epoch_pos", "grp")
+    val r = Layout.epochOrderAudit(ord, 3L).collect().head
+    assert(r.getLong(r.fieldIndex("n_groups")) == 2L)
+    // the (NULL, NULL) adjacent pair IS a same-group pair
+    assert(r.getLong(r.fieldIndex("observed_same")) == 1L)
+    assert(r.getLong(r.fieldIndex("expected_num")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_runs")) == 2L)
+    assert(r.getLong(r.fieldIndex("max_run")) == 2L)
+  }
+
+  test("epochBlockDigests: closed-form blocks cover the shards and the " +
+      "digest is order-sensitive") {
+    val (ordered, total) = Layout.epochOrderWithTotal(fixture, "grp",
+      "bin", seed = 42L)
+    val nC = 8
+    val d = Layout.epochBlockDigests(ordered, total, nC, blockLen = 4L)
+      .orderBy(col("consumer"), col("block")).collect()
+    val sh = Layout.epochShards(ordered, total, nC).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // per consumer: dense block ids, non-tail blocks full, positions
+    // tile the consumer's manifest range contiguously
+    d.groupBy(_.getLong(0)).foreach { case (c, rows) =>
+      val (nSeqs, first, last) = sh(c)
+      val bs = rows.sortBy(_.getLong(1))
+      assert(bs.map(_.getLong(1)).toSeq == (0L until bs.length).toSeq)
+      assert(bs.map(_.getLong(2)).sum == nSeqs)
+      bs.init.foreach(r => assert(r.getLong(2) == 4L, "non-tail full"))
+      assert(bs.head.getLong(3) == first && bs.last.getLong(4) == last)
+      bs.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(1).getLong(3) == w(0).getLong(4) + 1, "contiguous") }
+    }
+    // hand formula for one block
+    val m = 2147483648L
+    val rows = ordered.orderBy(col("epoch_pos"))
+      .select("epoch_pos", "shuffle_key", "n_toks").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val c0first = (0L * total + nC - 1) / nC // = 0 → positions 1..4
+    val hand = rows.filter(r => r._1 - 1 >= c0first && r._1 - 1 < c0first + 4)
+      .map { case (p, k, t) => ((p % m) * ((k * 97L + t * 31L + 1L) % m)) % m }
+      .sum % m
+    assert(d.head.getLong(6) == hand, "digest must equal the documented mix")
+    // order sensitivity: swapping two adjacent sequences' content
+    // (same positions, swapped identity) must change the digest
+    val swapped = rows.zipWithIndex.map {
+      case ((p, k, t), 0) => (p, rows(1)._2, rows(1)._3)
+      case ((p, k, t), 1) => (p, rows(0)._2, rows(0)._3)
+      case ((p, k, t), _) => (p, k, t)
+    }.toSeq.toDF("epoch_pos", "shuffle_key", "n_toks")
+    val d2 = Layout.epochBlockDigests(swapped, total, nC, blockLen = 4L)
+      .filter(col("consumer") === 0L && col("block") === 0L)
+      .collect().head.getLong(6)
+    assert(rows(0)._2 != rows(1)._2, "fixture: the two keys differ")
+    assert(d2 != d.head.getLong(6),
+      "a swapped pair inside a block must flip its digest")
+  }
+
+  test("consecutive seeds are decorrelated epochs, not rotations " +
+      "(the r19 multiplicative-seed fix)") {
+    def posMap(seed: Long) = Layout.epochOrder(fixture, "grp", "bin", seed)
+      .select("grp", "bin", "epoch_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p42 = posMap(42L); val p43 = posMap(43L)
+    val o42 = p42.toSeq.sortBy(_._2).map(_._1)
+    val n = o42.length
+    // preserved adjacency: epoch-42 neighbors still neighbors in 43
+    val preserved = o42.sliding(2).count { w =>
+      w.length == 2 && math.abs(p43(w(0)) - p43(w(1))) == 1L }
+    // the additive-seed LCG preserved n−2 of n−1 pairs (a rotation);
+    // the multiplicative seed must break that lattice outright
+    assert(preserved * 10 <= n - 1,
+      s"consecutive-seed epochs still share $preserved/${n - 1} " +
+        "adjacent pairs — the rotation flaw is back")
   }
 
   test("epochOrder is partition-independent and seed-sensitive") {

@@ -557,6 +557,28 @@ class PlanSpec extends SparkSuite {
       s"full sidecar went cartesian:\n$sf")
   }
 
+  test("round-19 epoch audits keep their scale shapes") {
+    // shuffle-quality audit: adjacency rides successor/predecessor
+    // position equi-joins and the run segments ride globalRunningSum's
+    // RDD bridge — never a corpus-wide Window (the single-row
+    // crossJoins of the final assembly are O(1)-row by construction)
+    val au = plan("x_pack_epoch_audit")
+    assert(!au.contains("Window"),
+      s"epoch audit fell back to a Window:\n$au")
+    assert(au.contains("ExistingRDD"),
+      s"epoch audit lost the prefix-sum bridge:\n$au")
+    // block digests: closed-form consumer/block arithmetic — one
+    // projection + one partial-aggregating groupBy, no Window, no
+    // manifest join
+    val dg = plan("x_pack_epoch_digest")
+    assert(!dg.contains("Window"),
+      s"epoch digest fell back to a Window:\n$dg")
+    assert(dg.contains("partial_"),
+      s"epoch digest lost partial aggregation:\n$dg")
+    assert(!dg.contains("CartesianProduct"),
+      s"epoch digest went cartesian:\n$dg")
+  }
+
   test("whole-stage codegen covers the q1 pipeline") {
     // AQE prints codegen spans only in the FINAL plan — execute THIS
     // DataFrame's own queryExecution (a write would plan separately)
