@@ -80,15 +80,20 @@ object Layout {
     *    so the order is a function of content + seed alone:
     *    reproducible across runs, partitionings, cluster sizes, and
     *    engines (SQL-replayable, unlike a hashed-string or RNG key).
-    *    The seed enters MULTIPLICATIVELY, not additively (r19): the
-    *    key is `(mult(seed) · lcg(sid) + off(seed)) mod 2^31` with
-    *    `mult` an odd seed-derived multiplier — an additive seed
-    *    (`lcg(sid + seed)`) makes any two seeds' keys differ by a
-    *    CONSTANT, so "epoch 2" was exactly "epoch 1 rotated" and
-    *    adjacent pairs survived across epochs 598/599 (caught by the
-    *    [[epochOrderAudit]] family's preserved-adjacency statistic;
-    *    the multiplier breaks the shared lattice — 0/599 preserved,
-    *    displacement at the uniform-random N²/3);
+    *    The seed enters MULTIPLICATIVELY and the key passes a
+    *    NONLINEAR finalizer (r19): key = `fin((mult(seed) · lcg(sid)
+    *    + off(seed)) mod 2^31)` with `mult` an odd seed-derived
+    *    multiplier and `fin` two seed-independent xorshift+LCG
+    *    rounds. An additive seed (`lcg(sid + seed)`) makes any two
+    *    seeds' keys differ by a CONSTANT, so "epoch 2" was exactly
+    *    "epoch 1 rotated" and adjacent pairs survived across epochs
+    *    598/599 on the 600-sequence probe (caught by the
+    *    [[epochOrderAudit]] family's preserved-adjacency statistic);
+    *    the multiplier alone still leaves same-mult seed pairs
+    *    rotated (pigeonhole over 2^30 multipliers — e.g. any seeds
+    *    differing by 2^30), which the finalizer closes: every probed
+    *    pair lands at the random-permutation preserved-adjacency
+    *    level (≤4/599), with displacement at the uniform N²/3;
     *  - the epoch position is [[Rank.globalRowNumber]] over
     *    (key, group, bin) — ONE range exchange on the permuted key +
     *    the two narrow numbering jobs, never a driver sort and never
@@ -144,7 +149,24 @@ object Layout {
     // reduce mod 2^31 BEFORE each multiply: every product tops out at
     // 2^31·1103515245 < Long.MaxValue (the weightedSample bound)
     val inner = pmod(pmod(sid, m) * lit(1103515245L) + lit(12345L), m)
-    val pk = pmod(lit(mult) * inner + lit(s2), m)
+    val y0 = pmod(lit(mult) * inner + lit(s2), m)
+    // seed-independent NONLINEAR finalizer (two xorshift+LCG rounds):
+    // the affine stage alone cannot decorrelate every seed pair —
+    // mult has only 2^30 values over 2^31 seeds, so same-mult pairs
+    // exist by pigeonhole (concretely: seeds differing by 2^30 shift
+    // s1 by exactly 2^30, share mult, and their keys differ by one
+    // constant — a rotation again, caught in review). The xorshift
+    // breaks the affine structure, so equal-mult seed pairs are no
+    // longer order-related: measured preserved adjacency for the
+    // Δ=2^30 pairs drops from 598/599 (no finalizer would help the
+    // additive key) through 196/599 (one round) to ≤4/599 (two
+    // rounds, the random-pair level); it also dissolves the LCG
+    // lattice WITHIN an epoch (adjacent same-group pairs land at the
+    // uniform expectation instead of the super-uniform 0)
+    val y1 = pmod((y0.bitwiseXOR(shiftright(y0, 15)))
+      * lit(1103515245L) + lit(12345L), m)
+    val pk = pmod((y1.bitwiseXOR(shiftright(y1, 13)))
+      * lit(1103515245L) + lit(12345L), m)
     // null-safe equality: a NULL group name must keep its sequences
     // (an equi-join would silently DROP them — the stage-0 NULL-url
     // lesson); the distinct table carries the NULL row and the order
@@ -184,6 +206,24 @@ object Layout {
     * in the written layout (the "range partitioning IS the epoch
     * sharding" property).
     */
+  /** The balanced consumer assignment shared by EVERY epoch face —
+    * consumer = ((epoch_pos − 1) · nConsumers) div total — factored
+    * once so the manifest ([[epochShards]]), the physical layout
+    * ([[writeEpochLayout]]), the resume cursor ([[epochResumeCursor]])
+    * and the block digests ([[epochBlockDigests]]) can never drift
+    * apart: they all describe the SAME blocks, and a rounding change
+    * applied to one copy but not another would make digests verify
+    * ranges a rank does not actually read (r19 review fix — this was
+    * previously four inline copies). [[consumerFirstPos]] is the
+    * closed-form inverse: consumer c's first (epoch_pos − 1) is
+    * ⌈c·total/nConsumers⌉.
+    */
+  private[ext] def consumerOfPos(total: Long, nConsumers: Int): Column =
+    expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long")
+
+  private[ext] def consumerFirstPos(total: Long, nConsumers: Int): Column =
+    expr(s"(consumer * $total + ${nConsumers - 1}) div $nConsumers")
+
   def epochShards(ordered: DataFrame, total: Long, nConsumers: Int,
       nDocsCol: String = "n_docs", nToksCol: String = "n_toks")
       : DataFrame = {
@@ -191,8 +231,7 @@ object Layout {
     require(total > 0, "total must be positive (an empty epoch has no shards)")
     val spark = ordered.sparkSession
     val filled = ordered
-      .withColumn("consumer",
-        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .withColumn("consumer", consumerOfPos(total, nConsumers))
       .groupBy(col("consumer"))
       .agg(count(lit(1)).cast("bigint").as("n_seqs"),
         min(col("epoch_pos")).cast("bigint").as("first_pos"),
@@ -240,8 +279,7 @@ object Layout {
     require(nConsumers > 0, "nConsumers must be positive")
     require(total > 0, "total must be positive")
     ordered
-      .withColumn("consumer",
-        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .withColumn("consumer", consumerOfPos(total, nConsumers))
       .write.mode("overwrite").partitionBy("consumer").parquet(path)
     // the manifest aggregates the JUST-WRITTEN parquet, not `ordered` —
     // running epochShards over the input would re-execute the entire
@@ -385,7 +423,11 @@ object Layout {
     * SQL-replayable; sums stay exact: each term < 2^31 and
     * `blockLen` ≤ 2^20 keeps a block's sum < 2^51.
     *
-    * Returns one row per (consumer, block):
+    * Returns one row per (consumer, block), RANGE-FILLED over
+    * consumers 0..nConsumers−1 — a consumer left empty when N <
+    * nConsumers gets a terminal row (n_seqs 0, NULL
+    * block/range/digest, zero tokens), matching the [[epochShards]] /
+    * [[epochResumeCursor]] discipline:
     * (consumer, block, n_seqs, first_pos, last_pos, n_toks, digest).
     */
   def epochBlockDigests(ordered: DataFrame, total: Long, nConsumers: Int,
@@ -395,11 +437,10 @@ object Layout {
     require(blockLen > 0 && blockLen <= (1L << 20),
       "need 0 < blockLen <= 2^20 (the exact-sum bound)")
     val m = lit(2147483648L) // 2^31
-    ordered
-      .withColumn("consumer",
-        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+    val agg = ordered
+      .withColumn("consumer", consumerOfPos(total, nConsumers))
       .withColumn("_local", col("epoch_pos") - lit(1L) -
-        expr(s"(consumer * $total + ${nConsumers - 1}) div $nConsumers"))
+        consumerFirstPos(total, nConsumers))
       .withColumn("block", expr(s"_local div $blockLen").cast("long"))
       .withColumn("_term",
         pmod(pmod(col("epoch_pos"), m) *
@@ -411,6 +452,20 @@ object Layout {
         max(col("epoch_pos")).cast("bigint").as("last_pos"),
         sum(col(nToksCol)).cast("bigint").as("n_toks"),
         pmod(sum(col("_term")), m).cast("bigint").as("digest"))
+    // RANGE-FILLED like every other face (the r18 empty-consumer
+    // lesson, applied to the digests in review): when N < nConsumers a
+    // rank assigned an empty block must find its terminal row (n_seqs
+    // 0, NULL block/range/digest, zero tokens) — with no row it cannot
+    // distinguish "legitimately empty shard" from "my digests were
+    // lost"
+    ordered.sparkSession.range(nConsumers)
+      .select(col("id").as("consumer"))
+      .join(broadcast(agg), Seq("consumer"), "left")
+      .select(col("consumer"), col("block"),
+        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
+        col("first_pos"), col("last_pos"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        col("digest"))
   }
 
   def epochResumeCursor(ordered: DataFrame, total: Long, nConsumers: Int,
@@ -425,8 +480,7 @@ object Layout {
     import spark.implicits._
     val cum = Rank.globalRunningSum(ordered, Seq(col("epoch_pos")),
         col(nToksCol), out = "_gcum")
-      .withColumn("consumer",
-        expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long"))
+      .withColumn("consumer", consumerOfPos(total, nConsumers))
     // O(nConsumers) manifest + exclusive token offsets; the window is
     // over the BOUNDED consumer dimension, not the corpus (the
     // single-partition exchange it implies moves nConsumers rows).

@@ -419,7 +419,9 @@ object ExtP {
     * the NULLS-FIRST group index (pinned explicitly — DuckDB defaults
     * ASC to NULLS LAST while Spark defaults to NULLS FIRST, so a NULL
     * group name would silently diverge the whole permutation), the
-    * LCG key, and the global position. Ends in
+    * multiplicative-seed LCG key with its two xorshift+LCG finalizer
+    * rounds (the r19 rotation fix — null-safe group join, matching
+    * the engine), and the global position. Ends in
     * `epos(grp, bin, n_docs, n_toks, shuffle_key, epoch_pos)`.
     */
   private[queries] def epochBaseCtes: String = s"""${ExtH.packBfdCoreCtes(
@@ -447,12 +449,20 @@ object ExtP {
       eseed2 AS (SELECT (s1 * 1103515245 + 12345) % 2147483648 AS s2,
           2 * (s1 % 1073741824) + 1 AS mult
         FROM eseed),
-      ekey AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
+      ekey0 AS (SELECT e.grp, e.bin, e.n_docs, e.n_toks,
           ((SELECT mult FROM eseed2)
             * ((((gi * 1048576 + e.bin) % 2147483648)
               * 1103515245 + 12345) % 2147483648)
-            + (SELECT s2 FROM eseed2)) % 2147483648 AS shuffle_key
-        FROM eseq e JOIN egi ON egi.grp = e.grp),
+            + (SELECT s2 FROM eseed2)) % 2147483648 AS y0
+        FROM eseq e JOIN egi ON egi.grp IS NOT DISTINCT FROM e.grp),
+      ekey1 AS (SELECT grp, bin, n_docs, n_toks,
+          (xor(y0, y0 // 32768) * 1103515245 + 12345)
+            % 2147483648 AS y1
+        FROM ekey0),
+      ekey AS (SELECT grp, bin, n_docs, n_toks,
+          (xor(y1, y1 // 8192) * 1103515245 + 12345)
+            % 2147483648 AS shuffle_key
+        FROM ekey1),
       epos AS (SELECT grp, bin, n_docs, n_toks,
           CAST(shuffle_key AS BIGINT) AS shuffle_key,
           CAST(row_number() OVER (ORDER BY shuffle_key,

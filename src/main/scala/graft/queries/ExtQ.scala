@@ -279,13 +279,20 @@ object ExtQ {
           ((epoch_pos % 2147483648)
             * ((shuffle_key * 97 + n_toks * 31 + 1) % 2147483648))
             % 2147483648 AS term
-        FROM db)
-      SELECT consumer, block, CAST(COUNT(*) AS BIGINT) AS n_seqs,
-        CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
-        CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
-        CAST(SUM(n_toks) AS BIGINT) AS n_toks,
-        CAST(SUM(term) % 2147483648 AS BIGINT) AS digest
-      FROM dt GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM db),
+      dagg AS (SELECT consumer, block, CAST(COUNT(*) AS BIGINT)
+            AS n_seqs,
+          CAST(MIN(epoch_pos) AS BIGINT) AS first_pos,
+          CAST(MAX(epoch_pos) AS BIGINT) AS last_pos,
+          CAST(SUM(n_toks) AS BIGINT) AS n_toks,
+          CAST(SUM(term) % 2147483648 AS BIGINT) AS digest
+        FROM dt GROUP BY 1, 2)
+      SELECT c.consumer, a.block, COALESCE(a.n_seqs, 0) AS n_seqs,
+        a.first_pos, a.last_pos, COALESCE(a.n_toks, 0) AS n_toks,
+        a.digest
+      FROM (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS consumer) c
+      LEFT JOIN dagg a ON a.consumer = c.consumer
+      ORDER BY 1, 2"""))
 
   /** Multi-epoch distinctness audit: the "a new epoch = a new seed"
     * claim adjudicated — the SAME packed corpus under seeds 42 and 43,
@@ -347,12 +354,20 @@ object ExtQ {
       fseed2 AS (SELECT (s1 * 1103515245 + 12345) % 2147483648 AS s2,
           2 * (s1 % 1073741824) + 1 AS mult
         FROM fseed),
-      ekey43 AS (SELECT e.grp, e.bin,
+      fkey0 AS (SELECT e.grp, e.bin,
           ((SELECT mult FROM fseed2)
             * ((((gi * 1048576 + e.bin) % 2147483648)
               * 1103515245 + 12345) % 2147483648)
-            + (SELECT s2 FROM fseed2)) % 2147483648 AS k43
+            + (SELECT s2 FROM fseed2)) % 2147483648 AS y0
         FROM eseq e JOIN egi ON egi.grp IS NOT DISTINCT FROM e.grp),
+      fkey1 AS (SELECT grp, bin,
+          (xor(y0, y0 // 32768) * 1103515245 + 12345)
+            % 2147483648 AS y1
+        FROM fkey0),
+      ekey43 AS (SELECT grp, bin,
+          (xor(y1, y1 // 8192) * 1103515245 + 12345)
+            % 2147483648 AS k43
+        FROM fkey1),
       epos43 AS (SELECT grp, bin,
           CAST(row_number() OVER (ORDER BY k43, grp NULLS FIRST, bin)
             AS BIGINT) AS pb

@@ -16,8 +16,8 @@ class LayoutEpochSpec extends SparkSuite {
   } yield (g, b, b % 7, b * 3 + g.length)).toDF("grp", "bin", "n_docs", "n_toks")
 
   /** The scaladoc formula, computed locally — the r19
-    * multiplicative-seed key: mult(seed)·lcg(sid) + off(seed), mod
-    * 2^31, with mult the odd seed-derived multiplier.
+    * multiplicative-seed key with the two-round xorshift+LCG
+    * finalizer: fin(mult(seed)·lcg(sid) + off(seed) mod 2^31).
     */
   private def reference(rows: Seq[(String, Long)], seed: Long)
       : Seq[(String, Long, Long)] = {
@@ -30,7 +30,9 @@ class LayoutEpochSpec extends SparkSuite {
     rows.map { case (g, b) =>
       val sid = gi(g) * 1048576L + b
       val inner = ((sid % m) * 1103515245L + 12345L) % m
-      val pk = (mult * inner + s2) % m
+      val y0 = (mult * inner + s2) % m
+      val y1 = ((y0 ^ (y0 >> 15)) * 1103515245L + 12345L) % m
+      val pk = ((y1 ^ (y1 >> 13)) * 1103515245L + 12345L) % m
       (g, b, pk)
     }.sortBy { case (g, b, pk) => (pk, g, b) }
       .map { case (g, b, pk) => (g, b, pk) }
@@ -302,6 +304,45 @@ class LayoutEpochSpec extends SparkSuite {
     assert(preserved * 10 <= n - 1,
       s"consecutive-seed epochs still share $preserved/${n - 1} " +
         "adjacent pairs — the rotation flaw is back")
+  }
+
+  test("seed pairs differing by 2^30 are decorrelated too (the " +
+      "same-multiplier pigeonhole case the finalizer closes)") {
+    // seeds s and s + 2^30 shift s1 by exactly 2^30, so they SHARE the
+    // odd multiplier — without the nonlinear finalizer their keys
+    // differ by one constant and the epochs are rotations again
+    // (review finding); the two xorshift+LCG rounds must hold these
+    // pairs at the random-permutation adjacency level as well
+    def posMap(seed: Long) = Layout.epochOrder(fixture, "grp", "bin", seed)
+      .select("grp", "bin", "epoch_pos").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val p42 = posMap(42L); val pHi = posMap(42L + 1073741824L)
+    val o42 = p42.toSeq.sortBy(_._2).map(_._1)
+    val n = o42.length
+    val preserved = o42.sliding(2).count { w =>
+      w.length == 2 && math.abs(pHi(w(0)) - pHi(w(1))) == 1L }
+    assert(preserved * 10 <= n - 1,
+      s"same-multiplier seed pair still shares $preserved/${n - 1} " +
+        "adjacent pairs — the finalizer stopped mixing")
+  }
+
+  test("epochBlockDigests range-fills empty consumers with terminal " +
+      "rows (N < nConsumers)") {
+    val tiny = Seq(("a", 0L, 1L, 10L), ("a", 1L, 1L, 11L),
+        ("b", 0L, 1L, 12L)).toDF("grp", "bin", "n_docs", "n_toks")
+    val (ordered, n) = Layout.epochOrderWithTotal(tiny, "grp", "bin", 5L)
+    val d = Layout.epochBlockDigests(ordered, n, nConsumers = 8,
+        blockLen = 4L).orderBy(col("consumer")).collect()
+    assert(d.map(_.getLong(0)).toSeq == (0L until 8L).toSeq,
+      "all 8 consumers must have a digest row")
+    assert(d.map(_.getLong(2)).sum == 3L, "3 sequences distributed")
+    val empties = d.filter(_.getLong(2) == 0L)
+    assert(empties.length == 5)
+    empties.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(3) && r.isNullAt(4) &&
+        r.isNullAt(6), "empty consumers carry NULL block/range/digest")
+      assert(r.getLong(5) == 0L, "zero tokens")
+    }
   }
 
   test("epochOrder is partition-independent and seed-sensitive") {
