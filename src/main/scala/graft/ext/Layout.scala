@@ -180,6 +180,42 @@ object Layout {
       out = "epoch_pos")
   }
 
+  /** The balanced consumer assignment shared by EVERY epoch face —
+    * consumer = ((epoch_pos − 1) · nConsumers) div total — factored
+    * once so the manifest ([[epochShards]]), the physical layout
+    * ([[writeEpochLayout]]), the resume cursor ([[epochResumeCursor]])
+    * and the block digests ([[epochBlockDigests]]) can never drift
+    * apart: they all describe the SAME blocks, and a rounding change
+    * applied to one copy but not another would make digests verify
+    * ranges a rank does not actually read (r19 review fix — this was
+    * previously four inline copies). [[consumerFirstPos]] is the
+    * closed-form inverse: consumer c's first (epoch_pos − 1) is
+    * ⌈c·total/nConsumers⌉.
+    */
+  private[ext] def consumerOfPos(total: Long, nConsumers: Int): Column =
+    expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long")
+
+  private[ext] def consumerFirstPos(total: Long, nConsumers: Int): Column =
+    expr(s"(consumer * $total + ${nConsumers - 1}) div $nConsumers")
+
+  /** The shared empty-consumer terminal-row fill: every face that
+    * reports per-consumer rows (the manifest, the digests) answers
+    * consumers 0..nConsumers−1 even when N < nConsumers — zeroCols
+    * coalesce to 0, everything else stays NULL (the r18
+    * empty-consumer discipline, factored once in review so the faces
+    * cannot disagree about what an empty consumer looks like). The
+    * broadcast side is the per-consumer aggregate, which every caller
+    * guarantees is O(nConsumers) rows at the call site.
+    */
+  private def fillConsumers(agg: DataFrame, nConsumers: Int,
+      zeroCols: Set[String]): DataFrame = {
+    val others = agg.columns.filter(_ != "consumer").toSeq
+    agg.sparkSession.range(nConsumers).select(col("id").as("consumer"))
+      .join(broadcast(agg), Seq("consumer"), "left")
+      .select(col("consumer") +: others.map(c =>
+        if (zeroCols(c)) coalesce(col(c), lit(0L)).as(c) else col(c)): _*)
+  }
+
   /** Consumer assignment over an [[epochOrder]] result — the epoch
     * SHARDING claim made executable: data-parallel consumer `c` of
     * `nConsumers` reads the contiguous position range it is assigned
@@ -206,24 +242,6 @@ object Layout {
     * in the written layout (the "range partitioning IS the epoch
     * sharding" property).
     */
-  /** The balanced consumer assignment shared by EVERY epoch face —
-    * consumer = ((epoch_pos − 1) · nConsumers) div total — factored
-    * once so the manifest ([[epochShards]]), the physical layout
-    * ([[writeEpochLayout]]), the resume cursor ([[epochResumeCursor]])
-    * and the block digests ([[epochBlockDigests]]) can never drift
-    * apart: they all describe the SAME blocks, and a rounding change
-    * applied to one copy but not another would make digests verify
-    * ranges a rank does not actually read (r19 review fix — this was
-    * previously four inline copies). [[consumerFirstPos]] is the
-    * closed-form inverse: consumer c's first (epoch_pos − 1) is
-    * ⌈c·total/nConsumers⌉.
-    */
-  private[ext] def consumerOfPos(total: Long, nConsumers: Int): Column =
-    expr(s"((epoch_pos - 1) * $nConsumers) div $total").cast("long")
-
-  private[ext] def consumerFirstPos(total: Long, nConsumers: Int): Column =
-    expr(s"(consumer * $total + ${nConsumers - 1}) div $nConsumers")
-
   def epochShards(ordered: DataFrame, total: Long, nConsumers: Int,
       nDocsCol: String = "n_docs", nToksCol: String = "n_toks")
       : DataFrame = {
@@ -238,13 +256,7 @@ object Layout {
         max(col("epoch_pos")).cast("bigint").as("last_pos"),
         sum(col(nDocsCol)).cast("bigint").as("n_docs"),
         sum(col(nToksCol)).cast("bigint").as("n_toks"))
-    spark.range(nConsumers).select(col("id").as("consumer"))
-      .join(broadcast(filled), Seq("consumer"), "left")
-      .select(col("consumer"),
-        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
-        col("first_pos"), col("last_pos"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"))
+    fillConsumers(filled, nConsumers, Set("n_seqs", "n_docs", "n_toks"))
   }
 
   /** Materialize an [[epochOrder]] result as the loader-facing
@@ -457,15 +469,15 @@ object Layout {
     // rank assigned an empty block must find its terminal row (n_seqs
     // 0, NULL block/range/digest, zero tokens) — with no row it cannot
     // distinguish "legitimately empty shard" from "my digests were
-    // lost"
-    ordered.sparkSession.range(nConsumers)
-      .select(col("id").as("consumer"))
-      .join(broadcast(agg), Seq("consumer"), "left")
-      .select(col("consumer"), col("block"),
-        coalesce(col("n_seqs"), lit(0L)).as("n_seqs"),
-        col("first_pos"), col("last_pos"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        col("digest"))
+    // lost". The fill ONLY runs on that cold path: when N >=
+    // nConsumers the balanced division makes every consumer non-empty
+    // (the fill is provably a no-op), and forcing a broadcast of the
+    // O(N/blockLen) digest aggregate there would ship the whole
+    // digest table to every executor for nothing (second review pass —
+    // at 10^9 sequences that broadcast kills the driver; on the cold
+    // path agg has < nConsumers rows and the broadcast is O(1))
+    if (total >= nConsumers.toLong) agg
+    else fillConsumers(agg, nConsumers, Set("n_seqs", "n_toks"))
   }
 
   def epochResumeCursor(ordered: DataFrame, total: Long, nConsumers: Int,

@@ -569,7 +569,11 @@ class PlanSpec extends SparkSuite {
       s"epoch audit lost the prefix-sum bridge:\n$au")
     // block digests: closed-form consumer/block arithmetic — one
     // projection + one partial-aggregating groupBy, no Window, no
-    // manifest join
+    // manifest join; the empty-consumer range-fill join exists ONLY
+    // on the cold N < nConsumers path, so the plan inspected here
+    // (sf0.001, N >> 8) must be fill-free — any join below is the
+    // upstream epochOrder's broadcast group join, not a digest-side
+    // addition
     val dg = plan("x_pack_epoch_digest")
     assert(!dg.contains("Window"),
       s"epoch digest fell back to a Window:\n$dg")
