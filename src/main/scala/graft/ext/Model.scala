@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import java.math.{BigDecimal => JBigDecimal}
 
@@ -308,34 +308,49 @@ object Model {
           16, 10).cast("long") % dims) // 60-bit value: non-negative
       .groupBy(col("doc_id"), col("b"))
       .agg(count(lit(1)).cast("bigint").as("tf"))
-    // bias feature for every doc (covers zero-token docs too); the
-    // label rides along so the gradient pass needs no extra join
-    val feat = hashed.unionByName(
-        lab.select(col("doc_id"), lit(dims.toLong).as("b"), lit(1L).as("tf")))
-      .join(lab, "doc_id")
+    // ONE ROW PER DOC (r19 optimization): the row-shaped (doc_id, b,
+    // tf, y) table re-shuffled the whole corpus TWICE per iteration —
+    // the logit groupBy(doc_id, y) exchange plus the gradient pass's
+    // join back on doc_id (the union + broadcast-label join left the
+    // pin UnknownPartitioning, and a repartition pin cannot fix it:
+    // AdaptiveSparkPlanExec does not expose outputPartitioning, so a
+    // checkpoint under AQE always reports Unknown). Packing each doc's
+    // feature buckets and counts into index-aligned arrays (bias b =
+    // dims, tf = 1 appended) makes every iteration a NARROW
+    // partition-local pass: the logit is a per-row fold over the
+    // arrays against the weight vector inlined as an O(dims) literal
+    // array, the residual never joins back (it is a sibling column),
+    // and the only exchange per step is the O(dims·partitions)
+    // partial-gradient rows — at any corpus size. Values are
+    // unchanged: z, σ, residuals and gradients are the SAME exact
+    // decimal terms summed in a different order, and every sum here is
+    // exact decimal arithmetic (scaladoc above), so regrouping cannot
+    // perturb a weight; array element order is likewise value-neutral.
+    val packed = hashed.groupBy(col("doc_id"))
+      .agg(collect_list(col("b")).as("bs"), collect_list(col("tf")).as("tfs"))
+    val feat = lab.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        concat(coalesce(col("bs"), array().cast("array<bigint>")),
+          array(lit(dims.toLong))).as("bs"),
+        concat(coalesce(col("tfs"), array().cast("array<bigint>")),
+          array(lit(1L))).as("tfs"))
       .localCheckpoint(true) // hash once, iterate on integers
     val zero12 = JBigDecimal.ZERO.setScale(12)
     val zero6 = JBigDecimal.ZERO.setScale(6)
     var w: IndexedSeq[JBigDecimal] = Vector.fill(dims + 1)(zero12)
     for (_ <- 1 to iters) {
-      val wDf = w.zipWithIndex
-        .map { case (wj, j) => (j.toLong, scala.math.BigDecimal(wj)) }
-        .toDF("b", "w")
-        .select(col("b"), col("w").cast("decimal(20,12)").as("w"))
-      val p = feat.join(broadcast(wDf), "b")
-        .withColumn("zc", col("tf").cast("decimal(10,0)") * col("w"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("zc")).cast("decimal(38,12)").as("z"))
-        .withColumn("p", (lit(1.0) /
-          (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(20,6)"))
-      val g = feat.join(p.select(col("doc_id"), col("p")), "doc_id")
-        .withColumn("gc",
-          (col("p") - col("y")) * col("tf").cast("decimal(10,0)"))
+      val g = feat
+        .withColumn("z", logitCol(w))
+        .withColumn("p", sigmaCol(col("z")))
+        .withColumn("r", col("p") - col("y"))
+        .select(explode(zip_with(col("bs"), col("tfs"),
+          (b, t) => struct(b.as("b"),
+            (col("r") * t.cast("decimal(10,0)")).as("gc")))).as("e"))
         // DECIMAL(32,6): |g| is bounded by the label class's total
         // token count — 18,6 (max ~10^12) would overflow to null on a
         // 100 TB corpus and NPE the driver-side update mid-training
-        .groupBy(col("b"))
-        .agg(sum(col("gc")).cast("decimal(32,6)").as("g"))
+        .groupBy(col("e.b").as("b"))
+        .agg(sum(col("e.gc")).cast("decimal(32,6)").as("g"))
         .collect() // O(dims) rows — bounded by dims, never by data
         .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
       w = w.indices.map(j =>
@@ -343,6 +358,29 @@ object Model {
     }
     (feat, w)
   }
+
+  /** The exact-decimal logit x·w over the packed feature arrays, the
+    * weight vector inlined as an O(dims) literal array (no broadcast,
+    * no join — the per-iteration pass stays narrow). Term type
+    * DECIMAL(10,0)·DECIMAL(20,12) and the running sum's DECIMAL(38,12)
+    * mirror the retired row-shaped sum(zc) exactly.
+    */
+  private def logitCol(w: IndexedSeq[JBigDecimal]): Column = {
+    val wLit = array(w.map(wj =>
+      lit(scala.math.BigDecimal(wj)).cast("decimal(20,12)")): _*)
+    aggregate(
+      zip_with(col("bs"), col("tfs"), (b, t) =>
+        t.cast("decimal(10,0)") *
+          element_at(wLit, (b + lit(1L)).cast("int"))),
+      lit(scala.math.BigDecimal(0)).cast("decimal(38,12)"),
+      (acc, x) => (acc + x).cast("decimal(38,12)"))
+  }
+
+  /** σ(z) quantized to DECIMAL(20,6) — the one per-(doc, iter)
+    * nonlinearity (see [[logRegFilter]]'s determinism note).
+    */
+  private def sigmaCol(z: Column): Column =
+    (lit(1.0) / (lit(1.0) + exp(-z.cast("double")))).cast("decimal(20,6)")
 
   /** The trained weight vector of [[logRegFilter]]'s model: one row
     * per bucket (bias at bucket id `dims`), weight after `iters`
@@ -370,18 +408,16 @@ object Model {
     val spark = docs.sparkSession
     import spark.implicits._
     val (feat, w) = logRegTrain(docs, textCol, idCol, labelCol, dims, iters, step)
-    val wDf = w.zipWithIndex
-      .map { case (wj, j) => (j.toLong, scala.math.BigDecimal(wj)) }
-      .toDF("b", "w")
-      .select(col("b"), col("w").cast("decimal(20,12)").as("w"))
-    feat.join(broadcast(wDf), "b")
-      .withColumn("zc", col("tf").cast("decimal(10,0)") * col("w"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(when(col("b") < dims, col("tf")).otherwise(0L))
-          .cast("bigint").as("n_tokens"),
-        sum(col("zc")).cast("decimal(38,12)").as("z"))
-      .withColumn("p", (lit(1.0) /
-        (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(20,6)"))
+    // scoring rides the same narrow per-row pass as the train loop:
+    // no weight join, no doc_id re-aggregation — one projection over
+    // the pinned packed table (r19; values unchanged, see logRegTrain)
+    feat
+      .withColumn("n_tokens", aggregate(
+        zip_with(col("bs"), col("tfs"),
+          (b, t) => when(b < dims, t).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("z", logitCol(w))
+      .withColumn("p", sigmaCol(col("z")))
       .select(col("doc_id"), col("n_tokens"),
         col("z").cast("double").as("score"),
         col("p").cast("double").as("p"),
