@@ -42,7 +42,18 @@ object Linkage {
   def scorePairs(records: DataFrame, idCol: String,
       blockCols: Seq[String], rules: Seq[FieldRule],
       upper: Double, lower: Double): DataFrame = {
-    val pairs = records.as("a").join(records.as("b"),
+    // probe-side repartition (r19 optimization): the blocked self-join
+    // broadcasts one side, so pair GENERATION runs at the probe side's
+    // scan parallelism — and a small single-row-group input file means
+    // ONE task doing every blocked pair × every rule comparison (the
+    // pair work is quadratic per block while the input is row-group-
+    // bound; measured single-core on the bench fixture). One cheap
+    // record-sized hash exchange on the id spreads the quadratic
+    // compute across the session's shuffle parallelism — deterministic
+    // key (guide §2.5: never rand-derived), scale-adaptive via
+    // spark.sql.shuffle.partitions rather than a local constant; at
+    // cluster scale a well-split input makes it a near-no-op cost.
+    val pairs = records.repartition(col(idCol)).as("a").join(records.as("b"),
       blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
         .reduce(_ && _) && col(s"a.$idCol") < col(s"b.$idCol"))
     val score = rules.map { r =>

@@ -302,9 +302,20 @@ object Text {
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
-    val tf = termFreqs(modelDocs, textCol, idCol)
-    val totals = tf.agg(sum(col("tf")).cast("double").as("n_tokens_corpus"))
-    val uniRaw = tf.groupBy(col("term")).agg(sum(col("tf")).cast("double").as("cnt"))
+    // corpus unigram counts DIRECTLY (r19 optimization): the former
+    // termFreqs → groupBy(term) route shuffled the full (doc, term)
+    // table a second time just to throw the doc dimension away; one
+    // groupBy(term) over the token stream map-side-combines straight
+    // to the O(vocabulary) table, and the corpus total re-aggregates
+    // THAT (vocab-sized input, reused exchange) instead of a third
+    // pass over (doc, term) rows. Identical integer counts either way.
+    // (cnt0 stays integral so the corpus total is an EXACT bigint sum
+    // cast once — a double-typed sum would be addition-order-sensitive)
+    val uniCnt = modelDocs.select(
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt0"))
+    val uniRaw = uniCnt.select(col("term"), col("cnt0").cast("double").as("cnt"))
+    val totals = uniCnt.agg(sum(col("cnt0")).cast("double").as("n_tokens_corpus"))
     // self-face: reuse the per-doc counts (one explode, the original
     // bigramLogProb plan); split face: corpus counts from the model,
     // pinned + size-guarded (scaladoc above)
