@@ -43,7 +43,14 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, damping: Double = 0.85, iters: Int = 10): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w")).cache()
+      col(wCol).cast("double").as("w")).repartition(col("src")).cache()
+    // ^ cached PRE-PARTITIONED on src (r19 optimization): the per-round
+    // contribution join reads e on src every iteration, and an
+    // unpartitioned cache re-exchanged the whole edge table `iters`
+    // times; one exchange at cache time lets every round's join reuse
+    // the cached partitioning (the ranks side stays a nodes-sized
+    // exchange - pins drop partitioning metadata under AQE). Values
+    // unchanged: the per-round arithmetic is regrouping-proof.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().cache()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))
@@ -88,7 +95,14 @@ object Graph {
       dstCol: String, wCol: String, seeds: DataFrame, seedCol: String,
       damping: Double = 0.85, iters: Int = 10): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(wCol).cast("double").as("w")).cache()
+      col(wCol).cast("double").as("w")).repartition(col("src")).cache()
+    // ^ cached PRE-PARTITIONED on src (r19 optimization): the per-round
+    // contribution join reads e on src every iteration, and an
+    // unpartitioned cache re-exchanged the whole edge table `iters`
+    // times; one exchange at cache time lets every round's join reuse
+    // the cached partitioning (the ranks side stays a nodes-sized
+    // exchange - pins drop partitioning metadata under AQE). Values
+    // unchanged: the per-round arithmetic is regrouping-proof.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct()
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("ow"))

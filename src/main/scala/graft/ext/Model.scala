@@ -300,7 +300,12 @@ object Model {
     import spark.implicits._
     val lab = docs.select(col(idCol).as("doc_id"),
       when(col(labelCol), 1).otherwise(0).cast("decimal(2,0)").as("y"))
-    val hashed = docs.select(col(idCol).as("doc_id"),
+    // shuffle the DOCS, not the explode (r19, the bigramLogProbUnder
+    // move): doc-id clustering before the token explode makes the
+    // (doc, bucket) aggregation AND the per-doc array packing below
+    // partition-local — one raw-docs exchange instead of two exploded
+    val hashed = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(Text.tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
       .withColumn("b",

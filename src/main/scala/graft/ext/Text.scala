@@ -298,7 +298,16 @@ object Text {
       textCol: String, idCol: String, lambda: Double = 0.7,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
     require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
-    val bi = docs.select(col(idCol).as("doc_id"),
+    // shuffle the DOCS, not the explode (r19 optimization, guide §2.3):
+    // clustering the scored side by doc id BEFORE the bigram explode
+    // makes both the (doc, bigram) aggregation and the final
+    // per-document contribution sum partition-local — the one exchange
+    // carries raw document rows (the smallest shape this chain ever
+    // has) instead of two exchanges of exploded bigram rows ~10× their
+    // size. Exact-decimal contribution sums make regrouping
+    // value-neutral.
+    val bi = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
@@ -431,7 +440,10 @@ object Text {
       "discount must be in (0, 1]")
     require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
     val selfFace = modelDocs eq docs
-    val bi = docs.select(col(idCol).as("doc_id"),
+    // shuffle the DOCS, not the explode — the bigramLogProbUnder r19
+    // move, same two-exchange → one-docs-exchange argument
+    val bi = docs.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
       .agg(count(lit(1)).as("bf"))
@@ -1205,7 +1217,10 @@ object Text {
   }
 
   def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = docs
+    // shuffle the DOCS, not the explode (r19, the bigramLogProbUnder
+    // move): one doc-id exchange of raw rows replaces the (doc, token)
+    // aggregation exchange AND the per-doc entropy exchange
+    val tf = docs.repartition(col(idCol))
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok"))
