@@ -85,9 +85,20 @@ object Suffix {
     // multiplicities — small even under heavy cloning) and spills to
     // disk (ExternalAppendOnlyUnsafeRowArray) if a pathological group
     // ever isn't. One exchange per round, no driver state.
+    // `gsz` (duplicate-group size) rides the SAME window buffer as the
+    // group-min (r19 optimization): count(*) over an unordered window
+    // partition is computed from the partition the MIN already
+    // buffered, so it costs no exchange and no pass — and it lets
+    // consumers ([[dupProfile]], [[topDupSpans]]) read group
+    // multiplicities as a narrow column instead of re-aggregating the
+    // whole rank table per level (one full groupBy(rank) exchange per
+    // consumer per level, retired). The group REPRESENTATIVE is the
+    // row with p = rank, so "count groups" is a sum over a predicate.
+    val w1 = Window.partitionBy(col("tok"))
     var rank = pos
-      .withColumn("rank", min(col("p")).over(Window.partitionBy(col("tok"))))
-      .select(col("p"), col("rank"))
+      .withColumn("rank", min(col("p")).over(w1))
+      .withColumn("gsz", count(lit(1)).over(w1))
+      .select(col("p"), col("rank"), col("gsz"))
       .localCheckpoint(true)
     val levels = Seq.newBuilder[(Int, DataFrame)]
     levels += 1 -> rank
@@ -95,11 +106,12 @@ object Suffix {
     while (len < maxLen) {
       val partner = rank.select((col("p") - len).as("p"),
         col("rank").as("_r2"))
-      rank = rank.join(partner, Seq("p"), "left")
+      val wk = Window.partitionBy(col("rank"), col("_r2c"))
+      rank = rank.select(col("p"), col("rank")).join(partner, Seq("p"), "left")
         .withColumn("_r2c", coalesce(col("_r2"), -col("p")))
-        .withColumn("rank",
-          min(col("p")).over(Window.partitionBy(col("rank"), col("_r2c"))))
-        .select(col("p"), col("rank"))
+        .withColumn("rank", min(col("p")).over(wk))
+        .withColumn("gsz", count(lit(1)).over(wk))
+        .select(col("p"), col("rank"), col("gsz"))
         .localCheckpoint(true)
       len *= 2
       levels += len -> rank
@@ -128,11 +140,13 @@ object Suffix {
       val off = spanLen - k
       val partner = base.select((col("p") - off).as("p"),
         col("rank").as("_r2"))
-      val rank = base.join(partner, Seq("p"), "left")
+      val wo = Window.partitionBy(col("rank"), col("_r2c"))
+      val rank = base.select(col("p"), col("rank"))
+        .join(partner, Seq("p"), "left")
         .withColumn("_r2c", coalesce(col("_r2"), -col("p")))
-        .withColumn("rank",
-          min(col("p")).over(Window.partitionBy(col("rank"), col("_r2c"))))
-        .select(col("p"), col("rank"))
+        .withColumn("rank", min(col("p")).over(wo))
+        .withColumn("gsz", count(lit(1)).over(wo))
+        .select(col("p"), col("rank"), col("gsz"))
         .localCheckpoint(true)
       (pos, rank)
     }
@@ -147,12 +161,19 @@ object Suffix {
       maxLen: Int = 32): DataFrame = {
     val (_, levels) = dyadicRanks(docs, textCol, idCol, maxLen)
     levels.map { case (len, rank) =>
-      rank.groupBy(col("rank"))
-        .agg(count(lit(1)).cast("bigint").as("_n"))
-        .filter(col("_n") >= 2)
-        .agg(count(lit(1)).cast("bigint").as("n_dup_groups"),
-          coalesce(sum(col("_n")), lit(0L)).cast("bigint")
-            .as("n_dup_positions"))
+      // per-level stats off the ladder's own gsz column (r19): the
+      // group representative is the p = rank row, so both counts are
+      // ONE map-side-combinable pass — the former per-level
+      // groupBy(rank) re-aggregation of the whole rank table (a full
+      // exchange per level) is retired. Identical values: #groups
+      // with ≥2 members ≡ #representatives seeing gsz ≥ 2, and
+      // positions in such groups ≡ rows with gsz ≥ 2.
+      rank.agg(
+          coalesce(sum(when(col("p") === col("rank") && col("gsz") >= 2,
+            1L).otherwise(0L)), lit(0L)).cast("bigint")
+            .as("n_dup_groups"),
+          coalesce(sum(when(col("gsz") >= 2, 1L).otherwise(0L)),
+            lit(0L)).cast("bigint").as("n_dup_positions"))
         .select(lit(len).as("span_len"), col("n_dup_groups"),
           col("n_dup_positions"))
     }.reduce(_.unionByName(_))
@@ -171,10 +192,13 @@ object Suffix {
     require(k > 0, "k must be positive")
     val (pos, levels) = dyadicRanks(docs, textCol, idCol, spanLen)
     val rank = levels.last._2
-    val top = rank.groupBy(col("rank"))
-      .agg(count(lit(1)).cast("bigint").as("n_occurrences"))
-      .filter(col("n_occurrences") >= 2)
-      .select(col("rank").as("first_pos"), col("n_occurrences"))
+    // the ladder's gsz column IS the per-group occurrence count (r19):
+    // selecting the representative row (p = rank) replaces the
+    // full-table groupBy(rank) re-aggregation
+    val top = rank
+      .filter(col("p") === col("rank") && col("gsz") >= 2)
+      .select(col("rank").as("first_pos"),
+        col("gsz").cast("bigint").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("first_pos"))
       .limit(k) // TakeOrdered — never a global sort
       .withColumn("rnk", row_number().over(Window.orderBy(

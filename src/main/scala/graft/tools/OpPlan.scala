@@ -33,6 +33,8 @@ object OpPlan {
         graft.ext.Text.bigramKneserNey(docs, "text", "doc_id")
       case "token_entropy" =>
         graft.ext.Text.tokenEntropy(docs, "text", "doc_id")
+      case "dup_profile" =>
+        graft.ext.Suffix.dupProfile(docs, "text", "doc_id", maxLen = 32)
       case other => sys.error(s"unknown op: $other")
     }
     val out = java.nio.file.Paths.get("plans", "r19")
