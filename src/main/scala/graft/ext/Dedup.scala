@@ -1784,9 +1784,29 @@ object Dedup {
   private def spanDedupCore(docs: DataFrame, textCol: String, idCol: String,
       span: Int, perDoc: Boolean, hashedKeys: Boolean = false): DataFrame = {
     require(span >= 1, s"span must be >= 1, got $span")
+    // doc-id clustering up front (r19 optimization, the
+    // bigramLogProbUnder move): every downstream step of this kernel —
+    // the per-doc first-occurrence group (perDoc face), the
+    // interval-merge window, the position anti-join, the rebuild
+    // group, and the final doc join — clusters on doc_id, so one
+    // raw-docs exchange here lets EnsureRequirements elide all of
+    // their exchanges (the corpus-wide face keeps its one wkey
+    // identity exchange, which no clustering can remove). The hashed
+    // kernel is an opaque mapPartitions (partitioning metadata does
+    // not survive it), so that face re-clusters its compact
+    // (long, int, long) window rows instead. Exact aggregates
+    // throughout make regrouping value-neutral.
     val toks = docs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-    val windows = spanWindows(toks, span, hashedKeys)
+      .repartition(col("doc_id"))
+    val windowsRaw = spanWindows(toks, span, hashedKeys)
+    // only the perDoc face profits from re-clustering the hashed
+    // kernel's output (its first-occurrence group is doc-scoped); the
+    // corpus-wide face groups on wkey and would pay the exchange for
+    // nothing
+    val windows =
+      if (hashedKeys && perDoc) windowsRaw.repartition(col("doc_id"))
+      else windowsRaw
     val firstKey = if (perDoc) Seq(col("doc_id"), col("wkey"))
       else Seq(col("wkey"))
     val first = windows.groupBy(firstKey: _*)
