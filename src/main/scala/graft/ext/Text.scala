@@ -845,7 +845,18 @@ object Text {
     }
     val evalGrams = grams(evalSet).select(col("gram")).distinct()
       .withColumn("_hit", lit(1))
-    grams(corpus).join(broadcast(evalGrams), Seq("gram"), "left")
+    // shuffle the DOCS, not the explode (r19, the bigramLogProbUnder
+    // move): doc-id clustering before the gram explode makes both the
+    // per-doc gram distinct AND the per-doc hit aggregation
+    // partition-local — one raw-docs exchange instead of two
+    // gram-row exchanges
+    val corpusGrams = corpus.repartition(col(idCol))
+      .select(col(idCol).as("doc_id"),
+        explode(ngramArray(tokens(col(textCol)), n)).as("gram"))
+    (if (hashedGrams)
+        corpusGrams.select(col("doc_id"), fingerprint(col("gram")).as("gram"))
+      else corpusGrams).distinct()
+      .join(broadcast(evalGrams), Seq("gram"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("bigint").as("n_grams"),
         sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_hit"))
