@@ -1623,13 +1623,8 @@ object Dedup {
     require(span >= 1, s"span must be >= 1, got $span")
     require(!(hashedKeys && sha256Keys),
       "sha256Keys digests the TEXT key — exclusive with hashedKeys")
-    // doc-id clustering up front (r19 — the spanDedupCore move): the
-    // batch kernel's tail (position anti-join, rebuild group, final
-    // doc join) clusters on doc_id; the corpus-wide wkey identity
-    // group keeps its own exchange
     val toks = newDocs.select(col(idCol).as("doc_id"),
       split(col(textCol), " ").as("tk"))
-      .repartition(col("doc_id"))
     // sha256Keys: content-address the window text (the exactByDigest
     // doctrine) — grouping/probing on the digest is injective under
     // the standard 2⁻¹²⁸ assumption, every state row and exchange key

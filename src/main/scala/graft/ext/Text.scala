@@ -298,20 +298,18 @@ object Text {
       textCol: String, idCol: String, lambda: Double = 0.7,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
     require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
-    // shuffle the DOCS, not the explode (r19 optimization, guide §2.3)
-    // — on the SPLIT face only: clustering the scored side by doc id
-    // before the bigram explode makes both the (doc, bigram)
-    // aggregation and the final per-document contribution sum
-    // partition-local, and the one exchange carries raw document rows
-    // (the smallest shape this chain ever has). On the SELF face the
-    // probe AND the model statistics both read `bi`, and the
-    // (doc, bigram) exchange is their shared materialization point —
-    // clustering there removed the exchange and made the explode +
-    // aggregation run TWICE (measured: x_quality_perplexity_buckets
-    // 3.1 → 6.7 s), so the self face keeps its original shape.
-    // Exact-decimal contribution sums make regrouping value-neutral.
-    val selfLm = modelDocs eq docs
-    val bi = (if (selfLm) docs else docs.repartition(col(idCol)))
+    // NOT doc-id-clustered (r19 negative result, recorded in
+    // OPTIMIZATION_r19.md): on the self face the probe AND the model
+    // statistics both read `bi`, so its (doc, bigram) exchange is
+    // their shared materialization point — removing it made the
+    // explode + aggregation run twice (x_quality_perplexity_buckets
+    // 3.1 → 6.7 s); on the split face the streaming driver evaluates
+    // the scoring chain through more than one action, so an added
+    // repartition is paid per action (x_curate_stream_master
+    // regressed ~2 s). The doc-clustering move lives where it
+    // measured a win: tokenEntropy, contamination, the logreg feature
+    // build, and the span-dedup kernels.
+    val bi = docs
       .select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
@@ -445,11 +443,9 @@ object Text {
       "discount must be in (0, 1]")
     require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
     val selfFace = modelDocs eq docs
-    // shuffle the DOCS, not the explode — the bigramLogProbUnder r19
-    // move, SPLIT face only (on the self face `bi` feeds both the
-    // probe and the model statistics, and its (doc, bigram) exchange
-    // is the shared materialization point — see bigramLogProbUnder)
-    val bi = (if (selfFace) docs else docs.repartition(col(idCol)))
+    // NOT doc-id-clustered — the shared-materialization-point /
+    // multi-action argument on [[bigramLogProbUnder]] (r19)
+    val bi = docs
       .select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram"))
