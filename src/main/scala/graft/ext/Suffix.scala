@@ -68,12 +68,31 @@ object Suffix {
     * 1, 2, 4, …, maxLen (maxLen must be a power of two). Each level is
     * pinned eagerly (it feeds the next round AND the caller's
     * per-level consumption).
+    *
+    * `emitGsz` additionally carries each level's duplicate-group size
+    * `gsz` — OPT-IN (r20): only [[dupProfile]] and [[topDupSpans]]
+    * read it, and carrying it unconditionally widened every
+    * corpus-sized level checkpoint of the excision/contamination
+    * faces (the master chain's stage 8, the leak-depth ladder) by a
+    * long column they never consume.
     */
   def dyadicRanks(docs: DataFrame, textCol: String, idCol: String,
-      maxLen: Int = 32): (DataFrame, Seq[(Int, DataFrame)]) = {
+      maxLen: Int = 32, emitGsz: Boolean = false)
+      : (DataFrame, Seq[(Int, DataFrame)]) =
+    dyadicRanksPinned(docs, textCol, idCol, maxLen, emitGsz,
+      _.localCheckpoint(true))
+
+  /** [[dyadicRanks]] with an injectable pin — `identity` lets the plan
+    * tooling ([[graft.tools.OpPlan]]) capture a level's FULL physical
+    * plan (the eager localCheckpoint otherwise hides every level
+    * behind an opaque scan). Production callers always pin.
+    */
+  private[graft] def dyadicRanksPinned(docs: DataFrame, textCol: String,
+      idCol: String, maxLen: Int, emitGsz: Boolean,
+      pin: DataFrame => DataFrame): (DataFrame, Seq[(Int, DataFrame)]) = {
     require(maxLen >= 1 && Integer.bitCount(maxLen) == 1,
       "maxLen must be a power of two")
-    val pos = positions(docs, textCol, idCol).localCheckpoint(true)
+    val pos = pin(positions(docs, textCol, idCol))
     // group-min via a whole-partition window, MEASURED against the
     // "obvious" skew-safe alternative (groupBy(rank, partner).min +
     // join-back): at ×100 clone replication the combinable aggregate's
@@ -86,20 +105,21 @@ object Suffix {
     // disk (ExternalAppendOnlyUnsafeRowArray) if a pathological group
     // ever isn't. One exchange per round, no driver state.
     // `gsz` (duplicate-group size) rides the SAME window buffer as the
-    // group-min (r19 optimization): count(*) over an unordered window
-    // partition is computed from the partition the MIN already
-    // buffered, so it costs no exchange and no pass — and it lets
-    // consumers ([[dupProfile]], [[topDupSpans]]) read group
-    // multiplicities as a narrow column instead of re-aggregating the
-    // whole rank table per level (one full groupBy(rank) exchange per
-    // consumer per level, retired). The group REPRESENTATIVE is the
-    // row with p = rank, so "count groups" is a sum over a predicate.
+    // group-min: count(*) over an unordered window partition is
+    // computed from the partition the MIN already buffered. r20 fix of
+    // the r19 shape: BOTH window functions are computed BEFORE the
+    // rank column is overwritten — the r19 code replaced `rank` first
+    // and then resolved the gsz window against the NEW rank, which is
+    // a DIFFERENT partition spec, so every ladder level planned a
+    // second Exchange+Sort+Window over the full rank table (measured:
+    // the whole master-family A/B delta of r19; values were identical
+    // because min-p is unique per group).
     val w1 = Window.partitionBy(col("tok"))
-    var rank = pos
-      .withColumn("rank", min(col("p")).over(w1))
-      .withColumn("gsz", count(lit(1)).over(w1))
-      .select(col("p"), col("rank"), col("gsz"))
-      .localCheckpoint(true)
+    val lvl1 = pos.withColumn("rank", min(col("p")).over(w1))
+    var rank = pin(
+      (if (emitGsz) lvl1.withColumn("gsz", count(lit(1)).over(w1))
+          .select(col("p"), col("rank"), col("gsz"))
+        else lvl1.select(col("p"), col("rank"))))
     val levels = Seq.newBuilder[(Int, DataFrame)]
     levels += 1 -> rank
     var len = 1
@@ -107,12 +127,16 @@ object Suffix {
       val partner = rank.select((col("p") - len).as("p"),
         col("rank").as("_r2"))
       val wk = Window.partitionBy(col("rank"), col("_r2c"))
-      rank = rank.select(col("p"), col("rank")).join(partner, Seq("p"), "left")
+      val joined = rank.select(col("p"), col("rank"))
+        .join(partner, Seq("p"), "left")
         .withColumn("_r2c", coalesce(col("_r2"), -col("p")))
-        .withColumn("rank", min(col("p")).over(wk))
-        .withColumn("gsz", count(lit(1)).over(wk))
-        .select(col("p"), col("rank"), col("gsz"))
-        .localCheckpoint(true)
+      rank = pin(
+        (if (emitGsz)
+            joined.withColumn("_mn", min(col("p")).over(wk))
+              .withColumn("gsz", count(lit(1)).over(wk))
+              .select(col("p"), col("_mn").as("rank"), col("gsz"))
+          else joined.withColumn("rank", min(col("p")).over(wk))
+            .select(col("p"), col("rank"))))
       len *= 2
       levels += len -> rank
     }
@@ -133,6 +157,9 @@ object Suffix {
       spanLen: Int): (DataFrame, DataFrame) = {
     require(spanLen >= 1, "spanLen must be >= 1")
     val k = Integer.highestOneBit(spanLen)
+    // slim ladder (no gsz): none of ranksAt's consumers (the excision
+    // faces, the contamination ladders) read group sizes — they group
+    // or anti-join on the rank identity itself (r20)
     val (pos, levels) = dyadicRanks(docs, textCol, idCol, k)
     val base = levels.last._2
     if (k == spanLen) (pos, base)
@@ -145,8 +172,7 @@ object Suffix {
         .join(partner, Seq("p"), "left")
         .withColumn("_r2c", coalesce(col("_r2"), -col("p")))
         .withColumn("rank", min(col("p")).over(wo))
-        .withColumn("gsz", count(lit(1)).over(wo))
-        .select(col("p"), col("rank"), col("gsz"))
+        .select(col("p"), col("rank"))
         .localCheckpoint(true)
       (pos, rank)
     }
@@ -159,7 +185,8 @@ object Suffix {
     */
   def dupProfile(docs: DataFrame, textCol: String, idCol: String,
       maxLen: Int = 32): DataFrame = {
-    val (_, levels) = dyadicRanks(docs, textCol, idCol, maxLen)
+    val (_, levels) = dyadicRanks(docs, textCol, idCol, maxLen,
+      emitGsz = true)
     levels.map { case (len, rank) =>
       // per-level stats off the ladder's own gsz column (r19): the
       // group representative is the p = rank row, so both counts are
@@ -190,7 +217,8 @@ object Suffix {
   def topDupSpans(docs: DataFrame, textCol: String, idCol: String,
       spanLen: Int = 32, k: Int = 20): DataFrame = {
     require(k > 0, "k must be positive")
-    val (pos, levels) = dyadicRanks(docs, textCol, idCol, spanLen)
+    val (pos, levels) = dyadicRanks(docs, textCol, idCol, spanLen,
+      emitGsz = true)
     val rank = levels.last._2
     // the ladder's gsz column IS the per-group occurrence count (r19):
     // selecting the representative row (p = rank) replaces the

@@ -35,9 +35,47 @@ object OpPlan {
         graft.ext.Text.tokenEntropy(docs, "text", "doc_id")
       case "dup_profile" =>
         graft.ext.Suffix.dupProfile(docs, "text", "doc_id", maxLen = 32)
+      // one UNPINNED ladder level (identity pin): the eager
+      // localCheckpoint otherwise hides each level's Window/Exchange
+      // shape behind an opaque scan — this is the r20 gsz evidence
+      case "suffix_level4_gsz" =>
+        graft.ext.Suffix.dyadicRanksPinned(docs, "text", "doc_id", 4,
+          emitGsz = true, identity)._2.last._2
+      case "suffix_level4_slim" =>
+        graft.ext.Suffix.dyadicRanksPinned(docs, "text", "doc_id", 4,
+          emitGsz = false, identity)._2.last._2
+      // one pagerank contribution round against the cached
+      // pre-partitioned edge table — replicates the shipped loop body
+      // of [[graft.ext.Graph.pageRank]] (r19's edge pre-partitioning,
+      // evidence asked for by VERDICT r19 #9); the ranks pin carries a
+      // placeholder pr (the plan shape is what's captured)
+      case "pagerank_round" =>
+        // same stand-in edge list as the before-side replica
+        // (PagerankPlan in the 254c147 worktree) so the diff isolates
+        // the cache partitioning, not the edge construction
+        val cust = graft.queries.H.t(spark, dir, "customer")
+        val edges = cust.select((col("c_custkey") % 500).as("src"),
+          (col("c_custkey") % 731).as("dst"),
+          org.apache.spark.sql.functions.lit(1.0).as("w"))
+        val e = edges.select(col("src"), col("dst"),
+            col("w").cast("double").as("w"))
+          .repartition(col("src")).cache()
+        val nodes = e.select(col("src").as("node"))
+          .union(e.select(col("dst"))).distinct()
+        val outw = e.groupBy(col("src"))
+          .agg(org.apache.spark.sql.functions.sum(col("w")).as("ow"))
+        val ranks = nodes.withColumn("pr",
+          org.apache.spark.sql.functions.lit(1L)).localCheckpoint(true)
+        import org.apache.spark.sql.functions.{floor, sum => fsum}
+        e.join(ranks, e("src") === ranks("node")).join(outw, "src")
+          .select(col("dst"),
+            floor(col("pr").cast("double") * col("w") / col("ow"))
+              .cast("bigint").as("c"))
+          .groupBy(col("dst")).agg(fsum(col("c")).as("sc"))
       case other => sys.error(s"unknown op: $other")
     }
-    val out = java.nio.file.Paths.get("plans", "r19")
+    val out = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "r20"))
     java.nio.file.Files.createDirectories(out)
     for (n <- args.tail) {
       val txt = op(n).queryExecution.explainString(

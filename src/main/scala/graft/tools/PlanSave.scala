@@ -26,7 +26,8 @@ object PlanSave {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val out = java.nio.file.Paths.get("plans", "r19")
+    val out = java.nio.file.Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "r20"))
     java.nio.file.Files.createDirectories(out)
     for (n <- args.tail) {
       val df = graft.queries.Registry.byName(n).run(spark, dir)
