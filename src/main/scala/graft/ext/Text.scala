@@ -294,6 +294,80 @@ object Text {
     * count would re-aggregate that corpus eagerly per call — there
     * the 100 TB contract is the caller persisting the tables once.
     */
+  /** Pinned JM bigram model tables trained once on a model corpus —
+    * the handle the streaming drivers thread through so ONE training
+    * serves the fluency-cutoff derivation AND every micro-batch score
+    * (r20: `fluencyCutoff` used to train the self-face LM and each
+    * `applyBatch` re-trained the split-face model on the SAME
+    * modelDocs — two full explode+aggregate passes over the model
+    * corpus per driver run, more under multi-batch streams).
+    * `uni` = (term, cnt:double), `bi` = (bigram, bcnt:double),
+    * `totals` = 1-row exact-bigint-summed corpus token count as
+    * double; `bcast` mirrors [[bigramLogProbUnder]]'s vocabulary
+    * broadcast guard.
+    */
+  final case class BigramLm private[ext] (uni: DataFrame, bi: DataFrame,
+    totals: DataFrame, bcast: Boolean)
+
+  /** Train the split-face JM model tables once (pinned). Identical
+    * integer counts to the tables [[bigramLogProbUnder]] derives
+    * inline — `totals` re-aggregates the PINNED unigram table (sum of
+    * per-term bigint counts = the exact corpus token total; the
+    * inline face summed the same groups pre-pin).
+    */
+  def bigramLmTrain(modelDocs: DataFrame, textCol: String,
+      maxBroadcastVocab: Long = 8000000L): BigramLm = {
+    require(maxBroadcastVocab >= 0, "maxBroadcastVocab must be >= 0")
+    val uniPin = modelDocs.select(
+        explode(split(col(textCol), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt0"))
+      .localCheckpoint(true)
+    val uni = uniPin.select(col("term"), col("cnt0").cast("double").as("cnt"))
+    val totals = uniPin.agg(sum(col("cnt0")).cast("double")
+      .as("n_tokens_corpus"))
+    val biPin = modelDocs
+      .select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("bcnt"))
+      .localCheckpoint(true)
+    BigramLm(uni, biPin, totals, biPin.count() <= maxBroadcastVocab)
+  }
+
+  /** Score `docs` under a pre-trained pinned model ([[bigramLmTrain]])
+    * — the probe side of [[bigramLogProbUnder]]'s split face, verbatim
+    * (same joins, same exact-decimal contribution sum), minus the
+    * per-call training.
+    */
+  def bigramLogProbWith(docs: DataFrame, model: BigramLm,
+      textCol: String, idCol: String, lambda: Double = 0.7): DataFrame = {
+    val bi = docs
+      .select(col(idCol).as("doc_id"),
+        explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("bf"))
+    def side(df: DataFrame): DataFrame =
+      if (model.bcast) broadcast(df) else df
+    bi
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+      .join(side(model.bi), "bigram")
+      .join(side(model.uni.select(col("term").as("w1"),
+        col("cnt").as("c1"))), "w1")
+      .join(side(model.uni.select(col("term").as("w2"),
+        col("cnt").as("c2"))), "w2")
+      .crossJoin(broadcast(model.totals))
+      .withColumn("contrib",
+        (col("bf").cast("double") * lnStable(
+          lit(lambda) * (col("bcnt") / col("c1")) +
+            lit(1.0 - lambda) * (col("c2") / col("n_tokens_corpus"))))
+          .cast("decimal(20,12)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("bf")).cast("bigint").as("n_bigrams"),
+        sum(col("contrib")).cast("decimal(38,12)").cast("double")
+          .as("sum_logprob"))
+      .withColumn("mean_logprob",
+        col("sum_logprob") / col("n_bigrams").cast("double"))
+  }
+
   def bigramLogProbUnder(docs: DataFrame, modelDocs: DataFrame,
       textCol: String, idCol: String, lambda: Double = 0.7,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {
@@ -309,6 +383,14 @@ object Text {
     // regressed ~2 s). The doc-clustering move lives where it
     // measured a win: tokenEntropy, contamination, the logreg feature
     // build, and the span-dedup kernels.
+    if (!(modelDocs eq docs))
+      // split face = train once (pinned), score (r20: one shared
+      // implementation; the former inline face additionally derived
+      // the 1-row corpus total from the UNPINNED unigram aggregate,
+      // re-running the token explode once per consuming action)
+      return bigramLogProbWith(docs,
+        bigramLmTrain(modelDocs, textCol, maxBroadcastVocab),
+        textCol, idCol, lambda)
     val bi = docs
       .select(col(idCol).as("doc_id"),
         explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
@@ -326,32 +408,19 @@ object Text {
     val uniCnt = modelDocs.select(
         explode(split(col(textCol), " ")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("cnt0"))
-    val uniRaw = uniCnt.select(col("term"), col("cnt0").cast("double").as("cnt"))
+    val uni = uniCnt.select(col("term"), col("cnt0").cast("double").as("cnt"))
     val totals = uniCnt.agg(sum(col("cnt0")).cast("double").as("n_tokens_corpus"))
     // self-face: reuse the per-doc counts (one explode, the original
-    // bigramLogProb plan); split face: corpus counts from the model,
-    // pinned + size-guarded (scaladoc above)
-    val selfFace = modelDocs eq docs
-    val biCorpusRaw =
-      if (selfFace)
-        bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("double").as("bcnt"))
-      else modelDocs
-        .select(explode(ngramArray(tokens(col(textCol)), 2)).as("bigram"))
-        .groupBy(col("bigram")).agg(count(lit(1)).cast("double").as("bcnt"))
-    val (biCorpus, uni, bcast) =
-      if (selfFace) (biCorpusRaw, uniRaw, true)
-      else {
-        val biPin = biCorpusRaw.localCheckpoint(true)
-        val uniPin = uniRaw.localCheckpoint(true)
-        (biPin, uniPin, biPin.count() <= maxBroadcastVocab)
-      }
-    def side(df: DataFrame): DataFrame = if (bcast) broadcast(df) else df
+    // bigramLogProb plan), lazy broadcasts (its "model" IS the scored
+    // corpus — the scaladoc's 100 TB contract)
+    val biCorpus =
+      bi.groupBy(col("bigram")).agg(sum(col("bf")).cast("double").as("bcnt"))
     bi
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
       .withColumn("w2", substring_index(col("bigram"), " ", -1))
-      .join(side(biCorpus), "bigram")
-      .join(side(uni.select(col("term").as("w1"), col("cnt").as("c1"))), "w1")
-      .join(side(uni.select(col("term").as("w2"), col("cnt").as("c2"))), "w2")
+      .join(broadcast(biCorpus), "bigram")
+      .join(broadcast(uni.select(col("term").as("w1"), col("cnt").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("term").as("w2"), col("cnt").as("c2"))), "w2")
       .crossJoin(broadcast(totals))
       .withColumn("contrib",
         (col("bf").cast("double") * lnStable(
@@ -630,6 +699,20 @@ object Text {
   def perplexityBucketsKn(docs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 3, discount: Double = 0.75): DataFrame =
     rankBuckets(bigramKneserNey(docs, textCol, idCol, discount), nBuckets)
+
+  /** [[perplexityBuckets]] scored under a pre-trained pinned model
+    * ([[bigramLmTrain]]) — for a corpus that IS the model corpus the
+    * buckets are bit-identical to the self-trained face (every bigram
+    * is in-vocabulary, the counts are the same integers, the
+    * contribution tree is the same IEEE expression), which is what
+    * lets the streaming fluency cutoff share one training with the
+    * batch scorer (r20).
+    */
+  def perplexityBucketsWith(docs: DataFrame, model: BigramLm,
+      textCol: String, idCol: String, nBuckets: Int = 3,
+      lambda: Double = 0.7): DataFrame =
+    rankBuckets(bigramLogProbWith(docs, model, textCol, idCol, lambda),
+      nBuckets)
 
   /** Shared CCNet bucket cut: rank by (mean_logprob DESC, doc_id),
     * bucket = floor((rank−1)·nBuckets / N) in exact integer arithmetic.

@@ -176,8 +176,11 @@ object ExtM {
     "x_curate_stream_funnel",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val (cutLp, cutId) =
-        graft.streaming.FunnelStream.fluencyCutoff(docs, "text", "doc_id")
+      // one pinned LM training shared by the cutoff and all three
+      // batches (r20 — this query used to train the model four times)
+      val lm = graft.ext.Text.bigramLmTrain(docs, "text")
+      val (cutLp, cutId) = graft.streaming.FunnelStream
+        .fluencyCutoff(docs, "text", "doc_id", model = Some(lm))
       val inj = docs.select(col("doc_id"), col("text"),
         concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
       val statePath = H.tempStateDir("graft_curate_funnel") + "/state"
@@ -185,7 +188,7 @@ object ExtM {
         graft.streaming.FunnelStream.applyBatch(
           inj.filter(pmod(col("doc_id"), lit(3)) === b),
           statePath, b.toLong, docs, cutLp, cutId,
-          "text", "tinj", "doc_id")
+          "text", "tinj", "doc_id", model = Some(lm))
       }.reduce(_.unionByName(_)).orderBy(col("batch_id"))
     },
     Some(s"""${Ext.bigramLmCtes},

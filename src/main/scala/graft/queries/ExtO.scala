@@ -245,8 +245,13 @@ object ExtO {
     "x_curate_stream_master",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // train the reference LM ONCE (r20): the pinned handle serves
+      // the fluency-cutoff derivation AND the batch score — the former
+      // shape trained the self face in fluencyCutoff and re-trained
+      // the split face inside applyBatch on the same docs
+      val lm = graft.ext.Text.bigramLmTrain(docs, "text")
       val (cutLp, cutId) = graft.streaming.FunnelStream
-        .fluencyCutoff(docs, "text", "doc_id")
+        .fluencyCutoff(docs, "text", "doc_id", model = Some(lm))
       val inj = docs.select(col("doc_id"), col("text"),
         concat(col("text"), ExtI.encGarbage, ExtI.gopherBait).as("tinj"))
       val evalDocs = docs.filter(col("doc_id") < 20)
@@ -254,7 +259,7 @@ object ExtO {
       val statePath = H.tempStateDir("graft_curate_master") + "/state"
       val (_, report) = graft.streaming.CurateStream.applyBatch(arrivals,
         statePath, 0L, docs, cutLp, cutId, evalDocs, "text", "tinj",
-        "doc_id")
+        "doc_id", model = Some(lm))
       report
     },
     Some(s"""${Ext.bigramLmCtes},

@@ -167,8 +167,11 @@ object ExtP {
     "x_curate_stream_master_learned",
     (s, dir) => {
       val docs = t(s, dir, "documents")
+      // one pinned LM training shared by the cutoff AND both batches
+      // (r20 — this query used to train the model three times)
+      val lm = graft.ext.Text.bigramLmTrain(docs, "text")
       val (cutLp, cutId) = graft.streaming.FunnelStream
-        .fluencyCutoff(docs, "text", "doc_id")
+        .fluencyCutoff(docs, "text", "doc_id", model = Some(lm))
       val evalDocs = docs.filter(col("doc_id") < 20)
       val withUrl = docs.withColumn("url", ExtK.urlCol)
       val labels = withUrl.join(
@@ -193,7 +196,7 @@ object ExtP {
           val (_, report) = graft.streaming.CurateStream.applyBatch(arr,
             state, b.toLong, docs, cutLp, cutId, evalDocs, "text",
             "tinj", "doc_id", urlCol = Some("url"),
-            domainStatePath = Some(domState))
+            domainStatePath = Some(domState), model = Some(lm))
           report
         }
       reports.reduce(_.unionByName(_)).orderBy(col("batch_id"))

@@ -87,7 +87,8 @@ object CurateStream {
       minKeptTokens: Int = 20,
       domainStatePath: Option[String] = None,
       domainMinPassFrac: Double = 0.5,
-      exactSpanState: Option[Boolean] = None): (DataFrame, DataFrame) = {
+      exactSpanState: Option[Boolean] = None,
+      model: Option[Text.BigramLm] = None): (DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     import spark.implicits._
 
@@ -146,7 +147,14 @@ object CurateStream {
       .select(col("doc_id"), col("is_clean"))
     val gph = Text.gopherRules(inUrl, bytesCol, idCol)
       .select(col("doc_id"), col("pass"))
-    val lp = Text.bigramLogProbUnder(inUrl, modelDocs, rawCol, idCol)
+    // `model` (r20): a pre-trained pinned handle ([[Text.bigramLmTrain]]
+    // on modelDocs) skips the per-batch re-training of the split-face
+    // model — the fluency cutoff's one training is shared with every
+    // batch score (identical values; the double-LM-training fix)
+    val lp = (model match {
+        case Some(m) => Text.bigramLogProbWith(inUrl, m, rawCol, idCol)
+        case None => Text.bigramLogProbUnder(inUrl, modelDocs, rawCol, idCol)
+      })
       .select(col("doc_id"), col("mean_logprob"))
     val fluent = col("mean_logprob").isNotNull &&
       (col("mean_logprob") > cutLp ||
@@ -282,7 +290,8 @@ object CurateStream {
       cutId: Long, evalDocs: DataFrame, rawCol: String, bytesCol: String,
       idCol: String, nShards: Int = 4, seqLen: Long = 64L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      model: Option[Text.BigramLm] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -290,7 +299,7 @@ object CurateStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (packed, report) = applyBatch(batch, statePath, batchId,
           modelDocs, cutLp, cutId, evalDocs, rawCol, bytesCol, idCol,
-          nShards = nShards, seqLen = seqLen)
+          nShards = nShards, seqLen = seqLen, model = model)
         packed.write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         report.write.mode("overwrite")
           .parquet(s"$outPath/report/batch=$batchId")

@@ -48,12 +48,27 @@ object FunnelStream {
     * rank cut and the lexicographic threshold agree even when tied
     * scores straddle the bucket boundary). O(1) driver collect.
     */
+  /** `model` (r20): a pre-trained pinned JM model
+    * ([[Text.bigramLmTrain]] on the SAME modelDocs) scores the
+    * reference corpus through the split-face probe instead of the
+    * self-trained plan — bit-identical buckets (every bigram of the
+    * model corpus is in-vocabulary under its own model; same integer
+    * counts, same IEEE contribution tree), and the ONE training is
+    * then shared with every `applyBatch` that threads the same handle
+    * (the double-LM-training fix). JM face only; the KN face keeps
+    * the self-trained plan.
+    */
   def fluencyCutoff(modelDocs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 3, keepBuckets: Int = 2,
-      kn: Boolean = false): (Double, Long) = {
+      kn: Boolean = false,
+      model: Option[Text.BigramLm] = None): (Double, Long) = {
     val buckets =
       if (kn) Text.perplexityBucketsKn(modelDocs, textCol, idCol, nBuckets)
-      else Text.perplexityBuckets(modelDocs, textCol, idCol, nBuckets)
+      else model match {
+        case Some(m) =>
+          Text.perplexityBucketsWith(modelDocs, m, textCol, idCol, nBuckets)
+        case None => Text.perplexityBuckets(modelDocs, textCol, idCol, nBuckets)
+      }
     val b = buckets
       .filter(col("bucket") < keepBuckets)
       .orderBy(col("rn").desc).limit(1)
@@ -84,15 +99,23 @@ object FunnelStream {
   def applyBatch(batch: DataFrame, statePath: String, batchId: Long,
       modelDocs: DataFrame, cutLp: Double, cutId: Long,
       rawCol: String, bytesCol: String, idCol: String,
-      intraSpan: Int = 3, kn: Boolean = false): DataFrame = {
+      intraSpan: Int = 3, kn: Boolean = false,
+      model: Option[Text.BigramLm] = None): DataFrame = {
     val spark = batch.sparkSession
     val enc = Text.encodingQuality(batch, bytesCol, idCol)
       .select(col("doc_id"), col("is_clean"))
     val gph = Text.gopherRules(batch, bytesCol, idCol)
       .select(col("doc_id"), col("pass"))
+    // `model` (r20): a pre-trained pinned handle skips the per-batch
+    // re-training of the split-face model on the same modelDocs —
+    // identical scores (the split face's own tables are derived from
+    // the same counts; see Text.bigramLmTrain)
     val lp = (if (kn)
         Text.bigramKneserNeyUnder(batch, modelDocs, rawCol, idCol)
-      else Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol))
+      else model match {
+        case Some(m) => Text.bigramLogProbWith(batch, m, rawCol, idCol)
+        case None => Text.bigramLogProbUnder(batch, modelDocs, rawCol, idCol)
+      })
       .select(col("doc_id"), col("mean_logprob"))
     val fluent = col("mean_logprob").isNotNull &&
       (col("mean_logprob") > cutLp ||
@@ -160,14 +183,15 @@ object FunnelStream {
       checkpoint: String, modelDocs: DataFrame, cutLp: Double, cutId: Long,
       rawCol: String, bytesCol: String, idCol: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      model: Option[Text.BigramLm] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, statePath, batchId, modelDocs, cutLp, cutId,
-          rawCol, bytesCol, idCol)
+          rawCol, bytesCol, idCol, model = model)
           .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         ()
       }
