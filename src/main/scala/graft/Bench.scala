@@ -55,6 +55,14 @@ import graft.queries.Registry
   *    load_contaminated; isolated_loadavg = per-query max), and
   *    isolated_loadavg_peak records the self-load-inclusive post-rep
   *    max per query (transparency, never a criterion).
+  *  - CALIBRATION (r20): a fixed synthetic CPU workload (no testdata,
+  *    no I/O) is timed right after warmup and again after the isolated
+  *    pass; calibration_start_sec / calibration_end_sec land in both
+  *    artifacts. The box drifts ±20% same-code between runs — the
+  *    pair lets cross-round readers normalize totals by a
+  *    data-independent drift estimate and spot mid-suite drift (start
+  *    vs end disagreement). Purely additive: no timed query path
+  *    changed.
   *  - FLAGSHIP group (r19): queries flagged bench2 — the engine's
   *    heaviest end-to-end compositions (the full quality sidecar, the
   *    KN master face, the streaming curation master, the epoch
@@ -160,6 +168,27 @@ object Bench {
     (headline ++ flagship).headOption
       .foreach(q => execOnce(q.name)) // warmup, not recorded
 
+    // run-to-run CALIBRATION (r20, VERDICT r19 "What's wrong #3"): a
+    // fixed synthetic CPU-bound workload — no testdata, no I/O, pure
+    // codegen'd hashing over spark.range — timed at suite start (after
+    // warmup) and again at suite end, both recorded in the artifact.
+    // Two same-code runs on this box have differed ±20% from ambient
+    // drift alone; the calibration pair gives cross-round comparisons
+    // a data-independent drift estimate to normalize by (report raw
+    // AND normalized). Median of 3; deterministic input.
+    def calibrate(): Double = {
+      // 4 samples, first discarded (codegen/JIT of the hash loop),
+      // median of the remaining 3
+      val samples = (1 to 4).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(0, 6144L * 1000000L, 1, cpus.toInt)
+          .selectExpr("sum(xxhash64(id)) AS h").collect()
+        (System.nanoTime() - t0) / 1e9
+      }.drop(1).sorted
+      samples(1)
+    }
+    val cal0 = calibrate()
+
     val perQueryWait =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_LOADWAIT_SEC", "120").toInt
     // gate before EVERY query (loadavg_at_query = the gated sample);
@@ -226,6 +255,7 @@ object Bench {
       val med = mine.map(_._3).sorted.apply(mine.size / 2)
       (name, mine.map(_._2).max, med, mine.map(_._4).max)
     }
+    val cal1 = calibrate() // suite-end calibration (drift bracket)
     // stdout line: COMPACT — the driver keeps only the last 2000 chars
     // of stdout and json-parses them (BENCH_r08/r09 arrived clipped
     // mid-number when the full-precision line outgrew that window), so
@@ -260,8 +290,8 @@ object Bench {
     val isoQs3 = jmap(iso.map(r => (r._1, r._3)), r3)
     val isoLoads = jmap(iso.map(r => (r._1, r._2)), raw)
     val isoPeaks = jmap(iso.map(r => (r._1, r._4)), raw)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_flagship":$total2,"queries_flagship":$qs2,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"isolated_loadavg_peak":$isoPeaks,"loadavg_at_query":$loads,"loadavg_peak":$peaks,"loadavg_at_query_flagship":$loads2,"loadavg_peak_flagship":$peaks2}"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"total_flagship":${r3(total2)},"queries_flagship":$qs2r3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"total_flagship":$total2,"queries_flagship":$qs2,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"calibration_start_sec":$cal0,"calibration_end_sec":$cal1,"isolated_median5":$isoQs,"isolated_loadavg":$isoLoads,"isolated_loadavg_peak":$isoPeaks,"loadavg_at_query":$loads,"loadavg_peak":$peaks,"loadavg_at_query_flagship":$loads2,"loadavg_peak_flagship":$peaks2}"""
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs3,"total_flagship":${r3(total2)},"queries_flagship":$qs2r3,"sf":"$sfDir","reps":$reps,"loadavg_start":$load0,"loadavg_end":$load1,"load_contaminated":$contaminated,"calibration_start_sec":${r3(cal0)},"calibration_end_sec":${r3(cal1)},"isolated_median5":$isoQs3,"full":"target/bench.json"}""")
     val out = java.nio.file.Paths.get("target", "bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.write(out,

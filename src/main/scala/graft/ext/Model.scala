@@ -294,6 +294,17 @@ object Model {
       labelCol: String, dims: Int, iters: Int, step: String)
       : (DataFrame, IndexedSeq[JBigDecimal]) = {
     require(dims > 0, "dims must be positive")
+    // documented dims CEILING (r20, ADVICE r19): the per-iteration
+    // logit inlines the weight vector as an O(dims) literal array in
+    // the plan (twice per iteration — logit + scoring projection); at
+    // the registered dims=64 that is bytes, but an unbounded dims
+    // would grow the expression tree toward codegen limits. Callers
+    // needing more features than this should reintroduce the
+    // broadcast-weight join (the retired pre-r19 shape, which scales
+    // to any dims at the cost of two corpus shuffles per iteration).
+    require(dims <= 4096,
+      s"dims=$dims exceeds the inlined-weight ceiling (4096); " +
+        "use a broadcast-weight join for wider models")
     require(iters >= 0, "iters must be >= 0")
     val stepDec = new JBigDecimal(step).setScale(6)
     val spark = docs.sparkSession

@@ -517,9 +517,15 @@ object Stats {
     * The classic behavioral-feature primitive; the same shape scores
     * documents by (freshness, dup-count, token-mass).
     *
-    * Scale shape: one per-customer aggregate, then ntile windows over
-    * O(#customers) rows (range-partitionable; at extreme cardinality
-    * swap ntile for rank/count buckets).
+    * Scale shape (r20): one per-customer aggregate, then three
+    * RANGE-PARTITIONED global ranks ([[Rank.globalRowNumber]]) with
+    * the ntile bucket derived closed-form from (rank, N) — the former
+    * three `ntile(5) OVER (ORDER BY …)` windows each funneled the
+    * whole customer table through ONE partition (the WindowExec
+    * "No Partition Defined" scale-killer this repo's Rank module
+    * exists to avoid). Identical values: SQL ntile assigns the first
+    * N mod k buckets ⌈N/k⌉ rows and the rest ⌊N/k⌋, which is exactly
+    * the closed form below over the same total order.
     */
   def rfm(orders: DataFrame, cust: Column, orderDate: Column,
       amount: Column): DataFrame = {
@@ -532,13 +538,32 @@ object Stats {
       .crossJoin(orders.agg(max(orderDate.cast("date")).as("as_of")))
       .withColumn("recency",
         datediff(col("as_of"), col("last_order")).cast("bigint"))
-    val r = ntile(5).over(Window.orderBy(col("recency").desc, col("cust")))
-    val f = ntile(5).over(Window.orderBy(col("frequency"), col("cust")))
-    val m = ntile(5).over(Window.orderBy(col("monetary"), col("cust")))
-    per.select(col("cust"), col("recency"), col("frequency"),
+    val (ranked1, n) = Rank.globalRowNumberWithTotal(per,
+      Seq(col("recency").desc, col("cust")), out = "_rnr")
+    val ranked2 = Rank.globalRowNumber(ranked1,
+      Seq(col("frequency"), col("cust")), out = "_rnf")
+    val ranked3 = Rank.globalRowNumber(ranked2,
+      Seq(col("monetary"), col("cust")), out = "_rnm")
+    // ntile(k) of 1-based rank rn over n rows, closed-form exact
+    // integer arithmetic (div = integer division): the first n mod k
+    // buckets take (n div k)+1 rows each, the rest n div k.
+    def ntileOf(rnCol: String, k: Int): Column = {
+      val q = n / k
+      val r = n % k
+      if (q == 0L) col(rnCol) // fewer rows than buckets: bucket = rank
+      else {
+        val cut = r * (q + 1)
+        when(col(rnCol) <= cut,
+            expr(s"($rnCol + ${q}L) div ${q + 1}L"))
+          .otherwise(lit(r) +
+            expr(s"($rnCol - ${cut}L + ${q - 1}L) div ${q}L"))
+      }
+    }
+    ranked3.select(col("cust"), col("recency"), col("frequency"),
         col("monetary").cast("double").as("monetary"),
-        r.cast("bigint").as("r_score"), f.cast("bigint").as("f_score"),
-        m.cast("bigint").as("m_score"))
+        ntileOf("_rnr", 5).cast("bigint").as("r_score"),
+        ntileOf("_rnf", 5).cast("bigint").as("f_score"),
+        ntileOf("_rnm", 5).cast("bigint").as("m_score"))
       .withColumn("rfm_segment",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
           .cast("bigint"))
