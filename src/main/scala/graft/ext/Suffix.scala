@@ -371,6 +371,61 @@ object Suffix {
           .as("n_kept_tokens"))
   }
 
+  /** The minimal mismatch offset in [lo, hi) per (pa, pb) pair: one
+    * bounded offsets explode + two keyed joins against the position
+    * table + a map-side-combinable MIN. Pairs with no mismatch in the
+    * range are ABSENT from the output (inner joins + filter).
+    */
+  private def minMismatch(pairs: DataFrame, pos: DataFrame,
+      lo: Int, hi: Int, out: String): DataFrame =
+    pairs.select(col("pa"), col("pb"),
+        explode(sequence(lit(lo), lit(hi - 1))).as("o"))
+      .join(pos.select(col("p").as("_xa"), col("tok").as("_ta")),
+        col("pa") + col("o") === col("_xa"))
+      .join(pos.select(col("p").as("_xb"), col("tok").as("_tb")),
+        col("pb") + col("o") === col("_xb"))
+      .filter(col("_ta") =!= col("_tb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(min(col("o")).cast("bigint").as(out))
+
+  /** Per-pair exact LCP in [baseLen, maxExt], STAGED (r20): the former
+    * single explode materialized (maxExt − baseLen) offset rows per
+    * pair — ~156 per pair at the defaults — and joined them all
+    * against the position table twice, while on real text almost
+    * every pair mismatches within a few tokens of its shared base
+    * window. Stage 1 resolves offsets [baseLen, 2·baseLen); only the
+    * UNRESOLVED pairs (no mismatch yet — the long-LCP tail) explode
+    * the remaining [2·baseLen, maxExt) range. Exactly the same value:
+    * min(o) over the full range = the stage-1 min when one exists
+    * (stage-2 offsets are all larger), else the stage-2 min, else no
+    * mismatch → maxExt. The stage-1 result is pinned (pair-sized)
+    * so stage 2's probe never re-runs stage 1. Measured on
+    * x_quality_signals_full's leak-depth component: 14.0 → see
+    * OPTIMIZATION_r20.md.
+    *
+    * Input pairs must be unique on (pa, pb); extra columns ride
+    * through. Output: the input columns + `lcp`.
+    */
+  private[ext] def lcpStaged(pairs: DataFrame, pos: DataFrame,
+      baseLen: Int, maxExt: Int): DataFrame = {
+    val cut = math.min(2 * baseLen, maxExt)
+    val m1 = minMismatch(pairs, pos, baseLen, cut, "_mo1")
+    val withM1 = pairs.join(m1, Seq("pa", "pb"), "left")
+    if (cut >= maxExt)
+      withM1.withColumn("lcp", coalesce(col("_mo1"), lit(maxExt.toLong)))
+        .drop("_mo1")
+    else {
+      val pinned = withM1.localCheckpoint(true)
+      val unresolved = pinned.filter(col("_mo1").isNull)
+        .select(col("pa"), col("pb"))
+      val m2 = minMismatch(unresolved, pos, cut, maxExt, "_mo2")
+      pinned.join(m2, Seq("pa", "pb"), "left")
+        .withColumn("lcp",
+          coalesce(col("_mo1"), col("_mo2"), lit(maxExt.toLong)))
+        .drop("_mo1", "_mo2")
+    }
+  }
+
   /** Cross-corpus contamination DEPTH — the overlap-audit statistic of
     * the GPT-3/Pile decontamination reports (Brown et al. 2020 audit
     * 13-gram collisions; Lee et al. 2021 measure longest shared
@@ -402,61 +457,6 @@ object Suffix {
     * offsets explode + two keyed joins; the per-doc MAX is map-side
     * combinable.
     */
-  /** The minimal mismatch offset in [lo, hi) per (pa, pb) pair: one
-    * bounded offsets explode + two keyed joins against the position
-    * table + a map-side-combinable MIN. Pairs with no mismatch in the
-    * range are ABSENT from the output (inner joins + filter).
-    */
-  private def minMismatch(pairs: DataFrame, pos: DataFrame,
-      lo: Int, hi: Int, out: String): DataFrame =
-    pairs.select(col("pa"), col("pb"),
-        explode(sequence(lit(lo), lit(hi - 1))).as("o"))
-      .join(pos.select(col("p").as("_xa"), col("tok").as("_ta")),
-        col("pa") + col("o") === col("_xa"))
-      .join(pos.select(col("p").as("_xb"), col("tok").as("_tb")),
-        col("pb") + col("o") === col("_xb"))
-      .filter(col("_ta") =!= col("_tb"))
-      .groupBy(col("pa"), col("pb"))
-      .agg(min(col("o")).cast("bigint").as(out))
-
-  /** Per-pair exact LCP in [baseLen, maxExt], STAGED (r20): the former
-    * single explode materialized (maxExt − baseLen) offset rows per
-    * pair — ~156 per pair at the defaults — and joined them all
-    * against the position table twice, while on real text almost
-    * every pair mismatches within a few tokens of its shared base
-    * window. Stage 1 resolves offsets [baseLen, 4·baseLen); only the
-    * UNRESOLVED pairs (no mismatch yet — the long-LCP tail) explode
-    * the remaining [4·baseLen, maxExt) range. Exactly the same value:
-    * min(o) over the full range = the stage-1 min when one exists
-    * (stage-2 offsets are all larger), else the stage-2 min, else no
-    * mismatch → maxExt. The stage-1 result is pinned (pair-sized)
-    * so stage 2's probe never re-runs stage 1. Measured on
-    * x_quality_signals_full's leak-depth component: 14.0 → see
-    * OPTIMIZATION_r20.md.
-    *
-    * Input pairs must be unique on (pa, pb); extra columns ride
-    * through. Output: the input columns + `lcp`.
-    */
-  private[ext] def lcpStaged(pairs: DataFrame, pos: DataFrame,
-      baseLen: Int, maxExt: Int): DataFrame = {
-    val cut = math.min(2 * baseLen, maxExt)
-    val m1 = minMismatch(pairs, pos, baseLen, cut, "_mo1")
-    val withM1 = pairs.join(m1, Seq("pa", "pb"), "left")
-    if (cut >= maxExt)
-      withM1.withColumn("lcp", coalesce(col("_mo1"), lit(maxExt.toLong)))
-        .drop("_mo1")
-    else {
-      val pinned = withM1.localCheckpoint(true)
-      val unresolved = pinned.filter(col("_mo1").isNull)
-        .select(col("pa"), col("pb"))
-      val m2 = minMismatch(unresolved, pos, cut, maxExt, "_mo2")
-      pinned.join(m2, Seq("pa", "pb"), "left")
-        .withColumn("lcp",
-          coalesce(col("_mo1"), col("_mo2"), lit(maxExt.toLong)))
-        .drop("_mo1", "_mo2")
-    }
-  }
-
   def contaminationSpanDepth(docs: DataFrame, textCol: String,
       idCol: String, evalPred: Column, baseLen: Int = 4,
       maxExt: Int = 160): DataFrame = {
@@ -572,7 +572,10 @@ object Suffix {
         col("a.rank") === col("b.rank") && col("a.p") < col("b.p"))
       .select(col("a.p").as("pa"), col("b.p").as("pb"))
       .localCheckpoint(true) // two consumers: extension + the final lcp
-    val lcp = lcpStaged(pairs, pos, baseLen, maxExt) // staged (r20)
+    // staged (r20); pinned: the crossJoin'd max aggregate below and
+    // the final aggregate both read lcp — unpinned, stage 2's
+    // long-tail explode would run once per consumer
+    val lcp = lcpStaged(pairs, pos, baseLen, maxExt).localCheckpoint(true)
     lcp.crossJoin(broadcast(lcp.agg(max(col("lcp")).as("_mx"))))
       .agg(max(col("lcp")).cast("bigint").as("max_dup_len"),
         count(lit(1)).cast("bigint").as("n_pairs"),

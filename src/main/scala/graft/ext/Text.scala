@@ -266,34 +266,6 @@ object Text {
       lambda: Double = 0.7): DataFrame =
     bigramLogProbUnder(docs, docs, textCol, idCol, lambda)
 
-  /** Score `docs` under the interpolated bigram LM trained on
-    * `modelDocs` — the CCNet reference-model split (Wenzek et al.
-    * 2020: production pipelines score against a PRETRAINED LM, they
-    * don't retrain per batch). With `modelDocs eq docs` this is
-    * exactly the self-trained face ([[bigramLogProb]]) — same plan,
-    * same values. Out-of-vocabulary restriction: bigrams whose
-    * bigram/unigram statistics are absent from the model corpus are
-    * EXCLUDED from the score (inner joins against the model tables),
-    * so a doc's `n_bigrams` counts its in-vocabulary bigrams; for any
-    * subset of the model corpus every bigram is in-vocabulary and the
-    * scores are bit-identical to the one-shot run (exact decimal
-    * contribution sums — partitioning can't perturb them), which is
-    * what makes the streaming funnel's batch splits compose exactly
-    * ([[graft.streaming.FunnelStream]]).
-    *
-    * Scale shape: the model tables are O(model vocabulary). On the
-    * split face they are pinned once (localCheckpoint — training runs
-    * a single time however many joins consume them) and broadcast
-    * only while the bigram table stays within `maxBroadcastVocab`
-    * rows (the [[graft.ext.Model.naiveBayesFilter]] guard, same
-    * default ≈ low-hundreds of MB); a web-scale model corpus
-    * auto-degrades to shuffle equi-joins — identical values (the
-    * per-bigram decimal contributions commute exactly), one extra
-    * doc-bigram exchange. The self face keeps the single-plan lazy
-    * broadcast: its "model" IS the corpus being scored, so a guard
-    * count would re-aggregate that corpus eagerly per call — there
-    * the 100 TB contract is the caller persisting the tables once.
-    */
   /** Pinned JM bigram model tables trained once on a model corpus —
     * the handle the streaming drivers thread through so ONE training
     * serves the fluency-cutoff derivation AND every micro-batch score
@@ -368,6 +340,34 @@ object Text {
         col("sum_logprob") / col("n_bigrams").cast("double"))
   }
 
+  /** Score `docs` under the interpolated bigram LM trained on
+    * `modelDocs` — the CCNet reference-model split (Wenzek et al.
+    * 2020: production pipelines score against a PRETRAINED LM, they
+    * don't retrain per batch). With `modelDocs eq docs` this is
+    * exactly the self-trained face ([[bigramLogProb]]) — same plan,
+    * same values. Out-of-vocabulary restriction: bigrams whose
+    * bigram/unigram statistics are absent from the model corpus are
+    * EXCLUDED from the score (inner joins against the model tables),
+    * so a doc's `n_bigrams` counts its in-vocabulary bigrams; for any
+    * subset of the model corpus every bigram is in-vocabulary and the
+    * scores are bit-identical to the one-shot run (exact decimal
+    * contribution sums — partitioning can't perturb them), which is
+    * what makes the streaming funnel's batch splits compose exactly
+    * ([[graft.streaming.FunnelStream]]).
+    *
+    * Scale shape: the model tables are O(model vocabulary). On the
+    * split face they are pinned once (localCheckpoint — training runs
+    * a single time however many joins consume them) and broadcast
+    * only while the bigram table stays within `maxBroadcastVocab`
+    * rows (the [[graft.ext.Model.naiveBayesFilter]] guard, same
+    * default ≈ low-hundreds of MB); a web-scale model corpus
+    * auto-degrades to shuffle equi-joins — identical values (the
+    * per-bigram decimal contributions commute exactly), one extra
+    * doc-bigram exchange. The self face keeps the single-plan lazy
+    * broadcast: its "model" IS the corpus being scored, so a guard
+    * count would re-aggregate that corpus eagerly per call — there
+    * the 100 TB contract is the caller persisting the tables once.
+    */
   def bigramLogProbUnder(docs: DataFrame, modelDocs: DataFrame,
       textCol: String, idCol: String, lambda: Double = 0.7,
       maxBroadcastVocab: Long = 8000000L): DataFrame = {

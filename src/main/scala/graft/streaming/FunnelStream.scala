@@ -47,21 +47,23 @@ object FunnelStream {
     * EXACTLY bucket < keepBuckets (the rank order is total, so the
     * rank cut and the lexicographic threshold agree even when tied
     * scores straddle the bucket boundary). O(1) driver collect.
-    */
-  /** `model` (r20): a pre-trained pinned JM model
+    *
+    * `model` (r20): a pre-trained pinned JM model
     * ([[Text.bigramLmTrain]] on the SAME modelDocs) scores the
     * reference corpus through the split-face probe instead of the
     * self-trained plan — bit-identical buckets (every bigram of the
     * model corpus is in-vocabulary under its own model; same integer
     * counts, same IEEE contribution tree), and the ONE training is
     * then shared with every `applyBatch` that threads the same handle
-    * (the double-LM-training fix). JM face only; the KN face keeps
-    * the self-trained plan.
+    * (the double-LM-training fix). JM face only — a model combined
+    * with `kn = true` fails loudly instead of silently retraining.
     */
   def fluencyCutoff(modelDocs: DataFrame, textCol: String, idCol: String,
       nBuckets: Int = 3, keepBuckets: Int = 2,
       kn: Boolean = false,
       model: Option[Text.BigramLm] = None): (Double, Long) = {
+    require(model.isEmpty || !kn,
+      "a pinned JM model cannot score the KN face — drop `model` or kn")
     val buckets =
       if (kn) Text.perplexityBucketsKn(modelDocs, textCol, idCol, nBuckets)
       else model match {
@@ -101,6 +103,8 @@ object FunnelStream {
       rawCol: String, bytesCol: String, idCol: String,
       intraSpan: Int = 3, kn: Boolean = false,
       model: Option[Text.BigramLm] = None): DataFrame = {
+    require(model.isEmpty || !kn,
+      "a pinned JM model cannot score the KN face — drop `model` or kn")
     val spark = batch.sparkSession
     val enc = Text.encodingQuality(batch, bytesCol, idCol)
       .select(col("doc_id"), col("is_clean"))

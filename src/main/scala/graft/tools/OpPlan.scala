@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions.col
 
 /** Dev-only: write `.explain("formatted")` of OPERATOR-level plans
   * (library functions whose registered queries hide them behind eager
-  * bridges/pins) to plans/r19/op_<name>_<suffix>.txt — the
-  * optimization round's plan evidence for operator internals.
+  * bridges/pins) to plans/<dir>/op_<name>_<suffix>.txt (dir defaults
+  * to r20; SPARK_GRAFT_PLANS_DIR overrides) — the optimization
+  * rounds' plan evidence for operator internals.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
   *          runMain graft.tools.OpPlan <suffix> <op> [op ...]

@@ -2,7 +2,8 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: write `.explain("formatted")` of named registry queries to
-  * plans/r19/<query>_<suffix>.txt — the optimization round's
+  * plans/<dir>/<query>_<suffix>.txt (dir defaults to r20;
+  * SPARK_GRAFT_PLANS_DIR overrides) — the optimization rounds'
   * before/after plan evidence. Mirrors Bench's session config (same
   * shuffle partitions, split sizing, extensions) so the captured plans
   * are the plans the bench actually runs.
